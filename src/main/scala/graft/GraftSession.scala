@@ -22,6 +22,11 @@ object GraftSession {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // events.parquet carries TIMESTAMP(NANOS) which Spark's parquet
+      // reader rejects; read as raw nanos (long) and convert to a µs
+      // timestamp in Tables.events (ns DIV 1000 — integer division, no
+      // double roundtrip, matches DuckDB's CAST(ts_ns AS TIMESTAMP)).
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.compression.codec", "snappy")
       .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
       .config("spark.ui.enabled", "false")

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators.Etl
 import graft.queries.Analytics
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
@@ -17,12 +18,26 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // §2.1 ETL core
+    "etl_normalize"      -> (Etl.normalize(_, _)),
+    "etl_hourly_rollup"  -> (Etl.hourlyRollup(_, _)),
+    "etl_keep_latest"    -> (Etl.keepLatest(_, _)),
+    "etl_dq_report"      -> (Etl.dqReport(_, _)),
+    "etl_schema_enforce" -> (Etl.schemaEnforce(_, _)),
+    "etl_incremental_ds" -> ((s, d) => Etl.incrementalDs(s, d)),
+    // §2.2 analytics
     "q1_pricing_summary" -> (Analytics.q1PricingSummary(_, _))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(
+    "etl_normalize"      -> Etl.normalizeOracleSql,
+    "etl_hourly_rollup"  -> Etl.hourlyRollupOracleSql,
+    "etl_keep_latest"    -> Etl.keepLatestOracleSql,
+    "etl_dq_report"      -> Etl.dqReportOracleSql,
+    "etl_schema_enforce" -> Etl.schemaEnforceOracleSql,
+    "etl_incremental_ds" -> Etl.incrementalDsOracleSql,
     "q1_pricing_summary" -> Analytics.q1OracleSql
   )
 }

@@ -1,0 +1,42 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Write paths: partitioned parquet with dynamic partition overwrite
+  * (the reference's per-`ds` idempotent backfill semantics —
+  * airflow/dags/dag_upsert_for_l2.py re-runs a day without touching
+  * the others), plus csv/json lines source+sink with explicit schema
+  * (the reference ingests raw JSON; schema-on-read is never inferred
+  * in production paths — inference is a full extra scan at 100 TB).
+  */
+object Sinks {
+
+  /** Partitioned snappy-parquet sink. With
+    * `spark.sql.sources.partitionOverwriteMode=dynamic` (set by
+    * GraftSession) mode=overwrite replaces ONLY the partitions present
+    * in `df` — rerunning one `ds` is idempotent and leaves sibling
+    * partitions intact. */
+  def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
+    df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
+
+  def readParquet(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** CSV sink with header; one file per partition, snappy-less (csv is
+    * an interchange format here, not the storage format). */
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").option("header", "true").csv(path)
+
+  /** CSV source with an explicit schema — no inference pass. */
+  def readCsv(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.option("header", "true").schema(schema).csv(path)
+
+  /** JSON-lines sink. */
+  def writeJsonLines(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").json(path)
+
+  /** JSON-lines source with an explicit schema — no inference pass. */
+  def readJsonLines(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+}

@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Etl, Sinks}
+
+class EtlSpec extends SparkSpecBase {
+
+  test("normalize: fixed schema, derived date/hour, parsed props") {
+    val df = Etl.normalize(spark, sfDir)
+    assert(df.columns.toSeq == Seq("event_id", "ts", "event_date", "event_hour",
+      "user_id", "event_type", "value", "prop_k", "source", "load_ds"))
+    val rows = df.limit(50).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val h = r.getInt(r.fieldIndex("event_hour"))
+      assert(h >= 0 && h <= 23)
+      assert(!r.isNullAt(r.fieldIndex("prop_k")))
+      assert(r.getString(r.fieldIndex("load_ds")) == Etl.LoadDs)
+    }
+    assert(df.count() == sources.Tables.events(spark, sfDir).count())
+  }
+
+  test("keep_latest: one row per key, and it is the max-ts row") {
+    val kept = Etl.keepLatest(spark, sfDir).cache()
+    val keys = kept.groupBy("user_id", "event_type").count()
+      .filter(col("count") > 1).count()
+    assert(keys == 0, "keep_latest must emit exactly one row per key")
+    // the kept ts equals the per-key max ts
+    val maxTs = sources.Tables.events(spark, sfDir)
+      .groupBy("user_id", "event_type").agg(max("ts").as("max_ts"))
+    val mismatched = kept.join(maxTs, Seq("user_id", "event_type"))
+      .filter(col("ts") =!= col("max_ts")).count()
+    assert(mismatched == 0)
+  }
+
+  test("dq_report: counts consistent on clean data") {
+    val r = Etl.dqReport(spark, sfDir).collect()(0)
+    assert(r.getLong(r.fieldIndex("n_rows")) > 0)
+    assert(r.getLong(r.fieldIndex("pk_violations")) == 0)
+    assert(r.getLong(r.fieldIndex("n_null_event_id")) == 0)
+  }
+
+  test("schema_enforce: contract types and safe casts") {
+    val df = Etl.schemaEnforce(spark, sfDir)
+    val types = df.schema.fields.map(f => f.name -> f.dataType.sql).toMap
+    assert(types("event_id") == "BIGINT")
+    assert(types("user_id") == "INT")
+    assert(types("value_dec") == "DECIMAL(12,2)")
+    assert(types("prop_k") == "INT")
+    assert(df.filter(col("prop_k").isNull).count() == 0)
+  }
+
+  test("incremental_ds slice + partitioned sink is idempotent on rerun") {
+    val out = java.nio.file.Files.createTempDirectory("graft_sink").toString
+    val slice = Etl.incrementalDs(spark, sfDir).cache()
+    val n = slice.count()
+    assert(n > 0, s"no events on ds=${Etl.IncrementalDs}")
+    Sinks.writePartitioned(slice, out, Seq("event_date"))
+    val afterFirst = spark.read.parquet(out).count()
+    // rerun the same ds: dynamic overwrite must replace, not append
+    Sinks.writePartitioned(slice, out, Seq("event_date"))
+    val afterSecond = spark.read.parquet(out).count()
+    assert(afterFirst == n && afterSecond == n)
+    // writing a different ds must not clobber the first partition
+    val other = Etl.normalize(spark, sfDir)
+      .filter(col("event_date") === lit("2024-01-16").cast("date"))
+    Sinks.writePartitioned(other, out, Seq("event_date"))
+    assert(spark.read.parquet(out).count() == n + other.count())
+  }
+
+  test("csv and json roundtrip with explicit schema") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_io").toString
+    val df = Etl.schemaEnforce(spark, sfDir)
+      .select("event_id", "user_id", "event_type", "prop_k").limit(100).cache()
+    Sinks.writeCsv(df, s"$dir/csv")
+    val backCsv = Sinks.readCsv(spark, s"$dir/csv", df.schema)
+    assert(backCsv.count() == 100)
+    assert(backCsv.schema == df.schema)
+    Sinks.writeJsonLines(df, s"$dir/json")
+    val backJson = Sinks.readJsonLines(spark, s"$dir/json", df.schema)
+    assert(backJson.count() == 100)
+    assert(backJson.exceptAll(df).count() == 0)
+  }
+}
