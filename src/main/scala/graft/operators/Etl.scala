@@ -50,7 +50,11 @@ object Etl {
       col("user_id"),
       col("event_type"),
       col("value"),
-      from_json(col("props"), lit("k INT")).getField("k").as("prop_k"),
+      // parse as STRING + try_cast so malformed props yield NULL (not a
+      // job failure) — same null-on-malformed semantics as the oracle's
+      // TRY_CAST (r2 advice: hard CAST diverged on dirty input).
+      from_json(col("props"), lit("k STRING")).getField("k")
+        .try_cast("int").as("prop_k"),
       lit("events").as("source"),
       lit(LoadDs).as("load_ds"))
 
@@ -59,7 +63,7 @@ object Etl {
       |  CAST(ts AS DATE) AS event_date,
       |  CAST(EXTRACT(hour FROM ts) AS INTEGER) AS event_hour,
       |  user_id, event_type, value,
-      |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS prop_k,
+      |  TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) AS prop_k,
       |  'events' AS source, '2024-02-01' AS load_ds
       |FROM events""".stripMargin
 
@@ -131,14 +135,17 @@ object Etl {
       min(col("value")).as("min_value"),
       max(col("value")).as("max_value"))
 
+  // SUMs are wrapped CAST(... AS BIGINT): DuckDB evaluates SUM over
+  // integers as HUGEINT while Spark emits LongType — identical values,
+  // diverging type-sensitive driver hash (r2 advice).
   val dqReportOracleSql: String =
     """SELECT COUNT(*) AS n_rows,
-      |  SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS n_null_event_id,
-      |  SUM(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS n_null_ts,
-      |  SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS n_null_user_id,
-      |  SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS n_null_event_type,
-      |  SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS n_null_value,
-      |  SUM(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS n_null_props,
+      |  CAST(SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_event_id,
+      |  CAST(SUM(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_ts,
+      |  CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_user_id,
+      |  CAST(SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_event_type,
+      |  CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_value,
+      |  CAST(SUM(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_props,
       |  COUNT(DISTINCT user_id) AS n_distinct_users,
       |  COUNT(DISTINCT event_type) AS n_distinct_event_types,
       |  COUNT(*) - COUNT(DISTINCT event_id) AS pk_violations,
@@ -150,15 +157,18 @@ object Etl {
   /** Schema enforcement: cast every column to the staging contract
     * (the reference's explicit dtype table), safe-cast the
     * JSON-derived field (bad values → NULL, not a job failure), and
-    * prune to exactly the contract columns. Money lands in
-    * DECIMAL(12,2) — exact, engine-portable. */
+    * prune to exactly the contract columns. Money is quantized through
+    * DECIMAL(12,2) — exact, engine-portable — then presented as DOUBLE
+    * (r2 advice: a raw DECIMAL output column serializes differently
+    * between Spark parquet and the DuckDB result, failing the driver
+    * hash with zero value-level difference). */
   def schemaEnforce(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir).select(
       col("event_id").cast("bigint").as("event_id"),
       col("ts").cast("timestamp").as("ts"),
       col("user_id").cast("int").as("user_id"),
       col("event_type").cast("string").as("event_type"),
-      col("value").cast("decimal(12,2)").as("value_dec"),
+      col("value").cast("decimal(12,2)").cast("double").as("value_2dp"),
       from_json(col("props"), lit("k STRING")).getField("k")
         .try_cast("int").as("prop_k"))
 
@@ -167,7 +177,7 @@ object Etl {
       |  CAST(ts AS TIMESTAMP) AS ts,
       |  CAST(user_id AS INTEGER) AS user_id,
       |  CAST(event_type AS VARCHAR) AS event_type,
-      |  CAST(value AS DECIMAL(12,2)) AS value_dec,
+      |  CAST(CAST(value AS DECIMAL(12,2)) AS DOUBLE) AS value_2dp,
       |  TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) AS prop_k
       |FROM events""".stripMargin
 
@@ -184,7 +194,7 @@ object Etl {
        |  CAST(ts AS DATE) AS event_date,
        |  CAST(EXTRACT(hour FROM ts) AS INTEGER) AS event_hour,
        |  user_id, event_type, value,
-       |  CAST(json_extract_string(props, '$$.k') AS INTEGER) AS prop_k,
+       |  TRY_CAST(json_extract_string(props, '$$.k') AS INTEGER) AS prop_k,
        |  'events' AS source, '$LoadDs' AS load_ds
        |FROM events
        |WHERE CAST(ts AS DATE) = DATE '$IncrementalDs'""".stripMargin

@@ -58,6 +58,17 @@ def main():
         except Exception as e:
             print(f"FAIL {name}: oracle SQL error: {e}")
             n_fail += 1; continue
+        # Driver's hash is TYPE-sensitive (e.g. DuckDB HUGEINT vs Spark
+        # BIGINT hash differently with identical values) — diff the
+        # DESCRIBE types of both sides, not just the values.
+        otypes = {r[0]: r[1] for r in con.execute(f"DESCRIBE {sql}").fetchall()}
+        stypes = {r[0]: r[1] for r in con.execute(
+            f"DESCRIBE SELECT * FROM read_parquet('{spark_dir}/*.parquet')").fetchall()}
+        tdiff = {k: (otypes.get(k), stypes.get(k))
+                 for k in set(otypes) | set(stypes) if otypes.get(k) != stypes.get(k)}
+        if tdiff:
+            print(f"FAIL {name}: result type mismatch (oracle,spark): {tdiff}")
+            n_fail += 1; continue
         cur = con.execute(f"SELECT * FROM read_parquet('{spark_dir}/*.parquet')")
         scols = [d[0] for d in cur.description]
         srows = cur.fetchall()
