@@ -26,7 +26,16 @@ object SparkEntry {
     "etl_schema_enforce" -> (Etl.schemaEnforce(_, _)),
     "etl_incremental_ds" -> ((s, d) => Etl.incrementalDs(s, d)),
     // §2.2 analytics
-    "q1_pricing_summary" -> (Analytics.q1PricingSummary(_, _))
+    "q1_pricing_summary"   -> (Analytics.q1PricingSummary(_, _)),
+    "q3_shipping_priority" -> (Analytics.q3ShippingPriority(_, _)),
+    "q5_local_supplier"    -> (Analytics.q5LocalSupplier(_, _)),
+    "q_market_share"       -> (Analytics.qMarketShare(_, _)),
+    "q_top_customers"      -> (Analytics.qTopCustomers(_, _)),
+    "q_running_total"      -> (Analytics.qRunningTotal(_, _)),
+    "q_rollup"             -> (Analytics.qRollup(_, _)),
+    "q_semi_anti"          -> (Analytics.qSemiAnti(_, _)),
+    "q_skew_topk"          -> (Analytics.qSkewTopk(_, _)),
+    "q_events_sessionize"  -> (Analytics.qEventsSessionize(_, _))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -38,6 +47,15 @@ object SparkEntry {
     "etl_dq_report"      -> Etl.dqReportOracleSql,
     "etl_schema_enforce" -> Etl.schemaEnforceOracleSql,
     "etl_incremental_ds" -> Etl.incrementalDsOracleSql,
-    "q1_pricing_summary" -> Analytics.q1OracleSql
+    "q1_pricing_summary"   -> Analytics.q1OracleSql,
+    "q3_shipping_priority" -> Analytics.q3OracleSql,
+    "q5_local_supplier"    -> Analytics.q5OracleSql,
+    "q_market_share"       -> Analytics.qMarketShareOracleSql,
+    "q_top_customers"      -> Analytics.qTopCustomersOracleSql,
+    "q_running_total"      -> Analytics.qRunningTotalOracleSql,
+    "q_rollup"             -> Analytics.qRollupOracleSql,
+    "q_semi_anti"          -> Analytics.qSemiAntiOracleSql,
+    "q_skew_topk"          -> Analytics.qSkewTopkOracleSql,
+    "q_events_sessionize"  -> Analytics.qEventsSessionizeOracleSql
   )
 }

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
 
@@ -61,4 +62,290 @@ object Analytics {
       |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
       |GROUP BY l_returnflag, l_linestatus
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  // --- q3: shipping priority (3-way join + agg + top-k).
+  // customer and orders are filtered before the join so the shuffle
+  // carries only qualifying rows; the join keys are the natural
+  // hash-shuffle keys (custkey, then orderkey) and AQE may promote the
+  // filtered customer side to broadcast at runtime. Top-k is a sort of
+  // the AGGREGATED (small) result, never of lineitem.
+  def q3ShippingPriority(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+      .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    cust.join(ord, col("c_custkey") === col("o_custkey"))
+      .join(li, col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  val q3OracleSql: String =
+    """SELECT l_orderkey, o_orderdate, o_orderpriority,
+      |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS revenue
+      |FROM customer, orders, lineitem
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+      |  AND o_orderdate < TIMESTAMP '1998-01-01'
+      |  AND l_shipdate > TIMESTAMP '1998-01-01'
+      |GROUP BY 1, 2, 3
+      |ORDER BY revenue DESC, l_orderkey
+      |LIMIT 10""".stripMargin
+
+  // --- q5: local-supplier volume (6-way star join).
+  // region and nation are bounded dimensions at ANY scale factor
+  // (5 / 25 rows) — explicitly broadcast. customer/supplier grow with
+  // SF, so they stay shuffle joins and AQE promotes them to broadcast
+  // when the runtime size allows; the c_nationkey = s_nationkey
+  // equality rides the supplier join as a post-condition.
+  def q5LocalSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val region = broadcast(Tables.region(spark, dir).filter(col("r_name") === "ASIA"))
+    val nation = broadcast(Tables.nation(spark, dir))
+    val cust = Tables.customer(spark, dir).select("c_custkey", "c_nationkey")
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      .select("o_orderkey", "o_custkey")
+    val li = Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    val supp = Tables.supplier(spark, dir).select("s_suppkey", "s_nationkey")
+    cust
+      .join(ord, col("o_custkey") === col("c_custkey"))
+      .join(li, col("l_orderkey") === col("o_orderkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey") &&
+                  col("c_nationkey") === col("s_nationkey"))
+      .join(nation, col("s_nationkey") === col("n_nationkey"))
+      .join(region, col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+  }
+
+  val q5OracleSql: String =
+    """SELECT n_name,
+      |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS revenue
+      |FROM customer, orders, lineitem, supplier, nation, region
+      |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      |  AND r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o_orderdate < TIMESTAMP '1997-01-01'
+      |GROUP BY n_name""".stripMargin
+
+  // --- market share: conditional aggregation (CASE WHEN inside SUM).
+  // One shuffle on the year after the joins; the share is a ratio of
+  // two decimal-exact sums so both engines emit identical doubles.
+  def qMarketShare(spark: SparkSession, dir: String): DataFrame = {
+    val nation = broadcast(Tables.nation(spark, dir))
+    val supp = Tables.supplier(spark, dir).select("s_suppkey", "s_nationkey")
+    val ord = Tables.orders(spark, dir).select("o_orderkey", "o_orderdate")
+    val li = Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    val vol = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
+      .join(nation, col("s_nationkey") === col("n_nationkey"))
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg(
+        dsum(when(col("n_name") === "NATION_3", vol).otherwise(lit(0.0))).as("nation_volume"),
+        dsum(vol).as("total_volume"))
+      .withColumn("mkt_share", col("nation_volume") / col("total_volume"))
+  }
+
+  val qMarketShareOracleSql: String =
+    """SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS o_year,
+      |  CAST(SUM(CAST(CASE WHEN n_name = 'NATION_3'
+      |        THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END AS DECIMAL(30,6))) AS DOUBLE) AS nation_volume,
+      |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS total_volume,
+      |  CAST(SUM(CAST(CASE WHEN n_name = 'NATION_3'
+      |        THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END AS DECIMAL(30,6))) AS DOUBLE)
+      |    / CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS mkt_share
+      |FROM lineitem, orders, supplier, nation
+      |WHERE l_orderkey = o_orderkey AND l_suppkey = s_suppkey
+      |  AND s_nationkey = n_nationkey
+      |GROUP BY 1""".stripMargin
+
+  // --- top customers: window ranking (row_number per partition).
+  // Revenue is aggregated per customer FIRST (shuffle on custkey),
+  // then ranked within nation — the window input is one row per
+  // customer, not per order. Deterministic tiebreak on custkey.
+  def qTopCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val nation = broadcast(Tables.nation(spark, dir))
+    val cust = Tables.customer(spark, dir).select("c_custkey", "c_name", "c_nationkey")
+    val ord = Tables.orders(spark, dir).select("o_custkey", "o_totalprice")
+    val revenue = ord.groupBy(col("o_custkey"))
+      .agg(dsum(col("o_totalprice")).as("revenue"))
+    val w = Window.partitionBy(col("n_name"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+    cust.join(revenue, col("c_custkey") === col("o_custkey"))
+      .join(nation, col("c_nationkey") === col("n_nationkey"))
+      .withColumn("rank_in_nation", row_number().over(w))
+      .filter(col("rank_in_nation") <= 3)
+      .select("n_name", "rank_in_nation", "c_custkey", "c_name", "revenue")
+  }
+
+  val qTopCustomersOracleSql: String =
+    """SELECT n_name, CAST(rnk AS INTEGER) AS rank_in_nation, c_custkey, c_name, revenue
+      |FROM (
+      |  SELECT n_name, c_custkey, c_name, revenue,
+      |    ROW_NUMBER() OVER (PARTITION BY n_name ORDER BY revenue DESC, c_custkey) AS rnk
+      |  FROM (
+      |    SELECT n_name, c_custkey, c_name,
+      |      CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS revenue
+      |    FROM customer, orders, nation
+      |    WHERE c_custkey = o_custkey AND c_nationkey = n_nationkey
+      |    GROUP BY 1, 2, 3) r) t
+      |WHERE rnk <= 3""".stripMargin
+
+  // --- running total: cumulative window sum (rows unbounded preceding).
+  // Daily revenue first (shuffle on date), then the cumulative sum runs
+  // over the SMALL aggregated frame. The accumulation stays in decimal
+  // until the final cast so the prefix sums are exact and
+  // order-independent across engines.
+  def qRunningTotal(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(spark, dir)
+      .groupBy(to_date(col("o_orderdate")).as("order_date"))
+      .agg(sum(col("o_totalprice").cast("decimal(30,6)")).as("daily_dec"))
+    val w = Window.orderBy(col("order_date"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily
+      .withColumn("running_revenue", sum(col("daily_dec")).over(w).cast("double"))
+      .select(col("order_date"),
+        col("daily_dec").cast("double").as("daily_revenue"),
+        col("running_revenue"))
+  }
+
+  val qRunningTotalOracleSql: String =
+    """SELECT CAST(o_orderdate AS DATE) AS order_date,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS daily_revenue,
+      |  CAST(SUM(SUM(CAST(o_totalprice AS DECIMAL(30,6)))) OVER (
+      |    ORDER BY CAST(o_orderdate AS DATE)
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_revenue
+      |FROM orders
+      |GROUP BY 1""".stripMargin
+
+  // --- rollup: multi-level aggregation (ROLLUP flag, status).
+  // grouping_id disambiguates real NULLs from rollup NULLs; cast to
+  // INT on both sides (Spark emits BIGINT, DuckDB GROUPING is BIGINT).
+  def qRollup(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_price"),
+        grouping_id().cast("int").as("lvl"))
+
+  val qRollupOracleSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  COUNT(*) AS n_rows,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS sum_price,
+      |  CAST(GROUPING(l_returnflag, l_linestatus) AS INTEGER) AS lvl
+      |FROM lineitem
+      |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin
+
+  // --- semi/anti: EXISTS and NOT EXISTS as left-semi / left-anti joins.
+  // Both joins shuffle customer once against the distinct order keys;
+  // at scale the semi/anti forms never materialize the match side.
+  def qSemiAnti(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir).select("c_custkey", "c_mktsegment")
+    val ordKeys = Tables.orders(spark, dir).select("o_custkey")
+    val withOrders = cust.join(ordKeys, col("c_custkey") === col("o_custkey"), "left_semi")
+      .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n_customers"))
+      .withColumn("bucket", lit("with_orders"))
+    val withoutOrders = cust.join(ordKeys, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n_customers"))
+      .withColumn("bucket", lit("without_orders"))
+    withOrders.unionByName(withoutOrders)
+  }
+
+  val qSemiAntiOracleSql: String =
+    """SELECT c_mktsegment, COUNT(*) AS n_customers, 'with_orders' AS bucket
+      |FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+      |GROUP BY 1
+      |UNION ALL
+      |SELECT c_mktsegment, COUNT(*) AS n_customers, 'without_orders' AS bucket
+      |FROM customer c
+      |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+      |GROUP BY 1""".stripMargin
+
+  // --- skewed-key top-k: heavy-hitter aggregation.
+  // event_type has ~5 values over the whole table — the degenerate
+  // skew case for a shuffle. Spark's two-phase hash aggregate does the
+  // heavy lifting map-side (partials per partition), so each of the 5
+  // hot keys arrives at the reducer as ~n_partitions partial rows, not
+  // n_rows. Top-k then sorts the tiny aggregated result.
+  def qSkewTopk(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        dsum(col("value")).as("sum_value"))
+      .orderBy(col("n_events").desc, col("event_type"))
+      .limit(3)
+
+  val qSkewTopkOracleSql: String =
+    """SELECT event_type, COUNT(*) AS n_events,
+      |  COUNT(DISTINCT user_id) AS n_users,
+      |  CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value
+      |FROM events
+      |GROUP BY 1
+      |ORDER BY n_events DESC, event_type
+      |LIMIT 3""".stripMargin
+
+  /** Session gap: a new session starts after 6h of inactivity. */
+  val SessionGapUs: Long = 6L * 3600 * 1000000
+
+  // --- sessionize: lag + cumulative-flag-sum window, then per-session
+  // aggregation. Two windows over the same (user_id → ts, event_id)
+  // partitioning, so Spark plans ONE shuffle + one sort for both.
+  // Timestamp arithmetic is integer micros end-to-end (no double
+  // roundtrip) for exact cross-engine parity.
+  def qEventsSessionize(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val cum = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, dir)
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
+      .withColumn("is_new",
+        when(col("prev_us").isNull ||
+             unix_micros(col("ts")) - col("prev_us") > SessionGapUs, 1L).otherwise(0L))
+      .withColumn("session_id", sum(col("is_new")).over(cum))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"))
+      .withColumn("duration_sec",
+        expr("(unix_micros(session_end) - unix_micros(session_start)) div 1000000"))
+  }
+
+  val qEventsSessionizeOracleSql: String =
+    """SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+      |  COUNT(*) AS n_events,
+      |  MIN(ts) AS session_start, MAX(ts) AS session_end,
+      |  (epoch_us(MAX(ts)) - epoch_us(MIN(ts))) // 1000000 AS duration_sec
+      |FROM (
+      |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+      |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM (
+      |    SELECT user_id, ts, event_id,
+      |      CASE WHEN prev_us IS NULL
+      |             OR epoch_us(CAST(ts AS TIMESTAMP)) - prev_us > 21600000000
+      |           THEN 1 ELSE 0 END AS is_new
+      |    FROM (
+      |      SELECT user_id, ts, event_id,
+      |        LAG(epoch_us(CAST(ts AS TIMESTAMP)), 1) OVER (
+      |          PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+      |      FROM events) a) b) c
+      |GROUP BY 1, 2""".stripMargin
 }

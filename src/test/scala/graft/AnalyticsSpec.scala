@@ -23,4 +23,84 @@ class AnalyticsSpec extends SparkSpecBase {
   test("entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
+
+  test("q3: at most 10 rows, sorted by revenue desc") {
+    val rows = Analytics.q3ShippingPriority(spark, sfDir).collect()
+    assert(rows.length <= 10)
+    val revs = rows.map(_.getDouble(3))
+    assert(revs.sameElements(revs.sortBy(-_)))
+  }
+
+  test("q5: one row per ASIA nation with positive revenue") {
+    val rows = Analytics.q5LocalSupplier(spark, sfDir).collect()
+    assert(rows.nonEmpty && rows.length <= 5)
+    rows.foreach(r => assert(r.getDouble(1) > 0))
+  }
+
+  test("market share: share in [0,1] and volumes consistent") {
+    val rows = Analytics.qMarketShare(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nat, tot, share) = (r.getDouble(1), r.getDouble(2), r.getDouble(3))
+      assert(share >= 0 && share <= 1)
+      assert(math.abs(share - nat / tot) < 1e-12)
+    }
+  }
+
+  test("top customers: at most 3 per nation, ranks 1..3 contiguous") {
+    val rows = Analytics.qTopCustomers(spark, sfDir).collect()
+    val perNation = rows.groupBy(_.getString(0))
+    perNation.values.foreach { rs =>
+      val ranks = rs.map(_.getInt(1)).sorted
+      assert(ranks.sameElements(1 to ranks.length))
+      assert(ranks.length <= 3)
+    }
+  }
+
+  test("running total: monotone and ends at the grand total") {
+    val rows = Analytics.qRunningTotal(spark, sfDir)
+      .orderBy("order_date").collect()
+    val running = rows.map(_.getDouble(2))
+    assert(running.zip(running.tail).forall { case (a, b) => b >= a })
+    val totalDaily = rows.map(_.getDouble(1)).sum
+    assert(math.abs(running.last - totalDaily) < 1e-6 * math.abs(totalDaily))
+  }
+
+  test("rollup: grand-total level matches table count") {
+    val rows = Analytics.qRollup(spark, sfDir).collect()
+    val byLvl = rows.groupBy(_.getInt(5))
+    assert(byLvl.keySet == Set(0, 1, 3))
+    val grand = byLvl(3).head.getLong(2)
+    assert(grand == sources.Tables.lineitem(spark, sfDir).count())
+    assert(byLvl(0).map(_.getLong(2)).sum == grand)
+  }
+
+  test("semi/anti: buckets partition the customer table") {
+    val rows = Analytics.qSemiAnti(spark, sfDir).collect()
+    val total = rows.map(_.getLong(1)).sum
+    assert(total == sources.Tables.customer(spark, sfDir).count())
+    assert(rows.map(_.getString(2)).toSet.subsetOf(Set("with_orders", "without_orders")))
+  }
+
+  test("skew topk: 3 rows sorted by count desc") {
+    val rows = Analytics.qSkewTopk(spark, sfDir).collect()
+    assert(rows.length == 3)
+    val counts = rows.map(_.getLong(1))
+    assert(counts.sameElements(counts.sortBy(-_)))
+  }
+
+  test("sessionize: events partition into gap-bounded sessions") {
+    val sess = Analytics.qEventsSessionize(spark, sfDir).collect()
+    val nEvents = sess.map(_.getLong(2)).sum
+    assert(nEvents == sources.Tables.events(spark, sfDir).count())
+    sess.foreach { r =>
+      val dur = r.getLong(5)
+      assert(dur >= 0)
+    }
+    // session ids per user are contiguous starting at 1
+    sess.groupBy(_.getLong(0)).values.foreach { rs =>
+      val ids = rs.map(_.getLong(1)).sorted
+      assert(ids.head == 1 && ids.last == ids.length)
+    }
+  }
 }
