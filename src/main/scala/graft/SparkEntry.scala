@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.Etl
+import graft.operators.{Dedup, Etl}
 import graft.queries.Analytics
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
@@ -35,7 +35,14 @@ object SparkEntry {
     "q_rollup"             -> (Analytics.qRollup(_, _)),
     "q_semi_anti"          -> (Analytics.qSemiAnti(_, _)),
     "q_skew_topk"          -> (Analytics.qSkewTopk(_, _)),
-    "q_events_sessionize"  -> (Analytics.qEventsSessionize(_, _))
+    "q_events_sessionize"  -> (Analytics.qEventsSessionize(_, _)),
+    // §2.3 dedup
+    "dedup_exact"            -> (Dedup.exact(_, _)),
+    "dedup_exact_normalized" -> (Dedup.exactNormalized(_, _)),
+    "dedup_ngram_jaccard"    -> ((s, d) => Dedup.ngramJaccard(s, d)),
+    "dedup_embedding_cosine" -> ((s, d) => Dedup.embeddingCosine(s, d)),
+    "dedup_minhash_lsh"      -> ((s, d) => Dedup.minhashLsh(s, d)),
+    "dedup_simhash"          -> (Dedup.simhash(_, _))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -56,6 +63,12 @@ object SparkEntry {
     "q_rollup"             -> Analytics.qRollupOracleSql,
     "q_semi_anti"          -> Analytics.qSemiAntiOracleSql,
     "q_skew_topk"          -> Analytics.qSkewTopkOracleSql,
-    "q_events_sessionize"  -> Analytics.qEventsSessionizeOracleSql
+    "q_events_sessionize"  -> Analytics.qEventsSessionizeOracleSql,
+    // §2.3 dedup (minhash_lsh / simhash are rows-only: signatures are
+    // not SQL-expressible; DedupSpec verifies them against brute force)
+    "dedup_exact"            -> Dedup.exactOracleSql,
+    "dedup_exact_normalized" -> Dedup.exactNormalizedOracleSql,
+    "dedup_ngram_jaccard"    -> Dedup.ngramJaccardOracleSql,
+    "dedup_embedding_cosine" -> Dedup.embeddingCosineOracleSql
   )
 }

