@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Dedup, Etl}
+import graft.operators.{Dedup, Etl, Similarity}
 import graft.queries.Analytics
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
@@ -42,7 +42,11 @@ object SparkEntry {
     "dedup_ngram_jaccard"    -> ((s, d) => Dedup.ngramJaccard(s, d)),
     "dedup_embedding_cosine" -> ((s, d) => Dedup.embeddingCosine(s, d)),
     "dedup_minhash_lsh"      -> ((s, d) => Dedup.minhashLsh(s, d)),
-    "dedup_simhash"          -> (Dedup.simhash(_, _))
+    "dedup_simhash"          -> (Dedup.simhash(_, _)),
+    // §2.4 similarity
+    "knn_bruteforce" -> ((s, d) => Similarity.knnBruteforce(s, d)),
+    "knn_lsh"        -> ((s, d) => Similarity.knnLsh(s, d)),
+    "vec_stats"      -> (Similarity.vecStats(_, _))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -69,6 +73,10 @@ object SparkEntry {
     "dedup_exact"            -> Dedup.exactOracleSql,
     "dedup_exact_normalized" -> Dedup.exactNormalizedOracleSql,
     "dedup_ngram_jaccard"    -> Dedup.ngramJaccardOracleSql,
-    "dedup_embedding_cosine" -> Dedup.embeddingCosineOracleSql
+    "dedup_embedding_cosine" -> Dedup.embeddingCosineOracleSql,
+    // §2.4 similarity (knn_lsh is rows-only: approximate by design;
+    // SimilaritySpec asserts recall against the exact scan)
+    "knn_bruteforce" -> Similarity.knnBruteforceOracleSql,
+    "vec_stats"      -> Similarity.vecStatsOracleSql
   )
 }

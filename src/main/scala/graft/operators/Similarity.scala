@@ -1,0 +1,199 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.functions.{VectorOps => V}
+
+/** Similarity search over the `embeddings` table (ANN tier of the
+  * training-data pipeline).
+  *
+  * Scale design (SURVEY §4): brute-force top-k is ONE scan of the
+  * corpus against a BROADCAST query set, followed by a bounded
+  * per-partition top-k (heap) so the final exact ranking window sees
+  * n_partitions × k rows per query instead of the whole corpus. The
+  * LSH variant buckets the corpus by random-hyperplane signs so each
+  * probe touches ~1/2^bits of the data per table — the path that holds
+  * when the corpus no longer fits a single scan per query batch.
+  */
+object Similarity {
+
+  /** Neighbors returned per query. */
+  val K = 10
+  /** Queries: the first `NQueries` vec_ids double as the query set. */
+  val NQueries = 5
+
+  private def scoredFrame(spark: SparkSession, dir: String): DataFrame = {
+    val v = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), V.toDouble(col("embedding")).as("e"))
+      .withColumn("nrm", V.l2Norm(col("e")))
+    val q = broadcast(
+      v.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("query_id"), col("e").as("qe"), col("nrm").as("qnrm")))
+    v.join(q, col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        V.cosineWithNorms(V.dot(col("e"), col("qe")), col("nrm"), col("qnrm"))
+          .as("cosine"))
+  }
+
+  /** Exact top-k cosine neighbors for each query vector.
+    *
+    * The mapPartitions stage keeps a bounded k-heap per query inside
+    * each partition — the only pruning step, and it is lossless: the
+    * global top-k is a subset of the union of per-partition top-ks.
+    * The final window ranks that tiny union exactly. Cosines are
+    * deterministic doubles (sequential fold), so the ranking (cosine
+    * desc, vec_id asc) is reproducible across engines. */
+  def knnBruteforce(spark: SparkSession, dir: String, k: Int = K): DataFrame = {
+    import spark.implicits._
+    // worst-first ordering: max under this = lowest cosine, then
+    // largest vec_id — the element a better candidate evicts.
+    val worstFirst: Ordering[(Long, Long, Double)] =
+      Ordering.by(t => (-t._3, t._2))
+    val pruned = scoredFrame(spark, dir).as[(Long, Long, Double)]
+      .mapPartitions { it =>
+        val heaps = scala.collection.mutable.Map
+          .empty[Long, scala.collection.mutable.PriorityQueue[(Long, Long, Double)]]
+        it.foreach { s =>
+          val h = heaps.getOrElseUpdate(s._1,
+            new scala.collection.mutable.PriorityQueue[(Long, Long, Double)]()(worstFirst))
+          if (h.size < k) h.enqueue(s)
+          else if (worstFirst.compare(s, h.head) < 0) { h.dequeue(); h.enqueue(s) }
+        }
+        heaps.valuesIterator.flatMap(_.iterator)
+      }
+      .toDF("query_id", "vec_id", "cosine")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    pruned
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"), col("cosine"))
+  }
+
+  val knnBruteforceOracleSql: String =
+    s"""WITH v AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+       |    sqrt(list_reduce(list_transform(generate_series(1, len(embedding)),
+       |      i -> CAST(embedding AS DOUBLE[])[i] * CAST(embedding AS DOUBLE[])[i]),
+       |      (x,y) -> x+y)) AS nrm
+       |  FROM embeddings)
+       |SELECT query_id, neighbor_id, CAST(rnk AS INTEGER) AS rank, cosine FROM (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    list_reduce(list_transform(generate_series(1, len(q.e)), i -> c.e[i]*q.e[i]),
+       |      (x,y) -> x+y) / (c.nrm * q.nrm) AS cosine,
+       |    ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+       |      list_reduce(list_transform(generate_series(1, len(q.e)), i -> c.e[i]*q.e[i]),
+       |        (x,y) -> x+y) / (c.nrm * q.nrm) DESC, c.vec_id) AS rnk
+       |  FROM v q, v c
+       |  WHERE q.vec_id < $NQueries AND c.vec_id != q.vec_id) t
+       |WHERE rnk <= $K""".stripMargin
+
+  /** Per-label vector statistics: count, dimensionality, norm range,
+    * and the L2 norm of the label centroid. Element-wise centroid
+    * means run as a (label, dim) aggregate over posexploded elements —
+    * decimal-accumulated so the cross-engine doubles match bit-for-bit
+    * regardless of partial-aggregation order. */
+  def vecStats(spark: SparkSession, dir: String): DataFrame = {
+    val v = Tables.embeddings(spark, dir)
+      .select(col("label"), V.toDouble(col("embedding")).as("e"))
+    val withNorm = v.withColumn("nrm", V.l2Norm(col("e")))
+    val labelStats = withNorm.groupBy(col("label")).agg(
+      count(lit(1)).as("n_vecs"),
+      max(size(col("e"))).as("dim"),
+      (sum(col("nrm").cast("decimal(30,10)")).cast("double") / count(col("nrm")))
+        .as("avg_norm"),
+      min(col("nrm")).as("min_norm"),
+      max(col("nrm")).as("max_norm"))
+    val elems = v.select(col("label"), posexplode(col("e")).as(Seq("pos", "val")))
+    val means = elems.groupBy(col("label"), col("pos"))
+      .agg((sum(col("val").cast("decimal(30,10)")).cast("double") / count(col("val")))
+        .as("mean"))
+    val centroid = means.groupBy(col("label"))
+      .agg(sqrt(sum((col("mean") * col("mean")).cast("decimal(30,10)")).cast("double"))
+        .as("centroid_norm"))
+    labelStats.join(centroid, "label")
+  }
+
+  val vecStatsOracleSql: String =
+    """WITH v AS (
+      |  SELECT label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      |n AS (
+      |  SELECT label, len(e) AS dim,
+      |    sqrt(list_reduce(list_transform(generate_series(1, len(e)), i -> e[i]*e[i]),
+      |      (x,y) -> x+y)) AS nrm
+      |  FROM v),
+      |stats AS (
+      |  SELECT label, COUNT(*) AS n_vecs, CAST(MAX(dim) AS INTEGER) AS dim,
+      |    CAST(SUM(CAST(nrm AS DECIMAL(30,10))) AS DOUBLE) / COUNT(nrm) AS avg_norm,
+      |    MIN(nrm) AS min_norm, MAX(nrm) AS max_norm
+      |  FROM n GROUP BY label),
+      |elems AS (
+      |  SELECT label, unnest(e) AS val, generate_subscripts(e, 1) AS pos FROM v),
+      |means AS (
+      |  SELECT label, pos,
+      |    CAST(SUM(CAST(val AS DECIMAL(30,10))) AS DOUBLE) / COUNT(val) AS mean
+      |  FROM elems GROUP BY label, pos),
+      |cent AS (
+      |  SELECT label,
+      |    sqrt(CAST(SUM(CAST(mean*mean AS DECIMAL(30,10))) AS DOUBLE)) AS centroid_norm
+      |  FROM means GROUP BY label)
+      |SELECT stats.label, n_vecs, dim, avg_norm, min_norm, max_norm, centroid_norm
+      |FROM stats JOIN cent ON stats.label = cent.label""".stripMargin
+
+  /** LSH tables: `Tables_` hyperplane groups of `BitsPerTable` planes. */
+  val LshTables = 8
+  val BitsPerTable = 4
+
+  /** Deterministic pseudo-random hyperplanes (fixed seed — the bucket
+    * assignment must be reproducible across runs and executors). */
+  private def planes(dim: Int): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(42)
+    Array.fill(LshTables * BitsPerTable)(Array.fill(dim)(rnd.nextGaussian()))
+  }
+
+  private def planeLit(p: Array[Double]): Column =
+    array(p.map(x => lit(x)): _*)
+
+  /** Bucket id for table `t`: sign bits of the dot products against
+    * that table's hyperplanes, packed into a long. */
+  private def bucketCol(e: Column, dim: Int, t: Int): Column = {
+    val ps = planes(dim)
+    (0 until BitsPerTable).foldLeft(lit(0L)) { (acc, b) =>
+      val d = V.dot(e, planeLit(ps(t * BitsPerTable + b)))
+      shiftleft(acc, 1) + when(d >= 0, lit(1L)).otherwise(lit(0L))
+    }
+  }
+
+  /** Approximate top-k via random-hyperplane LSH: the corpus is
+    * bucketed once per table; each query only scores candidates that
+    * share a bucket in at least one table. Candidate generation joins
+    * on (table, bucket) — a bounded equi-join, never a cross join.
+    * Recall vs the exact scan is asserted in SimilaritySpec. */
+  def knnLsh(spark: SparkSession, dir: String, k: Int = K, dim: Int = 64): DataFrame = {
+    val v = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), V.toDouble(col("embedding")).as("e"))
+      .withColumn("nrm", V.l2Norm(col("e")))
+    val bucketed = v.select(col("vec_id"),
+      posexplode(array((0 until LshTables).map(t => bucketCol(col("e"), dim, t)): _*))
+        .as(Seq("tbl", "bucket")))
+    val queryBuckets = broadcast(bucketed.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("tbl"), col("bucket")))
+    val cand = bucketed.join(queryBuckets, Seq("tbl", "bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"))
+      .distinct()
+    val queries = broadcast(v.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("e").as("qe"), col("nrm").as("qnrm")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    cand.join(v, "vec_id").join(queries, "query_id")
+      .select(col("query_id"), col("vec_id"),
+        V.cosineWithNorms(V.dot(col("e"), col("qe")), col("nrm"), col("qnrm"))
+          .as("cosine"))
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"), col("cosine"))
+  }
+}
