@@ -17,6 +17,12 @@ object GraftSession {
     SparkSession.builder()
       .master(master)
       .appName("graft")
+      // native codegen expressions (graft.functions.RollingHash*)
+      // registered through the public extensions API
+      .withExtensions { ext =>
+        ext.injectFunction(graft.functions.RollingHashFunctions.polyHash64)
+        ext.injectFunction(graft.functions.RollingHashFunctions.rollingMinHash)
+      }
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

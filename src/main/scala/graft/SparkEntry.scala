@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Dedup, Etl, Similarity}
+import graft.operators.{Dedup, Etl, Similarity, TextAnalysis}
 import graft.queries.Analytics
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
@@ -46,7 +46,12 @@ object SparkEntry {
     // §2.4 similarity
     "knn_bruteforce" -> ((s, d) => Similarity.knnBruteforce(s, d)),
     "knn_lsh"        -> ((s, d) => Similarity.knnLsh(s, d)),
-    "vec_stats"      -> (Similarity.vecStats(_, _))
+    "vec_stats"      -> (Similarity.vecStats(_, _)),
+    // §2.5 text analysis
+    "text_tokens"      -> (TextAnalysis.textTokens(_, _)),
+    "text_quality"     -> (TextAnalysis.textQuality(_, _)),
+    "text_langid"      -> (TextAnalysis.textLangid(_, _)),
+    "text_fingerprint" -> (TextAnalysis.textFingerprint(_, _))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -77,6 +82,11 @@ object SparkEntry {
     // §2.4 similarity (knn_lsh is rows-only: approximate by design;
     // SimilaritySpec asserts recall against the exact scan)
     "knn_bruteforce" -> Similarity.knnBruteforceOracleSql,
-    "vec_stats"      -> Similarity.vecStatsOracleSql
+    "vec_stats"      -> Similarity.vecStatsOracleSql,
+    // §2.5 text (langid/fingerprint are rows-only: profile learning
+    // and the native hash expressions aren't SQL-expressible; specs
+    // assert their contracts)
+    "text_tokens"  -> TextAnalysis.textTokensOracleSql,
+    "text_quality" -> TextAnalysis.textQualityOracleSql
   )
 }

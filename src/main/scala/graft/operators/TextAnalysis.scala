@@ -1,0 +1,151 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.functions.{TextHashing => TH}
+
+/** Text-analysis tier over `documents`: token statistics, quality
+  * scoring, language identification, and content fingerprinting —
+  * the per-document feature extraction a training-data pipeline runs
+  * before filtering/dedup.
+  *
+  * Everything except langid is a pure per-row projection (scan-bound,
+  * no shuffle, fully codegen'd — text_fingerprint through the native
+  * PolyHash64/RollingMinHash expressions). Langid is one exploded
+  * bigram join against a broadcast profile table + one argmax window.
+  */
+object TextAnalysis {
+
+  /** BPE-ish tokenizer regex: letter runs, digit runs, or single
+    * non-alphanumeric marks — the shape (if not the exact merges) of
+    * byte-pair pretokenizers. Kept to POSIX classes so the Java and
+    * RE2 dialects agree. */
+  val TokenPattern = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
+
+  /** Stopword list for quality ratios (function words present in the
+    * corpus vocabulary). */
+  val Stopwords = Seq("the", "a", "of", "to", "is", "and")
+
+  /** Per-document token statistics. */
+  def textTokens(spark: SparkSession, dir: String): DataFrame = {
+    val toks = TH.words(col("text"))
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      length(col("text")).as("n_chars"),
+      size(toks).as("n_ws_tokens"),
+      size(array_distinct(toks)).as("n_distinct_tokens"),
+      size(regexp_extract_all(col("text"), lit(TokenPattern), lit(0))).as("n_bpe_tokens"))
+  }
+
+  val textTokensOracleSql: String =
+    s"""SELECT doc_id,
+       |  CAST(length(text) AS INTEGER) AS n_chars,
+       |  CAST(len(string_split(text, ' ')) AS INTEGER) AS n_ws_tokens,
+       |  CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER) AS n_distinct_tokens,
+       |  CAST(len(regexp_extract_all(text, '$TokenPattern')) AS INTEGER) AS n_bpe_tokens
+       |FROM documents""".stripMargin
+
+  /** Per-document quality score: length, punctuation ratio, stopword
+    * ratio, distinct-token ratio, and a composite in [0,1]. All
+    * ratios are divisions of integer counts — bit-identical across
+    * engines with no decimal tricks needed. */
+  def textQuality(spark: SparkSession, dir: String): DataFrame = {
+    val toks = TH.words(col("text"))
+    val nTok = size(toks).cast("double")
+    val nStop = size(filter(toks, t => t.isInCollection(Stopwords))).cast("double")
+    val nUniq = size(array_distinct(toks)).cast("double")
+    val nPunct = size(regexp_extract_all(col("text"), lit("[^a-zA-Z0-9 ]"), lit(0))).cast("double")
+    val nChars = length(col("text")).cast("double")
+    val lenScore = least(lit(1.0), nTok / lit(100.0))
+    val score = (nUniq / nTok) * (lit(1.0) - nStop / nTok) * lenScore
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      length(col("text")).as("n_chars"),
+      (nPunct / nChars).as("punct_ratio"),
+      (nStop / nTok).as("stopword_ratio"),
+      (nUniq / nTok).as("uniq_token_ratio"),
+      score.as("quality_score"))
+  }
+
+  val textQualityOracleSql: String = {
+    val stop = Stopwords.map(s => s"'$s'").mkString(", ")
+    s"""SELECT doc_id,
+       |  CAST(length(text) AS INTEGER) AS n_chars,
+       |  CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS DOUBLE)
+       |    / CAST(length(text) AS DOUBLE) AS punct_ratio,
+       |  CAST(len(list_filter(string_split(text, ' '), t -> t IN ($stop))) AS DOUBLE)
+       |    / CAST(len(string_split(text, ' ')) AS DOUBLE) AS stopword_ratio,
+       |  CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+       |    / CAST(len(string_split(text, ' ')) AS DOUBLE) AS uniq_token_ratio,
+       |  (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+       |    / CAST(len(string_split(text, ' ')) AS DOUBLE))
+       |  * (1.0 - CAST(len(list_filter(string_split(text, ' '), t -> t IN ($stop))) AS DOUBLE)
+       |    / CAST(len(string_split(text, ' ')) AS DOUBLE))
+       |  * least(1.0, CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0) AS quality_score
+       |FROM documents""".stripMargin
+  }
+
+  /** Character bigrams of a text column: one array expression,
+    * evaluated once per row. */
+  private def charBigrams(text: Column): Column =
+    when(length(text) >= 2,
+      transform(sequence(lit(1), length(text) - lit(1)), i =>
+        call_function("substring", text, i, lit(2))))
+      .otherwise(array())
+
+  /** Top bigrams kept per language profile. */
+  val ProfileSize = 30
+
+  /** Language-ID by character-bigram profile match.
+    *
+    * Profiles are learned from a labeled sample (here: the corpus
+    * itself via its `lang` column — in production, any labeled seed
+    * set): the top-`ProfileSize` bigrams per language, weighted by
+    * their in-language frequency share. A document scores against
+    * each profile as the weight-sum of its bigram occurrences
+    * (normalized by its bigram count); prediction = argmax with a
+    * deterministic lang tiebreak. The profile table is tiny
+    * (langs × ProfileSize) and broadcast; the per-doc work is one
+    * explode + one join + one argmax window. */
+  def textLangid(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("lang"), col("text"))
+    val grams = docs
+      .select(col("doc_id"), col("lang"), explode(charBigrams(col("text"))).as("bg"))
+    val profiles = {
+      val counts = grams.groupBy(col("lang"), col("bg")).agg(count(lit(1)).as("n"))
+      val totals = Window.partitionBy(col("lang"))
+      val ranked = counts
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("lang")).orderBy(col("n").desc, col("bg"))))
+        .withColumn("lang_total", sum(col("n")).over(totals))
+        .filter(col("rk") <= ProfileSize)
+      ranked.select(col("lang").as("profile_lang"), col("bg"),
+        (col("n").cast("double") / col("lang_total").cast("double")).as("weight"))
+    }
+    val docGramCount = grams.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+    val scored = grams.join(broadcast(profiles), "bg")
+      .groupBy(col("doc_id"), col("profile_lang"))
+      .agg(sum(col("weight")).as("raw"))
+      .join(docGramCount, "doc_id")
+      .select(col("doc_id"), col("profile_lang"),
+        (col("raw") / col("n_grams").cast("double")).as("score"))
+    val best = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("profile_lang"))
+    scored
+      .withColumn("rk", row_number().over(best))
+      .filter(col("rk") === 1)
+      .select(col("doc_id"), col("profile_lang").as("pred_lang"), col("score"))
+  }
+
+  /** Content fingerprints through the native codegen expressions:
+    * whole-document polynomial hash + winnowing-style minimum rolling
+    * hash over 32-byte windows (near-identical docs collide on the
+    * latter with high probability). */
+  def textFingerprint(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      call_function("poly_hash64", col("text")).as("fp64"),
+      call_function("rolling_min_hash", col("text"), lit(32)).as("winnow_fp"))
+}
