@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Dedup, Etl, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Etl, Multimodal, Similarity, TextAnalysis}
 import graft.queries.Analytics
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
@@ -51,7 +51,10 @@ object SparkEntry {
     "text_tokens"      -> (TextAnalysis.textTokens(_, _)),
     "text_quality"     -> (TextAnalysis.textQuality(_, _)),
     "text_langid"      -> (TextAnalysis.textLangid(_, _)),
-    "text_fingerprint" -> (TextAnalysis.textFingerprint(_, _))
+    "text_fingerprint" -> (TextAnalysis.textFingerprint(_, _)),
+    // §2.6 multimodal
+    "mm_binary_meta"     -> (Multimodal.binaryMeta(_, _)),
+    "mm_feature_extract" -> (Multimodal.featureExtract(_, _))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -87,6 +90,9 @@ object SparkEntry {
     // and the native hash expressions aren't SQL-expressible; specs
     // assert their contracts)
     "text_tokens"  -> TextAnalysis.textTokensOracleSql,
-    "text_quality" -> TextAnalysis.textQualityOracleSql
+    "text_quality" -> TextAnalysis.textQualityOracleSql,
+    // §2.6 multimodal (feature_extract is rows-only: the stubbed
+    // decode isn't SQL-expressible; MultimodalSpec checks determinism)
+    "mm_binary_meta" -> Multimodal.binaryMetaOracleSql
   )
 }

@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Multimodal
+
+class MultimodalSpec extends SparkSpecBase {
+
+  test("binary meta: lengths and md5 agree with the payload bytes") {
+    val docs = sources.Tables.documents(spark, sfDir)
+    val meta = Multimodal.binaryMeta(spark, sfDir).cache()
+    assert(meta.count() == docs.count())
+    val sample = meta.limit(20).collect()
+    val texts = docs.limit(20).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    sample.foreach { r =>
+      val id = r.getLong(0)
+      texts.get(id).foreach { t =>
+        assert(r.getInt(1) == t.getBytes("UTF-8").length)
+        val md = java.security.MessageDigest.getInstance("MD5")
+          .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        assert(r.getString(2) == md)
+        assert(r.getString(4) == "text/plain")
+      }
+    }
+  }
+
+  test("binary meta: magic sniffing recognizes media prefixes") {
+    import spark.implicits._
+    // raw binary payloads — PNG/JPEG magics are not valid UTF-8, so
+    // they must enter as bytes, exactly as a media raw zone would
+    val png = Array(0x89, 0x50, 0x4E, 0x47).map(_.toByte) ++ "rest".getBytes
+    val jpg = Array(0xFF, 0xD8, 0xFF, 0xE0).map(_.toByte) ++ "rest".getBytes
+    val pdf = "%PDF-1.4 fake".getBytes
+    val txt = "plain old text".getBytes
+    val prefixHex = upper(hex(substring(col("content"), 1, 4)))
+    val sniffed = Seq((1L, pdf), (2L, png), (3L, jpg), (4L, txt))
+      .toDF("doc_id", "content")
+      .select(col("doc_id"),
+        when(prefixHex.startsWith("25504446"), "application/pdf")
+          .when(prefixHex.startsWith("FFD8"), "image/jpeg")
+          .when(prefixHex.startsWith("89504E47"), "image/png")
+          .otherwise("text/plain").as("content_type"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(sniffed(1L) == "application/pdf")
+    assert(sniffed(2L) == "image/png")
+    assert(sniffed(3L) == "image/jpeg")
+    assert(sniffed(4L) == "text/plain")
+  }
+
+  test("feature extract: fixed-width deterministic features, one row per doc") {
+    val n = sources.Tables.documents(spark, sfDir).count()
+    val a = Multimodal.featureExtract(spark, sfDir).collect()
+    assert(a.length == n)
+    a.foreach { r =>
+      assert(r.getSeq[Float](4).length == Multimodal.FeatureDim)
+      assert(r.getInt(1) > 0)
+    }
+    // deterministic across runs (stub decode is pure)
+    val b = Multimodal.featureExtract(spark, sfDir).collect()
+    val am = a.map(r => r.getLong(0) -> r.getSeq[Float](4)).toMap
+    val bm = b.map(r => r.getLong(0) -> r.getSeq[Float](4)).toMap
+    assert(am == bm)
+  }
+}
