@@ -54,7 +54,11 @@ object SparkEntry {
     "text_fingerprint" -> (TextAnalysis.textFingerprint(_, _)),
     // §2.6 multimodal
     "mm_binary_meta"     -> (Multimodal.binaryMeta(_, _)),
-    "mm_feature_extract" -> (Multimodal.featureExtract(_, _))
+    "mm_feature_extract" -> (Multimodal.featureExtract(_, _)),
+    // §2.7 streaming (batch twins of the shared transforms; the
+    // streaming forms run in StreamingSpec via MemoryStream)
+    "stream_windowed_agg" -> (graft.streaming.Streams.windowedAggBatch(_, _)),
+    "stream_dedupe"       -> (graft.streaming.Streams.keepFirstBatch(_, _))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -93,6 +97,9 @@ object SparkEntry {
     "text_quality" -> TextAnalysis.textQualityOracleSql,
     // §2.6 multimodal (feature_extract is rows-only: the stubbed
     // decode isn't SQL-expressible; MultimodalSpec checks determinism)
-    "mm_binary_meta" -> Multimodal.binaryMetaOracleSql
+    "mm_binary_meta" -> Multimodal.binaryMetaOracleSql,
+    // §2.7 streaming batch twins
+    "stream_windowed_agg" -> graft.streaming.Streams.windowedAggOracleSql,
+    "stream_dedupe"       -> graft.streaming.Streams.keepFirstOracleSql
   )
 }

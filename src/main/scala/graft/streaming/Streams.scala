@@ -1,0 +1,134 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import graft.sources.Tables
+import graft.queries.Analytics.dsum
+
+/** Structured-Streaming tier. Every streaming operator here is a
+  * SHARED transform: the same function body runs as a batch DataFrame
+  * job (what Verify/the oracle check) and inside `readStream →
+  * transform → writeStream` (what StreamingSpec drives through
+  * MemoryStream) — the lambda-architecture trap of divergent
+  * batch/stream logic is structurally impossible.
+  *
+  * Scale notes: windowed aggregation state is bounded by the
+  * watermark (2h late-data horizon, 1h windows); streaming dedupe
+  * state is bounded per key-and-watermark; the sessionizer keeps one
+  * open session per user in GroupState. All state lives in the
+  * executor state store, partitioned by the grouping key — the same
+  * shuffle layout the batch twin uses.
+  */
+object Streams {
+
+  /** Tumbling 1-hour windowed aggregation per event type. */
+  def windowedAgg(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  /** Streaming form: watermarked so window state is dropped 2h after
+    * event time passes (bounded state at any input rate). */
+  def windowedAggStream(events: DataFrame): DataFrame =
+    windowedAgg(events.withWatermark("ts", "2 hours"))
+
+  /** Batch entry (queries key `stream_windowed_agg`): identical
+    * transform over the events table. */
+  def windowedAggBatch(spark: SparkSession, dir: String): DataFrame =
+    windowedAgg(Tables.events(spark, dir))
+
+  val windowedAggOracleSql: String =
+    """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
+      |  event_type, COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value
+      |FROM events
+      |GROUP BY 1, 2""".stripMargin
+
+  /** Keep-FIRST dedupe key and its deterministic batch order. */
+  private val dedupeKey = Seq("user_id", "event_type", "event_date")
+
+  /** Batch twin of streaming keep-first dedupe: one row per
+    * (user, type, day), the EARLIEST by (ts, event_id). The streaming
+    * form (dropDuplicates after watermark) keeps the first-arrived
+    * row; with event-time-ordered arrival the two agree — asserted in
+    * StreamingSpec. */
+  def keepFirstBatch(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(dedupeKey.map(col): _*)
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .withColumn("event_date", to_date(col("ts")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("event_id", "ts", "user_id", "event_type", "event_date", "value")
+  }
+
+  val keepFirstOracleSql: String =
+    """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type,
+      |  CAST(ts AS DATE) AS event_date, value
+      |FROM (
+      |  SELECT *, CAST(ts AS DATE) AS event_date, ROW_NUMBER() OVER (
+      |    PARTITION BY user_id, event_type, CAST(ts AS DATE)
+      |    ORDER BY ts, event_id) AS rn
+      |  FROM events) t
+      |WHERE rn = 1""".stripMargin
+
+  /** Streaming keep-first: watermarked dropDuplicates — state for a
+    * key is retained only until the watermark passes its event time. */
+  def keepFirstStream(events: DataFrame): DataFrame =
+    events
+      .withColumn("event_date", to_date(col("ts")))
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates(dedupeKey)
+      .select("event_id", "ts", "user_id", "event_type", "event_date", "value")
+
+  // --- stateful session assembly (flatMapGroupsWithState) ---
+
+  case class Ev(user_id: Long, ts: Timestamp, event_id: Long)
+  case class OpenSession(startUs: Long, endUs: Long, n: Long)
+  case class SessionOut(user_id: Long, session_start: Timestamp,
+                        session_end: Timestamp, n_events: Long)
+
+  /** Session gap (micros) — same 6h rule as Analytics.qEventsSessionize. */
+  val GapUs: Long = 6L * 3600 * 1000000
+
+  /** Emits COMPLETED sessions: a session closes when a later event for
+    * the same user arrives more than GapUs after it ends. The open
+    * session rides GroupState across micro-batches; events inside a
+    * batch are sorted by event time before folding, so replays and
+    * batch boundaries don't change the result. */
+  def sessionizeFn(userId: Long, events: Iterator[Ev],
+                   state: GroupState[OpenSession]): Iterator[SessionOut] = {
+    val sorted = events.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+    var open = state.getOption
+    val out = Seq.newBuilder[SessionOut]
+    sorted.foreach { e =>
+      val us = e.ts.getTime * 1000L
+      open match {
+        case Some(s) if us - s.endUs <= GapUs =>
+          open = Some(OpenSession(s.startUs, math.max(s.endUs, us), s.n + 1))
+        case Some(s) =>
+          out += SessionOut(userId,
+            new Timestamp(s.startUs / 1000L), new Timestamp(s.endUs / 1000L), s.n)
+          open = Some(OpenSession(us, us, 1))
+        case None =>
+          open = Some(OpenSession(us, us, 1))
+      }
+    }
+    open.foreach(state.update)
+    out.result().iterator
+  }
+
+  /** Wire the sessionizer over a stream (or batch Dataset — the API
+    * runs in both modes with identical semantics here). */
+  def sessionize(ds: Dataset[Ev]): Dataset[SessionOut] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(sessionizeFn)
+  }
+}

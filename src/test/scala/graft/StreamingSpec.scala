@@ -1,0 +1,115 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.Streams
+
+class StreamingSpec extends SparkSpecBase {
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("windowed agg: stream (complete mode, watermarked) equals batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Seq(
+      (1L, ts("2024-01-01 10:05:00"), "click", 1.5),
+      (2L, ts("2024-01-01 10:40:00"), "click", 2.5),
+      (3L, ts("2024-01-01 10:55:00"), "view", 1.0),
+      (4L, ts("2024-01-01 11:10:00"), "click", 4.0),
+      (5L, ts("2024-01-01 12:01:00"), "view", 8.0))
+    val mem = MemoryStream[(Long, Timestamp, String, Double)]
+    val streamDf = mem.toDF.toDF("event_id", "ts", "event_type", "value")
+    val q = Streams.windowedAggStream(streamDf).writeStream
+      .format("memory").queryName("wagg").outputMode("complete").start()
+    try {
+      mem.addData(rows.take(3))
+      q.processAllAvailable()
+      mem.addData(rows.drop(3))
+      q.processAllAvailable()
+      val streamed = spark.table("wagg").collect()
+        .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+      val batch = Streams.windowedAgg(
+        rows.toDF("event_id", "ts", "event_type", "value")).collect()
+        .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(streamed == batch)
+      assert(batch.nonEmpty)
+    } finally q.stop()
+  }
+
+  test("streaming dedupe: first-arrived kept, equals batch twin on ordered feed") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // two duplicates of the same (user,type,day) key arriving later
+    val rows = Seq(
+      (10L, ts("2024-01-02 09:00:00"), 7L, "click", 1.0),
+      (11L, ts("2024-01-02 09:30:00"), 7L, "click", 2.0), // dup, later ts
+      (12L, ts("2024-01-02 09:45:00"), 8L, "view", 3.0),
+      (13L, ts("2024-01-03 09:00:00"), 7L, "click", 4.0)) // next day: new key
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val streamDf = mem.toDF.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val q = Streams.keepFirstStream(streamDf).writeStream
+      .format("memory").queryName("dedup").outputMode("append").start()
+    try {
+      mem.addData(rows.take(2))
+      q.processAllAvailable()
+      mem.addData(rows.drop(2))
+      q.processAllAvailable()
+      val streamed = spark.table("dedup").collect().map(_.getLong(0)).toSet
+      assert(streamed == Set(10L, 12L, 13L), s"got $streamed")
+      // batch twin on the same frame gives the same survivors
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"), col("event_type"), to_date(col("ts")))
+        .orderBy(col("ts"), col("event_id"))
+      val batch = rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .collect().map(_.getLong(0)).toSet
+      assert(batch == streamed)
+    } finally q.stop()
+  }
+
+  test("stateful sessionizer: sessions close across micro-batches, state persists") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Streams.Ev]
+    val q = Streams.sessionize(mem.toDS).writeStream
+      .format("memory").queryName("sessions").outputMode("append").start()
+    try {
+      // batch 1: two events 1h apart (same session)
+      mem.addData(
+        Streams.Ev(1L, ts("2024-01-01 08:00:00"), 1L),
+        Streams.Ev(1L, ts("2024-01-01 09:00:00"), 2L))
+      q.processAllAvailable()
+      assert(spark.table("sessions").count() == 0, "session still open")
+      // batch 2: 7h gap -> closes the first session, opens a second
+      mem.addData(Streams.Ev(1L, ts("2024-01-01 16:30:00"), 3L))
+      q.processAllAvailable()
+      val closed = spark.table("sessions").collect()
+      assert(closed.length == 1)
+      val s = closed(0)
+      assert(s.getLong(0) == 1L)
+      assert(s.getTimestamp(1) == ts("2024-01-01 08:00:00"))
+      assert(s.getTimestamp(2) == ts("2024-01-01 09:00:00"))
+      assert(s.getLong(3) == 2L)
+      // batch 3: another user is independent state
+      mem.addData(
+        Streams.Ev(2L, ts("2024-01-01 10:00:00"), 4L),
+        Streams.Ev(2L, ts("2024-01-01 20:00:00"), 5L))
+      q.processAllAvailable()
+      val all = spark.table("sessions").collect()
+      assert(all.length == 2)
+      assert(all.map(_.getLong(0)).toSet == Set(1L, 2L))
+    } finally q.stop()
+  }
+
+  test("batch entries match their shared-transform semantics on the corpus") {
+    val wagg = Streams.windowedAggBatch(spark, sfDir)
+    val total = wagg.agg(sum("n_events")).collect()(0).getLong(0)
+    assert(total == sources.Tables.events(spark, sfDir).count())
+    val kf = Streams.keepFirstBatch(spark, sfDir)
+    val dups = kf.groupBy("user_id", "event_type", "event_date")
+      .count().filter(col("count") > 1).count()
+    assert(dups == 0)
+  }
+}
