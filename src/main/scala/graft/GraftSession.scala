@@ -22,6 +22,7 @@ object GraftSession {
       .withExtensions { ext =>
         ext.injectFunction(graft.functions.RollingHashFunctions.polyHash64)
         ext.injectFunction(graft.functions.RollingHashFunctions.rollingMinHash)
+        ext.injectFunction(graft.functions.VectorFunctions.vecDot)
       }
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")

@@ -17,8 +17,15 @@ object VectorOps {
   /** Cast a float vector to double elements (deterministic widening). */
   def toDouble(v: Column): Column = transform(v, x => x.cast("double"))
 
-  /** Sequential-fold dot product of two double vectors. */
-  def dot(a: Column, b: Column): Column =
+  /** Sequential-fold dot product of two double vectors — dispatched to
+    * the native `vec_dot` codegen expression (same fold order as the
+    * higher-order formulation, compiled instead of interpreted; see
+    * VectorExpressions). */
+  def dot(a: Column, b: Column): Column = call_function("vec_dot", a, b)
+
+  /** Reference higher-order formulation (interpreted) — kept for spec
+    * cross-validation of the native kernel. */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
   /** L2 norm via the same fold. */

@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import graft.operators.{Dedup, Etl}
+import graft.queries.Analytics
+
+/** Physical-plan assertions: the properties that keep these operators
+  * proportional to the query at 100 TB — pushdown, pruning, broadcast
+  * dims, no accidental cartesian products, codegen coverage. */
+class PlanSpec extends SparkSpecBase {
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  private def optimized(df: DataFrame): String =
+    df.queryExecution.optimizedPlan.toString
+
+  /** AQE hides codegen stages until the plan finalizes — execute
+    * first, then read the final adaptive plan. */
+  private def finalPlan(df: DataFrame): String = {
+    df.collect()
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q1: shipdate filter reaches the parquet scan; schema pruned") {
+    val p = plan(Analytics.q1PricingSummary(spark, sfDir))
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      s"filter not pushed:\n$p")
+    // pruned scan: untouched columns are absent from ReadSchema
+    assert(!p.contains("l_comment") && !p.contains("l_orderkey"),
+      "scan reads columns q1 never touches")
+    val fp = finalPlan(Analytics.q1PricingSummary(spark, sfDir))
+    assert(fp.contains("WholeStageCodegen") || fp.contains("*("),
+      "aggregation fell out of codegen")
+  }
+
+  test("q3: all three pre-join filters are pushed to their scans") {
+    val p = plan(Analytics.q3ShippingPriority(spark, sfDir))
+    assert(p.contains("PushedFilters: [IsNotNull(c_mktsegment), EqualTo(c_mktsegment,BUILDING)"))
+    assert(p.contains("LessThan(o_orderdate"))
+    assert(p.contains("GreaterThan(l_shipdate"))
+  }
+
+  test("q5: bounded dims join via broadcast; no cartesian anywhere") {
+    val p = plan(Analytics.q5LocalSupplier(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast join:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("etl operators: single-shuffle shapes, no cartesian") {
+    Seq(
+      Etl.normalize(spark, sfDir),
+      Etl.hourlyRollup(spark, sfDir),
+      Etl.keepLatest(spark, sfDir),
+      Etl.dqReport(spark, sfDir)
+    ).foreach { df =>
+      val p = plan(df)
+      assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"BNLJ in:\n$p")
+    }
+  }
+
+  test("ngram jaccard: candidate generation is an equi-join, not a cross join") {
+    val p = plan(Dedup.ngramJaccard(spark, sfDir))
+    assert(!p.contains("CartesianProduct"),
+      "prefix-filter self-join degenerated into a cartesian product")
+    // the prefix join must be a hash-partitioned equi join on the shingle
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), s"unexpected join strategy:\n$p")
+  }
+
+  test("minhash lsh: bucket join is an equi-join on (band, bucket)") {
+    val p = optimized(Dedup.minhashLsh(spark, sfDir))
+    assert(!p.contains("CartesianProduct"))
+    // optimized plan keeps the equality condition on band and bucket
+    assert(p.contains("band") && p.contains("bucket"))
+  }
+
+  test("knn bruteforce: query side is broadcast, corpus scanned once") {
+    val p = plan(graft.operators.Similarity.knnBruteforce(spark, sfDir))
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "expected broadcast nested loop against the tiny query set")
+    assert(p.contains("Exchange") || p.contains("Window"))
+  }
+
+  test("native expressions stay inside whole-stage codegen") {
+    val p = finalPlan(graft.operators.TextAnalysis.textFingerprint(spark, sfDir))
+    assert(p.contains("WholeStageCodegen") || p.contains("*("),
+      s"fingerprint fell out of codegen:\n$p")
+    assert(p.contains("poly_hash64") && p.contains("rolling_min_hash"))
+  }
+
+  test("vec_dot native kernel is bit-identical to the higher-order fold") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.{VectorOps => V}
+    val v = sources.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), V.toDouble(col("embedding")).as("e"))
+    val both = v.select(col("vec_id"),
+        V.dot(col("e"), col("e")).as("native"),
+        V.dotHof(col("e"), col("e")).as("hof"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(1)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(2)),
+        s"vec_dot diverges from reference fold for vec ${r.getLong(0)}")
+    }
+  }
+}
