@@ -23,6 +23,7 @@ object GraftSession {
         ext.injectFunction(graft.functions.RollingHashFunctions.polyHash64)
         ext.injectFunction(graft.functions.RollingHashFunctions.rollingMinHash)
         ext.injectFunction(graft.functions.VectorFunctions.vecDot)
+        ext.injectFunction(graft.functions.MinHashFunctions.minhashSketch)
       }
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")

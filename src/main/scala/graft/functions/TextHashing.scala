@@ -30,25 +30,13 @@ object TextHashing {
     array_distinct(transform(sequence(lit(0), size(w) - lit(n)), i =>
       concat_ws(" ", (0 until n).map(k => element_at(w, i + lit(k + 1))): _*)))
 
-  /** MinHash signature as k aggregate columns over an EXPLODED
-    * (doc_id, shingle) posting table: signature element i is
-    * min(xxhash64(i, shingle)).
-    *
-    * Deliberately aggregation-shaped, not a nested array lambda: a
-    * `transform(perms, i -> array_min(transform(shingles, ...)))`
-    * column looks elegant but Catalyst's ProjectCollapse inlines the
-    * shingle-construction expression into every lambda body, so each
-    * of the k permutations re-derives the shingle array — O(k × build)
-    * per row instead of O(k × |shingles|) hashes. The exploded
-    * aggregate hashes each posting exactly k times and partial-aggs
-    * map-side, which is also the shape that scales (shuffle carries k
-    * longs per doc, not the shingle sets). */
-  def minhashAggs(shingle: Column, k: Int): Seq[Column] =
-    (0 until k).map(i => min(xxhash64(lit(i), shingle)).as(s"mh_$i"))
-
-  /** Collect the k minhash agg outputs back into one signature array. */
-  def signatureArray(k: Int): Column =
-    array((0 until k).map(i => col(s"mh_$i")): _*)
+  // MinHash signatures are produced by the custom minhash_sketch
+  // aggregate (functions/MinHashSketch.scala): one base hash per
+  // shingle + k derived mult-add permutations into a primitive
+  // long[k] buffer. (A nested-lambda formulation
+  // `transform(perms, i -> array_min(transform(shingles, ...)))` is
+  // pathological: ProjectCollapse inlines the shingle construction
+  // into every permutation lambda — O(k × build) per row.)
 
   /** LSH band hashes for a minhash signature attribute: `bands`
     * hashes, each over a disjoint slice of `rowsPerBand` signature

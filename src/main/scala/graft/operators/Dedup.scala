@@ -134,12 +134,13 @@ object Dedup {
     * as ngramJaccard — DedupSpec asserts the two agree on high-J pairs. */
   def minhashLsh(spark: SparkSession, dir: String, tau: Double = JaccardTau): DataFrame = {
     val tri = trigramSets(spark, dir)
-    // exploded postings -> k min-hash aggregates (one shuffle on
-    // doc_id, k longs per doc out) -> signature array -> band hashes.
+    // exploded postings -> one minhash_sketch aggregate (custom
+    // TypedImperativeAggregate: one base hash per shingle + k derived
+    // mult-add permutations into a primitive long[k] buffer; shuffle
+    // carries k longs per doc) -> band hashes.
     val posting = tri.select(col("doc_id"), explode(col("tg")).as("t"))
-    val mh = TH.minhashAggs(col("t"), MinhashK)
-    val sig = posting.groupBy("doc_id").agg(mh.head, mh.tail: _*)
-      .select(col("doc_id"), TH.signatureArray(MinhashK).as("sig"))
+    val sig = posting.groupBy("doc_id")
+      .agg(call_function("minhash_sketch", col("t")).as("sig"))
       .select(col("doc_id"),
         TH.bandHashes(col("sig"), Bands, RowsPerBand).as("bh"))
     val buckets = sig.select(col("doc_id"), posexplode(col("bh")).as(Seq("band", "bucket")))
