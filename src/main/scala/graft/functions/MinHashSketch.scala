@@ -68,9 +68,10 @@ case class MinHashSketch(
   override def prettyName: String = "minhash_sketch"
 
   override def checkInputDataTypes(): TypeCheckResult =
-    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    if (child.dataType == StringType || child.dataType == LongType)
+      TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"minhash_sketch requires STRING input, got ${child.dataType.sql}")
+      s"minhash_sketch requires STRING or BIGINT input, got ${child.dataType.sql}")
 
   override def createAggregationBuffer(): Array[Long] = {
     val b = new Array[Long](k)
@@ -81,7 +82,12 @@ case class MinHashSketch(
   override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
     val v = child.eval(input)
     if (v != null) {
-      val x = XxHash64Function.hash(v, StringType, 42L)
+      // LONG input is taken as an already-hashed shingle (the hashed
+      // posting-table path); STRING input is base-hashed here.
+      val x = v match {
+        case l: java.lang.Long => l.longValue()
+        case _ => XxHash64Function.hash(v, StringType, 42L)
+      }
       val as = MinHashFamily.multipliers
       val bs = MinHashFamily.offsets
       var i = 0
