@@ -44,11 +44,15 @@ object Dedup {
   val MaxHamming = 3
 
   /** Exact dedup: one row per distinct content hash with the kept
-    * (minimum) doc_id and the copy count. */
-  def exact(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+    * (minimum) doc_id and the copy count. Generic form — any frame
+    * with (doc_id, text). */
+  def exactOn(docs: DataFrame): DataFrame =
+    docs
       .groupBy(md5(col("text").cast("binary")).as("content_hash"))
       .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_copies"))
+
+  def exact(spark: SparkSession, dir: String): DataFrame =
+    exactOn(Tables.documents(spark, dir))
 
   val exactOracleSql: String =
     """SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_doc_id,
@@ -58,10 +62,13 @@ object Dedup {
 
   /** Exact dedup after canonicalization (lower/trim/whitespace
     * collapse) — catches trivially-reformatted copies. */
-  def exactNormalized(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+  def exactNormalizedOn(docs: DataFrame): DataFrame =
+    docs
       .groupBy(md5(TH.canonicalize(col("text")).cast("binary")).as("content_hash"))
       .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_copies"))
+
+  def exactNormalized(spark: SparkSession, dir: String): DataFrame =
+    exactNormalizedOn(Tables.documents(spark, dir))
 
   val exactNormalizedOracleSql: String =
     """SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS content_hash,
@@ -76,9 +83,9 @@ object Dedup {
     * (hence Jaccard) are preserved up to 64-bit hash collisions —
     * ~2e-11 over this vocabulary, and the string-set DuckDB oracle
     * independently confirms equality at gate scale. */
-  private def trigramSets(spark: SparkSession, dir: String): DataFrame = {
+  private def trigramSets(docs: DataFrame): DataFrame = {
     val w = TH.words(col("text"))
-    Tables.documents(spark, dir)
+    docs
       .filter(size(w) >= 3)
       .select(col("doc_id"),
         array_distinct(transform(TH.shingles(w, 3), s => xxhash64(s))).as("tg"))
@@ -97,8 +104,11 @@ object Dedup {
     * a prefix shingle, so the equi-join on prefix shingles is a
     * complete candidate generator that only fans out on RARE shingles.
     * The all-pairs DuckDB oracle independently verifies completeness. */
-  def ngramJaccard(spark: SparkSession, dir: String, tau: Double = JaccardTau): DataFrame = {
-    val tri = trigramSets(spark, dir)
+  def ngramJaccard(spark: SparkSession, dir: String, tau: Double = JaccardTau): DataFrame =
+    ngramJaccardOn(Tables.documents(spark, dir), tau)
+
+  def ngramJaccardOn(docs: DataFrame, tau: Double = JaccardTau): DataFrame = {
+    val tri = trigramSets(docs)
     val posting = tri.select(col("doc_id"), size(col("tg")).as("s"),
       explode(col("tg")).as("t"))
     val docFreq = posting.groupBy("t").agg(count(lit(1)).as("df"))
@@ -139,8 +149,11 @@ object Dedup {
     * SQL-expressible in the oracle). Banded signatures generate
     * candidates; exact trigram Jaccard verifies. Same output contract
     * as ngramJaccard — DedupSpec asserts the two agree on high-J pairs. */
-  def minhashLsh(spark: SparkSession, dir: String, tau: Double = JaccardTau): DataFrame = {
-    val tri = trigramSets(spark, dir)
+  def minhashLsh(spark: SparkSession, dir: String, tau: Double = JaccardTau): DataFrame =
+    minhashLshOn(Tables.documents(spark, dir), tau)
+
+  def minhashLshOn(docs: DataFrame, tau: Double = JaccardTau): DataFrame = {
+    val tri = trigramSets(docs)
     // exploded postings -> one minhash_sketch aggregate (custom
     // TypedImperativeAggregate: one base hash per shingle + k derived
     // mult-add permutations into a primitive long[k] buffer; shuffle
@@ -178,8 +191,11 @@ object Dedup {
       .select(col("doc_id"), TH.packSimhash.as("sh"))
   }
 
-  def simhash(spark: SparkSession, dir: String): DataFrame = {
-    val sh = simhashSignatures(Tables.documents(spark, dir))
+  def simhash(spark: SparkSession, dir: String): DataFrame =
+    simhashOn(Tables.documents(spark, dir))
+
+  def simhashOn(docs: DataFrame): DataFrame = {
+    val sh = simhashSignatures(docs)
     val chunks = sh.select(col("doc_id"), col("sh"),
       posexplode(array((0 until 4).map(i => TH.simhashChunk(col("sh"), i)): _*))
         .as(Seq("chunk_idx", "chunk")))
@@ -199,8 +215,11 @@ object Dedup {
     * hyperplane bucketing. Norms are computed once per row before the
     * join, and dot products use the deterministic sequential fold so
     * both engines emit identical doubles. */
-  def embeddingCosine(spark: SparkSession, dir: String, tau: Double = CosineTau): DataFrame = {
-    val v = Tables.embeddings(spark, dir)
+  def embeddingCosine(spark: SparkSession, dir: String, tau: Double = CosineTau): DataFrame =
+    embeddingCosineOn(Tables.embeddings(spark, dir), tau)
+
+  def embeddingCosineOn(vectors: DataFrame, tau: Double = CosineTau): DataFrame = {
+    val v = vectors
       .select(col("vec_id"), V.toDouble(col("embedding")).as("e"))
       .withColumn("nrm", V.l2Norm(col("e")))
     v.as("a").join(v.as("b"), col("a.vec_id") < col("b.vec_id"))

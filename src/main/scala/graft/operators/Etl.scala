@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
 import graft.queries.Analytics.{davg, dsum}
@@ -97,14 +96,11 @@ object Etl {
     * one row per (user_id, event_type), the most recent by ts with a
     * deterministic event_id tiebreak. Single shuffle on the dedupe
     * key; row_number (not max+join) so it is one pass. */
-  def keepLatest(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("user_id"), col("event_type"))
-      .orderBy(col("ts").desc, col("event_id").desc)
-    Tables.events(spark, dir)
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
+  def keepLatest(spark: SparkSession, dir: String): DataFrame =
+    Merge.keepLatest(Tables.events(spark, dir),
+        keys = Seq(col("user_id"), col("event_type")),
+        orderCol = col("ts"), tiebreak = col("event_id"))
       .select("event_id", "ts", "user_id", "event_type", "value")
-  }
 
   val keepLatestOracleSql: String =
     """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value

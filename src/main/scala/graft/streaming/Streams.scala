@@ -3,7 +3,6 @@ package graft.streaming
 import java.sql.Timestamp
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import graft.sources.Tables
@@ -58,15 +57,12 @@ object Streams {
     * form (dropDuplicates after watermark) keeps the first-arrived
     * row; with event-time-ordered arrival the two agree — asserted in
     * StreamingSpec. */
-  def keepFirstBatch(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(dedupeKey.map(col): _*)
-      .orderBy(col("ts"), col("event_id"))
-    Tables.events(spark, dir)
-      .withColumn("event_date", to_date(col("ts")))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
+  def keepFirstBatch(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Merge.keepFirst(
+        Tables.events(spark, dir).withColumn("event_date", to_date(col("ts"))),
+        keys = dedupeKey.map(col),
+        orderCol = col("ts"), tiebreak = col("event_id"))
       .select("event_id", "ts", "user_id", "event_type", "event_date", "value")
-  }
 
   val keepFirstOracleSql: String =
     """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type,
