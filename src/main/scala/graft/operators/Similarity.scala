@@ -24,8 +24,8 @@ object Similarity {
   /** Queries: the first `NQueries` vec_ids double as the query set. */
   val NQueries = 5
 
-  private def scoredFrame(spark: SparkSession, dir: String): DataFrame = {
-    val v = Tables.embeddings(spark, dir)
+  private def scoredFrame(vectors: DataFrame): DataFrame = {
+    val v = vectors
       .select(col("vec_id"), V.toDouble(col("embedding")).as("e"))
       .withColumn("nrm", V.l2Norm(col("e")))
     val q = broadcast(
@@ -45,13 +45,17 @@ object Similarity {
     * The final window ranks that tiny union exactly. Cosines are
     * deterministic doubles (sequential fold), so the ranking (cosine
     * desc, vec_id asc) is reproducible across engines. */
-  def knnBruteforce(spark: SparkSession, dir: String, k: Int = K): DataFrame = {
+  def knnBruteforce(spark: SparkSession, dir: String, k: Int = K): DataFrame =
+    knnBruteforceOn(Tables.embeddings(spark, dir), k)
+
+  def knnBruteforceOn(vectors: DataFrame, k: Int = K): DataFrame = {
+    val spark = vectors.sparkSession
     import spark.implicits._
     // worst-first ordering: max under this = lowest cosine, then
     // largest vec_id — the element a better candidate evicts.
     val worstFirst: Ordering[(Long, Long, Double)] =
       Ordering.by(t => (-t._3, t._2))
-    val pruned = scoredFrame(spark, dir).as[(Long, Long, Double)]
+    val pruned = scoredFrame(vectors).as[(Long, Long, Double)]
       .mapPartitions { it =>
         val heaps = scala.collection.mutable.Map
           .empty[Long, scala.collection.mutable.PriorityQueue[(Long, Long, Double)]]
@@ -95,8 +99,11 @@ object Similarity {
     * means run as a (label, dim) aggregate over posexploded elements —
     * decimal-accumulated so the cross-engine doubles match bit-for-bit
     * regardless of partial-aggregation order. */
-  def vecStats(spark: SparkSession, dir: String): DataFrame = {
-    val v = Tables.embeddings(spark, dir)
+  def vecStats(spark: SparkSession, dir: String): DataFrame =
+    vecStatsOn(Tables.embeddings(spark, dir))
+
+  def vecStatsOn(vectors: DataFrame): DataFrame = {
+    val v = vectors
       .select(col("label"), V.toDouble(col("embedding")).as("e"))
     val withNorm = v.withColumn("nrm", V.l2Norm(col("e")))
     val labelStats = withNorm.groupBy(col("label")).agg(
@@ -171,8 +178,11 @@ object Similarity {
     * share a bucket in at least one table. Candidate generation joins
     * on (table, bucket) — a bounded equi-join, never a cross join.
     * Recall vs the exact scan is asserted in SimilaritySpec. */
-  def knnLsh(spark: SparkSession, dir: String, k: Int = K, dim: Int = 64): DataFrame = {
-    val v = Tables.embeddings(spark, dir)
+  def knnLsh(spark: SparkSession, dir: String, k: Int = K, dim: Int = 64): DataFrame =
+    knnLshOn(Tables.embeddings(spark, dir), k, dim)
+
+  def knnLshOn(vectors: DataFrame, k: Int = K, dim: Int = 64): DataFrame = {
+    val v = vectors
       .select(col("vec_id"), V.toDouble(col("embedding")).as("e"))
       .withColumn("nrm", V.l2Norm(col("e")))
     val bucketed = v.select(col("vec_id"),

@@ -29,9 +29,12 @@ object TextAnalysis {
   val Stopwords = Seq("the", "a", "of", "to", "is", "and")
 
   /** Per-document token statistics. */
-  def textTokens(spark: SparkSession, dir: String): DataFrame = {
+  def textTokens(spark: SparkSession, dir: String): DataFrame =
+    textTokensOn(Tables.documents(spark, dir))
+
+  def textTokensOn(docs: DataFrame): DataFrame = {
     val toks = TH.words(col("text"))
-    Tables.documents(spark, dir).select(
+    docs.select(
       col("doc_id"),
       length(col("text")).as("n_chars"),
       size(toks).as("n_ws_tokens"),
@@ -51,7 +54,10 @@ object TextAnalysis {
     * ratio, distinct-token ratio, and a composite in [0,1]. All
     * ratios are divisions of integer counts — bit-identical across
     * engines with no decimal tricks needed. */
-  def textQuality(spark: SparkSession, dir: String): DataFrame = {
+  def textQuality(spark: SparkSession, dir: String): DataFrame =
+    textQualityOn(Tables.documents(spark, dir))
+
+  def textQualityOn(docs: DataFrame): DataFrame = {
     val toks = TH.words(col("text"))
     val nTok = size(toks).cast("double")
     val nStop = size(filter(toks, t => t.isInCollection(Stopwords))).cast("double")
@@ -60,7 +66,7 @@ object TextAnalysis {
     val nChars = length(col("text")).cast("double")
     val lenScore = least(lit(1.0), nTok / lit(100.0))
     val score = (nUniq / nTok) * (lit(1.0) - nStop / nTok) * lenScore
-    Tables.documents(spark, dir).select(
+    docs.select(
       col("doc_id"),
       length(col("text")).as("n_chars"),
       (nPunct / nChars).as("punct_ratio"),
@@ -109,8 +115,11 @@ object TextAnalysis {
     * deterministic lang tiebreak. The profile table is tiny
     * (langs × ProfileSize) and broadcast; the per-doc work is one
     * explode + one join + one argmax window. */
-  def textLangid(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("lang"), col("text"))
+  def textLangid(spark: SparkSession, dir: String): DataFrame =
+    textLangidOn(Tables.documents(spark, dir))
+
+  def textLangidOn(labeled: DataFrame): DataFrame = {
+    val docs = labeled.select(col("doc_id"), col("lang"), col("text"))
     val grams = docs
       .select(col("doc_id"), col("lang"), explode(charBigrams(col("text"))).as("bg"))
     val profiles = {
@@ -144,7 +153,10 @@ object TextAnalysis {
     * hash over 32-byte windows (near-identical docs collide on the
     * latter with high probability). */
   def textFingerprint(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir).select(
+    textFingerprintOn(Tables.documents(spark, dir))
+
+  def textFingerprintOn(docs: DataFrame): DataFrame =
+    docs.select(
       col("doc_id"),
       call_function("poly_hash64", col("text")).as("fp64"),
       call_function("rolling_min_hash", col("text"), lit(32)).as("winnow_fp"))

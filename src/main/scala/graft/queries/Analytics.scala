@@ -277,21 +277,29 @@ object Analytics {
       |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
       |GROUP BY 1""".stripMargin
 
-  // --- skewed-key top-k: heavy-hitter aggregation.
+  // --- skewed-key top-k: heavy-hitter aggregation, skew-decomposed.
   // event_type has ~5 values over the whole table — the degenerate
-  // skew case for a shuffle. Spark's two-phase hash aggregate does the
-  // heavy lifting map-side (partials per partition), so each of the 5
-  // hot keys arrives at the reducer as ~n_partitions partial rows, not
-  // n_rows. Top-k then sorts the tiny aggregated result.
-  def qSkewTopk(spark: SparkSession, dir: String): DataFrame =
-    Tables.events(spark, dir)
-      .groupBy(col("event_type"))
+  // skew case for a shuffle. Instead of one groupBy on the hot key
+  // (every row of a key funneling to one reducer for the distinct),
+  // aggregate in two stages: (key, user_id) first — a high-cardinality
+  // composite that spreads each hot key across ALL reducers (the
+  // deterministic form of salting) — then the per-user partials
+  // collapse on the tiny key-only shuffle. count distinct becomes an
+  // exact count(*) over stage-1 rows; sums stay decimal-exact through
+  // both stages, so the result is bit-identical to the naive plan.
+  def qSkewTopk(spark: SparkSession, dir: String): DataFrame = {
+    val perUser = Tables.events(spark, dir)
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(30,6)")).as("s"))
+    perUser.groupBy(col("event_type"))
       .agg(
-        count(lit(1)).as("n_events"),
-        countDistinct(col("user_id")).as("n_users"),
-        dsum(col("value")).as("sum_value"))
+        sum(col("n")).as("n_events"),
+        count(lit(1)).as("n_users"),
+        sum(col("s")).cast("double").as("sum_value"))
       .orderBy(col("n_events").desc, col("event_type"))
       .limit(3)
+  }
 
   val qSkewTopkOracleSql: String =
     """SELECT event_type, COUNT(*) AS n_events,
