@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** End-to-end per-`ds` pipeline — the reference DAG
+  * (extract → normalize → DQ gate → staged write → L2 upsert;
+  * airflow/dags/dag_normalize_to_parquet.py + dag_upsert_for_l2.py)
+  * as one composable, idempotent library call over the lake layout:
+  *
+  * ```
+  * <lake>/staging/   normalized rows, partitioned by event_date
+  * <lake>/l2/        keep-latest-deduped rows, partitioned by event_date
+  * ```
+  *
+  * Re-running the same `ds` overwrites exactly that date partition in
+  * both zones (dynamic partition overwrite) and re-derives the same
+  * L2 content — backfill-safe like the reference's per-ds DAG runs.
+  */
+object Pipeline {
+
+  /** Thrown when the DQ gate rejects a batch (reference behavior:
+    * normalize aborts on shape violations rather than loading bad
+    * data downstream). */
+  final class DataQualityException(msg: String) extends RuntimeException(msg)
+
+  case class DsRunSummary(ds: String, nNormalized: Long, nL2: Long)
+
+  /** DQ gate for a normalized batch: non-empty, no null keys or
+    * timestamps, no duplicate event ids. */
+  private def dqGate(batch: DataFrame, ds: String): Unit = {
+    val row = batch.agg(
+      count(lit(1)).as("n"),
+      // coalesce: SUM over an empty batch is NULL, and the empty batch
+      // is exactly the case the gate must catch, not crash on
+      coalesce(sum(when(col("event_id").isNull || col("ts").isNull, 1L).otherwise(0L)),
+        lit(0L)).as("null_keys"),
+      (count(lit(1)) - countDistinct(col("event_id"))).as("dup_ids")
+    ).collect()(0)
+    val (n, nullKeys, dupIds) = (row.getLong(0), row.getLong(1), row.getLong(2))
+    if (n == 0L) throw new DataQualityException(s"ds=$ds: empty batch")
+    if (nullKeys > 0L) throw new DataQualityException(s"ds=$ds: $nullKeys null keys")
+    if (dupIds > 0L) throw new DataQualityException(s"ds=$ds: $dupIds duplicate event ids")
+  }
+
+  /** Run one `ds` partition end-to-end. Idempotent: a rerun replaces
+    * the same staging and L2 partitions with identical content. */
+  def runDs(spark: SparkSession, srcDir: String, lakeDir: String, ds: String): DsRunSummary = {
+    // 1. incremental slice + normalize (the raw→staging transform)
+    val batch = Etl.incrementalDs(spark, srcDir, ds)
+    // 2. DQ gate — abort, don't load, on violations
+    dqGate(batch, ds)
+    // 3. staged write, partitioned by event_date (only this ds's
+    //    partition is replaced)
+    Sinks.writePartitioned(batch, s"$lakeDir/staging", Seq("event_date"))
+    // 4. L2 upsert: merge the new batch with the existing L2 rows of
+    //    the SAME partition, keep-latest per business key, overwrite
+    //    that partition. Materialized (cache+count) before the write —
+    //    Spark cannot lazily read a path it is about to overwrite.
+    val l2Path = s"$lakeDir/l2"
+    val incoming = spark.read.parquet(s"$lakeDir/staging")
+      .filter(col("event_date") === lit(ds).cast("date"))
+    val existing =
+      try {
+        val cur = spark.read.parquet(l2Path)
+        cur.filter(col("event_date") === lit(ds).cast("date"))
+      } catch { case _: org.apache.spark.sql.AnalysisException => // first run: no L2 yet
+        incoming.limit(0)
+      }
+    val merged = Merge.keepLatest(
+        existing.unionByName(incoming),
+        keys = Seq(col("user_id"), col("event_type")),
+        orderCol = col("ts"), tiebreak = col("event_id"))
+      .cache()
+    val nL2 = merged.count()
+    Sinks.writePartitioned(merged, l2Path, Seq("event_date"))
+    merged.unpersist()
+    DsRunSummary(ds, batch.count(), nL2)
+  }
+}

@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Pipeline
+
+class PipelineSpec extends SparkSpecBase {
+
+  test("per-ds pipeline: two partitions land, rerun is idempotent") {
+    val lake = java.nio.file.Files.createTempDirectory("graft_lake").toString
+    val ds1 = "2024-01-15"
+    val ds2 = "2024-01-16"
+
+    val r1 = Pipeline.runDs(spark, sfDir, lake, ds1)
+    assert(r1.nNormalized > 0 && r1.nL2 > 0 && r1.nL2 <= r1.nNormalized)
+
+    val r2 = Pipeline.runDs(spark, sfDir, lake, ds2)
+    assert(r2.nNormalized > 0)
+
+    val l2 = spark.read.parquet(s"$lake/l2")
+    val afterBoth = l2.count()
+    assert(afterBoth == r1.nL2 + r2.nL2, "partitions are disjoint by date")
+
+    // rerun ds1: same content, nothing duplicated, ds2 untouched
+    val r1b = Pipeline.runDs(spark, sfDir, lake, ds1)
+    assert(r1b.nL2 == r1.nL2)
+    val afterRerun = spark.read.parquet(s"$lake/l2").count()
+    assert(afterRerun == afterBoth, "rerun must not duplicate or clobber")
+
+    // L2 invariant: one row per (user, type) within each date partition
+    val dups = spark.read.parquet(s"$lake/l2")
+      .groupBy("event_date", "user_id", "event_type").count()
+      .filter(col("count") > 1).count()
+    assert(dups == 0)
+  }
+
+  test("DQ gate rejects an empty batch instead of loading it") {
+    val lake = java.nio.file.Files.createTempDirectory("graft_lake2").toString
+    intercept[Pipeline.DataQualityException] {
+      // a ds with no events in the corpus
+      Pipeline.runDs(spark, sfDir, lake, "1999-12-31")
+    }
+    // nothing was written
+    assert(!new java.io.File(s"$lake/l2").exists())
+  }
+}
