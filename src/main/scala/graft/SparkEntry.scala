@@ -46,6 +46,7 @@ object SparkEntry {
     // §2.4 similarity
     "knn_bruteforce" -> ((s, d) => Similarity.knnBruteforce(s, d)),
     "knn_lsh"        -> ((s, d) => Similarity.knnLsh(s, d)),
+    "knn_ivf"        -> ((s, d) => Similarity.knnIvf(s, d)),
     "vec_stats"      -> (Similarity.vecStats(_, _)),
     // §2.5 text analysis
     "text_tokens"      -> (TextAnalysis.textTokens(_, _)),

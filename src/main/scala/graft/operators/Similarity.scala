@@ -149,6 +149,87 @@ object Similarity {
       |SELECT stats.label, n_vecs, dim, avg_norm, min_norm, max_norm, centroid_norm
       |FROM stats JOIN cent ON stats.label = cent.label""".stripMargin
 
+  /** IVF coarse-quantizer cells and probe width. */
+  val IvfCells = 16
+  val IvfNProbe = 4
+
+  /** IVF-style ANN: build a coarse quantizer (seed vectors refined by
+    * one Lloyd iteration, all as DataFrame aggregates), assign the
+    * corpus to its nearest cell once, then answer each query by
+    * scanning only the `nprobe` cells nearest to it — the classic
+    * inverted-file layout where a probe touches ~nprobe/C of the
+    * corpus. Exact cosine rerank inside the probed cells.
+    *
+    * Everything is deterministic: seeds are the lowest vec_ids, means
+    * are decimal-accumulated, ties break on cell id. Contract
+    * (SimilaritySpec): near-perfect recall on clustered data — IVF's
+    * recall degrades gracefully toward nprobe/C on unclustered data,
+    * which is the expected tradeoff, not a defect. */
+  def knnIvf(spark: SparkSession, dir: String, k: Int = K): DataFrame =
+    knnIvfOn(Tables.embeddings(spark, dir), k)
+
+  def knnIvfOn(vectors: DataFrame, k: Int = K): DataFrame = {
+    val v = vectors
+      .select(col("vec_id"), V.toDouble(col("embedding")).as("e"))
+      .withColumn("nrm", V.l2Norm(col("e")))
+
+    // --- build: seeds = lowest vec_ids, one Lloyd refinement
+    val seeds = broadcast(v.orderBy(col("vec_id")).limit(IvfCells)
+      .select(monotonically_increasing_id().as("cell0"), col("e").as("ce"),
+        col("nrm").as("cn")))
+    val firstAssign = assignNearest(v, seeds, "cell0", "ce", "cn")
+    val centroids = {
+      val elems = firstAssign.select(col("cell0").as("cell"),
+        posexplode(col("e")).as(Seq("pos", "val")))
+      val means = elems.groupBy(col("cell"), col("pos"))
+        .agg((sum(col("val").cast("decimal(30,10)")).cast("double") / count(col("val")))
+          .as("mean"))
+      broadcast(means.groupBy(col("cell"))
+        .agg(sort_array(collect_list(struct(col("pos"), col("mean")))).as("pm"))
+        .select(col("cell"), transform(col("pm"), p => p.getField("mean")).as("ce"))
+        .withColumn("cn", V.l2Norm(col("ce"))))
+    }
+
+    // --- index: one nearest-cell assignment per corpus vector
+    val indexed = assignNearest(v, centroids, "cell", "ce", "cn")
+
+    // --- search: per query, the nprobe nearest cells, then exact
+    //     rerank over only those cells' postings
+    val queries = v.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("e").as("qe"), col("nrm").as("qnrm"))
+    val probeW = Window.partitionBy(col("query_id"))
+      .orderBy(col("cdist").desc, col("cell"))
+    val probes = broadcast(queries.join(centroids)
+      .withColumn("cdist", V.cosineWithNorms(
+        V.dot(col("qe"), col("ce")), col("qnrm"), col("cn")))
+      .withColumn("rk", row_number().over(probeW))
+      .filter(col("rk") <= IvfNProbe)
+      .select(col("query_id"), col("qe"), col("qnrm"), col("cell")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    indexed.join(probes, "cell")
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        V.cosineWithNorms(V.dot(col("e"), col("qe")), col("nrm"), col("qnrm"))
+          .as("cosine"))
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"), col("cosine"))
+  }
+
+  /** Assign each vector to its nearest (max-cosine) centroid. */
+  private def assignNearest(v: DataFrame, centroids: DataFrame,
+                            cellCol: String, ceCol: String, cnCol: String): DataFrame = {
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("sim").desc, col(cellCol))
+    v.join(centroids)
+      .withColumn("sim", V.cosineWithNorms(
+        V.dot(col("e"), col(ceCol)), col("nrm"), col(cnCol)))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("e"), col("nrm"), col(cellCol))
+  }
+
   /** LSH tables: `Tables_` hyperplane groups of `BitsPerTable` planes. */
   val LshTables = 8
   val BitsPerTable = 4

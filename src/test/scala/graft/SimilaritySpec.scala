@@ -32,6 +32,36 @@ class SimilaritySpec extends SparkSpecBase {
     }
   }
 
+  test("knn ivf: near-perfect recall on clustered data, prunes cells") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    // 5 tight clusters of 40 vectors each; queries are vec_id < 5,
+    // one per cluster (cluster = id % 5)
+    val dim = 16
+    val centers = Array.fill(5)(Array.fill(dim)(rnd.nextGaussian() * 5))
+    val rows = (0 until 200).map { i =>
+      val c = centers(i % 5)
+      (i.toLong, c.map(x => (x + rnd.nextGaussian() * 0.05).toFloat).toSeq, i % 5)
+    }
+    val df = rows.toDF("vec_id", "embedding", "label")
+    val exact = Similarity.knnBruteforceOn(df).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.knnIvfOn(df).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & ivf).size.toDouble / exact.size
+    assert(recall >= 0.9, s"ivf recall on clustered data: $recall")
+  }
+
+  test("knn ivf on corpus: k results per query, valid ranks") {
+    val rows = Similarity.knnIvf(spark, sfDir).collect()
+    val perQuery = rows.groupBy(_.getLong(0))
+    perQuery.values.foreach { rs =>
+      assert(rs.length <= Similarity.K)
+      val ranks = rs.map(_.getInt(2)).sorted
+      assert(ranks.sameElements(1 to rs.length))
+    }
+  }
+
   test("knn lsh: bounded candidates, useful recall vs exact scan") {
     val exact = Similarity.knnBruteforce(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
