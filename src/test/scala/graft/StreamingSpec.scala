@@ -69,6 +69,32 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("windowed agg append mode: watermark finalizes closed windows only") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, String, Double)]
+    val streamDf = mem.toDF.toDF("event_id", "ts", "event_type", "value")
+    val q = Streams.windowedAggStream(streamDf).writeStream
+      .format("memory").queryName("wagg_append").outputMode("append").start()
+    try {
+      mem.addData(Seq((1L, ts("2024-01-01 10:05:00"), "click", 1.0)))
+      q.processAllAvailable()
+      // watermark (max event time - 2h) hasn't passed the 10:00 window
+      assert(spark.table("wagg_append").count() == 0)
+      // an event far enough ahead pushes the watermark past 11:00
+      mem.addData(Seq((2L, ts("2024-01-01 13:30:00"), "view", 2.0)))
+      q.processAllAvailable()
+      mem.addData(Seq((3L, ts("2024-01-01 16:00:00"), "view", 3.0)))
+      q.processAllAvailable()
+      val emitted = spark.table("wagg_append").collect()
+        .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2)))
+      assert(emitted.contains((ts("2024-01-01 10:00:00"), "click", 1L)),
+        s"10:00 window should have finalized, got ${emitted.mkString(",")}")
+      // the 16:00 window is still open — not emitted
+      assert(!emitted.exists(_._1 == ts("2024-01-01 16:00:00")))
+    } finally q.stop()
+  }
+
   test("stateful sessionizer: sessions close across micro-batches, state persists") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
