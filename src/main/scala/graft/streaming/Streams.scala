@@ -83,6 +83,42 @@ object Streams {
       .dropDuplicates(dedupeKey)
       .select("event_id", "ts", "user_id", "event_type", "event_date", "value")
 
+  /** Streaming L2 upsert sink: every micro-batch merges into the
+    * partitioned lake with the SAME keep-latest semantics the batch
+    * pipeline uses (Pipeline.runDs) — foreachBatch is the bridge that
+    * lets a stream reuse batch merge logic verbatim. Each batch
+    * unions the affected date partitions' current content with the
+    * new rows, dedupes last-write-wins, and dynamic-overwrites only
+    * those partitions (idempotent under micro-batch replay, which is
+    * exactly Structured Streaming's at-least-once contract). */
+  def upsertSink(events: DataFrame, l2Path: String) = {
+    events
+      .withColumn("event_date", to_date(col("ts")))
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          val dates = batch.select("event_date").distinct()
+          val existing =
+            try spark.read.parquet(l2Path)
+              .join(broadcast(dates), Seq("event_date"), "left_semi")
+            catch { case _: org.apache.spark.sql.AnalysisException =>
+              batch.limit(0)
+            }
+          val merged = graft.operators.Merge.keepLatest(
+              existing.unionByName(batch),
+              keys = Seq(col("user_id"), col("event_type"), col("event_date")),
+              orderCol = col("ts"), tiebreak = col("event_id"))
+            .cache()
+          merged.count() // materialize before overwriting the read path
+          graft.operators.Sinks.writePartitioned(merged, l2Path, Seq("event_date"))
+          merged.unpersist()
+          ()
+        }
+      }
+  }
+
   // --- stateful session assembly (flatMapGroupsWithState) ---
 
   case class Ev(user_id: Long, ts: Timestamp, event_id: Long)

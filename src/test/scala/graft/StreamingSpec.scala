@@ -129,6 +129,35 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("foreachBatch upsert sink: stream merges into the lake with keep-latest semantics") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val lake = java.nio.file.Files.createTempDirectory("graft_stream_lake").toString
+    val l2 = s"$lake/l2"
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val streamDf = mem.toDF.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val q = Streams.upsertSink(streamDf, l2)
+      .option("checkpointLocation", s"$lake/ckpt").start()
+    try {
+      mem.addData(Seq(
+        (1L, ts("2024-03-01 10:00:00"), 5L, "click", 1.0),
+        (2L, ts("2024-03-01 11:00:00"), 5L, "click", 2.0))) // same key, later ts
+      q.processAllAvailable()
+      val after1 = spark.read.parquet(l2).collect()
+      assert(after1.length == 1 && after1(0).getLong(0) == 2L,
+        "first batch keeps only the latest write per key")
+      // a later micro-batch with an even newer row for the same key
+      mem.addData(Seq(
+        (3L, ts("2024-03-01 12:00:00"), 5L, "click", 3.0),
+        (4L, ts("2024-03-01 09:00:00"), 6L, "view", 4.0)))
+      q.processAllAvailable()
+      val after2 = spark.read.parquet(l2).collect()
+        .map(r => (r.getLong(2), r.getString(3)) -> r.getLong(0)).toMap
+      assert(after2 == Map((5L, "click") -> 3L, (6L, "view") -> 4L),
+        s"cross-batch upsert must keep latest per key, got $after2")
+    } finally q.stop()
+  }
+
   test("batch entries match their shared-transform semantics on the corpus") {
     val wagg = Streams.windowedAggBatch(spark, sfDir)
     val total = wagg.agg(sum("n_events")).collect()(0).getLong(0)
