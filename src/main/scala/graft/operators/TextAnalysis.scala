@@ -133,7 +133,11 @@ object TextAnalysis {
       ranked.select(col("lang").as("profile_lang"), col("bg"),
         (col("n").cast("double") / col("lang_total").cast("double")).as("weight"))
     }
-    val docGramCount = grams.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+    // |bigrams| = len-1 by construction — arithmetic, not a second
+    // explode+aggregate pass over the gram table
+    val docGramCount = docs.select(col("doc_id"),
+      when(length(col("text")) >= 2, length(col("text")) - 1)
+        .otherwise(0).cast("long").as("n_grams"))
     val scored = grams.join(broadcast(profiles), "bg")
       .groupBy(col("doc_id"), col("profile_lang"))
       .agg(sum(col("weight")).as("raw"))
