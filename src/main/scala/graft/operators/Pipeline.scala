@@ -28,7 +28,7 @@ object Pipeline {
 
   /** DQ gate for a normalized batch: non-empty, no null keys or
     * timestamps, no duplicate event ids. */
-  private def dqGate(batch: DataFrame, ds: String): Unit = {
+  private def dqGate(batch: DataFrame, ds: String): Long = {
     val row = batch.agg(
       count(lit(1)).as("n"),
       // coalesce: SUM over an empty batch is NULL, and the empty batch
@@ -41,6 +41,7 @@ object Pipeline {
     if (n == 0L) throw new DataQualityException(s"ds=$ds: empty batch")
     if (nullKeys > 0L) throw new DataQualityException(s"ds=$ds: $nullKeys null keys")
     if (dupIds > 0L) throw new DataQualityException(s"ds=$ds: $dupIds duplicate event ids")
+    n
   }
 
   /** Run one `ds` partition end-to-end. Idempotent: a rerun replaces
@@ -49,7 +50,7 @@ object Pipeline {
     // 1. incremental slice + normalize (the raw→staging transform)
     val batch = Etl.incrementalDs(spark, srcDir, ds)
     // 2. DQ gate — abort, don't load, on violations
-    dqGate(batch, ds)
+    val nNormalized = dqGate(batch, ds)
     // 3. staged write, partitioned by event_date (only this ds's
     //    partition is replaced)
     Sinks.writePartitioned(batch, s"$lakeDir/staging", Seq("event_date"))
@@ -75,6 +76,6 @@ object Pipeline {
     val nL2 = merged.count()
     Sinks.writePartitioned(merged, l2Path, Seq("event_date"))
     merged.unpersist()
-    DsRunSummary(ds, batch.count(), nL2)
+    DsRunSummary(ds, nNormalized, nL2)
   }
 }

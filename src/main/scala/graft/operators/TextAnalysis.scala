@@ -123,7 +123,10 @@ object TextAnalysis {
     val grams = docs
       .select(col("doc_id"), col("lang"), explode(charBigrams(col("text"))).as("bg"))
     val profiles = {
-      val counts = grams.groupBy(col("lang"), col("bg")).agg(count(lit(1)).as("n"))
+      // learn on an 80% id-hash split — predictions for held-out docs
+      // never see their own label, so reported accuracy is honest
+      val train = grams.filter(pmod(col("doc_id"), lit(5)) < 4)
+      val counts = train.groupBy(col("lang"), col("bg")).agg(count(lit(1)).as("n"))
       val totals = Window.partitionBy(col("lang"))
       val ranked = counts
         .withColumn("rk", row_number().over(
