@@ -205,8 +205,11 @@ object Dedup {
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
         bit_count(col("x.sh").bitwiseXOR(col("y.sh"))).as("hamming"))
-      .distinct()
+      // filter BEFORE distinct: random chunk collisions (~4/2^16 of
+      // all pairs) are discarded here instead of riding the dedup
+      // shuffle just to be dropped after it
       .filter(col("hamming") <= MaxHamming)
+      .distinct()
   }
 
   /** Embedding near-dup pairs: cosine >= tau over the full pair space.

@@ -45,11 +45,16 @@ object Ingest {
   def parseRaw(spark: SparkSession, rawPath: String, ds: String,
                payloadSchema: StructType): DataFrame = {
     val raw = spark.read.parquet(rawPath).filter(col("ds") === ds)
-    raw.select(col("ds"), col("source"), col("ingest_id"),
-      from_json(col("payload"), payloadSchema).as("rec"),
-      when(from_json(col("payload"), payloadSchema).isNull ||
-        to_json(from_json(col("payload"), payloadSchema)) === lit("{}"),
-        col("payload")).as("_corrupt"))
+    // parse ONCE in its own projection; _corrupt derives from the
+    // parsed struct. (CollapseProject keeps non-cheap expressions like
+    // from_json un-inlined when referenced more than once, so the
+    // payload really is parsed a single time per row.)
+    raw.select(col("ds"), col("source"), col("ingest_id"), col("payload"),
+        from_json(col("payload"), payloadSchema).as("rec"))
+      .select(col("ds"), col("source"), col("ingest_id"),
+        col("rec"),
+        when(col("rec").isNull || to_json(col("rec")) === lit("{}"),
+          col("payload")).as("_corrupt"))
       .select(col("ds"), col("source"), col("ingest_id"), col("rec.*"), col("_corrupt"))
   }
 }

@@ -56,8 +56,11 @@ object Pipeline {
     Sinks.writePartitioned(batch, s"$lakeDir/staging", Seq("event_date"))
     // 4. L2 upsert: merge the new batch with the existing L2 rows of
     //    the SAME partition, keep-latest per business key, overwrite
-    //    that partition. Materialized (cache+count) before the write —
-    //    Spark cannot lazily read a path it is about to overwrite.
+    //    that partition. The merge result is staged DURABLY to a temp
+    //    path first: overwriting a path while holding a lazy plan that
+    //    reads it is unsafe under recomputation (cache blocks are not
+    //    durable — a lost executor would re-derive lost partitions
+    //    from a half-overwritten L2).
     val l2Path = s"$lakeDir/l2"
     val incoming = spark.read.parquet(s"$lakeDir/staging")
       .filter(col("event_date") === lit(ds).cast("date"))
@@ -69,13 +72,24 @@ object Pipeline {
         incoming.limit(0)
       }
     val merged = Merge.keepLatest(
-        existing.unionByName(incoming),
-        keys = Seq(col("user_id"), col("event_type")),
-        orderCol = col("ts"), tiebreak = col("event_id"))
-      .cache()
-    val nL2 = merged.count()
-    Sinks.writePartitioned(merged, l2Path, Seq("event_date"))
-    merged.unpersist()
+      existing.unionByName(incoming),
+      keys = Seq(col("user_id"), col("event_type")),
+      orderCol = col("ts"), tiebreak = col("event_id"))
+    val nL2 = stageAndOverwrite(merged, s"$lakeDir/_merge_tmp", l2Path)
     DsRunSummary(ds, nNormalized, nL2)
+  }
+
+  /** Write `df` to a durable temp path, then re-read it and
+    * dynamic-overwrite the target partitions — the lineage of the
+    * final write points at the temp files, never at the path being
+    * replaced. Returns the staged row count. Shared by the batch and
+    * streaming (Streams.upsertSink) L2 merges. */
+  private[graft] def stageAndOverwrite(df: DataFrame, tmpPath: String,
+                                       targetPath: String): Long = {
+    val spark = df.sparkSession
+    df.write.mode("overwrite").parquet(tmpPath)
+    val staged = spark.read.parquet(tmpPath)
+    Sinks.writePartitioned(staged, targetPath, Seq("event_date"))
+    staged.count()
   }
 }

@@ -173,10 +173,12 @@ object Similarity {
       .select(col("vec_id"), V.toDouble(col("embedding")).as("e"))
       .withColumn("nrm", V.l2Norm(col("e")))
 
-    // --- build: seeds = lowest vec_ids, one Lloyd refinement
+    // --- build: seeds = lowest vec_ids, one Lloyd refinement.
+    // The seed's own vec_id is its cell id — stable by construction
+    // (monotonically_increasing_id after a limit would depend on the
+    // plan's partitioning, a planner detail, not a contract).
     val seeds = broadcast(v.orderBy(col("vec_id")).limit(IvfCells)
-      .select(monotonically_increasing_id().as("cell0"), col("e").as("ce"),
-        col("nrm").as("cn")))
+      .select(col("vec_id").as("cell0"), col("e").as("ce"), col("nrm").as("cn")))
     val firstAssign = assignNearest(v, seeds, "cell0", "ce", "cn")
     val centroids = {
       val elems = firstAssign.select(col("cell0").as("cell"),

@@ -295,7 +295,9 @@ object Analytics {
     perUser.groupBy(col("event_type"))
       .agg(
         sum(col("n")).as("n_events"),
-        count(lit(1)).as("n_users"),
+        // count(user_id), not count(*): a NULL-user group must not
+        // count as a distinct user (oracle COUNT(DISTINCT) skips NULL)
+        count(col("user_id")).as("n_users"),
         sum(col("s")).cast("double").as("sum_value"))
       .orderBy(col("n_events").desc, col("event_type"))
       .limit(3)

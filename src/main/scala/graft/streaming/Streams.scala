@@ -74,13 +74,17 @@ object Streams {
       |  FROM events) t
       |WHERE rn = 1""".stripMargin
 
-  /** Streaming keep-first: watermarked dropDuplicates — state for a
-    * key is retained only until the watermark passes its event time. */
+  /** Streaming keep-first: dropDuplicatesWithinWatermark — unlike
+    * plain dropDuplicates on non-event-time keys (whose state is
+    * NEVER evicted, since the watermark can only clean state when the
+    * event-time column is part of the key), this variant expires each
+    * key's state once the watermark passes its event time, so state
+    * stays bounded on an unbounded stream. */
   def keepFirstStream(events: DataFrame): DataFrame =
     events
       .withColumn("event_date", to_date(col("ts")))
       .withWatermark("ts", "1 hour")
-      .dropDuplicates(dedupeKey)
+      .dropDuplicatesWithinWatermark(dedupeKey)
       .select("event_id", "ts", "user_id", "event_type", "event_date", "value")
 
   /** Streaming L2 upsert sink: every micro-batch merges into the
@@ -107,13 +111,12 @@ object Streams {
               batch.limit(0)
             }
           val merged = graft.operators.Merge.keepLatest(
-              existing.unionByName(batch),
-              keys = Seq(col("user_id"), col("event_type"), col("event_date")),
-              orderCol = col("ts"), tiebreak = col("event_id"))
-            .cache()
-          merged.count() // materialize before overwriting the read path
-          graft.operators.Sinks.writePartitioned(merged, l2Path, Seq("event_date"))
-          merged.unpersist()
+            existing.unionByName(batch),
+            keys = Seq(col("user_id"), col("event_type"), col("event_date")),
+            orderCol = col("ts"), tiebreak = col("event_id"))
+          // durable staging before overwrite — see Pipeline.stageAndOverwrite
+          graft.operators.Pipeline.stageAndOverwrite(
+            merged, s"$l2Path/../_stream_merge_tmp", l2Path)
           ()
         }
       }
@@ -134,19 +137,31 @@ object Streams {
     * session rides GroupState across micro-batches; events inside a
     * batch are sorted by event time before folding, so replays and
     * batch boundaries don't change the result. */
+  /** Exact microsecond epoch of a Timestamp — getTime alone floors to
+    * milliseconds, which would diverge from the batch sessionizer's
+    * unix_micros arithmetic on µs-precision corpora. */
+  private def micros(t: Timestamp): Long =
+    math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+
+  private def tsFromMicros(us: Long): Timestamp = {
+    val t = new Timestamp(math.floorDiv(us, 1000000L) * 1000L)
+    t.setNanos((math.floorMod(us, 1000000L) * 1000L).toInt)
+    t
+  }
+
   def sessionizeFn(userId: Long, events: Iterator[Ev],
                    state: GroupState[OpenSession]): Iterator[SessionOut] = {
-    val sorted = events.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+    val sorted = events.toSeq.sortBy(e => (micros(e.ts), e.event_id))
     var open = state.getOption
     val out = Seq.newBuilder[SessionOut]
     sorted.foreach { e =>
-      val us = e.ts.getTime * 1000L
+      val us = micros(e.ts)
       open match {
         case Some(s) if us - s.endUs <= GapUs =>
           open = Some(OpenSession(s.startUs, math.max(s.endUs, us), s.n + 1))
         case Some(s) =>
           out += SessionOut(userId,
-            new Timestamp(s.startUs / 1000L), new Timestamp(s.endUs / 1000L), s.n)
+            tsFromMicros(s.startUs), tsFromMicros(s.endUs), s.n)
           open = Some(OpenSession(us, us, 1))
         case None =>
           open = Some(OpenSession(us, us, 1))
