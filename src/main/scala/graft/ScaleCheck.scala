@@ -50,7 +50,15 @@ object ScaleCheck {
       run("q_events_sessionize", queries.Analytics.qEventsSessionize(spark, dir)),
       run("stream_windowed_agg", streaming.Streams.windowedAggBatch(spark, dir)))
 
-    val qs = results.map { case (k, s, r) => s""""$k":{"sec":$s,"rows":$r}""" }.mkString(",")
+    // end-to-end per-ds pipeline (normalize + DQ + staged write + L2
+    // merge) — the unit of work the reference DAG runs per day
+    val lake = java.nio.file.Files.createTempDirectory("graft_scale_lake").toString
+    val tp0 = System.nanoTime()
+    val summary = operators.Pipeline.runDs(spark, dir, lake, "2024-01-15")
+    val pipeSec = (System.nanoTime() - tp0) / 1e9
+    val pipe = s""""pipeline_run_ds":{"sec":$pipeSec,"rows":${summary.nNormalized},"l2_rows":${summary.nL2}}"""
+
+    val qs = (results.map { case (k, s, r) => s""""$k":{"sec":$s,"rows":$r}""" } :+ pipe).mkString(",")
     println(s"""{"scale_mult":$mult,"n_events":$n,"ops":{$qs}}""")
     spark.stop()
   }
