@@ -232,6 +232,61 @@ object Dedup {
       .filter(col("cosine") >= tau)
   }
 
+  /** Resolve near-dup PAIRS into clusters: connected components by
+    * iterative min-label propagation (each doc adopts the smallest
+    * doc_id reachable over pair edges; iterate to fixpoint). Returns
+    * (doc_id, cluster_id) for every doc appearing in a pair; the
+    * cluster_id is the component's minimum doc_id — the canonical
+    * survivor. This is the step between "find near-dup pairs" and
+    * "drop duplicates from the corpus".
+    *
+    * Scale: each iteration is one groupBy over the (undirected) edge
+    * list; iterations needed = graph diameter, and near-dup components
+    * are tiny/star-shaped in practice (pairs share a survivor), so the
+    * default cap of 10 covers any realistic corpus. Converges early
+    * when labels stop changing. */
+  def pairClusters(pairs: DataFrame, maxIters: Int = 10): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .distinct()
+      .cache()
+    var labels = edges.select(col("src").as("doc_id"))
+      .distinct()
+      .withColumn("cluster_id", col("doc_id"))
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      // each node adopts min(own label, min of neighbor labels)
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("doc_id", "dst"), "dst")
+        .groupBy(col("src").as("doc_id"))
+        .agg(min(col("cluster_id")).as("nbr_min"))
+      val next = labels.join(neighborMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
+            .as("cluster_id"))
+        .cache()
+      val changed = next.join(labels.withColumnRenamed("cluster_id", "prev"), "doc_id")
+        .filter(col("cluster_id") =!= col("prev")).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      i += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /** Corpus minus near-duplicates: every doc keeps its row unless it
+    * appears in a pair cluster with a smaller doc_id (the cluster's
+    * min id survives). */
+  def dropNearDuplicates(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val losers = pairClusters(pairs)
+      .filter(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id"))
+    docs.join(losers, Seq("doc_id"), "left_anti")
+  }
+
   val embeddingCosineOracleSql: String =
     s"""WITH v AS (
        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,

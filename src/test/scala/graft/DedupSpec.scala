@@ -85,6 +85,35 @@ class DedupSpec extends SparkSpecBase {
     pairs.foreach(r => assert(r.getInt(2) <= Dedup.MaxHamming))
   }
 
+  test("pair clusters: connected components resolve to min-id survivors") {
+    import spark.implicits._
+    // components: {1,2,3,4} (chain), {10,11}, singleton pairs absent
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("doc_a", "doc_b")
+    val clusters = Dedup.pairClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusters == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L))
+    // corpus filtering keeps exactly one survivor per cluster + untouched docs
+    val docs = (1L to 12L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val kept = Dedup.dropNearDuplicates(docs, pairs).collect()
+      .map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 5L, 6L, 7L, 8L, 9L, 10L, 12L))
+  }
+
+  test("pair clusters on corpus: planted near-dups collapse, survivors unique") {
+    val pairs = Dedup.ngramJaccard(spark, sfDir)
+    val clusters = Dedup.pairClusters(pairs).collect()
+    // every cluster id is a member of its own cluster (canonical min)
+    val byCluster = clusters.groupBy(_.getLong(1))
+    byCluster.foreach { case (cid, members) =>
+      assert(members.map(_.getLong(0)).min == cid)
+    }
+    val docs = sources.Tables.documents(spark, sfDir)
+    val kept = Dedup.dropNearDuplicates(docs, pairs)
+    assert(kept.count() == docs.count() - clusters.count(r => r.getLong(0) != r.getLong(1)))
+  }
+
   test("embedding cosine: pairs above tau, symmetric and deduplicated") {
     val pairs = Dedup.embeddingCosine(spark, sfDir).collect()
     pairs.foreach { r =>

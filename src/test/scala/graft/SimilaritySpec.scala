@@ -52,14 +52,17 @@ class SimilaritySpec extends SparkSpecBase {
     assert(recall >= 0.9, s"ivf recall on clustered data: $recall")
   }
 
-  test("knn ivf on corpus: k results per query, valid ranks") {
-    val rows = Similarity.knnIvf(spark, sfDir).collect()
-    val perQuery = rows.groupBy(_.getLong(0))
+  test("knn ivf on corpus: k results per query, valid ranks, deterministic") {
+    def runOnce() = Similarity.knnIvf(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sortBy(t => (t._1, t._3))
+    val rows = runOnce()
+    val perQuery = rows.groupBy(_._1)
     perQuery.values.foreach { rs =>
       assert(rs.length <= Similarity.K)
-      val ranks = rs.map(_.getInt(2)).sorted
-      assert(ranks.sameElements(1 to rs.length))
+      assert(rs.map(_._3).sorted.sameElements(1 to rs.length))
     }
+    // build + assignment + probing are deterministic end to end
+    assert(runOnce().sameElements(rows))
   }
 
   test("knn lsh: bounded candidates, useful recall vs exact scan") {
