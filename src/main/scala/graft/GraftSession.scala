@@ -37,6 +37,9 @@ object GraftSession {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.compression.codec", "snappy")
       .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      // managed tables (bucketed sinks) land under tmp, not the cwd
+      .config("spark.sql.warehouse.dir",
+        s"${System.getProperty("java.io.tmpdir")}/graft-warehouse")
       .config("spark.ui.enabled", "false")
 
   def get(): SparkSession = {

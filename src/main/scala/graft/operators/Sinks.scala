@@ -23,6 +23,20 @@ object Sinks {
   def readParquet(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** Bucketed managed-table sink: rows hash-clustered into `buckets`
+    * files by `bucketCol`, sorted within buckets. Two tables bucketed
+    * the same way join WITHOUT any Exchange — the shuffle is paid once
+    * at write time instead of on every join, the standard layout for
+    * fact tables that are repeatedly joined or merged on one key at
+    * warehouse scale. (Bucketing metadata lives in the catalog, hence
+    * saveAsTable rather than a bare path.) */
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String, buckets: Int): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, bucketCol)
+      .sortBy(bucketCol)
+      .format("parquet")
+      .saveAsTable(table)
+
   /** CSV sink with header; one file per partition, snappy-less (csv is
     * an interchange format here, not the storage format). */
   def writeCsv(df: DataFrame, path: String): Unit =

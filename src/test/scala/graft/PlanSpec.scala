@@ -90,6 +90,48 @@ class PlanSpec extends SparkSpecBase {
     assert(p.contains("poly_hash64") && p.contains("rolling_min_hash"))
   }
 
+  test("bucketed tables join without a shuffle exchange") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Sinks
+    Seq("orders_b", "lineitem_b").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(
+        s"${System.getProperty("java.io.tmpdir")}/graft-warehouse/$t")
+      if (loc.exists()) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete()
+        }
+        rm(loc)
+      }
+    }
+    val ord = sources.Tables.orders(spark, sfDir).select("o_orderkey", "o_custkey", "o_totalprice")
+    val li = sources.Tables.lineitem(spark, sfDir).select("l_orderkey", "l_quantity")
+    Sinks.writeBucketed(ord, "orders_b", "o_orderkey", 4)
+    Sinks.writeBucketed(li.withColumnRenamed("l_orderkey", "o_orderkey"), "lineitem_b", "o_orderkey", 4)
+    // disable auto-broadcast so the test exercises the co-located
+    // shuffle-join path that bucketing exists for (at test scale AQE
+    // would otherwise just broadcast the small side)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("orders_b").join(spark.table("lineitem_b"), "o_orderkey")
+        .groupBy("o_custkey").agg(sum("l_quantity"))
+      joined.collect()
+      val full = joined.queryExecution.executedPlan.toString
+      // AQE's string repeats the pre-adaptive plan after an
+      // "== Initial Plan ==" marker — assert only on the final plan
+      val p = full.split("== Initial Plan ==")(0)
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"))
+      // co-located layout: no Exchange may feed the join — the only
+      // exchange allowed is the post-join aggregation's, which sits
+      // ABOVE the join in the plan text
+      val joinPart = p.substring(p.indexOf("Join"))
+      assert(!joinPart.contains("Exchange"),
+        s"bucketed join still shuffles:\n$p")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("vec_dot native kernel is bit-identical to the higher-order fold") {
     import org.apache.spark.sql.functions._
     import graft.functions.{VectorOps => V}
