@@ -6,6 +6,34 @@ import graft.operators.Ingest
 
 class IngestSpec extends SparkSpecBase {
 
+  test("full raw path: events jsonl -> envelopes -> parse -> rollup equals direct path") {
+    import org.apache.spark.sql.functions.{date_format, to_json, struct}
+    val dir = java.nio.file.Files.createTempDirectory("graft_rawpath").toString
+    // export a slice of the events table as the 'fetched payload'
+    val sample = sources.Tables.events(spark, sfDir)
+      .withColumn("ts_s", date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS"))
+      .limit(200).cache()
+    sample.select(to_json(struct(
+        col("event_id"), col("ts_s").as("ts"), col("user_id"),
+        col("event_type"), col("value"))).as("value"))
+      .coalesce(1).write.mode("overwrite").text(s"$dir/feed")
+
+    val raw = s"$dir/raw"
+    Ingest.landRaw(Ingest.envelopes(spark, s"$dir/feed", "events_api", "2024-01-15"), raw)
+    val parsed = Ingest.parseRaw(spark, raw, "2024-01-15",
+      StructType.fromDDL(
+        "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE"))
+    assert(parsed.filter(col("_corrupt").isNotNull).count() == 0)
+    // the parsed rows aggregate identically to the direct table slice
+    val viaRaw = parsed.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("value").cast("decimal(30,6)")).as("s"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDecimal(2))).toMap
+    val direct = sample.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("value").cast("decimal(30,6)")).as("s"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDecimal(2))).toMap
+    assert(viaRaw == direct)
+  }
+
   test("raw zone roundtrip: payload verbatim, idempotent per-ds, parse with quarantine") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ingest").toString
     val src = s"$dir/feed.jsonl"
