@@ -53,6 +53,7 @@ object SparkEntry {
     "text_quality"     -> (TextAnalysis.textQuality(_, _)),
     "text_langid"      -> (TextAnalysis.textLangid(_, _)),
     "text_fingerprint" -> (TextAnalysis.textFingerprint(_, _)),
+    "text_tfidf"       -> (TextAnalysis.textTfidf(_, _)),
     // §2.6 multimodal
     "mm_binary_meta"     -> (Multimodal.binaryMeta(_, _)),
     "mm_feature_extract" -> (Multimodal.featureExtract(_, _)),
@@ -96,6 +97,7 @@ object SparkEntry {
     // assert their contracts)
     "text_tokens"  -> TextAnalysis.textTokensOracleSql,
     "text_quality" -> TextAnalysis.textQualityOracleSql,
+    "text_tfidf"   -> TextAnalysis.textTfidfOracleSql,
     // §2.6 multimodal (feature_extract is rows-only: the stubbed
     // decode isn't SQL-expressible; MultimodalSpec checks determinism)
     "mm_binary_meta" -> Multimodal.binaryMetaOracleSql,

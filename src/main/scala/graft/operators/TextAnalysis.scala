@@ -155,6 +155,68 @@ object TextAnalysis {
       .select(col("doc_id"), col("profile_lang").as("pred_lang"), col("score"))
   }
 
+  /** Top terms kept per document by tf-idf. */
+  val TfidfTopK = 5
+
+  /** TF-IDF-style salient-term extraction: for each document, the
+    * top-k terms by tf × idf where idf uses the BM25 rational form
+    * (N - df + 0.5)/(df + 0.5) — deliberately LOG-FREE: ln() can
+    * differ by 1 ulp between libm implementations, which would break
+    * exact cross-engine comparison, while pure integer-derived
+    * divisions are bit-identical everywhere.
+    *
+    * Shape at scale: one explode (corpus token count rows), one
+    * (term) aggregate for document frequencies joined back on the
+    * term, one (doc) window for the top-k — no O(n²), no driver-side
+    * vocabulary. */
+  def textTfidf(spark: SparkSession, dir: String): DataFrame =
+    textTfidfOn(Tables.documents(spark, dir))
+
+  def textTfidfOn(docs: DataFrame): DataFrame = {
+    val d = docs.select(col("doc_id"), col("text"))
+    val nDocs = d.select(countDistinct(col("doc_id")).as("n_docs"))
+    val terms = d.select(col("doc_id"),
+        size(TH.words(col("text"))).as("doc_len"),
+        explode(TH.words(col("text"))).as("term"))
+    val tf = terms.groupBy(col("doc_id"), col("term"), col("doc_len"))
+      .agg(count(lit(1)).as("n_occ"))
+    val df_ = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("term"))
+    tf.join(df_, "term").crossJoin(broadcast(nDocs))
+      .withColumn("tf", col("n_occ").cast("double") / col("doc_len").cast("double"))
+      .withColumn("idf",
+        (col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
+          (col("df").cast("double") + lit(0.5)))
+      .withColumn("score", col("tf") * col("idf"))
+      .withColumn("rk", row_number().over(w).cast("int"))
+      .filter(col("rk") <= TfidfTopK)
+      .select(col("doc_id"), col("rk"), col("term"), col("score"))
+  }
+
+  val textTfidfOracleSql: String =
+    s"""WITH terms AS (
+       |  SELECT doc_id, len(string_split(text, ' ')) AS doc_len,
+       |    unnest(string_split(text, ' ')) AS term
+       |  FROM documents),
+       |tf AS (
+       |  SELECT doc_id, term, doc_len, COUNT(*) AS n_occ
+       |  FROM terms GROUP BY 1, 2, 3),
+       |df AS (
+       |  SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+       |nd AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+       |scored AS (
+       |  SELECT tf.doc_id, tf.term,
+       |    (CAST(tf.n_occ AS DOUBLE) / CAST(tf.doc_len AS DOUBLE)) *
+       |    ((CAST(nd.n_docs AS DOUBLE) - CAST(df.df AS DOUBLE) + 0.5) /
+       |     (CAST(df.df AS DOUBLE) + 0.5)) AS score
+       |  FROM tf JOIN df ON tf.term = df.term CROSS JOIN nd)
+       |SELECT doc_id, CAST(rk AS INTEGER) AS rk, term, score FROM (
+       |  SELECT *, ROW_NUMBER() OVER (
+       |    PARTITION BY doc_id ORDER BY score DESC, term) AS rk
+       |  FROM scored) t
+       |WHERE rk <= $TfidfTopK""".stripMargin
+
   /** Content fingerprints through the native codegen expressions:
     * whole-document polynomial hash + winnowing-style minimum rolling
     * hash over 32-byte windows (near-identical docs collide on the

@@ -65,6 +65,25 @@ class TextSpec extends SparkSpecBase {
     pred.foreach(r => assert(r.getDouble(2) >= 0))
   }
 
+  test("tfidf: top-k per doc, rare terms outscore common ones") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "common common common rare"),
+      (2L, "common common other other"),
+      (3L, "common unique")).toDF("doc_id", "text")
+    val rows = TextAnalysis.textTfidfOn(docs).collect()
+    val perDoc = rows.groupBy(_.getLong(0))
+    perDoc.values.foreach { rs =>
+      assert(rs.length <= TextAnalysis.TfidfTopK)
+      assert(rs.map(_.getInt(1)).sorted.sameElements(1 to rs.length))
+    }
+    // doc 1: 'rare' (df=1) must outrank 'common' (df=3) despite lower tf
+    val doc1 = rows.filter(_.getLong(0) == 1L).sortBy(_.getInt(1))
+    assert(doc1.head.getString(2) == "rare")
+    val corpus = TextAnalysis.textTfidf(spark, sfDir)
+    assert(corpus.count() > 0)
+  }
+
   test("poly_hash64: codegen path matches the reference implementation") {
     import spark.implicits._
     val samples = Seq("", "a", "hello world", "the same the same",
