@@ -23,6 +23,7 @@ object SparkEntry {
     "etl_hourly_rollup"  -> (Etl.hourlyRollup(_, _)),
     "etl_keep_latest"    -> (Etl.keepLatest(_, _)),
     "etl_dq_report"      -> (Etl.dqReport(_, _)),
+    "etl_dq_profile"     -> (Etl.dqProfile(_, _)),
     "etl_schema_enforce" -> (Etl.schemaEnforce(_, _)),
     "etl_incremental_ds" -> ((s, d) => Etl.incrementalDs(s, d)),
     // §2.2 analytics
@@ -70,6 +71,7 @@ object SparkEntry {
     "etl_hourly_rollup"  -> Etl.hourlyRollupOracleSql,
     "etl_keep_latest"    -> Etl.keepLatestOracleSql,
     "etl_dq_report"      -> Etl.dqReportOracleSql,
+    "etl_dq_profile"     -> Etl.dqProfileOracleSql,
     "etl_schema_enforce" -> Etl.schemaEnforceOracleSql,
     "etl_incremental_ds" -> Etl.incrementalDsOracleSql,
     "q1_pricing_summary"   -> Analytics.q1OracleSql,

@@ -177,6 +177,38 @@ object Etl {
       |  TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) AS prop_k
       |FROM events""".stripMargin
 
+  /** DQ distribution profile: exact interpolated percentiles of the
+    * metric per event type (plus count/min/max) — the distributional
+    * complement to dqReport's null/uniqueness checks, the shape a DQ
+    * monitor alerts on. Spark's `percentile` is the exact sort-based
+    * aggregate (not approx_percentile) with the same linear
+    * interpolation DuckDB's quantile_cont uses, so results compare
+    * bit-exactly; at 100 TB the exact form costs a per-group sort and
+    * a monitor would switch to approx_percentile (t-digest), trading
+    * the oracle for an error bound. */
+  def dqProfile(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        min(col("value")).as("min_value"),
+        expr("percentile(value, 0.25)").as("p25"),
+        expr("percentile(value, 0.5)").as("p50"),
+        expr("percentile(value, 0.75)").as("p75"),
+        expr("percentile(value, 0.95)").as("p95"),
+        max(col("value")).as("max_value"))
+
+  val dqProfileOracleSql: String =
+    """SELECT event_type, COUNT(*) AS n,
+      |  MIN(value) AS min_value,
+      |  quantile_cont(value, 0.25) AS p25,
+      |  quantile_cont(value, 0.5) AS p50,
+      |  quantile_cont(value, 0.75) AS p75,
+      |  quantile_cont(value, 0.95) AS p95,
+      |  MAX(value) AS max_value
+      |FROM events
+      |GROUP BY 1""".stripMargin
+
   /** Per-`ds` incremental slice: the reference's whole DAG runs one
     * `ds` partition at a time (backfill-safe). The date filter is a
     * parquet-pushable predicate; combined with the dynamic-overwrite

@@ -76,6 +76,18 @@ class EtlSpec extends SparkSpecBase {
     assert(notQuantized == 0)
   }
 
+  test("dq_profile: ordered percentiles bracketed by min/max per group") {
+    val rows = Etl.dqProfile(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val vals = (2 to 6).map(r.getDouble) // min, p25, p50, p75, p95
+      val mx = r.getDouble(7)
+      assert(vals.zip(vals.tail).forall { case (a, b) => a <= b })
+      assert(vals.last <= mx)
+      assert(r.getLong(1) > 0)
+    }
+  }
+
   test("incremental_ds slice + partitioned sink is idempotent on rerun") {
     val out = java.nio.file.Files.createTempDirectory("graft_sink").toString
     val slice = Etl.incrementalDs(spark, sfDir).cache()
