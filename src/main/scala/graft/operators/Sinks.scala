@@ -37,6 +37,31 @@ object Sinks {
       .format("parquet")
       .saveAsTable(table)
 
+  /** Small-file compaction: rewrite a parquet dataset with files
+    * sized toward `targetRowsPerFile`, preserving content exactly and
+    * (optionally) the partition layout. Streaming sinks and per-ds
+    * incremental writes accrete small files that tax the name node /
+    * object-store listing and per-file scan setup at 100 TB — this is
+    * the standard maintenance pass that fixes it. The rewrite stages
+    * durably to `tmpPath` before replacing the target (same
+    * no-read-your-own-overwrite rule as the L2 merges). */
+  def compact(spark: SparkSession, path: String, tmpPath: String,
+              targetRowsPerFile: Long, partitionCols: Seq[String] = Nil): Unit = {
+    val df = spark.read.parquet(path)
+    val n = df.count()
+    val files = math.max(1, math.ceil(n.toDouble / targetRowsPerFile).toInt)
+    val reshaped =
+      if (partitionCols.nonEmpty)
+        // spread within each partition value, keep the layout
+        df.repartition(files, partitionCols.map(df(_)): _*)
+      else df.repartition(files)
+    reshaped.write.mode("overwrite").parquet(tmpPath)
+    val staged = spark.read.parquet(tmpPath)
+    if (partitionCols.nonEmpty)
+      staged.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
+    else staged.write.mode("overwrite").parquet(path)
+  }
+
   /** CSV sink with header; one file per partition, snappy-less (csv is
     * an interchange format here, not the storage format). */
   def writeCsv(df: DataFrame, path: String): Unit =

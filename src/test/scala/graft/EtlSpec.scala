@@ -106,6 +106,25 @@ class EtlSpec extends SparkSpecBase {
     assert(spark.read.parquet(out).count() == n + other.count())
   }
 
+  test("compaction: file count shrinks, content identical") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    val data = s"$dir/data"
+    // fragment: 64 tiny files
+    val src = Etl.normalize(spark, sfDir).repartition(64)
+    src.write.mode("overwrite").parquet(data)
+    def parquetFiles = new java.io.File(data).listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    val before = parquetFiles
+    assert(before >= 32, s"fragmentation setup produced only $before files")
+    val expected = spark.read.parquet(data).collect()
+      .map(_.toString).sorted
+    Sinks.compact(spark, data, s"$dir/tmp", targetRowsPerFile = 100000L)
+    val after = parquetFiles
+    assert(after < before / 4, s"compaction left $after files (was $before)")
+    val got = spark.read.parquet(data).collect().map(_.toString).sorted
+    assert(got.sameElements(expected), "compaction must preserve content exactly")
+  }
+
   test("csv and json roundtrip with explicit schema") {
     val dir = java.nio.file.Files.createTempDirectory("graft_io").toString
     val df = Etl.schemaEnforce(spark, sfDir)
