@@ -12,6 +12,10 @@ import org.apache.spark.sql.SparkSession
   * portable across engines (the DuckDB oracle runs in UTC).
   */
 object GraftSession {
+  /** One warehouse per JVM (lazy: created on first builder use). */
+  private lazy val warehouseDir: String =
+    java.nio.file.Files.createTempDirectory("graft-warehouse").toString
+
   def builder(master: String = s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]",
               shufflePartitions: Int = 32): SparkSession.Builder =
     SparkSession.builder()
@@ -37,9 +41,10 @@ object GraftSession {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.compression.codec", "snappy")
       .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
-      // managed tables (bucketed sinks) land under tmp, not the cwd
-      .config("spark.sql.warehouse.dir",
-        s"${System.getProperty("java.io.tmpdir")}/graft-warehouse")
+      // managed tables (bucketed sinks) land in a PER-JVM temp dir —
+      // a fixed shared path would let concurrent JVMs clobber each
+      // other's tables and leave stale locations for saveAsTable
+      .config("spark.sql.warehouse.dir", warehouseDir)
       .config("spark.ui.enabled", "false")
 
   def get(): SparkSession = {

@@ -242,9 +242,12 @@ object Dedup {
     *
     * Scale: each iteration is one groupBy over the (undirected) edge
     * list; iterations needed = graph diameter, and near-dup components
-    * are tiny/star-shaped in practice (pairs share a survivor), so the
-    * default cap of 10 covers any realistic corpus. Converges early
-    * when labels stop changing. */
+    * are tiny/star-shaped in practice (pairs share a survivor).
+    * Converges early when labels stop changing; THROWS if the cap is
+    * hit before convergence (silently returning partial labels would
+    * leave several "survivors" in one component — raise maxIters for
+    * pathological chain-shaped graphs). The result is materialized to
+    * a durable temp path so no cached RDDs outlive the call. */
   def pairClusters(pairs: DataFrame, maxIters: Int = 10): DataFrame = {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
@@ -273,8 +276,18 @@ object Dedup {
       converged = changed == 0
       i += 1
     }
+    if (!converged) {
+      edges.unpersist(); labels.unpersist()
+      throw new IllegalStateException(
+        s"pairClusters did not converge in $maxIters iterations — " +
+          "component diameter exceeds the cap; raise maxIters")
+    }
+    // materialize durably, then release every cache this call pinned
+    val tmp = java.nio.file.Files.createTempDirectory("graft_clusters").toString
+    labels.write.mode("overwrite").parquet(tmp)
     edges.unpersist()
-    labels
+    labels.unpersist()
+    pairs.sparkSession.read.parquet(tmp)
   }
 
   /** Corpus minus near-duplicates: every doc keeps its row unless it

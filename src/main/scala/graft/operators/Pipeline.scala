@@ -75,21 +75,8 @@ object Pipeline {
       existing.unionByName(incoming),
       keys = Seq(col("user_id"), col("event_type")),
       orderCol = col("ts"), tiebreak = col("event_id"))
-    val nL2 = stageAndOverwrite(merged, s"$lakeDir/_merge_tmp", l2Path)
+    val nL2 = Sinks.stageAndReplace(merged, s"$lakeDir/_merge_tmp", l2Path,
+      Seq("event_date"))
     DsRunSummary(ds, nNormalized, nL2)
-  }
-
-  /** Write `df` to a durable temp path, then re-read it and
-    * dynamic-overwrite the target partitions — the lineage of the
-    * final write points at the temp files, never at the path being
-    * replaced. Returns the staged row count. Shared by the batch and
-    * streaming (Streams.upsertSink) L2 merges. */
-  private[graft] def stageAndOverwrite(df: DataFrame, tmpPath: String,
-                                       targetPath: String): Long = {
-    val spark = df.sparkSession
-    df.write.mode("overwrite").parquet(tmpPath)
-    val staged = spark.read.parquet(tmpPath)
-    Sinks.writePartitioned(staged, targetPath, Seq("event_date"))
-    staged.count()
   }
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 
 /** Write paths: partitioned parquet with dynamic partition overwrite
@@ -37,29 +38,65 @@ object Sinks {
       .format("parquet")
       .saveAsTable(table)
 
+  /** Stage `df` durably to `tmpPath`, then re-read and overwrite
+    * `targetPath` — the lineage of the final write points at the temp
+    * files, never at the path being replaced (cached blocks are not
+    * durable; recomputation must not scan a half-overwritten target).
+    * Shared by the L2 merges (Pipeline, Streams.upsertSink) and
+    * compact. Returns the staged row count. */
+  def stageAndReplace(df: DataFrame, tmpPath: String, targetPath: String,
+                      partitionCols: Seq[String]): Long = {
+    val spark = df.sparkSession
+    df.write.mode("overwrite").parquet(tmpPath)
+    val staged = spark.read.parquet(tmpPath)
+    if (partitionCols.nonEmpty)
+      staged.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(targetPath)
+    else staged.write.mode("overwrite").parquet(targetPath)
+    staged.count()
+  }
+
   /** Small-file compaction: rewrite a parquet dataset with files
     * sized toward `targetRowsPerFile`, preserving content exactly and
     * (optionally) the partition layout. Streaming sinks and per-ds
     * incremental writes accrete small files that tax the name node /
     * object-store listing and per-file scan setup at 100 TB — this is
-    * the standard maintenance pass that fixes it. The rewrite stages
-    * durably to `tmpPath` before replacing the target (same
-    * no-read-your-own-overwrite rule as the L2 merges). */
+    * the standard maintenance pass that fixes it.
+    *
+    * Partitioned datasets are salted per partition VALUE: each value
+    * gets ceil(its rows / target) output slots, so a 50M-row day
+    * still splits into right-sized files instead of funneling into
+    * one task (repartitioning on the partition columns alone would). */
   def compact(spark: SparkSession, path: String, tmpPath: String,
               targetRowsPerFile: Long, partitionCols: Seq[String] = Nil): Unit = {
-    val df = spark.read.parquet(path)
-    val n = df.count()
-    val files = math.max(1, math.ceil(n.toDouble / targetRowsPerFile).toInt)
-    val reshaped =
-      if (partitionCols.nonEmpty)
-        // spread within each partition value, keep the layout
-        df.repartition(files, partitionCols.map(df(_)): _*)
-      else df.repartition(files)
-    reshaped.write.mode("overwrite").parquet(tmpPath)
+    // durable verbatim copy first (no-read-your-own-overwrite rule);
+    // the reshape must run on the RE-READ frame — shaping before the
+    // staging write would be undone when the scan of the small staged
+    // files coalesces back into few tasks
+    spark.read.parquet(path).write.mode("overwrite").parquet(tmpPath)
     val staged = spark.read.parquet(tmpPath)
-    if (partitionCols.nonEmpty)
-      staged.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
-    else staged.write.mode("overwrite").parquet(path)
+    if (partitionCols.isEmpty) {
+      val n = staged.count()
+      val files = math.max(1, math.ceil(n.toDouble / targetRowsPerFile).toInt)
+      staged.repartition(files).write.mode("overwrite").parquet(path)
+    } else {
+      val keys = partitionCols.map(col)
+      val counts = staged.groupBy(keys: _*)
+        .agg(count(lit(1)).as("__n"))
+        .withColumn("__slots",
+          greatest(lit(1L), ceil(col("__n") / lit(targetRowsPerFile.toDouble))))
+        .drop("__n")
+      // explicit partition count: an expression-only repartition is
+      // fair game for AQE coalescing (tiny test data collapses to one
+      // task and one file per value); a user-specified count is not
+      val totalSlots = counts.agg(sum(col("__slots"))).collect()(0).getLong(0)
+      val nonPart = staged.columns.filterNot(partitionCols.contains)
+      staged.join(broadcast(counts), partitionCols)
+        .withColumn("__salt",
+          pmod(xxhash64(nonPart.map(col): _*), col("__slots")))
+        .repartition(math.max(1, totalSlots).toInt, (keys :+ col("__salt")): _*)
+        .drop("__slots", "__salt")
+        .write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
+    }
   }
 
   /** CSV sink with header; one file per partition, snappy-less (csv is

@@ -114,9 +114,9 @@ object Streams {
             existing.unionByName(batch),
             keys = Seq(col("user_id"), col("event_type"), col("event_date")),
             orderCol = col("ts"), tiebreak = col("event_id"))
-          // durable staging before overwrite — see Pipeline.stageAndOverwrite
-          graft.operators.Pipeline.stageAndOverwrite(
-            merged, s"$l2Path/../_stream_merge_tmp", l2Path)
+          // durable staging before overwrite — see Sinks.stageAndReplace
+          graft.operators.Sinks.stageAndReplace(
+            merged, s"$l2Path/../_stream_merge_tmp", l2Path, Seq("event_date"))
           ()
         }
       }

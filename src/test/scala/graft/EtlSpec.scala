@@ -125,6 +125,25 @@ class EtlSpec extends SparkSpecBase {
     assert(got.sameElements(expected), "compaction must preserve content exactly")
   }
 
+  test("partitioned compaction: per-value salting splits big partitions, content identical") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact_p").toString
+    val data = s"$dir/data"
+    val src = Etl.normalize(spark, sfDir)
+    src.write.mode("overwrite").partitionBy("event_date").parquet(data)
+    val expected = spark.read.parquet(data).collect().map(_.toString).sorted
+    // tiny target forces EVERY partition value to need multiple files
+    Sinks.compact(spark, data, s"$dir/tmp", targetRowsPerFile = 10L,
+      partitionCols = Seq("event_date"))
+    val partDirs = new java.io.File(data).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("event_date="))
+    assert(partDirs.nonEmpty)
+    // a partition with >10 rows must have been split across >1 file
+    val multiFile = partDirs.count(_.listFiles().count(_.getName.endsWith(".parquet")) > 1)
+    assert(multiFile > 0, "per-value salting never split a partition")
+    val got = spark.read.parquet(data).collect().map(_.toString).sorted
+    assert(got.sameElements(expected))
+  }
+
   test("csv and json roundtrip with explicit schema") {
     val dir = java.nio.file.Files.createTempDirectory("graft_io").toString
     val df = Etl.schemaEnforce(spark, sfDir)

@@ -10,9 +10,12 @@ class IngestSpec extends SparkSpecBase {
     import org.apache.spark.sql.functions.{date_format, to_json, struct}
     val dir = java.nio.file.Files.createTempDirectory("graft_rawpath").toString
     // export a slice of the events table as the 'fetched payload'
+    // deterministic slice (an unordered limit could resample different
+    // rows if cache blocks are evicted between materializations)
     val sample = sources.Tables.events(spark, sfDir)
+      .filter(col("event_id") < 200)
       .withColumn("ts_s", date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS"))
-      .limit(200).cache()
+      .cache()
     sample.select(to_json(struct(
         col("event_id"), col("ts_s").as("ts"), col("user_id"),
         col("event_type"), col("value"))).as("value"))

@@ -93,18 +93,9 @@ class PlanSpec extends SparkSpecBase {
   test("bucketed tables join without a shuffle exchange") {
     import org.apache.spark.sql.functions._
     import graft.operators.Sinks
-    Seq("orders_b", "lineitem_b").foreach { t =>
-      spark.sql(s"DROP TABLE IF EXISTS $t")
-      val loc = new java.io.File(
-        s"${System.getProperty("java.io.tmpdir")}/graft-warehouse/$t")
-      if (loc.exists()) {
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) f.listFiles().foreach(rm)
-          f.delete()
-        }
-        rm(loc)
-      }
-    }
+    // warehouse is per-JVM (GraftSession), so dropping the catalog
+    // entry is sufficient cleanup for re-runs within this JVM
+    Seq("orders_b", "lineitem_b").foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
     val ord = sources.Tables.orders(spark, sfDir).select("o_orderkey", "o_custkey", "o_totalprice")
     val li = sources.Tables.lineitem(spark, sfDir).select("l_orderkey", "l_quantity")
     Sinks.writeBucketed(ord, "orders_b", "o_orderkey", 4)
