@@ -26,6 +26,7 @@ object SparkEntry {
     "etl_dq_profile"     -> (Etl.dqProfile(_, _)),
     "etl_schema_enforce" -> (Etl.schemaEnforce(_, _)),
     "etl_incremental_ds" -> ((s, d) => Etl.incrementalDs(s, d)),
+    "sample_deterministic" -> ((s, d) => Etl.sampleDeterministic(s, d)),
     // §2.2 analytics
     "q1_pricing_summary"   -> (Analytics.q1PricingSummary(_, _)),
     "q3_shipping_priority" -> (Analytics.q3ShippingPriority(_, _)),
@@ -74,6 +75,7 @@ object SparkEntry {
     "etl_dq_profile"     -> Etl.dqProfileOracleSql,
     "etl_schema_enforce" -> Etl.schemaEnforceOracleSql,
     "etl_incremental_ds" -> Etl.incrementalDsOracleSql,
+    "sample_deterministic" -> Etl.sampleDeterministicOracleSql,
     "q1_pricing_summary"   -> Analytics.q1OracleSql,
     "q3_shipping_priority" -> Analytics.q3OracleSql,
     "q5_local_supplier"    -> Analytics.q5OracleSql,

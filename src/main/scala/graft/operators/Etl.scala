@@ -209,6 +209,27 @@ object Etl {
       |FROM events
       |GROUP BY 1""".stripMargin
 
+  /** Sampling percentage kept by sampleDeterministic. */
+  val SamplePct = 20
+
+  /** Deterministic hash-bucket sampling: keep rows whose md5(key)
+    * bucket falls under the rate. Unlike rand()-based sample(), the
+    * selection is a pure function of the key — reproducible across
+    * runs, engines, partitionings, and retries, and consistent for
+    * the same key across tables (the property training-data corpus
+    * cuts need: re-running a pipeline selects the SAME subset). */
+  def sampleDeterministic(spark: SparkSession, dir: String, pct: Int = SamplePct): DataFrame = {
+    val bucket = conv(substring(
+      md5(col("doc_id").cast("string").cast("binary")), 1, 8), 16, 10)
+      .cast("bigint") % 100
+    Tables.documents(spark, dir).filter(bucket < pct)
+  }
+
+  val sampleDeterministicOracleSql: String =
+    s"""SELECT * FROM documents
+       |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) % 100
+       |      < $SamplePct""".stripMargin
+
   /** Per-`ds` incremental slice: the reference's whole DAG runs one
     * `ds` partition at a time (backfill-safe). The date filter is a
     * parquet-pushable predicate; combined with the dynamic-overwrite

@@ -106,6 +106,19 @@ class EtlSpec extends SparkSpecBase {
     assert(spark.read.parquet(out).count() == n + other.count())
   }
 
+  test("deterministic sampling: reproducible, rate-bounded, monotone in rate") {
+    val a = Etl.sampleDeterministic(spark, sfDir).collect().map(_.getLong(0)).toSet
+    val b = Etl.sampleDeterministic(spark, sfDir).collect().map(_.getLong(0)).toSet
+    assert(a == b, "same key set must be selected on every run")
+    val total = sources.Tables.documents(spark, sfDir).count().toDouble
+    assert(a.size / total > 0.10 && a.size / total < 0.30,
+      s"20% hash sample came out at ${a.size / total}")
+    // raising the rate only ADDS keys (bucket predicate is monotone)
+    val wider = Etl.sampleDeterministic(spark, sfDir, pct = 50)
+      .collect().map(_.getLong(0)).toSet
+    assert(a.subsetOf(wider))
+  }
+
   test("compaction: file count shrinks, content identical") {
     val dir = java.nio.file.Files.createTempDirectory("graft_compact").toString
     val data = s"$dir/data"
