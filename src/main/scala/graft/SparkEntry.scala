@@ -102,9 +102,9 @@ object SparkEntry {
     "text_tokens"  -> TextAnalysis.textTokensOracleSql,
     "text_quality" -> TextAnalysis.textQualityOracleSql,
     "text_tfidf"   -> TextAnalysis.textTfidfOracleSql,
-    // §2.6 multimodal (feature_extract is rows-only: the stubbed
-    // decode isn't SQL-expressible; MultimodalSpec checks determinism)
-    "mm_binary_meta" -> Multimodal.binaryMetaOracleSql,
+    // §2.6 multimodal
+    "mm_binary_meta"     -> Multimodal.binaryMetaOracleSql,
+    "mm_feature_extract" -> Multimodal.featureExtractOracleSql,
     // §2.7 streaming batch twins
     "stream_windowed_agg" -> graft.streaming.Streams.windowedAggOracleSql,
     "stream_dedupe"       -> graft.streaming.Streams.keepFirstOracleSql

@@ -51,18 +51,25 @@ object Multimodal {
   /** Feature width the (stub) decoder emits. */
   val FeatureDim = 8
 
-  /** Deterministic fake "decode": derives FeatureDim floats from the
-    * payload bytes. STUB — a real deployment swaps this body for an
-    * image/audio decode + model forward pass; the function signature
-    * (bytes in, fixed-width float features + dims out) is the
-    * contract the Spark plumbing is built against. */
-  private[operators] def stubDecode(bytes: Array[Byte]): (Array[Float], Int, Int) = {
-    val feats = Array.tabulate(FeatureDim) { i =>
+  /** Deterministic fake "decode", integer core: one strided 64-bit
+    * polynomial hash per feature lane over the payload bytes. STUB —
+    * a real deployment swaps this for an image/audio decode + model
+    * forward pass; the signature (bytes in, fixed-width features out)
+    * is the contract the Spark plumbing is built against. Kept as
+    * plain wrapping-long arithmetic so the DuckDB oracle can replay
+    * it bit-exactly (HUGEINT mod-2^64 fold over the same bytes). */
+  private[operators] def stubDecodeHashes(bytes: Array[Byte]): Array[Long] =
+    Array.tabulate(FeatureDim) { i =>
       var h = 1125899906842597L + i
       var j = i
       while (j < bytes.length) { h = h * 31 + bytes(j); j += FeatureDim }
-      (h % 1000).toFloat / 1000f
+      h
     }
+
+  /** Float-vector form of the stub decode — the `Array[Float]`
+    * embedding shape a real model head would emit. */
+  private[operators] def stubDecode(bytes: Array[Byte]): (Array[Float], Int, Int) = {
+    val feats = stubDecodeHashes(bytes).map(h => (h % 1000).toFloat / 1000f)
     // fake spatial dims from the payload size
     (feats, bytes.length % 640, bytes.length % 480)
   }
@@ -71,7 +78,14 @@ object Multimodal {
     * mapPartitions pass (the per-partition batch shape a vectorized
     * decoder needs — amortized model/codec init per partition, not per
     * row), emitting a fixed-schema feature frame. Partitioning of the
-    * input is preserved; no shuffle. */
+    * input is preserved; no shuffle.
+    *
+    * Output schema is FLAT scalars (`feature_0..feature_{FeatureDim-1}`
+    * doubles) — a vector column stays internal (`featureExtractVec`)
+    * because flat scalars are what cross-engine comparison and
+    * column-pruned downstream reads want. Each feature is
+    * (h mod 1000)/1000 as an exact IEEE division, so Spark and the
+    * DuckDB oracle produce identical doubles with no rounding step. */
   def featureExtract(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val src = Tables.documents(spark, dir)
@@ -81,9 +95,57 @@ object Multimodal {
       // per-partition init happens HERE (decoder/model handle in a
       // real pipeline) — amortized across the whole batch
       batch.map { case (id, bytes) =>
+        val f = stubDecodeHashes(bytes).map(h => (h % 1000).toDouble / 1000.0)
+        (id, bytes.length, bytes.length % 640, bytes.length % 480,
+          f(0), f(1), f(2), f(3), f(4), f(5), f(6), f(7))
+      }
+    }.toDF("doc_id" +: "n_bytes" +: "width" +: "height" +:
+      (0 until FeatureDim).map(i => s"feature_$i"): _*)
+  }
+
+  /** Vector form of the extraction (`features array<float>`) — the
+    * internal shape similarity/dedup stages consume directly. */
+  def featureExtractVec(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val src = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text").cast("binary").as("content"))
+      .as[(Long, Array[Byte])]
+    src.mapPartitions { batch =>
+      batch.map { case (id, bytes) =>
         val (feats, w, h) = stubDecode(bytes)
         (id, bytes.length, w, h, feats)
       }
     }.toDF("doc_id", "n_bytes", "width", "height", "features")
+  }
+
+  /** DuckDB replay of the stub decode: UTF-8 bytes via hex pairs,
+    * per-lane strided fold with explicit mod-2^64 wrap (HUGEINT), then
+    * the same (h mod 1000)/1000 division. Validated byte-exact against
+    * the Scala path (Java sign semantics for % match DuckDB's). */
+  val featureExtractOracleSql: String = {
+    val featExprs = (0 until FeatureDim).map { i =>
+      s"""  CAST(list_reduce(list_prepend(CAST(${1125899906842597L + i} AS HUGEINT),
+         |    list_transform(generate_series(${i + 1}, n, $FeatureDim), j -> CAST(bytes[j] AS HUGEINT))),
+         |    (acc, x) -> ((acc*31 + x + CAST('9223372036854775808' AS HUGEINT)) % CAST('18446744073709551616' AS HUGEINT)
+         |      + CAST('18446744073709551616' AS HUGEINT)) % CAST('18446744073709551616' AS HUGEINT)
+         |      - CAST('9223372036854775808' AS HUGEINT)) % 1000 AS DOUBLE) / 1000.0 AS feature_$i""".stripMargin
+    }.mkString(",\n")
+    s"""WITH b AS (
+       |  SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n FROM documents
+       |), by AS (
+       |  SELECT doc_id, n,
+       |    list_transform(generate_series(1, n), j ->
+       |      CASE WHEN 16*(strpos('0123456789ABCDEF', substr(hx, 2*j-1, 1))-1)
+       |              + (strpos('0123456789ABCDEF', substr(hx, 2*j, 1))-1) >= 128
+       |           THEN 16*(strpos('0123456789ABCDEF', substr(hx, 2*j-1, 1))-1)
+       |              + (strpos('0123456789ABCDEF', substr(hx, 2*j, 1))-1) - 256
+       |           ELSE 16*(strpos('0123456789ABCDEF', substr(hx, 2*j-1, 1))-1)
+       |              + (strpos('0123456789ABCDEF', substr(hx, 2*j, 1))-1) END) AS bytes
+       |  FROM b
+       |)
+       |SELECT doc_id, CAST(n AS INTEGER) AS n_bytes, CAST(n % 640 AS INTEGER) AS width,
+       |  CAST(n % 480 AS INTEGER) AS height,
+       |$featExprs
+       |FROM by""".stripMargin
   }
 }

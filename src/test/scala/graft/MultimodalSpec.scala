@@ -49,16 +49,34 @@ class MultimodalSpec extends SparkSpecBase {
 
   test("feature extract: fixed-width deterministic features, one row per doc") {
     val n = sources.Tables.documents(spark, sfDir).count()
-    val a = Multimodal.featureExtract(spark, sfDir).collect()
+    val a = Multimodal.featureExtractVec(spark, sfDir).collect()
     assert(a.length == n)
     a.foreach { r =>
       assert(r.getSeq[Float](4).length == Multimodal.FeatureDim)
       assert(r.getInt(1) > 0)
     }
     // deterministic across runs (stub decode is pure)
-    val b = Multimodal.featureExtract(spark, sfDir).collect()
+    val b = Multimodal.featureExtractVec(spark, sfDir).collect()
     val am = a.map(r => r.getLong(0) -> r.getSeq[Float](4)).toMap
     val bm = b.map(r => r.getLong(0) -> r.getSeq[Float](4)).toMap
     assert(am == bm)
+  }
+
+  test("feature extract: flat driver schema agrees with the vector form") {
+    val flat = Multimodal.featureExtract(spark, sfDir)
+    assert(flat.columns.toSeq ==
+      Seq("doc_id", "n_bytes", "width", "height") ++
+        (0 until Multimodal.FeatureDim).map(i => s"feature_$i"))
+    val fm = flat.collect().map { r =>
+      r.getLong(0) -> (0 until Multimodal.FeatureDim).map(i => r.getDouble(4 + i))
+    }.toMap
+    val vm = Multimodal.featureExtractVec(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](4)).toMap
+    assert(fm.keySet == vm.keySet)
+    fm.foreach { case (id, fs) =>
+      fs.zip(vm(id)).foreach { case (d, f) =>
+        assert(math.abs(d - f) < 1e-6, s"doc $id: flat $d vs vec $f")
+      }
+    }
   }
 }
