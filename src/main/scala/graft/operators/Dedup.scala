@@ -91,10 +91,43 @@ object Dedup {
         array_distinct(transform(TH.shingles(w, 3), s => xxhash64(s))).as("tg"))
   }
 
-  private def jaccard(a: Column, b: Column): Column = {
-    val inter = size(array_intersect(a, b))
-    inter.cast("double") / (size(a) + size(b) - inter).cast("double")
+  /** Exact-Jaccard verification of candidate pairs against the hashed
+    * trigram sets, WITHOUT carrying the trigram arrays through joins:
+    * intersection sizes come from counting matching (doc, shingle)
+    * posting rows per pair — map-side partial counts, 8-byte join
+    * keys — and set sizes ride as two ints. A PPJoin length filter
+    * (J >= tau forces tau·|b| <= |a| <= |b|/tau, since the
+    * intersection is at most min(|a|,|b|)) kills size-incompatible
+    * pairs before they fan out to posting rows. Pairs with an empty
+    * intersection drop out of the inner join — correct, as their
+    * Jaccard is 0 < tau. `tri` is persisted by the callers, so the
+    * posting/size branches here reuse the one materialization. */
+  private def verifyJaccard(cand: DataFrame, tri: DataFrame, tau: Double): DataFrame = {
+    val posting = tri.select(col("doc_id"), explode(col("tg")).as("t"))
+    val sizes = tri.select(col("doc_id"), size(col("tg")).as("s"))
+    val compat = cand
+      .join(sizes.select(col("doc_id").as("doc_a"), col("s").as("sa")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("s").as("sb")), "doc_b")
+      .filter(col("sa") >= lit(tau) * col("sb") && col("sb") >= lit(tau) * col("sa"))
+    compat
+      .join(posting.select(col("doc_id").as("doc_a"), col("t")), "doc_a")
+      .join(posting.select(col("doc_id").as("doc_b"), col("t")), Seq("doc_b", "t"))
+      .groupBy(col("doc_a"), col("doc_b"), col("sa"), col("sb"))
+      .agg(count(lit(1)).as("inter"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("inter").cast("double") /
+          (col("sa") + col("sb") - col("inter")).cast("double")).as("jaccard"))
+      .filter(col("jaccard") >= tau)
   }
+
+  /** Persisted trigram sets: the near-dup queries reference the
+    * trigram derivation from several plan branches (document
+    * frequencies, prefix index, both verify sides); persisting the
+    * one frame computes the split+hash work once per query instead of
+    * once per branch. Spilled to disk if it outgrows memory; the
+    * ContextCleaner drops the blocks once the frame is unreachable. */
+  private def persistedTrigramSets(docs: DataFrame): DataFrame =
+    trigramSets(docs).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
   /** Near-dup pairs by word-trigram Jaccard >= tau.
     *
@@ -108,7 +141,7 @@ object Dedup {
     ngramJaccardOn(Tables.documents(spark, dir), tau)
 
   def ngramJaccardOn(docs: DataFrame, tau: Double = JaccardTau): DataFrame = {
-    val tri = trigramSets(docs)
+    val tri = persistedTrigramSets(docs)
     val posting = tri.select(col("doc_id"), size(col("tg")).as("s"),
       explode(col("tg")).as("t"))
     val docFreq = posting.groupBy("t").agg(count(lit(1)).as("df"))
@@ -116,18 +149,17 @@ object Dedup {
       .withColumn("rk", row_number().over(
         Window.partitionBy("doc_id").orderBy(col("df"), col("t"))))
       .filter(col("rk") <= col("s") - ceil(lit(tau) * col("s")) + 1)
-      .select("doc_id", "t")
+      .select("doc_id", "s", "t")
     val cand = prefix.as("x")
       .join(prefix.as("y"),
-        col("x.t") === col("y.t") && col("x.doc_id") < col("y.doc_id"))
+        col("x.t") === col("y.t") && col("x.doc_id") < col("y.doc_id") &&
+          // PPJoin length filter BEFORE the dedup shuffle: pairs whose
+          // set sizes alone cap Jaccard under tau never ride distinct()
+          col("x.s") >= lit(tau) * col("y.s") &&
+          col("y.s") >= lit(tau) * col("x.s"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    cand
-      .join(tri.select(col("doc_id").as("doc_a"), col("tg").as("tga")), "doc_a")
-      .join(tri.select(col("doc_id").as("doc_b"), col("tg").as("tgb")), "doc_b")
-      .select(col("doc_a"), col("doc_b"),
-        jaccard(col("tga"), col("tgb")).as("jaccard"))
-      .filter(col("jaccard") >= tau)
+    verifyJaccard(cand, tri, tau)
   }
 
   val ngramJaccardOracleSql: String =
@@ -153,7 +185,7 @@ object Dedup {
     minhashLshOn(Tables.documents(spark, dir), tau)
 
   def minhashLshOn(docs: DataFrame, tau: Double = JaccardTau): DataFrame = {
-    val tri = trigramSets(docs)
+    val tri = persistedTrigramSets(docs)
     // exploded postings -> one minhash_sketch aggregate (custom
     // TypedImperativeAggregate: one base hash per shingle + k derived
     // mult-add permutations into a primitive long[k] buffer; shuffle
@@ -170,12 +202,7 @@ object Dedup {
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    cand
-      .join(tri.select(col("doc_id").as("doc_a"), col("tg").as("tga")), "doc_a")
-      .join(tri.select(col("doc_id").as("doc_b"), col("tg").as("tgb")), "doc_b")
-      .select(col("doc_a"), col("doc_b"),
-        jaccard(col("tga"), col("tgb")).as("jaccard"))
-      .filter(col("jaccard") >= tau)
+    verifyJaccard(cand, tri, tau)
   }
 
   /** SimHash near-dup pairs (rows-only): 64-bit signature over word
