@@ -86,11 +86,13 @@ object SparkEntry {
     "q_semi_anti"          -> Analytics.qSemiAntiOracleSql,
     "q_skew_topk"          -> Analytics.qSkewTopkOracleSql,
     "q_events_sessionize"  -> Analytics.qEventsSessionizeOracleSql,
-    // §2.3 dedup (minhash_lsh / simhash are rows-only: signatures are
-    // not SQL-expressible; DedupSpec verifies them against brute force)
+    // §2.3 dedup (minhash_lsh is rows-only: the minhash_sketch
+    // aggregate is not SQL-expressible; DedupSpec verifies it against
+    // brute force)
     "dedup_exact"            -> Dedup.exactOracleSql,
     "dedup_exact_normalized" -> Dedup.exactNormalizedOracleSql,
     "dedup_ngram_jaccard"    -> Dedup.ngramJaccardOracleSql,
+    "dedup_simhash"          -> Dedup.simhashOracleSql,
     "dedup_embedding_cosine" -> Dedup.embeddingCosineOracleSql,
     // §2.4 similarity (knn_lsh is rows-only: approximate by design;
     // SimilaritySpec asserts recall against the exact scan)

@@ -205,14 +205,23 @@ object Dedup {
     verifyJaccard(cand, tri, tau)
   }
 
-  /** SimHash near-dup pairs (rows-only): 64-bit signature over word
-    * tokens, candidates from 16-bit-chunk equality (complete for
-    * Hamming <= 3), verified by exact Hamming distance. */
-  /** (doc_id, simhash) signatures for any (doc_id, text) frame. */
+  /** SimHash near-dup pairs: 64-bit signature over word tokens,
+    * candidates from 16-bit-chunk equality (complete for Hamming <= 3),
+    * verified by exact Hamming distance. */
+  /** (doc_id, simhash) signatures for any (doc_id, text) frame.
+    * The 64-bit token hash is the first 16 hex chars of md5 — an
+    * engine-portable hash (unlike xxhash64), so the whole signature,
+    * chunk join, and Hamming verify replay bit-exactly in the DuckDB
+    * oracle. Two 32-bit conv() halves because conv()->bigint of 16 hex
+    * chars would overflow; the shift-or reinterprets them as one
+    * signed 64-bit value. */
   def simhashSignatures(docs: DataFrame): DataFrame = {
+    val hx = md5(col("t").cast("binary"))
+    val h64 = shiftleft(conv(substring(hx, 1, 8), 16, 10).cast("bigint"), 32)
+      .bitwiseOR(conv(substring(hx, 9, 8), 16, 10).cast("bigint"))
     val tok = docs
       .select(col("doc_id"), explode(TH.words(col("text"))).as("t"))
-      .select(col("doc_id"), xxhash64(col("t")).as("h"))
+      .select(col("doc_id"), h64.as("h"))
     val bits = TH.simhashBitAggs(col("h"))
     tok.groupBy("doc_id").agg(bits.head, bits.tail: _*)
       .select(col("doc_id"), TH.packSimhash.as("sh"))
@@ -237,6 +246,47 @@ object Dedup {
       // shuffle just to be dropped after it
       .filter(col("hamming") <= MaxHamming)
       .distinct()
+  }
+
+  /** DuckDB replay of the full simhash pipeline: md5-derived 64-bit
+    * token hashes (UBIGINT carries the same bit pattern Spark's signed
+    * long does), 64 per-bit sign balances, MSB-identical packing,
+    * 16-bit chunk join, Hamming filter. bit >= 0 ties and the
+    * chunk-join completeness argument match the Scala path exactly. */
+  val simhashOracleSql: String = {
+    val balances = (0 until 64).map { b =>
+      s"    SUM(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS bit_$b"
+    }.mkString(",\n")
+    // literal powers of two: DuckDB's << range-errors at bit 63 even
+    // on UBIGINT, so the pack adds precomputed constants instead
+    val pack = (0 until 64).map { b =>
+      val pow2 = java.math.BigInteger.ONE.shiftLeft(b)
+      s"(CASE WHEN bit_$b >= 0 THEN CAST('$pow2' AS UBIGINT) ELSE CAST(0 AS UBIGINT) END)"
+    }.mkString(" +\n      ")
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+       |), th AS (
+       |  SELECT doc_id,
+       |    CAST(('0x' || substr(md5(t), 1, 8)) AS UBIGINT) * 4294967296
+       |      + CAST(('0x' || substr(md5(t), 9, 8)) AS UBIGINT) AS h
+       |  FROM tok
+       |), bal AS (
+       |  SELECT doc_id,
+       |$balances
+       |  FROM th GROUP BY doc_id
+       |), sig AS (
+       |  SELECT doc_id,
+       |      $pack AS sh
+       |  FROM bal
+       |), chunks AS (
+       |  SELECT doc_id, sh, c.i AS chunk_idx, (sh >> (16*c.i)) & 65535 AS chunk
+       |  FROM sig CROSS JOIN (VALUES (0),(1),(2),(3)) c(i)
+       |)
+       |SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+       |  CAST(bit_count(xor(x.sh, y.sh)) AS INTEGER) AS hamming
+       |FROM chunks x JOIN chunks y
+       |  ON x.chunk_idx = y.chunk_idx AND x.chunk = y.chunk AND x.doc_id < y.doc_id
+       |WHERE bit_count(xor(x.sh, y.sh)) <= $MaxHamming""".stripMargin
   }
 
   /** Embedding near-dup pairs: cosine >= tau over the full pair space.
