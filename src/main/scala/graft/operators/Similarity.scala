@@ -219,18 +219,26 @@ object Similarity {
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"), col("cosine"))
   }
 
-  /** Assign each vector to its nearest (max-cosine) centroid. */
+  /** Assign each vector to its nearest (max-cosine) centroid: one
+    * max_by aggregate instead of a row_number window — the window form
+    * shuffled corpus×cells rows and sorted them per vector; the
+    * aggregate's map-side partials collapse each vector's cell
+    * candidates (co-located by the broadcast join) to one row BEFORE
+    * the exchange, so the shuffle carries corpus-sized, not
+    * corpus×cells-sized, data. Tie-break matches the window form
+    * (highest sim, then lowest cell id — hence the negated cell in the
+    * ordering struct). */
   private def assignNearest(v: DataFrame, centroids: DataFrame,
-                            cellCol: String, ceCol: String, cnCol: String): DataFrame = {
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("sim").desc, col(cellCol))
+                            cellCol: String, ceCol: String, cnCol: String): DataFrame =
     v.join(centroids)
       .withColumn("sim", V.cosineWithNorms(
         V.dot(col("e"), col(ceCol)), col("nrm"), col(cnCol)))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") === 1)
-      .select(col("vec_id"), col("e"), col("nrm"), col(cellCol))
-  }
+      .groupBy(col("vec_id"))
+      .agg(max_by(
+        struct(col("e").as("e"), col("nrm").as("nrm"), col(cellCol).as("cell")),
+        struct(col("sim").as("sim"), (-col(cellCol)).as("neg_cell"))).as("best"))
+      .select(col("vec_id"), col("best.e").as("e"), col("best.nrm").as("nrm"),
+        col("best.cell").as(cellCol))
 
   /** LSH tables: `Tables_` hyperplane groups of `BitsPerTable` planes. */
   val LshTables = 8

@@ -83,6 +83,17 @@ class PlanSpec extends SparkSpecBase {
     assert(p.contains("Exchange") || p.contains("Window"))
   }
 
+  test("knn ivf: cell assignment aggregates, it does not window-sort") {
+    val p = plan(graft.operators.Similarity.knnIvf(spark, sfDir))
+    // two windows remain by design (query->probe-cells ranking and the
+    // final top-k); the two corpus-sized nearest-cell assignments must
+    // plan as max_by aggregates, not per-vector row_number windows
+    // count Window operator nodes (not WindowGroupLimit helper nodes)
+    assert("Window \\[".r.findAllIn(p).size <= 2,
+      s"corpus-sized assignment regressed to a window sort:\n$p")
+    assert(p.contains("max_by"), s"expected max_by assignment:\n$p")
+  }
+
   test("native expressions stay inside whole-stage codegen") {
     val p = finalPlan(graft.operators.TextAnalysis.textFingerprint(spark, sfDir))
     assert(p.contains("WholeStageCodegen") || p.contains("*("),
