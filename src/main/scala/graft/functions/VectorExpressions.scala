@@ -14,7 +14,12 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * nothing in the produced bits, only the cost per pair. */
 object VecDot {
   def dot(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    // fail loudly on ragged input: silently folding min(len) would
+    // return a plausible-but-wrong cosine for a mis-dimensioned corpus
+    if (b.numElements() != n)
+      throw new IllegalArgumentException(
+        s"vec_dot: dimension mismatch ($n vs ${b.numElements()})")
     var acc = 0.0
     var i = 0
     while (i < n) { acc += a.getDouble(i) * b.getDouble(i); i += 1 }

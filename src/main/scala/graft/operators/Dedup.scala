@@ -359,8 +359,10 @@ object Dedup {
         s"pairClusters did not converge in $maxIters iterations — " +
           "component diameter exceeds the cap; raise maxIters")
     }
-    // materialize durably, then release every cache this call pinned
-    val tmp = java.nio.file.Files.createTempDirectory("graft_clusters").toString
+    // materialize durably (scratch dir is reclaimed at JVM exit — the
+    // returned frame's lineage reads these files), then release every
+    // cache this call pinned
+    val tmp = Scratch.dir("graft_clusters")
     labels.write.mode("overwrite").parquet(tmp)
     edges.unpersist()
     labels.unpersist()

@@ -41,20 +41,21 @@ object Ingest {
   /** Parse a raw-zone slice with an explicit schema (never inferred —
     * inference is an extra full scan at scale and nondeterministic
     * under dirty data). Malformed payloads yield null columns, not
-    * job failures — inspect `_corrupt` to quarantine them. */
+    * job failures — inspect `_corrupt` to quarantine them.
+    *
+    * Corruption is reported by the PARSER (PERMISSIVE mode's
+    * corrupt-record column), not inferred from the parsed values: a
+    * payload of `{}` or `{"k": null}` produces an all-null struct that
+    * is legitimately non-corrupt, which a to_json-roundtrip check
+    * would misclassify (to_json drops null fields). */
   def parseRaw(spark: SparkSession, rawPath: String, ds: String,
                payloadSchema: StructType): DataFrame = {
     val raw = spark.read.parquet(rawPath).filter(col("ds") === ds)
-    // parse ONCE in its own projection; _corrupt derives from the
-    // parsed struct. (CollapseProject keeps non-cheap expressions like
-    // from_json un-inlined when referenced more than once, so the
-    // payload really is parsed a single time per row.)
-    raw.select(col("ds"), col("source"), col("ingest_id"), col("payload"),
-        from_json(col("payload"), payloadSchema).as("rec"))
-      .select(col("ds"), col("source"), col("ingest_id"),
-        col("rec"),
-        when(col("rec").isNull || to_json(col("rec")) === lit("{}"),
-          col("payload")).as("_corrupt"))
-      .select(col("ds"), col("source"), col("ingest_id"), col("rec.*"), col("_corrupt"))
+    val parseSchema = payloadSchema.add("_corrupt", org.apache.spark.sql.types.StringType)
+    raw.select(col("ds"), col("source"), col("ingest_id"),
+        from_json(col("payload"), parseSchema, Map(
+          "mode" -> "PERMISSIVE",
+          "columnNameOfCorruptRecord" -> "_corrupt")).as("rec"))
+      .select(col("ds"), col("source"), col("ingest_id"), col("rec.*"))
   }
 }

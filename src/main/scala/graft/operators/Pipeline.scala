@@ -27,20 +27,30 @@ object Pipeline {
   case class DsRunSummary(ds: String, nNormalized: Long, nL2: Long)
 
   /** DQ gate for a normalized batch: non-empty, no null keys or
-    * timestamps, no duplicate event ids. */
-  private def dqGate(batch: DataFrame, ds: String): Long = {
+    * timestamps, no duplicate event ids, and the metric column must
+    * carry at least one real (non-null, non-NaN) observation — a batch
+    * whose metric is ENTIRELY missing is a broken extract, not data
+    * (reference behavior: normalize_open_meteo_to_parquet.py:94-96
+    * rejects an all-NaN metric outright). */
+  private[graft] def dqGate(batch: DataFrame, ds: String,
+                            metricCol: String = "value"): Long = {
     val row = batch.agg(
       count(lit(1)).as("n"),
       // coalesce: SUM over an empty batch is NULL, and the empty batch
       // is exactly the case the gate must catch, not crash on
       coalesce(sum(when(col("event_id").isNull || col("ts").isNull, 1L).otherwise(0L)),
         lit(0L)).as("null_keys"),
-      (count(lit(1)) - countDistinct(col("event_id"))).as("dup_ids")
+      (count(lit(1)) - countDistinct(col("event_id"))).as("dup_ids"),
+      coalesce(sum(when(col(metricCol).isNotNull && !isnan(col(metricCol)), 1L)
+        .otherwise(0L)), lit(0L)).as("real_metrics")
     ).collect()(0)
-    val (n, nullKeys, dupIds) = (row.getLong(0), row.getLong(1), row.getLong(2))
+    val (n, nullKeys, dupIds, realMetrics) =
+      (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3))
     if (n == 0L) throw new DataQualityException(s"ds=$ds: empty batch")
     if (nullKeys > 0L) throw new DataQualityException(s"ds=$ds: $nullKeys null keys")
     if (dupIds > 0L) throw new DataQualityException(s"ds=$ds: $dupIds duplicate event ids")
+    if (realMetrics == 0L) throw new DataQualityException(
+      s"ds=$ds: metric '$metricCol' is entirely null/NaN across $n rows")
     n
   }
 
@@ -75,8 +85,12 @@ object Pipeline {
       existing.unionByName(incoming),
       keys = Seq(col("user_id"), col("event_type")),
       orderCol = col("ts"), tiebreak = col("event_id"))
-    val nL2 = Sinks.stageAndReplace(merged, s"$lakeDir/_merge_tmp", l2Path,
-      Seq("event_date"))
+    // per-run unique staging path: concurrent pipelines sharing a lake
+    // dir must never clobber each other's staging (stageAndReplace
+    // deletes it when done)
+    val runId = java.util.UUID.randomUUID().toString.take(8)
+    val nL2 = Sinks.stageAndReplace(merged, s"$lakeDir/_merge_tmp_${ds}_$runId",
+      l2Path, Seq("event_date"))
     DsRunSummary(ds, nNormalized, nL2)
   }
 }

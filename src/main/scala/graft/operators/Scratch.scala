@@ -1,0 +1,47 @@
+package graft.operators
+
+import java.nio.file.{Files, Path}
+
+/** JVM-lifetime scratch directories. Operators that must materialize
+  * an intermediate frame durably (e.g. [[Dedup.pairClusters]]) used to
+  * leak one temp directory per call; directories created here are
+  * registered once with a shutdown hook that deletes them recursively,
+  * so repeated runs inside one JVM clean up after themselves. Deletion
+  * is deferred to JVM exit on purpose — the caller returns a lazy
+  * DataFrame whose scan lineage points at the scratch files.
+  */
+private[graft] object Scratch {
+
+  private val registered = new java.util.concurrent.ConcurrentLinkedQueue[Path]()
+  @volatile private var hooked = false
+
+  private def ensureHook(): Unit = if (!hooked) synchronized {
+    if (!hooked) {
+      Runtime.getRuntime.addShutdownHook(new Thread(() => drain(), "graft-scratch-cleanup"))
+      hooked = true
+    }
+  }
+
+  private def drain(): Unit = {
+    var p = registered.poll()
+    while (p != null) { deleteRecursively(p); p = registered.poll() }
+  }
+
+  private def deleteRecursively(p: Path): Unit =
+    try {
+      if (Files.isDirectory(p)) {
+        val children = Files.list(p)
+        try children.forEach(c => deleteRecursively(c))
+        finally children.close()
+      }
+      Files.deleteIfExists(p)
+    } catch { case _: java.io.IOException => () } // best-effort on exit
+
+  /** A fresh scratch directory, deleted recursively at JVM exit. */
+  def dir(prefix: String): String = {
+    ensureHook()
+    val p = Files.createTempDirectory(prefix)
+    registered.add(p)
+    p.toString
+  }
+}

@@ -268,16 +268,24 @@ object Similarity {
     * bucketed once per table; each query only scores candidates that
     * share a bucket in at least one table. Candidate generation joins
     * on (table, bucket) — a bounded equi-join, never a cross join.
-    * Recall vs the exact scan is asserted in SimilaritySpec. */
-  def knnLsh(spark: SparkSession, dir: String, k: Int = K, dim: Int = 64): DataFrame =
+    * Recall vs the exact scan is asserted in SimilaritySpec.
+    *
+    * `dim` <= 0 (the default) derives the hyperplane dimensionality
+    * from the data at plan time — the planes MUST match the actual
+    * embedding width, or the sign bits would silently hash a prefix
+    * of each vector (vec_dot now also throws on ragged input). */
+  def knnLsh(spark: SparkSession, dir: String, k: Int = K, dim: Int = 0): DataFrame =
     knnLshOn(Tables.embeddings(spark, dir), k, dim)
 
-  def knnLshOn(vectors: DataFrame, k: Int = K, dim: Int = 64): DataFrame = {
+  def knnLshOn(vectors: DataFrame, k: Int = K, dim: Int = 0): DataFrame = {
+    val planeDim =
+      if (dim > 0) dim
+      else vectors.select(size(col("embedding"))).head().getInt(0)
     val v = vectors
       .select(col("vec_id"), V.toDouble(col("embedding")).as("e"))
       .withColumn("nrm", V.l2Norm(col("e")))
     val bucketed = v.select(col("vec_id"),
-      posexplode(array((0 until LshTables).map(t => bucketCol(col("e"), dim, t)): _*))
+      posexplode(array((0 until LshTables).map(t => bucketCol(col("e"), planeDim, t)): _*))
         .as(Seq("tbl", "bucket")))
     val queryBuckets = broadcast(bucketed.filter(col("vec_id") < NQueries)
       .select(col("vec_id").as("query_id"), col("tbl"), col("bucket")))

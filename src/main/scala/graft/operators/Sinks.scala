@@ -42,8 +42,10 @@ object Sinks {
     * `targetPath` — the lineage of the final write points at the temp
     * files, never at the path being replaced (cached blocks are not
     * durable; recomputation must not scan a half-overwritten target).
-    * Shared by the L2 merges (Pipeline, Streams.upsertSink) and
-    * compact. Returns the staged row count. */
+    * Shared by the L2 merges (Pipeline, Streams.upsertSink). Returns
+    * the staged row count; the staging directory is deleted before
+    * returning (callers should pass a per-run unique `tmpPath` so
+    * concurrent pipelines sharing a lake dir never collide). */
   def stageAndReplace(df: DataFrame, tmpPath: String, targetPath: String,
                       partitionCols: Seq[String]): Long = {
     val spark = df.sparkSession
@@ -52,7 +54,10 @@ object Sinks {
     if (partitionCols.nonEmpty)
       staged.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(targetPath)
     else staged.write.mode("overwrite").parquet(targetPath)
-    staged.count()
+    val n = staged.count()
+    val hp = new org.apache.hadoop.fs.Path(tmpPath)
+    hp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(hp, true)
+    n
   }
 
   /** Small-file compaction: rewrite a parquet dataset with files
@@ -68,19 +73,21 @@ object Sinks {
     * one task (repartitioning on the partition columns alone would). */
   def compact(spark: SparkSession, path: String, tmpPath: String,
               targetRowsPerFile: Long, partitionCols: Seq[String] = Nil): Unit = {
-    // durable verbatim copy first (no-read-your-own-overwrite rule);
-    // the reshape must run on the RE-READ frame — shaping before the
-    // staging write would be undone when the scan of the small staged
-    // files coalesces back into few tasks
-    spark.read.parquet(path).write.mode("overwrite").parquet(tmpPath)
-    val staged = spark.read.parquet(tmpPath)
+    // write the compacted copy to tmpPath (the source path is only
+    // ever READ — no read-your-own-overwrite hazard), then swap via
+    // delete + rename. The primary is in a deleted state only for the
+    // duration of a directory rename, and a crash inside that window
+    // is recoverable: tmpPath holds the complete compacted dataset
+    // (recovery = rename it to `path`). This also writes the data once
+    // instead of the previous stage-then-rewrite's twice.
+    val src = spark.read.parquet(path)
     if (partitionCols.isEmpty) {
-      val n = staged.count()
+      val n = src.count()
       val files = math.max(1, math.ceil(n.toDouble / targetRowsPerFile).toInt)
-      staged.repartition(files).write.mode("overwrite").parquet(path)
+      src.repartition(files).write.mode("overwrite").parquet(tmpPath)
     } else {
       val keys = partitionCols.map(col)
-      val counts = staged.groupBy(keys: _*)
+      val counts = src.groupBy(keys: _*)
         .agg(count(lit(1)).as("__n"))
         .withColumn("__slots",
           greatest(lit(1L), ceil(col("__n") / lit(targetRowsPerFile.toDouble))))
@@ -89,14 +96,22 @@ object Sinks {
       // fair game for AQE coalescing (tiny test data collapses to one
       // task and one file per value); a user-specified count is not
       val totalSlots = counts.agg(sum(col("__slots"))).collect()(0).getLong(0)
-      val nonPart = staged.columns.filterNot(partitionCols.contains)
-      staged.join(broadcast(counts), partitionCols)
+      val nonPart = src.columns.filterNot(partitionCols.contains)
+      src.join(broadcast(counts), partitionCols)
         .withColumn("__salt",
           pmod(xxhash64(nonPart.map(col): _*), col("__slots")))
         .repartition(math.max(1, totalSlots).toInt, (keys :+ col("__salt")): _*)
         .drop("__slots", "__salt")
-        .write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
+        .write.mode("overwrite").partitionBy(partitionCols: _*).parquet(tmpPath)
     }
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    if (!fs.rename(new org.apache.hadoop.fs.Path(tmpPath),
+        new org.apache.hadoop.fs.Path(path)))
+      throw new IllegalStateException(
+        s"compact: rename $tmpPath -> $path failed; " +
+          s"the compacted dataset is intact at $tmpPath")
   }
 
   /** CSV sink with header; one file per partition, snappy-less (csv is

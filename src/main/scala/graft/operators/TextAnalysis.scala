@@ -123,9 +123,11 @@ object TextAnalysis {
     val grams = docs
       .select(col("doc_id"), col("lang"), explode(charBigrams(col("text"))).as("bg"))
     val profiles = {
-      // learn on an 80% id-hash split — predictions for held-out docs
-      // never see their own label, so reported accuracy is honest
-      val train = grams.filter(pmod(col("doc_id"), lit(5)) < 4)
+      // learn on an 80% id-HASH split (hash first: a raw doc_id modulo
+      // is correlated with any id-ordered corpus generation, e.g.
+      // planted near-dup pairs at adjacent ids) — predictions for
+      // held-out docs never see their own label, so accuracy is honest
+      val train = grams.filter(pmod(xxhash64(col("doc_id")), lit(5)) < 4)
       val counts = train.groupBy(col("lang"), col("bg")).agg(count(lit(1)).as("n"))
       val totals = Window.partitionBy(col("lang"))
       val ranked = counts

@@ -115,8 +115,11 @@ object Streams {
             keys = Seq(col("user_id"), col("event_type"), col("event_date")),
             orderCol = col("ts"), tiebreak = col("event_id"))
           // durable staging before overwrite — see Sinks.stageAndReplace
+          // (per-batch unique path: concurrent queries sharing the lake
+          // dir must not clobber each other; deleted after the merge)
+          val runId = java.util.UUID.randomUUID().toString.take(8)
           graft.operators.Sinks.stageAndReplace(
-            merged, s"$l2Path/../_stream_merge_tmp", l2Path, Seq("event_date"))
+            merged, s"$l2Path/../_stream_merge_tmp_$runId", l2Path, Seq("event_date"))
           ()
         }
       }

@@ -72,4 +72,30 @@ class IngestSpec extends SparkSpecBase {
     val bad = parsed.filter(col("_corrupt").isNotNull).collect()
     assert(bad.length == 1 && bad(0).getAs[String]("_corrupt") == "this line is not json")
   }
+
+  test("parse quarantine: all-null-but-valid JSON is not flagged corrupt") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ingest_nulls").toString
+    val src = s"$dir/feed.jsonl"
+    // '{}', '{"k": null}', and a full-null-field payload all serialize
+    // back to '{}' via to_json (null fields are dropped) — a roundtrip
+    // check would misclassify every one of them; the parser must not
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(src),
+      """{}
+        |{"k": null}
+        |{"k": null, "v": null}
+        |{"k": 7, "v": "ok"}
+        |{"k": oops
+        |""".stripMargin)
+    val raw = s"$dir/raw"
+    Ingest.landRaw(Ingest.envelopes(spark, src, "feed", "2024-05-02"), raw)
+    val parsed = Ingest.parseRaw(spark, raw, "2024-05-02",
+      StructType.fromDDL("k INT, v STRING")).cache()
+    assert(parsed.count() == 5)
+    // exactly one corrupt row: the unparseable line
+    val bad = parsed.filter(col("_corrupt").isNotNull).collect()
+    assert(bad.length == 1 && bad(0).getAs[String]("_corrupt") == """{"k": oops""")
+    // the valid-but-null payloads parse clean with null fields
+    assert(parsed.filter(col("_corrupt").isNull && col("k").isNull).count() == 3)
+    assert(parsed.filter(col("k") === 7).count() == 1)
+  }
 }

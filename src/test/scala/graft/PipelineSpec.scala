@@ -42,4 +42,24 @@ class PipelineSpec extends SparkSpecBase {
     // nothing was written
     assert(!new java.io.File(s"$lake/l2").exists())
   }
+
+  test("DQ gate rejects an all-NaN/null metric batch (broken extract)") {
+    import spark.implicits._
+    // reference behavior: normalize_open_meteo_to_parquet.py:94-96
+    // rejects a batch whose metric column carries no real observation
+    val allBad = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-15 10:00:00"), 7, "view", Double.NaN),
+      (2L, java.sql.Timestamp.valueOf("2024-01-15 11:00:00"), 8, "view", Double.NaN))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .withColumn("value", when(col("event_id") === 2L, lit(null).cast("double"))
+        .otherwise(col("value")))
+    val ex = intercept[Pipeline.DataQualityException] {
+      Pipeline.dqGate(allBad, "2024-01-15")
+    }
+    assert(ex.getMessage.contains("entirely null/NaN"))
+    // a single real observation is enough to pass the gate
+    val oneGood = allBad.withColumn("value",
+      when(col("event_id") === 1L, lit(3.5)).otherwise(col("value")))
+    assert(Pipeline.dqGate(oneGood, "2024-01-15") == 2L)
+  }
 }

@@ -65,6 +65,37 @@ class SimilaritySpec extends SparkSpecBase {
     assert(runOnce().sameElements(rows))
   }
 
+  test("knn lsh: auto-derived plane dim matches non-64-dim corpora") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    // 16-dim corpus: the old hardcoded dim=64 default would hash
+    // hyperplanes against a 64-wide prefix of 16-wide vectors
+    val rows = (0 until 100).map { i =>
+      (i.toLong, Seq.fill(16)((rnd.nextGaussian()).toFloat), 0)
+    }
+    val df = rows.toDF("vec_id", "embedding", "label")
+    val res = Similarity.knnLshOn(df).collect()
+    assert(res.nonEmpty)
+    val exact = Similarity.knnBruteforceOn(df).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = res.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert((exact & approx).nonEmpty)
+  }
+
+  test("vec_dot: ragged input fails loudly instead of truncating") {
+    import spark.implicits._
+    val df = Seq((Seq(1.0, 2.0), Seq(1.0, 2.0, 3.0))).toDF("a", "b")
+    val ex = intercept[Exception] {
+      df.select(org.apache.spark.sql.functions
+        .call_function("vec_dot", org.apache.spark.sql.functions.col("a"),
+          org.apache.spark.sql.functions.col("b"))).collect()
+    }
+    def causes(t: Throwable): Iterator[Throwable] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+    assert(causes(ex).exists(_.getMessage != null) &&
+      causes(ex).exists(c => Option(c.getMessage).exists(_.contains("dimension mismatch"))))
+  }
+
   test("knn lsh: bounded candidates, useful recall vs exact scan") {
     val exact = Similarity.knnBruteforce(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
