@@ -20,6 +20,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // §2.1 ETL core
     "etl_normalize"      -> (Etl.normalize(_, _)),
+    "etl_normalize_tz"   -> ((s, d) => Etl.normalizeTz(s, d)),
     "etl_hourly_rollup"  -> (Etl.hourlyRollup(_, _)),
     "etl_keep_latest"    -> (Etl.keepLatest(_, _)),
     "etl_dq_report"      -> (Etl.dqReport(_, _)),
@@ -69,6 +70,7 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(
     "etl_normalize"      -> Etl.normalizeOracleSql,
+    "etl_normalize_tz"   -> Etl.normalizeTzOracleSql,
     "etl_hourly_rollup"  -> Etl.hourlyRollupOracleSql,
     "etl_keep_latest"    -> Etl.keepLatestOracleSql,
     "etl_dq_report"      -> Etl.dqReportOracleSql,

@@ -230,6 +230,52 @@ object Etl {
        |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) % 100
        |      < $SamplePct""".stripMargin
 
+  /** Source timezone for normalizeTz — the reference pipeline's own
+    * data locale (open-meteo Jakarta extracts). Deliberately DST-free
+    * so the oracle comparison is tz-database-independent; DST edge
+    * policy is specified against America/New_York in EtlSpec. */
+  val SourceTz = "Asia/Jakarta"
+
+  /** Timezone-aware normalize: interpret the source's NAIVE wall-clock
+    * timestamp as local time in `srcTz` and derive the true UTC
+    * instant, keeping the local calendar fields that partition and
+    * roll up by "the source's day/hour" (the reference localizes
+    * tz-naive API timestamps the same way —
+    * normalize_open_meteo_to_parquet.py:63-64).
+    *
+    * DST edge policy (java.time resolution, asserted in EtlSpec):
+    * wall times inside a spring-forward GAP shift forward by the gap
+    * width — identical to the reference's `nonexistent=
+    * "shift_forward"`; AMBIGUOUS fall-back times resolve
+    * deterministically to the EARLIER offset (the reference maps them
+    * to NaT and drops them — we keep a deterministic instant instead,
+    * because silently nulling rows fails the pipeline's own null-key
+    * DQ gate downstream).
+    *
+    * Scale note: pure per-row projection, no shuffle; the tz rules are
+    * a JVM-local table lookup inside codegen. */
+  def normalizeTz(spark: SparkSession, dir: String, srcTz: String = SourceTz): DataFrame =
+    Tables.events(spark, dir).select(
+      col("event_id"),
+      col("ts").as("ts_local"),
+      to_utc_timestamp(col("ts"), srcTz).as("ts_utc"),
+      to_date(col("ts")).as("local_date"),
+      hour(col("ts")).as("local_hour"),
+      col("user_id"),
+      col("event_type"),
+      col("value"),
+      lit(srcTz).as("source_tz"))
+
+  val normalizeTzOracleSql: String =
+    s"""SELECT event_id,
+       |  CAST(ts AS TIMESTAMP) AS ts_local,
+       |  CAST(timezone('UTC', timezone('$SourceTz', CAST(ts AS TIMESTAMP))) AS TIMESTAMP) AS ts_utc,
+       |  CAST(ts AS DATE) AS local_date,
+       |  CAST(EXTRACT(hour FROM ts) AS INTEGER) AS local_hour,
+       |  user_id, event_type, value,
+       |  '$SourceTz' AS source_tz
+       |FROM events""".stripMargin
+
   /** Per-`ds` incremental slice: the reference's whole DAG runs one
     * `ds` partition at a time (backfill-safe). The date filter is a
     * parquet-pushable predicate; combined with the dynamic-overwrite

@@ -157,6 +157,30 @@ class EtlSpec extends SparkSpecBase {
     assert(got.sameElements(expected))
   }
 
+  test("normalizeTz: DST gap shifts forward, ambiguity resolves to earlier offset") {
+    import spark.implicits._
+    val lake = java.nio.file.Files.createTempDirectory("graft_tz").toString
+    Seq(
+      (1L, "2024-03-10 02:30:00"), // inside the NY spring-forward gap (02:00-03:00 does not exist)
+      (2L, "2024-11-03 01:30:00"), // ambiguous: occurs twice at fall-back
+      (3L, "2024-06-15 12:00:00")) // plain summer instant (EDT, -4)
+      .toDF("event_id", "ts_str")
+      .select(col("event_id"), col("ts_str").cast("timestamp").as("ts"),
+        lit(7).as("user_id"), lit("view").as("event_type"), lit(1.0).as("value"),
+        lit("""{"k":"1"}""").as("props"))
+      .write.mode("overwrite").parquet(s"$lake/events.parquet")
+    val out = Etl.normalizeTz(spark, lake, srcTz = "America/New_York")
+      .select("event_id", "ts_utc").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).toString)).toMap
+    // gap: 02:30 EST does not exist -> shift forward to 03:30 EDT = 07:30 UTC
+    // (the reference's nonexistent="shift_forward" policy)
+    assert(out(1L) == "2024-03-10 07:30:00.0")
+    // ambiguous: earlier offset (EDT, -4) wins deterministically -> 05:30 UTC
+    assert(out(2L) == "2024-11-03 05:30:00.0")
+    // plain: EDT -4
+    assert(out(3L) == "2024-06-15 16:00:00.0")
+  }
+
   test("csv and json roundtrip with explicit schema") {
     val dir = java.nio.file.Files.createTempDirectory("graft_io").toString
     val df = Etl.schemaEnforce(spark, sfDir)
