@@ -28,6 +28,7 @@ object SparkEntry {
     "etl_schema_enforce" -> (Etl.schemaEnforce(_, _)),
     "etl_incremental_ds" -> ((s, d) => Etl.incrementalDs(s, d)),
     "sample_deterministic" -> ((s, d) => Etl.sampleDeterministic(s, d)),
+    "sample_stratified"    -> ((s, d) => Etl.sampleStratified(s, d)),
     // §2.2 analytics
     "q1_pricing_summary"   -> (Analytics.q1PricingSummary(_, _)),
     "q3_shipping_priority" -> (Analytics.q3ShippingPriority(_, _)),
@@ -39,6 +40,7 @@ object SparkEntry {
     "q_semi_anti"          -> (Analytics.qSemiAnti(_, _)),
     "q_skew_topk"          -> (Analytics.qSkewTopk(_, _)),
     "q_events_sessionize"  -> (Analytics.qEventsSessionize(_, _)),
+    "q_asof_join"          -> (graft.operators.AsOf.qAsOfJoin(_, _)),
     // §2.3 dedup
     "dedup_exact"            -> (Dedup.exact(_, _)),
     "dedup_exact_normalized" -> (Dedup.exactNormalized(_, _)),
@@ -78,6 +80,7 @@ object SparkEntry {
     "etl_schema_enforce" -> Etl.schemaEnforceOracleSql,
     "etl_incremental_ds" -> Etl.incrementalDsOracleSql,
     "sample_deterministic" -> Etl.sampleDeterministicOracleSql,
+    "sample_stratified"    -> Etl.sampleStratifiedOracleSql,
     "q1_pricing_summary"   -> Analytics.q1OracleSql,
     "q3_shipping_priority" -> Analytics.q3OracleSql,
     "q5_local_supplier"    -> Analytics.q5OracleSql,
@@ -88,6 +91,7 @@ object SparkEntry {
     "q_semi_anti"          -> Analytics.qSemiAntiOracleSql,
     "q_skew_topk"          -> Analytics.qSkewTopkOracleSql,
     "q_events_sessionize"  -> Analytics.qEventsSessionizeOracleSql,
+    "q_asof_join"          -> graft.operators.AsOf.qAsOfJoinOracleSql,
     // §2.3 dedup (minhash_lsh is rows-only: the minhash_sketch
     // aggregate is not SQL-expressible; DedupSpec verifies it against
     // brute force)

@@ -230,6 +230,44 @@ object Etl {
        |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) % 100
        |      < $SamplePct""".stripMargin
 
+  /** Per-stratum target for sampleStratified. */
+  val StratumTarget = 50
+
+  /** Stratified deterministic sampling: draw ~`target` documents per
+    * stratum (language), downsampling over-represented strata and
+    * keeping under-represented ones whole — the corpus REBALANCING cut
+    * a training-data pipeline makes (e.g. capping English before
+    * pretraining). Selection stays a pure function of the key, like
+    * [[sampleDeterministic]]: a doc is kept iff
+    * `hash32(doc_id)/2^32 < target/n_stratum`, so reruns, engines, and
+    * partitionings agree, and raising `target` only ever ADDS docs
+    * (nested samples). The comparison runs in DECIMAL so it is exact
+    * at any corpus size (hash32 × n_stratum overflows BIGINT around
+    * n = 2^31 — at 100 TB that is a real, reachable bound).
+    *
+    * Plan shape: one tiny per-stratum count aggregate, broadcast back,
+    * then a scan-bound filter — no corpus-sized shuffle. */
+  def sampleStratified(spark: SparkSession, dir: String,
+                       target: Int = StratumTarget): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("__n"))
+    val hash32 = conv(substring(
+      md5(col("doc_id").cast("string").cast("binary")), 1, 8), 16, 10)
+      .cast("bigint")
+    docs.join(broadcast(counts), "lang")
+      .filter(hash32.cast("decimal(19,0)") * col("__n").cast("decimal(19,0)")
+        < lit(target.toLong).cast("decimal(19,0)") * lit(4294967296L).cast("decimal(19,0)"))
+      .select(docs.columns.map(col): _*)
+  }
+
+  val sampleStratifiedOracleSql: String =
+    s"""WITH c AS (SELECT lang, COUNT(*) AS __n FROM documents GROUP BY 1)
+       |SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars
+       |FROM documents d JOIN c USING (lang)
+       |WHERE CAST(CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) AS DECIMAL(19,0))
+       |        * CAST(__n AS DECIMAL(19,0))
+       |      < CAST($StratumTarget AS DECIMAL(19,0)) * CAST(4294967296 AS DECIMAL(19,0))""".stripMargin
+
   /** Source timezone for normalizeTz — the reference pipeline's own
     * data locale (open-meteo Jakarta extracts). Deliberately DST-free
     * so the oracle comparison is tz-database-independent; DST edge

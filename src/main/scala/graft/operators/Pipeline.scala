@@ -93,4 +93,21 @@ object Pipeline {
       l2Path, Seq("event_date"))
     DsRunSummary(ds, nNormalized, nL2)
   }
+
+  /** The reference DAG with its row-store leg included: normalize →
+    * DQ gate → staged write → JDBC L1 upsert (the
+    * load_parquet_to_postgres_l1.py stage, batched last-write-wins on
+    * the event PK) → keep-latest L2 merge. The L1 load runs AFTER the
+    * gate (bad batches never reach the store) and is itself
+    * idempotent, so a ds rerun upserts the same keys to the same
+    * values — the exact property the reference's `ON CONFLICT DO
+    * UPDATE` provides. */
+  def runDsWithL1(spark: SparkSession, srcDir: String, lakeDir: String, ds: String,
+                  jdbcUrl: String, l1Table: String = "app.l1_events"): DsRunSummary = {
+    val summary = runDs(spark, srcDir, lakeDir, ds)
+    val staged = spark.read.parquet(s"$lakeDir/staging")
+      .filter(col("event_date") === lit(ds).cast("date"))
+    Jdbc.writeJdbcUpsert(staged, jdbcUrl, l1Table, pkCols = Seq("event_id"))
+    summary
+  }
 }

@@ -43,6 +43,41 @@ class PipelineSpec extends SparkSpecBase {
     assert(!new java.io.File(s"$lake/l2").exists())
   }
 
+  test("runDsWithL1 loads the gated batch into the row store, rerun-idempotent") {
+    val lake = java.nio.file.Files.createTempDirectory("graft_lake_l1").toString
+    val url = "jdbc:derby:memory:graft_pipe_l1;create=true"
+    val ds = "2024-01-15"
+    val r1 = Pipeline.runDsWithL1(spark, sfDir, lake, ds, url, "app.l1_pipe")
+    val l1 = graft.operators.Jdbc.readJdbc(spark, url, "app.l1_pipe")
+    assert(l1.count() == r1.nNormalized, "L1 holds exactly the normalized batch")
+    // rerun: upsert on PK — same keys, same values, nothing duplicated
+    Pipeline.runDsWithL1(spark, sfDir, lake, ds, url, "app.l1_pipe")
+    assert(graft.operators.Jdbc.readJdbc(spark, url, "app.l1_pipe").count() == r1.nNormalized)
+  }
+
+  test("stratified sample: per-stratum caps, nesting, and determinism") {
+    import org.apache.spark.sql.functions.count
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    val perLangN = docs.groupBy("lang").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val s50 = graft.operators.Etl.sampleStratified(spark, sfDir, target = 50)
+    val perLang = s50.groupBy("lang").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    perLang.foreach { case (lang, n) =>
+      // a binomial draw at rate target/n_stratum: expect ~50, allow wide slack
+      assert(n > 20 && n < 90, s"$lang drew $n docs for target 50")
+    }
+    // strata smaller than the target are kept whole
+    val small = perLangN.filter(_._2 <= 50).keySet
+    small.foreach(l => assert(perLang(l) == perLangN(l)))
+    // nested: every doc in the 20-target cut is in the 50-target cut
+    val s20 = graft.operators.Etl.sampleStratified(spark, sfDir, target = 20)
+    assert(s20.join(s50, Seq("doc_id"), "left_anti").count() == 0)
+    // deterministic across runs
+    assert(graft.operators.Etl.sampleStratified(spark, sfDir, target = 50)
+      .exceptAll(s50).count() == 0)
+  }
+
   test("DQ gate rejects an all-NaN/null metric batch (broken extract)") {
     import spark.implicits._
     // reference behavior: normalize_open_meteo_to_parquet.py:94-96
