@@ -29,6 +29,7 @@ object SparkEntry {
     "etl_incremental_ds" -> ((s, d) => Etl.incrementalDs(s, d)),
     "sample_deterministic" -> ((s, d) => Etl.sampleDeterministic(s, d)),
     "sample_stratified"    -> ((s, d) => Etl.sampleStratified(s, d)),
+    "etl_scd2"             -> (Etl.scd2History(_, _)),
     // §2.2 analytics
     "q1_pricing_summary"   -> (Analytics.q1PricingSummary(_, _)),
     "q3_shipping_priority" -> (Analytics.q3ShippingPriority(_, _)),
@@ -41,6 +42,7 @@ object SparkEntry {
     "q_skew_topk"          -> (Analytics.qSkewTopk(_, _)),
     "q_events_sessionize"  -> (Analytics.qEventsSessionize(_, _)),
     "q_asof_join"          -> (graft.operators.AsOf.qAsOfJoin(_, _)),
+    "q_range_join"         -> (graft.operators.RangeJoin.qRangeJoin(_, _)),
     // §2.3 dedup
     "dedup_exact"            -> (Dedup.exact(_, _)),
     "dedup_exact_normalized" -> (Dedup.exactNormalized(_, _)),
@@ -48,6 +50,7 @@ object SparkEntry {
     "dedup_embedding_cosine" -> ((s, d) => Dedup.embeddingCosine(s, d)),
     "dedup_minhash_lsh"      -> ((s, d) => Dedup.minhashLsh(s, d)),
     "dedup_simhash"          -> (Dedup.simhash(_, _)),
+    "dedup_contamination"    -> ((s, d) => Dedup.contamination(s, d)),
     // §2.4 similarity
     "knn_bruteforce" -> ((s, d) => Similarity.knnBruteforce(s, d)),
     "knn_lsh"        -> ((s, d) => Similarity.knnLsh(s, d)),
@@ -59,6 +62,9 @@ object SparkEntry {
     "text_langid"      -> (TextAnalysis.textLangid(_, _)),
     "text_fingerprint" -> (TextAnalysis.textFingerprint(_, _)),
     "text_tfidf"       -> (TextAnalysis.textTfidf(_, _)),
+    "text_repetition"  -> (TextAnalysis.textRepetition(_, _)),
+    "text_pii_scrub"   -> (TextAnalysis.textPiiScrub(_, _)),
+    "pack_sequences"   -> ((s, d) => graft.operators.TrainPrep.packSequences(s, d)),
     // §2.6 multimodal
     "mm_binary_meta"     -> (Multimodal.binaryMeta(_, _)),
     "mm_feature_extract" -> (Multimodal.featureExtract(_, _)),
@@ -81,6 +87,7 @@ object SparkEntry {
     "etl_incremental_ds" -> Etl.incrementalDsOracleSql,
     "sample_deterministic" -> Etl.sampleDeterministicOracleSql,
     "sample_stratified"    -> Etl.sampleStratifiedOracleSql,
+    "etl_scd2"             -> Etl.scd2OracleSql,
     "q1_pricing_summary"   -> Analytics.q1OracleSql,
     "q3_shipping_priority" -> Analytics.q3OracleSql,
     "q5_local_supplier"    -> Analytics.q5OracleSql,
@@ -92,6 +99,7 @@ object SparkEntry {
     "q_skew_topk"          -> Analytics.qSkewTopkOracleSql,
     "q_events_sessionize"  -> Analytics.qEventsSessionizeOracleSql,
     "q_asof_join"          -> graft.operators.AsOf.qAsOfJoinOracleSql,
+    "q_range_join"         -> graft.operators.RangeJoin.qRangeJoinOracleSql,
     // §2.3 dedup (minhash_lsh is rows-only: the minhash_sketch
     // aggregate is not SQL-expressible; DedupSpec verifies it against
     // brute force)
@@ -100,6 +108,7 @@ object SparkEntry {
     "dedup_ngram_jaccard"    -> Dedup.ngramJaccardOracleSql,
     "dedup_simhash"          -> Dedup.simhashOracleSql,
     "dedup_embedding_cosine" -> Dedup.embeddingCosineOracleSql,
+    "dedup_contamination"    -> Dedup.contaminationOracleSql,
     // §2.4 similarity (knn_lsh is rows-only: approximate by design;
     // SimilaritySpec asserts recall against the exact scan)
     "knn_bruteforce" -> Similarity.knnBruteforceOracleSql,
@@ -110,6 +119,9 @@ object SparkEntry {
     "text_tokens"  -> TextAnalysis.textTokensOracleSql,
     "text_quality" -> TextAnalysis.textQualityOracleSql,
     "text_tfidf"   -> TextAnalysis.textTfidfOracleSql,
+    "text_repetition" -> TextAnalysis.textRepetitionOracleSql,
+    "text_pii_scrub"  -> TextAnalysis.textPiiScrubOracleSql,
+    "pack_sequences"  -> graft.operators.TrainPrep.packSequencesOracleSql,
     // §2.6 multimodal
     "mm_binary_meta"     -> Multimodal.binaryMetaOracleSql,
     "mm_feature_extract" -> Multimodal.featureExtractOracleSql,

@@ -87,8 +87,7 @@ object Dedup {
     val w = TH.words(col("text"))
     docs
       .filter(size(w) >= 3)
-      .select(col("doc_id"),
-        array_distinct(transform(TH.shingles(w, 3), s => xxhash64(s))).as("tg"))
+      .select(col("doc_id"), TH.hashedShingles(w, 3).as("tg"))
   }
 
   /** Exact-Jaccard verification of candidate pairs against the hashed
@@ -378,6 +377,81 @@ object Dedup {
       .select(col("doc_id"))
     docs.join(losers, Seq("doc_id"), "left_anti")
   }
+
+  /** Word n-gram length for contamination checks. 4 here so the
+    * sf-scale corpus produces verifiable overlap; production eval-set
+    * decontamination uses 8–13 (the n-gram specificity/recall
+    * trade-off of the published LLM decontamination setups). */
+  val ContamN = 4
+
+  /** Benchmark-contamination check: for every (train doc, eval doc)
+    * pair sharing at least one word `n`-gram, the count of shared
+    * distinct n-grams and the eval-side containment
+    * |shared| / |eval n-grams| — the metric eval-set decontamination
+    * cuts on before pretraining (a train doc quoting a benchmark
+    * question shows near-1 containment of that eval doc).
+    *
+    * Scale shape: per-doc DISTINCT n-grams hashed to 8-byte longs
+    * (same posting trick as [[ngramJaccard]]: the string oracle
+    * independently confirms no collision at gate scale), then one
+    * equi-join train-postings ⋈ eval-postings on the hash and one
+    * count aggregate per pair. The eval side is the small side by
+    * construction (benchmarks are MBs, corpora are TBs) — at 100 TB
+    * broadcast the eval postings and the check is one corpus scan
+    * with map-side lookups, no shuffle of train postings at all.
+    * Hub grams cannot blow the join up: n-gram df is self-limiting in
+    * n, and raising `ContamN` to the production 8+ makes fan-out
+    * strictly rarer. */
+  def contamination(spark: SparkSession, dir: String,
+                    evalSource: String = "src0"): DataFrame =
+    contaminationOn(Tables.documents(spark, dir), evalSource)
+
+  def contaminationOn(docs: DataFrame, evalSource: String): DataFrame = {
+    val w = TH.words(col("text"))
+    // explode the string shingles BEFORE hashing: a nested
+    // transform(shingles, xxhash64) higher-order pair is pathological
+    // (ProjectCollapse inlines the shingle construction into every
+    // hash lambda — O(len²) per doc); hashing the exploded scalar is
+    // one cheap projection
+    val grams = docs
+      .filter(size(w) >= ContamN)
+      .select(col("doc_id"), col("source"),
+        explode(TH.shingles(w, ContamN)).as("__s"))
+      .select(col("doc_id"), col("source"), xxhash64(col("__s")).as("g"))
+    val evalG = grams.filter(col("source") === evalSource)
+      .select(col("doc_id").as("eval_doc_id"), col("g"))
+    val evalSizes = evalG.groupBy(col("eval_doc_id"))
+      .agg(count(lit(1)).as("n_eval_grams"))
+    val trainG = grams.filter(col("source") =!= evalSource)
+      .select(col("doc_id").as("train_doc_id"), col("g"))
+    trainG.join(broadcast(evalG), "g")
+      .groupBy(col("train_doc_id"), col("eval_doc_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(broadcast(evalSizes), "eval_doc_id")
+      .select(col("train_doc_id"), col("eval_doc_id"), col("n_shared"),
+        (col("n_shared").cast("double") /
+          col("n_eval_grams").cast("double")).as("eval_containment"))
+  }
+
+  val contaminationOracleSql: String =
+    s"""WITH g AS (
+       |  SELECT doc_id, source, unnest(list_distinct(
+       |    list_transform(generate_series(1, len(w) - ${ContamN - 1}),
+       |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]))) AS ng
+       |  FROM (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents)
+       |  WHERE len(w) >= $ContamN),
+       |es AS (
+       |  SELECT doc_id AS eval_doc_id, COUNT(*) AS n_eval_grams
+       |  FROM g WHERE source = 'src0' GROUP BY 1)
+       |SELECT t.doc_id AS train_doc_id, e.doc_id AS eval_doc_id,
+       |  COUNT(*) AS n_shared,
+       |  CAST(COUNT(*) AS DOUBLE) / CAST(ANY_VALUE(es.n_eval_grams) AS DOUBLE)
+       |    AS eval_containment
+       |FROM g t
+       |JOIN g e ON t.ng = e.ng
+       |JOIN es ON es.eval_doc_id = e.doc_id
+       |WHERE e.source = 'src0' AND t.source <> 'src0'
+       |GROUP BY 1, 2""".stripMargin
 
   val embeddingCosineOracleSql: String =
     s"""WITH v AS (

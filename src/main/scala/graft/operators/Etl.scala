@@ -268,6 +268,38 @@ object Etl {
        |        * CAST(__n AS DECIMAL(19,0))
        |      < CAST($StratumTarget AS DECIMAL(19,0)) * CAST(4294967296 AS DECIMAL(19,0))""".stripMargin
 
+  /** SCD type-2 state history over the event log: each user's
+    * `event_type` transitions become validity intervals
+    * [eff_start, eff_end) with an `is_current` flag — the
+    * full-history counterpart of [[keepLatest]]'s last-state-only
+    * upsert (reference: upsert_l2_for_ds.sql keeps rn=1; SCD2 keeps
+    * every rn with its validity window). See [[Merge.scd2]] for the
+    * one-shuffle plan shape. */
+  def scd2History(spark: SparkSession, dir: String): DataFrame =
+    Merge.scd2(
+      Tables.events(spark, dir).select(
+        col("user_id"), col("event_type"), col("ts"), col("event_id")),
+      keys = Seq(col("user_id")),
+      stateCol = col("event_type"),
+      orderCol = col("ts"), tiebreak = col("event_id"))
+      .select(col("user_id"), col("event_type").as("state"),
+        col("eff_start"), col("eff_end"), col("is_current"))
+
+  val scd2OracleSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id,
+      |    LAG(event_type) OVER (
+      |      PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      |  FROM events),
+      |c AS (
+      |  SELECT user_id, event_type, ts, event_id FROM e
+      |  WHERE prev IS NULL OR prev <> event_type)
+      |SELECT user_id, event_type AS state, ts AS eff_start,
+      |  LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS eff_end,
+      |  LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+      |    AS is_current
+      |FROM c""".stripMargin
+
   /** Source timezone for normalizeTz — the reference pipeline's own
     * data locale (open-meteo Jakarta extracts). Deliberately DST-free
     * so the oracle comparison is tz-database-independent; DST edge

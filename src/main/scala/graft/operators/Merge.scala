@@ -37,4 +37,31 @@ object Merge {
   def keepFirst(df: DataFrame, keys: Seq[Column],
                 orderCol: Column, tiebreak: Column): DataFrame =
     dedupeByKey(df, keys, Seq(orderCol.asc, tiebreak.asc))
+
+  /** SCD type-2 history build: where [[keepLatest]] keeps only the
+    * newest state per key (the reference's L2 upsert), this keeps the
+    * FULL state history as validity intervals — each run of equal
+    * consecutive `stateCol` values per key collapses to one row with
+    * `eff_start` (first ts of the run), `eff_end` (next run's start;
+    * null while current) and `is_current`. Re-observations of an
+    * unchanged state extend the open interval instead of opening a
+    * new one, which is the SCD2 contract.
+    *
+    * Plan shape: ONE shuffle on the key — both windows (the lag that
+    * finds change points and the lead that closes intervals) share
+    * the same partitioning, so Catalyst reuses the Exchange. The
+    * change-point filter runs before the second window: the lead
+    * sorts only change rows, not the raw log. */
+  def scd2(df: DataFrame, keys: Seq[Column], stateCol: Column,
+           orderCol: Column, tiebreak: Column): DataFrame = {
+    val w = Window.partitionBy(keys: _*).orderBy(orderCol.asc, tiebreak.asc)
+    val changes = df
+      .withColumn("__prev", lag(stateCol, 1).over(w))
+      .filter(col("__prev").isNull || !(col("__prev") <=> stateCol))
+    changes
+      .withColumn("eff_start", orderCol)
+      .withColumn("eff_end", lead(orderCol, 1).over(w))
+      .withColumn("is_current", col("eff_end").isNull)
+      .drop("__prev")
+  }
 }

@@ -219,6 +219,136 @@ object TextAnalysis {
        |  FROM scored) t
        |WHERE rk <= $TfidfTopK""".stripMargin
 
+  /** Repetition-based quality filters (the Gopher/C4 family): the
+    * fraction of duplicated words, the most-frequent-word share, and
+    * the same two ratios over word bigrams. Heavily repeated text
+    * (boilerplate, keyword stuffing, degenerate generations) scores
+    * high and gets cut before pretraining.
+    *
+    * Shape at scale: two explodes (words, bigrams) each followed by a
+    * two-level hash aggregate — map-side partial counts, shuffle
+    * keyed on (doc_id, term), no window, no O(n²) in doc length.
+    * All outputs are integer-count divisions: bit-identical across
+    * engines with no decimal tricks. */
+  def textRepetition(spark: SparkSession, dir: String): DataFrame =
+    textRepetitionOn(Tables.documents(spark, dir))
+
+  def textRepetitionOn(docs: DataFrame): DataFrame = {
+    val w = TH.words(col("text"))
+    val base = docs.select(col("doc_id"), w.as("w"))
+    val wordStats = base
+      .select(col("doc_id"), explode(col("w")).as("t"))
+      .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("n"))
+      .groupBy(col("doc_id")).agg(
+        sum(col("n")).as("n_words"),
+        count(lit(1)).as("n_distinct"),
+        max(col("n")).as("top_n"))
+    // bigrams WITH multiplicity — TH.shingles dedups, so built inline
+    val bgStats = base
+      .filter(size(col("w")) >= 2)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(0), size(col("w")) - lit(2)), i =>
+          concat_ws(" ", element_at(col("w"), i + lit(1)),
+            element_at(col("w"), i + lit(2))))).as("bg"))
+      .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("n"))
+      .groupBy(col("doc_id")).agg(
+        sum(col("n")).as("n_bg"),
+        count(lit(1)).as("n_distinct_bg"),
+        max(col("n")).as("top_bg_n"))
+    // left join: a 1-word doc has word stats but no bigrams (frac 0)
+    wordStats.join(bgStats, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        ((col("n_words") - col("n_distinct")).cast("double") /
+          col("n_words").cast("double")).as("dup_word_frac"),
+        (col("top_n").cast("double") /
+          col("n_words").cast("double")).as("top_word_frac"),
+        coalesce((col("n_bg") - col("n_distinct_bg")).cast("double") /
+          col("n_bg").cast("double"), lit(0.0)).as("dup_bigram_frac"),
+        coalesce(col("top_bg_n").cast("double") /
+          col("n_bg").cast("double"), lit(0.0)).as("top_bigram_frac"))
+  }
+
+  val textRepetitionOracleSql: String =
+    """WITH ws AS (
+      |  SELECT doc_id, SUM(n) AS n_words, COUNT(*) AS n_distinct,
+      |    MAX(n) AS top_n
+      |  FROM (
+      |    SELECT doc_id, t, COUNT(*) AS n
+      |    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+      |          FROM documents)
+      |    GROUP BY 1, 2)
+      |  GROUP BY 1),
+      |bs AS (
+      |  SELECT doc_id, SUM(n) AS n_bg, COUNT(*) AS n_distinct_bg,
+      |    MAX(n) AS top_bg_n
+      |  FROM (
+      |    SELECT doc_id, bg, COUNT(*) AS n
+      |    FROM (
+      |      SELECT doc_id, unnest(
+      |        [w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS bg
+      |      FROM (SELECT doc_id, string_split(text, ' ') AS w
+      |            FROM documents)
+      |      WHERE len(w) >= 2)
+      |    GROUP BY 1, 2)
+      |  GROUP BY 1)
+      |SELECT ws.doc_id,
+      |  CAST(ws.n_words - ws.n_distinct AS DOUBLE)
+      |    / CAST(ws.n_words AS DOUBLE) AS dup_word_frac,
+      |  CAST(ws.top_n AS DOUBLE)
+      |    / CAST(ws.n_words AS DOUBLE) AS top_word_frac,
+      |  COALESCE(CAST(bs.n_bg - bs.n_distinct_bg AS DOUBLE)
+      |    / CAST(bs.n_bg AS DOUBLE), 0.0) AS dup_bigram_frac,
+      |  COALESCE(CAST(bs.top_bg_n AS DOUBLE)
+      |    / CAST(bs.n_bg AS DOUBLE), 0.0) AS top_bigram_frac
+      |FROM ws LEFT JOIN bs ON ws.doc_id = bs.doc_id""".stripMargin
+
+  /** Email pattern for PII scrubbing — POSIX classes only, so the
+    * Java (Spark) and RE2 (DuckDB oracle) dialects match exactly. */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+"
+  /** URL pattern (scheme to first whitespace). */
+  val UrlPattern = "https?://[^ ]+"
+  /** Long digit runs (phone/account/card-shaped identifiers). */
+  val DigitRunPattern = "[0-9][0-9][0-9][0-9][0-9][0-9]+"
+
+  /** PII scrubbing: replace emails, URLs, and 6+-digit runs with
+    * typed redaction tokens, reporting per-document hit counts — the
+    * redaction pass a training-data pipeline runs before releasing a
+    * corpus. Order matters and is part of the contract: URLs first
+    * (an email-shaped substring inside a URL is a URL), then emails,
+    * then digit runs. Pure per-row projection — scan-bound,
+    * shuffle-free, codegen'd; patterns avoid `{m,n}` bounds and
+    * backslash classes so the Java and RE2 regex dialects agree. */
+  def textPiiScrub(spark: SparkSession, dir: String): DataFrame =
+    textPiiScrubOn(Tables.documents(spark, dir))
+
+  def textPiiScrubOn(docs: DataFrame): DataFrame = {
+    val afterUrl = regexp_replace(col("text"), UrlPattern, "<URL>")
+    val afterEmail = regexp_replace(afterUrl, EmailPattern, "<EMAIL>")
+    val scrubbed = regexp_replace(afterEmail, DigitRunPattern, "<NUM>")
+    docs.select(
+      col("doc_id"),
+      size(regexp_extract_all(col("text"), lit(UrlPattern), lit(0))).as("n_urls"),
+      size(regexp_extract_all(afterUrl, lit(EmailPattern), lit(0))).as("n_emails"),
+      size(regexp_extract_all(afterEmail, lit(DigitRunPattern), lit(0))).as("n_digit_runs"),
+      scrubbed.as("scrubbed_text"))
+  }
+
+  val textPiiScrubOracleSql: String =
+    s"""SELECT doc_id,
+       |  CAST(len(regexp_extract_all(text, '$UrlPattern')) AS INTEGER) AS n_urls,
+       |  CAST(len(regexp_extract_all(
+       |    regexp_replace(text, '$UrlPattern', '<URL>', 'g'),
+       |    '$EmailPattern')) AS INTEGER) AS n_emails,
+       |  CAST(len(regexp_extract_all(
+       |    regexp_replace(regexp_replace(text, '$UrlPattern', '<URL>', 'g'),
+       |      '$EmailPattern', '<EMAIL>', 'g'),
+       |    '$DigitRunPattern')) AS INTEGER) AS n_digit_runs,
+       |  regexp_replace(regexp_replace(regexp_replace(text,
+       |    '$UrlPattern', '<URL>', 'g'),
+       |    '$EmailPattern', '<EMAIL>', 'g'),
+       |    '$DigitRunPattern', '<NUM>', 'g') AS scrubbed_text
+       |FROM documents""".stripMargin
+
   /** Content fingerprints through the native codegen expressions:
     * whole-document polynomial hash + winnowing-style minimum rolling
     * hash over 32-byte windows (near-identical docs collide on the

@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.functions.{TextHashing => TH}
+
+/** Training-order preparation: deterministic corpus shuffle + greedy
+  * token-budget sequence packing — the step between a filtered/deduped
+  * corpus and the tokenizer shards a pretraining run reads. The
+  * reference pipeline's analogue is its per-`ds` partitioned load
+  * (scripts/load_parquet_to_postgres_l1.py:1-216 keys rows into
+  * deterministic storage units); a training pipeline keys *documents*
+  * into deterministic *shards and context-window chunks*.
+  *
+  * Contract (GPT-style concat-and-chunk packing):
+  *  1. shard  = hash(doc_id) mod nShards — a reproducible global
+  *     shuffle: the shard and the order within it are pure functions
+  *     of the key, so reruns, engines, and partitionings agree (same
+  *     rationale as [[Etl.sampleDeterministic]]).
+  *  2. within a shard, docs are ordered by (hash, doc_id) — i.e.
+  *     pseudorandom training order with a total-order tiebreak.
+  *  3. docs are conceptually concatenated in that order and split
+  *     every `budget` tokens: a doc's `chunk_id` is the chunk its
+  *     FIRST token lands in (`token_offset DIV budget` — integer
+  *     division, exact at any offset).
+  *
+  * Scale shape: one hash projection + one window per shard. The
+  * per-shard running sum is sequential BY CONTRACT (packing is a
+  * prefix computation), so parallelism = nShards; size nShards to the
+  * cluster (thousands of shards at 100 TB — here 8 so the sf0.01
+  * oracle exercises multi-doc chunks). No shuffle beyond the one
+  * Exchange on `shard`.
+  */
+object TrainPrep {
+
+  /** Training shards (parallelism unit; thousands at 100 TB). */
+  val NShards = 8
+  /** Context-window token budget per packed chunk. */
+  val ChunkBudget = 256L
+
+  /** Generic form over any (doc_id, text) frame. */
+  def packSequencesOn(docs: DataFrame, nShards: Int = NShards,
+                      budget: Long = ChunkBudget): DataFrame = {
+    // engine-portable 32-bit key hash (same construction as
+    // Etl.sampleDeterministic): first 8 hex chars of md5(doc_id)
+    val hash32 = conv(substring(
+      md5(col("doc_id").cast("string").cast("binary")), 1, 8), 16, 10)
+      .cast("bigint")
+    val base = docs.select(
+      col("doc_id"),
+      size(TH.words(col("text"))).cast("long").as("n_tokens"),
+      hash32.as("__h"))
+      .withColumn("shard", pmod(col("__h"), lit(nShards)).cast("int"))
+    val order = Window.partitionBy(col("shard"))
+      .orderBy(col("__h"), col("doc_id"))
+    val prefix = order.rowsBetween(Window.unboundedPreceding, -1)
+    base
+      .withColumn("seq_pos", row_number().over(order))
+      .withColumn("token_offset",
+        coalesce(sum(col("n_tokens")).over(prefix), lit(0L)))
+      .withColumn("chunk_id", expr(s"token_offset DIV $budget"))
+      .select(col("doc_id"), col("n_tokens"), col("shard"),
+        col("seq_pos"), col("token_offset"), col("chunk_id"))
+  }
+
+  /** Driver query over `documents`. */
+  def packSequences(spark: SparkSession, dir: String): DataFrame =
+    packSequencesOn(Tables.documents(spark, dir))
+
+  val packSequencesOracleSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) AS h
+       |  FROM documents),
+       |p AS (
+       |  SELECT doc_id, n_tokens,
+       |    CAST(h % $NShards AS INTEGER) AS shard,
+       |    CAST(ROW_NUMBER() OVER w AS INTEGER) AS seq_pos,
+       |    CAST(COALESCE(SUM(n_tokens) OVER (
+       |      PARTITION BY h % $NShards ORDER BY h, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |      AS token_offset
+       |  FROM t
+       |  WINDOW w AS (PARTITION BY h % $NShards ORDER BY h, doc_id))
+       |SELECT doc_id, n_tokens, shard, seq_pos, token_offset,
+       |  token_offset // $ChunkBudget AS chunk_id
+       |FROM p""".stripMargin
+}

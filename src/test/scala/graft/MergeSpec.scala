@@ -45,4 +45,46 @@ class MergeSpec extends SparkSpecBase {
     assert(norm.length == 2) // 1+2+3 merge after canonicalization
     assert(norm.map(_.getLong(2)).sorted.toSeq == Seq(1L, 3L))
   }
+
+  test("scd2: runs collapse, re-observations extend, history closes intervals") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val log = Seq(
+      // user 1: A A B A — four observations, three state runs
+      (1L, 10L, 100L, "A"),
+      (1L, 20L, 101L, "A"), // same state: extends the open interval
+      (1L, 30L, 102L, "B"),
+      (1L, 40L, 103L, "A"), // A returns: a NEW interval, not a merge
+      // user 2: single state, stays current forever
+      (2L, 15L, 200L, "X"))
+      .toDF("user_id", "t", "event_id", "state")
+    val got = graft.operators.Merge.scd2(log,
+        keys = Seq(col("user_id")), stateCol = col("state"),
+        orderCol = col("t"), tiebreak = col("event_id"))
+      .select("user_id", "state", "eff_start", "eff_end", "is_current")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)), r.getBoolean(4)))
+      .toSet
+    assert(got == Set(
+      (1L, "A", 10L, Some(30L), false),
+      (1L, "B", 30L, Some(40L), false),
+      (1L, "A", 40L, None, true),
+      (2L, "X", 15L, None, true)))
+  }
+
+  test("scd2 current rows == keepLatest (the reference L2 upsert view)") {
+    val events = graft.sources.Tables.events(spark, sfDir)
+    import org.apache.spark.sql.functions._
+    val current = graft.operators.Etl.scd2History(spark, sfDir)
+      .filter(col("is_current"))
+      .select(col("user_id"), col("state"))
+    val latest = graft.operators.Merge.keepLatest(
+        events.select(col("user_id"), col("event_type"), col("ts"), col("event_id")),
+        keys = Seq(col("user_id")),
+        orderCol = col("ts"), tiebreak = col("event_id"))
+      .select(col("user_id"), col("event_type").as("state"))
+    assert(current.exceptAll(latest).count() == 0)
+    assert(latest.exceptAll(current).count() == 0)
+  }
 }
