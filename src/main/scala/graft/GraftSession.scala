@@ -28,6 +28,7 @@ object GraftSession {
         ext.injectFunction(graft.functions.RollingHashFunctions.rollingMinHash)
         ext.injectFunction(graft.functions.VectorFunctions.vecDot)
         ext.injectFunction(graft.functions.MinHashFunctions.minhashSketch)
+        ext.injectFunction(graft.functions.WordNgramFunctions.hashedWordNgrams)
       }
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")

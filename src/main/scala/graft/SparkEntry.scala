@@ -27,6 +27,7 @@ object SparkEntry {
     "etl_dq_profile"     -> (Etl.dqProfile(_, _)),
     "etl_schema_enforce" -> (Etl.schemaEnforce(_, _)),
     "etl_incremental_ds" -> ((s, d) => Etl.incrementalDs(s, d)),
+    "etl_normalize_arrays" -> ((s, d) => Etl.normalizeArrays(Etl.arrayPayloads(s, d))),
     "sample_deterministic" -> ((s, d) => Etl.sampleDeterministic(s, d)),
     "sample_stratified"    -> ((s, d) => Etl.sampleStratified(s, d)),
     "etl_scd2"             -> (Etl.scd2History(_, _)),
@@ -71,7 +72,8 @@ object SparkEntry {
     // §2.7 streaming (batch twins of the shared transforms; the
     // streaming forms run in StreamingSpec via MemoryStream)
     "stream_windowed_agg" -> (graft.streaming.Streams.windowedAggBatch(_, _)),
-    "stream_dedupe"       -> (graft.streaming.Streams.keepFirstBatch(_, _))
+    "stream_dedupe"       -> (graft.streaming.Streams.keepFirstBatch(_, _)),
+    "stream_sessionize"   -> (graft.streaming.Streams.sessionizeBatch(_, _))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -85,6 +87,7 @@ object SparkEntry {
     "etl_dq_profile"     -> Etl.dqProfileOracleSql,
     "etl_schema_enforce" -> Etl.schemaEnforceOracleSql,
     "etl_incremental_ds" -> Etl.incrementalDsOracleSql,
+    "etl_normalize_arrays" -> Etl.normalizeArraysOracleSql,
     "sample_deterministic" -> Etl.sampleDeterministicOracleSql,
     "sample_stratified"    -> Etl.sampleStratifiedOracleSql,
     "etl_scd2"             -> Etl.scd2OracleSql,
@@ -127,6 +130,9 @@ object SparkEntry {
     "mm_feature_extract" -> Multimodal.featureExtractOracleSql,
     // §2.7 streaming batch twins
     "stream_windowed_agg" -> graft.streaming.Streams.windowedAggOracleSql,
-    "stream_dedupe"       -> graft.streaming.Streams.keepFirstOracleSql
+    "stream_dedupe"       -> graft.streaming.Streams.keepFirstOracleSql,
+    // the stateful sessionizer must agree with the window-form
+    // sessionizer row-for-row — one oracle checks both
+    "stream_sessionize"   -> Analytics.qEventsSessionizeOracleSql
   )
 }

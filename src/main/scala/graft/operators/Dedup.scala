@@ -85,9 +85,14 @@ object Dedup {
     * independently confirms equality at gate scale. */
   private def trigramSets(docs: DataFrame): DataFrame = {
     val w = TH.words(col("text"))
+    // native one-pass expression (functions/WordNgrams.scala): the
+    // composed split+transform+concat_ws+hash chain evaluates
+    // interpreted inside the lambda and re-derives split per element —
+    // it was the dominant cost of the dedup tier (r5 profile)
     docs
       .filter(size(w) >= 3)
-      .select(col("doc_id"), TH.hashedShingles(w, 3).as("tg"))
+      .select(col("doc_id"),
+        call_function("hashed_word_ngrams", col("text"), lit(3)).as("tg"))
   }
 
   /** Exact-Jaccard verification of candidate pairs against the hashed
@@ -408,16 +413,22 @@ object Dedup {
 
   def contaminationOn(docs: DataFrame, evalSource: String): DataFrame = {
     val w = TH.words(col("text"))
-    // explode the string shingles BEFORE hashing: a nested
-    // transform(shingles, xxhash64) higher-order pair is pathological
-    // (ProjectCollapse inlines the shingle construction into every
-    // hash lambda — O(len²) per doc); hashing the exploded scalar is
-    // one cheap projection
     val grams = docs
       .filter(size(w) >= ContamN)
       .select(col("doc_id"), col("source"),
-        explode(TH.shingles(w, ContamN)).as("__s"))
-      .select(col("doc_id"), col("source"), xxhash64(col("__s")).as("g"))
+        // native one-pass n-gram hashing (functions/WordNgrams.scala):
+        // the previous explode-strings-then-xxhash64 form spent 5.6 s
+        // of this query's 13 s re-deriving split per shingle element
+        explode(call_function("hashed_word_ngrams", col("text"), lit(ContamN))).as("g"))
+      // referenced from THREE plan branches (eval join side, eval
+      // sizes, train side) — unpersisted, Spark re-derives the
+      // split+shingle+hash explode per branch (r4 verdict: the most
+      // expensive query in the suite for exactly this). Persist so it
+      // runs once; ContextCleaner drops the blocks when unreachable
+      // (same pattern as persistedTrigramSets). At 100 TB, cache only
+      // the EVAL slice (the broadcast side) and let the corpus-sized
+      // train slice stream through its single scan.
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val evalG = grams.filter(col("source") === evalSource)
       .select(col("doc_id").as("eval_doc_id"), col("g"))
     val evalSizes = evalG.groupBy(col("eval_doc_id"))

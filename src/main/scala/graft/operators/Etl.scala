@@ -285,15 +285,20 @@ object Etl {
       .select(col("user_id"), col("event_type").as("state"),
         col("eff_start"), col("eff_end"), col("is_current"))
 
+  // first-row detect via rn=1 + IS DISTINCT FROM: mirrors Merge.scd2's
+  // explicit row_number + null-safe state compare (consecutive null
+  // states collapse into one interval; null→non-null is a change).
   val scd2OracleSql: String =
     """WITH e AS (
       |  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id,
       |    LAG(event_type) OVER (
-      |      PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      |      PARTITION BY user_id ORDER BY ts, event_id) AS prev,
+      |    ROW_NUMBER() OVER (
+      |      PARTITION BY user_id ORDER BY ts, event_id) AS rn
       |  FROM events),
       |c AS (
       |  SELECT user_id, event_type, ts, event_id FROM e
-      |  WHERE prev IS NULL OR prev <> event_type)
+      |  WHERE rn = 1 OR prev IS DISTINCT FROM event_type)
       |SELECT user_id, event_type AS state, ts AS eff_start,
       |  LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS eff_end,
       |  LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
@@ -363,4 +368,117 @@ object Etl {
        |  'events' AS source, '$LoadDs' AS load_ds
        |FROM events
        |WHERE CAST(ts AS DATE) = DATE '$IncrementalDs'""".stripMargin
+
+  /** Reference coordinates stamped on array-normalized rows (the
+    * extract config's latitude/longitude — Jakarta, consistent with
+    * [[SourceTz]]; the reference passes these through from config to
+    * constant columns, normalize_open_meteo_to_parquet.py:68-69). */
+  val RefLat = -6.2
+  val RefLon = 106.8167
+
+  /** Wire format for observation times inside array payloads:
+    * ISO-8601 'T' separator at microsecond precision (the events
+    * table's native resolution — a coarser format would silently
+    * truncate and break the raw-zone "re-runnable verbatim" property). */
+  private val TimeFmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
+
+  /** Hourly-array payloads: ONE JSON document per calendar date
+    * carrying two PARALLEL arrays (`hourly.time`,
+    * `hourly.temperature_2m`) — the exact wire shape the reference's
+    * extract stage lands in the raw zone and its normalize stage reads
+    * back as parallel lists (normalize_open_meteo_to_parquet.py:47-50).
+    * Derived deterministically from the events table (sorted
+    * collect_list, total order via the unique event_id tiebreak) so
+    * the DuckDB oracle can re-derive byte-identical payloads.
+    *
+    * Scale note: one shuffle on the payload key (`ds`); payload size
+    * is bounded by a day's observations per source — the reference's
+    * own per-ds sharding contract. */
+  def arrayPayloads(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(to_date(col("ts")).as("ds"))
+      .agg(sort_array(collect_list(
+        struct(col("ts"), col("event_id"), col("value")))).as("obs"))
+      .select(col("ds").cast("string").as("ds"),
+        to_json(struct(struct(
+          transform(col("obs"), o => date_format(o.getField("ts"), TimeFmt)).as("time"),
+          transform(col("obs"), o => o.getField("value")).as("temperature_2m")
+        ).as("hourly"))).as("payload"))
+
+  /** Parallel-array explode normalize — the reference's literal
+    * raw→staging transform (normalize_open_meteo_to_parquet.py:47-96):
+    * parse a JSON payload carrying two parallel arrays, DQ-GATE the
+    * shape (unequal lengths / missing arrays / zero rows / all-NaN
+    * metric each fail the run, matching the script's ValueError gates
+    * at :55, :91, :93), then `arrays_zip` + `explode` to one typed row
+    * per array element with derived date/hour and constant
+    * lat/lon/tz/load metadata.
+    *
+    * The gates are per-payload ROW-LEVEL expressions inside the
+    * projection that feeds the explode — codegen'd, no driver action,
+    * and impossible to optimize away (the zip itself is the `otherwise`
+    * branch). Scale shape: parse + explode is a narrow per-row
+    * generator, no shuffle. */
+  def normalizeArrays(payloads: DataFrame,
+                      latitude: Double = RefLat, longitude: Double = RefLon,
+                      timezone: String = SourceTz,
+                      source: String = "events-hourly"): DataFrame = {
+    val parsed = payloads.select(col("ds"),
+      from_json(col("payload"),
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "hourly STRUCT<time: ARRAY<STRING>, temperature_2m: ARRAY<DOUBLE>>"),
+        Map.empty[String, String]).as("p"))
+      .select(col("ds"),
+        col("p.hourly.time").as("times"),
+        col("p.hourly.temperature_2m").as("temps"))
+    val nTime = size(col("times"))
+    val nTemp = size(col("temps"))
+    val gatedZip =
+      when(col("times").isNull || col("temps").isNull,
+        raise_error(concat(lit("Malformed hourly payload for ds="), col("ds"))))
+      .when(nTime =!= nTemp,
+        raise_error(concat(lit("Length mismatch hourly arrays: time="),
+          nTime.cast("string"), lit(" vs temp="), nTemp.cast("string"))))
+      .when(nTime === 0,
+        raise_error(lit("No hourly rows produced from payload.")))
+      .when(size(filter(col("temps"), t => t.isNotNull && !t.isNaN)) === 0,
+        raise_error(lit("All temperature_c values are NaN.")))
+      .otherwise(arrays_zip(col("times"), col("temps")))
+    parsed
+      .select(col("ds"), explode(gatedZip).as("z"))
+      .select(
+        to_timestamp(col("z.times"), TimeFmt).as("ts"),
+        substring(col("z.times"), 1, 10).as("date"),
+        hour(to_timestamp(col("z.times"), TimeFmt)).as("hour"),
+        lit(latitude).as("latitude"),
+        lit(longitude).as("longitude"),
+        lit(timezone).as("timezone"),
+        col("z.temps").as("temperature_c"),
+        col("ds").as("load_ds"),
+        lit(source).as("source"))
+  }
+
+  // The oracle re-derives the payload lists (same total order), zips
+  // them positionally with unnest — DuckDB's multi-unnest zips — and
+  // re-derives the typed columns. Pairing needs each engine to use ONE
+  // consistent order for both lists; the shared (ts, event_id) order
+  // also makes it cross-engine deterministic.
+  val normalizeArraysOracleSql: String =
+    s"""WITH p AS (
+       |  SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS ds,
+       |    list(strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%dT%H:%M:%S.%f')
+       |         ORDER BY ts, event_id) AS times,
+       |    list(value ORDER BY ts, event_id) AS temps
+       |  FROM events GROUP BY 1),
+       |z AS (SELECT ds, unnest(times) AS t, unnest(temps) AS c FROM p)
+       |SELECT CAST(strptime(t, '%Y-%m-%dT%H:%M:%S.%f') AS TIMESTAMP) AS ts,
+       |  substr(t, 1, 10) AS "date",
+       |  CAST(EXTRACT(hour FROM strptime(t, '%Y-%m-%dT%H:%M:%S.%f')) AS INTEGER) AS "hour",
+       |  CAST($RefLat AS DOUBLE) AS latitude,
+       |  CAST($RefLon AS DOUBLE) AS longitude,
+       |  '$SourceTz' AS timezone,
+       |  c AS temperature_c,
+       |  ds AS load_ds,
+       |  'events-hourly' AS source
+       |FROM z""".stripMargin
 }

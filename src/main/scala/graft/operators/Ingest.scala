@@ -38,6 +38,47 @@ object Ingest {
   def landRaw(env: DataFrame, rawPath: String): Unit =
     Sinks.writePartitioned(env, rawPath, Seq("ds", "source"))
 
+  /** Transport-agnostic retry with the reference extract's semantics
+    * (extract_open_meteo_to_minio.py:52-83 `_http_get_json`):
+    * `retries + 1` total attempts, a FIXED `backoffMs` sleep between
+    * attempts (the reference's backoff is linear, not exponential),
+    * rethrow once exhausted with the earlier failures attached as
+    * suppressed (the reference logs each and raises the last). The
+    * `sleep` hook is injectable so specs assert backoff without
+    * wall-clock waits. Driver-side only — wraps the FETCH, which is
+    * inherently a single-caller transport action, not a Spark job. */
+  def withRetry[T](retries: Int, backoffMs: Long = 1000L,
+                   sleep: Long => Unit = Thread.sleep)(attempt: Int => T): T = {
+    var last: Throwable = null
+    var i = 1
+    while (i <= retries + 1) {
+      try return attempt(i)
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          if (last != null) e.addSuppressed(last)
+          last = e
+          if (i <= retries) sleep(backoffMs)
+      }
+      i += 1
+    }
+    throw last
+  }
+
+  /** Envelopes from a retried in-memory fetch — the no-egress analog
+    * of the reference's HTTP GET → raw landing (the thunk stands in
+    * for the transport; everything after it is identical). Payload
+    * order assigns `ingest_id` deterministically, unlike the
+    * partition-dependent monotonically_increasing_id of the file
+    * path — a retried fetch must land IDENTICAL envelopes. */
+  def envelopesFetched(spark: SparkSession, fetch: Int => Seq[String],
+                       source: String, ds: String,
+                       retries: Int = 2, backoffMs: Long = 1000L,
+                       sleep: Long => Unit = Thread.sleep): DataFrame = {
+    val payloads = withRetry(retries, backoffMs, sleep)(fetch)
+    val rows = payloads.zipWithIndex.map { case (p, i) => (p, source, ds, i.toLong) }
+    spark.createDataFrame(rows).toDF("payload", "source", "ds", "ingest_id")
+  }
+
   /** Parse a raw-zone slice with an explicit schema (never inferred —
     * inference is an extra full scan at scale and nondeterministic
     * under dirty data). Malformed payloads yield null columns, not

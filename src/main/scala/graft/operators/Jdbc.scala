@@ -97,12 +97,22 @@ object Jdbc {
     * table is missing. */
   private def ensureTable(conn: Connection, table: String, schema: StructType,
                           pkCols: Seq[String]): Unit = {
+    val md = conn.getMetaData
+    // Case-fold the probe per the BACKEND's identifier storage rule
+    // (Derby stores unquoted identifiers upper-case, Postgres folds
+    // them lower-case — a fixed .toUpperCase probe never sees an
+    // existing Postgres table, so every rerun re-issues CREATE TABLE
+    // and dies on 'relation already exists'; r4 advice).
+    val fold: String => String =
+      if (md.storesUpperCaseIdentifiers) _.toUpperCase
+      else if (md.storesLowerCaseIdentifiers) _.toLowerCase
+      else identity
     val (schemaPart, tablePart) = table.split('.') match {
-      case Array(s, t) => (s.toUpperCase, t.toUpperCase)
-      case Array(t)    => (null, t.toUpperCase)
+      case Array(s, t) => (fold(s), fold(t))
+      case Array(t)    => (null, fold(t))
       case _ => throw new IllegalArgumentException(s"bad table name: $table")
     }
-    val rs = conn.getMetaData.getTables(null, schemaPart, tablePart, Array("TABLE"))
+    val rs = md.getTables(null, schemaPart, tablePart, Array("TABLE"))
     val exists = try rs.next() finally rs.close()
     if (!exists) {
       val st = conn.createStatement()
@@ -196,7 +206,13 @@ object Jdbc {
           }
           conn.commit()
         } catch {
-          case t: Throwable => try conn.rollback() finally (); throw t
+          case t: Throwable =>
+            // rollback on an already-broken connection throws too —
+            // attach it as suppressed so the ORIGINAL failure is what
+            // logs and retries see (r4 advice)
+            try conn.rollback()
+            catch { case r: Throwable => t.addSuppressed(r) }
+            throw t
         } finally conn.close()
       }
     }

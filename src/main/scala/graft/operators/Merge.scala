@@ -55,13 +55,19 @@ object Merge {
   def scd2(df: DataFrame, keys: Seq[Column], stateCol: Column,
            orderCol: Column, tiebreak: Column): DataFrame = {
     val w = Window.partitionBy(keys: _*).orderBy(orderCol.asc, tiebreak.asc)
+    // first row detected EXPLICITLY (row_number), not via a null lag:
+    // a null PREVIOUS STATE is indistinguishable from "no previous
+    // row" in the lag alone, which would re-open an interval on every
+    // consecutive-null state instead of collapsing the run (r4 advice).
+    // State comparison is the null-safe inequality only.
     val changes = df
+      .withColumn("__rn", row_number().over(w))
       .withColumn("__prev", lag(stateCol, 1).over(w))
-      .filter(col("__prev").isNull || !(col("__prev") <=> stateCol))
+      .filter(col("__rn") === 1 || !(col("__prev") <=> stateCol))
     changes
       .withColumn("eff_start", orderCol)
       .withColumn("eff_end", lead(orderCol, 1).over(w))
       .withColumn("is_current", col("eff_end").isNull)
-      .drop("__prev")
+      .drop("__rn", "__prev")
   }
 }

@@ -280,7 +280,18 @@ object Similarity {
   def knnLshOn(vectors: DataFrame, k: Int = K, dim: Int = 0): DataFrame = {
     val planeDim =
       if (dim > 0) dim
-      else vectors.select(size(col("embedding"))).head().getInt(0)
+      else vectors.select(size(col("embedding")).as("__d"))
+        .filter(col("__d").isNotNull).limit(1).collect().headOption match {
+        case Some(r) => r.getInt(0)
+        case None =>
+          // no rows (or no non-null embedding): top-k of an empty
+          // corpus is an EMPTY RESULT, not a NoSuchElementException
+          // from the dim probe (r4 advice). Schema matches the main
+          // path (vec_id's native type, int rank, double cosine).
+          return vectors.limit(0).select(
+            col("vec_id").as("query_id"), col("vec_id").as("neighbor_id"),
+            lit(0).as("rank"), lit(0.0).as("cosine"))
+      }
     val v = vectors
       .select(col("vec_id"), V.toDouble(col("embedding")).as("e"))
       .withColumn("nrm", V.l2Norm(col("e")))

@@ -181,4 +181,37 @@ object Streams {
     ds.groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(sessionizeFn)
   }
+
+  /** Batch entry for the STATEFUL sessionizer (queries key
+    * `stream_sessionize`): the same flatMapGroupsWithState fold the
+    * stream runs, over the events table plus one closing SENTINEL per
+    * user (GapUs+1µs past that user's last event) so every real
+    * session completes and emits — the sentinel's own session stays
+    * open and is never emitted. `session_id` is re-derived as the
+    * per-user chronological rank, making the output row-for-row equal
+    * to Analytics.qEventsSessionize's window form — the same DuckDB
+    * oracle checks both implementations of the semantic.
+    *
+    * Scale shape: the sentinel aggregate and the fold shuffle once on
+    * user_id each; per-group memory is one user's events (the same
+    * bound the window form's sort carries). */
+  def sessionizeBatch(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val sentinels = base.groupBy(col("user_id"))
+      .agg(max(col("ts")).as("mx"))
+      .select(col("user_id"),
+        timestamp_micros(unix_micros(col("mx")) + GapUs + 1L).as("ts"),
+        lit(-1L).as("event_id"))
+    val sessions = sessionize(base.unionByName(sentinels).as[Ev]).toDF()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("session_start"))
+    sessions
+      .withColumn("session_id", row_number().over(w).cast("bigint"))
+      .withColumn("duration_sec",
+        expr("(unix_micros(session_end) - unix_micros(session_start)) div 1000000"))
+      .select("user_id", "session_id", "n_events",
+        "session_start", "session_end", "duration_sec")
+  }
 }

@@ -194,4 +194,62 @@ class EtlSpec extends SparkSpecBase {
     assert(backJson.count() == 100)
     assert(backJson.exceptAll(df).count() == 0)
   }
+
+  test("normalizeArrays: parallel arrays explode to one typed row per element, losslessly") {
+    val out = Etl.normalizeArrays(Etl.arrayPayloads(spark, sfDir)).cache()
+    val ev = graft.sources.Tables.events(spark, sfDir)
+    assert(out.count() == ev.count())
+    assert(out.columns.toSeq == Seq("ts", "date", "hour", "latitude", "longitude",
+      "timezone", "temperature_c", "load_ds", "source"))
+    // JSON round trip is lossless at microsecond/double precision:
+    // the (ts, metric) multiset survives payload build + parse + explode
+    val direct = ev.select(col("ts"), col("value").as("temperature_c"))
+    val viaArrays = out.select(col("ts"), col("temperature_c"))
+    assert(viaArrays.exceptAll(direct).count() == 0)
+    assert(direct.exceptAll(viaArrays).count() == 0)
+    // derived columns agree with the parsed timestamp
+    assert(out.filter(col("date") =!= date_format(col("ts"), "yyyy-MM-dd")).count() == 0)
+    assert(out.filter(col("hour") =!= hour(col("ts"))).count() == 0)
+    assert(out.filter(col("load_ds") =!= col("date")).count() == 0)
+    out.unpersist()
+    ()
+  }
+
+  test("normalizeArrays DQ gates: mismatch / empty / all-NaN / malformed payloads fail the run") {
+    import spark.implicits._
+    def messages(t: Throwable): String = {
+      val sb = new StringBuilder
+      var c: Throwable = t
+      while (c != null) { sb.append(Option(c.getMessage).getOrElse("")).append('\n'); c = c.getCause }
+      sb.toString
+    }
+    def run(payload: String): Unit =
+      Etl.normalizeArrays(Seq(("2024-01-01", payload)).toDF("ds", "payload")).collect()
+
+    val t0 = "2024-01-01T00:00:00.000000"
+    val t1 = "2024-01-01T01:00:00.000000"
+    val mismatch = intercept[Throwable] {
+      run(s"""{"hourly": {"time": ["$t0", "$t1"], "temperature_2m": [1.5]}}""")
+    }
+    assert(messages(mismatch).contains("Length mismatch hourly arrays: time=2 vs temp=1"))
+    val empty = intercept[Throwable] {
+      run("""{"hourly": {"time": [], "temperature_2m": []}}""")
+    }
+    assert(messages(empty).contains("No hourly rows produced from payload."))
+    val allNaN = intercept[Throwable] {
+      run(s"""{"hourly": {"time": ["$t0", "$t1"], "temperature_2m": [NaN, NaN]}}""")
+    }
+    assert(messages(allNaN).contains("All temperature_c values are NaN."))
+    val malformed = intercept[Throwable] { run("""{"daily": {"x": 1}}""") }
+    assert(messages(malformed).contains("Malformed hourly payload for ds=2024-01-01"))
+    val notJson = intercept[Throwable] { run("this is not json") }
+    assert(messages(notJson).contains("Malformed hourly payload"))
+
+    // SOME NaN is fine (the gate is all-NaN, matching the reference)
+    val ok = Etl.normalizeArrays(
+      Seq(("2024-01-01", s"""{"hourly": {"time": ["$t0", "$t1"], "temperature_2m": [NaN, 2.5]}}"""))
+        .toDF("ds", "payload")).collect()
+    assert(ok.length == 2)
+    assert(ok.map(_.getAs[Double]("temperature_c")).count(_.isNaN) == 1)
+  }
 }

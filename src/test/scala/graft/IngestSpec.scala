@@ -98,4 +98,33 @@ class IngestSpec extends SparkSpecBase {
     assert(parsed.filter(col("_corrupt").isNull && col("k").isNull).count() == 3)
     assert(parsed.filter(col("k") === 7).count() == 1)
   }
+
+  test("withRetry: flaky fetch lands identical envelopes after linear backoff") {
+    var calls = 0
+    val sleeps = scala.collection.mutable.ArrayBuffer[Long]()
+    val payloads = Seq("""{"k": 1}""", """{"k": 2}""")
+    val env = Ingest.envelopesFetched(spark,
+      fetch = { attempt => calls += 1; if (attempt < 3) sys.error(s"flaky #$attempt"); payloads },
+      source = "api", ds = "2024-06-01",
+      retries = 2, backoffMs = 250L, sleep = sleeps += _)
+    assert(calls == 3)
+    // the reference backoff is LINEAR (fixed sleep), between attempts only
+    assert(sleeps.toSeq == Seq(250L, 250L))
+    val rows = env.orderBy("ingest_id").collect()
+    assert(rows.map(_.getAs[String]("payload")).toSeq == payloads)
+    assert(rows.map(_.getAs[Long]("ingest_id")).toSeq == Seq(0L, 1L))
+    assert(rows.forall(r =>
+      r.getAs[String]("source") == "api" && r.getAs[String]("ds") == "2024-06-01"))
+  }
+
+  test("withRetry: exhaustion rethrows the last failure with earlier ones suppressed") {
+    var slept = 0
+    val e = intercept[RuntimeException] {
+      Ingest.withRetry(retries = 1, backoffMs = 1L, sleep = _ => slept += 1)(
+        a => sys.error(s"boom $a"))
+    }
+    assert(e.getMessage == "boom 2")
+    assert(e.getSuppressed.exists(_.getMessage == "boom 1"))
+    assert(slept == 1) // no sleep after the final attempt
+  }
 }

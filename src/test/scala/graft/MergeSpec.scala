@@ -87,4 +87,27 @@ class MergeSpec extends SparkSpecBase {
     assert(current.exceptAll(latest).count() == 0)
     assert(latest.exceptAll(current).count() == 0)
   }
+
+  test("scd2: consecutive null states collapse; null<->value transitions are change points") {
+    import spark.implicits._
+    val log = Seq(
+      (1L, Option.empty[String], 10L, 1L),
+      (1L, Option.empty[String], 20L, 2L), // same (null) state: extends the interval
+      (1L, Option("A"), 30L, 3L),
+      (1L, Option.empty[String], 40L, 4L),
+      (1L, Option.empty[String], 50L, 5L)
+    ).toDF("user_id", "state", "t", "event_id")
+    val got = Merge.scd2(log,
+        keys = Seq(col("user_id")), stateCol = col("state"),
+        orderCol = col("t"), tiebreak = col("event_id"))
+      .select("user_id", "state", "eff_start", "eff_end", "is_current")
+      .collect()
+      .map(r => (if (r.isNullAt(1)) None else Some(r.getString(1)), r.getLong(2),
+                 if (r.isNullAt(3)) None else Some(r.getLong(3)), r.getBoolean(4)))
+      .toSet
+    assert(got == Set(
+      (None, 10L, Some(30L), false),
+      (Some("A"), 30L, Some(40L), false),
+      (None, 40L, None, true)))
+  }
 }

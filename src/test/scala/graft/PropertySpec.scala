@@ -80,4 +80,66 @@ class PropertySpec extends SparkSpecBase {
       assert(got == want)
     }
   }
+
+  test("hashed_word_ngrams: set structure identical to the composed split/transform form") {
+    import spark.implicits._
+    import graft.functions.{TextHashing => TH}
+    // random texts over a tiny vocabulary (forces real shingle repeats),
+    // with occasional double spaces (empty-word edge of split-on-space)
+    val texts = (1 to 120).map { i =>
+      val words = (0 until (3 + rnd.nextInt(40))).map(_ => s"w${rnd.nextInt(12)}")
+      val sep = if (rnd.nextInt(10) == 0) "  " else " "
+      (i.toLong, words.mkString(sep))
+    }
+    Seq(2, 3, 4).foreach { n =>
+      val df = texts.toDF("doc_id", "text")
+        .filter(size(TH.words(col("text"))) >= n)
+        .select(col("doc_id"),
+          call_function("hashed_word_ngrams", col("text"), lit(n)).as("hg"),
+          TH.shingles(TH.words(col("text")), n).as("sg"))
+        .cache()
+      // per-doc distinct cardinality matches the string form exactly
+      assert(df.filter(size(col("hg")) =!= size(col("sg"))).count() == 0, s"n=$n sizes")
+      // cross-doc equality structure: posting-join pair counts match
+      val hPairs = {
+        val p = df.select(col("doc_id"), explode(col("hg")).as("g"))
+        p.as("a").join(p.as("b"),
+            col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id")).count()
+      }
+      val sPairs = {
+        val p = df.select(col("doc_id"), explode(col("sg")).as("g"))
+        p.as("a").join(p.as("b"),
+            col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id")).count()
+      }
+      assert(hPairs == sPairs, s"n=$n posting pairs")
+      df.unpersist()
+    }
+  }
+
+  test("hashed_word_ngrams: codegen and interpreted paths agree; short docs empty") {
+    import spark.implicits._
+    val df = Seq((1L, "a b c d e"), (2L, "a  b"), (3L, "solo"), (4L, ""))
+      .toDF("doc_id", "text")
+    def run(): Map[Long, Seq[Long]] = {
+      df.select(col("doc_id"),
+          call_function("hashed_word_ngrams", col("text"), lit(3)).as("g"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    }
+    val withCodegen = run()
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    val interpreted = try run() finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+    assert(withCodegen == interpreted)
+    assert(withCodegen(1L).length == 3)              // 5 words -> 3 trigrams
+    assert(withCodegen(2L).length == 1)              // ["a","","b"] -> one trigram "a  b"
+    assert(withCodegen(3L).isEmpty && withCodegen(4L).isEmpty)
+    // first-occurrence-order distinctness on a repeating text
+    val rep = Seq((1L, "x y x y x y x y")).toDF("doc_id", "text")
+      .select(call_function("hashed_word_ngrams", col("text"), lit(2)).as("g"))
+      .collect()(0).getSeq[Long](0)
+    assert(rep.length == 2 && rep.distinct.length == 2) // {"x y", "y x"}
+  }
 }

@@ -109,4 +109,15 @@ class SimilaritySpec extends SparkSpecBase {
     val candCounts = approx.groupBy(_.getLong(0)).view.mapValues(_.length)
     candCounts.values.foreach(n => assert(n <= corpus.toInt))
   }
+
+  test("knn lsh: empty corpus / all-null embeddings give an empty result, not a probe crash") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    val out = Similarity.knnLshOn(empty)
+    assert(out.columns.toSeq == Seq("query_id", "neighbor_id", "rank", "cosine"))
+    assert(out.count() == 0)
+    val allNull = Seq((1L, Option.empty[Array[Float]]), (2L, Option.empty[Array[Float]]))
+      .toDF("vec_id", "embedding")
+    assert(Similarity.knnLshOn(allNull).count() == 0)
+  }
 }

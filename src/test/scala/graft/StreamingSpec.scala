@@ -167,4 +167,14 @@ class StreamingSpec extends SparkSpecBase {
       .count().filter(col("count") > 1).count()
     assert(dups == 0)
   }
+
+  test("stateful sessionizer batch key equals the window-form sessionizer row-for-row") {
+    val a = Streams.sessionizeBatch(spark, sfDir)
+    val b = graft.queries.Analytics.qEventsSessionize(spark, sfDir)
+      .select("user_id", "session_id", "n_events",
+        "session_start", "session_end", "duration_sec")
+    assert(a.count() > 0)
+    assert(a.exceptAll(b).count() == 0)
+    assert(b.exceptAll(a).count() == 0)
+  }
 }
