@@ -29,6 +29,7 @@ object GraftSession {
         ext.injectFunction(graft.functions.VectorFunctions.vecDot)
         ext.injectFunction(graft.functions.MinHashFunctions.minhashSketch)
         ext.injectFunction(graft.functions.WordNgramFunctions.hashedWordNgrams)
+        ext.injectFunction(graft.functions.WordNgramFunctions.hashedCharNgrams)
       }
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")

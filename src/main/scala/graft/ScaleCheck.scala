@@ -32,6 +32,39 @@ object ScaleCheck {
       concat(lit("{\"k\": "), pmod(xxhash64(col("id"), lit(3)), lit(100L)), lit("}")).as("props"))
       .write.mode("overwrite").parquet(s"$dir/events.parquet")
 
+    // orders (as-of join right side): 100× sf0.1's 150k rows, custkey
+    // domain matching the events user_id domain, day-granular dates
+    spark.range(150000L * mult).select(
+      col("id").as("o_orderkey"),
+      pmod(xxhash64(col("id"), lit(7)), lit(15000L)).as("o_custkey"),
+      element_at(array(lit("O"), lit("F"), lit("P")),
+        (pmod(xxhash64(col("id"), lit(10)), lit(3)) + 1).cast("int")).as("o_orderstatus"),
+      (pmod(xxhash64(col("id"), lit(8)), lit(100000L)).cast("double") / 100.0).as("o_totalprice"),
+      timestamp_micros(lit(1704067200000000L) +
+        pmod(xxhash64(col("id"), lit(9)), lit(30L)) * 86400000000L).as("o_orderdate"),
+      lit("1-URGENT").as("o_orderpriority"))
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+
+    // documents (contamination / packing): 100× sf0.1's 5k docs, ~50
+    // words from a small vocabulary (real-corpus shape), 20 sources
+    val vocab = array(Seq("batch", "part", "spark", "line", "column", "order",
+      "small", "sort", "fast", "value", "scan", "hash", "slow", "group",
+      "agg", "filter", "query", "big", "key", "window", "row", "table",
+      "stream", "merge", "data", "plan", "join", "shuffle", "stage", "task",
+      "disk", "cache", "read", "write", "block", "page", "node", "core",
+      "byte", "file").map(lit): _*)
+    val text = concat_ws(" ", transform(
+      sequence(lit(1), (lit(40) + pmod(xxhash64(col("id"), lit(4)), lit(30L))).cast("int")),
+      i => element_at(vocab, (pmod(xxhash64(col("id"), i), lit(40L)) + 1).cast("int"))))
+    spark.range(5000L * mult).select(
+      col("id").as("doc_id"),
+      text.as("text"),
+      element_at(array(lit("en"), lit("id"), lit("zh"), lit("es"), lit("fr")),
+        (pmod(xxhash64(col("id"), lit(5)), lit(5)) + 1).cast("int")).as("lang"),
+      concat(lit("src"), pmod(xxhash64(col("id"), lit(6)), lit(20L))).as("source"),
+      length(text).as("n_chars"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
     def run(name: String, df: => org.apache.spark.sql.DataFrame) = {
       val d = df
       // one execution: count rows with an accumulator DURING the timed
@@ -48,7 +81,14 @@ object ScaleCheck {
       run("etl_hourly_rollup", operators.Etl.hourlyRollup(spark, dir)),
       run("etl_keep_latest", operators.Etl.keepLatest(spark, dir)),
       run("q_events_sessionize", queries.Analytics.qEventsSessionize(spark, dir)),
-      run("stream_windowed_agg", streaming.Streams.windowedAggBatch(spark, dir)))
+      run("stream_windowed_agg", streaming.Streams.windowedAggBatch(spark, dir)),
+      // round-4/5 additions: the new join shapes and the corpus tier
+      run("q_asof_join", operators.AsOf.qAsOfJoin(spark, dir)),
+      run("q_range_join", operators.RangeJoin.qRangeJoin(spark, dir)),
+      run("dedup_contamination", operators.Dedup.contamination(spark, dir)),
+      run("pack_sequences", operators.TrainPrep.packSequences(spark, dir)),
+      run("etl_normalize_arrays",
+        operators.Etl.normalizeArrays(operators.Etl.arrayPayloads(spark, dir))))
 
     // end-to-end per-ds pipeline (normalize + DQ + staged write + L2
     // merge) — the unit of work the reference DAG runs per day

@@ -43,7 +43,7 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object WordNgrams {
   /** splitmix64 finalizer — decorrelates polynomial hashes. */
-  @inline private def mix(z0: Long): Long = {
+  @inline private[functions] def mix(z0: Long): Long = {
     var z = z0
     z ^= z >>> 30; z *= 0xbf58476d1ce4e5b9L
     z ^= z >>> 27; z *= 0x94d049bb133111ebL
@@ -103,6 +103,79 @@ object WordNgrams {
   }
 }
 
+/** One-pass character-n-gram hashing WITH multiplicity.
+  *
+  * Equivalent (hash-for-string, equality-preserving) to
+  * `transform(sequence(1, length(text)-n+1), i -> substring(text, i, n))`
+  * — the char-bigram derivation language-ID consumes — computed in one
+  * scan: char boundaries located once via UTF-8 lead bytes, each
+  * n-gram hashed from its byte range (CHARACTER positions, so
+  * multi-byte scripts hash the same units the substring form yields).
+  * Unlike [[WordNgrams.compute]] this keeps duplicates and order:
+  * profile learning counts occurrences. Texts shorter than `n` chars
+  * yield an empty array. */
+object CharNgrams {
+  def compute(text: UTF8String, n: Int): ArrayData = {
+    val bytes = text.getBytes
+    val len = bytes.length
+    // char start offsets (UTF-8: count lead bytes)
+    var nChars = 0
+    var i = 0
+    while (i < len) {
+      i += UTF8String.numBytesForFirstByte(bytes(i))
+      nChars += 1
+    }
+    val nGrams = nChars - n + 1
+    if (nGrams <= 0) return UnsafeArrayData.fromPrimitiveArray(new Array[Long](0))
+    val starts = new Array[Int](nChars + 1)
+    var c = 0
+    i = 0
+    while (i < len) {
+      starts(c) = i
+      i += UTF8String.numBytesForFirstByte(bytes(i))
+      c += 1
+    }
+    starts(nChars) = len
+    val out = new Array[Long](nGrams)
+    var g = 0
+    while (g < nGrams) {
+      var h = RollingHash.Seed
+      var j = starts(g)
+      val to = starts(g + n)
+      while (j < to) { h = h * RollingHash.Base + (bytes(j) & 0xff); j += 1 }
+      out(g) = WordNgrams.mix(h)
+      g += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+}
+
+/** `hashed_char_ngrams(text, n)`: ARRAY<BIGINT> of character n-gram
+  * hashes with multiplicity, text order — see [[CharNgrams]]. */
+case class HashedCharNgrams(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "hashed_char_ngrams"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == StringType && right.dataType == IntegerType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"hashed_char_ngrams requires (STRING, INT), got " +
+        s"(${left.dataType.sql}, ${right.dataType.sql})")
+
+  protected override def nullSafeEval(text: Any, n: Any): Any =
+    CharNgrams.compute(text.asInstanceOf[UTF8String], n.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, n) =>
+      s"graft.functions.CharNgrams.compute($t, $n)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): HashedCharNgrams =
+    copy(left = newLeft, right = newRight)
+}
+
 /** `hashed_word_ngrams(text, n)`: ARRAY<BIGINT> of distinct word
   * n-gram hashes, first-occurrence order — see [[WordNgrams]]. */
 case class HashedWordNgrams(left: Expression, right: Expression)
@@ -134,4 +207,9 @@ object WordNgramFunctions {
     FunctionIdentifier("hashed_word_ngrams"),
     new ExpressionInfo(classOf[HashedWordNgrams].getName, "hashed_word_ngrams"),
     (args: Seq[Expression]) => HashedWordNgrams(args(0), args(1)))
+
+  val hashedCharNgrams: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("hashed_char_ngrams"),
+    new ExpressionInfo(classOf[HashedCharNgrams].getName, "hashed_char_ngrams"),
+    (args: Seq[Expression]) => HashedCharNgrams(args(0), args(1)))
 }

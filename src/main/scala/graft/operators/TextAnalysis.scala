@@ -93,13 +93,16 @@ object TextAnalysis {
        |FROM documents""".stripMargin
   }
 
-  /** Character bigrams of a text column: one array expression,
-    * evaluated once per row. */
+  /** Character bigrams of a text column, as 64-bit hashes WITH
+    * multiplicity — the native one-pass expression
+    * (functions/WordNgrams.scala `hashed_char_ngrams`; the composed
+    * transform+substring chain evaluates interpreted per element and
+    * was most of this query's cost). Profile learning and scoring use
+    * the bigram only for EQUALITY (group keys / join keys), so hashes
+    * are a drop-in; the profile-rank tiebreak becomes hash order —
+    * deterministic, just a different arbitrary total order. */
   private def charBigrams(text: Column): Column =
-    when(length(text) >= 2,
-      transform(sequence(lit(1), length(text) - lit(1)), i =>
-        call_function("substring", text, i, lit(2))))
-      .otherwise(array())
+    call_function("hashed_char_ngrams", text, lit(2))
 
   /** Top bigrams kept per language profile. */
   val ProfileSize = 30

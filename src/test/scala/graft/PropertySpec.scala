@@ -142,4 +142,37 @@ class PropertySpec extends SparkSpecBase {
       .collect()(0).getSeq[Long](0)
     assert(rep.length == 2 && rep.distinct.length == 2) // {"x y", "y x"}
   }
+
+  test("hashed_char_ngrams: multiplicity/order/UTF-8 structure matches the substring form") {
+    import spark.implicits._
+    // ASCII, multi-byte (CJK + accents), short, and empty texts
+    val texts = Seq((1L, "abcabc"), (2L, "\u4f60\u597d\u4e16\u754c\u4f60\u597d"),
+      (3L, "caf\u00e9 caf\u00e9"), (4L, "x"), (5L, ""))
+    val df = texts.toDF("doc_id", "text").select(col("doc_id"),
+      call_function("hashed_char_ngrams", col("text"), lit(2)).as("hg"),
+      when(length(col("text")) >= 2,
+        transform(sequence(lit(1), length(col("text")) - lit(1)), i =>
+          call_function("substring", col("text"), i, lit(2))))
+        .otherwise(array()).as("sg"))
+    df.collect().foreach { r =>
+      val hg = r.getSeq[Long](1)
+      val sg = r.getSeq[String](2)
+      assert(hg.length == sg.length, s"doc ${r.getLong(0)} count")
+      // same-position equality structure: hashes agree exactly where strings do
+      for (i <- sg.indices; j <- sg.indices)
+        assert((sg(i) == sg(j)) == (hg(i) == hg(j)), s"doc ${r.getLong(0)} ($i,$j)")
+    }
+    // codegen/interpreted parity
+    def run(): Seq[Seq[Long]] = texts.toDF("doc_id", "text")
+      .select(call_function("hashed_char_ngrams", col("text"), lit(2)))
+      .collect().map(_.getSeq[Long](0).toSeq).toSeq
+    val cg = run()
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    val ip = try run() finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+    assert(cg == ip)
+  }
 }
