@@ -150,4 +150,34 @@ class PlanSpec extends SparkSpecBase {
         s"vec_dot diverges from reference fold for vec ${r.getLong(0)}")
     }
   }
+
+  test("normalizeArrays: one shuffle (the payload groupBy), gates stay in the projection") {
+    val df = Etl.normalizeArrays(Etl.arrayPayloads(spark, sfDir))
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    // exactly one exchange: the per-ds payload aggregate; parse+gate+
+    // explode are narrow
+    assert(p.split("Exchange hashpartitioning").length - 1 == 1,
+      s"expected exactly one hash exchange:\n$p")
+    // the DQ gate (raise_error) must survive optimization — it is the
+    // explode input, not a dead projection the optimizer can drop
+    assert(optimized(df).contains("raise_error"), "DQ gate optimized away")
+  }
+
+  test("contamination: gram subtree is cached once; eval side broadcast") {
+    val df = Dedup.contamination(spark, sfDir)
+    val p = plan(df)
+    assert(p.contains("InMemoryTableScan"),
+      s"gram postings not persisted — derived per branch:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"eval side not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("stateful sessionizer batch: shuffles on user_id only, no cartesian") {
+    val p = plan(graft.streaming.Streams.sessionizeBatch(spark, sfDir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    // in batch mode flatMapGroupsWithState lowers to MapGroups (the
+    // streaming form lowers to FlatMapGroupsWithStateExec)
+    assert(p.contains("MapGroups"), s"stateful fold missing from plan:\n$p")
+  }
 }
