@@ -30,16 +30,11 @@ object TextHashing {
     array_distinct(transform(sequence(lit(0), size(w) - lit(n)), i =>
       concat_ws(" ", (0 until n).map(k => element_at(w, i + lit(k + 1))): _*)))
 
-  /** Distinct HASHED word n-gram shingles (array<long>). The hash is
-    * applied INSIDE the one shingle lambda — `transform(shingles(w),
-    * xxhash64)` as two nested higher-order calls is pathological
-    * (ProjectCollapse inlines the inner shingle construction into
-    * every element of the outer lambda: O(len²) work per doc). Same
-    * filter contract as [[shingles]]. */
-  def hashedShingles(w: Column, n: Int = 3): Column =
-    array_distinct(transform(sequence(lit(0), size(w) - lit(n)), i =>
-      xxhash64(concat_ws(" ", (0 until n).map(k => element_at(w, i + lit(k + 1))): _*))))
-
+  // Hashed shingle production lives in the native `hashed_word_ngrams`
+  // expression (functions/WordNgrams.scala) — a composed
+  // transform+concat_ws+hash chain here would evaluate interpreted
+  // inside the lambda (no codegen, split re-derived per element) and
+  // was the dominant cost of the dedup tier before round 5.
   // MinHash signatures are produced by the custom minhash_sketch
   // aggregate (functions/MinHashSketch.scala): one base hash per
   // shingle + k derived mult-add permutations into a primitive

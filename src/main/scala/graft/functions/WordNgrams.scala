@@ -54,6 +54,8 @@ object WordNgrams {
   /** Distinct n-gram hashes in first-occurrence order (the same order
     * contract as array_distinct). Called from generated code. */
   def compute(text: UTF8String, n: Int): ArrayData = {
+    if (n < 1) throw new IllegalArgumentException(
+      s"hashed_word_ngrams: n must be >= 1, got $n")
     val bytes = text.getBytes
     val len = bytes.length
     // word start offsets (split-on-single-space semantics: a word
@@ -116,6 +118,8 @@ object WordNgrams {
   * yield an empty array. */
 object CharNgrams {
   def compute(text: UTF8String, n: Int): ArrayData = {
+    if (n < 1) throw new IllegalArgumentException(
+      s"hashed_char_ngrams: n must be >= 1, got $n")
     val bytes = text.getBytes
     val len = bytes.length
     // char start offsets (UTF-8: count lead bytes)

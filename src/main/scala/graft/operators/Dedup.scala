@@ -127,9 +127,14 @@ object Dedup {
   /** Persisted trigram sets: the near-dup queries reference the
     * trigram derivation from several plan branches (document
     * frequencies, prefix index, both verify sides); persisting the
-    * one frame computes the split+hash work once per query instead of
-    * once per branch. Spilled to disk if it outgrows memory; the
-    * ContextCleaner drops the blocks once the frame is unreachable. */
+    * one frame computes the hash work once per query instead of once
+    * per branch. The cached frame is one row per doc carrying the
+    * hashed-trigram array — corpus-CARDINALITY but small per row, and
+    * reused 3–4× per query. Note the cache lives in the session
+    * CacheManager until unpersist/clearCache/session end (the
+    * ContextCleaner does NOT reclaim registered plans); acceptable
+    * here because verify/bench sessions are per-run and the frame is
+    * the compact doc-level form, not the exploded posting table. */
   private def persistedTrigramSets(docs: DataFrame): DataFrame =
     trigramSets(docs).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
@@ -413,22 +418,23 @@ object Dedup {
 
   def contaminationOn(docs: DataFrame, evalSource: String): DataFrame = {
     val w = TH.words(col("text"))
+    // native one-pass n-gram hashing (functions/WordNgrams.scala): the
+    // previous explode-strings-then-xxhash64 form spent 5.6 s of this
+    // query's 13 s re-deriving split per shingle element (r4 verdict's
+    // top finding). The gram subtree IS referenced from three plan
+    // branches (eval join side, eval sizes, train side), but it is NOT
+    // persisted: the source filters push below the explode into the
+    // scan, so each branch derives only its own slice, and with the
+    // compiled expression that derivation measures as cheap as a cache
+    // read (0.8 s vs 0.6–1.7 s warm at sf0.1) — while a persist would
+    // pin a CORPUS-sized posting table in the session CacheManager
+    // until an explicit unpersist (Dataset.persist registers the plan
+    // strongly; the ContextCleaner never reclaims it), exactly the
+    // wrong trade at 100 TB where the train slice must stream.
     val grams = docs
       .filter(size(w) >= ContamN)
       .select(col("doc_id"), col("source"),
-        // native one-pass n-gram hashing (functions/WordNgrams.scala):
-        // the previous explode-strings-then-xxhash64 form spent 5.6 s
-        // of this query's 13 s re-deriving split per shingle element
         explode(call_function("hashed_word_ngrams", col("text"), lit(ContamN))).as("g"))
-      // referenced from THREE plan branches (eval join side, eval
-      // sizes, train side) — unpersisted, Spark re-derives the
-      // split+shingle+hash explode per branch (r4 verdict: the most
-      // expensive query in the suite for exactly this). Persist so it
-      // runs once; ContextCleaner drops the blocks when unreachable
-      // (same pattern as persistedTrigramSets). At 100 TB, cache only
-      // the EVAL slice (the broadcast side) and let the corpus-sized
-      // train slice stream through its single scan.
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val evalG = grams.filter(col("source") === evalSource)
       .select(col("doc_id").as("eval_doc_id"), col("g"))
     val evalSizes = evalG.groupBy(col("eval_doc_id"))

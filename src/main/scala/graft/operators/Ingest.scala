@@ -49,6 +49,7 @@ object Ingest {
     * inherently a single-caller transport action, not a Spark job. */
   def withRetry[T](retries: Int, backoffMs: Long = 1000L,
                    sleep: Long => Unit = Thread.sleep)(attempt: Int => T): T = {
+    require(retries >= 0, s"withRetry: retries must be >= 0, got $retries")
     var last: Throwable = null
     var i = 1
     while (i <= retries + 1) {

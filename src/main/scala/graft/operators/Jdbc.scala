@@ -112,8 +112,25 @@ object Jdbc {
       case Array(t)    => (null, fold(t))
       case _ => throw new IllegalArgumentException(s"bad table name: $table")
     }
-    val rs = md.getTables(null, schemaPart, tablePart, Array("TABLE"))
-    val exists = try rs.next() finally rs.close()
+    // getTables treats its arguments as LIKE patterns: an unescaped
+    // '_' in a table name matches any character ("events_l1" would
+    // match a pre-existing "eventsXl1" and skip the CREATE), and a
+    // null schema searches EVERY schema. Pattern ESCAPING is not
+    // portable (Derby reports an empty escape string and ignores
+    // backslashes), so instead: probe with the raw pattern — which can
+    // only OVER-match — pin the schema to the connection's current one
+    // when unqualified, and confirm an EXACT name match on the result
+    // rows before trusting existence.
+    val wantSchema = Option(schemaPart).orElse(Option(conn.getSchema))
+    val rs = md.getTables(null, wantSchema.orNull, tablePart, Array("TABLE"))
+    val exists =
+      try {
+        var found = false
+        while (!found && rs.next())
+          found = rs.getString("TABLE_NAME") == tablePart &&
+            wantSchema.forall(_ == rs.getString("TABLE_SCHEM"))
+        found
+      } finally rs.close()
     if (!exists) {
       val st = conn.createStatement()
       try st.executeUpdate(createTableSql(table, schema, pkCols))

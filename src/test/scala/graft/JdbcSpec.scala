@@ -90,4 +90,23 @@ class JdbcSpec extends SparkSpecBase {
     assert(Jdbc.dialectFor("jdbc:postgresql://h/db") == Jdbc.PostgresDialect)
     assert(Jdbc.dialectFor("jdbc:derby:memory:x") == Jdbc.DeleteInsertDialect)
   }
+
+  test("ensureTable probe escapes LIKE wildcards: decoy table does not mask a missing one") {
+    import spark.implicits._
+    val url = freshUrl("graft_upsert_like")
+    // decoy whose name matches "events_l1" as a LIKE pattern ('_' = any char)
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      try st.executeUpdate("CREATE TABLE eventsXl1 (k BIGINT NOT NULL, PRIMARY KEY (k))")
+      finally st.close()
+    } finally conn.close()
+    val df = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    // an unescaped probe would see the decoy, skip CREATE, and the
+    // upsert would die with 'events_l1 does not exist'
+    assert(Jdbc.writeJdbcUpsert(df, url, "events_l1", Seq("k")) == 2L)
+    // rerun still idempotent (the probe now finds the real table)
+    assert(Jdbc.writeJdbcUpsert(df, url, "events_l1", Seq("k")) == 2L)
+    assert(Jdbc.readJdbc(spark, url, "events_l1").count() == 2)
+  }
 }

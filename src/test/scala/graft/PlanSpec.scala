@@ -164,13 +164,24 @@ class PlanSpec extends SparkSpecBase {
     assert(optimized(df).contains("raise_error"), "DQ gate optimized away")
   }
 
-  test("contamination: gram subtree is cached once; eval side broadcast") {
+  test("contamination: per-branch source filters push to the scan; eval side broadcast") {
+    // other suites may have cached frames over the same parquet in the
+    // shared session; CacheManager would substitute them into THIS plan
+    // and turn the scan assertions order-dependent
+    spark.catalog.clearCache()
     val df = Dedup.contamination(spark, sfDir)
     val p = plan(df)
-    assert(p.contains("InMemoryTableScan"),
-      s"gram postings not persisted — derived per branch:\n$p")
+    // the gram subtree feeds three branches UNPERSISTED by design (see
+    // contaminationOn scaladoc): each branch must push its source
+    // filter below the explode into the parquet scan, so a branch
+    // derives only its own slice
+    assert(p.contains("PushedFilters: [IsNotNull(source), EqualTo(source,src0)")
+      || p.contains("EqualTo(source,src0)"),
+      s"eval-slice filter not pushed to scan:\n$p")
     assert(p.contains("BroadcastHashJoin"), s"eval side not broadcast:\n$p")
     assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("InMemoryTableScan"),
+      "corpus-sized posting cache reappeared — see contaminationOn scaladoc")
   }
 
   test("stateful sessionizer batch: shuffles on user_id only, no cartesian") {
