@@ -484,4 +484,81 @@ object Dedup {
        |  FROM v a, v b
        |  WHERE a.vec_id < b.vec_id) p
        |WHERE cosine >= $CosineTau""".stripMargin
+
+  // --- incremental dedup against a durable content-hash index ---
+
+  /** Survivors of `newDocs` against an already-seen hash set: drop
+    * docs whose content hash appears in `seenHashes` (`content_hash`
+    * column), then dedupe the slice internally keeping the minimum
+    * doc_id per hash. One anti-join + one keyed window — the new
+    * slice shuffles, the historical corpus never rescans. */
+  def incrementalExactOn(newDocs: DataFrame, seenHashes: DataFrame): DataFrame =
+    Merge.keepFirst(
+      newDocs.withColumn("content_hash", md5(col("text").cast("binary")))
+        .join(seenHashes.select("content_hash"), Seq("content_hash"), "left_anti"),
+      keys = Seq(col("content_hash")),
+      orderCol = col("doc_id"), tiebreak = col("doc_id"))
+
+  /** Driver query form (key `dedup_incremental`): treat one source as
+    * today's slice and every other source as the already-ingested
+    * corpus — the semantics of the daily dedup run, oracle-checkable
+    * on a static corpus. */
+  def incrementalExact(spark: SparkSession, dir: String,
+                       newSource: String = "src0"): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val seen = docs.filter(col("source") =!= newSource)
+      .select(md5(col("text").cast("binary")).as("content_hash"))
+    incrementalExactOn(docs.filter(col("source") === newSource), seen)
+      .select(col("doc_id"), col("content_hash"), col("lang"),
+        col("source"), col("n_chars"))
+  }
+
+  val incrementalExactOracleSql: String =
+    """WITH cand AS (
+      |  SELECT doc_id, md5(text) AS content_hash, lang, source, n_chars
+      |  FROM documents WHERE source = 'src0'),
+      |seen AS (
+      |  SELECT md5(text) AS content_hash FROM documents WHERE source <> 'src0')
+      |SELECT doc_id, content_hash, lang, source, n_chars FROM (
+      |  SELECT *, ROW_NUMBER() OVER (
+      |    PARTITION BY content_hash ORDER BY doc_id) AS rn
+      |  FROM cand c
+      |  WHERE NOT EXISTS (
+      |    SELECT 1 FROM seen s WHERE s.content_hash = c.content_hash)) t
+      |WHERE rn = 1""".stripMargin
+
+  /** The per-`ds` unit of corpus dedup at 100 TB: dedupe today's slice
+    * against a durable content-hash INDEX (never rescanning the
+    * historical corpus — cost is |slice| + one anti-join against the
+    * index), then extend the index by exactly the hashes kept today.
+    *
+    * Replay safety: the index is partitioned by `ds` with dynamic
+    * overwrite, and the seen-set EXCLUDES today's own partition — a
+    * replayed ds therefore reproduces identical survivors and
+    * overwrites its partition with the same hashes, instead of seeing
+    * its previous run's hashes as "already ingested" and silently
+    * emptying the slice (then the partition). Asserted in DedupSpec.
+    *
+    * At cluster scale, bucket the index on `content_hash`
+    * (Sinks.writeBucketed) so the anti-join shuffles only the daily
+    * slice; the plain partitioned-parquet form here keeps the index
+    * readable by any engine. */
+  def incrementalExactVsIndex(newDocs: DataFrame, ds: String,
+                              indexPath: String): DataFrame = {
+    val spark = newDocs.sparkSession
+    val seen =
+      try spark.read.parquet(indexPath)
+        .filter(col("ds") =!= ds).select("content_hash")
+      catch {
+        case _: org.apache.spark.sql.AnalysisException => // first ds: no index yet
+          newDocs.limit(0)
+            .select(md5(col("text").cast("binary")).as("content_hash"))
+      }
+    val survivors = incrementalExactOn(newDocs, seen)
+    Sinks.writePartitioned(
+      survivors.select(col("content_hash"), lit(ds).as("ds")),
+      indexPath, Seq("ds"))
+    survivors
+  }
+
 }

@@ -123,4 +123,52 @@ class DedupSpec extends SparkSpecBase {
     val keys = pairs.map(r => (r.getLong(0), r.getLong(1)))
     assert(keys.distinct.length == keys.length)
   }
+
+  test("incremental dedup vs index: new-only survivors, index grows, ds replay idempotent") {
+    import spark.implicits._
+    def docs(rows: (Long, String)*): org.apache.spark.sql.DataFrame =
+      rows.toDF("doc_id", "text")
+    val index = java.nio.file.Files.createTempDirectory("graft_dedup_idx").toString + "/idx"
+
+    // day 1: one internal dup -> 2 survivors, index seeded with 2 hashes
+    val d1 = Dedup.incrementalExactVsIndex(
+      docs((1L, "alpha"), (2L, "beta"), (3L, "alpha")), "2024-01-01", index)
+    assert(d1.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
+    assert(spark.read.parquet(index).count() == 2)
+
+    // day 2: one doc already in the index, one new, one internal dup pair
+    val d2 = Dedup.incrementalExactVsIndex(
+      docs((10L, "alpha"), (11L, "gamma"), (12L, "gamma")), "2024-01-02", index)
+    assert(d2.select("doc_id").collect().map(_.getLong(0)).toSeq == Seq(11L))
+    assert(spark.read.parquet(index).count() == 3)
+
+    // replay day 2: identical survivors, index unchanged (NOT emptied --
+    // the seen-set excludes today's own partition)
+    val d2b = Dedup.incrementalExactVsIndex(
+      docs((10L, "alpha"), (11L, "gamma"), (12L, "gamma")), "2024-01-02", index)
+    assert(d2b.select("doc_id").collect().map(_.getLong(0)).toSeq == Seq(11L))
+    assert(spark.read.parquet(index).count() == 3)
+
+    // the incremental path composes to the same answer as a global dedup:
+    // all survivors across days == exactOn over the union
+    val allDocs = docs((1L, "alpha"), (2L, "beta"), (3L, "alpha"),
+      (10L, "alpha"), (11L, "gamma"), (12L, "gamma"))
+    assert(spark.read.parquet(index).select("content_hash").distinct().count() ==
+      Dedup.exactOn(allDocs).count())
+  }
+
+  test("incremental dedup query: survivors disjoint from other sources, internally unique") {
+    val out = Dedup.incrementalExact(spark, sfDir).cache()
+    val docs = sources.Tables.documents(spark, sfDir)
+    import org.apache.spark.sql.functions._
+    // every survivor is from the new source and its hash never appears elsewhere
+    assert(out.filter(col("source") =!= "src0").count() == 0)
+    val otherHashes = docs.filter(col("source") =!= "src0")
+      .select(md5(col("text").cast("binary")).as("content_hash"))
+    assert(out.join(otherHashes, Seq("content_hash"), "left_semi").count() == 0)
+    // internally unique on content
+    assert(out.select("content_hash").distinct().count() == out.count())
+    out.unpersist()
+    ()
+  }
 }
