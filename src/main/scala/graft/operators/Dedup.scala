@@ -43,12 +43,18 @@ object Dedup {
   /** SimHash Hamming radius; 4x16-bit chunk join is complete for <=3. */
   val MaxHamming = 3
 
+  /** THE content-hash definition — exact dedup, the incremental index,
+    * and the index lifecycle must all agree on it or previously-indexed
+    * hashes silently stop matching (changing it invalidates any
+    * existing [[incrementalExactVsIndex]] index). */
+  def contentHash(text: Column): Column = md5(text.cast("binary"))
+
   /** Exact dedup: one row per distinct content hash with the kept
     * (minimum) doc_id and the copy count. Generic form — any frame
     * with (doc_id, text). */
   def exactOn(docs: DataFrame): DataFrame =
     docs
-      .groupBy(md5(col("text").cast("binary")).as("content_hash"))
+      .groupBy(contentHash(col("text")).as("content_hash"))
       .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_copies"))
 
   def exact(spark: SparkSession, dir: String): DataFrame =
@@ -83,17 +89,17 @@ object Dedup {
     * (hence Jaccard) are preserved up to 64-bit hash collisions —
     * ~2e-11 over this vocabulary, and the string-set DuckDB oracle
     * independently confirms equality at gate scale. */
-  private def trigramSets(docs: DataFrame): DataFrame = {
-    val w = TH.words(col("text"))
+  private def trigramSets(docs: DataFrame): DataFrame =
     // native one-pass expression (functions/WordNgrams.scala): the
     // composed split+transform+concat_ws+hash chain evaluates
     // interpreted inside the lambda and re-derives split per element —
-    // it was the dominant cost of the dedup tier (r5 profile)
+    // it was the dominant cost of the dedup tier (r5 profile). The
+    // short-doc filter runs on the CHEAP native array (empty ⇔ fewer
+    // than 3 words), not on size(split(text)) which would re-split
     docs
-      .filter(size(w) >= 3)
       .select(col("doc_id"),
         call_function("hashed_word_ngrams", col("text"), lit(3)).as("tg"))
-  }
+      .filter(size(col("tg")) > 0)
 
   /** Exact-Jaccard verification of candidate pairs against the hashed
     * trigram sets, WITHOUT carrying the trigram arrays through joins:
@@ -417,22 +423,23 @@ object Dedup {
     contaminationOn(Tables.documents(spark, dir), evalSource)
 
   def contaminationOn(docs: DataFrame, evalSource: String): DataFrame = {
-    val w = TH.words(col("text"))
     // native one-pass n-gram hashing (functions/WordNgrams.scala): the
     // previous explode-strings-then-xxhash64 form spent 5.6 s of this
     // query's 13 s re-deriving split per shingle element (r4 verdict's
-    // top finding). The gram subtree IS referenced from three plan
-    // branches (eval join side, eval sizes, train side), but it is NOT
-    // persisted: the source filters push below the explode into the
-    // scan, so each branch derives only its own slice, and with the
-    // compiled expression that derivation measures as cheap as a cache
-    // read (0.8 s vs 0.6–1.7 s warm at sf0.1) — while a persist would
-    // pin a CORPUS-sized posting table in the session CacheManager
-    // until an explicit unpersist (Dataset.persist registers the plan
-    // strongly; the ContextCleaner never reclaims it), exactly the
-    // wrong trade at 100 TB where the train slice must stream.
+    // top finding). No short-doc pre-filter: the expression yields an
+    // empty array below ContamN words and explode drops it — a
+    // size(split(text)) filter would re-split the text per branch.
+    // The gram subtree IS referenced from three plan branches (eval
+    // join side, eval sizes, train side), but it is NOT persisted: the
+    // source filters push below the explode into the scan, so each
+    // branch derives only its own slice, and with the compiled
+    // expression that derivation measures as cheap as a cache read
+    // (0.8 s vs 0.6–1.7 s warm at sf0.1) — while a persist would pin a
+    // CORPUS-sized posting table in the session CacheManager until an
+    // explicit unpersist (Dataset.persist registers the plan strongly;
+    // the ContextCleaner never reclaims it), exactly the wrong trade
+    // at 100 TB where the train slice must stream.
     val grams = docs
-      .filter(size(w) >= ContamN)
       .select(col("doc_id"), col("source"),
         explode(call_function("hashed_word_ngrams", col("text"), lit(ContamN))).as("g"))
     val evalG = grams.filter(col("source") === evalSource)
@@ -494,7 +501,7 @@ object Dedup {
     * slice shuffles, the historical corpus never rescans. */
   def incrementalExactOn(newDocs: DataFrame, seenHashes: DataFrame): DataFrame =
     Merge.keepFirst(
-      newDocs.withColumn("content_hash", md5(col("text").cast("binary")))
+      newDocs.withColumn("content_hash", contentHash(col("text")))
         .join(seenHashes.select("content_hash"), Seq("content_hash"), "left_anti"),
       keys = Seq(col("content_hash")),
       orderCol = col("doc_id"), tiebreak = col("doc_id"))
@@ -507,7 +514,7 @@ object Dedup {
                        newSource: String = "src0"): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val seen = docs.filter(col("source") =!= newSource)
-      .select(md5(col("text").cast("binary")).as("content_hash"))
+      .select(contentHash(col("text")).as("content_hash"))
     incrementalExactOn(docs.filter(col("source") === newSource), seen)
       .select(col("doc_id"), col("content_hash"), col("lang"),
         col("source"), col("n_chars"))
@@ -546,15 +553,24 @@ object Dedup {
   def incrementalExactVsIndex(newDocs: DataFrame, ds: String,
                               indexPath: String): DataFrame = {
     val spark = newDocs.sparkSession
+    // distinguish "no index yet" (first ds — legitimate empty seen-set)
+    // from a corrupt/partially-written index: swallowing ANY read error
+    // as first-ds would silently re-admit every historical duplicate
+    // and complete green (r5 review finding)
+    val hadoopPath = new org.apache.hadoop.fs.Path(indexPath)
+    val fs = hadoopPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val seen =
-      try spark.read.parquet(indexPath)
+      if (!fs.exists(hadoopPath))
+        newDocs.limit(0).select(contentHash(col("text")).as("content_hash"))
+      else spark.read.parquet(indexPath) // unreadable index → loud failure
         .filter(col("ds") =!= ds).select("content_hash")
-      catch {
-        case _: org.apache.spark.sql.AnalysisException => // first ds: no index yet
-          newDocs.limit(0)
-            .select(md5(col("text").cast("binary")).as("content_hash"))
-      }
+    // persist: the index write below materializes this plan; returning
+    // it unpersisted would recompute newDocs on the caller's action,
+    // and a nondeterministic source would then commit hashes to the
+    // index that disagree with the rows the caller sees. Slice-sized
+    // (today's docs), caller may unpersist after consuming.
     val survivors = incrementalExactOn(newDocs, seen)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     Sinks.writePartitioned(
       survivors.select(col("content_hash"), lit(ds).as("ds")),
       indexPath, Seq("ds"))

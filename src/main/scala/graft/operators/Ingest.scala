@@ -56,7 +56,9 @@ object Ingest {
       try return attempt(i)
       catch {
         case scala.util.control.NonFatal(e) =>
-          if (last != null) e.addSuppressed(last)
+          // a memoized failure (e.g. a failed Future) can rethrow the
+          // SAME instance — self-suppression is a JVM error
+          if (last != null && (e ne last)) e.addSuppressed(last)
           last = e
           if (i <= retries) sleep(backoffMs)
       }

@@ -121,7 +121,12 @@ object Jdbc {
     // only OVER-match — pin the schema to the connection's current one
     // when unqualified, and confirm an EXACT name match on the result
     // rows before trusting existence.
-    val wantSchema = Option(schemaPart).orElse(Option(conn.getSchema))
+    // getSchema is JDBC 4.1-optional: pre-4.1 drivers throw
+    // AbstractMethodError (an Error, hence the Throwable catch) or
+    // SQLFeatureNotSupported — fall back to a cross-schema probe
+    // there, which is the pre-round-5 behavior for those backends
+    val wantSchema = Option(schemaPart).orElse(
+      try Option(conn.getSchema) catch { case _: Throwable => None })
     val rs = md.getTables(null, wantSchema.orNull, tablePart, Array("TABLE"))
     val exists =
       try {

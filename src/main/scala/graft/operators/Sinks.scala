@@ -13,13 +13,17 @@ import org.apache.spark.sql.types.StructType
   */
 object Sinks {
 
-  /** Partitioned snappy-parquet sink. With
-    * `spark.sql.sources.partitionOverwriteMode=dynamic` (set by
-    * GraftSession) mode=overwrite replaces ONLY the partitions present
-    * in `df` — rerunning one `ds` is idempotent and leaves sibling
-    * partitions intact. */
+  /** Partitioned snappy-parquet sink: mode=overwrite replaces ONLY the
+    * partitions present in `df` — rerunning one `ds` is idempotent and
+    * leaves sibling partitions intact. The dynamic mode is forced as a
+    * WRITE-level option (it overrides the session conf): on a plain
+    * session the default `static` mode would wipe every sibling
+    * partition first, which for durable artifacts like the dedup index
+    * destroys accumulated history (r5 review finding). */
   def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
-    df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
+    df.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionCols: _*).parquet(path)
 
   def readParquet(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)

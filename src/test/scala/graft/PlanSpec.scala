@@ -175,8 +175,9 @@ class PlanSpec extends SparkSpecBase {
     // contaminationOn scaladoc): each branch must push its source
     // filter below the explode into the parquet scan, so a branch
     // derives only its own slice
-    assert(p.contains("PushedFilters: [IsNotNull(source), EqualTo(source,src0)")
-      || p.contains("EqualTo(source,src0)"),
+    // loose on filter ORDER (the optimizer may reorder the pushed
+    // list); the point is that the eval-slice predicate reaches a scan
+    assert(p.contains("EqualTo(source,src0)"),
       s"eval-slice filter not pushed to scan:\n$p")
     assert(p.contains("BroadcastHashJoin"), s"eval side not broadcast:\n$p")
     assert(!p.contains("CartesianProduct"))
