@@ -177,4 +177,34 @@ class StreamingSpec extends SparkSpecBase {
     assert(a.exceptAll(b).count() == 0)
     assert(b.exceptAll(a).count() == 0)
   }
+
+  test("normalizeArrays runs as a structured stream: per-batch explode equals batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val t0 = "2024-01-01T00:00:00.000000"
+    val t1 = "2024-01-01T01:00:00.000000"
+    val t2 = "2024-01-02T05:30:00.000000"
+    val payloads = Seq(
+      ("2024-01-01", s"""{"hourly": {"time": ["$t0", "$t1"], "temperature_2m": [1.5, 2.5]}}"""),
+      ("2024-01-02", s"""{"hourly": {"time": ["$t2"], "temperature_2m": [9.0]}}"""))
+    val mem = MemoryStream[(String, String)]
+    // the SAME transform body runs on the stream: parse + DQ gate +
+    // arrays_zip explode are narrow, so no watermark/output-mode
+    // ceremony is needed — the raw->staging normalize is streamable
+    // as-is (one micro-batch per landed payload set)
+    val q = graft.operators.Etl.normalizeArrays(
+        mem.toDF.toDF("ds", "payload"))
+      .writeStream.format("memory").queryName("narr").outputMode("append").start()
+    try {
+      mem.addData(payloads.take(1))
+      q.processAllAvailable()
+      mem.addData(payloads.drop(1))
+      q.processAllAvailable()
+      val streamed = spark.table("narr")
+      val batch = graft.operators.Etl.normalizeArrays(payloads.toDF("ds", "payload"))
+      assert(streamed.count() == 3)
+      assert(streamed.exceptAll(batch).count() == 0)
+      assert(batch.exceptAll(streamed).count() == 0)
+    } finally q.stop()
+  }
 }
