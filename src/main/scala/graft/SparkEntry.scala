@@ -30,6 +30,7 @@ object SparkEntry {
     "etl_normalize_arrays" -> ((s, d) => Etl.normalizeArrays(Etl.arrayPayloads(s, d))),
     "sample_deterministic" -> ((s, d) => Etl.sampleDeterministic(s, d)),
     "sample_stratified"    -> ((s, d) => Etl.sampleStratified(s, d)),
+    "sample_weighted"      -> ((s, d) => Etl.sampleWeighted(s, d)),
     "etl_scd2"             -> (Etl.scd2History(_, _)),
     // §2.2 analytics
     "q1_pricing_summary"   -> (Analytics.q1PricingSummary(_, _)),
@@ -91,6 +92,7 @@ object SparkEntry {
     "etl_normalize_arrays" -> Etl.normalizeArraysOracleSql,
     "sample_deterministic" -> Etl.sampleDeterministicOracleSql,
     "sample_stratified"    -> Etl.sampleStratifiedOracleSql,
+    "sample_weighted"      -> Etl.sampleWeightedOracleSql,
     "etl_scd2"             -> Etl.scd2OracleSql,
     "q1_pricing_summary"   -> Analytics.q1OracleSql,
     "q3_shipping_priority" -> Analytics.q3OracleSql,

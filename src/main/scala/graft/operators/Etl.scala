@@ -268,6 +268,45 @@ object Etl {
        |        * CAST(__n AS DECIMAL(19,0))
        |      < CAST($StratumTarget AS DECIMAL(19,0)) * CAST(4294967296 AS DECIMAL(19,0))""".stripMargin
 
+  /** Mixture weights for [[sampleWeighted]]'s driver form — the
+    * source-rebalancing lever a pretraining corpus run turns
+    * (upsample curated sources, downsample crawl). Sources absent
+    * from the map fall back to [[DefaultMixtureWeight]]. */
+  val MixtureWeights: Map[String, Double] = Map(
+    "src0" -> 1.0, "src1" -> 0.75, "src2" -> 0.5, "src3" -> 0.25)
+  val DefaultMixtureWeight = 0.1
+
+  /** Weighted source-mixture sampling: keep each document with
+    * per-SOURCE probability `weights(source)` — deterministic in the
+    * key like [[sampleDeterministic]] (same hash-threshold draw, so
+    * reruns/engines agree and raising a weight only ADDS documents),
+    * but config-driven per source rather than data-driven per stratum
+    * ([[sampleStratified]] caps counts; this applies mixture rates).
+    * The threshold product w·2^32 is exact in double (hash < 2^53),
+    * so the comparison is engine-portable bit-for-bit.
+    *
+    * Plan shape: scan-bound filter, no shuffle, no aggregate. */
+  def sampleWeighted(spark: SparkSession, dir: String,
+                     weights: Map[String, Double] = MixtureWeights,
+                     default: Double = DefaultMixtureWeight): DataFrame = {
+    val hash32 = conv(substring(
+      md5(col("doc_id").cast("string").cast("binary")), 1, 8), 16, 10)
+      .cast("bigint")
+    val rate = weights.foldLeft(lit(default)) { case (acc, (src, wt)) =>
+      when(col("source") === src, lit(wt)).otherwise(acc)
+    }
+    Tables.documents(spark, dir)
+      .filter(hash32.cast("double") < rate * lit(4294967296.0))
+  }
+
+  val sampleWeightedOracleSql: String = {
+    val cases = MixtureWeights.toSeq.sortBy(_._1)
+      .map { case (s, w) => s"WHEN '$s' THEN $w" }.mkString(" ")
+    s"""SELECT doc_id, text, lang, source, n_chars FROM documents
+       |WHERE CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) AS DOUBLE)
+       |      < (CASE source $cases ELSE $DefaultMixtureWeight END) * 4294967296.0""".stripMargin
+  }
+
   /** SCD type-2 state history over the event log: each user's
     * `event_type` transitions become validity intervals
     * [eff_start, eff_end) with an `is_current` flag — the

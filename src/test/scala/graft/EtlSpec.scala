@@ -252,4 +252,27 @@ class EtlSpec extends SparkSpecBase {
     assert(ok.length == 2)
     assert(ok.map(_.getAs[Double]("temperature_c")).count(_.isNaN) == 1)
   }
+
+  test("weighted mixture sampling: deterministic, rate-accurate, monotone in weight") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    val a = Etl.sampleWeighted(spark, sfDir)
+    val b = Etl.sampleWeighted(spark, sfDir)
+    // reproducible: a pure function of the key
+    assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
+    // weight 1.0 keeps the whole source
+    val nSrc0 = docs.filter(col("source") === "src0").count()
+    assert(a.filter(col("source") === "src0").count() == nSrc0)
+    // empirical per-source rates near the configured weights
+    Seq("src1" -> 0.75, "src2" -> 0.5, "src3" -> 0.25).foreach { case (src, w) =>
+      val n = docs.filter(col("source") === src).count().toDouble
+      val kept = a.filter(col("source") === src).count().toDouble
+      assert(math.abs(kept / n - w) < 0.25, s"$src kept ${kept / n} want ~$w")
+    }
+    // nested: doubling every weight only ADDS documents
+    val half = Etl.sampleWeighted(spark, sfDir,
+      weights = Etl.MixtureWeights.view.mapValues(_ / 2).toMap, default = 0.05)
+    assert(half.exceptAll(a).count() == 0)
+    assert(half.count() < a.count())
+  }
 }
