@@ -88,7 +88,8 @@ object ScaleCheck {
       run("dedup_contamination", operators.Dedup.contamination(spark, dir)),
       run("pack_sequences", operators.TrainPrep.packSequences(spark, dir)),
       run("etl_normalize_arrays",
-        operators.Etl.normalizeArrays(operators.Etl.arrayPayloads(spark, dir))))
+        operators.Etl.normalizeArrays(operators.Etl.arrayPayloads(spark, dir))),
+      run("dedup_incremental", operators.Dedup.incrementalExact(spark, dir)))
 
     // end-to-end per-ds pipeline (normalize + DQ + staged write + L2
     // merge) — the unit of work the reference DAG runs per day
