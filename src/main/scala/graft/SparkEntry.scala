@@ -54,6 +54,7 @@ object SparkEntry {
     "dedup_simhash"          -> (Dedup.simhash(_, _)),
     "dedup_contamination"    -> ((s, d) => Dedup.contamination(s, d)),
     "dedup_incremental"      -> ((s, d) => Dedup.incrementalExact(s, d)),
+    "dedup_clusters"         -> (Dedup.clustersQuery(_, _)),
     // §2.4 similarity
     "knn_bruteforce" -> ((s, d) => Similarity.knnBruteforce(s, d)),
     "knn_lsh"        -> ((s, d) => Similarity.knnLsh(s, d)),
@@ -116,6 +117,7 @@ object SparkEntry {
     "dedup_embedding_cosine" -> Dedup.embeddingCosineOracleSql,
     "dedup_contamination"    -> Dedup.contaminationOracleSql,
     "dedup_incremental"      -> Dedup.incrementalExactOracleSql,
+    "dedup_clusters"         -> Dedup.clustersOracleSql,
     // §2.4 similarity (knn_lsh is rows-only: approximate by design;
     // SimilaritySpec asserts recall against the exact scan)
     "knn_bruteforce" -> Similarity.knnBruteforceOracleSql,

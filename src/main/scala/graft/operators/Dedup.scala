@@ -492,6 +492,30 @@ object Dedup {
        |  WHERE a.vec_id < b.vec_id) p
        |WHERE cosine >= $CosineTau""".stripMargin
 
+  /** Driver form of the pair→cluster resolution (key
+    * `dedup_clusters`): connected components over the VERIFIED
+    * ngram-Jaccard near-dup pairs, labels = min doc_id per component —
+    * the step that turns pair lists into per-component survivors. The
+    * DuckDB oracle recomputes the same components via a recursive-CTE
+    * transitive closure over the (independent, all-pairs) pair oracle,
+    * so both the pair generation AND the iterative label propagation
+    * are cross-checked end-to-end. */
+  def clustersQuery(spark: SparkSession, dir: String): DataFrame =
+    pairClusters(ngramJaccard(spark, dir))
+
+  val clustersOracleSql: String =
+    s"""WITH RECURSIVE pairs AS (
+$ngramJaccardOracleSql),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION SELECT doc_b AS a, doc_a AS b FROM pairs),
+reach AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
+FROM reach GROUP BY a"""
+
   // --- incremental dedup against a durable content-hash index ---
 
   /** Survivors of `newDocs` against an already-seen hash set: drop
