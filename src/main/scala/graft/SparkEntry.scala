@@ -55,6 +55,7 @@ object SparkEntry {
     "dedup_contamination"    -> ((s, d) => Dedup.contamination(s, d)),
     "dedup_incremental"      -> ((s, d) => Dedup.incrementalExact(s, d)),
     "dedup_clusters"         -> (Dedup.clustersQuery(_, _)),
+    "dedup_decontaminate"    -> ((s, d) => Dedup.decontaminate(s, d)),
     // §2.4 similarity
     "knn_bruteforce" -> ((s, d) => Similarity.knnBruteforce(s, d)),
     "knn_lsh"        -> ((s, d) => Similarity.knnLsh(s, d)),
@@ -118,6 +119,7 @@ object SparkEntry {
     "dedup_contamination"    -> Dedup.contaminationOracleSql,
     "dedup_incremental"      -> Dedup.incrementalExactOracleSql,
     "dedup_clusters"         -> Dedup.clustersOracleSql,
+    "dedup_decontaminate"    -> Dedup.decontaminateOracleSql,
     // §2.4 similarity (knn_lsh is rows-only: approximate by design;
     // SimilaritySpec asserts recall against the exact scan)
     "knn_bruteforce" -> Similarity.knnBruteforceOracleSql,

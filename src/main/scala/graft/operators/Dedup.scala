@@ -477,6 +477,38 @@ object Dedup {
        |WHERE e.source = 'src0' AND t.source <> 'src0'
        |GROUP BY 1, 2""".stripMargin
 
+  /** Containment threshold for [[decontaminate]] — a train doc
+    * reproducing half an eval doc's n-grams is treated as
+    * contaminated (the gate corpus plants near-verbatim quotes at
+    * ~1.0; organic overlap sits under 0.05). */
+  val ContamTau = 0.5
+
+  /** Decontamination CUT — the action the [[contaminationOn]] report
+    * exists for: drop every train document whose containment of ANY
+    * eval document reaches `tau`, returning the cleaned train corpus.
+    * One distinct over the (already bounded) report + one anti-join —
+    * the corpus is scanned once; at 100 TB this composes with the
+    * broadcast-eval report shape unchanged. */
+  def decontaminate(spark: SparkSession, dir: String,
+                    evalSource: String = "src0",
+                    tau: Double = ContamTau): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val flagged = contaminationOn(docs, evalSource)
+      .filter(col("eval_containment") >= tau)
+      .select(col("train_doc_id").as("doc_id")).distinct()
+    docs.filter(col("source") =!= evalSource)
+      .join(flagged, Seq("doc_id"), "left_anti")
+  }
+
+  val decontaminateOracleSql: String =
+    s"""WITH report AS (
+$contaminationOracleSql),
+flagged AS (
+  SELECT DISTINCT train_doc_id FROM report WHERE eval_containment >= $ContamTau)
+SELECT doc_id, text, lang, source, n_chars FROM documents d
+WHERE source <> 'src0'
+  AND NOT EXISTS (SELECT 1 FROM flagged f WHERE f.train_doc_id = d.doc_id)"""
+
   val embeddingCosineOracleSql: String =
     s"""WITH v AS (
        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,

@@ -171,4 +171,21 @@ class DedupSpec extends SparkSpecBase {
     out.unpersist()
     ()
   }
+
+  test("decontaminate: drops exactly the flagged train docs, keeps eval side out") {
+    import org.apache.spark.sql.functions._
+    val docs = sources.Tables.documents(spark, sfDir)
+    val train = docs.filter(col("source") =!= "src0")
+    val flagged = Dedup.contaminationOn(docs, "src0")
+      .filter(col("eval_containment") >= Dedup.ContamTau)
+      .select(col("train_doc_id").as("doc_id")).distinct()
+    val cleaned = Dedup.decontaminate(spark, sfDir)
+    assert(cleaned.count() == train.count() - flagged.count())
+    // no flagged doc survives; no eval doc sneaks in
+    assert(cleaned.join(flagged, Seq("doc_id"), "left_semi").count() == 0)
+    assert(cleaned.filter(col("source") === "src0").count() == 0)
+    // tau = 1.1 flags nothing -> identity on the train side
+    val loose = Dedup.decontaminate(spark, sfDir, tau = 1.1)
+    assert(loose.count() == train.count())
+  }
 }
