@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** End-to-end training-data corpus preparation — the composition the
+  * individual §2.3–§2.5 operators exist FOR, chained the way a
+  * pretraining data pipeline actually runs them:
+  *
+  *   quality filter → exact dedup (keep min-id per content hash)
+  *   → near-dup survivor drop (verified Jaccard pairs → components)
+  *   → eval-set decontamination cut → mixture-weighted sampling
+  *   → sequence packing
+  *
+  * Every stage is the SAME operator the driver gate hash-verifies in
+  * isolation; this object only composes them, so the composition
+  * inherits their oracles. Everything stays declarative between the
+  * few required shuffles (content-hash window, pair generation,
+  * contamination join, packing window) — Catalyst fuses the
+  * filter/projection stages in between into the adjacent scans.
+  *
+  * Order rationale (each stage shrinks the input of the costlier
+  * next): quality is a scan-bound per-row cut; exact dedup is one
+  * cheap hash window; BOTH run before the near-dup machinery ever
+  * shingles a document, and decontamination/sampling/packing see only
+  * surviving docs. At 100 TB the expensive stage is near-dup pair
+  * generation — exactly the stage the prefix-filter bounds — and its
+  * input has already been culled by the two cheap stages.
+  */
+object CorpusPipeline {
+
+  /** Per-stage row counts for the run report (the DQ trail a corpus
+    * build publishes alongside the data). */
+  case class CorpusSummary(nInput: Long, nQuality: Long, nExact: Long,
+                           nNearDup: Long, nDecontaminated: Long,
+                           nSampled: Long, nChunks: Long)
+
+  /** Minimum composite quality score (see
+    * [[TextAnalysis.textQualityOn]]) a doc must reach to enter the
+    * corpus — a LOW-TAIL cut, not a median cut: the score multiplies
+    * three ≤1 ratios, so its absolute scale sits well under 1 (this
+    * corpus' p10/p50/p90 ≈ 0.13/0.24/0.27). Calibrate per corpus. */
+  val QualityMin = 0.1
+
+  /** The prepared corpus: cleaned + sampled docs with their packing
+    * assignment (shard / seq_pos / token_offset / chunk_id). */
+  def prepare(docs: DataFrame,
+              evalSource: String = "src0",
+              qualityMin: Double = QualityMin,
+              weights: Map[String, Double] = Etl.MixtureWeights,
+              defaultWeight: Double = Etl.DefaultMixtureWeight,
+              contamTau: Double = Dedup.ContamTau): DataFrame = {
+    val quality = TextAnalysis.textQualityOn(docs)
+      .filter(col("quality_score") >= qualityMin)
+      .select(col("doc_id"))
+    val kept = docs.join(quality, Seq("doc_id"), "left_semi")
+    // exact dedup: keep the min doc_id per content hash
+    val exact = Merge.keepFirst(kept,
+      keys = Seq(Dedup.contentHash(col("text"))),
+      orderCol = col("doc_id"), tiebreak = col("doc_id"))
+    // near-dup survivor drop over verified Jaccard pairs
+    val nearDedup = Dedup.dropNearDuplicates(exact, Dedup.ngramJaccardOn(exact))
+    val clean = Dedup.decontaminateOn(nearDedup, evalSource, contamTau)
+    val sampled = Etl.sampleWeightedOn(clean, weights, defaultWeight)
+    TrainPrep.packSequencesOn(sampled)
+      .join(sampled, Seq("doc_id"))
+      .select(col("doc_id"), col("text"), col("lang"), col("source"),
+        col("shard"), col("seq_pos"), col("token_offset"), col("chunk_id"))
+  }
+
+  /** Run [[prepare]] and report the per-stage funnel — the numbers a
+    * corpus build logs for every snapshot. Stage frames are re-derived
+    * per count (no persists held across the call): acceptable for a
+    * report main, and callers doing both should persist `prepare`'s
+    * result themselves. */
+  def prepareWithSummary(docs: DataFrame,
+                         evalSource: String = "src0"): (DataFrame, CorpusSummary) = {
+    val quality = TextAnalysis.textQualityOn(docs)
+      .filter(col("quality_score") >= QualityMin).select(col("doc_id"))
+    val kept = docs.join(quality, Seq("doc_id"), "left_semi")
+    val exact = Merge.keepFirst(kept,
+      keys = Seq(Dedup.contentHash(col("text"))),
+      orderCol = col("doc_id"), tiebreak = col("doc_id"))
+    val nearDedup = Dedup.dropNearDuplicates(exact, Dedup.ngramJaccardOn(exact))
+    val clean = Dedup.decontaminateOn(nearDedup, evalSource)
+    val sampled = Etl.sampleWeightedOn(clean)
+    val packed = prepare(docs, evalSource)
+    val summary = CorpusSummary(
+      nInput = docs.count(), nQuality = kept.count(), nExact = exact.count(),
+      nNearDup = nearDedup.count(), nDecontaminated = clean.count(),
+      nSampled = sampled.count(), nChunks = packed.select(col("shard"), col("chunk_id")).distinct().count())
+    (packed, summary)
+  }
+}

@@ -491,8 +491,11 @@ object Dedup {
     * broadcast-eval report shape unchanged. */
   def decontaminate(spark: SparkSession, dir: String,
                     evalSource: String = "src0",
-                    tau: Double = ContamTau): DataFrame = {
-    val docs = Tables.documents(spark, dir)
+                    tau: Double = ContamTau): DataFrame =
+    decontaminateOn(Tables.documents(spark, dir), evalSource, tau)
+
+  def decontaminateOn(docs: DataFrame, evalSource: String,
+                      tau: Double = ContamTau): DataFrame = {
     val flagged = contaminationOn(docs, evalSource)
       .filter(col("eval_containment") >= tau)
       .select(col("train_doc_id").as("doc_id")).distinct()
@@ -532,8 +535,18 @@ WHERE source <> 'src0'
     * transitive closure over the (independent, all-pairs) pair oracle,
     * so both the pair generation AND the iterative label propagation
     * are cross-checked end-to-end. */
-  def clustersQuery(spark: SparkSession, dir: String): DataFrame =
-    pairClusters(ngramJaccard(spark, dir))
+  def clustersQuery(spark: SparkSession, dir: String): DataFrame = {
+    // stage the (tiny, pair-graph-sized) edge list durably BEFORE the
+    // label-propagation loop — the standard checkpoint-then-iterate
+    // shape: every iteration's lineage then reads a small parquet
+    // instead of dragging the whole shingle/verify subtree (and its
+    // caches) through each driver-loop action, which measured 2–8×
+    // slower and high-variance under cache pressure in a long-lived
+    // session
+    val tmp = Scratch.dir("graft_cluster_pairs")
+    ngramJaccard(spark, dir).write.mode("overwrite").parquet(tmp)
+    pairClusters(spark.read.parquet(tmp))
+  }
 
   val clustersOracleSql: String =
     s"""WITH RECURSIVE pairs AS (

@@ -288,15 +288,19 @@ object Etl {
     * Plan shape: scan-bound filter, no shuffle, no aggregate. */
   def sampleWeighted(spark: SparkSession, dir: String,
                      weights: Map[String, Double] = MixtureWeights,
-                     default: Double = DefaultMixtureWeight): DataFrame = {
+                     default: Double = DefaultMixtureWeight): DataFrame =
+    sampleWeightedOn(Tables.documents(spark, dir), weights, default)
+
+  def sampleWeightedOn(docs: DataFrame,
+                       weights: Map[String, Double] = MixtureWeights,
+                       default: Double = DefaultMixtureWeight): DataFrame = {
     val hash32 = conv(substring(
       md5(col("doc_id").cast("string").cast("binary")), 1, 8), 16, 10)
       .cast("bigint")
     val rate = weights.foldLeft(lit(default)) { case (acc, (src, wt)) =>
       when(col("source") === src, lit(wt)).otherwise(acc)
     }
-    Tables.documents(spark, dir)
-      .filter(hash32.cast("double") < rate * lit(4294967296.0))
+    docs.filter(hash32.cast("double") < rate * lit(4294967296.0))
   }
 
   val sampleWeightedOracleSql: String = {

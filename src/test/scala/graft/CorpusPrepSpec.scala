@@ -82,4 +82,24 @@ class CorpusPrepSpec extends SparkSpecBase {
     assert(outOfRange == 0)
     rep.unpersist()
   }
+
+  test("corpus pipeline: funnel is monotone, stages compose to their operators") {
+    import org.apache.spark.sql.functions._
+    val docs = sources.Tables.documents(spark, sfDir)
+    val (packed, s) = graft.operators.CorpusPipeline.prepareWithSummary(docs)
+    // monotone funnel: every stage can only shrink the corpus
+    assert(s.nInput >= s.nQuality && s.nQuality >= s.nExact &&
+      s.nExact >= s.nNearDup && s.nNearDup >= s.nDecontaminated &&
+      s.nDecontaminated >= s.nSampled)
+    assert(s.nSampled > 0 && s.nChunks > 0)
+    // the packed output carries exactly the sampled docs
+    assert(packed.count() == s.nSampled)
+    // no eval docs, no duplicate content in the final corpus
+    assert(packed.filter(col("source") === "src0").count() == 0)
+    val texts = packed.select(col("text")).count()
+    assert(packed.select(col("text")).distinct().count() == texts)
+    // packing invariants hold on the composed output
+    assert(packed.select(col("doc_id")).distinct().count() == packed.count())
+    assert(packed.filter(col("token_offset") < 0).count() == 0)
+  }
 }
