@@ -42,14 +42,17 @@ object CorpusPipeline {
     * corpus' p10/p50/p90 ≈ 0.13/0.24/0.27). Calibrate per corpus. */
   val QualityMin = 0.1
 
-  /** The prepared corpus: cleaned + sampled docs with their packing
-    * assignment (shard / seq_pos / token_offset / chunk_id). */
-  def prepare(docs: DataFrame,
-              evalSource: String = "src0",
-              qualityMin: Double = QualityMin,
-              weights: Map[String, Double] = Etl.MixtureWeights,
-              defaultWeight: Double = Etl.DefaultMixtureWeight,
-              contamTau: Double = Dedup.ContamTau): DataFrame = {
+  /** The stage frames, so the funnel report derives from the SAME
+    * plans the prepared corpus does (deriving them twice would both
+    * double the work and let a nondeterministic input make the
+    * summary disagree with the data it describes). */
+  private case class Stages(kept: DataFrame, exact: DataFrame,
+                            nearDedup: DataFrame, clean: DataFrame,
+                            sampled: DataFrame, packed: DataFrame)
+
+  private def stages(docs: DataFrame, evalSource: String,
+                     qualityMin: Double, weights: Map[String, Double],
+                     defaultWeight: Double, contamTau: Double): Stages = {
     val quality = TextAnalysis.textQualityOn(docs)
       .filter(col("quality_score") >= qualityMin)
       .select(col("doc_id"))
@@ -62,33 +65,37 @@ object CorpusPipeline {
     val nearDedup = Dedup.dropNearDuplicates(exact, Dedup.ngramJaccardOn(exact))
     val clean = Dedup.decontaminateOn(nearDedup, evalSource, contamTau)
     val sampled = Etl.sampleWeightedOn(clean, weights, defaultWeight)
-    TrainPrep.packSequencesOn(sampled)
+    val packed = TrainPrep.packSequencesOn(sampled)
       .join(sampled, Seq("doc_id"))
       .select(col("doc_id"), col("text"), col("lang"), col("source"),
         col("shard"), col("seq_pos"), col("token_offset"), col("chunk_id"))
+    Stages(kept, exact, nearDedup, clean, sampled, packed)
   }
 
+  /** The prepared corpus: cleaned + sampled docs with their packing
+    * assignment (shard / seq_pos / token_offset / chunk_id). */
+  def prepare(docs: DataFrame,
+              evalSource: String = "src0",
+              qualityMin: Double = QualityMin,
+              weights: Map[String, Double] = Etl.MixtureWeights,
+              defaultWeight: Double = Etl.DefaultMixtureWeight,
+              contamTau: Double = Dedup.ContamTau): DataFrame =
+    stages(docs, evalSource, qualityMin, weights, defaultWeight, contamTau).packed
+
   /** Run [[prepare]] and report the per-stage funnel — the numbers a
-    * corpus build logs for every snapshot. Stage frames are re-derived
-    * per count (no persists held across the call): acceptable for a
-    * report main, and callers doing both should persist `prepare`'s
-    * result themselves. */
+    * corpus build logs for every snapshot. Counts re-evaluate the
+    * shared stage plans (no persists held across the call): acceptable
+    * for a report main; callers doing both should persist the returned
+    * frame themselves. */
   def prepareWithSummary(docs: DataFrame,
                          evalSource: String = "src0"): (DataFrame, CorpusSummary) = {
-    val quality = TextAnalysis.textQualityOn(docs)
-      .filter(col("quality_score") >= QualityMin).select(col("doc_id"))
-    val kept = docs.join(quality, Seq("doc_id"), "left_semi")
-    val exact = Merge.keepFirst(kept,
-      keys = Seq(Dedup.contentHash(col("text"))),
-      orderCol = col("doc_id"), tiebreak = col("doc_id"))
-    val nearDedup = Dedup.dropNearDuplicates(exact, Dedup.ngramJaccardOn(exact))
-    val clean = Dedup.decontaminateOn(nearDedup, evalSource)
-    val sampled = Etl.sampleWeightedOn(clean)
-    val packed = prepare(docs, evalSource)
+    val st = stages(docs, evalSource, QualityMin,
+      Etl.MixtureWeights, Etl.DefaultMixtureWeight, Dedup.ContamTau)
     val summary = CorpusSummary(
-      nInput = docs.count(), nQuality = kept.count(), nExact = exact.count(),
-      nNearDup = nearDedup.count(), nDecontaminated = clean.count(),
-      nSampled = sampled.count(), nChunks = packed.select(col("shard"), col("chunk_id")).distinct().count())
-    (packed, summary)
+      nInput = docs.count(), nQuality = st.kept.count(), nExact = st.exact.count(),
+      nNearDup = st.nearDedup.count(), nDecontaminated = st.clean.count(),
+      nSampled = st.sampled.count(),
+      nChunks = st.packed.select(col("shard"), col("chunk_id")).distinct().count())
+    (st.packed, summary)
   }
 }
