@@ -438,7 +438,13 @@ object Etl {
     * is bounded by a day's observations per source — the reference's
     * own per-ds sharding contract. */
   def arrayPayloads(spark: SparkSession, dir: String): DataFrame =
-    Tables.events(spark, dir)
+    arrayPayloadsOn(Tables.events(spark, dir))
+
+  /** Generic form: any frame with (ts, event_id, value). The ONE
+    * encoder for the hourly-array wire format — tests exercise this
+    * exact production path so format drift cannot hide. */
+  def arrayPayloadsOn(events: DataFrame): DataFrame =
+    events
       .groupBy(to_date(col("ts")).as("ds"))
       .agg(sort_array(collect_list(
         struct(col("ts"), col("event_id"), col("value")))).as("obs"))

@@ -175,4 +175,28 @@ class PropertySpec extends SparkSpecBase {
     }
     assert(cg == ip)
   }
+
+  test("normalizeArrays round trip: random micro-timestamps and doubles survive exactly") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    // random microsecond instants across years and full-precision doubles:
+    // the payload wire format must lose NOTHING the events table can hold
+    val rows = (1 to 300).map { i =>
+      val us = 1500000000000000L + (math.abs(rnd.nextLong()) % (200L * 86400000000L))
+      val t = new Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+      t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+      val v = rnd.nextDouble() * math.pow(10, rnd.nextInt(6) - 3)
+      (i.toLong, t, v)
+    }
+    val events = rows.toDF("event_id", "ts", "value")
+    // the PRODUCTION encoder, not a re-implementation — format drift
+    // between arrayPayloadsOn and normalizeArrays cannot hide here
+    val payloads = graft.operators.Etl.arrayPayloadsOn(events)
+    val out = graft.operators.Etl.normalizeArrays(payloads)
+      .select(col("ts"), col("temperature_c"))
+    val want = events.select(col("ts"), col("value").as("temperature_c"))
+    assert(out.count() == rows.size)
+    assert(out.exceptAll(want).count() == 0, "round trip lost or altered rows")
+    assert(want.exceptAll(out).count() == 0)
+  }
 }
