@@ -53,17 +53,31 @@ object CorpusPipeline {
   private def stages(docs: DataFrame, evalSource: String,
                      qualityMin: Double, weights: Map[String, Double],
                      defaultWeight: Double, contamTau: Double): Stages = {
-    val quality = TextAnalysis.textQualityOn(docs)
+    // EVAL docs are a held-aside REFERENCE SET: they never enter the
+    // corpus stages, and decontamination compares against their
+    // ORIGINAL form. Running them through quality/dedup first can
+    // DROP the eval copy (exact dedup keeps the minimum doc_id —
+    // which may be the TRAIN duplicate) and the surviving train
+    // duplicate would then ship unflagged (r5 review finding).
+    val evalDocs = docs.filter(col("source") === evalSource)
+    val trainDocs = docs.filter(col("source") =!= evalSource)
+    val quality = TextAnalysis.textQualityOn(trainDocs)
       .filter(col("quality_score") >= qualityMin)
       .select(col("doc_id"))
-    val kept = docs.join(quality, Seq("doc_id"), "left_semi")
+    val kept = trainDocs.join(quality, Seq("doc_id"), "left_semi")
     // exact dedup: keep the min doc_id per content hash
     val exact = Merge.keepFirst(kept,
       keys = Seq(Dedup.contentHash(col("text"))),
       orderCol = col("doc_id"), tiebreak = col("doc_id"))
-    // near-dup survivor drop over verified Jaccard pairs
-    val nearDedup = Dedup.dropNearDuplicates(exact, Dedup.ngramJaccardOn(exact))
-    val clean = Dedup.decontaminateOn(nearDedup, evalSource, contamTau)
+    // near-dup survivor drop over verified Jaccard pairs; the trigram
+    // cache is released once pairClusters has durably checkpointed the
+    // pairs (otherwise every prepare() call would pin one cached frame
+    // in the session CacheManager for the rest of the session)
+    val (pairs, triHandle) = Dedup.ngramJaccardWithHandle(exact)
+    val nearDedup = Dedup.dropNearDuplicates(exact, pairs)
+    triHandle.unpersist()
+    val clean = Dedup.decontaminateOn(
+      nearDedup.unionByName(evalDocs), evalSource, contamTau)
     val sampled = Etl.sampleWeightedOn(clean, weights, defaultWeight)
     val packed = TrainPrep.packSequencesOn(sampled)
       .join(sampled, Seq("doc_id"))
@@ -83,14 +97,20 @@ object CorpusPipeline {
     stages(docs, evalSource, qualityMin, weights, defaultWeight, contamTau).packed
 
   /** Run [[prepare]] and report the per-stage funnel — the numbers a
-    * corpus build logs for every snapshot. Counts re-evaluate the
-    * shared stage plans (no persists held across the call): acceptable
-    * for a report main; callers doing both should persist the returned
-    * frame themselves. */
+    * corpus build logs for every snapshot (`nInput` counts the whole
+    * input including the held-aside eval slice; the later counts are
+    * train-side). Takes the SAME tunables as [[prepare]] so the
+    * report always describes the corpus actually built. Counts
+    * re-evaluate the shared stage plans (no persists held across the
+    * call): acceptable for a report main; callers doing both should
+    * persist the returned frame themselves. */
   def prepareWithSummary(docs: DataFrame,
-                         evalSource: String = "src0"): (DataFrame, CorpusSummary) = {
-    val st = stages(docs, evalSource, QualityMin,
-      Etl.MixtureWeights, Etl.DefaultMixtureWeight, Dedup.ContamTau)
+                         evalSource: String = "src0",
+                         qualityMin: Double = QualityMin,
+                         weights: Map[String, Double] = Etl.MixtureWeights,
+                         defaultWeight: Double = Etl.DefaultMixtureWeight,
+                         contamTau: Double = Dedup.ContamTau): (DataFrame, CorpusSummary) = {
+    val st = stages(docs, evalSource, qualityMin, weights, defaultWeight, contamTau)
     val summary = CorpusSummary(
       nInput = docs.count(), nQuality = st.kept.count(), nExact = st.exact.count(),
       nNearDup = st.nearDedup.count(), nDecontaminated = st.clean.count(),

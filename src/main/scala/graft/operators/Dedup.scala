@@ -93,13 +93,14 @@ object Dedup {
     // native one-pass expression (functions/WordNgrams.scala): the
     // composed split+transform+concat_ws+hash chain evaluates
     // interpreted inside the lambda and re-derives split per element —
-    // it was the dominant cost of the dedup tier (r5 profile). The
-    // short-doc filter runs on the CHEAP native array (empty ⇔ fewer
-    // than 3 words), not on size(split(text)) which would re-split
+    // it was the dominant cost of the dedup tier (r5 profile). NO
+    // short-doc filter HERE: a filter above this projection gets
+    // pushed below it by Catalyst (alias substitution), evaluating the
+    // n-gram expression twice per row; the filter lives after the
+    // persist in persistedTrigramSets where it reads the cached array
     docs
       .select(col("doc_id"),
         call_function("hashed_word_ngrams", col("text"), lit(3)).as("tg"))
-      .filter(size(col("tg")) > 0)
 
   /** Exact-Jaccard verification of candidate pairs against the hashed
     * trigram sets, WITHOUT carrying the trigram arrays through joins:
@@ -143,6 +144,11 @@ object Dedup {
     * the compact doc-level form, not the exploded posting table. */
   private def persistedTrigramSets(docs: DataFrame): DataFrame =
     trigramSets(docs).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // short-doc drop (empty array ⇔ fewer than 3 words) ABOVE the
+      // persist node: predicate pushdown stops at the cache boundary,
+      // so the n-gram expression runs once per row (cache fill) and
+      // the filter reads the cached array
+      .filter(size(col("tg")) > 0)
 
   /** Near-dup pairs by word-trigram Jaccard >= tau.
     *
@@ -155,8 +161,24 @@ object Dedup {
   def ngramJaccard(spark: SparkSession, dir: String, tau: Double = JaccardTau): DataFrame =
     ngramJaccardOn(Tables.documents(spark, dir), tau)
 
-  def ngramJaccardOn(docs: DataFrame, tau: Double = JaccardTau): DataFrame = {
-    val tri = persistedTrigramSets(docs)
+  def ngramJaccardOn(docs: DataFrame, tau: Double = JaccardTau): DataFrame =
+    ngramJaccardWithHandle(docs, tau)._1
+
+  /** Like [[ngramJaccardOn]] but also returns the persisted trigram
+    * CACHE HANDLE: a caller that stages the pairs durably (e.g.
+    * CorpusPipeline, whose pairClusters checkpoint is an eager action)
+    * can then `handle.unpersist()` instead of pinning one
+    * corpus-cardinality cached frame per call in the session
+    * CacheManager for the rest of the session (r5 review). */
+  private[graft] def ngramJaccardWithHandle(
+      docs: DataFrame, tau: Double = JaccardTau): (DataFrame, DataFrame) = {
+    val cached = trigramSets(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tri = cached.filter(size(col("tg")) > 0)
+    (jaccardPairs(tri, tau), cached)
+  }
+
+  private def jaccardPairs(tri: DataFrame, tau: Double): DataFrame = {
     val posting = tri.select(col("doc_id"), size(col("tg")).as("s"),
       explode(col("tg")).as("t"))
     val docFreq = posting.groupBy("t").agg(count(lit(1)).as("df"))
@@ -341,8 +363,17 @@ object Dedup {
     * pathological chain-shaped graphs). The result is materialized to
     * a durable temp path so no cached RDDs outlive the call. */
   def pairClusters(pairs: DataFrame, maxIters: Int = 10): DataFrame = {
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    // checkpoint the (pair-graph-sized) input durably BEFORE the
+    // driver loop — every iteration's actions then read a small
+    // parquet instead of re-dragging the candidate-generation/verify
+    // subtree (and its caches) through each loop step, which measured
+    // 2–8× slower with high variance under cache pressure (r5)
+    val staged = Scratch.dir("graft_cluster_pairs")
+    pairs.select(col("doc_a"), col("doc_b"))
+      .write.mode("overwrite").parquet(staged)
+    val p = pairs.sparkSession.read.parquet(staged)
+    val edges = p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .distinct()
       .cache()
     var labels = edges.select(col("src").as("doc_id"))
@@ -535,18 +566,9 @@ WHERE source <> 'src0'
     * transitive closure over the (independent, all-pairs) pair oracle,
     * so both the pair generation AND the iterative label propagation
     * are cross-checked end-to-end. */
-  def clustersQuery(spark: SparkSession, dir: String): DataFrame = {
-    // stage the (tiny, pair-graph-sized) edge list durably BEFORE the
-    // label-propagation loop — the standard checkpoint-then-iterate
-    // shape: every iteration's lineage then reads a small parquet
-    // instead of dragging the whole shingle/verify subtree (and its
-    // caches) through each driver-loop action, which measured 2–8×
-    // slower and high-variance under cache pressure in a long-lived
-    // session
-    val tmp = Scratch.dir("graft_cluster_pairs")
-    ngramJaccard(spark, dir).write.mode("overwrite").parquet(tmp)
-    pairClusters(spark.read.parquet(tmp))
-  }
+  def clustersQuery(spark: SparkSession, dir: String): DataFrame =
+    // pairClusters checkpoints its input internally (see its scaladoc)
+    pairClusters(ngramJaccard(spark, dir))
 
   val clustersOracleSql: String =
     s"""WITH RECURSIVE pairs AS (
@@ -628,10 +650,19 @@ FROM reach GROUP BY a"""
     // and complete green (r5 review finding)
     val hadoopPath = new org.apache.hadoop.fs.Path(indexPath)
     val fs = hadoopPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // "index has data" = at least one ds= partition directory exists.
+    // A bare path with only _SUCCESS (a previous run whose every day
+    // had zero survivors) is a legitimately EMPTY index, not a corrupt
+    // one — reading it would throw 'unable to infer schema' and wedge
+    // the pipeline (r5 review). A partition dir with unreadable files
+    // still reads → loud failure, never silent re-admission.
+    val hasData = fs.exists(hadoopPath) &&
+      fs.listStatus(hadoopPath).exists(st =>
+        st.isDirectory && st.getPath.getName.startsWith("ds="))
     val seen =
-      if (!fs.exists(hadoopPath))
+      if (!hasData)
         newDocs.limit(0).select(contentHash(col("text")).as("content_hash"))
-      else spark.read.parquet(indexPath) // unreadable index → loud failure
+      else spark.read.parquet(indexPath)
         .filter(col("ds") =!= ds).select("content_hash")
     // persist: the index write below materializes this plan; returning
     // it unpersisted would recompute newDocs on the caller's action,
@@ -643,6 +674,11 @@ FROM reach GROUP BY a"""
     Sinks.writePartitioned(
       survivors.select(col("content_hash"), lit(ds).as("ds")),
       indexPath, Seq("ds"))
+    // dynamic overwrite writes NOTHING for an empty frame: a replayed
+    // ds whose slice shrank to zero survivors must still retire its
+    // previous partition, or stale hashes suppress future documents
+    if (survivors.isEmpty)
+      fs.delete(new org.apache.hadoop.fs.Path(hadoopPath, s"ds=$ds"), true)
     survivors
   }
 

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
 import graft.queries.Analytics.{davg, dsum}
@@ -209,6 +209,15 @@ object Etl {
       |FROM events
       |GROUP BY 1""".stripMargin
 
+  /** THE deterministic 32-bit key hash every sampling/packing draw is
+    * built on (first 8 hex chars of md5 — engine-portable): the
+    * nesting/agreement properties across sampleDeterministic /
+    * sampleStratified / sampleWeighted / TrainPrep.packSequences hold
+    * only while all of them share this exact construction. */
+  private[graft] def keyHash32(key: Column): Column =
+    conv(substring(md5(key.cast("string").cast("binary")), 1, 8), 16, 10)
+      .cast("bigint")
+
   /** Sampling percentage kept by sampleDeterministic. */
   val SamplePct = 20
 
@@ -219,9 +228,7 @@ object Etl {
     * the same key across tables (the property training-data corpus
     * cuts need: re-running a pipeline selects the SAME subset). */
   def sampleDeterministic(spark: SparkSession, dir: String, pct: Int = SamplePct): DataFrame = {
-    val bucket = conv(substring(
-      md5(col("doc_id").cast("string").cast("binary")), 1, 8), 16, 10)
-      .cast("bigint") % 100
+    val bucket = keyHash32(col("doc_id")) % 100
     Tables.documents(spark, dir).filter(bucket < pct)
   }
 
@@ -251,11 +258,8 @@ object Etl {
                        target: Int = StratumTarget): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("__n"))
-    val hash32 = conv(substring(
-      md5(col("doc_id").cast("string").cast("binary")), 1, 8), 16, 10)
-      .cast("bigint")
     docs.join(broadcast(counts), "lang")
-      .filter(hash32.cast("decimal(19,0)") * col("__n").cast("decimal(19,0)")
+      .filter(keyHash32(col("doc_id")).cast("decimal(19,0)") * col("__n").cast("decimal(19,0)")
         < lit(target.toLong).cast("decimal(19,0)") * lit(4294967296L).cast("decimal(19,0)"))
       .select(docs.columns.map(col): _*)
   }
@@ -294,13 +298,10 @@ object Etl {
   def sampleWeightedOn(docs: DataFrame,
                        weights: Map[String, Double] = MixtureWeights,
                        default: Double = DefaultMixtureWeight): DataFrame = {
-    val hash32 = conv(substring(
-      md5(col("doc_id").cast("string").cast("binary")), 1, 8), 16, 10)
-      .cast("bigint")
     val rate = weights.foldLeft(lit(default)) { case (acc, (src, wt)) =>
       when(col("source") === src, lit(wt)).otherwise(acc)
     }
-    docs.filter(hash32.cast("double") < rate * lit(4294967296.0))
+    docs.filter(keyHash32(col("doc_id")).cast("double") < rate * lit(4294967296.0))
   }
 
   val sampleWeightedOracleSql: String = {
@@ -495,14 +496,22 @@ object Etl {
       .otherwise(arrays_zip(col("times"), col("temps")))
     parsed
       .select(col("ds"), explode(gatedZip).as("z"))
+      // per-ELEMENT gate: an unparseable time string fails the run
+      // loudly regardless of spark.sql.ansi.enabled (the reference's
+      // pandas parse raises; a silent ts=null row would ship corrupt
+      // staging data under ansi=false)
+      .select(col("ds"), col("z.times").as("__t"), col("z.temps").as("temperature_c"),
+        coalesce(try_to_timestamp(col("z.times"), lit(TimeFmt)),
+          raise_error(concat(lit("Unparseable hourly time: "), col("z.times"))))
+          .as("ts"))
       .select(
-        to_timestamp(col("z.times"), TimeFmt).as("ts"),
-        substring(col("z.times"), 1, 10).as("date"),
-        hour(to_timestamp(col("z.times"), TimeFmt)).as("hour"),
+        col("ts"),
+        substring(col("__t"), 1, 10).as("date"),
+        hour(col("ts")).as("hour"),
         lit(latitude).as("latitude"),
         lit(longitude).as("longitude"),
         lit(timezone).as("timezone"),
-        col("z.temps").as("temperature_c"),
+        col("temperature_c"),
         col("ds").as("load_ds"),
         lit(source).as("source"))
   }

@@ -43,11 +43,9 @@ object TrainPrep {
   /** Generic form over any (doc_id, text) frame. */
   def packSequencesOn(docs: DataFrame, nShards: Int = NShards,
                       budget: Long = ChunkBudget): DataFrame = {
-    // engine-portable 32-bit key hash (same construction as
-    // Etl.sampleDeterministic): first 8 hex chars of md5(doc_id)
-    val hash32 = conv(substring(
-      md5(col("doc_id").cast("string").cast("binary")), 1, 8), 16, 10)
-      .cast("bigint")
+    // engine-portable 32-bit key hash — the ONE shared construction
+    // (Etl.keyHash32) the sampling family's agreement properties need
+    val hash32 = Etl.keyHash32(col("doc_id"))
     val base = docs.select(
       col("doc_id"),
       size(TH.words(col("text"))).cast("long").as("n_tokens"),

@@ -102,4 +102,24 @@ class CorpusPrepSpec extends SparkSpecBase {
     assert(packed.select(col("doc_id")).distinct().count() == packed.count())
     assert(packed.filter(col("token_offset") < 0).count() == 0)
   }
+
+  test("corpus pipeline: a train copy of an eval doc is cut even when dedup kept the train copy") {
+    import spark.implicits._
+    def words(seed: Int, n: Int) = (0 until n).map(i => s"w${seed}x$i").mkString(" ")
+    val evalText = words(1, 25)
+    val docs = Seq(
+      (5L, evalText, "en", "src1", evalText.length.toLong),   // train DUPLICATE, min doc_id
+      (100L, evalText, "en", "src0", evalText.length.toLong), // eval original
+      (6L, words(2, 25), "en", "src1", 0L),
+      (7L, words(3, 25), "en", "src2", 0L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    // exact dedup over a naive train+eval union would keep doc 5 (min id)
+    // and drop the eval copy — decontamination must still flag doc 5
+    // because it compares against the ORIGINAL eval slice
+    val out = graft.operators.CorpusPipeline.prepare(docs,
+      weights = Map("src1" -> 1.0, "src2" -> 1.0), defaultWeight = 1.0)
+    val ids = out.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(!ids.contains(5L), "train duplicate of an eval doc must be decontaminated")
+    assert(ids == Set(6L, 7L))
+  }
 }

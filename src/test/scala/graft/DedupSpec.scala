@@ -188,4 +188,32 @@ class DedupSpec extends SparkSpecBase {
     val loose = Dedup.decontaminate(spark, sfDir, tau = 1.1)
     assert(loose.count() == train.count())
   }
+
+  test("incremental index: empty first day does not wedge; shrunk replay retires its partition") {
+    import spark.implicits._
+    def docs(rows: (Long, String)*): org.apache.spark.sql.DataFrame =
+      rows.toDF("doc_id", "text")
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val index = java.nio.file.Files.createTempDirectory("graft_dedup_idx2").toString + "/idx"
+
+    // day 1 has NO rows: the index dir exists afterwards but holds no
+    // partitions — day 2 must treat it as an empty index, not corrupt
+    assert(Dedup.incrementalExactVsIndex(empty, "2024-01-01", index).count() == 0)
+    val d2 = Dedup.incrementalExactVsIndex(docs((1L, "alpha")), "2024-01-02", index)
+    assert(d2.count() == 1)
+    assert(spark.read.parquet(index).count() == 1)
+
+    // replay day 2 with a slice whose content is now ALREADY indexed
+    // elsewhere-equivalent: shrink it to zero survivors — the stale
+    // ds=2024-01-02 partition must be retired, not left suppressing
+    // future docs
+    assert(Dedup.incrementalExactVsIndex(empty, "2024-01-02", index).count() == 0)
+    // the partition dir is gone (the index is now legitimately empty —
+    // reading a partition-less parquet dir throws, so assert on the FS)
+    assert(!new java.io.File(s"$index/ds=2024-01-02").exists())
+    // a later day can re-admit the content day 2 no longer claims...
+    // (its hash only lives in partitions that still claim it)
+    val d3 = Dedup.incrementalExactVsIndex(docs((9L, "alpha")), "2024-01-03", index)
+    assert(d3.count() == 1)
+  }
 }
