@@ -72,12 +72,21 @@ object CorpusPipeline {
     // near-dup survivor drop over verified Jaccard pairs; the trigram
     // cache is released once pairClusters has durably checkpointed the
     // pairs (otherwise every prepare() call would pin one cached frame
-    // in the session CacheManager for the rest of the session)
+    // in the session CacheManager for the rest of the session) — also
+    // on the non-convergence failure path
     val (pairs, triHandle) = Dedup.ngramJaccardWithHandle(exact)
-    val nearDedup = Dedup.dropNearDuplicates(exact, pairs)
-    triHandle.unpersist()
+    val nearDedup =
+      try Dedup.dropNearDuplicates(exact, pairs)
+      finally triHandle.unpersist()
+    // EXACT train copies of eval docs are cut by content hash: the
+    // n-gram decontamination below cannot see docs shorter than
+    // ContamN words (zero grams), and train-only dedup no longer
+    // removes cross-set duplicates
+    val noExactEval = nearDedup.join(
+      evalDocs.select(Dedup.contentHash(col("text")).as("__eval_hash")),
+      Dedup.contentHash(col("text")) === col("__eval_hash"), "left_anti")
     val clean = Dedup.decontaminateOn(
-      nearDedup.unionByName(evalDocs), evalSource, contamTau)
+      noExactEval.unionByName(evalDocs), evalSource, contamTau)
     val sampled = Etl.sampleWeightedOn(clean, weights, defaultWeight)
     val packed = TrainPrep.packSequencesOn(sampled)
       .join(sampled, Seq("doc_id"))

@@ -142,13 +142,20 @@ object Dedup {
     * ContextCleaner does NOT reclaim registered plans); acceptable
     * here because verify/bench sessions are per-run and the frame is
     * the compact doc-level form, not the exploded posting table. */
+  /** The ONE persist-then-filter construction (returned with its
+    * cache handle): the short-doc filter must sit ABOVE the persist
+    * node — pushdown stops at the cache boundary, so the n-gram
+    * expression runs once per row (cache fill) and the filter reads
+    * the cached array; a filter below the persist would be pushed
+    * under the projection and evaluate the expression twice. */
+  private def persistedTrigramSetsWithHandle(docs: DataFrame): (DataFrame, DataFrame) = {
+    val cached = trigramSets(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    (cached.filter(size(col("tg")) > 0), cached)
+  }
+
   private def persistedTrigramSets(docs: DataFrame): DataFrame =
-    trigramSets(docs).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      // short-doc drop (empty array ⇔ fewer than 3 words) ABOVE the
-      // persist node: predicate pushdown stops at the cache boundary,
-      // so the n-gram expression runs once per row (cache fill) and
-      // the filter reads the cached array
-      .filter(size(col("tg")) > 0)
+    persistedTrigramSetsWithHandle(docs)._1
 
   /** Near-dup pairs by word-trigram Jaccard >= tau.
     *
@@ -172,9 +179,7 @@ object Dedup {
     * CacheManager for the rest of the session (r5 review). */
   private[graft] def ngramJaccardWithHandle(
       docs: DataFrame, tau: Double = JaccardTau): (DataFrame, DataFrame) = {
-    val cached = trigramSets(docs)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val tri = cached.filter(size(col("tg")) > 0)
+    val (tri, cached) = persistedTrigramSetsWithHandle(docs)
     (jaccardPairs(tri, tau), cached)
   }
 
@@ -566,9 +571,15 @@ WHERE source <> 'src0'
     * transitive closure over the (independent, all-pairs) pair oracle,
     * so both the pair generation AND the iterative label propagation
     * are cross-checked end-to-end. */
-  def clustersQuery(spark: SparkSession, dir: String): DataFrame =
-    // pairClusters checkpoints its input internally (see its scaladoc)
-    pairClusters(ngramJaccard(spark, dir))
+  def clustersQuery(spark: SparkSession, dir: String): DataFrame = {
+    // pairClusters checkpoints its input internally (see its scaladoc),
+    // after which the trigram cache is dead weight — release it even
+    // when the component loop throws (non-convergence)
+    val (pairs, triHandle) =
+      ngramJaccardWithHandle(Tables.documents(spark, dir))
+    try pairClusters(pairs)
+    finally triHandle.unpersist()
+  }
 
   val clustersOracleSql: String =
     s"""WITH RECURSIVE pairs AS (
@@ -676,9 +687,14 @@ FROM reach GROUP BY a"""
       indexPath, Seq("ds"))
     // dynamic overwrite writes NOTHING for an empty frame: a replayed
     // ds whose slice shrank to zero survivors must still retire its
-    // previous partition, or stale hashes suppress future documents
+    // previous partition, or stale hashes suppress future documents.
+    // Use Spark's own partition-path escaping — a ds containing ':'
+    // or '%' lands Hive-escaped on disk, and deleting the RAW name
+    // would silently miss it.
     if (survivors.isEmpty)
-      fs.delete(new org.apache.hadoop.fs.Path(hadoopPath, s"ds=$ds"), true)
+      fs.delete(new org.apache.hadoop.fs.Path(hadoopPath,
+        "ds=" + org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          .escapePathName(ds)), true)
     survivors
   }
 

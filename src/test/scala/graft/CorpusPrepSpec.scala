@@ -122,4 +122,20 @@ class CorpusPrepSpec extends SparkSpecBase {
     assert(!ids.contains(5L), "train duplicate of an eval doc must be decontaminated")
     assert(ids == Set(6L, 7L))
   }
+
+  test("corpus pipeline: a SHORT exact train copy of an eval doc (under n-gram reach) is still cut") {
+    import spark.implicits._
+    def words(seed: Int, n: Int) = (0 until n).map(i => s"v${seed}y$i").mkString(" ")
+    val shortEval = "answer is 42" // 3 words < ContamN: zero 4-grams, invisible to contamination
+    val docs = Seq(
+      (5L, shortEval, "en", "src1", 12L),  // exact train duplicate
+      (100L, shortEval, "en", "src0", 12L),
+      (6L, words(7, 25), "en", "src1", 0L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = graft.operators.CorpusPipeline.prepare(docs,
+      qualityMin = 0.0, weights = Map("src1" -> 1.0), defaultWeight = 1.0)
+    val ids = out.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(!ids.contains(5L), "short exact eval duplicate must be cut by content hash")
+    assert(ids == Set(6L))
+  }
 }
