@@ -71,7 +71,16 @@ object WordNgrams {
     val nGrams = nWords - n + 1
     if (nGrams <= 0) return UnsafeArrayData.fromPrimitiveArray(new Array[Long](0))
 
-    // open-addressed dedup set (power-of-two, linear probing)
+    // open-addressed dedup set (power-of-two, linear probing).
+    // Capacity math must not overflow Int: past 2^30 grams
+    // `nGrams * 2` wraps negative, the loop exits at cap=8, and the
+    // full-table linear probe below never terminates. A document that
+    // large (>1 GiB of single-space-separated words) is corrupt input,
+    // not data — fail loudly instead of hanging the executor.
+    if (nGrams >= (1 << 29)) throw new IllegalArgumentException(
+      s"hashed_word_ngrams: document has $nGrams $n-grams " +
+        "(>= 2^29); refusing to build the dedup table — split the " +
+        "document upstream")
     var cap = 8
     while (cap < nGrams * 2) cap <<= 1
     val slots = new Array[Long](cap)

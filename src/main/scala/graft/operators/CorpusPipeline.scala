@@ -96,7 +96,16 @@ object CorpusPipeline {
   }
 
   /** The prepared corpus: cleaned + sampled docs with their packing
-    * assignment (shard / seq_pos / token_offset / chunk_id). */
+    * assignment (shard / seq_pos / token_offset / chunk_id).
+    *
+    * NOT lazy: although this returns a composable DataFrame, calling
+    * it EXECUTES the full near-dup clustering up front — `stages()`
+    * stages the verified pairs to scratch parquet and runs the
+    * label-propagation driver loop before returning (the
+    * [[Dedup.pairClusters]] contract: iterative algorithms must
+    * materialize, a lazy plan would re-run the loop per downstream
+    * action). Construction cost is the dedup tier, not a plan tree —
+    * build once and reuse the result. */
   def prepare(docs: DataFrame,
               evalSource: String = "src0",
               qualityMin: Double = QualityMin,
@@ -112,7 +121,8 @@ object CorpusPipeline {
     * report always describes the corpus actually built. Counts
     * re-evaluate the shared stage plans (no persists held across the
     * call): acceptable for a report main; callers doing both should
-    * persist the returned frame themselves. */
+    * persist the returned frame themselves. Like [[prepare]], this is
+    * eager — the clustering driver loop runs inside the call. */
   def prepareWithSummary(docs: DataFrame,
                          evalSource: String = "src0",
                          qualityMin: Double = QualityMin,

@@ -651,7 +651,16 @@ FROM reach GROUP BY a"""
     * At cluster scale, bucket the index on `content_hash`
     * (Sinks.writeBucketed) so the anti-join shuffles only the daily
     * slice; the plain partitioned-parquet form here keeps the index
-    * readable by any engine. */
+    * readable by any engine.
+    *
+    * CACHE CONTRACT: the returned frame IS the cache handle — it is
+    * persisted so that the index write above and the caller's action
+    * see the same rows. Callers looping over many `ds` values MUST
+    * `.unpersist()` the returned frame once consumed; the session
+    * CacheManager holds a strong reference per persist and the
+    * ContextCleaner never reclaims them, so a long-lived driver loop
+    * otherwise accumulates one pinned plan per day until storage
+    * memory is exhausted. */
   def incrementalExactVsIndex(newDocs: DataFrame, ds: String,
                               indexPath: String): DataFrame = {
     val spark = newDocs.sparkSession

@@ -36,6 +36,8 @@ import org.apache.spark.sql.types._
   */
 object Jdbc {
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** How an upsert is phrased for a given backend. */
   sealed trait UpsertDialect {
     /** Single-statement atomic upsert, if the backend has one. */
@@ -127,6 +129,17 @@ object Jdbc {
     // there, which is the pre-round-5 behavior for those backends
     val wantSchema = Option(schemaPart).orElse(
       try Option(conn.getSchema) catch { case _: Throwable => None })
+    // Diagnosability (r5 advice): with no schema pin the probe matches
+    // a same-named table in ANY schema — CREATE is then skipped and
+    // the subsequent insert fails with a confusing missing-table
+    // error. Can't fix portably (pre-4.1 drivers have no getSchema),
+    // but the warning names the failure mode when it happens.
+    if (wantSchema.isEmpty)
+      log.warn(s"ensureTable($table): driver reports no current " +
+        "schema; existence probe is CROSS-SCHEMA — a same-named " +
+        "table in another schema will suppress CREATE TABLE here " +
+        "and the write will fail on the missing table. Qualify the " +
+        "table name (schema.table) to pin the probe.")
     val rs = md.getTables(null, wantSchema.orNull, tablePart, Array("TABLE"))
     val exists =
       try {
