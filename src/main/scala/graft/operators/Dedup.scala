@@ -381,24 +381,38 @@ object Dedup {
       .unionByName(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .distinct()
       .cache()
-    var labels = edges.select(col("src").as("doc_id"))
-      .distinct()
-      .withColumn("cluster_id", col("doc_id"))
+    // seed with the DIRECT neighborhood minimum instead of self-labels:
+    // identical to one propagation step from label=self (every node of
+    // the symmetric edge list appears as src), so star-shaped
+    // components are already converged at entry and the loop only pays
+    // for the confirmation pass. Each driver-loop iteration is several
+    // scheduled jobs of fixed overhead on a pair-graph-sized frame —
+    // iterations are the cost, not rows (r6 profile: 5.9 s of loop on
+    // a 256-edge graph).
+    var labels = edges.groupBy(col("src"))
+      .agg(least(col("src"), min(col("dst"))).as("cluster_id"))
+      .select(col("src").as("doc_id"), col("cluster_id"))
+      .cache()
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
-      // each node adopts min(own label, min of neighbor labels)
+      // each node adopts min(own label, min of neighbor labels);
+      // keeping prev alongside lets the SAME cached frame answer the
+      // convergence count — no separate prev-join action
       val neighborMin = edges
         .join(labels.withColumnRenamed("doc_id", "dst"), "dst")
         .groupBy(col("src").as("doc_id"))
         .agg(min(col("cluster_id")).as("nbr_min"))
+      // `labels` stays the EXACT cached frame across iterations (a
+      // projection of it would make unpersist miss the cached plan and
+      // leak one CacheManager entry per iteration); the spare `prev`
+      // column rides along harmlessly and is dropped at write time
       val next = labels.join(neighborMin, Seq("doc_id"), "left")
-        .select(col("doc_id"),
+        .select(col("doc_id"), col("cluster_id").as("prev"),
           least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
             .as("cluster_id"))
         .cache()
-      val changed = next.join(labels.withColumnRenamed("cluster_id", "prev"), "doc_id")
-        .filter(col("cluster_id") =!= col("prev")).count()
+      val changed = next.filter(col("cluster_id") =!= col("prev")).count()
       labels.unpersist()
       labels = next
       converged = changed == 0
@@ -414,7 +428,8 @@ object Dedup {
     // returned frame's lineage reads these files), then release every
     // cache this call pinned
     val tmp = Scratch.dir("graft_clusters")
-    labels.write.mode("overwrite").parquet(tmp)
+    labels.select(col("doc_id"), col("cluster_id"))
+      .write.mode("overwrite").parquet(tmp)
     edges.unpersist()
     labels.unpersist()
     pairs.sparkSession.read.parquet(tmp)
