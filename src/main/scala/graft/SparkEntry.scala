@@ -31,6 +31,7 @@ object SparkEntry {
     "sample_deterministic" -> ((s, d) => Etl.sampleDeterministic(s, d)),
     "sample_stratified"    -> ((s, d) => Etl.sampleStratified(s, d)),
     "sample_weighted"      -> ((s, d) => Etl.sampleWeighted(s, d)),
+    "sample_cap_per_source" -> ((s, d) => Etl.sampleCapPerSource(s, d)),
     "etl_scd2"             -> (Etl.scd2History(_, _)),
     // §2.2 analytics
     "q1_pricing_summary"   -> (Analytics.q1PricingSummary(_, _)),
@@ -45,6 +46,7 @@ object SparkEntry {
     "q_events_sessionize"  -> (Analytics.qEventsSessionize(_, _)),
     "q_asof_join"          -> (graft.operators.AsOf.qAsOfJoin(_, _)),
     "q_range_join"         -> (graft.operators.RangeJoin.qRangeJoin(_, _)),
+    "q_pivot_events"       -> (Analytics.qPivotEvents(_, _)),
     // §2.3 dedup
     "dedup_exact"            -> (Dedup.exact(_, _)),
     "dedup_exact_normalized" -> (Dedup.exactNormalized(_, _)),
@@ -69,7 +71,9 @@ object SparkEntry {
     "text_tfidf"       -> (TextAnalysis.textTfidf(_, _)),
     "text_repetition"  -> (TextAnalysis.textRepetition(_, _)),
     "text_pii_scrub"   -> (TextAnalysis.textPiiScrub(_, _)),
+    "text_vocab"       -> ((s, d) => TextAnalysis.textVocab(s, d)),
     "pack_sequences"   -> ((s, d) => graft.operators.TrainPrep.packSequences(s, d)),
+    "text_chunk"       -> ((s, d) => graft.operators.TrainPrep.chunkDocuments(s, d)),
     // §2.6 multimodal
     "mm_binary_meta"     -> (Multimodal.binaryMeta(_, _)),
     "mm_feature_extract" -> (Multimodal.featureExtract(_, _)),
@@ -95,6 +99,7 @@ object SparkEntry {
     "sample_deterministic" -> Etl.sampleDeterministicOracleSql,
     "sample_stratified"    -> Etl.sampleStratifiedOracleSql,
     "sample_weighted"      -> Etl.sampleWeightedOracleSql,
+    "sample_cap_per_source" -> Etl.sampleCapPerSourceOracleSql,
     "etl_scd2"             -> Etl.scd2OracleSql,
     "q1_pricing_summary"   -> Analytics.q1OracleSql,
     "q3_shipping_priority" -> Analytics.q3OracleSql,
@@ -108,6 +113,7 @@ object SparkEntry {
     "q_events_sessionize"  -> Analytics.qEventsSessionizeOracleSql,
     "q_asof_join"          -> graft.operators.AsOf.qAsOfJoinOracleSql,
     "q_range_join"         -> graft.operators.RangeJoin.qRangeJoinOracleSql,
+    "q_pivot_events"       -> Analytics.qPivotEventsOracleSql,
     // §2.3 dedup (minhash_lsh is rows-only: the minhash_sketch
     // aggregate is not SQL-expressible; DedupSpec verifies it against
     // brute force)
@@ -132,7 +138,9 @@ object SparkEntry {
     "text_tfidf"   -> TextAnalysis.textTfidfOracleSql,
     "text_repetition" -> TextAnalysis.textRepetitionOracleSql,
     "text_pii_scrub"  -> TextAnalysis.textPiiScrubOracleSql,
+    "text_vocab"      -> TextAnalysis.textVocabOracleSql,
     "pack_sequences"  -> graft.operators.TrainPrep.packSequencesOracleSql,
+    "text_chunk"      -> graft.operators.TrainPrep.chunkDocumentsOracleSql,
     // §2.6 multimodal
     "mm_binary_meta"     -> Multimodal.binaryMetaOracleSql,
     "mm_feature_extract" -> Multimodal.featureExtractOracleSql,

@@ -312,6 +312,55 @@ object Etl {
        |      < (CASE source $cases ELSE $DefaultMixtureWeight END) * 4294967296.0""".stripMargin
   }
 
+  /** Per-source document cap for [[sampleCapPerSource]]. */
+  val SourceCap = 10
+
+  /** Hard per-source cap: keep at most `cap` documents per source,
+    * chosen deterministically by (hash, doc_id) order — the
+    * "no single domain dominates the corpus" guard a crawl pipeline
+    * applies before mixing (the cap analogue of
+    * [[sampleStratified]]'s proportional draw; a cap is the right
+    * tool when the contract is an exact per-group budget, e.g. at
+    * most N pages per registered domain).
+    *
+    * Selection is a pure function of the keys: the kept set is stable
+    * across reruns, engines, and partitionings, and raising `cap`
+    * only ever ADDS documents (the hash order is fixed, a bigger cap
+    * keeps a superset — same nesting property as the sampling family).
+    *
+    * Plan shape: one Exchange on `source` + a per-group TopK. Spark
+    * plans `rank <= cap` windows as WindowGroupLimit (a streaming
+    * top-K per group, no full sort spill) before the filter. At 100 TB
+    * the shuffle carries ONLY (source, hash, doc_id) — the projection
+    * below keeps wide columns out of the Exchange and joins them back
+    * by doc_id; with millions of distinct sources the Exchange is
+    * uniform and AQE splits any megadomain skew. */
+  def sampleCapPerSourceOn(docs: DataFrame, cap: Int = SourceCap): DataFrame = {
+    // rank over the narrow projection; wide columns (text) rejoin by
+    // key so the window shuffle moves ~20 bytes/row, not documents
+    val keep = docs.select(col("doc_id"), col("source"))
+      .withColumn("__h", keyHash32(col("doc_id")))
+      .withColumn("__rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("source")).orderBy(col("__h"), col("doc_id"))))
+      .filter(col("__rk") <= cap)
+      .select(col("doc_id"))
+    docs.join(keep, Seq("doc_id"), "left_semi")
+  }
+
+  /** Driver query over `documents` (key `sample_cap_per_source`). */
+  def sampleCapPerSource(spark: SparkSession, dir: String): DataFrame =
+    sampleCapPerSourceOn(Tables.documents(spark, dir))
+
+  val sampleCapPerSourceOracleSql: String =
+    s"""SELECT doc_id, text, lang, source, n_chars FROM (
+       |  SELECT *, ROW_NUMBER() OVER (
+       |    PARTITION BY source
+       |    ORDER BY CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT),
+       |             doc_id) AS __rk
+       |  FROM documents) t
+       |WHERE __rk <= $SourceCap""".stripMargin
+
   /** SCD type-2 state history over the event log: each user's
     * `event_type` transitions become validity intervals
     * [eff_start, eff_end) with an `is_current` flag — the

@@ -364,4 +364,43 @@ object TextAnalysis {
       col("doc_id"),
       call_function("poly_hash64", col("text")).as("fp64"),
       call_function("rolling_min_hash", col("text"), lit(32)).as("winnow_fp"))
+
+  /** Vocabulary size cap for [[textVocab]]. */
+  val VocabTopK = 200
+
+  /** Corpus vocabulary: the `topK` most frequent terms with occurrence
+    * and document frequencies — the input a tokenizer-training /
+    * vocab-coverage step reads off a corpus. Ties are broken by term
+    * (ascending) so the cut is deterministic and engine-independent.
+    *
+    * Plan shape: explode + two-phase hash aggregate (map-side partial
+    * counts make the shuffle vocabulary-sized, not token-sized —
+    * `approx` nothing, the counts are exact), then a single-partition
+    * TopK on the vocabulary-cardinality aggregate, which is the only
+    * correct global cut and is tiny by construction (vocabularies are
+    * millions of terms at 100 TB corpus scale, not corpus-sized).
+    * `n_docs` counts each term once per document via the DISTINCT
+    * aggregate over (term, doc_id) — same exploded scan, no second
+    * pass over text. */
+  def textVocabOn(docs: DataFrame, topK: Int = VocabTopK): DataFrame =
+    docs
+      .select(col("doc_id"), explode(TH.words(col("text"))).as("term"))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("n_occurrences"),
+        count_distinct(col("doc_id")).as("n_docs"))
+      .orderBy(col("n_occurrences").desc, col("term"))
+      .limit(topK)
+
+  /** Driver query over `documents` (key `text_vocab`). */
+  def textVocab(spark: SparkSession, dir: String): DataFrame =
+    textVocabOn(Tables.documents(spark, dir))
+
+  val textVocabOracleSql: String =
+    s"""SELECT term, CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+       |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+       |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+       |      FROM documents)
+       |GROUP BY term
+       |ORDER BY n_occurrences DESC, term
+       |LIMIT $VocabTopK""".stripMargin
 }

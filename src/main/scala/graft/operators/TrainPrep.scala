@@ -86,4 +86,71 @@ object TrainPrep {
        |SELECT doc_id, n_tokens, shard, seq_pos, token_offset,
        |  token_offset // $ChunkBudget AS chunk_id
        |FROM p""".stripMargin
+
+  /** Context window (words) for [[chunkDocuments]]. Small here so the
+    * sf corpus (avg ~54 words/doc) produces real multi-chunk docs;
+    * production values are the model context (2k–128k tokens). */
+  val ChunkWords = 32
+  /** Chunk stride — `ChunkWords - ChunkStride` words of overlap carry
+    * context across chunk boundaries (the sliding-window convention
+    * tokenizer pipelines use for long-document splitting). */
+  val ChunkStride = 24
+
+  /** Sliding-window document chunking: split each document into
+    * word-window chunks of `sizeWords` every `stride` words — the
+    * long-document step BEFORE packing (packSequences assumes each
+    * unit fits a context window; real corpora have documents that
+    * don't). Chunk k covers words [k·stride, k·stride + sizeWords);
+    * chunks are emitted while the PREVIOUS chunk did not already reach
+    * the document's end — i.e. nChunks = 1 + max(0,
+    * ceil((n - sizeWords) / stride)) — so every word is covered, the
+    * final chunk is never a strict suffix of its predecessor, and a
+    * short document yields exactly one chunk (itself).
+    *
+    * Plan shape: split once per row, then a generator (explode of a
+    * per-row integer sequence) and a codegen'd slice/concat projection
+    * — no lambda higher-order functions (those evaluate interpreted;
+    * the r5 profile lesson), no shuffle at all: chunking is embarrassingly
+    * parallel and the output inherits the input partitioning. */
+  def chunkDocumentsOn(docs: DataFrame, sizeWords: Int = ChunkWords,
+                       stride: Int = ChunkStride): DataFrame = {
+    require(sizeWords > 0 && stride > 0 && stride <= sizeWords,
+      s"need 0 < stride <= sizeWords, got stride=$stride size=$sizeWords")
+    val base = docs
+      .select(col("doc_id"), TH.words(col("text")).as("w"))
+      .withColumn("n", size(col("w")))
+      // greatest(0, ceil((n - size)/stride)) — exact in double for any
+      // real document length (n < 2^50); +1 for the initial chunk
+      .withColumn("nc",
+        (greatest(lit(0), ceil((col("n") - lit(sizeWords)).cast("double") / lit(stride))
+          .cast("int")) + 1))
+    base
+      .select(col("doc_id"), col("w"), col("n"),
+        explode(sequence(lit(0), col("nc") - 1)).as("chunk_idx"))
+      .select(col("doc_id"), col("chunk_idx"),
+        concat_ws(" ", slice(col("w"), col("chunk_idx") * stride + 1, lit(sizeWords)))
+          .as("chunk_text"),
+        least(col("n") - col("chunk_idx") * stride, lit(sizeWords)).as("n_words"))
+  }
+
+  /** Driver query over `documents` (key `text_chunk`). */
+  def chunkDocuments(spark: SparkSession, dir: String): DataFrame =
+    chunkDocumentsOn(Tables.documents(spark, dir))
+
+  val chunkDocumentsOracleSql: String =
+    s"""WITH w AS (
+       |  SELECT doc_id, string_split(text, ' ') AS w,
+       |    len(string_split(text, ' ')) AS n
+       |  FROM documents),
+       |k AS (
+       |  SELECT doc_id, w, n,
+       |    unnest(generate_series(0,
+       |      greatest(0, CAST(ceil((n - $ChunkWords) / $ChunkStride.0) AS INTEGER))))
+       |      AS chunk_idx
+       |  FROM w)
+       |SELECT doc_id, CAST(chunk_idx AS INTEGER) AS chunk_idx,
+       |  array_to_string(list_slice(w, chunk_idx * $ChunkStride + 1,
+       |    chunk_idx * $ChunkStride + $ChunkWords), ' ') AS chunk_text,
+       |  CAST(least(n - chunk_idx * $ChunkStride, $ChunkWords) AS INTEGER) AS n_words
+       |FROM k""".stripMargin
 }

@@ -362,4 +362,36 @@ object Analytics {
       |          PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
       |      FROM events) a) b) c
       |GROUP BY 1, 2""".stripMargin
+
+  /** Pivot values for [[qPivotEvents]] — declared, not discovered:
+    * passing explicit values to `pivot` skips the extra
+    * distinct-collect job Spark otherwise runs at PLAN time, and
+    * pins the output schema (a new event type appearing in data
+    * cannot silently widen a report table). */
+  val EventTypes: Seq[String] = Seq("click", "error", "purchase", "signup", "view")
+
+  /** Daily per-type value matrix via `groupBy().pivot()` — the
+    * wide-report surface of the engine (reference analogue: the L2
+    * reporting views). One two-phase hash aggregate on event_date;
+    * the pivot is a conditional-aggregate projection inside the same
+    * agg, NOT a join per type. Decimal-accumulated sums (dsum) keep
+    * the doubles bit-identical to the oracle's. A day with no events
+    * of a type yields NULL in that cell (both engines). */
+  def qPivotEvents(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(to_date(col("ts")).as("event_date"), col("event_type"), col("value"))
+      .groupBy(col("event_date"))
+      .pivot("event_type", EventTypes)
+      .agg(dsum(col("value")))
+
+  val qPivotEventsOracleSql: String = {
+    val cells = EventTypes.map(t =>
+      s"""CAST(SUM(CAST(value AS DECIMAL(30,6)))
+         |    FILTER (WHERE event_type = '$t') AS DOUBLE) AS "$t"""".stripMargin)
+      .mkString(",\n")
+    s"""SELECT CAST(ts AS DATE) AS event_date,
+       |$cells
+       |FROM events
+       |GROUP BY 1""".stripMargin
+  }
 }

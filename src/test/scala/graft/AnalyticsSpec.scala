@@ -103,4 +103,39 @@ class AnalyticsSpec extends SparkSpecBase {
       assert(ids.head == 1 && ids.last == ids.length)
     }
   }
+
+  test("pivot: cells partition the per-day totals; absent types are NULL") {
+    import org.apache.spark.sql.functions._
+    val ev = sources.Tables.events(spark, sfDir)
+    val pivoted = Analytics.qPivotEvents(spark, sfDir).cache()
+    // one row per distinct event date, one column per declared type
+    assert(pivoted.count() ==
+      ev.select(to_date(col("ts"))).distinct().count())
+    assert(pivoted.columns.toSeq ==
+      ("event_date" +: Analytics.EventTypes))
+    // the pivot cells sum (null-safe) to the plain per-day total —
+    // the wide report and the long rollup describe the same mass
+    val cellSum = Analytics.EventTypes
+      .map(t => coalesce(col(s"`$t`"), lit(0.0)))
+      .reduce(_ + _)
+    val longForm = ev.groupBy(to_date(col("ts")).as("event_date"))
+      .agg(Analytics.dsum(col("value")).as("day_total"))
+    val joined = pivoted.withColumn("cells", cellSum)
+      .join(longForm, "event_date")
+    assert(joined.filter(
+      abs(col("cells") - col("day_total")) > 1e-9).count() == 0)
+    // a (day, type) with no events is NULL, never 0.0
+    val present = ev.select(to_date(col("ts")).as("event_date"),
+      col("event_type")).distinct().collect()
+      .map(r => (r.getDate(0).toString, r.getString(1))).toSet
+    pivoted.collect().foreach { r =>
+      val d = r.getDate(0).toString
+      Analytics.EventTypes.zipWithIndex.foreach { case (t, i) =>
+        val isNull = r.isNullAt(i + 1)
+        assert(isNull == !present((d, t)),
+          s"cell ($d, $t) null=$isNull but present=${present((d, t))}")
+      }
+    }
+    pivoted.unpersist()
+  }
 }

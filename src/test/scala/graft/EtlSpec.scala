@@ -275,4 +275,26 @@ class EtlSpec extends SparkSpecBase {
     assert(half.exceptAll(a).count() == 0)
     assert(half.count() < a.count())
   }
+
+  test("per-source cap: exact budgets, nested in cap, partitioning-independent") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    val cap = 3
+    val capped = Etl.sampleCapPerSourceOn(docs, cap).cache()
+    // every source lands at min(cap, n_source) — the cap is EXACT,
+    // not probabilistic
+    val perSource = docs.groupBy("source").agg(count(lit(1)).as("n"))
+      .join(capped.groupBy("source").agg(count(lit(1)).as("kept")), "source")
+    assert(perSource.filter(col("kept") =!= least(col("n"), lit(cap))).count() == 0)
+    // schema passes through untouched (semi-join, not a projection)
+    assert(capped.columns.toSeq == docs.columns.toSeq)
+    // nested: a bigger cap keeps a superset
+    val wider = Etl.sampleCapPerSourceOn(docs, cap + 2)
+    assert(capped.exceptAll(wider).count() == 0)
+    // pure function of the keys: partitioning cannot change the cut
+    val repart = Etl.sampleCapPerSourceOn(docs.repartition(7), cap)
+    assert(capped.exceptAll(repart).count() == 0 &&
+      repart.exceptAll(capped).count() == 0)
+    capped.unpersist()
+  }
 }

@@ -118,6 +118,26 @@ class TextSpec extends SparkSpecBase {
       RollingHash.polyHash("abc".getBytes))
   }
 
+  test("vocab: exact counts on a known frame, deterministic top-K cut") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b a c"), (2L, "a b b"), (3L, "c")).toDF("doc_id", "text")
+    val v = TextAnalysis.textVocabOn(docs, topK = 2).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // a: 3 occurrences in 2 docs; b: 3 in 2; c: 2 in 2 — the top-2 cut
+    // keeps (a, b) with the term tiebreak, never c
+    assert(v.toSeq == Seq(("a", 3L, 2L), ("b", 3L, 2L)))
+    // corpus-level invariants: occurrence mass equals token mass for
+    // an uncut vocabulary; doc frequency never exceeds occurrences
+    val corpus = graft.sources.Tables.documents(spark, sfDir)
+    val full = TextAnalysis.textVocabOn(corpus, topK = 1000000).cache()
+    val tokenMass = corpus.select(
+      sum(size(split(col("text"), " ")))).as[Long].head()
+    assert(full.agg(sum(col("n_occurrences"))).as[Long].head() == tokenMass)
+    assert(full.filter(col("n_docs") > col("n_occurrences")).count() == 0)
+    full.unpersist()
+  }
+
   test("fingerprint operator: deterministic across runs") {
     val a = TextAnalysis.textFingerprint(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)

@@ -50,4 +50,53 @@ class TrainPrepSpec extends SparkSpecBase {
     // the training ORDER (shard, seq_pos) is budget-independent
     assert(coarse.exceptAll(fine).count() == 0)
   }
+
+  test("chunkDocuments: window/coverage invariants hold on the corpus") {
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    val size = 16; val stride = 12
+    val chunks = TrainPrep.chunkDocumentsOn(docs, size, stride).cache()
+    val n = docs.select(col("doc_id"),
+      org.apache.spark.sql.functions.size(split(col("text"), " ")).as("n"))
+    // every doc chunks; chunk word counts match the emitted text
+    assert(chunks.select("doc_id").distinct().count() == docs.count())
+    assert(chunks.filter(
+      org.apache.spark.sql.functions.size(split(col("chunk_text"), " "))
+        =!= col("n_words")).count() == 0)
+    // the LAST chunk ends exactly at the document's end (full
+    // coverage, no overhang), and every non-final chunk is full-size
+    val last = chunks.groupBy("doc_id")
+      .agg(max(col("chunk_idx")).as("m"),
+        max(col("chunk_idx") * stride + col("n_words")).as("covered"))
+      .join(n, "doc_id")
+    assert(last.filter(col("covered") =!= col("n")).count() == 0)
+    assert(chunks.join(last.select(col("doc_id"), col("m")), "doc_id")
+      .filter(col("chunk_idx") < col("m") && col("n_words") =!= size)
+      .count() == 0)
+    // a doc at or under the window is exactly one chunk: itself
+    val short = docs.join(n.filter(col("n") <= size), "doc_id")
+    val shortChunks = chunks.join(n.filter(col("n") <= size), "doc_id")
+    assert(shortChunks.count() == short.count())
+    assert(shortChunks
+      .join(docs.select(col("doc_id"), col("text")), "doc_id")
+      .filter(col("chunk_text") =!= col("text") || col("chunk_idx") =!= 0)
+      .count() == 0)
+    chunks.unpersist()
+  }
+
+  test("chunkDocuments: deterministic across partitionings") {
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    val a = TrainPrep.chunkDocumentsOn(docs)
+    val b = TrainPrep.chunkDocumentsOn(docs.repartition(7))
+    assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
+  }
+
+  test("chunkDocuments: rejects invalid window/stride") {
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    intercept[IllegalArgumentException] {
+      TrainPrep.chunkDocumentsOn(docs, sizeWords = 8, stride = 9)
+    }
+    intercept[IllegalArgumentException] {
+      TrainPrep.chunkDocumentsOn(docs, sizeWords = 0, stride = 0)
+    }
+  }
 }
