@@ -89,7 +89,12 @@ object ScaleCheck {
       run("pack_sequences", operators.TrainPrep.packSequences(spark, dir)),
       run("etl_normalize_arrays",
         operators.Etl.normalizeArrays(operators.Etl.arrayPayloads(spark, dir))),
-      run("dedup_incremental", operators.Dedup.incrementalExact(spark, dir)))
+      run("dedup_incremental", operators.Dedup.incrementalExact(spark, dir)),
+      // round-6 additions: cap/chunk/vocab corpus prep + the pivot report
+      run("sample_cap_per_source", operators.Etl.sampleCapPerSource(spark, dir)),
+      run("text_chunk", operators.TrainPrep.chunkDocuments(spark, dir)),
+      run("text_vocab", operators.TextAnalysis.textVocab(spark, dir)),
+      run("q_pivot_events", queries.Analytics.qPivotEvents(spark, dir)))
 
     // end-to-end per-ds pipeline (normalize + DQ + staged write + L2
     // merge) — the unit of work the reference DAG runs per day

@@ -185,6 +185,32 @@ class PlanSpec extends SparkSpecBase {
       "corpus-sized posting cache reappeared — see contaminationOn scaladoc")
   }
 
+  test("per-source cap: streaming group top-K, wide columns never shuffle") {
+    val p = plan(Etl.sampleCapPerSource(spark, sfDir))
+    // rank<=cap must plan as WindowGroupLimit (bounded per-group state,
+    // no full per-group sort spill) — and on BOTH sides of the
+    // Exchange (map-side partial limit caps what shuffles)
+    assert("WindowGroupLimit".r.findAllIn(p).size >= 2,
+      s"cap window did not lower to map+final WindowGroupLimit:\n$p")
+    // the window shuffle carries the narrow projection only: text
+    // appears in the probe-side scan, never below the window Exchange
+    val exchangeSub = p.substring(p.indexOf("Exchange"))
+    assert(!exchangeSub.substring(exchangeSub.indexOf("WindowGroupLimit"))
+      .contains("text#"),
+      "document text rides the cap shuffle — narrow projection lost")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("chunking: shuffle-free generator, fully codegen") {
+    val df = graft.operators.TrainPrep.chunkDocuments(spark, sfDir)
+    val p = finalPlan(df)
+    assert(!p.contains("Exchange"),
+      s"chunking must not shuffle — it is a per-row generator:\n$p")
+    assert(p.contains("Generate"), s"no generator in plan:\n$p")
+    assert(!p.contains("transform"),
+      "lambda higher-order function in the chunk path (interpreted)")
+  }
+
   test("stateful sessionizer batch: shuffles on user_id only, no cartesian") {
     val p = plan(graft.streaming.Streams.sessionizeBatch(spark, sfDir))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
