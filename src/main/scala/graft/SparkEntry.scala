@@ -114,10 +114,11 @@ object SparkEntry {
     "q_asof_join"          -> graft.operators.AsOf.qAsOfJoinOracleSql,
     "q_range_join"         -> graft.operators.RangeJoin.qRangeJoinOracleSql,
     "q_pivot_events"       -> Analytics.qPivotEventsOracleSql,
-    // §2.3 dedup (minhash_lsh is rows-only: the minhash_sketch
-    // aggregate is not SQL-expressible; DedupSpec verifies it against
-    // brute force)
+    // §2.3 dedup
     "dedup_exact"            -> Dedup.exactOracleSql,
+    // the minhash signature math replays bit-exactly in DuckDB
+    // (HUGEINT mod-2^64 + UBIGINT bitwise; bands join on raw slices)
+    "dedup_minhash_lsh"      -> Dedup.minhashLshOracleSql,
     "dedup_exact_normalized" -> Dedup.exactNormalizedOracleSql,
     "dedup_ngram_jaccard"    -> Dedup.ngramJaccardOracleSql,
     "dedup_simhash"          -> Dedup.simhashOracleSql,
@@ -126,14 +127,21 @@ object SparkEntry {
     "dedup_incremental"      -> Dedup.incrementalExactOracleSql,
     "dedup_clusters"         -> Dedup.clustersOracleSql,
     "dedup_decontaminate"    -> Dedup.decontaminateOracleSql,
-    // §2.4 similarity (knn_lsh is rows-only: approximate by design;
-    // SimilaritySpec asserts recall against the exact scan)
+    // §2.4 similarity — the "approximate" indexes are deterministic
+    // (fixed-seed hyperplanes; decimal-exact Lloyd means), so they
+    // replay fully in SQL and get real hash oracles
     "knn_bruteforce" -> Similarity.knnBruteforceOracleSql,
+    "knn_lsh"        -> Similarity.knnLshOracleSql,
+    "knn_ivf"        -> Similarity.knnIvfOracleSql,
     "vec_stats"      -> Similarity.vecStatsOracleSql,
-    // §2.5 text (langid/fingerprint are rows-only: profile learning
-    // and the native hash expressions aren't SQL-expressible; specs
-    // assert their contracts)
+    // §2.5 text — langid's whole learn+predict path is deterministic
+    // (hash split, count profiles, integer-sum scoring) and replays in
+    // SQL, so even the "learned" operator carries a hash oracle
     "text_tokens"  -> TextAnalysis.textTokensOracleSql,
+    "text_langid"  -> TextAnalysis.textLangidOracleSql,
+    // the native codegen fingerprints replay byte-exactly in DuckDB
+    // HUGEINT mod-2^64 arithmetic — same technique as mm_feature_extract
+    "text_fingerprint" -> TextAnalysis.textFingerprintOracleSql,
     "text_quality" -> TextAnalysis.textQualityOracleSql,
     "text_tfidf"   -> TextAnalysis.textTfidfOracleSql,
     "text_repetition" -> TextAnalysis.textRepetitionOracleSql,

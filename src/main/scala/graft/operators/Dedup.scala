@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
-import graft.functions.{TextHashing => TH, VectorOps => V}
+import graft.functions.{MinHashFamily, TextHashing => TH, VectorOps => V}
 
 /** Deduplication suite over the `documents` corpus — the
   * training-data-pipeline tier. The reference pipeline dedupes rows by
@@ -245,6 +245,105 @@ object Dedup {
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
     verifyJaccard(cand, tri, tau)
+  }
+
+  /** Full DuckDB replay of the MinHash-LSH pipeline — the signature
+    * math runs bit-exactly in SQL, so this previously rows-only key is
+    * hash-checkable end-to-end:
+    *
+    *  - shingle hashes: the hashed_word_ngrams poly-fold + splitmix64
+    *    mixer, replayed in HUGEINT mod-2^64 (same technique as the
+    *    fingerprint oracle); xor/shifts run in UBIGINT, multiplies by
+    *    64-bit constants split lo/hi 32-bit halves so no intermediate
+    *    exceeds INT128 (a·b mod 2^64 = (a_lo·b + ((a_hi·b) mod 2^32)
+    *    ·2^32) mod 2^64).
+    *  - the K=128 affine permutations: [[MinHashFamily]]'s (A_i, B_i)
+    *    inlined as a VALUES table (single source of truth — generated
+    *    from the same arrays the executor uses); per-doc UNSIGNED min
+    *    is UBIGINT's natural min.
+    *  - banding: Spark buckets on xxhash64(band, slice) — the oracle
+    *    joins on the RAW 4-long slices instead, which is the same
+    *    equivalence relation up to xxhash collisions; a collision can
+    *    only ADD a candidate, and every candidate then passes the
+    *    exact-Jaccard verify, so the final pair set is identical.
+    *  - verify: the ngram-Jaccard string-set form (as
+    *    [[ngramJaccardOracleSql]]). */
+  val minhashLshOracleSql: String = {
+    val two64 = "CAST('18446744073709551616' AS HUGEINT)"
+    // a*C mod 2^64 for a UBIGINT expression and a 64-bit constant
+    def mulmod(a: String, c: java.math.BigInteger): String =
+      s"""CAST(((CAST(($a) % 4294967296 AS HUGEINT) * $c) % $two64
+         |    + ((CAST(($a) >> 32 AS HUGEINT) * $c) % 4294967296) * 4294967296)
+         |    % $two64 AS UBIGINT)""".stripMargin
+    def u(l: Long) = new java.math.BigInteger(java.lang.Long.toUnsignedString(l))
+    // splitmix64 finalizer constants (functions/WordNgrams.scala mix)
+    val c1 = u(0xbf58476d1ce4e5b9L)
+    val c2 = u(0x94d049bb133111ebL)
+    val permRows = (0 until MinHashFamily.K).map { i =>
+      s"($i, CAST('${u(MinHashFamily.multipliers(i))}' AS HUGEINT), " +
+        s"CAST('${u(MinHashFamily.offsets(i))}' AS HUGEINT))"
+    }.mkString(",\n  ")
+    import graft.functions.RollingHash.{Base, Seed}
+    s"""WITH w AS (
+       |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+       |), g0 AS (
+       |  SELECT doc_id, unnest(list_distinct(list_transform(
+       |    generate_series(1, len(w)-2),
+       |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS gram
+       |  FROM w WHERE len(w) >= 3
+       |), gb AS (
+       |  SELECT doc_id, hex(encode(gram)) AS hx,
+       |    octet_length(encode(gram)) AS n FROM g0
+       |), ph AS (
+       |  SELECT doc_id, CAST(list_reduce(list_prepend(CAST($Seed AS HUGEINT),
+       |      list_transform(generate_series(1, n), j ->
+       |        CAST(16*(strpos('0123456789ABCDEF', substr(hx, 2*j-1, 1))-1)
+       |           + (strpos('0123456789ABCDEF', substr(hx, 2*j, 1))-1) AS HUGEINT))),
+       |    (acc, x) -> (acc*$Base + x) % $two64) AS UBIGINT) AS p
+       |  FROM gb
+       |), m1 AS (SELECT doc_id, xor(p, p >> 30) AS z FROM ph
+       |), m2 AS (SELECT doc_id, ${mulmod("z", c1)} AS z FROM m1
+       |), m3 AS (SELECT doc_id, xor(z, z >> 27) AS z FROM m2
+       |), m4 AS (SELECT doc_id, ${mulmod("z", c2)} AS z FROM m3
+       |), mx AS (SELECT doc_id, xor(z, z >> 31) AS x FROM m4
+       |), xs AS (
+       |  SELECT doc_id, CAST(x % 4294967296 AS HUGEINT) AS xlo,
+       |                 CAST(x >> 32 AS HUGEINT) AS xhi
+       |  FROM mx
+       |), perms(i, a, b) AS (VALUES
+       |  $permRows
+       |), pv AS (
+       |  SELECT doc_id, i,
+       |    min(CAST(((xlo * a) % $two64 + ((xhi * a) % 4294967296) * 4294967296 + b)
+       |        % $two64 AS UBIGINT)) AS mn
+       |  FROM xs CROSS JOIN perms
+       |  GROUP BY doc_id, i
+       |), sig AS (
+       |  SELECT doc_id, list(mn ORDER BY i) AS sg FROM pv GROUP BY doc_id
+       |), bk AS (
+       |  SELECT doc_id, band,
+       |    list_slice(sg, $RowsPerBand*band+1, $RowsPerBand*band+$RowsPerBand) AS key
+       |  FROM (SELECT doc_id, unnest(generate_series(0, ${Bands - 1})) AS band, sg
+       |        FROM sig) t
+       |), cand AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM bk x JOIN bk y
+       |    ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
+       |), tri AS (
+       |  SELECT doc_id,
+       |    list_distinct(list_transform(generate_series(1, len(w)-2),
+       |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS tg
+       |  FROM w WHERE len(w) >= 3
+       |)
+       |SELECT doc_a, doc_b, jaccard FROM (
+       |  SELECT c.doc_a, c.doc_b,
+       |    CAST(len(list_intersect(a.tg, b.tg)) AS DOUBLE)
+       |      / CAST(len(a.tg) + len(b.tg) - len(list_intersect(a.tg, b.tg)) AS DOUBLE)
+       |      AS jaccard
+       |  FROM cand c
+       |  JOIN tri a ON c.doc_a = a.doc_id
+       |  JOIN tri b ON c.doc_b = b.doc_id) p
+       |WHERE jaccard >= $JaccardTau""".stripMargin
   }
 
   /** SimHash near-dup pairs: 64-bit signature over word tokens,

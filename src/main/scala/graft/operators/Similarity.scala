@@ -244,6 +244,113 @@ object Similarity {
   val LshTables = 8
   val BitsPerTable = 4
 
+  /** SQL fragments shared by the ANN oracles: the deterministic
+    * sequential-fold dot/norm forms whose doubles match the native
+    * vec_dot bitwise (proven by the brute-force/cosine oracles). */
+  private def sqlDot(a: String, b: String): String =
+    s"list_reduce(list_transform(generate_series(1, len($a)), i -> $a[i]*$b[i]), (x,y) -> x+y)"
+  private def sqlNorm(e: String): String =
+    s"sqrt(list_reduce(list_transform(generate_series(1, len($e)), i -> $e[i]*$e[i]), (x,y) -> x+y))"
+
+  /** Full DuckDB replay of the hyperplane-LSH search — the previously
+    * rows-only key is hash-checkable because every source of
+    * "approximation" is deterministic: the hyperplanes are fixed-seed
+    * literals (embedded below as the SAME doubles the executor uses —
+    * shortest-roundtrip decimal strings parse back to the identical
+    * bit pattern), the bucket bit is a sign test on the sequential
+    * dot fold, and the rerank is the brute-force oracle restricted to
+    * bucket-sharing candidates. Dim is pinned to the driver corpus's
+    * 64 (the operator probes it from data; an oracle string cannot). */
+  val knnLshOracleSql: String = {
+    val dim = 64
+    val ps = planes(dim)
+    def planeLitSql(p: Array[Double]): String =
+      p.mkString("[", ",", "]::DOUBLE[]")
+    def bucketExpr(t: Int): String =
+      (0 until BitsPerTable).foldLeft("0") { (acc, b) =>
+        val d = sqlDot("e", s"(${planeLitSql(ps(t * BitsPerTable + b))})")
+        s"(($acc)*2 + CASE WHEN $d >= 0 THEN 1 ELSE 0 END)"
+      }
+    val bkUnion = (0 until LshTables)
+      .map(t => s"SELECT vec_id, $t AS tbl, ${bucketExpr(t)} AS bucket FROM vn")
+      .mkString("\nUNION ALL\n")
+    s"""WITH v AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+       |), vn AS (
+       |  SELECT vec_id, e, ${sqlNorm("e")} AS nrm FROM v
+       |), bk AS (
+       |$bkUnion
+       |), cand AS (
+       |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS vec_id
+       |  FROM bk c JOIN bk q ON c.tbl = q.tbl AND c.bucket = q.bucket
+       |  WHERE q.vec_id < $NQueries AND c.vec_id != q.vec_id
+       |)
+       |SELECT query_id, vec_id AS neighbor_id, CAST(rk AS INTEGER) AS rank, cosine FROM (
+       |  SELECT cd.query_id, cd.vec_id,
+       |    ${sqlDot("b.e", "a.e")} / (b.nrm * a.nrm) AS cosine,
+       |    ROW_NUMBER() OVER (PARTITION BY cd.query_id ORDER BY
+       |      ${sqlDot("b.e", "a.e")} / (b.nrm * a.nrm) DESC, cd.vec_id) AS rk
+       |  FROM cand cd
+       |  JOIN vn b ON cd.vec_id = b.vec_id
+       |  JOIN vn a ON cd.query_id = a.vec_id) t
+       |WHERE rk <= $K""".stripMargin
+  }
+
+  /** Full DuckDB replay of the IVF search: lowest-id seeds, one Lloyd
+    * refinement with DECIMAL(30,10)-exact order-independent means
+    * (the same decimal-accumulation rule every other oracle uses, so
+    * the centroid doubles agree bitwise), max-sim/lowest-cell
+    * assignment as a ranked window, nprobe cell cut, exact rerank.
+    * Deterministic end-to-end, hence hash-checkable despite being an
+    * "approximate" index. */
+  val knnIvfOracleSql: String =
+    s"""WITH v AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+       |), vn AS (
+       |  SELECT vec_id, e, ${sqlNorm("e")} AS nrm FROM v
+       |), seeds AS (
+       |  SELECT vec_id AS cell0, e AS ce, nrm AS cn FROM vn ORDER BY vec_id LIMIT $IvfCells
+       |), fa AS (
+       |  SELECT vec_id, e, cell0 FROM (
+       |    SELECT x.vec_id, x.e, s.cell0,
+       |      ROW_NUMBER() OVER (PARTITION BY x.vec_id ORDER BY
+       |        ${sqlDot("x.e", "s.ce")} / (x.nrm * s.cn) DESC, s.cell0) AS rk
+       |    FROM vn x CROSS JOIN seeds s) t
+       |  WHERE rk = 1
+       |), elems AS (
+       |  SELECT cell0 AS cell, unnest(generate_series(1, len(e))) AS pos, e FROM fa
+       |), means AS (
+       |  SELECT cell, pos,
+       |    CAST(SUM(CAST(e[pos] AS DECIMAL(30,10))) AS DOUBLE) / COUNT(e[pos]) AS mean
+       |  FROM elems GROUP BY cell, pos
+       |), cents AS (
+       |  SELECT cell, list(mean ORDER BY pos) AS ce FROM means GROUP BY cell
+       |), cc AS (
+       |  SELECT cell, ce, ${sqlNorm("ce")} AS cnr FROM cents
+       |), idx AS (
+       |  SELECT vec_id, e, nrm, cell FROM (
+       |    SELECT x.vec_id, x.e, x.nrm, c.cell,
+       |      ROW_NUMBER() OVER (PARTITION BY x.vec_id ORDER BY
+       |        ${sqlDot("x.e", "c.ce")} / (x.nrm * c.cnr) DESC, c.cell) AS rk
+       |    FROM vn x CROSS JOIN cc c) t
+       |  WHERE rk = 1
+       |), probes AS (
+       |  SELECT query_id, qe, qnrm, cell FROM (
+       |    SELECT q.vec_id AS query_id, q.e AS qe, q.nrm AS qnrm, c.cell,
+       |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+       |        ${sqlDot("q.e", "c.ce")} / (q.nrm * c.cnr) DESC, c.cell) AS rk
+       |    FROM vn q CROSS JOIN cc c WHERE q.vec_id < $NQueries) t
+       |  WHERE rk <= $IvfNProbe
+       |)
+       |SELECT query_id, vec_id AS neighbor_id, CAST(rk AS INTEGER) AS rank, cosine FROM (
+       |  SELECT p.query_id, i.vec_id,
+       |    ${sqlDot("i.e", "p.qe")} / (i.nrm * p.qnrm) AS cosine,
+       |    ROW_NUMBER() OVER (PARTITION BY p.query_id ORDER BY
+       |      ${sqlDot("i.e", "p.qe")} / (i.nrm * p.qnrm) DESC, i.vec_id) AS rk
+       |  FROM idx i JOIN probes p ON i.cell = p.cell
+       |  WHERE i.vec_id != p.query_id) t
+       |WHERE rk <= $K""".stripMargin
+
   /** Deterministic pseudo-random hyperplanes (fixed seed — the bucket
     * assignment must be reproducible across runs and executors). */
   private def planes(dim: Int): Array[Array[Double]] = {

@@ -138,8 +138,13 @@ object TextAnalysis {
           Window.partitionBy(col("lang")).orderBy(col("n").desc, col("bg"))))
         .withColumn("lang_total", sum(col("n")).over(totals))
         .filter(col("rk") <= ProfileSize)
+      // carry the integer (count, total) instead of a pre-divided
+      // double weight: the per-doc score sums COUNTS (exact longs,
+      // order-independent) and divides once — a running double sum of
+      // weights would make the low bits of `score` depend on partition
+      // arrival order, i.e. a nondeterministic output column
       ranked.select(col("lang").as("profile_lang"), col("bg"),
-        (col("n").cast("double") / col("lang_total").cast("double")).as("weight"))
+        col("n"), col("lang_total"))
     }
     // |bigrams| = len-1 by construction — arithmetic, not a second
     // explode+aggregate pass over the gram table
@@ -147,17 +152,125 @@ object TextAnalysis {
       when(length(col("text")) >= 2, length(col("text")) - 1)
         .otherwise(0).cast("long").as("n_grams"))
     val scored = grams.join(broadcast(profiles), "bg")
-      .groupBy(col("doc_id"), col("profile_lang"))
-      .agg(sum(col("weight")).as("raw"))
+      .groupBy(col("doc_id"), col("profile_lang"), col("lang_total"))
+      .agg(sum(col("n")).as("sn"))
       .join(docGramCount, "doc_id")
       .select(col("doc_id"), col("profile_lang"),
-        (col("raw") / col("n_grams").cast("double")).as("score"))
+        ((col("sn").cast("double") / col("lang_total").cast("double"))
+          / col("n_grams").cast("double")).as("score"))
     val best = Window.partitionBy(col("doc_id"))
       .orderBy(col("score").desc, col("profile_lang"))
     scored
       .withColumn("rk", row_number().over(best))
       .filter(col("rk") === 1)
       .select(col("doc_id"), col("profile_lang").as("pred_lang"), col("score"))
+  }
+
+  /** Full DuckDB replay of language-ID — learning included. Every
+    * stage is deterministic, so the "learned" operator is as
+    * hash-checkable as any SQL query:
+    *
+    *  - train/holdout split: Spark's xxhash64(doc_id) % 5 — the XXH64
+    *    single-long path (merge round + avalanche) replayed with the
+    *    HUGEINT mod-2^64 machinery; rotations become
+    *    shift-mod + disjoint-bits addition, multiplies split lo/hi
+    *    32-bit halves (same technique as the minhash oracle).
+    *  - char-bigram hashes: substr(text, i, 2) is character-based in
+    *    DuckDB exactly like the native expression's UTF-8 boundary
+    *    walk; each bigram gets the poly-fold + splitmix64 finisher.
+    *  - profiles: count/rank/total windows — plain SQL; ties on the
+    *    SIGNED hash value, hence the sign conversion before ranking.
+    *  - scoring: integer count sums divided twice, matching the
+    *    operator's order-independent (sum n)/lang_total/n_grams form.
+    */
+  val textLangidOracleSql: String = {
+    val two64 = "CAST('18446744073709551616' AS HUGEINT)"
+    val two63 = "CAST('9223372036854775808' AS HUGEINT)"
+    def u(l: Long) = new java.math.BigInteger(java.lang.Long.toUnsignedString(l))
+    def mulmod(a: String, c: java.math.BigInteger): String =
+      s"""CAST(((CAST(($a) % 4294967296 AS HUGEINT) * $c) % $two64
+         |      + ((CAST(($a) >> 32 AS HUGEINT) * $c) % 4294967296) * 4294967296)
+         |      % $two64 AS UBIGINT)""".stripMargin
+    // (a << r) mod 2^64 — low r bits zero, so adding (a >> 64-r) is a
+    // carry-free OR: rotl without an overflow-prone UINT64 add
+    def rotl(a: String, r: Int): String =
+      s"(${mulmod(a, u(1L << r))} + (($a) >> ${64 - r}))"
+    def toSigned(uexpr: String): String =
+      s"""CAST(CASE WHEN $uexpr >= $two63
+         |  THEN CAST($uexpr AS HUGEINT) - $two64
+         |  ELSE CAST($uexpr AS HUGEINT) END AS BIGINT)""".stripMargin
+    // XXH64 primes (public constants of the xxHash spec)
+    val p1 = u(-7046029288634856825L); val p2 = u(-4417276706812531889L)
+    val p3 = u(1609587929392839161L);  val p4 = u(-8796714831421723037L)
+    val init = u(42L + 2870177450012600261L /* P5 */ + 8L)
+    val c1 = u(-4658895280553007687L) // splitmix64 finisher (WordNgrams.mix)
+    val c2 = u(-7723592293110705685L)
+    import graft.functions.RollingHash.{Base, Seed}
+    s"""WITH d AS (
+       |  SELECT doc_id, lang, text FROM documents
+       |),
+       |sp0 AS (SELECT doc_id, CAST('$init' AS UBIGINT) AS h,
+       |        CAST(doc_id AS UBIGINT) AS l FROM d),
+       |sp1 AS (SELECT doc_id, h, ${mulmod("l", p2)} AS k1 FROM sp0),
+       |sp2 AS (SELECT doc_id, h, ${rotl("k1", 31)} AS k1 FROM sp1),
+       |sp3 AS (SELECT doc_id, h, ${mulmod("k1", p1)} AS k1 FROM sp2),
+       |sp4 AS (SELECT doc_id, xor(h, k1) AS h FROM sp3),
+       |sp5 AS (SELECT doc_id, CAST((CAST(${mulmod(rotl("h", 27), p1)} AS HUGEINT)
+       |        + $p4) % $two64 AS UBIGINT) AS h FROM sp4),
+       |sp6 AS (SELECT doc_id, xor(h, h >> 33) AS h FROM sp5),
+       |sp7 AS (SELECT doc_id, ${mulmod("h", p2)} AS h FROM sp6),
+       |sp8 AS (SELECT doc_id, xor(h, h >> 29) AS h FROM sp7),
+       |sp9 AS (SELECT doc_id, ${mulmod("h", p3)} AS h FROM sp8),
+       |spA AS (SELECT doc_id, xor(h, h >> 32) AS h FROM sp9),
+       |split AS (
+       |  SELECT doc_id, ((${toSigned("h")} % 5) + 5) % 5 AS bucket FROM spA),
+       |g0 AS (
+       |  SELECT doc_id, lang, unnest(list_transform(generate_series(1, len(text)-1),
+       |    i -> substr(text, i, 2))) AS gs
+       |  FROM d WHERE len(text) >= 2),
+       |g1 AS (
+       |  SELECT doc_id, lang, hex(encode(gs)) AS hx,
+       |    octet_length(encode(gs)) AS n FROM g0),
+       |g2 AS (
+       |  SELECT doc_id, lang, CAST(list_reduce(list_prepend(CAST($Seed AS HUGEINT),
+       |      list_transform(generate_series(1, n), j ->
+       |        CAST(16*(strpos('0123456789ABCDEF', substr(hx, 2*j-1, 1))-1)
+       |           + (strpos('0123456789ABCDEF', substr(hx, 2*j, 1))-1) AS HUGEINT))),
+       |    (acc, x) -> (acc*$Base + x) % $two64) AS UBIGINT) AS p
+       |  FROM g1),
+       |g3 AS (SELECT doc_id, lang, xor(p, p >> 30) AS z FROM g2),
+       |g4 AS (SELECT doc_id, lang, ${mulmod("z", c1)} AS z FROM g3),
+       |g5 AS (SELECT doc_id, lang, xor(z, z >> 27) AS z FROM g4),
+       |g6 AS (SELECT doc_id, lang, ${mulmod("z", c2)} AS z FROM g5),
+       |grams AS (
+       |  SELECT doc_id, lang, ${toSigned("xor(z, z >> 31)")} AS bg FROM g6),
+       |train AS (
+       |  SELECT g.doc_id, g.lang, g.bg FROM grams g JOIN split s USING (doc_id)
+       |  WHERE s.bucket < 4),
+       |counts AS (
+       |  SELECT lang, bg, COUNT(*) AS n FROM train GROUP BY lang, bg),
+       |ranked AS (
+       |  SELECT lang, bg, n,
+       |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, bg) AS rk,
+       |    SUM(n) OVER (PARTITION BY lang) AS lang_total
+       |  FROM counts),
+       |profiles AS (
+       |  SELECT lang AS profile_lang, bg, n, lang_total
+       |  FROM ranked WHERE rk <= $ProfileSize),
+       |dg AS (
+       |  SELECT doc_id, CAST(CASE WHEN len(text) >= 2 THEN len(text)-1 ELSE 0 END
+       |    AS BIGINT) AS n_grams FROM d),
+       |scored AS (
+       |  SELECT g.doc_id, p.profile_lang,
+       |    (CAST(SUM(p.n) AS DOUBLE) / CAST(p.lang_total AS DOUBLE))
+       |      / CAST(dg.n_grams AS DOUBLE) AS score
+       |  FROM grams g JOIN profiles p USING (bg) JOIN dg ON g.doc_id = dg.doc_id
+       |  GROUP BY g.doc_id, p.profile_lang, p.lang_total, dg.n_grams)
+       |SELECT doc_id, profile_lang AS pred_lang, score FROM (
+       |  SELECT *, ROW_NUMBER() OVER (
+       |    PARTITION BY doc_id ORDER BY score DESC, profile_lang) AS rk
+       |  FROM scored) t
+       |WHERE rk = 1""".stripMargin
   }
 
   /** Top terms kept per document by tf-idf. */
@@ -364,6 +477,51 @@ object TextAnalysis {
       col("doc_id"),
       call_function("poly_hash64", col("text")).as("fp64"),
       call_function("rolling_min_hash", col("text"), lit(32)).as("winnow_fp"))
+
+  /** Byte-exact DuckDB replay of both native fingerprint expressions
+    * (the same HUGEINT mod-2^64 technique as the multimodal feature
+    * oracle): decode UTF-8 bytes from hex, fold the Karp–Rabin
+    * polynomial (h·Base + byte, wrapping) in HUGEINT, and for the
+    * winnow take the UNSIGNED minimum over every 32-byte window —
+    * HUGEINT window hashes are non-negative, so plain list_min IS the
+    * unsigned min; the final CASE maps [2^63, 2^64) back onto the
+    * negative signed longs Spark emits. The brute per-window fold is
+    * algebraically identical (mod 2^64) to the O(1) rolling update
+    * the native expression uses. */
+  val textFingerprintOracleSql: String = {
+    import graft.functions.RollingHash.{Base, Seed}
+    val m64 = "CAST('18446744073709551616' AS HUGEINT)"
+    val m63 = "CAST('9223372036854775808' AS HUGEINT)"
+    s"""WITH b AS (
+       |  SELECT doc_id, hex(encode(text)) AS hx,
+       |    octet_length(encode(text)) AS n
+       |  FROM documents
+       |), by AS (
+       |  SELECT doc_id, n,
+       |    list_transform(generate_series(1, n), j ->
+       |      CAST(16*(strpos('0123456789ABCDEF', substr(hx, 2*j-1, 1))-1)
+       |         + (strpos('0123456789ABCDEF', substr(hx, 2*j, 1))-1) AS HUGEINT)) AS bytes
+       |  FROM b
+       |), fp AS (
+       |  SELECT doc_id, n, bytes,
+       |    list_reduce(list_prepend(CAST($Seed AS HUGEINT), bytes),
+       |      (acc, x) -> (acc*$Base + x) % $m64) AS fp_u
+       |  FROM by
+       |), win AS (
+       |  SELECT doc_id, fp_u,
+       |    CASE WHEN n <= 32 THEN fp_u
+       |    ELSE list_min(list_transform(generate_series(1, n - 31), i ->
+       |      list_reduce(list_prepend(CAST($Seed AS HUGEINT),
+       |          list_slice(bytes, i, i + 31)),
+       |        (acc, x) -> (acc*$Base + x) % $m64)))
+       |    END AS win_u
+       |  FROM fp
+       |)
+       |SELECT doc_id,
+       |  CAST(CASE WHEN fp_u >= $m63 THEN fp_u - $m64 ELSE fp_u END AS BIGINT) AS fp64,
+       |  CAST(CASE WHEN win_u >= $m63 THEN win_u - $m64 ELSE win_u END AS BIGINT) AS winnow_fp
+       |FROM win""".stripMargin
+  }
 
   /** Vocabulary size cap for [[textVocab]]. */
   val VocabTopK = 200
