@@ -94,7 +94,8 @@ object ScaleCheck {
       run("sample_cap_per_source", operators.Etl.sampleCapPerSource(spark, dir)),
       run("text_chunk", operators.TrainPrep.chunkDocuments(spark, dir)),
       run("text_vocab", operators.TextAnalysis.textVocab(spark, dir)),
-      run("q_pivot_events", queries.Analytics.qPivotEvents(spark, dir)))
+      run("q_pivot_events", queries.Analytics.qPivotEvents(spark, dir)),
+      run("q_window_funnel", queries.Analytics.qWindowFunnel(spark, dir)))
 
     // end-to-end per-ds pipeline (normalize + DQ + staged write + L2
     // merge) — the unit of work the reference DAG runs per day

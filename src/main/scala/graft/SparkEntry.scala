@@ -47,6 +47,7 @@ object SparkEntry {
     "q_asof_join"          -> (graft.operators.AsOf.qAsOfJoin(_, _)),
     "q_range_join"         -> (graft.operators.RangeJoin.qRangeJoin(_, _)),
     "q_pivot_events"       -> (Analytics.qPivotEvents(_, _)),
+    "q_window_funnel"      -> (Analytics.qWindowFunnel(_, _)),
     // §2.3 dedup
     "dedup_exact"            -> (Dedup.exact(_, _)),
     "dedup_exact_normalized" -> (Dedup.exactNormalized(_, _)),
@@ -114,6 +115,7 @@ object SparkEntry {
     "q_asof_join"          -> graft.operators.AsOf.qAsOfJoinOracleSql,
     "q_range_join"         -> graft.operators.RangeJoin.qRangeJoinOracleSql,
     "q_pivot_events"       -> Analytics.qPivotEventsOracleSql,
+    "q_window_funnel"      -> Analytics.qWindowFunnelOracleSql,
     // §2.3 dedup
     "dedup_exact"            -> Dedup.exactOracleSql,
     // the minhash signature math replays bit-exactly in DuckDB

@@ -134,4 +134,20 @@ object Sinks {
   /** JSON-lines source with an explicit schema — no inference pass. */
   def readJsonLines(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema).json(path)
+
+  /** ORC sink — the second columnar interchange format warehouses
+    * speak (Hive/Trino ecosystems); zlib is ORC's portable default
+    * codec. Same dynamic-overwrite semantics as the parquet sink when
+    * partitioned. */
+  def writeOrc(df: DataFrame, path: String,
+               partitionCols: Seq[String] = Nil): Unit = {
+    val w = df.write.mode("overwrite").option("compression", "zlib")
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+      .orc(path)
+  }
+
+  /** ORC source. Schema travels in the file footer (like parquet), so
+    * no explicit schema is required for round-tripping. */
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
 }

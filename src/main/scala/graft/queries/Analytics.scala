@@ -363,6 +363,77 @@ object Analytics {
       |      FROM events) a) b) c
       |GROUP BY 1, 2""".stripMargin
 
+  /** Funnel step sequence for [[qWindowFunnel]]. */
+  val FunnelSteps: Seq[String] = Seq("click", "view", "purchase")
+  /** Completion window: the whole chain must fit in this many seconds. */
+  val FunnelWindowSec = 604800L // 7 days
+
+  /** Ordered-sequence window funnel (the `windowFunnel` of the OLAP
+    * engines): how many users performed click → view → purchase IN
+    * ORDER, with the whole chain inside a 7-day window. Step k's
+    * timestamp is the EARLIEST event of that type strictly after the
+    * user's step-(k-1) timestamp — the standard greedy chain, which
+    * maximizes completion (an earlier step-k can only admit more
+    * step-k+1 candidates). Output: one row per step with the count of
+    * users whose chain reached it (within-window enforced at the
+    * final step, where the chain span is known).
+    *
+    * Plan shape at scale: one filtered min-aggregate per step, each
+    * keyed on user_id — the frames SHRINK monotonically (step k's
+    * input is step k-1's survivors semi-joined back to one event
+    * type), and every join is keyed on user_id so co-partitioning
+    * reuses one Exchange under AQE. No per-user event-list collection,
+    * no window sort over the raw log. */
+  def qWindowFunnel(spark: SparkSession, dir: String): DataFrame =
+    windowFunnelOn(Tables.events(spark, dir))
+
+  /** Generic form over any frame with (user_id, event_type, ts). */
+  def windowFunnelOn(events: DataFrame): DataFrame = {
+    val ev = events.select(col("user_id"), col("event_type"), col("ts"))
+    val s1 = ev.filter(col("event_type") === FunnelSteps(0))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+    val s2 = ev.filter(col("event_type") === FunnelSteps(1))
+      .join(s1, "user_id")
+      .filter(col("ts") > col("t1"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t2"), first(col("t1")).as("t1"))
+    val s3 = ev.filter(col("event_type") === FunnelSteps(2))
+      .join(s2, "user_id")
+      .filter(col("ts") > col("t2") &&
+        // µs-exact window arithmetic: unix_timestamp would TRUNCATE to
+        // seconds, shifting the boundary vs the oracle's epoch_us
+        unix_micros(col("ts")) - unix_micros(col("t1")) <= FunnelWindowSec * 1000000L)
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+    val counts = Seq(s1, s2, s3).zipWithIndex.map { case (s, i) =>
+      s.agg(count(lit(1)).as("n_users"))
+        .select(lit(i + 1).as("step"), lit(FunnelSteps(i)).as("event_type"),
+          col("n_users"))
+    }
+    counts.reduce(_.unionByName(_))
+  }
+
+  val qWindowFunnelOracleSql: String =
+    s"""WITH ev AS (
+       |  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+       |s1 AS (
+       |  SELECT user_id, MIN(ts) AS t1 FROM ev
+       |  WHERE event_type = '${FunnelSteps(0)}' GROUP BY user_id),
+       |s2 AS (
+       |  SELECT e.user_id, MIN(e.ts) AS t2, MIN(s.t1) AS t1
+       |  FROM ev e JOIN s1 s USING (user_id)
+       |  WHERE e.event_type = '${FunnelSteps(1)}' AND e.ts > s.t1
+       |  GROUP BY e.user_id),
+       |s3 AS (
+       |  SELECT e.user_id, MIN(e.ts) AS t3
+       |  FROM ev e JOIN s2 s USING (user_id)
+       |  WHERE e.event_type = '${FunnelSteps(2)}' AND e.ts > s.t2
+       |    AND epoch_us(e.ts) - epoch_us(s.t1) <= ${FunnelWindowSec}000000
+       |  GROUP BY e.user_id)
+       |SELECT 1 AS step, '${FunnelSteps(0)}' AS event_type, COUNT(*) AS n_users FROM s1
+       |UNION ALL
+       |SELECT 2, '${FunnelSteps(1)}', COUNT(*) FROM s2
+       |UNION ALL
+       |SELECT 3, '${FunnelSteps(2)}', COUNT(*) FROM s3""".stripMargin
+
   /** Pivot values for [[qPivotEvents]] — declared, not discovered:
     * passing explicit values to `pivot` skips the extra
     * distinct-collect job Spark otherwise runs at PLAN time, and

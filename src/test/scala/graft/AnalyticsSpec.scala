@@ -104,6 +104,37 @@ class AnalyticsSpec extends SparkSpecBase {
     }
   }
 
+  test("funnel: monotone step counts; completers verified on a handcrafted log") {
+    import org.apache.spark.sql.functions._
+    val rows = Analytics.qWindowFunnel(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2))).sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(1, 2, 3))
+    assert(rows.map(_._2).toSeq == Analytics.FunnelSteps)
+    // each step's population is a subset of the previous step's
+    assert(rows(0)._3 >= rows(1)._3 && rows(1)._3 >= rows(2)._3)
+    assert(rows(0)._3 > 0, "no user ever clicked — corpus assumption broken")
+    // handcrafted chains pin the ORDER and WINDOW semantics:
+    //  u1: full in-order chain inside the window       -> completes
+    //  u2: purchase BEFORE view (order violated)       -> stops at 2
+    //  u3: in-order but chain span exceeds the window  -> stops at 2
+    //  u4: click only                                  -> stops at 1
+    import spark.implicits._
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def t(plusSec: Long) = new java.sql.Timestamp(base.getTime + plusSec * 1000)
+    val log = Seq(
+      (1L, "click", t(0)), (1L, "view", t(10)), (1L, "purchase", t(20)),
+      (2L, "click", t(0)), (2L, "purchase", t(5)), (2L, "view", t(10)),
+      (3L, "click", t(0)), (3L, "view", t(10)),
+      (3L, "purchase", t(Analytics.FunnelWindowSec + 1)),
+      (4L, "click", t(0))
+    ).toDF("user_id", "event_type", "ts")
+    val steps = Analytics.windowFunnelOn(log).collect()
+      .map(r => (r.getInt(0), r.getLong(2))).toMap
+    assert(steps(1) == 4, "u1-u4 all clicked")
+    assert(steps(2) == 3, "u4 never viewed; u2's pre-click purchase doesn't count as step 3 but its view does as step 2")
+    assert(steps(3) == 1, "only u1 completes: u2 out of order, u3 outside the window")
+  }
+
   test("pivot: cells partition the per-day totals; absent types are NULL") {
     import org.apache.spark.sql.functions._
     val ev = sources.Tables.events(spark, sfDir)

@@ -195,6 +195,26 @@ class EtlSpec extends SparkSpecBase {
     assert(backJson.exceptAll(df).count() == 0)
   }
 
+  test("orc roundtrip: schema in the footer, values and partitions intact") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_orc").toString
+    val df = graft.sources.Tables.events(spark, sfDir)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value")).limit(200).cache()
+    Sinks.writeOrc(df, s"$dir/flat")
+    val back = Sinks.readOrc(spark, s"$dir/flat")
+    assert(back.schema == df.schema, "orc must carry the schema losslessly")
+    assert(back.count() == 200)
+    assert(back.exceptAll(df).count() == 0 && df.exceptAll(back).count() == 0)
+    // partitioned form: one dir per event_type, values preserved
+    Sinks.writeOrc(df, s"$dir/part", Seq("event_type"))
+    val backPart = Sinks.readOrc(spark, s"$dir/part")
+    assert(backPart.count() == 200)
+    assert(backPart.select(df.columns.map(col): _*)
+      .exceptAll(df).count() == 0)
+    df.unpersist()
+  }
+
   test("normalizeArrays: parallel arrays explode to one typed row per element, losslessly") {
     val out = Etl.normalizeArrays(Etl.arrayPayloads(spark, sfDir)).cache()
     val ev = graft.sources.Tables.events(spark, sfDir)
