@@ -75,7 +75,12 @@ case class MinHashSketch(
 
   override def createAggregationBuffer(): Array[Long] = {
     val b = new Array[Long](k)
-    java.util.Arrays.fill(b, Long.MaxValue)
+    // sentinel must be the UNSIGNED maximum (-1L = 0xFFFF…)—the slot
+    // compares are unsigned, so Long.MaxValue (unsigned 2^63-1) could
+    // never be replaced by a permuted hash in [2^63, 2^64) and a doc
+    // with few shingles would keep ~2^-|shingles| of its slots stuck
+    // at the sentinel, diverging from the oracle's true min (r6 review)
+    java.util.Arrays.fill(b, -1L)
     b
   }
 

@@ -219,10 +219,11 @@ object Dedup {
        |  WHERE a.doc_id < b.doc_id) p
        |WHERE jaccard >= $JaccardTau""".stripMargin
 
-  /** MinHash-LSH near-dup pairs (rows-only: minhash signatures are not
-    * SQL-expressible in the oracle). Banded signatures generate
+  /** MinHash-LSH near-dup pairs. Banded signatures generate
     * candidates; exact trigram Jaccard verifies. Same output contract
-    * as ngramJaccard — DedupSpec asserts the two agree on high-J pairs. */
+    * as ngramJaccard — DedupSpec asserts the two agree on high-J
+    * pairs, and [[minhashLshOracleSql]] replays the signature math
+    * bit-exactly in DuckDB, so the key is hash-checked end-to-end. */
   def minhashLsh(spark: SparkSession, dir: String, tau: Double = JaccardTau): DataFrame =
     minhashLshOn(Tables.documents(spark, dir), tau)
 
@@ -269,21 +270,12 @@ object Dedup {
     *  - verify: the ngram-Jaccard string-set form (as
     *    [[ngramJaccardOracleSql]]). */
   val minhashLshOracleSql: String = {
-    val two64 = "CAST('18446744073709551616' AS HUGEINT)"
-    // a*C mod 2^64 for a UBIGINT expression and a 64-bit constant
-    def mulmod(a: String, c: java.math.BigInteger): String =
-      s"""CAST(((CAST(($a) % 4294967296 AS HUGEINT) * $c) % $two64
-         |    + ((CAST(($a) >> 32 AS HUGEINT) * $c) % 4294967296) * 4294967296)
-         |    % $two64 AS UBIGINT)""".stripMargin
-    def u(l: Long) = new java.math.BigInteger(java.lang.Long.toUnsignedString(l))
-    // splitmix64 finalizer constants (functions/WordNgrams.scala mix)
-    val c1 = u(0xbf58476d1ce4e5b9L)
-    val c2 = u(0x94d049bb133111ebL)
+    import graft.functions.SqlReplay._
     val permRows = (0 until MinHashFamily.K).map { i =>
       s"($i, CAST('${u(MinHashFamily.multipliers(i))}' AS HUGEINT), " +
         s"CAST('${u(MinHashFamily.offsets(i))}' AS HUGEINT))"
     }.mkString(",\n  ")
-    import graft.functions.RollingHash.{Base, Seed}
+    val two64 = Two64
     s"""WITH w AS (
        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
        |), g0 AS (
@@ -295,16 +287,12 @@ object Dedup {
        |  SELECT doc_id, hex(encode(gram)) AS hx,
        |    octet_length(encode(gram)) AS n FROM g0
        |), ph AS (
-       |  SELECT doc_id, CAST(list_reduce(list_prepend(CAST($Seed AS HUGEINT),
-       |      list_transform(generate_series(1, n), j ->
-       |        CAST(16*(strpos('0123456789ABCDEF', substr(hx, 2*j-1, 1))-1)
-       |           + (strpos('0123456789ABCDEF', substr(hx, 2*j, 1))-1) AS HUGEINT))),
-       |    (acc, x) -> (acc*$Base + x) % $two64) AS UBIGINT) AS p
+       |  SELECT doc_id, ${polyFold(hexBytes("hx", "n"))} AS p
        |  FROM gb
        |), m1 AS (SELECT doc_id, xor(p, p >> 30) AS z FROM ph
-       |), m2 AS (SELECT doc_id, ${mulmod("z", c1)} AS z FROM m1
+       |), m2 AS (SELECT doc_id, ${mulmod("z", MixC1)} AS z FROM m1
        |), m3 AS (SELECT doc_id, xor(z, z >> 27) AS z FROM m2
-       |), m4 AS (SELECT doc_id, ${mulmod("z", c2)} AS z FROM m3
+       |), m4 AS (SELECT doc_id, ${mulmod("z", MixC2)} AS z FROM m3
        |), mx AS (SELECT doc_id, xor(z, z >> 31) AS x FROM m4
        |), xs AS (
        |  SELECT doc_id, CAST(x % 4294967296 AS HUGEINT) AS xlo,

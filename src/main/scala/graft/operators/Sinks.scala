@@ -141,7 +141,12 @@ object Sinks {
     * partitioned. */
   def writeOrc(df: DataFrame, path: String,
                partitionCols: Seq[String] = Nil): Unit = {
+    // dynamic overwrite forced per-write, exactly like writePartitioned
+    // above: without it a partitioned rerun in a plain session wipes
+    // every SIBLING partition (static mode), not just the ones being
+    // rewritten (r6 review finding)
     val w = df.write.mode("overwrite").option("compression", "zlib")
+      .option("partitionOverwriteMode", "dynamic")
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
       .orc(path)
   }

@@ -184,28 +184,12 @@ object TextAnalysis {
     *    operator's order-independent (sum n)/lang_total/n_grams form.
     */
   val textLangidOracleSql: String = {
-    val two64 = "CAST('18446744073709551616' AS HUGEINT)"
-    val two63 = "CAST('9223372036854775808' AS HUGEINT)"
-    def u(l: Long) = new java.math.BigInteger(java.lang.Long.toUnsignedString(l))
-    def mulmod(a: String, c: java.math.BigInteger): String =
-      s"""CAST(((CAST(($a) % 4294967296 AS HUGEINT) * $c) % $two64
-         |      + ((CAST(($a) >> 32 AS HUGEINT) * $c) % 4294967296) * 4294967296)
-         |      % $two64 AS UBIGINT)""".stripMargin
-    // (a << r) mod 2^64 — low r bits zero, so adding (a >> 64-r) is a
-    // carry-free OR: rotl without an overflow-prone UINT64 add
-    def rotl(a: String, r: Int): String =
-      s"(${mulmod(a, u(1L << r))} + (($a) >> ${64 - r}))"
-    def toSigned(uexpr: String): String =
-      s"""CAST(CASE WHEN $uexpr >= $two63
-         |  THEN CAST($uexpr AS HUGEINT) - $two64
-         |  ELSE CAST($uexpr AS HUGEINT) END AS BIGINT)""".stripMargin
+    import graft.functions.SqlReplay._
+    val two64 = Two64
     // XXH64 primes (public constants of the xxHash spec)
     val p1 = u(-7046029288634856825L); val p2 = u(-4417276706812531889L)
     val p3 = u(1609587929392839161L);  val p4 = u(-8796714831421723037L)
     val init = u(42L + 2870177450012600261L /* P5 */ + 8L)
-    val c1 = u(-4658895280553007687L) // splitmix64 finisher (WordNgrams.mix)
-    val c2 = u(-7723592293110705685L)
-    import graft.functions.RollingHash.{Base, Seed}
     s"""WITH d AS (
        |  SELECT doc_id, lang, text FROM documents
        |),
@@ -232,16 +216,12 @@ object TextAnalysis {
        |  SELECT doc_id, lang, hex(encode(gs)) AS hx,
        |    octet_length(encode(gs)) AS n FROM g0),
        |g2 AS (
-       |  SELECT doc_id, lang, CAST(list_reduce(list_prepend(CAST($Seed AS HUGEINT),
-       |      list_transform(generate_series(1, n), j ->
-       |        CAST(16*(strpos('0123456789ABCDEF', substr(hx, 2*j-1, 1))-1)
-       |           + (strpos('0123456789ABCDEF', substr(hx, 2*j, 1))-1) AS HUGEINT))),
-       |    (acc, x) -> (acc*$Base + x) % $two64) AS UBIGINT) AS p
+       |  SELECT doc_id, lang, ${polyFold(hexBytes("hx", "n"))} AS p
        |  FROM g1),
        |g3 AS (SELECT doc_id, lang, xor(p, p >> 30) AS z FROM g2),
-       |g4 AS (SELECT doc_id, lang, ${mulmod("z", c1)} AS z FROM g3),
+       |g4 AS (SELECT doc_id, lang, ${mulmod("z", MixC1)} AS z FROM g3),
        |g5 AS (SELECT doc_id, lang, xor(z, z >> 27) AS z FROM g4),
-       |g6 AS (SELECT doc_id, lang, ${mulmod("z", c2)} AS z FROM g5),
+       |g6 AS (SELECT doc_id, lang, ${mulmod("z", MixC2)} AS z FROM g5),
        |grams AS (
        |  SELECT doc_id, lang, ${toSigned("xor(z, z >> 31)")} AS bg FROM g6),
        |train AS (
@@ -489,37 +469,30 @@ object TextAnalysis {
     * algebraically identical (mod 2^64) to the O(1) rolling update
     * the native expression uses. */
   val textFingerprintOracleSql: String = {
-    import graft.functions.RollingHash.{Base, Seed}
-    val m64 = "CAST('18446744073709551616' AS HUGEINT)"
-    val m63 = "CAST('9223372036854775808' AS HUGEINT)"
+    import graft.functions.SqlReplay._
     s"""WITH b AS (
        |  SELECT doc_id, hex(encode(text)) AS hx,
        |    octet_length(encode(text)) AS n
        |  FROM documents
        |), by AS (
        |  SELECT doc_id, n,
-       |    list_transform(generate_series(1, n), j ->
-       |      CAST(16*(strpos('0123456789ABCDEF', substr(hx, 2*j-1, 1))-1)
-       |         + (strpos('0123456789ABCDEF', substr(hx, 2*j, 1))-1) AS HUGEINT)) AS bytes
+       |    ${hexBytes("hx", "n")} AS bytes
        |  FROM b
        |), fp AS (
        |  SELECT doc_id, n, bytes,
-       |    list_reduce(list_prepend(CAST($Seed AS HUGEINT), bytes),
-       |      (acc, x) -> (acc*$Base + x) % $m64) AS fp_u
+       |    ${polyFold("bytes")} AS fp_u
        |  FROM by
        |), win AS (
        |  SELECT doc_id, fp_u,
        |    CASE WHEN n <= 32 THEN fp_u
        |    ELSE list_min(list_transform(generate_series(1, n - 31), i ->
-       |      list_reduce(list_prepend(CAST($Seed AS HUGEINT),
-       |          list_slice(bytes, i, i + 31)),
-       |        (acc, x) -> (acc*$Base + x) % $m64)))
+       |      ${polyFold("list_slice(bytes, i, i + 31)")}))
        |    END AS win_u
        |  FROM fp
        |)
        |SELECT doc_id,
-       |  CAST(CASE WHEN fp_u >= $m63 THEN fp_u - $m64 ELSE fp_u END AS BIGINT) AS fp64,
-       |  CAST(CASE WHEN win_u >= $m63 THEN win_u - $m64 ELSE win_u END AS BIGINT) AS winnow_fp
+       |  ${toSigned("fp_u")} AS fp64,
+       |  ${toSigned("win_u")} AS winnow_fp
        |FROM win""".stripMargin
   }
 

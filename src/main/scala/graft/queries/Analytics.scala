@@ -370,69 +370,96 @@ object Analytics {
 
   /** Ordered-sequence window funnel (the `windowFunnel` of the OLAP
     * engines): how many users performed click → view → purchase IN
-    * ORDER, with the whole chain inside a 7-day window. Step k's
-    * timestamp is the EARLIEST event of that type strictly after the
-    * user's step-(k-1) timestamp — the standard greedy chain, which
-    * maximizes completion (an earlier step-k can only admit more
-    * step-k+1 candidates). Output: one row per step with the count of
-    * users whose chain reached it (within-window enforced at the
-    * final step, where the chain span is known).
+    * ORDER with the whole chain inside a 7-day window — where the
+    * chain may start at ANY of the user's clicks, not just the first
+    * (anchoring at the earliest click undercounts users whose
+    * completing chain begins later; r6 review). Per click, the greedy
+    * chain (earliest view strictly after the click, then earliest
+    * purchase strictly after that view) is checked against the
+    * window; greedy-per-click is equivalent to exists-any-chain:
+    * for a fixed click, an earlier view only widens the purchase
+    * candidates and the window depends on the click and purchase
+    * times alone. A step counts the users with at least one click
+    * whose chain reaches it inside the window.
     *
-    * Plan shape at scale: one filtered min-aggregate per step, each
-    * keyed on user_id — the frames SHRINK monotonically (step k's
-    * input is step k-1's survivors semi-joined back to one event
-    * type), and every join is keyed on user_id so co-partitioning
-    * reuses one Exchange under AQE. No per-user event-list collection,
-    * no window sort over the raw log. */
+    * Plan shape at scale: ONE window pass over the event log (a
+    * reversed-range min per step type gives every event its
+    * next-view / next-purchase timestamp — single Exchange on
+    * user_id), then a (user_id, ts)-keyed join fetching the view
+    * row's next-purchase for each click's greedy view, and one
+    * global conditional count-distinct. No per-user event-list
+    * collection, no clicks×views product. */
   def qWindowFunnel(spark: SparkSession, dir: String): DataFrame =
     windowFunnelOn(Tables.events(spark, dir))
 
   /** Generic form over any frame with (user_id, event_type, ts). */
   def windowFunnelOn(events: DataFrame): DataFrame = {
-    val ev = events.select(col("user_id"), col("event_type"), col("ts"))
-    val s1 = ev.filter(col("event_type") === FunnelSteps(0))
-      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
-    val s2 = ev.filter(col("event_type") === FunnelSteps(1))
-      .join(s1, "user_id")
-      .filter(col("ts") > col("t1"))
-      .groupBy(col("user_id")).agg(min(col("ts")).as("t2"), first(col("t1")).as("t1"))
-    val s3 = ev.filter(col("event_type") === FunnelSteps(2))
-      .join(s2, "user_id")
-      .filter(col("ts") > col("t2") &&
-        // µs-exact window arithmetic: unix_timestamp would TRUNCATE to
-        // seconds, shifting the boundary vs the oracle's epoch_us
-        unix_micros(col("ts")) - unix_micros(col("t1")) <= FunnelWindowSec * 1000000L)
-      .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
-    val counts = Seq(s1, s2, s3).zipWithIndex.map { case (s, i) =>
-      s.agg(count(lit(1)).as("n_users"))
-        .select(lit(i + 1).as("step"), lit(FunnelSteps(i)).as("event_type"),
-          col("n_users"))
-    }
-    counts.reduce(_.unionByName(_))
+    val wUs = FunnelWindowSec * 1000000L
+    // µs-exact arithmetic throughout: unix_timestamp would TRUNCATE
+    // to seconds, shifting the window boundary vs the oracle's epoch_us
+    // only the step types participate — filter BEFORE the window so
+    // the user_id sort never sees the other event types (the In
+    // predicate reaches the parquet scan; 40% of the log at the
+    // driver's type mix never leaves the scan)
+    val ev = events.filter(col("event_type").isin(FunnelSteps: _*))
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+    // RANGE over DESC µs with bound -1 ⇒ frame = events with us' > us
+    // (strictly later): each event learns the earliest following view
+    // and purchase in one pass
+    val after = Window.partitionBy(col("user_id"))
+      .orderBy(col("us").desc)
+      .rangeBetween(Window.unboundedPreceding, -1)
+    val withNext = ev
+      .withColumn("nv",
+        min(when(col("event_type") === FunnelSteps(1), col("us"))).over(after))
+      .withColumn("np",
+        min(when(col("event_type") === FunnelSteps(2), col("us"))).over(after))
+    val clicks = withNext.filter(col("event_type") === FunnelSteps(0))
+      .select(col("user_id"), col("us").as("tc"), col("nv"))
+    // the purchase after the greedy view lives on the VIEW row;
+    // duplicate (user, us) view rows carry identical np — distinct
+    // keeps the join 1:1
+    val viewNext = withNext.filter(col("event_type") === FunnelSteps(1))
+      .select(col("user_id"), col("us").as("tv"), col("np")).distinct()
+    val chains = clicks.join(viewNext,
+      clicks("user_id") === viewNext("user_id") && col("nv") === col("tv"),
+      "left").select(clicks("user_id"), col("tc"), col("nv"), col("np"))
+    val agg = chains.agg(
+      count_distinct(col("user_id")).as("n1"),
+      count_distinct(when(col("nv").isNotNull && col("nv") - col("tc") <= wUs,
+        col("user_id"))).as("n2"),
+      count_distinct(when(col("np").isNotNull && col("np") - col("tc") <= wUs,
+        col("user_id"))).as("n3"))
+    Seq(("n1", 1), ("n2", 2), ("n3", 3)).map { case (c, i) =>
+      agg.select(lit(i).as("step"), lit(FunnelSteps(i - 1)).as("event_type"),
+        col(c).as("n_users"))
+    }.reduce(_.unionByName(_))
   }
 
   val qWindowFunnelOracleSql: String =
     s"""WITH ev AS (
-       |  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
-       |s1 AS (
-       |  SELECT user_id, MIN(ts) AS t1 FROM ev
-       |  WHERE event_type = '${FunnelSteps(0)}' GROUP BY user_id),
-       |s2 AS (
-       |  SELECT e.user_id, MIN(e.ts) AS t2, MIN(s.t1) AS t1
-       |  FROM ev e JOIN s1 s USING (user_id)
-       |  WHERE e.event_type = '${FunnelSteps(1)}' AND e.ts > s.t1
-       |  GROUP BY e.user_id),
-       |s3 AS (
-       |  SELECT e.user_id, MIN(e.ts) AS t3
-       |  FROM ev e JOIN s2 s USING (user_id)
-       |  WHERE e.event_type = '${FunnelSteps(2)}' AND e.ts > s.t2
-       |    AND epoch_us(e.ts) - epoch_us(s.t1) <= ${FunnelWindowSec}000000
-       |  GROUP BY e.user_id)
-       |SELECT 1 AS step, '${FunnelSteps(0)}' AS event_type, COUNT(*) AS n_users FROM s1
+       |  SELECT user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+       |  FROM events),
+       |c AS (SELECT user_id, us AS tc FROM ev WHERE event_type = '${FunnelSteps(0)}'),
+       |v AS (SELECT user_id, us AS tv FROM ev WHERE event_type = '${FunnelSteps(1)}'),
+       |p AS (SELECT user_id, us AS tp FROM ev WHERE event_type = '${FunnelSteps(2)}'),
+       |cv AS (
+       |  SELECT c.user_id, c.tc, MIN(v.tv) AS nv
+       |  FROM c JOIN v ON c.user_id = v.user_id AND v.tv > c.tc
+       |  GROUP BY c.user_id, c.tc),
+       |cvp AS (
+       |  SELECT cv.user_id, cv.tc, MIN(p.tp) AS np
+       |  FROM cv JOIN p ON cv.user_id = p.user_id AND p.tp > cv.nv
+       |  GROUP BY cv.user_id, cv.tc)
+       |SELECT 1 AS step, '${FunnelSteps(0)}' AS event_type,
+       |  COUNT(DISTINCT user_id) AS n_users FROM c
        |UNION ALL
-       |SELECT 2, '${FunnelSteps(1)}', COUNT(*) FROM s2
+       |SELECT 2, '${FunnelSteps(1)}', COUNT(DISTINCT user_id)
+       |FROM cv WHERE nv - tc <= ${FunnelWindowSec}000000
        |UNION ALL
-       |SELECT 3, '${FunnelSteps(2)}', COUNT(*) FROM s3""".stripMargin
+       |SELECT 3, '${FunnelSteps(2)}', COUNT(DISTINCT user_id)
+       |FROM cvp WHERE np - tc <= ${FunnelWindowSec}000000""".stripMargin
 
   /** Pivot values for [[qPivotEvents]] — declared, not discovered:
     * passing explicit values to `pivot` skips the extra

@@ -118,21 +118,26 @@ class AnalyticsSpec extends SparkSpecBase {
     //  u2: purchase BEFORE view (order violated)       -> stops at 2
     //  u3: in-order but chain span exceeds the window  -> stops at 2
     //  u4: click only                                  -> stops at 1
+    //  u5: chain from the FIRST click misses the window, but a later
+    //      click starts a complete in-window chain     -> completes
+    //      (the case an earliest-click anchor undercounts; r6 review)
     import spark.implicits._
     val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
     def t(plusSec: Long) = new java.sql.Timestamp(base.getTime + plusSec * 1000)
+    val W = Analytics.FunnelWindowSec
     val log = Seq(
       (1L, "click", t(0)), (1L, "view", t(10)), (1L, "purchase", t(20)),
       (2L, "click", t(0)), (2L, "purchase", t(5)), (2L, "view", t(10)),
-      (3L, "click", t(0)), (3L, "view", t(10)),
-      (3L, "purchase", t(Analytics.FunnelWindowSec + 1)),
-      (4L, "click", t(0))
+      (3L, "click", t(0)), (3L, "view", t(10)), (3L, "purchase", t(W + 1)),
+      (4L, "click", t(0)),
+      (5L, "click", t(0)), (5L, "click", t(W - 86400)),
+      (5L, "view", t(W - 43200)), (5L, "purchase", t(W + 43200))
     ).toDF("user_id", "event_type", "ts")
     val steps = Analytics.windowFunnelOn(log).collect()
       .map(r => (r.getInt(0), r.getLong(2))).toMap
-    assert(steps(1) == 4, "u1-u4 all clicked")
-    assert(steps(2) == 3, "u4 never viewed; u2's pre-click purchase doesn't count as step 3 but its view does as step 2")
-    assert(steps(3) == 1, "only u1 completes: u2 out of order, u3 outside the window")
+    assert(steps(1) == 5, "u1-u5 all clicked")
+    assert(steps(2) == 4, "u4 never viewed; u2's pre-click purchase doesn't count as step 3 but its view does as step 2")
+    assert(steps(3) == 2, "u1 and u5 complete: u2 out of order, u3 outside the window, u5 via its LATER click")
   }
 
   test("pivot: cells partition the per-day totals; absent types are NULL") {

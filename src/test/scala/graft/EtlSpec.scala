@@ -212,6 +212,12 @@ class EtlSpec extends SparkSpecBase {
     assert(backPart.count() == 200)
     assert(backPart.select(df.columns.map(col): _*)
       .exceptAll(df).count() == 0)
+    // dynamic overwrite: rewriting ONE partition leaves siblings
+    // intact (static mode would wipe them all — r6 review)
+    val one = df.filter(col("event_type") === "click")
+    Sinks.writeOrc(one, s"$dir/part", Seq("event_type"))
+    assert(Sinks.readOrc(spark, s"$dir/part").count() == 200,
+      "sibling partitions must survive a single-partition rewrite")
     df.unpersist()
   }
 
