@@ -30,6 +30,10 @@ object GraftSession {
         ext.injectFunction(graft.functions.MinHashFunctions.minhashSketch)
         ext.injectFunction(graft.functions.WordNgramFunctions.hashedWordNgrams)
         ext.injectFunction(graft.functions.WordNgramFunctions.hashedCharNgrams)
+        ext.injectFunction(graft.functions.WordNgramFunctions.hashedWordNgramSeq)
+        ext.injectFunction(graft.functions.HllFunctions.hllNdv)
+        ext.injectFunction(graft.functions.BloomFunctions.bloomAgg)
+        ext.injectFunction(graft.functions.BloomFunctions.bloomMightContain)
       }
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")

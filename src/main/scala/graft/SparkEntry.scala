@@ -48,6 +48,9 @@ object SparkEntry {
     "q_range_join"         -> (graft.operators.RangeJoin.qRangeJoin(_, _)),
     "q_pivot_events"       -> (Analytics.qPivotEvents(_, _)),
     "q_window_funnel"      -> (Analytics.qWindowFunnel(_, _)),
+    "q_bloom_join"         -> ((s, d) => graft.operators.BloomJoin.qBloomJoin(s, d)),
+    "layout_zorder"        -> (graft.operators.Layout.qZorderLayout(_, _)),
+    "agg_approx_ndv"       -> (graft.operators.Sketches.aggApproxNdv(_, _)),
     // §2.3 dedup
     "dedup_exact"            -> (Dedup.exact(_, _)),
     "dedup_exact_normalized" -> (Dedup.exactNormalized(_, _)),
@@ -59,6 +62,7 @@ object SparkEntry {
     "dedup_incremental"      -> ((s, d) => Dedup.incrementalExact(s, d)),
     "dedup_clusters"         -> (Dedup.clustersQuery(_, _)),
     "dedup_decontaminate"    -> ((s, d) => Dedup.decontaminate(s, d)),
+    "dedup_substring_spans"  -> ((s, d) => graft.operators.SubstringSpans.substringSpans(s, d)),
     // §2.4 similarity
     "knn_bruteforce" -> ((s, d) => Similarity.knnBruteforce(s, d)),
     "knn_lsh"        -> ((s, d) => Similarity.knnLsh(s, d)),
@@ -116,6 +120,13 @@ object SparkEntry {
     "q_range_join"         -> graft.operators.RangeJoin.qRangeJoinOracleSql,
     "q_pivot_events"       -> Analytics.qPivotEventsOracleSql,
     "q_window_funnel"      -> Analytics.qWindowFunnelOracleSql,
+    // the bloom prefilter must be invisible in the output: the oracle
+    // is the PLAIN join
+    "q_bloom_join"         -> graft.operators.BloomJoin.qBloomJoinOracleSql,
+    "layout_zorder"        -> graft.operators.Layout.qZorderLayoutOracleSql,
+    // the HLL estimator replays bit-exactly: ordered register fold of
+    // exact 2^-rho terms; ln() lookup table embedded from Scala
+    "agg_approx_ndv"       -> graft.operators.Sketches.aggApproxNdvOracleSql,
     // §2.3 dedup
     "dedup_exact"            -> Dedup.exactOracleSql,
     // the minhash signature math replays bit-exactly in DuckDB
@@ -129,6 +140,7 @@ object SparkEntry {
     "dedup_incremental"      -> Dedup.incrementalExactOracleSql,
     "dedup_clusters"         -> Dedup.clustersOracleSql,
     "dedup_decontaminate"    -> Dedup.decontaminateOracleSql,
+    "dedup_substring_spans"  -> graft.operators.SubstringSpans.substringSpansOracleSql,
     // §2.4 similarity — the "approximate" indexes are deterministic
     // (fixed-seed hyperplanes; decimal-exact Lloyd means), so they
     // replay fully in SQL and get real hash oracles

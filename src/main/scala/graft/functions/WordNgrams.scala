@@ -163,6 +163,69 @@ object CharNgrams {
   }
 }
 
+/** Positional word-n-gram hashing: one hash PER WINDOW, in text
+  * order, duplicates kept — the shape exact-substring dedup needs
+  * (posexplode gives each window its word offset, so duplicated
+  * windows map back to token spans). Same byte-range + poly-fold +
+  * splitmix64 hash as [[WordNgrams.compute]]; only the dedup step is
+  * dropped. Fewer than `n` words yields an empty array. */
+object WordNgramSeq {
+  def compute(text: UTF8String, n: Int): ArrayData = {
+    if (n < 1) throw new IllegalArgumentException(
+      s"hashed_word_ngram_seq: n must be >= 1, got $n")
+    val bytes = text.getBytes
+    val len = bytes.length
+    var nWords = 1
+    var i = 0
+    while (i < len) { if (bytes(i) == ' ') nWords += 1; i += 1 }
+    val starts = new Array[Int](nWords + 1)
+    var wIdx = 1
+    i = 0
+    while (i < len) { if (bytes(i) == ' ') { starts(wIdx) = i + 1; wIdx += 1 }; i += 1 }
+    starts(nWords) = len + 1
+    val nGrams = nWords - n + 1
+    if (nGrams <= 0) return UnsafeArrayData.fromPrimitiveArray(new Array[Long](0))
+    val out = new Array[Long](nGrams)
+    var g = 0
+    while (g < nGrams) {
+      val from = starts(g)
+      val to = starts(g + n) - 1
+      var h = RollingHash.Seed
+      var j = from
+      while (j < to) { h = h * RollingHash.Base + (bytes(j) & 0xff); j += 1 }
+      out(g) = WordNgrams.mix(h)
+      g += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+}
+
+/** `hashed_word_ngram_seq(text, n)`: ARRAY<BIGINT> of word n-gram
+  * hashes in text order, duplicates kept — see [[WordNgramSeq]]. */
+case class HashedWordNgramSeq(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "hashed_word_ngram_seq"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == StringType && right.dataType == IntegerType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"hashed_word_ngram_seq requires (STRING, INT), got " +
+        s"(${left.dataType.sql}, ${right.dataType.sql})")
+
+  protected override def nullSafeEval(text: Any, n: Any): Any =
+    WordNgramSeq.compute(text.asInstanceOf[UTF8String], n.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, n) =>
+      s"graft.functions.WordNgramSeq.compute($t, $n)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): HashedWordNgramSeq =
+    copy(left = newLeft, right = newRight)
+}
+
 /** `hashed_char_ngrams(text, n)`: ARRAY<BIGINT> of character n-gram
   * hashes with multiplicity, text order — see [[CharNgrams]]. */
 case class HashedCharNgrams(left: Expression, right: Expression)
@@ -225,4 +288,9 @@ object WordNgramFunctions {
     FunctionIdentifier("hashed_char_ngrams"),
     new ExpressionInfo(classOf[HashedCharNgrams].getName, "hashed_char_ngrams"),
     (args: Seq[Expression]) => HashedCharNgrams(args(0), args(1)))
+
+  val hashedWordNgramSeq: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("hashed_word_ngram_seq"),
+    new ExpressionInfo(classOf[HashedWordNgramSeq].getName, "hashed_word_ngram_seq"),
+    (args: Seq[Expression]) => HashedWordNgramSeq(args(0), args(1)))
 }

@@ -1,0 +1,104 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Z-order (Morton) data layout: interleave the bits of two clustering
+  * dimensions so that sorting by the single interleaved key places
+  * rows close in BOTH dimensions into the same files — the layout
+  * technique behind Delta/Iceberg `ZORDER BY` and the reason min/max
+  * file skipping works for multi-column predicates.
+  *
+  * Why it matters at 100 TB: a parquet lake is pruned by per-file
+  * min/max statistics. Sorted by one column, predicates on any other
+  * column read every file. Z-ordered by (a, b), a predicate on EITHER
+  * column maps to a bounded set of Morton-key ranges, so both
+  * predicate shapes skip most files. The key is pure bit math
+  * (codegen'd, no shuffle of its own); the layout write is one
+  * `repartitionByRange` + in-partition sort — the same single
+  * exchange a plain sorted write costs.
+  *
+  * The bit-spread uses the standard mask-and-shift doubling: spread
+  * 16 bits to 32 with masks 0x00FF00FF / 0x0F0F0F0F / 0x33333333 /
+  * 0x55555555, then OR the two spread words offset by one bit.
+  */
+object Layout {
+
+  /** Low 16 bits of `c` spread to even bit positions (0, 2, 4, …). */
+  private def spread16(c: Column): Column = {
+    val v0 = c.bitwiseAND(lit(0xFFFFL))
+    val v1 = v0.bitwiseOR(shiftleft(v0, 8)).bitwiseAND(lit(0x00FF00FFL))
+    val v2 = v1.bitwiseOR(shiftleft(v1, 4)).bitwiseAND(lit(0x0F0F0F0FL))
+    val v3 = v2.bitwiseOR(shiftleft(v2, 2)).bitwiseAND(lit(0x33333333L))
+    v3.bitwiseOR(shiftleft(v3, 1)).bitwiseAND(lit(0x55555555L))
+  }
+
+  /** 32-bit Morton key of two 16-bit dimensions (`x` even bits, `y`
+    * odd bits). Inputs are masked to their low 16 bits. */
+  def mortonKey(x: Column, y: Column): Column =
+    spread16(x).bitwiseOR(shiftleft(spread16(y), 1))
+
+  /** Writes `df` z-ordered on (`x`, `y`): one range exchange on the
+    * Morton key, sorted within partitions, so every output file covers
+    * a contiguous key range and carries tight min/max stats on the
+    * key (and near-tight ones on both source dimensions). */
+  def zorderWrite(df: DataFrame, x: Column, y: Column, path: String,
+                  partitions: Int = 0): Unit = {
+    val keyed = df.withColumn("zkey", mortonKey(x, y))
+    val ranged =
+      if (partitions > 0) keyed.repartitionByRange(partitions, col("zkey"))
+      else keyed.repartitionByRange(col("zkey"))
+    ranged.sortWithinPartitions(col("zkey"))
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Tile width exponent for the driver query's locality report:
+    * bucket = zkey >> 22, i.e. a 32×32 grid of 2048×2048 tiles. */
+  val BucketShift = 22
+
+  /** Driver query: Morton-key the events table on
+    * (user_id, minute-of-epoch) and report per-tile extents — each
+    * tile's x/y min–max spans stay bounded by the tile geometry, which
+    * is the file-skipping property the layout exists to create (a
+    * tile ≙ a file's worth of rows at scale; its min/max IS the
+    * pruning statistic). Deterministic integer math end to end. */
+  def qZorderLayout(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .withColumn("x", col("user_id").bitwiseAND(lit(0xFFFFL)))
+      // `div` (integer division) — `/` is double division on Columns;
+      // both engines see positive epochs so trunc == floor
+      .withColumn("y", expr("unix_micros(ts) div 60000000")
+        .bitwiseAND(lit(0xFFFFL)))
+    ev.withColumn("zkey", mortonKey(col("x"), col("y")))
+      .groupBy(shiftright(col("zkey"), BucketShift).as("tile"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        min(col("x")).as("min_x"), max(col("x")).as("max_x"),
+        min(col("y")).as("min_y"), max(col("y")).as("max_y"),
+        min(col("zkey")).as("min_zkey"), max(col("zkey")).as("max_zkey"))
+  }
+
+  /** Same bit math in DuckDB (BIGINT &, |, <<). */
+  val qZorderLayoutOracleSql: String = {
+    def spread(e: String): String = {
+      val v0 = s"(($e) & 65535)"
+      val v1 = s"((($v0) | (($v0) << 8)) & 16711935)"
+      val v2 = s"((($v1) | (($v1) << 4)) & 252645135)"
+      val v3 = s"((($v2) | (($v2) << 2)) & 858993459)"
+      s"((($v3) | (($v3) << 1)) & 1431655765)"
+    }
+    s"""WITH e AS (
+       |  SELECT user_id & 65535 AS x,
+       |    (epoch_us(CAST(ts AS TIMESTAMP)) // 60000000) & 65535 AS y
+       |  FROM events
+       |), z AS (
+       |  SELECT x, y, ${spread("x")} | (${spread("y")} << 1) AS zkey FROM e
+       |)
+       |SELECT zkey >> $BucketShift AS tile, COUNT(*) AS n_rows,
+       |  MIN(x) AS min_x, MAX(x) AS max_x,
+       |  MIN(y) AS min_y, MAX(y) AS max_y,
+       |  MIN(zkey) AS min_zkey, MAX(zkey) AS max_zkey
+       |FROM z GROUP BY 1""".stripMargin
+  }
+}

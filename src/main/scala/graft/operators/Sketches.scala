@@ -1,0 +1,112 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.HllNdv
+import graft.sources.Tables
+
+/** Sketch-based approximate aggregates — the one-pass, merge-able
+  * summaries a 100 TB pipeline uses where exact answers would shuffle
+  * the raw keys (distinct users per segment, cardinality feeds for
+  * join planning, dedup-rate monitoring).
+  *
+  * The driver query reports the HLL estimate NEXT TO the exact count
+  * so the oracle both (a) replays the estimator bit-for-bit and (b)
+  * documents the accuracy actually achieved (~1.04/√m relative error;
+  * ~6.5% at p=8).
+  */
+object Sketches {
+
+  /** HLL precision: m = 2^8 = 256 one-byte registers per group. */
+  val P = 8
+
+  /** Distinct users per event type: exact (count-distinct shuffle)
+    * beside the [[graft.functions.HllNdv]] sketch (one pass, 256-byte
+    * buffers, elementwise-max merge). At scale the exact column is
+    * the one you delete; here it is the measuring stick. */
+  def aggApproxNdv(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        countDistinct(col("user_id")).as("ndv_exact"),
+        call_function("hll_ndv", xxhash64(col("user_id")), lit(P)).as("ndv_approx"))
+      .withColumn("err_pct",
+        round(abs(col("ndv_approx") - col("ndv_exact")) / col("ndv_exact") * lit(100.0), 4))
+
+  /** Full DuckDB replay of the sketch: the xxhash64-of-BIGINT lane
+    * (same XXH64 single-long chain the langid oracle replays), bucket
+    * = top-8 bits, rho via the minimal-width `bin()` leading-zero
+    * trick, registers as a per-(group, bucket) MAX — and the
+    * estimator with BOTH branches made bit-exact by embedding
+    * Scala-computed lookup tables as literals: `2^-rho` terms (exact
+    * powers of two, folded in ascending bucket order exactly like
+    * [[HllNdv.estimate]]'s loop) and the linear-counting values
+    * `m·ln(m/V)` (ln() differs by 1 ulp between engines on some
+    * inputs — measured at V=177 — so the Java-evaluated doubles ARE
+    * the constants, single source of truth). */
+  val aggApproxNdvOracleSql: String = {
+    import graft.functions.SqlReplay._
+    val m = 1 << P
+    val rhoCap = 64 - P + 1
+    val two64 = Two64
+    val p1 = u(-7046029288634856825L); val p2 = u(-4417276706812531889L)
+    val p3 = u(1609587929392839161L);  val p4 = u(-8796714831421723037L)
+    val init = u(42L + 2870177450012600261L /* P5 */ + 8L)
+    val alphaMM = HllNdv.alphaMM(P)
+    val powRows = HllNdv.powNeg(P).zipWithIndex
+      .map { case (t, r) => s"($r, CAST($t AS DOUBLE))" }.mkString(",\n  ")
+    val lnRows = HllNdv.linearCounting(P).zipWithIndex.drop(1)
+      .map { case (e, v) => s"($v, CAST($e AS DOUBLE))" }.mkString(",\n  ")
+    // w = h << P mod 2^64, as a multiply so it stays in UBIGINT
+    val w = mulmod("h", u(1L << P))
+    s"""WITH h0 AS (
+       |  SELECT event_type, CAST('$init' AS UBIGINT) AS h,
+       |    CAST(user_id AS UBIGINT) AS l FROM events),
+       |h1 AS (SELECT event_type, h, ${mulmod("l", p2)} AS k1 FROM h0),
+       |h2 AS (SELECT event_type, h, ${rotl("k1", 31)} AS k1 FROM h1),
+       |h3 AS (SELECT event_type, h, ${mulmod("k1", p1)} AS k1 FROM h2),
+       |h4 AS (SELECT event_type, xor(h, k1) AS h FROM h3),
+       |h5 AS (SELECT event_type, CAST((CAST(${mulmod(rotl("h", 27), p1)} AS HUGEINT)
+       |       + $p4) % $two64 AS UBIGINT) AS h FROM h4),
+       |h6 AS (SELECT event_type, xor(h, h >> 33) AS h FROM h5),
+       |h7 AS (SELECT event_type, ${mulmod("h", p2)} AS h FROM h6),
+       |h8 AS (SELECT event_type, xor(h, h >> 29) AS h FROM h7),
+       |h9 AS (SELECT event_type, ${mulmod("h", p3)} AS h FROM h8),
+       |hh AS (SELECT event_type, xor(h, h >> 32) AS h FROM h9),
+       |regs0 AS (
+       |  SELECT event_type, CAST(h >> ${64 - P} AS INTEGER) AS bucket,
+       |    MAX(CASE WHEN $w = 0 THEN $rhoCap
+       |        ELSE 65 - length(ltrim(bin($w), '0')) END) AS rho
+       |  FROM hh GROUP BY 1, 2),
+       |grid AS (
+       |  SELECT et.event_type, gs.j AS bucket
+       |  FROM (SELECT DISTINCT event_type FROM events) et
+       |  CROSS JOIN generate_series(0, ${m - 1}) gs(j)),
+       |regs AS (
+       |  SELECT g.event_type, g.bucket, COALESCE(r.rho, 0) AS rho
+       |  FROM grid g LEFT JOIN regs0 r
+       |    ON r.event_type = g.event_type AND r.bucket = g.bucket),
+       |powtab(r, term) AS (VALUES
+       |  $powRows),
+       |lntab(v, lnv) AS (VALUES
+       |  $lnRows),
+       |zsum AS (
+       |  SELECT event_type,
+       |    list_reduce(list(term ORDER BY bucket), (x, y) -> x + y) AS z,
+       |    SUM(CASE WHEN rho = 0 THEN 1 ELSE 0 END) AS vz
+       |  FROM regs JOIN powtab ON powtab.r = regs.rho
+       |  GROUP BY event_type),
+       |est AS (
+       |  SELECT event_type,
+       |    CASE WHEN (CAST($alphaMM AS DOUBLE) / z) <= ${2.5 * m} AND vz > 0
+       |         THEN lnv ELSE (CAST($alphaMM AS DOUBLE) / z) END AS ndv_approx
+       |  FROM zsum LEFT JOIN lntab ON lntab.v = zsum.vz),
+       |exact AS (
+       |  SELECT event_type, COUNT(DISTINCT user_id) AS ndv_exact
+       |  FROM events GROUP BY 1)
+       |SELECT x.event_type, x.ndv_exact, e.ndv_approx,
+       |  round(abs(e.ndv_approx - CAST(x.ndv_exact AS DOUBLE))
+       |        / CAST(x.ndv_exact AS DOUBLE) * 100.0, 4) AS err_pct
+       |FROM exact x JOIN est e ON x.event_type = e.event_type""".stripMargin
+  }
+}

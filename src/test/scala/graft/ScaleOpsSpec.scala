@@ -1,0 +1,189 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.HllNdv
+import graft.operators.{BloomJoin, Layout, Sketches, SubstringSpans}
+
+/** Specs for the round-7 scale-path operators: bloom-prefiltered
+  * join, HLL approximate NDV, z-order layout, substring-span dedup. */
+class ScaleOpsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  // --- bloom join -------------------------------------------------------
+
+  test("bloom prefilter: result identical to the plain join") {
+    val withBloom = BloomJoin.qBloomJoin(spark, sfDir)
+    val orders = sources.Tables.orders(spark, sfDir)
+      .filter(col("o_totalprice") > BloomJoin.PriceFloor)
+      .select(col("o_orderkey"), col("o_orderpriority"))
+    val plain = sources.Tables.lineitem(spark, sfDir)
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"),
+        queries.Analytics.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+    assert(withBloom.collect().toSet == plain.collect().toSet)
+  }
+
+  test("bloom prefilter prunes most of the probe side, keeps every true match") {
+    val lineitem = sources.Tables.lineitem(spark, sfDir)
+    val orders = sources.Tables.orders(spark, sfDir)
+      .filter(col("o_totalprice") > BloomJoin.PriceFloor)
+    val kept = BloomJoin.bloomPrefilter(
+      lineitem, col("l_orderkey"), orders, col("o_orderkey"),
+      math.max(orders.count(), 1L))
+    val total = lineitem.count()
+    val keptN = kept.count()
+    // true matches: lineitems whose order qualifies
+    val trueN = lineitem.join(orders, col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey")).count()
+    assert(keptN >= trueN, "a bloom filter must never drop a true match")
+    // at fpp=1% the kept set should be close to the true set, far from total
+    assert(keptN < total / 2, s"prefilter kept $keptN of $total — no pruning happened")
+    assert(keptN <= trueN + (total * 5 * BloomJoin.Fpp).toLong + 10,
+      s"false-positive volume implausible: kept=$keptN true=$trueN total=$total")
+  }
+
+  // --- HLL ndv ----------------------------------------------------------
+
+  test("hll_ndv: estimate within the p=8 error band and branch-consistent with the reference estimator") {
+    val rows = Sketches.aggApproxNdv(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val exact = r.getLong(r.fieldIndex("ndv_exact"))
+      val approx = r.getDouble(r.fieldIndex("ndv_approx"))
+      assert(exact > 0)
+      // 1.04/sqrt(256) ~ 6.5% standard error; allow 4 sigma
+      assert(math.abs(approx - exact) / exact < 0.26,
+        s"estimate $approx too far from exact $exact")
+    }
+  }
+
+  test("hll_ndv: order-independent and merge-consistent") {
+    val n = 5000
+    val df = spark.range(n).select((col("id") % 977).as("k"))
+    def est(d: org.apache.spark.sql.DataFrame): Double =
+      d.agg(call_function("hll_ndv", xxhash64(col("k")), lit(8))).head().getDouble(0)
+    val whole = est(df)
+    val shuffled = est(df.repartition(13, col("k")))
+    val reversed = est(df.orderBy(col("k").desc))
+    assert(whole == shuffled && whole == reversed,
+      "register maxes must make the estimate partitioning/order independent")
+    assert(math.abs(whole - 977) / 977.0 < 0.26)
+  }
+
+  test("hll_ndv eval matches the companion estimator on hand-built registers") {
+    // a tiny known register set: bucket 0 -> rho 3, bucket 1 -> rho 1
+    val regs = new Array[Byte](256)
+    regs(0) = 3; regs(1) = 1
+    val est = HllNdv.estimate(regs, 8)
+    // 254 empty buckets -> linear counting branch
+    assert(est == 256.0 * math.log(256.0 / 254.0))
+  }
+
+  // --- z-order layout ---------------------------------------------------
+
+  test("mortonKey interleaves bits (reference implementation agreement)") {
+    def mortonRef(x: Long, y: Long): Long = {
+      var k = 0L
+      var b = 0
+      while (b < 16) {
+        k |= ((x >> b) & 1L) << (2 * b)
+        k |= ((y >> b) & 1L) << (2 * b + 1)
+        b += 1
+      }
+      k
+    }
+    val samples = Seq((0L, 0L), (1L, 0L), (0L, 1L), (65535L, 0L), (0L, 65535L),
+      (12345L, 54321L), (65535L, 65535L), (70000L, 3L)) // 70000 masks to low 16 bits
+    val df = samples.toDF("x", "y")
+      .withColumn("z", Layout.mortonKey(col("x"), col("y")))
+    df.collect().foreach { r =>
+      val (x, y, z) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(z == mortonRef(x & 0xFFFFL, y & 0xFFFFL), s"morton($x,$y)")
+    }
+  }
+
+  test("qZorderLayout tiles bound both dimensions") {
+    val rows = Layout.qZorderLayout(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val spanX = r.getLong(r.fieldIndex("max_x")) - r.getLong(r.fieldIndex("min_x"))
+      val spanY = r.getLong(r.fieldIndex("max_y")) - r.getLong(r.fieldIndex("min_y"))
+      // tile = zkey >> 22 => 11 interleaved bits per dim remain => spans < 2^11*2 = 2048
+      assert(spanX < 2048 && spanY < 2048,
+        s"tile ${r.getLong(r.fieldIndex("tile"))} spans x=$spanX y=$spanY — not clustered")
+    }
+  }
+
+  test("zorderWrite produces files with pairwise-disjoint zkey ranges") {
+    val dir = java.nio.file.Files.createTempDirectory("zorder-spec").toString
+    try {
+      val ev = sources.Tables.events(spark, sfDir)
+        .withColumn("x", col("user_id").bitwiseAND(lit(0xFFFFL)))
+        .withColumn("y", expr("unix_micros(ts) div 60000000").bitwiseAND(lit(0xFFFFL)))
+      Layout.zorderWrite(ev, col("x"), col("y"), dir, partitions = 8)
+      val files = new java.io.File(dir).listFiles()
+        .filter(f => f.getName.endsWith(".parquet")).map(_.getPath)
+      assert(files.length > 1, "expected multiple output files")
+      val ranges = files.map { f =>
+        val r = spark.read.parquet(f).agg(min(col("zkey")), max(col("zkey"))).head()
+        (r.getLong(0), r.getLong(1))
+      }.sortBy(_._1)
+      ranges.sliding(2).foreach {
+        case Array((_, hi1), (lo2, _)) =>
+          assert(hi1 <= lo2, s"file ranges overlap: hi=$hi1 lo=$lo2 — min/max pruning broken")
+        case _ =>
+      }
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
+  // --- substring spans --------------------------------------------------
+
+  test("substring spans: planted cross-doc span found with exact token accounting") {
+    val shared = (1 to 12).map(i => s"shared$i").mkString(" ") // 12-word verbatim run
+    val a = s"alpha beta gamma $shared tail1 tail2"
+    val b = s"$shared omega psi chi phi delta"
+    val c = "entirely unique words here that no other document carries at all"
+    val docs = Seq((1L, a), (2L, b), (3L, c)).toDF("doc_id", "text")
+    val out = SubstringSpans.substringSpansOn(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // doc 1: words 0..2 prefix, shared at positions 3..14, K=8 windows
+    // inside the shared run only => island covers exactly the 12 shared tokens
+    assert(out(1L).getLong(out(1L).fieldIndex("dup_tokens")) == 12)
+    assert(out(2L).getLong(out(2L).fieldIndex("dup_tokens")) == 12)
+    assert(out(3L).getLong(out(3L).fieldIndex("dup_tokens")) == 0)
+    // 12-word run, 8-word windows => 5 duplicated windows each
+    assert(out(1L).getLong(out(1L).fieldIndex("dup_windows")) == 5)
+    val frac1 = out(1L).getDouble(out(1L).fieldIndex("dup_frac"))
+    assert(math.abs(frac1 - 12.0 / 17.0) < 1e-6)
+  }
+
+  test("substring spans: within-doc repetition alone is not flagged") {
+    val phrase = (1 to 10).map(i => s"rep$i").mkString(" ")
+    val selfRep = s"$phrase filler middle words $phrase"
+    val other = "completely different vocabulary in this second document body text"
+    val docs = Seq((1L, selfRep), (2L, other)).toDF("doc_id", "text")
+    val out = SubstringSpans.substringSpansOn(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1 + 2)).toMap // dup_tokens at index 3
+    assert(out(1L) == 0, "same-doc repeats must not count as cross-doc duplication")
+    assert(out(2L) == 0)
+  }
+
+  test("substring spans: overlapping duplicated runs merge into one island") {
+    // doc 1 contains a 20-word run; docs 2 and 3 each share a different
+    // overlapping 14-word half of it => doc 1's windows overlap => one island
+    val words = (1 to 20).map(i => s"w$i")
+    val full = words.mkString(" ")
+    val left = words.take(14).mkString(" ")
+    val right = words.drop(6).mkString(" ")
+    val docs = Seq(
+      (1L, s"intro $full outro"),
+      (2L, s"$left unrelated trailing tokens here now"),
+      (3L, s"prefix tokens also here $right")).toDF("doc_id", "text")
+    val r1 = SubstringSpans.substringSpansOn(docs).filter(col("doc_id") === 1L).head()
+    assert(r1.getLong(r1.fieldIndex("dup_tokens")) == 20,
+      "the two overlapping halves must merge to the full 20-token span")
+  }
+}
