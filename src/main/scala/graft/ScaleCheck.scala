@@ -39,11 +39,29 @@ object ScaleCheck {
       pmod(xxhash64(col("id"), lit(7)), lit(15000L)).as("o_custkey"),
       element_at(array(lit("O"), lit("F"), lit("P")),
         (pmod(xxhash64(col("id"), lit(10)), lit(3)) + 1).cast("int")).as("o_orderstatus"),
-      (pmod(xxhash64(col("id"), lit(8)), lit(100000L)).cast("double") / 100.0).as("o_totalprice"),
+      // 0..500k domain so BloomJoin.PriceFloor (480k) keeps ~4% — the
+      // selective-build-side shape the bloom prefilter exists for
+      (pmod(xxhash64(col("id"), lit(8)), lit(50000000L)).cast("double") / 100.0).as("o_totalprice"),
       timestamp_micros(lit(1704067200000000L) +
         pmod(xxhash64(col("id"), lit(9)), lit(30L)) * 86400000000L).as("o_orderdate"),
       lit("1-URGENT").as("o_orderpriority"))
       .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+
+    // lineitem (bloom-join probe side): 100× sf0.1's 600k rows, ~4
+    // lines per order so the probe is much larger than the build
+    spark.range(600000L * mult).select(
+      pmod(xxhash64(col("id"), lit(11)), lit(150000L * mult)).as("l_orderkey"),
+      pmod(xxhash64(col("id"), lit(12)), lit(20000L)).as("l_partkey"),
+      pmod(xxhash64(col("id"), lit(13)), lit(1000L)).as("l_suppkey"),
+      (pmod(xxhash64(col("id"), lit(14)), lit(7L)) + 1).cast("int").as("l_linenumber"),
+      (pmod(xxhash64(col("id"), lit(15)), lit(50L)) + 1).cast("double").as("l_quantity"),
+      (pmod(xxhash64(col("id"), lit(16)), lit(10000000L)).cast("double") / 100.0).as("l_extendedprice"),
+      (pmod(xxhash64(col("id"), lit(17)), lit(11L)).cast("double") / 100.0).as("l_discount"),
+      (pmod(xxhash64(col("id"), lit(18)), lit(9L)).cast("double") / 100.0).as("l_tax"),
+      lit("N").as("l_returnflag"), lit("O").as("l_linestatus"),
+      timestamp_micros(lit(1704067200000000L) +
+        pmod(xxhash64(col("id"), lit(19)), lit(90L)) * 86400000000L).as("l_shipdate"))
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
 
     // documents (contamination / packing): 100× sf0.1's 5k docs, ~50
     // words from a small vocabulary (real-corpus shape), 20 sources
@@ -95,7 +113,12 @@ object ScaleCheck {
       run("text_chunk", operators.TrainPrep.chunkDocuments(spark, dir)),
       run("text_vocab", operators.TextAnalysis.textVocab(spark, dir)),
       run("q_pivot_events", queries.Analytics.qPivotEvents(spark, dir)),
-      run("q_window_funnel", queries.Analytics.qWindowFunnel(spark, dir)))
+      run("q_window_funnel", queries.Analytics.qWindowFunnel(spark, dir)),
+      // round-7 additions: bloom prefilter, sketches, layout, span dedup
+      run("q_bloom_join", operators.BloomJoin.qBloomJoin(spark, dir)),
+      run("agg_approx_ndv", operators.Sketches.aggApproxNdv(spark, dir)),
+      run("layout_zorder", operators.Layout.qZorderLayout(spark, dir)),
+      run("dedup_substring_spans", operators.SubstringSpans.substringSpans(spark, dir)))
 
     // end-to-end per-ds pipeline (normalize + DQ + staged write + L2
     // merge) — the unit of work the reference DAG runs per day

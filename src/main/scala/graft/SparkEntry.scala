@@ -86,7 +86,8 @@ object SparkEntry {
     // streaming forms run in StreamingSpec via MemoryStream)
     "stream_windowed_agg" -> (graft.streaming.Streams.windowedAggBatch(_, _)),
     "stream_dedupe"       -> (graft.streaming.Streams.keepFirstBatch(_, _)),
-    "stream_sessionize"   -> (graft.streaming.Streams.sessionizeBatch(_, _))
+    "stream_sessionize"   -> (graft.streaming.Streams.sessionizeBatch(_, _)),
+    "stream_approx_ndv"   -> (graft.streaming.Streams.windowedApproxNdvBatch(_, _))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -171,6 +172,9 @@ object SparkEntry {
     "stream_dedupe"       -> graft.streaming.Streams.keepFirstOracleSql,
     // the stateful sessionizer must agree with the window-form
     // sessionizer row-for-row — one oracle checks both
-    "stream_sessionize"   -> Analytics.qEventsSessionizeOracleSql
+    "stream_sessionize"   -> Analytics.qEventsSessionizeOracleSql,
+    // per-hour HLL replay, same single-source CTE pipeline as
+    // agg_approx_ndv keyed by the window start
+    "stream_approx_ndv"   -> graft.operators.Sketches.windowedApproxNdvOracleSql
   )
 }

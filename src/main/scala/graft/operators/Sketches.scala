@@ -44,7 +44,13 @@ object Sketches {
     * `m·ln(m/V)` (ln() differs by 1 ulp between engines on some
     * inputs — measured at V=177 — so the Java-evaluated doubles ARE
     * the constants, single source of truth). */
-  val aggApproxNdvOracleSql: String = {
+  /** Shared CTE pipeline: xxhash64-of-BIGINT → per-(key, bucket)
+    * registers → estimator, parameterized on the grouping key so the
+    * batch (per event_type) and streaming (per hour window) oracles
+    * stay one source of truth. `keyExpr` is a SQL expression over the
+    * `events` table; `keyName` its output column alias; the result
+    * CTE `est` exposes `(keyName, ndv_approx)`. */
+  private def hllReplayCtes(keyExpr: String, keyName: String): String = {
     import graft.functions.SqlReplay._
     val m = 1 << P
     val rhoCap = 64 - P + 1
@@ -59,48 +65,52 @@ object Sketches {
       .map { case (e, v) => s"($v, CAST($e AS DOUBLE))" }.mkString(",\n  ")
     // w = h << P mod 2^64, as a multiply so it stays in UBIGINT
     val w = mulmod("h", u(1L << P))
-    s"""WITH h0 AS (
-       |  SELECT event_type, CAST('$init' AS UBIGINT) AS h,
+    s"""h0 AS (
+       |  SELECT $keyExpr AS $keyName, CAST('$init' AS UBIGINT) AS h,
        |    CAST(user_id AS UBIGINT) AS l FROM events),
-       |h1 AS (SELECT event_type, h, ${mulmod("l", p2)} AS k1 FROM h0),
-       |h2 AS (SELECT event_type, h, ${rotl("k1", 31)} AS k1 FROM h1),
-       |h3 AS (SELECT event_type, h, ${mulmod("k1", p1)} AS k1 FROM h2),
-       |h4 AS (SELECT event_type, xor(h, k1) AS h FROM h3),
-       |h5 AS (SELECT event_type, CAST((CAST(${mulmod(rotl("h", 27), p1)} AS HUGEINT)
+       |h1 AS (SELECT $keyName, h, ${mulmod("l", p2)} AS k1 FROM h0),
+       |h2 AS (SELECT $keyName, h, ${rotl("k1", 31)} AS k1 FROM h1),
+       |h3 AS (SELECT $keyName, h, ${mulmod("k1", p1)} AS k1 FROM h2),
+       |h4 AS (SELECT $keyName, xor(h, k1) AS h FROM h3),
+       |h5 AS (SELECT $keyName, CAST((CAST(${mulmod(rotl("h", 27), p1)} AS HUGEINT)
        |       + $p4) % $two64 AS UBIGINT) AS h FROM h4),
-       |h6 AS (SELECT event_type, xor(h, h >> 33) AS h FROM h5),
-       |h7 AS (SELECT event_type, ${mulmod("h", p2)} AS h FROM h6),
-       |h8 AS (SELECT event_type, xor(h, h >> 29) AS h FROM h7),
-       |h9 AS (SELECT event_type, ${mulmod("h", p3)} AS h FROM h8),
-       |hh AS (SELECT event_type, xor(h, h >> 32) AS h FROM h9),
+       |h6 AS (SELECT $keyName, xor(h, h >> 33) AS h FROM h5),
+       |h7 AS (SELECT $keyName, ${mulmod("h", p2)} AS h FROM h6),
+       |h8 AS (SELECT $keyName, xor(h, h >> 29) AS h FROM h7),
+       |h9 AS (SELECT $keyName, ${mulmod("h", p3)} AS h FROM h8),
+       |hh AS (SELECT $keyName, xor(h, h >> 32) AS h FROM h9),
        |regs0 AS (
-       |  SELECT event_type, CAST(h >> ${64 - P} AS INTEGER) AS bucket,
+       |  SELECT $keyName, CAST(h >> ${64 - P} AS INTEGER) AS bucket,
        |    MAX(CASE WHEN $w = 0 THEN $rhoCap
        |        ELSE 65 - length(ltrim(bin($w), '0')) END) AS rho
        |  FROM hh GROUP BY 1, 2),
        |grid AS (
-       |  SELECT et.event_type, gs.j AS bucket
-       |  FROM (SELECT DISTINCT event_type FROM events) et
+       |  SELECT et.$keyName, gs.j AS bucket
+       |  FROM (SELECT DISTINCT $keyName FROM regs0) et
        |  CROSS JOIN generate_series(0, ${m - 1}) gs(j)),
        |regs AS (
-       |  SELECT g.event_type, g.bucket, COALESCE(r.rho, 0) AS rho
+       |  SELECT g.$keyName, g.bucket, COALESCE(r.rho, 0) AS rho
        |  FROM grid g LEFT JOIN regs0 r
-       |    ON r.event_type = g.event_type AND r.bucket = g.bucket),
+       |    ON r.$keyName = g.$keyName AND r.bucket = g.bucket),
        |powtab(r, term) AS (VALUES
        |  $powRows),
        |lntab(v, lnv) AS (VALUES
        |  $lnRows),
        |zsum AS (
-       |  SELECT event_type,
+       |  SELECT $keyName,
        |    list_reduce(list(term ORDER BY bucket), (x, y) -> x + y) AS z,
        |    SUM(CASE WHEN rho = 0 THEN 1 ELSE 0 END) AS vz
        |  FROM regs JOIN powtab ON powtab.r = regs.rho
-       |  GROUP BY event_type),
+       |  GROUP BY $keyName),
        |est AS (
-       |  SELECT event_type,
+       |  SELECT $keyName,
        |    CASE WHEN (CAST($alphaMM AS DOUBLE) / z) <= ${2.5 * m} AND vz > 0
        |         THEN lnv ELSE (CAST($alphaMM AS DOUBLE) / z) END AS ndv_approx
-       |  FROM zsum LEFT JOIN lntab ON lntab.v = zsum.vz),
+       |  FROM zsum LEFT JOIN lntab ON lntab.v = zsum.vz)""".stripMargin
+  }
+
+  val aggApproxNdvOracleSql: String =
+    s"""WITH ${hllReplayCtes("event_type", "event_type")},
        |exact AS (
        |  SELECT event_type, COUNT(DISTINCT user_id) AS ndv_exact
        |  FROM events GROUP BY 1)
@@ -108,5 +118,10 @@ object Sketches {
        |  round(abs(e.ndv_approx - CAST(x.ndv_exact AS DOUBLE))
        |        / CAST(x.ndv_exact AS DOUBLE) * 100.0, 4) AS err_pct
        |FROM exact x JOIN est e ON x.event_type = e.event_type""".stripMargin
-  }
+
+  /** Oracle for the streaming twin: same replay, keyed by the hour
+    * window start (a tumbling window's start IS date_trunc). */
+  val windowedApproxNdvOracleSql: String =
+    s"""WITH ${hllReplayCtes("date_trunc('hour', CAST(ts AS TIMESTAMP))", "window_start")}
+       |SELECT window_start, ndv_approx AS ndv_users FROM est""".stripMargin
 }

@@ -49,6 +49,31 @@ object Streams {
       |FROM events
       |GROUP BY 1, 2""".stripMargin
 
+  /** Tumbling 1-hour DISTINCT-USER cardinality via the HLL sketch —
+    * the streaming form of [[graft.operators.Sketches]]. Streaming
+    * aggregation cannot run an exact `count(distinct)` at all (state
+    * would be the full key set and Spark rejects the plan); the
+    * sketch's 2^p-byte register buffer is exactly what the state
+    * store holds per window, merged by elementwise max across
+    * micro-batches — bounded state at any input rate, and the SAME
+    * estimate the batch twin computes (asserted in StreamingSpec,
+    * hash-checked through the batch oracle). */
+  def windowedApproxNdv(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(call_function("hll_ndv",
+        xxhash64(col("user_id")), lit(graft.operators.Sketches.P)).as("ndv_users"))
+      .select(col("w.start").as("window_start"), col("ndv_users"))
+
+  /** Streaming form: watermarked so window state (one register array
+    * per open window) is dropped 2h after event time passes. */
+  def windowedApproxNdvStream(events: DataFrame): DataFrame =
+    windowedApproxNdv(events.withWatermark("ts", "2 hours"))
+
+  /** Batch entry (queries key `stream_approx_ndv`). */
+  def windowedApproxNdvBatch(spark: SparkSession, dir: String): DataFrame =
+    windowedApproxNdv(Tables.events(spark, dir))
+
   /** Keep-FIRST dedupe key and its deterministic batch order. */
   private val dedupeKey = Seq("user_id", "event_type", "event_date")
 

@@ -218,4 +218,52 @@ class PlanSpec extends SparkSpecBase {
     // streaming form lowers to FlatMapGroupsWithStateExec)
     assert(p.contains("MapGroups"), s"stateful fold missing from plan:\n$p")
   }
+
+  test("bloom join: probe-side might_contain filters BELOW the join; price filter pushed") {
+    val df = graft.operators.BloomJoin.qBloomJoin(spark, sfDir)
+    val p = plan(df)
+    assert(p.contains("might_contain"), s"bloom probe missing from plan:\n$p")
+    assert(p.contains("GreaterThan(o_totalprice"), "build-side filter not pushed to scan")
+    // the bloom test must sit under the join, not above it: in the
+    // string rendering the Filter(might_contain) line appears after
+    // (deeper than) the join node it feeds
+    val joinAt = p.indexOf("Join")
+    val bloomAt = p.indexOf("might_contain")
+    assert(joinAt >= 0 && bloomAt > joinAt,
+      "might_contain did not stay on the probe branch below the join")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("zorder layout: pure projection + one aggregation exchange, fully codegen") {
+    val df = graft.operators.Layout.qZorderLayout(spark, sfDir)
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct") && !p.contains("Window"),
+      s"layout key must be a stateless projection:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"expected exactly the aggregation exchange:\n$p")
+    val fp = finalPlan(df)
+    assert(fp.contains("WholeStageCodegen") || fp.contains("*("),
+      "bit-interleave fell out of codegen")
+  }
+
+  test("substring spans: posting shuffle + doc-keyed windows, no cartesian") {
+    val p = plan(graft.operators.SubstringSpans.substringSpans(spark, sfDir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    // islands windows must be doc-partitioned (never a global window)
+    assert(!p.contains("windowspecdefinition(pos"),
+      "window lost its doc_id partitioning")
+    assert(p.contains("hashed_word_ngram_seq"), "native window hashing missing")
+  }
+
+  test("hll sketch aggregates partially before its exchange") {
+    val df = graft.operators.Sketches.aggApproxNdv(spark, sfDir)
+    val p = plan(df)
+    // TypedImperativeAggregate lowers to ObjectHashAggregate with a
+    // partial pass before the exchange — the map-side-combine shape
+    // that keeps the shuffle at one register array per group
+    assert(p.contains("ObjectHashAggregate"), s"sketch not aggregate-shaped:\n$p")
+    assert(p.contains("partial_hll_ndv") || p.contains("partial_hllndv") ||
+      "ObjectHashAggregate".r.findAllIn(p).size >= 2,
+      s"no partial sketch pass before the exchange:\n$p")
+  }
 }

@@ -95,6 +95,39 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("streaming approx-ndv: sketch state merges across micro-batches, equals batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // same user seen in two micro-batches within one window must not
+    // double-count; distinct users split across batches must merge
+    val rows = Seq(
+      (1L, ts("2024-01-01 10:05:00"), 100L, "click", 1.0),
+      (2L, ts("2024-01-01 10:10:00"), 101L, "view", 1.0),
+      (3L, ts("2024-01-01 10:40:00"), 100L, "click", 1.0), // repeat user, batch 2
+      (4L, ts("2024-01-01 10:45:00"), 102L, "view", 1.0),
+      (5L, ts("2024-01-01 11:20:00"), 103L, "click", 1.0))
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val streamDf = mem.toDF.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val q = Streams.windowedApproxNdvStream(streamDf).writeStream
+      .format("memory").queryName("ndv").outputMode("complete").start()
+    try {
+      mem.addData(rows.take(2))
+      q.processAllAvailable()
+      mem.addData(rows.drop(2))
+      q.processAllAvailable()
+      val streamed = spark.table("ndv").collect()
+        .map(r => (r.getTimestamp(0), r.getDouble(1))).toSet
+      val batch = Streams.windowedApproxNdv(
+        rows.toDF("event_id", "ts", "user_id", "event_type", "value")).collect()
+        .map(r => (r.getTimestamp(0), r.getDouble(1))).toSet
+      assert(streamed == batch, s"stream $streamed != batch $batch")
+      // at these tiny cardinalities the estimate is near-exact: the
+      // 10:00 window saw users {100,101,102} = 3 (100 twice)
+      val w10 = streamed.find(_._1 == ts("2024-01-01 10:00:00")).get._2
+      assert(math.abs(w10 - 3.0) < 0.1, s"10:00 ndv estimate $w10")
+    } finally q.stop()
+  }
+
   test("stateful sessionizer: sessions close across micro-batches, state persists") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
