@@ -23,6 +23,25 @@ object Bench {
       shufflePartitions = cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // Warm-up (untimed): the first query of a fresh JVM otherwise
+    // absorbs one-time session/codegen/shuffle-machinery JIT —
+    // rounds 5–6 show ~4–6 s landing on whichever key sorts first
+    // (dedup_clusters, then agg_approx_ndv), which distorts exactly
+    // one per-query row per run. One tiny scan + broadcast join +
+    // window + agg exercises those code paths once so every TIMED
+    // number reflects its plan. Documented in BASELINE.md.
+    {
+      import org.apache.spark.sql.functions._
+      val r = spark.read.parquet(s"$sfDir/region.parquet")
+      r.join(broadcast(r.select(col("r_regionkey").as("k"))),
+          col("r_regionkey") === col("k"))
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("r_regionkey").orderBy("k")))
+        .groupBy(col("rn")).count()
+        .write.format("noop").mode("overwrite").save()
+    }
+
     val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
