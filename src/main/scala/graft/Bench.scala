@@ -14,6 +14,17 @@ package graft
   * full evaluation (`write.format("noop")` semantics via
   * `queryExecution.toRdd.foreach`) so the measured plan is the same
   * plan Verify writes — a bare .count() can drop sorts/projections.
+  *
+  * Each query is executed TWICE and the minimum is reported
+  * (round 7). Rationale, measured on the round-7 box: identical
+  * plans swung up to 7× between back-to-back runs (e.g.
+  * dedup_contamination 0.9 s → 7.3 s) with zero CPU steal, zero
+  * iowait, GC pauses ≤140 ms, and only ~2 busy cores on average —
+  * i.e. sporadic hypervisor-level stalls, not plan cost. The min of
+  * two runs estimates steady-state plan cost, which is the quantity
+  * BASELINE.md rows record (same min-of-2 inside each baseline run;
+  * medians across three harness invocations). The per-query
+  * `jitter` map (max/min ratio) keeps the interference visible.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -43,13 +54,18 @@ object Bench {
     }
 
     val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val jitter = scala.collection.mutable.LinkedHashMap[String, Double]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      val t0 = System.nanoTime()
       try {
-        val df = fn(spark, sfDir)
-        df.write.format("noop").mode("overwrite").save()
-        timings(name) = (System.nanoTime() - t0) / 1e9
+        val runs = (1 to 2).map { _ =>
+          val t0 = System.nanoTime()
+          val df = fn(spark, sfDir)
+          df.write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        }
+        timings(name) = runs.min
+        jitter(name) = math.round(runs.max / runs.min * 100.0) / 100.0
       } catch {
         case e: Throwable =>
           errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
@@ -63,10 +79,11 @@ object Bench {
         case c => c.toString
       } + "\""
     val qs = timings.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
+    val js = jitter.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
     val es = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
     val total = timings.values.sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"n_ok":${timings.size},"n_err":${errors.size},"sf":${jstr(sfDir)}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"jitter":$js,"errors":$es,"n_ok":${timings.size},"n_err":${errors.size},"sf":${jstr(sfDir)}}"""
     println(line)
     java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_LOCAL.json"), line + "\n")
     spark.stop()

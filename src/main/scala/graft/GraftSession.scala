@@ -16,9 +16,49 @@ object GraftSession {
   private lazy val warehouseDir: String =
     java.nio.file.Files.createTempDirectory("graft-warehouse").toString
 
+  /** Local-mode scratch root for shuffle/spill files.
+    *
+    * In `local[*]` mode every shuffle write lands on
+    * `spark.local.dir` (default `/tmp`), which on a virtualized
+    * single-node box is a variable-latency virtio disk — round-6/7
+    * bench runs showed multi-second jitter on shuffle-heavy queries
+    * that tracked disk latency, not plan cost. When a RAM-backed
+    * tmpfs (`/dev/shm`) is present and writable we put local dirs
+    * there instead: single-node benchmarking measures the plan, not
+    * the hypervisor. Only applied for local masters — on a real
+    * cluster the resource manager provisions `spark.local.dir`
+    * (node-local SSDs) and overriding it would be wrong.
+    * `GRAFT_LOCAL_DIR` overrides the choice either way.
+    */
+  private[graft] lazy val localScratchRoot: Option[String] =
+    sys.env.get("GRAFT_LOCAL_DIR").orElse {
+      val shm = java.nio.file.Paths.get("/dev/shm")
+      if (java.nio.file.Files.isDirectory(shm) && java.nio.file.Files.isWritable(shm)) {
+        val d = java.nio.file.Files.createTempDirectory(shm, "graft-local-")
+        // Spark deletes its own subdirs on stop, racing this hook —
+        // the recursive delete must tolerate entries vanishing
+        // mid-walk (NoSuchFile surfaces as UncheckedIOException from
+        // the directory stream, not just IOException).
+        def rmTree(p: java.nio.file.Path): Unit = {
+          try {
+            if (java.nio.file.Files.isDirectory(p, java.nio.file.LinkOption.NOFOLLOW_LINKS)) {
+              val children = java.nio.file.Files.list(p)
+              try children.forEach(c => rmTree(c)) finally children.close()
+            }
+            java.nio.file.Files.deleteIfExists(p)
+          } catch {
+            case _: java.io.IOException | _: java.io.UncheckedIOException => ()
+          }
+          ()
+        }
+        Runtime.getRuntime.addShutdownHook(new Thread(() => rmTree(d), "graft-localdir-cleanup"))
+        Some(d.toString)
+      } else None
+    }
+
   def builder(master: String = s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]",
-              shufflePartitions: Int = 32): SparkSession.Builder =
-    SparkSession.builder()
+              shufflePartitions: Int = 32): SparkSession.Builder = {
+    val b = SparkSession.builder()
       .master(master)
       .appName("graft")
       // native codegen expressions (graft.functions.RollingHash*)
@@ -52,6 +92,10 @@ object GraftSession {
       // other's tables and leave stale locations for saveAsTable
       .config("spark.sql.warehouse.dir", warehouseDir)
       .config("spark.ui.enabled", "false")
+    // see localScratchRoot — local masters only
+    if (master.startsWith("local")) localScratchRoot.fold(b)(d => b.config("spark.local.dir", d))
+    else b
+  }
 
   def get(): SparkSession = {
     val spark = builder().getOrCreate()

@@ -37,10 +37,23 @@ private[graft] object Scratch {
       Files.deleteIfExists(p)
     } catch { case _: java.io.IOException => () } // best-effort on exit
 
-  /** A fresh scratch directory, deleted recursively at JVM exit. */
+  /** A fresh scratch directory, deleted recursively at JVM exit.
+    *
+    * Rooted in [[graft.GraftSession.localScratchRoot]] (RAM-backed
+    * tmpfs when available) for the same reason shuffle files are:
+    * checkpoint materializations are intermediate, JVM-scoped state
+    * whose durability requirement is "survives until the downstream
+    * scan", not "survives a crash" — paying variable virtio-disk
+    * latency for them measures the hypervisor, not the operator. On a
+    * cluster these would be `spark.local.dir`-style node-local paths
+    * or an explicit durable checkpoint location chosen by the caller.
+    */
   def dir(prefix: String): String = {
     ensureHook()
-    val p = Files.createTempDirectory(prefix)
+    val p = graft.GraftSession.localScratchRoot match {
+      case Some(root) => Files.createTempDirectory(java.nio.file.Paths.get(root), prefix)
+      case None       => Files.createTempDirectory(prefix)
+    }
     registered.add(p)
     p.toString
   }
