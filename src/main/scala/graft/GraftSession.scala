@@ -76,6 +76,17 @@ object GraftSession {
         ext.injectFunction(graft.functions.BloomFunctions.bloomMightContain)
       }
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      // TypedImperativeAggregates (minhash_sketch, hll_ndv, bloom_agg)
+      // run under ObjectHashAggregateExec, which falls back to
+      // SORT-based aggregation once a task sees more than 128 distinct
+      // groups (the Spark default) — i.e. every high-cardinality
+      // grouping (per-doc minhash signatures, per-hour HLL windows)
+      // silently pays a full per-partition sort. The graft sketch
+      // buffers are small (hll 2^8 B, minhash 128×8 B), so hashing
+      // 64k groups per task costs at most tens of MB — far cheaper
+      // than sorting the input. Past that, falling back is the right
+      // spill-safe behavior, so the threshold is raised, not disabled.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "65536")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
