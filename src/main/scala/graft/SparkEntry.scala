@@ -32,6 +32,7 @@ object SparkEntry {
     "sample_stratified"    -> ((s, d) => Etl.sampleStratified(s, d)),
     "sample_weighted"      -> ((s, d) => Etl.sampleWeighted(s, d)),
     "sample_cap_per_source" -> ((s, d) => Etl.sampleCapPerSource(s, d)),
+    "sample_holdout_split" -> ((s, d) => Etl.sampleHoldoutSplit(s, d)),
     "etl_scd2"             -> (Etl.scd2History(_, _)),
     // §2.2 analytics
     "q1_pricing_summary"   -> (Analytics.q1PricingSummary(_, _)),
@@ -51,6 +52,8 @@ object SparkEntry {
     "q_bloom_join"         -> ((s, d) => graft.operators.BloomJoin.qBloomJoin(s, d)),
     "layout_zorder"        -> (graft.operators.Layout.qZorderLayout(_, _)),
     "agg_approx_ndv"       -> (graft.operators.Sketches.aggApproxNdv(_, _)),
+    "agg_heavy_hitters"    -> (graft.operators.Sketches.aggHeavyHitters(_, _)),
+    "q_exact_quantiles"    -> (graft.operators.Quantiles.qExactQuantiles(_, _)),
     // §2.3 dedup
     "dedup_exact"            -> (Dedup.exact(_, _)),
     "dedup_exact_normalized" -> (Dedup.exactNormalized(_, _)),
@@ -106,6 +109,7 @@ object SparkEntry {
     "sample_stratified"    -> Etl.sampleStratifiedOracleSql,
     "sample_weighted"      -> Etl.sampleWeightedOracleSql,
     "sample_cap_per_source" -> Etl.sampleCapPerSourceOracleSql,
+    "sample_holdout_split" -> Etl.sampleHoldoutSplitOracleSql,
     "etl_scd2"             -> Etl.scd2OracleSql,
     "q1_pricing_summary"   -> Analytics.q1OracleSql,
     "q3_shipping_priority" -> Analytics.q3OracleSql,
@@ -128,6 +132,11 @@ object SparkEntry {
     // the HLL estimator replays bit-exactly: ordered register fold of
     // exact 2^-rho terms; ln() lookup table embedded from Scala
     "agg_approx_ndv"       -> graft.operators.Sketches.aggApproxNdvOracleSql,
+    // the CMS replays bit-exactly: poly_hash64 byte fold + per-row
+    // xxhash64 lanes with Scala-computed constant-lane seeds
+    "agg_heavy_hitters"    -> graft.operators.Sketches.aggHeavyHittersOracleSql,
+    // the histogram-refinement selection must equal the ranked sort
+    "q_exact_quantiles"    -> graft.operators.Quantiles.qExactQuantilesOracleSql,
     // §2.3 dedup
     "dedup_exact"            -> Dedup.exactOracleSql,
     // the minhash signature math replays bit-exactly in DuckDB

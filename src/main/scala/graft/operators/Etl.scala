@@ -312,6 +312,50 @@ object Etl {
        |      < (CASE source $cases ELSE $DefaultMixtureWeight END) * 4294967296.0""".stripMargin
   }
 
+  /** Permille fences for [[sampleHoldoutSplit]]: buckets 0-799 train,
+    * 800-899 validation, 900-999 test. */
+  val TrainPermille = 800
+  val ValPermille = 900
+
+  /** Deterministic held-out split assignment: every document gets a
+    * train/val/test label as a pure function of its key — the
+    * split-versioning contract an evaluation pipeline needs. Because
+    * the assignment is `keyHash32(doc_id) mod 1000` against fixed
+    * fences (not a rand() draw, not a row-position modulus), it is
+    * stable under corpus GROWTH: ingesting tomorrow's documents never
+    * migrates today's doc across the train/test fence, so a model
+    * trained on yesterday's train split is still honestly evaluated
+    * on today's test split. Same md5 hash family as the sampling
+    * operators, so one draw system governs every selection decision
+    * in the corpus pipeline (a doc sampled by [[sampleDeterministic]]
+    * keeps its split label in the sample).
+    *
+    * Plan shape: scan-bound projection — no shuffle, no aggregate,
+    * no state; at 100 TB this is a free column on the ingest pass.
+    * `split_bucket` rides along so downstream re-fencing (e.g.
+    * carving val into val+calibration) needs no re-hash. */
+  def sampleHoldoutSplitOn(docs: DataFrame, key: Column): DataFrame =
+    docs
+      .withColumn("split_bucket", keyHash32(key) % 1000)
+      .withColumn("split",
+        when(col("split_bucket") < TrainPermille, lit("train"))
+          .when(col("split_bucket") < ValPermille, lit("val"))
+          .otherwise(lit("test")))
+
+  /** Driver query (key `sample_holdout_split`). */
+  def sampleHoldoutSplit(spark: SparkSession, dir: String): DataFrame =
+    sampleHoldoutSplitOn(Tables.documents(spark, dir), col("doc_id"))
+      .select("doc_id", "source", "split_bucket", "split")
+
+  val sampleHoldoutSplitOracleSql: String =
+    s"""SELECT doc_id, source,
+       |  CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) % 1000 AS BIGINT)
+       |    AS split_bucket,
+       |  CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) % 1000 < $TrainPermille THEN 'train'
+       |       WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) % 1000 < $ValPermille THEN 'val'
+       |       ELSE 'test' END AS split
+       |FROM documents""".stripMargin
+
   /** Per-source document cap for [[sampleCapPerSource]]. */
   val SourceCap = 10
 

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.HllNdv
 import graft.sources.Tables
@@ -124,4 +124,135 @@ object Sketches {
   val windowedApproxNdvOracleSql: String =
     s"""WITH ${hllReplayCtes("date_trunc('hour', CAST(ts AS TIMESTAMP))", "window_start")}
        |SELECT window_start, ndv_approx AS ndv_users FROM est""".stripMargin
+
+  // --- Count-Min Sketch heavy hitters ---
+
+  /** CMS depth (independent hash rows) and width (2^bits counters per
+    * row). 4×1024 longs = 32 KB per sketch — the whole summary rides
+    * one broadcast regardless of corpus size. */
+  val CmsDepth = 4
+  val CmsWidthBits = 10
+  /** How many exact heavy hitters the driver query probes. */
+  val CmsTopK = 30
+
+  /** Per-row CMS bucket array for a 64-bit key hash `h`: row i's
+    * bucket is the top `CmsWidthBits` bits of `xxhash64(i, h)` — d
+    * independent codegen'd hash lanes, no multiply (ANSI-safe). */
+  private def cmsBuckets(h: Column): Column =
+    array((0 until CmsDepth).map(i =>
+      shiftrightunsigned(xxhash64(lit(i.toLong), h), 64 - CmsWidthBits)): _*)
+
+  /** Heavy hitters with Count-Min estimates beside exact counts.
+    *
+    * The sketch: term occurrence counts folded into a `CmsDepth` ×
+    * `2^CmsWidthBits` counter grid (`cell[i][g_i(term)] += count`);
+    * a term's estimate is `min_i cell[i][g_i(term)]` — an upper bound
+    * on the true count that two-sided-errors only through collisions
+    * (Cormode–Muthukrishnan). The driver query reports the estimate
+    * NEXT TO the exact count for the corpus's `topK` most frequent
+    * terms, so the oracle replays the estimator bit-for-bit and the
+    * output documents the accuracy achieved.
+    *
+    * Scale shape: one exploded-token scan feeds BOTH the exact
+    * vocabulary aggregate (vocab-sized shuffle, the same shape
+    * text_vocab carries) and the sketch (map-side partial grids make
+    * its shuffle `d·w` rows TOTAL, independent of corpus size). At
+    * 100 TB the exact column is the one you delete — the sketch plus
+    * a candidate stream replaces the second full vocabulary pass —
+    * and the grid is what you'd maintain incrementally per ingest
+    * batch (counter merge = elementwise sum).
+    *
+    * Determinism: buckets come from `poly_hash64(term)` pushed through
+    * d `xxhash64` lanes — both already replayed bit-exact by other
+    * oracles; counts are integers; ties at the topK cut break on the
+    * term string.
+    */
+  def aggHeavyHittersOn(docs: DataFrame, topK: Int = CmsTopK): DataFrame = {
+    import graft.functions.TextHashing
+    // vocab-sized and reused by three branches (grid, topK cut, probe)
+    // — persist like Dedup.persistedTrigramSets rather than re-derive
+    // the corpus explode per branch (the round-4 contamination lesson)
+    val termCounts = docs
+      .select(explode(TextHashing.words(col("text"))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("n_exact"))
+      .withColumn("buckets", cmsBuckets(call_function("poly_hash64", col("term"))))
+      .persist()
+    val cells = termCounts
+      .select(col("n_exact"), posexplode(col("buckets")).as(Seq("row", "bucket")))
+      .groupBy(col("row"), col("bucket"))
+      .agg(sum(col("n_exact")).as("cell"))
+    val top = termCounts.orderBy(col("n_exact").desc, col("term")).limit(topK)
+    top
+      .select(col("term"), col("n_exact"),
+        posexplode(col("buckets")).as(Seq("row", "bucket")))
+      .join(broadcast(cells), Seq("row", "bucket"))
+      .groupBy(col("term"), col("n_exact"))
+      .agg(min(col("cell")).as("cms_count"))
+      .withColumn("overcount", col("cms_count") - col("n_exact"))
+      .orderBy(col("n_exact").desc, col("term"))
+  }
+
+  /** Driver query over `documents` (key `agg_heavy_hitters`). */
+  def aggHeavyHitters(spark: SparkSession, dir: String): DataFrame =
+    aggHeavyHittersOn(Tables.documents(spark, dir))
+
+  /** Full DuckDB replay of the CMS. `poly_hash64(term)` is the
+    * Karp–Rabin byte fold ([[graft.functions.SqlReplay.polyFold]],
+    * proven byte-exact by the text_fingerprint oracle); each hash row
+    * `i` is Spark's two-lane `xxhash64(i, h)` — lane one is over the
+    * CONSTANT `i`, so its full avalanche collapses to a per-row seed
+    * computed here with Spark's own `XXH64.hashLong` and embedded as
+    * a literal (single source of truth), leaving ONE single-long
+    * XXH64 chain to replay with the seed as a column. */
+  val aggHeavyHittersOracleSql: String = {
+    import graft.functions.SqlReplay._
+    val two64 = Two64
+    val p1 = u(-7046029288634856825L); val p2 = u(-4417276706812531889L)
+    val p3 = u(1609587929392839161L)
+    val p4bi = u(-8796714831421723037L)
+    val P5 = 2870177450012600261L
+    val seedRows = (0 until CmsDepth).map { i =>
+      val init = org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashLong(i.toLong, 42L) + P5 + 8L
+      s"($i, CAST('${u(init)}' AS UBIGINT))"
+    }.mkString(",\n  ")
+    s"""WITH tc AS (
+       |  SELECT term, CAST(COUNT(*) AS BIGINT) AS n_exact
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+       |  GROUP BY term),
+       |tb AS (
+       |  SELECT term, n_exact, hex(encode(term)) AS hx,
+       |    octet_length(encode(term)) AS n
+       |  FROM tc),
+       |th AS (SELECT term, n_exact, ${polyFold(hexBytes("hx", "n"))} AS l FROM tb),
+       |seeds(i, init) AS (VALUES
+       |  $seedRows),
+       |pairs AS (SELECT term, n_exact, i, init, l FROM th CROSS JOIN seeds),
+       |x1 AS (SELECT term, n_exact, i, init, ${mulmod("l", p2)} AS k1 FROM pairs),
+       |x2 AS (SELECT term, n_exact, i, init, ${rotl("k1", 31)} AS k1 FROM x1),
+       |x3 AS (SELECT term, n_exact, i, init, ${mulmod("k1", p1)} AS k1 FROM x2),
+       |x4 AS (SELECT term, n_exact, i, xor(init, k1) AS h FROM x3),
+       |x5 AS (SELECT term, n_exact, i,
+       |  CAST((CAST(${mulmod(rotl("h", 27), p1)} AS HUGEINT)
+       |        + $p4bi) % $two64 AS UBIGINT) AS h FROM x4),
+       |x6 AS (SELECT term, n_exact, i, xor(h, h >> 33) AS h FROM x5),
+       |x7 AS (SELECT term, n_exact, i, ${mulmod("h", p2)} AS h FROM x6),
+       |x8 AS (SELECT term, n_exact, i, xor(h, h >> 29) AS h FROM x7),
+       |x9 AS (SELECT term, n_exact, i, ${mulmod("h", p3)} AS h FROM x8),
+       |bk AS (SELECT term, n_exact, i,
+       |  CAST(xor(h, h >> 32) >> ${64 - CmsWidthBits} AS BIGINT) AS bucket FROM x9),
+       |cells AS (
+       |  SELECT i, bucket, CAST(SUM(n_exact) AS BIGINT) AS cell
+       |  FROM bk GROUP BY 1, 2),
+       |top AS (SELECT term FROM tc ORDER BY n_exact DESC, term LIMIT $CmsTopK),
+       |est AS (
+       |  SELECT b.term, b.n_exact, MIN(c.cell) AS cms_count
+       |  FROM bk b
+       |  JOIN top t ON t.term = b.term
+       |  JOIN cells c ON c.i = b.i AND c.bucket = b.bucket
+       |  GROUP BY 1, 2)
+       |SELECT term, n_exact, cms_count, cms_count - n_exact AS overcount
+       |FROM est
+       |ORDER BY n_exact DESC, term""".stripMargin
+  }
 }

@@ -266,4 +266,21 @@ class PlanSpec extends SparkSpecBase {
       "ObjectHashAggregate".r.findAllIn(p).size >= 2,
       s"no partial sketch pass before the exchange:\n$p")
   }
+
+  test("cms heavy hitters: grid is broadcast to the probe; no cartesian") {
+    val df = graft.operators.Sketches.aggHeavyHitters(spark, sfDir)
+    val p = plan(df)
+    assert(p.contains("BroadcastHashJoin"),
+      s"the d×w counter grid must ride a broadcast, not an exchange:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("holdout split is a scan-bound projection — zero exchanges") {
+    val df = Etl.sampleHoldoutSplit(spark, sfDir)
+    val p = plan(df)
+    assert(!p.contains("Exchange"), s"split assignment must not shuffle:\n$p")
+    val fp = finalPlan(Etl.sampleHoldoutSplit(spark, sfDir))
+    assert(fp.contains("WholeStageCodegen") || fp.contains("*("),
+      "split projection fell out of codegen")
+  }
 }

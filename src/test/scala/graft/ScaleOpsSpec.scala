@@ -186,4 +186,95 @@ class ScaleOpsSpec extends SparkSpecBase {
     assert(r1.getLong(r1.fieldIndex("dup_tokens")) == 20,
       "the two overlapping halves must merge to the full 20-token span")
   }
+
+  // --- CMS heavy hitters ------------------------------------------------
+
+  test("cms heavy hitters: estimates upper-bound exact counts; overcount is their gap") {
+    val rows = Sketches.aggHeavyHitters(spark, sfDir).collect()
+    assert(rows.length == Sketches.CmsTopK)
+    rows.foreach { r =>
+      val exact = r.getLong(r.fieldIndex("n_exact"))
+      val est = r.getLong(r.fieldIndex("cms_count"))
+      assert(est >= exact, s"CMS must never undercount: $r")
+      assert(r.getLong(r.fieldIndex("overcount")) == est - exact)
+    }
+    // 4×1024 counters over a tiny-sf vocabulary: collision mass cannot
+    // hit all d rows of every top term — some estimates must be exact
+    assert(rows.count(r => r.getLong(r.fieldIndex("overcount")) == 0L) > 0,
+      "no top term came out collision-free — sketch wiring suspect")
+  }
+
+  test("cms heavy hitters: partitioning-independent (grid merge is a plain sum)") {
+    val docs = sources.Tables.documents(spark, sfDir)
+    val a = Sketches.aggHeavyHittersOn(docs).collect().toSeq
+    val b = Sketches.aggHeavyHittersOn(docs.repartition(7, col("doc_id"))).collect().toSeq
+    assert(a == b)
+  }
+
+  // --- exact quantiles --------------------------------------------------
+
+  test("exact quantiles: match the sorted order statistics of the driver table") {
+    val got = operators.Quantiles.qExactQuantiles(spark, sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getTimestamp(2)))).toMap
+    val vals = sources.Tables.lineitem(spark, sfDir)
+      .select(col("l_shipdate").cast("timestamp").as("ts"))
+      .orderBy(col("ts")).collect().map(_.getTimestamp(0))
+    val n = vals.length.toLong
+    operators.Quantiles.Targets.foreach { case (name, num, den) =>
+      val k = (n * num + den - 1) / den
+      assert(got(name)._1 == k, s"$name rank")
+      assert(got(name)._2 == vals(k.toInt - 1), s"$name value")
+    }
+  }
+
+  test("exact quantiles engine: random corpora — duplicates, negatives, wide ranges, tiny n") {
+    val rnd = new scala.util.Random(20260813L)
+    val cases = Seq(
+      Array.fill(1)(rnd.nextLong() >> 2),                    // n = 1
+      Array.fill(2)(rnd.nextLong() >> 2),                    // n = 2
+      Array.fill(300)(rnd.nextInt(7).toLong - 3L),           // dup-heavy tiny domain, negatives
+      Array.fill(1000)(rnd.nextLong() % 1000000L),           // mixed-sign medium domain
+      Array.fill(500)(rnd.nextLong() >> 2))                  // ~2^62 span
+    cases.foreach { vals =>
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(vals.toSeq.map(org.apache.spark.sql.Row(_)), 3),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("t", org.apache.spark.sql.types.LongType))))
+      val got = operators.Quantiles.exactTickQuantiles(df, "t")
+        .map { case (q, k, v) => q -> ((k, v)) }.toMap
+      val sorted = vals.sorted
+      val n = vals.length.toLong
+      operators.Quantiles.Targets.foreach { case (name, num, den) =>
+        val k = (n * num + den - 1) / den
+        assert(got(name) == ((k, sorted(k.toInt - 1))), s"$name over n=$n")
+      }
+    }
+    // empty input: no order statistics, not a crash
+    val empty = spark.range(0).select(col("id").as("t"))
+    assert(operators.Quantiles.exactTickQuantiles(empty.toDF(), "t").isEmpty)
+  }
+
+  // --- holdout split ----------------------------------------------------
+
+  test("holdout split: total labeling, fences respected, stable under corpus growth") {
+    val docs = sources.Tables.documents(spark, sfDir)
+    val all = operators.Etl.sampleHoldoutSplitOn(docs, col("doc_id"))
+      .select(col("doc_id"), col("split_bucket"), col("split")).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(all.size == docs.count(), "every document must receive a label")
+    all.values.foreach { case (b, s) =>
+      assert(b >= 0 && b < 1000)
+      val expect = if (b < operators.Etl.TrainPermille) "train"
+                   else if (b < operators.Etl.ValPermille) "val" else "test"
+      assert(s == expect)
+    }
+    val trainFrac = all.values.count(_._2 == "train").toDouble / all.size
+    assert(trainFrac > 0.7 && trainFrac < 0.9, s"train fraction $trainFrac")
+    // growth stability: labels computed over a sub-corpus agree with the
+    // full corpus — no doc migrates across a fence when data arrives
+    operators.Etl.sampleHoldoutSplitOn(
+        docs.filter(col("doc_id") % 2 === 0), col("doc_id"))
+      .select(col("doc_id"), col("split")).collect()
+      .foreach(r => assert(all(r.getLong(0))._2 == r.getString(1)))
+  }
 }
