@@ -118,7 +118,12 @@ object ScaleCheck {
       run("q_bloom_join", operators.BloomJoin.qBloomJoin(spark, dir)),
       run("agg_approx_ndv", operators.Sketches.aggApproxNdv(spark, dir)),
       run("layout_zorder", operators.Layout.qZorderLayout(spark, dir)),
-      run("dedup_substring_spans", operators.SubstringSpans.substringSpans(spark, dir)))
+      run("dedup_substring_spans", operators.SubstringSpans.substringSpans(spark, dir)),
+      // round-7 additions (second batch): CMS grid, histogram-refine
+      // quantiles, split assignment
+      run("agg_heavy_hitters", operators.Sketches.aggHeavyHitters(spark, dir)),
+      run("q_exact_quantiles", operators.Quantiles.qExactQuantiles(spark, dir)),
+      run("sample_holdout_split", operators.Etl.sampleHoldoutSplit(spark, dir)))
 
     // end-to-end per-ds pipeline (normalize + DQ + staged write + L2
     // merge) — the unit of work the reference DAG runs per day

@@ -85,12 +85,14 @@ object SparkEntry {
     // §2.6 multimodal
     "mm_binary_meta"     -> (Multimodal.binaryMeta(_, _)),
     "mm_feature_extract" -> (Multimodal.featureExtract(_, _)),
+    "mm_frame_sample"    -> (Multimodal.frameSample(_, _)),
     // §2.7 streaming (batch twins of the shared transforms; the
     // streaming forms run in StreamingSpec via MemoryStream)
     "stream_windowed_agg" -> (graft.streaming.Streams.windowedAggBatch(_, _)),
     "stream_dedupe"       -> (graft.streaming.Streams.keepFirstBatch(_, _)),
     "stream_sessionize"   -> (graft.streaming.Streams.sessionizeBatch(_, _)),
-    "stream_approx_ndv"   -> (graft.streaming.Streams.windowedApproxNdvBatch(_, _))
+    "stream_approx_ndv"   -> (graft.streaming.Streams.windowedApproxNdvBatch(_, _)),
+    "stream_enrich"       -> (graft.streaming.Streams.enrichBatch(_, _))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -176,6 +178,9 @@ object SparkEntry {
     // §2.6 multimodal
     "mm_binary_meta"     -> Multimodal.binaryMetaOracleSql,
     "mm_feature_extract" -> Multimodal.featureExtractOracleSql,
+    // the frame grid + poly_hash64-over-BINARY fingerprint replay
+    // through the shared Karp-Rabin byte-fold fragments
+    "mm_frame_sample"    -> Multimodal.frameSampleOracleSql,
     // §2.7 streaming batch twins
     "stream_windowed_agg" -> graft.streaming.Streams.windowedAggOracleSql,
     "stream_dedupe"       -> graft.streaming.Streams.keepFirstOracleSql,
@@ -184,6 +189,9 @@ object SparkEntry {
     "stream_sessionize"   -> Analytics.qEventsSessionizeOracleSql,
     // per-hour HLL replay, same single-source CTE pipeline as
     // agg_approx_ndv keyed by the window start
-    "stream_approx_ndv"   -> graft.operators.Sketches.windowedApproxNdvOracleSql
+    "stream_approx_ndv"   -> graft.operators.Sketches.windowedApproxNdvOracleSql,
+    // stream-static broadcast enrichment: stateless by construction,
+    // the batch body and the streaming body are the same function
+    "stream_enrich"       -> graft.streaming.Streams.enrichOracleSql
   )
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, UnaryExpression}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StringType}
+import org.apache.spark.sql.types.{BinaryType, DataType, IntegerType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** 64-bit polynomial (Karp–Rabin) hashing over UTF-8 bytes, shared by
@@ -54,25 +54,34 @@ object RollingHash {
   }
 }
 
-/** `poly_hash64(text)`: 64-bit polynomial content fingerprint.
-  * Catalyst expression with doGenCode — the generated code calls the
-  * shared static hasher on the UTF8String bytes, one virtual-call-free
-  * statement inside the consuming operator's codegen body. */
+/** `poly_hash64(text | binary)`: 64-bit polynomial content
+  * fingerprint. Catalyst expression with doGenCode — the generated
+  * code calls the shared static hasher on the UTF-8 bytes (STRING) or
+  * the raw payload bytes (BINARY — e.g. media frame slices, where the
+  * bytes are NOT valid UTF-8 and must never round-trip a string), one
+  * virtual-call-free statement inside the consuming operator's codegen
+  * body. */
 case class PolyHash64(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
   override def prettyName: String = "poly_hash64"
 
   override def checkInputDataTypes(): TypeCheckResult =
-    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    if (child.dataType == StringType || child.dataType == BinaryType)
+      TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"poly_hash64 requires STRING input, got ${child.dataType.sql}")
+      s"poly_hash64 requires STRING or BINARY input, got ${child.dataType.sql}")
 
-  protected override def nullSafeEval(input: Any): Any =
-    RollingHash.polyHash(input.asInstanceOf[UTF8String].getBytes)
+  protected override def nullSafeEval(input: Any): Any = input match {
+    case s: UTF8String => RollingHash.polyHash(s.getBytes)
+    case b: Array[Byte] => RollingHash.polyHash(b)
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c =>
-      s"graft.functions.RollingHash.polyHash($c.getBytes())")
+    if (child.dataType == BinaryType)
+      defineCodeGen(ctx, ev, c => s"graft.functions.RollingHash.polyHash($c)")
+    else
+      defineCodeGen(ctx, ev, c =>
+        s"graft.functions.RollingHash.polyHash($c.getBytes())")
 
   override protected def withNewChildInternal(newChild: Expression): PolyHash64 =
     copy(child = newChild)

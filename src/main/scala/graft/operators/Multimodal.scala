@@ -118,6 +118,72 @@ object Multimodal {
     }.toDF("doc_id", "n_bytes", "width", "height", "features")
   }
 
+  /** Stub frame geometry for [[frameSample]]: the payload is treated
+    * as a raw concatenation of fixed-size frames. A real container
+    * (mp4/mkv) needs a demuxer here — the STUB is the layout, not the
+    * plumbing. */
+  val FrameBytes = 64
+  /** Keep every `FrameStride`-th frame — the standard video
+    * preprocessing cut (temporal subsampling before encode/caption). */
+  val FrameStride = 4
+
+  /** Strided frame sampling over a binary container column: derive
+    * the frame count from the payload size, keep frames
+    * `0, stride, 2·stride, …`, and emit one row per KEPT frame with
+    * its byte offset and a 64-bit content fingerprint of the frame
+    * slice (`poly_hash64` over BINARY — frame bytes are not UTF-8 and
+    * never round-trip a string). Downstream stages treat the row
+    * stream exactly like a decoded-image corpus: dedup on `frame_fp64`,
+    * batch-decode with [[featureExtract]]'s mapPartitions shape.
+    *
+    * Scale shape: a pure generator expansion (`explode(sequence(…))`)
+    * — shuffle-free, codegen end-to-end; fan-out is `n_frames/stride`
+    * rows per payload, each a fixed-width projection. Only FULL frames
+    * count (`n_frames = n_bytes div FrameBytes`) so every emitted
+    * slice is exactly `FrameBytes` long, and payloads shorter than one
+    * frame yield zero rows, not a ragged tail. */
+  def frameSampleOn(docs: DataFrame, frameBytes: Int = FrameBytes,
+                    stride: Int = FrameStride): DataFrame =
+    docs
+      .select(col("doc_id"), col("text").cast("binary").as("content"))
+      .withColumn("n_frames", expr(s"octet_length(content) div $frameBytes"))
+      .filter(col("n_frames") > 0)
+      .select(col("doc_id"), col("n_frames"), col("content"),
+        explode(sequence(lit(0), (col("n_frames") - 1).cast("int"),
+          lit(stride))).as("frame_idx"))
+      .withColumn("frame_offset", (col("frame_idx") * frameBytes).cast("bigint"))
+      .withColumn("frame_fp64", call_function("poly_hash64",
+        expr(s"substring(content, frame_offset + 1, $frameBytes)")))
+      .select("doc_id", "n_frames", "frame_idx", "frame_offset", "frame_fp64")
+
+  /** Driver query (key `mm_frame_sample`). */
+  def frameSample(spark: SparkSession, dir: String): DataFrame =
+    frameSampleOn(Tables.documents(spark, dir))
+
+  /** Oracle: same frame grid in SQL; the fingerprint replays through
+    * the shared Karp–Rabin byte fold over the hex-decoded slice. */
+  val frameSampleOracleSql: String = {
+    import graft.functions.SqlReplay._
+    s"""WITH b AS (
+       |  SELECT doc_id, hex(encode(text)) AS hx,
+       |    octet_length(encode(text)) AS n FROM documents
+       |), by AS (
+       |  SELECT doc_id, CAST(n // $FrameBytes AS BIGINT) AS n_frames,
+       |    ${hexBytes("hx", "n")} AS bytes
+       |  FROM b WHERE n >= $FrameBytes
+       |), fr AS (
+       |  SELECT doc_id, n_frames,
+       |    CAST(unnest(generate_series(0, n_frames - 1, $FrameStride)) AS INTEGER) AS frame_idx,
+       |    bytes
+       |  FROM by
+       |)
+       |SELECT doc_id, n_frames, frame_idx,
+       |  CAST(frame_idx * $FrameBytes AS BIGINT) AS frame_offset,
+       |  ${toSigned(polyFold(s"list_slice(bytes, frame_idx * $FrameBytes + 1, (frame_idx + 1) * $FrameBytes)"))}
+       |    AS frame_fp64
+       |FROM fr""".stripMargin
+  }
+
   /** DuckDB replay of the stub decode: UTF-8 bytes via hex pairs,
     * per-lane strided fold with explicit mod-2^64 wrap (HUGEINT), then
     * the same (h mod 1000)/1000 division. Validated byte-exact against

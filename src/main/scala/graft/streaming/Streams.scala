@@ -74,6 +74,56 @@ object Streams {
   def windowedApproxNdvBatch(spark: SparkSession, dir: String): DataFrame =
     windowedApproxNdv(Tables.events(spark, dir))
 
+  /** Stream-static ENRICHMENT: join each event against a precomputed
+    * per-user profile dim — the canonical "attach the user table to
+    * the click stream" shape. In Structured Streaming a stream⋈static
+    * inner/left join is stateless: the static side is broadcast (or
+    * re-read per micro-batch if it changes), NO state store grows, so
+    * this is the scale-safe way to decorate an unbounded stream with
+    * dimension attributes. The SAME transform body runs in batch
+    * (what the oracle checks) and over `readStream` (StreamingSpec).
+    *
+    * Derived columns stay in integer microseconds (`div` seconds) so
+    * both engines agree bit-for-bit. */
+  def enrichWithProfile(events: DataFrame, profile: DataFrame): DataFrame =
+    events
+      .join(broadcast(profile), Seq("user_id"), "left")
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"), col("first_seen"), col("n_user_events"),
+        expr("(unix_micros(ts) - unix_micros(first_seen)) div 1000000")
+          .as("sec_since_first"))
+
+  /** The profile dim: first-seen instant + event count per user,
+    * computed from history (in production: read from the curated
+    * zone; the aggregate IS that curation). */
+  def userProfile(events: DataFrame): DataFrame =
+    events.groupBy(col("user_id"))
+      .agg(min(col("ts")).as("first_seen"),
+        count(lit(1)).as("n_user_events"))
+
+  /** Batch entry (queries key `stream_enrich`). */
+  def enrichBatch(spark: SparkSession, dir: String): DataFrame = {
+    val events = Tables.events(spark, dir)
+    enrichWithProfile(events, userProfile(events))
+  }
+
+  /** Streaming form: the profile df must be STATIC (a snapshot read);
+    * joining two streams would need watermarked state — different
+    * operator, different guarantees. */
+  def enrichStream(eventsStream: DataFrame, profileStatic: DataFrame): DataFrame =
+    enrichWithProfile(eventsStream, profileStatic)
+
+  val enrichOracleSql: String =
+    """WITH p AS (
+      |  SELECT user_id, MIN(CAST(ts AS TIMESTAMP)) AS first_seen,
+      |    COUNT(*) AS n_user_events
+      |  FROM events GROUP BY 1)
+      |SELECT e.event_id, CAST(e.ts AS TIMESTAMP) AS ts, e.user_id,
+      |  e.event_type, e.value, p.first_seen, p.n_user_events,
+      |  (epoch_us(CAST(e.ts AS TIMESTAMP)) - epoch_us(p.first_seen)) // 1000000
+      |    AS sec_since_first
+      |FROM events e LEFT JOIN p USING (user_id)""".stripMargin
+
   /** Keep-FIRST dedupe key and its deterministic batch order. */
   private val dedupeKey = Seq("user_id", "event_type", "event_date")
 

@@ -79,4 +79,32 @@ class MultimodalSpec extends SparkSpecBase {
       }
     }
   }
+
+  test("frame sample: strided grid, exact offsets, fingerprints match the slice bytes") {
+    import spark.implicits._
+    // payloads with known byte lengths incl. a sub-frame one (0 rows)
+    // and a non-UTF-8-safe boundary (multibyte char straddles a cut)
+    val docs = Seq(
+      (1L, "a" * 300),                      // 4 full frames -> idx 0
+      (2L, "b" * 512),                      // 8 full frames -> idx 0, 4
+      (3L, "c" * 63),                       // shorter than one frame
+      (4L, ("é" * 100) + ("x" * 100))       // 300 bytes, cuts inside é pairs
+    ).toDF("doc_id", "text")
+    val out = Multimodal.frameSampleOn(docs).collect()
+      .map(r => (r.getLong(0), r.getInt(2)) ->
+        ((r.getLong(1), r.getLong(3), r.getLong(4)))).toMap
+    assert(!out.keys.exists(_._1 == 3L), "sub-frame payload must emit no rows")
+    assert(out.keys.count(_._1 == 1L) == 1 && out.contains((1L, 0)))
+    assert(out.keys.count(_._1 == 2L) == 2 &&
+      out.contains((2L, 0)) && out.contains((2L, 4)))
+    out.foreach { case ((id, idx), (nf, off, fp)) =>
+      assert(off == idx.toLong * Multimodal.FrameBytes)
+      val bytes = docs.filter(col("doc_id") === id).head().getString(1)
+        .getBytes("UTF-8")
+      assert(nf == bytes.length / Multimodal.FrameBytes)
+      val slice = bytes.slice(off.toInt, off.toInt + Multimodal.FrameBytes)
+      assert(fp == graft.functions.RollingHash.polyHash(slice),
+        s"fingerprint mismatch for doc $id frame $idx")
+    }
+  }
 }

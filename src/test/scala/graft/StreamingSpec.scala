@@ -240,4 +240,40 @@ class StreamingSpec extends SparkSpecBase {
       assert(batch.exceptAll(streamed).count() == 0)
     } finally q.stop()
   }
+
+  test("stream-static enrich: stream equals batch; unknown users survive the left join") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val history = Seq(
+      (1L, ts("2024-01-01 08:00:00"), 7L, "click", 1.0),
+      (2L, ts("2024-01-01 09:00:00"), 7L, "view", 2.0),
+      (3L, ts("2024-01-01 10:00:00"), 9L, "click", 3.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val profile = Streams.userProfile(history)
+    val live = Seq(
+      (4L, ts("2024-01-02 08:30:00"), 7L, "click", 4.0),
+      (5L, ts("2024-01-02 09:30:00"), 42L, "view", 5.0)) // unseen user
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val q = Streams.enrichStream(
+        mem.toDF.toDF("event_id", "ts", "user_id", "event_type", "value"), profile)
+      .writeStream.format("memory").queryName("enr").outputMode("append").start()
+    try {
+      mem.addData(live)
+      q.processAllAvailable()
+      val streamed = spark.table("enr")
+      val batch = Streams.enrichWithProfile(
+        live.toDF("event_id", "ts", "user_id", "event_type", "value"), profile)
+      assert(streamed.count() == 2)
+      assert(streamed.exceptAll(batch).count() == 0)
+      assert(batch.exceptAll(streamed).count() == 0)
+      // the unseen user keeps its event, with null profile columns
+      val unknown = streamed.filter(col("user_id") === 42L).head()
+      assert(unknown.isNullAt(unknown.fieldIndex("first_seen")))
+      assert(unknown.isNullAt(unknown.fieldIndex("sec_since_first")))
+      // the known user's enrichment is computed against HISTORY
+      val known = streamed.filter(col("user_id") === 7L).head()
+      assert(known.getTimestamp(known.fieldIndex("first_seen")) == ts("2024-01-01 08:00:00"))
+      assert(known.getLong(known.fieldIndex("sec_since_first")) == 88200L)
+    } finally q.stop()
+  }
 }
