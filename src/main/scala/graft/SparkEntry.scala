@@ -34,6 +34,7 @@ object SparkEntry {
     "sample_cap_per_source" -> ((s, d) => Etl.sampleCapPerSource(s, d)),
     "sample_holdout_split" -> ((s, d) => Etl.sampleHoldoutSplit(s, d)),
     "etl_scd2"             -> (Etl.scd2History(_, _)),
+    "etl_cdc_apply"        -> (Etl.cdcApply(_, _)),
     // §2.2 analytics
     "q1_pricing_summary"   -> (Analytics.q1PricingSummary(_, _)),
     "q3_shipping_priority" -> (Analytics.q3ShippingPriority(_, _)),
@@ -54,6 +55,7 @@ object SparkEntry {
     "agg_approx_ndv"       -> (graft.operators.Sketches.aggApproxNdv(_, _)),
     "agg_heavy_hitters"    -> (graft.operators.Sketches.aggHeavyHitters(_, _)),
     "q_exact_quantiles"    -> (graft.operators.Quantiles.qExactQuantiles(_, _)),
+    "agg_hist_quantiles"   -> (graft.operators.Quantiles.aggHistQuantiles(_, _)),
     // §2.3 dedup
     "dedup_exact"            -> (Dedup.exact(_, _)),
     "dedup_exact_normalized" -> (Dedup.exactNormalized(_, _)),
@@ -80,6 +82,7 @@ object SparkEntry {
     "text_repetition"  -> (TextAnalysis.textRepetition(_, _)),
     "text_pii_scrub"   -> (TextAnalysis.textPiiScrub(_, _)),
     "text_vocab"       -> ((s, d) => TextAnalysis.textVocab(s, d)),
+    "text_lm_score"    -> (TextAnalysis.textLmScore(_, _)),
     "pack_sequences"   -> ((s, d) => graft.operators.TrainPrep.packSequences(s, d)),
     "text_chunk"       -> ((s, d) => graft.operators.TrainPrep.chunkDocuments(s, d)),
     // §2.6 multimodal
@@ -92,7 +95,8 @@ object SparkEntry {
     "stream_dedupe"       -> (graft.streaming.Streams.keepFirstBatch(_, _)),
     "stream_sessionize"   -> (graft.streaming.Streams.sessionizeBatch(_, _)),
     "stream_approx_ndv"   -> (graft.streaming.Streams.windowedApproxNdvBatch(_, _)),
-    "stream_enrich"       -> (graft.streaming.Streams.enrichBatch(_, _))
+    "stream_enrich"       -> (graft.streaming.Streams.enrichBatch(_, _)),
+    "stream_join"         -> (graft.streaming.Streams.attributeClicksBatch(_, _))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -113,6 +117,8 @@ object SparkEntry {
     "sample_cap_per_source" -> Etl.sampleCapPerSourceOracleSql,
     "sample_holdout_split" -> Etl.sampleHoldoutSplitOracleSql,
     "etl_scd2"             -> Etl.scd2OracleSql,
+    // keep-latest generalized to tombstone-bearing change feeds
+    "etl_cdc_apply"        -> Etl.cdcApplyOracleSql,
     "q1_pricing_summary"   -> Analytics.q1OracleSql,
     "q3_shipping_priority" -> Analytics.q3OracleSql,
     "q5_local_supplier"    -> Analytics.q5OracleSql,
@@ -139,6 +145,8 @@ object SparkEntry {
     "agg_heavy_hitters"    -> graft.operators.Sketches.aggHeavyHittersOracleSql,
     // the histogram-refinement selection must equal the ranked sort
     "q_exact_quantiles"    -> graft.operators.Quantiles.qExactQuantilesOracleSql,
+    // the one-pass histogram sketch replays as the same integer grid
+    "agg_hist_quantiles"   -> graft.operators.Quantiles.aggHistQuantilesOracleSql,
     // §2.3 dedup
     "dedup_exact"            -> Dedup.exactOracleSql,
     // the minhash signature math replays bit-exactly in DuckDB
@@ -173,6 +181,8 @@ object SparkEntry {
     "text_repetition" -> TextAnalysis.textRepetitionOracleSql,
     "text_pii_scrub"  -> TextAnalysis.textPiiScrubOracleSql,
     "text_vocab"      -> TextAnalysis.textVocabOracleSql,
+    // exact-integer unigram scoring, one final division
+    "text_lm_score"   -> TextAnalysis.textLmScoreOracleSql,
     "pack_sequences"  -> graft.operators.TrainPrep.packSequencesOracleSql,
     "text_chunk"      -> graft.operators.TrainPrep.chunkDocumentsOracleSql,
     // §2.6 multimodal
@@ -192,6 +202,10 @@ object SparkEntry {
     "stream_approx_ndv"   -> graft.operators.Sketches.windowedApproxNdvOracleSql,
     // stream-static broadcast enrichment: stateless by construction,
     // the batch body and the streaming body are the same function
-    "stream_enrich"       -> graft.streaming.Streams.enrichOracleSql
+    "stream_enrich"       -> graft.streaming.Streams.enrichOracleSql,
+    // stream-stream interval join: the batch twin is the same join
+    // body, so one oracle checks both modes (StreamingSpec drives the
+    // watermarked form)
+    "stream_join"         -> graft.streaming.Streams.attributeClicksOracleSql
   )
 }

@@ -442,6 +442,37 @@ object Etl {
       |    AS is_current
       |FROM c""".stripMargin
 
+  /** The tombstone op for [[cdcApply]]'s driver mapping: an `error`
+    * event is read as the account-closed signal for its user. */
+  val CdcDeleteType = "error"
+
+  /** CDC changelog apply (key `etl_cdc_apply`): the event log read as
+    * a change feed over the per-user profile row — each event is an
+    * upsert of that user's latest state, except [[CdcDeleteType]]
+    * events, which are tombstones. The snapshot keeps, per user, the
+    * latest change by (ts, event_id) unless that change is a delete —
+    * exactly what applying a Postgres logical-decoding feed to the L2
+    * zone means (the reference reloads L1 per ds instead because its
+    * feed is upsert-only; see [[Merge.applyChangelog]]).
+    *
+    * Plan shape: one shuffle on user_id + one window pass; the
+    * tombstone filter touches only the one surviving row per key. */
+  def cdcApply(spark: SparkSession, dir: String): DataFrame =
+    Merge.applyChangelog(
+        Tables.events(spark, dir),
+        keys = Seq(col("user_id")),
+        orderCol = col("ts"), tiebreak = col("event_id"),
+        opCol = col("event_type"), deleteOp = CdcDeleteType)
+      .select("user_id", "event_id", "ts", "event_type", "value")
+
+  val cdcApplyOracleSql: String =
+    s"""SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value
+       |FROM (
+       |  SELECT *, ROW_NUMBER() OVER (
+       |    PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+       |  FROM events) t
+       |WHERE rn = 1 AND event_type <> '$CdcDeleteType'""".stripMargin
+
   /** Source timezone for normalizeTz — the reference pipeline's own
     * data locale (open-meteo Jakarta extracts). Deliberately DST-free
     * so the oracle comparison is tz-database-independent; DST edge

@@ -38,6 +38,26 @@ object Merge {
                 orderCol: Column, tiebreak: Column): DataFrame =
     dedupeByKey(df, keys, Seq(orderCol.asc, tiebreak.asc))
 
+  /** CDC changelog apply: collapse an ordered change feed carrying
+    * upserts AND DELETES to the current snapshot — the generalization
+    * of [[keepLatest]] to real change-data-capture input. The
+    * reference's L2 upsert (upsert_l2_for_ds.sql:7-33) assumes an
+    * append/upsert-only feed; a logical-decoding feed (the natural
+    * 100 TB replacement for its per-ds Postgres reloads) also carries
+    * tombstones, and applying one is: keep the latest change per key
+    * by (orderCol, tiebreak); if that change is the delete op, the key
+    * leaves the snapshot entirely.
+    *
+    * Same single shuffle + one window pass as keepLatest — the
+    * tombstone filter is a post-window projection on the one surviving
+    * row per key, so deletes cost nothing extra. Re-inserts after a
+    * delete behave correctly by construction (latest change wins). */
+  def applyChangelog(df: DataFrame, keys: Seq[Column], orderCol: Column,
+                     tiebreak: Column, opCol: Column, deleteOp: String): DataFrame =
+    keepLatest(df, keys, orderCol, tiebreak)
+      // null-safe: a null op is an upsert, not a tombstone
+      .filter(!(opCol <=> lit(deleteOp)))
+
   /** SCD type-2 history build: where [[keepLatest]] keeps only the
     * newest state per key (the reference's L2 upsert), this keeps the
     * FULL state history as validity intervals — each run of equal

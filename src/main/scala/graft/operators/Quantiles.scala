@@ -152,6 +152,110 @@ object Quantiles {
         timestamp_micros(col("ship_us")).as("value"))
   }
 
+  /** ONE-PASS bounded-error quantiles — the sketch companion to
+    * [[exactTickQuantiles]]. Where the exact operator iterates
+    * `log_Bins(range)` scans to pin the order statistic to a single
+    * tick, this stops after the FIRST histogram round and reports the
+    * bucket each rank falls in: `[value_lo, value_hi]` with guaranteed
+    * width ≤ `ceil(range/Bins)` — for a year of microsecond timestamps
+    * at 1024 bins, ±4.3 hours, from exactly one data scan. The
+    * per-bucket count grid is order-independent and mergeable
+    * (elementwise sum), the same property that makes the HLL/CMS
+    * sketches in [[Sketches]] shuffle-light: the exchange carries at
+    * most `Bins` partial counts per partition, independent of data
+    * size.
+    *
+    * The rank→bucket selection runs distributed: a running-count
+    * window over the ≤`Bins`-row bucket table (bounded exactly like
+    * the bin walk the exact operator does driver-side) joined to the
+    * rank targets — each rank matches the unique bucket where the
+    * cumulative count first reaches it. Only the (n, min, max) scalar
+    * probe touches the driver. */
+  def histQuantiles(df: DataFrame, tickCol: String,
+                    targets: Seq[(String, Long, Long)] = Targets,
+                    bins: Long = Bins): DataFrame = {
+    val spark = df.sparkSession
+    val ticks = df.select(col(tickCol).as("t")).filter(col("t").isNotNull)
+    val head = ticks.agg(
+      count(col("t")).as("n"), min(col("t")).as("mn"), max(col("t")).as("mx"))
+      .collect()(0)
+    val outSchema = StructType(Seq(
+      StructField("quantile", StringType, nullable = false),
+      StructField("rank_k", LongType, nullable = false)))
+    if (head.isNullAt(1))
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], outSchema)
+        .withColumn("lo_tick", lit(null).cast(LongType))
+        .withColumn("hi_tick", lit(null).cast(LongType))
+    val (n, mn, mx) = (head.getLong(0), head.getLong(1), head.getLong(2))
+    require(
+      try Math.subtractExact(mx, mn) <= (1L << 62) catch { case _: ArithmeticException => false },
+      s"tick span [$mn, $mx] exceeds 2^62 — rescale the tick domain")
+    val width = (mx - mn + bins) / bins // ceil(range/bins) >= 1
+    val ks = spark.createDataFrame(
+      spark.sparkContext.parallelize(targets.map { case (name, num, den) =>
+        require(num > 0 && num <= den, s"quantile $name=$num/$den outside (0,1]")
+        Row(name, (n * num + den - 1) / den) // ceil(q*n), exact integer math
+      }, 1), outSchema)
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("b"))
+    val cum = ticks
+      .groupBy(expr(s"(t - $mn) div $width").as("b"))
+      .agg(count(lit(1)).as("c"))
+      // bounded global window: <= bins rows by construction
+      .withColumn("cum", sum(col("c")).over(w))
+    ks.join(broadcast(cum),
+        col("cum") >= col("rank_k") && (col("cum") - col("c")) < col("rank_k"))
+      .select(col("quantile"), col("rank_k"),
+        (lit(mn) + col("b") * width).as("lo_tick"),
+        least(lit(mx), lit(mn) + (col("b") + 1) * width - 1).as("hi_tick"))
+  }
+
+  /** Driver query (key `agg_hist_quantiles`): the one-scan sketch over
+    * the same ship-date domain as [[qExactQuantiles]], so the two
+    * results are directly comparable — the exact value always lands
+    * inside [value_lo, value_hi], and `max_err_us` is the honest
+    * uncertainty a consumer holds. */
+  def aggHistQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(unix_micros(col("l_shipdate").cast("timestamp")).as("ship_us"))
+    histQuantiles(li, "ship_us")
+      .select(col("quantile"), col("rank_k"),
+        timestamp_micros(col("lo_tick")).as("value_lo"),
+        timestamp_micros(col("hi_tick")).as("value_hi"),
+        (col("hi_tick") - col("lo_tick")).as("max_err_us"))
+  }
+
+  /** Oracle: the identical integer bucket math replayed in one SQL
+    * pipeline — count/min/max, ceil-width grid, running-count bucket
+    * table, rank→first-covering-bucket join. */
+  val aggHistQuantilesOracleSql: String = {
+    val targetRows = Targets.map { case (q, num, den) => s"('$q', $num, $den)" }
+      .mkString(", ")
+    s"""WITH src AS (
+       |  SELECT epoch_us(CAST(l_shipdate AS TIMESTAMP)) AS v
+       |  FROM lineitem WHERE l_shipdate IS NOT NULL),
+       |s AS (
+       |  SELECT CAST(COUNT(v) AS BIGINT) AS n, MIN(v) AS mn, MAX(v) AS mx,
+       |    (MAX(v) - MIN(v) + $Bins) // $Bins AS width
+       |  FROM src),
+       |t(quantile, num, den) AS (VALUES $targetRows),
+       |ks AS (
+       |  SELECT quantile, CAST((n * num + den - 1) // den AS BIGINT) AS rank_k
+       |  FROM t CROSS JOIN s),
+       |h AS (
+       |  SELECT (src.v - s.mn) // s.width AS b, COUNT(*) AS c
+       |  FROM src CROSS JOIN s GROUP BY 1),
+       |ch AS (
+       |  SELECT b, c, SUM(c) OVER (ORDER BY b) AS cum FROM h)
+       |SELECT k.quantile, k.rank_k,
+       |  make_timestamp(s.mn + ch.b * s.width) AS value_lo,
+       |  make_timestamp(LEAST(s.mx, s.mn + (ch.b + 1) * s.width - 1)) AS value_hi,
+       |  LEAST(s.mx, s.mn + (ch.b + 1) * s.width - 1) - (s.mn + ch.b * s.width)
+       |    AS max_err_us
+       |FROM ks k
+       |JOIN ch ON ch.cum >= k.rank_k AND ch.cum - ch.c < k.rank_k
+       |CROSS JOIN s""".stripMargin
+  }
+
   /** Oracle: the same type-1 order statistics read off a ranked sort —
     * the formulation this operator exists to avoid at scale, which is
     * exactly what makes it the right independent check. Rank uses the

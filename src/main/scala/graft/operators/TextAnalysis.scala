@@ -496,6 +496,75 @@ object TextAnalysis {
        |FROM win""".stripMargin
   }
 
+  /** Rarity fence for [[textLmScore]], in basis points of the corpus:
+    * a term is RARE when its corpus count × 10000 < total tokens
+    * (i.e. frequency below 0.01%). Integer comparison — no float
+    * threshold to diverge across engines. */
+  val RareBasisPoints = 10000L
+
+  /** Rare-fraction cut for the keep flag: docs whose tokens are more
+    * than half rare read as lexical noise (OCR garbage, hash soup). */
+  val RareFracCut = 0.5
+
+  /** Corpus-frequency language-model scoring — the log-free core of
+    * the KenLM-style quality filter: score each document by how
+    * "expected" its tokens are under the corpus's own unigram
+    * distribution. Documents dominated by corpus-rare tokens (OCR
+    * garbage, base64 soup, wrong-language fragments) score low and
+    * get cut before pretraining; `avg_term_count` (mean corpus count
+    * of the doc's tokens) is the monotone stand-in for unigram
+    * log-likelihood, exact-integer until the final division so every
+    * engine agrees bit-for-bit.
+    *
+    * Plan shape at 100 TB: one explode feeding a two-phase hash
+    * aggregate (vocabulary-sized shuffle, same as [[textVocabOn]]),
+    * the count table joined back to the exploded tokens ON TERM — the
+    * join key is the vocabulary, so both sides hash-partition on a
+    * bounded-cardinality key (no broadcast needed, no skew beyond the
+    * Zipf head that AQE splits) — then one per-doc aggregate. The
+    * scalar total rides a 1-row broadcast. */
+  def textLmScoreOn(docs: DataFrame): DataFrame = {
+    val terms = docs.select(col("doc_id"), explode(TH.words(col("text"))).as("term"))
+    val counts = terms.groupBy(col("term")).agg(count(lit(1)).as("c"))
+    val total = counts.agg(sum(col("c")).as("total_tokens"))
+    terms.join(counts, "term")
+      .crossJoin(broadcast(total))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(col("c")).as("sum_term_count"),
+        sum(when(col("c") * RareBasisPoints < col("total_tokens"), 1L)
+          .otherwise(0L)).as("n_rare"))
+      .withColumn("avg_term_count",
+        col("sum_term_count").cast("double") / col("n_tokens").cast("double"))
+      .withColumn("rare_frac",
+        col("n_rare").cast("double") / col("n_tokens").cast("double"))
+      .withColumn("keep", col("rare_frac") <= RareFracCut)
+      .select("doc_id", "n_tokens", "avg_term_count", "rare_frac", "keep")
+  }
+
+  /** Driver query over `documents` (key `text_lm_score`). */
+  def textLmScore(spark: SparkSession, dir: String): DataFrame =
+    textLmScoreOn(Tables.documents(spark, dir))
+
+  val textLmScoreOracleSql: String =
+    s"""WITH terms AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+       |  FROM documents),
+       |counts AS (
+       |  SELECT term, CAST(COUNT(*) AS BIGINT) AS c FROM terms GROUP BY 1),
+       |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS total_tokens FROM counts)
+       |SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       |  CAST(SUM(c.c) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_term_count,
+       |  CAST(SUM(CASE WHEN c.c * $RareBasisPoints < tot.total_tokens
+       |                THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / CAST(COUNT(*) AS DOUBLE) AS rare_frac,
+       |  (CAST(SUM(CASE WHEN c.c * $RareBasisPoints < tot.total_tokens
+       |                 THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / CAST(COUNT(*) AS DOUBLE)) <= $RareFracCut AS keep
+       |FROM terms t JOIN counts c ON t.term = c.term CROSS JOIN tot
+       |GROUP BY t.doc_id, tot.total_tokens""".stripMargin
+
   /** Vocabulary size cap for [[textVocab]]. */
   val VocabTopK = 200
 

@@ -124,6 +124,83 @@ object Streams {
       |    AS sec_since_first
       |FROM events e LEFT JOIN p USING (user_id)""".stripMargin
 
+  // --- stream-stream interval join (click→purchase attribution) ---
+
+  /** Attribution lookback: a purchase is credited to every click by
+    * the same user within the preceding hour. */
+  val AttributionLookback = "INTERVAL 1 HOUR"
+
+  /** Stream-STREAM interval join: each purchase joined to the same
+    * user's clicks in the preceding hour — the canonical attribution
+    * shape, and the §2.7 operator [[enrichWithProfile]] deliberately
+    * is not (static side there; two unbounded sides here). The join
+    * key is the user_id EQUALITY plus an event-time range, which is
+    * precisely what makes the streaming form runnable: Spark derives
+    * state-eviction watermarks from the time-range condition, so each
+    * side buffers only one lookback window of rows per key instead of
+    * the whole stream. The same condition makes the batch form a plain
+    * shuffled equi-join on user_id with the range as a post-join
+    * filter — no interval explosion, scale-safe on both paths.
+    *
+    * `lag_sec` stays in integer microsecond arithmetic (`div`) so both
+    * engines agree bit-for-bit. */
+  def attributeClicks(clicks: DataFrame, purchases: DataFrame): DataFrame =
+    purchases.alias("p")
+      .join(clicks.alias("c"),
+        expr(s"""p.user_id = c.user_id
+                 AND c.click_ts >= p.purchase_ts - $AttributionLookback
+                 AND c.click_ts <= p.purchase_ts"""))
+      .select(col("p.purchase_id"), col("p.user_id"), col("p.purchase_ts"),
+        col("p.purchase_value"), col("c.click_id"), col("c.click_ts"),
+        expr("(unix_micros(p.purchase_ts) - unix_micros(c.click_ts)) div 1000000")
+          .as("lag_sec"))
+
+  /** The two sides, projected from the raw event stream. Split BEFORE
+    * the join so each side carries its own event-time column (a
+    * stream-stream join needs a watermark per input). */
+  def clickSide(events: DataFrame): DataFrame =
+    events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+
+  def purchaseSide(events: DataFrame): DataFrame =
+    events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"), col("value").as("purchase_value"))
+
+  /** Streaming form: both sides watermarked; with the range condition
+    * above, click state older than (purchase watermark − lookback) and
+    * purchase state older than the click watermark are evicted —
+    * bounded state at any input rate. */
+  def attributeClicksStream(clicks: DataFrame, purchases: DataFrame): DataFrame =
+    attributeClicks(
+      clicks.withWatermark("click_ts", "2 hours"),
+      purchases.withWatermark("purchase_ts", "2 hours"))
+
+  /** The same split + join over ONE events frame (batch form). */
+  def attributeClicksBatchFrames(events: DataFrame): DataFrame =
+    attributeClicks(clickSide(events), purchaseSide(events))
+
+  /** Batch entry (queries key `stream_join`): identical join body over
+    * the two projections of the events table. */
+  def attributeClicksBatch(spark: SparkSession, dir: String): DataFrame =
+    attributeClicksBatchFrames(Tables.events(spark, dir))
+
+  val attributeClicksOracleSql: String =
+    """WITH c AS (
+      |  SELECT user_id, event_id AS click_id, CAST(ts AS TIMESTAMP) AS click_ts
+      |  FROM events WHERE event_type = 'click'),
+      |p AS (
+      |  SELECT user_id, event_id AS purchase_id,
+      |    CAST(ts AS TIMESTAMP) AS purchase_ts, value AS purchase_value
+      |  FROM events WHERE event_type = 'purchase')
+      |SELECT p.purchase_id, p.user_id, p.purchase_ts, p.purchase_value,
+      |  c.click_id, c.click_ts,
+      |  (epoch_us(p.purchase_ts) - epoch_us(c.click_ts)) // 1000000 AS lag_sec
+      |FROM p JOIN c ON p.user_id = c.user_id
+      |  AND c.click_ts >= p.purchase_ts - INTERVAL 1 HOUR
+      |  AND c.click_ts <= p.purchase_ts""".stripMargin
+
   /** Keep-FIRST dedupe key and its deterministic batch order. */
   private val dedupeKey = Seq("user_id", "event_type", "event_date")
 

@@ -31,6 +31,46 @@ class MergeSpec extends SparkSpecBase {
     assert(m == Map("k1" -> "v2", "k2" -> "v3"))
   }
 
+  test("applyChangelog: deletes drop keys, re-inserts revive them, null op is an upsert") {
+    import spark.implicits._
+    val feed = Seq(
+      // k1: insert, update — latest is an upsert, survives with v2
+      ("k1", 1L, 10L, "I", "v1"),
+      ("k1", 2L, 20L, "U", "v2"),
+      // k2: insert then delete — gone
+      ("k2", 3L, 10L, "I", "v3"),
+      ("k2", 4L, 20L, "D", null),
+      // k3: insert, delete, RE-insert — revived with the new payload
+      ("k3", 5L, 10L, "I", "v5"),
+      ("k3", 6L, 20L, "D", null),
+      ("k3", 7L, 30L, "I", "v7"),
+      // k4: latest change has a NULL op — an upsert, not a tombstone
+      ("k4", 8L, 10L, "I", "v8"),
+      ("k4", 9L, 20L, null, "v9"),
+      // k5: same-ts delete loses to the higher tiebreak upsert
+      ("k5", 10L, 10L, "D", null),
+      ("k5", 11L, 10L, "U", "v11")
+    ).toDF("key", "id", "ts", "op", "payload")
+    val snap = Merge.applyChangelog(feed, Seq(col("key")),
+        orderCol = col("ts"), tiebreak = col("id"),
+        opCol = col("op"), deleteOp = "D")
+      .collect().map(r => r.getString(0) -> r.getString(4)).toMap
+    assert(snap == Map("k1" -> "v2", "k3" -> "v7", "k4" -> "v9", "k5" -> "v11"))
+  }
+
+  test("applyChangelog == keepLatest on a delete-free feed") {
+    import spark.implicits._
+    val feed = Seq(
+      ("k1", 1L, 10L, "U", "v1"), ("k1", 2L, 20L, "U", "v2"),
+      ("k2", 3L, 5L, "I", "v3")
+    ).toDF("key", "id", "ts", "op", "payload")
+    val viaCdc = Merge.applyChangelog(feed, Seq(col("key")),
+      col("ts"), col("id"), col("op"), deleteOp = "D")
+    val viaLatest = Merge.keepLatest(feed, Seq(col("key")), col("ts"), col("id"))
+    assert(viaCdc.exceptAll(viaLatest).count() == 0)
+    assert(viaLatest.exceptAll(viaCdc).count() == 0)
+  }
+
   test("generic dedup entry points run on arbitrary frames") {
     import spark.implicits._
     val docs = Seq(

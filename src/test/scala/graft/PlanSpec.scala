@@ -283,4 +283,38 @@ class PlanSpec extends SparkSpecBase {
     assert(fp.contains("WholeStageCodegen") || fp.contains("*("),
       "split projection fell out of codegen")
   }
+
+  test("cdc apply: one shuffle on the key, no cartesian, tombstone filter above the window") {
+    val p = plan(Etl.cdcApply(spark, sfDir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    assert(p.sliding("Exchange".length).count(_ == "Exchange") <= 2, // shuffle + AQE read
+      s"more than the one keyed shuffle:\n$p")
+  }
+
+  test("stream-stream join batch twin: shuffled EQUI-join on user_id, range as filter") {
+    val p = plan(graft.streaming.Streams.attributeClicksBatch(spark, sfDir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"interval condition degraded to a non-equi join:\n$p")
+    // the type filters prune each side at its scan
+    assert(p.contains("EqualTo(event_type,click)") &&
+      p.contains("EqualTo(event_type,purchase)"), s"side filters not pushed:\n$p")
+  }
+
+  test("lm score: term join is hash-keyed, only the 1-row total broadcasts") {
+    val p = plan(graft.operators.TextAnalysis.textLmScore(spark, sfDir))
+    assert(!p.contains("CartesianProduct"))
+    // the corpus-total crossJoin must stay a 1-row broadcast, never a
+    // shuffled product of the term table
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"scalar total not broadcast:\n$p")
+  }
+
+  test("hist quantiles: the bucket table aggregates before its bounded window") {
+    val df = graft.operators.Quantiles.aggHistQuantiles(spark, sfDir)
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
+    // partial aggregation runs before the exchange: the shuffle carries
+    // <= Bins partial counts per partition, not data rows
+    assert(p.contains("HashAggregate"), s"no hash aggregate:\n$p")
+  }
 }

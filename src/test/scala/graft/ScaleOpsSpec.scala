@@ -254,6 +254,39 @@ class ScaleOpsSpec extends SparkSpecBase {
     assert(operators.Quantiles.exactTickQuantiles(empty.toDF(), "t").isEmpty)
   }
 
+  test("hist quantiles: one-pass interval brackets the exact value within the width bound") {
+    val rnd = new scala.util.Random(20260814L)
+    val cases = Seq(
+      Array.fill(1000)(rnd.nextLong() % 1000000L), // span >> bins: real intervals
+      Array.fill(300)(rnd.nextInt(7).toLong - 3L), // span < bins: width-1 buckets, exact
+      Array.fill(1)(42L))                          // n = 1
+    cases.foreach { vals =>
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(vals.toSeq.map(org.apache.spark.sql.Row(_)), 3),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("t", org.apache.spark.sql.types.LongType))))
+      val got = operators.Quantiles.histQuantiles(df, "t").collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+      val sorted = vals.sorted
+      val n = vals.length.toLong
+      val span = sorted.last - sorted.head
+      val width = (span + operators.Quantiles.Bins) / operators.Quantiles.Bins
+      operators.Quantiles.Targets.foreach { case (name, num, den) =>
+        val k = (n * num + den - 1) / den
+        val exact = sorted(k.toInt - 1)
+        val (gotK, lo, hi) = got(name)
+        assert(gotK == k, s"$name rank over n=$n")
+        assert(lo <= exact && exact <= hi, s"$name: exact $exact outside [$lo,$hi]")
+        assert(hi - lo <= width - 1, s"$name: interval wider than the bound")
+        if (span < operators.Quantiles.Bins)
+          assert(lo == exact && hi == exact, s"$name: width-1 grid must resolve exactly")
+      }
+    }
+    // empty input: empty frame, not a crash
+    val empty = spark.range(0).select(col("id").as("t"))
+    assert(operators.Quantiles.histQuantiles(empty.toDF(), "t").count() == 0)
+  }
+
   // --- holdout split ----------------------------------------------------
 
   test("holdout split: total labeling, fences respected, stable under corpus growth") {

@@ -241,6 +241,46 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("stream-stream join: attribution equals batch; lookback boundary is inclusive") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = Seq(
+      (1L, ts("2024-01-01 09:00:00"), 7L, "click", 0.0),    // exactly 1h before -> in
+      (2L, ts("2024-01-01 08:59:59"), 7L, "click", 0.0),    // 1h+1s before -> out
+      (3L, ts("2024-01-01 09:45:00"), 7L, "click", 0.0),    // in window
+      (4L, ts("2024-01-01 10:00:01"), 7L, "click", 0.0),    // after purchase -> out
+      (5L, ts("2024-01-01 09:50:00"), 8L, "click", 0.0),    // other user -> out
+      (6L, ts("2024-01-01 10:00:00"), 7L, "purchase", 9.99),
+      (7L, ts("2024-01-01 12:00:00"), 8L, "purchase", 5.0)) // no clicks in window
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val clickMem = MemoryStream[(Long, Long, Timestamp)]
+    val purchMem = MemoryStream[(Long, Long, Timestamp, Double)]
+    val q = Streams.attributeClicksStream(
+        clickMem.toDF.toDF("user_id", "click_id", "click_ts"),
+        purchMem.toDF.toDF("user_id", "purchase_id", "purchase_ts", "purchase_value"))
+      .writeStream.format("memory").queryName("attr").outputMode("append").start()
+    try {
+      // clicks arrive first, purchases in a later micro-batch: the join
+      // buffers click state until the matching purchase shows up
+      clickMem.addData(Seq((7L, 1L, ts("2024-01-01 09:00:00")),
+        (7L, 2L, ts("2024-01-01 08:59:59")), (7L, 3L, ts("2024-01-01 09:45:00"))))
+      q.processAllAvailable()
+      clickMem.addData(Seq((7L, 4L, ts("2024-01-01 10:00:01")),
+        (8L, 5L, ts("2024-01-01 09:50:00"))))
+      purchMem.addData(Seq((7L, 6L, ts("2024-01-01 10:00:00"), 9.99),
+        (8L, 7L, ts("2024-01-01 12:00:00"), 5.0)))
+      q.processAllAvailable()
+      val streamed = spark.table("attr").collect()
+        .map(r => (r.getLong(0), r.getLong(4), r.getLong(6))).toSet
+      // purchase 6 credits clicks 1 (lag 3600s, boundary-inclusive) and
+      // 3 (lag 900s); clicks 2/4/5 and purchase 7 never pair
+      assert(streamed == Set((6L, 1L, 3600L), (6L, 3L, 900L)), s"got $streamed")
+      val batch = Streams.attributeClicksBatchFrames(events)
+        .collect().map(r => (r.getLong(0), r.getLong(4), r.getLong(6))).toSet
+      assert(batch == streamed)
+    } finally q.stop()
+  }
+
   test("stream-static enrich: stream equals batch; unknown users survive the left join") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

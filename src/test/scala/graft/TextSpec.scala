@@ -138,6 +138,38 @@ class TextSpec extends SparkSpecBase {
     full.unpersist()
   }
 
+  test("lm score: rare-token soup is cut, common prose kept, integer-exact averages") {
+    import spark.implicits._
+    // corpus: one dominant common phrase repeated, one rare-token doc.
+    // "the cat sat" tokens appear 40x+ each; the garbage doc's tokens
+    // appear once each -> far below the 0.01% fence... with a corpus
+    // this small every token is above 0.01%, so widen the contrast by
+    // checking relative ordering and the exact integer means instead.
+    val common = Seq.tabulate(40)(i => (i.toLong, "the cat sat"))
+    val garbage = Seq((99L, "zq xv qk jw"))
+    val docs = (common ++ garbage).toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis.textLmScoreOn(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getBoolean(4))))
+      .toMap
+    // common docs: 3 tokens, each token count = 40 -> avg 40.0
+    val (nTok, avg, _, _) = got(0L)
+    assert(nTok == 3 && avg == 40.0)
+    // garbage doc: 4 tokens each counted once -> avg 1.0, strictly lower
+    val (gTok, gAvg, gRare, _) = got(99L)
+    assert(gTok == 4 && gAvg == 1.0 && gAvg < avg)
+    // rarity fence: total tokens = 124; a count-1 token is rare iff
+    // 1*10000 < 124 is false -> no doc flagged rare on a tiny corpus
+    assert(gRare == 0.0 && got.values.forall(_._4))
+    // scale the corpus so the fence bites: 4000 common docs make the
+    // garbage tokens' 1/12004 share fall below 0.01% (garbage doc_id
+    // outside the tabulated range — ids must stay unique)
+    val big = (Seq.tabulate(4000)(i => (i.toLong, "the cat sat")) ++ Seq((99999L, "zq xv qk jw")))
+      .toDF("doc_id", "text")
+    val bigGot = graft.operators.TextAnalysis.textLmScoreOn(big)
+      .filter(col("doc_id") === 99999L).collect()(0)
+    assert(bigGot.getDouble(3) == 1.0 && !bigGot.getBoolean(4))
+  }
+
   test("fingerprint operator: deterministic across runs") {
     val a = TextAnalysis.textFingerprint(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
