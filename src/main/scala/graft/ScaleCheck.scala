@@ -84,11 +84,14 @@ object ScaleCheck {
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
 
     def run(name: String, df: => org.apache.spark.sql.DataFrame) = {
-      val d = df
       // one execution: count rows with an accumulator DURING the timed
       // materialization instead of re-running the operator for a count
       val acc = spark.sparkContext.longAccumulator(s"rows_$name")
       val t0 = System.nanoTime()
+      // frame CONSTRUCTION is inside the timer: the quantile operators
+      // do their refinement scans at plan-build time (driver-coordinated
+      // probes), and excluding them would report 0s for real work
+      val d = df
       d.queryExecution.toRdd.foreachPartition(it => acc.add(it.size.toLong))
       val sec = (System.nanoTime() - t0) / 1e9
       (name, sec, acc.value.toLong)
@@ -123,7 +126,15 @@ object ScaleCheck {
       // quantiles, split assignment
       run("agg_heavy_hitters", operators.Sketches.aggHeavyHitters(spark, dir)),
       run("q_exact_quantiles", operators.Quantiles.qExactQuantiles(spark, dir)),
-      run("sample_holdout_split", operators.Etl.sampleHoldoutSplit(spark, dir)))
+      run("sample_holdout_split", operators.Etl.sampleHoldoutSplit(spark, dir)),
+      // round-7 additions (third batch): frame sampling, stream twins,
+      // CDC apply, one-pass quantile sketch, LM scoring
+      run("mm_frame_sample", operators.Multimodal.frameSample(spark, dir)),
+      run("stream_enrich", streaming.Streams.enrichBatch(spark, dir)),
+      run("stream_join", streaming.Streams.attributeClicksBatch(spark, dir)),
+      run("etl_cdc_apply", operators.Etl.cdcApply(spark, dir)),
+      run("agg_hist_quantiles", operators.Quantiles.aggHistQuantiles(spark, dir)),
+      run("text_lm_score", operators.TextAnalysis.textLmScore(spark, dir)))
 
     // end-to-end per-ds pipeline (normalize + DQ + staged write + L2
     // merge) — the unit of work the reference DAG runs per day

@@ -33,6 +33,7 @@ object SparkEntry {
     "sample_weighted"      -> ((s, d) => Etl.sampleWeighted(s, d)),
     "sample_cap_per_source" -> ((s, d) => Etl.sampleCapPerSource(s, d)),
     "sample_holdout_split" -> ((s, d) => Etl.sampleHoldoutSplit(s, d)),
+    "sample_temperature"   -> ((s, d) => Etl.sampleTemperature(s, d)),
     "etl_scd2"             -> (Etl.scd2History(_, _)),
     "etl_cdc_apply"        -> (Etl.cdcApply(_, _)),
     // §2.2 analytics
@@ -68,11 +69,13 @@ object SparkEntry {
     "dedup_clusters"         -> (Dedup.clustersQuery(_, _)),
     "dedup_decontaminate"    -> ((s, d) => Dedup.decontaminate(s, d)),
     "dedup_substring_spans"  -> ((s, d) => graft.operators.SubstringSpans.substringSpans(s, d)),
+    "dedup_semantic"         -> ((s, d) => Dedup.semanticDedup(s, d)),
     // §2.4 similarity
     "knn_bruteforce" -> ((s, d) => Similarity.knnBruteforce(s, d)),
     "knn_lsh"        -> ((s, d) => Similarity.knnLsh(s, d)),
     "knn_ivf"        -> ((s, d) => Similarity.knnIvf(s, d)),
     "vec_stats"      -> (Similarity.vecStats(_, _)),
+    "embed_clusters" -> (Similarity.embedClusters(_, _)),
     // §2.5 text analysis
     "text_tokens"      -> (TextAnalysis.textTokens(_, _)),
     "text_quality"     -> (TextAnalysis.textQuality(_, _)),
@@ -116,6 +119,9 @@ object SparkEntry {
     "sample_weighted"      -> Etl.sampleWeightedOracleSql,
     "sample_cap_per_source" -> Etl.sampleCapPerSourceOracleSql,
     "sample_holdout_split" -> Etl.sampleHoldoutSplitOracleSql,
+    // alpha=1/2 mixture rates: sqrt is the one correctly-rounded
+    // IEEE exponent, so the rate doubles replay bit-for-bit
+    "sample_temperature"   -> Etl.sampleTemperatureOracleSql,
     "etl_scd2"             -> Etl.scd2OracleSql,
     // keep-latest generalized to tombstone-bearing change feeds
     "etl_cdc_apply"        -> Etl.cdcApplyOracleSql,
@@ -161,6 +167,8 @@ object SparkEntry {
     "dedup_clusters"         -> Dedup.clustersOracleSql,
     "dedup_decontaminate"    -> Dedup.decontaminateOracleSql,
     "dedup_substring_spans"  -> graft.operators.SubstringSpans.substringSpansOracleSql,
+    // within-cluster pair space over the shared IVF-build replay
+    "dedup_semantic"         -> Dedup.semanticDedupOracleSql,
     // §2.4 similarity — the "approximate" indexes are deterministic
     // (fixed-seed hyperplanes; decimal-exact Lloyd means), so they
     // replay fully in SQL and get real hash oracles
@@ -168,6 +176,8 @@ object SparkEntry {
     "knn_lsh"        -> Similarity.knnLshOracleSql,
     "knn_ivf"        -> Similarity.knnIvfOracleSql,
     "vec_stats"      -> Similarity.vecStatsOracleSql,
+    // per-cluster population + decimal-accumulated mean centroid cosine
+    "embed_clusters" -> Similarity.embedClustersOracleSql,
     // §2.5 text — langid's whole learn+predict path is deterministic
     // (hash split, count profiles, integer-sum scoring) and replays in
     // SQL, so even the "learned" operator carries a hash oracle

@@ -438,6 +438,51 @@ object Dedup {
       .filter(col("cosine") >= tau)
   }
 
+  /** SemDeDup-style SEMANTIC dedup cut (key `dedup_semantic`): the
+    * scale path [[embeddingCosineOn]]'s scaladoc promises, executed —
+    * pairs are scored only WITHIN each IVF cluster
+    * ([[Similarity.ivfIndex]]'s nearest-centroid assignment), so the
+    * pair space is Σ cell² instead of n²; a vector is dropped when a
+    * lower-id vector in its cell matches at cosine ≥ tau. Semantic
+    * near-dups sit close in embedding space, which is exactly what the
+    * coarse quantizer groups — pairs split across cell boundaries are
+    * the recall cost of not scoring n² pairs (the SemDeDup tradeoff,
+    * made explicit here by keeping the exact all-pairs operator as the
+    * oracle-checked contract twin).
+    *
+    * The index is persisted for its three uses (both join sides + the
+    * survivor anti-join) — one assignment pass, not three. */
+  def semanticDedup(spark: SparkSession, dir: String, tau: Double = CosineTau): DataFrame =
+    semanticDedupOn(Tables.embeddings(spark, dir), tau)
+
+  def semanticDedupOn(vectors: DataFrame, tau: Double = CosineTau): DataFrame = {
+    val (indexedRaw, _) = Similarity.ivfIndex(vectors)
+    val indexed = indexedRaw
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val slim = indexed.select(col("vec_id"), col("e"), col("nrm"), col("cell"))
+    val dropped = slim.as("a")
+      .join(slim.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .filter(V.cosineWithNorms(
+        V.dot(col("a.e"), col("b.e")), col("a.nrm"), col("b.nrm")) >= tau)
+      .select(col("b.vec_id").as("vec_id")).distinct()
+    indexed.join(dropped, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("cell"))
+  }
+
+  val semanticDedupOracleSql: String =
+    s"""${Similarity.ivfIdxOraclePrefix}, pairs AS (
+       |  SELECT b.vec_id AS dropped
+       |  FROM idx a JOIN idx b ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |  WHERE ${sqlDotAB} >= $CosineTau)
+       |SELECT i.vec_id, i.cell FROM idx i
+       |WHERE i.vec_id NOT IN (SELECT dropped FROM pairs)""".stripMargin
+
+  /** Deterministic cosine between two idx rows in DuckDB — the same
+    * sequential fold the native vec_dot compiles. */
+  private def sqlDotAB: String =
+    "list_reduce(list_transform(generate_series(1, len(a.e)), i -> a.e[i]*b.e[i]), (x,y) -> x+y) / (a.nrm * b.nrm)"
+
   /** Resolve near-dup PAIRS into clusters: connected components by
     * iterative min-label propagation (each doc adopts the smallest
     * doc_id reachable over pair edges; iterate to fixpoint). Returns

@@ -312,6 +312,60 @@ object Etl {
        |      < (CASE source $cases ELSE $DefaultMixtureWeight END) * 4294967296.0""".stripMargin
   }
 
+  /** Keep-rate assigned to the LARGEST group by [[sampleTemperature]].
+    * A power of two, so the `baseRate × sqrt(ratio)` product stays a
+    * correctly-rounded double on every engine (sqrt and division are
+    * IEEE-correctly-rounded; multiplying by 0.5 is exponent
+    * arithmetic, exact). */
+  val TemperatureBaseRate = 0.5
+
+  /** Temperature (α = 0.5) mixture sampling — the multilingual-corpus
+    * rebalancing scheme (sampled counts ∝ n^α instead of n, so
+    * low-resource groups keep a larger share): each group's keep rate
+    * is `min(1, baseRate · sqrt(n_max / n_g))`, applied with the same
+    * deterministic per-key hash draw as [[sampleWeighted]] — reruns
+    * and engines agree bit-for-bit, and raising baseRate only ADDS
+    * documents (nested samples). α is fixed at 1/2: it is the one
+    * exponent computable as a single correctly-rounded IEEE op
+    * (sqrt); arbitrary pow() carries no cross-engine rounding
+    * guarantee and would break the oracle contract.
+    *
+    * Plan shape: one group-count aggregate (group-cardinality-sized),
+    * a 1-row max, rates broadcast back onto the scan — the corpus
+    * itself is filtered in place, no shuffle. */
+  def sampleTemperatureOn(docs: DataFrame, group: Column,
+                          baseRate: Double = TemperatureBaseRate): DataFrame = {
+    val counts = docs.groupBy(group.as("__g")).agg(count(lit(1)).as("__n"))
+    val nMax = counts.agg(max(col("__n")).as("__nmax"))
+    val rates = counts.crossJoin(broadcast(nMax))
+      .withColumn("__rate", least(lit(1.0),
+        lit(baseRate) * sqrt(col("__nmax").cast("double") / col("__n").cast("double"))))
+      .select(col("__g"), col("__rate"))
+    docs.join(broadcast(rates), group === col("__g"))
+      .filter(keyHash32(col("doc_id")).cast("double") < col("__rate") * lit(4294967296.0))
+      .drop("__g", "__rate")
+  }
+
+  /** Driver query (key `sample_temperature`): α-sample `documents` by
+    * language — the skewed column (en dominates) this scheme exists
+    * to rebalance. */
+  def sampleTemperature(spark: SparkSession, dir: String): DataFrame =
+    sampleTemperatureOn(Tables.documents(spark, dir), col("lang"))
+
+  val sampleTemperatureOracleSql: String =
+    s"""WITH c AS (
+       |  SELECT lang AS g, CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM documents GROUP BY 1),
+       |m AS (SELECT MAX(n) AS nmax FROM c),
+       |r AS (
+       |  SELECT g, LEAST(1.0, $TemperatureBaseRate *
+       |    sqrt(CAST(m.nmax AS DOUBLE) / CAST(c.n AS DOUBLE))) AS rate
+       |  FROM c CROSS JOIN m)
+       |SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars
+       |FROM documents d JOIN r ON d.lang = r.g
+       |WHERE CAST(CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) AS DOUBLE)
+       |      < r.rate * 4294967296.0""".stripMargin
+
   /** Permille fences for [[sampleHoldoutSplit]]: buckets 0-799 train,
     * 800-899 validation, 900-999 test. */
   val TrainPermille = 800

@@ -168,7 +168,13 @@ object Similarity {
   def knnIvf(spark: SparkSession, dir: String, k: Int = K): DataFrame =
     knnIvfOn(Tables.embeddings(spark, dir), k)
 
-  def knnIvfOn(vectors: DataFrame, k: Int = K): DataFrame = {
+  /** Shared IVF build: norm prep, deterministic seeds, ONE Lloyd
+    * refinement, and the nearest-cell assignment of every corpus
+    * vector. Returns (indexed [vec_id, e, nrm, cell, sim], centroids
+    * [cell, ce, cn]) — `sim` is each vector's cosine to its own
+    * centroid, which the cluster-summary/semantic-dedup operators
+    * consume. */
+  private[operators] def ivfIndex(vectors: DataFrame): (DataFrame, DataFrame) = {
     val v = vectors
       .select(col("vec_id"), V.toDouble(col("embedding")).as("e"))
       .withColumn("nrm", V.l2Norm(col("e")))
@@ -193,7 +199,14 @@ object Similarity {
     }
 
     // --- index: one nearest-cell assignment per corpus vector
-    val indexed = assignNearest(v, centroids, "cell", "ce", "cn")
+    (assignNearest(v, centroids, "cell", "ce", "cn"), centroids)
+  }
+
+  def knnIvfOn(vectors: DataFrame, k: Int = K): DataFrame = {
+    val v = vectors
+      .select(col("vec_id"), V.toDouble(col("embedding")).as("e"))
+      .withColumn("nrm", V.l2Norm(col("e")))
+    val (indexed, centroids) = ivfIndex(vectors)
 
     // --- search: per query, the nprobe nearest cells, then exact
     //     rerank over only those cells' postings
@@ -235,10 +248,11 @@ object Similarity {
         V.dot(col("e"), col(ceCol)), col("nrm"), col(cnCol)))
       .groupBy(col("vec_id"))
       .agg(max_by(
-        struct(col("e").as("e"), col("nrm").as("nrm"), col(cellCol).as("cell")),
+        struct(col("e").as("e"), col("nrm").as("nrm"), col(cellCol).as("cell"),
+          col("sim").as("sim")),
         struct(col("sim").as("sim"), (-col(cellCol)).as("neg_cell"))).as("best"))
       .select(col("vec_id"), col("best.e").as("e"), col("best.nrm").as("nrm"),
-        col("best.cell").as(cellCol))
+        col("best.cell").as(cellCol), col("best.sim").as("sim"))
 
   /** LSH tables: `Tables_` hyperplane groups of `BitsPerTable` planes. */
   val LshTables = 8
@@ -303,7 +317,11 @@ object Similarity {
     * assignment as a ranked window, nprobe cell cut, exact rerank.
     * Deterministic end-to-end, hence hash-checkable despite being an
     * "approximate" index. */
-  val knnIvfOracleSql: String =
+  /** Shared oracle CTE prefix — the IVF build replayed in SQL, ending
+    * at `idx` (each vector's nearest cell WITH its centroid cosine).
+    * Consumers append further CTEs with a leading comma, or go
+    * straight to their final SELECT. */
+  private def ivfOracleIdxCtes: String =
     s"""WITH v AS (
        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
        |), vn AS (
@@ -328,13 +346,17 @@ object Similarity {
        |), cc AS (
        |  SELECT cell, ce, ${sqlNorm("ce")} AS cnr FROM cents
        |), idx AS (
-       |  SELECT vec_id, e, nrm, cell FROM (
+       |  SELECT vec_id, e, nrm, cell, sim FROM (
        |    SELECT x.vec_id, x.e, x.nrm, c.cell,
+       |      ${sqlDot("x.e", "c.ce")} / (x.nrm * c.cnr) AS sim,
        |      ROW_NUMBER() OVER (PARTITION BY x.vec_id ORDER BY
        |        ${sqlDot("x.e", "c.ce")} / (x.nrm * c.cnr) DESC, c.cell) AS rk
        |    FROM vn x CROSS JOIN cc c) t
        |  WHERE rk = 1
-       |), probes AS (
+       |)""".stripMargin
+
+  val knnIvfOracleSql: String =
+    s"""$ivfOracleIdxCtes, probes AS (
        |  SELECT query_id, qe, qnrm, cell FROM (
        |    SELECT q.vec_id AS query_id, q.e AS qe, q.nrm AS qnrm, c.cell,
        |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
@@ -350,6 +372,52 @@ object Similarity {
        |  FROM idx i JOIN probes p ON i.cell = p.cell
        |  WHERE i.vec_id != p.query_id) t
        |WHERE rk <= $K""".stripMargin
+
+  /** Embedding-space cluster summary (key `embed_clusters`) — the
+    * corpus-curation view of the IVF index: one row per cluster with
+    * its population, mean cosine-to-centroid (decimal-accumulated:
+    * |sim| ≤ 1 and scale 10 keeps the sum exactly double-representable
+    * to ~10^5 members per cluster... at 100 TB cluster populations are
+    * ~corpus/C, so callers shard C up, not the scale) and the tightest
+    * member. This is what a SemDeDup-style pipeline reads to decide
+    * where semantic redundancy concentrates (high mean_cos = dense,
+    * duplicate-prone cluster) before running the within-cluster cut
+    * ([[Dedup.semanticDedupOn]]).
+    *
+    * Plan shape: the IVF build (tiny broadcast centroids, one
+    * max_by-aggregate assignment pass) + ONE cluster-cardinality-sized
+    * hash aggregate. */
+  def embedClusters(spark: SparkSession, dir: String): DataFrame =
+    embedClustersOn(Tables.embeddings(spark, dir))
+
+  def embedClustersOn(vectors: DataFrame): DataFrame = {
+    val (indexed, _) = ivfIndex(vectors)
+    // sim involves the CENTROID, whose decimal-mean→double cast is the
+    // one conversion the two engines may round 1 ulp apart (Spark
+    // correctly rounds; DuckDB multiplies int128 by a rounded 10^-s) —
+    // so the exposed stats take the house 4dp rounding instead of raw
+    // doubles. Cluster ids and populations stay exact.
+    indexed.groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_members"),
+        round(sum(col("sim").cast("decimal(30,10)")).cast("double") /
+          count(lit(1)).cast("double"), 4).as("mean_cos"),
+        round(min(col("sim")), 4).as("min_cos"))
+      .select(col("cell").as("cluster_id"), col("n_members"),
+        col("mean_cos"), col("min_cos"))
+  }
+
+  /** Oracle: the shared IVF-build replay, folded per cell with the
+    * same decimal accumulation and 4dp presentation. */
+  val embedClustersOracleSql: String =
+    s"""$ivfOracleIdxCtes
+       |SELECT cell AS cluster_id, CAST(COUNT(*) AS BIGINT) AS n_members,
+       |  round(CAST(SUM(CAST(sim AS DECIMAL(30,10))) AS DOUBLE)
+       |    / CAST(COUNT(*) AS DOUBLE), 4) AS mean_cos,
+       |  round(MIN(sim), 4) AS min_cos
+       |FROM idx GROUP BY cell""".stripMargin
+
+  /** The `idx` replay prefix, shared with [[Dedup.semanticDedupOracleSql]]. */
+  private[operators] def ivfIdxOraclePrefix: String = ivfOracleIdxCtes
 
   /** Deterministic pseudo-random hyperplanes (fixed seed — the bucket
     * assignment must be reproducible across runs and executors). */

@@ -126,8 +126,11 @@ object Streams {
 
   // --- stream-stream interval join (click→purchase attribution) ---
 
-  /** Attribution lookback: a purchase is credited to every click by
-    * the same user within the preceding hour. */
+  /** Attribution lookback in microseconds: a purchase is credited to
+    * every click by the same user within the preceding hour. The
+    * SQL-interval form below must stay in sync (streaming join
+    * condition; the batch form uses the micros directly). */
+  val AttributionLookbackUs: Long = 3600L * 1000000L
   val AttributionLookback = "INTERVAL 1 HOUR"
 
   /** Stream-STREAM interval join: each purchase joined to the same
@@ -177,9 +180,39 @@ object Streams {
       clicks.withWatermark("click_ts", "2 hours"),
       purchases.withWatermark("purchase_ts", "2 hours"))
 
+  /** Batch form of the attribution join, BINNED: quantize both sides
+    * onto the lookback-width time grid and equi-join on
+    * (user_id, bucket), each purchase probing its own bucket and the
+    * previous one — every in-window (purchase, click) pair meets
+    * exactly once (a click's bucket is unique), and the exact range
+    * check runs as a post-join filter. Same trick as
+    * [[graft.operators.RangeJoin]], same output as [[attributeClicks]].
+    *
+    * Why not the plain user_id join for batch: per-key candidates grow
+    * quadratically with per-user event rate (measured 266M candidate
+    * pairs → 372k results on the 100× ScaleCheck corpus). The bucket
+    * key bounds candidates to adjacent-bucket pairs — proportional to
+    * the true output, not to rate². The STREAMING form keeps the raw
+    * range condition: there the watermark already bounds buffered
+    * state, and Spark derives it from that condition. */
+  def attributeClicksBinned(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val c = clicks.withColumn("bk",
+      expr(s"unix_micros(click_ts) div $AttributionLookbackUs"))
+    val pBk = expr(s"unix_micros(purchase_ts) div $AttributionLookbackUs")
+    val p = purchases.withColumn("bk", explode(array(pBk, pBk - 1L)))
+    p.join(c, Seq("user_id", "bk"))
+      .filter(
+        col("click_ts") >= expr(s"purchase_ts - $AttributionLookback") &&
+        col("click_ts") <= col("purchase_ts"))
+      .select(col("purchase_id"), col("user_id"), col("purchase_ts"),
+        col("purchase_value"), col("click_id"), col("click_ts"),
+        expr("(unix_micros(purchase_ts) - unix_micros(click_ts)) div 1000000")
+          .as("lag_sec"))
+  }
+
   /** The same split + join over ONE events frame (batch form). */
   def attributeClicksBatchFrames(events: DataFrame): DataFrame =
-    attributeClicks(clickSide(events), purchaseSide(events))
+    attributeClicksBinned(clickSide(events), purchaseSide(events))
 
   /** Batch entry (queries key `stream_join`): identical join body over
     * the two projections of the events table. */

@@ -124,6 +124,34 @@ class DedupSpec extends SparkSpecBase {
     assert(keys.distinct.length == keys.length)
   }
 
+  test("semantic dedup: planted duplicate vector dropped, survivors pairwise-clean in-cell") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val corpus = graft.sources.Tables.embeddings(spark, sfDir)
+    // plant an exact duplicate of an existing vector under a HIGHER id:
+    // identical vectors always land in the same cell (same argmax,
+    // deterministic tiebreak), so the cut must drop the clone
+    val srcRow = corpus.orderBy(col("vec_id")).limit(1)
+    val cloneId = corpus.agg(max(col("vec_id"))).collect()(0).getLong(0) + 1L
+    val clone = srcRow.withColumn("vec_id", lit(cloneId))
+    val planted = corpus.unionByName(clone)
+    val survivors = graft.operators.Dedup.semanticDedupOn(planted)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(!survivors.map(_._1).contains(cloneId), "planted clone must be cut")
+    // within-cell survivor pairs must all sit below tau: recompute the
+    // exact pair list over the survivor subset, restricted to same cell
+    val survDf = survivors.toSeq.toDF("vec_id", "cell")
+    val above = graft.operators.Dedup.embeddingCosineOn(
+        planted.join(survDf, "vec_id"))
+      .join(survDf.select(col("vec_id").as("vec_a"), col("cell").as("cell_a")), "vec_a")
+      .join(survDf.select(col("vec_id").as("vec_b"), col("cell").as("cell_b")), "vec_b")
+      .filter(col("cell_a") === col("cell_b"))
+    assert(above.count() == 0, "two same-cell survivors above tau")
+    // survivors + dropped partition the corpus ids
+    assert(survivors.map(_._1).distinct.length == survivors.length)
+    assert(survivors.length <= planted.count())
+  }
+
   test("incremental dedup vs index: new-only survivors, index grows, ds replay idempotent") {
     import spark.implicits._
     def docs(rows: (Long, String)*): org.apache.spark.sql.DataFrame =

@@ -302,6 +302,36 @@ class EtlSpec extends SparkSpecBase {
     assert(half.count() < a.count())
   }
 
+  test("temperature sampling: low-resource groups keep more, nested in base rate, deterministic") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    val a = Etl.sampleTemperature(spark, sfDir).cache()
+    val b = Etl.sampleTemperature(spark, sfDir)
+    // reproducible: a pure function of the key
+    assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
+    // per-lang keep fractions track min(1, 0.5*sqrt(nmax/n)) and are
+    // therefore LARGER for smaller languages — the rebalancing contract
+    val n = docs.groupBy("lang").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = a.groupBy("lang").agg(count(lit(1)).as("k"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nmax = n.values.max.toDouble
+    n.foreach { case (lang, cnt) =>
+      val want = math.min(1.0, Etl.TemperatureBaseRate * math.sqrt(nmax / cnt))
+      val got = kept.getOrElse(lang, 0L).toDouble / cnt
+      assert(math.abs(got - want) < 0.2, s"$lang kept $got want ~$want")
+    }
+    val (big, small) = (n.maxBy(_._2)._1, n.minBy(_._2)._1)
+    assert(kept(small).toDouble / n(small) > kept(big).toDouble / n(big),
+      "smallest language must keep a larger fraction than the largest")
+    // nested: halving the base rate selects a subset
+    val half = Etl.sampleTemperatureOn(docs, col("lang"),
+      baseRate = Etl.TemperatureBaseRate / 2)
+    assert(half.exceptAll(a).count() == 0)
+    assert(half.count() < a.count())
+    a.unpersist()
+  }
+
   test("per-source cap: exact budgets, nested in cap, partitioning-independent") {
     import org.apache.spark.sql.functions._
     val docs = graft.sources.Tables.documents(spark, sfDir)

@@ -52,6 +52,19 @@ class SimilaritySpec extends SparkSpecBase {
     assert(recall >= 0.9, s"ivf recall on clustered data: $recall")
   }
 
+  test("embed clusters: partition of the corpus, bounded cells, coherent stats") {
+    val docs = graft.sources.Tables.embeddings(spark, sfDir)
+    val n = docs.count()
+    val cl = Similarity.embedClusters(spark, sfDir).collect()
+    assert(cl.map(_.getLong(1)).sum == n, "clusters must partition the corpus")
+    assert(cl.length <= Similarity.IvfCells && cl.forall(_.getLong(1) > 0))
+    cl.foreach { r =>
+      val (mean, mn) = (r.getDouble(2), r.getDouble(3))
+      assert(mean <= 1.0 + 1e-12 && mn <= mean + 1e-12,
+        s"cluster ${r.getLong(0)}: mean $mean min $mn")
+    }
+  }
+
   test("knn ivf on corpus: k results per query, valid ranks, deterministic") {
     def runOnce() = Similarity.knnIvf(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sortBy(t => (t._1, t._3))
