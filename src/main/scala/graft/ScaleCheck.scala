@@ -83,6 +83,22 @@ object ScaleCheck {
       length(text).as("n_chars"))
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
 
+    // embeddings (semantic tier): 100× sf0.1's 2k vectors, 64-dim,
+    // clustered around 32 seeded centers (the shape the IVF quantizer
+    // exists for) — deterministic hash-noise, no rand()
+    val edim = 64
+    spark.range(2000L * mult).select(
+      col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(edim - 1)), i => {
+        // center component for this vector's cluster + small noise
+        val cl = pmod(col("id"), lit(32L))
+        val c = (pmod(xxhash64(cl, i, lit(20L)), lit(2001L)).cast("double") - 1000.0) / 500.0
+        val nz = (pmod(xxhash64(col("id"), i, lit(21L)), lit(2001L)).cast("double") - 1000.0) / 20000.0
+        (c + nz).cast("float")
+      }).as("embedding"),
+      pmod(col("id"), lit(32L)).cast("int").as("label"))
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+
     def run(name: String, df: => org.apache.spark.sql.DataFrame) = {
       // one execution: count rows with an accumulator DURING the timed
       // materialization instead of re-running the operator for a count
@@ -134,7 +150,17 @@ object ScaleCheck {
       run("stream_join", streaming.Streams.attributeClicksBatch(spark, dir)),
       run("etl_cdc_apply", operators.Etl.cdcApply(spark, dir)),
       run("agg_hist_quantiles", operators.Quantiles.aggHistQuantiles(spark, dir)),
-      run("text_lm_score", operators.TextAnalysis.textLmScore(spark, dir)))
+      run("text_lm_score", operators.TextAnalysis.textLmScore(spark, dir)),
+      // round-7 additions (fourth batch): alpha-sampling + semantic
+      // tier. The quantizer cell count scales with the corpus (SemDeDup
+      // contract: C grows ∝ n so cell populations — and the Σ cell²
+      // pair space — stay bounded); the fixed sf-scale default left
+      // ~12.5k vectors/cell here and measured 88 s
+      run("sample_temperature", operators.Etl.sampleTemperature(spark, dir)),
+      run("embed_clusters", operators.Similarity.embedClustersOn(
+        spark.read.parquet(s"$dir/embeddings.parquet"), cells = 256)),
+      run("dedup_semantic", operators.Dedup.semanticDedupOn(
+        spark.read.parquet(s"$dir/embeddings.parquet"), cells = 256)))
 
     // end-to-end per-ds pipeline (normalize + DQ + staged write + L2
     // merge) — the unit of work the reference DAG runs per day

@@ -455,8 +455,9 @@ object Dedup {
   def semanticDedup(spark: SparkSession, dir: String, tau: Double = CosineTau): DataFrame =
     semanticDedupOn(Tables.embeddings(spark, dir), tau)
 
-  def semanticDedupOn(vectors: DataFrame, tau: Double = CosineTau): DataFrame = {
-    val (indexedRaw, _) = Similarity.ivfIndex(vectors)
+  def semanticDedupOn(vectors: DataFrame, tau: Double = CosineTau,
+                      cells: Int = Similarity.IvfCells): DataFrame = {
+    val (indexedRaw, _) = Similarity.ivfIndex(vectors, cells)
     val indexed = indexedRaw
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val slim = indexed.select(col("vec_id"), col("e"), col("nrm"), col("cell"))

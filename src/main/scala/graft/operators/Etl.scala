@@ -209,6 +209,64 @@ object Etl {
       |FROM events
       |GROUP BY 1""".stripMargin
 
+  /** Drift fences for [[dqDrift]]: a day whose row count moves outside
+    * [1/DriftFactor, DriftFactor]× its trailing-window average is
+    * flagged. */
+  val DriftFactor = 2.0
+  /** Trailing window: the 7 preceding days (current day excluded). */
+  val DriftWindowDays = 7
+
+  /** Day-over-day DQ DRIFT report — the reference runs per-ds loads
+    * (its airflow dags, one slice a day); the monitoring question those
+    * pipelines actually page on is "did today's slice arrive at the
+    * usual size?". One row per event date with its row/user counts,
+    * the trailing 7-day average, the ratio against it, and an anomaly
+    * flag when the ratio leaves [1/2, 2]. Days with no history (the
+    * corpus head) carry a null ratio and are NOT flagged — silence,
+    * not a false page, is the cold-start contract.
+    *
+    * Shape: one bounded hash aggregate (day-cardinality-sized) + one
+    * window over the day table — the global-order window is over
+    * distinct DATES (bounded like q_running_total's, documented
+    * there), never over raw rows. Integer day-counts keep the
+    * trailing average bit-portable (exact integer sums < 2^53
+    * divided once). */
+  def dqDrift(spark: SparkSession, dir: String): DataFrame =
+    dqDriftOn(Tables.events(spark, dir).withColumn("event_date", to_date(col("ts"))))
+
+  def dqDriftOn(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = df.groupBy(col("event_date"))
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("user_id")).as("n_users"))
+    val w = Window.orderBy(col("event_date"))
+      .rowsBetween(-DriftWindowDays, -1)
+    daily
+      .withColumn("trailing_avg_rows", avg(col("n_rows")).over(w))
+      .withColumn("ratio", col("n_rows").cast("double") / col("trailing_avg_rows"))
+      .withColumn("is_anomaly",
+        coalesce(col("ratio") > DriftFactor || col("ratio") < lit(1.0) / DriftFactor,
+          lit(false)))
+  }
+
+  val dqDriftOracleSql: String =
+    s"""WITH d AS (
+       |  SELECT CAST(ts AS DATE) AS event_date,
+       |    CAST(COUNT(*) AS BIGINT) AS n_rows,
+       |    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+       |  FROM events GROUP BY 1),
+       |t AS (
+       |  SELECT *, AVG(n_rows) OVER (ORDER BY event_date
+       |      ROWS BETWEEN $DriftWindowDays PRECEDING AND 1 PRECEDING)
+       |    AS trailing_avg_rows
+       |  FROM d)
+       |SELECT event_date, n_rows, n_users, trailing_avg_rows,
+       |  CAST(n_rows AS DOUBLE) / trailing_avg_rows AS ratio,
+       |  COALESCE(CAST(n_rows AS DOUBLE) / trailing_avg_rows > $DriftFactor
+       |    OR CAST(n_rows AS DOUBLE) / trailing_avg_rows < ${1.0 / DriftFactor},
+       |    FALSE) AS is_anomaly
+       |FROM t""".stripMargin
+
   /** THE deterministic 32-bit key hash every sampling/packing draw is
     * built on (first 8 hex chars of md5 — engine-portable): the
     * nesting/agreement properties across sampleDeterministic /

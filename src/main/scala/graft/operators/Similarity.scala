@@ -174,7 +174,8 @@ object Similarity {
     * [cell, ce, cn]) — `sim` is each vector's cosine to its own
     * centroid, which the cluster-summary/semantic-dedup operators
     * consume. */
-  private[operators] def ivfIndex(vectors: DataFrame): (DataFrame, DataFrame) = {
+  private[operators] def ivfIndex(vectors: DataFrame,
+                                  cells: Int = IvfCells): (DataFrame, DataFrame) = {
     val v = vectors
       .select(col("vec_id"), V.toDouble(col("embedding")).as("e"))
       .withColumn("nrm", V.l2Norm(col("e")))
@@ -183,7 +184,7 @@ object Similarity {
     // The seed's own vec_id is its cell id — stable by construction
     // (monotonically_increasing_id after a limit would depend on the
     // plan's partitioning, a planner detail, not a contract).
-    val seeds = broadcast(v.orderBy(col("vec_id")).limit(IvfCells)
+    val seeds = broadcast(v.orderBy(col("vec_id")).limit(cells)
       .select(col("vec_id").as("cell0"), col("e").as("ce"), col("nrm").as("cn")))
     val firstAssign = assignNearest(v, seeds, "cell0", "ce", "cn")
     val centroids = {
@@ -390,8 +391,8 @@ object Similarity {
   def embedClusters(spark: SparkSession, dir: String): DataFrame =
     embedClustersOn(Tables.embeddings(spark, dir))
 
-  def embedClustersOn(vectors: DataFrame): DataFrame = {
-    val (indexed, _) = ivfIndex(vectors)
+  def embedClustersOn(vectors: DataFrame, cells: Int = IvfCells): DataFrame = {
+    val (indexed, _) = ivfIndex(vectors, cells)
     // sim involves the CENTROID, whose decimal-mean→double cast is the
     // one conversion the two engines may round 1 ulp apart (Spark
     // correctly rounds; DuckDB multiplies int128 by a rounded 10^-s) —

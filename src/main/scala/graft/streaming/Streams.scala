@@ -310,6 +310,52 @@ object Streams {
       }
   }
 
+  /** Streaming CDC apply sink: [[upsertSink]] generalized to
+    * tombstone-bearing change feeds. Each micro-batch merges into the
+    * lake keep-latest per (user_id, event_date) — WITH the op column
+    * retained, tombstones included: a delete must stay in the lake as
+    * the key's latest state, because dropping the row (what the batch
+    * [[graft.operators.Merge.applyChangelog]] does over a complete
+    * feed) would let a LATE-arriving older update resurrect the key on
+    * a subsequent micro-batch. Readers take the snapshot view through
+    * [[readCdcSnapshot]], which filters tombstones at scan time — the
+    * same filtered result the batch operator computes, but
+    * replay-safe under at-least-once micro-batch delivery. */
+  def cdcApplySink(changes: DataFrame, l2Path: String) = {
+    changes
+      .withColumn("event_date", to_date(col("ts")))
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          val dates = batch.select("event_date").distinct()
+          val existing =
+            try spark.read.parquet(l2Path)
+              .join(broadcast(dates), Seq("event_date"), "left_semi")
+            catch { case _: org.apache.spark.sql.AnalysisException =>
+              batch.limit(0)
+            }
+          val merged = graft.operators.Merge.keepLatest(
+            existing.unionByName(batch),
+            keys = Seq(col("user_id"), col("event_date")),
+            orderCol = col("ts"), tiebreak = col("event_id"))
+          val runId = java.util.UUID.randomUUID().toString.take(8)
+          graft.operators.Sinks.stageAndReplace(
+            merged, s"$l2Path/../_cdc_merge_tmp_$runId", l2Path, Seq("event_date"))
+          ()
+        }
+      }
+  }
+
+  /** The snapshot view over a [[cdcApplySink]] lake: latest state per
+    * key minus tombstoned keys — row-for-row what the batch
+    * applyChangelog yields over the full feed (delivered in event-time
+    * order). */
+  def readCdcSnapshot(spark: SparkSession, l2Path: String,
+                      deleteOp: String = "D"): DataFrame =
+    spark.read.parquet(l2Path).filter(!(col("op") <=> lit(deleteOp)))
+
   // --- stateful session assembly (flatMapGroupsWithState) ---
 
   case class Ev(user_id: Long, ts: Timestamp, event_id: Long)

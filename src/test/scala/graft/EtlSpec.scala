@@ -302,6 +302,30 @@ class EtlSpec extends SparkSpecBase {
     assert(half.count() < a.count())
   }
 
+  test("dq drift: spike days flagged against the trailing average, cold start silent") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // 8 quiet days of 10 rows, then a 50-row spike, then a 2-row crater
+    val days = (1 to 8).map(d => f"2024-01-$d%02d" -> 10) ++
+      Seq("2024-01-09" -> 50, "2024-01-10" -> 2)
+    val rows = days.zipWithIndex.flatMap { case ((day, n), di) =>
+      (0 until n).map(i => (di.toLong * 1000 + i, java.sql.Date.valueOf(day), i.toLong % 7))
+    }
+    val df = rows.toDF("event_id", "event_date", "user_id")
+    val got = graft.operators.Etl.dqDriftOn(df).collect()
+      .map(r => r.getDate(0).toString ->
+        ((r.getLong(1), if (r.isNullAt(3)) None else Some(r.getDouble(3)), r.getBoolean(5))))
+      .toMap
+    // day 1: no history -> null trailing avg, NOT flagged
+    assert(got("2024-01-01") == ((10L, None, false)))
+    // quiet day: trailing avg 10, in band
+    assert(got("2024-01-08") == ((10L, Some(10.0), false)))
+    // spike: 50 vs avg 10 -> flagged
+    assert(got("2024-01-09")._3, "spike day must be flagged")
+    // crater: 2 vs avg of (10*6 + 50)/7 -> flagged
+    assert(got("2024-01-10")._3, "crater day must be flagged")
+  }
+
   test("temperature sampling: low-resource groups keep more, nested in base rate, deterministic") {
     import org.apache.spark.sql.functions._
     val docs = graft.sources.Tables.documents(spark, sfDir)

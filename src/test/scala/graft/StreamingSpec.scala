@@ -191,6 +191,44 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("cdc apply sink: tombstones persist in the lake, snapshot hides them, late updates lose") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val lake = java.nio.file.Files.createTempDirectory("graft_cdc_lake").toString
+    val l2 = s"$lake/l2"
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val streamDf = mem.toDF.toDF("event_id", "ts", "user_id", "op", "value")
+    val q = Streams.cdcApplySink(streamDf, l2)
+      .option("checkpointLocation", s"$lake/ckpt").start()
+    def snapshot() = Streams.readCdcSnapshot(spark, l2)
+      .collect().map(r => r.getLong(2) -> r.getDouble(4)).toMap
+    try {
+      // batch 1: two inserts
+      mem.addData(Seq(
+        (1L, ts("2024-03-01 10:00:00"), 5L, "U", 1.0),
+        (2L, ts("2024-03-01 10:00:00"), 6L, "U", 2.0)))
+      q.processAllAvailable()
+      assert(snapshot() == Map(5L -> 1.0, 6L -> 2.0))
+      // batch 2: delete user 6 — gone from the SNAPSHOT, but the
+      // tombstone row must stay in the raw lake
+      mem.addData(Seq((3L, ts("2024-03-01 11:00:00"), 6L, "D", 0.0)))
+      q.processAllAvailable()
+      assert(snapshot() == Map(5L -> 1.0))
+      val raw = spark.read.parquet(l2).filter(col("user_id") === 6L).collect()
+      assert(raw.length == 1 && raw(0).getString(3) == "D",
+        "tombstone must persist as the key's latest lake state")
+      // batch 3: a LATE update for user 6 older than the delete — the
+      // retained tombstone must win (no resurrection)
+      mem.addData(Seq((4L, ts("2024-03-01 10:30:00"), 6L, "U", 9.0)))
+      q.processAllAvailable()
+      assert(snapshot() == Map(5L -> 1.0), "late pre-delete update must not resurrect the key")
+      // batch 4: a genuine re-insert AFTER the delete revives the key
+      mem.addData(Seq((5L, ts("2024-03-01 12:00:00"), 6L, "U", 7.0)))
+      q.processAllAvailable()
+      assert(snapshot() == Map(5L -> 1.0, 6L -> 7.0))
+    } finally q.stop()
+  }
+
   test("batch entries match their shared-transform semantics on the corpus") {
     val wagg = Streams.windowedAggBatch(spark, sfDir)
     val total = wagg.agg(sum("n_events")).collect()(0).getLong(0)
