@@ -43,7 +43,10 @@ object Bench {
     // number reflects its plan. Documented in BASELINE.md.
     {
       import org.apache.spark.sql.functions._
-      val r = spark.read.parquet(s"$sfDir/region.parquet")
+      // synthetic frame, not a table read: the warm-up must never abort
+      // the bench on a data dir that lacks some table (per-query errors
+      // belong in the errors map, not out of main)
+      val r = spark.range(1000L).select(col("id").as("r_regionkey"))
       r.join(broadcast(r.select(col("r_regionkey").as("k"))),
           col("r_regionkey") === col("k"))
         .withColumn("rn", row_number().over(

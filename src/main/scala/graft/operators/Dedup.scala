@@ -455,8 +455,17 @@ object Dedup {
   def semanticDedup(spark: SparkSession, dir: String, tau: Double = CosineTau): DataFrame =
     semanticDedupOn(Tables.embeddings(spark, dir), tau)
 
+  /** Plain form pins its corpus-cardinality index cache for the
+    * session (documented lifetime, same as persistedTrigramSets);
+    * long-lived callers use [[semanticDedupWithHandle]]. */
   def semanticDedupOn(vectors: DataFrame, tau: Double = CosineTau,
-                      cells: Int = Similarity.IvfCells): DataFrame = {
+                      cells: Int = Similarity.IvfCells): DataFrame =
+    semanticDedupWithHandle(vectors, tau, cells)._1
+
+  /** Returns (survivors, cache handle) — `handle.unpersist()` releases
+    * the persisted IVF index once the survivors are consumed. */
+  def semanticDedupWithHandle(vectors: DataFrame, tau: Double = CosineTau,
+                              cells: Int = Similarity.IvfCells): (DataFrame, DataFrame) = {
     val (indexedRaw, _) = Similarity.ivfIndex(vectors, cells)
     val indexed = indexedRaw
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -467,8 +476,9 @@ object Dedup {
       .filter(V.cosineWithNorms(
         V.dot(col("a.e"), col("b.e")), col("a.nrm"), col("b.nrm")) >= tau)
       .select(col("b.vec_id").as("vec_id")).distinct()
-    indexed.join(dropped, Seq("vec_id"), "left_anti")
+    val survivors = indexed.join(dropped, Seq("vec_id"), "left_anti")
       .select(col("vec_id"), col("cell"))
+    (survivors, indexed)
   }
 
   val semanticDedupOracleSql: String =

@@ -399,7 +399,10 @@ object Etl {
       .withColumn("__rate", least(lit(1.0),
         lit(baseRate) * sqrt(col("__nmax").cast("double") / col("__n").cast("double"))))
       .select(col("__g"), col("__rate"))
-    docs.join(broadcast(rates), group === col("__g"))
+    // null-safe group match: a null group is a group like any other —
+    // an equality join would silently DROP unlabeled rows from the
+    // sample instead of sampling them at their own group's rate
+    docs.join(broadcast(rates), group <=> col("__g"))
       .filter(keyHash32(col("doc_id")).cast("double") < col("__rate") * lit(4294967296.0))
       .drop("__g", "__rate")
   }
@@ -420,7 +423,7 @@ object Etl {
        |    sqrt(CAST(m.nmax AS DOUBLE) / CAST(c.n AS DOUBLE))) AS rate
        |  FROM c CROSS JOIN m)
        |SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars
-       |FROM documents d JOIN r ON d.lang = r.g
+       |FROM documents d JOIN r ON d.lang IS NOT DISTINCT FROM r.g
        |WHERE CAST(CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) AS DOUBLE)
        |      < r.rate * 4294967296.0""".stripMargin
 
@@ -577,13 +580,16 @@ object Etl {
         opCol = col("event_type"), deleteOp = CdcDeleteType)
       .select("user_id", "event_id", "ts", "event_type", "value")
 
+  // IS DISTINCT FROM, not <>: the operator's contract keeps a NULL op
+  // as an upsert (Merge.applyChangelog's null-safe tombstone filter);
+  // a bare <> would evaluate NULL and silently drop such rows here
   val cdcApplyOracleSql: String =
     s"""SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value
        |FROM (
        |  SELECT *, ROW_NUMBER() OVER (
        |    PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
        |  FROM events) t
-       |WHERE rn = 1 AND event_type <> '$CdcDeleteType'""".stripMargin
+       |WHERE rn = 1 AND event_type IS DISTINCT FROM '$CdcDeleteType'""".stripMargin
 
   /** Source timezone for normalizeTz — the reference pipeline's own
     * data locale (open-meteo Jakarta extracts). Deliberately DST-free

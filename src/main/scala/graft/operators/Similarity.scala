@@ -204,14 +204,13 @@ object Similarity {
   }
 
   def knnIvfOn(vectors: DataFrame, k: Int = K): DataFrame = {
-    val v = vectors
-      .select(col("vec_id"), V.toDouble(col("embedding")).as("e"))
-      .withColumn("nrm", V.l2Norm(col("e")))
     val (indexed, centroids) = ivfIndex(vectors)
 
     // --- search: per query, the nprobe nearest cells, then exact
-    //     rerank over only those cells' postings
-    val queries = v.filter(col("vec_id") < NQueries)
+    //     rerank over only those cells' postings. Query vectors come
+    //     off the indexed frame (it already carries e and nrm) — no
+    //     second toDouble+norm pass over the corpus
+    val queries = indexed.filter(col("vec_id") < NQueries)
       .select(col("vec_id").as("query_id"), col("e").as("qe"), col("nrm").as("qnrm"))
     val probeW = Window.partitionBy(col("query_id"))
       .orderBy(col("cdist").desc, col("cell"))

@@ -56,7 +56,13 @@ object Sinks {
     df.write.mode("overwrite").parquet(tmpPath)
     val staged = spark.read.parquet(tmpPath)
     if (partitionCols.nonEmpty)
-      staged.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(targetPath)
+      // dynamic mode forced per-WRITE, same as writePartitioned: on a
+      // plain session the default static mode would wipe every sibling
+      // partition of the target before writing the staged slice —
+      // destroying the accumulated lake the streaming sinks merge into
+      staged.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partitionCols: _*).parquet(targetPath)
     else staged.write.mode("overwrite").parquet(targetPath)
     val n = staged.count()
     val hp = new org.apache.hadoop.fs.Path(tmpPath)

@@ -167,7 +167,18 @@ object Sketches {
     * oracles; counts are integers; ties at the topK cut break on the
     * term string.
     */
-  def aggHeavyHittersOn(docs: DataFrame, topK: Int = CmsTopK): DataFrame = {
+  /** Plain form pins its vocab-sized cache for the session (same
+    * documented lifetime as Dedup.persistedTrigramSets — acceptable in
+    * per-run verify/bench sessions); long-lived callers should use
+    * [[aggHeavyHittersWithHandle]] and unpersist the handle. */
+  def aggHeavyHittersOn(docs: DataFrame, topK: Int = CmsTopK): DataFrame =
+    aggHeavyHittersWithHandle(docs, topK)._1
+
+  /** Returns (result, cache handle): `handle.unpersist()` after the
+    * result is consumed releases the vocabulary-sized cached plan
+    * instead of pinning one per invocation. */
+  def aggHeavyHittersWithHandle(docs: DataFrame,
+                                topK: Int = CmsTopK): (DataFrame, DataFrame) = {
     import graft.functions.TextHashing
     // vocab-sized and reused by three branches (grid, topK cut, probe)
     // — persist like Dedup.persistedTrigramSets rather than re-derive
@@ -182,7 +193,7 @@ object Sketches {
       .groupBy(col("row"), col("bucket"))
       .agg(sum(col("n_exact")).as("cell"))
     val top = termCounts.orderBy(col("n_exact").desc, col("term")).limit(topK)
-    top
+    val result = top
       .select(col("term"), col("n_exact"),
         posexplode(col("buckets")).as(Seq("row", "bucket")))
       .join(broadcast(cells), Seq("row", "bucket"))
@@ -190,6 +201,7 @@ object Sketches {
       .agg(min(col("cell")).as("cms_count"))
       .withColumn("overcount", col("cms_count") - col("n_exact"))
       .orderBy(col("n_exact").desc, col("term"))
+    (result, termCounts)
   }
 
   /** Driver query over `documents` (key `agg_heavy_hitters`). */

@@ -280,71 +280,80 @@ object Streams {
     * new rows, dedupes last-write-wins, and dynamic-overwrites only
     * those partitions (idempotent under micro-batch replay, which is
     * exactly Structured Streaming's at-least-once contract). */
+  /** The foreachBatch merge core shared by [[upsertSink]] and
+    * [[cdcApplySink]]: read ONLY the lake partitions the batch
+    * touches, union the batch in, keep-latest per key, stage +
+    * dynamic-overwrite those partitions (durable staging — see
+    * Sinks.stageAndReplace; per-batch unique path so concurrent
+    * queries sharing a lake dir never clobber each other). */
+  private def mergeMicroBatch(batch: DataFrame, l2Path: String,
+                              partitionCol: String,
+                              keys: Seq[org.apache.spark.sql.Column],
+                              tmpPrefix: String): Unit = {
+    val spark = batch.sparkSession
+    val parts = batch.select(partitionCol).distinct()
+    val existing =
+      try spark.read.parquet(l2Path)
+        .join(broadcast(parts), Seq(partitionCol), "left_semi")
+      catch { case _: org.apache.spark.sql.AnalysisException =>
+        batch.limit(0)
+      }
+    val merged = graft.operators.Merge.keepLatest(
+      existing.unionByName(batch),
+      keys = keys, orderCol = col("ts"), tiebreak = col("event_id"))
+    val runId = java.util.UUID.randomUUID().toString.take(8)
+    graft.operators.Sinks.stageAndReplace(
+      merged, s"$l2Path/../${tmpPrefix}_$runId", l2Path, Seq(partitionCol))
+    ()
+  }
+
   def upsertSink(events: DataFrame, l2Path: String) = {
     events
       .withColumn("event_date", to_date(col("ts")))
       .writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) {
-          val spark = batch.sparkSession
-          val dates = batch.select("event_date").distinct()
-          val existing =
-            try spark.read.parquet(l2Path)
-              .join(broadcast(dates), Seq("event_date"), "left_semi")
-            catch { case _: org.apache.spark.sql.AnalysisException =>
-              batch.limit(0)
-            }
-          val merged = graft.operators.Merge.keepLatest(
-            existing.unionByName(batch),
+        if (!batch.isEmpty)
+          mergeMicroBatch(batch, l2Path, "event_date",
             keys = Seq(col("user_id"), col("event_type"), col("event_date")),
-            orderCol = col("ts"), tiebreak = col("event_id"))
-          // durable staging before overwrite — see Sinks.stageAndReplace
-          // (per-batch unique path: concurrent queries sharing the lake
-          // dir must not clobber each other; deleted after the merge)
-          val runId = java.util.UUID.randomUUID().toString.take(8)
-          graft.operators.Sinks.stageAndReplace(
-            merged, s"$l2Path/../_stream_merge_tmp_$runId", l2Path, Seq("event_date"))
-          ()
-        }
+            tmpPrefix = "_stream_merge_tmp")
       }
   }
 
+  /** CDC lake bucket count — the partition a key's CURRENT row lives
+    * in must be a pure function of the KEY, so each micro-batch can
+    * read exactly the partitions its keys could occupy. */
+  val CdcBuckets = 32
+
   /** Streaming CDC apply sink: [[upsertSink]] generalized to
-    * tombstone-bearing change feeds. Each micro-batch merges into the
-    * lake keep-latest per (user_id, event_date) — WITH the op column
-    * retained, tombstones included: a delete must stay in the lake as
-    * the key's latest state, because dropping the row (what the batch
-    * [[graft.operators.Merge.applyChangelog]] does over a complete
-    * feed) would let a LATE-arriving older update resurrect the key on
-    * a subsequent micro-batch. Readers take the snapshot view through
-    * [[readCdcSnapshot]], which filters tombstones at scan time — the
-    * same filtered result the batch operator computes, but
-    * replay-safe under at-least-once micro-batch delivery. */
-  def cdcApplySink(changes: DataFrame, l2Path: String) = {
+    * tombstone-bearing change feeds. The lake is partitioned by
+    * KEY-HASH BUCKET, not by event date: the merge key is user_id
+    * alone, and a date-partitioned lake would merge each date in
+    * isolation — a delete arriving on day 2 could never mask the row
+    * written under day 1's partition (deleted keys would resurrect in
+    * the snapshot, updated keys would duplicate). With the bucket a
+    * pure function of the key, every row a key has ever written lives
+    * in the one partition the batch reads, so keep-latest per user is
+    * globally correct while each micro-batch still touches only its
+    * affected buckets.
+    *
+    * Tombstones are RETAINED as the key's latest lake state: dropping
+    * them (what the batch [[graft.operators.Merge.applyChangelog]]
+    * does over a complete feed) would let a LATE-arriving older update
+    * resurrect the key on a subsequent micro-batch. Readers take the
+    * snapshot view through [[readCdcSnapshot]], which filters
+    * tombstones at scan time — the same result the batch operator
+    * computes, replay-safe under at-least-once delivery. */
+  def cdcApplySink(changes: DataFrame, l2Path: String,
+                   nBuckets: Int = CdcBuckets) = {
     changes
-      .withColumn("event_date", to_date(col("ts")))
+      .withColumn("bucket", pmod(xxhash64(col("user_id")), lit(nBuckets.toLong)))
       .writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) {
-          val spark = batch.sparkSession
-          val dates = batch.select("event_date").distinct()
-          val existing =
-            try spark.read.parquet(l2Path)
-              .join(broadcast(dates), Seq("event_date"), "left_semi")
-            catch { case _: org.apache.spark.sql.AnalysisException =>
-              batch.limit(0)
-            }
-          val merged = graft.operators.Merge.keepLatest(
-            existing.unionByName(batch),
-            keys = Seq(col("user_id"), col("event_date")),
-            orderCol = col("ts"), tiebreak = col("event_id"))
-          val runId = java.util.UUID.randomUUID().toString.take(8)
-          graft.operators.Sinks.stageAndReplace(
-            merged, s"$l2Path/../_cdc_merge_tmp_$runId", l2Path, Seq("event_date"))
-          ()
-        }
+        if (!batch.isEmpty)
+          mergeMicroBatch(batch, l2Path, "bucket",
+            keys = Seq(col("user_id")), tmpPrefix = "_cdc_merge_tmp")
       }
   }
 

@@ -354,6 +354,14 @@ class EtlSpec extends SparkSpecBase {
     assert(half.exceptAll(a).count() == 0)
     assert(half.count() < a.count())
     a.unpersist()
+    // NULL group: unlabeled rows form their own stratum (1 member ->
+    // rate clamps to 1.0) rather than silently vanishing from the join
+    val withNull = docs.limit(20)
+      .unionByName(docs.limit(1).withColumn("lang", lit(null).cast("string"))
+        .withColumn("doc_id", lit(999999L)))
+    val sampled = Etl.sampleTemperatureOn(withNull, col("lang"))
+    assert(sampled.filter(col("doc_id") === 999999L).count() == 1,
+      "singleton null-lang stratum must survive at rate 1.0")
   }
 
   test("per-source cap: exact budgets, nested in cap, partitioning-independent") {

@@ -191,7 +191,7 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
-  test("cdc apply sink: tombstones persist in the lake, snapshot hides them, late updates lose") {
+  test("cdc apply sink: cross-day deletes mask, tombstones persist, late updates lose") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     val lake = java.nio.file.Files.createTempDirectory("graft_cdc_lake").toString
@@ -203,29 +203,38 @@ class StreamingSpec extends SparkSpecBase {
     def snapshot() = Streams.readCdcSnapshot(spark, l2)
       .collect().map(r => r.getLong(2) -> r.getDouble(4)).toMap
     try {
-      // batch 1: two inserts
+      // batch 1: two inserts on day 1
       mem.addData(Seq(
         (1L, ts("2024-03-01 10:00:00"), 5L, "U", 1.0),
         (2L, ts("2024-03-01 10:00:00"), 6L, "U", 2.0)))
       q.processAllAvailable()
       assert(snapshot() == Map(5L -> 1.0, 6L -> 2.0))
-      // batch 2: delete user 6 — gone from the SNAPSHOT, but the
-      // tombstone row must stay in the raw lake
-      mem.addData(Seq((3L, ts("2024-03-01 11:00:00"), 6L, "D", 0.0)))
+      // batch 2: delete user 6 on day 2 — the delete must mask the
+      // DAY-1 row (the key-bucketed lake's whole point: a
+      // date-partitioned merge would never see day 1's partition and
+      // the key would resurrect); gone from the SNAPSHOT, tombstone
+      // retained in the raw lake
+      mem.addData(Seq((3L, ts("2024-03-02 11:00:00"), 6L, "D", 0.0)))
       q.processAllAvailable()
-      assert(snapshot() == Map(5L -> 1.0))
+      assert(snapshot() == Map(5L -> 1.0),
+        "a next-day delete must mask the prior day's row")
       val raw = spark.read.parquet(l2).filter(col("user_id") === 6L).collect()
       assert(raw.length == 1 && raw(0).getString(3) == "D",
         "tombstone must persist as the key's latest lake state")
       // batch 3: a LATE update for user 6 older than the delete — the
       // retained tombstone must win (no resurrection)
-      mem.addData(Seq((4L, ts("2024-03-01 10:30:00"), 6L, "U", 9.0)))
+      mem.addData(Seq((4L, ts("2024-03-01 23:00:00"), 6L, "U", 9.0)))
       q.processAllAvailable()
       assert(snapshot() == Map(5L -> 1.0), "late pre-delete update must not resurrect the key")
-      // batch 4: a genuine re-insert AFTER the delete revives the key
-      mem.addData(Seq((5L, ts("2024-03-01 12:00:00"), 6L, "U", 7.0)))
+      // batch 4: a genuine re-insert AFTER the delete (day 3) revives
+      mem.addData(Seq((5L, ts("2024-03-03 12:00:00"), 6L, "U", 7.0)))
       q.processAllAvailable()
       assert(snapshot() == Map(5L -> 1.0, 6L -> 7.0))
+      // a user updated on two different days appears exactly once
+      mem.addData(Seq((6L, ts("2024-03-04 08:00:00"), 5L, "U", 4.0)))
+      q.processAllAvailable()
+      assert(snapshot() == Map(5L -> 4.0, 6L -> 7.0),
+        "multi-day updates must collapse to one snapshot row per key")
     } finally q.stop()
   }
 
