@@ -26,6 +26,7 @@ object SparkEntry {
     "etl_dq_report"      -> (Etl.dqReport(_, _)),
     "etl_dq_profile"     -> (Etl.dqProfile(_, _)),
     "etl_dq_drift"       -> (Etl.dqDrift(_, _)),
+    "etl_backfill_gaps"  -> (Etl.backfillGaps(_, _)),
     "etl_schema_enforce" -> (Etl.schemaEnforce(_, _)),
     "etl_incremental_ds" -> ((s, d) => Etl.incrementalDs(s, d)),
     "etl_normalize_arrays" -> ((s, d) => Etl.normalizeArrays(Etl.arrayPayloads(s, d))),
@@ -114,6 +115,8 @@ object SparkEntry {
     "etl_dq_profile"     -> Etl.dqProfileOracleSql,
     // integer day counts through an exact trailing-window average
     "etl_dq_drift"       -> Etl.dqDriftOracleSql,
+    // calendar explode from a 1-row bounds agg, never corpus-sized
+    "etl_backfill_gaps"  -> Etl.backfillGapsOracleSql,
     "etl_schema_enforce" -> Etl.schemaEnforceOracleSql,
     "etl_incremental_ds" -> Etl.incrementalDsOracleSql,
     "etl_normalize_arrays" -> Etl.normalizeArraysOracleSql,

@@ -267,6 +267,46 @@ object Etl {
        |    FALSE) AS is_anomaly
        |FROM t""".stripMargin
 
+  /** Backfill coverage calendar (key `etl_backfill_gaps`) — the
+    * planner the reference's per-ds orchestration implies: its dags
+    * run one `ds` slice per day and are explicitly backfill-friendly,
+    * which presumes knowing WHICH days are missing. One row per
+    * calendar day between the lake's first and last observed date,
+    * with that day's row count and an `is_gap` flag for days with no
+    * rows at all — the exact work-list a backfill scheduler consumes
+    * (the reference finds this out one Airflow run at a time).
+    *
+    * Shape: one day-cardinality hash aggregate, a 1-row bounds
+    * aggregate, the calendar exploded from that single row (bounded by
+    * the day span, never by corpus size), broadcast-joined back to the
+    * daily counts. */
+  def backfillGaps(spark: SparkSession, dir: String): DataFrame =
+    backfillGapsOn(Tables.events(spark, dir).select(to_date(col("ts")).as("event_date")))
+
+  def backfillGapsOn(dated: DataFrame): DataFrame = {
+    val daily = dated.groupBy(col("event_date")).agg(count(lit(1)).as("n_rows"))
+    val cal = daily
+      .agg(min(col("event_date")).as("mn"), max(col("event_date")).as("mx"))
+      .select(explode(expr("sequence(mn, mx, interval 1 day)")).as("expect_date"))
+    cal.join(daily, cal("expect_date") === daily("event_date"), "left")
+      .select(col("expect_date"),
+        coalesce(col("n_rows"), lit(0L)).as("n_rows"),
+        col("n_rows").isNull.as("is_gap"))
+  }
+
+  val backfillGapsOracleSql: String =
+    """WITH d AS (
+      |  SELECT CAST(ts AS DATE) AS event_date, CAST(COUNT(*) AS BIGINT) AS n_rows
+      |  FROM events GROUP BY 1),
+      |b AS (SELECT MIN(event_date) AS mn, MAX(event_date) AS mx FROM d),
+      |cal AS (
+      |  SELECT CAST(unnest(generate_series(CAST(b.mn AS TIMESTAMP),
+      |    CAST(b.mx AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS expect_date
+      |  FROM b)
+      |SELECT c.expect_date, COALESCE(d.n_rows, 0) AS n_rows,
+      |  d.n_rows IS NULL AS is_gap
+      |FROM cal c LEFT JOIN d ON c.expect_date = d.event_date""".stripMargin
+
   /** THE deterministic 32-bit key hash every sampling/packing draw is
     * built on (first 8 hex chars of md5 — engine-portable): the
     * nesting/agreement properties across sampleDeterministic /

@@ -302,6 +302,29 @@ class EtlSpec extends SparkSpecBase {
     assert(half.count() < a.count())
   }
 
+  test("backfill gaps: holes flagged, continuous coverage clean, bounds inclusive") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    def d(s: String) = java.sql.Date.valueOf(s)
+    // days 1,2,5 present; 3,4 are holes
+    val dated = Seq(d("2024-02-01"), d("2024-02-01"), d("2024-02-02"), d("2024-02-05"))
+      .toDF("event_date")
+    val got = graft.operators.Etl.backfillGapsOn(dated).collect()
+      .map(r => r.getDate(0).toString -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(got.size == 5, "one row per calendar day between min and max, inclusive")
+    assert(got("2024-02-01") == ((2L, false)) && got("2024-02-02") == ((1L, false)))
+    assert(got("2024-02-03") == ((0L, true)) && got("2024-02-04") == ((0L, true)))
+    assert(got("2024-02-05") == ((1L, false)))
+    // continuous coverage: no gaps
+    val cont = Seq(d("2024-02-01"), d("2024-02-02")).toDF("event_date")
+    assert(graft.operators.Etl.backfillGapsOn(cont)
+      .filter(col("is_gap")).count() == 0)
+    // single-day corpus: exactly one row, not a gap
+    val one = Seq(d("2024-02-01")).toDF("event_date")
+    val oneGot = graft.operators.Etl.backfillGapsOn(one).collect()
+    assert(oneGot.length == 1 && !oneGot(0).getBoolean(2))
+  }
+
   test("dq drift: spike days flagged against the trailing average, cold start silent") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
