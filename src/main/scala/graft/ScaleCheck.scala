@@ -158,9 +158,15 @@ object ScaleCheck {
       // ~12.5k vectors/cell here and measured 88 s
       run("sample_temperature", operators.Etl.sampleTemperature(spark, dir)),
       run("embed_clusters", operators.Similarity.embedClustersOn(
-        spark.read.parquet(s"$dir/embeddings.parquet"), cells = 256)),
-      run("dedup_semantic", operators.Dedup.semanticDedupOn(
-        spark.read.parquet(s"$dir/embeddings.parquet"), cells = 256)))
+        spark.read.parquet(s"$dir/embeddings.parquet"), cells = 256)), {
+        // handle form: release the corpus-sized IVF index cache before
+        // the pipeline timing below competes with it for memory
+        val (sd, handle) = operators.Dedup.semanticDedupWithHandle(
+          spark.read.parquet(s"$dir/embeddings.parquet"), cells = 256)
+        val r = run("dedup_semantic", sd)
+        handle.unpersist()
+        r
+      })
 
     // end-to-end per-ds pipeline (normalize + DQ + staged write + L2
     // merge) — the unit of work the reference DAG runs per day

@@ -219,18 +219,24 @@ object Etl {
   /** Day-over-day DQ DRIFT report — the reference runs per-ds loads
     * (its airflow dags, one slice a day); the monitoring question those
     * pipelines actually page on is "did today's slice arrive at the
-    * usual size?". One row per event date with its row/user counts,
-    * the trailing 7-day average, the ratio against it, and an anomaly
-    * flag when the ratio leaves [1/2, 2]. Days with no history (the
-    * corpus head) carry a null ratio and are NOT flagged — silence,
-    * not a false page, is the cold-start contract.
+    * usual size?". One row per CALENDAR day between the lake's first
+    * and last observed date (the [[backfillGapsOn]] calendar, so a day
+    * that arrived with ZERO rows is a row here — the worst arrival
+    * size must page loudest, not silently have no row to flag), with
+    * its row/user counts, the trailing 7-CALENDAR-day average, the
+    * ratio against it, and an anomaly flag when the ratio leaves
+    * [1/2, 2]. The calendar basis also keeps the trailing window
+    * honest through outages: 7 rows back is 7 days back, not 7
+    * observed-days-skipping-the-outage back. Days with no history
+    * (the corpus head) carry a null ratio and are NOT flagged —
+    * silence, not a false page, is the cold-start contract.
     *
-    * Shape: one bounded hash aggregate (day-cardinality-sized) + one
-    * window over the day table — the global-order window is over
-    * distinct DATES (bounded like q_running_total's, documented
-    * there), never over raw rows. Integer day-counts keep the
-    * trailing average bit-portable (exact integer sums < 2^53
-    * divided once). */
+    * Shape: one bounded hash aggregate (day-cardinality-sized), the
+    * bounded calendar explode, + one window over the day table — the
+    * global-order window is over distinct DATES (bounded like
+    * q_running_total's, documented there), never over raw rows.
+    * Integer day-counts keep the trailing average bit-portable (exact
+    * integer sums < 2^53 divided once). */
   def dqDrift(spark: SparkSession, dir: String): DataFrame =
     dqDriftOn(Tables.events(spark, dir).withColumn("event_date", to_date(col("ts"))))
 
@@ -239,11 +245,22 @@ object Etl {
     val daily = df.groupBy(col("event_date"))
       .agg(count(lit(1)).as("n_rows"),
         countDistinct(col("user_id")).as("n_users"))
+    val cal = daily
+      .agg(min(col("event_date")).as("mn"), max(col("event_date")).as("mx"))
+      .select(explode(expr("sequence(mn, mx, interval 1 day)")).as("event_date"))
+    val full = cal.join(broadcast(daily), Seq("event_date"), "left")
+      .select(col("event_date"),
+        coalesce(col("n_rows"), lit(0L)).as("n_rows"),
+        coalesce(col("n_users"), lit(0L)).as("n_users"))
     val w = Window.orderBy(col("event_date"))
       .rowsBetween(-DriftWindowDays, -1)
-    daily
+    full
       .withColumn("trailing_avg_rows", avg(col("n_rows")).over(w))
-      .withColumn("ratio", col("n_rows").cast("double") / col("trailing_avg_rows"))
+      // ratio only when the trailing average is a real positive basis:
+      // 0/0 would be NaN, whose comparison semantics differ across
+      // engines — an all-zero history gives no basis to page on
+      .withColumn("ratio", when(col("trailing_avg_rows") > 0.0,
+        col("n_rows").cast("double") / col("trailing_avg_rows")))
       .withColumn("is_anomaly",
         coalesce(col("ratio") > DriftFactor || col("ratio") < lit(1.0) / DriftFactor,
           lit(false)))
@@ -255,15 +272,27 @@ object Etl {
        |    CAST(COUNT(*) AS BIGINT) AS n_rows,
        |    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
        |  FROM events GROUP BY 1),
+       |b AS (SELECT MIN(event_date) AS mn, MAX(event_date) AS mx FROM d),
+       |cal AS (
+       |  SELECT CAST(unnest(generate_series(CAST(b.mn AS TIMESTAMP),
+       |    CAST(b.mx AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS event_date
+       |  FROM b),
+       |f AS (
+       |  SELECT c.event_date, COALESCE(d.n_rows, 0) AS n_rows,
+       |    COALESCE(d.n_users, 0) AS n_users
+       |  FROM cal c LEFT JOIN d USING (event_date)),
        |t AS (
        |  SELECT *, AVG(n_rows) OVER (ORDER BY event_date
        |      ROWS BETWEEN $DriftWindowDays PRECEDING AND 1 PRECEDING)
        |    AS trailing_avg_rows
-       |  FROM d)
+       |  FROM f)
        |SELECT event_date, n_rows, n_users, trailing_avg_rows,
-       |  CAST(n_rows AS DOUBLE) / trailing_avg_rows AS ratio,
-       |  COALESCE(CAST(n_rows AS DOUBLE) / trailing_avg_rows > $DriftFactor
-       |    OR CAST(n_rows AS DOUBLE) / trailing_avg_rows < ${1.0 / DriftFactor},
+       |  CASE WHEN trailing_avg_rows > 0
+       |    THEN CAST(n_rows AS DOUBLE) / trailing_avg_rows END AS ratio,
+       |  COALESCE(CASE WHEN trailing_avg_rows > 0
+       |      THEN CAST(n_rows AS DOUBLE) / trailing_avg_rows END > $DriftFactor
+       |    OR CASE WHEN trailing_avg_rows > 0
+       |      THEN CAST(n_rows AS DOUBLE) / trailing_avg_rows END < ${1.0 / DriftFactor},
        |    FALSE) AS is_anomaly
        |FROM t""".stripMargin
 
@@ -288,7 +317,7 @@ object Etl {
     val cal = daily
       .agg(min(col("event_date")).as("mn"), max(col("event_date")).as("mx"))
       .select(explode(expr("sequence(mn, mx, interval 1 day)")).as("expect_date"))
-    cal.join(daily, cal("expect_date") === daily("event_date"), "left")
+    cal.join(broadcast(daily), cal("expect_date") === daily("event_date"), "left")
       .select(col("expect_date"),
         coalesce(col("n_rows"), lit(0L)).as("n_rows"),
         col("n_rows").isNull.as("is_gap"))

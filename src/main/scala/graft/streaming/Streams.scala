@@ -347,7 +347,11 @@ object Streams {
   def cdcApplySink(changes: DataFrame, l2Path: String,
                    nBuckets: Int = CdcBuckets) = {
     changes
-      .withColumn("bucket", pmod(xxhash64(col("user_id")), lit(nBuckets.toLong)))
+      // int, not long: partition-directory values read back as ints,
+      // and a long here would make the lake's key type flip between
+      // the write path and every read-back join
+      .withColumn("bucket",
+        pmod(xxhash64(col("user_id")), lit(nBuckets.toLong)).cast("int"))
       .writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
@@ -360,10 +364,16 @@ object Streams {
   /** The snapshot view over a [[cdcApplySink]] lake: latest state per
     * key minus tombstoned keys — row-for-row what the batch
     * applyChangelog yields over the full feed (delivered in event-time
-    * order). */
+    * order), PROVIDED the (opCol, deleteOp) pair here matches the one
+    * the feed actually uses: the sink retains every op verbatim and
+    * only this read decides what a tombstone is. A feed using the
+    * batch driver convention (event_type, Etl.CdcDeleteType) must pass
+    * that pair — the "op"/"D" defaults would match nothing and every
+    * deleted key would silently resurrect. */
   def readCdcSnapshot(spark: SparkSession, l2Path: String,
+                      opCol: String = "op",
                       deleteOp: String = "D"): DataFrame =
-    spark.read.parquet(l2Path).filter(!(col("op") <=> lit(deleteOp)))
+    spark.read.parquet(l2Path).filter(!(col(opCol) <=> lit(deleteOp)))
 
   // --- stateful session assembly (flatMapGroupsWithState) ---
 

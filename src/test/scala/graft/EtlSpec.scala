@@ -325,12 +325,14 @@ class EtlSpec extends SparkSpecBase {
     assert(oneGot.length == 1 && !oneGot(0).getBoolean(2))
   }
 
-  test("dq drift: spike days flagged against the trailing average, cold start silent") {
+  test("dq drift: spike, crater, AND zero-row days flagged; cold start silent") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
-    // 8 quiet days of 10 rows, then a 50-row spike, then a 2-row crater
-    val days = (1 to 8).map(d => f"2024-01-$d%02d" -> 10) ++
-      Seq("2024-01-09" -> 50, "2024-01-10" -> 2)
+    // 6 quiet days of 10 rows, a day with NO rows at all (the worst
+    // arrival size — it must page loudest, not silently have no row),
+    // a quiet day, a 50-row spike, a 2-row crater
+    val days = (1 to 6).map(d => f"2024-01-$d%02d" -> 10) ++
+      Seq("2024-01-08" -> 10, "2024-01-09" -> 50, "2024-01-10" -> 2)
     val rows = days.zipWithIndex.flatMap { case ((day, n), di) =>
       (0 until n).map(i => (di.toLong * 1000 + i, java.sql.Date.valueOf(day), i.toLong % 7))
     }
@@ -339,13 +341,18 @@ class EtlSpec extends SparkSpecBase {
       .map(r => r.getDate(0).toString ->
         ((r.getLong(1), if (r.isNullAt(3)) None else Some(r.getDouble(3)), r.getBoolean(5))))
       .toMap
+    assert(got.size == 10, "one row per CALENDAR day, including the outage day")
     // day 1: no history -> null trailing avg, NOT flagged
     assert(got("2024-01-01") == ((10L, None, false)))
-    // quiet day: trailing avg 10, in band
-    assert(got("2024-01-08") == ((10L, Some(10.0), false)))
-    // spike: 50 vs avg 10 -> flagged
+    // the zero-row outage day exists in the report and is flagged
+    val (oRows, oAvg, oFlag) = got("2024-01-07")
+    assert(oRows == 0L && oAvg == Some(10.0) && oFlag,
+      s"zero-row day must page, got ${got("2024-01-07")}")
+    // quiet day after the outage: avg dips ((10*5+0)/6 or similar) but stays in band
+    assert(!got("2024-01-08")._3)
+    // spike: 50 vs dampened avg -> flagged
     assert(got("2024-01-09")._3, "spike day must be flagged")
-    // crater: 2 vs avg of (10*6 + 50)/7 -> flagged
+    // crater: 2 vs trailing avg -> flagged
     assert(got("2024-01-10")._3, "crater day must be flagged")
   }
 
