@@ -85,10 +85,18 @@ object Bench {
     val js = jitter.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
     val es = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
     val total = timings.values.sum
-    val line =
+    val full =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"jitter":$js,"errors":$es,"n_ok":${timings.size},"n_err":${errors.size},"sf":${jstr(sfDir)}}"""
-    println(line)
-    java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_LOCAL.json"), line + "\n")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_LOCAL.json"), full + "\n")
+    // Round-7 driver artifact came back `parsed: null`: the full line
+    // (~4 KB with 76 queries) overflowed the driver's tail capture and
+    // lost its head. stdout therefore carries only a COMPACT line —
+    // short enough to survive any tail window — printed last; the
+    // complete per-query/jitter/errors map lives in BENCH_LOCAL.json
+    // (committed per round as the durable record).
+    val compact =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":{},"n_ok":${timings.size},"n_err":${errors.size},"sf":${jstr(sfDir)},"detail":"BENCH_LOCAL.json"}"""
+    println(compact)
     spark.stop()
     if (errors.nonEmpty) System.err.println(s"[bench] ${errors.size} queries failed: ${errors.keys.mkString(",")}")
   }

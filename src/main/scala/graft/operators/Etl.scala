@@ -227,8 +227,11 @@ object Etl {
     * ratio against it, and an anomaly flag when the ratio leaves
     * [1/2, 2]. The calendar basis also keeps the trailing window
     * honest through outages: 7 rows back is 7 days back, not 7
-    * observed-days-skipping-the-outage back. Days with no history
-    * (the corpus head) carry a null ratio and are NOT flagged —
+    * observed-days-skipping-the-outage back. A day with rows on an
+    * ALL-ZERO trailing week (first day of recovery after a
+    * window-length outage) has no ratio but IS flagged — that is the
+    * strongest drift signal there is. Days with no history at all
+    * (the corpus head, trailing average null) are NOT flagged —
     * silence, not a false page, is the cold-start contract.
     *
     * Shape: one bounded hash aggregate (day-cardinality-sized), the
@@ -261,8 +264,13 @@ object Etl {
       // engines — an all-zero history gives no basis to page on
       .withColumn("ratio", when(col("trailing_avg_rows") > 0.0,
         col("n_rows").cast("double") / col("trailing_avg_rows")))
+      // avg==0 with rows present is the strongest drift signal there
+      // is (first day of recovery after a >=window-length total
+      // outage) — it needs no ratio. Only the genuinely-no-history
+      // head (avg IS NULL -> whole OR nulls out) stays silent.
       .withColumn("is_anomaly",
-        coalesce(col("ratio") > DriftFactor || col("ratio") < lit(1.0) / DriftFactor,
+        coalesce(col("ratio") > DriftFactor || col("ratio") < lit(1.0) / DriftFactor
+            || (col("trailing_avg_rows") === 0.0 && col("n_rows") > 0),
           lit(false)))
   }
 
@@ -292,7 +300,8 @@ object Etl {
        |  COALESCE(CASE WHEN trailing_avg_rows > 0
        |      THEN CAST(n_rows AS DOUBLE) / trailing_avg_rows END > $DriftFactor
        |    OR CASE WHEN trailing_avg_rows > 0
-       |      THEN CAST(n_rows AS DOUBLE) / trailing_avg_rows END < ${1.0 / DriftFactor},
+       |      THEN CAST(n_rows AS DOUBLE) / trailing_avg_rows END < ${1.0 / DriftFactor}
+       |    OR (trailing_avg_rows = 0 AND n_rows > 0),
        |    FALSE) AS is_anomaly
        |FROM t""".stripMargin
 

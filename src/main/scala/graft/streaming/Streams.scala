@@ -194,11 +194,21 @@ object Streams {
     * key bounds candidates to adjacent-bucket pairs — proportional to
     * the true output, not to rate². The STREAMING form keeps the raw
     * range condition: there the watermark already bounds buffered
-    * state, and Spark derives it from that condition. */
+    * state, and Spark derives it from that condition.
+    *
+    * Buckets use FLOOR division, not Spark's truncate-toward-zero
+    * `div`: the adjacency invariant (click bucket ∈ {pBk, pBk−1})
+    * needs the grid monotone across zero, and `div` would fold the
+    * two buckets around epoch 0 into one for pre-1970 timestamps,
+    * silently dropping in-window pairs that straddle the boundary.
+    * `(x − pmod(x, L)) div L` is exact-integer floor for any sign. */
+  private def floorBucketUs(tsCol: String): org.apache.spark.sql.Column =
+    expr(s"(unix_micros($tsCol) - pmod(unix_micros($tsCol), $AttributionLookbackUs))" +
+      s" div $AttributionLookbackUs")
+
   def attributeClicksBinned(clicks: DataFrame, purchases: DataFrame): DataFrame = {
-    val c = clicks.withColumn("bk",
-      expr(s"unix_micros(click_ts) div $AttributionLookbackUs"))
-    val pBk = expr(s"unix_micros(purchase_ts) div $AttributionLookbackUs")
+    val c = clicks.withColumn("bk", floorBucketUs("click_ts"))
+    val pBk = floorBucketUs("purchase_ts")
     val p = purchases.withColumn("bk", explode(array(pBk, pBk - 1L)))
     p.join(c, Seq("user_id", "bk"))
       .filter(
@@ -345,7 +355,9 @@ object Streams {
     * tombstones at scan time — the same result the batch operator
     * computes, replay-safe under at-least-once delivery. */
   def cdcApplySink(changes: DataFrame, l2Path: String,
-                   nBuckets: Int = CdcBuckets) = {
+                   nBuckets: Int = CdcBuckets,
+                   opCol: String = "op", deleteOp: String = "D") = {
+    writeCdcConvention(changes.sparkSession, l2Path, opCol, deleteOp)
     changes
       // int, not long: partition-directory values read back as ints,
       // and a long here would make the lake's key type flip between
@@ -361,19 +373,69 @@ object Streams {
       }
   }
 
+  /** The tombstone convention a [[cdcApplySink]] lake was written
+    * under is PERSISTED with the lake (an underscore-prefixed sidecar
+    * the parquet reader ignores): the sink retains every op verbatim
+    * and only the snapshot read decides what a tombstone is, so a
+    * reader guessing the pair wrong would silently resurrect every
+    * deleted key. Persisting it makes the read self-describing. */
+  private val CdcConventionFile = "_graft_cdc_convention"
+
+  private def cdcConventionPath(l2Path: String) =
+    new org.apache.hadoop.fs.Path(l2Path, CdcConventionFile)
+
+  private def writeCdcConvention(spark: SparkSession, l2Path: String,
+                                 opCol: String, deleteOp: String): Unit = {
+    val p = cdcConventionPath(l2Path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(s"opCol=$opCol\ndeleteOp=$deleteOp\n".getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  private def readCdcConvention(spark: SparkSession,
+                                l2Path: String): Option[(String, String)] = {
+    val p = cdcConventionPath(l2Path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      val kv = text.linesIterator.filter(_.contains('='))
+        .map { l => val i = l.indexOf('='); l.take(i) -> l.drop(i + 1) }.toMap
+      for (o <- kv.get("opCol"); d <- kv.get("deleteOp")) yield (o, d)
+    }
+  }
+
   /** The snapshot view over a [[cdcApplySink]] lake: latest state per
     * key minus tombstoned keys — row-for-row what the batch
     * applyChangelog yields over the full feed (delivered in event-time
-    * order), PROVIDED the (opCol, deleteOp) pair here matches the one
-    * the feed actually uses: the sink retains every op verbatim and
-    * only this read decides what a tombstone is. A feed using the
-    * batch driver convention (event_type, Etl.CdcDeleteType) must pass
-    * that pair — the "op"/"D" defaults would match nothing and every
-    * deleted key would silently resurrect. */
+    * order). The tombstone convention comes from the sidecar the sink
+    * persisted — a lake with no sidecar (not written by cdcApplySink)
+    * refuses the read rather than silently resurrecting deletes under
+    * a guessed convention; use the explicit-pair overload for those. */
+  def readCdcSnapshot(spark: SparkSession, l2Path: String): DataFrame = {
+    val (opCol, deleteOp) = readCdcConvention(spark, l2Path).getOrElse(
+      throw new IllegalArgumentException(
+        s"no persisted CDC tombstone convention at $l2Path/$CdcConventionFile — " +
+          "this lake was not written by cdcApplySink; pass (opCol, deleteOp) explicitly"))
+    readCdcSnapshot(spark, l2Path, opCol, deleteOp)
+  }
+
+  /** Explicit-convention snapshot read. If the lake carries a
+    * persisted convention that DISAGREES with the pair given, the
+    * read fails loudly — a mismatched tombstone convention is never
+    * a judgment call, it is data loss or resurrection. */
   def readCdcSnapshot(spark: SparkSession, l2Path: String,
-                      opCol: String = "op",
-                      deleteOp: String = "D"): DataFrame =
+                      opCol: String, deleteOp: String): DataFrame = {
+    readCdcConvention(spark, l2Path).foreach { case (po, pd) =>
+      require(po == opCol && pd == deleteOp,
+        s"CDC lake at $l2Path was written with tombstone convention " +
+          s"($po, $pd) but the read asked for ($opCol, $deleteOp)")
+    }
     spark.read.parquet(l2Path).filter(!(col(opCol) <=> lit(deleteOp)))
+  }
 
   // --- stateful session assembly (flatMapGroupsWithState) ---
 

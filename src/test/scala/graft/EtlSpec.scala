@@ -356,6 +356,28 @@ class EtlSpec extends SparkSpecBase {
     assert(got("2024-01-10")._3, "crater day must be flagged")
   }
 
+  test("dq drift: first day with rows after a window-length total outage pages") {
+    import spark.implicits._
+    // day 1 arrives, days 2-9 are a total outage (zero rows), day 10
+    // resumes: its trailing week is ALL-ZERO, so there is no ratio —
+    // but rows-on-zero-history is the strongest drift signal there is
+    // and must page; the same all-zero basis with zero rows (day 9)
+    // stays silent, as does the no-history head (day 1)
+    val rows = (0 until 10).map(i =>
+        (i.toLong, java.sql.Date.valueOf("2024-02-01"), i.toLong % 3)) ++
+      (0 until 5).map(i =>
+        (100L + i, java.sql.Date.valueOf("2024-02-10"), i.toLong % 3))
+    val df = rows.toDF("event_id", "event_date", "user_id")
+    val got = graft.operators.Etl.dqDriftOn(df).collect()
+      .map(r => r.getDate(0).toString ->
+        ((r.getLong(1), r.isNullAt(4), r.getBoolean(5)))).toMap
+    assert(got("2024-02-10") == ((5L, true, true)),
+      s"recovery day must page despite null ratio, got ${got("2024-02-10")}")
+    assert(got("2024-02-09") == ((0L, true, false)),
+      "a zero-row day on an all-zero basis has nothing to page about")
+    assert(got("2024-02-01")._3 == false, "no-history head stays silent")
+  }
+
   test("temperature sampling: low-resource groups keep more, nested in base rate, deterministic") {
     import org.apache.spark.sql.functions._
     val docs = graft.sources.Tables.documents(spark, sfDir)

@@ -238,6 +238,67 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("cdc snapshot read resolves the persisted convention and refuses a mismatch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val lake = java.nio.file.Files.createTempDirectory("graft_cdc_conv").toString
+    val l2 = s"$lake/l2"
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val streamDf = mem.toDF.toDF("event_id", "ts", "user_id", "event_type", "value")
+    // the BATCH-DRIVER convention, not the "op"/"D" default — exactly
+    // the feed the advisory's silent-resurrection scenario needs
+    val q = Streams.cdcApplySink(streamDf, l2,
+        opCol = "event_type", deleteOp = "error")
+      .option("checkpointLocation", s"$lake/ckpt").start()
+    try {
+      mem.addData(Seq(
+        (1L, ts("2024-03-01 10:00:00"), 5L, "upsert", 1.0),
+        (2L, ts("2024-03-01 11:00:00"), 6L, "upsert", 2.0),
+        (3L, ts("2024-03-02 09:00:00"), 6L, "error", 0.0)))
+      q.processAllAvailable()
+      // zero-arg read resolves the persisted pair: the delete masks
+      val snap = Streams.readCdcSnapshot(spark, l2)
+        .collect().map(_.getLong(2)).toSet
+      assert(snap == Set(5L), s"persisted convention must mask deletes, got $snap")
+      // the matching explicit pair is accepted
+      assert(Streams.readCdcSnapshot(spark, l2, "event_type", "error").count() == 1)
+      // a MISMATCHED pair is refused, never silently resurrecting
+      intercept[IllegalArgumentException] {
+        Streams.readCdcSnapshot(spark, l2, "op", "D")
+      }
+    } finally q.stop()
+    // a lake with NO sidecar (not written by cdcApplySink) refuses the
+    // convention-free read instead of guessing
+    val bare = s"$lake/bare"
+    Seq((1L, "U")).toDF("user_id", "op").write.parquet(bare)
+    intercept[IllegalArgumentException] {
+      Streams.readCdcSnapshot(spark, bare)
+    }
+  }
+
+  test("binned attribution equals the raw interval join across the epoch-zero boundary") {
+    import spark.implicits._
+    // pre-1970 event times exercise the floor-vs-truncate bucket grid:
+    // every in-window pair must survive the bucketing on both sides of
+    // epoch zero, including lags near the full lookback
+    val clicks = Seq(
+      (1L, 101L, ts("1969-12-31 22:30:00")),
+      (1L, 102L, ts("1969-12-31 23:30:00")),
+      (1L, 103L, ts("1970-01-01 00:10:00")),
+      (2L, 104L, ts("1969-12-31 23:59:00")))
+      .toDF("user_id", "click_id", "click_ts")
+    val purchases = Seq(
+      (1L, 201L, ts("1969-12-31 23:15:00"), 5.0),
+      (1L, 202L, ts("1970-01-01 00:20:00"), 6.0),
+      (2L, 203L, ts("1970-01-01 00:58:00"), 7.0))
+      .toDF("user_id", "purchase_id", "purchase_ts", "purchase_value")
+    val binned = Streams.attributeClicksBinned(clicks, purchases)
+    val raw = Streams.attributeClicks(clicks, purchases)
+    assert(raw.count() == 4, "fixture must produce in-window pairs straddling epoch 0")
+    assert(binned.exceptAll(raw).count() == 0 && raw.exceptAll(binned).count() == 0,
+      "binned form must equal the raw interval join on negative epochs")
+  }
+
   test("batch entries match their shared-transform semantics on the corpus") {
     val wagg = Streams.windowedAggBatch(spark, sfDir)
     val total = wagg.agg(sum("n_events")).collect()(0).getLong(0)
