@@ -90,6 +90,8 @@ object SparkEntry {
     "text_lm_score"    -> (TextAnalysis.textLmScore(_, _)),
     "pack_sequences"   -> ((s, d) => graft.operators.TrainPrep.packSequences(s, d)),
     "text_chunk"       -> ((s, d) => graft.operators.TrainPrep.chunkDocuments(s, d)),
+    "text_encode"      -> ((s, d) => graft.operators.TrainPrep.textEncode(s, d)),
+    "pack_token_ids"   -> ((s, d) => graft.operators.TrainPrep.packTokenIds(s, d)),
     // §2.6 multimodal
     "mm_binary_meta"     -> (Multimodal.binaryMeta(_, _)),
     "mm_feature_extract" -> (Multimodal.featureExtract(_, _)),
@@ -201,6 +203,8 @@ object SparkEntry {
     "text_lm_score"   -> TextAnalysis.textLmScoreOracleSql,
     "pack_sequences"  -> graft.operators.TrainPrep.packSequencesOracleSql,
     "text_chunk"      -> graft.operators.TrainPrep.chunkDocumentsOracleSql,
+    "text_encode"     -> graft.operators.TrainPrep.textEncodeOracleSql,
+    "pack_token_ids"  -> graft.operators.TrainPrep.packTokenIdsOracleSql,
     // §2.6 multimodal
     "mm_binary_meta"     -> Multimodal.binaryMetaOracleSql,
     "mm_feature_extract" -> Multimodal.featureExtractOracleSql,

@@ -503,13 +503,26 @@ object Dedup {
     * "drop duplicates from the corpus".
     *
     * Scale: each iteration is one groupBy over the (undirected) edge
-    * list; iterations needed = graph diameter, and near-dup components
-    * are tiny/star-shaped in practice (pairs share a survivor).
-    * Converges early when labels stop changing; THROWS if the cap is
-    * hit before convergence (silently returning partial labels would
-    * leave several "survivors" in one component — raise maxIters for
-    * pathological chain-shaped graphs). The result is materialized to
-    * a durable temp path so no cached RDDs outlive the call. */
+    * list plus one keyed label self-join (the POINTER-JUMPING step:
+    * every node also adopts its label's label, so distance-to-root
+    * DOUBLES per iteration — the same O(log n)-round bound the
+    * alternating large-star/small-star formulation gives, reached
+    * here by path compression over the min-label tree). Near-dup
+    * components are tiny/star-shaped in practice and still converge
+    * at the seeded entry; the compression term is what makes the
+    * pathological CHAIN-shaped component (boilerplate-gradient pages)
+    * converge in O(log diameter) rounds instead of aborting — a
+    * 100 TB corpus run must not throw away its candidate/verify work
+    * because one component is a path graph. The fixpoint is unchanged
+    * (labels constant per component at the component min: min-node
+    * labels itself, neighbor-min forces equality across every edge,
+    * and compression is idempotent on a constant labeling), so the
+    * recursive-CTE oracle still checks the result bit-for-bit.
+    * Converges when labels stop changing; THROWS if the cap is hit
+    * before convergence (silently returning partial labels would
+    * leave several "survivors" in one component). The result is
+    * materialized to a durable temp path so no cached RDDs outlive
+    * the call. */
   def pairClusters(pairs: DataFrame, maxIters: Int = 10): DataFrame = {
     // checkpoint the (pair-graph-sized) input durably BEFORE the
     // driver loop — every iteration's actions then read a small
@@ -532,37 +545,51 @@ object Dedup {
     // scheduled jobs of fixed overhead on a pair-graph-sized frame —
     // iterations are the cost, not rows (r6 profile: 5.9 s of loop on
     // a 256-edge graph).
+    // localCheckpoint (eager), not cache: each iteration's frame
+    // references the previous one THREE ways (own label, neighbor
+    // min, pointer jump), so a cached-but-unbroken lineage would grow
+    // the logical plan 3^iterations — O(log n) data rounds bought at
+    // an exponentially-sized plan tree. Checkpointing truncates the
+    // lineage to the materialized blocks; superseded checkpoint RDDs
+    // are released by the ContextCleaner when the reassignment drops
+    // their last reference, so nothing outlives the loop.
     var labels = edges.groupBy(col("src"))
       .agg(least(col("src"), min(col("dst"))).as("cluster_id"))
       .select(col("src").as("doc_id"), col("cluster_id"))
-      .cache()
+      .localCheckpoint(true)
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
       // each node adopts min(own label, min of neighbor labels);
-      // keeping prev alongside lets the SAME cached frame answer the
-      // convergence count — no separate prev-join action
+      // keeping prev alongside lets the SAME materialized frame answer
+      // the convergence count — no separate prev-join action
       val neighborMin = edges
         .join(labels.withColumnRenamed("doc_id", "dst"), "dst")
         .groupBy(col("src").as("doc_id"))
         .agg(min(col("cluster_id")).as("nbr_min"))
-      // `labels` stays the EXACT cached frame across iterations (a
-      // projection of it would make unpersist miss the cached plan and
-      // leak one CacheManager entry per iteration); the spare `prev`
-      // column rides along harmlessly and is dropped at write time
+      // pointer jumping: label(label(v)), read from the same frame
+      // under fresh aliases (renames mint new attribute ids, so the
+      // self-join resolves by name without ambiguity). Every
+      // cluster_id is a node id that appears in the symmetric edge
+      // list, hence has a labels row — the left join only misses on
+      // nothing, but coalesce keeps the expression total anyway.
+      val jump = labels
+        .select(col("doc_id").as("__p"), col("cluster_id").as("__pl"))
       val next = labels.join(neighborMin, Seq("doc_id"), "left")
+        .join(jump, col("cluster_id") === col("__p"), "left")
         .select(col("doc_id"), col("cluster_id").as("prev"),
-          least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
+          least(col("cluster_id"),
+            coalesce(col("nbr_min"), col("cluster_id")),
+            coalesce(col("__pl"), col("cluster_id")))
             .as("cluster_id"))
-        .cache()
+        .localCheckpoint(true)
       val changed = next.filter(col("cluster_id") =!= col("prev")).count()
-      labels.unpersist()
       labels = next
       converged = changed == 0
       i += 1
     }
     if (!converged) {
-      edges.unpersist(); labels.unpersist()
+      edges.unpersist()
       throw new IllegalStateException(
         s"pairClusters did not converge in $maxIters iterations — " +
           "component diameter exceeds the cap; raise maxIters")
@@ -574,7 +601,6 @@ object Dedup {
     labels.select(col("doc_id"), col("cluster_id"))
       .write.mode("overwrite").parquet(tmp)
     edges.unpersist()
-    labels.unpersist()
     pairs.sparkSession.read.parquet(tmp)
   }
 

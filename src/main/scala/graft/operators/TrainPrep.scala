@@ -87,6 +87,167 @@ object TrainPrep {
        |  token_offset // $ChunkBudget AS chunk_id
        |FROM p""".stripMargin
 
+  /** Encode-vocabulary size for [[textEncode]]/[[packTokenIds]] —
+    * deliberately SMALLER than the corpus vocabulary (the sf corpora
+    * have a degenerate ~40-term vocabulary) so the OOV path is real
+    * data, not dead code. Production values are 32k–256k subwords. */
+  val EncodeVocabK = 16
+
+  /** The id table: term → dense token id, 0-based in vocabulary rank
+    * order (frequency desc, term asc — [[TextAnalysis.textVocabOn]]'s
+    * deterministic order, so ids are stable across runs and engines).
+    * The id one past the vocabulary (`topK`) is the OOV id. */
+  private[graft] def encodeVocab(docs: DataFrame, topK: Int): DataFrame =
+    TextAnalysis.textVocabOn(docs, topK)
+      // bounded single-partition window: the frame is the topK-row
+      // vocabulary, never the corpus (same pattern as textVocabOn's
+      // global cut)
+      .withColumn("token_id", (row_number().over(
+        Window.orderBy(col("n_occurrences").desc, col("term"))) - 1).cast("int"))
+      .select(col("term"), col("token_id"))
+
+  /** Token-ID ENCODING — the tokenizer-apply step between vocabulary
+    * construction ([[TextAnalysis.textVocabOn]]) and sequence packing
+    * ([[packSequencesOn]]): a training pipeline feeds the model id
+    * streams, not words. Each document's words become a dense-id array
+    * in document order; a word outside the vocabulary gets the
+    * deterministic OOV id `topK` (ids 0..topK-1 are vocabulary ranks).
+    *
+    * Plan shape: the vocabulary (bounded at topK by construction) is
+    * BROADCAST to the exploded term stream — the corpus never
+    * shuffles for the lookup; the only Exchange is the groupBy(doc_id)
+    * that reassembles per-doc arrays, keyed and uniform. Reassembly
+    * sorts a (pos, id) struct array per doc — `sort_array` +
+    * field-extraction are codegen'd array ops, no interpreted lambda
+    * in the token hot path. */
+  def textEncodeOn(docs: DataFrame, topK: Int = EncodeVocabK): DataFrame = {
+    val vocab = encodeVocab(docs, topK)
+    docs
+      .select(col("doc_id"), posexplode(TH.words(col("text"))).as(Seq("pos", "term")))
+      .join(broadcast(vocab), Seq("term"), "left")
+      .withColumn("id", coalesce(col("token_id"), lit(topK)).cast("int"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sort_array(collect_list(struct(col("pos"), col("id")))).as("s"),
+        count(lit(1)).cast("int").as("n_tokens"),
+        sum(when(col("token_id").isNull, 1).otherwise(0)).cast("int").as("n_oov"))
+      .select(col("doc_id"), col("s")("id").as("token_ids"),
+        col("n_tokens"), col("n_oov"))
+  }
+
+  /** Driver query over `documents` (key `text_encode`). */
+  def textEncode(spark: SparkSession, dir: String): DataFrame =
+    textEncodeOn(Tables.documents(spark, dir))
+
+  val textEncodeOracleSql: String =
+    s"""WITH v0 AS (
+       |  SELECT term, COUNT(*) AS n_occ
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+       |  GROUP BY term ORDER BY n_occ DESC, term LIMIT $EncodeVocabK),
+       |v AS (
+       |  SELECT term, CAST(ROW_NUMBER() OVER (ORDER BY n_occ DESC, term) - 1
+       |    AS INTEGER) AS token_id
+       |  FROM v0),
+       |t AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS term,
+       |    generate_subscripts(string_split(text, ' '), 1) AS pos
+       |  FROM documents),
+       |j AS (
+       |  SELECT t.doc_id, t.pos,
+       |    CAST(COALESCE(v.token_id, $EncodeVocabK) AS INTEGER) AS id,
+       |    v.token_id IS NULL AS oov
+       |  FROM t LEFT JOIN v USING (term))
+       |SELECT doc_id, list(id ORDER BY pos) AS token_ids,
+       |  CAST(COUNT(*) AS INTEGER) AS n_tokens,
+       |  CAST(SUM(CASE WHEN oov THEN 1 ELSE 0 END) AS INTEGER) AS n_oov
+       |FROM j GROUP BY doc_id""".stripMargin
+
+  /** ID-stream sequence packing (key `pack_token_ids`) — the
+    * materialization step [[packSequencesOn]] plans: concatenate each
+    * shard's documents in its deterministic training order and emit
+    * one row PER CONTEXT-WINDOW CHUNK with the actual token-id array
+    * a training run reads (the final chunk of a shard is partial by
+    * construction). Composes [[textEncodeOn]]'s encoding with the
+    * packing layout — same shard hash, same order, same offsets, so
+    * `pack_sequences` is exactly this operator's per-document index.
+    *
+    * Plan shape: the doc-cardinality layout (one window per shard over
+    * doc COUNTS, not tokens) joins the exploded id stream on doc_id —
+    * one keyed shuffle each side; the chunk reassembly groupBy is
+    * keyed on (shard, chunk) and uniform by construction (every chunk
+    * is exactly `budget` ids except shard tails). The shuffle is
+    * token-sized — this IS the corpus materialization step, the one
+    * shuffle a packing pipeline cannot avoid and the reason it runs
+    * once per training corpus, not per epoch. */
+  def packTokenIdsOn(docs: DataFrame, topK: Int = EncodeVocabK,
+                     nShards: Int = NShards, budget: Long = ChunkBudget): DataFrame = {
+    val vocab = encodeVocab(docs, topK)
+    val toks = docs
+      .select(col("doc_id"), posexplode(TH.words(col("text"))).as(Seq("pos", "term")))
+      .join(broadcast(vocab), Seq("term"), "left")
+      .select(col("doc_id"), col("pos"),
+        coalesce(col("token_id"), lit(topK)).cast("int").as("id"))
+    val order = Window.partitionBy(col("shard")).orderBy(col("__h"), col("doc_id"))
+    val prefix = order.rowsBetween(Window.unboundedPreceding, -1)
+    val lay = docs
+      .select(col("doc_id"), size(TH.words(col("text"))).cast("long").as("n_tokens"),
+        Etl.keyHash32(col("doc_id")).as("__h"))
+      .withColumn("shard", pmod(col("__h"), lit(nShards)).cast("int"))
+      .withColumn("token_offset",
+        coalesce(sum(col("n_tokens")).over(prefix), lit(0L)))
+      .select(col("doc_id"), col("shard"), col("token_offset"))
+    toks.join(lay, Seq("doc_id"))
+      .withColumn("off", col("token_offset") + col("pos"))
+      .withColumn("chunk_id", expr(s"off DIV $budget"))
+      .groupBy(col("shard"), col("chunk_id"))
+      .agg(
+        sort_array(collect_list(struct(col("off"), col("id")))).as("s"),
+        count(lit(1)).cast("int").as("n_tokens"))
+      .select(col("shard"), col("chunk_id"), col("n_tokens"),
+        col("s")("id").as("token_ids"))
+  }
+
+  /** Driver query over `documents` (key `pack_token_ids`). */
+  def packTokenIds(spark: SparkSession, dir: String): DataFrame =
+    packTokenIdsOn(Tables.documents(spark, dir))
+
+  val packTokenIdsOracleSql: String =
+    s"""WITH v0 AS (
+       |  SELECT term, COUNT(*) AS n_occ
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+       |  GROUP BY term ORDER BY n_occ DESC, term LIMIT $EncodeVocabK),
+       |v AS (
+       |  SELECT term, CAST(ROW_NUMBER() OVER (ORDER BY n_occ DESC, term) - 1
+       |    AS INTEGER) AS token_id
+       |  FROM v0),
+       |t AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS term,
+       |    generate_subscripts(string_split(text, ' '), 1) AS pos
+       |  FROM documents),
+       |j AS (
+       |  SELECT t.doc_id, t.pos,
+       |    CAST(COALESCE(v.token_id, $EncodeVocabK) AS INTEGER) AS id
+       |  FROM t LEFT JOIN v USING (term)),
+       |lay AS (
+       |  SELECT doc_id,
+       |    CAST(h % $NShards AS INTEGER) AS shard,
+       |    CAST(COALESCE(SUM(n_tokens) OVER (
+       |      PARTITION BY h % $NShards ORDER BY h, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |      AS token_offset
+       |  FROM (
+       |    SELECT doc_id,
+       |      CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |      CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) AS h
+       |    FROM documents)),
+       |tok AS (
+       |  SELECT lay.shard, lay.token_offset + j.pos - 1 AS off, j.id
+       |  FROM j JOIN lay USING (doc_id))
+       |SELECT shard, off // $ChunkBudget AS chunk_id,
+       |  CAST(COUNT(*) AS INTEGER) AS n_tokens,
+       |  list(id ORDER BY off) AS token_ids
+       |FROM tok GROUP BY 1, 2""".stripMargin
+
   /** Context window (words) for [[chunkDocuments]]. Small here so the
     * sf corpus (avg ~54 words/doc) produces real multi-chunk docs;
     * production values are the model context (2k–128k tokens). */

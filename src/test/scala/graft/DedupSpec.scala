@@ -101,6 +101,26 @@ class DedupSpec extends SparkSpecBase {
     assert(kept == Set(1L, 5L, 6L, 7L, 8L, 9L, 10L, 12L))
   }
 
+  test("pair clusters: a 50-node chain converges inside the default cap (pointer jumping)") {
+    import spark.implicits._
+    // the pathological shape for pure neighbor-min propagation: a path
+    // graph's labels creep down ~one hop per round, so a 50-node chain
+    // blows the default 10-iteration cap; the pointer-jumping term
+    // doubles distance-to-root per round and converges in O(log n)
+    val chain = (1L until 50L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val clusters = Dedup.pairClusters(chain).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusters.size == 50)
+    assert(clusters.values.forall(_ == 1L),
+      "every chain node must resolve to the component-min survivor")
+    // the abort contract is still live: a cap too small to cover the
+    // O(log diameter) rounds throws rather than returning partial labels
+    val longChain = (1L until 400L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    intercept[IllegalStateException] {
+      Dedup.pairClusters(longChain, maxIters = 3)
+    }
+  }
+
   test("pair clusters on corpus: planted near-dups collapse, survivors unique") {
     val pairs = Dedup.ngramJaccard(spark, sfDir)
     val clusters = Dedup.pairClusters(pairs).collect()

@@ -51,6 +51,73 @@ class TrainPrepSpec extends SparkSpecBase {
     assert(coarse.exceptAll(fine).count() == 0)
   }
 
+  test("textEncode: ids are vocabulary ranks, OOV real and counted, decode round-trips") {
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    val enc = TrainPrep.textEncodeOn(docs).cache()
+    val k = TrainPrep.EncodeVocabK
+    // every doc encoded once, one id per word
+    assert(enc.count() == docs.count())
+    assert(enc.filter(size(col("token_ids")) =!= col("n_tokens")).count() == 0)
+    // ids live in [0, K] (K = the OOV id) and n_oov counts the K's
+    assert(enc.filter(
+      exists(col("token_ids"), id => id < 0 || id > k)).count() == 0)
+    assert(enc.filter(
+      size(filter(col("token_ids"), _ === k)) =!= col("n_oov")).count() == 0)
+    // the small encode vocabulary makes OOV real data on this corpus
+    assert(enc.agg(sum("n_oov")).collect()(0).getLong(0) > 0,
+      "corpus must exercise the OOV path")
+    // re-encode check: for a sample of docs, the id stream equals
+    // mapping each word through the vocabulary rank table with OOV → K
+    // (ids are injective vocabulary ranks, so this is also the decode
+    // round-trip for every in-vocab position)
+    val idToTerm = TrainPrep.encodeVocab(docs, k).collect()
+      .map(r => r.getInt(1) -> r.getString(0)).toMap
+    assert(idToTerm.size == k)
+    val termToId = idToTerm.map(_.swap)
+    val texts = docs.select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    enc.collect().take(50).foreach { r =>
+      val want = texts(r.getLong(0)).split(" ", -1).toSeq
+        .map(w => termToId.getOrElse(w, k))
+      assert(r.getSeq[Int](1) == want,
+        s"re-encode mismatch for doc ${r.getLong(0)}")
+    }
+    enc.unpersist()
+  }
+
+  test("packTokenIds: exact chunk sizes and shard streams equal the per-doc encoding") {
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    val budget = 100L
+    val packed = TrainPrep.packTokenIdsOn(docs, budget = budget).cache()
+    // every chunk but each shard's last carries exactly `budget` ids
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("shard")
+    assert(packed.withColumn("mx", max("chunk_id").over(w))
+      .filter(col("chunk_id") =!= col("mx") && col("n_tokens") =!= budget)
+      .count() == 0, "non-tail chunks must be exactly the budget")
+    assert(packed.filter(size(col("token_ids")) =!= col("n_tokens")).count() == 0)
+    // token conservation: chunk streams hold every corpus token once
+    val total = packed.agg(sum("n_tokens")).collect()(0).getLong(0)
+    val words = docs.select(size(graft.functions.TextHashing.words(col("text")))
+      .cast("long").as("n")).agg(sum("n")).collect()(0).getLong(0)
+    assert(total == words)
+    // shard-stream equivalence: concatenating a shard's chunks in
+    // chunk order equals concatenating its docs' encodings in the
+    // deterministic training order packSequences defines
+    val encMap = TrainPrep.textEncodeOn(docs).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val layout = TrainPrep.packSequencesOn(docs, budget = budget).collect()
+      .map(r => (r.getInt(2), r.getInt(3), r.getLong(0))) // (shard, seq_pos, doc_id)
+    val chunks = packed.collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Int](3)))
+    (0 until TrainPrep.NShards).foreach { s =>
+      val want = layout.filter(_._1 == s).sortBy(_._2).flatMap(t => encMap(t._3)).toSeq
+      val got = chunks.filter(_._1 == s).sortBy(_._2).flatMap(_._3).toSeq
+      assert(got == want, s"shard $s stream must equal per-doc encoding order")
+    }
+    packed.unpersist()
+  }
+
   test("chunkDocuments: window/coverage invariants hold on the corpus") {
     val docs = graft.sources.Tables.documents(spark, sfDir)
     val size = 16; val stride = 12
