@@ -152,17 +152,18 @@ object ScaleCheck {
       run("agg_hist_quantiles", operators.Quantiles.aggHistQuantiles(spark, dir)),
       run("text_lm_score", operators.TextAnalysis.textLmScore(spark, dir)),
       // round-7 additions (fourth batch): alpha-sampling + semantic
-      // tier. The quantizer cell count scales with the corpus (SemDeDup
-      // contract: C grows ∝ n so cell populations — and the Σ cell²
-      // pair space — stay bounded); the fixed sf-scale default left
-      // ~12.5k vectors/cell here and measured 88 s
+      // tier. The quantizer auto-sizes to C ≈ √(n/2) (r8): assignment
+      // costs n·C, the within-cell pair scan Σ cell² ≈ n²/C, and the
+      // derived C balances the two — the fixed sf-scale default left
+      // ~12.5k vectors/cell here and measured 88 s; the r7 manual
+      // cells=256 was the hand-tuned stopgap this replaces
       run("sample_temperature", operators.Etl.sampleTemperature(spark, dir)),
       run("embed_clusters", operators.Similarity.embedClustersOn(
-        spark.read.parquet(s"$dir/embeddings.parquet"), cells = 256)), {
+        spark.read.parquet(s"$dir/embeddings.parquet"))), {
         // handle form: release the corpus-sized IVF index cache before
         // the pipeline timing below competes with it for memory
         val (sd, handle) = operators.Dedup.semanticDedupWithHandle(
-          spark.read.parquet(s"$dir/embeddings.parquet"), cells = 256)
+          spark.read.parquet(s"$dir/embeddings.parquet"))
         val r = run("dedup_semantic", sd)
         handle.unpersist()
         r

@@ -457,15 +457,21 @@ object Dedup {
 
   /** Plain form pins its corpus-cardinality index cache for the
     * session (documented lifetime, same as persistedTrigramSets);
-    * long-lived callers use [[semanticDedupWithHandle]]. */
+    * long-lived callers use [[semanticDedupWithHandle]].
+    *
+    * `cells <= 0` (the default) auto-sizes the quantizer to
+    * C ≈ √(n/2) ([[Similarity.autoCells]]): the within-cell pair scan
+    * costs Σ cell² ≈ n²/C while assignment costs n·C, so the derived C
+    * balances them — the fixed 16-cell knob left the pair term
+    * quadratic at the 1000× ScaleCheck scale. */
   def semanticDedupOn(vectors: DataFrame, tau: Double = CosineTau,
-                      cells: Int = Similarity.IvfCells): DataFrame =
+                      cells: Int = 0): DataFrame =
     semanticDedupWithHandle(vectors, tau, cells)._1
 
   /** Returns (survivors, cache handle) — `handle.unpersist()` releases
     * the persisted IVF index once the survivors are consumed. */
   def semanticDedupWithHandle(vectors: DataFrame, tau: Double = CosineTau,
-                              cells: Int = Similarity.IvfCells): (DataFrame, DataFrame) = {
+                              cells: Int = 0): (DataFrame, DataFrame) = {
     val (indexedRaw, _) = Similarity.ivfIndex(vectors, cells)
     val indexed = indexedRaw
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

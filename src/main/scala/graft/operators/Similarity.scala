@@ -153,6 +153,17 @@ object Similarity {
   val IvfCells = 16
   val IvfNProbe = 4
 
+  /** Auto-sized cell count: C = max(1, ceil(sqrt(n/2))). The IVF-style
+    * operators cost n·C (assignment) plus Σ cell² ≈ n²/C (within-cell
+    * pair work for the dedup/cluster consumers); the two terms balance
+    * at C ≈ √(n/2), which the 1000× ScaleCheck table showed is where
+    * the fixed knob stops being safe — a 2M-vector corpus at C=16 pays
+    * n²/16 pair work. Every step is exactly portable to the oracle:
+    * n is exact, n/2.0 is an exact double for any real corpus, and
+    * sqrt/ceil are correctly-rounded IEEE ops in both engines. */
+  def autoCells(n: Long): Int =
+    math.max(1L, math.ceil(math.sqrt(n / 2.0)).toLong).toInt
+
   /** IVF-style ANN: build a coarse quantizer (seed vectors refined by
     * one Lloyd iteration, all as DataFrame aggregates), assign the
     * corpus to its nearest cell once, then answer each query by
@@ -176,6 +187,10 @@ object Similarity {
     * consume. */
   private[operators] def ivfIndex(vectors: DataFrame,
                                   cells: Int = IvfCells): (DataFrame, DataFrame) = {
+    // cells <= 0 = auto-size from the corpus count (one COUNT(*) job —
+    // a scan returning a single scalar, the same count the oracle's
+    // ncells CTE takes; Catalyst prunes every column out of it)
+    val nCells = if (cells > 0) cells else autoCells(vectors.count())
     val v = vectors
       .select(col("vec_id"), V.toDouble(col("embedding")).as("e"))
       .withColumn("nrm", V.l2Norm(col("e")))
@@ -184,7 +199,7 @@ object Similarity {
     // The seed's own vec_id is its cell id — stable by construction
     // (monotonically_increasing_id after a limit would depend on the
     // plan's partitioning, a planner detail, not a contract).
-    val seeds = broadcast(v.orderBy(col("vec_id")).limit(cells)
+    val seeds = broadcast(v.orderBy(col("vec_id")).limit(nCells)
       .select(col("vec_id").as("cell0"), col("e").as("ce"), col("nrm").as("cn")))
     val firstAssign = assignNearest(v, seeds, "cell0", "ce", "cn")
     val centroids = {
@@ -317,17 +332,30 @@ object Similarity {
     * assignment as a ranked window, nprobe cell cut, exact rerank.
     * Deterministic end-to-end, hence hash-checkable despite being an
     * "approximate" index. */
+  /** The fixed-C and auto-C ncells CTE bodies. The auto form is the
+    * SQL twin of [[autoCells]]: COUNT(*)/2.0 is an exact double, sqrt
+    * and ceil are correctly-rounded in both engines, so the derived C
+    * agrees exactly with the executor's. */
+  private def ncellsFixedSql: String = s"SELECT CAST($IvfCells AS BIGINT) AS c"
+  private def ncellsAutoSql: String =
+    "SELECT GREATEST(1, CAST(ceil(sqrt(COUNT(*)/2.0)) AS BIGINT)) AS c FROM vn"
+
   /** Shared oracle CTE prefix — the IVF build replayed in SQL, ending
     * at `idx` (each vector's nearest cell WITH its centroid cosine).
-    * Consumers append further CTEs with a leading comma, or go
-    * straight to their final SELECT. */
-  private def ivfOracleIdxCtes: String =
+    * `ncellsSelect` supplies the cell count (fixed literal or the
+    * count-derived auto form). Consumers append further CTEs with a
+    * leading comma, or go straight to their final SELECT. */
+  private def ivfOracleIdxCtes(ncellsSelect: String): String =
     s"""WITH v AS (
        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
        |), vn AS (
        |  SELECT vec_id, e, ${sqlNorm("e")} AS nrm FROM v
+       |), ncells AS (
+       |  $ncellsSelect
        |), seeds AS (
-       |  SELECT vec_id AS cell0, e AS ce, nrm AS cn FROM vn ORDER BY vec_id LIMIT $IvfCells
+       |  SELECT vec_id AS cell0, e AS ce, nrm AS cn FROM (
+       |    SELECT vec_id, e, nrm, ROW_NUMBER() OVER (ORDER BY vec_id) AS rk FROM vn) s
+       |  WHERE rk <= (SELECT c FROM ncells)
        |), fa AS (
        |  SELECT vec_id, e, cell0 FROM (
        |    SELECT x.vec_id, x.e, s.cell0,
@@ -356,7 +384,7 @@ object Similarity {
        |)""".stripMargin
 
   val knnIvfOracleSql: String =
-    s"""$ivfOracleIdxCtes, probes AS (
+    s"""${ivfOracleIdxCtes(ncellsFixedSql)}, probes AS (
        |  SELECT query_id, qe, qnrm, cell FROM (
        |    SELECT q.vec_id AS query_id, q.e AS qe, q.nrm AS qnrm, c.cell,
        |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
@@ -390,7 +418,12 @@ object Similarity {
   def embedClusters(spark: SparkSession, dir: String): DataFrame =
     embedClustersOn(Tables.embeddings(spark, dir))
 
-  def embedClustersOn(vectors: DataFrame, cells: Int = IvfCells): DataFrame = {
+  /** `cells <= 0` (the default) auto-sizes C from the corpus count
+    * ([[autoCells]]) — at 2M vectors the fixed 16-cell knob makes the
+    * per-cell populations (and the semantic-dedup consumer's within-
+    * cell pair work) n²/16-quadratic; √(n/2) keeps assignment and
+    * pair work balanced. Pass an explicit positive C to pin it. */
+  def embedClustersOn(vectors: DataFrame, cells: Int = 0): DataFrame = {
     val (indexed, _) = ivfIndex(vectors, cells)
     // sim involves the CENTROID, whose decimal-mean→double cast is the
     // one conversion the two engines may round 1 ulp apart (Spark
@@ -406,18 +439,19 @@ object Similarity {
         col("mean_cos"), col("min_cos"))
   }
 
-  /** Oracle: the shared IVF-build replay, folded per cell with the
-    * same decimal accumulation and 4dp presentation. */
+  /** Oracle: the shared IVF-build replay (auto-sized C), folded per
+    * cell with the same decimal accumulation and 4dp presentation. */
   val embedClustersOracleSql: String =
-    s"""$ivfOracleIdxCtes
+    s"""${ivfOracleIdxCtes(ncellsAutoSql)}
        |SELECT cell AS cluster_id, CAST(COUNT(*) AS BIGINT) AS n_members,
        |  round(CAST(SUM(CAST(sim AS DECIMAL(30,10))) AS DOUBLE)
        |    / CAST(COUNT(*) AS DOUBLE), 4) AS mean_cos,
        |  round(MIN(sim), 4) AS min_cos
        |FROM idx GROUP BY cell""".stripMargin
 
-  /** The `idx` replay prefix, shared with [[Dedup.semanticDedupOracleSql]]. */
-  private[operators] def ivfIdxOraclePrefix: String = ivfOracleIdxCtes
+  /** The `idx` replay prefix (auto-sized C), shared with
+    * [[Dedup.semanticDedupOracleSql]]. */
+  private[operators] def ivfIdxOraclePrefix: String = ivfOracleIdxCtes(ncellsAutoSql)
 
   /** Deterministic pseudo-random hyperplanes (fixed seed — the bucket
     * assignment must be reproducible across runs and executors). */

@@ -52,12 +52,21 @@ class SimilaritySpec extends SparkSpecBase {
     assert(recall >= 0.9, s"ivf recall on clustered data: $recall")
   }
 
+  test("autoCells: C = max(1, ceil(sqrt(n/2))) — the n*C / n^2/C balance point") {
+    assert(Similarity.autoCells(0) == 1)
+    assert(Similarity.autoCells(1) == 1)
+    assert(Similarity.autoCells(2) == 1)
+    assert(Similarity.autoCells(512) == 16)
+    assert(Similarity.autoCells(500) == 16)   // the sf0.01 corpus
+    assert(Similarity.autoCells(2000000) == 1000)
+  }
+
   test("embed clusters: partition of the corpus, bounded cells, coherent stats") {
     val docs = graft.sources.Tables.embeddings(spark, sfDir)
     val n = docs.count()
     val cl = Similarity.embedClusters(spark, sfDir).collect()
     assert(cl.map(_.getLong(1)).sum == n, "clusters must partition the corpus")
-    assert(cl.length <= Similarity.IvfCells && cl.forall(_.getLong(1) > 0))
+    assert(cl.length <= Similarity.autoCells(n) && cl.forall(_.getLong(1) > 0))
     cl.foreach { r =>
       val (mean, mn) = (r.getDouble(2), r.getDouble(3))
       assert(mean <= 1.0 + 1e-12 && mn <= mean + 1e-12,
