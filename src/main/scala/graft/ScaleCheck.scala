@@ -13,6 +13,10 @@ import org.apache.spark.sql.functions._
 object ScaleCheck {
   def main(args: Array[String]): Unit = {
     val mult = if (args.nonEmpty) args(0).toInt else 100
+    // optional 2nd arg: comma-separated op subset (re-record one
+    // tier's rows without paying for all 33 ops)
+    val only: String => Boolean =
+      if (args.length > 1) args(1).split(",").toSet else (_ => true)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = GraftSession.builder(master = s"local[$cpus]",
       shufflePartitions = cpus.toInt * 4).getOrCreate()
@@ -21,6 +25,12 @@ object ScaleCheck {
 
     val n = 100000L * mult
     val dir = java.nio.file.Files.createTempDirectory("graft_scale").toString
+    // a filtered run over the embeddings-only tier skips synthesizing
+    // the (much larger) event/order/lineitem/document tables — the
+    // 1000x corpus writes ~600M lineitems nobody would read
+    val embOnly = Set("embed_clusters", "dedup_semantic")
+    val skipNonEmbedding = args.length > 1 && args(1).split(",").forall(embOnly)
+    if (!skipNonEmbedding) {
     // same columns/value shapes as the driver's events table
     spark.range(n).select(
       col("id").as("event_id"),
@@ -82,6 +92,7 @@ object ScaleCheck {
       concat(lit("src"), pmod(xxhash64(col("id"), lit(6)), lit(20L))).as("source"),
       length(text).as("n_chars"))
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    } // end !skipNonEmbedding
 
     // embeddings (semantic tier): 100× sf0.1's 2k vectors, 64-dim,
     // clustered around 32 seeded centers (the shape the IVF quantizer
@@ -99,7 +110,9 @@ object ScaleCheck {
       pmod(col("id"), lit(32L)).cast("int").as("label"))
       .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
 
-    def run(name: String, df: => org.apache.spark.sql.DataFrame) = {
+    def run(name: String, df: => org.apache.spark.sql.DataFrame) = if (!only(name)) {
+      (name, 0.0, -1L) // filtered out; dropped before printing
+    } else {
       // one execution: count rows with an accumulator DURING the timed
       // materialization instead of re-running the operator for a count
       val acc = spark.sparkContext.longAccumulator(s"rows_$name")
@@ -159,7 +172,8 @@ object ScaleCheck {
       // cells=256 was the hand-tuned stopgap this replaces
       run("sample_temperature", operators.Etl.sampleTemperature(spark, dir)),
       run("embed_clusters", operators.Similarity.embedClustersOn(
-        spark.read.parquet(s"$dir/embeddings.parquet"))), {
+        spark.read.parquet(s"$dir/embeddings.parquet"))),
+      if (!only("dedup_semantic")) ("dedup_semantic", 0.0, -1L) else {
         // handle form: release the corpus-sized IVF index cache before
         // the pipeline timing below competes with it for memory
         val (sd, handle) = operators.Dedup.semanticDedupWithHandle(
@@ -171,13 +185,16 @@ object ScaleCheck {
 
     // end-to-end per-ds pipeline (normalize + DQ + staged write + L2
     // merge) — the unit of work the reference DAG runs per day
-    val lake = java.nio.file.Files.createTempDirectory("graft_scale_lake").toString
-    val tp0 = System.nanoTime()
-    val summary = operators.Pipeline.runDs(spark, dir, lake, "2024-01-15")
-    val pipeSec = (System.nanoTime() - tp0) / 1e9
-    val pipe = s""""pipeline_run_ds":{"sec":$pipeSec,"rows":${summary.nNormalized},"l2_rows":${summary.nL2}}"""
+    val pipe = if (!only("pipeline_run_ds")) None else Some {
+      val lake = java.nio.file.Files.createTempDirectory("graft_scale_lake").toString
+      val tp0 = System.nanoTime()
+      val summary = operators.Pipeline.runDs(spark, dir, lake, "2024-01-15")
+      val pipeSec = (System.nanoTime() - tp0) / 1e9
+      s""""pipeline_run_ds":{"sec":$pipeSec,"rows":${summary.nNormalized},"l2_rows":${summary.nL2}}"""
+    }
 
-    val qs = (results.map { case (k, s, r) => s""""$k":{"sec":$s,"rows":$r}""" } :+ pipe).mkString(",")
+    val qs = (results.collect { case (k, s, r) if r >= 0 => s""""$k":{"sec":$s,"rows":$r}""" }
+      ++ pipe).mkString(",")
     println(s"""{"scale_mult":$mult,"n_events":$n,"ops":{$qs}}""")
     spark.stop()
   }

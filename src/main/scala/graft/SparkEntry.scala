@@ -103,7 +103,8 @@ object SparkEntry {
     "stream_sessionize"   -> (graft.streaming.Streams.sessionizeBatch(_, _)),
     "stream_approx_ndv"   -> (graft.streaming.Streams.windowedApproxNdvBatch(_, _)),
     "stream_enrich"       -> (graft.streaming.Streams.enrichBatch(_, _)),
-    "stream_join"         -> (graft.streaming.Streams.attributeClicksBatch(_, _))
+    "stream_join"         -> (graft.streaming.Streams.attributeClicksBatch(_, _)),
+    "stream_join_outer"   -> (graft.streaming.Streams.attributeClicksOuterBatch(_, _))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -226,6 +227,7 @@ object SparkEntry {
     // stream-stream interval join: the batch twin is the same join
     // body, so one oracle checks both modes (StreamingSpec drives the
     // watermarked form)
-    "stream_join"         -> graft.streaming.Streams.attributeClicksOracleSql
+    "stream_join"         -> graft.streaming.Streams.attributeClicksOracleSql,
+    "stream_join_outer"   -> graft.streaming.Streams.attributeClicksOuterOracleSql
   )
 }

@@ -165,8 +165,13 @@ object Dedup {
     * a prefix shingle, so the equi-join on prefix shingles is a
     * complete candidate generator that only fans out on RARE shingles.
     * The all-pairs DuckDB oracle independently verifies completeness. */
-  def ngramJaccard(spark: SparkSession, dir: String, tau: Double = JaccardTau): DataFrame =
-    ngramJaccardOn(Tables.documents(spark, dir), tau)
+  def ngramJaccard(spark: SparkSession, dir: String, tau: Double = JaccardTau): DataFrame = {
+    // driver-key form: stage the (small) pair list durably and release
+    // the corpus-cardinality trigram cache instead of pinning it for
+    // the session — Verify/Bench run 80 keys in one session (r7 advice)
+    val (pairs, handle) = ngramJaccardWithHandle(Tables.documents(spark, dir), tau)
+    Scratch.materializeAndRelease(pairs, handle, "graft_jaccard_pairs")
+  }
 
   def ngramJaccardOn(docs: DataFrame, tau: Double = JaccardTau): DataFrame =
     ngramJaccardWithHandle(docs, tau)._1
@@ -452,8 +457,12 @@ object Dedup {
     *
     * The index is persisted for its three uses (both join sides + the
     * survivor anti-join) — one assignment pass, not three. */
-  def semanticDedup(spark: SparkSession, dir: String, tau: Double = CosineTau): DataFrame =
-    semanticDedupOn(Tables.embeddings(spark, dir), tau)
+  def semanticDedup(spark: SparkSession, dir: String, tau: Double = CosineTau): DataFrame = {
+    // driver-key form: survivors staged durably, IVF index cache
+    // released with the call (r7 advice; see Scratch.materializeAndRelease)
+    val (survivors, handle) = semanticDedupWithHandle(Tables.embeddings(spark, dir), tau)
+    Scratch.materializeAndRelease(survivors, handle, "graft_semantic_survivors")
+  }
 
   /** Plain form pins its corpus-cardinality index cache for the
     * session (documented lifetime, same as persistedTrigramSets);

@@ -57,4 +57,23 @@ private[graft] object Scratch {
     registered.add(p)
     p.toString
   }
+
+  /** Materialize `df` to a fresh scratch dir, release `handle`'s cache
+    * pin, and return a scan over the materialized rows. The driver-key
+    * entry points of the cache-carrying operators use this: the
+    * persisted frame earns its keep DURING the one materializing
+    * action (several plan branches read it), then dies with the call —
+    * a verify/bench session that runs every key no longer accumulates
+    * one pinned corpus-sized cache per key in the session CacheManager
+    * (r7 advice). The read takes the frame's own schema explicitly so
+    * an empty result (zero written part files) round-trips instead of
+    * failing schema inference. */
+  def materializeAndRelease(df: org.apache.spark.sql.DataFrame,
+                            handle: org.apache.spark.sql.DataFrame,
+                            prefix: String): org.apache.spark.sql.DataFrame = {
+    val path = dir(prefix)
+    df.write.mode("overwrite").parquet(path)
+    handle.unpersist()
+    df.sparkSession.read.schema(df.schema).parquet(path)
+  }
 }

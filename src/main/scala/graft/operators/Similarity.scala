@@ -255,19 +255,29 @@ object Similarity {
     * the exchange, so the shuffle carries corpus-sized, not
     * corpus×cells-sized, data. Tie-break matches the window form
     * (highest sim, then lowest cell id — hence the negated cell in the
-    * ordering struct). */
+    * ordering struct).
+    *
+    * The aggregate runs on SLIM (vec_id, cell, sim) rows and the
+    * winning cell re-attaches e/nrm with one corpus-sized equi-join
+    * afterward: the n·C candidate explosion flows through the
+    * partial-aggregation hash state, and carrying the embedding array
+    * in the max_by struct made that state ~550 bytes/candidate — at
+    * 2M vectors × auto-C=1000 cells it spilled 47+ GB before this
+    * slimming; the slim struct is ~32 bytes and the spill disappears. */
   private def assignNearest(v: DataFrame, centroids: DataFrame,
-                            cellCol: String, ceCol: String, cnCol: String): DataFrame =
-    v.join(centroids)
-      .withColumn("sim", V.cosineWithNorms(
-        V.dot(col("e"), col(ceCol)), col("nrm"), col(cnCol)))
+                            cellCol: String, ceCol: String, cnCol: String): DataFrame = {
+    val best = v.join(centroids)
+      .select(col("vec_id"), col(cellCol),
+        V.cosineWithNorms(V.dot(col("e"), col(ceCol)), col("nrm"), col(cnCol))
+          .as("sim"))
       .groupBy(col("vec_id"))
       .agg(max_by(
-        struct(col("e").as("e"), col("nrm").as("nrm"), col(cellCol).as("cell"),
-          col("sim").as("sim")),
+        struct(col(cellCol).as("cell"), col("sim").as("sim")),
         struct(col("sim").as("sim"), (-col(cellCol)).as("neg_cell"))).as("best"))
-      .select(col("vec_id"), col("best.e").as("e"), col("best.nrm").as("nrm"),
-        col("best.cell").as(cellCol), col("best.sim").as("sim"))
+      .select(col("vec_id"), col("best.cell").as(cellCol), col("best.sim").as("sim"))
+    v.join(best, "vec_id")
+      .select(col("vec_id"), col("e"), col("nrm"), col(cellCol), col("sim"))
+  }
 
   /** LSH tables: `Tables_` hyperplane groups of `BitsPerTable` planes. */
   val LshTables = 8

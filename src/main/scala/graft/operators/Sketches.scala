@@ -204,9 +204,13 @@ object Sketches {
     (result, termCounts)
   }
 
-  /** Driver query over `documents` (key `agg_heavy_hitters`). */
-  def aggHeavyHitters(spark: SparkSession, dir: String): DataFrame =
-    aggHeavyHittersOn(Tables.documents(spark, dir))
+  /** Driver query over `documents` (key `agg_heavy_hitters`): topK-row
+    * result staged durably, vocab-sized CMS cache released with the
+    * call (r7 advice; see [[Scratch.materializeAndRelease]]). */
+  def aggHeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    val (result, handle) = aggHeavyHittersWithHandle(Tables.documents(spark, dir))
+    Scratch.materializeAndRelease(result, handle, "graft_heavy_hitters")
+  }
 
   /** Full DuckDB replay of the CMS. `poly_hash64(term)` is the
     * Karp–Rabin byte fold ([[graft.functions.SqlReplay.polyFold]],

@@ -3,6 +3,7 @@ package graft.streaming
 import java.sql.Timestamp
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import graft.sources.Tables
@@ -228,6 +229,95 @@ object Streams {
     * the two projections of the events table. */
   def attributeClicksBatch(spark: SparkSession, dir: String): DataFrame =
     attributeClicksBatchFrames(Tables.events(spark, dir))
+
+  // --- left-outer attribution (unmatched purchases kept) ---
+
+  /** LEFT-OUTER attribution: every purchase appears — paired with each
+    * in-window click, or ONCE with null click columns when no click by
+    * that user precedes it within the lookback. This is the mode real
+    * attribution reporting needs (the inner form silently drops
+    * organic purchases, which is exactly the number a conversion
+    * report divides by).
+    *
+    * Batch shape: ONE pass — the binned LEFT-outer equi-join on
+    * (user_id, bucket) (candidates ∝ true output, never rate², same
+    * grid as [[attributeClicksBinned]]), then a purchase-keyed window
+    * resolves outer semantics: keep the in-window rows; when a
+    * purchase has none, keep exactly one row (its own-bucket one) with
+    * the click columns nulled. A naive left-outer over the exploded
+    * two-bucket probe would instead emit a spurious null row for a
+    * purchase whose matches all sit in its OTHER probe bucket — and
+    * the alternative anti-join formulation pays a second full
+    * execution of the join to find the unmatched ids. The window
+    * shuffle moves candidate-sized data, which the bins already bound. */
+  def attributeClicksOuter(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val c = clicks.withColumn("bk", floorBucketUs("click_ts"))
+    val pBkMain = floorBucketUs("purchase_ts")
+    val p = purchases.withColumn("pbk", pBkMain)
+      .withColumn("bk", explode(array(col("pbk"), col("pbk") - 1L)))
+    val inWin = col("click_ts").isNotNull &&
+      col("click_ts") >= expr(s"purchase_ts - $AttributionLookback") &&
+      col("click_ts") <= col("purchase_ts")
+    // per-purchase ordering is total: bk is distinct across a
+    // purchase's two probe rows, click_id is unique within a bucket
+    val byPurchase = Window.partitionBy(col("purchase_id"))
+    val firstRow = Window.partitionBy(col("purchase_id"))
+      .orderBy(col("bk").desc, col("click_id").asc_nulls_first)
+    p.join(c, Seq("user_id", "bk"), "left_outer")
+      .withColumn("in_win", inWin)
+      .withColumn("n_win", sum(col("in_win").cast("int")).over(byPurchase))
+      .withColumn("rn", row_number().over(firstRow))
+      .filter(col("in_win") || (col("n_win") === 0 && col("rn") === 1))
+      .select(col("purchase_id"), col("user_id"), col("purchase_ts"),
+        col("purchase_value"),
+        when(col("in_win"), col("click_id")).as("click_id"),
+        when(col("in_win"), col("click_ts")).as("click_ts"),
+        when(col("in_win"),
+          expr("(unix_micros(purchase_ts) - unix_micros(click_ts)) div 1000000"))
+          .as("lag_sec"))
+  }
+
+  /** Streaming form: Spark's watermark-bounded left-outer interval
+    * join — the raw range condition (not the bins; the watermark
+    * already bounds state, see [[attributeClicksBinned]]'s scaladoc).
+    * A purchase's null row is emitted once the CLICK-side watermark
+    * passes its purchase_ts, i.e. when no future click can still land
+    * in its lookback window — outer results are therefore delayed by
+    * the watermark, which is the only correct option on an unbounded
+    * stream (emitting earlier could need a retraction). */
+  def attributeClicksOuterStream(clicks: DataFrame, purchases: DataFrame): DataFrame =
+    purchases.withWatermark("purchase_ts", "2 hours").alias("p")
+      .join(clicks.withWatermark("click_ts", "2 hours").alias("c"),
+        expr(s"""p.user_id = c.user_id
+                 AND c.click_ts >= p.purchase_ts - $AttributionLookback
+                 AND c.click_ts <= p.purchase_ts"""),
+        "left_outer")
+      .select(col("p.purchase_id"), col("p.user_id").as("user_id"),
+        col("p.purchase_ts"), col("p.purchase_value"),
+        col("c.click_id"), col("c.click_ts"),
+        expr("(unix_micros(p.purchase_ts) - unix_micros(c.click_ts)) div 1000000")
+          .as("lag_sec"))
+
+  /** Batch entry (queries key `stream_join_outer`). */
+  def attributeClicksOuterBatch(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    attributeClicksOuter(clickSide(ev), purchaseSide(ev))
+  }
+
+  val attributeClicksOuterOracleSql: String =
+    """WITH c AS (
+      |  SELECT user_id, event_id AS click_id, CAST(ts AS TIMESTAMP) AS click_ts
+      |  FROM events WHERE event_type = 'click'),
+      |p AS (
+      |  SELECT user_id, event_id AS purchase_id,
+      |    CAST(ts AS TIMESTAMP) AS purchase_ts, value AS purchase_value
+      |  FROM events WHERE event_type = 'purchase')
+      |SELECT p.purchase_id, p.user_id, p.purchase_ts, p.purchase_value,
+      |  c.click_id, c.click_ts,
+      |  (epoch_us(p.purchase_ts) - epoch_us(c.click_ts)) // 1000000 AS lag_sec
+      |FROM p LEFT JOIN c ON p.user_id = c.user_id
+      |  AND c.click_ts >= p.purchase_ts - INTERVAL 1 HOUR
+      |  AND c.click_ts <= p.purchase_ts""".stripMargin
 
   val attributeClicksOracleSql: String =
     """WITH c AS (

@@ -389,6 +389,56 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("left-outer attribution: unmatched purchase emits a null-click row; stream equals batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = Seq(
+      (7L, 1L, ts("2024-01-01 09:00:00")),   // boundary-inclusive for purchase 6
+      (7L, 3L, ts("2024-01-01 09:45:00")))   // in window for purchase 6
+    val purchases = Seq(
+      (7L, 6L, ts("2024-01-01 10:00:00"), 9.99),
+      (8L, 7L, ts("2024-01-01 12:00:00"), 5.0)) // user 8 never clicked -> null row
+    val clickMem = MemoryStream[(Long, Long, Timestamp)]
+    val purchMem = MemoryStream[(Long, Long, Timestamp, Double)]
+    val q = Streams.attributeClicksOuterStream(
+        clickMem.toDF.toDF("user_id", "click_id", "click_ts"),
+        purchMem.toDF.toDF("user_id", "purchase_id", "purchase_ts", "purchase_value"))
+      .writeStream.format("memory").queryName("attr_outer").outputMode("append").start()
+    try {
+      clickMem.addData(clicks)
+      purchMem.addData(purchases)
+      q.processAllAvailable()
+      // the outer row for purchase 7 (12:00) emits only after the
+      // GLOBAL watermark (min across both inputs) passes 12:00 — no
+      // future click could still land in its window. Far-future
+      // sentinels on BOTH streams advance it (18:00 - 2h delay =
+      // 16:00); they use distinct users (99 vs 98) so they never pair
+      // with each other: the click sentinel is on the non-preserved
+      // side (adds no rows) and the purchase sentinel stays buffered
+      // past the test's last watermark (never emitted).
+      clickMem.addData(Seq((99L, 999L, ts("2024-01-01 18:00:00"))))
+      purchMem.addData(Seq((98L, 998L, ts("2024-01-01 18:00:00"), 0.0)))
+      q.processAllAvailable()
+      // some Spark versions evict outer state one micro-batch late;
+      // one more empty-progress batch makes emission deterministic
+      clickMem.addData(Seq((99L, 997L, ts("2024-01-01 18:00:01"))))
+      q.processAllAvailable()
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getLong(0), if (r.isNullAt(4)) -1L else r.getLong(4),
+          if (r.isNullAt(6)) -1L else r.getLong(6))
+      val streamed = spark.table("attr_outer").collect().map(key).toSet
+      assert(streamed == Set((6L, 1L, 3600L), (6L, 3L, 900L), (7L, -1L, -1L)),
+        s"got $streamed")
+      // batch twin over the equivalent events frame, same rows
+      val events = (clicks.map { case (u, id, t) => (id, t, u, "click", 0.0) } ++
+        purchases.map { case (u, id, t, v) => (id, t, u, "purchase", v) })
+        .toDF("event_id", "ts", "user_id", "event_type", "value")
+      val batch = Streams.attributeClicksOuter(
+        Streams.clickSide(events), Streams.purchaseSide(events))
+      assert(batch.collect().map(key).toSet == streamed)
+    } finally q.stop()
+  }
+
   test("stream-static enrich: stream equals batch; unknown users survive the left join") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
