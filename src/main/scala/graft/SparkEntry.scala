@@ -92,6 +92,7 @@ object SparkEntry {
     "text_chunk"       -> ((s, d) => graft.operators.TrainPrep.chunkDocuments(s, d)),
     "text_encode"      -> ((s, d) => graft.operators.TrainPrep.textEncode(s, d)),
     "pack_token_ids"   -> ((s, d) => graft.operators.TrainPrep.packTokenIds(s, d)),
+    "bpe_train"        -> ((s, d) => graft.operators.Bpe.train(s, d)),
     // §2.6 multimodal
     "mm_binary_meta"     -> (Multimodal.binaryMeta(_, _)),
     "mm_feature_extract" -> (Multimodal.featureExtract(_, _)),
@@ -206,6 +207,9 @@ object SparkEntry {
     "text_chunk"      -> graft.operators.TrainPrep.chunkDocumentsOracleSql,
     "text_encode"     -> graft.operators.TrainPrep.textEncodeOracleSql,
     "pack_token_ids"  -> graft.operators.TrainPrep.packTokenIdsOracleSql,
+    // BPE training: per-round recursive-fold replay (exact integer
+    // counts + bytewise string ties -> bit-for-bit)
+    "bpe_train"       -> graft.operators.Bpe.trainOracleSql(),
     // §2.6 multimodal
     "mm_binary_meta"     -> Multimodal.binaryMetaOracleSql,
     "mm_feature_extract" -> Multimodal.featureExtractOracleSql,

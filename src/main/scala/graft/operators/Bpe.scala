@@ -1,0 +1,176 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{TextHashing => TH}
+import graft.sources.Tables
+
+/** Byte-pair-encoding merge training (key `bpe_train`): learn the
+  * ranked merge table that turns [[TextAnalysis.textVocab]]'s word
+  * vocabulary into a real subword vocabulary — the tokenizer-training
+  * step that sits upstream of `text_encode`/`pack_token_ids` in every
+  * LLM data pipeline (reference scope: the corpus-prep tier;
+  * cf. /root/reference/scripts/normalize_open_meteo_to_parquet.py:1
+  * for the reference's per-stage ETL framing — BPE is the engine-
+  * forward extension of that prep tier, not a reference port).
+  *
+  * Algorithm (Sennrich et al. 2016, public): start from per-word
+  * character sequences plus an end-of-word marker; each round counts
+  * adjacent symbol pairs weighted by word frequency, merges the most
+  * frequent pair everywhere (greedy leftmost, non-overlapping), and
+  * records it. The merge table IS the tokenizer.
+  *
+  * Scale shape — what each piece costs at 100 TB:
+  *  - ONE corpus scan builds the (word, count) table, staged durably
+  *    to scratch; every subsequent round reads the staged vocabulary,
+  *    never the corpus. Vocabulary size is Zipf-bounded (millions of
+  *    rows at web scale, not corpus-sized) and stays distributed.
+  *  - Each round is one vocab-sized pair explode (Σ symbols per
+  *    DISTINCT word) + one keyed aggregate + a 1-ROW collect (the
+  *    winning pair) + one narrow fold projection. Rounds are bounded
+  *    by the `rounds` argument; the driver holds only the merge
+  *    table (R rows) — never symbol data.
+  *  - The merge application is a codegen'd higher-order `aggregate`
+  *    fold over each word's symbol array (greedy leftmost semantics,
+  *    exactly replayable in SQL) — no UDF, no shuffle.
+  *
+  * Determinism: pair counts are exact integers; ties break on
+  * (count DESC, left, right) — both engines compare ASCII strings
+  * bytewise — so the DuckDB oracle replays training bit-for-bit with
+  * one recursive-fold CTE per round.
+  */
+object Bpe {
+
+  val BpeRounds = 10
+  val EndMark = "</w>"
+
+  /** word → initial symbols: characters + end-of-word marker. */
+  private def initialSyms(w: Column): Column =
+    concat(transform(sequence(lit(1), length(w)), i => w.substr(i, lit(1))),
+      array(lit(EndMark)))
+
+  /** Adjacent-pair counts over the symbol table, weighted by word
+    * frequency. Symbol arrays always have >= 2 elements (>= 1 char +
+    * marker), so the ascending `sequence` is safe. */
+  private def pairCounts(wsyms: DataFrame): DataFrame =
+    wsyms.select(col("cnt"),
+        explode(transform(sequence(lit(1), size(col("syms")) - 1), i =>
+          struct(element_at(col("syms"), i).as("l"),
+            element_at(col("syms"), i + 1).as("r")))).as("p"))
+      .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+      .agg(sum(col("cnt")).as("total"))
+
+  /** Apply one merge (l, r) -> lr to a symbol array: greedy leftmost
+    * non-overlapping, via a single left fold — after a merge the new
+    * token becomes the fold's tail, so overlapping occurrences
+    * ("a a a" under (a,a)) resolve left-to-right exactly like the
+    * reference BPE implementations. Codegen'd array ops, no UDF. */
+  private[operators] def mergeFold(syms: Column, l: String, r: String): Column =
+    aggregate(syms, typedLit(Array.empty[String]),
+      (acc, x) =>
+        when(size(acc) > 0 &&
+            element_at(acc, lit(-1)) === lit(l) && x === lit(r),
+          concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
+        .otherwise(concat(acc, array(x))))
+
+  /** The staged (word, cnt, syms) start state: one corpus scan,
+    * vocabulary written durably so the per-round actions replay a
+    * vocab-sized parquet read instead of the corpus explode. */
+  private def stagedWordSyms(docs: DataFrame): DataFrame = {
+    val staged = Scratch.dir("graft_bpe_words")
+    docs.select(explode(TH.words(col("text"))).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      .write.mode("overwrite").parquet(staged)
+    docs.sparkSession.read.parquet(staged)
+      .select(col("word"), col("cnt"), initialSyms(col("word")).as("syms"))
+  }
+
+  /** Train `rounds` merges; returns the ranked merge table
+    * (round, left_sym, right_sym, merged, pair_count). Stops early if
+    * the vocabulary runs out of distinct pairs. */
+  def trainOn(docs: DataFrame, rounds: Int = BpeRounds): DataFrame = {
+    val spark = docs.sparkSession
+    var wsyms = stagedWordSyms(docs)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
+    var round = 1
+    var exhausted = false
+    while (round <= rounds && !exhausted) {
+      // 1-row collect per round: the winning pair — the only data the
+      // driver ever holds
+      val top = pairCounts(wsyms)
+        .orderBy(col("total").desc, col("l"), col("r")).limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (l, r, total) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((round, l, r, l + r, total))
+        wsyms = wsyms.withColumn("syms", mergeFold(col("syms"), l, r))
+        round += 1
+      }
+    }
+    import spark.implicits._
+    merges.toSeq.toDF("round", "left_sym", "right_sym", "merged", "pair_count")
+  }
+
+  /** Driver query over `documents` (key `bpe_train`). */
+  def train(spark: SparkSession, dir: String): DataFrame =
+    trainOn(Tables.documents(spark, dir))
+
+  /** Encode each distinct corpus word with an already-learned merge
+    * list: the same fold, applied in merge order — the subword twin of
+    * `text_encode`'s whole-word lookup. Returns (word, cnt, syms).
+    * Used by BpeSpec's round-trip property (decode: concat symbols,
+    * strip the marker, recover the word). */
+  def encodeWordsOn(docs: DataFrame, merges: Seq[(String, String)]): DataFrame =
+    merges.foldLeft(stagedWordSyms(docs)) { case (df, (l, r)) =>
+      df.withColumn("syms", mergeFold(col("syms"), l, r))
+    }
+
+  /** Full DuckDB replay: per round, a pair-count CTE, a 1-row winner
+    * CTE, and a RECURSIVE fold CTE that applies the winner with the
+    * same greedy-leftmost semantics as [[mergeFold]] (the accumulator
+    * walks each word's symbol array once; acc[-1] is the fold tail).
+    * All arithmetic is exact (integer counts, string compares), so
+    * the replay is bit-for-bit. */
+  def trainOracleSql(rounds: Int = BpeRounds): String = {
+    val perRound = (1 to rounds).map { n =>
+      val prev = s"w${n - 1}"
+      s"""p$n AS MATERIALIZED (
+         |  SELECT l, r, CAST(SUM(cnt) AS BIGINT) AS total FROM (
+         |    SELECT w.cnt, w.syms[t.i] AS l, w.syms[t.i + 1] AS r
+         |    FROM $prev w, unnest(generate_series(1, len(w.syms) - 1)) AS t(i))
+         |  GROUP BY l, r),
+         |m$n AS MATERIALIZED (
+         |  SELECT l, r, l || r AS merged, total FROM p$n
+         |  ORDER BY total DESC, l, r LIMIT 1),
+         |f$n AS (
+         |  SELECT word, cnt, syms, 0 AS i, CAST([] AS VARCHAR[]) AS acc FROM $prev
+         |  UNION ALL
+         |  SELECT word, cnt, syms, i + 1,
+         |    CASE WHEN len(acc) > 0 AND acc[-1] = (SELECT l FROM m$n)
+         |           AND syms[i + 1] = (SELECT r FROM m$n)
+         |      THEN list_append(acc[1:len(acc) - 1], (SELECT merged FROM m$n))
+         |      ELSE list_append(acc, syms[i + 1]) END
+         |  FROM f$n WHERE i < len(syms)),
+         |w$n AS MATERIALIZED (SELECT word, cnt, acc AS syms FROM f$n WHERE i = len(syms))""".stripMargin
+    }.mkString(",\n")
+    val unions = (1 to rounds).map { n =>
+      s"""  SELECT CAST($n AS INTEGER) AS round, l AS left_sym, r AS right_sym,
+         |    merged, total AS pair_count FROM m$n""".stripMargin
+    }.mkString("\n  UNION ALL\n")
+    s"""WITH RECURSIVE wc AS MATERIALIZED (
+       |  SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+       |  WHERE word <> '' GROUP BY word),
+       |w0 AS MATERIALIZED (
+       |  SELECT word, cnt,
+       |    list_append(list_transform(generate_series(1, length(word)),
+       |      i -> substr(word, i, 1)), '$EndMark') AS syms
+       |  FROM wc),
+       |$perRound
+       |SELECT round, left_sym, right_sym, merged, pair_count FROM (
+       |$unions
+       |)""".stripMargin
+  }
+}
