@@ -44,6 +44,9 @@ object Bpe {
 
   val BpeRounds = 10
   val EndMark = "</w>"
+  /** Rounds between durable re-stagings of the symbol table in
+    * [[trainOn]] — bounds replayed fold depth (see the restage note). */
+  val RestageEvery = 4
 
   /** word → initial symbols: characters + end-of-word marker. */
   private def initialSyms(w: Column): Column =
@@ -51,10 +54,16 @@ object Bpe {
       array(lit(EndMark)))
 
   /** Adjacent-pair counts over the symbol table, weighted by word
-    * frequency. Symbol arrays always have >= 2 elements (>= 1 char +
-    * marker), so the ascending `sequence` is safe. */
+    * frequency. A fully-merged word collapses to ONE symbol (e.g.
+    * "a" + "</w>" -> ["a</w>"]); it contributes no pairs and must be
+    * filtered BEFORE the explode — Spark's `sequence(1, 0)` is the
+    * DESCENDING [1, 0] (probing index 2 of a 1-element array throws
+    * under ANSI), while DuckDB's `generate_series(1, 0)` is empty, so
+    * the size guard is both the crash fix and the engine-agreement
+    * condition. */
   private def pairCounts(wsyms: DataFrame): DataFrame =
-    wsyms.select(col("cnt"),
+    wsyms.filter(size(col("syms")) >= 2)
+      .select(col("cnt"),
         explode(transform(sequence(lit(1), size(col("syms")) - 1), i =>
           struct(element_at(col("syms"), i).as("l"),
             element_at(col("syms"), i + 1).as("r")))).as("p"))
@@ -106,6 +115,18 @@ object Bpe {
         val (l, r, total) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         merges += ((round, l, r, l + r, total))
         wsyms = wsyms.withColumn("syms", mergeFold(col("syms"), l, r))
+        // Re-stage every few rounds: without this, round R's action
+        // replays all R-1 prior mergeFolds from the round-0 staging —
+        // O(R^2) fold work and an R-deep nested higher-order plan. A
+        // periodic vocab-sized parquet write truncates both, keeping
+        // per-round cost O(vocab · k) at production merge counts
+        // (10^4–10^5 rounds). Fresh dir per restage: never overwrite
+        // a path the live lineage still reads.
+        if (round % RestageEvery == 0) {
+          val staged = Scratch.dir(s"graft_bpe_r$round")
+          wsyms.write.mode("overwrite").parquet(staged)
+          wsyms = spark.read.parquet(staged)
+        }
         round += 1
       }
     }
@@ -122,10 +143,24 @@ object Bpe {
     * `text_encode`'s whole-word lookup. Returns (word, cnt, syms).
     * Used by BpeSpec's round-trip property (decode: concat symbols,
     * strip the marker, recover the word). */
-  def encodeWordsOn(docs: DataFrame, merges: Seq[(String, String)]): DataFrame =
-    merges.foldLeft(stagedWordSyms(docs)) { case (df, (l, r)) =>
-      df.withColumn("syms", mergeFold(col("syms"), l, r))
+  def encodeWordsOn(docs: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+    val spark = docs.sparkSession
+    var df = stagedWordSyms(docs)
+    var applied = 0
+    merges.foreach { case (l, r) =>
+      df = df.withColumn("syms", mergeFold(col("syms"), l, r))
+      applied += 1
+      // same plan-depth bound as trainOn: production merge tables are
+      // 10^4–10^5 rows; an unbroken fold chain that deep would not
+      // analyze, let alone codegen
+      if (applied % RestageEvery == 0 && applied < merges.size) {
+        val staged = Scratch.dir(s"graft_bpe_apply_$applied")
+        df.write.mode("overwrite").parquet(staged)
+        df = spark.read.parquet(staged)
+      }
     }
+    df
+  }
 
   /** Full DuckDB replay: per round, a pair-count CTE, a 1-row winner
     * CTE, and a RECURSIVE fold CTE that applies the winner with the

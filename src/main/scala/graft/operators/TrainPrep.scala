@@ -135,9 +135,17 @@ object TrainPrep {
         col("n_tokens"), col("n_oov"))
   }
 
-  /** Driver query over `documents` (key `text_encode`). */
+  /** Driver query over `documents` (key `text_encode`). The library
+    * form [[textEncodeOn]] returns the real `array<int>` column; the
+    * driver key projects it to a space-joined string because the
+    * harness comparator hashes pandas-sorted cells and array cells are
+    * unhashable there (CORRECTNESS_r08: `unhashable type:
+    * numpy.ndarray`) — a projection concern, not a semantics change. */
   def textEncode(spark: SparkSession, dir: String): DataFrame =
     textEncodeOn(Tables.documents(spark, dir))
+      .select(col("doc_id"),
+        array_join(col("token_ids"), " ").as("token_ids"),
+        col("n_tokens"), col("n_oov"))
 
   val textEncodeOracleSql: String =
     s"""WITH v0 AS (
@@ -157,7 +165,8 @@ object TrainPrep {
        |    CAST(COALESCE(v.token_id, $EncodeVocabK) AS INTEGER) AS id,
        |    v.token_id IS NULL AS oov
        |  FROM t LEFT JOIN v USING (term))
-       |SELECT doc_id, list(id ORDER BY pos) AS token_ids,
+       |SELECT doc_id,
+       |  array_to_string(list(id ORDER BY pos), ' ') AS token_ids,
        |  CAST(COUNT(*) AS INTEGER) AS n_tokens,
        |  CAST(SUM(CASE WHEN oov THEN 1 ELSE 0 END) AS INTEGER) AS n_oov
        |FROM j GROUP BY doc_id""".stripMargin
@@ -207,9 +216,13 @@ object TrainPrep {
         col("s")("id").as("token_ids"))
   }
 
-  /** Driver query over `documents` (key `pack_token_ids`). */
+  /** Driver query over `documents` (key `pack_token_ids`). Same
+    * hashable string projection as [[textEncode]]; library users take
+    * [[packTokenIdsOn]]'s `array<int>`. */
   def packTokenIds(spark: SparkSession, dir: String): DataFrame =
     packTokenIdsOn(Tables.documents(spark, dir))
+      .select(col("shard"), col("chunk_id"), col("n_tokens"),
+        array_join(col("token_ids"), " ").as("token_ids"))
 
   val packTokenIdsOracleSql: String =
     s"""WITH v0 AS (
@@ -245,7 +258,7 @@ object TrainPrep {
        |  FROM j JOIN lay USING (doc_id))
        |SELECT shard, off // $ChunkBudget AS chunk_id,
        |  CAST(COUNT(*) AS INTEGER) AS n_tokens,
-       |  list(id ORDER BY off) AS token_ids
+       |  array_to_string(list(id ORDER BY off), ' ') AS token_ids
        |FROM tok GROUP BY 1, 2""".stripMargin
 
   /** Context window (words) for [[chunkDocuments]]. Small here so the

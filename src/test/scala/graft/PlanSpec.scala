@@ -61,12 +61,19 @@ class PlanSpec extends SparkSpecBase {
   }
 
   test("ngram jaccard: candidate generation is an equi-join, not a cross join") {
-    val p = plan(Dedup.ngramJaccard(spark, sfDir))
-    assert(!p.contains("CartesianProduct"),
-      "prefix-filter self-join degenerated into a cartesian product")
-    // the prefix join must be a hash-partitioned equi join on the shingle
-    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
-      p.contains("BroadcastHashJoin"), s"unexpected join strategy:\n$p")
+    // the driver key stages its result to scratch (r8 cache hygiene),
+    // so ITS plan is just a FileScan — assert on the pre-staging form,
+    // which is the plan that actually computes the pairs
+    val (pairs, handle) = Dedup.ngramJaccardWithHandle(
+      graft.sources.Tables.documents(spark, sfDir))
+    try {
+      val p = plan(pairs)
+      assert(!p.contains("CartesianProduct"),
+        "prefix-filter self-join degenerated into a cartesian product")
+      // the prefix join must be a hash-partitioned equi join on the shingle
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+        p.contains("BroadcastHashJoin"), s"unexpected join strategy:\n$p")
+    } finally handle.unpersist()
   }
 
   test("minhash lsh: bucket join is an equi-join on (band, bucket)") {
@@ -268,11 +275,16 @@ class PlanSpec extends SparkSpecBase {
   }
 
   test("cms heavy hitters: grid is broadcast to the probe; no cartesian") {
-    val df = graft.operators.Sketches.aggHeavyHitters(spark, sfDir)
-    val p = plan(df)
-    assert(p.contains("BroadcastHashJoin"),
-      s"the d×w counter grid must ride a broadcast, not an exchange:\n$p")
-    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    // driver key stages to scratch (r8 cache hygiene) — assert on the
+    // computing pre-staging form, then release its cache handle
+    val (df, handle) = graft.operators.Sketches.aggHeavyHittersWithHandle(
+      graft.sources.Tables.documents(spark, sfDir))
+    try {
+      val p = plan(df)
+      assert(p.contains("BroadcastHashJoin"),
+        s"the d×w counter grid must ride a broadcast, not an exchange:\n$p")
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    } finally handle.unpersist()
   }
 
   test("holdout split is a scan-bound projection — zero exchanges") {
