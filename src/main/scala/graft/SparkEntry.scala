@@ -93,6 +93,8 @@ object SparkEntry {
     "text_encode"      -> ((s, d) => graft.operators.TrainPrep.textEncode(s, d)),
     "pack_token_ids"   -> ((s, d) => graft.operators.TrainPrep.packTokenIds(s, d)),
     "bpe_train"        -> ((s, d) => graft.operators.Bpe.train(s, d)),
+    "bpe_apply"        -> ((s, d) => graft.operators.Bpe.applySegments(s, d)),
+    "bpe_encode"       -> ((s, d) => graft.operators.Bpe.encodeDocs(s, d)),
     // §2.6 multimodal
     "mm_binary_meta"     -> (Multimodal.binaryMeta(_, _)),
     "mm_feature_extract" -> (Multimodal.featureExtract(_, _)),
@@ -210,6 +212,8 @@ object SparkEntry {
     // BPE training: per-round recursive-fold replay (exact integer
     // counts + bytewise string ties -> bit-for-bit)
     "bpe_train"       -> graft.operators.Bpe.trainOracleSql(),
+    "bpe_apply"       -> graft.operators.Bpe.applyOracleSql(),
+    "bpe_encode"      -> graft.operators.Bpe.encodeDocsOracleSql(),
     // §2.6 multimodal
     "mm_binary_meta"     -> Multimodal.binaryMetaOracleSql,
     "mm_feature_extract" -> Multimodal.featureExtractOracleSql,

@@ -99,7 +99,16 @@ object Bpe {
   /** Train `rounds` merges; returns the ranked merge table
     * (round, left_sym, right_sym, merged, pair_count). Stops early if
     * the vocabulary runs out of distinct pairs. */
-  def trainOn(docs: DataFrame, rounds: Int = BpeRounds): DataFrame = {
+  def trainOn(docs: DataFrame, rounds: Int = BpeRounds): DataFrame =
+    trainWithSymsOn(docs, rounds)._1
+
+  /** [[trainOn]] plus the POST-TRAINING symbol table — (word, cnt,
+    * syms) with every learned merge applied. The training loop already
+    * computes this table round by round; returning it lets the apply/
+    * encode tier reuse it instead of re-folding the merge list from
+    * scratch. */
+  def trainWithSymsOn(docs: DataFrame,
+                      rounds: Int = BpeRounds): (DataFrame, DataFrame) = {
     val spark = docs.sparkSession
     var wsyms = stagedWordSyms(docs)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
@@ -131,7 +140,8 @@ object Bpe {
       }
     }
     import spark.implicits._
-    merges.toSeq.toDF("round", "left_sym", "right_sym", "merged", "pair_count")
+    (merges.toSeq.toDF("round", "left_sym", "right_sym", "merged", "pair_count"),
+      wsyms)
   }
 
   /** Driver query over `documents` (key `bpe_train`). */
@@ -162,13 +172,14 @@ object Bpe {
     df
   }
 
-  /** Full DuckDB replay: per round, a pair-count CTE, a 1-row winner
-    * CTE, and a RECURSIVE fold CTE that applies the winner with the
-    * same greedy-leftmost semantics as [[mergeFold]] (the accumulator
-    * walks each word's symbol array once; acc[-1] is the fold tail).
-    * All arithmetic is exact (integer counts, string compares), so
-    * the replay is bit-for-bit. */
-  def trainOracleSql(rounds: Int = BpeRounds): String = {
+  /** The shared DuckDB training replay: per round, a pair-count CTE, a
+    * 1-row winner CTE, and a RECURSIVE fold CTE that applies the winner
+    * with the same greedy-leftmost semantics as [[mergeFold]] (the
+    * accumulator walks each word's symbol array once; acc[-1] is the
+    * fold tail). All arithmetic is exact (integer counts, string
+    * compares), so the replay is bit-for-bit. `w$rounds` is the
+    * post-training symbol table the apply/encode oracles read. */
+  private def oracleTrainingCtes(rounds: Int): String = {
     val perRound = (1 to rounds).map { n =>
       val prev = s"w${n - 1}"
       s"""p$n AS MATERIALIZED (
@@ -190,10 +201,6 @@ object Bpe {
          |  FROM f$n WHERE i < len(syms)),
          |w$n AS MATERIALIZED (SELECT word, cnt, acc AS syms FROM f$n WHERE i = len(syms))""".stripMargin
     }.mkString(",\n")
-    val unions = (1 to rounds).map { n =>
-      s"""  SELECT CAST($n AS INTEGER) AS round, l AS left_sym, r AS right_sym,
-         |    merged, total AS pair_count FROM m$n""".stripMargin
-    }.mkString("\n  UNION ALL\n")
     s"""WITH RECURSIVE wc AS MATERIALIZED (
        |  SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
        |    SELECT unnest(string_split(text, ' ')) AS word FROM documents)
@@ -203,9 +210,125 @@ object Bpe {
        |    list_append(list_transform(generate_series(1, length(word)),
        |      i -> substr(word, i, 1)), '$EndMark') AS syms
        |  FROM wc),
-       |$perRound
+       |$perRound""".stripMargin
+  }
+
+  def trainOracleSql(rounds: Int = BpeRounds): String = {
+    val unions = (1 to rounds).map { n =>
+      s"""  SELECT CAST($n AS INTEGER) AS round, l AS left_sym, r AS right_sym,
+         |    merged, total AS pair_count FROM m$n""".stripMargin
+    }.mkString("\n  UNION ALL\n")
+    s"""${oracleTrainingCtes(rounds)}
        |SELECT round, left_sym, right_sym, merged, pair_count FROM (
        |$unions
        |)""".stripMargin
   }
+
+  /** Subword segmentation of the corpus vocabulary under the learned
+    * merge table (key `bpe_apply`) — the tokenizer-APPLY step train
+    * leaves open: every distinct corpus word mapped to its subword
+    * sequence. The training loop already materializes exactly this
+    * table ([[trainWithSymsOn]]'s second member), so apply costs
+    * nothing beyond training; a standalone merge-table application is
+    * [[encodeWordsOn]]. Output is vocab-sized (never corpus-sized) and
+    * the subword column rides the driver gate as a space-joined string
+    * (symbols never contain spaces: words come from a space split). */
+  def applySegmentsOn(docs: DataFrame, rounds: Int = BpeRounds): DataFrame =
+    trainWithSymsOn(docs, rounds)._2
+      .select(col("word"), col("cnt"),
+        array_join(col("syms"), " ").as("subwords"),
+        size(col("syms")).as("n_subwords"))
+
+  /** Driver query over `documents` (key `bpe_apply`). */
+  def applySegments(spark: SparkSession, dir: String): DataFrame =
+    applySegmentsOn(Tables.documents(spark, dir))
+
+  def applyOracleSql(rounds: Int = BpeRounds): String =
+    s"""${oracleTrainingCtes(rounds)}
+       |SELECT word, cnt, array_to_string(syms, ' ') AS subwords,
+       |  CAST(len(syms) AS INTEGER) AS n_subwords
+       |FROM w$rounds""".stripMargin
+
+  /** Doc-level subword-ID encoding (key `bpe_encode`): the corpus
+    * application that feeds the packing tier — each document becomes
+    * its stream of subword token ids under the learned merge table,
+    * the BPE twin of [[TrainPrep.textEncodeOn]]'s whole-word lookup.
+    *
+    * Id assignment: subwords ranked by (frequency-weighted total DESC,
+    * subword ASC) — deterministic across runs and engines, ids 0-based.
+    * No OOV id is needed: the vocabulary derives from the same corpus,
+    * so every word has a segmentation by construction.
+    *
+    * Plan shape: the post-training symbol table is staged once to
+    * scratch and read by both branches (id vocabulary + segmentation
+    * join). The corpus explodes to (doc_id, pos, word) and joins the
+    * VOCAB-sized segmentation table on `word` — a keyed equi-join
+    * (deliberately not broadcast: web-scale vocabularies are millions
+    * of rows); the subword→id table is bounded by |chars| + rounds and
+    * rides a broadcast. Reassembly is the one keyed groupBy(doc_id)
+    * shuffle, same as textEncodeOn. The subword-id ranking window is
+    * single-partition over the BOUNDED subword vocabulary, never the
+    * corpus. */
+  def encodeDocsOn(docs: DataFrame, rounds: Int = BpeRounds): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = docs.sparkSession
+    val staged = Scratch.dir("graft_bpe_segs")
+    trainWithSymsOn(docs, rounds)._2.write.mode("overwrite").parquet(staged)
+    val segs = spark.read.parquet(staged)
+    val sv = segs
+      .select(explode(col("syms")).as("subword"), col("cnt"))
+      .groupBy(col("subword")).agg(sum(col("cnt")).as("total"))
+      .withColumn("sid", (row_number().over(
+        Window.orderBy(col("total").desc, col("subword"))) - 1).cast("int"))
+      .select(col("subword"), col("sid"))
+    docs
+      .select(col("doc_id"), posexplode(TH.words(col("text"))).as(Seq("pos", "word")))
+      .filter(col("word") =!= "")
+      .join(segs.select(col("word"), col("syms")), Seq("word"))
+      .select(col("doc_id"), col("pos"),
+        posexplode(col("syms")).as(Seq("subpos", "subword")))
+      .join(broadcast(sv), Seq("subword"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sort_array(collect_list(struct(col("pos"), col("subpos"), col("sid")))).as("s"),
+        count(lit(1)).cast("int").as("n_tokens"))
+      .select(col("doc_id"), col("s")("sid").as("token_ids"), col("n_tokens"))
+  }
+
+  /** Driver query over `documents` (key `bpe_encode`): same hashable
+    * string projection as [[TrainPrep.textEncode]]. */
+  def encodeDocs(spark: SparkSession, dir: String): DataFrame =
+    encodeDocsOn(Tables.documents(spark, dir))
+      .select(col("doc_id"),
+        array_join(col("token_ids"), " ").as("token_ids"),
+        col("n_tokens"))
+
+  def encodeDocsOracleSql(rounds: Int = BpeRounds): String =
+    s"""${oracleTrainingCtes(rounds)},
+       |sv AS MATERIALIZED (
+       |  SELECT subword,
+       |    CAST(ROW_NUMBER() OVER (ORDER BY total DESC, subword) - 1
+       |      AS INTEGER) AS sid
+       |  FROM (
+       |    SELECT s AS subword, CAST(SUM(cnt) AS BIGINT) AS total
+       |    FROM (SELECT unnest(syms) AS s, cnt FROM w$rounds)
+       |    GROUP BY s)),
+       |dt AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+       |    generate_subscripts(string_split(text, ' '), 1) AS pos
+       |  FROM documents),
+       |seg AS (
+       |  SELECT dt.doc_id, dt.pos, w.syms
+       |  FROM dt JOIN w$rounds w ON dt.word = w.word
+       |  WHERE dt.word <> ''),
+       |sub AS (
+       |  SELECT e.doc_id, e.pos, t.i AS subpos, e.syms[t.i] AS subword
+       |  FROM seg e, unnest(generate_series(1, len(e.syms))) AS t(i)),
+       |ids AS (
+       |  SELECT s.doc_id, s.pos, s.subpos, sv.sid
+       |  FROM sub s JOIN sv ON sv.subword = s.subword)
+       |SELECT doc_id,
+       |  array_to_string(list(sid ORDER BY pos, subpos), ' ') AS token_ids,
+       |  CAST(COUNT(*) AS INTEGER) AS n_tokens
+       |FROM ids GROUP BY doc_id""".stripMargin
 }

@@ -114,6 +114,41 @@ object CorpusPipeline {
               contamTau: Double = Dedup.ContamTau): DataFrame =
     stages(docs, evalSource, qualityMin, weights, defaultWeight, contamTau).packed
 
+  /** The full corpus → token-id-shards materialization — the DAG a
+    * pretraining data build actually ships: [[prepare]]'s cleaned +
+    * sampled corpus, a BPE tokenizer TRAINED ON that surviving corpus
+    * (training the tokenizer on the post-filter distribution is the
+    * production convention — tokenizing removed spam wastes vocabulary
+    * mass), each doc encoded to its subword-id stream, and the streams
+    * packed into context-window chunks in [[TrainPrep.packSequencesOn]]'s
+    * deterministic training order.
+    *
+    * Output: one row per (shard, chunk_id) with the chunk's
+    * `array<int>` token ids — what a training run memory-maps.
+    *
+    * Eager like [[prepare]] (the dedup clustering loop and the BPE
+    * training loop both run inside the call), and the encoded corpus
+    * is staged to scratch once so the packer's two branches (layout +
+    * id explode) read a materialization instead of re-running the
+    * encode joins per branch. */
+  def prepareTokenIds(docs: DataFrame,
+                      evalSource: String = "src0",
+                      qualityMin: Double = QualityMin,
+                      weights: Map[String, Double] = Etl.MixtureWeights,
+                      defaultWeight: Double = Etl.DefaultMixtureWeight,
+                      contamTau: Double = Dedup.ContamTau,
+                      bpeRounds: Int = Bpe.BpeRounds,
+                      nShards: Int = TrainPrep.NShards,
+                      budget: Long = TrainPrep.ChunkBudget): DataFrame = {
+    val corpus = prepare(docs, evalSource, qualityMin, weights,
+      defaultWeight, contamTau)
+    val staged = Scratch.dir("graft_corpus_ids")
+    Bpe.encodeDocsOn(corpus.select(col("doc_id"), col("text")), bpeRounds)
+      .write.mode("overwrite").parquet(staged)
+    val encoded = docs.sparkSession.read.parquet(staged)
+    TrainPrep.packIdStreamOn(encoded, nShards, budget)
+  }
+
   /** Run [[prepare]] and report the per-stage funnel — the numbers a
     * corpus build logs for every snapshot (`nInput` counts the whole
     * input including the held-aside eval slice; the later counts are

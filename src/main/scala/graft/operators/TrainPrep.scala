@@ -261,6 +261,45 @@ object TrainPrep {
        |  array_to_string(list(id ORDER BY off), ' ') AS token_ids
        |FROM tok GROUP BY 1, 2""".stripMargin
 
+  /** Generic context-window packing of ANY per-document token-id
+    * stream — the materialization step both the whole-word encoding
+    * ([[textEncodeOn]]) and the BPE encoding ([[Bpe.encodeDocsOn]])
+    * feed. Input is (doc_id, token_ids: array<int>); output is one row
+    * per (shard, chunk_id) with the chunk's id array, laid out by the
+    * same deterministic shard hash / training order / offset
+    * arithmetic as [[packSequencesOn]] (fed the whole-word encoding,
+    * that operator is exactly this one's per-document index; a subword
+    * stream keeps the same layout rule with subword-count offsets).
+    *
+    * Plan shape: the layout derives from a doc-cardinality projection
+    * of the SAME frame (size of the array — no second corpus scan, no
+    * token-sized aggregate), windows per shard, and joins the exploded
+    * id stream on doc_id; chunk reassembly is the one token-sized
+    * keyed shuffle a corpus materialization cannot avoid. */
+  def packIdStreamOn(encoded: DataFrame, nShards: Int = NShards,
+                     budget: Long = ChunkBudget): DataFrame = {
+    val order = Window.partitionBy(col("shard")).orderBy(col("__h"), col("doc_id"))
+    val prefix = order.rowsBetween(Window.unboundedPreceding, -1)
+    val lay = encoded
+      .select(col("doc_id"), size(col("token_ids")).cast("long").as("n_tokens"),
+        Etl.keyHash32(col("doc_id")).as("__h"))
+      .withColumn("shard", pmod(col("__h"), lit(nShards)).cast("int"))
+      .withColumn("token_offset",
+        coalesce(sum(col("n_tokens")).over(prefix), lit(0L)))
+      .select(col("doc_id"), col("shard"), col("token_offset"))
+    encoded
+      .select(col("doc_id"), posexplode(col("token_ids")).as(Seq("pos", "id")))
+      .join(lay, Seq("doc_id"))
+      .withColumn("off", col("token_offset") + col("pos"))
+      .withColumn("chunk_id", expr(s"off DIV $budget"))
+      .groupBy(col("shard"), col("chunk_id"))
+      .agg(
+        sort_array(collect_list(struct(col("off"), col("id")))).as("s"),
+        count(lit(1)).cast("int").as("n_tokens"))
+      .select(col("shard"), col("chunk_id"), col("n_tokens"),
+        col("s")("id").as("token_ids"))
+  }
+
   /** Context window (words) for [[chunkDocuments]]. Small here so the
     * sf corpus (avg ~54 words/doc) produces real multi-chunk docs;
     * production values are the model context (2k–128k tokens). */

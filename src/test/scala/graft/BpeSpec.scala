@@ -28,6 +28,23 @@ class BpeSpec extends SparkSpecBase {
     assert(syms == Seq("aa", "a", "</w>"))
   }
 
+  test("bpe apply + encode: hand corpus segments, ids, and streams") {
+    import spark.implicits._
+    // wc: ab:4, cd:1. Training: r1 (a,b)=4 beats (b,</w>)=4 on the
+    // left tie-break; r2 (ab,</w>)=4; r3 (c,d)=1 beats (d,</w>)=1;
+    // r4 (cd,</w>)=1; r5 exhausted. Both words collapse to ONE symbol
+    // — the path that crashed pairCounts before the size guard.
+    val docs = Seq((1L, "ab ab ab"), (2L, "ab cd")).toDF("doc_id", "text")
+    val segs = Bpe.applySegmentsOn(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getInt(3))).toSet
+    assert(segs == Set(("ab", 4L, "ab</w>", 1), ("cd", 1L, "cd</w>", 1)))
+    // subword ids rank by weighted frequency: ab</w> (4) -> 0, cd</w> (1) -> 1
+    val enc = Bpe.encodeDocsOn(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getSeq[Int](1), r.getInt(2)))).toMap
+    assert(enc(1L) == ((Seq(0, 0, 0), 3)))
+    assert(enc(2L) == ((Seq(0, 1), 2)))
+  }
+
   test("bpe on the corpus: ranked rounds, non-increasing counts, round-trip decode") {
     val docs = sources.Tables.documents(spark, sfDir)
     val m = Bpe.train(spark, sfDir).collect()

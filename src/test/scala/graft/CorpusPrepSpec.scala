@@ -103,6 +103,26 @@ class CorpusPrepSpec extends SparkSpecBase {
     assert(packed.filter(col("token_offset") < 0).count() == 0)
   }
 
+  test("corpus pipeline: token-id materialization fills every non-tail chunk to budget") {
+    val docs = sources.Tables.documents(spark, sfDir)
+    val rows = graft.operators.CorpusPipeline.prepareTokenIds(docs).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getInt(2), r.getSeq[Int](3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, _, n, ids) =>
+      assert(ids.length == n && ids.forall(_ >= 0)) }
+    // per shard: chunk ids contiguous from 0, every non-final chunk
+    // exactly at the context-window budget (offsets are consecutive by
+    // construction, so only a shard's tail chunk may be partial)
+    rows.groupBy(_._1).foreach { case (shard, rs) =>
+      val sorted = rs.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (0L until sorted.length).map(identity),
+        s"shard $shard chunk ids not contiguous")
+      sorted.dropRight(1).foreach { case (_, cid, n, _) =>
+        assert(n == graft.operators.TrainPrep.ChunkBudget,
+          s"shard $shard chunk $cid not full: $n tokens") }
+    }
+  }
+
   test("corpus pipeline: a train copy of an eval doc is cut even when dedup kept the train copy") {
     import spark.implicits._
     def words(seed: Int, n: Int) = (0 until n).map(i => s"w${seed}x$i").mkString(" ")

@@ -118,6 +118,16 @@ class TrainPrepSpec extends SparkSpecBase {
     packed.unpersist()
   }
 
+  test("packIdStream: fed the whole-word encoding it reproduces packTokenIds exactly") {
+    val docs = sources.Tables.documents(spark, sfDir)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getInt(2), r.getSeq[Int](3))).toSet
+    val viaStream = rows(TrainPrep.packIdStreamOn(TrainPrep.textEncodeOn(docs)))
+    val direct = rows(TrainPrep.packTokenIdsOn(docs))
+    assert(viaStream == direct,
+      "generic id-stream packer must agree with the fused whole-word packer")
+  }
+
   test("chunkDocuments: window/coverage invariants hold on the corpus") {
     val docs = graft.sources.Tables.documents(spark, sfDir)
     val size = 16; val stride = 12
