@@ -560,18 +560,28 @@ object Dedup {
     // scheduled jobs of fixed overhead on a pair-graph-sized frame —
     // iterations are the cost, not rows (r6 profile: 5.9 s of loop on
     // a 256-edge graph).
-    // localCheckpoint (eager), not cache: each iteration's frame
-    // references the previous one THREE ways (own label, neighbor
-    // min, pointer jump), so a cached-but-unbroken lineage would grow
-    // the logical plan 3^iterations — O(log n) data rounds bought at
-    // an exponentially-sized plan tree. Checkpointing truncates the
+    // Eager checkpoint, not cache: each iteration's frame references
+    // the previous one THREE ways (own label, neighbor min, pointer
+    // jump), so a cached-but-unbroken lineage would grow the logical
+    // plan 3^iterations — O(log n) data rounds bought at an
+    // exponentially-sized plan tree. Checkpointing truncates the
     // lineage to the materialized blocks; superseded checkpoint RDDs
     // are released by the ContextCleaner when the reassignment drops
     // their last reference, so nothing outlives the loop.
-    var labels = edges.groupBy(col("src"))
+    // RELIABLE vs LOCAL: localCheckpoint stores blocks on executors
+    // with lineage gone — an executor loss (or dynamic-allocation
+    // decommission) mid-loop fails the job unrecoverably. When the
+    // session has a checkpoint dir (a cluster run's shared FS), use
+    // reliable checkpoint(); fall back to localCheckpoint only where
+    // executors and driver share the one JVM (local mode, this repo's
+    // test/bench harness) and executor loss IS process death.
+    def truncated(df: DataFrame): DataFrame =
+      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+        df.checkpoint(eager = true)
+      else df.localCheckpoint(eager = true)
+    var labels = truncated(edges.groupBy(col("src"))
       .agg(least(col("src"), min(col("dst"))).as("cluster_id"))
-      .select(col("src").as("doc_id"), col("cluster_id"))
-      .localCheckpoint(true)
+      .select(col("src").as("doc_id"), col("cluster_id")))
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
@@ -590,14 +600,13 @@ object Dedup {
       // nothing, but coalesce keeps the expression total anyway.
       val jump = labels
         .select(col("doc_id").as("__p"), col("cluster_id").as("__pl"))
-      val next = labels.join(neighborMin, Seq("doc_id"), "left")
+      val next = truncated(labels.join(neighborMin, Seq("doc_id"), "left")
         .join(jump, col("cluster_id") === col("__p"), "left")
         .select(col("doc_id"), col("cluster_id").as("prev"),
           least(col("cluster_id"),
             coalesce(col("nbr_min"), col("cluster_id")),
             coalesce(col("__pl"), col("cluster_id")))
-            .as("cluster_id"))
-        .localCheckpoint(true)
+            .as("cluster_id")))
       val changed = next.filter(col("cluster_id") =!= col("prev")).count()
       labels = next
       converged = changed == 0

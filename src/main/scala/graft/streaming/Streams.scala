@@ -447,7 +447,12 @@ object Streams {
   def cdcApplySink(changes: DataFrame, l2Path: String,
                    nBuckets: Int = CdcBuckets,
                    opCol: String = "op", deleteOp: String = "D") = {
-    writeCdcConvention(changes.sparkSession, l2Path, opCol, deleteOp)
+    // Fail FAST at construction if the lake already carries a
+    // DIFFERENT convention, but DEFER the sidecar write to the first
+    // micro-batch: a constructed-but-never-started (or misconfigured
+    // restarted) sink must not restamp a lake it never wrote — the
+    // sidecar is a statement about data that exists, not intent.
+    requireCdcConvention(changes.sparkSession, l2Path, opCol, deleteOp)
     changes
       // int, not long: partition-directory values read back as ints,
       // and a long here would make the lake's key type flip between
@@ -457,11 +462,30 @@ object Streams {
       .writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty)
+        if (!batch.isEmpty) {
+          // re-validate + stamp-if-absent HERE (not at construction):
+          // another writer may have stamped the lake between sink
+          // construction and the first batch
+          requireCdcConvention(batch.sparkSession, l2Path, opCol, deleteOp)
+          if (readCdcConvention(batch.sparkSession, l2Path).isEmpty)
+            writeCdcConvention(batch.sparkSession, l2Path, opCol, deleteOp)
           mergeMicroBatch(batch, l2Path, "bucket",
             keys = Seq(col("user_id")), tmpPrefix = "_cdc_merge_tmp")
+        }
       }
   }
+
+  /** Refuse a write under a convention that disagrees with the one the
+    * lake persists — a mismatched tombstone pair is never a judgment
+    * call, it is delete-resurrection or live-key loss (same contract
+    * as [[readCdcSnapshot]]'s explicit-pair overload). */
+  private def requireCdcConvention(spark: SparkSession, l2Path: String,
+                                   opCol: String, deleteOp: String): Unit =
+    readCdcConvention(spark, l2Path).foreach { case (o, d) =>
+      require(o == opCol && d == deleteOp,
+        s"lake at $l2Path persists tombstone convention (opCol=$o, deleteOp=$d); " +
+          s"refusing to apply changes under (opCol=$opCol, deleteOp=$deleteOp)")
+    }
 
   /** The tombstone convention a [[cdcApplySink]] lake was written
     * under is PERSISTED with the lake (an underscore-prefixed sidecar

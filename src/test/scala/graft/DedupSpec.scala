@@ -121,6 +121,26 @@ class DedupSpec extends SparkSpecBase {
     }
   }
 
+  test("pair clusters: reliable checkpoints engage when a checkpoint dir is set") {
+    import spark.implicits._
+    // a session WITH a checkpoint dir (the cluster-run configuration)
+    // must route the loop through reliable checkpoint() — blocks on
+    // the shared FS survive executor loss, unlike localCheckpoint's
+    // executor-stored blocks. The dir stays set for the rest of the
+    // JVM (Spark has no unset API); later pairClusters tests then also
+    // run the reliable path, which only makes them stricter.
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_reliable_ckpt")
+    spark.sparkContext.setCheckpointDir(ckpt.toString)
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val clusters = Dedup.pairClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusters == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+    // the loop actually wrote checkpoint data under the reliable dir
+    def anyFiles(p: java.io.File): Boolean =
+      p.isFile || Option(p.listFiles).exists(_.exists(anyFiles))
+    assert(anyFiles(ckpt.toFile), "no reliable checkpoint data written")
+  }
+
   test("pair clusters on corpus: planted near-dups collapse, survivors unique") {
     val pairs = Dedup.ngramJaccard(spark, sfDir)
     val clusters = Dedup.pairClusters(pairs).collect()

@@ -276,6 +276,33 @@ class StreamingSpec extends SparkSpecBase {
     }
   }
 
+  test("cdc sink stamps the sidecar only once it writes, and refuses a mismatched lake") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val lake = java.nio.file.Files.createTempDirectory("graft_cdc_stamp").toString
+    val l2 = s"$lake/l2"
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val streamDf = mem.toDF.toDF("event_id", "ts", "user_id", "op", "value")
+    // constructing (but never starting) a sink must NOT create the
+    // sidecar — the convention is a statement about written data
+    Streams.cdcApplySink(streamDf, l2)
+    assert(!new java.io.File(s"$l2/_graft_cdc_convention").exists(),
+      "a never-started sink stamped the lake")
+    val q = Streams.cdcApplySink(streamDf, l2)
+      .option("checkpointLocation", s"$lake/ckpt").start()
+    try {
+      mem.addData(Seq((1L, ts("2024-03-01 10:00:00"), 5L, "U", 1.0)))
+      q.processAllAvailable()
+      assert(new java.io.File(s"$l2/_graft_cdc_convention").exists(),
+        "first written batch must persist the convention")
+    } finally q.stop()
+    // a sink constructed under a DIFFERENT convention over the now-
+    // stamped lake fails at construction, before any batch merges
+    intercept[IllegalArgumentException] {
+      Streams.cdcApplySink(streamDf, l2, opCol = "event_type", deleteOp = "error")
+    }
+  }
+
   test("binned attribution equals the raw interval join across the epoch-zero boundary") {
     import spark.implicits._
     // pre-1970 event times exercise the floor-vs-truncate bucket grid:
