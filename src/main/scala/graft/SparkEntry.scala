@@ -76,6 +76,7 @@ object SparkEntry {
     "knn_bruteforce" -> ((s, d) => Similarity.knnBruteforce(s, d)),
     "knn_lsh"        -> ((s, d) => Similarity.knnLsh(s, d)),
     "knn_ivf"        -> ((s, d) => Similarity.knnIvf(s, d)),
+    "knn_pq"         -> ((s, d) => graft.operators.Pq.knnPq(s, d)),
     "vec_stats"      -> (Similarity.vecStats(_, _)),
     "embed_clusters" -> (Similarity.embedClusters(_, _)),
     // §2.5 text analysis
@@ -187,6 +188,7 @@ object SparkEntry {
     "knn_bruteforce" -> Similarity.knnBruteforceOracleSql,
     "knn_lsh"        -> Similarity.knnLshOracleSql,
     "knn_ivf"        -> Similarity.knnIvfOracleSql,
+    "knn_pq"         -> graft.operators.Pq.knnPqOracleSql,
     "vec_stats"      -> Similarity.vecStatsOracleSql,
     // per-cluster population + decimal-accumulated mean centroid cosine
     "embed_clusters" -> Similarity.embedClustersOracleSql,

@@ -1,0 +1,234 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.functions.{VectorOps => V}
+
+/** Product-quantization ANN (key `knn_pq`) — the compressed-codes
+  * scale path of the similarity tier (SURVEY §2.4), completing the
+  * brute-force → LSH-bucketed → IVF-probed → PQ-compressed ladder.
+  *
+  * Shape: each unit-normalized vector is split into `M` subvectors;
+  * per subspace a tiny `Kc`-entry codebook is trained (deterministic
+  * seeds + one Lloyd refinement, exactly the IVF build recipe per
+  * subspace); every vector is then stored as `M` small code ids. A
+  * query scans CODES, not floats: it precomputes a `M×Kc`
+  * distance table against the codebooks (squared L2 in the normalized
+  * space, so the ordering tracks cosine: |q-x|² = 2-2·cos on unit
+  * vectors), sums table lookups per candidate (asymmetric distance
+  * computation), and exact-reranks only the top `Rerank` candidates.
+  *
+  * 100 TB: the corpus-resident structure the ADC scan touches is
+  * M small ints per vector — a ~32× compression of a float64-widened
+  * 64-dim embedding column, which is the reason PQ is the standard
+  * billion-vector memory path. The codebooks (M×Kc×(D/M) doubles) and
+  * the per-query-batch distance table (Q×M×Kc rows) broadcast; the
+  * scan-side shuffles are slim: one (vec_id, m)-keyed aggregate per
+  * build pass (map-side min_by partials collapse the Kc candidates
+  * before the exchange) and one (query, vec)-keyed partial-sum
+  * aggregate for ADC. Queries batch — Q is the throughput knob, and
+  * candidate generation work is codes·Q, independent of float width.
+  *
+  * Determinism (the oracle replays every step bit-for-bit): unit
+  * normalization divides by the sequential-fold norm; seeds are the
+  * `Kc` lowest vec_ids' subvectors (code id = seed vec_id, the IVF
+  * convention); squared distance is the fixed expression
+  * ((a·a - 2·(a·b)) + b·b) — 2·x is exact in IEEE — over bit-identical
+  * sequential-fold dots; Lloyd means are DECIMAL(30,10)-accumulated;
+  * every argmin/rank tie breaks on the code/vec id; the ADC sum folds
+  * its M terms in subspace order. */
+object Pq {
+
+  /** Subspaces (embedding dim must divide evenly). */
+  val M = 8
+  /** Codebook entries per subspace. */
+  val Kc = 16
+  /** ADC candidates per query that get the exact cosine rerank. */
+  val Rerank = 40
+
+  import Similarity.{K, NQueries}
+
+  /** Squared L2 distance with a fixed, cross-engine-portable
+    * parenthesization: ((a·a − 2·(a·b)) + b·b). */
+  private def l2sq(a: Column, b: Column): Column =
+    (V.dot(a, a) - lit(2.0) * V.dot(a, b)) + V.dot(b, b)
+
+  def knnPq(spark: SparkSession, dir: String, k: Int = K): DataFrame =
+    knnPqOn(Tables.embeddings(spark, dir), k)
+
+  def knnPqOn(vectors: DataFrame, k: Int = K, dim: Int = 0): DataFrame = {
+    val d =
+      if (dim > 0) dim
+      else vectors.select(size(col("embedding")).as("__d"))
+        .filter(col("__d").isNotNull).limit(1).collect().headOption match {
+        case Some(r) => r.getInt(0)
+        case None =>
+          // empty corpus: empty result, schema-stable (knnLsh precedent)
+          return vectors.limit(0).select(
+            col("vec_id").as("query_id"), col("vec_id").as("neighbor_id"),
+            lit(0).as("rank"), lit(0.0).as("cosine"))
+      }
+    require(d % M == 0, s"embedding dim $d must be divisible by M=$M")
+    val sub = d / M
+
+    // float → double → unit-normalize (|q-x|² = 2-2cos thereafter)
+    val vn = vectors
+      .select(col("vec_id"), V.toDouble(col("embedding")).as("e"))
+      .withColumn("nrm", V.l2Norm(col("e")))
+    val un = vn.select(col("vec_id"),
+      transform(col("e"), x => x / col("nrm")).as("u"))
+
+    // M subvectors per vector — the only corpus-sized frame below;
+    // column-pruned scans recompute it per consumer (cheaper than
+    // materializing an n×M intermediate)
+    def subvecs(frame: DataFrame): DataFrame = frame
+      .select(col("vec_id"), explode(sequence(lit(0), lit(M - 1))).as("m"), col("u"))
+      .select(col("vec_id"), col("m"),
+        slice(col("u"), col("m") * sub + 1, lit(sub)).as("s"))
+    val sv = subvecs(un)
+
+    // --- codebooks: seeds = the Kc lowest vec_ids' subvectors (code id
+    //     = seed vec_id), one Lloyd refinement with decimal-exact means
+    val seeds = broadcast(subvecs(un.orderBy(col("vec_id")).limit(Kc))
+      .select(col("vec_id").as("code0"), col("m"), col("s").as("cs")))
+    // first assignment: min (d2, code) per (vec_id, m). min_by's
+    // ordering struct includes the code id, so the argmin is total —
+    // no tie can reach the value slot. The carried value keeps the
+    // subvector for the mean update: per-group state is one sub-dim
+    // array (the n·M·Kc candidate stream collapses map-side).
+    val fa = sv.join(seeds, "m")
+      .select(col("vec_id"), col("m"), col("code0"), col("s"),
+        l2sq(col("s"), col("cs")).as("d2"))
+      .groupBy(col("vec_id"), col("m"))
+      .agg(min_by(struct(col("code0"), col("s")),
+        struct(col("d2"), col("code0"))).as("b"))
+      .select(col("vec_id"), col("m"), col("b.code0").as("code"), col("b.s").as("s"))
+    val cents = broadcast(fa
+      .select(col("m"), col("code"), posexplode(col("s")).as(Seq("pos", "v")))
+      .groupBy(col("m"), col("code"), col("pos"))
+      .agg((sum(col("v").cast("decimal(30,10)")).cast("double") / count(col("v")))
+        .as("mean"))
+      .groupBy(col("m"), col("code"))
+      .agg(sort_array(collect_list(struct(col("pos"), col("mean")))).as("pm"))
+      .select(col("m"), col("code"),
+        transform(col("pm"), p => p.getField("mean")).as("cs")))
+
+    // --- encode: the corpus-resident code table — M small ids per vec
+    val codes = sv.join(cents, "m")
+      .select(col("vec_id"), col("m"), col("code"),
+        l2sq(col("s"), col("cs")).as("d2"))
+      .groupBy(col("vec_id"), col("m"))
+      .agg(min_by(col("code"), struct(col("d2"), col("code"))).as("code"))
+
+    // --- search: per-query distance table (Q×M×Kc, broadcast), ADC
+    //     sum via a subspace-ordered fold (deterministic double sum)
+    val dt = broadcast(sv.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("m"), col("s").as("qs"))
+      .join(cents, "m")
+      .select(col("query_id"), col("m"), col("code"),
+        l2sq(col("qs"), col("cs")).as("d2")))
+    val adist = codes.join(dt, Seq("m", "code"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sort_array(collect_list(struct(col("m"), col("d2")))).as("md"))
+      .select(col("query_id"), col("vec_id"),
+        aggregate(col("md"), lit(0.0), (acc, x) => acc + x.getField("d2")).as("adist"))
+    val cw = Window.partitionBy(col("query_id")).orderBy(col("adist"), col("vec_id"))
+    val cand = adist.withColumn("crk", row_number().over(cw))
+      .filter(col("crk") <= Rerank)
+      .select(col("query_id"), col("vec_id"))
+
+    // --- exact cosine rerank over the Rerank·Q candidate sliver
+    val queries = broadcast(vn.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("e").as("qe"), col("nrm").as("qnrm")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    cand.join(vn, "vec_id").join(queries, "query_id")
+      .select(col("query_id"), col("vec_id"),
+        V.cosineWithNorms(V.dot(col("e"), col("qe")), col("nrm"), col("qnrm"))
+          .as("cosine"))
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"), col("cosine"))
+  }
+
+  /** Full DuckDB replay of the PQ search — build, encode, ADC, and
+    * rerank, step for step. Dim is pinned to the driver corpus's 64
+    * (an oracle string cannot probe data; the LSH oracle precedent). */
+  val knnPqOracleSql: String = {
+    val dim = 64
+    val sub = dim / M
+    import Similarity.{sqlDot, sqlNorm}
+    def d2(a: String, b: String): String =
+      s"((${sqlDot(a, a)} - (2.0 * ${sqlDot(a, b)})) + ${sqlDot(b, b)})"
+    s"""WITH v AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+       |), vn AS (
+       |  SELECT vec_id, e, ${sqlNorm("e")} AS nrm FROM v
+       |), un AS (
+       |  SELECT vec_id, list_transform(e, x -> x / nrm) AS u FROM vn
+       |), ms AS (
+       |  SELECT unnest(generate_series(0, ${M - 1})) AS m
+       |), sv AS (
+       |  SELECT vec_id, m, list_slice(u, m*$sub + 1, (m+1)*$sub) AS s
+       |  FROM un CROSS JOIN ms
+       |), sd AS (
+       |  SELECT vec_id FROM (
+       |    SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) AS rk FROM un) t
+       |  WHERE rk <= $Kc
+       |), seeds AS (
+       |  SELECT s.vec_id AS code0, s.m, s.s AS cs FROM sv s JOIN sd ON s.vec_id = sd.vec_id
+       |), fa AS (
+       |  SELECT vec_id, m, code0 AS code, s FROM (
+       |    SELECT x.vec_id, x.m, c.code0, x.s,
+       |      ROW_NUMBER() OVER (PARTITION BY x.vec_id, x.m ORDER BY
+       |        ${d2("x.s", "c.cs")}, c.code0) AS rk
+       |    FROM sv x JOIN seeds c ON x.m = c.m) t
+       |  WHERE rk = 1
+       |), elems AS (
+       |  SELECT m, code, unnest(generate_series(1, len(s))) AS pos, s FROM fa
+       |), means AS (
+       |  SELECT m, code, pos,
+       |    CAST(SUM(CAST(s[pos] AS DECIMAL(30,10))) AS DOUBLE) / COUNT(s[pos]) AS mean
+       |  FROM elems GROUP BY m, code, pos
+       |), cents AS (
+       |  SELECT m, code, list(mean ORDER BY pos) AS cs FROM means GROUP BY m, code
+       |), codes AS (
+       |  SELECT vec_id, m, code FROM (
+       |    SELECT x.vec_id, x.m, c.code,
+       |      ROW_NUMBER() OVER (PARTITION BY x.vec_id, x.m ORDER BY
+       |        ${d2("x.s", "c.cs")}, c.code) AS rk
+       |    FROM sv x JOIN cents c ON x.m = c.m) t
+       |  WHERE rk = 1
+       |), dt AS (
+       |  SELECT q.vec_id AS query_id, c.m, c.code, ${d2("q.s", "c.cs")} AS d2
+       |  FROM sv q JOIN cents c ON q.m = c.m
+       |  WHERE q.vec_id < $NQueries
+       |), adist AS (
+       |  SELECT t.query_id, t.vec_id,
+       |    list_reduce(list(t.d2 ORDER BY t.m), (x, y) -> x + y) AS adist
+       |  FROM (
+       |    SELECT d.query_id, c.vec_id, c.m, d.d2
+       |    FROM codes c JOIN dt d ON c.m = d.m AND c.code = d.code
+       |    WHERE c.vec_id != d.query_id) t
+       |  GROUP BY t.query_id, t.vec_id
+       |), cand AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT query_id, vec_id,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adist, vec_id) AS crk
+       |    FROM adist) t
+       |  WHERE crk <= $Rerank
+       |)
+       |SELECT query_id, vec_id AS neighbor_id, CAST(rk AS INTEGER) AS rank, cosine FROM (
+       |  SELECT cd.query_id, cd.vec_id,
+       |    ${sqlDot("b.e", "a.e")} / (b.nrm * a.nrm) AS cosine,
+       |    ROW_NUMBER() OVER (PARTITION BY cd.query_id ORDER BY
+       |      ${sqlDot("b.e", "a.e")} / (b.nrm * a.nrm) DESC, cd.vec_id) AS rk
+       |  FROM cand cd
+       |  JOIN vn b ON cd.vec_id = b.vec_id
+       |  JOIN vn a ON cd.query_id = a.vec_id) t
+       |WHERE rk <= $K""".stripMargin
+  }
+}

@@ -286,9 +286,9 @@ object Similarity {
   /** SQL fragments shared by the ANN oracles: the deterministic
     * sequential-fold dot/norm forms whose doubles match the native
     * vec_dot bitwise (proven by the brute-force/cosine oracles). */
-  private def sqlDot(a: String, b: String): String =
+  private[operators] def sqlDot(a: String, b: String): String =
     s"list_reduce(list_transform(generate_series(1, len($a)), i -> $a[i]*$b[i]), (x,y) -> x+y)"
-  private def sqlNorm(e: String): String =
+  private[operators] def sqlNorm(e: String): String =
     s"sqrt(list_reduce(list_transform(generate_series(1, len($e)), i -> $e[i]*$e[i]), (x,y) -> x+y))"
 
   /** Full DuckDB replay of the hyperplane-LSH search — the previously

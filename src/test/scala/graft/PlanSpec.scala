@@ -329,4 +329,11 @@ class PlanSpec extends SparkSpecBase {
     // <= Bins partial counts per partition, not data rows
     assert(p.contains("HashAggregate"), s"no hash aggregate:\n$p")
   }
+
+  test("knn pq: codebook/distance-table joins broadcast; no cartesian") {
+    val p = plan(graft.operators.Pq.knnPq(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast join:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"BNLJ in:\n$p")
+  }
 }

@@ -87,6 +87,47 @@ class SimilaritySpec extends SparkSpecBase {
     assert(runOnce().sameElements(rows))
   }
 
+  test("knn pq: high recall on clustered data after the exact rerank") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    // 5 tight clusters; dim 16 divides into M=8 two-wide subspaces
+    val dim = 16
+    val centers = Array.fill(5)(Array.fill(dim)(rnd.nextGaussian() * 5))
+    val rows = (0 until 200).map { i =>
+      val c = centers(i % 5)
+      (i.toLong, c.map(x => (x + rnd.nextGaussian() * 0.05).toFloat).toSeq, i % 5)
+    }
+    val df = rows.toDF("vec_id", "embedding", "label")
+    val exact = Similarity.knnBruteforceOn(df).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq = graft.operators.Pq.knnPqOn(df).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & pq).size.toDouble / exact.size
+    assert(recall >= 0.9, s"pq recall on clustered data: $recall")
+  }
+
+  test("knn pq on corpus: k ranked results per query, deterministic") {
+    def runOnce() = graft.operators.Pq.knnPq(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sortBy(t => (t._1, t._3))
+    val rows = runOnce()
+    val perQuery = rows.groupBy(_._1)
+    assert(perQuery.keySet == (0L until Similarity.NQueries.toLong).toSet)
+    perQuery.values.foreach { rs =>
+      assert(rs.length == Similarity.K)
+      assert(rs.map(_._3).sorted.sameElements(1 to rs.length))
+    }
+    // codebook build + encode + ADC + rerank, deterministic end to end
+    assert(runOnce().sameElements(rows))
+  }
+
+  test("knn pq: empty corpus yields an empty, schema-stable result") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Seq[Float], Int)].toDF("vec_id", "embedding", "label")
+    val out = graft.operators.Pq.knnPqOn(empty)
+    assert(out.columns.sameElements(Array("query_id", "neighbor_id", "rank", "cosine")))
+    assert(out.count() == 0)
+  }
+
   test("knn lsh: auto-derived plane dim matches non-64-dim corpora") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
