@@ -36,6 +36,7 @@ object SparkEntry {
     "sample_cap_per_source" -> ((s, d) => Etl.sampleCapPerSource(s, d)),
     "sample_holdout_split" -> ((s, d) => Etl.sampleHoldoutSplit(s, d)),
     "sample_temperature"   -> ((s, d) => Etl.sampleTemperature(s, d)),
+    "sample_mixture_epochs" -> ((s, d) => Etl.sampleMixtureEpochs(s, d)),
     "etl_scd2"             -> (Etl.scd2History(_, _)),
     "etl_cdc_apply"        -> (Etl.cdcApply(_, _)),
     // §2.2 analytics
@@ -135,6 +136,7 @@ object SparkEntry {
     // alpha=1/2 mixture rates: sqrt is the one correctly-rounded
     // IEEE exponent, so the rate doubles replay bit-for-bit
     "sample_temperature"   -> Etl.sampleTemperatureOracleSql,
+    "sample_mixture_epochs" -> Etl.sampleMixtureEpochsOracleSql,
     "etl_scd2"             -> Etl.scd2OracleSql,
     // keep-latest generalized to tombstone-bearing change feeds
     "etl_cdc_apply"        -> Etl.cdcApplyOracleSql,

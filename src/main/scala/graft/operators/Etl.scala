@@ -505,6 +505,110 @@ object Etl {
        |WHERE CAST(CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) AS DOUBLE)
        |      < r.rate * 4294967296.0""".stripMargin
 
+  /** Token budget for [[sampleMixtureEpochs]], as a multiple of the
+    * corpus's own token mass — budget-relative so the planner's
+    * output shape is scale-invariant (the same knob means the same
+    * thing at sf0.01 and at 100 TB). */
+  val MixtureBudgetFactor = 1.5
+  /** Repetition ceiling: no source is repeated past 4 epochs. Public
+    * data-constrained-scaling finding (Muennighoff et al. 2023):
+    * up to ~4 epochs of repetition costs little vs fresh data;
+    * beyond that returns decay rapidly — so the planner caps there
+    * and lets the budget shortfall fall where it may. */
+  val MaxMixtureEpochs = 4.0
+
+  /** Token-budget mixture/epoch planner — the data-mixing lever a
+    * pretraining run actually turns. [[sampleWeighted]] answers
+    * "keep which docs"; this answers the production question "given
+    * a token budget B and target mixture weights, HOW MANY TIMES
+    * does each source repeat?": target tokens for source g are
+    * `w_g/Σw · B`, so its epoch factor is `e_g = min(MaxEpochs,
+    * (w_g/Σw · B) / tokens_g)` — over-weighted small sources repeat
+    * (e_g > 1), bulk crawl subsamples (e_g < 1). The plan is then
+    * MATERIALIZED deterministically: every doc emits full epochs
+    * `0..⌊e_g⌋-1`, and membership in the final fractional epoch is
+    * the same md5 draw every sampling operator uses
+    * (`hash32(doc_id) < frac(e_g)·2^32`) — reruns and engines agree
+    * bit-for-bit, and raising the budget only ADDS (doc, epoch) rows
+    * (nested plans, the property that makes budget sweeps
+    * comparable). Token mass is the whitespace token count (the
+    * [[TextAnalysis.textTokensOn]] `n_ws_tokens` convention).
+    *
+    * Double discipline: Σw accumulates in DECIMAL(20,10) (exact for
+    * weight literals; double fold order would be engine-dependent),
+    * token sums are exact BIGINTs, and the epoch expression fixes
+    * one parenthesization `((w/Σw)·(F·T))/tokens_g` — every factor
+    * bit-identical across engines, so `floor`/`frac` agree too.
+    *
+    * Plan shape: one source-cardinality aggregate, a 1-row total,
+    * epoch factors broadcast back onto the scan, then an
+    * output-proportional `explode(sequence(...))` — the corpus is
+    * never shuffled. At 100 TB the repeated epochs are a VIEW (zero
+    * storage until the packer consumes them), and the epoch column
+    * is exactly the repeat-disambiguator the sequence packer needs
+    * to keep repeated instances in distinct training positions. */
+  def sampleMixtureEpochsOn(docs: DataFrame,
+                            weights: Map[String, Double] = MixtureWeights,
+                            default: Double = DefaultMixtureWeight,
+                            budgetFactor: Double = MixtureBudgetFactor,
+                            maxEpochs: Double = MaxMixtureEpochs): DataFrame = {
+    val toks = docs.select(col("doc_id"), col("source"),
+      size(graft.functions.TextHashing.words(col("text"))).cast("long").as("__ntok"))
+    val wcol = weights.foldLeft(lit(default)) { case (acc, (src, wt)) =>
+      when(col("source") === src, lit(wt)).otherwise(acc)
+    }
+    val perSource = toks.groupBy(col("source")).agg(sum(col("__ntok")).as("__gt"))
+      .withColumn("__w", wcol)
+    val totals = perSource.agg(
+      sum(col("__w").cast("decimal(20,10)")).cast("double").as("__sw"),
+      sum(col("__gt")).as("__tt"))
+    val epochs = perSource.crossJoin(broadcast(totals))
+      .withColumn("__ep", least(lit(maxEpochs),
+        ((col("__w") / col("__sw")) * (lit(budgetFactor) * col("__tt").cast("double")))
+          / col("__gt").cast("double")))
+      .select(col("source"), col("__ep"))
+    docs.join(broadcast(epochs), "source")
+      .select(col("doc_id"), col("source"), col("__ep"),
+        explode(sequence(lit(0), floor(col("__ep")).cast("int"))).as("epoch"))
+      .filter(col("epoch") < floor(col("__ep")) ||
+        keyHash32(col("doc_id")).cast("double")
+          < (col("__ep") - floor(col("__ep"))) * lit(4294967296.0))
+      .select(col("doc_id"), col("source"), col("epoch").cast("int").as("epoch"))
+  }
+
+  /** Driver query (key `sample_mixture_epochs`). */
+  def sampleMixtureEpochs(spark: SparkSession, dir: String): DataFrame =
+    sampleMixtureEpochsOn(graft.sources.Tables.documents(spark, dir))
+
+  val sampleMixtureEpochsOracleSql: String = {
+    val caseArms = MixtureWeights.toSeq.sortBy(_._1).map { case (s, w) =>
+      s"WHEN '$s' THEN CAST('$w' AS DOUBLE)"
+    }.mkString(" ")
+    s"""WITH t AS (
+       |  SELECT doc_id, source,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok
+       |  FROM documents),
+       |g AS (SELECT source, SUM(ntok) AS gt FROM t GROUP BY 1),
+       |gw AS (SELECT source, gt,
+       |  CASE source $caseArms
+       |    ELSE CAST('$DefaultMixtureWeight' AS DOUBLE) END AS w
+       |  FROM g),
+       |n AS (SELECT CAST(SUM(CAST(w AS DECIMAL(20,10))) AS DOUBLE) AS sw,
+       |             SUM(gt) AS tt FROM gw),
+       |e AS (SELECT source, LEAST(CAST('$MaxMixtureEpochs' AS DOUBLE),
+       |    ((w / n.sw) * (CAST('$MixtureBudgetFactor' AS DOUBLE) * CAST(n.tt AS DOUBLE)))
+       |      / CAST(gt AS DOUBLE)) AS ep
+       |  FROM gw CROSS JOIN n),
+       |idx AS (SELECT unnest(generate_series(0, ${MaxMixtureEpochs.toInt})) AS epoch)
+       |SELECT d.doc_id, d.source, CAST(i.epoch AS INTEGER) AS epoch
+       |FROM documents d
+       |JOIN e USING (source)
+       |JOIN idx i ON i.epoch <= CAST(floor(e.ep) AS BIGINT)
+       |WHERE i.epoch < floor(e.ep)
+       |   OR CAST(CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) AS DOUBLE)
+       |      < (e.ep - floor(e.ep)) * 4294967296.0""".stripMargin
+  }
+
   /** Permille fences for [[sampleHoldoutSplit]]: buckets 0-799 train,
     * 800-899 validation, 900-999 test. */
   val TrainPermille = 800

@@ -416,6 +416,50 @@ class EtlSpec extends SparkSpecBase {
       "singleton null-lang stratum must survive at rate 1.0")
   }
 
+  test("mixture epochs: full epochs exact, fractional draw rate-accurate, capped, nested in budget") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    val a = Etl.sampleMixtureEpochs(spark, sfDir).cache()
+    // reproducible: a pure function of the key
+    val b = Etl.sampleMixtureEpochs(spark, sfDir)
+    assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
+    // replicate the planner's formula per source and check both the
+    // exact full-epoch layer counts and the fractional-layer rate
+    val toks = docs.select(col("source"),
+      size(graft.functions.TextHashing.words(col("text"))).cast("long").as("t"))
+      .groupBy("source").agg(sum(col("t")).as("gt"), count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val w = toks.keys.map(s =>
+      s -> Etl.MixtureWeights.getOrElse(s, Etl.DefaultMixtureWeight)).toMap
+    val sw = w.values.sum
+    val tt = toks.values.map(_._1).sum.toDouble
+    val perEpoch = a.groupBy("source", "epoch").agg(count(lit(1)).as("k"))
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    toks.foreach { case (src, (gt, n)) =>
+      val ep = math.min(Etl.MaxMixtureEpochs,
+        ((w(src) / sw) * (Etl.MixtureBudgetFactor * tt)) / gt)
+      val full = math.floor(ep).toInt
+      // every full epoch contains EVERY doc of the source
+      (0 until full).foreach { e =>
+        assert(perEpoch.getOrElse((src, e), 0L) == n, s"$src epoch $e incomplete")
+      }
+      // the fractional layer tracks frac(ep) and nothing lies beyond it
+      val fracKept = perEpoch.getOrElse((src, full), 0L).toDouble / n
+      assert(math.abs(fracKept - (ep - full)) < 0.25, s"$src frac kept $fracKept want ~${ep - full}")
+      assert(perEpoch.keys.filter(_._1 == src).map(_._2).max <= full)
+    }
+    // nested: raising the budget only ADDS (doc, epoch) rows
+    val bigger = Etl.sampleMixtureEpochsOn(docs, budgetFactor = Etl.MixtureBudgetFactor * 1.5)
+    assert(a.exceptAll(bigger).count() == 0)
+    assert(bigger.count() > a.count())
+    a.unpersist()
+    // repetition ceiling: an unbounded budget still stops at MaxMixtureEpochs
+    val capped = Etl.sampleMixtureEpochsOn(docs, budgetFactor = 1e6)
+    val maxEp = capped.agg(max(col("epoch"))).collect()(0).getInt(0)
+    assert(maxEp == Etl.MaxMixtureEpochs.toInt - 1, s"cap leaked: max epoch $maxEp")
+    assert(capped.count() == docs.count() * Etl.MaxMixtureEpochs.toLong)
+  }
+
   test("per-source cap: exact budgets, nested in cap, partitioning-independent") {
     import org.apache.spark.sql.functions._
     val docs = graft.sources.Tables.documents(spark, sfDir)

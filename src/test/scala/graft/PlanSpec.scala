@@ -330,6 +330,13 @@ class PlanSpec extends SparkSpecBase {
     assert(p.contains("HashAggregate"), s"no hash aggregate:\n$p")
   }
 
+  test("mixture epochs: per-source factors broadcast onto the scan, no corpus shuffle join") {
+    val p = plan(Etl.sampleMixtureEpochs(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast join:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus-sized shuffle join:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
+  }
+
   test("knn pq: codebook/distance-table joins broadcast; no cartesian") {
     val p = plan(graft.operators.Pq.knnPq(spark, sfDir))
     assert(p.contains("BroadcastHashJoin"), s"no broadcast join:\n$p")
