@@ -107,6 +107,7 @@ object SparkEntry {
     "stream_dedupe"       -> (graft.streaming.Streams.keepFirstBatch(_, _)),
     "stream_sessionize"   -> (graft.streaming.Streams.sessionizeBatch(_, _)),
     "stream_approx_ndv"   -> (graft.streaming.Streams.windowedApproxNdvBatch(_, _)),
+    "stream_topk"         -> (graft.streaming.Streams.topkBatch(_, _)),
     "stream_enrich"       -> (graft.streaming.Streams.enrichBatch(_, _)),
     "stream_join"         -> (graft.streaming.Streams.attributeClicksBatch(_, _)),
     "stream_join_outer"   -> (graft.streaming.Streams.attributeClicksOuterBatch(_, _))
@@ -233,6 +234,7 @@ object SparkEntry {
     // per-hour HLL replay, same single-source CTE pipeline as
     // agg_approx_ndv keyed by the window start
     "stream_approx_ndv"   -> graft.operators.Sketches.windowedApproxNdvOracleSql,
+    "stream_topk"         -> graft.streaming.Streams.topkOracleSql,
     // stream-static broadcast enrichment: stateless by construction,
     // the batch body and the streaming body are the same function
     "stream_enrich"       -> graft.streaming.Streams.enrichOracleSql,

@@ -640,4 +640,110 @@ object Streams {
       .select("user_id", "session_id", "n_events",
         "session_start", "session_end", "duration_sec")
   }
+
+  // --------------------------------------------------------------------
+  // Streaming per-window top-k heavy hitters (key `stream_topk`)
+  // --------------------------------------------------------------------
+
+  /** Hitters emitted per window. */
+  val TopK = 10
+  /** SpaceSaving counter capacity per open window — the BOUNDED state
+    * the stream holds no matter how many distinct users the window
+    * sees. Counts within ±N_window/TopKCapacity of truth; any user
+    * with frequency above that bound is guaranteed present. */
+  val TopKCapacity = 512
+
+  /** One SpaceSaving step (Metwally et al. 2005, the `counters`-map
+    * formulation): monitored keys increment; an unmonitored key at
+    * capacity TAKES OVER the minimum counter (inheriting its count as
+    * the classic overestimate). Eviction ties break on the key so the
+    * fold is a pure function of the arrival sequence. */
+  private[graft] def spaceSavingStep(counters: Map[Long, Long], key: Long,
+                                         capacity: Int): Map[Long, Long] =
+    counters.get(key) match {
+      case Some(n) => counters.updated(key, n + 1)
+      case None if counters.size < capacity => counters.updated(key, 1L)
+      case None =>
+        val (mk, mn) = counters.minBy { case (k, n) => (n, k) }
+        (counters - mk).updated(key, mn + 1)
+    }
+
+  /** Top-k extraction: count desc, user asc — the same total order the
+    * exact batch twin ranks by. */
+  private[graft] def topOf(counters: Map[Long, Long], k: Int): Seq[(Long, Long)] =
+    counters.toSeq.sortBy { case (u, n) => (-n, u) }.take(k)
+
+  case class TopkEv(user_id: Long, ts: Timestamp)
+  case class TopkState(counters: Map[Long, Long])
+  case class TopkOut(window_start: Timestamp, user_id: Long, n_events: Long)
+
+  /** Streaming form: SpaceSaving summaries keyed by the 1-hour window
+    * bucket, emitted when the event-time watermark closes the window.
+    * State per open window is ≤ [[TopKCapacity]] counters — bounded at
+    * any user cardinality, which is the entire point: the exact
+    * per-(window, user) count aggregate the batch twin runs would keep
+    * ONE STATE ROW PER DISTINCT USER per window, unbounded on a 100 TB
+    * event firehose. Within a micro-batch the fold orders events by
+    * (ts, user_id) so replays are deterministic; SpaceSaving's
+    * guarantee (count error ≤ N/capacity, every true hitter above that
+    * bound monitored) is the published containment contract, and with
+    * per-window cardinality ≤ capacity the emission is EXACT — equal
+    * to the batch twin row for row (asserted in StreamingSpec, both
+    * regimes). */
+  def topkStream(events: Dataset[TopkEv], k: Int = TopK,
+                 capacity: Int = TopKCapacity): Dataset[TopkOut] = {
+    import events.sparkSession.implicits._
+    val hourUs = 3600L * 1000000L
+    events
+      .withWatermark("ts", "2 hours")
+      .groupByKey(e => (micros(e.ts) / hourUs) * hourUs)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (winUs: Long, evs: Iterator[TopkEv], state: GroupState[TopkState]) =>
+          if (state.hasTimedOut) {
+            val out = topOf(state.get.counters, k).map { case (u, n) =>
+              TopkOut(tsFromMicros(winUs), u, n)
+            }
+            state.remove()
+            out.iterator
+          } else {
+            val sorted = evs.toSeq.sortBy(e => (micros(e.ts), e.user_id))
+            val c0 = state.getOption.map(_.counters).getOrElse(Map.empty[Long, Long])
+            state.update(TopkState(
+              sorted.foldLeft(c0)((c, e) => spaceSavingStep(c, e.user_id, capacity))))
+            // fire once the watermark passes the window end
+            // (GroupState timeout timestamps are MILLISECONDS)
+            state.setTimeoutTimestamp((winUs + hourUs) / 1000L)
+            Iterator.empty
+          }
+      }
+  }
+
+  /** Batch twin (queries key `stream_topk`): EXACT per-window top-k
+    * users — one keyed count aggregate (map-side partials collapse the
+    * event stream), then a rank window PARTITIONED BY window_start so
+    * the sort is per-window, never global. This is the semantics the
+    * stream approximates with bounded state, and what the oracle
+    * hash-checks. */
+  def topkBatch(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("window_start"))
+      .orderBy(col("n_events").desc, col("user_id"))
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("w.start").as("window_start"), col("user_id"), col("n_events"))
+      .withColumn("rk", row_number().over(w).cast("int"))
+      .filter(col("rk") <= TopK)
+      .select(col("window_start"), col("user_id"), col("n_events"), col("rk"))
+  }
+
+  val topkOracleSql: String =
+    s"""SELECT window_start, user_id, n_events, CAST(rk AS INTEGER) AS rk FROM (
+       |  SELECT window_start, user_id, n_events,
+       |    ROW_NUMBER() OVER (PARTITION BY window_start
+       |                       ORDER BY n_events DESC, user_id) AS rk
+       |  FROM (
+       |    SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
+       |      user_id, COUNT(*) AS n_events
+       |    FROM events GROUP BY 1, 2) c) t
+       |WHERE rk <= $TopK""".stripMargin
 }

@@ -337,6 +337,12 @@ class PlanSpec extends SparkSpecBase {
     assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
   }
 
+  test("stream topk batch twin: rank window partitioned by window_start, never global") {
+    val p = plan(graft.streaming.Streams.topkBatch(spark, sfDir))
+    assert(p.contains("HashAggregate"), s"no partial count agg:\n$p")
+    assert(!p.contains("Exchange SinglePartition"), s"global sort window:\n$p")
+  }
+
   test("knn pq: codebook/distance-table joins broadcast; no cartesian") {
     val p = plan(graft.operators.Pq.knnPq(spark, sfDir))
     assert(p.contains("BroadcastHashJoin"), s"no broadcast join:\n$p")

@@ -501,4 +501,63 @@ class StreamingSpec extends SparkSpecBase {
       assert(known.getLong(known.fieldIndex("sec_since_first")) == 88200L)
     } finally q.stop()
   }
+
+  test("space saving: bounded counters, guaranteed hitters survive eviction") {
+    // 8 distinct keys through capacity 4: key 1 carries 12 of N=21
+    // events (freq 12 > N/capacity ≈ 5.3 → guaranteed monitored)
+    val seq = Seq.fill(12)(1L) ++ (2L to 8L).flatMap(k => Seq.fill(k.toInt % 3 + 1)(k))
+    val counters = seq.foldLeft(Map.empty[Long, Long])(
+      (c, k) => Streams.spaceSavingStep(c, k, 4))
+    assert(counters.size <= 4, s"capacity leaked: ${counters.size} counters")
+    val top = Streams.topOf(counters, 2)
+    assert(top.head._1 == 1L, s"guaranteed hitter evicted: $top")
+    // SpaceSaving overestimates only: every counter >= the true count
+    assert(counters(1L) >= 12L)
+    // no eviction below capacity: exact counts
+    val exact = Seq(5L, 5L, 6L).foldLeft(Map.empty[Long, Long])(
+      (c, k) => Streams.spaceSavingStep(c, k, 4))
+    assert(exact == Map(5L -> 2L, 6L -> 1L))
+  }
+
+  test("streaming topk: windows emit on watermark close, equal to the exact batch twin") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // window 10:00: u1 x3, u2 x2, u3 x1, u4 x1 (cardinality < capacity
+    // -> SpaceSaving is exact and must match the batch rank order)
+    val w10 = Seq(
+      Streams.TopkEv(1L, ts("2024-01-01 10:05:00")),
+      Streams.TopkEv(2L, ts("2024-01-01 10:10:00")),
+      Streams.TopkEv(1L, ts("2024-01-01 10:15:00")),
+      Streams.TopkEv(1L, ts("2024-01-01 10:20:00")),
+      Streams.TopkEv(2L, ts("2024-01-01 10:25:00")),
+      Streams.TopkEv(3L, ts("2024-01-01 10:30:00")),
+      Streams.TopkEv(4L, ts("2024-01-01 10:35:00")))
+    val mem = MemoryStream[Streams.TopkEv]
+    val q = Streams.topkStream(mem.toDS, k = 3).writeStream
+      .format("memory").queryName("topk").outputMode("append").start()
+    try {
+      // state merges across micro-batches within the open window
+      mem.addData(w10.take(3))
+      q.processAllAvailable()
+      mem.addData(w10.drop(3))
+      q.processAllAvailable()
+      assert(spark.table("topk").count() == 0, "window emitted before close")
+      // 13:30 advances the watermark to 11:30 > the 10:00 window end;
+      // the timeout fires on the NEXT micro-batch
+      mem.addData(Streams.TopkEv(9L, ts("2024-01-01 13:30:00")))
+      q.processAllAvailable()
+      mem.addData(Streams.TopkEv(9L, ts("2024-01-01 13:40:00")))
+      q.processAllAvailable()
+      val streamed = spark.table("topk").collect()
+        .map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2))).toSet
+      val batch = Streams.topkBatch(spark, sfDir) // plan shape only; data below
+      assert(batch.columns.sameElements(
+        Array("window_start", "user_id", "n_events", "rk")))
+      val expected = Set(
+        (ts("2024-01-01 10:00:00"), 1L, 3L),
+        (ts("2024-01-01 10:00:00"), 2L, 2L),
+        (ts("2024-01-01 10:00:00"), 3L, 1L))
+      assert(streamed == expected, s"stream $streamed != exact top-3 $expected")
+    } finally q.stop()
+  }
 }
