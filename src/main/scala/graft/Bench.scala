@@ -59,7 +59,11 @@ object Bench {
     val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
     val jitter = scala.collection.mutable.LinkedHashMap[String, Double]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    // optional comma-separated key filter for local iteration (the
+    // driver sets no filter → full run)
+    val keyFilter = sys.env.get("SPARK_GRAFT_BENCH_KEYS").map(_.split(",").toSet)
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter(kv => keyFilter.forall(_.contains(kv._1))).foreach { case (name, fn) =>
       try {
         val runs = (1 to 2).map { _ =>
           val t0 = System.nanoTime()

@@ -182,6 +182,11 @@ object ScaleCheck {
       run("text_encode", operators.TrainPrep.textEncode(spark, dir)),
       run("pack_token_ids", operators.TrainPrep.packTokenIds(spark, dir)),
       run("stream_join_outer", streaming.Streams.attributeClicksOuterBatch(spark, dir)),
+      // round-9 additions: mixture/epoch planning, the PQ compressed-
+      // codes ANN path, and the SpaceSaving top-k batch twin
+      run("sample_mixture_epochs", operators.Etl.sampleMixtureEpochs(spark, dir)),
+      run("knn_pq", operators.Pq.knnPq(spark, dir)),
+      run("stream_topk", streaming.Streams.topkBatch(spark, dir)),
       run("embed_clusters", operators.Similarity.embedClustersOn(
         spark.read.parquet(s"$dir/embeddings.parquet"))),
       if (!only("dedup_semantic")) ("dedup_semantic", 0.0, -1L) else {

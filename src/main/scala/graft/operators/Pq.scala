@@ -23,13 +23,17 @@ import graft.functions.{VectorOps => V}
   * 100 TB: the corpus-resident structure the ADC scan touches is
   * M small ints per vector — a ~32× compression of a float64-widened
   * 64-dim embedding column, which is the reason PQ is the standard
-  * billion-vector memory path. The codebooks (M×Kc×(D/M) doubles) and
-  * the per-query-batch distance table (Q×M×Kc rows) broadcast; the
-  * scan-side shuffles are slim: one (vec_id, m)-keyed aggregate per
-  * build pass (map-side min_by partials collapse the Kc candidates
-  * before the exchange) and one (query, vec)-keyed partial-sum
-  * aggregate for ADC. Queries batch — Q is the throughput knob, and
-  * candidate generation work is codes·Q, independent of float width.
+  * billion-vector memory path. The codebooks (≤ M·Kc rows) and the
+  * per-query-batch distance table (≤ Q·M·Kc rows) are bounded-size
+  * driver collects shipped to every task in the scan closure; the
+  * scan itself is ONE narrow pass over the corpus — encode, ADC
+  * lookup-sum, and per-partition Rerank-heaps per query (the
+  * knn_bruteforce pruning argument: the global top-Rerank by
+  * (adist, vec_id) is a subset of the union of per-partition
+  * top-Reranks) — so the only exchange the candidate side pays is
+  * partitions·Q·Rerank heap survivors into the final exact window.
+  * Queries batch — Q is the throughput knob, and candidate
+  * generation work is codes·Q, independent of float width.
   *
   * Determinism (the oracle replays every step bit-for-bit): unit
   * normalization divides by the sequential-fold norm; seeds are the
@@ -54,6 +58,41 @@ object Pq {
     * parenthesization: ((a·a − 2·(a·b)) + b·b). */
   private def l2sq(a: Column, b: Column): Column =
     (V.dot(a, a) - lit(2.0) * V.dot(a, b)) + V.dot(b, b)
+
+  /** JVM twin of the [[l2sq]]-argmin: index of the codebook entry
+    * nearest to `u[off, off+subW)`. Three independent accumulators in
+    * one loop produce the exact bits of three separate sequential
+    * folds, so the d2 values equal the column form's; iterating in
+    * ascending-code order with strict-< replacement ties to the
+    * lowest code — the oracle's (d2, code) row_number convention.
+    * `cm` must be sorted by code id. */
+  /** JVM twin of the [[l2sq]] column over `u[off, off+subW)` vs `cs`:
+    * three independent accumulators in one loop produce the exact
+    * bits of three separate sequential folds. */
+  private[operators] def d2At(u: Array[Double], off: Int, subW: Int,
+      cs: Array[Double]): Double = {
+    var aa = 0.0; var ab = 0.0; var bb = 0.0
+    var i = 0
+    while (i < subW) {
+      val av = u(off + i); val bv = cs(i)
+      aa += av * av; ab += av * bv; bb += bv * bv
+      i += 1
+    }
+    (aa - 2.0 * ab) + bb
+  }
+
+  private[operators] def argminCode(u: Array[Double], off: Int, subW: Int,
+      cm: Array[(Long, Array[Double])]): Int = {
+    var best = -1
+    var bestD = 0.0
+    var kk = 0
+    while (kk < cm.length) {
+      val d2 = d2At(u, off, subW, cm(kk)._2)
+      if (best < 0 || d2 < bestD) { best = kk; bestD = d2 }
+      kk += 1
+    }
+    best
+  }
 
   def knnPq(spark: SparkSession, dir: String, k: Int = K): DataFrame =
     knnPqOn(Tables.embeddings(spark, dir), k)
@@ -80,32 +119,51 @@ object Pq {
     val un = vn.select(col("vec_id"),
       transform(col("e"), x => x / col("nrm")).as("u"))
 
-    // M subvectors per vector — the only corpus-sized frame below;
-    // column-pruned scans recompute it per consumer (cheaper than
-    // materializing an n×M intermediate)
+    // query-side subvectors (≤ NQueries rows after pushdown) — the
+    // corpus-sized explode this once was is gone: the corpus-side
+    // assignment below runs as a JVM argmin inside one narrow pass
     def subvecs(frame: DataFrame): DataFrame = frame
       .select(col("vec_id"), explode(sequence(lit(0), lit(M - 1))).as("m"), col("u"))
       .select(col("vec_id"), col("m"),
         slice(col("u"), col("m") * sub + 1, lit(sub)).as("s"))
     val sv = subvecs(un)
 
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val subW = sub
+
     // --- codebooks: seeds = the Kc lowest vec_ids' subvectors (code id
-    //     = seed vec_id), one Lloyd refinement with decimal-exact means
-    val seeds = broadcast(subvecs(un.orderBy(col("vec_id")).limit(Kc))
-      .select(col("vec_id").as("code0"), col("m"), col("s").as("cs")))
-    // first assignment: min (d2, code) per (vec_id, m). min_by's
-    // ordering struct includes the code id, so the argmin is total —
-    // no tie can reach the value slot. The carried value keeps the
-    // subvector for the mean update: per-group state is one sub-dim
-    // array (the n·M·Kc candidate stream collapses map-side).
-    val fa = sv.join(seeds, "m")
-      .select(col("vec_id"), col("m"), col("code0"), col("s"),
-        l2sq(col("s"), col("cs")).as("d2"))
-      .groupBy(col("vec_id"), col("m"))
-      .agg(min_by(struct(col("code0"), col("s")),
-        struct(col("d2"), col("code0"))).as("b"))
-      .select(col("vec_id"), col("m"), col("b.code0").as("code"), col("b.s").as("s"))
-    val cents = broadcast(fa
+    //     = seed vec_id), one Lloyd refinement with decimal-exact means.
+    //     The seed table is a bounded collect (≤ Kc rows); the first
+    //     assignment is the same JVM argmin loop the search scan uses
+    //     (bit-identical to the l2sq column — three independent
+    //     sequential-fold accumulators in one loop produce the exact
+    //     bits of three separate folds), so the corpus pass emits ONE
+    //     slim (m, code, subvec) row per (vector, subspace) straight
+    //     into the mean aggregate — the n·M·Kc join blowup an
+    //     equivalent min_by-over-join formulation pays (measured 131 s
+    //     of a 300 s 100× run) never materializes. The mean itself
+    //     stays a Spark decimal(30,10) sum: decimal addition is exact,
+    //     hence order-independent, hence any partial-aggregation shape
+    //     reproduces the oracle's bits.
+    val seedsByM: Array[Array[(Long, Array[Double])]] = {
+      val rows = un.orderBy(col("vec_id")).limit(Kc).collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+        .sortBy(_._1) // argminCode requires ascending-code order
+      Array.tabulate(M)(m => rows.map { case (vid, u) =>
+        (vid, java.util.Arrays.copyOfRange(u, m * subW, (m + 1) * subW)) })
+    }
+    val fa = un.as[(Long, Array[Double])].mapPartitions { it =>
+      it.flatMap { case (_, u) =>
+        (0 until M).iterator.map { m =>
+          val cm = seedsByM(m)
+          val best = Pq.argminCode(u, m * subW, subW, cm)
+          (m, cm(best)._1,
+            java.util.Arrays.copyOfRange(u, m * subW, (m + 1) * subW))
+        }
+      }
+    }.toDF("m", "code", "s")
+    val cents = fa
       .select(col("m"), col("code"), posexplode(col("s")).as(Seq("pos", "v")))
       .groupBy(col("m"), col("code"), col("pos"))
       .agg((sum(col("v").cast("decimal(30,10)")).cast("double") / count(col("v")))
@@ -113,32 +171,87 @@ object Pq {
       .groupBy(col("m"), col("code"))
       .agg(sort_array(collect_list(struct(col("pos"), col("mean")))).as("pm"))
       .select(col("m"), col("code"),
-        transform(col("pm"), p => p.getField("mean")).as("cs")))
+        transform(col("pm"), p => p.getField("mean")).as("cs"))
 
-    // --- encode: the corpus-resident code table — M small ids per vec
-    val codes = sv.join(cents, "m")
-      .select(col("vec_id"), col("m"), col("code"),
-        l2sq(col("s"), col("cs")).as("d2"))
-      .groupBy(col("vec_id"), col("m"))
-      .agg(min_by(col("code"), struct(col("d2"), col("code"))).as("code"))
-
-    // --- search: per-query distance table (Q×M×Kc, broadcast), ADC
-    //     sum via a subspace-ordered fold (deterministic double sum)
-    val dt = broadcast(sv.filter(col("vec_id") < NQueries)
+    // --- search structures: per-query distance table against the
+    //     codebooks. Both collects are bounded — cents ≤ M·Kc rows,
+    //     dt ≤ NQueries·M·Kc rows — the PQ contract's whole point is
+    //     that these are the only non-corpus-resident structures.
+    val dt = sv.filter(col("vec_id") < NQueries)
       .select(col("vec_id").as("query_id"), col("m"), col("s").as("qs"))
-      .join(cents, "m")
+      .join(broadcast(cents), "m")
       .select(col("query_id"), col("m"), col("code"),
-        l2sq(col("qs"), col("cs")).as("d2")))
-    val adist = codes.join(dt, Seq("m", "code"))
-      .filter(col("vec_id") =!= col("query_id"))
-      .groupBy(col("query_id"), col("vec_id"))
-      .agg(sort_array(collect_list(struct(col("m"), col("d2")))).as("md"))
-      .select(col("query_id"), col("vec_id"),
-        aggregate(col("md"), lit(0.0), (acc, x) => acc + x.getField("d2")).as("adist"))
+        l2sq(col("qs"), col("cs")).as("d2"))
+    // codebook entries per subspace, sorted by code id: iteration in
+    // ascending-code order with strict-< replacement makes the encode
+    // argmin tie-break to the lowest code (the min_by/row_number
+    // convention in the oracle)
+    val centsByM: Array[Array[(Long, Array[Double])]] = {
+      val rows = cents.collect().map(r =>
+        (r.getInt(0), r.getLong(1), r.getSeq[Double](2).toArray))
+      Array.tabulate(M)(m =>
+        rows.filter(_._1 == m).sortBy(_._2).map(t => (t._2, t._3)))
+    }
+    // dt indexed [query][m][code-rank] with the same ascending-code
+    // index the encode step produces
+    val dtRows = dt.collect().map(r =>
+      (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    val qIds: Array[Long] = dtRows.map(_._1).distinct.sorted
+    val dtByQ: Map[Long, Array[Array[Double]]] = qIds.map { q =>
+      q -> Array.tabulate(M) { m =>
+        val codeIdx = centsByM(m).iterator.map(_._1).zipWithIndex.toMap
+        val row = new Array[Double](centsByM(m).length)
+        dtRows.iterator.filter(t => t._1 == q && t._2 == m)
+          .foreach(t => row(codeIdx(t._3)) = t._4)
+        row
+      }
+    }.toMap
+
+    // --- the ONE corpus pass: encode (argmin per subspace over the
+    //     codebook, the same ((a·a − 2·a·b) + b·b) sequential-fold
+    //     arithmetic as the l2sq column — three independent
+    //     accumulators in one loop produce the exact bits of three
+    //     separate folds), ADC sum in subspace order, and a bounded
+    //     Rerank-heap per query per partition (lossless pruning:
+    //     the global top-Rerank under (adist asc, vec_id asc) is a
+    //     subset of the union of per-partition top-Reranks)
+    val worstFirst: Ordering[(Long, Long, Double)] =
+      Ordering.by(t => (t._3, t._2))
+    val pruned = un.as[(Long, Array[Double])]
+      .mapPartitions { it =>
+        val heaps = scala.collection.mutable.Map
+          .empty[Long, scala.collection.mutable.PriorityQueue[(Long, Long, Double)]]
+        val codesBuf = new Array[Int](M)
+        it.foreach { case (vid, u) =>
+          var m = 0
+          while (m < M) {
+            codesBuf(m) = Pq.argminCode(u, m * subW, subW, centsByM(m))
+            m += 1
+          }
+          var qi = 0
+          while (qi < qIds.length) {
+            val q = qIds(qi)
+            if (q != vid) {
+              val dtm = dtByQ(q)
+              var acc = 0.0
+              var mm = 0
+              while (mm < M) { acc += dtm(mm)(codesBuf(mm)); mm += 1 }
+              val c = (q, vid, acc)
+              val h = heaps.getOrElseUpdate(q,
+                new scala.collection.mutable.PriorityQueue[(Long, Long, Double)]()(worstFirst))
+              if (h.size < Rerank) h.enqueue(c)
+              else if (worstFirst.compare(c, h.head) < 0) { h.dequeue(); h.enqueue(c) }
+            }
+            qi += 1
+          }
+        }
+        heaps.valuesIterator.flatMap(_.iterator)
+      }
+      .toDF("query_id", "vec_id", "adist")
     val cw = Window.partitionBy(col("query_id")).orderBy(col("adist"), col("vec_id"))
-    val cand = adist.withColumn("crk", row_number().over(cw))
+    val cand = broadcast(pruned.withColumn("crk", row_number().over(cw))
       .filter(col("crk") <= Rerank)
-      .select(col("query_id"), col("vec_id"))
+      .select(col("query_id"), col("vec_id")))
 
     // --- exact cosine rerank over the Rerank·Q candidate sliver
     val queries = broadcast(vn.filter(col("vec_id") < NQueries)
