@@ -96,6 +96,13 @@ object GraftSession {
       // timestamp in Tables.events (ns DIV 1000 — integer division, no
       // double roundtrip, matches DuckDB's CAST(ts_ns AS TIMESTAMP)).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // the corpus parquet stamps timestamps without timezone metadata
+      // (isAdjustedToUTC=false); Spark 4 would infer TIMESTAMP_NTZ,
+      // which unix_micros/window/JDBC reject. Read them as session-tz
+      // instants instead — the session is pinned UTC (above) so the
+      // micros are bit-identical to the naive values the DuckDB oracle
+      // sees, and to what tz-stamped files would have produced.
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.parquet.compression.codec", "snappy")
       .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
       // managed tables (bucketed sinks) land in a PER-JVM temp dir —

@@ -18,9 +18,23 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.filter(kv => keep(kv._1)).foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        // The corpus parquet is tz-naive, so DuckDB's oracle results
+        // are naive TIMESTAMPs; Spark-side instants would round-trip
+        // as TIMESTAMPTZ and fail the driver's type-sensitive hash.
+        // Session tz is UTC, so LTZ→NTZ keeps the micros bit-identical
+        // while matching the oracle's type. Output-layer only — the
+        // library operators keep instant semantics.
+        val res = fn(spark, sfDir)
+        val cols = res.schema.fields.map { f =>
+          if (f.dataType == org.apache.spark.sql.types.TimestampType)
+            org.apache.spark.sql.functions.col(f.name).cast(
+              org.apache.spark.sql.types.TimestampNTZType).as(f.name)
+          else org.apache.spark.sql.functions.col(f.name)
+        }
+        res.select(cols.toIndexedSeq: _*).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }

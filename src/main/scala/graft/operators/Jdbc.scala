@@ -75,6 +75,7 @@ object Jdbc {
     case FloatType           => "REAL"
     case BooleanType         => "BOOLEAN"
     case TimestampType       => "TIMESTAMP"
+    case TimestampNTZType    => "TIMESTAMP"
     case DateType            => "DATE"
     case d: DecimalType      => s"DECIMAL(${d.precision},${d.scale})"
     case StringType          => "VARCHAR(4000)"
