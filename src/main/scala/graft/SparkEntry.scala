@@ -56,6 +56,9 @@ object SparkEntry {
     "q_window_funnel"      -> (Analytics.qWindowFunnel(_, _)),
     "q_bloom_join"         -> ((s, d) => graft.operators.BloomJoin.qBloomJoin(s, d)),
     "layout_zorder"        -> (graft.operators.Layout.qZorderLayout(_, _)),
+    "layout_compaction"    -> (graft.operators.Layout.qCompaction(_, _)),
+    "q_cube"               -> (Analytics.qCube(_, _)),
+    "dq_key_skew"          -> (graft.operators.Skew.dqKeySkew(_, _)),
     "agg_approx_ndv"       -> (graft.operators.Sketches.aggApproxNdv(_, _)),
     "agg_heavy_hitters"    -> (graft.operators.Sketches.aggHeavyHitters(_, _)),
     "q_exact_quantiles"    -> (graft.operators.Quantiles.qExactQuantiles(_, _)),
@@ -159,6 +162,9 @@ object SparkEntry {
     // is the PLAIN join
     "q_bloom_join"         -> graft.operators.BloomJoin.qBloomJoinOracleSql,
     "layout_zorder"        -> graft.operators.Layout.qZorderLayoutOracleSql,
+    "layout_compaction"    -> graft.operators.Layout.qCompactionOracleSql,
+    "q_cube"               -> Analytics.qCubeOracleSql,
+    "dq_key_skew"          -> graft.operators.Skew.dqKeySkewOracleSql,
     // the HLL estimator replays bit-exactly: ordered register fold of
     // exact 2^-rho terms; ln() lookup table embedded from Scala
     "agg_approx_ndv"       -> graft.operators.Sketches.aggApproxNdvOracleSql,

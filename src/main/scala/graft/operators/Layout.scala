@@ -79,6 +79,101 @@ object Layout {
         min(col("zkey")).as("min_zkey"), max(col("zkey")).as("max_zkey"))
   }
 
+  /** Bins per partition for the driver compaction key: each day's
+    * file set packs into ~quarter-day bins, a scale-invariant target
+    * (the bin count stays 4 whether the day has 1k or 1B rows). */
+  val CompactionBinsPerDay = 4
+
+  /** Small-file compaction planner (key `layout_compaction`) — the
+    * lakehouse maintenance pass behind Delta OPTIMIZE / Iceberg
+    * rewrite_data_files: given a file inventory (partition, file,
+    * size), assign files to compaction bins of ~target size by
+    * cumulative packing in file order, so each bin becomes one
+    * rewrite task producing one right-sized file.
+    *
+    * Why it matters at 100 TB: streaming/incremental ingest writes
+    * thousands of small files per partition, and scan cost becomes
+    * per-file overhead (open + footer + scheduling), not bytes. The
+    * planner is METADATA-sized — it touches one row per file (a 100 TB
+    * lake is ~10⁵–10⁷ inventory rows, not data rows), so the plan
+    * itself costs one inventory-sized shuffle; the rewrite it drives
+    * is then an embarrassingly parallel per-bin repartition.
+    *
+    * Packing contract (deterministic, engine-portable integer math):
+    * within each partition, files ordered by file id accumulate an
+    * EXCLUSIVE running size; `bin = cum_excl div target` — the
+    * "fill past the target, then start a new bin" discipline. Every
+    * bin except possibly the last exceeds neither bound by more than
+    * one file, the standard greedy guarantee.
+    *
+    * `files` needs columns (part, file_id, size); `target` must be a
+    * positive integral Column (constant or per-row derived). */
+  def compactionPlanOn(files: DataFrame, target: Column): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val ordW = W.partitionBy(col("part")).orderBy(col("file_id"))
+    files
+      .withColumn("__target", target)
+      .withColumn("cum_excl", coalesce(
+        sum(col("size")).over(ordW.rowsBetween(W.unboundedPreceding, -1)),
+        lit(0L)))
+      .withColumn("bin", expr("cum_excl div __target"))
+      .drop("__target")
+  }
+
+  /** Driver query (key `layout_compaction`): the inventory is the
+    * events table bucketed into (day, hour) "files" (row count as the
+    * size proxy — the shape a streaming-ingest lake produces: one
+    * small file per source per hour). Target = ceil(day_total /
+    * [[CompactionBinsPerDay]]), so each day plans into ~4 rewrite
+    * tasks at any scale. Output: one row per file with its assigned
+    * bin plus the bin's rolled-up size — the exact work list a
+    * rewrite job consumes. */
+  def qCompaction(spark: SparkSession, dir: String): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val inv = Tables.events(spark, dir)
+      .groupBy(to_date(col("ts")).as("day"),
+        hour(col("ts")).cast("int").as("hr"))
+      .agg(count(lit(1)).as("n_rows"))
+    val dayW = W.partitionBy(col("day"))
+    val ordW = dayW.orderBy(col("hr"))
+    inv
+      // both windows share the day partitioning the groupBy shuffle
+      // already established — the hourly inventory is bounded
+      // (≤ 24 rows/day), so the window pass is metadata-sized
+      .withColumn("day_rows", sum(col("n_rows")).over(dayW))
+      .withColumn("cum_excl", coalesce(
+        sum(col("n_rows")).over(ordW.rowsBetween(W.unboundedPreceding, -1)),
+        lit(0L)))
+      .withColumn("bin", expr(
+        s"cum_excl div ((day_rows + ${CompactionBinsPerDay - 1}) div $CompactionBinsPerDay)"))
+      .withColumn("bin_rows",
+        sum(col("n_rows")).over(W.partitionBy(col("day"), col("bin"))))
+      .withColumn("bin_files",
+        count(lit(1)).over(W.partitionBy(col("day"), col("bin"))))
+      .select(col("day"), col("hr"), col("n_rows"), col("bin"),
+        col("bin_rows"), col("bin_files"))
+  }
+
+  /** Oracle: identical integer packing replayed in SQL. */
+  val qCompactionOracleSql: String =
+    s"""WITH inv AS (
+       |  SELECT CAST(ts AS DATE) AS day,
+       |    CAST(EXTRACT(hour FROM ts) AS INTEGER) AS hr,
+       |    COUNT(*) AS n_rows
+       |  FROM events GROUP BY 1, 2
+       |), packed AS (
+       |  SELECT day, hr, n_rows,
+       |    CAST(COALESCE(SUM(n_rows) OVER (PARTITION BY day ORDER BY hr
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      // ((SUM(n_rows) OVER (PARTITION BY day) + ${CompactionBinsPerDay - 1})
+       |          // $CompactionBinsPerDay) AS BIGINT) AS bin
+       |  FROM inv
+       |)
+       |SELECT day, hr, n_rows, bin,
+       |  CAST(SUM(n_rows) OVER (PARTITION BY day, bin) AS BIGINT) AS bin_rows,
+       |  COUNT(*) OVER (PARTITION BY day, bin) AS bin_files
+       |FROM packed""".stripMargin
+
   /** Same bit math in DuckDB (BIGINT &, |, <<). */
   val qZorderLayoutOracleSql: String = {
     def spread(e: String): String = {

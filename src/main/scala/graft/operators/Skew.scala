@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Join-key skew profiler (key `dq_key_skew`) — the pre-flight
+  * diagnostic that decides whether a production join/aggregation on a
+  * key needs salting, and at what factor.
+  *
+  * Mirrors the DQ-gate posture of the reference's normalize step
+  * (reference: scripts/normalize_open_meteo_to_parquet.py:98-130 —
+  * inspect the batch, emit a verdict, THEN act): profile the key
+  * distribution first, let the pipeline pick its shuffle strategy
+  * from the numbers instead of discovering the hot key when one
+  * straggler task runs 40× longer than the rest.
+  *
+  * Why it matters at 100 TB: a shuffled join partitions by key hash.
+  * With a Zipf-heavy key, the hottest key's rows all land on ONE
+  * reducer — the job's wall-clock becomes that task. The standard
+  * fixes (salt the key by a factor F, or AQE skew-split) both need F,
+  * and F is exactly `ceil(max_key_rows / avg_key_rows)` — the number
+  * this operator computes, exact, in two aggregation passes whose
+  * shuffles carry one row per DISTINCT key (then one global row).
+  *
+  * Output: the top-K heaviest keys, each row carrying its count, its
+  * share of all rows, and the corpus-level summary (distinct keys,
+  * total rows, recommended salt factor) — a bounded, human-readable
+  * report (K rows), not a corpus.
+  *
+  * Determinism: counts are exact integers; `share` is one IEEE
+  * double division of two exact integers (correctly rounded, so
+  * engine-identical); `salt_factor` is pure integer ceil math.
+  */
+object Skew {
+
+  /** Report rows: the K heaviest keys. */
+  val TopKeys = 10
+
+  /** Generic profile of `key` over `df` — see object doc. The first
+    * aggregation spreads by key (high cardinality, uniform); the
+    * second collapses per-key counts into one summary row + a
+    * TakeOrdered top-K. Nothing corpus-sized crosses the wire twice. */
+  def keySkewProfileOn(df: DataFrame, key: Column, topK: Int = TopKeys): DataFrame = {
+    val counts = df.groupBy(key.as("key")).agg(count(lit(1)).as("cnt"))
+    // 1-row global summary: bounded by construction, broadcast below
+    val summary = counts.agg(
+      count(lit(1)).as("n_keys"),
+      sum(col("cnt")).as("total_rows"),
+      max(col("cnt")).as("max_cnt"))
+    // top-K by (cnt desc, key asc): orderBy+limit is a TakeOrdered —
+    // per-partition heaps + a K-row driver merge, no global sort
+    val top = counts.orderBy(col("cnt").desc, col("key")).limit(topK)
+    top.crossJoin(broadcast(summary))
+      .select(
+        col("key"), col("cnt"),
+        // exact-int / exact-int in one correctly-rounded division:
+        // bit-identical across engines
+        (col("cnt").cast("double") / col("total_rows").cast("double")).as("share"),
+        col("n_keys"), col("total_rows"),
+        // ceil(max/avg) = ceil(max * n_keys / total) in pure integers
+        expr("(max_cnt * n_keys + total_rows - 1) div total_rows").as("salt_factor"))
+  }
+
+  /** Driver query (key `dq_key_skew`): profile `events.user_id` — the
+    * key every sessionize/attribution join in the suite shuffles on.
+    * `rank` disambiguates ties deterministically for the report. */
+  def dqKeySkew(spark: SparkSession, dir: String): DataFrame = {
+    val prof = keySkewProfileOn(Tables.events(spark, dir), col("user_id"))
+    // bounded global window: TopKeys rows by construction
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cnt").desc, col("key"))
+    prof.withColumn("rank", row_number().over(w).cast("int"))
+      .select(col("rank"), col("key").as("user_id"), col("cnt"),
+        col("share"), col("n_keys"), col("total_rows"), col("salt_factor"))
+  }
+
+  /** Oracle: the same two-stage profile in SQL. */
+  val dqKeySkewOracleSql: String =
+    s"""WITH counts AS (
+       |  SELECT user_id AS key, COUNT(*) AS cnt FROM events GROUP BY 1
+       |), summary AS (
+       |  SELECT COUNT(*) AS n_keys, CAST(SUM(cnt) AS BIGINT) AS total_rows,
+       |    MAX(cnt) AS max_cnt
+       |  FROM counts
+       |), top AS (
+       |  SELECT key, cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, key) AS rank
+       |  FROM counts ORDER BY cnt DESC, key LIMIT $TopKeys
+       |)
+       |SELECT CAST(t.rank AS INTEGER) AS rank, t.key AS user_id, t.cnt,
+       |  CAST(t.cnt AS DOUBLE) / CAST(s.total_rows AS DOUBLE) AS share,
+       |  s.n_keys, s.total_rows,
+       |  CAST((s.max_cnt * s.n_keys + s.total_rows - 1) // s.total_rows
+       |    AS BIGINT) AS salt_factor
+       |FROM top t CROSS JOIN summary s""".stripMargin
+}

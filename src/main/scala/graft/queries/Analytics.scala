@@ -255,6 +255,31 @@ object Analytics {
       |FROM lineitem
       |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin
 
+  // --- cube: full grouping-sets lattice over two order dimensions —
+  // the slice-and-dice twin of q_rollup (rollup emits the hierarchy's
+  // prefixes; cube adds the column-marginal sets rollup skips, i.e.
+  // the (status)×(priority) cross-tab plus both one-dim margins and
+  // the grand total in ONE pass). Spark expands grouping sets before
+  // the hash aggregate, so the plan stays two-phase partial/final agg
+  // on one shuffle — at 100 TB the expand multiplies map-side rows by
+  // 4, but each partial aggregates before the exchange, so the
+  // shuffle carries |groups|·4, not |rows|·4.
+  def qCube(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        dsum(col("o_totalprice")).as("sum_price"),
+        grouping_id().cast("int").as("lvl"))
+
+  val qCubeOracleSql: String =
+    """SELECT o_orderstatus, o_orderpriority,
+      |  COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS sum_price,
+      |  CAST(GROUPING(o_orderstatus, o_orderpriority) AS INTEGER) AS lvl
+      |FROM orders
+      |GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin
+
   // --- semi/anti: EXISTS and NOT EXISTS as left-semi / left-anti joins.
   // Both joins shuffle customer once against the distinct order keys;
   // at scale the semi/anti forms never materialize the match side.

@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Layout, Skew}
+import graft.queries.Analytics
+
+/** Lakehouse-maintenance + diagnostics tier: compaction planner,
+  * key-skew profiler, cube lattice. */
+class MaintainSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("compaction plan: bins partition each day's files, contiguous in hour order") {
+    val rows = Layout.qCompaction(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val byDay = rows.groupBy(_.getDate(0))
+    byDay.foreach { case (_, fs) =>
+      val sorted = fs.sortBy(_.getInt(1))
+      // bins are monotone non-decreasing in hour order (contiguity:
+      // a bin is an hour interval, never interleaved)
+      val bins = sorted.map(_.getLong(3))
+      assert(bins.zip(bins.tail).forall { case (a, b) => a <= b })
+      // bin_rows is consistent: sum of member n_rows
+      sorted.groupBy(_.getLong(3)).foreach { case (_, members) =>
+        val expect = members.map(_.getLong(2)).sum
+        assert(members.forall(_.getLong(4) == expect))
+        assert(members.forall(_.getLong(5) == members.length.toLong))
+      }
+      // day splits into at most BinsPerDay+1 bins (greedy overflow can
+      // add one tail bin when the last file overshoots), at least 1
+      val nBins = bins.distinct.length
+      assert(nBins >= 1 && nBins <= Layout.CompactionBinsPerDay + 1)
+    }
+  }
+
+  test("compaction plan: greedy packing fills past target then opens a new bin") {
+    // handcrafted inventory: one partition, target 10, sizes chosen so
+    // the greedy walk is unambiguous
+    val files = Seq(
+      ("p", 1L, 4L), ("p", 2L, 4L), ("p", 3L, 4L), // cum_excl 0,4,8  -> bin 0
+      ("p", 4L, 4L),                               // cum_excl 12     -> bin 1
+      ("p", 5L, 9L),                               // cum_excl 16     -> bin 1
+      ("p", 6L, 1L)                                // cum_excl 25     -> bin 2
+    ).toDF("part", "file_id", "size")
+    val plan = Layout.compactionPlanOn(files, lit(10L))
+      .orderBy("file_id").select("file_id", "bin").as[(Long, Long)].collect()
+    assert(plan.toSeq == Seq((1L, 0L), (2L, 0L), (3L, 0L), (4L, 1L), (5L, 1L), (6L, 2L)))
+  }
+
+  test("key skew: handcrafted hot key yields its share and the ceil(max/avg) salt") {
+    // 1 hot key with 8 rows + 4 keys with 1 row: N=12, D=5, max=8
+    // avg = 12/5 = 2.4 -> salt = ceil(8/2.4) = ceil(8*5/12) = ceil(3.33) = 4
+    val df = (Seq.fill(8)(100L) ++ Seq(1L, 2L, 3L, 4L)).toDF("k")
+    val prof = Skew.keySkewProfileOn(df, col("k"), topK = 3)
+      .orderBy(col("cnt").desc, col("key")).collect()
+    assert(prof.length == 3)
+    val hot = prof.head
+    assert(hot.getLong(hot.fieldIndex("cnt")) == 8L)
+    assert(hot.getLong(hot.fieldIndex("n_keys")) == 5L)
+    assert(hot.getLong(hot.fieldIndex("total_rows")) == 12L)
+    assert(hot.getLong(hot.fieldIndex("salt_factor")) == 4L)
+    assert(math.abs(hot.getDouble(hot.fieldIndex("share")) - 8.0 / 12.0) < 1e-15)
+  }
+
+  test("key skew driver query: ranks dense from 1, shares sum below 1, summary constant") {
+    val rows = Skew.dqKeySkew(spark, sfDir).collect()
+    assert(rows.length == Skew.TopKeys)
+    assert(rows.map(_.getInt(0)).sorted.toSeq == (1 to Skew.TopKeys))
+    // counts non-increasing in rank order
+    val byRank = rows.sortBy(_.getInt(0)).map(_.getLong(2))
+    assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b })
+    assert(rows.map(_.getDouble(3)).sum <= 1.0 + 1e-12)
+    assert(rows.map(_.getLong(6)).distinct.length == 1) // one salt verdict
+  }
+
+  test("cube: 4 grouping levels; grand total row equals the table count") {
+    val rows = Analytics.qCube(spark, sfDir).collect()
+    val lvls = rows.map(_.getInt(4)).distinct.sorted
+    assert(lvls.toSeq == Seq(0, 1, 2, 3))
+    val total = sources.Tables.orders(spark, sfDir).count()
+    val grand = rows.filter(_.getInt(4) == 3)
+    assert(grand.length == 1 && grand.head.getLong(2) == total)
+    // detail level sums to the grand total
+    assert(rows.filter(_.getInt(4) == 0).map(_.getLong(2)).sum == total)
+    // both one-dim margins (lvl 1 = priority rolled up, lvl 2 = status
+    // rolled up) also each sum to the table count
+    assert(rows.filter(_.getInt(4) == 1).map(_.getLong(2)).sum == total)
+    assert(rows.filter(_.getInt(4) == 2).map(_.getLong(2)).sum == total)
+  }
+}

@@ -253,6 +253,41 @@ class PlanSpec extends SparkSpecBase {
       "bit-interleave fell out of codegen")
   }
 
+  test("compaction plan: one inventory shuffle, day-partitioned windows only") {
+    val df = graft.operators.Layout.qCompaction(spark, sfDir)
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    // every window is day-prefixed — a global window over the
+    // inventory would serialize the metadata pass
+    assert(!p.contains("windowspecdefinition(hr"),
+      s"window lost its day partitioning:\n$p")
+    // exactly one corpus-sized exchange (the (day,hr) inventory agg);
+    // the day-window re-exchange moves only inventory rows
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2,
+      s"unexpected extra exchanges:\n$p")
+  }
+
+  test("key skew: two-stage agg, bounded summary broadcast, no corpus re-scan join") {
+    val df = graft.operators.Skew.dqKeySkew(spark, sfDir)
+    val p = plan(df)
+    // the only join is the documented 1-row-summary cross join
+    assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"summary must broadcast, not shuffle:\n$p")
+    // top-K is a TakeOrdered, never a global sort of the counts
+    assert(p.contains("TakeOrderedAndProject"), s"top-K fell into a global sort:\n$p")
+  }
+
+  test("cube: grouping-set expand stays below the partial aggregate") {
+    val df = Analytics.qCube(spark, sfDir)
+    val p = plan(df)
+    assert(p.contains("Expand"), s"cube lost its expand:\n$p")
+    // one shuffle: partial agg above the expand, final after exchange
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"cube should aggregate on one exchange:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("substring spans: posting shuffle + doc-keyed windows, no cartesian") {
     val p = plan(graft.operators.SubstringSpans.substringSpans(spark, sfDir))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
