@@ -187,6 +187,12 @@ object ScaleCheck {
       run("sample_mixture_epochs", operators.Etl.sampleMixtureEpochs(spark, dir)),
       run("knn_pq", operators.Pq.knnPq(spark, dir)),
       run("stream_topk", streaming.Streams.topkBatch(spark, dir)),
+      // round-11 additions: maintenance/diagnostics tier + the fixed-
+      // grid streaming quantile twin
+      run("layout_compaction", operators.Layout.qCompaction(spark, dir)),
+      run("dq_key_skew", operators.Skew.dqKeySkew(spark, dir)),
+      run("q_cube", queries.Analytics.qCube(spark, dir)),
+      run("stream_hist_quantiles", streaming.Streams.histQuantilesBatch(spark, dir)),
       run("embed_clusters", operators.Similarity.embedClustersOn(
         spark.read.parquet(s"$dir/embeddings.parquet"))),
       if (!only("dedup_semantic")) ("dedup_semantic", 0.0, -1L) else {

@@ -746,4 +746,140 @@ object Streams {
        |      user_id, COUNT(*) AS n_events
        |    FROM events GROUP BY 1, 2) c) t
        |WHERE rk <= $TopK""".stripMargin
+
+  // --------------------------------------------------------------------
+  // Streaming per-window histogram quantiles (key `stream_hist_quantiles`)
+  // --------------------------------------------------------------------
+
+  /** Fixed value grid for the streaming quantile state: [0, Bins·W)
+    * with out-of-range values clamped into the edge bins. A stream
+    * cannot derive (min, max) before aggregating the way the batch
+    * sketch (`agg_hist_quantiles`) does — the grid must be DECLARED,
+    * the standard latency/precision trade of streaming histograms. */
+  val HqBins = 128
+  val HqWidth = 8.0
+  /** Quantile targets as exact rationals (type-1 ceil ranks, the
+    * Quantiles-tier convention). */
+  val HqTargets: Seq[(String, Long, Long)] =
+    Seq(("p50", 1L, 2L), ("p95", 19L, 20L), ("p99", 99L, 100L))
+
+  /** Grid assignment: clamped `floor(v / W)`. One IEEE division +
+    * floor — engine-identical for any double. */
+  private[graft] def hqBin(v: Double): Int = {
+    val b = math.floor(v / HqWidth)
+    if (b < 0) 0 else if (b >= HqBins) HqBins - 1 else b.toInt
+  }
+
+  /** Rank→first-covering-bucket selection over a closed histogram:
+    * for each target, k = ceil(q·n) exactly, then the lowest bin
+    * whose running count reaches k. */
+  private[graft] def hqSelect(counts: Array[Long], n: Long): Seq[(String, Long, Int)] =
+    HqTargets.map { case (name, num, den) =>
+      val k = (n * num + den - 1) / den
+      var cum = 0L; var b = 0; var found = -1
+      while (b < HqBins) {
+        cum += counts(b)
+        if (found < 0 && cum >= k) found = b
+        b += 1
+      }
+      (name, k, found)
+    }
+
+  case class HqEv(ts: Timestamp, value: Double)
+  case class HqState(counts: Array[Long], n: Long)
+  case class HqOut(window_start: Timestamp, quantile: String, rank_k: Long,
+                   n_events: Long, value_lo: Double, value_hi: Double)
+
+  /** Streaming per-hour-window quantile intervals: a [[HqBins]]-cell
+    * count array per OPEN window in GroupState (fixed `Bins × 8 B`
+    * state at any event rate — the exact-order-statistic alternative
+    * keeps every value), quantiles resolved by [[hqSelect]] when the
+    * event-time watermark closes the window. Mergeable across
+    * micro-batches by construction (elementwise add), so arrival
+    * order never changes the emission — stream == batch twin exactly,
+    * not approximately, because the GRID is fixed and counts are
+    * exact; the approximation lives in the declared interval width,
+    * identically in both forms. */
+  def histQuantilesStream(events: Dataset[HqEv]): Dataset[HqOut] = {
+    import events.sparkSession.implicits._
+    val hourUs = 3600L * 1000000L
+    events
+      .withWatermark("ts", "2 hours")
+      .groupByKey(e => (micros(e.ts) / hourUs) * hourUs)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (winUs: Long, evs: Iterator[HqEv], state: GroupState[HqState]) =>
+          if (state.hasTimedOut) {
+            val st = state.get
+            val out = hqSelect(st.counts, st.n).map { case (q, k, b) =>
+              HqOut(tsFromMicros(winUs), q, k, st.n,
+                b * HqWidth, (b + 1) * HqWidth)
+            }
+            state.remove()
+            out.iterator
+          } else {
+            val st = state.getOption.getOrElse(HqState(new Array[Long](HqBins), 0L))
+            var n = st.n
+            val counts = st.counts
+            evs.foreach { e => counts(hqBin(e.value)) += 1; n += 1 }
+            state.update(HqState(counts, n))
+            state.setTimeoutTimestamp((winUs + hourUs) / 1000L)
+            Iterator.empty
+          }
+      }
+  }
+
+  /** Batch twin (queries key `stream_hist_quantiles`): the same fixed
+    * grid as one keyed histogram aggregate — the shuffle carries
+    * ≤ Bins rows per window, never events — then per-window running
+    * counts (window-partitioned, bounded ≤ Bins rows each) and the
+    * rank→bucket join against the 3-row broadcast target table. */
+  def histQuantilesBatch(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val hist = Tables.events(spark, dir)
+      .filter(col("value").isNotNull)
+      .select(window(col("ts"), "1 hour").getField("start").as("window_start"),
+        least(lit(HqBins - 1),
+          greatest(lit(0), floor(col("value") / HqWidth).cast("int"))).as("b"))
+      .groupBy(col("window_start"), col("b"))
+      .agg(count(lit(1)).as("c"))
+    val perWin = Window.partitionBy(col("window_start"))
+    val ch = hist
+      .withColumn("cum", sum(col("c")).over(perWin.orderBy(col("b"))))
+      .withColumn("n_events", sum(col("c")).over(perWin))
+    val targets = HqTargets.toDF("quantile", "num", "den")
+    ch.join(broadcast(targets),
+        col("cum") >= expr("(n_events * num + den - 1) div den") &&
+        col("cum") - col("c") < expr("(n_events * num + den - 1) div den"))
+      .select(col("window_start"), col("quantile"),
+        expr("(n_events * num + den - 1) div den").as("rank_k"),
+        col("n_events"),
+        (col("b") * HqWidth).as("value_lo"),
+        ((col("b") + 1) * HqWidth).as("value_hi"))
+  }
+
+  val histQuantilesOracleSql: String = {
+    val targetRows = HqTargets.map { case (q, num, den) => s"('$q', $num, $den)" }
+      .mkString(", ")
+    s"""WITH e AS (
+       |  SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
+       |    LEAST(${HqBins - 1}, GREATEST(0,
+       |      CAST(FLOOR(value / $HqWidth) AS INTEGER))) AS b
+       |  FROM events WHERE value IS NOT NULL
+       |), h AS (
+       |  SELECT window_start, b, COUNT(*) AS c FROM e GROUP BY 1, 2
+       |), ch AS (
+       |  SELECT window_start, b, c,
+       |    CAST(SUM(c) OVER (PARTITION BY window_start ORDER BY b) AS BIGINT) AS cum,
+       |    CAST(SUM(c) OVER (PARTITION BY window_start) AS BIGINT) AS n_events
+       |  FROM h
+       |), t(quantile, num, den) AS (VALUES $targetRows)
+       |SELECT ch.window_start, t.quantile,
+       |  CAST((ch.n_events * t.num + t.den - 1) // t.den AS BIGINT) AS rank_k,
+       |  ch.n_events,
+       |  ch.b * CAST($HqWidth AS DOUBLE) AS value_lo,
+       |  (ch.b + 1) * CAST($HqWidth AS DOUBLE) AS value_hi
+       |FROM ch JOIN t
+       |  ON ch.cum >= (ch.n_events * t.num + t.den - 1) // t.den
+       | AND ch.cum - ch.c < (ch.n_events * t.num + t.den - 1) // t.den""".stripMargin
+  }
 }

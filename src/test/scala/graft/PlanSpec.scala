@@ -288,6 +288,19 @@ class PlanSpec extends SparkSpecBase {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("stream hist quantiles batch twin: histogram shuffle, window-partitioned only") {
+    val df = graft.streaming.Streams.histQuantilesBatch(spark, sfDir)
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
+    // running counts must stay per-window — a global cum would
+    // serialize every window's ≤Bins rows through one task
+    assert(!"windowspecdefinition\\(b#".r.findFirstIn(p).isDefined,
+      s"window lost its window_start partitioning:\n$p")
+    // the 3-row target table joins broadcast, never shuffles the grid
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"),
+      s"target join must broadcast:\n$p")
+  }
+
   test("substring spans: posting shuffle + doc-keyed windows, no cartesian") {
     val p = plan(graft.operators.SubstringSpans.substringSpans(spark, sfDir))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))

