@@ -193,6 +193,7 @@ object ScaleCheck {
       run("dq_key_skew", operators.Skew.dqKeySkew(spark, dir)),
       run("q_cube", queries.Analytics.qCube(spark, dir)),
       run("stream_hist_quantiles", streaming.Streams.histQuantilesBatch(spark, dir)),
+      run("knn_ivf_pq", operators.Pq.knnIvfPq(spark, dir)),
       run("embed_clusters", operators.Similarity.embedClustersOn(
         spark.read.parquet(s"$dir/embeddings.parquet"))),
       if (!only("dedup_semantic")) ("dedup_semantic", 0.0, -1L) else {

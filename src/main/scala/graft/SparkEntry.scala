@@ -81,6 +81,7 @@ object SparkEntry {
     "knn_lsh"        -> ((s, d) => Similarity.knnLsh(s, d)),
     "knn_ivf"        -> ((s, d) => Similarity.knnIvf(s, d)),
     "knn_pq"         -> ((s, d) => graft.operators.Pq.knnPq(s, d)),
+    "knn_ivf_pq"     -> ((s, d) => graft.operators.Pq.knnIvfPq(s, d)),
     "vec_stats"      -> (Similarity.vecStats(_, _)),
     "embed_clusters" -> (Similarity.embedClusters(_, _)),
     // §2.5 text analysis
@@ -199,6 +200,7 @@ object SparkEntry {
     "knn_lsh"        -> Similarity.knnLshOracleSql,
     "knn_ivf"        -> Similarity.knnIvfOracleSql,
     "knn_pq"         -> graft.operators.Pq.knnPqOracleSql,
+    "knn_ivf_pq"     -> graft.operators.Pq.knnIvfPqOracleSql,
     "vec_stats"      -> Similarity.vecStatsOracleSql,
     // per-cluster population + decimal-accumulated mean centroid cosine
     "embed_clusters" -> Similarity.embedClustersOracleSql,

@@ -267,6 +267,272 @@ object Pq {
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"), col("cosine"))
   }
 
+  /** IVF-pruned PQ search (key `knn_ivf_pq`) — the composed IVFADC
+    * layout (Jégou et al. 2011, the FAISS `IndexIVFPQ` shape): a
+    * coarse quantizer routes each query to its `nprobe` nearest cells,
+    * and the PQ code scan pays ADC work ONLY for vectors in probed
+    * cells. This is the standard billion-vector serving layout: the
+    * inverted file bounds which codes a query touches (~nprobe/C of
+    * the corpus), PQ bounds the bytes per touched code (M small ints).
+    *
+    * 100 TB: on a cluster the lake would be CLUSTERED BY cell (the
+    * `layout_zorder`/bucketing tie-in), so the probe prunes FILES, not
+    * just work — here the single pass skips the encode+ADC for any
+    * vector whose cell no query probes, which is the same asymptotic
+    * cut without the physical layout. Everything non-corpus-resident
+    * stays bounded: centroids (C rows), codebooks (M·Kc), per-query
+    * probe sets (Q·nprobe), distance tables (Q·M·Kc).
+    *
+    * Determinism: the IVF build and the PQ build are the two existing
+    * bit-exact replays composed unchanged; pruning only restricts the
+    * candidate set (cell membership is the ranked-assignment contract
+    * from the IVF oracle), so the composition introduces no new
+    * arithmetic beyond the ADC sums already proven portable. */
+  def knnIvfPq(spark: SparkSession, dir: String, k: Int = K): DataFrame =
+    knnIvfPqOn(Tables.embeddings(spark, dir), k)
+
+  def knnIvfPqOn(vectors: DataFrame, k: Int = K, dim: Int = 0): DataFrame = {
+    import Similarity.IvfNProbe
+    val d =
+      if (dim > 0) dim
+      else vectors.select(size(col("embedding")).as("__d"))
+        .filter(col("__d").isNotNull).limit(1).collect().headOption match {
+        case Some(r) => r.getInt(0)
+        case None =>
+          return vectors.limit(0).select(
+            col("vec_id").as("query_id"), col("vec_id").as("neighbor_id"),
+            lit(0).as("rank"), lit(0.0).as("cosine"))
+      }
+    require(d % M == 0, s"embedding dim $d must be divisible by M=$M")
+    val subW = d / M
+
+    // --- coarse index: the shared IVF build (fixed C — the driver
+    //     corpus matches knn_ivf's knob)
+    val (indexed, centroids) = Similarity.ivfIndex(vectors, Similarity.IvfCells)
+    val spark = vectors.sparkSession
+    import spark.implicits._
+
+    // --- probes: per query the nprobe nearest cells (bounded Q·C
+    //     candidate rows, Q·nprobe survivors → a driver map shipped in
+    //     the scan closure, the knnPq distance-table precedent)
+    val probeW = Window.partitionBy(col("query_id"))
+      .orderBy(col("cdist").desc, col("cell"))
+    val probeRows = indexed.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("e").as("qe"), col("nrm").as("qnrm"))
+      .join(centroids)
+      .withColumn("cdist", graft.functions.VectorOps.cosineWithNorms(
+        graft.functions.VectorOps.dot(col("qe"), col("ce")), col("qnrm"), col("cn")))
+      .withColumn("rk", row_number().over(probeW))
+      .filter(col("rk") <= IvfNProbe)
+      .select(col("query_id"), col("cell"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val probesByQ: Map[Long, Set[Long]] =
+      probeRows.groupBy(_._1).map { case (q, cs) => q -> cs.map(_._2).toSet }
+    val probedCells: Set[Long] = probeRows.map(_._2).toSet
+    val qIds: Array[Long] = probesByQ.keys.toArray.sorted
+
+    // --- PQ build over the unit-normalized corpus (identical recipe
+    //     to knnPqOn; the corpus frame here additionally carries the
+    //     coarse cell)
+    val un = indexed.select(col("vec_id"),
+      transform(col("e"), x => x / col("nrm")).as("u"), col("cell"))
+    val seedsByM: Array[Array[(Long, Array[Double])]] = {
+      val rows = un.orderBy(col("vec_id")).limit(Kc)
+        .select(col("vec_id"), col("u")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+        .sortBy(_._1)
+      Array.tabulate(M)(m => rows.map { case (vid, u) =>
+        (vid, java.util.Arrays.copyOfRange(u, m * subW, (m + 1) * subW)) })
+    }
+    val fa = un.select(col("vec_id"), col("u")).as[(Long, Array[Double])]
+      .mapPartitions { it =>
+        it.flatMap { case (_, u) =>
+          (0 until M).iterator.map { m =>
+            val cm = seedsByM(m)
+            val best = Pq.argminCode(u, m * subW, subW, cm)
+            (m, cm(best)._1,
+              java.util.Arrays.copyOfRange(u, m * subW, (m + 1) * subW))
+          }
+        }
+      }.toDF("m", "code", "s")
+    val cents = fa
+      .select(col("m"), col("code"), posexplode(col("s")).as(Seq("pos", "v")))
+      .groupBy(col("m"), col("code"), col("pos"))
+      .agg((sum(col("v").cast("decimal(30,10)")).cast("double") / count(col("v")))
+        .as("mean"))
+      .groupBy(col("m"), col("code"))
+      .agg(sort_array(collect_list(struct(col("pos"), col("mean")))).as("pm"))
+      .select(col("m"), col("code"),
+        transform(col("pm"), p => p.getField("mean")).as("cs"))
+    val centsByM: Array[Array[(Long, Array[Double])]] = {
+      val rows = cents.collect().map(r =>
+        (r.getInt(0), r.getLong(1), r.getSeq[Double](2).toArray))
+      Array.tabulate(M)(m =>
+        rows.filter(_._1 == m).sortBy(_._2).map(t => (t._2, t._3)))
+    }
+
+    // --- per-query ADC distance tables (Q·M·Kc, bounded)
+    val qsub = un.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"),
+        explode(sequence(lit(0), lit(M - 1))).as("m"), col("u"))
+      .select(col("query_id"), col("m"),
+        slice(col("u"), col("m") * subW + 1, lit(subW)).as("qs"))
+    val dtRows = qsub.join(broadcast(cents), "m")
+      .select(col("query_id"), col("m"), col("code"),
+        l2sq(col("qs"), col("cs")).as("d2"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    val dtByQ: Map[Long, Array[Array[Double]]] = qIds.map { q =>
+      q -> Array.tabulate(M) { m =>
+        val codeIdx = centsByM(m).iterator.map(_._1).zipWithIndex.toMap
+        val row = new Array[Double](centsByM(m).length)
+        dtRows.iterator.filter(t => t._1 == q && t._2 == m)
+          .foreach(t => row(codeIdx(t._3)) = t._4)
+        row
+      }
+    }.toMap
+
+    // --- the ONE corpus pass, cell-pruned: vectors in unprobed cells
+    //     skip encode AND ADC entirely (the inverted-file cut); probed
+    //     ones pay encode once + ADC per probing query
+    val worstFirst: Ordering[(Long, Long, Double)] =
+      Ordering.by(t => (t._3, t._2))
+    val pruned = un.as[(Long, Array[Double], Long)]
+      .mapPartitions { it =>
+        val heaps = scala.collection.mutable.Map
+          .empty[Long, scala.collection.mutable.PriorityQueue[(Long, Long, Double)]]
+        val codesBuf = new Array[Int](M)
+        it.foreach { case (vid, u, cell) =>
+          if (probedCells.contains(cell)) {
+            var m = 0
+            while (m < M) {
+              codesBuf(m) = Pq.argminCode(u, m * subW, subW, centsByM(m))
+              m += 1
+            }
+            var qi = 0
+            while (qi < qIds.length) {
+              val q = qIds(qi)
+              if (q != vid && probesByQ(q).contains(cell)) {
+                val dtm = dtByQ(q)
+                var acc = 0.0
+                var mm = 0
+                while (mm < M) { acc += dtm(mm)(codesBuf(mm)); mm += 1 }
+                val c = (q, vid, acc)
+                val h = heaps.getOrElseUpdate(q,
+                  new scala.collection.mutable.PriorityQueue[(Long, Long, Double)]()(worstFirst))
+                if (h.size < Rerank) h.enqueue(c)
+                else if (worstFirst.compare(c, h.head) < 0) { h.dequeue(); h.enqueue(c) }
+              }
+              qi += 1
+            }
+          }
+        }
+        heaps.valuesIterator.flatMap(_.iterator)
+      }
+      .toDF("query_id", "vec_id", "adist")
+    val cw = Window.partitionBy(col("query_id")).orderBy(col("adist"), col("vec_id"))
+    val cand = broadcast(pruned.withColumn("crk", row_number().over(cw))
+      .filter(col("crk") <= Rerank)
+      .select(col("query_id"), col("vec_id")))
+
+    // --- exact cosine rerank over the candidate sliver
+    val vnAll = indexed.select(col("vec_id"), col("e"), col("nrm"))
+    val qSide = broadcast(vnAll.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("e").as("qe"), col("nrm").as("qnrm")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    cand.join(vnAll, "vec_id").join(qSide, "query_id")
+      .select(col("query_id"), col("vec_id"),
+        V.cosineWithNorms(V.dot(col("e"), col("qe")), col("nrm"), col("qnrm"))
+          .as("cosine"))
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"), col("cosine"))
+  }
+
+  /** Full DuckDB replay of the composed IVFADC search: the shared IVF
+    * index prefix (fixed C) + the PQ build CTEs (suffixed `p` to avoid
+    * colliding with the prefix's seed/centroid names) + cell-pruned
+    * ADC + exact rerank. */
+  val knnIvfPqOracleSql: String = {
+    val dim = 64
+    val sub = dim / M
+    import Similarity.{sqlDot, sqlNorm, IvfNProbe}
+    def d2(a: String, b: String): String =
+      s"((${sqlDot(a, a)} - (2.0 * ${sqlDot(a, b)})) + ${sqlDot(b, b)})"
+    s"""${Similarity.ivfOracleIdxCtes(Similarity.ncellsFixedSql)}, probes AS (
+       |  SELECT query_id, cell FROM (
+       |    SELECT q.vec_id AS query_id, c.cell,
+       |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+       |        ${sqlDot("q.e", "c.ce")} / (q.nrm * c.cnr) DESC, c.cell) AS rk
+       |    FROM vn q CROSS JOIN cc c WHERE q.vec_id < $NQueries) t
+       |  WHERE rk <= $IvfNProbe
+       |), unp AS (
+       |  SELECT vec_id, list_transform(e, x -> x / nrm) AS u, cell FROM idx
+       |), msp AS (
+       |  SELECT unnest(generate_series(0, ${M - 1})) AS m
+       |), svp AS (
+       |  SELECT vec_id, m, list_slice(u, m*$sub + 1, (m+1)*$sub) AS s, cell
+       |  FROM unp CROSS JOIN msp
+       |), sdp AS (
+       |  SELECT vec_id FROM (
+       |    SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) AS rk FROM unp) t
+       |  WHERE rk <= $Kc
+       |), seedsp AS (
+       |  SELECT s.vec_id AS code0, s.m, s.s AS cs FROM svp s JOIN sdp ON s.vec_id = sdp.vec_id
+       |), fap AS (
+       |  SELECT vec_id, m, code0 AS code, s FROM (
+       |    SELECT x.vec_id, x.m, c.code0, x.s,
+       |      ROW_NUMBER() OVER (PARTITION BY x.vec_id, x.m ORDER BY
+       |        ${d2("x.s", "c.cs")}, c.code0) AS rk
+       |    FROM svp x JOIN seedsp c ON x.m = c.m) t
+       |  WHERE rk = 1
+       |), elemsp AS (
+       |  SELECT m, code, unnest(generate_series(1, len(s))) AS pos, s FROM fap
+       |), meansp AS (
+       |  SELECT m, code, pos,
+       |    CAST(SUM(CAST(s[pos] AS DECIMAL(30,10))) AS DOUBLE) / COUNT(s[pos]) AS mean
+       |  FROM elemsp GROUP BY m, code, pos
+       |), centsp AS (
+       |  SELECT m, code, list(mean ORDER BY pos) AS cs FROM meansp GROUP BY m, code
+       |), codesp AS (
+       |  SELECT vec_id, m, code, cell FROM (
+       |    SELECT x.vec_id, x.m, c.code, x.cell,
+       |      ROW_NUMBER() OVER (PARTITION BY x.vec_id, x.m ORDER BY
+       |        ${d2("x.s", "c.cs")}, c.code) AS rk
+       |    FROM svp x JOIN centsp c ON x.m = c.m) t
+       |  WHERE rk = 1
+       |), dtp AS (
+       |  SELECT q.vec_id AS query_id, c.m, c.code, ${d2("q.s", "c.cs")} AS d2
+       |  FROM svp q JOIN centsp c ON q.m = c.m
+       |  WHERE q.vec_id < $NQueries
+       |), adist AS (
+       |  SELECT t.query_id, t.vec_id,
+       |    list_reduce(list(t.d2 ORDER BY t.m), (x, y) -> x + y) AS adist
+       |  FROM (
+       |    SELECT d.query_id, c.vec_id, c.m, d.d2
+       |    FROM codesp c
+       |    JOIN probes p ON p.cell = c.cell
+       |    JOIN dtp d ON c.m = d.m AND c.code = d.code AND d.query_id = p.query_id
+       |    WHERE c.vec_id != d.query_id) t
+       |  GROUP BY t.query_id, t.vec_id
+       |), cand AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT query_id, vec_id,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adist, vec_id) AS crk
+       |    FROM adist) t
+       |  WHERE crk <= $Rerank
+       |)
+       |SELECT query_id, vec_id AS neighbor_id, CAST(rk AS INTEGER) AS rank, cosine FROM (
+       |  SELECT cd.query_id, cd.vec_id,
+       |    ${sqlDot("b.e", "a.e")} / (b.nrm * a.nrm) AS cosine,
+       |    ROW_NUMBER() OVER (PARTITION BY cd.query_id ORDER BY
+       |      ${sqlDot("b.e", "a.e")} / (b.nrm * a.nrm) DESC, cd.vec_id) AS rk
+       |  FROM cand cd
+       |  JOIN vn b ON cd.vec_id = b.vec_id
+       |  JOIN vn a ON cd.query_id = a.vec_id) t
+       |WHERE rk <= $K""".stripMargin
+  }
+
   /** Full DuckDB replay of the PQ search — build, encode, ADC, and
     * rerank, step for step. Dim is pinned to the driver corpus's 64
     * (an oracle string cannot probe data; the LSH oracle precedent). */

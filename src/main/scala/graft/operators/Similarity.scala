@@ -346,7 +346,7 @@ object Similarity {
     * SQL twin of [[autoCells]]: COUNT(*)/2.0 is an exact double, sqrt
     * and ceil are correctly-rounded in both engines, so the derived C
     * agrees exactly with the executor's. */
-  private def ncellsFixedSql: String = s"SELECT CAST($IvfCells AS BIGINT) AS c"
+  private[operators] def ncellsFixedSql: String = s"SELECT CAST($IvfCells AS BIGINT) AS c"
   private def ncellsAutoSql: String =
     "SELECT GREATEST(1, CAST(ceil(sqrt(COUNT(*)/2.0)) AS BIGINT)) AS c FROM vn"
 
@@ -355,7 +355,7 @@ object Similarity {
     * `ncellsSelect` supplies the cell count (fixed literal or the
     * count-derived auto form). Consumers append further CTEs with a
     * leading comma, or go straight to their final SELECT. */
-  private def ivfOracleIdxCtes(ncellsSelect: String): String =
+  private[operators] def ivfOracleIdxCtes(ncellsSelect: String): String =
     s"""WITH v AS (
        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
        |), vn AS (

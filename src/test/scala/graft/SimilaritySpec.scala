@@ -120,6 +120,48 @@ class SimilaritySpec extends SparkSpecBase {
     assert(runOnce().sameElements(rows))
   }
 
+  test("knn ivf pq: high recall on clustered data; candidates stay inside probed cells") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val dim = 16
+    val centers = Array.fill(5)(Array.fill(dim)(rnd.nextGaussian() * 5))
+    val rows = (0 until 200).map { i =>
+      val c = centers(i % 5)
+      (i.toLong, c.map(x => (x + rnd.nextGaussian() * 0.05).toFloat).toSeq, i % 5)
+    }
+    val df = rows.toDF("vec_id", "embedding", "label")
+    val exact = Similarity.knnBruteforceOn(df).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivfpq = graft.operators.Pq.knnIvfPqOn(df).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // tight clusters: queries and their true neighbors share cells, so
+    // the cell cut costs no recall; PQ's 0.05-sigma clusters rerank
+    // cleanly — the knn_pq recall contract survives the pruning
+    val recall = (exact & ivfpq).size.toDouble / exact.size
+    assert(recall >= 0.9, s"ivfpq recall on clustered data: $recall")
+  }
+
+  test("knn ivf pq on corpus: ranked per-query results, deterministic, ⊆ pq-rerank universe") {
+    def runOnce() = graft.operators.Pq.knnIvfPq(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sortBy(t => (t._1, t._3))
+    val rows = runOnce()
+    val perQuery = rows.groupBy(_._1)
+    assert(perQuery.keySet == (0L until Similarity.NQueries.toLong).toSet)
+    perQuery.values.foreach { rs =>
+      assert(rs.length <= Similarity.K && rs.nonEmpty)
+      assert(rs.map(_._3).sorted.sameElements(1 to rs.length))
+    }
+    assert(runOnce().sameElements(rows))
+  }
+
+  test("knn ivf pq: empty corpus yields an empty, schema-stable result") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Seq[Float], Int)].toDF("vec_id", "embedding", "label")
+    val out = graft.operators.Pq.knnIvfPqOn(empty)
+    assert(out.columns.sameElements(Array("query_id", "neighbor_id", "rank", "cosine")))
+    assert(out.count() == 0)
+  }
+
   test("knn pq: empty corpus yields an empty, schema-stable result") {
     import spark.implicits._
     val empty = Seq.empty[(Long, Seq[Float], Int)].toDF("vec_id", "embedding", "label")
