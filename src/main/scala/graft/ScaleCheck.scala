@@ -194,6 +194,7 @@ object ScaleCheck {
       run("q_cube", queries.Analytics.qCube(spark, dir)),
       run("stream_hist_quantiles", streaming.Streams.histQuantilesBatch(spark, dir)),
       run("knn_ivf_pq", operators.Pq.knnIvfPq(spark, dir)),
+      run("layout_hilbert", operators.Layout.qHilbertLayout(spark, dir)),
       run("embed_clusters", operators.Similarity.embedClustersOn(
         spark.read.parquet(s"$dir/embeddings.parquet"))),
       if (!only("dedup_semantic")) ("dedup_semantic", 0.0, -1L) else {

@@ -57,6 +57,7 @@ object SparkEntry {
     "q_bloom_join"         -> ((s, d) => graft.operators.BloomJoin.qBloomJoin(s, d)),
     "layout_zorder"        -> (graft.operators.Layout.qZorderLayout(_, _)),
     "layout_compaction"    -> (graft.operators.Layout.qCompaction(_, _)),
+    "layout_hilbert"       -> (graft.operators.Layout.qHilbertLayout(_, _)),
     "q_cube"               -> (Analytics.qCube(_, _)),
     "dq_key_skew"          -> (graft.operators.Skew.dqKeySkew(_, _)),
     "agg_approx_ndv"       -> (graft.operators.Sketches.aggApproxNdv(_, _)),
@@ -165,6 +166,7 @@ object SparkEntry {
     "q_bloom_join"         -> graft.operators.BloomJoin.qBloomJoinOracleSql,
     "layout_zorder"        -> graft.operators.Layout.qZorderLayoutOracleSql,
     "layout_compaction"    -> graft.operators.Layout.qCompactionOracleSql,
+    "layout_hilbert"       -> graft.operators.Layout.qHilbertLayoutOracleSql,
     "q_cube"               -> Analytics.qCubeOracleSql,
     "dq_key_skew"          -> graft.operators.Skew.dqKeySkewOracleSql,
     // the HLL estimator replays bit-exactly: ordered register fold of

@@ -79,6 +79,47 @@ object Layout {
         min(col("zkey")).as("min_zkey"), max(col("zkey")).as("max_zkey"))
   }
 
+  /** Driver query (key `layout_hilbert`): the Z-order report's twin on
+    * the Hilbert curve — index the events table on (user_id,
+    * minute-of-epoch) with the native `hilbert_index` expression and
+    * report per-tile extents. Hilbert's walk never takes Morton's
+    * diagonal quadrant jumps, so a contiguous index range (≙ one file
+    * at scale) covers a more compact x/y region — tighter min/max
+    * pruning stats on BOTH columns than the zkey tiles, which is why
+    * newer table formats cluster by Hilbert rather than Z-order. Same
+    * single-aggregation plan shape as `layout_zorder`: the key is one
+    * static call per row inside whole-stage codegen. */
+  def qHilbertLayout(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .withColumn("x", col("user_id").bitwiseAND(lit(0xFFFFL)))
+      .withColumn("y", expr("unix_micros(ts) div 60000000")
+        .bitwiseAND(lit(0xFFFFL)))
+    ev.withColumn("hkey", expr("hilbert_index(x, y)"))
+      .groupBy(shiftright(col("hkey"), BucketShift).as("tile"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        min(col("x")).as("min_x"), max(col("x")).as("max_x"),
+        min(col("y")).as("min_y"), max(col("y")).as("max_y"),
+        min(col("hkey")).as("min_hkey"), max(col("hkey")).as("max_hkey"))
+  }
+
+  /** Oracle: the unrolled 16-level walk as chained CTEs (identical
+    * branch structure to the executor's loop — see Hilbert.scala). */
+  val qHilbertLayoutOracleSql: String =
+    s"""WITH e AS (
+       |  SELECT user_id & 65535 AS ox,
+       |    (epoch_us(CAST(ts AS TIMESTAMP)) // 60000000) & 65535 AS oy,
+       |    user_id & 65535 AS x,
+       |    (epoch_us(CAST(ts AS TIMESTAMP)) // 60000000) & 65535 AS y,
+       |    CAST(0 AS BIGINT) AS d
+       |  FROM events
+       |)${graft.functions.Hilbert.oracleChainCtes("e")}
+       |SELECT d >> $BucketShift AS tile, COUNT(*) AS n_rows,
+       |  MIN(ox) AS min_x, MAX(ox) AS max_x,
+       |  MIN(oy) AS min_y, MAX(oy) AS max_y,
+       |  MIN(d) AS min_hkey, MAX(d) AS max_hkey
+       |FROM h${graft.functions.Hilbert.Bits} GROUP BY 1""".stripMargin
+
   /** Bins per partition for the driver compaction key: each day's
     * file set packs into ~quarter-day bins, a scale-invariant target
     * (the bin count stays 4 whether the day has 1k or 1B rows). */

@@ -72,6 +72,52 @@ class MaintainSpec extends SparkSpecBase {
     assert(rows.map(_.getLong(6)).distinct.length == 1) // one salt verdict
   }
 
+  test("hilbert: consecutive indices are edge-adjacent cells (unit Manhattan step)") {
+    import graft.functions.Hilbert
+    // the defining curve property Morton lacks — check a dense prefix
+    // plus random aligned blocks deeper in the index space
+    def stepOk(d: Long): Boolean = {
+      val (x0, y0) = Hilbert.d2xy(d)
+      val (x1, y1) = Hilbert.d2xy(d + 1)
+      math.abs(x1 - x0) + math.abs(y1 - y0) == 1
+    }
+    assert((0L until 4096L).forall(stepOk))
+    val rnd = new scala.util.Random(7)
+    (1 to 50).foreach { _ =>
+      val base = (rnd.nextLong() & ((1L << 32) - 2)) & ~15L
+      assert((base until base + 15).forall(stepOk), s"non-unit step near $base")
+    }
+  }
+
+  test("hilbert: xy2d inverts d2xy across the index space; expression agrees with the JVM walk") {
+    import graft.functions.Hilbert
+    val rnd = new scala.util.Random(11)
+    (1 to 200).foreach { _ =>
+      val d = rnd.nextLong() & ((1L << 32) - 1)
+      val (x, y) = Hilbert.d2xy(d)
+      assert(Hilbert.xy2d(x, y) == d, s"bijectivity broke at d=$d")
+    }
+    // the native expression = the shared static, through codegen
+    val pts = Seq.fill(64)((rnd.nextInt(65536).toLong, rnd.nextInt(65536).toLong))
+    val df = pts.toDF("x", "y")
+      .withColumn("h", expr("hilbert_index(x, y)"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    df.foreach { case (x, y, h) => assert(h == Hilbert.xy2d(x, y)) }
+  }
+
+  test("qHilbertLayout tiles bound both dimensions") {
+    val rows = Layout.qHilbertLayout(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val spanX = r.getLong(r.fieldIndex("max_x")) - r.getLong(r.fieldIndex("min_x"))
+      val spanY = r.getLong(r.fieldIndex("max_y")) - r.getLong(r.fieldIndex("min_y"))
+      // tile = hkey >> 22: an ALIGNED 4^11 index block is exactly one
+      // 2^11 × 2^11 subsquare of the recursive construction
+      assert(spanX < 2048 && spanY < 2048,
+        s"tile ${r.getLong(r.fieldIndex("tile"))} spans x=$spanX y=$spanY — not clustered")
+    }
+  }
+
   test("cube: 4 grouping levels; grand total row equals the table count") {
     val rows = Analytics.qCube(spark, sfDir).collect()
     val lvls = rows.map(_.getInt(4)).distinct.sorted

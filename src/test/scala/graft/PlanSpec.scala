@@ -253,6 +253,18 @@ class PlanSpec extends SparkSpecBase {
       "bit-interleave fell out of codegen")
   }
 
+  test("hilbert layout: pure projection + one aggregation exchange, fully codegen") {
+    val df = graft.operators.Layout.qHilbertLayout(spark, sfDir)
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct") && !p.contains("Window"),
+      s"layout key must be a stateless projection:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"expected exactly the aggregation exchange:\n$p")
+    val fp = finalPlan(df)
+    assert(fp.contains("WholeStageCodegen") || fp.contains("*("),
+      "hilbert walk fell out of codegen")
+  }
+
   test("compaction plan: one inventory shuffle, day-partitioned windows only") {
     val df = graft.operators.Layout.qCompaction(spark, sfDir)
     val p = plan(df)
