@@ -83,6 +83,7 @@ object SparkEntry {
     "knn_ivf"        -> ((s, d) => Similarity.knnIvf(s, d)),
     "knn_pq"         -> ((s, d) => graft.operators.Pq.knnPq(s, d)),
     "knn_ivf_pq"     -> ((s, d) => graft.operators.Pq.knnIvfPq(s, d)),
+    "sample_kcenter" -> ((s, d) => Similarity.sampleKCenter(s, d)),
     "vec_stats"      -> (Similarity.vecStats(_, _)),
     "embed_clusters" -> (Similarity.embedClusters(_, _)),
     // §2.5 text analysis
@@ -203,6 +204,7 @@ object SparkEntry {
     "knn_ivf"        -> Similarity.knnIvfOracleSql,
     "knn_pq"         -> graft.operators.Pq.knnPqOracleSql,
     "knn_ivf_pq"     -> graft.operators.Pq.knnIvfPqOracleSql,
+    "sample_kcenter" -> Similarity.sampleKCenterOracleSql,
     "vec_stats"      -> Similarity.vecStatsOracleSql,
     // per-cluster population + decimal-accumulated mean centroid cosine
     "embed_clusters" -> Similarity.embedClustersOracleSql,

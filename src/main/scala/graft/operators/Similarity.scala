@@ -463,6 +463,105 @@ object Similarity {
     * [[Dedup.semanticDedupOracleSql]]. */
   private[operators] def ivfIdxOraclePrefix: String = ivfOracleIdxCtes(ncellsAutoSql)
 
+  /** Centers the k-center driver key selects. */
+  val KCenterRounds = 16
+
+  /** Greedy k-center (Gonzalez) diversity sampling (key
+    * `sample_kcenter`) — the coreset-selection pass a training-data
+    * pipeline runs to pick a maximally-SPREAD subset of an embedding
+    * corpus (facility-location/DataComp-style curation: each new
+    * sample is the point FARTHEST from everything already chosen, the
+    * 2-approximation to the optimal k-center cover).
+    *
+    * Shape: k driver rounds; each round broadcasts the newly chosen
+    * center into a running `least(dmin, ‖u−c‖²)` column and takes the
+    * argmax by ONE TakeOrdered (per-partition heaps + a 1-row driver
+    * collect — the BPE winner-collect precedent). Nothing
+    * corpus-sized ever reaches the driver; per-round cost is one
+    * corpus scan. The k-deep `least` chain re-evaluates prior center
+    * distances per round (Σ = k²/2 dots per row); at production k the
+    * dmin column is staged through Scratch every R rounds exactly
+    * like Bpe.trainOn — the chain here stays under the plan-depth
+    * knob, so the simple form is the honest one to measure.
+    *
+    * Determinism (full oracle replay): unit-normalized sequential-fold
+    * arithmetic, the fixed ((a·a − 2·a·b) + b·b) parenthesization,
+    * argmax ties on lowest vec_id, seed = lowest vec_id. `radius` is
+    * the chosen point's distance at selection time — the non-
+    * increasing cover-radius sequence (asserted in the spec); the
+    * seed row's is NULL (nothing chosen before it). */
+  def sampleKCenter(spark: SparkSession, dir: String): DataFrame =
+    sampleKCenterOn(Tables.embeddings(spark, dir))
+
+  def sampleKCenterOn(vectors: DataFrame, k: Int = KCenterRounds): DataFrame = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    def l2sq(a: Column, b: Column): Column =
+      (V.dot(a, a) - lit(2.0) * V.dot(a, b)) + V.dot(b, b)
+    val un = vectors
+      .select(col("vec_id"), V.toDouble(col("embedding")).as("e"))
+      .withColumn("nrm", V.l2Norm(col("e")))
+      .select(col("vec_id"), transform(col("e"), x => x / col("nrm")).as("u"))
+    val seedRow = un.orderBy(col("vec_id")).limit(1).collect()
+    if (seedRow.isEmpty)
+      return Seq.empty[(Int, Long, Option[Double])]
+        .toDF("round", "vec_id", "radius")
+    var center = seedRow(0).getSeq[Double](1).toArray
+    val chosen = scala.collection.mutable.ArrayBuffer(
+      (1, seedRow(0).getLong(0), Option.empty[Double]))
+    var scored = un.withColumn("dmin",
+      l2sq(col("u"), typedLit(center.toSeq)))
+    var round = 2
+    while (round <= k) {
+      // 1-row collect: the farthest-from-chosen point
+      val top = scored.orderBy(col("dmin").desc, col("vec_id")).limit(1).collect()(0)
+      chosen += ((round, top.getLong(0), Some(top.getDouble(2))))
+      center = top.getSeq[Double](1).toArray
+      scored = scored.withColumn("dmin",
+        least(col("dmin"), l2sq(col("u"), typedLit(center.toSeq))))
+      round += 1
+    }
+    chosen.toSeq.toDF("round", "vec_id", "radius")
+  }
+
+  /** Oracle: the greedy walk unrolled as k chained CTE levels (the
+    * Hilbert-replay pattern) — each level takes the argmax row of the
+    * previous level's dmin and folds its distance in with LEAST. */
+  val sampleKCenterOracleSql: String = {
+    def d2(a: String, b: String): String =
+      s"((${sqlDot(a, a)} - (2.0 * ${sqlDot(a, b)})) + ${sqlDot(b, b)})"
+    // MATERIALIZED: every level references its predecessor twice (the
+    // scan side and the chosen-center lookup); DuckDB inlines plain
+    // CTEs, which would expand the chain 2^k-fold
+    val levels = (2 to KCenterRounds).map { t =>
+      val prev = s"d${t - 1}"
+      s"""c$t AS MATERIALIZED (
+         |  SELECT vec_id, dmin FROM $prev ORDER BY dmin DESC, vec_id LIMIT 1
+         |), d$t AS MATERIALIZED (
+         |  SELECT x.vec_id, x.u,
+         |    LEAST(x.dmin, ${d2("x.u", "c.u")}) AS dmin
+         |  FROM $prev x CROSS JOIN
+         |    (SELECT p.u FROM $prev p JOIN c$t ct ON p.vec_id = ct.vec_id) c
+         |)""".stripMargin
+    }.mkString(", ")
+    val picks = (2 to KCenterRounds).map(t =>
+      s"SELECT $t AS round, vec_id, dmin AS radius FROM c$t").mkString("\nUNION ALL\n")
+    s"""WITH v AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+       |), un AS (
+       |  SELECT vec_id, list_transform(e, x -> x / ${sqlNorm("e")}) AS u FROM v
+       |), c1 AS MATERIALIZED (
+       |  SELECT vec_id, u FROM un ORDER BY vec_id LIMIT 1
+       |), d1 AS MATERIALIZED (
+       |  SELECT x.vec_id, x.u, ${d2("x.u", "c.u")} AS dmin
+       |  FROM un x CROSS JOIN c1 c
+       |), $levels
+       |SELECT CAST(round AS INTEGER) AS round, vec_id, radius FROM (
+       |  SELECT 1 AS round, vec_id, CAST(NULL AS DOUBLE) AS radius FROM c1
+       |  UNION ALL
+       |$picks) t""".stripMargin
+  }
+
   /** Deterministic pseudo-random hyperplanes (fixed seed — the bucket
     * assignment must be reproducible across runs and executors). */
   private def planes(dim: Int): Array[Array[Double]] = {

@@ -154,6 +154,41 @@ class SimilaritySpec extends SparkSpecBase {
     assert(runOnce().sameElements(rows))
   }
 
+  test("k-center: one pick per cluster before densifying; radii non-increasing") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val dim = 16
+    // 5 well-separated clusters — greedy k-center's defining property:
+    // the first 5 picks land in 5 DIFFERENT clusters (each new pick is
+    // the farthest point from everything chosen)
+    val centers = Array.tabulate(5)(c => Array.tabulate(dim)(j =>
+      if (j == c) 10.0 else 0.1 * rnd.nextGaussian()))
+    val rows = (0 until 200).map { i =>
+      val c = centers(i % 5)
+      (i.toLong, c.map(x => (x + rnd.nextGaussian() * 0.05).toFloat).toSeq, i % 5)
+    }
+    val df = rows.toDF("vec_id", "embedding", "label")
+    val picks = Similarity.sampleKCenterOn(df, k = 8).collect()
+      .sortBy(_.getInt(0))
+    assert(picks.length == 8)
+    val firstFive = picks.take(5).map(r => (r.getLong(1) % 5))
+    assert(firstFive.distinct.length == 5,
+      s"first 5 picks hit clusters ${firstFive.mkString(",")} — not one per cluster")
+    // cover radius never grows as centers accumulate
+    val radii = picks.drop(1).map(_.getDouble(2))
+    assert(radii.zip(radii.tail).forall { case (a, b) => a >= b - 1e-12 },
+      s"radii not non-increasing: ${radii.mkString(",")}")
+  }
+
+  test("k-center on corpus: k rounds, distinct picks, deterministic") {
+    def runOnce() = Similarity.sampleKCenter(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val rows = runOnce()
+    assert(rows.length == Similarity.KCenterRounds)
+    assert(rows.map(_._2).distinct.length == rows.length, "a vector was picked twice")
+    assert(runOnce().sameElements(rows))
+  }
+
   test("knn ivf pq: empty corpus yields an empty, schema-stable result") {
     import spark.implicits._
     val empty = Seq.empty[(Long, Seq[Float], Int)].toDF("vec_id", "embedding", "label")
