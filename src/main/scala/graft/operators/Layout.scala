@@ -79,6 +79,21 @@ object Layout {
         min(col("zkey")).as("min_zkey"), max(col("zkey")).as("max_zkey"))
   }
 
+  /** Writes `df` Hilbert-clustered on (`x`, `y`): identical exchange
+    * shape to [[zorderWrite]] — one range partition + in-partition
+    * sort on the curve index, so every file covers a contiguous,
+    * pairwise-disjoint hkey range with the curve's tighter x/y
+    * locality per range. */
+  def hilbertWrite(df: DataFrame, x: Column, y: Column, path: String,
+                   partitions: Int = 0): Unit = {
+    val keyed = df.withColumn("hkey", call_function("hilbert_index", x, y))
+    val ranged =
+      if (partitions > 0) keyed.repartitionByRange(partitions, col("hkey"))
+      else keyed.repartitionByRange(col("hkey"))
+    ranged.sortWithinPartitions(col("hkey"))
+      .write.mode("overwrite").parquet(path)
+  }
+
   /** Driver query (key `layout_hilbert`): the Z-order report's twin on
     * the Hilbert curve — index the events table on (user_id,
     * minute-of-epoch) with the native `hilbert_index` expression and

@@ -139,6 +139,30 @@ class ScaleOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("hilbertWrite produces files with pairwise-disjoint hkey ranges") {
+    val dir = java.nio.file.Files.createTempDirectory("hilbert-spec").toString
+    try {
+      val ev = sources.Tables.events(spark, sfDir)
+        .withColumn("x", col("user_id").bitwiseAND(lit(0xFFFFL)))
+        .withColumn("y", expr("unix_micros(ts) div 60000000").bitwiseAND(lit(0xFFFFL)))
+      Layout.hilbertWrite(ev, col("x"), col("y"), dir, partitions = 8)
+      val files = new java.io.File(dir).listFiles()
+        .filter(f => f.getName.endsWith(".parquet")).map(_.getPath)
+      assert(files.length > 1, "expected multiple output files")
+      val ranges = files.map { f =>
+        val r = spark.read.parquet(f).agg(min(col("hkey")), max(col("hkey"))).head()
+        (r.getLong(0), r.getLong(1))
+      }.sortBy(_._1)
+      ranges.sliding(2).foreach {
+        case Array((_, hi1), (lo2, _)) =>
+          assert(hi1 <= lo2, s"file ranges overlap: hi=$hi1 lo=$lo2 — min/max pruning broken")
+        case _ =>
+      }
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   // --- substring spans --------------------------------------------------
 
   test("substring spans: planted cross-doc span found with exact token accounting") {
