@@ -52,6 +52,7 @@ object SparkEntry {
     "q_events_sessionize"  -> (Analytics.qEventsSessionize(_, _)),
     "q_asof_join"          -> (graft.operators.AsOf.qAsOfJoin(_, _)),
     "q_range_join"         -> (graft.operators.RangeJoin.qRangeJoin(_, _)),
+    "q_interval_join"      -> (graft.operators.RangeJoin.qIntervalJoin(_, _)),
     "q_pivot_events"       -> (Analytics.qPivotEvents(_, _)),
     "q_window_funnel"      -> (Analytics.qWindowFunnel(_, _)),
     "q_bloom_join"         -> ((s, d) => graft.operators.BloomJoin.qBloomJoin(s, d)),
@@ -160,6 +161,7 @@ object SparkEntry {
     "q_events_sessionize"  -> Analytics.qEventsSessionizeOracleSql,
     "q_asof_join"          -> graft.operators.AsOf.qAsOfJoinOracleSql,
     "q_range_join"         -> graft.operators.RangeJoin.qRangeJoinOracleSql,
+    "q_interval_join"      -> graft.operators.RangeJoin.qIntervalJoinOracleSql,
     "q_pivot_events"       -> Analytics.qPivotEventsOracleSql,
     "q_window_funnel"      -> Analytics.qWindowFunnelOracleSql,
     // the bloom prefilter must be invisible in the output: the oracle

@@ -253,6 +253,15 @@ class PlanSpec extends SparkSpecBase {
       "bit-interleave fell out of codegen")
   }
 
+  test("interval join: binned equi-join on bin, overlap as filter, no cartesian") {
+    val df = graft.operators.RangeJoin.qIntervalJoin(spark, sfDir)
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"interval join fell into a product:\n$p")
+    // the overlap predicate must ride an equi-join keyed on the bin
+    assert(p.contains("bin"), s"bin key missing from the join:\n$p")
+  }
+
   test("hilbert layout: pure projection + one aggregation exchange, fully codegen") {
     val df = graft.operators.Layout.qHilbertLayout(spark, sfDir)
     val p = plan(df)

@@ -7,6 +7,35 @@ class RangeJoinSpec extends SparkSpecBase {
 
   private def ts(s: String) = to_timestamp(lit(s))
 
+  test("interval join: binned form equals the naive theta join; each pair once") {
+    val binned = graft.operators.RangeJoin.qIntervalJoin(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // each (session, incident) pair appears EXACTLY once despite the
+    // two sides sharing several covered bins
+    assert(binned.length == binned.map(t => (t._1, t._2, t._3, t._4)).distinct.length,
+      "a pair met in more than one bin — the first-shared-bin guard leaks")
+    assert(binned.forall(_._5 >= 0L), "negative overlap emitted")
+    // the naive formulation (no bins): same session/incident pairs
+    import graft.queries.Analytics
+    val sessions = Analytics.qEventsSessionize(spark, sfDir)
+      .select(col("user_id"), col("session_id"),
+        unix_micros(col("session_start")).as("s_us"),
+        unix_micros(col("session_end")).as("e_us"), col("duration_sec"))
+    val incidents = sessions
+      .orderBy(col("duration_sec").desc, col("user_id"), col("session_id"))
+      .limit(graft.operators.RangeJoin.IntervalTopK)
+      .select(col("user_id").as("iu"), col("session_id").as("is"),
+        col("s_us").as("i_s"), col("e_us").as("i_e"))
+    val naive = sessions.join(incidents,
+        col("s_us") <= col("i_e") && col("i_s") <= col("e_us") &&
+        col("user_id") =!= col("iu"))
+      .select(col("user_id"), col("session_id"), col("iu"), col("is"),
+        (least(col("e_us"), col("i_e")) - greatest(col("s_us"), col("i_s"))))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(binned.toSet == naive.toSet,
+      s"binned ${binned.length} rows != naive ${naive.length}")
+  }
+
   test("binnedRangeJoinOn: boundary semantics and bin-crossing intervals") {
     import spark.implicits._
     val intervals = Seq(
