@@ -197,6 +197,7 @@ object ScaleCheck {
       run("layout_hilbert", operators.Layout.qHilbertLayout(spark, dir)),
       run("sample_kcenter", operators.Similarity.sampleKCenter(spark, dir)),
       run("q_interval_join", operators.RangeJoin.qIntervalJoin(spark, dir)),
+      run("stream_anomaly", streaming.Streams.anomalyBatch(spark, dir)),
       run("embed_clusters", operators.Similarity.embedClustersOn(
         spark.read.parquet(s"$dir/embeddings.parquet"))),
       if (!only("dedup_semantic")) ("dedup_semantic", 0.0, -1L) else {

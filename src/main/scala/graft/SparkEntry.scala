@@ -116,6 +116,7 @@ object SparkEntry {
     "stream_approx_ndv"   -> (graft.streaming.Streams.windowedApproxNdvBatch(_, _)),
     "stream_topk"         -> (graft.streaming.Streams.topkBatch(_, _)),
     "stream_hist_quantiles" -> (graft.streaming.Streams.histQuantilesBatch(_, _)),
+    "stream_anomaly"      -> (graft.streaming.Streams.anomalyBatch(_, _)),
     "stream_enrich"       -> (graft.streaming.Streams.enrichBatch(_, _)),
     "stream_join"         -> (graft.streaming.Streams.attributeClicksBatch(_, _)),
     "stream_join_outer"   -> (graft.streaming.Streams.attributeClicksOuterBatch(_, _))
@@ -251,6 +252,7 @@ object SparkEntry {
     "stream_approx_ndv"   -> graft.operators.Sketches.windowedApproxNdvOracleSql,
     "stream_topk"         -> graft.streaming.Streams.topkOracleSql,
     "stream_hist_quantiles" -> graft.streaming.Streams.histQuantilesOracleSql,
+    "stream_anomaly"      -> graft.streaming.Streams.anomalyOracleSql,
     // stream-static broadcast enrichment: stateless by construction,
     // the batch body and the streaming body are the same function
     "stream_enrich"       -> graft.streaming.Streams.enrichOracleSql,

@@ -2,7 +2,7 @@ package graft.streaming
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
@@ -746,6 +746,126 @@ object Streams {
        |      user_id, COUNT(*) AS n_events
        |    FROM events GROUP BY 1, 2) c) t
        |WHERE rk <= $TopK""".stripMargin
+
+  // --------------------------------------------------------------------
+  // Streaming per-user EWMA anomaly detection (key `stream_anomaly`)
+  // --------------------------------------------------------------------
+
+  /** EWMA smoothing factor — 1/4, an exact binary fraction, so the
+    * fold's constants introduce no cross-engine literal rounding. */
+  val AnomAlpha = 0.25
+  /** Flag threshold: d² > T²·(s2+eps) — 3 sigma. */
+  val AnomT2 = 9.0
+  val AnomEps = 1e-6
+  /** Minimum history before flagging (a cold-start guard). */
+  val AnomMinN = 3L
+
+  /** One EWMA-variance step (West 1979 exponential Welford):
+    * d = v − m; flag BEFORE updating; m += α·d; s2 = (1−α)·(s2+α·d²).
+    * The shared JVM twin of the column/SQL folds. */
+  private[graft] def anomStep(m: Double, s2: Double, n: Long, anom: Long,
+                              v: Double): (Double, Double, Long, Long) =
+    if (n == 0L) (v, 0.0, 1L, anom)
+    else {
+      val d = v - m
+      val flagged = if (n >= AnomMinN && d * d > AnomT2 * (s2 + AnomEps)) anom + 1 else anom
+      (m + AnomAlpha * d, (1.0 - AnomAlpha) * (s2 + AnomAlpha * d * d), n + 1, flagged)
+    }
+
+  case class AnomEv(user_id: Long, ts: Timestamp, event_id: Long, value: Double)
+  case class AnomState(m: Double, s2: Double, n: Long, anom: Long)
+  case class AnomOut(user_id: Long, n_events: Long, n_anomalies: Long,
+                     ewma: Double, ewvar: Double)
+
+  /** Streaming form: per-user EWMA mean/variance in GroupState (4
+    * numbers per user — fixed-size state at any event rate, where a
+    * per-user history buffer would be unbounded), events folded in
+    * (ts, event_id) order within each micro-batch, the current
+    * per-user summary re-emitted every batch (Update-mode semantics).
+    * In-order delivery across batches ⇒ identical to the batch fold
+    * (the spec's contract); late data folds at arrival position — the
+    * documented at-arrival semantics of streaming EWMA. */
+  def anomalyStream(events: Dataset[AnomEv]): Dataset[AnomOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (uid: Long, evs: Iterator[AnomEv], state: GroupState[AnomState]) =>
+          val st0 = state.getOption.getOrElse(AnomState(0.0, 0.0, 0L, 0L))
+          val sorted = evs.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+          val st = sorted.foldLeft(st0) { (s, e) =>
+            val (m, s2, n, a) = anomStep(s.m, s.s2, s.n, s.anom, e.value)
+            AnomState(m, s2, n, a)
+          }
+          state.update(st)
+          Iterator.single(AnomOut(uid, st.n, st.anom, st.m, st.s2))
+      }
+  }
+
+  /** Batch twin (queries key `stream_anomaly`): ONE keyed aggregate —
+    * per user, the events collect into a (ts, event_id)-sorted array
+    * and the identical fold runs as a codegen'd `aggregate` column
+    * with explicit struct zero. Per-user sequences are bounded by a
+    * user's own activity (the corpus/users ratio), the same
+    * cardinality contract as the stateful sessionizer; the wide
+    * shuffle carries (ts, event_id, value) triples once. */
+  def anomalyBatch(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+    val seqCol = sort_array(collect_list(struct(col("ts"), col("event_id"), col("value"))))
+    val zero = struct(lit(0.0).as("m"), lit(0.0).as("s2"),
+      lit(0L).as("n"), lit(0L).as("anom"))
+    def step(s: Column, e: Column): Column = {
+      val v = e.getField("value")
+      val (m, s2, n, a) = (s.getField("m"), s.getField("s2"),
+        s.getField("n"), s.getField("anom"))
+      val d = v - m
+      val first = n === 0L
+      struct(
+        when(first, v).otherwise(m + lit(AnomAlpha) * d).as("m"),
+        when(first, lit(0.0))
+          .otherwise(lit(1.0 - AnomAlpha) * (s2 + lit(AnomAlpha) * d * d)).as("s2"),
+        (n + 1L).as("n"),
+        when(!first && n >= AnomMinN && d * d > lit(AnomT2) * (s2 + lit(AnomEps)),
+          a + 1L).otherwise(a).as("anom"))
+    }
+    ev.groupBy(col("user_id"))
+      .agg(aggregate(seqCol, zero, step).as("st"))
+      .select(col("user_id"),
+        col("st.n").as("n_events"), col("st.anom").as("n_anomalies"),
+        col("st.m").as("ewma"), col("st.s2").as("ewvar"))
+  }
+
+  /** Oracle: the identical fold in DuckDB. 2-arg `list_reduce` seeds
+    * from the first element, so the zero state is PREPENDED and every
+    * event is lifted into the state's shape. The state is a DOUBLE[4]
+    * `[m, s2, n, anom]` (counters as integer-valued doubles, exact to
+    * 2^53), NOT a struct: DuckDB 1.0's lambda evaluates struct_pack
+    * fields into a buffer that ALIASES the accumulator, so a field
+    * expression can read another field's already-written value —
+    * probed directly: fold `b := s.b + s.a` over 2 steps reads old
+    * `a` in step 1 and the NEW `a` in step 2. List construction
+    * evaluates all elements from the incoming frame and doesn't
+    * alias. */
+  val anomalyOracleSql: String =
+    s"""SELECT user_id,
+       |  CAST(st[3] AS BIGINT) AS n_events, CAST(st[4] AS BIGINT) AS n_anomalies,
+       |  st[1] AS ewma, st[2] AS ewvar
+       |FROM (
+       |  SELECT user_id,
+       |    list_reduce(
+       |      list_prepend([CAST(0.0 AS DOUBLE), 0.0, 0.0, 0.0],
+       |        list_transform(list(value ORDER BY ts, event_id),
+       |          x -> [x, CAST(0.0 AS DOUBLE), 0.0, 0.0])),
+       |      (s, x) -> [
+       |        CASE WHEN s[3] = 0 THEN x[1] ELSE s[1] + $AnomAlpha * (x[1] - s[1]) END,
+       |        CASE WHEN s[3] = 0 THEN CAST(0.0 AS DOUBLE)
+       |             ELSE ${1.0 - AnomAlpha} * (s[2] + $AnomAlpha * (x[1] - s[1]) * (x[1] - s[1])) END,
+       |        s[3] + 1,
+       |        CASE WHEN s[3] >= $AnomMinN
+       |              AND (x[1] - s[1]) * (x[1] - s[1]) > $AnomT2 * (s[2] + $AnomEps)
+       |             THEN s[4] + 1 ELSE s[4] END]) AS st
+       |  FROM events GROUP BY user_id) t""".stripMargin
 
   // --------------------------------------------------------------------
   // Streaming per-window histogram quantiles (key `stream_hist_quantiles`)

@@ -519,6 +519,56 @@ class StreamingSpec extends SparkSpecBase {
     assert(exact == Map(5L -> 2L, 6L -> 1L))
   }
 
+  test("streaming anomaly: EWMA state across batches equals the batch fold; spike flagged") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // user 1: stable series then one 100x spike (flagged), then calm.
+    // n>=3 cold-start: the spike at position 5 is past the guard.
+    val vals = Seq(10.0, 11.0, 9.0, 10.0, 1000.0, 10.0)
+    val evs = vals.zipWithIndex.map { case (v, i) =>
+      Streams.AnomEv(1L, ts(f"2024-01-01 10:${i * 5}%02d:00"), i.toLong, v)
+    }
+    val mem = MemoryStream[Streams.AnomEv]
+    val q = Streams.anomalyStream(mem.toDS).writeStream
+      .format("memory").queryName("anom").outputMode("update").start()
+    try {
+      mem.addData(evs.take(3))    // state must carry across micro-batches
+      q.processAllAvailable()
+      mem.addData(evs.drop(3))
+      q.processAllAvailable()
+      val last = spark.table("anom").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+        .maxBy(_._2) // the latest update carries the full count
+      // batch twin over the same rows via the shared JVM step
+      var (m, s2, n, a) = (0.0, 0.0, 0L, 0L)
+      vals.foreach { v =>
+        val r = Streams.anomStep(m, s2, n, a, v); m = r._1; s2 = r._2; n = r._3; a = r._4
+      }
+      assert(last == ((1L, n, a, m, s2)), s"stream $last != batch ($n,$a,$m,$s2)")
+      assert(a == 1L, s"expected exactly the spike flagged, got $a")
+    } finally q.stop()
+  }
+
+  test("anomaly batch twin: column fold equals the JVM fold per user") {
+    val rows = Streams.anomalyBatch(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // replay each user with the shared step over the sorted values
+    val byUser = sources.Tables.events(spark, sfDir)
+      .select("user_id", "ts", "event_id", "value").collect()
+      .map(r => (r.getLong(0), (r.getTimestamp(1).getTime, r.getLong(2), r.getDouble(3))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sortBy(t => (t._1, t._2))).toMap
+    rows.foreach { r =>
+      val vals = byUser(r.getLong(0))
+      var (m, s2, n, a) = (0.0, 0.0, 0L, 0L)
+      vals.foreach { case (_, _, v) =>
+        val st = Streams.anomStep(m, s2, n, a, v); m = st._1; s2 = st._2; n = st._3; a = st._4
+      }
+      assert(r.getLong(1) == n && r.getLong(2) == a)
+      assert(r.getDouble(3) == m && r.getDouble(4) == s2,
+        s"user ${r.getLong(0)}: column fold != JVM fold")
+    }
+  }
+
   test("streaming hist quantiles: fixed-grid state emits on close, equals the batch grid") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
