@@ -498,10 +498,18 @@ object Similarity {
     import spark.implicits._
     def l2sq(a: Column, b: Column): Column =
       (V.dot(a, a) - lit(2.0) * V.dot(a, b)) + V.dot(b, b)
-    val un = vectors
+    // stage the normalized corpus ONCE: every round scans it again
+    // (plus the argmax job re-executes the frame), and without staging
+    // each of those scans would re-read the source and re-normalize —
+    // measured 84 s → the float→double→unit-norm pass dominated the
+    // 16-round loop at 200k vectors
+    val unStaged = Scratch.dir("graft_kcenter_un")
+    vectors
       .select(col("vec_id"), V.toDouble(col("embedding")).as("e"))
       .withColumn("nrm", V.l2Norm(col("e")))
       .select(col("vec_id"), transform(col("e"), x => x / col("nrm")).as("u"))
+      .write.mode("overwrite").parquet(unStaged)
+    val un = spark.read.parquet(unStaged)
     val seedRow = un.orderBy(col("vec_id")).limit(1).collect()
     if (seedRow.isEmpty)
       return Seq.empty[(Int, Long, Option[Double])]
@@ -519,6 +527,16 @@ object Similarity {
       center = top.getSeq[Double](1).toArray
       scored = scored.withColumn("dmin",
         least(col("dmin"), l2sq(col("u"), typedLit(center.toSeq))))
+      // truncate the least-chain: without restaging, round t's argmax
+      // re-evaluates all t prior center distances per row (Σ = k²/2
+      // dots/row over the loop); a periodic dmin materialization makes
+      // the steady-state cost R dots/row/round — the Bpe.trainOn
+      // plan-depth discipline applied to the distance column
+      if (round % 4 == 0 && round < k) {
+        val staged = Scratch.dir(s"graft_kcenter_d$round")
+        scored.write.mode("overwrite").parquet(staged)
+        scored = spark.read.parquet(staged)
+      }
       round += 1
     }
     chosen.toSeq.toDF("round", "vec_id", "radius")
