@@ -37,6 +37,7 @@ object SparkEntry {
     "sample_holdout_split" -> ((s, d) => Etl.sampleHoldoutSplit(s, d)),
     "sample_temperature"   -> ((s, d) => Etl.sampleTemperature(s, d)),
     "sample_mixture_epochs" -> ((s, d) => Etl.sampleMixtureEpochs(s, d)),
+    "etl_surrogate_keys"   -> (graft.operators.Keys.etlSurrogateKeys(_, _)),
     "etl_scd2"             -> (Etl.scd2History(_, _)),
     "etl_cdc_apply"        -> (Etl.cdcApply(_, _)),
     // §2.2 analytics
@@ -163,6 +164,7 @@ object SparkEntry {
     "q_asof_join"          -> graft.operators.AsOf.qAsOfJoinOracleSql,
     "q_range_join"         -> graft.operators.RangeJoin.qRangeJoinOracleSql,
     "q_interval_join"      -> graft.operators.RangeJoin.qIntervalJoinOracleSql,
+    "etl_surrogate_keys"   -> graft.operators.Keys.etlSurrogateKeysOracleSql,
     "q_pivot_events"       -> Analytics.qPivotEventsOracleSql,
     "q_window_funnel"      -> Analytics.qWindowFunnelOracleSql,
     // the bloom prefilter must be invisible in the output: the oracle

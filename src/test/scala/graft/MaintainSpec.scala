@@ -118,6 +118,22 @@ class MaintainSpec extends SparkSpecBase {
     }
   }
 
+  test("surrogate keys: dense 1..n, order-consistent, partition-count independent") {
+    val df = (1 to 500).map(i => (i.toLong * 7 % 501, i.toLong))
+      .toDF("k", "id")
+    def run(parts: Int) = graft.operators.Keys
+      .surrogateKeysOn(df, Seq(col("k"), col("id")), partitions = parts)
+      .select("sk", "k", "id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    val a = run(4)
+    assert(a.map(_._1).toSeq == (1L to 500L), "ids not dense 1..n")
+    // ids follow the declared total order
+    val ordered = a.sortBy(t => (t._2, t._3))
+    assert(ordered.map(_._1).toSeq == (1L to 500L), "ids disagree with the order key")
+    // the parallelism knob must not change a single id
+    assert(run(9).toSeq == a.toSeq, "ids depend on partition count")
+  }
+
   test("cube: 4 grouping levels; grand total row equals the table count") {
     val rows = Analytics.qCube(spark, sfDir).collect()
     val lvls = rows.map(_.getInt(4)).distinct.sorted

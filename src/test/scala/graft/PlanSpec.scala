@@ -253,6 +253,17 @@ class PlanSpec extends SparkSpecBase {
       "bit-interleave fell out of codegen")
   }
 
+  test("surrogate keys: no unpartitioned window — every task numbers its own slice") {
+    val df = graft.operators.Keys.etlSurrogateKeys(spark, sfDir)
+    val p = plan(df)
+    // the whole point: the window is __pid-partitioned, never global
+    assert(p.contains("windowspecdefinition(__pid"),
+      s"window lost its partition-id key:\n$p")
+    assert(!p.contains("windowspecdefinition(ts#") || p.contains("__pid"),
+      s"global window detected:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("interval join: binned equi-join on bin, overlap as filter, no cartesian") {
     val df = graft.operators.RangeJoin.qIntervalJoin(spark, sfDir)
     val p = plan(df)
