@@ -24,7 +24,11 @@ object ScaleCheck {
     import spark.implicits._
 
     val n = 100000L * mult
-    val dir = java.nio.file.Files.createTempDirectory("graft_scale").toString
+    // Scratch-registered: a 1000× synthesis is ~15 GB of parquet, and
+    // an aborted run that leaves it behind eats /tmp until later runs
+    // die on a full disk (measured: 3 stale corpora = 51 GB → the next
+    // synthesis failed mid-write)
+    val dir = operators.Scratch.dir("graft_scale")
     // a filtered run over the embeddings-only tier skips synthesizing
     // the (much larger) event/order/lineitem/document tables — the
     // 1000x corpus writes ~600M lineitems nobody would read
@@ -198,6 +202,7 @@ object ScaleCheck {
       run("sample_kcenter", operators.Similarity.sampleKCenter(spark, dir)),
       run("q_interval_join", operators.RangeJoin.qIntervalJoin(spark, dir)),
       run("stream_anomaly", streaming.Streams.anomalyBatch(spark, dir)),
+      run("etl_surrogate_keys", operators.Keys.etlSurrogateKeys(spark, dir)),
       run("embed_clusters", operators.Similarity.embedClustersOn(
         spark.read.parquet(s"$dir/embeddings.parquet"))),
       if (!only("dedup_semantic")) ("dedup_semantic", 0.0, -1L) else {
@@ -213,7 +218,7 @@ object ScaleCheck {
     // end-to-end per-ds pipeline (normalize + DQ + staged write + L2
     // merge) — the unit of work the reference DAG runs per day
     val pipe = if (!only("pipeline_run_ds")) None else Some {
-      val lake = java.nio.file.Files.createTempDirectory("graft_scale_lake").toString
+      val lake = operators.Scratch.dir("graft_scale_lake")
       val tp0 = System.nanoTime()
       val summary = operators.Pipeline.runDs(spark, dir, lake, "2024-01-15")
       val pipeSec = (System.nanoTime() - tp0) / 1e9
