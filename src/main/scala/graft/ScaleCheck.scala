@@ -201,7 +201,7 @@ object ScaleCheck {
       run("layout_hilbert", operators.Layout.qHilbertLayout(spark, dir)),
       run("sample_kcenter", operators.Similarity.sampleKCenter(spark, dir)),
       run("q_interval_join", operators.RangeJoin.qIntervalJoin(spark, dir)),
-      run("stream_anomaly", streaming.Streams.anomalyBatch(spark, dir)),
+      run("stream_anomaly", streaming.Streams.anomalyBatchSorted(spark, dir)),
       run("etl_surrogate_keys", operators.Keys.etlSurrogateKeys(spark, dir)),
       run("embed_clusters", operators.Similarity.embedClustersOn(
         spark.read.parquet(s"$dir/embeddings.parquet"))),

@@ -117,7 +117,7 @@ object SparkEntry {
     "stream_approx_ndv"   -> (graft.streaming.Streams.windowedApproxNdvBatch(_, _)),
     "stream_topk"         -> (graft.streaming.Streams.topkBatch(_, _)),
     "stream_hist_quantiles" -> (graft.streaming.Streams.histQuantilesBatch(_, _)),
-    "stream_anomaly"      -> (graft.streaming.Streams.anomalyBatch(_, _)),
+    "stream_anomaly"      -> (graft.streaming.Streams.anomalyBatchSorted(_, _)),
     "stream_enrich"       -> (graft.streaming.Streams.enrichBatch(_, _)),
     "stream_join"         -> (graft.streaming.Streams.attributeClicksBatch(_, _)),
     "stream_join_outer"   -> (graft.streaming.Streams.attributeClicksOuterBatch(_, _))

@@ -836,6 +836,60 @@ object Streams {
         col("st.m").as("ewma"), col("st.s2").as("ewvar"))
   }
 
+  /** The SCALE form of the batch twin: secondary sort + streamed fold.
+    * [[anomalyBatch]]'s collect_list materializes each user's full
+    * (ts, event_id, value) array in the aggregation buffer — measured
+    * as the 1000× spill point (155.9 s at 100M events). This form
+    * hash-partitions on user, sorts (user, ts, event_id) WITHIN each
+    * partition (the repartitionAndSortWithinPartitions recipe in the
+    * Dataset world — one exchange, same as the aggregate pays), and
+    * folds each user's contiguous run with the shared [[anomStep]] in
+    * constant memory per user. Identical rows to the aggregate form
+    * (the gate's oracle checks this one — it is the driver key). */
+  def anomalyBatchSorted(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      .repartition(col("user_id"))
+      .sortWithinPartitions(col("user_id"), col("ts"), col("event_id"))
+      .as[(Long, Timestamp, Long, Double)]
+      .mapPartitions { it =>
+        new Iterator[AnomOut] {
+          private var pending: Option[AnomOut] = None
+          private var cur = Option.empty[(Long, AnomState)]
+          private def close(u: Long, s: AnomState): AnomOut =
+            AnomOut(u, s.n, s.anom, s.m, s.s2)
+          private def advance(): Unit = {
+            while (pending.isEmpty && it.hasNext) {
+              val (u, _, _, v) = it.next()
+              cur match {
+                case Some((pu, st)) if pu == u =>
+                  val r = anomStep(st.m, st.s2, st.n, st.anom, v)
+                  cur = Some((u, AnomState(r._1, r._2, r._3, r._4)))
+                case Some((pu, st)) =>
+                  pending = Some(close(pu, st))
+                  val r = anomStep(0.0, 0.0, 0L, 0L, v)
+                  cur = Some((u, AnomState(r._1, r._2, r._3, r._4)))
+                case None =>
+                  val r = anomStep(0.0, 0.0, 0L, 0L, v)
+                  cur = Some((u, AnomState(r._1, r._2, r._3, r._4)))
+              }
+            }
+            if (pending.isEmpty && !it.hasNext) {
+              cur.foreach { case (u, st) => pending = Some(close(u, st)) }
+              cur = None
+            }
+          }
+          def hasNext: Boolean = { if (pending.isEmpty) advance(); pending.nonEmpty }
+          def next(): AnomOut = {
+            if (pending.isEmpty) advance()
+            val out = pending.get; pending = None; out
+          }
+        }
+      }
+      .toDF("user_id", "n_events", "n_anomalies", "ewma", "ewvar")
+  }
+
   /** Oracle: the identical fold in DuckDB. 2-arg `list_reduce` seeds
     * from the first element, so the zero state is PREPENDED and every
     * event is lifted into the state's shape. The state is a DOUBLE[4]

@@ -549,6 +549,14 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("anomaly sorted-fold form equals the aggregate form row-for-row") {
+    val agg = Streams.anomalyBatch(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toSet
+    val sorted = Streams.anomalyBatchSorted(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toSet
+    assert(sorted == agg, "streamed secondary-sort fold diverged from the aggregate fold")
+  }
+
   test("anomaly batch twin: column fold equals the JVM fold per user") {
     val rows = Streams.anomalyBatch(spark, sfDir).collect()
     assert(rows.nonEmpty)
