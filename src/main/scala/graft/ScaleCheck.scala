@@ -27,12 +27,15 @@ object ScaleCheck {
     // Scratch-registered: a 1000× synthesis is ~15 GB of parquet, and
     // an aborted run that leaves it behind eats /tmp until later runs
     // die on a full disk (measured: 3 stale corpora = 51 GB → the next
-    // synthesis failed mid-write)
-    val dir = operators.Scratch.dir("graft_scale")
+    // synthesis failed mid-write). DISK-backed deliberately: the
+    // RAM-tmpfs scratch root shares capacity with shuffle space, and a
+    // multi-GB corpus can ENOSPC it on hosts where disk temp is fine.
+    val dir = operators.Scratch.diskDir("graft_scale")
     // a filtered run over the embeddings-only tier skips synthesizing
     // the (much larger) event/order/lineitem/document tables — the
     // 1000x corpus writes ~600M lineitems nobody would read
-    val embOnly = Set("embed_clusters", "dedup_semantic")
+    val embOnly = Set("embed_clusters", "dedup_semantic", "knn_ivf",
+      "knn_ivf_pq", "knn_pq", "sample_kcenter")
     val skipNonEmbedding = args.length > 1 && args(1).split(",").forall(embOnly)
     if (!skipNonEmbedding) {
     // same columns/value shapes as the driver's events table
@@ -197,6 +200,7 @@ object ScaleCheck {
       run("dq_key_skew", operators.Skew.dqKeySkew(spark, dir)),
       run("q_cube", queries.Analytics.qCube(spark, dir)),
       run("stream_hist_quantiles", streaming.Streams.histQuantilesBatch(spark, dir)),
+      run("knn_ivf", operators.Similarity.knnIvf(spark, dir)),
       run("knn_ivf_pq", operators.Pq.knnIvfPq(spark, dir)),
       run("layout_hilbert", operators.Layout.qHilbertLayout(spark, dir)),
       run("sample_kcenter", operators.Similarity.sampleKCenter(spark, dir)),
@@ -218,7 +222,7 @@ object ScaleCheck {
     // end-to-end per-ds pipeline (normalize + DQ + staged write + L2
     // merge) — the unit of work the reference DAG runs per day
     val pipe = if (!only("pipeline_run_ds")) None else Some {
-      val lake = operators.Scratch.dir("graft_scale_lake")
+      val lake = operators.Scratch.diskDir("graft_scale_lake")
       val tp0 = System.nanoTime()
       val summary = operators.Pipeline.runDs(spark, dir, lake, "2024-01-15")
       val pipeSec = (System.nanoTime() - tp0) / 1e9

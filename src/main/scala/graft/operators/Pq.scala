@@ -291,7 +291,14 @@ object Pq {
   def knnIvfPq(spark: SparkSession, dir: String, k: Int = K): DataFrame =
     knnIvfPqOn(Tables.embeddings(spark, dir), k)
 
-  def knnIvfPqOn(vectors: DataFrame, k: Int = K, dim: Int = 0): DataFrame = {
+  /** `cells <= 0` (the default) auto-sizes the coarse quantizer
+    * ([[Similarity.autoCells]], C=⌈√(n/2)⌉); an explicit positive C
+    * pins it. The fixed 16-cell knob this replaces left ~corpus/16 of
+    * the codes in every probed cell at 2M vectors — the ScaleCheck-
+    * measured build-dominated 180 s — where √(n/2) keeps the probed
+    * fraction shrinking as the corpus grows. */
+  def knnIvfPqOn(vectors: DataFrame, k: Int = K, dim: Int = 0,
+                 cells: Int = 0): DataFrame = {
     import Similarity.IvfNProbe
     val d =
       if (dim > 0) dim
@@ -306,9 +313,9 @@ object Pq {
     require(d % M == 0, s"embedding dim $d must be divisible by M=$M")
     val subW = d / M
 
-    // --- coarse index: the shared IVF build (fixed C — the driver
-    //     corpus matches knn_ivf's knob)
-    val (indexed, centroids) = Similarity.ivfIndex(vectors, Similarity.IvfCells)
+    // --- coarse index: the shared IVF build (auto-C by default — the
+    //     same knob knn_ivf and the dedup tier run on)
+    val (indexed, centroids) = Similarity.ivfIndex(vectors, cells)
     val spark = vectors.sparkSession
     import spark.implicits._
 
@@ -450,16 +457,16 @@ object Pq {
   }
 
   /** Full DuckDB replay of the composed IVFADC search: the shared IVF
-    * index prefix (fixed C) + the PQ build CTEs (suffixed `p` to avoid
-    * colliding with the prefix's seed/centroid names) + cell-pruned
-    * ADC + exact rerank. */
+    * index prefix (auto-sized C, the executor's knob) + the PQ build
+    * CTEs (suffixed `p` to avoid colliding with the prefix's
+    * seed/centroid names) + cell-pruned ADC + exact rerank. */
   val knnIvfPqOracleSql: String = {
     val dim = 64
     val sub = dim / M
     import Similarity.{sqlDot, sqlNorm, IvfNProbe}
     def d2(a: String, b: String): String =
       s"((${sqlDot(a, a)} - (2.0 * ${sqlDot(a, b)})) + ${sqlDot(b, b)})"
-    s"""${Similarity.ivfOracleIdxCtes(Similarity.ncellsFixedSql)}, probes AS (
+    s"""${Similarity.ivfIdxOraclePrefix}, probes AS (
        |  SELECT query_id, cell FROM (
        |    SELECT q.vec_id AS query_id, c.cell,
        |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY

@@ -58,6 +58,20 @@ private[graft] object Scratch {
     p.toString
   }
 
+  /** A fresh DISK-backed scratch directory (java.io.tmpdir), with the
+    * same shutdown-hook cleanup as [[dir]]. For multi-GB scratch — the
+    * ScaleCheck corpora run to ~15 GB — which would ENOSPC a
+    * RAM-backed tmpfs root shared with `spark.local.dir` shuffle
+    * space: tmpfs capacity is host RAM, while plain disk temp space is
+    * plentiful, and a bulk corpus write is exactly the workload whose
+    * latency the tmpfs root exists to avoid measuring. */
+  def diskDir(prefix: String): String = {
+    ensureHook()
+    val p = Files.createTempDirectory(prefix)
+    registered.add(p)
+    p.toString
+  }
+
   /** Materialize `df` to a fresh scratch dir, release `handle`'s cache
     * pin, and return a scan over the materialized rows. The driver-key
     * entry points of the cache-carrying operators use this: the

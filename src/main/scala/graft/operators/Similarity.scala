@@ -149,8 +149,7 @@ object Similarity {
       |SELECT stats.label, n_vecs, dim, avg_norm, min_norm, max_norm, centroid_norm
       |FROM stats JOIN cent ON stats.label = cent.label""".stripMargin
 
-  /** IVF coarse-quantizer cells and probe width. */
-  val IvfCells = 16
+  /** IVF probe width: cells scanned per query. */
   val IvfNProbe = 4
 
   /** Auto-sized cell count: C = max(1, ceil(sqrt(n/2))). The IVF-style
@@ -186,7 +185,7 @@ object Similarity {
     * centroid, which the cluster-summary/semantic-dedup operators
     * consume. */
   private[operators] def ivfIndex(vectors: DataFrame,
-                                  cells: Int = IvfCells): (DataFrame, DataFrame) = {
+                                  cells: Int = 0): (DataFrame, DataFrame) = {
     // cells <= 0 = auto-size from the corpus count (one COUNT(*) job —
     // a scan returning a single scalar, the same count the oracle's
     // ncells CTE takes; Catalyst prunes every column out of it)
@@ -218,8 +217,13 @@ object Similarity {
     (assignNearest(v, centroids, "cell", "ce", "cn"), centroids)
   }
 
-  def knnIvfOn(vectors: DataFrame, k: Int = K): DataFrame = {
-    val (indexed, centroids) = ivfIndex(vectors)
+  /** `cells <= 0` (the default) auto-sizes the coarse quantizer from
+    * the corpus count ([[autoCells]], C=⌈√(n/2)⌉) — the fixed 16-cell
+    * knob left ~n/16-vector cells at 2M vectors, so a probe pruned
+    * almost nothing (the measured 1000× build-dominated wall). Pass an
+    * explicit positive C to pin it. */
+  def knnIvfOn(vectors: DataFrame, k: Int = K, cells: Int = 0): DataFrame = {
+    val (indexed, centroids) = ivfIndex(vectors, cells)
 
     // --- search: per query, the nprobe nearest cells, then exact
     //     rerank over only those cells' postings. Query vectors come
@@ -342,11 +346,10 @@ object Similarity {
     * assignment as a ranked window, nprobe cell cut, exact rerank.
     * Deterministic end-to-end, hence hash-checkable despite being an
     * "approximate" index. */
-  /** The fixed-C and auto-C ncells CTE bodies. The auto form is the
-    * SQL twin of [[autoCells]]: COUNT(*)/2.0 is an exact double, sqrt
-    * and ceil are correctly-rounded in both engines, so the derived C
-    * agrees exactly with the executor's. */
-  private[operators] def ncellsFixedSql: String = s"SELECT CAST($IvfCells AS BIGINT) AS c"
+  /** The auto-C ncells CTE body — the SQL twin of [[autoCells]]:
+    * COUNT(*)/2.0 is an exact double, sqrt and ceil are
+    * correctly-rounded in both engines, so the derived C agrees
+    * exactly with the executor's. */
   private def ncellsAutoSql: String =
     "SELECT GREATEST(1, CAST(ceil(sqrt(COUNT(*)/2.0)) AS BIGINT)) AS c FROM vn"
 
@@ -394,7 +397,7 @@ object Similarity {
        |)""".stripMargin
 
   val knnIvfOracleSql: String =
-    s"""${ivfOracleIdxCtes(ncellsFixedSql)}, probes AS (
+    s"""${ivfOracleIdxCtes(ncellsAutoSql)}, probes AS (
        |  SELECT query_id, qe, qnrm, cell FROM (
        |    SELECT q.vec_id AS query_id, q.e AS qe, q.nrm AS qnrm, c.cell,
        |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY

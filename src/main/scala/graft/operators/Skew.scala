@@ -58,8 +58,13 @@ object Skew {
         // bit-identical across engines
         (col("cnt").cast("double") / col("total_rows").cast("double")).as("share"),
         col("n_keys"), col("total_rows"),
-        // ceil(max/avg) = ceil(max * n_keys / total) in pure integers
-        expr("(max_cnt * n_keys + total_rows - 1) div total_rows").as("salt_factor"))
+        // ceil(max/avg) = ceil(max * n_keys / total) in pure integer
+        // math — through DECIMAL(38,0): at the corpus this profiler is
+        // pitched at (~1e9 distinct keys × ~1e10 hot-key rows) the
+        // Long product would wrap silently where DuckDB raises,
+        // breaking both the answer and the oracle contract
+        expr("cast((cast(max_cnt as decimal(38,0)) * n_keys + total_rows - 1)" +
+          " div total_rows as bigint)").as("salt_factor"))
   }
 
   /** Driver query (key `dq_key_skew`): profile `events.user_id` — the
@@ -90,7 +95,7 @@ object Skew {
        |SELECT CAST(t.rank AS INTEGER) AS rank, t.key AS user_id, t.cnt,
        |  CAST(t.cnt AS DOUBLE) / CAST(s.total_rows AS DOUBLE) AS share,
        |  s.n_keys, s.total_rows,
-       |  CAST((s.max_cnt * s.n_keys + s.total_rows - 1) // s.total_rows
-       |    AS BIGINT) AS salt_factor
+       |  CAST((CAST(s.max_cnt AS HUGEINT) * s.n_keys + s.total_rows - 1)
+       |    // s.total_rows AS BIGINT) AS salt_factor
        |FROM top t CROSS JOIN summary s""".stripMargin
 }

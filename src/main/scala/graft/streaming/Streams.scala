@@ -810,7 +810,11 @@ object Streams {
     * cardinality contract as the stateful sessionizer; the wide
     * shuffle carries (ts, event_id, value) triples once. */
   def anomalyBatch(spark: SparkSession, dir: String): DataFrame = {
+    // null values carry no measurement to fold: dropped explicitly so
+    // all three forms agree — collect_list would skip them silently
+    // here while the sorted form's non-nullable decode would crash
     val ev = Tables.events(spark, dir)
+      .filter(col("value").isNotNull)
       .select(col("user_id"), col("ts"), col("event_id"), col("value"))
     val seqCol = sort_array(collect_list(struct(col("ts"), col("event_id"), col("value"))))
     val zero = struct(lit(0.0).as("m"), lit(0.0).as("s2"),
@@ -849,6 +853,7 @@ object Streams {
   def anomalyBatchSorted(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.events(spark, dir)
+      .filter(col("value").isNotNull) // all three forms drop null measurements
       .select(col("user_id"), col("ts"), col("event_id"), col("value"))
       .repartition(col("user_id"))
       .sortWithinPartitions(col("user_id"), col("ts"), col("event_id"))
@@ -919,7 +924,7 @@ object Streams {
        |        CASE WHEN s[3] >= $AnomMinN
        |              AND (x[1] - s[1]) * (x[1] - s[1]) > $AnomT2 * (s[2] + $AnomEps)
        |             THEN s[4] + 1 ELSE s[4] END]) AS st
-       |  FROM events GROUP BY user_id) t""".stripMargin
+       |  FROM events WHERE value IS NOT NULL GROUP BY user_id) t""".stripMargin
 
   // --------------------------------------------------------------------
   // Streaming per-window histogram quantiles (key `stream_hist_quantiles`)

@@ -256,11 +256,14 @@ class PlanSpec extends SparkSpecBase {
   test("surrogate keys: no unpartitioned window — every task numbers its own slice") {
     val df = graft.operators.Keys.etlSurrogateKeys(spark, sfDir)
     val p = plan(df)
-    // the whole point: the window is __pid-partitioned, never global
-    assert(p.contains("windowspecdefinition(__pid"),
-      s"window lost its partition-id key:\n$p")
-    assert(!p.contains("windowspecdefinition(ts#") || p.contains("__pid"),
-      s"global window detected:\n$p")
+    // the whole point: EVERY window is __pid-partitioned, never global
+    // — check each windowspecdefinition occurrence directly (a paired
+    // "contains A / contains B" form is tautological once A holds)
+    val specs = "windowspecdefinition\\(([^,)]*)".r
+      .findAllMatchIn(p).map(_.group(1)).toList
+    assert(specs.nonEmpty, s"no window found in the plan:\n$p")
+    specs.foreach(first => assert(first.startsWith("__pid"),
+      s"window partitioned on '$first', not __pid — global window detected:\n$p"))
     assert(!p.contains("CartesianProduct"))
   }
 
