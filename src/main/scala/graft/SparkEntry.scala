@@ -79,6 +79,7 @@ object SparkEntry {
     "dedup_decontaminate"    -> ((s, d) => Dedup.decontaminate(s, d)),
     "dedup_substring_spans"  -> ((s, d) => graft.operators.SubstringSpans.substringSpans(s, d)),
     "dedup_semantic"         -> ((s, d) => Dedup.semanticDedup(s, d)),
+    "corpus_prep"            -> (graft.operators.CorpusPipeline.corpusPrep(_, _)),
     // §2.4 similarity
     "knn_bruteforce" -> ((s, d) => Similarity.knnBruteforce(s, d)),
     "knn_lsh"        -> ((s, d) => Similarity.knnLsh(s, d)),
@@ -201,6 +202,9 @@ object SparkEntry {
     "dedup_substring_spans"  -> graft.operators.SubstringSpans.substringSpansOracleSql,
     // within-cluster pair space over the shared IVF-build replay
     "dedup_semantic"         -> Dedup.semanticDedupOracleSql,
+    // the six-stage corpus composition as one CTE chain — each stage
+    // the same formulation as its standalone oracle, re-rooted
+    "corpus_prep"            -> graft.operators.CorpusPipeline.corpusPrepOracleSql,
     // §2.4 similarity — the "approximate" indexes are deterministic
     // (fixed-seed hyperplanes; decimal-exact Lloyd means), so they
     // replay fully in SQL and get real hash oracles

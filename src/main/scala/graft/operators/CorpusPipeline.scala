@@ -1,7 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.sources.Tables
 
 /** End-to-end training-data corpus preparation — the composition the
   * individual §2.3–§2.5 operators exist FOR, chained the way a
@@ -147,6 +148,117 @@ object CorpusPipeline {
       .write.mode("overwrite").parquet(staged)
     val encoded = docs.sparkSession.read.parquet(staged)
     TrainPrep.packIdStreamOn(encoded, nShards, budget)
+  }
+
+  /** Driver query (key `corpus_prep`): [[prepare]] over the test
+    * corpus with every default knob — the end-to-end composition the
+    * per-stage driver keys exist for, hash-checked as ONE result. */
+  def corpusPrep(spark: SparkSession, dir: String): DataFrame =
+    prepare(Tables.documents(spark, dir))
+
+  /** Oracle: the six stages replayed as one CTE chain — each stage's
+    * SQL is the SAME formulation its standalone oracle uses
+    * (quality = `text_quality`'s score, exact dedup = keep-min-id per
+    * md5, pairs+closure = `dedup_clusters`' recursive CTE,
+    * decontamination = `dedup_decontaminate`'s report+cut,
+    * sampling = `sample_weighted`'s hash draw, packing =
+    * `pack_sequences`' windows), re-rooted at the previous stage's
+    * CTE instead of the raw table. */
+  val corpusPrepOracleSql: String = {
+    val stop = TextAnalysis.Stopwords.map(s => s"'$s'").mkString(", ")
+    val cases = Etl.MixtureWeights.toSeq.sortBy(_._1)
+      .map { case (s, w) => s"WHEN '$s' THEN $w" }.mkString(" ")
+    val nTok = "CAST(len(string_split(text, ' ')) AS DOUBLE)"
+    s"""WITH RECURSIVE traind AS (
+       |  SELECT doc_id, text, lang, source FROM documents WHERE source <> 'src0'),
+       |evald AS (
+       |  SELECT doc_id, text, lang, source FROM documents WHERE source = 'src0'),
+       |kept AS (
+       |  SELECT * FROM traind
+       |  WHERE (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) / $nTok)
+       |    * (1.0 - CAST(len(list_filter(string_split(text, ' '), t -> t IN ($stop))) AS DOUBLE) / $nTok)
+       |    * least(1.0, $nTok / 100.0) >= $QualityMin),
+       |exact AS (
+       |  SELECT doc_id, text, lang, source FROM (
+       |    SELECT k.*, ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rk
+       |    FROM kept k) t
+       |  WHERE rk = 1),
+       |tri AS (
+       |  SELECT doc_id, list_distinct(list_transform(generate_series(1, len(w)-2),
+       |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS tg
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM exact)
+       |  WHERE len(w) >= 3),
+       |pairs AS (
+       |  SELECT doc_a, doc_b FROM (
+       |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |      CAST(len(list_intersect(a.tg, b.tg)) AS DOUBLE)
+       |        / CAST(len(a.tg) + len(b.tg) - len(list_intersect(a.tg, b.tg)) AS DOUBLE) AS jaccard
+       |    FROM tri a, tri b
+       |    WHERE a.doc_id < b.doc_id) p
+       |  WHERE jaccard >= ${Dedup.JaccardTau}),
+       |edges AS (
+       |  SELECT doc_a AS a, doc_b AS b FROM pairs
+       |  UNION SELECT doc_b AS a, doc_a AS b FROM pairs),
+       |reach AS (
+       |  SELECT a, b FROM edges
+       |  UNION
+       |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+       |losers AS (
+       |  SELECT a AS doc_id FROM reach GROUP BY a HAVING LEAST(a, MIN(b)) <> a),
+       |neardedup AS (
+       |  SELECT * FROM exact e
+       |  WHERE NOT EXISTS (SELECT 1 FROM losers l WHERE l.doc_id = e.doc_id)),
+       |noexacteval AS (
+       |  SELECT * FROM neardedup n
+       |  WHERE NOT EXISTS (SELECT 1 FROM evald v WHERE md5(v.text) = md5(n.text))),
+       |u AS (
+       |  SELECT * FROM noexacteval UNION ALL SELECT * FROM evald),
+       |g AS (
+       |  SELECT doc_id, source, unnest(list_distinct(
+       |    list_transform(generate_series(1, len(w) - ${Dedup.ContamN - 1}),
+       |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]))) AS ng
+       |  FROM (SELECT doc_id, source, string_split(text, ' ') AS w FROM u)
+       |  WHERE len(w) >= ${Dedup.ContamN}),
+       |es AS (
+       |  SELECT doc_id AS eval_doc_id, COUNT(*) AS n_eval_grams
+       |  FROM g WHERE source = 'src0' GROUP BY 1),
+       |report AS (
+       |  SELECT t.doc_id AS train_doc_id,
+       |    CAST(COUNT(*) AS DOUBLE) / CAST(ANY_VALUE(es.n_eval_grams) AS DOUBLE)
+       |      AS eval_containment
+       |  FROM g t
+       |  JOIN g e ON t.ng = e.ng
+       |  JOIN es ON es.eval_doc_id = e.doc_id
+       |  WHERE e.source = 'src0' AND t.source <> 'src0'
+       |  GROUP BY t.doc_id, e.doc_id),
+       |flagged AS (
+       |  SELECT DISTINCT train_doc_id FROM report
+       |  WHERE eval_containment >= ${Dedup.ContamTau}),
+       |clean AS (
+       |  SELECT * FROM noexacteval c
+       |  WHERE NOT EXISTS (SELECT 1 FROM flagged f WHERE f.train_doc_id = c.doc_id)),
+       |sampled AS (
+       |  SELECT * FROM clean
+       |  WHERE CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) AS DOUBLE)
+       |        < (CASE source $cases ELSE ${Etl.DefaultMixtureWeight} END) * 4294967296.0),
+       |t2 AS (
+       |  SELECT doc_id, text, lang, source,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) AS h
+       |  FROM sampled),
+       |p2 AS (
+       |  SELECT doc_id, text, lang, source,
+       |    CAST(h % ${TrainPrep.NShards} AS INTEGER) AS shard,
+       |    CAST(ROW_NUMBER() OVER w AS INTEGER) AS seq_pos,
+       |    CAST(COALESCE(SUM(n_tokens) OVER (
+       |      PARTITION BY h % ${TrainPrep.NShards} ORDER BY h, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |      AS token_offset
+       |  FROM t2
+       |  WINDOW w AS (PARTITION BY h % ${TrainPrep.NShards} ORDER BY h, doc_id))
+       |SELECT doc_id, text, lang, source, shard, seq_pos, token_offset,
+       |  token_offset // ${TrainPrep.ChunkBudget} AS chunk_id
+       |FROM p2""".stripMargin
   }
 
   /** Run [[prepare]] and report the per-stage funnel — the numbers a

@@ -26,6 +26,65 @@ object Pipeline {
 
   case class DsRunSummary(ds: String, nNormalized: Long, nL2: Long)
 
+  /** One ledger row per pipeline stage — the structured run log the
+    * reference keeps per stage (scripts/helper_logging.py:1 gives
+    * every script a stage-tagged logger; at 100 TB this is what an
+    * operator pages on): which stage ran, its verdict, the rows in
+    * and out, and the wall time. `rows_in = -1` means "not measured"
+    * (counting a side the stage never materializes would add a job
+    * just for the log). */
+  case class StageLog(ds: String, seq: Int, stage: String, status: String,
+                      rows_in: Long, rows_out: Long, detail: String,
+                      elapsed_ms: Long)
+
+  /** Ledger sidecar location for one ds — inside the lake, next to
+    * the zones the run writes, so the log travels with the data (and
+    * through the same Hadoop filesystem, object stores included). */
+  private def ledgerPath(lakeDir: String, ds: String) =
+    new org.apache.hadoop.fs.Path(s"$lakeDir/_runlog/$ds.json")
+
+  /** The per-ds run ledger as a DataFrame (all ds files under
+    * `<lakeDir>/_runlog`). Explicit schema: an empty or partial log
+    * directory must read, not fail inference. */
+  def readRunLedger(spark: SparkSession, lakeDir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("ds", StringType), StructField("seq", IntegerType),
+      StructField("stage", StringType), StructField("status", StringType),
+      StructField("rows_in", LongType), StructField("rows_out", LongType),
+      StructField("detail", StringType), StructField("elapsed_ms", LongType)))
+    spark.read.schema(schema).json(s"$lakeDir/_runlog")
+  }
+
+  /** Write one ds's ledger (overwrite: a ds rerun replaces its log the
+    * same way it replaces its partitions). Through the Hadoop
+    * filesystem of `lakeDir`, so any scheme the lake itself supports
+    * works; the file is a handful of rows, written from the driver. */
+  private def writeLedger(spark: SparkSession, lakeDir: String, ds: String,
+                          entries: Seq[StageLog]): Unit = {
+    def esc(s: String): String = s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+    val p = ledgerPath(lakeDir, ds)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try {
+      val body = entries.map { e =>
+        s"""{"ds":"${esc(e.ds)}","seq":${e.seq},"stage":"${esc(e.stage)}",""" +
+          s""""status":"${esc(e.status)}","rows_in":${e.rows_in},""" +
+          s""""rows_out":${e.rows_out},"detail":"${esc(e.detail)}",""" +
+          s""""elapsed_ms":${e.elapsed_ms}}"""
+      }.mkString("", "\n", "\n")
+      out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } finally out.close()
+  }
+
   /** DQ gate for a normalized batch: non-empty, no null keys or
     * timestamps, no duplicate event ids, and the metric column must
     * carry at least one real (non-null, non-NaN) observation — a batch
@@ -55,15 +114,38 @@ object Pipeline {
   }
 
   /** Run one `ds` partition end-to-end. Idempotent: a rerun replaces
-    * the same staging and L2 partitions with identical content. */
+    * the same staging and L2 partitions with identical content.
+    *
+    * Every run — including one the DQ gate rejects — leaves a
+    * per-stage ledger at `<lakeDir>/_runlog/<ds>.json` (see
+    * [[StageLog]]/[[readRunLedger]]): the run observability surface
+    * the reference carries via its per-stage structured logger. */
   def runDs(spark: SparkSession, srcDir: String, lakeDir: String, ds: String): DsRunSummary = {
+    val ledger = scala.collection.mutable.ArrayBuffer.empty[StageLog]
+    def log(stage: String, status: String, rowsIn: Long, rowsOut: Long,
+            detail: String, t0: Long): Unit =
+      ledger += StageLog(ds, ledger.size + 1, stage, status, rowsIn, rowsOut,
+        detail, (System.nanoTime() - t0) / 1000000L)
     // 1. incremental slice + normalize (the raw→staging transform)
+    val t1 = System.nanoTime()
     val batch = Etl.incrementalDs(spark, srcDir, ds)
-    // 2. DQ gate — abort, don't load, on violations
-    val nNormalized = dqGate(batch, ds)
+    // 2. DQ gate — abort, don't load, on violations (the rejection is
+    //    still a ledger row: a page-worthy verdict, not a silent stop)
+    val nNormalized =
+      try {
+        val n = dqGate(batch, ds)
+        log("normalize_dq_gate", "pass", -1L, n, "", t1)
+        n
+      } catch { case e: DataQualityException =>
+        log("normalize_dq_gate", "rejected", -1L, 0L, e.getMessage, t1)
+        writeLedger(spark, lakeDir, ds, ledger.toSeq)
+        throw e
+      }
     // 3. staged write, partitioned by event_date (only this ds's
     //    partition is replaced)
+    val t2 = System.nanoTime()
     Sinks.writePartitioned(batch, s"$lakeDir/staging", Seq("event_date"))
+    log("staging_write", "ok", nNormalized, nNormalized, s"$lakeDir/staging", t2)
     // 4. L2 upsert: merge the new batch with the existing L2 rows of
     //    the SAME partition, keep-latest per business key, overwrite
     //    that partition. The merge result is staged DURABLY to a temp
@@ -89,8 +171,11 @@ object Pipeline {
     // dir must never clobber each other's staging (stageAndReplace
     // deletes it when done)
     val runId = java.util.UUID.randomUUID().toString.take(8)
+    val t3 = System.nanoTime()
     val nL2 = Sinks.stageAndReplace(merged, s"$lakeDir/_merge_tmp_${ds}_$runId",
       l2Path, Seq("event_date"))
+    log("l2_merge", "ok", nNormalized, nL2, l2Path, t3)
+    writeLedger(spark, lakeDir, ds, ledger.toSeq)
     DsRunSummary(ds, nNormalized, nL2)
   }
 

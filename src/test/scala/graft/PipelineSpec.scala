@@ -43,6 +43,41 @@ class PipelineSpec extends SparkSpecBase {
     assert(!new java.io.File(s"$lake/l2").exists())
   }
 
+  test("run ledger: a normal run logs every stage with verdicts, rows, timings") {
+    val lake = java.nio.file.Files.createTempDirectory("graft_lake_lg").toString
+    val ds = "2024-01-15"
+    val r = Pipeline.runDs(spark, sfDir, lake, ds)
+    val rows = Pipeline.readRunLedger(spark, lake).collect()
+      .map(x => (x.getString(0), x.getInt(1), x.getString(2), x.getString(3),
+        x.getLong(4), x.getLong(5), x.getString(6), x.getLong(7)))
+      .sortBy(_._2)
+    assert(rows.map(_._3).sameElements(
+      Array("normalize_dq_gate", "staging_write", "l2_merge")))
+    assert(rows.forall(_._1 == ds) && rows.forall(_._4 != "rejected"))
+    val gate = rows(0); val merge = rows(2)
+    assert(gate._4 == "pass" && gate._6 == r.nNormalized)
+    assert(merge._6 == r.nL2 && merge._5 == r.nNormalized)
+    assert(rows.forall(_._8 >= 0L), "stage timings must be recorded")
+    // a rerun REPLACES the ledger (idempotent like the partitions)
+    Pipeline.runDs(spark, sfDir, lake, ds)
+    assert(Pipeline.readRunLedger(spark, lake).count() == 3)
+  }
+
+  test("run ledger: a DQ-rejected run still leaves its rejection row") {
+    val lake = java.nio.file.Files.createTempDirectory("graft_lake_lg2").toString
+    intercept[Pipeline.DataQualityException] {
+      Pipeline.runDs(spark, sfDir, lake, "1999-12-31")
+    }
+    val rows = Pipeline.readRunLedger(spark, lake).collect()
+    assert(rows.length == 1)
+    val r = rows(0)
+    assert(r.getString(2) == "normalize_dq_gate" && r.getString(3) == "rejected")
+    assert(r.getString(6).contains("empty batch") && r.getLong(5) == 0L)
+    // the rejected run wrote the LOG and nothing else
+    assert(!new java.io.File(s"$lake/l2").exists())
+    assert(!new java.io.File(s"$lake/staging").exists())
+  }
+
   test("runDsWithL1 loads the gated batch into the row store, rerun-idempotent") {
     val lake = java.nio.file.Files.createTempDirectory("graft_lake_l1").toString
     val url = "jdbc:derby:memory:graft_pipe_l1;create=true"
