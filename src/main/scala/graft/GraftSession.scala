@@ -88,6 +88,16 @@ object GraftSession {
       // than sorting the input. Past that, falling back is the right
       // spill-safe behavior, so the threshold is raised, not disabled.
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "65536")
+      // several bounded report frames (calendar-day drift, bins-sized
+      // histogram cuts, vocab-sized id ranks) DECLARE their intentional
+      // one-partition window with a literal partition key; this rule
+      // would fold the literal away, reverting the window to an
+      // "unpartitioned" spec whose runtime warning then drowns the log
+      // lines an operator actually pages on. The rule only ever fires
+      // on foldable partition keys — which this codebase writes solely
+      // to make that declaration — so excluding it changes nothing else.
+      .config("spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.EliminateWindowPartitions")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")

@@ -369,8 +369,11 @@ object Bpe {
     val sv = segs
       .select(explode(col("syms")).as("subword"), col("cnt"))
       .groupBy(col("subword")).agg(sum(col("cnt")).as("total"))
+      // lit(0) declares the intentional single-partition rank over the
+      // bounded (chars + merges) subword vocabulary
       .withColumn("sid", (row_number().over(
-        Window.orderBy(col("total").desc, col("subword"))) - 1).cast("int"))
+        Window.partitionBy(lit(0))
+          .orderBy(col("total").desc, col("subword"))) - 1).cast("int"))
       .select(col("subword"), col("sid"))
     val wordIds = segs
       .select(col("word"), posexplode(col("syms")).as(Seq("subpos", "subword")))

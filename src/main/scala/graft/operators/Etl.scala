@@ -255,7 +255,9 @@ object Etl {
       .select(col("event_date"),
         coalesce(col("n_rows"), lit(0L)).as("n_rows"),
         coalesce(col("n_users"), lit(0L)).as("n_users"))
-    val w = Window.orderBy(col("event_date"))
+    // bounded single-partition window: one row per CALENDAR DAY of the
+    // lake's span, never corpus-sized (lit(0) declares the layout)
+    val w = Window.partitionBy(lit(0)).orderBy(col("event_date"))
       .rowsBetween(-DriftWindowDays, -1)
     full
       .withColumn("trailing_avg_rows", avg(col("n_rows")).over(w))

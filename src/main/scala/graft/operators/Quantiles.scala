@@ -196,11 +196,13 @@ object Quantiles {
         require(num > 0 && num <= den, s"quantile $name=$num/$den outside (0,1]")
         Row(name, (n * num + den - 1) / den) // ceil(q*n), exact integer math
       }, 1), outSchema)
-    val w = org.apache.spark.sql.expressions.Window.orderBy(col("b"))
+    // bounded single-partition window: <= bins rows by construction
+    // (lit(0) declares the intentional one-partition layout)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(0)).orderBy(col("b"))
     val cum = ticks
       .groupBy(expr(s"(t - $mn) div $width").as("b"))
       .agg(count(lit(1)).as("c"))
-      // bounded global window: <= bins rows by construction
       .withColumn("cum", sum(col("c")).over(w))
     ks.join(broadcast(cum),
         col("cum") >= col("rank_k") && (col("cum") - col("c")) < col("rank_k"))

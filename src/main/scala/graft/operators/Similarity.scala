@@ -251,36 +251,54 @@ object Similarity {
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"), col("cosine"))
   }
 
-  /** Assign each vector to its nearest (max-cosine) centroid: one
-    * max_by aggregate instead of a row_number window — the window form
-    * shuffled corpus×cells rows and sorted them per vector; the
-    * aggregate's map-side partials collapse each vector's cell
-    * candidates (co-located by the broadcast join) to one row BEFORE
-    * the exchange, so the shuffle carries corpus-sized, not
-    * corpus×cells-sized, data. Tie-break matches the window form
-    * (highest sim, then lowest cell id — hence the negated cell in the
-    * ordering struct).
+  /** Assign each vector to its nearest (max-cosine) centroid: ONE
+    * narrow corpus pass with the C-row codebook shipped in the task
+    * closure (the [[Pq.argminCode]] precedent) — a tight JVM argmax
+    * per vector, no join, no shuffle, nothing n·C-sized ever
+    * materialized. The earlier join+max_by form pushed n·C candidate
+    * rows through aggregation machinery; at 2M vectors × auto-C=1000
+    * that was 2 BILLION rows per assignment pass and the measured wall
+    * of the whole IVF tier at 1000× (knn_ivf 687 s of which the two
+    * assignment passes were nearly all). The loop does the same n·C·d
+    * multiply-adds as arithmetic — bounded by FLOPs, not by shuffle.
     *
-    * The aggregate runs on SLIM (vec_id, cell, sim) rows and the
-    * winning cell re-attaches e/nrm with one corpus-sized equi-join
-    * afterward: the n·C candidate explosion flows through the
-    * partial-aggregation hash state, and carrying the embedding array
-    * in the max_by struct made that state ~550 bytes/candidate — at
-    * 2M vectors × auto-C=1000 cells it spilled 47+ GB before this
-    * slimming; the slim struct is ~32 bytes and the spill disappears. */
+    * Bit-parity with the oracle's ranked-window replay: the dot is the
+    * SAME sequential left fold as `vec_dot` (ascending index, double
+    * accumulator), `sim = dot / (nrm * cn)` is the exact
+    * [[V.cosineWithNorms]] parenthesization, and iterating cells in
+    * ascending id order with strict-> replacement ties to the LOWEST
+    * cell — the (sim desc, cell asc) window convention. The codebook
+    * collect is bounded: C rows (√(n/2) auto-sized — ~22k rows × d
+    * doubles even at a 10^9-vector corpus). */
   private def assignNearest(v: DataFrame, centroids: DataFrame,
                             cellCol: String, ceCol: String, cnCol: String): DataFrame = {
-    val best = v.join(centroids)
-      .select(col("vec_id"), col(cellCol),
-        V.cosineWithNorms(V.dot(col("e"), col(ceCol)), col("nrm"), col(cnCol))
-          .as("sim"))
-      .groupBy(col("vec_id"))
-      .agg(max_by(
-        struct(col(cellCol).as("cell"), col("sim").as("sim")),
-        struct(col("sim").as("sim"), (-col(cellCol)).as("neg_cell"))).as("best"))
-      .select(col("vec_id"), col("best.cell").as(cellCol), col("best.sim").as("sim"))
-    v.join(best, "vec_id")
-      .select(col("vec_id"), col("e"), col("nrm"), col(cellCol), col("sim"))
+    val spark = v.sparkSession
+    import spark.implicits._
+    val cents: Array[(Long, Array[Double], Double)] = centroids
+      .select(col(cellCol).cast("long"), col(ceCol), col(cnCol))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
+      .sortBy(_._1)
+    v.select(col("vec_id"), col("e"), col("nrm"))
+      .as[(Long, Array[Double], Double)]
+      .mapPartitions { it =>
+        it.map { case (vid, e, nrm) =>
+          var best = -1
+          var bestSim = 0.0
+          var i = 0
+          while (i < cents.length) {
+            val ce = cents(i)._2
+            var dot = 0.0
+            var j = 0
+            while (j < e.length) { dot += e(j) * ce(j); j += 1 }
+            val sim = dot / (nrm * cents(i)._3)
+            if (best < 0 || sim > bestSim) { best = i; bestSim = sim }
+            i += 1
+          }
+          (vid, e, nrm, cents(best)._1, bestSim)
+        }
+      }
+      .toDF("vec_id", "e", "nrm", cellCol, "sim")
   }
 
   /** LSH tables: `Tables_` hyperplane groups of `BitsPerTable` planes. */

@@ -72,9 +72,10 @@ object Skew {
     * `rank` disambiguates ties deterministically for the report. */
   def dqKeySkew(spark: SparkSession, dir: String): DataFrame = {
     val prof = keySkewProfileOn(Tables.events(spark, dir), col("user_id"))
-    // bounded global window: TopKeys rows by construction
+    // bounded single-partition window: TopKeys rows by construction
+    // (lit(0) declares the intentional one-partition layout)
     val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("cnt").desc, col("key"))
+      .partitionBy(lit(0)).orderBy(col("cnt").desc, col("key"))
     prof.withColumn("rank", row_number().over(w).cast("int"))
       .select(col("rank"), col("key").as("user_id"), col("cnt"),
         col("share"), col("n_keys"), col("total_rows"), col("salt_factor"))

@@ -101,9 +101,10 @@ object TrainPrep {
     TextAnalysis.textVocabOn(docs, topK)
       // bounded single-partition window: the frame is the topK-row
       // vocabulary, never the corpus (same pattern as textVocabOn's
-      // global cut)
+      // global cut; lit(0) declares the intentional layout)
       .withColumn("token_id", (row_number().over(
-        Window.orderBy(col("n_occurrences").desc, col("term"))) - 1).cast("int"))
+        Window.partitionBy(lit(0))
+          .orderBy(col("n_occurrences").desc, col("term"))) - 1).cast("int"))
       .select(col("term"), col("token_id"))
 
   /** Token-ID ENCODING — the tokenizer-apply step between vocabulary

@@ -90,15 +90,19 @@ class PlanSpec extends SparkSpecBase {
     assert(p.contains("Exchange") || p.contains("Window"))
   }
 
-  test("knn ivf: cell assignment aggregates, it does not window-sort") {
+  test("knn ivf: cell assignment is a closure-codebook scan, not a window or join") {
     val p = plan(graft.operators.Similarity.knnIvf(spark, sfDir))
     // two windows remain by design (query->probe-cells ranking and the
     // final top-k); the two corpus-sized nearest-cell assignments must
-    // plan as max_by aggregates, not per-vector row_number windows
-    // count Window operator nodes (not WindowGroupLimit helper nodes)
+    // plan as mapPartitions scans over the broadcast-in-closure
+    // codebook — no per-vector row_number window, no n*C join/agg
+    // (count Window operator nodes, not WindowGroupLimit helper nodes)
     assert("Window \\[".r.findAllIn(p).size <= 2,
       s"corpus-sized assignment regressed to a window sort:\n$p")
-    assert(p.contains("max_by"), s"expected max_by assignment:\n$p")
+    assert(p.contains("MapPartitions"),
+      s"expected closure-codebook mapPartitions assignment:\n$p")
+    assert(!p.contains("max_by"),
+      s"assignment regressed to the n*C join+max_by aggregate:\n$p")
   }
 
   test("native expressions stay inside whole-stage codegen") {
