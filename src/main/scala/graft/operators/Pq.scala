@@ -456,6 +456,215 @@ object Pq {
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"), col("cosine"))
   }
 
+  // --- serving-shape split: build once, stage, query many ---------------
+
+  /** A staged IVFADC index: the three bounded-or-corpus-resident
+    * frames a serving deployment materializes ONCE and then queries
+    * from — `centroids` (C rows: cell, ce, cn), `codebooks` (M·Kc
+    * rows: m, code, cs), and `codes` (one row per corpus vector:
+    * vec_id, cell, codes array in subspace order — the M-small-ints
+    * compressed form that IS the PQ memory story). The original
+    * vector column is deliberately NOT part of the index: the exact
+    * rerank reads it from the corpus by key over the bounded
+    * candidate sliver (Rerank·Q rows — a point-lookup join at scale). */
+  case class IvfPqIndex(centroids: DataFrame, codebooks: DataFrame, codes: DataFrame)
+
+  /** Build the staged index: the SAME deterministic build the one-shot
+    * [[knnIvfPqOn]] runs (shared `ivfIndex` + per-subspace codebooks),
+    * with every corpus vector encoded once. Encode pays n·M·Kc
+    * multiply-adds in one narrow pass — the build cost the one-shot
+    * key folds into every call and a serving deployment pays once. */
+  def buildIvfPq(vectors: DataFrame, dim: Int = 0, cells: Int = 0): IvfPqIndex = {
+    val d =
+      if (dim > 0) dim
+      else vectors.select(size(col("embedding")).as("__d"))
+        .filter(col("__d").isNotNull).limit(1).collect().headOption match {
+        case Some(r) => r.getInt(0)
+        case None => throw new IllegalArgumentException(
+          "cannot build an IVFADC index over an empty corpus")
+      }
+    require(d % M == 0, s"embedding dim $d must be divisible by M=$M")
+    val subW = d / M
+    val (indexed, centroids) = Similarity.ivfIndex(vectors, cells)
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val un = indexed.select(col("vec_id"),
+      transform(col("e"), x => x / col("nrm")).as("u"), col("cell"))
+    val seedsByM: Array[Array[(Long, Array[Double])]] = {
+      val rows = un.orderBy(col("vec_id")).limit(Kc)
+        .select(col("vec_id"), col("u")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+        .sortBy(_._1)
+      Array.tabulate(M)(m => rows.map { case (vid, u) =>
+        (vid, java.util.Arrays.copyOfRange(u, m * subW, (m + 1) * subW)) })
+    }
+    val fa = un.select(col("vec_id"), col("u")).as[(Long, Array[Double])]
+      .mapPartitions { it =>
+        it.flatMap { case (_, u) =>
+          (0 until M).iterator.map { m =>
+            val cm = seedsByM(m)
+            val best = Pq.argminCode(u, m * subW, subW, cm)
+            (m, cm(best)._1,
+              java.util.Arrays.copyOfRange(u, m * subW, (m + 1) * subW))
+          }
+        }
+      }.toDF("m", "code", "s")
+    val codebooks = fa
+      .select(col("m"), col("code"), posexplode(col("s")).as(Seq("pos", "v")))
+      .groupBy(col("m"), col("code"), col("pos"))
+      .agg((sum(col("v").cast("decimal(30,10)")).cast("double") / count(col("v")))
+        .as("mean"))
+      .groupBy(col("m"), col("code"))
+      .agg(sort_array(collect_list(struct(col("pos"), col("mean")))).as("pm"))
+      .select(col("m"), col("code"),
+        transform(col("pm"), p => p.getField("mean")).as("cs"))
+    val centsByM: Array[Array[(Long, Array[Double])]] = {
+      val rows = codebooks.collect().map(r =>
+        (r.getInt(0), r.getLong(1), r.getSeq[Double](2).toArray))
+      Array.tabulate(M)(m =>
+        rows.filter(_._1 == m).sortBy(_._2).map(t => (t._2, t._3)))
+    }
+    // one narrow encode pass: vec_id -> (cell, M code ids in m order)
+    val codes = un.as[(Long, Array[Double], Long)]
+      .mapPartitions { it =>
+        it.map { case (vid, u, cell) =>
+          val cs = new Array[Long](M)
+          var m = 0
+          while (m < M) {
+            cs(m) = centsByM(m)(Pq.argminCode(u, m * subW, subW, centsByM(m)))._1
+            m += 1
+          }
+          (vid, cell, cs)
+        }
+      }.toDF("vec_id", "cell", "codes")
+    IvfPqIndex(centroids, codebooks, codes)
+  }
+
+  /** Stage the index durably (three parquet frames under `path`). */
+  def writeIvfPqIndex(index: IvfPqIndex, path: String): Unit = {
+    index.centroids.write.mode("overwrite").parquet(s"$path/centroids")
+    index.codebooks.write.mode("overwrite").parquet(s"$path/codebooks")
+    // cluster the codes BY CELL on disk: a probe reads nprobe/C of the
+    // files instead of scanning all codes (the layout_zorder tie-in —
+    // on a lake this is the partitioning/clustering key)
+    index.codes.repartition(col("cell")).sortWithinPartitions(col("cell"))
+      .write.mode("overwrite").parquet(s"$path/codes")
+  }
+
+  def readIvfPqIndex(spark: SparkSession, path: String): IvfPqIndex =
+    IvfPqIndex(
+      spark.read.parquet(s"$path/centroids"),
+      spark.read.parquet(s"$path/codebooks"),
+      spark.read.parquet(s"$path/codes"))
+
+  /** Query a STAGED index: probe cells from the C-row centroid table,
+    * per-query ADC distance tables from the M·Kc codebooks, one scan
+    * over the (cell-filtered) codes, exact rerank against `vectors`
+    * restricted to the Rerank·Q candidate sliver. NOTHING is rebuilt:
+    * the corpus is touched only by the codes scan (compressed form)
+    * and the candidate point-lookups — the build-once/query-many
+    * contract. Same arithmetic and tie-breaks as [[knnIvfPqOn]], so a
+    * staged round-trip answers queries identically (spec-asserted). */
+  def queryIvfPq(index: IvfPqIndex, vectors: DataFrame,
+                 queryIds: Seq[Long], k: Int = K,
+                 nprobe: Int = Similarity.IvfNProbe): DataFrame = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    // query vectors + norms (Q point lookups on the corpus)
+    val vn = vectors
+      .select(col("vec_id"), V.toDouble(col("embedding")).as("e"))
+      .withColumn("nrm", V.l2Norm(col("e")))
+    val qRows = vn.filter(col("vec_id").isInCollection(queryIds))
+      .select(col("vec_id"), col("e"), col("nrm")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
+    if (qRows.isEmpty)
+      return vectors.limit(0).select(
+        col("vec_id").as("query_id"), col("vec_id").as("neighbor_id"),
+        lit(0).as("rank"), lit(0.0).as("cosine"))
+    val dim = qRows(0)._2.length
+    require(dim % M == 0, s"embedding dim $dim must be divisible by M=$M")
+    val subW = dim / M
+    // probes: rank cells per query over the C-row centroid table
+    // (driver-side — the same (cdist desc, cell asc) convention)
+    val cents = index.centroids
+      .select(col("cell").cast("long"), col("ce"), col("cn")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
+      .sortBy(_._1)
+    val probesByQ: Map[Long, Set[Long]] = qRows.map { case (q, qe, qnrm) =>
+      val ranked = cents.map { case (cell, ce, cn) =>
+        var dot = 0.0; var j = 0
+        while (j < qe.length) { dot += qe(j) * ce(j); j += 1 }
+        (cell, dot / (qnrm * cn))
+      }.sortBy { case (cell, cd) => (-cd, cell) }
+      q -> ranked.take(nprobe).map(_._1).toSet
+    }.toMap
+    val probedCells = probesByQ.values.flatten.toSet
+    val qIds = probesByQ.keys.toArray.sorted
+    // per-query ADC tables from the codebooks (unit-normalized query
+    // subvectors against each codebook entry, the d2At arithmetic)
+    val codebooks = index.codebooks.collect().map(r =>
+      (r.getInt(0), r.getLong(1), r.getSeq[Double](2).toArray))
+    val centsByM: Array[Array[(Long, Array[Double])]] =
+      Array.tabulate(M)(m =>
+        codebooks.filter(_._1 == m).sortBy(_._2).map(t => (t._2, t._3)))
+    val codeRank: Array[Map[Long, Int]] =
+      Array.tabulate(M)(m => centsByM(m).iterator.map(_._1).zipWithIndex.toMap)
+    val dtByQ: Map[Long, Array[Array[Double]]] = qRows.map { case (q, qe, qnrm) =>
+      val u = qe.map(_ / qnrm)
+      q -> Array.tabulate(M) { m =>
+        centsByM(m).map { case (_, cs) => Pq.d2At(u, m * subW, subW, cs) }
+      }
+    }.toMap
+    // the ONE codes scan, cell-pruned, per-partition Rerank-heaps
+    val worstFirst: Ordering[(Long, Long, Double)] =
+      Ordering.by(t => (t._3, t._2))
+    // column-form cell filter BEFORE the typed scan: it pushes down to
+    // the staged codes parquet (cell-clustered files -> row-group
+    // min/max skipping), where a lambda filter would scan everything
+    val pruned = index.codes
+      .filter(col("cell").isInCollection(probedCells.toSeq))
+      .as[(Long, Long, Array[Long])]
+      .mapPartitions { it =>
+        val heaps = scala.collection.mutable.Map
+          .empty[Long, scala.collection.mutable.PriorityQueue[(Long, Long, Double)]]
+        it.foreach { case (vid, cell, cs) =>
+          var qi = 0
+          while (qi < qIds.length) {
+            val q = qIds(qi)
+            if (q != vid && probesByQ(q).contains(cell)) {
+              val dtm = dtByQ(q)
+              var acc = 0.0
+              var m = 0
+              while (m < M) { acc += dtm(m)(codeRank(m)(cs(m))); m += 1 }
+              val c = (q, vid, acc)
+              val h = heaps.getOrElseUpdate(q,
+                new scala.collection.mutable.PriorityQueue[(Long, Long, Double)]()(worstFirst))
+              if (h.size < Rerank) h.enqueue(c)
+              else if (worstFirst.compare(c, h.head) < 0) { h.dequeue(); h.enqueue(c) }
+            }
+            qi += 1
+          }
+        }
+        heaps.valuesIterator.flatMap(_.iterator)
+      }
+      .toDF("query_id", "vec_id", "adist")
+    val cw = Window.partitionBy(col("query_id")).orderBy(col("adist"), col("vec_id"))
+    val cand = broadcast(pruned.withColumn("crk", row_number().over(cw))
+      .filter(col("crk") <= Rerank)
+      .select(col("query_id"), col("vec_id")))
+    val qSide = broadcast(vn.filter(col("vec_id").isInCollection(queryIds))
+      .select(col("vec_id").as("query_id"), col("e").as("qe"), col("nrm").as("qnrm")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    cand.join(vn, "vec_id").join(qSide, "query_id")
+      .select(col("query_id"), col("vec_id"),
+        V.cosineWithNorms(V.dot(col("e"), col("qe")), col("nrm"), col("qnrm"))
+          .as("cosine"))
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"), col("cosine"))
+  }
+
   /** Full DuckDB replay of the composed IVFADC search: the shared IVF
     * index prefix (auto-sized C, the executor's knob) + the PQ build
     * CTEs (suffixed `p` to avoid colliding with the prefix's

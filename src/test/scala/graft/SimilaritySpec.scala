@@ -189,6 +189,33 @@ class SimilaritySpec extends SparkSpecBase {
     assert(runOnce().sameElements(rows))
   }
 
+  test("ivfpq serving split: a staged index answers queries without rebuilding") {
+    import graft.operators.Pq
+    val vectors = graft.sources.Tables.embeddings(spark, sfDir)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq_idx").toString
+    // build ONCE, stage, reload — the serving lifecycle
+    Pq.writeIvfPqIndex(Pq.buildIvfPq(vectors), dir)
+    val staged = Pq.readIvfPqIndex(spark, dir)
+    val qids = (0L until Similarity.NQueries.toLong)
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._3))
+    val served = canon(Pq.queryIvfPq(staged, vectors, qids))
+    // identical to the one-shot driver key — same probes, same ADC,
+    // same rerank, bit-for-bit cosines
+    val oneShot = canon(Pq.knnIvfPq(spark, sfDir))
+    assert(served.sameElements(oneShot),
+      s"staged-index serving diverged from the one-shot key")
+    // query-many: a second query round against the same staged frames
+    // is deterministic (nothing rebuilt, nothing mutated)
+    assert(canon(Pq.queryIvfPq(staged, vectors, qids)).sameElements(served))
+    // the staged artifact really is the compressed form: M codes/vector
+    assert(staged.codes.count() == vectors.count())
+    assert(staged.codes.select(org.apache.spark.sql.functions.size(
+      org.apache.spark.sql.functions.col("codes"))).distinct().collect()
+      .map(_.getInt(0)).toSeq == Seq(Pq.M))
+  }
+
   test("knn ivf pq: empty corpus yields an empty, schema-stable result") {
     import spark.implicits._
     val empty = Seq.empty[(Long, Seq[Float], Int)].toDF("vec_id", "embedding", "label")
