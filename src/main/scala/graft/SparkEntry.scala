@@ -78,6 +78,7 @@ object SparkEntry {
     "dedup_clusters"         -> (Dedup.clustersQuery(_, _)),
     "dedup_decontaminate"    -> ((s, d) => Dedup.decontaminate(s, d)),
     "dedup_substring_spans"  -> ((s, d) => graft.operators.SubstringSpans.substringSpans(s, d)),
+    "dedup_span_cut"         -> ((s, d) => graft.operators.SubstringSpans.spanCut(s, d)),
     "dedup_semantic"         -> ((s, d) => Dedup.semanticDedup(s, d)),
     "corpus_prep"            -> (graft.operators.CorpusPipeline.corpusPrep(_, _)),
     // §2.4 similarity
@@ -100,6 +101,7 @@ object SparkEntry {
     "text_vocab"       -> ((s, d) => TextAnalysis.textVocab(s, d)),
     "text_lm_score"    -> (TextAnalysis.textLmScore(_, _)),
     "pack_sequences"   -> ((s, d) => graft.operators.TrainPrep.packSequences(s, d)),
+    "pack_boundaries"  -> ((s, d) => graft.operators.TrainPrep.packBoundaries(s, d)),
     "text_chunk"       -> ((s, d) => graft.operators.TrainPrep.chunkDocuments(s, d)),
     "text_encode"      -> ((s, d) => graft.operators.TrainPrep.textEncode(s, d)),
     "pack_token_ids"   -> ((s, d) => graft.operators.TrainPrep.packTokenIds(s, d)),
@@ -200,6 +202,8 @@ object SparkEntry {
     "dedup_clusters"         -> Dedup.clustersOracleSql,
     "dedup_decontaminate"    -> Dedup.decontaminateOracleSql,
     "dedup_substring_spans"  -> graft.operators.SubstringSpans.substringSpansOracleSql,
+    // the cut composes the same duplicated-window replay + anti-join
+    "dedup_span_cut"         -> graft.operators.SubstringSpans.spanCutOracleSql,
     // within-cluster pair space over the shared IVF-build replay
     "dedup_semantic"         -> Dedup.semanticDedupOracleSql,
     // the six-stage corpus composition as one CTE chain — each stage
@@ -233,6 +237,9 @@ object SparkEntry {
     // exact-integer unigram scoring, one final division
     "text_lm_score"   -> TextAnalysis.textLmScoreOracleSql,
     "pack_sequences"  -> graft.operators.TrainPrep.packSequencesOracleSql,
+    // pure layout math: chunk-intersection arithmetic over the
+    // packSequences index, integer-exact
+    "pack_boundaries" -> graft.operators.TrainPrep.packBoundariesOracleSql,
     "text_chunk"      -> graft.operators.TrainPrep.chunkDocumentsOracleSql,
     "text_encode"     -> graft.operators.TrainPrep.textEncodeOracleSql,
     "pack_token_ids"  -> graft.operators.TrainPrep.packTokenIdsOracleSql,

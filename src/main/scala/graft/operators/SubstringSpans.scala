@@ -46,8 +46,9 @@ object SubstringSpans {
     substringSpansOn(
       Tables.documents(spark, dir).select(col("doc_id"), col("text")))
 
-  /** Generic form over any `(doc_id, text)` frame. */
-  def substringSpansOn(docs: DataFrame): DataFrame = {
+  /** Cross-doc duplicated K-word windows as (doc_id, pos) postings —
+    * the shared core of the span REPORT and the span CUT. */
+  private def dupWindows(docs: DataFrame): DataFrame = {
     val wins = docs.select(col("doc_id"),
       posexplode(call_function("hashed_word_ngram_seq", col("text"), lit(K))))
       .toDF("doc_id", "pos", "h")
@@ -57,7 +58,12 @@ object SubstringSpans {
     val dup = wins.groupBy(col("h"))
       .agg(countDistinct(col("doc_id")).as("__nd"))
       .filter(col("__nd") >= 2).select(col("h"))
-    val dupWins = wins.join(dup, "h").select(col("doc_id"), col("pos"))
+    wins.join(dup, "h").select(col("doc_id"), col("pos"))
+  }
+
+  /** Generic form over any `(doc_id, text)` frame. */
+  def substringSpansOn(docs: DataFrame): DataFrame = {
+    val dupWins = dupWindows(docs)
     // classic islands: a window starts a new span iff it begins past
     // every previous window's end
     val w = Window.partitionBy("doc_id").orderBy("pos")
@@ -84,13 +90,88 @@ object SubstringSpans {
           / col("n_words").cast("double"), 6).as("dup_frac"))
   }
 
-  /** DuckDB replay: window strings rebuilt from the split-word list
-    * (a K-gram joined with single spaces IS the original byte range —
-    * the [[graft.functions.WordNgramSeq]] contract), hashed with the
-    * poly-fold + splitmix64 chain the dedup-tier oracles share, then
-    * the same distinct-doc / islands / coverage SQL. Positions are
-    * 0-based to match posexplode. */
-  val substringSpansOracleSql: String = {
+  /** Duplicated-span CUT (key `dedup_span_cut`) — the ACTION the span
+    * report feeds: remove every cross-doc duplicated ≥K-word window's
+    * tokens from every document and reassemble the surviving text
+    * (the span-level dedup cut of the suffix-array training-data
+    * recipe, reframed on the same shuffle-friendly window postings).
+    * Deterministic symmetric contract: the duplicated range is cut
+    * from EVERY copy — a keep-one-occurrence policy needs a global
+    * ownership rule (e.g. exempt the min doc_id per window), which
+    * callers can layer by exempting docs from `dupWindows` before the
+    * cut; the symmetric cut is the one that needs no cross-doc
+    * coordination and is what boilerplate removal wants.
+    *
+    * Shape: the window postings (one uniform hash shuffle — shared
+    * with the report), a bounded K-fold explode to covered positions,
+    * one doc-keyed anti-join against the word stream, one doc-keyed
+    * reassembly. Reassembly canonicalizes inter-word whitespace to
+    * single spaces (the corpus convention; a byte-exact cut would
+    * carry char offsets instead of word positions through the same
+    * plan). Output: every doc, with `clean_text` empty when fully
+    * covered. */
+  def spanCut(spark: SparkSession, dir: String): DataFrame =
+    spanCutOn(Tables.documents(spark, dir).select(col("doc_id"), col("text")))
+
+  def spanCutOn(docs: DataFrame): DataFrame = {
+    val covered = dupWindows(docs)
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + lit(K - 1))).as("pos"))
+      .distinct()
+    val words = docs.select(col("doc_id"),
+      posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
+    val cleaned = words
+      .join(covered, Seq("doc_id", "pos"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("pos"), col("word")))).as("s"),
+        count(lit(1)).as("n_kept"))
+      .select(col("doc_id"),
+        array_join(col("s")("word"), " ").as("clean_text"), col("n_kept"))
+    docs
+      .withColumn("n_words", size(split(col("text"), " ")))
+      .join(cleaned, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_words"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("n_words").cast("long") - coalesce(col("n_kept"), lit(0L))).as("n_cut"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
+  /** Oracle: the shared duplicated-window prefix + covered-position
+    * explode + anti-join + ordered reassembly. */
+  val spanCutOracleSql: String =
+    s"""$dupWindowsCtesSql, cov AS (
+       |  SELECT DISTINCT doc_id, pos FROM (
+       |    SELECT doc_id, unnest(generate_series(pos, pos + ${K - 1})) AS pos
+       |    FROM dw)
+       |), t AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+       |    generate_subscripts(string_split(text, ' '), 1) - 1 AS pos
+       |  FROM documents
+       |), kept AS (
+       |  SELECT t.doc_id, t.pos, t.word FROM t
+       |  WHERE NOT EXISTS (
+       |    SELECT 1 FROM cov c WHERE c.doc_id = t.doc_id AND c.pos = t.pos)
+       |), cl AS (
+       |  SELECT doc_id, array_to_string(list(word ORDER BY pos), ' ') AS clean_text,
+       |    COUNT(*) AS n_kept
+       |  FROM kept GROUP BY doc_id
+       |), d AS (
+       |  SELECT doc_id, len(string_split(text, ' ')) AS n_words FROM documents
+       |)
+       |SELECT d.doc_id, CAST(d.n_words AS INTEGER) AS n_words,
+       |  CAST(COALESCE(cl.n_kept, 0) AS BIGINT) AS n_kept,
+       |  CAST(d.n_words - COALESCE(cl.n_kept, 0) AS BIGINT) AS n_cut,
+       |  COALESCE(cl.clean_text, '') AS clean_text
+       |FROM d LEFT JOIN cl USING (doc_id)""".stripMargin
+
+  /** Shared oracle CTE prefix ending at `dw` (the cross-doc
+    * duplicated (doc_id, pos) window postings): window strings
+    * rebuilt from the split-word list (a K-gram joined with single
+    * spaces IS the original byte range — the
+    * [[graft.functions.WordNgramSeq]] contract), hashed with the
+    * poly-fold + splitmix64 chain the dedup-tier oracles share.
+    * Positions are 0-based to match posexplode. */
+  private def dupWindowsCtesSql: String = {
     import graft.functions.SqlReplay._
     s"""WITH w AS (
        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
@@ -117,7 +198,13 @@ object SubstringSpans {
        |  WHERE nd >= 2
        |), dw AS (
        |  SELECT doc_id, pos FROM grams JOIN dup USING (h)
-       |), mk AS (
+       |)""".stripMargin
+  }
+
+  /** DuckDB replay of the span report: the shared prefix + the same
+    * distinct-doc / islands / coverage SQL. */
+  val substringSpansOracleSql: String = {
+    s"""$dupWindowsCtesSql, mk AS (
        |  SELECT doc_id, pos, pos + ${K - 1} AS e,
        |    MAX(pos + ${K - 1}) OVER (PARTITION BY doc_id ORDER BY pos
        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max

@@ -260,6 +260,87 @@ object TrainPrep {
        |  array_to_string(list(id ORDER BY off), ' ') AS token_ids
        |FROM tok GROUP BY 1, 2""".stripMargin
 
+  /** Packed-chunk BOUNDARY metadata (key `pack_boundaries`) — the
+    * per-chunk document-segment map a packed pretraining batch needs
+    * for attention masking and loss masking: concat-and-chunk packing
+    * puts several documents (and document FRAGMENTS, at chunk edges)
+    * into one context window, and the trainer must know where each
+    * segment starts and ends to (a) block attention across document
+    * boundaries (block-diagonal attention within the packed window)
+    * and (b) mask or reweight loss on continuation fragments.
+    *
+    * One row per (shard, chunk_id, doc_id) segment: `seg_index`
+    * (order within the chunk), `seg_start` (token offset within the
+    * chunk), `seg_len`, and `starts_doc` (whether this segment is the
+    * document's first token — false for the continuation of a doc
+    * split across a chunk edge).
+    *
+    * Pure LAYOUT math on [[packSequencesOn]]'s index — no token
+    * explode, no second shuffle: a doc occupying global offsets
+    * [o, o+n) intersects chunks ⌊o/B⌋..⌊(o+n-1)/B⌋, and within chunk
+    * c its segment is [max(o, cB), min(o+n, (c+1)B)). The explode is
+    * bounded by segments (≈ docs + chunks), all integer-exact. */
+  def packBoundariesOn(docs: DataFrame, nShards: Int = NShards,
+                       budget: Long = ChunkBudget): DataFrame = {
+    val lay = packSequencesOn(docs, nShards, budget)
+    val segW = Window.partitionBy(col("shard"), col("chunk_id"))
+      .orderBy(col("seg_start"), col("doc_id"))
+    lay
+      .withColumn("last_chunk", expr(s"(token_offset + n_tokens - 1) DIV $budget"))
+      .select(col("doc_id"), col("shard"), col("token_offset"), col("n_tokens"),
+        explode(sequence(col("chunk_id"), col("last_chunk"))).as("chunk_id"))
+      .withColumn("seg_start",
+        greatest(col("token_offset") - col("chunk_id") * budget, lit(0L)).cast("int"))
+      .withColumn("seg_end",
+        least(col("token_offset") + col("n_tokens") - col("chunk_id") * budget,
+          lit(budget)).cast("int"))
+      .withColumn("seg_len", (col("seg_end") - col("seg_start")).cast("int"))
+      .withColumn("starts_doc",
+        col("chunk_id") === expr(s"token_offset DIV $budget"))
+      .withColumn("seg_index", row_number().over(segW).cast("int"))
+      .select(col("shard"), col("chunk_id"), col("seg_index"), col("doc_id"),
+        col("seg_start"), col("seg_len"), col("starts_doc"))
+  }
+
+  /** Driver query over `documents` (key `pack_boundaries`). */
+  def packBoundaries(spark: SparkSession, dir: String): DataFrame =
+    packBoundariesOn(Tables.documents(spark, dir))
+
+  /** Oracle: the packSequences layout CTE + the same integer
+    * chunk-intersection arithmetic. */
+  val packBoundariesOracleSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) AS h
+       |  FROM documents),
+       |p AS (
+       |  SELECT doc_id, n_tokens,
+       |    CAST(h % $NShards AS INTEGER) AS shard,
+       |    CAST(COALESCE(SUM(n_tokens) OVER (
+       |      PARTITION BY h % $NShards ORDER BY h, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |      AS token_offset
+       |  FROM t),
+       |seg AS (
+       |  SELECT doc_id, shard, token_offset, n_tokens,
+       |    unnest(generate_series(token_offset // $ChunkBudget,
+       |      (token_offset + n_tokens - 1) // $ChunkBudget)) AS chunk_id
+       |  FROM p)
+       |SELECT shard, chunk_id,
+       |  CAST(ROW_NUMBER() OVER (PARTITION BY shard, chunk_id
+       |    ORDER BY GREATEST(token_offset - chunk_id * $ChunkBudget, 0), doc_id)
+       |    AS INTEGER) AS seg_index,
+       |  doc_id,
+       |  CAST(GREATEST(token_offset - chunk_id * $ChunkBudget, 0) AS INTEGER)
+       |    AS seg_start,
+       |  CAST(LEAST(token_offset + n_tokens - chunk_id * $ChunkBudget,
+       |    $ChunkBudget)
+       |    - GREATEST(token_offset - chunk_id * $ChunkBudget, 0) AS INTEGER)
+       |    AS seg_len,
+       |  chunk_id = token_offset // $ChunkBudget AS starts_doc
+       |FROM seg""".stripMargin
+
   /** Generic context-window packing of ANY per-document token-id
     * stream — the materialization step both the whole-word encoding
     * ([[textEncodeOn]]) and the BPE encoding ([[Bpe.encodeDocsOn]])

@@ -211,6 +211,40 @@ class ScaleOpsSpec extends SparkSpecBase {
       "the two overlapping halves must merge to the full 20-token span")
   }
 
+  test("span cut: the planted shared span is cut from every copy, unique docs survive") {
+    val shared = (1 to 12).map(i => s"shared$i").mkString(" ")
+    val a = s"alpha beta gamma $shared tail1 tail2"
+    val b = s"$shared omega psi chi phi delta"
+    val c = "entirely unique words here that no other document carries at all"
+    val docs = Seq((1L, a), (2L, b), (3L, c)).toDF("doc_id", "text")
+    val out = SubstringSpans.spanCutOn(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    def cut(id: Long) = out(id).getLong(out(id).fieldIndex("n_cut"))
+    def clean(id: Long) = out(id).getString(out(id).fieldIndex("clean_text"))
+    // the symmetric cut removes the 12 shared words from BOTH copies
+    assert(cut(1L) == 12 && clean(1L) == "alpha beta gamma tail1 tail2")
+    assert(cut(2L) == 12 && clean(2L) == "omega psi chi phi delta")
+    // the unique doc is untouched, text round-trips verbatim
+    assert(cut(3L) == 0 && clean(3L) == c)
+    // accounting agrees with the span report's coverage
+    val rep = SubstringSpans.substringSpansOn(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(r.fieldIndex("dup_tokens"))).toMap
+    Seq(1L, 2L, 3L).foreach(id => assert(cut(id) == rep(id),
+      s"doc $id: cut ${cut(id)} words but the report covers ${rep(id)}"))
+  }
+
+  test("span cut: a fully-duplicated doc empties; every doc still appears") {
+    val body = (1 to 10).map(i => s"dup$i").mkString(" ")
+    val docs = Seq((1L, body), (2L, body), (3L, s"unique leading words $body"))
+      .toDF("doc_id", "text")
+    val out = SubstringSpans.spanCutOn(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out.keySet == Set(1L, 2L, 3L))
+    assert(out(1L).getString(out(1L).fieldIndex("clean_text")) == "")
+    assert(out(1L).getLong(out(1L).fieldIndex("n_kept")) == 0)
+    assert(out(3L).getString(out(3L).fieldIndex("clean_text")) == "unique leading words")
+  }
+
   // --- CMS heavy hitters ------------------------------------------------
 
   test("cms heavy hitters: estimates upper-bound exact counts; overcount is their gap") {

@@ -33,6 +33,37 @@ class TrainPrepSpec extends SparkSpecBase {
     packed.unpersist()
   }
 
+  test("packBoundaries: segments tile every chunk and reconstruct every doc") {
+    import org.apache.spark.sql.functions._
+    val docs = sources.Tables.documents(spark, sfDir)
+    val segs = graft.operators.TrainPrep.packBoundariesOn(docs).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getInt(2), r.getLong(3),
+        r.getInt(4), r.getInt(5), r.getBoolean(6)))
+    val lay = graft.operators.TrainPrep.packSequencesOn(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap // doc_id -> n_tokens
+    val budget = graft.operators.TrainPrep.ChunkBudget
+    // per chunk: segments are contiguous, non-overlapping, in seg_index order
+    segs.groupBy(s => (s._1, s._2)).foreach { case ((shard, chunk), ss) =>
+      val ordered = ss.sortBy(_._3)
+      assert(ordered.map(_._3).sameElements(1 to ss.length), s"seg_index gap in ($shard,$chunk)")
+      var expectStart = ordered.head._5
+      ordered.foreach { s =>
+        assert(s._5 == expectStart, s"segment not contiguous in ($shard,$chunk)")
+        assert(s._6 > 0 && s._5 + s._6 <= budget)
+        expectStart = s._5 + s._6
+      }
+      // only a chunk's FIRST segment may continue a split doc
+      ordered.tail.foreach(s => assert(s._7, "non-leading segment must start its doc"))
+    }
+    // per doc: segment lengths sum to the doc's token count, exactly one
+    // starts_doc segment, continuations start at offset 0 of their chunk
+    segs.groupBy(_._4).foreach { case (docId, ss) =>
+      assert(ss.map(_._6.toLong).sum == lay(docId), s"doc $docId segment lengths")
+      assert(ss.count(_._7) == 1, s"doc $docId must start exactly once")
+      ss.filter(!_._7).foreach(s => assert(s._5 == 0, "continuation must resume at chunk start"))
+    }
+  }
+
   test("packSequences: deterministic across runs and partitionings") {
     val docs = graft.sources.Tables.documents(spark, sfDir)
     val a = TrainPrep.packSequencesOn(docs)
