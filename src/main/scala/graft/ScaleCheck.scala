@@ -158,6 +158,8 @@ object ScaleCheck {
       run("agg_approx_ndv", operators.Sketches.aggApproxNdv(spark, dir)),
       run("layout_zorder", operators.Layout.qZorderLayout(spark, dir)),
       run("dedup_substring_spans", operators.SubstringSpans.substringSpans(spark, dir)),
+      run("dedup_span_cut", operators.SubstringSpans.spanCut(spark, dir)),
+      run("pack_boundaries", operators.TrainPrep.packBoundaries(spark, dir)),
       // round-7 additions (second batch): CMS grid, histogram-refine
       // quantiles, split assignment
       run("agg_heavy_hitters", operators.Sketches.aggHeavyHitters(spark, dir)),
