@@ -62,6 +62,8 @@ object SparkEntry {
     "layout_hilbert"       -> (graft.operators.Layout.qHilbertLayout(_, _)),
     "q_cube"               -> (Analytics.qCube(_, _)),
     "dq_key_skew"          -> (graft.operators.Skew.dqKeySkew(_, _)),
+    "graph_triangles"      -> (graft.operators.Graph.graphTriangles(_, _)),
+    "graph_pagerank"       -> (graft.operators.Graph.graphPagerank(_, _)),
     "agg_approx_ndv"       -> (graft.operators.Sketches.aggApproxNdv(_, _)),
     "agg_heavy_hitters"    -> (graft.operators.Sketches.aggHeavyHitters(_, _)),
     "q_exact_quantiles"    -> (graft.operators.Quantiles.qExactQuantiles(_, _)),
@@ -178,6 +180,8 @@ object SparkEntry {
     "layout_hilbert"       -> graft.operators.Layout.qHilbertLayoutOracleSql,
     "q_cube"               -> Analytics.qCubeOracleSql,
     "dq_key_skew"          -> graft.operators.Skew.dqKeySkewOracleSql,
+    "graph_triangles"      -> graft.operators.Graph.graphTrianglesOracleSql,
+    "graph_pagerank"       -> graft.operators.Graph.graphPagerankOracleSql,
     // the HLL estimator replays bit-exactly: ordered register fold of
     // exact 2^-rho terms; ln() lookup table embedded from Scala
     "agg_approx_ndv"       -> graft.operators.Sketches.aggApproxNdvOracleSql,

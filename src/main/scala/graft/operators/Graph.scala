@@ -1,0 +1,307 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Graph analytics over the part co-order graph (keys
+  * `graph_triangles`, `graph_pagerank`) — the relationship tier a
+  * curation pipeline needs once documents/users/parts stop being
+  * independent rows: "which items co-occur", "which nodes anchor the
+  * co-occurrence structure".
+  *
+  * The graph: parts are nodes; an undirected edge joins two parts
+  * that appear in the SAME order (lineitem self-join on l_orderkey,
+  * distinct pairs). This is the classic market-basket projection of a
+  * bipartite order×part table (reference analogue: the SQL-curated
+  * reporting zone of scripts/sql/ — aggregate views over the L2
+  * star schema; the graph ops are the same star schema viewed as a
+  * co-occurrence structure).
+  *
+  * Scale design (100 TB):
+  *
+  *  - Edge build: one self-join shuffled on l_orderkey (the natural
+  *    key both sides already arrive clustered by) + one distinct.
+  *    Per-order fanout is C(items,2) with items ≤ 13 at any scale
+  *    (order size is domain-bounded, not corpus-bounded), so the
+  *    explosion factor is a small constant, never quadratic in the
+  *    table.
+  *  - Triangle counting uses DEGREE ORIENTATION (the MapReduce
+  *    triangle recipe of Suri & Vassilvitskii's "Counting triangles
+  *    and the curse of the last reducer", WWW'11): orient every edge
+  *    from its (degree, id)-smaller endpoint to the larger one. Every
+  *    node's OUT-degree is then O(√m) regardless of its raw degree —
+  *    the wedge join (oriented ⋈ oriented on the common source)
+  *    generates Σ outdeg² = O(m^1.5) candidates worst-case instead of
+  *    the Σ deg² blow-up a hub node causes unoriented, which is the
+  *    difference between a finishing job and a stuck last reducer on
+  *    a power-law graph.
+  *  - PageRank runs in FIXED-POINT integer arithmetic (rank mass in
+  *    units of 1e-12): Long sums are exact and order-independent, so
+  *    the result is bit-identical on any partitioning, any engine,
+  *    any reduction order — a float PageRank drifts in the last ulp
+  *    under Spark's nondeterministic reduce order and can't be
+  *    hash-checked. Each of the `Iters` iterations is ONE shuffle
+  *    (contributions grouped by dst); the rank vector is one Long per
+  *    node — 8 bytes × nodes of state, never corpus-sized.
+  *
+  * Determinism: all counts/ranks are exact integers; the only
+  * doubles are final presentation divisions of exact integers
+  * (correctly rounded, engine-identical).
+  */
+object Graph {
+
+  /** Report rows: top-K nodes per report. */
+  val TopK = 10
+
+  /** PageRank iterations (fixed — the oracle unrolls them). */
+  val Iters = 5
+
+  /** Rank mass scale: 1.0 == 1e12 units. Σ over ≤ 2^31 nodes stays
+    * far inside Long. */
+  val One: Long = 1000000000000L
+
+  /** Distinct undirected co-order edges (u < v), one row per pair. */
+  def coOrderEdges(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    val a = li.as("a"); val b = li.as("b")
+    a.join(b, col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .select(col("a.pk").as("u"), col("b.pk").as("v"))
+      .distinct()
+  }
+
+  /** Stage `df` to scratch parquet and return a scan over it — the
+    * pairClusters precedent: multi-branch consumers re-read a small
+    * materialization instead of re-dragging the build subtree through
+    * every branch, and nothing pins the session CacheManager. */
+  private def staged(df: DataFrame, prefix: String): DataFrame = {
+    val path = Scratch.dir(prefix)
+    df.write.mode("overwrite").parquet(path)
+    df.sparkSession.read.schema(df.schema).parquet(path)
+  }
+
+  private def degrees(edges: DataFrame): DataFrame =
+    edges.select(col("u").as("node"))
+      .unionAll(edges.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+
+  /** Key `graph_triangles`: per-node triangle counts (top-K) beside
+    * the global triangle count, wedge count and clustering
+    * coefficient. See object doc for the orientation argument. */
+  def graphTriangles(spark: SparkSession, dir: String): DataFrame =
+    trianglesOn(staged(coOrderEdges(spark, dir), "graft_graph_edges"))
+
+  /** The (x, y, z) corner list, one row per triangle — orientation +
+    * per-edge sorted-adjacency intersection, exposed unstaged so plan
+    * specs can audit the join strategy.
+    *
+    * Why intersection instead of the literal wedge self-join: both
+    * are the degree-oriented O(m^1.5) algorithm (total work = wedge
+    * count either way), but the self-join SHUFFLES one row per wedge
+    * (41M rows at sf0.1) where this form shuffles one adjacency
+    * array per node plus two m-row joins and intersects in-memory —
+    * the same bytes asymptotically (Σ per-edge array payload is the
+    * wedge count), paid as array columns riding an m-row join
+    * instead of 30× more skinny rows through the exchange + a second
+    * 41M-row semi-join probe. The triangle (s→d, s→w, d→w) is found
+    * exactly once, at its pivot edge (s, d): w is a common
+    * out-neighbor of s and d; at (s, w) the third corner d is not an
+    * out-neighbor of w, and at (d, w) s is not an out-neighbor of
+    * either — no dedup pass needed. */
+  def triangleCorners(edges: DataFrame): DataFrame = {
+    val deg = degrees(edges)
+    // orient u→v when (deg(u), u) < (deg(v), v): out-degree O(√m) —
+    // adjacency arrays are √m-bounded no matter how hot the hub
+    val du = deg.select(col("node").as("u"), col("deg").as("du"))
+    val dv = deg.select(col("node").as("v"), col("deg").as("dv"))
+    val oriented = edges.join(du, "u").join(dv, "v")
+      .select(
+        when(col("du") < col("dv") ||
+             (col("du") === col("dv") && col("u") < col("v")),
+          struct(col("u").as("s"), col("v").as("d")))
+          .otherwise(struct(col("v").as("s"), col("u").as("d")))
+          .as("e"))
+      .select(col("e.s").as("s"), col("e.d").as("d"))
+    // staged: the adjacency build and both join probes below re-read
+    // one materialization instead of recomputing the orientation
+    val or2 = staged(oriented, "graft_graph_oriented")
+    val adj = or2.groupBy(col("s").as("node"))
+      .agg(sort_array(collect_list(col("d"))).as("nbrs"))
+    // left joins: a sink node (no out-edges) has no adjacency row —
+    // its edges close no triangle, so an empty array is correct
+    val empty = array().cast("array<bigint>")
+    or2
+      .join(adj.select(col("node").as("s"), col("nbrs").as("sn")), Seq("s"), "left")
+      .join(adj.select(col("node").as("d"), col("nbrs").as("dn")), Seq("d"), "left")
+      .select(col("s").as("x"), col("d").as("y"),
+        explode(array_intersect(coalesce(col("sn"), empty),
+                                coalesce(col("dn"), empty))).as("z"))
+  }
+
+  /** Generic form over any distinct undirected (u, v) edge list with
+    * u ≠ v, each pair present once in either orientation. */
+  def trianglesOn(edges: DataFrame): DataFrame = {
+    val deg = degrees(edges)
+    val triCached = staged(triangleCorners(edges), "graft_graph_tris")
+    // per-node participation: each triangle touches its 3 corners
+    val perNode = triCached.select(explode(array(col("x"), col("y"), col("z"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("triangles"))
+    // 1-row global summary (bounded): total triangles, wedge count
+    // Σ deg·(deg−1)/2 (exact ints), edges, nodes
+    val totals = triCached.agg(count(lit(1)).as("total_triangles"))
+      .crossJoin(deg.agg(
+        count(lit(1)).as("n_nodes"),
+        // integer `div`: the sums are even by handshake, and staying
+        // in Long avoids the >2^53 double round-trip a / would take
+        expr("sum(deg * (deg - 1)) div 2").as("n_wedges"),
+        expr("sum(deg) div 2").as("n_edges")))
+    val top = perNode.orderBy(col("triangles").desc, col("node")).limit(TopK)
+    // bounded single-partition window: TopK rows by construction
+    // (lit(0) declares the intentional one-partition layout)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(0)).orderBy(col("triangles").desc, col("node"))
+    top.crossJoin(broadcast(totals))
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .select(col("rank"), col("node").as("p_partkey"), col("triangles"),
+        col("total_triangles"), col("n_wedges"), col("n_edges"), col("n_nodes"),
+        // global clustering coefficient: one exact-int/exact-int
+        // division, correctly rounded → engine-identical
+        (col("total_triangles").cast("double") * 3.0 /
+          col("n_wedges").cast("double")).as("clustering"))
+  }
+
+  val graphTrianglesOracleSql: String =
+    s"""WITH edges AS (
+       |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+       |  FROM lineitem a JOIN lineitem b
+       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       |), deg AS (
+       |  SELECT node, COUNT(*) AS deg FROM (
+       |    SELECT u AS node FROM edges UNION ALL SELECT v FROM edges
+       |  ) GROUP BY 1
+       |), oriented AS (
+       |  SELECT CASE WHEN (du.deg, e.u) < (dv.deg, e.v) THEN e.u ELSE e.v END AS s,
+       |         CASE WHEN (du.deg, e.u) < (dv.deg, e.v) THEN e.v ELSE e.u END AS d
+       |  FROM edges e
+       |  JOIN deg du ON du.node = e.u
+       |  JOIN deg dv ON dv.node = e.v
+       |), tris AS (
+       |  SELECT e1.s AS x, e1.d AS y, e2.d AS z
+       |  FROM oriented e1 JOIN oriented e2
+       |    ON e1.s = e2.s AND e1.d < e2.d
+       |  WHERE EXISTS (SELECT 1 FROM oriented c
+       |    WHERE LEAST(c.s, c.d) = e1.d AND GREATEST(c.s, c.d) = e2.d)
+       |), per_node AS (
+       |  SELECT node, COUNT(*) AS triangles FROM (
+       |    SELECT x AS node FROM tris
+       |    UNION ALL SELECT y FROM tris
+       |    UNION ALL SELECT z FROM tris
+       |  ) GROUP BY 1
+       |), totals AS (
+       |  SELECT (SELECT COUNT(*) FROM tris) AS total_triangles,
+       |    (SELECT COUNT(*) FROM deg) AS n_nodes,
+       |    (SELECT CAST(SUM(deg * (deg - 1)) // 2 AS BIGINT) FROM deg) AS n_wedges,
+       |    (SELECT CAST(SUM(deg) // 2 AS BIGINT) FROM deg) AS n_edges
+       |), top AS (
+       |  SELECT node, triangles,
+       |    ROW_NUMBER() OVER (ORDER BY triangles DESC, node) AS rank
+       |  FROM per_node ORDER BY triangles DESC, node LIMIT $TopK
+       |)
+       |SELECT CAST(t.rank AS INTEGER) AS rank, t.node AS p_partkey, t.triangles,
+       |  s.total_triangles, s.n_wedges, s.n_edges, s.n_nodes,
+       |  CAST(s.total_triangles AS DOUBLE) * 3.0 / CAST(s.n_wedges AS DOUBLE)
+       |    AS clustering
+       |FROM top t CROSS JOIN totals s""".stripMargin
+
+  /** Key `graph_pagerank`: `Iters` fixed-point PageRank iterations
+    * over the co-order graph, top-K nodes by final rank. Exact
+    * integer arithmetic throughout (see object doc); damping 0.85 as
+    * the rational 85/100, teleport mass (15/100)·One div N. */
+  def graphPagerank(spark: SparkSession, dir: String): DataFrame =
+    pagerankOn(staged(coOrderEdges(spark, dir), "graft_pr_edges"))
+
+  /** Generic form over any distinct undirected (u, v) edge list (see
+    * [[trianglesOn]] for the contract). */
+  def pagerankOn(edges: DataFrame, iters: Int = Iters, topK: Int = TopK): DataFrame = {
+    // symmetric directed view: every undirected edge both ways
+    val arcs = edges.select(col("u").as("src"), col("v").as("dst"))
+      .unionAll(edges.select(col("v").as("src"), col("u").as("dst")))
+    // deg is re-read by every iteration — stage it once so each
+    // reference is a node-count parquet scan, not the edge agg
+    val deg = staged(degrees(edges), "graft_pr_deg")
+    // N is a 1-row bounded collect (the BPE-winner precedent): it
+    // sizes the teleport constant folded into every iteration's plan
+    val n = deg.count()
+    val teleport = 15L * One / (100L * n)
+    // state: (node, rank, deg) — 3 longs per node, 24 B × nodes.
+    // Keeping deg on the rank row makes each iteration a single
+    // arcs⋈ranks join. The Iters-deep plan is linear (each frame
+    // referenced exactly once downstream), evaluated by ONE action at
+    // the end — no checkpointing needed at this depth (contrast
+    // pairClusters, whose 3-way self-reference grows 3^iters).
+    var ranks = deg.select(col("node"), lit(One / n).as("rank"), col("deg"))
+    for (_ <- 1 to iters) {
+      val contribs = arcs.join(ranks, col("src") === col("node"))
+        .select(col("dst"), expr("rank div deg").as("contrib"))
+      ranks = contribs.groupBy(col("dst").as("node"))
+        .agg(sum(col("contrib")).as("s"))
+        .join(deg, "node")
+        .select(col("node"),
+          (lit(teleport) + expr("85 * s div 100")).as("rank"), col("deg"))
+    }
+    // TakeOrdered: per-partition heaps + a K-row driver merge
+    val top = ranks.orderBy(col("rank").desc, col("node")).limit(topK)
+    // bounded single-partition window: topK rows by construction
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(0)).orderBy(col("rank").desc, col("node"))
+    top.crossJoin(broadcast(
+        deg.agg(count(lit(1)).as("n_nodes"), sum(col("deg")).as("n_arcs"))))
+      .withColumn("rnk", row_number().over(w).cast("int"))
+      .select(col("rnk").as("rank"), col("node").as("p_partkey"),
+        col("rank").as("rank_units"),
+        // exact Long < 2^53 → double conversion is exact
+        (col("rank").cast("double") / lit(One.toDouble)).as("pagerank"),
+        col("deg"), col("n_nodes"), col("n_arcs"))
+  }
+
+  val graphPagerankOracleSql: String = {
+    val iterCtes = (1 to Iters).map { i =>
+      s"""r$i AS (
+         |  SELECT c.dst AS node,
+         |    (SELECT 15 * $One // (100 * COUNT(*)) FROM deg)
+         |      + 85 * SUM(r.rank // r.deg) // 100 AS rank,
+         |    ANY_VALUE(d.deg) AS deg
+         |  FROM arcs c
+         |  JOIN r${i - 1} r ON r.node = c.src
+         |  JOIN deg d ON d.node = c.dst
+         |  GROUP BY c.dst
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH edges AS (
+       |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+       |  FROM lineitem a JOIN lineitem b
+       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       |), arcs AS (
+       |  SELECT u AS src, v AS dst FROM edges
+       |  UNION ALL SELECT v, u FROM edges
+       |), deg AS (
+       |  SELECT node, COUNT(*) AS deg FROM (
+       |    SELECT u AS node FROM edges UNION ALL SELECT v FROM edges
+       |  ) GROUP BY 1
+       |), r0 AS (
+       |  SELECT node, (SELECT $One // COUNT(*) FROM deg) AS rank, deg FROM deg
+       |), $iterCtes, totals AS (
+       |  SELECT COUNT(*) AS n_nodes, CAST(SUM(deg) AS BIGINT) AS n_arcs FROM deg
+       |), top AS (
+       |  SELECT node, rank, deg,
+       |    ROW_NUMBER() OVER (ORDER BY rank DESC, node) AS rnk
+       |  FROM r$Iters ORDER BY rank DESC, node LIMIT $TopK
+       |)
+       |SELECT CAST(t.rnk AS INTEGER) AS rank, t.node AS p_partkey,
+       |  CAST(t.rank AS BIGINT) AS rank_units,
+       |  CAST(t.rank AS DOUBLE) / ${One.toDouble} AS pagerank,
+       |  t.deg, s.n_nodes, s.n_arcs
+       |FROM top t CROSS JOIN totals s""".stripMargin
+  }
+}

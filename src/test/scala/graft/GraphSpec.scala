@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.operators.Graph
+
+class GraphSpec extends SparkSpecBase {
+
+  private def edgesDf(pairs: (Long, Long)*): DataFrame = {
+    import spark.implicits._
+    pairs.toDF("u", "v")
+  }
+
+  test("triangles: K4 has 4 triangles, each node in 3; clustering = 1") {
+    // complete graph on {1,2,3,4}: C(4,3)=4 triangles, wedges=12
+    val k4 = edgesDf((1L,2L),(1L,3L),(1L,4L),(2L,3L),(2L,4L),(3L,4L))
+    val rows = Graph.trianglesOn(k4).collect()
+    assert(rows.length == 4)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("triangles") == 3L)
+      assert(r.getAs[Long]("total_triangles") == 4L)
+      assert(r.getAs[Long]("n_wedges") == 12L)
+      assert(r.getAs[Long]("n_edges") == 6L)
+      assert(r.getAs[Long]("n_nodes") == 4L)
+      assert(r.getAs[Double]("clustering") == 1.0)
+    }
+  }
+
+  test("triangles: a path graph has none; report is empty but summary-safe") {
+    val path = edgesDf((1L,2L),(2L,3L),(3L,4L))
+    // no per-node rows (nobody participates in a triangle) — the
+    // driver key's contract is the top-K participation table
+    assert(Graph.trianglesOn(path).collect().isEmpty)
+  }
+
+  test("triangles: two triangles sharing an edge — shared nodes count both") {
+    // {1,2,3} and {2,3,4}: nodes 2,3 in two triangles, 1,4 in one
+    val g = edgesDf((1L,2L),(1L,3L),(2L,3L),(2L,4L),(3L,4L))
+    val byNode = Graph.trianglesOn(g).collect()
+      .map(r => r.getAs[Long]("p_partkey") -> r.getAs[Long]("triangles")).toMap
+    assert(byNode == Map(1L -> 1L, 4L -> 1L, 2L -> 2L, 3L -> 2L))
+  }
+
+  test("pagerank: symmetric regular graph converges to uniform rank") {
+    // 4-cycle: every node degree 2 — rank stays at One/4 every
+    // iteration (up to the deterministic integer truncation)
+    val c4 = edgesDf((1L,2L),(2L,3L),(3L,4L),(4L,1L))
+    val rows = Graph.pagerankOn(c4).collect()
+    assert(rows.length == 4)
+    val units = rows.map(_.getAs[Long]("rank_units")).distinct
+    assert(units.length == 1, s"regular graph must rank uniformly, got ${units.toList}")
+    // mass ≈ 1: integer truncation only ever loses units
+    assert(units.head * 4 <= Graph.One && units.head * 4 > Graph.One - 4 * 100)
+  }
+
+  test("pagerank: star center outranks leaves; mass conserved within truncation") {
+    val star = edgesDf((1L,2L),(1L,3L),(1L,4L),(1L,5L))
+    val rows = Graph.pagerankOn(star).collect()
+    val byNode = rows.map(r => r.getAs[Long]("p_partkey") -> r.getAs[Long]("rank_units")).toMap
+    assert(byNode(1L) > byNode(2L))
+    assert(byNode(2L) == byNode(3L) && byNode(3L) == byNode(4L) && byNode(4L) == byNode(5L))
+    val total = rows.map(_.getAs[Long]("rank_units")).sum
+    // each of the 5 iterations truncates < 1 unit per node on the
+    // div-by-degree and div-by-100 steps, plus the teleport div
+    assert(total <= Graph.One && total > Graph.One - 5L * 5 * 3 * 100)
+    // presentation double is the exact integer conversion
+    rows.foreach(r => assert(
+      r.getAs[Double]("pagerank") == r.getAs[Long]("rank_units").toDouble / 1e12))
+  }
+
+  test("pagerank: rank ordering follows degree on the co-order graph") {
+    val rows = Graph.graphPagerank(spark, sfDir).collect()
+    assert(rows.length == Graph.TopK)
+    val ranks = rows.sortBy(_.getAs[Int]("rank")).map(_.getAs[Long]("rank_units"))
+    assert(ranks.zip(ranks.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("triangle driver key: wedge/edge/triangle invariants hold") {
+    val rows = Graph.graphTriangles(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val r = rows.head
+    val (tris, wedges) = (r.getAs[Long]("total_triangles"), r.getAs[Long]("n_wedges"))
+    assert(tris >= 0 && 3 * tris <= wedges, "each triangle closes 3 wedges")
+    val c = r.getAs[Double]("clustering")
+    assert(c >= 0.0 && c <= 1.0)
+    // per-node participation never exceeds the global count
+    rows.foreach(x => assert(x.getAs[Long]("triangles") <= tris))
+  }
+}

@@ -430,6 +430,33 @@ class PlanSpec extends SparkSpecBase {
     assert(!p.contains("Exchange SinglePartition"), s"global sort window:\n$p")
   }
 
+
+  test("graph triangles: adjacency joins hash-keyed, intersection in the projection") {
+    // the corner core (pre-staging): adjacency build + probe joins
+    val edges = graft.operators.Graph.coOrderEdges(spark, sfDir)
+    val core = plan(graft.operators.Graph.triangleCorners(edges))
+    assert(!core.contains("CartesianProduct"), s"cartesian in:\n$core")
+    // the intersection rides the edge rows as a generator, never a
+    // per-wedge shuffle: no join keyed on two corner columns
+    assert(core.contains("array_intersect"), s"intersection core missing:\n$core")
+    assert(core.contains("Generate explode"), s"corner explode missing:\n$core")
+    // the report over the staged corners: bounded, TakeOrdered top-K
+    val p = plan(graft.operators.Graph.graphTriangles(spark, sfDir))
+    assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-K fell into a global sort:\n$p")
+  }
+
+  test("graph pagerank: every iteration joins hash-keyed; no cartesian, no global window") {
+    val df = graft.operators.Graph.graphPagerank(spark, sfDir)
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
+    // only the TopK-row report window may single-partition (lit(0))
+    val specs = "windowspecdefinition\\(([^,)]*)".r.findAllMatchIn(p).map(_.group(1)).toList
+    specs.foreach(first => assert(first.startsWith("0"),
+      s"unexpected non-report window on '$first':\n$p"))
+    assert(p.contains("TakeOrderedAndProject"), s"top-K fell into a global sort:\n$p")
+  }
+
   test("knn pq: codebook/distance-table joins broadcast; no cartesian") {
     val p = plan(graft.operators.Pq.knnPq(spark, sfDir))
     assert(p.contains("BroadcastHashJoin"), s"no broadcast join:\n$p")
