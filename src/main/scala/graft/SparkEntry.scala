@@ -40,6 +40,7 @@ object SparkEntry {
     "etl_surrogate_keys"   -> (graft.operators.Keys.etlSurrogateKeys(_, _)),
     "etl_scd2"             -> (Etl.scd2History(_, _)),
     "etl_cdc_apply"        -> (Etl.cdcApply(_, _)),
+    "etl_snapshot_diff"    -> (Etl.etlSnapshotDiff(_, _)),
     // §2.2 analytics
     "q1_pricing_summary"   -> (Analytics.q1PricingSummary(_, _)),
     "q3_shipping_priority" -> (Analytics.q3ShippingPriority(_, _)),
@@ -57,6 +58,8 @@ object SparkEntry {
     "q_pivot_events"       -> (Analytics.qPivotEvents(_, _)),
     "q_window_funnel"      -> (Analytics.qWindowFunnel(_, _)),
     "q_bloom_join"         -> ((s, d) => graft.operators.BloomJoin.qBloomJoin(s, d)),
+    "q_retention_cohorts"  -> (Analytics.qRetentionCohorts(_, _)),
+    "q_fuzzy_match"        -> (graft.operators.Fuzzy.qFuzzyMatch(_, _)),
     "layout_zorder"        -> (graft.operators.Layout.qZorderLayout(_, _)),
     "layout_compaction"    -> (graft.operators.Layout.qCompaction(_, _)),
     "layout_hilbert"       -> (graft.operators.Layout.qHilbertLayout(_, _)),
@@ -154,6 +157,7 @@ object SparkEntry {
     "sample_temperature"   -> Etl.sampleTemperatureOracleSql,
     "sample_mixture_epochs" -> Etl.sampleMixtureEpochsOracleSql,
     "etl_scd2"             -> Etl.scd2OracleSql,
+    "etl_snapshot_diff"    -> Etl.etlSnapshotDiffOracleSql,
     // keep-latest generalized to tombstone-bearing change feeds
     "etl_cdc_apply"        -> Etl.cdcApplyOracleSql,
     "q1_pricing_summary"   -> Analytics.q1OracleSql,
@@ -180,6 +184,8 @@ object SparkEntry {
     "layout_hilbert"       -> graft.operators.Layout.qHilbertLayoutOracleSql,
     "q_cube"               -> Analytics.qCubeOracleSql,
     "dq_key_skew"          -> graft.operators.Skew.dqKeySkewOracleSql,
+    "q_retention_cohorts"  -> Analytics.qRetentionCohortsOracleSql,
+    "q_fuzzy_match"        -> graft.operators.Fuzzy.qFuzzyMatchOracleSql,
     "graph_triangles"      -> graft.operators.Graph.graphTrianglesOracleSql,
     "graph_pagerank"       -> graft.operators.Graph.graphPagerankOracleSql,
     // the HLL estimator replays bit-exactly: ordered register fold of

@@ -947,6 +947,60 @@ object Etl {
   // re-derives the typed columns. Pairing needs each engine to use ONE
   // consistent order for both lists; the shared (ts, event_id) order
   // also makes it cross-engine deterministic.
+  /** Snapshot-diff driver key (`etl_snapshot_diff`): the churn report
+    * between the keep-latest state as of a mid-month watermark and the
+    * current one — which (user, event_type) keys appeared, and whose
+    * latest row advanced. See [[Merge.snapshotDiff]] for the generic
+    * contract; with an append-only source old ⊆ new, so `removed`
+    * can't occur here (it exists for the general two-publication
+    * reconciliation). Output is churn-sized: unchanged keys drop
+    * inside the diff, before anything downstream. */
+  val SnapshotCutoff = "2024-01-16 00:00:00"
+
+  def etlSnapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    def snap(df: DataFrame): DataFrame =
+      Merge.keepLatest(df, keys = Seq(col("user_id"), col("event_type")),
+        orderCol = col("ts"), tiebreak = col("event_id"))
+    val oldSnap = snap(ev.where(col("ts") < lit(SnapshotCutoff).cast("timestamp")))
+    val newSnap = snap(ev)
+    Merge.snapshotDiff(oldSnap, newSnap,
+      keys = Seq("user_id", "event_type"),
+      compare = Seq("event_id", "ts", "value"))
+  }
+
+  val etlSnapshotDiffOracleSql: String =
+    s"""WITH o AS (
+       |  SELECT user_id, event_type, event_id, ts, value FROM (
+       |    SELECT *, ROW_NUMBER() OVER (
+       |      PARTITION BY user_id, event_type
+       |      ORDER BY ts DESC, event_id DESC) AS rn
+       |    FROM events WHERE ts < TIMESTAMP '$SnapshotCutoff') t
+       |  WHERE rn = 1
+       |), n AS (
+       |  SELECT user_id, event_type, event_id, ts, value FROM (
+       |    SELECT *, ROW_NUMBER() OVER (
+       |      PARTITION BY user_id, event_type
+       |      ORDER BY ts DESC, event_id DESC) AS rn
+       |    FROM events) t
+       |  WHERE rn = 1
+       |), j AS (
+       |  SELECT user_id, event_type,
+       |    CASE WHEN o.user_id IS NULL THEN 'added'
+       |         WHEN n.user_id IS NULL THEN 'removed'
+       |         WHEN NOT (o.event_id IS NOT DISTINCT FROM n.event_id
+       |               AND o.ts       IS NOT DISTINCT FROM n.ts
+       |               AND o.value    IS NOT DISTINCT FROM n.value)
+       |           THEN 'changed'
+       |    END AS status,
+       |    o.event_id AS old_event_id, CAST(o.ts AS TIMESTAMP) AS old_ts,
+       |    o.value AS old_value,
+       |    n.event_id AS new_event_id, CAST(n.ts AS TIMESTAMP) AS new_ts,
+       |    n.value AS new_value
+       |  FROM o FULL OUTER JOIN n USING (user_id, event_type)
+       |)
+       |SELECT * FROM j WHERE status IS NOT NULL""".stripMargin
+
   val normalizeArraysOracleSql: String =
     s"""WITH p AS (
        |  SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS ds,

@@ -1,0 +1,124 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Blocked fuzzy-match repair join (key `q_fuzzy_match`) — entity
+  * resolution for dirty catalog strings: match each corrupted name
+  * back to its canonical form by edit distance WITHOUT the all-pairs
+  * cross join a naive `levenshtein(a, b) <= 1` theta-join plans.
+  *
+  * The corruption model under repair is single-character
+  * SUBSTITUTION (the dominant dirty-data class for fixed-width codes
+  * and OCR'd fields): the driver key corrupts each part name
+  * deterministically — position `(p_partkey % length) + 1` replaced
+  * with '#', a character no canonical name contains — then repairs it
+  * against the distinct canonical vocabulary.
+  *
+  * Blocking (the PassJoin/Gravano partition-filter family): a
+  * same-length pair at substitution distance ≤ 1 differs in at most
+  * one position, so it agrees on the FIRST character or on the LAST
+  * one (length ≥ 2). Two equi-joins — on (length, first char) and on
+  * (length, last char) — therefore cover every candidate; the second
+  * pass keeps only pairs whose first characters DIFFER, so a
+  * mid-string substitution (both ends intact) meets exactly once and
+  * no distinct pass is needed. Every candidate pair is then verified
+  * with `levenshtein` and ranked per dirty row.
+  *
+  * Scale design: both passes are hash equi-joins on bounded block
+  * keys — candidates are Σ block² over (length × alphabet) blocks,
+  * never |dirty|×|canon|; a skewed name-length distribution shows up
+  * in `dq_key_skew` terms and salts like any other hot join key. The
+  * per-row rank window partitions on the high-cardinality row key.
+  * Determinism: edit distance is the standard DP (engine-identical
+  * integers); ties break on the candidate string.
+  */
+object Fuzzy {
+
+  /** Candidate pairs at substitution distance ≤ `maxDist` between
+    * `dirty` (cols `row_id`, `name`) and `canon` (col `name`), via
+    * the two-pass (length, end-char) blocking — complete for
+    * same-length substitution edits. */
+  def substitutionCandidates(dirty: DataFrame, canon: DataFrame,
+                             maxDist: Int = 1): DataFrame = {
+    val d = dirty.select(col("row_id"), col("name").as("dirty_name"),
+      length(col("name")).as("len"),
+      substring(col("name"), 1, 1).as("first"),
+      expr("substring(name, length(name), 1)").as("last"))
+    val c = canon.select(col("name").as("cand"),
+      length(col("name")).as("len"),
+      substring(col("name"), 1, 1).as("cfirst"),
+      expr("substring(name, length(name), 1)").as("clast"))
+    val byFirst = d.join(c.withColumnRenamed("cfirst", "first"), Seq("len", "first"))
+      .select(col("row_id"), col("dirty_name"), col("cand"))
+    val byLast = d.join(c.withColumnRenamed("clast", "last"), Seq("len", "last"))
+      // first chars equal ⇒ the first pass already met this pair
+      .where(substring(col("dirty_name"), 1, 1) =!= col("cfirst"))
+      .select(col("row_id"), col("dirty_name"), col("cand"))
+    byFirst.unionAll(byLast)
+      .withColumn("distance", levenshtein(col("dirty_name"), col("cand")).cast("int"))
+      .where(col("distance") <= maxDist)
+  }
+
+  /** Driver key: corrupt every part name (one deterministic '#'
+    * substitution), repair against the distinct canonical names, and
+    * report each row's best match with its candidate count. */
+  def qFuzzyMatch(spark: SparkSession, dir: String): DataFrame = {
+    val part = Tables.part(spark, dir)
+    val dirty = part.select(col("p_partkey").as("row_id"),
+      expr("""concat(
+                substring(p_name, 1, cast(p_partkey % length(p_name) as int)),
+                '#',
+                substring(p_name, cast(p_partkey % length(p_name) as int) + 2))""")
+        .as("name"))
+    val canon = part.select(col("p_name").as("name")).distinct()
+    val cands = substitutionCandidates(dirty, canon)
+    // best match per dirty row: min distance, then lexicographic —
+    // window partitioned on the high-cardinality row key
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("row_id")).orderBy(col("distance"), col("cand"))
+    cands
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_candidates", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("row_id"))))
+      .where(col("rn") === 1)
+      .select(col("row_id").as("p_partkey"), col("dirty_name"),
+        col("cand").as("matched_name"), col("distance"), col("n_candidates"))
+  }
+
+  val qFuzzyMatchOracleSql: String =
+    """WITH dirty AS (
+      |  SELECT p_partkey AS row_id,
+      |    substr(p_name, 1, CAST(p_partkey % length(p_name) AS INTEGER))
+      |      || '#' ||
+      |    substr(p_name, CAST(p_partkey % length(p_name) AS INTEGER) + 2) AS name
+      |  FROM part
+      |), canon AS (
+      |  SELECT DISTINCT p_name AS name FROM part
+      |), cands AS (
+      |  SELECT d.row_id, d.name AS dirty_name, c.name AS cand
+      |  FROM dirty d JOIN canon c
+      |    ON length(d.name) = length(c.name)
+      |   AND substr(d.name, 1, 1) = substr(c.name, 1, 1)
+      |  UNION ALL
+      |  SELECT d.row_id, d.name, c.name
+      |  FROM dirty d JOIN canon c
+      |    ON length(d.name) = length(c.name)
+      |   AND substr(d.name, length(d.name), 1) = substr(c.name, length(c.name), 1)
+      |  WHERE substr(d.name, 1, 1) <> substr(c.name, 1, 1)
+      |), verified AS (
+      |  SELECT row_id, dirty_name, cand,
+      |    CAST(levenshtein(dirty_name, cand) AS INTEGER) AS distance
+      |  FROM cands
+      |  WHERE levenshtein(dirty_name, cand) <= 1
+      |), ranked AS (
+      |  SELECT *,
+      |    ROW_NUMBER() OVER (PARTITION BY row_id ORDER BY distance, cand) AS rn,
+      |    COUNT(*) OVER (PARTITION BY row_id) AS n_candidates
+      |  FROM verified
+      |)
+      |SELECT row_id AS p_partkey, dirty_name, cand AS matched_name,
+      |  distance, n_candidates
+      |FROM ranked WHERE rn = 1""".stripMargin
+}

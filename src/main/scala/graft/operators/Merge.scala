@@ -58,6 +58,38 @@ object Merge {
       // null-safe: a null op is an upsert, not a tombstone
       .filter(!(opCol <=> lit(deleteOp)))
 
+  /** Snapshot diff: the added/removed/changed key report between two
+    * keyed snapshots (one row per key each) — the audit primitive
+    * behind "what did this load change", reconciliation between a
+    * rebuilt table and its previous publication, and incremental
+    * downstream invalidation.
+    *
+    * One full-outer hash join on the key columns; change detection
+    * compares the named `compare` columns null-safely (`<=>`, so a
+    * NULL→value transition reads as a change, not a match). Unchanged
+    * keys are dropped BEFORE anything downstream, so the output is
+    * churn-sized, not snapshot-sized. Old/new values are emitted
+    * side-by-side with `old_`/`new_` prefixes.
+    */
+  def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame,
+                   keys: Seq[String], compare: Seq[String]): DataFrame = {
+    val o = oldSnap.select((keys ++ compare).map(col): _*)
+      .withColumn("__old", lit(1))
+    val n = newSnap.select(keys.map(col) ++ compare.map(c => col(c).as(s"__n_$c")): _*)
+      .withColumn("__new", lit(1))
+    val joined = o.join(n, keys, "full_outer")
+    val changed = compare.map(c => !(col(c) <=> col(s"__n_$c")))
+      .reduce(_ || _)
+    val status = when(col("__old").isNull, lit("added"))
+      .when(col("__new").isNull, lit("removed"))
+      .when(changed, lit("changed"))
+    val outCols = keys.map(col) ++
+      Seq(status.as("status")) ++
+      compare.map(c => col(c).as(s"old_$c")) ++
+      compare.map(c => col(s"__n_$c").as(s"new_$c"))
+    joined.where(status.isNotNull).select(outCols: _*)
+  }
+
   /** SCD type-2 history build: where [[keepLatest]] keeps only the
     * newest state per key (the reference's L2 upsert), this keeps the
     * FULL state history as validity intervals — each run of equal

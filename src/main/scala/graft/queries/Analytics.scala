@@ -519,4 +519,51 @@ object Analytics {
        |FROM events
        |GROUP BY 1""".stripMargin
   }
+
+  // --- cohort retention (key `q_retention_cohorts`): the classic
+  // product-analytics matrix — users cohorted by first-active week,
+  // each cohort's share of users still active N weeks later.
+  //
+  // Scale shape: the wide shuffles are all user-keyed ((user, week)
+  // distinct, first-week groupBy, the activity⋈cohort join); the final
+  // aggregation collapses to weeks × offsets — a calendar-bounded
+  // frame at any corpus size — and the cohort-size dim that joins onto
+  // it is weeks-bounded, hence broadcast. Retention is one exact-int /
+  // exact-int IEEE division (correctly rounded → engine-identical).
+  // Weeks truncate to Monday in both engines (ISO date_trunc).
+  def qRetentionCohorts(spark: SparkSession, dir: String): DataFrame = {
+    val weekly = Tables.events(spark, dir)
+      .select(col("user_id"), to_date(date_trunc("week", col("ts"))).as("week"))
+    val active = weekly.distinct()
+    val firsts = active.groupBy("user_id").agg(min(col("week")).as("cohort_week"))
+    val cohortSizes = firsts.groupBy("cohort_week").agg(count(lit(1)).as("cohort_size"))
+    active.join(firsts, "user_id")
+      .groupBy(col("cohort_week"),
+        expr("datediff(week, cohort_week) div 7").cast("int").as("week_offset"))
+      .agg(count(lit(1)).as("active_users"))
+      .join(broadcast(cohortSizes), "cohort_week")
+      .select(col("cohort_week"), col("week_offset"),
+        col("active_users"), col("cohort_size"),
+        (col("active_users").cast("double") /
+          col("cohort_size").cast("double")).as("retention"))
+  }
+
+  val qRetentionCohortsOracleSql: String =
+    """WITH active AS (
+      |  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS week
+      |  FROM events
+      |), firsts AS (
+      |  SELECT user_id, MIN(week) AS cohort_week FROM active GROUP BY 1
+      |), sizes AS (
+      |  SELECT cohort_week, COUNT(*) AS cohort_size FROM firsts GROUP BY 1
+      |), agg AS (
+      |  SELECT f.cohort_week,
+      |    CAST(date_diff('day', f.cohort_week, a.week) // 7 AS INTEGER) AS week_offset,
+      |    COUNT(*) AS active_users
+      |  FROM active a JOIN firsts f ON a.user_id = f.user_id
+      |  GROUP BY 1, 2
+      |)
+      |SELECT g.cohort_week, g.week_offset, g.active_users, s.cohort_size,
+      |  CAST(g.active_users AS DOUBLE) / CAST(s.cohort_size AS DOUBLE) AS retention
+      |FROM agg g JOIN sizes s USING (cohort_week)""".stripMargin
 }

@@ -174,4 +174,20 @@ class AnalyticsSpec extends SparkSpecBase {
     }
     pivoted.unpersist()
   }
+
+  test("retention cohorts: offset-0 row is the full cohort; shares bounded") {
+    val rows = Analytics.qRetentionCohorts(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (active, size) = (r.getAs[Long]("active_users"), r.getAs[Long]("cohort_size"))
+      val (off, ret) = (r.getAs[Int]("week_offset"), r.getAs[Double]("retention"))
+      assert(off >= 0 && active >= 1 && active <= size)
+      assert(ret > 0.0 && ret <= 1.0)
+      // cohort week = first-active week, so everyone is active at offset 0
+      if (off == 0) assert(active == size && ret == 1.0)
+    }
+    // (cohort, offset) is a key
+    val keys = rows.map(r => (r.getAs[java.sql.Date]("cohort_week"), r.getAs[Int]("week_offset")))
+    assert(keys.distinct.length == keys.length)
+  }
 }

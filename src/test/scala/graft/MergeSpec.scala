@@ -150,4 +150,42 @@ class MergeSpec extends SparkSpecBase {
       (Some("A"), 30L, Some(40L), false),
       (None, 40L, None, true)))
   }
+
+  test("snapshot diff: added/removed/changed classified; unchanged dropped; null-safe") {
+    import spark.implicits._
+    val oldSnap = Seq(
+      (1L, Some(10.0), "a"),             // unchanged
+      (2L, Some(20.0), "b"),             // value changes
+      (3L, Option.empty[Double], "c"),   // NULL -> value: a change
+      (4L, Some(40.0), "d")              // removed in new
+    ).toDF("k", "v", "tag")
+    val newSnap = Seq(
+      (1L, Some(10.0), "a"),
+      (2L, Some(21.0), "b"),
+      (3L, Some(30.0), "c"),
+      (5L, Some(50.0), "e")              // added
+    ).toDF("k", "v", "tag")
+    val got = Merge.snapshotDiff(oldSnap, newSnap, keys = Seq("k"), compare = Seq("v", "tag"))
+      .collect().map(r => r.getAs[Long]("k") -> r.getAs[String]("status")).toMap
+    assert(got == Map(2L -> "changed", 3L -> "changed", 4L -> "removed", 5L -> "added"))
+  }
+
+  test("snapshot diff: old and new values ride side by side") {
+    import spark.implicits._
+    val oldSnap = Seq((1L, 1.0)).toDF("k", "v")
+    val newSnap = Seq((1L, 2.0)).toDF("k", "v")
+    val r = Merge.snapshotDiff(oldSnap, newSnap, Seq("k"), Seq("v")).collect().head
+    assert(r.getAs[Double]("old_v") == 1.0 && r.getAs[Double]("new_v") == 2.0)
+  }
+
+  test("snapshot diff driver key: append-only source never yields removed") {
+    val rows = graft.operators.Etl.etlSnapshotDiff(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val statuses = rows.map(_.getAs[String]("status")).toSet
+    assert(statuses.subsetOf(Set("added", "changed")), s"got $statuses")
+    // a changed key's latest row advanced: new (ts, id) >= old
+    rows.filter(_.getAs[String]("status") == "changed").foreach { r =>
+      assert(!r.getAs[java.sql.Timestamp]("new_ts").before(r.getAs[java.sql.Timestamp]("old_ts")))
+    }
+  }
 }

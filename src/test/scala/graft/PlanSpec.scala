@@ -457,6 +457,32 @@ class PlanSpec extends SparkSpecBase {
     assert(p.contains("TakeOrderedAndProject"), s"top-K fell into a global sort:\n$p")
   }
 
+
+  test("fuzzy match: blocked equi-joins only — no cartesian, no nested-loop verify") {
+    val df = graft.operators.Fuzzy.qFuzzyMatch(spark, sfDir)
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"fuzzy join fell into a product:\n$p")
+    // the levenshtein verify runs above the join, as a filter
+    assert(p.contains("levenshtein"), s"verify filter missing:\n$p")
+  }
+
+  test("retention cohorts: user-keyed shuffles; weeks-bounded dim broadcasts") {
+    val df = graft.queries.Analytics.qRetentionCohorts(spark, sfDir)
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastHashJoin"),
+      s"cohort-size dim must broadcast:\n$p")
+    assert(!p.contains("Window"), "retention needs no window pass")
+  }
+
+  test("snapshot diff: one full-outer join on the key, churn filter above it") {
+    val df = graft.operators.Etl.etlSnapshotDiff(spark, sfDir)
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
+    assert(p.contains("FullOuter"), s"diff must be a full-outer join:\n$p")
+  }
+
   test("knn pq: codebook/distance-table joins broadcast; no cartesian") {
     val p = plan(graft.operators.Pq.knnPq(spark, sfDir))
     assert(p.contains("BroadcastHashJoin"), s"no broadcast join:\n$p")
