@@ -99,6 +99,49 @@ object ScaleCheck {
       concat(lit("src"), pmod(xxhash64(col("id"), lit(6)), lit(20L))).as("source"),
       length(text).as("n_chars"))
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    // part (fuzzy repair): 100× sf0.1's 20k rows. The name vocabulary
+    // is adjective×noun (64 forms) like the driver corpus — blocking
+    // keys (length, end char) keep bounded selectivity while the row
+    // count scales
+    val adjs = array(Seq("small", "red", "blue", "hot", "cold", "big",
+      "dark", "pale").map(lit): _*)
+    val nouns = array(Seq("ring", "widget", "bolt", "gear", "gizmo",
+      "plate", "valve", "wheel").map(lit): _*)
+    spark.range(20000L * mult).select(
+      col("id").as("p_partkey"),
+      concat(
+        element_at(adjs, (pmod(xxhash64(col("id"), lit(30)), lit(8L)) + 1).cast("int")),
+        lit(" "),
+        element_at(nouns, (pmod(xxhash64(col("id"), lit(31)), lit(8L)) + 1).cast("int")))
+        .as("p_name"),
+      concat(lit("Brand#"), pmod(xxhash64(col("id"), lit(32)), lit(25L))).as("p_brand"),
+      lit("STANDARD").as("p_type"),
+      (pmod(xxhash64(col("id"), lit(33)), lit(50L)) + 1).cast("int").as("p_size"),
+      (pmod(xxhash64(col("id"), lit(34)), lit(200000L)).cast("double") / 100.0)
+        .as("p_retailprice"))
+      .write.mode("overwrite").parquet(s"$dir/part.parquet")
+
+    // graph corpus: same lineitem shape but the part-catalog DOMAIN
+    // scales with mult (a 100× corpus has a 100× catalog) — with the
+    // fuzzy/bloom corpus's FIXED 20k-part domain, 100× more order
+    // baskets saturate toward the complete co-order graph (Σ wedges
+    // → n·deg² ≈ 10^11) and triangle counting measures the data
+    // model, not the operator. Scaled domain keeps avg degree ~
+    // constant, which is how real catalogs grow.
+    spark.range(600000L * mult).select(
+      pmod(xxhash64(col("id"), lit(11)), lit(150000L * mult)).as("l_orderkey"),
+      pmod(xxhash64(col("id"), lit(12)), lit(20000L * mult)).as("l_partkey"),
+      pmod(xxhash64(col("id"), lit(13)), lit(1000L)).as("l_suppkey"),
+      (pmod(xxhash64(col("id"), lit(14)), lit(7L)) + 1).cast("int").as("l_linenumber"),
+      (pmod(xxhash64(col("id"), lit(15)), lit(50L)) + 1).cast("double").as("l_quantity"),
+      (pmod(xxhash64(col("id"), lit(16)), lit(10000000L)).cast("double") / 100.0).as("l_extendedprice"),
+      (pmod(xxhash64(col("id"), lit(17)), lit(11L)).cast("double") / 100.0).as("l_discount"),
+      (pmod(xxhash64(col("id"), lit(18)), lit(9L)).cast("double") / 100.0).as("l_tax"),
+      lit("N").as("l_returnflag"), lit("O").as("l_linestatus"),
+      timestamp_micros(lit(1704067200000000L) +
+        pmod(xxhash64(col("id"), lit(19)), lit(90L)) * 86400000000L).as("l_shipdate"))
+      .write.mode("overwrite").parquet(s"$dir/graph/lineitem.parquet")
     } // end !skipNonEmbedding
 
     // embeddings (semantic tier): 100× sf0.1's 2k vectors, 64-dim,
@@ -211,6 +254,14 @@ object ScaleCheck {
       run("etl_surrogate_keys", operators.Keys.etlSurrogateKeys(spark, dir)),
       run("embed_clusters", operators.Similarity.embedClustersOn(
         spark.read.parquet(s"$dir/embeddings.parquet"))),
+      // round-12 additions: graph tier (scaled-catalog corpus — see
+      // synthesis note), churn diff, retention, fuzzy repair
+      run("graph_triangles", operators.Graph.graphTriangles(spark, s"$dir/graph")),
+      run("graph_pagerank", operators.Graph.graphPagerank(spark, s"$dir/graph")),
+      run("etl_snapshot_diff", operators.Etl.etlSnapshotDiff(spark, dir)),
+      run("q_retention_cohorts", queries.Analytics.qRetentionCohorts(spark, dir)),
+      run("q_fuzzy_match", operators.Fuzzy.qFuzzyMatch(spark, dir)),
+      run("mm_frame_dedup", operators.Multimodal.mmFrameDedup(spark, dir)),
       if (!only("dedup_semantic")) ("dedup_semantic", 0.0, -1L) else {
         // handle form: release the corpus-sized IVF index cache before
         // the pipeline timing below competes with it for memory

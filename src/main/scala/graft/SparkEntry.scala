@@ -117,6 +117,7 @@ object SparkEntry {
     "mm_binary_meta"     -> (Multimodal.binaryMeta(_, _)),
     "mm_feature_extract" -> (Multimodal.featureExtract(_, _)),
     "mm_frame_sample"    -> (Multimodal.frameSample(_, _)),
+    "mm_frame_dedup"     -> (Multimodal.mmFrameDedup(_, _)),
     // §2.7 streaming (batch twins of the shared transforms; the
     // streaming forms run in StreamingSpec via MemoryStream)
     "stream_windowed_agg" -> (graft.streaming.Streams.windowedAggBatch(_, _)),
@@ -264,6 +265,7 @@ object SparkEntry {
     // the frame grid + poly_hash64-over-BINARY fingerprint replay
     // through the shared Karp-Rabin byte-fold fragments
     "mm_frame_sample"    -> Multimodal.frameSampleOracleSql,
+    "mm_frame_dedup"     -> Multimodal.mmFrameDedupOracleSql,
     // §2.7 streaming batch twins
     "stream_windowed_agg" -> graft.streaming.Streams.windowedAggOracleSql,
     "stream_dedupe"       -> graft.streaming.Streams.keepFirstOracleSql,

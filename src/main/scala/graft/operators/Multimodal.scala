@@ -160,6 +160,105 @@ object Multimodal {
   def frameSample(spark: SparkSession, dir: String): DataFrame =
     frameSampleOn(Tables.documents(spark, dir))
 
+  /** Frame size for [[mmFrameDedupOn]] — smaller than the sampling
+    * grid so the test corpus produces shared slices; a video corpus
+    * uses its real frame size here. */
+  val DedupFrameBytes = 16
+  /** Pairs must share at least this many distinct frame fingerprints. */
+  val MinSharedFrames = 2
+  /** Posting cap: a fingerprint appearing in more than this many
+    * payloads is boilerplate (black frames, intro cards, silence) and
+    * is dropped BEFORE pair generation — the standard frequent-shingle
+    * cut that keeps a hot frame from generating count² pairs. */
+  val MaxFramePosting = 64
+
+  /** Multimodal near-dup detection by shared frame fingerprints (key
+    * `mm_frame_dedup`) — the video/image-sequence analogue of the
+    * text tier's shingle dedup: two payloads are near-duplicates when
+    * they share ≥ [[MinSharedFrames]] distinct frame fingerprints;
+    * `containment` = shared / min(frames_a, frames_b) grades the
+    * overlap (1.0 = one payload's sampled frames all appear in the
+    * other — a re-encode, a trim, a re-container).
+    *
+    * Scale design: per-payload DISTINCT fingerprints (dedup basis),
+    * posting-size filter (2 ≤ docs ≤ [[MaxFramePosting]]) BEFORE the
+    * fingerprint-keyed pair join — pair fanout is Σ posting² over
+    * surviving fingerprints, bounded by cap² per fingerprint, never
+    * all-pairs; the per-pair aggregation and the two count joins are
+    * all hash-keyed. Frames travel as 64-bit `poly_hash64`
+    * fingerprints, not payload bytes — the shuffle carries 8 B/frame
+    * at any frame size.
+    *
+    * The oracle replays the pipeline with the raw frame slices as the
+    * join key — equality of slices ⟺ equality of fingerprints up to
+    * 2^-64 hash collisions, so counts agree (different key encoding,
+    * same rows; the q_interval_join oracle precedent). */
+  def mmFrameDedupOn(docs: DataFrame, frameBytes: Int = DedupFrameBytes,
+                     minShared: Int = MinSharedFrames,
+                     maxPosting: Int = MaxFramePosting): DataFrame = {
+    // stride 1: dedup wants every frame; temporal subsampling is the
+    // OTHER operator (frameSample)
+    val fps = frameSampleOn(docs, frameBytes, stride = 1)
+      .select(col("doc_id"), col("frame_fp64")).distinct()
+    val perDoc = fps.groupBy("doc_id").agg(count(lit(1)).as("n_frames"))
+    val postings = fps.groupBy("frame_fp64").agg(count(lit(1)).as("n_docs"))
+      .where(col("n_docs") >= 2 && col("n_docs") <= maxPosting)
+    val eligible = fps.join(postings.select("frame_fp64"), "frame_fp64")
+    val pairs = eligible.as("a")
+      .join(eligible.as("b"),
+        col("a.frame_fp64") === col("b.frame_fp64") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("shared_frames"))
+      .where(col("shared_frames") >= minShared)
+    pairs
+      .join(perDoc.select(col("doc_id").as("doc_a"), col("n_frames").as("n_frames_a")), "doc_a")
+      .join(perDoc.select(col("doc_id").as("doc_b"), col("n_frames").as("n_frames_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("shared_frames"),
+        col("n_frames_a"), col("n_frames_b"),
+        // exact-int / exact-int IEEE division: engine-identical
+        (col("shared_frames").cast("double") /
+          least(col("n_frames_a"), col("n_frames_b")).cast("double")).as("containment"))
+  }
+
+  /** Driver query (key `mm_frame_dedup`). */
+  def mmFrameDedup(spark: SparkSession, dir: String): DataFrame =
+    mmFrameDedupOn(Tables.documents(spark, dir))
+
+  val mmFrameDedupOracleSql: String =
+    s"""WITH b AS (
+       |  -- hex view of the payload bytes: DuckDB has no BLOB
+       |  -- substring, and 2 hex chars per byte slices injectively
+       |  SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n
+       |  FROM documents
+       |), fr AS (
+       |  SELECT doc_id, hx,
+       |    unnest(generate_series(0, n // $DedupFrameBytes - 1)) AS i
+       |  FROM b WHERE n >= $DedupFrameBytes
+       |), f AS (
+       |  SELECT DISTINCT doc_id,
+       |    substr(hx, 1 + ${2 * DedupFrameBytes} * i, ${2 * DedupFrameBytes}) AS frame
+       |  FROM fr
+       |), per_doc AS (
+       |  SELECT doc_id, COUNT(*) AS n_frames FROM f GROUP BY 1
+       |), postings AS (
+       |  SELECT frame FROM (SELECT frame, COUNT(*) AS n_docs FROM f GROUP BY 1)
+       |  WHERE n_docs >= 2 AND n_docs <= $MaxFramePosting
+       |), pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared_frames
+       |  FROM f a JOIN postings p ON a.frame = p.frame
+       |  JOIN f b ON b.frame = a.frame AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2
+       |  HAVING COUNT(*) >= $MinSharedFrames
+       |)
+       |SELECT p.doc_a, p.doc_b, p.shared_frames,
+       |  na.n_frames AS n_frames_a, nb.n_frames AS n_frames_b,
+       |  CAST(p.shared_frames AS DOUBLE) /
+       |    CAST(LEAST(na.n_frames, nb.n_frames) AS DOUBLE) AS containment
+       |FROM pairs p
+       |JOIN per_doc na ON na.doc_id = p.doc_a
+       |JOIN per_doc nb ON nb.doc_id = p.doc_b""".stripMargin
+
   /** Oracle: same frame grid in SQL; the fingerprint replays through
     * the shared Karp–Rabin byte fold over the hex-decoded slice. */
   val frameSampleOracleSql: String = {

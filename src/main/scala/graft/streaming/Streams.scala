@@ -551,6 +551,69 @@ object Streams {
     spark.read.parquet(l2Path).filter(!(col(opCol) <=> lit(deleteOp)))
   }
 
+  /** Right-to-be-forgotten HARD delete over a [[cdcApplySink]] lake:
+    * physically remove every lake row (live rows AND tombstones) for
+    * the given keys, rewriting ONLY the buckets those keys hash to.
+    *
+    * This is the operation the key-hash-bucketed layout exists for
+    * beyond merge correctness: `bucket = hash(key) mod N` means the
+    * bucket set of a deletion list is computable WITHOUT scanning the
+    * lake — a GDPR erasure request for k users touches at most
+    * min(k, N) of the N bucket partitions, while a date-partitioned
+    * lake would rewrite every partition the users ever appeared in
+    * (at 100 TB: all of them). Untouched buckets keep their files
+    * byte-for-byte (spec-asserted), which is what keeps erasure cheap
+    * enough to run per-request rather than batched quarterly.
+    *
+    * A bucket left EMPTY by the delete is removed explicitly —
+    * dynamic partition overwrite only replaces partitions present in
+    * the staged frame, so an all-deleted bucket would otherwise keep
+    * its old files and resurrect every key in it.
+    *
+    * Scope: erases the rows that exist now. Replayed pre-delete
+    * changes (at-least-once upstream) would re-insert the key —
+    * production erasure pairs this with an upstream blocklist; that
+    * filter is the caller's, not the lake's.
+    *
+    * Returns the number of rows erased. */
+  def cdcDeleteKeys(spark: SparkSession, l2Path: String, keyDf: DataFrame,
+                    nBuckets: Int = CdcBuckets): Long = {
+    val keys = keyDf.select(col("user_id")).distinct()
+      .withColumn("bucket",
+        pmod(xxhash64(col("user_id")), lit(nBuckets.toLong)).cast("int"))
+    // the deletion list is request-sized: broadcast both probes
+    val affected = keys.select("bucket").distinct()
+    val existing = spark.read.parquet(l2Path)
+      .join(broadcast(affected), Seq("bucket"), "left_semi")
+    val kept = existing.join(broadcast(keys.select("user_id")),
+      Seq("user_id"), "left_anti")
+    val runId = java.util.UUID.randomUUID().toString.take(8)
+    val before = existing.count()
+    // buckets the delete will EMPTY, computed against the PRE-rewrite
+    // lake (afterwards the stale files would make them look populated)
+    // — request-bounded collects: ≤ the deletion list's bucket count
+    val affectedArr = affected.collect().map(_.getInt(0))
+    val keptBuckets = kept.select("bucket").distinct()
+      .collect().map(_.getInt(0)).toSet
+    val emptied = affectedArr.filterNot(keptBuckets)
+    // all-deleted case: an empty frame stages no schema'd parquet —
+    // nothing survives in the affected buckets, so skip the rewrite
+    // and let the directory deletes below do the whole erasure
+    val after = if (keptBuckets.isEmpty) 0L
+      else graft.operators.Sinks.stageAndReplace(
+        kept, s"$l2Path/../_gdpr_delete_tmp_$runId", l2Path, Seq("bucket"))
+    // drop bucket dirs the rewrite emptied (dynamic overwrite never
+    // writes an empty partition, so the stale files would survive and
+    // resurrect every key in them)
+    val fs = new org.apache.hadoop.fs.Path(l2Path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    emptied.foreach { b =>
+      fs.delete(new org.apache.hadoop.fs.Path(l2Path, s"bucket=$b"), true)
+      ()
+    }
+    before - after
+  }
+
   // --- stateful session assembly (flatMapGroupsWithState) ---
 
   case class Ev(user_id: Long, ts: Timestamp, event_id: Long)

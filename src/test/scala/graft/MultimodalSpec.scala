@@ -107,4 +107,50 @@ class MultimodalSpec extends SparkSpecBase {
         s"fingerprint mismatch for doc $id frame $idx")
     }
   }
+
+  test("frame dedup: duplicated payload pairs found with containment 1.0") {
+    import spark.implicits._
+    val f = (c: Char) => c.toString * 16
+    val base = f('a') + f('b') + f('c') + f('d')  // 4 distinct frames
+    val docs = Seq(
+      (1L, base), (2L, base),            // exact dup pair
+      (3L, base + f('e')),               // superset: contains all 4
+      (4L, f('z') + f('y'))              // unrelated
+    ).toDF("doc_id", "text")
+    val rows = graft.operators.Multimodal.mmFrameDedupOn(docs).collect()
+    val byPair = rows.map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) -> r).toMap
+    assert(byPair.keySet == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    byPair.values.foreach { r =>
+      assert(r.getAs[Long]("shared_frames") == 4L)
+      // min(4, 4) or min(4, 5) both divide 4 shared -> full containment
+      assert(r.getAs[Double]("containment") == 1.0)
+    }
+  }
+
+  test("frame dedup: shared distinct frames counted once; min-shared enforced") {
+    import spark.implicits._
+    val f = (c: Char) => c.toString * 16
+    val docs = Seq(
+      (1L, f('a') + f('b') + f('c')),
+      (2L, f('a') + f('b') + f('d')),  // shares 2 distinct frames with 1
+      (3L, f('c') + f('e') + f('f'))   // shares only 1 with doc 1 -> dropped
+    ).toDF("doc_id", "text")
+    val rows = graft.operators.Multimodal.mmFrameDedupOn(docs).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert((r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) == (1L, 2L))
+    assert(r.getAs[Long]("shared_frames") == 2L)
+    assert(r.getAs[Long]("n_frames_a") == 3L && r.getAs[Long]("n_frames_b") == 3L)
+    assert(r.getAs[Double]("containment") == 2.0 / 3.0)
+  }
+
+  test("frame dedup: boilerplate frames above the posting cap generate no pairs") {
+    import spark.implicits._
+    val hot = "h" * 16
+    // 5 docs all sharing ONLY the hot frame; cap 3 drops it entirely
+    val docs = (1L to 5L).map(i => (i, hot + i.toString * 16)).toDF("doc_id", "text")
+    val rows = graft.operators.Multimodal
+      .mmFrameDedupOn(docs, maxPosting = 3).collect()
+    assert(rows.isEmpty, "hot frame must be cut before pair generation")
+  }
 }

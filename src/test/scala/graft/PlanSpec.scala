@@ -483,6 +483,16 @@ class PlanSpec extends SparkSpecBase {
     assert(p.contains("FullOuter"), s"diff must be a full-outer join:\n$p")
   }
 
+
+  test("frame dedup: posting filter below the pair join; fingerprint-keyed equi-joins") {
+    val df = graft.operators.Multimodal.mmFrameDedup(spark, sfDir)
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"pair join fell into a product:\n$p")
+    // frames travel hashed: the join keys are fp64 columns, not slices
+    assert(p.contains("poly_hash64"), s"fingerprint expression missing:\n$p")
+  }
+
   test("knn pq: codebook/distance-table joins broadcast; no cartesian") {
     val p = plan(graft.operators.Pq.knnPq(spark, sfDir))
     assert(p.contains("BroadcastHashJoin"), s"no broadcast join:\n$p")

@@ -238,6 +238,79 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("gdpr delete: erases live rows and tombstones, prunes to affected buckets") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val lake = java.nio.file.Files.createTempDirectory("graft_gdpr_lake").toString
+    val l2 = s"$lake/l2"
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val streamDf = mem.toDF.toDF("event_id", "ts", "user_id", "op", "value")
+    val q = Streams.cdcApplySink(streamDf, l2)
+      .option("checkpointLocation", s"$lake/ckpt").start()
+    try {
+      // users 5 and 6 live; user 7 already tombstoned; 8 untouched
+      mem.addData(Seq(
+        (1L, ts("2024-03-01 10:00:00"), 5L, "U", 1.0),
+        (2L, ts("2024-03-01 10:00:00"), 6L, "U", 2.0),
+        (3L, ts("2024-03-01 10:00:00"), 7L, "U", 3.0),
+        (4L, ts("2024-03-02 10:00:00"), 7L, "D", 0.0),
+        (5L, ts("2024-03-01 10:00:00"), 8L, "U", 4.0)))
+      q.processAllAvailable()
+    } finally q.stop()
+    def bucketOf(u: Long): Int =
+      spark.range(1).select(pmod(xxhash64(lit(u)), lit(Streams.CdcBuckets.toLong))
+        .cast("int")).collect()(0).getInt(0)
+    // pick an untouched bucket's file listing before the delete
+    val fs = new org.apache.hadoop.fs.Path(l2)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def files(b: Int): Set[(String, Long)] = {
+      val p = new org.apache.hadoop.fs.Path(l2, s"bucket=$b")
+      if (!fs.exists(p)) Set.empty
+      else fs.listStatus(p).map(st => (st.getPath.getName, st.getModificationTime)).toSet
+    }
+    val untouched = Seq(8L).map(bucketOf).toSet -- Seq(5L, 7L).map(bucketOf).toSet
+    assume(untouched.nonEmpty, "fixture users must not all share buckets")
+    val beforeFiles = untouched.map(b => b -> files(b)).toMap
+
+    import spark.implicits._
+    val erased = Streams.cdcDeleteKeys(spark, l2, Seq(5L, 7L).toDF("user_id"))
+    // user 5's live row + user 7's retained tombstone (the merge
+    // already collapsed 7's update under it — latest per key)
+    assert(erased == 2L, s"expected 2 lake rows erased, got $erased")
+    val rawUsers = spark.read.parquet(l2).select("user_id").collect().map(_.getLong(0)).toSet
+    assert(rawUsers == Set(6L, 8L), "raw lake must hold no trace of erased keys")
+    val snap = Streams.readCdcSnapshot(spark, l2)
+      .collect().map(_.getLong(2)).toSet
+    assert(snap == Set(6L, 8L))
+    // pruning: untouched buckets keep their exact files (name + mtime)
+    untouched.foreach(b => assert(files(b) == beforeFiles(b),
+      s"bucket $b was rewritten despite holding no erased key"))
+    // convention sidecar survives the rewrite
+    assert(fs.exists(new org.apache.hadoop.fs.Path(l2, "_graft_cdc_convention")))
+  }
+
+  test("gdpr delete: a bucket emptied by the erasure is removed, not resurrected") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val lake = java.nio.file.Files.createTempDirectory("graft_gdpr_lake2").toString
+    val l2 = s"$lake/l2"
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val streamDf = mem.toDF.toDF("event_id", "ts", "user_id", "op", "value")
+    val q = Streams.cdcApplySink(streamDf, l2)
+      .option("checkpointLocation", s"$lake/ckpt").start()
+    try {
+      mem.addData(Seq(
+        (1L, ts("2024-03-01 10:00:00"), 5L, "U", 1.0),
+        (2L, ts("2024-03-01 10:00:00"), 8L, "U", 4.0)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val erased = Streams.cdcDeleteKeys(spark, l2, Seq(5L).toDF("user_id"))
+    assert(erased >= 1L)
+    val remaining = spark.read.parquet(l2).select("user_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(remaining == Set(8L), s"erased key must not resurrect, got $remaining")
+  }
+
   test("cdc snapshot read resolves the persisted convention and refuses a mismatch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
