@@ -72,6 +72,8 @@ object GraftSession {
         ext.injectFunction(graft.functions.WordNgramFunctions.hashedCharNgrams)
         ext.injectFunction(graft.functions.WordNgramFunctions.hashedWordNgramSeq)
         ext.injectFunction(graft.functions.HllFunctions.hllNdv)
+        ext.injectFunction(graft.functions.HllFunctions.hllSketch)
+        ext.injectFunction(graft.functions.HllFunctions.hllMergeEst)
         ext.injectFunction(graft.functions.BloomFunctions.bloomAgg)
         ext.injectFunction(graft.functions.BloomFunctions.bloomMightContain)
         ext.injectFunction(graft.functions.HilbertFunctions.hilbertIndex)

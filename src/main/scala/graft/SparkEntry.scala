@@ -68,6 +68,7 @@ object SparkEntry {
     "graph_triangles"      -> (graft.operators.Graph.graphTriangles(_, _)),
     "graph_pagerank"       -> (graft.operators.Graph.graphPagerank(_, _)),
     "agg_approx_ndv"       -> (graft.operators.Sketches.aggApproxNdv(_, _)),
+    "agg_sketch_union"     -> (graft.operators.Sketches.aggSketchUnion(_, _)),
     "agg_heavy_hitters"    -> (graft.operators.Sketches.aggHeavyHitters(_, _)),
     "q_exact_quantiles"    -> (graft.operators.Quantiles.qExactQuantiles(_, _)),
     "agg_hist_quantiles"   -> (graft.operators.Quantiles.aggHistQuantiles(_, _)),
@@ -192,6 +193,7 @@ object SparkEntry {
     // the HLL estimator replays bit-exactly: ordered register fold of
     // exact 2^-rho terms; ln() lookup table embedded from Scala
     "agg_approx_ndv"       -> graft.operators.Sketches.aggApproxNdvOracleSql,
+    "agg_sketch_union"     -> graft.operators.Sketches.aggSketchUnionOracleSql,
     // the CMS replays bit-exactly: poly_hash64 byte fold + per-row
     // xxhash64 lanes with Scala-computed constant-lane seeds
     "agg_heavy_hitters"    -> graft.operators.Sketches.aggHeavyHittersOracleSql,

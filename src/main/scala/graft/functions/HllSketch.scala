@@ -154,9 +154,130 @@ object HllNdv {
   }
 }
 
+/** `hll_sketch(hash64, p)`: the SAME aggregation as [[HllNdv]] but
+  * returning the raw `m`-byte register buffer instead of the
+  * estimate — the mergeable-summary artifact. A pipeline stores one
+  * sketch per (group, partition-unit) row; later readers union any
+  * subset of units with [[HllMergeEst]] and get the estimate the
+  * direct pass over the raw rows would produce, WITHOUT rescanning
+  * them — exactness of the roll-up follows from register max being
+  * associative/commutative/idempotent. This is the pre-aggregation
+  * contract (Dataflow "mergeable summaries"; Druid/Pinot sketch
+  * columns) that makes distinct-count dashboards O(days), not
+  * O(rows), at 100 TB. */
+case class HllSketchAgg(
+    child: Expression,
+    pExpr: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Byte]] {
+
+  private lazy val inner = HllNdv(child, pExpr)
+
+  override def children: Seq[Expression] = Seq(child, pExpr)
+  override def nullable: Boolean = false
+  override def dataType: DataType = org.apache.spark.sql.types.BinaryType
+  override def prettyName: String = "hll_sketch"
+  override def checkInputDataTypes(): TypeCheckResult = inner.checkInputDataTypes()
+  override def createAggregationBuffer(): Array[Byte] = inner.createAggregationBuffer()
+  override def update(buf: Array[Byte], input: InternalRow): Array[Byte] =
+    inner.update(buf, input)
+  override def merge(b1: Array[Byte], b2: Array[Byte]): Array[Byte] =
+    inner.merge(b1, b2)
+  override def eval(buf: Array[Byte]): Any = buf
+  override def serialize(buf: Array[Byte]): Array[Byte] = buf
+  override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes
+  override def withNewMutableAggBufferOffset(newOffset: Int): HllSketchAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): HllSketchAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): HllSketchAgg =
+    copy(child = newChildren(0), pExpr = newChildren(1))
+}
+
+/** `hll_merge_est(sketch, p)`: union pre-built [[HllSketchAgg]]
+  * register buffers (elementwise max) and evaluate the shared
+  * estimator. Because max-merge is associative and idempotent, the
+  * result is BIT-IDENTICAL to `hll_ndv` run directly over the raw
+  * rows the sketches summarize — under any grouping of the units,
+  * any merge order, and at-least-once unit delivery. */
+case class HllMergeEst(
+    child: Expression,
+    pExpr: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Byte]] {
+
+  private lazy val p: Int = pExpr match {
+    case Literal(v: Int, IntegerType) =>
+      require(v >= 4 && v <= 14, s"hll_merge_est: p must be in [4,14], got $v")
+      v
+    case other =>
+      throw new IllegalArgumentException(
+        s"hll_merge_est: p must be an INT literal, got $other")
+  }
+  private lazy val m: Int = 1 << p
+
+  override def children: Seq[Expression] = Seq(child, pExpr)
+  override def nullable: Boolean = false
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "hll_merge_est"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == org.apache.spark.sql.types.BinaryType &&
+        pExpr.dataType == IntegerType && pExpr.foldable)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"hll_merge_est requires (BINARY, INT literal), got " +
+        s"(${child.dataType.sql}, ${pExpr.dataType.sql})")
+
+  override def createAggregationBuffer(): Array[Byte] = new Array[Byte](m)
+
+  override def update(buf: Array[Byte], input: InternalRow): Array[Byte] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val sk = v.asInstanceOf[Array[Byte]]
+      require(sk.length == m,
+        s"hll_merge_est: sketch has ${sk.length} registers, p=$p needs $m")
+      var j = 0
+      while (j < m) { if (sk(j) > buf(j)) buf(j) = sk(j); j += 1 }
+    }
+    buf
+  }
+
+  override def merge(b1: Array[Byte], b2: Array[Byte]): Array[Byte] = {
+    var j = 0
+    while (j < m) { if (b2(j) > b1(j)) b1(j) = b2(j); j += 1 }
+    b1
+  }
+
+  override def eval(buf: Array[Byte]): Any = HllNdv.estimate(buf, p)
+
+  override def serialize(buf: Array[Byte]): Array[Byte] = buf
+  override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes
+  override def withNewMutableAggBufferOffset(newOffset: Int): HllMergeEst =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): HllMergeEst =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): HllMergeEst =
+    copy(child = newChildren(0), pExpr = newChildren(1))
+}
+
 object HllFunctions {
   val hllNdv: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("hll_ndv"),
     new ExpressionInfo(classOf[HllNdv].getName, "hll_ndv"),
     (args: Seq[Expression]) => HllNdv(args(0), args(1)).toAggregateExpression())
+
+  val hllSketch: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("hll_sketch"),
+    new ExpressionInfo(classOf[HllSketchAgg].getName, "hll_sketch"),
+    (args: Seq[Expression]) => HllSketchAgg(args(0), args(1)).toAggregateExpression())
+
+  val hllMergeEst: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("hll_merge_est"),
+    new ExpressionInfo(classOf[HllMergeEst].getName, "hll_merge_est"),
+    (args: Seq[Expression]) => HllMergeEst(args(0), args(1)).toAggregateExpression())
 }

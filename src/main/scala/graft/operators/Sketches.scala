@@ -119,6 +119,36 @@ object Sketches {
        |        / CAST(x.ndv_exact AS DOUBLE) * 100.0, 4) AS err_pct
        |FROM exact x JOIN est e ON x.event_type = e.event_type""".stripMargin
 
+  /** Mergeable-summary roll-up (key `agg_sketch_union`): build ONE
+    * HLL sketch per (event_type, day) — the pre-aggregation a 100 TB
+    * pipeline persists at ingest — then union each type's daily
+    * sketches (`hll_merge_est`, elementwise register max) into the
+    * range estimate WITHOUT rescanning raw rows. Register max is
+    * associative/commutative/idempotent, so the rolled-up estimate is
+    * BIT-IDENTICAL to the direct one-pass `hll_ndv` over the raw
+    * range — which is exactly what the oracle computes (the identity
+    * under test), while `n_days` pins the roll-up really passed
+    * through the daily layer. Shuffles: one (type, day)-keyed pass
+    * over events, then a types×days-row sketch table — the second
+    * stage is calendar-sized, not corpus-sized. */
+  def aggSketchUnion(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(call_function("hll_sketch",
+        xxhash64(col("user_id")), lit(P)).as("sk"))
+    daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"),
+        call_function("hll_merge_est", col("sk"), lit(P)).as("ndv_merged"))
+  }
+
+  val aggSketchUnionOracleSql: String =
+    s"""WITH ${hllReplayCtes("event_type", "event_type")},
+       |days AS (
+       |  SELECT event_type, COUNT(DISTINCT CAST(ts AS DATE)) AS n_days
+       |  FROM events GROUP BY 1)
+       |SELECT d.event_type, d.n_days, e.ndv_approx AS ndv_merged
+       |FROM days d JOIN est e ON d.event_type = e.event_type""".stripMargin
+
   /** Oracle for the streaming twin: same replay, keyed by the hour
     * window start (a tumbling window's start IS date_trunc). */
   val windowedApproxNdvOracleSql: String =

@@ -71,6 +71,39 @@ class ScaleOpsSpec extends SparkSpecBase {
     assert(math.abs(whole - 977) / 977.0 < 0.26)
   }
 
+  test("sketch union: daily roll-up is bit-identical to the direct pass under any unit grouping") {
+    val df = spark.range(5000).select(
+      (col("id") % 977).as("k"),
+      (col("id") % 7).cast("int").as("day"),
+      (col("id") % 3).cast("int").as("week"))
+    def direct: Double =
+      df.agg(call_function("hll_ndv", xxhash64(col("k")), lit(8))).head().getDouble(0)
+    def rolled(unit: String): Double = df
+      .groupBy(col(unit))
+      .agg(call_function("hll_sketch", xxhash64(col("k")), lit(8)).as("sk"))
+      .agg(call_function("hll_merge_est", col("sk"), lit(8))).head().getDouble(0)
+    // merge associativity/idempotence: ANY partition of the rows into
+    // units merges back to the direct estimate, bit for bit
+    assert(rolled("day") == direct)
+    assert(rolled("week") == direct)
+    // finer units (day x week cells) merge to the same estimate too
+    val fine = df
+      .groupBy(col("week"), col("day"))
+      .agg(call_function("hll_sketch", xxhash64(col("k")), lit(8)).as("sk"))
+      .agg(call_function("hll_merge_est", col("sk"), lit(8))).head().getDouble(0)
+    assert(fine == direct)
+  }
+
+  test("sketch union driver key: merged estimate equals agg_approx_ndv's per type") {
+    val merged = Sketches.aggSketchUnion(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    val direct = Sketches.aggApproxNdv(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(merged.keySet == direct.keySet)
+    merged.foreach { case (t, v) =>
+      assert(v == direct(t), s"roll-up diverged from direct pass for $t") }
+  }
+
   test("hll_ndv eval matches the companion estimator on hand-built registers") {
     // a tiny known register set: bucket 0 -> rho 3, bucket 1 -> rho 1
     val regs = new Array[Byte](256)
