@@ -262,6 +262,8 @@ object ScaleCheck {
       run("q_retention_cohorts", queries.Analytics.qRetentionCohorts(spark, dir)),
       run("q_fuzzy_match", operators.Fuzzy.qFuzzyMatch(spark, dir)),
       run("mm_frame_dedup", operators.Multimodal.mmFrameDedup(spark, dir)),
+      run("agg_sketch_union", operators.Sketches.aggSketchUnion(spark, dir)),
+      run("q_fuzzy_edit1", operators.Fuzzy.qFuzzyEdit1(spark, dir)),
       if (!only("dedup_semantic")) ("dedup_semantic", 0.0, -1L) else {
         // handle form: release the corpus-sized IVF index cache before
         // the pipeline timing below competes with it for memory

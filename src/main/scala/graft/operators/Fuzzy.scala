@@ -87,6 +87,114 @@ object Fuzzy {
         col("cand").as("matched_name"), col("distance"), col("n_candidates"))
   }
 
+  /** Candidate pairs at FULL Levenshtein distance ≤ 1 (substitution,
+    * insertion, or deletion) via the FastSS deletion-neighborhood
+    * join: each string's blocking keys are itself plus every
+    * single-char deletion; two strings are within edit distance 1 iff
+    * their key sets intersect (sub: both delete the edited position;
+    * ins/del: the longer side's deletion hits the shorter string
+    * itself). Complete with NO length-band unions or end-char guards.
+    *
+    * Scale shape: the explode factor is `len + 1` keys per string —
+    * linear in string length, the standard trade for full edit-class
+    * coverage (the substitution-only [[substitutionCandidates]] emits
+    * 2 keys/row when the corruption class is known). A pair can meet
+    * on several shared keys, so candidates dedupe (one distinct on
+    * (row, cand)) before the levenshtein verify. */
+  def editCandidates(dirty: DataFrame, canon: DataFrame,
+                     maxDist: Int = 1): DataFrame = {
+    val neighborhood = explode(array_distinct(concat(array(col("name")),
+      expr("""transform(sequence(1, length(name)), i ->
+                concat(substring(name, 1, i - 1), substring(name, i + 1)))"""))))
+    val dk = dirty.select(col("row_id"), col("name").as("dirty_name"),
+      neighborhood.as("bk"))
+    val ck = canon.select(col("name").as("cand"), neighborhood.as("bk"))
+    dk.join(ck, "bk")
+      .select(col("row_id"), col("dirty_name"), col("cand"))
+      .distinct()
+      .withColumn("distance", levenshtein(col("dirty_name"), col("cand")).cast("int"))
+      .where(col("distance") <= maxDist)
+  }
+
+  /** Driver key `q_fuzzy_edit1`: like [[qFuzzyMatch]] but the
+    * corruption class rotates by key — substitute '#' / delete a char
+    * / insert '#' — and the repair runs the full edit-distance-1
+    * neighborhood join, which the substitution blocking provably
+    * misses for the ins/del thirds. */
+  def qFuzzyEdit1(spark: SparkSession, dir: String): DataFrame = {
+    val part = Tables.part(spark, dir)
+    // pos in [1, len] from the key; op = key mod 3
+    val dirty = part.select(col("p_partkey").as("row_id"),
+      expr("""CASE p_partkey % 3
+                WHEN 0 THEN concat(
+                  substring(p_name, 1, cast(p_partkey % length(p_name) as int)),
+                  '#',
+                  substring(p_name, cast(p_partkey % length(p_name) as int) + 2))
+                WHEN 1 THEN concat(
+                  substring(p_name, 1, cast(p_partkey % length(p_name) as int)),
+                  substring(p_name, cast(p_partkey % length(p_name) as int) + 2))
+                ELSE concat(
+                  substring(p_name, 1, cast(p_partkey % length(p_name) as int)),
+                  '#',
+                  substring(p_name, cast(p_partkey % length(p_name) as int) + 1))
+              END""").as("name"))
+    val canon = part.select(col("p_name").as("name")).distinct()
+    val cands = editCandidates(dirty, canon)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("row_id")).orderBy(col("distance"), col("cand"))
+    cands
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_candidates", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("row_id"))))
+      .where(col("rn") === 1)
+      .select(col("row_id").as("p_partkey"), col("dirty_name"),
+        col("cand").as("matched_name"), col("distance"), col("n_candidates"))
+  }
+
+  val qFuzzyEdit1OracleSql: String =
+    """WITH dirty AS (
+      |  SELECT p_partkey AS row_id,
+      |    CASE p_partkey % 3
+      |      WHEN 0 THEN substr(p_name, 1, CAST(p_partkey % length(p_name) AS INTEGER))
+      |        || '#' || substr(p_name, CAST(p_partkey % length(p_name) AS INTEGER) + 2)
+      |      WHEN 1 THEN substr(p_name, 1, CAST(p_partkey % length(p_name) AS INTEGER))
+      |        || substr(p_name, CAST(p_partkey % length(p_name) AS INTEGER) + 2)
+      |      ELSE substr(p_name, 1, CAST(p_partkey % length(p_name) AS INTEGER))
+      |        || '#' || substr(p_name, CAST(p_partkey % length(p_name) AS INTEGER) + 1)
+      |    END AS name
+      |  FROM part
+      |), canon AS (
+      |  SELECT DISTINCT p_name AS name FROM part
+      |), dk AS (
+      |  SELECT row_id, name AS dirty_name,
+      |    unnest(list_distinct(list_prepend(name,
+      |      list_transform(generate_series(1, length(name)), i ->
+      |        substr(name, 1, i - 1) || substr(name, i + 1))))) AS bk
+      |  FROM dirty
+      |), ck AS (
+      |  SELECT name AS cand,
+      |    unnest(list_distinct(list_prepend(name,
+      |      list_transform(generate_series(1, length(name)), i ->
+      |        substr(name, 1, i - 1) || substr(name, i + 1))))) AS bk
+      |  FROM canon
+      |), cands AS (
+      |  SELECT DISTINCT d.row_id, d.dirty_name, c.cand
+      |  FROM dk d JOIN ck c ON d.bk = c.bk
+      |), verified AS (
+      |  SELECT row_id, dirty_name, cand,
+      |    CAST(levenshtein(dirty_name, cand) AS INTEGER) AS distance
+      |  FROM cands
+      |  WHERE levenshtein(dirty_name, cand) <= 1
+      |), ranked AS (
+      |  SELECT *,
+      |    ROW_NUMBER() OVER (PARTITION BY row_id ORDER BY distance, cand) AS rn,
+      |    COUNT(*) OVER (PARTITION BY row_id) AS n_candidates
+      |  FROM verified
+      |)
+      |SELECT row_id AS p_partkey, dirty_name, cand AS matched_name,
+      |  distance, n_candidates
+      |FROM ranked WHERE rn = 1""".stripMargin
+
   val qFuzzyMatchOracleSql: String =
     """WITH dirty AS (
       |  SELECT p_partkey AS row_id,

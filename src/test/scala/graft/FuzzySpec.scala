@@ -53,4 +53,42 @@ class FuzzySpec extends SparkSpecBase {
       assert(r.getAs[Long]("n_candidates") >= 1)
     }
   }
+
+  test("edit candidates: substitution, insertion, and deletion all found at distance 1") {
+    val dirty = df((1L, "ab#de"), (2L, "abde"), (3L, "abc#de"), (4L, "abcde"))
+    val canon = canonDf("abcde")
+    val got = Fuzzy.editCandidates(dirty, canon).collect()
+      .map(r => (r.getAs[Long]("row_id"), r.getAs[Int]("distance"))).toSet
+    assert(got == Set((1L, 1), (2L, 1), (3L, 1), (4L, 0)))
+  }
+
+  test("edit candidates: each (row, candidate) pair appears once despite shared keys") {
+    // identical strings intersect on every neighborhood key (len+1)
+    val got = Fuzzy.editCandidates(df((1L, "abcde")), canonDf("abcde")).collect()
+    assert(got.length == 1 && got.head.getAs[Int]("distance") == 0)
+  }
+
+  test("edit candidates: distance-2 strings excluded even when keys collide") {
+    // "ab" and "cb": substitution at pos 1 -> neighborhoods share "b"
+    // (both delete pos 1) so they MEET, but distance 1 keeps them;
+    // "ab" vs "cd" shares no key and never meets
+    val got = Fuzzy.editCandidates(df((1L, "ab")), canonDf("cb", "cd")).collect()
+    assert(got.map(_.getAs[String]("cand")).toSet == Set("cb"))
+  }
+
+  test("edit-class driver key: every corruption class repairs at its true distance") {
+    val rows = Fuzzy.qFuzzyEdit1(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val keys = rows.map(_.getAs[Long]("p_partkey"))
+    assert(keys.distinct.length == keys.length)
+    rows.foreach { r =>
+      val k = r.getAs[Long]("p_partkey")
+      val d = r.getAs[Int]("distance")
+      // substitution/insert corruptions use '#' (never canonical) so
+      // they sit at exactly 1; a deletion can coincide with another
+      // canonical name (distance 0) but never exceeds 1
+      if (k % 3 != 1) assert(d == 1, s"key $k class ${k % 3} at distance $d")
+      else assert(d <= 1)
+    }
+  }
 }

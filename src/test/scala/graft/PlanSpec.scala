@@ -493,6 +493,15 @@ class PlanSpec extends SparkSpecBase {
     assert(p.contains("poly_hash64"), s"fingerprint expression missing:\n$p")
   }
 
+
+  test("fuzzy edit1: neighborhood join is a key-hashed equi-join with one dedup pass") {
+    val df = graft.operators.Fuzzy.qFuzzyEdit1(spark, sfDir)
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"neighborhood join fell into a product:\n$p")
+    assert(p.contains("levenshtein"), s"verify filter missing:\n$p")
+  }
+
   test("knn pq: codebook/distance-table joins broadcast; no cartesian") {
     val p = plan(graft.operators.Pq.knnPq(spark, sfDir))
     assert(p.contains("BroadcastHashJoin"), s"no broadcast join:\n$p")
