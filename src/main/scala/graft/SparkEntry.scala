@@ -61,6 +61,7 @@ object SparkEntry {
     "q_retention_cohorts"  -> (Analytics.qRetentionCohorts(_, _)),
     "q_fuzzy_match"        -> (graft.operators.Fuzzy.qFuzzyMatch(_, _)),
     "q_fuzzy_edit1"        -> (graft.operators.Fuzzy.qFuzzyEdit1(_, _)),
+    "q_skyline"            -> (graft.operators.Skyline.qSkyline(_, _)),
     "layout_zorder"        -> (graft.operators.Layout.qZorderLayout(_, _)),
     "layout_compaction"    -> (graft.operators.Layout.qCompaction(_, _)),
     "layout_hilbert"       -> (graft.operators.Layout.qHilbertLayout(_, _)),
@@ -190,6 +191,7 @@ object SparkEntry {
     "q_retention_cohorts"  -> Analytics.qRetentionCohortsOracleSql,
     "q_fuzzy_match"        -> graft.operators.Fuzzy.qFuzzyMatchOracleSql,
     "q_fuzzy_edit1"        -> graft.operators.Fuzzy.qFuzzyEdit1OracleSql,
+    "q_skyline"            -> graft.operators.Skyline.qSkylineOracleSql,
     "graph_triangles"      -> graft.operators.Graph.graphTrianglesOracleSql,
     "graph_pagerank"       -> graft.operators.Graph.graphPagerankOracleSql,
     // the HLL estimator replays bit-exactly: ordered register fold of

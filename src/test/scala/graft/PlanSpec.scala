@@ -502,6 +502,18 @@ class PlanSpec extends SparkSpecBase {
     assert(p.contains("levenshtein"), s"verify filter missing:\n$p")
   }
 
+
+  test("skyline: prefix-max runs pid-partitioned; no quadratic pair join, no global window") {
+    val df = graft.operators.Skyline.qSkyline(spark, sfDir)
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"skyline fell into the quadratic join:\n$p")
+    // every window is partitioned on the frozen partition id
+    val specs = "windowspecdefinition\\(([^,)]*)".r.findAllMatchIn(p).map(_.group(1)).toList
+    specs.foreach(first => assert(first.startsWith("__pid"),
+      s"window partitioned on '$first', not __pid — global window detected:\n$p"))
+  }
+
   test("knn pq: codebook/distance-table joins broadcast; no cartesian") {
     val p = plan(graft.operators.Pq.knnPq(spark, sfDir))
     assert(p.contains("BroadcastHashJoin"), s"no broadcast join:\n$p")
