@@ -124,6 +124,7 @@ object SparkEntry {
     // §2.7 streaming (batch twins of the shared transforms; the
     // streaming forms run in StreamingSpec via MemoryStream)
     "stream_windowed_agg" -> (graft.streaming.Streams.windowedAggBatch(_, _)),
+    "stream_hop_windows"  -> (graft.streaming.Streams.hopWindowedAggBatch(_, _)),
     "stream_dedupe"       -> (graft.streaming.Streams.keepFirstBatch(_, _)),
     "stream_sessionize"   -> (graft.streaming.Streams.sessionizeBatch(_, _)),
     "stream_approx_ndv"   -> (graft.streaming.Streams.windowedApproxNdvBatch(_, _)),
@@ -274,6 +275,7 @@ object SparkEntry {
     "mm_frame_dedup"     -> Multimodal.mmFrameDedupOracleSql,
     // §2.7 streaming batch twins
     "stream_windowed_agg" -> graft.streaming.Streams.windowedAggOracleSql,
+    "stream_hop_windows"  -> graft.streaming.Streams.hopWindowedAggOracleSql,
     "stream_dedupe"       -> graft.streaming.Streams.keepFirstOracleSql,
     // the stateful sessionizer must agree with the window-form
     // sessionizer row-for-row — one oracle checks both

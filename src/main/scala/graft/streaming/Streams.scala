@@ -50,6 +50,49 @@ object Streams {
       |FROM events
       |GROUP BY 1, 2""".stripMargin
 
+  /** HOPPING (sliding) window aggregation — 1-hour windows advancing
+    * every 15 minutes, the smoothing shape tumbling windows can't
+    * express (a spike at :59 shows in four overlapping reports, not
+    * one). Spark's window TVF assigns each event to all
+    * `window/slide` = 4 covering windows — a bounded ×4 row expansion
+    * BEFORE the keyed aggregation, which is the honest cost of
+    * overlap (state = 4 open windows per (type,) key instead of 1;
+    * still rate-independent). Same transform body batch (driver key,
+    * oracle below) and streaming (watermarked, StreamingSpec asserts
+    * stream == batch). */
+  def hopWindowedAgg(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+      .select(col("w.start").as("window_start"), col("w.end").as("window_end"),
+        col("event_type"), col("n_events"), col("sum_value"))
+
+  /** Streaming form: watermark bounds open windows; with a 1h/15m hop
+    * the state is ≤ (2h + 1h) / 15m windows per key at any rate. */
+  def hopWindowedAggStream(events: DataFrame): DataFrame =
+    hopWindowedAgg(events.withWatermark("ts", "2 hours"))
+
+  /** Batch entry (queries key `stream_hop_windows`). */
+  def hopWindowedAggBatch(spark: SparkSession, dir: String): DataFrame =
+    hopWindowedAgg(Tables.events(spark, dir))
+
+  /** Oracle: each event joins the 4 hop starts covering it —
+    * `floor(ts, 15m) - {0,15,30,45}m` — replaying the TVF expansion
+    * exactly (micros-precision grid arithmetic). */
+  val hopWindowedAggOracleSql: String =
+    """WITH hops AS (
+      |  SELECT event_type, value,
+      |    time_bucket(INTERVAL 15 MINUTE, CAST(ts AS TIMESTAMP))
+      |      - unnest([INTERVAL 0 MINUTE, INTERVAL 15 MINUTE,
+      |                INTERVAL 30 MINUTE, INTERVAL 45 MINUTE]) AS window_start
+      |  FROM events
+      |)
+      |SELECT window_start, window_start + INTERVAL 1 HOUR AS window_end,
+      |  event_type, COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value
+      |FROM hops
+      |GROUP BY 1, 2, 3""".stripMargin
+
   /** Tumbling 1-hour DISTINCT-USER cardinality via the HLL sketch —
     * the streaming form of [[graft.operators.Sketches]]. Streaming
     * aggregation cannot run an exact `count(distinct)` at all (state

@@ -69,6 +69,36 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("hop windows: stream equals batch; each event lands in exactly 4 windows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Seq(
+      (1L, ts("2024-01-01 10:59:00"), "click", 1.5),   // spike at :59
+      (2L, ts("2024-01-01 10:07:00"), "click", 2.5),
+      (3L, ts("2024-01-01 11:16:00"), "view", 1.0))
+    val mem = MemoryStream[(Long, Timestamp, String, Double)]
+    val streamDf = mem.toDF.toDF("event_id", "ts", "event_type", "value")
+    val q = Streams.hopWindowedAggStream(streamDf).writeStream
+      .format("memory").queryName("hopagg").outputMode("complete").start()
+    try {
+      mem.addData(rows)
+      q.processAllAvailable()
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getTimestamp(0), r.getTimestamp(1), r.getString(2), r.getLong(3), r.getDouble(4))
+      val streamed = spark.table("hopagg").collect().map(key).toSet
+      val batchDf = Streams.hopWindowedAgg(rows.toDF("event_id", "ts", "event_type", "value"))
+      val batch = batchDf.collect().map(key).toSet
+      assert(streamed == batch && batch.nonEmpty)
+      // overlap contract: total (window, event) memberships = 4 per event
+      val total = batchDf.agg(org.apache.spark.sql.functions.sum("n_events"))
+        .head().getLong(0)
+      assert(total == 4L * rows.length, s"each event must cover 4 hops, got $total")
+      // the :59 spike shows in four distinct click windows
+      val clickWindows = batch.filter(_._3 == "click").map(_._1)
+      assert(clickWindows.size >= 4)
+    } finally q.stop()
+  }
+
   test("windowed agg append mode: watermark finalizes closed windows only") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
