@@ -69,6 +69,7 @@ object SparkEntry {
     "dq_key_skew"          -> (graft.operators.Skew.dqKeySkew(_, _)),
     "graph_triangles"      -> (graft.operators.Graph.graphTriangles(_, _)),
     "graph_pagerank"       -> (graft.operators.Graph.graphPagerank(_, _)),
+    "graph_edge_jaccard"   -> (graft.operators.Graph.graphEdgeJaccard(_, _)),
     "agg_approx_ndv"       -> (graft.operators.Sketches.aggApproxNdv(_, _)),
     "agg_sketch_union"     -> (graft.operators.Sketches.aggSketchUnion(_, _)),
     "agg_heavy_hitters"    -> (graft.operators.Sketches.aggHeavyHitters(_, _)),
@@ -195,6 +196,7 @@ object SparkEntry {
     "q_skyline"            -> graft.operators.Skyline.qSkylineOracleSql,
     "graph_triangles"      -> graft.operators.Graph.graphTrianglesOracleSql,
     "graph_pagerank"       -> graft.operators.Graph.graphPagerankOracleSql,
+    "graph_edge_jaccard"   -> graft.operators.Graph.graphEdgeJaccardOracleSql,
     // the HLL estimator replays bit-exactly: ordered register fold of
     // exact 2^-rho terms; ln() lookup table embedded from Scala
     "agg_approx_ndv"       -> graft.operators.Sketches.aggApproxNdvOracleSql,

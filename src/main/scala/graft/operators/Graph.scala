@@ -214,6 +214,95 @@ object Graph {
        |    AS clustering
        |FROM top t CROSS JOIN totals s""".stripMargin
 
+  /** Key `graph_edge_jaccard`: neighborhood similarity per EDGE — the
+    * link-prediction / "bought-together" score. For an edge (u, v),
+    * Jaccard = |N(u)∩N(v)| / |N(u)∪N(v)| over the OTHER neighbors
+    * (N(u)\{v}, N(v)\{u}): the intersection count is exactly the
+    * number of triangles the edge closes, so the degree-oriented
+    * corner pass computes it without ever materializing hub
+    * neighborhoods — |N(u)∩N(v)| per edge = corner rows exploded 3×
+    * and counted, |union| = deg(u)+deg(v)−2−common. Report = top-K
+    * edges by (jaccard, u, v), exact-int/exact-int division. */
+  def graphEdgeJaccard(spark: SparkSession, dir: String): DataFrame =
+    edgeJaccardOn(staged(coOrderEdges(spark, dir), "graft_ej_edges"))
+
+  def edgeJaccardOn(edges: DataFrame, topK: Int = TopK): DataFrame = {
+    val deg = degrees(edges)
+    val corners = staged(triangleCorners(edges), "graft_ej_corners")
+    // the 3 edges of each triangle, normalized u < v
+    val triEdges = corners.select(
+        explode(array(
+          struct(least(col("x"), col("y")).as("u"), greatest(col("x"), col("y")).as("v")),
+          struct(least(col("x"), col("z")).as("u"), greatest(col("x"), col("z")).as("v")),
+          struct(least(col("y"), col("z")).as("u"), greatest(col("y"), col("z")).as("v"))))
+          .as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
+      .groupBy("u", "v").agg(count(lit(1)).as("common"))
+    val du = deg.select(col("node").as("u"), col("deg").as("deg_u"))
+    val dv = deg.select(col("node").as("v"), col("deg").as("deg_v"))
+    val scored = edges
+      .join(triEdges, Seq("u", "v"), "left")
+      .na.fill(0L, Seq("common"))
+      .join(du, "u").join(dv, "v")
+      .withColumn("union_size", col("deg_u") + col("deg_v") - 2 - col("common"))
+      .withColumn("jaccard",
+        when(col("union_size") === 0, lit(0.0))
+          .otherwise(col("common").cast("double") / col("union_size").cast("double")))
+    val top = scored
+      .orderBy(col("jaccard").desc, col("u"), col("v")).limit(topK)
+    // bounded single-partition window: topK rows by construction
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(0)).orderBy(col("jaccard").desc, col("u"), col("v"))
+    top.withColumn("rank", row_number().over(w).cast("int"))
+      .select(col("rank"), col("u"), col("v"), col("common"),
+        col("deg_u"), col("deg_v"), col("jaccard"))
+  }
+
+  val graphEdgeJaccardOracleSql: String =
+    s"""WITH edges AS (
+       |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+       |  FROM lineitem a JOIN lineitem b
+       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       |), deg AS (
+       |  SELECT node, COUNT(*) AS deg FROM (
+       |    SELECT u AS node FROM edges UNION ALL SELECT v FROM edges
+       |  ) GROUP BY 1
+       |), oriented AS (
+       |  SELECT CASE WHEN (du.deg, e.u) < (dv.deg, e.v) THEN e.u ELSE e.v END AS s,
+       |         CASE WHEN (du.deg, e.u) < (dv.deg, e.v) THEN e.v ELSE e.u END AS d
+       |  FROM edges e
+       |  JOIN deg du ON du.node = e.u
+       |  JOIN deg dv ON dv.node = e.v
+       |), tris AS (
+       |  SELECT e1.s AS x, e1.d AS y, e2.d AS z
+       |  FROM oriented e1 JOIN oriented e2
+       |    ON e1.s = e2.s AND e1.d < e2.d
+       |  WHERE EXISTS (SELECT 1 FROM oriented c
+       |    WHERE LEAST(c.s, c.d) = e1.d AND GREATEST(c.s, c.d) = e2.d)
+       |), tri_edges AS (
+       |  SELECT u, v, COUNT(*) AS common FROM (
+       |    SELECT LEAST(x, y) AS u, GREATEST(x, y) AS v FROM tris
+       |    UNION ALL SELECT LEAST(x, z), GREATEST(x, z) FROM tris
+       |    UNION ALL SELECT LEAST(y, z), GREATEST(y, z) FROM tris
+       |  ) GROUP BY 1, 2
+       |), scored AS (
+       |  SELECT e.u, e.v, COALESCE(t.common, 0) AS common,
+       |    du.deg AS deg_u, dv.deg AS deg_v,
+       |    du.deg + dv.deg - 2 - COALESCE(t.common, 0) AS union_size
+       |  FROM edges e
+       |  LEFT JOIN tri_edges t ON t.u = e.u AND t.v = e.v
+       |  JOIN deg du ON du.node = e.u
+       |  JOIN deg dv ON dv.node = e.v
+       |), ranked AS (
+       |  SELECT u, v, common, deg_u, deg_v,
+       |    CASE WHEN union_size = 0 THEN 0.0
+       |         ELSE CAST(common AS DOUBLE) / CAST(union_size AS DOUBLE) END AS jaccard
+       |  FROM scored
+       |)
+       |SELECT CAST(ROW_NUMBER() OVER (ORDER BY jaccard DESC, u, v) AS INTEGER) AS rank,
+       |  u, v, common, deg_u, deg_v, jaccard
+       |FROM ranked ORDER BY jaccard DESC, u, v LIMIT $TopK""".stripMargin
+
   /** Key `graph_pagerank`: `Iters` fixed-point PageRank iterations
     * over the co-order graph, top-K nodes by final rank. Exact
     * integer arithmetic throughout (see object doc); damping 0.85 as

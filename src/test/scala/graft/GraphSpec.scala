@@ -86,4 +86,30 @@ class GraphSpec extends SparkSpecBase {
     // per-node participation never exceeds the global count
     rows.foreach(x => assert(x.getAs[Long]("triangles") <= tris))
   }
+
+  test("edge jaccard: K4 edges all share the 2 other corners; path edges share none") {
+    val k4 = edgesDf((1L,2L),(1L,3L),(1L,4L),(2L,3L),(2L,4L),(3L,4L))
+    val rows = Graph.edgeJaccardOn(k4).collect()
+    assert(rows.length == 6)
+    rows.foreach { r =>
+      // N(u)\{v} and N(v)\{u} are the same 2-node set -> jaccard 1
+      assert(r.getAs[Long]("common") == 2L)
+      assert(r.getAs[Double]("jaccard") == 1.0)
+    }
+    val path = edgesDf((1L,2L),(2L,3L))
+    Graph.edgeJaccardOn(path).collect().foreach { r =>
+      assert(r.getAs[Long]("common") == 0L && r.getAs[Double]("jaccard") == 0.0)
+    }
+  }
+
+  test("edge jaccard: shared-triangle edge outranks the periphery") {
+    // two triangles sharing edge (2,3): common(2,3)=2, others 1
+    val g = edgesDf((1L,2L),(1L,3L),(2L,3L),(2L,4L),(3L,4L))
+    val rows = Graph.edgeJaccardOn(g).collect()
+    val byEdge = rows.map(r => (r.getAs[Long]("u"), r.getAs[Long]("v")) ->
+      (r.getAs[Long]("common"), r.getAs[Double]("jaccard"))).toMap
+    assert(byEdge((2L, 3L)) == ((2L, 1.0)))  // N(2)\{3} = {1,4} = N(3)\{2}
+    assert(byEdge((1L, 2L))._1 == 1L)
+    assert(rows.find(_.getAs[Int]("rank") == 1).get.getAs[Long]("u") == 2L)
+  }
 }
