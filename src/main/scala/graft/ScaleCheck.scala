@@ -259,6 +259,7 @@ object ScaleCheck {
       run("graph_triangles", operators.Graph.graphTriangles(spark, s"$dir/graph")),
       run("graph_pagerank", operators.Graph.graphPagerank(spark, s"$dir/graph")),
       run("graph_edge_jaccard", operators.Graph.graphEdgeJaccard(spark, s"$dir/graph")),
+      run("graph_components", operators.Graph.graphComponents(spark, s"$dir/graph")),
       run("etl_snapshot_diff", operators.Etl.etlSnapshotDiff(spark, dir)),
       run("q_retention_cohorts", queries.Analytics.qRetentionCohorts(spark, dir)),
       run("q_fuzzy_match", operators.Fuzzy.qFuzzyMatch(spark, dir)),

@@ -70,6 +70,7 @@ object SparkEntry {
     "graph_triangles"      -> (graft.operators.Graph.graphTriangles(_, _)),
     "graph_pagerank"       -> (graft.operators.Graph.graphPagerank(_, _)),
     "graph_edge_jaccard"   -> (graft.operators.Graph.graphEdgeJaccard(_, _)),
+    "graph_components"     -> (graft.operators.Graph.graphComponents(_, _)),
     "agg_approx_ndv"       -> (graft.operators.Sketches.aggApproxNdv(_, _)),
     "agg_sketch_union"     -> (graft.operators.Sketches.aggSketchUnion(_, _)),
     "agg_heavy_hitters"    -> (graft.operators.Sketches.aggHeavyHitters(_, _)),
@@ -197,6 +198,7 @@ object SparkEntry {
     "graph_triangles"      -> graft.operators.Graph.graphTrianglesOracleSql,
     "graph_pagerank"       -> graft.operators.Graph.graphPagerankOracleSql,
     "graph_edge_jaccard"   -> graft.operators.Graph.graphEdgeJaccardOracleSql,
+    "graph_components"     -> graft.operators.Graph.graphComponentsOracleSql,
     // the HLL estimator replays bit-exactly: ordered register fold of
     // exact 2^-rho terms; ln() lookup table embedded from Scala
     "agg_approx_ndv"       -> graft.operators.Sketches.aggApproxNdvOracleSql,

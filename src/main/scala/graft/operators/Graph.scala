@@ -354,6 +354,83 @@ object Graph {
         col("deg"), col("n_nodes"), col("n_arcs"))
   }
 
+  /** Minimum co-occurrence count for a SUPPORTED edge — the
+    * market-basket support threshold that turns the (connected,
+    * noise-dense) raw co-order graph into meaningful product
+    * families. */
+  val MinSupport = 2
+
+  /** Key `graph_components`: connected components over the SUPPORTED
+    * co-order graph (pairs co-ordered ≥ [[MinSupport]] times) — the
+    * product-family resolution. Components come from the shared
+    * pointer-jumping min-label propagation (`Dedup.pairClusters`,
+    * O(log diameter) rounds, checkpoint-truncated lineage); the
+    * report is the top-K component roster (size, member span) beside
+    * the 1-row corpus summary (components, clustered nodes, supported
+    * edges). Support counting is one (u,v)-keyed aggregate over the
+    * same bounded per-order fanout as [[coOrderEdges]]. */
+  def graphComponents(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    val a = li.as("a"); val b = li.as("b")
+    val supported = a.join(b, col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .groupBy(col("a.pk").as("u"), col("b.pk").as("v"))
+      .agg(count(lit(1)).as("support"))
+      .where(col("support") >= MinSupport)
+    val labels = Dedup.pairClusters(
+      supported.select(col("u").as("doc_a"), col("v").as("doc_b")))
+    val comps = labels.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("size"),
+        min(col("doc_id")).as("min_node"), max(col("doc_id")).as("max_node"))
+    val totals = comps.agg(
+      count(lit(1)).as("n_components"),
+      sum(col("size")).as("n_nodes"))
+      .crossJoin(supported.agg(count(lit(1)).as("n_edges")))
+    val top = comps.orderBy(col("size").desc, col("cluster_id")).limit(TopK)
+    // bounded single-partition window: TopK rows by construction
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(0)).orderBy(col("size").desc, col("cluster_id"))
+    top.crossJoin(broadcast(totals))
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .select(col("rank"), col("cluster_id"), col("size"),
+        col("min_node"), col("max_node"),
+        col("n_components"), col("n_nodes"), col("n_edges"))
+  }
+
+  val graphComponentsOracleSql: String =
+    s"""WITH RECURSIVE supported AS (
+       |  SELECT a.l_partkey AS u, b.l_partkey AS v
+       |  FROM lineitem a JOIN lineitem b
+       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       |  GROUP BY 1, 2
+       |  HAVING COUNT(*) >= $MinSupport
+       |), arcs AS (
+       |  SELECT u AS a, v AS b FROM supported
+       |  UNION SELECT v, u FROM supported
+       |), reach AS (
+       |  SELECT a, b FROM arcs
+       |  UNION
+       |  SELECT r.a, e.b FROM reach r JOIN arcs e ON r.b = e.a
+       |), labels AS (
+       |  SELECT a AS node, LEAST(a, MIN(b)) AS cluster_id
+       |  FROM reach GROUP BY a
+       |), comps AS (
+       |  SELECT cluster_id, COUNT(*) AS size,
+       |    MIN(node) AS min_node, MAX(node) AS max_node
+       |  FROM labels GROUP BY 1
+       |), totals AS (
+       |  SELECT (SELECT COUNT(*) FROM comps) AS n_components,
+       |    (SELECT CAST(SUM(size) AS BIGINT) FROM comps) AS n_nodes,
+       |    (SELECT COUNT(*) FROM supported) AS n_edges
+       |), top AS (
+       |  SELECT cluster_id, size, min_node, max_node,
+       |    ROW_NUMBER() OVER (ORDER BY size DESC, cluster_id) AS rank
+       |  FROM comps ORDER BY size DESC, cluster_id LIMIT $TopK
+       |)
+       |SELECT CAST(t.rank AS INTEGER) AS rank, t.cluster_id, t.size,
+       |  t.min_node, t.max_node, s.n_components, s.n_nodes, s.n_edges
+       |FROM top t CROSS JOIN totals s""".stripMargin
+
   val graphPagerankOracleSql: String = {
     val iterCtes = (1 to Iters).map { i =>
       s"""r$i AS (

@@ -112,4 +112,24 @@ class GraphSpec extends SparkSpecBase {
     assert(byEdge((1L, 2L))._1 == 1L)
     assert(rows.find(_.getAs[Int]("rank") == 1).get.getAs[Long]("u") == 2L)
   }
+
+  test("components driver key: sizes partition the clustered nodes; summary consistent") {
+    val rows = Graph.graphComponents(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val r = rows.head
+    val (nc, nn, ne) = (r.getAs[Long]("n_components"),
+      r.getAs[Long]("n_nodes"), r.getAs[Long]("n_edges"))
+    assert(nc >= 1 && nn >= 2 * 1 && ne >= 1)
+    rows.foreach { x =>
+      val (size, lo, hi) = (x.getAs[Long]("size"),
+        x.getAs[Long]("min_node"), x.getAs[Long]("max_node"))
+      assert(size >= 2, "a supported edge implies components of >= 2 nodes")
+      assert(x.getAs[Long]("cluster_id") == lo,
+        "min-label convergence: the component id IS its minimum node")
+      assert(lo <= hi && size <= nn)
+    }
+    // ranked strictly by (size desc, cluster_id)
+    val sizes = rows.sortBy(_.getAs[Int]("rank")).map(_.getAs[Long]("size"))
+    assert(sizes.zip(sizes.tail).forall { case (a, b) => a >= b })
+  }
 }
