@@ -199,4 +199,85 @@ class PropertySpec extends SparkSpecBase {
     assert(out.exceptAll(want).count() == 0, "round trip lost or altered rows")
     assert(want.exceptAll(out).count() == 0)
   }
+
+  test("triangles: random graphs agree with the brute-force count, per node") {
+    (1 to 12).foreach { trial =>
+      val n = 4 + rnd.nextInt(8)
+      val p = 0.2 + rnd.nextDouble() * 0.5
+      val edges = (for {
+        u <- 0 until n; v <- (u + 1) until n
+        if rnd.nextDouble() < p
+      } yield (u.toLong, v.toLong)).toSeq
+      if (edges.nonEmpty) {
+        val adj = edges.flatMap { case (u, v) => Seq(u -> v, v -> u) }
+          .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toSet }
+        val nodes = adj.keys.toSeq.sorted
+        val bruteTotal = (for {
+          a <- nodes; b <- nodes if a < b && adj(a)(b)
+          c <- nodes if b < c && adj(a)(c) && adj(b)(c)
+        } yield 1).size
+        val brutePerNode = nodes.map { x =>
+          x -> (for {
+            a <- nodes; b <- nodes
+            if a < b && a != x && b != x && adj(x)(a) && adj(x)(b) && adj(a)(b)
+          } yield 1).size.toLong
+        }.filter(_._2 > 0).toMap
+        import spark.implicits._
+        val rows = graft.operators.Graph.trianglesOn(edges.toDF("u", "v")).collect()
+        if (bruteTotal == 0) assert(rows.isEmpty, s"trial $trial: expected no triangles")
+        else {
+          assert(rows.head.getAs[Long]("total_triangles") == bruteTotal.toLong,
+            s"trial $trial: total mismatch")
+          val got = rows.map(r => r.getAs[Long]("p_partkey") -> r.getAs[Long]("triangles")).toMap
+          // top-K cut: every reported node must match brute force exactly
+          got.foreach { case (node, cnt) =>
+            assert(brutePerNode(node) == cnt, s"trial $trial node $node") }
+        }
+      }
+    }
+  }
+
+  test("skyline: random frames agree with the brute-force dominance filter") {
+    (1 to 15).foreach { trial =>
+      val n = 1 + rnd.nextInt(40)
+      // small value domains force ties in both dimensions
+      val rows = (1L to n.toLong).map(i =>
+        (i, (1 + rnd.nextInt(6)).toDouble, (1 + rnd.nextInt(6)).toLong))
+      val brute = rows.filter { r =>
+        !rows.exists(d => d._1 != r._1 && d._2 <= r._2 && d._3 >= r._3 &&
+          (d._2 < r._2 || d._3 > r._3))
+      }.map(_._1).toSet
+      import spark.implicits._
+      val got = graft.operators.Skyline.skylineOn(
+          rows.toDF("id", "price", "size"), col("price"), col("size"),
+          partitions = 1 + rnd.nextInt(6))
+        .collect().map(_.getAs[Long]("id")).toSet
+      assert(got == brute, s"trial $trial: $got != $brute on $rows")
+    }
+  }
+
+  test("edit candidates: complete and sound for Levenshtein <= 1 on random strings") {
+    val alpha = "abc" // tiny alphabet maximizes near-collisions
+    def randStr() = (1 to (1 + rnd.nextInt(6))).map(_ => alpha(rnd.nextInt(3))).mkString
+    (1 to 8).foreach { trial =>
+      val dirty = (1L to 12L).map(i => (i, randStr()))
+      val canon = (1 to 12).map(_ => randStr()).distinct
+      def lev(a: String, b: String): Int = {
+        val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+          if (i == 0) j else if (j == 0) i else 0 }
+        for (i <- 1 to a.length; j <- 1 to b.length)
+          d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+            d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+        d(a.length)(b.length)
+      }
+      val expect = (for {
+        (id, dn) <- dirty; cn <- canon if lev(dn, cn) <= 1
+      } yield (id, cn)).toSet
+      import spark.implicits._
+      val got = graft.operators.Fuzzy.editCandidates(
+          dirty.toDF("row_id", "name"), canon.toDF("name"))
+        .collect().map(r => (r.getAs[Long]("row_id"), r.getAs[String]("cand"))).toSet
+      assert(got == expect, s"trial $trial: $got != $expect")
+    }
+  }
 }
