@@ -268,6 +268,7 @@ object ScaleCheck {
       run("q_fuzzy_edit1", operators.Fuzzy.qFuzzyEdit1(spark, dir)),
       run("q_skyline", operators.Skyline.qSkyline(spark, dir)),
       run("stream_hop_windows", streaming.Streams.hopWindowedAggBatch(spark, dir)),
+      run("dedup_source_sim", operators.Dedup.dedupSourceSim(spark, dir)),
       if (!only("dedup_semantic")) ("dedup_semantic", 0.0, -1L) else {
         // handle form: release the corpus-sized IVF index cache before
         // the pipeline timing below competes with it for memory

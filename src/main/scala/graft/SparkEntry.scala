@@ -90,6 +90,7 @@ object SparkEntry {
     "dedup_substring_spans"  -> ((s, d) => graft.operators.SubstringSpans.substringSpans(s, d)),
     "dedup_span_cut"         -> ((s, d) => graft.operators.SubstringSpans.spanCut(s, d)),
     "dedup_semantic"         -> ((s, d) => Dedup.semanticDedup(s, d)),
+    "dedup_source_sim"       -> (Dedup.dedupSourceSim(_, _)),
     "corpus_prep"            -> (graft.operators.CorpusPipeline.corpusPrep(_, _)),
     // §2.4 similarity
     "knn_bruteforce" -> ((s, d) => Similarity.knnBruteforce(s, d)),
@@ -215,6 +216,7 @@ object SparkEntry {
     // the minhash signature math replays bit-exactly in DuckDB
     // (HUGEINT mod-2^64 + UBIGINT bitwise; bands join on raw slices)
     "dedup_minhash_lsh"      -> Dedup.minhashLshOracleSql,
+    "dedup_source_sim"       -> Dedup.dedupSourceSimOracleSql,
     "dedup_exact_normalized" -> Dedup.exactNormalizedOracleSql,
     "dedup_ngram_jaccard"    -> Dedup.ngramJaccardOracleSql,
     "dedup_simhash"          -> Dedup.simhashOracleSql,

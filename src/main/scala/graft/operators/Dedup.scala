@@ -253,6 +253,131 @@ object Dedup {
     verifyJaccard(cand, tri, tau)
   }
 
+  /** Source-level similarity report (key `dedup_source_sim`) — the
+    * corpus-curation diagnostic "which ingest sources overlap, and by
+    * how much": one K-lane MinHash signature per SOURCE over its
+    * word-trigram shingle set, pairwise lane-match estimates beside
+    * the exact shingle-set Jaccard that grades them.
+    *
+    * This is the MERGEABLE-SUMMARY form of the dedup tier (the
+    * `hll_sketch` pattern for Jaccard): a set-union's signature is the
+    * elementwise MIN of the parts' signatures, so per-doc (or per-day)
+    * signatures stored as artifacts roll up to exact source/corpus
+    * signatures without rescanning text — `minhash_sketch`'s own merge
+    * IS that min, exercised by partial aggregation on every run and
+    * asserted directly in the spec.
+    *
+    * Scale shape: the shingle explode is the dedup tier's standard
+    * posting pass; per-source signatures are a #sources-row frame;
+    * pairs come KEYED through shared shingles (a pair with zero
+    * common shingles has no defined overlap to report and is
+    * omitted), so there is no cross join at any source count. Lane
+    * matching is `zip_with` over two K-arrays; estimates and exact
+    * Jaccard are exact-int divisions. */
+  def dedupSourceSim(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    // distinct hashed shingles per source (set semantics for the
+    // exact-Jaccard columns; min is duplicate-insensitive anyway)
+    val grams = docs
+      .select(col("source"), explode(call_function(
+        "hashed_word_ngrams", col("text"), lit(3))).as("g"))
+      .distinct()
+    val staged = {
+      val path = Scratch.dir("graft_srcsim_grams")
+      grams.write.mode("overwrite").parquet(path)
+      spark.read.schema(grams.schema).parquet(path)
+    }
+    val sizes = staged.groupBy("source").agg(count(lit(1)).as("n_shingles"))
+    val sigs = staged.groupBy("source")
+      .agg(call_function("minhash_sketch", col("g")).as("sig"))
+    val inter = staged.as("a")
+      .join(staged.as("b"),
+        col("a.g") === col("b.g") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("n_common"))
+    inter
+      .join(sigs.select(col("source").as("source_a"), col("sig").as("sig_a")), "source_a")
+      .join(sigs.select(col("source").as("source_b"), col("sig").as("sig_b")), "source_b")
+      .join(sizes.select(col("source").as("source_a"), col("n_shingles").as("n_a")), "source_a")
+      .join(sizes.select(col("source").as("source_b"), col("n_shingles").as("n_b")), "source_b")
+      .select(col("source_a"), col("source_b"), col("n_common"),
+        col("n_a"), col("n_b"),
+        expr("size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v))")
+          .cast("int").as("matching_lanes"),
+        (expr("size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v))")
+          .cast("double") / MinHashFamily.K).as("est_jaccard"),
+        (col("n_common").cast("double") /
+          (col("n_a") + col("n_b") - col("n_common")).cast("double"))
+          .as("exact_jaccard"))
+  }
+
+  /** Oracle: the signature math replayed source-keyed (the
+    * [[minhashLshOracleSql]] chain with `source` as the set key),
+    * lane matches counted on the per-lane rows, exact Jaccard over
+    * the same hashed-shingle sets. */
+  val dedupSourceSimOracleSql: String = {
+    import graft.functions.SqlReplay._
+    val permRows = (0 until MinHashFamily.K).map { i =>
+      s"($i, CAST('${u(MinHashFamily.multipliers(i))}' AS HUGEINT), " +
+        s"CAST('${u(MinHashFamily.offsets(i))}' AS HUGEINT))"
+    }.mkString(",\n  ")
+    val two64 = Two64
+    s"""WITH w AS (
+       |  SELECT source, doc_id, string_split(text, ' ') AS w FROM documents
+       |), g0 AS (
+       |  SELECT source, unnest(list_distinct(list_transform(
+       |    generate_series(1, len(w)-2),
+       |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS gram
+       |  FROM w WHERE len(w) >= 3
+       |), gb AS (
+       |  SELECT DISTINCT source, gram FROM g0
+       |), gh AS (
+       |  SELECT source, hex(encode(gram)) AS hx,
+       |    octet_length(encode(gram)) AS n FROM gb
+       |), ph AS (
+       |  SELECT DISTINCT source, ${polyFold(hexBytes("hx", "n"))} AS p
+       |  FROM gh
+       |), m1 AS (SELECT source, p, xor(p, p >> 30) AS z FROM ph
+       |), m2 AS (SELECT source, p, ${mulmod("z", MixC1)} AS z FROM m1
+       |), m3 AS (SELECT source, p, xor(z, z >> 27) AS z FROM m2
+       |), m4 AS (SELECT source, p, ${mulmod("z", MixC2)} AS z FROM m3
+       |), mx AS (SELECT source, p, xor(z, z >> 31) AS x FROM m4
+       |), xs AS (
+       |  SELECT source, p, CAST(x % 4294967296 AS HUGEINT) AS xlo,
+       |                    CAST(x >> 32 AS HUGEINT) AS xhi
+       |  FROM mx
+       |), sizes AS (
+       |  SELECT source, COUNT(*) AS n_shingles FROM ph GROUP BY 1
+       |), inter AS (
+       |  SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS n_common
+       |  FROM ph a JOIN ph b ON a.p = b.p AND a.source < b.source
+       |  GROUP BY 1, 2
+       |), perms(i, a, b) AS (VALUES
+       |  $permRows
+       |), pv AS (
+       |  SELECT source, i,
+       |    min(CAST(((xlo * a) % $two64 + ((xhi * a) % 4294967296) * 4294967296 + b)
+       |        % $two64 AS UBIGINT)) AS mn
+       |  FROM xs CROSS JOIN perms
+       |  GROUP BY source, i
+       |), lanes AS (
+       |  SELECT x.source AS source_a, y.source AS source_b,
+       |    SUM(CASE WHEN x.mn = y.mn THEN 1 ELSE 0 END) AS matching_lanes
+       |  FROM pv x JOIN pv y ON x.i = y.i AND x.source < y.source
+       |  GROUP BY 1, 2
+       |)
+       |SELECT t.source_a, t.source_b, t.n_common,
+       |  sa.n_shingles AS n_a, sb.n_shingles AS n_b,
+       |  CAST(l.matching_lanes AS INTEGER) AS matching_lanes,
+       |  CAST(l.matching_lanes AS DOUBLE) / ${MinHashFamily.K} AS est_jaccard,
+       |  CAST(t.n_common AS DOUBLE)
+       |    / CAST(sa.n_shingles + sb.n_shingles - t.n_common AS DOUBLE) AS exact_jaccard
+       |FROM inter t
+       |JOIN lanes l ON l.source_a = t.source_a AND l.source_b = t.source_b
+       |JOIN sizes sa ON sa.source = t.source_a
+       |JOIN sizes sb ON sb.source = t.source_b""".stripMargin
+  }
+
   /** Full DuckDB replay of the MinHash-LSH pipeline — the signature
     * math runs bit-exactly in SQL, so this previously rows-only key is
     * hash-checkable end-to-end:

@@ -284,4 +284,45 @@ class DedupSpec extends SparkSpecBase {
     val d3 = Dedup.incrementalExactVsIndex(docs((9L, "alpha")), "2024-01-03", index)
     assert(d3.count() == 1)
   }
+
+  test("source sim: union signature is the elementwise min of per-doc signatures") {
+    import org.apache.spark.sql.functions._
+    val docs = sources.Tables.documents(spark, sfDir)
+    val perDoc = docs
+      .select(col("source"), col("doc_id"),
+        explode(call_function("hashed_word_ngrams", col("text"), lit(3))).as("g"))
+      .groupBy("source", "doc_id")
+      .agg(call_function("minhash_sketch", col("g")).as("sig"))
+      .collect().map(r => r.getAs[String]("source") -> r.getSeq[Long](r.fieldIndex("sig")).toList)
+    val merged = perDoc.groupBy(_._1).map { case (src, sigs) =>
+      src -> sigs.map(_._2).reduce((a, b) =>
+        a.zip(b).map { case (x, y) =>
+          if (java.lang.Long.compareUnsigned(x, y) <= 0) x else y })
+    }
+    val direct = docs
+      .select(col("source"),
+        explode(call_function("hashed_word_ngrams", col("text"), lit(3))).as("g"))
+      .groupBy("source")
+      .agg(call_function("minhash_sketch", col("g")).as("sig"))
+      .collect().map(r => r.getAs[String]("source") -> r.getSeq[Long](r.fieldIndex("sig")).toList).toMap
+    merged.foreach { case (src, sig) =>
+      assert(direct(src) == sig,
+        s"min-merge of per-doc signatures must equal the direct source signature ($src)")
+    }
+  }
+
+  test("source sim driver key: estimates bounded, exact jaccard consistent with counts") {
+    val rows = Dedup.dedupSourceSim(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (common, na, nb) = (r.getAs[Long]("n_common"),
+        r.getAs[Long]("n_a"), r.getAs[Long]("n_b"))
+      assert(common >= 1 && common <= math.min(na, nb))
+      val ex = r.getAs[Double]("exact_jaccard")
+      assert(ex == common.toDouble / (na + nb - common))
+      val lanes = r.getAs[Int]("matching_lanes")
+      assert(lanes >= 0 && lanes <= graft.functions.MinHashFamily.K)
+      assert(r.getAs[Double]("est_jaccard") == lanes.toDouble / graft.functions.MinHashFamily.K)
+    }
+  }
 }
