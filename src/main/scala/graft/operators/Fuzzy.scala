@@ -39,7 +39,11 @@ object Fuzzy {
   /** Candidate pairs at substitution distance ≤ `maxDist` between
     * `dirty` (cols `row_id`, `name`) and `canon` (col `name`), via
     * the two-pass (length, end-char) blocking — complete for
-    * same-length substitution edits. */
+    * same-length substitution edits of length ≥ 2, plus a third
+    * length-equality pass for 1-char strings (there a substitution
+    * changes the first AND last character at once, so neither end-char
+    * block meets the pair; the block is the 1-char vocabulary itself,
+    * alphabet-bounded). */
   def substitutionCandidates(dirty: DataFrame, canon: DataFrame,
                              maxDist: Int = 1): DataFrame = {
     val d = dirty.select(col("row_id"), col("name").as("dirty_name"),
@@ -56,7 +60,15 @@ object Fuzzy {
       // first chars equal ⇒ the first pass already met this pair
       .where(substring(col("dirty_name"), 1, 1) =!= col("cfirst"))
       .select(col("row_id"), col("dirty_name"), col("cand"))
-    byFirst.unionAll(byLast)
+    // len=1: a substitution flips the only char, so first AND last
+    // both differ — the end-char passes provably miss it. The length
+    // block alone is the candidate set (≤ alphabet rows per side);
+    // first-chars-equal pairs (identical strings) met in pass 1
+    val len1 = d.where(col("len") === 1)
+      .join(c.where(col("len") === 1).drop("clast"), Seq("len"))
+      .where(col("first") =!= col("cfirst"))
+      .select(col("row_id"), col("dirty_name"), col("cand"))
+    byFirst.unionAll(byLast).unionAll(len1)
       .withColumn("distance", levenshtein(col("dirty_name"), col("cand")).cast("int"))
       .where(col("distance") <= maxDist)
   }
@@ -214,6 +226,11 @@ object Fuzzy {
       |  FROM dirty d JOIN canon c
       |    ON length(d.name) = length(c.name)
       |   AND substr(d.name, length(d.name), 1) = substr(c.name, length(c.name), 1)
+      |  WHERE substr(d.name, 1, 1) <> substr(c.name, 1, 1)
+      |  UNION ALL
+      |  SELECT d.row_id, d.name, c.name
+      |  FROM dirty d JOIN canon c
+      |    ON length(d.name) = 1 AND length(c.name) = 1
       |  WHERE substr(d.name, 1, 1) <> substr(c.name, 1, 1)
       |), verified AS (
       |  SELECT row_id, dirty_name, cand,

@@ -76,7 +76,11 @@ object Graph {
     * materialization instead of re-dragging the build subtree through
     * every branch, and nothing pins the session CacheManager. */
   private def staged(df: DataFrame, prefix: String): DataFrame = {
-    val path = Scratch.dir(prefix)
+    // reuseDir, not dir: every graph key stages 2–4 multi-GB frames
+    // and the harnesses re-invoke keys in one JVM (bench runs each
+    // twice; ScaleCheck sweeps all four on one corpus) — per-call
+    // fresh dirs accumulate dead materializations on tmpfs until exit
+    val path = Scratch.reuseDir(prefix)
     df.write.mode("overwrite").parquet(path)
     df.sparkSession.read.schema(df.schema).parquet(path)
   }

@@ -58,6 +58,24 @@ private[graft] object Scratch {
     p.toString
   }
 
+  private val reusable = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** A STABLE scratch directory per prefix: the first call creates (and
+    * registers for exit cleanup) a directory; every later call with the
+    * same prefix returns the SAME path, so a staged write in
+    * `overwrite` mode reclaims the previous invocation's files instead
+    * of leaking one directory per call. For staging that is re-created
+    * on every invocation of an operator (the graph tier stages 2–4
+    * multi-GB materializations per key): a long in-process sweep —
+    * bench's double execution, the 100× regression harness — would
+    * otherwise accumulate hundreds of dead materializations on the
+    * RAM-backed tmpfs root until JVM exit. Callers must consume the
+    * returned scan before re-invoking the operator (all harnesses run
+    * keys sequentially); a caller that needs two live stagings of the
+    * same kind concurrently uses [[dir]]. */
+  def reuseDir(prefix: String): String =
+    reusable.computeIfAbsent(prefix, p => dir(p))
+
   /** A fresh DISK-backed scratch directory (java.io.tmpdir), with the
     * same shutdown-hook cleanup as [[dir]]. For multi-GB scratch — the
     * ScaleCheck corpora run to ~15 GB — which would ENOSPC a

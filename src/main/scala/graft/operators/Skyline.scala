@@ -46,6 +46,20 @@ object Skyline {
                 partitions: Int = SkyPartitions): DataFrame = {
     val spark = df.sparkSession
     val gm = df.groupBy(minCol.as("__price")).agg(max(maxCol).as("__gmax"))
+    // the prefix-max carry below rides Long driver-side (per-partition
+    // maxima collect + Long.MinValue sentinel + a long-typed map
+    // literal) — a fractional maxCol would silently TRUNCATE carry-ins
+    // and emit a wrong frontier. Integral types only; callers with a
+    // fractional dimension rescale to a fixed-point integer first
+    // (exact for decimals; the driver key casts p_size to bigint).
+    gm.schema("__gmax").dataType match {
+      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => ()
+      case other => throw new IllegalArgumentException(
+        s"skylineOn maxCol must be an integral type (got $other): the " +
+          "distributed prefix-max carries partition maxima as Long — " +
+          "rescale a fractional dimension to fixed-point integer first")
+    }
     // STAGED for the same reason as Keys.surrogateKeysOn: the carry-in
     // count job and the final scan must read ONE frozen (__pid, row)
     // assignment, or AQE may re-coalesce the range exchange between

@@ -591,6 +591,14 @@ object Streams {
         s"CDC lake at $l2Path was written with tombstone convention " +
           s"($po, $pd) but the read asked for ($opCol, $deleteOp)")
     }
+    // an interrupted GDPR erasure leaves stale files in fully-erased
+    // buckets — serving them would resurrect erased keys; heal first
+    val pending = pendingErasurePath(l2Path)
+    require(!pending.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .exists(pending),
+      s"CDC lake at $l2Path has an incomplete GDPR erasure " +
+        s"($GdprPendingFile present) — run Streams.recoverPendingErasure " +
+        "before reading, or the snapshot would resurrect erased keys")
     spark.read.parquet(l2Path).filter(!(col(opCol) <=> lit(deleteOp)))
   }
 
@@ -618,9 +626,24 @@ object Streams {
     * production erasure pairs this with an upstream blocklist; that
     * filter is the caller's, not the lake's.
     *
+    * Crash recovery: the erasure is two mutation steps (dynamic
+    * overwrite of the surviving buckets, then removal of the bucket
+    * directories the delete emptied), and a crash between them would
+    * leave stale files that resurrect every supposedly-erased key in
+    * the emptied buckets. Before the first mutation the emptied-bucket
+    * list is persisted to `[[GdprPendingFile]]` inside the lake; the
+    * marker is removed only after the directory deletes complete.
+    * Every [[cdcDeleteKeys]] call first heals any pending marker
+    * (completing the interrupted deletes), [[recoverPendingErasure]]
+    * does the same standalone, and [[readCdcSnapshot]] refuses a lake
+    * with a pending marker rather than serve resurrected rows. Single
+    * writer assumed (the marker is transiently present during a
+    * healthy erasure run).
+    *
     * Returns the number of rows erased. */
   def cdcDeleteKeys(spark: SparkSession, l2Path: String, keyDf: DataFrame,
                     nBuckets: Int = CdcBuckets): Long = {
+    recoverPendingErasure(spark, l2Path)
     val keys = keyDf.select(col("user_id")).distinct()
       .withColumn("bucket",
         pmod(xxhash64(col("user_id")), lit(nBuckets.toLong)).cast("int"))
@@ -639,6 +662,17 @@ object Streams {
     val keptBuckets = kept.select("bucket").distinct()
       .collect().map(_.getInt(0)).toSet
     val emptied = affectedArr.filterNot(keptBuckets)
+    val fs = new org.apache.hadoop.fs.Path(l2Path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // persist the emptied-bucket list BEFORE any mutation: a crash
+    // after the rewrite but before the directory deletes would
+    // otherwise leave stale files silently resurrecting every erased
+    // key in those buckets (see the crash-recovery scaladoc)
+    if (emptied.nonEmpty) {
+      val out = fs.create(pendingErasurePath(l2Path), true)
+      try out.write(emptied.sorted.mkString("\n").getBytes("UTF-8"))
+      finally out.close()
+    }
     // all-deleted case: an empty frame stages no schema'd parquet —
     // nothing survives in the affected buckets, so skip the rewrite
     // and let the directory deletes below do the whole erasure
@@ -648,13 +682,47 @@ object Streams {
     // drop bucket dirs the rewrite emptied (dynamic overwrite never
     // writes an empty partition, so the stale files would survive and
     // resurrect every key in them)
-    val fs = new org.apache.hadoop.fs.Path(l2Path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
     emptied.foreach { b =>
       fs.delete(new org.apache.hadoop.fs.Path(l2Path, s"bucket=$b"), true)
       ()
     }
+    // deletes complete — the erasure is durable, retire the marker
+    if (emptied.nonEmpty) fs.delete(pendingErasurePath(l2Path), false)
     before - after
+  }
+
+  /** Sidecar naming the bucket directories a [[cdcDeleteKeys]] run
+    * still has to remove — present only between the erasure's two
+    * mutation steps (or after a crash between them). */
+  val GdprPendingFile = "_gdpr_pending_deletes"
+
+  private def pendingErasurePath(l2Path: String): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(l2Path, GdprPendingFile)
+
+  /** Complete an interrupted [[cdcDeleteKeys]]: if the lake carries a
+    * pending-erasure marker, remove the bucket directories it lists
+    * (idempotent — already-removed directories are no-ops) and retire
+    * the marker. Returns the number of bucket directories the marker
+    * listed, 0 when the lake is clean. Called automatically at the
+    * start of every [[cdcDeleteKeys]] run; exposed for explicit
+    * crash-recovery sweeps. */
+  def recoverPendingErasure(spark: SparkSession, l2Path: String): Int = {
+    val p = pendingErasurePath(l2Path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) 0
+    else {
+      val in = fs.open(p)
+      val buckets =
+        try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+          .map(_.trim).filter(_.nonEmpty).map(_.toInt).toList
+        finally in.close()
+      buckets.foreach { b =>
+        fs.delete(new org.apache.hadoop.fs.Path(l2Path, s"bucket=$b"), true)
+        ()
+      }
+      fs.delete(p, false)
+      buckets.size
+    }
   }
 
   // --- stateful session assembly (flatMapGroupsWithState) ---

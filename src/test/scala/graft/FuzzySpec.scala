@@ -24,6 +24,17 @@ class FuzzySpec extends SparkSpecBase {
     assert(got.length == 3)
   }
 
+  test("substitution candidates: length-1 strings repair (both end chars change at once)") {
+    // a 1-char substitution flips the first AND last character, so the
+    // two end-char blocks both miss it — the dedicated len-1 pass must
+    // generate the pair exactly once (r12 advisory)
+    val got = Fuzzy.substitutionCandidates(df((1L, "x"), (2L, "a")), canonDf("a", "b"))
+      .collect()
+      .map(r => (r.getAs[Long]("row_id"), r.getAs[String]("cand"), r.getAs[Int]("distance")))
+    assert(got.toSet == Set((1L, "a", 1), (1L, "b", 1), (2L, "a", 0), (2L, "b", 1)))
+    assert(got.length == 4, "each len-1 pair must be emitted exactly once")
+  }
+
   test("substitution candidates: different length or distance > max excluded") {
     val dirty = df((1L, "ab#de"))
     val canon = canonDf("abcde", "abcdef", "zzzde", "abcde ")

@@ -43,6 +43,16 @@ class SkylineSpec extends SparkSpecBase {
     assert(sky(worse) == Set(1L))
   }
 
+  test("skyline: fractional maximized column is refused, not silently truncated") {
+    // the prefix-max carry rides Long driver-side; a DOUBLE maxCol
+    // would truncate carry-ins into a wrong frontier (r12 advisory)
+    val e = intercept[IllegalArgumentException] {
+      Skyline.skylineOn(Seq((1L, 1.0, 10.5)).toDF("id", "price", "size"),
+        col("price"), col("size")).collect()
+    }
+    assert(e.getMessage.contains("integral"))
+  }
+
   test("skyline driver key: every survivor undominated, every non-survivor dominated") {
     val all = sources.Tables.part(spark, sfDir)
       .select(col("p_partkey"), col("p_retailprice"), col("p_size").cast("bigint"))

@@ -339,6 +339,61 @@ class StreamingSpec extends SparkSpecBase {
     val remaining = spark.read.parquet(l2).select("user_id")
       .collect().map(_.getLong(0)).toSet
     assert(remaining == Set(8L), s"erased key must not resurrect, got $remaining")
+    // a completed erasure leaves no pending marker behind
+    val fs = new org.apache.hadoop.fs.Path(l2)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(l2, Streams.GdprPendingFile)))
+  }
+
+  test("gdpr delete: a crash before the emptied-bucket deletes is healed, never resurrects") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val lake = java.nio.file.Files.createTempDirectory("graft_gdpr_lake3").toString
+    val l2 = s"$lake/l2"
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val streamDf = mem.toDF.toDF("event_id", "ts", "user_id", "op", "value")
+    val q = Streams.cdcApplySink(streamDf, l2)
+      .option("checkpointLocation", s"$lake/ckpt").start()
+    try {
+      mem.addData(Seq(
+        (1L, ts("2024-03-01 10:00:00"), 5L, "U", 1.0),
+        (2L, ts("2024-03-01 10:00:00"), 8L, "U", 4.0)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val fs = new org.apache.hadoop.fs.Path(l2)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def bucketOf(u: Long): Int =
+      spark.range(1).select(pmod(xxhash64(lit(u)), lit(Streams.CdcBuckets.toLong))
+        .cast("int")).collect()(0).getInt(0)
+    // SIMULATE the crash window: user 5's bucket rewrite completed (it
+    // holds only 5, so the rewrite wrote nothing) but the process died
+    // before the directory delete — i.e. write the pending marker by
+    // hand and leave the stale bucket files in place
+    val b5 = bucketOf(5L)
+    assume(b5 != bucketOf(8L), "fixture users must land in distinct buckets")
+    val marker = new org.apache.hadoop.fs.Path(l2, Streams.GdprPendingFile)
+    val out = fs.create(marker, true)
+    try out.write(s"$b5".getBytes("UTF-8")) finally out.close()
+    // a snapshot read of the half-erased lake must REFUSE, not serve
+    // the resurrected key
+    val e = intercept[IllegalArgumentException] {
+      Streams.readCdcSnapshot(spark, l2)
+    }
+    assert(e.getMessage.contains("recoverPendingErasure"))
+    // recovery completes the interrupted deletes and retires the marker
+    assert(Streams.recoverPendingErasure(spark, l2) == 1)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(l2, s"bucket=$b5")))
+    assert(!fs.exists(marker))
+    assert(Streams.recoverPendingErasure(spark, l2) == 0, "recovery is idempotent")
+    val snap = Streams.readCdcSnapshot(spark, l2).collect().map(_.getLong(2)).toSet
+    assert(snap == Set(8L), s"healed lake must hold only the survivor, got $snap")
+    // a fresh erasure run on a lake with a pending marker heals first:
+    // plant a marker for an already-gone bucket, then erase user 8
+    val out2 = fs.create(marker, true)
+    try out2.write(s"$b5".getBytes("UTF-8")) finally out2.close()
+    val erased = Streams.cdcDeleteKeys(spark, l2, Seq(8L).toDF("user_id"))
+    assert(erased == 1L)
+    assert(!fs.exists(marker), "cdcDeleteKeys must retire the healed marker")
   }
 
   test("cdc snapshot read resolves the persisted convention and refuses a mismatch") {
