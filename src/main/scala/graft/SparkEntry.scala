@@ -40,6 +40,7 @@ object SparkEntry {
     "etl_surrogate_keys"   -> (graft.operators.Keys.etlSurrogateKeys(_, _)),
     "etl_scd2"             -> (Etl.scd2History(_, _)),
     "etl_cdc_apply"        -> (Etl.cdcApply(_, _)),
+    "etl_cdc_scd2"         -> (Etl.cdcScd2(_, _)),
     "etl_snapshot_diff"    -> (Etl.etlSnapshotDiff(_, _)),
     // §2.2 analytics
     "q1_pricing_summary"   -> (Analytics.q1PricingSummary(_, _)),
@@ -168,6 +169,7 @@ object SparkEntry {
     "etl_snapshot_diff"    -> Etl.etlSnapshotDiffOracleSql,
     // keep-latest generalized to tombstone-bearing change feeds
     "etl_cdc_apply"        -> Etl.cdcApplyOracleSql,
+    "etl_cdc_scd2"         -> Etl.cdcScd2OracleSql,
     "q1_pricing_summary"   -> Analytics.q1OracleSql,
     "q3_shipping_priority" -> Analytics.q3OracleSql,
     "q5_local_supplier"    -> Analytics.q5OracleSql,

@@ -745,6 +745,52 @@ object Etl {
     * event is read as the account-closed signal for its user. */
   val CdcDeleteType = "error"
 
+  /** CDC → SCD2 composition (key `etl_cdc_scd2`): the event log read
+    * as a tombstone-bearing change feed ([[cdcApply]]'s mapping)
+    * applied into FULL validity-interval history
+    * ([[Merge.scd2Changelog]]) — where [[cdcApply]] answers "what is
+    * each user's state now" and [[scd2History]] answers "what states
+    * did each user pass through", this answers both at once under
+    * deletes: an [[CdcDeleteType]] event closes the user's open
+    * interval (no `is_current` row survives a trailing delete), and a
+    * post-delete re-observation opens a fresh interval even for an
+    * unchanged state. Same one-shuffle window plan as `etl_scd2`. */
+  def cdcScd2(spark: SparkSession, dir: String): DataFrame =
+    Merge.scd2Changelog(
+        Tables.events(spark, dir).select(
+          col("user_id"), col("event_type"), col("ts"), col("event_id")),
+        keys = Seq(col("user_id")),
+        stateCol = col("event_type"),
+        orderCol = col("ts"), tiebreak = col("event_id"),
+        opCol = col("event_type"), deleteOp = CdcDeleteType)
+      .select(col("user_id"), col("event_type").as("state"),
+        col("eff_start"), col("eff_end"), col("is_current"))
+
+  // the SCD2 oracle's own CTE chain with the delete runs dropped
+  // AFTER the interval windows (so a delete still closes its
+  // predecessor and still separates two same-state runs) — the
+  // engine's struct fold is injective on event_type, so change points
+  // agree run-for-run with the plain state comparison here
+  val cdcScd2OracleSql: String =
+    s"""WITH e AS (
+       |  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id,
+       |    LAG(event_type) OVER (
+       |      PARTITION BY user_id ORDER BY ts, event_id) AS prev,
+       |    ROW_NUMBER() OVER (
+       |      PARTITION BY user_id ORDER BY ts, event_id) AS rn
+       |  FROM events),
+       |c AS (
+       |  SELECT user_id, event_type, ts, event_id FROM e
+       |  WHERE rn = 1 OR prev IS DISTINCT FROM event_type),
+       |iv AS (
+       |  SELECT user_id, event_type AS state, ts AS eff_start,
+       |    LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS eff_end,
+       |    LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+       |      AS is_current
+       |  FROM c)
+       |SELECT user_id, state, eff_start, eff_end, is_current
+       |FROM iv WHERE state IS DISTINCT FROM '$CdcDeleteType'""".stripMargin
+
   /** CDC changelog apply (key `etl_cdc_apply`): the event log read as
     * a change feed over the per-user profile row — each event is an
     * upsert of that user's latest state, except [[CdcDeleteType]]

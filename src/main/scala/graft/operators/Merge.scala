@@ -122,4 +122,37 @@ object Merge {
       .withColumn("is_current", col("eff_end").isNull)
       .drop("__rn", "__prev")
   }
+
+  /** Apply a TOMBSTONE-BEARING change feed into SCD2 history — the
+    * lakehouse "apply changes into SCD2" contract composing
+    * [[applyChangelog]]'s delete semantics with [[scd2]]'s interval
+    * build: upsert changes open/extend state intervals exactly as in
+    * [[scd2]], and a `deleteOp` change CLOSES the key's open interval
+    * without opening a new one (the key holds no state while deleted;
+    * a later re-insert — even of the same state — opens a fresh
+    * interval). A key whose latest change is a delete therefore has
+    * NO `is_current` row, matching [[applyChangelog]]'s snapshot.
+    *
+    * Implementation: the delete op is folded into the tracked state as
+    * a (is_delete, state) struct — injective, so change-point
+    * detection sees a delete as "a different state" (closing the
+    * prior interval, collapsing consecutive deletes into one run) —
+    * then the delete runs' own intervals are dropped after the
+    * interval build. Same ONE shuffle on the key as [[scd2]]; the
+    * tombstone filter is a post-window projection.
+    *
+    * `opCol` may BE the state column (a feed where one value of the
+    * tracked state means "closed"): the struct fold handles that
+    * without a sentinel collision. */
+  def scd2Changelog(df: DataFrame, keys: Seq[Column], stateCol: Column,
+                    orderCol: Column, tiebreak: Column,
+                    opCol: Column, deleteOp: String): DataFrame = {
+    val isDel = opCol <=> lit(deleteOp)
+    val folded = df.withColumn("__scd_state",
+      struct(isDel.as("del"),
+        when(isDel, lit(null)).otherwise(stateCol).as("s")))
+    scd2(folded, keys, col("__scd_state"), orderCol, tiebreak)
+      .filter(!col("__scd_state.del"))
+      .drop("__scd_state")
+  }
 }

@@ -67,6 +67,58 @@ object Skew {
           " div total_rows as bigint)").as("salt_factor"))
   }
 
+  /** The executor the profiler's `salt_factor` feeds — the standard
+    * pre-AQE salted join: join `fact` to `dim` on `keys` with the hot
+    * keys' rows SPREAD over `saltFactor` reducer partitions instead of
+    * one. The fact side gets a deterministic per-row salt in
+    * [0, saltFactor) (xxhash64 over the whole row — stable across task
+    * retries, unlike `rand()`, so speculative re-execution cannot
+    * double-emit); the dim side is exploded saltFactor× so every
+    * (key, salt) fact partition finds its dim row. Result rows equal
+    * the plain join exactly (spec-equated); the cost is saltFactor×
+    * the DIM shuffle volume — which is the trade: dim is the small
+    * side, and the hot key's fact rows stop serializing through one
+    * straggler task.
+    *
+    * AQE's skew-join split covers sort-merge joins at runtime; the
+    * explicit salt is for the cases AQE can't reach — skewed
+    * AGGREGATION feeding the join, deterministic plan shape for
+    * bucketed co-location, or engines/configs without AQE. Factor
+    * comes from [[keySkewProfileOn]]'s `salt_factor` column
+    * ([[saltedJoinAuto]] wires the two).
+    *
+    * `joinType` must be fact-preserving (`inner` or `left`): an
+    * unmatched DIM row appears once per salt replica under outer
+    * types, so right/full outer are refused. */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, keys: Seq[String],
+                 saltFactor: Int, joinType: String = "inner"): DataFrame = {
+    require(saltFactor >= 1, s"saltFactor must be >= 1, got $saltFactor")
+    require(Set("inner", "left", "left_outer", "leftouter")
+        .contains(joinType.toLowerCase),
+      s"saltedJoin requires a fact-preserving join type (inner/left), got $joinType")
+    val salted = fact.withColumn("__salt",
+      pmod(xxhash64(fact.columns.map(col): _*), lit(saltFactor.toLong)).cast("int"))
+    val exploded = dim.withColumn("__salt",
+      explode(sequence(lit(0), lit(saltFactor - 1))))
+    salted.join(exploded, keys :+ "__salt", joinType).drop("__salt")
+  }
+
+  /** [[saltedJoin]] with the factor taken from the profiler: one
+    * bounded profile pass over the fact keys (shuffles one row per
+    * DISTINCT key), read the 1-row summary's `salt_factor`, salt by
+    * it. A uniform key distribution profiles to factor 1 — the salt
+    * column is constant and the join degenerates to the plain join. */
+  def saltedJoinAuto(fact: DataFrame, dim: DataFrame, keys: Seq[String],
+                     joinType: String = "inner"): DataFrame = {
+    val keyCol = if (keys.length == 1) col(keys.head)
+      else struct(keys.map(col): _*)
+    // 1-row bounded collect: every report row carries the same summary
+    val factor = keySkewProfileOn(fact, keyCol, topK = 1)
+      .select(col("salt_factor")).limit(1)
+      .collect().headOption.map(_.getLong(0).toInt).getOrElse(1)
+    saltedJoin(fact, dim, keys, math.max(1, factor), joinType)
+  }
+
   /** Driver query (key `dq_key_skew`): profile `events.user_id` — the
     * key every sessionize/attribution join in the suite shuffles on.
     * `rank` disambiguates ties deterministically for the report. */

@@ -72,6 +72,69 @@ class MaintainSpec extends SparkSpecBase {
     assert(rows.map(_.getLong(6)).distinct.length == 1) // one salt verdict
   }
 
+  test("salted join: row-for-row equal to the plain join; no straggler partition") {
+    // skewed fixture: one hot key carrying 20k fact rows beside 50
+    // uniform keys of 100 rows; dim = one row per key
+    val fact = spark.range(25000L).select(
+      when(col("id") < 20000L, lit(999L)).otherwise(col("id") % 50).as("k"),
+      col("id").as("fact_payload"))
+    val dim = spark.range(50L).select(col("id").as("k"),
+        concat(lit("d"), col("id")).as("dim_payload"))
+      .unionAll(Seq((999L, "hot")).toDF("k", "dim_payload"))
+    // profile says spread the hot key: max=20000, D=51, N=25000
+    // -> ceil(20000*51/25000) = 41
+    val plainRows = fact.join(dim, Seq("k")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted.toSeq
+    val saltedDf = Skew.saltedJoin(fact, dim, Seq("k"), saltFactor = 41)
+    val saltedRows = saltedDf.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted.toSeq
+    assert(saltedRows == plainRows, "salted join must equal the plain join row-for-row")
+    assert(!saltedDf.columns.contains("__salt"))
+    // left join: unmatched fact keys survive exactly once
+    val factExtra = fact.unionAll(Seq((12345L, -1L)).toDF("k", "fact_payload"))
+    val leftGot = Skew.saltedJoin(factExtra, dim, Seq("k"), 41, "left")
+      .where(col("k") === 12345L).collect()
+    assert(leftGot.length == 1 && leftGot.head.isNullAt(2))
+    // outer types that would replicate unmatched dim rows are refused
+    intercept[IllegalArgumentException] {
+      Skew.saltedJoin(fact, dim, Seq("k"), 41, "full_outer")
+    }
+    // the straggler assert: with the shuffle path forced (no broadcast,
+    // no AQE rewrite), the plain join lands every hot-key row in ONE
+    // reducer partition; the salted form spreads them ~saltFactor ways
+    val conf = spark.conf
+    val prevBc = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = conf.get("spark.sql.adaptive.enabled")
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.enabled", "false")
+      def maxPartRows(df: org.apache.spark.sql.DataFrame): Long =
+        df.withColumn("__p", spark_partition_id())
+          .groupBy("__p").count().agg(max("count")).collect()(0).getLong(0)
+      def hotParts(df: org.apache.spark.sql.DataFrame): Long =
+        df.where(col("k") === 999L).withColumn("__p", spark_partition_id())
+          .select("__p").distinct().count()
+      val plain = fact.join(dim, Seq("k"))
+      val salted = Skew.saltedJoin(fact, dim, Seq("k"), 41)
+      assert(maxPartRows(plain) >= 20000L && hotParts(plain) == 1L,
+        "fixture must straggle the plain join (all hot rows in one task)")
+      // spread: the hot key occupies EVERY reducer, and no partition
+      // holds much more than its fair share of the whole join
+      val nParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+      assert(hotParts(salted) == nParts.toLong,
+        s"salted hot key must span all $nParts reducers, got ${hotParts(salted)}")
+      assert(maxPartRows(salted) <= 2L * 25000L / nParts,
+        s"salted max partition ${maxPartRows(salted)} exceeds 2x fair share")
+    } finally {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+      conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
+    // the auto form reads the profiler's factor (41 here) and agrees
+    val autoRows = Skew.saltedJoinAuto(fact, dim, Seq("k")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted.toSeq
+    assert(autoRows == plainRows)
+  }
+
   test("hilbert: consecutive indices are edge-adjacent cells (unit Manhattan step)") {
     import graft.functions.Hilbert
     // the defining curve property Morton lacks — check a dense prefix

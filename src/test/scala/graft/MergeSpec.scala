@@ -58,6 +58,40 @@ class MergeSpec extends SparkSpecBase {
     assert(snap == Map("k1" -> "v2", "k3" -> "v7", "k4" -> "v9", "k5" -> "v11"))
   }
 
+  test("scd2Changelog: deletes close intervals, re-inserts reopen, state==op feeds work") {
+    import spark.implicits._
+    // k1: A,A (run extends), B, DELETE, B again — the delete closes B's
+    //     first interval AND separates the two same-state B runs;
+    // k2: A then trailing DELETE — no is_current row survives;
+    // k3: consecutive DELETEs collapse to one closing run
+    val feed = Seq(
+      ("k1", 1L, 10L, "A"), ("k1", 2L, 20L, "A"), ("k1", 3L, 30L, "B"),
+      ("k1", 4L, 40L, "D"), ("k1", 5L, 50L, "B"),
+      ("k2", 6L, 10L, "A"), ("k2", 7L, 20L, "D"),
+      ("k3", 8L, 10L, "A"), ("k3", 9L, 20L, "D"), ("k3", 10L, 30L, "D"),
+      ("k3", 11L, 40L, "A")
+    ).toDF("key", "id", "ts", "state")
+    val got = Merge.scd2Changelog(feed, Seq(col("key")),
+        stateCol = col("state"), orderCol = col("ts"), tiebreak = col("id"),
+        opCol = col("state"), deleteOp = "D")
+      .select(col("key"), col("state"),
+        col("eff_start"), col("eff_end"), col("is_current"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getAs[Long]("eff_start"),
+        Option(r.getAs[Any]("eff_end")).map(_.asInstanceOf[Long]),
+        r.getBoolean(4))).toSet
+    assert(got == Set(
+      ("k1", "A", 10L, Some(30L), false),
+      ("k1", "B", 30L, Some(40L), false),   // closed by the delete
+      ("k1", "B", 50L, None, true),         // re-opened after the delete
+      ("k2", "A", 10L, Some(20L), false),   // trailing delete: no current row
+      ("k3", "A", 10L, Some(20L), false),   // consecutive deletes = one close
+      ("k3", "A", 40L, None, true)))
+    // helper column does not leak
+    assert(!Merge.scd2Changelog(feed, Seq(col("key")), col("state"),
+      col("ts"), col("id"), col("state"), "D").columns.contains("__scd_state"))
+  }
+
   test("applyChangelog == keepLatest on a delete-free feed") {
     import spark.implicits._
     val feed = Seq(
