@@ -130,6 +130,7 @@ object SparkEntry {
     "stream_windowed_agg" -> (graft.streaming.Streams.windowedAggBatch(_, _)),
     "stream_hop_windows"  -> (graft.streaming.Streams.hopWindowedAggBatch(_, _)),
     "stream_dedupe"       -> (graft.streaming.Streams.keepFirstBatch(_, _)),
+    "stream_minhash_dedupe" -> (graft.streaming.Streams.minhashGuardBatch(_, _)),
     "stream_sessionize"   -> (graft.streaming.Streams.sessionizeBatch(_, _)),
     "stream_approx_ndv"   -> (graft.streaming.Streams.windowedApproxNdvBatch(_, _)),
     "stream_topk"         -> (graft.streaming.Streams.topkBatch(_, _)),
@@ -285,6 +286,7 @@ object SparkEntry {
     "stream_windowed_agg" -> graft.streaming.Streams.windowedAggOracleSql,
     "stream_hop_windows"  -> graft.streaming.Streams.hopWindowedAggOracleSql,
     "stream_dedupe"       -> graft.streaming.Streams.keepFirstOracleSql,
+    "stream_minhash_dedupe" -> graft.operators.Dedup.minhashGuardOracleSql,
     // the stateful sessionizer must agree with the window-form
     // sessionizer row-for-row — one oracle checks both
     "stream_sessionize"   -> Analytics.qEventsSessionizeOracleSql,

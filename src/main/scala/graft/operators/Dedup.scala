@@ -399,14 +399,18 @@ object Dedup {
     *    exact-Jaccard verify, so the final pair set is identical.
     *  - verify: the ngram-Jaccard string-set form (as
     *    [[ngramJaccardOracleSql]]). */
-  val minhashLshOracleSql: String = {
+  /** The doc -> (band, key) bucket replay CTE chain (`w` … `bk`),
+    * shared by [[minhashLshOracleSql]] and the first-occurrence guard
+    * oracle ([[minhashGuardOracleSql]]) — one source of truth for the
+    * signature math. No leading WITH; callers splice it. */
+  private def lshBucketCtes: String = {
     import graft.functions.SqlReplay._
     val permRows = (0 until MinHashFamily.K).map { i =>
       s"($i, CAST('${u(MinHashFamily.multipliers(i))}' AS HUGEINT), " +
         s"CAST('${u(MinHashFamily.offsets(i))}' AS HUGEINT))"
     }.mkString(",\n  ")
     val two64 = Two64
-    s"""WITH w AS (
+    s"""w AS (
        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
        |), g0 AS (
        |  SELECT doc_id, unnest(list_distinct(list_transform(
@@ -443,7 +447,11 @@ object Dedup {
        |    list_slice(sg, $RowsPerBand*band+1, $RowsPerBand*band+$RowsPerBand) AS key
        |  FROM (SELECT doc_id, unnest(generate_series(0, ${Bands - 1})) AS band, sg
        |        FROM sig) t
-       |), cand AS (
+       |)""".stripMargin
+  }
+
+  val minhashLshOracleSql: String = {
+    s"""WITH $lshBucketCtes, cand AS (
        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
        |  FROM bk x JOIN bk y
        |    ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
@@ -463,6 +471,71 @@ object Dedup {
        |  JOIN tri b ON c.doc_b = b.doc_id) p
        |WHERE jaccard >= $JaccardTau""".stripMargin
   }
+
+  /** Doc -> (band, bucket) LSH bucket rows for any (doc_id, text)
+    * frame — the shared front half of [[minhashLshOn]] (shingle
+    * explode -> minhash_sketch aggregate -> band hashes), exposed for
+    * the first-occurrence guard and its streaming form. Docs with
+    * fewer than 3 words have no shingles, hence no bucket rows. */
+  def minhashBandBuckets(docs: DataFrame): DataFrame = {
+    val posting = trigramSets(docs)
+      .select(col("doc_id"), explode(col("tg")).as("t"))
+    posting.groupBy("doc_id")
+      .agg(call_function("minhash_sketch", col("t")).as("sig"))
+      .select(col("doc_id"),
+        posexplode(TH.bandHashes(col("sig"), Bands, RowsPerBand))
+          .as(Seq("band", "bucket")))
+  }
+
+  /** MinHash first-occurrence near-dup GUARD (key
+    * `stream_minhash_dedupe` batch twin): keep each doc unless an
+    * EARLIER doc (lower doc_id = arrival order) claimed any of its
+    * LSH band buckets — [[minhashLshOn]]'s pair semantics restricted
+    * to first-occurrence-wins, the admission-control form of near-dup
+    * detection (a training-corpus ingest that drops probable dups on
+    * arrival instead of pairing the whole corpus). Candidate-level by
+    * design: no Jaccard verify, because the verdict must be computable
+    * from bounded per-bucket state (the streaming form keeps band
+    * buckets, never text) — the band threshold curve IS the knob
+    * (P(drop) = 1-(1-j^4)^32).
+    *
+    * Every arriving doc claims its buckets whether or not it is kept
+    * (matching the pair semantics exactly: pair (a,b), a<b ⇒ b
+    * dropped), so the batch form needs no sequential pass — "some
+    * earlier doc shares a bucket" ⟺ doc_id > min(doc_id) over one of
+    * the doc's buckets: ONE groupBy over bucket rows + one
+    * distinct-keyed anti-join. Docs too short to shingle are always
+    * kept. Scale shape: identical to the LSH pair join's front half —
+    * the shuffle carries Bands rows per doc, min-claim is map-side
+    * partial. */
+  def minhashGuardOn(docs: DataFrame): DataFrame = {
+    val buckets = minhashBandBuckets(docs)
+    val dropped = buckets
+      .groupBy("band", "bucket").agg(min("doc_id").as("first_doc"),
+        count(lit(1)).as("n_claims"))
+      .where(col("n_claims") > 1)
+      .join(buckets, Seq("band", "bucket"))
+      .where(col("doc_id") > col("first_doc"))
+      .select("doc_id").distinct()
+    docs.join(dropped, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("source"))
+  }
+
+  def minhashGuard(spark: SparkSession, dir: String): DataFrame =
+    minhashGuardOn(Tables.documents(spark, dir))
+
+  /** Oracle: the [[lshBucketCtes]] replay + the min-claim cut. */
+  val minhashGuardOracleSql: String =
+    s"""WITH $lshBucketCtes, fc AS (
+       |  SELECT band, key, MIN(doc_id) AS first_doc
+       |  FROM bk GROUP BY 1, 2
+       |), dropped AS (
+       |  SELECT DISTINCT b.doc_id
+       |  FROM bk b JOIN fc f ON b.band = f.band AND b.key = f.key
+       |  WHERE b.doc_id > f.first_doc
+       |)
+       |SELECT d.doc_id, d.source FROM documents d
+       |WHERE d.doc_id NOT IN (SELECT doc_id FROM dropped)""".stripMargin
 
   /** SimHash near-dup pairs: 64-bit signature over word tokens,
     * candidates from 16-bit-chunk equality (complete for Hamming <= 3),

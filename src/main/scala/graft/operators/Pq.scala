@@ -326,7 +326,7 @@ object Pq {
       .orderBy(col("cdist").desc, col("cell"))
     val probeRows = indexed.filter(col("vec_id") < NQueries)
       .select(col("vec_id").as("query_id"), col("e").as("qe"), col("nrm").as("qnrm"))
-      .join(centroids)
+      .join(broadcast(centroids))
       .withColumn("cdist", graft.functions.VectorOps.cosineWithNorms(
         graft.functions.VectorOps.dot(col("qe"), col("ce")), col("qnrm"), col("cn")))
       .withColumn("rk", row_number().over(probeW))

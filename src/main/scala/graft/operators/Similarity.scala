@@ -198,8 +198,13 @@ object Similarity {
     // The seed's own vec_id is its cell id — stable by construction
     // (monotonically_increasing_id after a limit would depend on the
     // plan's partitioning, a planner detail, not a contract).
-    val seeds = broadcast(v.orderBy(col("vec_id")).limit(nCells)
-      .select(col("vec_id").as("cell0"), col("e").as("ce"), col("nrm").as("cn")))
+    // no broadcast() mark: the codebook frames are CONSUMED by
+    // assignNearest's bounded closure collect, not by a join — an
+    // orphaned join hint here survives to the collect plan and logs
+    // a HintErrorLogger warning per pass (r12 verdict); the real
+    // broadcast joins mark their build side at the join site
+    val seeds = v.orderBy(col("vec_id")).limit(nCells)
+      .select(col("vec_id").as("cell0"), col("e").as("ce"), col("nrm").as("cn"))
     val firstAssign = assignNearest(v, seeds, "cell0", "ce", "cn")
     val centroids = {
       val elems = firstAssign.select(col("cell0").as("cell"),
@@ -207,10 +212,10 @@ object Similarity {
       val means = elems.groupBy(col("cell"), col("pos"))
         .agg((sum(col("val").cast("decimal(30,10)")).cast("double") / count(col("val")))
           .as("mean"))
-      broadcast(means.groupBy(col("cell"))
+      means.groupBy(col("cell"))
         .agg(sort_array(collect_list(struct(col("pos"), col("mean")))).as("pm"))
         .select(col("cell"), transform(col("pm"), p => p.getField("mean")).as("ce"))
-        .withColumn("cn", V.l2Norm(col("ce"))))
+        .withColumn("cn", V.l2Norm(col("ce")))
     }
 
     // --- index: one nearest-cell assignment per corpus vector
@@ -233,7 +238,7 @@ object Similarity {
       .select(col("vec_id").as("query_id"), col("e").as("qe"), col("nrm").as("qnrm"))
     val probeW = Window.partitionBy(col("query_id"))
       .orderBy(col("cdist").desc, col("cell"))
-    val probes = broadcast(queries.join(centroids)
+    val probes = broadcast(queries.join(broadcast(centroids))
       .withColumn("cdist", V.cosineWithNorms(
         V.dot(col("qe"), col("ce")), col("qnrm"), col("cn")))
       .withColumn("rk", row_number().over(probeW))

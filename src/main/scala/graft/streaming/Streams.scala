@@ -415,6 +415,81 @@ object Streams {
       .dropDuplicatesWithinWatermark(dedupeKey)
       .select("event_id", "ts", "user_id", "event_type", "event_date", "value")
 
+  /** Index partition count for the streaming MinHash guard — the
+    * bucket a band-hash claim lives in is a pure function of the
+    * claim, so each micro-batch reads only the index partitions its
+    * docs could collide in (the CDC-lake bucket-pruning argument). */
+  val GuardIndexBuckets = 32
+
+  /** Streaming MinHash near-dup GUARD — the admission-control dedupe
+    * for a document ingest stream: each arriving doc is dropped when
+    * any of its LSH band buckets was already claimed by an earlier
+    * doc (across ALL prior micro-batches, or by a lower doc_id inside
+    * the same batch), else kept. Batch twin:
+    * [[graft.operators.Dedup.minhashGuardOn]] — with docs arriving in
+    * doc_id order the two agree exactly (spec-asserted), which is the
+    * stream==batch contract every other streaming key carries.
+    *
+    * Durable state is a band-bucket claim INDEX at `indexPath`
+    * (parquet, partitioned by a hash of the claim into
+    * [[GuardIndexBuckets]]) — bounded: Bands longs per distinct doc
+    * ever seen, never text. The foreachBatch bridge (the
+    * [[cdcApplySink]] pattern) lets the guard reuse the batch
+    * operator's bucket math verbatim; a GroupState form keyed by
+    * (band, bucket) would need a second stateful per-doc aggregation
+    * in the same query ("all bands clean"), which append-mode
+    * streaming cannot express without a window.
+    *
+    * Ordering under at-least-once replay: kept docs are appended to
+    * `outPath` BEFORE the batch's claims are appended to the index.
+    * A replayed batch therefore re-emits its kept docs (duplicates,
+    * the standard foreachBatch at-least-once caveat) — the reverse
+    * order would let a replayed batch collide with its OWN claims and
+    * silently drop every doc it had kept. Claims are appended for
+    * dropped docs too, matching the batch twin's pair semantics. */
+  def minhashGuardSink(docs: DataFrame, outPath: String, indexPath: String) =
+    docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) guardMicroBatch(batch, outPath, indexPath)
+      }
+
+  private def guardMicroBatch(batch: DataFrame, outPath: String,
+                              indexPath: String): Unit = {
+    val spark = batch.sparkSession
+    // distinct claims this batch could collide on; ixb = the index
+    // partition a claim lives in (pure function of the claim)
+    val bb = graft.operators.Dedup.minhashBandBuckets(batch)
+      .withColumn("ixb",
+        pmod(xxhash64(col("band"), col("bucket")), lit(GuardIndexBuckets.toLong))
+          .cast("int"))
+    val affected = bb.select("ixb").distinct()
+    val existing =
+      try spark.read.parquet(indexPath)
+        .join(broadcast(affected), Seq("ixb"), "left_semi")
+      catch { case _: org.apache.spark.sql.AnalysisException => bb.limit(0) }
+    val collidedPrior = bb.join(existing, Seq("band", "bucket"), "left_semi")
+      .select("doc_id")
+    val intraBatch = bb.groupBy("band", "bucket")
+      .agg(min("doc_id").as("first_doc"), count(lit(1)).as("n_claims"))
+      .where(col("n_claims") > 1)
+      .join(bb, Seq("band", "bucket"))
+      .where(col("doc_id") > col("first_doc"))
+      .select("doc_id")
+    val dropped = collidedPrior.unionAll(intraBatch).distinct()
+    val kept = batch.join(dropped, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("source"))
+    // output BEFORE index append — see ordering note in the scaladoc
+    kept.write.mode("append").parquet(outPath)
+    bb.select("ixb", "band", "bucket").distinct()
+      .write.mode("append").partitionBy("ixb").parquet(indexPath)
+    ()
+  }
+
+  /** Batch twin of [[minhashGuardSink]] (key `stream_minhash_dedupe`). */
+  def minhashGuardBatch(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Dedup.minhashGuard(spark, dir)
+
   /** Streaming L2 upsert sink: every micro-batch merges into the
     * partitioned lake with the SAME keep-latest semantics the batch
     * pipeline uses (Pipeline.runDs) — foreachBatch is the bridge that

@@ -396,6 +396,54 @@ class StreamingSpec extends SparkSpecBase {
     assert(!fs.exists(marker), "cdcDeleteKeys must retire the healed marker")
   }
 
+  test("minhash guard stream equals the batch twin; claims persist across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_mh_guard").toString
+    val out = s"$root/kept"; val index = s"$root/index"
+    // three micro-batches, docs arriving in doc_id order (the batch
+    // twin's arrival-order contract); exact dup texts collide on every
+    // band, distinct texts on none, and a <3-word doc never shingles
+    val b1 = Seq(
+      (1L, "web", "the quick brown fox jumps over the lazy dog"),
+      (2L, "web", "colorless green ideas sleep furiously at night"))
+    val b2 = Seq(
+      (3L, "wiki", "the quick brown fox jumps over the lazy dog"), // dup of 1 (cross-batch)
+      (4L, "wiki", "a completely different document about spark engines"),
+      (5L, "wiki", "a completely different document about spark engines")) // dup of 4 (intra-batch)
+    val b3 = Seq(
+      (6L, "cc", "colorless green ideas sleep furiously at night"), // dup of 2 (2 batches back)
+      (7L, "cc", "short text"),                                      // <3 words: always kept
+      (8L, "cc", "yet another unique snippet of training prose"))
+    val mem = MemoryStream[(Long, String, String)]
+    val q = Streams.minhashGuardSink(
+      mem.toDF.toDF("doc_id", "source", "text"), out, index).start()
+    try {
+      mem.addData(b1); q.processAllAvailable()
+      mem.addData(b2); q.processAllAvailable()
+      mem.addData(b3); q.processAllAvailable()
+    } finally q.stop()
+    val streamKept = spark.read.parquet(out)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val allDocs = (b1 ++ b2 ++ b3).toDF("doc_id", "source", "text")
+    val batchKept = graft.operators.Dedup.minhashGuardOn(allDocs)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(streamKept == batchKept,
+      s"stream==batch violated: stream $streamKept vs batch $batchKept")
+    // the fixture's intent really happened: dups dropped across AND
+    // within batches, the unshingleable doc kept
+    assert(streamKept.map(_._1) == Set(1L, 2L, 4L, 7L, 8L))
+    // the claim index is bounded metadata: (ixb, band, bucket) rows
+    val idx = spark.read.parquet(index)
+    assert(idx.columns.toSet == Set("ixb", "band", "bucket"))
+    // every claim partition is a pure function of the claim — rereading
+    // only affected partitions is what keeps a 100 TB guard per-batch
+    val badIxb = idx.where(col("ixb") =!=
+      pmod(xxhash64(col("band"), col("bucket")),
+        lit(Streams.GuardIndexBuckets.toLong)).cast("int")).count()
+    assert(badIxb == 0L)
+  }
+
   test("cdc snapshot read resolves the persisted convention and refuses a mismatch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
