@@ -37,7 +37,13 @@ object ScaleCheck {
     val embOnly = Set("embed_clusters", "dedup_semantic", "knn_ivf",
       "knn_ivf_pq", "knn_pq", "sample_kcenter")
     val skipNonEmbedding = args.length > 1 && args(1).split(",").forall(embOnly)
-    if (!skipNonEmbedding) {
+    // a graph-only run (the tier's dedicated scaled-catalog corpus)
+    // likewise skips the main tables: a 300× run would otherwise
+    // write 180M ordinary lineitems + 30M events nobody reads
+    val graphOnly = Set("graph_triangles", "graph_pagerank",
+      "graph_edge_jaccard", "graph_components")
+    val skipNonGraph = args.length > 1 && args(1).split(",").forall(graphOnly)
+    if (!skipNonEmbedding && !skipNonGraph) {
     // same columns/value shapes as the driver's events table
     spark.range(n).select(
       col("id").as("event_id"),
@@ -122,6 +128,8 @@ object ScaleCheck {
         .as("p_retailprice"))
       .write.mode("overwrite").parquet(s"$dir/part.parquet")
 
+    } // end main-table synthesis
+    if (!skipNonEmbedding) {
     // graph corpus: same lineitem shape but the part-catalog DOMAIN
     // scales with mult (a 100× corpus has a 100× catalog) — with the
     // fuzzy/bloom corpus's FIXED 20k-part domain, 100× more order
@@ -144,6 +152,7 @@ object ScaleCheck {
       .write.mode("overwrite").parquet(s"$dir/graph/lineitem.parquet")
     } // end !skipNonEmbedding
 
+    if (!skipNonGraph) {
     // embeddings (semantic tier): 100× sf0.1's 2k vectors, 64-dim,
     // clustered around 32 seeded centers (the shape the IVF quantizer
     // exists for) — deterministic hash-noise, no rand()
@@ -159,6 +168,7 @@ object ScaleCheck {
       }).as("embedding"),
       pmod(col("id"), lit(32L)).cast("int").as("label"))
       .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    } // end !skipNonGraph
 
     def run(name: String, df: => org.apache.spark.sql.DataFrame) = if (!only(name)) {
       (name, 0.0, -1L) // filtered out; dropped before printing
