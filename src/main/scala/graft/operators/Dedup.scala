@@ -509,7 +509,17 @@ object Dedup {
     * the shuffle carries Bands rows per doc, min-claim is map-side
     * partial. */
   def minhashGuardOn(docs: DataFrame): DataFrame = {
-    val buckets = minhashBandBuckets(docs)
+    // staged once (the dedupSourceSim grams precedent): the min-claim
+    // aggregate and the join-back otherwise each recompute the whole
+    // shingle-explode + sketch pipeline — the guard's dominant cost,
+    // paid twice at any corpus size. The staging is narrow: Bands
+    // rows x 2 longs per doc, never text
+    val buckets = {
+      val bb = minhashBandBuckets(docs)
+      val path = Scratch.dir("graft_mh_guard_bb")
+      bb.write.mode("overwrite").parquet(path)
+      docs.sparkSession.read.schema(bb.schema).parquet(path)
+    }
     val dropped = buckets
       .groupBy("band", "bucket").agg(min("doc_id").as("first_doc"),
         count(lit(1)).as("n_claims"))

@@ -457,12 +457,23 @@ object Streams {
   private def guardMicroBatch(batch: DataFrame, outPath: String,
                               indexPath: String): Unit = {
     val spark = batch.sparkSession
-    // distinct claims this batch could collide on; ixb = the index
-    // partition a claim lives in (pure function of the claim)
+    // claims this batch could collide on; ixb = the index partition a
+    // claim lives in (pure function of the claim). PERSISTED for the
+    // batch's scope: five plan branches read it below, and each would
+    // otherwise recompute the shingle-explode + sketch pipeline — the
+    // guard's dominant cost
     val bb = graft.operators.Dedup.minhashBandBuckets(batch)
       .withColumn("ixb",
         pmod(xxhash64(col("band"), col("bucket")), lit(GuardIndexBuckets.toLong))
           .cast("int"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try guardApply(spark, bb, batch, outPath, indexPath)
+    finally { bb.unpersist(); () }
+  }
+
+  private def guardApply(spark: SparkSession,
+                         bb: DataFrame, batch: DataFrame,
+                         outPath: String, indexPath: String): Unit = {
     val affected = bb.select("ixb").distinct()
     val existing =
       try spark.read.parquet(indexPath)
