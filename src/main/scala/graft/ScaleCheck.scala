@@ -279,6 +279,21 @@ object ScaleCheck {
       run("q_skyline", operators.Skyline.qSkyline(spark, dir)),
       run("stream_hop_windows", streaming.Streams.hopWindowedAggBatch(spark, dir)),
       run("dedup_source_sim", operators.Dedup.dedupSourceSim(spark, dir)),
+      // round-13 additions: CDC->SCD2 interval history + the minhash
+      // first-occurrence guard (batch twin), plus the salted-join
+      // executor measured against the plain join on the SAME skewed
+      // key the dq_key_skew profiler reports on (user_id ~ xxhash
+      // uniform here, so salt_factor from the profile stays small;
+      // the row exists to show the executor's overhead bound, the
+      // straggler-spread assert lives in MaintainSpec)
+      run("etl_cdc_scd2", operators.Etl.cdcScd2(spark, dir)),
+      run("stream_minhash_dedupe", streaming.Streams.minhashGuardBatch(spark, dir)),
+      run("salted_join_events", {
+        val ev = sources.Tables.events(spark, dir)
+        val dim = ev.groupBy("user_id").agg(count(lit(1)).as("u_rows"))
+        operators.Skew.saltedJoin(
+          ev.select("event_id", "user_id", "value"), dim, Seq("user_id"), 8)
+      }),
       if (!only("dedup_semantic")) ("dedup_semantic", 0.0, -1L) else {
         // handle form: release the corpus-sized IVF index cache before
         // the pipeline timing below competes with it for memory
