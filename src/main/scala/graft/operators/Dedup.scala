@@ -282,11 +282,7 @@ object Dedup {
       .select(col("source"), explode(call_function(
         "hashed_word_ngrams", col("text"), lit(3))).as("g"))
       .distinct()
-    val staged = {
-      val path = Scratch.dir("graft_srcsim_grams")
-      grams.write.mode("overwrite").parquet(path)
-      spark.read.schema(grams.schema).parquet(path)
-    }
+    val staged = Scratch.stageReuse(grams, "graft_srcsim_grams")
     val sizes = staged.groupBy("source").agg(count(lit(1)).as("n_shingles"))
     val sigs = staged.groupBy("source")
       .agg(call_function("minhash_sketch", col("g")).as("sig"))
@@ -514,12 +510,7 @@ object Dedup {
     // shingle-explode + sketch pipeline — the guard's dominant cost,
     // paid twice at any corpus size. The staging is narrow: Bands
     // rows x 2 longs per doc, never text
-    val buckets = {
-      val bb = minhashBandBuckets(docs)
-      val path = Scratch.dir("graft_mh_guard_bb")
-      bb.write.mode("overwrite").parquet(path)
-      docs.sparkSession.read.schema(bb.schema).parquet(path)
-    }
+    val buckets = Scratch.stageReuse(minhashBandBuckets(docs), "graft_mh_guard_bb")
     val dropped = buckets
       .groupBy("band", "bucket").agg(min("doc_id").as("first_doc"),
         count(lit(1)).as("n_claims"))

@@ -46,6 +46,11 @@ object Fuzzy {
     * alphabet-bounded). */
   def substitutionCandidates(dirty: DataFrame, canon: DataFrame,
                              maxDist: Int = 1): DataFrame = {
+    // the end-char blocking is complete ONLY for distance 1 (a pair
+    // at substitution distance 2 can change both end chars and meet
+    // no pass); the parameter exists to tighten, never to widen
+    require(maxDist == 1,
+      s"substitutionCandidates' blocking is complete only for maxDist=1, got $maxDist")
     val d = dirty.select(col("row_id"), col("name").as("dirty_name"),
       length(col("name")).as("len"),
       substring(col("name"), 1, 1).as("first"),
@@ -115,6 +120,10 @@ object Fuzzy {
     * (row, cand)) before the levenshtein verify. */
   def editCandidates(dirty: DataFrame, canon: DataFrame,
                      maxDist: Int = 1): DataFrame = {
+    // the single-deletion neighborhood intersects iff distance <= 1;
+    // wider radii need k-deletion neighborhoods this join doesn't build
+    require(maxDist == 1,
+      s"editCandidates' deletion-neighborhood blocking is complete only for maxDist=1, got $maxDist")
     val neighborhood = explode(array_distinct(concat(array(col("name")),
       expr("""transform(sequence(1, length(name)), i ->
                 concat(substring(name, 1, i - 1), substring(name, i + 1)))"""))))

@@ -75,15 +75,11 @@ object Graph {
     * pairClusters precedent: multi-branch consumers re-read a small
     * materialization instead of re-dragging the build subtree through
     * every branch, and nothing pins the session CacheManager. */
-  private def staged(df: DataFrame, prefix: String): DataFrame = {
-    // reuseDir, not dir: every graph key stages 2–4 multi-GB frames
-    // and the harnesses re-invoke keys in one JVM (bench runs each
-    // twice; ScaleCheck sweeps all four on one corpus) — per-call
-    // fresh dirs accumulate dead materializations on tmpfs until exit
-    val path = Scratch.reuseDir(prefix)
-    df.write.mode("overwrite").parquet(path)
-    df.sparkSession.read.schema(df.schema).parquet(path)
-  }
+  // reused staging (Scratch.stageReuse): every graph key stages 2–4
+  // multi-GB frames and the harnesses re-invoke keys in one JVM —
+  // per-call fresh dirs accumulate dead materializations until exit
+  private def staged(df: DataFrame, prefix: String): DataFrame =
+    Scratch.stageReuse(df, prefix)
 
   private def degrees(edges: DataFrame): DataFrame =
     edges.select(col("u").as("node"))

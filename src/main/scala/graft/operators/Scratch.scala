@@ -76,6 +76,21 @@ private[graft] object Scratch {
   def reuseDir(prefix: String): String =
     reusable.computeIfAbsent(prefix, p => dir(p))
 
+  /** Materialize `df` into the [[reuseDir]] for `prefix` and return a
+    * scan over it — the staging idiom (write + schema'd read-back)
+    * shared by the corpus-sized stagings (graph corner passes, the
+    * minhash guard's bucket frame, source-sim shingles). Reuse
+    * semantics as [[reuseDir]]: one directory per prefix per JVM,
+    * overwritten on re-invocation, so sweeps that re-run operators
+    * don't accumulate dead multi-GB materializations on tmpfs.
+    * Callers needing two live stagings of one prefix use [[dir]]. */
+  def stageReuse(df: org.apache.spark.sql.DataFrame, prefix: String)
+      : org.apache.spark.sql.DataFrame = {
+    val path = reuseDir(prefix)
+    df.write.mode("overwrite").parquet(path)
+    df.sparkSession.read.schema(df.schema).parquet(path)
+  }
+
   /** A fresh DISK-backed scratch directory (java.io.tmpdir), with the
     * same shutdown-hook cleanup as [[dir]]. For multi-GB scratch — the
     * ScaleCheck corpora run to ~15 GB — which would ENOSPC a

@@ -722,7 +722,10 @@ object Streams {
     * Every [[cdcDeleteKeys]] call first heals any pending marker
     * (completing the interrupted deletes), [[recoverPendingErasure]]
     * does the same standalone, and [[readCdcSnapshot]] refuses a lake
-    * with a pending marker rather than serve resurrected rows. Single
+    * with a pending marker rather than serve resurrected rows. The
+    * heal restores lake consistency; COMPLETION of an erasure whose
+    * success was never observed is guaranteed by re-running
+    * [[cdcDeleteKeys]] with the same key list (idempotent). Single
     * writer assumed (the marker is transiently present during a
     * healthy erasure run).
     *
@@ -755,9 +758,18 @@ object Streams {
     // otherwise leave stale files silently resurrecting every erased
     // key in those buckets (see the crash-recovery scaladoc)
     if (emptied.nonEmpty) {
-      val out = fs.create(pendingErasurePath(l2Path), true)
+      // temp-then-rename: a crash mid-write must never leave a
+      // TRUNCATED marker — recovery would parse a prefix of a bucket
+      // number and delete a healthy bucket (review finding r13)
+      val tmp = new org.apache.hadoop.fs.Path(l2Path, s"$GdprPendingFile.tmp")
+      val out = fs.create(tmp, true)
       try out.write(emptied.sorted.mkString("\n").getBytes("UTF-8"))
       finally out.close()
+      if (!fs.rename(tmp, pendingErasurePath(l2Path))) {
+        fs.delete(pendingErasurePath(l2Path), false)
+        require(fs.rename(tmp, pendingErasurePath(l2Path)),
+          s"could not publish the pending-erasure marker at $l2Path")
+      }
     }
     // all-deleted case: an empty frame stages no schema'd parquet —
     // nothing survives in the affected buckets, so skip the rewrite
@@ -785,12 +797,21 @@ object Streams {
   private def pendingErasurePath(l2Path: String): org.apache.hadoop.fs.Path =
     new org.apache.hadoop.fs.Path(l2Path, GdprPendingFile)
 
-  /** Complete an interrupted [[cdcDeleteKeys]]: if the lake carries a
-    * pending-erasure marker, remove the bucket directories it lists
-    * (idempotent — already-removed directories are no-ops) and retire
-    * the marker. Returns the number of bucket directories the marker
-    * listed, 0 when the lake is clean. Called automatically at the
-    * start of every [[cdcDeleteKeys]] run; exposed for explicit
+  /** Restore CONSISTENCY after an interrupted [[cdcDeleteKeys]]: if
+    * the lake carries a pending-erasure marker, remove the bucket
+    * directories it lists (always safe — an emptied-listed bucket
+    * holds only rows of erased keys, whether or not the surviving-
+    * bucket rewrite ran) and retire the marker. Returns the number of
+    * bucket directories the marker listed, 0 when the lake is clean.
+    *
+    * Consistency, NOT completion: the marker is written before the
+    * rewrite, so a crash in between leaves non-emptied affected
+    * buckets still holding the erased keys — this heal cannot know
+    * or fix that. [[cdcDeleteKeys]] reports success only after every
+    * step, so an erasure whose success was never observed must be
+    * RE-RUN with the same key list (idempotent; the entry-point heal
+    * below makes the re-run safe). Called automatically at the start
+    * of every [[cdcDeleteKeys]] run; exposed for explicit
     * crash-recovery sweeps. */
   def recoverPendingErasure(spark: SparkSession, l2Path: String): Int = {
     val p = pendingErasurePath(l2Path)

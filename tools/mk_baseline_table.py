@@ -11,6 +11,9 @@ import sys
 
 
 def main() -> None:
+    if len(sys.argv) != 4:
+        sys.exit("usage: mk_baseline_table.py run1.json run2.json run3.json "
+                 "(exactly three runs — the table claims a median-of-3 basis)")
     runs = [json.load(open(p))["queries"] for p in sys.argv[1:4]]
     totals = [sum(r.values()) for r in runs]
     keys = sorted(set().union(*[set(r) for r in runs]))
