@@ -317,6 +317,37 @@ class PlanSpec extends SparkSpecBase {
     assert(p.contains("TakeOrderedAndProject"), s"top-K fell into a global sort:\n$p")
   }
 
+  test("cdc->scd2: one key exchange shared by both windows, user-partitioned only") {
+    val df = Etl.cdcScd2(spark, sfDir)
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    // the lag (change points) and lead (interval close) windows must
+    // share ONE user_id exchange — a second shuffle would double the
+    // corpus movement scd2's plan-shape contract forbids
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"scd2Changelog should reuse one key exchange:\n$p")
+    // no window may lose its user partitioning to the struct fold
+    assert(!p.contains("windowspecdefinition(ts#") &&
+      !p.contains("windowspecdefinition(__scd_state"),
+      s"window lost its user_id partitioning:\n$p")
+  }
+
+  test("minhash guard: sketch pipeline staged once, claim-keyed agg, anti-join broadcast") {
+    val df = graft.streaming.Streams.minhashGuardBatch(spark, sfDir)
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct"))
+    // the shingle-explode + sketch pipeline runs ONCE at staging time;
+    // both claim branches must read the materialization, never
+    // re-derive signatures (the staged-plan contract from PLANS.md)
+    assert(!p.contains("minhash_sketch"),
+      s"guard result plan re-derives signatures instead of reading the staging:\n$p")
+    assert("graft_mh_guard_bb".r.findAllIn(p).nonEmpty,
+      s"guard must read its staged bucket frame:\n$p")
+    // dropped doc_ids are request-bounded: the anti-join broadcasts
+    assert(p.contains("BroadcastHashJoin LeftAnti") || p.contains("LeftAnti"),
+      s"survivor cut must be an anti-join:\n$p")
+  }
+
   test("cube: grouping-set expand stays below the partial aggregate") {
     val df = Analytics.qCube(spark, sfDir)
     val p = plan(df)
