@@ -74,6 +74,8 @@ object SparkEntry {
     "graph_components"     -> (graft.operators.Graph.graphComponents(_, _)),
     "agg_approx_ndv"       -> (graft.operators.Sketches.aggApproxNdv(_, _)),
     "agg_sketch_union"     -> (graft.operators.Sketches.aggSketchUnion(_, _)),
+    "agg_cms_union"        -> (graft.operators.Sketches.aggCmsUnion(_, _)),
+    "agg_hist_union"       -> ((s, d) => graft.operators.Quantiles.aggHistUnion(s, d)),
     "agg_heavy_hitters"    -> (graft.operators.Sketches.aggHeavyHitters(_, _)),
     "q_exact_quantiles"    -> (graft.operators.Quantiles.qExactQuantiles(_, _)),
     "agg_hist_quantiles"   -> (graft.operators.Quantiles.aggHistQuantiles(_, _)),
@@ -207,6 +209,8 @@ object SparkEntry {
     // exact 2^-rho terms; ln() lookup table embedded from Scala
     "agg_approx_ndv"       -> graft.operators.Sketches.aggApproxNdvOracleSql,
     "agg_sketch_union"     -> graft.operators.Sketches.aggSketchUnionOracleSql,
+    "agg_cms_union"        -> graft.operators.Sketches.aggCmsUnionOracleSql,
+    "agg_hist_union"       -> graft.operators.Quantiles.aggHistUnionOracleSql,
     // the CMS replays bit-exactly: poly_hash64 byte fold + per-row
     // xxhash64 lanes with Scala-computed constant-lane seeds
     "agg_heavy_hitters"    -> graft.operators.Sketches.aggHeavyHittersOracleSql,

@@ -226,6 +226,94 @@ object Quantiles {
         (col("hi_tick") - col("lo_tick")).as("max_err_us"))
   }
 
+  /** Mergeable histogram roll-up (key `agg_hist_union`) — the
+    * fixed-grid counterpart of the sketch-union family: once the grid
+    * (global min, ceil-width) is agreed, per-SHARD bucket-count
+    * histograms are the artifact a 100 TB pipeline persists per
+    * ingest slice, and the range quantile comes from merging them by
+    * plain counter addition — no re-scan of raw ticks. Shards here
+    * are `l_returnflag` (the natural per-slice split of the same
+    * ship-date domain [[aggHistQuantiles]] sketches); merge identity
+    * (sum associativity) makes the merged bounds BIT-IDENTICAL to the
+    * direct histogram, which is what the oracle computes; `n_shards`
+    * pins that the roll-up really passed through the per-shard layer.
+    *
+    * Scale shape: one (shard, bucket)-keyed pass over ticks; the
+    * merge shuffles ≤ shards·Bins rows — calendar/catalog-sized, not
+    * corpus-sized; the rank→bucket join runs on the ≤Bins-row merged
+    * table exactly as in [[histQuantiles]]. */
+  def aggHistUnion(spark: SparkSession, dir: String,
+                   targets: Seq[(String, Long, Long)] = Targets,
+                   bins: Long = Bins): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(unix_micros(col("l_shipdate").cast("timestamp")).as("t"),
+        col("l_returnflag").as("shard"))
+      .filter(col("t").isNotNull)
+    val head = li.agg(
+      count(col("t")).as("n"), min(col("t")).as("mn"), max(col("t")).as("mx"))
+      .collect()(0)
+    val (n, mn, mx) = (head.getLong(0), head.getLong(1), head.getLong(2))
+    val width = (mx - mn + bins) / bins
+    val outSchema = StructType(Seq(
+      StructField("quantile", StringType, nullable = false),
+      StructField("rank_k", LongType, nullable = false)))
+    val ks = spark.createDataFrame(
+      spark.sparkContext.parallelize(targets.map { case (name, num, den) =>
+        Row(name, (n * num + den - 1) / den)
+      }, 1), outSchema)
+    // the per-shard artifact: shard × bucket counts on the agreed grid
+    val shardHists = li
+      .groupBy(col("shard"), expr(s"(t - $mn) div $width").as("b"))
+      .agg(count(lit(1)).as("c"))
+    // merge = counter addition; bounded single-partition window over
+    // the ≤bins-row merged table (lit(0) declares the layout)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(0)).orderBy(col("b"))
+    val cum = shardHists.groupBy(col("b")).agg(sum(col("c")).as("c"))
+      .withColumn("cum", sum(col("c")).over(w))
+    val nShards = shardHists.select(col("shard")).distinct()
+      .agg(count(lit(1)).as("n_shards"))
+    ks.join(broadcast(cum),
+        col("cum") >= col("rank_k") && (col("cum") - col("c")) < col("rank_k"))
+      .crossJoin(broadcast(nShards))
+      .select(col("quantile"), col("rank_k"),
+        timestamp_micros(lit(mn) + col("b") * width).as("value_lo"),
+        timestamp_micros(least(lit(mx), lit(mn) + (col("b") + 1) * width - 1))
+          .as("value_hi"),
+        col("n_shards"))
+  }
+
+  /** Oracle: the direct fixed-grid replay (merge identity) + shard pin. */
+  val aggHistUnionOracleSql: String = {
+    val targetRows = Targets.map { case (q, num, den) => s"('$q', $num, $den)" }
+      .mkString(", ")
+    s"""WITH src AS (
+       |  SELECT epoch_us(CAST(l_shipdate AS TIMESTAMP)) AS v
+       |  FROM lineitem WHERE l_shipdate IS NOT NULL),
+       |s2 AS (
+       |  SELECT CAST(COUNT(v) AS BIGINT) AS n, MIN(v) AS mn, MAX(v) AS mx,
+       |    (MAX(v) - MIN(v) + $Bins) // $Bins AS width
+       |  FROM src),
+       |t(quantile, num, den) AS (VALUES $targetRows),
+       |ks AS (
+       |  SELECT quantile, CAST((n * num + den - 1) // den AS BIGINT) AS rank_k
+       |  FROM t CROSS JOIN s2),
+       |h AS (
+       |  SELECT (src.v - s2.mn) // s2.width AS b, COUNT(*) AS c
+       |  FROM src CROSS JOIN s2 GROUP BY 1),
+       |ch AS (
+       |  SELECT b, c, SUM(c) OVER (ORDER BY b) AS cum FROM h),
+       |ns AS (SELECT CAST(COUNT(DISTINCT l_returnflag) AS BIGINT) AS n_shards
+       |       FROM lineitem WHERE l_shipdate IS NOT NULL)
+       |SELECT k.quantile, k.rank_k,
+       |  make_timestamp(s2.mn + ch.b * s2.width) AS value_lo,
+       |  make_timestamp(LEAST(s2.mx, s2.mn + (ch.b + 1) * s2.width - 1)) AS value_hi,
+       |  ns.n_shards
+       |FROM ks k
+       |JOIN ch ON ch.cum >= k.rank_k AND ch.cum - ch.c < k.rank_k
+       |CROSS JOIN s2 CROSS JOIN ns""".stripMargin
+  }
+
   /** Oracle: the identical integer bucket math replayed in one SQL
     * pipeline — count/min/max, ceil-width grid, running-count bucket
     * table, rank→first-covering-bucket join. */

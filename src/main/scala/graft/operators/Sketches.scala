@@ -250,7 +250,11 @@ object Sketches {
     * computed here with Spark's own `XXH64.hashLong` and embedded as
     * a literal (single source of truth), leaving ONE single-long
     * XXH64 chain to replay with the seed as a column. */
-  val aggHeavyHittersOracleSql: String = {
+  /** Shared CMS replay chain (`tc` … `cells`, `top`, `est`): global
+    * term counts → poly_hash64 → d seeded XXH64 lanes → buckets →
+    * counter cells → the topK probe with its min-of-cells estimate.
+    * No leading WITH; both CMS oracles splice it. */
+  private def cmsReplayCtes: String = {
     import graft.functions.SqlReplay._
     val two64 = Two64
     val p1 = u(-7046029288634856825L); val p2 = u(-4417276706812531889L)
@@ -262,7 +266,7 @@ object Sketches {
         .hashLong(i.toLong, 42L) + P5 + 8L
       s"($i, CAST('${u(init)}' AS UBIGINT))"
     }.mkString(",\n  ")
-    s"""WITH tc AS (
+    s"""tc AS (
        |  SELECT term, CAST(COUNT(*) AS BIGINT) AS n_exact
        |  FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
        |  GROUP BY term),
@@ -296,9 +300,68 @@ object Sketches {
        |  FROM bk b
        |  JOIN top t ON t.term = b.term
        |  JOIN cells c ON c.i = b.i AND c.bucket = b.bucket
-       |  GROUP BY 1, 2)
+       |  GROUP BY 1, 2)""".stripMargin
+  }
+
+  val aggHeavyHittersOracleSql: String =
+    s"""WITH $cmsReplayCtes
        |SELECT term, n_exact, cms_count, cms_count - n_exact AS overcount
        |FROM est
        |ORDER BY n_exact DESC, term""".stripMargin
+
+  /** Mergeable CMS roll-up (key `agg_cms_union`) — the counter-grid
+    * counterpart of [[aggSketchUnion]], completing the artifact form
+    * of every sketch family in the suite (HLL: register max; MinHash:
+    * elementwise min; CMS: elementwise SUM): build one `CmsDepth ×
+    * 2^CmsWidthBits` grid per SOURCE — the summary a 100 TB ingest
+    * persists per shard — then merge the per-source grids by counter
+    * addition and probe the corpus's topK terms against the MERGED
+    * grid. Counter addition is associative/commutative, so the merged
+    * estimate is BIT-IDENTICAL to the direct one-pass grid — the
+    * identity under test (the oracle computes the direct grid);
+    * `n_sources` pins that the roll-up really passed through the
+    * per-source layer.
+    *
+    * Scale shape: the exploded-token scan is paid once (persisted,
+    * released with the call); the per-source artifacts total
+    * sources·d·2^w rows and the merge shuffles only those — per-batch
+    * grid maintenance at ingest is this exact groupBy. */
+  def aggCmsUnion(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextHashing
+    val termCounts = Tables.documents(spark, dir)
+      .select(col("source"), explode(TextHashing.words(col("text"))).as("term"))
+      .groupBy(col("source"), col("term")).agg(count(lit(1)).as("n"))
+      .withColumn("buckets", cmsBuckets(call_function("poly_hash64", col("term"))))
+      .persist()
+    val shardGrids = termCounts
+      .select(col("source"), col("n"),
+        posexplode(col("buckets")).as(Seq("row", "bucket")))
+      .groupBy(col("source"), col("row"), col("bucket"))
+      .agg(sum(col("n")).as("cell"))
+    val merged = shardGrids.groupBy(col("row"), col("bucket"))
+      .agg(sum(col("cell")).as("cell"))
+    val nSources = shardGrids.select(col("source")).distinct()
+      .agg(count(lit(1)).as("n_sources"))
+    val top = termCounts.groupBy(col("term")).agg(sum(col("n")).as("n_exact"))
+      .orderBy(col("n_exact").desc, col("term")).limit(CmsTopK)
+    val result = top
+      .withColumn("buckets", cmsBuckets(call_function("poly_hash64", col("term"))))
+      .select(col("term"), col("n_exact"),
+        posexplode(col("buckets")).as(Seq("row", "bucket")))
+      .join(broadcast(merged), Seq("row", "bucket"))
+      .groupBy(col("term"), col("n_exact"))
+      .agg(min(col("cell")).as("cms_merged"))
+      .crossJoin(broadcast(nSources))
+      .orderBy(col("n_exact").desc, col("term"))
+    Scratch.materializeAndRelease(result, termCounts, "graft_cms_union")
   }
+
+  /** Oracle: the direct-grid replay (merge identity) + the source pin. */
+  val aggCmsUnionOracleSql: String =
+    s"""WITH $cmsReplayCtes,
+       |ns AS (SELECT CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+       |       FROM documents)
+       |SELECT e.term, e.n_exact, e.cms_count AS cms_merged, ns.n_sources
+       |FROM est e CROSS JOIN ns
+       |ORDER BY e.n_exact DESC, e.term""".stripMargin
 }

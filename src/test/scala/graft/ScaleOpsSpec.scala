@@ -94,6 +94,34 @@ class ScaleOpsSpec extends SparkSpecBase {
     assert(fine == direct)
   }
 
+  test("cms union driver key: merged per-source grids equal the direct grid's estimates") {
+    // counter addition is associative/commutative, so the per-source
+    // roll-up's min-of-cells estimate must be BIT-IDENTICAL to the
+    // direct one-pass CMS the heavy-hitters key probes
+    val merged = Sketches.aggCmsUnion(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    val direct = Sketches.aggHeavyHitters(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(merged.keySet == direct.keySet)
+    merged.foreach { case (t, v) =>
+      assert(v == direct(t), s"CMS roll-up diverged from direct grid for '$t'") }
+    // the shard pin really counted the per-source layer
+    val nSources = Sketches.aggCmsUnion(spark, sfDir)
+      .select("n_sources").distinct().collect()
+    assert(nSources.length == 1 && nSources(0).getLong(0) >= 2)
+  }
+
+  test("hist union driver key: merged per-shard histograms reproduce the direct bounds") {
+    val union = graft.operators.Quantiles.aggHistUnion(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getTimestamp(2), r.getTimestamp(3)))
+      .toSet
+    val direct = graft.operators.Quantiles.aggHistQuantiles(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getTimestamp(2), r.getTimestamp(3)))
+      .toSet
+    assert(union == direct,
+      s"merged histogram bounds diverged from the direct pass:\n$union\nvs\n$direct")
+  }
+
   test("sketch union driver key: merged estimate equals agg_approx_ndv's per type") {
     val merged = Sketches.aggSketchUnion(spark, sfDir).collect()
       .map(r => r.getString(0) -> r.getDouble(2)).toMap
