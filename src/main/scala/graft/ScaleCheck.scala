@@ -288,6 +288,8 @@ object ScaleCheck {
       // straggler-spread assert lives in MaintainSpec)
       run("etl_cdc_scd2", operators.Etl.cdcScd2(spark, dir)),
       run("stream_minhash_dedupe", streaming.Streams.minhashGuardBatch(spark, dir)),
+      run("agg_cms_union", operators.Sketches.aggCmsUnion(spark, dir)),
+      run("agg_hist_union", operators.Quantiles.aggHistUnion(spark, dir)),
       run("salted_join_events", {
         val ev = sources.Tables.events(spark, dir)
         val dim = ev.groupBy("user_id").agg(count(lit(1)).as("u_rows"))
