@@ -41,7 +41,8 @@ object ScaleCheck {
     // likewise skips the main tables: a 300× run would otherwise
     // write 180M ordinary lineitems + 30M events nobody reads
     val graphOnly = Set("graph_triangles", "graph_pagerank",
-      "graph_edge_jaccard", "graph_components")
+      "graph_edge_jaccard", "graph_components", "graph_kcore",
+      "graph_link_predict")
     val skipNonGraph = args.length > 1 && args(1).split(",").forall(graphOnly)
     if (!skipNonEmbedding && !skipNonGraph) {
     // same columns/value shapes as the driver's events table
@@ -290,6 +291,14 @@ object ScaleCheck {
       run("stream_minhash_dedupe", streaming.Streams.minhashGuardBatch(spark, dir)),
       run("agg_cms_union", operators.Sketches.aggCmsUnion(spark, dir)),
       run("agg_hist_union", operators.Quantiles.aggHistUnion(spark, dir)),
+      // round-13 additions (second batch): MERGE INTO resolution, the
+      // per-source quality-percentile cut, and the two supported-graph
+      // ops (peeling + capped wedge prediction) on the scaled-catalog
+      // graph corpus
+      run("etl_merge_into", operators.Etl.etlMergeInto(spark, dir)),
+      run("sample_quality_topfrac", operators.Etl.sampleQualityTopFrac(spark, dir)),
+      run("graph_kcore", operators.Graph.graphKcore(spark, s"$dir/graph")),
+      run("graph_link_predict", operators.Graph.graphLinkPredict(spark, s"$dir/graph")),
       run("salted_join_events", {
         val ev = sources.Tables.events(spark, dir)
         val dim = ev.groupBy("user_id").agg(count(lit(1)).as("u_rows"))

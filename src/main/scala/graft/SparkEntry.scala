@@ -42,6 +42,8 @@ object SparkEntry {
     "etl_cdc_apply"        -> (Etl.cdcApply(_, _)),
     "etl_cdc_scd2"         -> (Etl.cdcScd2(_, _)),
     "etl_snapshot_diff"    -> (Etl.etlSnapshotDiff(_, _)),
+    "etl_merge_into"       -> (Etl.etlMergeInto(_, _)),
+    "sample_quality_topfrac" -> ((s, d) => Etl.sampleQualityTopFrac(s, d)),
     // §2.2 analytics
     "q1_pricing_summary"   -> (Analytics.q1PricingSummary(_, _)),
     "q3_shipping_priority" -> (Analytics.q3ShippingPriority(_, _)),
@@ -72,6 +74,8 @@ object SparkEntry {
     "graph_pagerank"       -> (graft.operators.Graph.graphPagerank(_, _)),
     "graph_edge_jaccard"   -> (graft.operators.Graph.graphEdgeJaccard(_, _)),
     "graph_components"     -> (graft.operators.Graph.graphComponents(_, _)),
+    "graph_kcore"          -> (graft.operators.Graph.graphKcore(_, _)),
+    "graph_link_predict"   -> (graft.operators.Graph.graphLinkPredict(_, _)),
     "agg_approx_ndv"       -> (graft.operators.Sketches.aggApproxNdv(_, _)),
     "agg_sketch_union"     -> (graft.operators.Sketches.aggSketchUnion(_, _)),
     "agg_cms_union"        -> (graft.operators.Sketches.aggCmsUnion(_, _)),
@@ -170,6 +174,10 @@ object SparkEntry {
     "sample_mixture_epochs" -> Etl.sampleMixtureEpochsOracleSql,
     "etl_scd2"             -> Etl.scd2OracleSql,
     "etl_snapshot_diff"    -> Etl.etlSnapshotDiffOracleSql,
+    // one full-outer join resolving the MERGE clause semantics
+    "etl_merge_into"       -> Etl.etlMergeIntoOracleSql,
+    // oracle = the per-group rank form the histogram verdict replaces
+    "sample_quality_topfrac" -> Etl.sampleQualityTopFracOracleSql,
     // keep-latest generalized to tombstone-bearing change feeds
     "etl_cdc_apply"        -> Etl.cdcApplyOracleSql,
     "etl_cdc_scd2"         -> Etl.cdcScd2OracleSql,
@@ -205,6 +213,9 @@ object SparkEntry {
     "graph_pagerank"       -> graft.operators.Graph.graphPagerankOracleSql,
     "graph_edge_jaccard"   -> graft.operators.Graph.graphEdgeJaccardOracleSql,
     "graph_components"     -> graft.operators.Graph.graphComponentsOracleSql,
+    // peeling unrolled KcorePeelRounds deep — identity once converged
+    "graph_kcore"          -> graft.operators.Graph.graphKcoreOracleSql,
+    "graph_link_predict"   -> graft.operators.Graph.graphLinkPredictOracleSql,
     // the HLL estimator replays bit-exactly: ordered register fold of
     // exact 2^-rho terms; ln() lookup table embedded from Scala
     "agg_approx_ndv"       -> graft.operators.Sketches.aggApproxNdvOracleSql,

@@ -704,6 +704,99 @@ object Etl {
        |  FROM documents) t
        |WHERE __rk <= $SourceCap""".stripMargin
 
+  /** Numerator of the kept fraction for [[sampleQualityTopFrac]]
+    * (pct/100 — an exact rational, never a float threshold). */
+  val TopFracPct = 20
+
+  /** Per-group TOP-FRACTION selection by a score column — "keep the
+    * best `pctNum`% of each source by quality" (the
+    * quality-percentile pruning step of DCLM/FineWeb-style curation,
+    * where a fixed global threshold would gut low-scoring domains and
+    * a per-domain CAP ignores how much good data a domain has).
+    *
+    * Exact contract: per group, keep the `ceil(pctNum% · n_g)` rows
+    * ranked first by (score DESC, id ASC) — integer quota math
+    * (`(n·pct + 99) div 100`), engine-portable; raising the
+    * percentage only ADDS rows (nested, the sampling-family
+    * property).
+    *
+    * Scale shape — the naive form is a `row_number() OVER (PARTITION
+    * BY group ORDER BY score)` window over the CORPUS: with few
+    * groups (the usual case: sources/dumps/languages) one group's
+    * entire data sorts in one task. This form never ranks raw rows:
+    *
+    *  1. histogram: one (group, score)-keyed count agg — map-side
+    *     partials collapse duplicate scores, and quality scores are
+    *     ratios of small integer counts, so the histogram is
+    *     collision-heavy and orders of magnitude under corpus size;
+    *  2. per-group running counts over THAT bounded frame (window
+    *     partitions = distinct scores per group, not rows) derive a
+    *     per-(group, score) verdict: fully kept, partially kept (the
+    *     threshold score, with its residual quota), or dropped;
+    *  3. rows join the verdict on (group, score); the only row-level
+    *     window ranks WITHIN one (group, score) tie cell to apply the
+    *     residual quota — tie-cell-sized partitions, uniform.
+    *
+    * For genuinely continuous scores (histogram ≈ corpus) the right
+    * pre-step is the iterative per-group threshold refinement the
+    * exact-quantiles operator implements (Quantiles.scala) — same
+    * verdict join afterwards; this operator's contract targets the
+    * discrete-score regime every counting-based quality metric lives
+    * in. */
+  def sampleQualityTopFracOn(scored: DataFrame, group: Column, score: Column,
+                             id: Column, pctNum: Int = TopFracPct): DataFrame = {
+    val base = scored.select(group.as("__g"), score.as("__s"), id.as("__id"))
+    val hist = base.groupBy(col("__g"), col("__s")).agg(count(lit(1)).as("__cnt"))
+    val totals = hist.groupBy(col("__g")).agg(sum(col("__cnt")).as("__n"))
+    val wRun = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__g")).orderBy(col("__s").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val verdict = hist.join(totals, "__g")
+      .withColumn("__quota", expr(s"(__n * $pctNum + 99) div 100"))
+      .withColumn("__cum", sum(col("__cnt")).over(wRun))
+      .withColumn("__cum_excl", col("__cum") - col("__cnt"))
+      // kept fully (cum <= quota) or partially (threshold score)
+      .where(col("__cum_excl") < col("__quota"))
+      .withColumn("__tie_quota",
+        least(col("__quota"), col("__cum")) - col("__cum_excl"))
+      .select(col("__g"), col("__s"), col("__tie_quota"))
+    val wTie = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__g"), col("__s")).orderBy(col("__id"))
+    val keptIds = base.join(verdict, Seq("__g", "__s"))
+      .withColumn("__rk", row_number().over(wTie))
+      .where(col("__rk") <= col("__tie_quota"))
+      .select(col("__id"))
+    scored.join(keptIds, id === col("__id"), "left_semi")
+  }
+
+  /** Driver query (key `sample_quality_topfrac`): top [[TopFracPct]]%
+    * of each source by the [[TextAnalysis.qualityScore]] composite. */
+  def sampleQualityTopFrac(spark: SparkSession, dir: String): DataFrame = {
+    val scored = Tables.documents(spark, dir).select(
+      col("doc_id"), col("source"),
+      TextAnalysis.qualityScore(col("text")).as("quality_score"))
+    sampleQualityTopFracOn(scored,
+      group = col("source"), score = col("quality_score"), id = col("doc_id"))
+  }
+
+  // oracle = the per-group rank formulation the verdict join replaces
+  // (different algorithm, same rows — the skyline precedent)
+  val sampleQualityTopFracOracleSql: String =
+    s"""WITH q AS (
+       |  SELECT doc_id, source,
+       |  ${TextAnalysis.qualityScoreSqlExpr("text")} AS quality_score
+       |  FROM documents
+       |), n AS (
+       |  SELECT source, COUNT(*) AS n FROM q GROUP BY 1
+       |), r AS (
+       |  SELECT doc_id, source, quality_score, ROW_NUMBER() OVER (
+       |    PARTITION BY source ORDER BY quality_score DESC, doc_id) AS rk
+       |  FROM q
+       |)
+       |SELECT r.doc_id, r.source, r.quality_score
+       |FROM r JOIN n ON r.source = n.source
+       |WHERE r.rk <= (n.n * $TopFracPct + 99) // 100""".stripMargin
+
   /** SCD type-2 state history over the event log: each user's
     * `event_type` transitions become validity intervals
     * [eff_start, eff_end) with an `is_current` flag — the
@@ -1046,6 +1139,59 @@ object Etl {
        |  FROM o FULL OUTER JOIN n USING (user_id, event_type)
        |)
        |SELECT * FROM j WHERE status IS NOT NULL""".stripMargin
+
+  /** MERGE INTO driver key (`etl_merge_into`): the per-user profile
+    * snapshot as of [[SnapshotCutoff]] (target) merged with the
+    * keep-latest collapse of everything after it (source batch) under
+    * the statement's clause semantics ([[Merge.mergeInto]]): a source
+    * row whose latest state is [[CdcDeleteType]] DELETES the matched
+    * profile (and inserts nothing for a brand-new user — the
+    * tombstone-no-op default), any other source row updates or
+    * inserts, untouched users keep their target row.
+    *
+    * Deliberately NOT [[cdcApply]] over the full log: MERGE applies
+    * delete clauses only to the INCOMING batch — a user whose last
+    * pre-cutoff event was `error` keeps that row here (the target
+    * snapshot holds it as plain state), where the full-log changelog
+    * apply would drop the user. That distinction is the statement's
+    * contract, and the spec pins it. */
+  def etlMergeInto(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    def snap(df: DataFrame): DataFrame =
+      Merge.keepLatest(df, keys = Seq(col("user_id")),
+          orderCol = col("ts"), tiebreak = col("event_id"))
+        .select("user_id", "event_id", "ts", "event_type", "value")
+    val cutoff = lit(SnapshotCutoff).cast("timestamp")
+    Merge.mergeInto(
+      target = snap(ev.where(col("ts") < cutoff)),
+      source = snap(ev.where(col("ts") >= cutoff)),
+      keys = Seq("user_id"),
+      deleteCond = col("event_type") <=> lit(CdcDeleteType))
+  }
+
+  val etlMergeIntoOracleSql: String =
+    s"""WITH t AS (
+       |  SELECT user_id, event_id, ts, event_type, value FROM (
+       |    SELECT *, ROW_NUMBER() OVER (
+       |      PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+       |    FROM events WHERE ts < TIMESTAMP '$SnapshotCutoff') x
+       |  WHERE rn = 1
+       |), s AS (
+       |  SELECT user_id, event_id, ts, event_type, value FROM (
+       |    SELECT *, ROW_NUMBER() OVER (
+       |      PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+       |    FROM events WHERE ts >= TIMESTAMP '$SnapshotCutoff') x
+       |  WHERE rn = 1
+       |)
+       |SELECT COALESCE(t.user_id, s.user_id) AS user_id,
+       |  CASE WHEN s.user_id IS NOT NULL THEN s.event_id ELSE t.event_id END AS event_id,
+       |  CAST(CASE WHEN s.user_id IS NOT NULL THEN s.ts ELSE t.ts END AS TIMESTAMP) AS ts,
+       |  CASE WHEN s.user_id IS NOT NULL THEN s.event_type ELSE t.event_type END AS event_type,
+       |  CASE WHEN s.user_id IS NOT NULL THEN s.value ELSE t.value END AS value
+       |FROM t FULL OUTER JOIN s ON t.user_id = s.user_id
+       |WHERE (t.user_id IS NOT NULL AND s.user_id IS NULL)
+       |   OR (s.user_id IS NOT NULL
+       |       AND s.event_type IS DISTINCT FROM '$CdcDeleteType')""".stripMargin
 
   val normalizeArraysOracleSql: String =
     s"""WITH p AS (

@@ -431,6 +431,216 @@ object Graph {
        |  t.min_node, t.max_node, s.n_components, s.n_nodes, s.n_edges
        |FROM top t CROSS JOIN totals s""".stripMargin
 
+  /** The SUPPORTED co-order edge list (pairs co-ordered ≥
+    * [[MinSupport]] times, u < v, one row per pair) —
+    * [[graphComponents]]' substrate, shared by the k-core and
+    * link-prediction keys. One (u,v)-keyed aggregate over the bounded
+    * per-order fanout of [[coOrderEdges]]. */
+  def supportedEdges(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    val a = li.as("a"); val b = li.as("b")
+    a.join(b, col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .groupBy(col("a.pk").as("u"), col("b.pk").as("v"))
+      .agg(count(lit(1)).as("support"))
+      .where(col("support") >= MinSupport)
+      .select(col("u"), col("v"))
+  }
+
+  private val supportedEdgesSql: String =
+    s"""SELECT a.l_partkey AS u, b.l_partkey AS v
+       |  FROM lineitem a JOIN lineitem b
+       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       |  GROUP BY 1, 2
+       |  HAVING COUNT(*) >= $MinSupport""".stripMargin
+
+  /** Core order for [[graphKcore]]. */
+  val KcoreK = 3
+
+  /** Peeling rounds the k-core ORACLE unrolls. The engine iterates to
+    * the fixpoint; peeling is monotone, so once converged every
+    * further unrolled round is the identity — the oracle matches iff
+    * the driver graph converges within this many rounds (measured
+    * depth at sf0.01: 8; fixed seed, so the margin is stable). */
+  val KcorePeelRounds = 12
+
+  /** Key `graph_kcore`: the k-core of the supported co-order graph —
+    * the maximal subgraph where every node keeps ≥ k supported
+    * co-purchase partners (Seidman's cohesion measure; the standard
+    * "dense engagement region" cut for spam/bot filtering and
+    * community seeding, and the graph analogue of the support cut
+    * itself: [[graphComponents]] asks "what is connected", this asks
+    * "what is ROBUSTLY connected"). Report = top-K core members by
+    * within-core degree beside the 1-row core summary. */
+  def graphKcore(spark: SparkSession, dir: String): DataFrame =
+    kcoreOn(staged(supportedEdges(spark, dir), "graft_kcore_edges"))
+
+  /** Generic k-core over a distinct undirected (u, v) edge list.
+    *
+    * Distributed peeling: each round computes degrees (one keyed
+    * aggregate over the live edges) and semi-joins the edge list
+    * against the surviving nodes — removing EVERY sub-k node at once,
+    * so rounds = peeling DEPTH (how many cascades the removals
+    * trigger), not node count; real graphs converge in a handful of
+    * rounds. State per round is the live edge list itself, lineage
+    * truncated exactly as [[Dedup.pairClusters]] (each round's frame
+    * feeds three consumers: the degree agg, both semi-join probes, and
+    * the convergence count — unbroken lineage would re-expand 3^rounds).
+    * Convergence = edge count unchanged (no edge removed ⇒ no degree
+    * changed ⇒ fixpoint); the count runs on the just-materialized
+    * blocks, not a recompute. */
+  def kcoreOn(edges: DataFrame, k: Int = KcoreK, topK: Int = TopK): DataFrame = {
+    def truncated(df: DataFrame): DataFrame =
+      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+        df.checkpoint(eager = true)
+      else df.localCheckpoint(eager = true)
+    var alive = truncated(edges.select(col("u"), col("v")))
+    var n = alive.count()
+    var converged = n == 0
+    while (!converged) {
+      val survivors = degrees(alive).where(col("deg") >= k).select(col("node"))
+      val next = truncated(alive
+        .join(survivors.withColumnRenamed("node", "u"), Seq("u"), "left_semi")
+        .join(survivors.withColumnRenamed("node", "v"), Seq("v"), "left_semi"))
+      val n2 = next.count()
+      converged = n2 == n
+      alive = next; n = n2
+    }
+    val coreDeg = degrees(alive)
+    val totals = coreDeg.agg(count(lit(1)).as("n_core_nodes"))
+      .crossJoin(alive.agg(count(lit(1)).as("n_core_edges")))
+    val top = coreDeg.orderBy(col("deg").desc, col("node")).limit(topK)
+    // bounded single-partition window: topK rows by construction
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(0)).orderBy(col("deg").desc, col("node"))
+    top.crossJoin(broadcast(totals))
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .select(col("rank"), col("node").as("p_partkey"), col("deg").as("core_deg"),
+        col("n_core_nodes"), col("n_core_edges"))
+  }
+
+  val graphKcoreOracleSql: String = {
+    // MATERIALIZED: each round references the previous level 3× (the
+    // degree agg once, both semi-join probes once each) — plain CTEs
+    // would inline 3^rounds copies of the edge build (the
+    // sample_kcenter precedent)
+    val rounds = (1 to KcorePeelRounds).map { i =>
+      s"""d$i AS MATERIALIZED (
+         |  SELECT node FROM (
+         |    SELECT node, COUNT(*) AS c FROM (
+         |      SELECT u AS node FROM a${i - 1} UNION ALL SELECT v FROM a${i - 1}
+         |    ) GROUP BY 1
+         |  ) WHERE c >= $KcoreK
+         |), a$i AS MATERIALIZED (
+         |  SELECT e.u, e.v FROM a${i - 1} e
+         |  JOIN d$i s1 ON e.u = s1.node
+         |  JOIN d$i s2 ON e.v = s2.node
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH a0 AS MATERIALIZED (
+       |  $supportedEdgesSql
+       |), $rounds, core_deg AS (
+       |  SELECT node, COUNT(*) AS core_deg FROM (
+       |    SELECT u AS node FROM a$KcorePeelRounds
+       |    UNION ALL SELECT v FROM a$KcorePeelRounds
+       |  ) GROUP BY 1
+       |), totals AS (
+       |  SELECT (SELECT COUNT(*) FROM core_deg) AS n_core_nodes,
+       |    (SELECT COUNT(*) FROM a$KcorePeelRounds) AS n_core_edges
+       |), top AS (
+       |  SELECT node, core_deg,
+       |    ROW_NUMBER() OVER (ORDER BY core_deg DESC, node) AS rank
+       |  FROM core_deg ORDER BY core_deg DESC, node LIMIT $TopK
+       |)
+       |SELECT CAST(t.rank AS INTEGER) AS rank, t.node AS p_partkey,
+       |  t.core_deg, s.n_core_nodes, s.n_core_edges
+       |FROM top t CROSS JOIN totals s""".stripMargin
+  }
+
+  /** Hub cap for [[graphLinkPredict]]: only CENTERS of degree ≤ cap
+    * generate wedges. Part of the operator's contract, not an
+    * approximation knob bolted on: common-neighbor evidence through a
+    * hub is weak evidence (a part half the catalog co-orders with
+    * predicts nothing — the same inverse-frequency insight Adamic/Adar
+    * formalizes by down-weighting high-degree commons to ~0), and it
+    * is exactly what bounds the wedge space: Σ_{deg≤D} deg² ≤ D·Σdeg =
+    * O(D·m), where the uncapped form is Σ deg² — the last-reducer
+    * blow-up degree orientation CANNOT fix here, because a pair's
+    * common-neighbor count needs every wedge at every center, not one
+    * canonical corner per triangle. The frequent-frame posting cap
+    * (mm_frame_dedup) is the same cut one tier over. */
+  val LinkHubCap = 10
+
+  /** Key `graph_link_predict`: common-neighbor link prediction over
+    * the supported co-order graph — for every NON-adjacent pair, the
+    * number of shared (sub-hub) neighbors, top-K by evidence. The
+    * "customers who bought these also bought…" candidate generator:
+    * an edge that doesn't exist yet but whose endpoints share many
+    * co-purchase partners. */
+  def graphLinkPredict(spark: SparkSession, dir: String): DataFrame =
+    linkPredictOn(staged(supportedEdges(spark, dir), "graft_lp_edges"))
+
+  /** Generic form over a distinct undirected (u, v) edge list: wedge
+    * enumeration at capped centers (one self-join of the capped arc
+    * list on the center — O(cap·m) candidates), a (u,v)-keyed count,
+    * one anti-join dropping already-adjacent pairs, TakeOrdered top-K. */
+  def linkPredictOn(edges: DataFrame, cap: Int = LinkHubCap,
+                    topK: Int = TopK): DataFrame = {
+    val deg = degrees(edges)
+    val arcs = edges.select(col("u").as("center"), col("v").as("nbr"))
+      .unionAll(edges.select(col("v").as("center"), col("u").as("nbr")))
+    val capped = arcs.join(
+      deg.where(col("deg") <= cap).select(col("node").as("center")), "center")
+    val a = capped.select(col("center"), col("nbr").as("u"))
+    val b = capped.select(col("center"), col("nbr").as("v"))
+    val pairs = a.join(b, Seq("center")).where(col("u") < col("v"))
+      .groupBy(col("u"), col("v")).agg(count(lit(1)).as("common_centers"))
+      .join(edges, Seq("u", "v"), "left_anti")
+    val du = deg.select(col("node").as("u"), col("deg").as("deg_u"))
+    val dv = deg.select(col("node").as("v"), col("deg").as("deg_v"))
+    val top = pairs.join(du, "u").join(dv, "v")
+      .orderBy(col("common_centers").desc, col("u"), col("v")).limit(topK)
+    // bounded single-partition window: topK rows by construction
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(0)).orderBy(col("common_centers").desc, col("u"), col("v"))
+    top.withColumn("rank", row_number().over(w).cast("int"))
+      .select(col("rank"), col("u"), col("v"), col("common_centers"),
+        col("deg_u"), col("deg_v"))
+  }
+
+  val graphLinkPredictOracleSql: String =
+    s"""WITH edges AS (
+       |  $supportedEdgesSql
+       |), deg AS (
+       |  SELECT node, COUNT(*) AS deg FROM (
+       |    SELECT u AS node FROM edges UNION ALL SELECT v FROM edges
+       |  ) GROUP BY 1
+       |), arcs AS (
+       |  SELECT u AS center, v AS nbr FROM edges
+       |  UNION ALL SELECT v, u FROM edges
+       |), capped AS (
+       |  SELECT a.center, a.nbr FROM arcs a
+       |  JOIN deg d ON d.node = a.center AND d.deg <= $LinkHubCap
+       |), pairs AS (
+       |  SELECT a.nbr AS u, b.nbr AS v, COUNT(*) AS common_centers
+       |  FROM capped a JOIN capped b
+       |    ON a.center = b.center AND a.nbr < b.nbr
+       |  GROUP BY 1, 2
+       |), nonadj AS (
+       |  SELECT p.* FROM pairs p
+       |  WHERE NOT EXISTS (
+       |    SELECT 1 FROM edges e WHERE e.u = p.u AND e.v = p.v)
+       |), top AS (
+       |  SELECT u, v, common_centers,
+       |    ROW_NUMBER() OVER (ORDER BY common_centers DESC, u, v) AS rank
+       |  FROM nonadj ORDER BY common_centers DESC, u, v LIMIT $TopK
+       |)
+       |SELECT CAST(t.rank AS INTEGER) AS rank, t.u, t.v, t.common_centers,
+       |  du.deg AS deg_u, dv.deg AS deg_v
+       |FROM top t
+       |JOIN deg du ON du.node = t.u
+       |JOIN deg dv ON dv.node = t.v""".stripMargin
+
   val graphPagerankOracleSql: String = {
     val iterCtes = (1 to Iters).map { i =>
       s"""r$i AS (

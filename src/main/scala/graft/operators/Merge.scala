@@ -123,6 +123,64 @@ object Merge {
       .drop("__rn", "__prev")
   }
 
+  /** Generic MERGE INTO (the lakehouse upsert statement: Delta
+    * `MERGE`, Iceberg `MERGE INTO`, SQL:2003 `MERGE`) resolved as one
+    * relational pass — where [[applyChangelog]] collapses ONE ordered
+    * feed by recency, this merges a BATCH of incoming rows into an
+    * existing keyed snapshot with the statement's clause semantics:
+    *
+    *  - matched  + `deleteCond` (on the source row)  → row deleted
+    *  - matched  (otherwise)                         → source row wins
+    *  - not matched by target + `insertCond`         → source row inserted
+    *  - not matched by source                        → target row kept
+    *
+    * `insertCond` defaults to ¬deleteCond: a tombstone for a key the
+    * target never held is a no-op, not an insert — the changelog
+    * reading. Pass `lit(true)` for the SQL-standard unconditional
+    * INSERT clause.
+    *
+    * Both inputs must be keyed snapshots (≤1 row per key — the MERGE
+    * precondition; Delta throws on source multi-matches). Callers with
+    * raw feeds collapse them first with [[keepLatest]]/[[applyChangelog]].
+    *
+    * Plan shape: ONE full-outer hash join on the key columns + a
+    * clause-resolution projection — both sides shuffle once on the
+    * keys, AQE splits skewed keys. At 100 TB the target side is the
+    * lake: pair with the key-hash-bucketed layout
+    * (`Streams.cdcApplySink`) so the join co-locates by bucket and
+    * only buckets the source batch touches are rewritten — the merge
+    * itself is layout-agnostic. */
+  def mergeInto(target: DataFrame, source: DataFrame, keys: Seq[String],
+                deleteCond: Column,
+                insertCondOpt: Option[Column] = None): DataFrame = {
+    val dataCols = target.columns.filterNot(keys.contains).toSeq
+    require(dataCols == source.columns.filterNot(keys.contains).toSeq,
+      "mergeInto: target/source non-key columns must match")
+    val insertCond = insertCondOpt.getOrElse(!deleteCond)
+    val t = target.select(keys.map(col) ++ dataCols.map(c => col(c).as(s"__t_$c")): _*)
+      .withColumn("__in_t", lit(1))
+    // clause conditions evaluate against the source's ORIGINAL column
+    // names — resolve them before the __s_ rename hides those names
+    val s = source
+      .withColumn("__del", deleteCond)
+      .withColumn("__ins", insertCond)
+      .select(keys.map(col) ++ dataCols.map(c => col(c).as(s"__s_$c")) ++
+        Seq(col("__del"), col("__ins")): _*)
+      .withColumn("__in_s", lit(1))
+    val matched = col("__in_t").isNotNull && col("__in_s").isNotNull
+    // survives iff: matched non-delete (source wins), unmatched target
+    // (kept as-is), or insertable unmatched source
+    val keep = (matched && !col("__del")) ||
+      (col("__in_t").isNotNull && col("__in_s").isNull) ||
+      (col("__in_t").isNull && col("__in_s").isNotNull && col("__ins"))
+    val resolved = dataCols.map { c =>
+      when(col("__in_s").isNotNull, col(s"__s_$c")).otherwise(col(s"__t_$c")).as(c)
+    }
+    t.join(s, keys, "full_outer")
+      .where(keep)
+      .select(keys.map(col) ++ resolved: _*)
+  }
+
   /** Apply a TOMBSTONE-BEARING change feed into SCD2 history — the
     * lakehouse "apply changes into SCD2" contract composing
     * [[applyChangelog]]'s delete semantics with [[scd2]]'s interval

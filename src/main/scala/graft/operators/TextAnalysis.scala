@@ -57,6 +57,29 @@ object TextAnalysis {
   def textQuality(spark: SparkSession, dir: String): DataFrame =
     textQualityOn(Tables.documents(spark, dir))
 
+  /** The composite quality score of [[textQualityOn]] as a standalone
+    * column expression — shared with the top-fraction pruning key so
+    * both compute the identical IEEE double. */
+  def qualityScore(text: Column): Column = {
+    val toks = TH.words(text)
+    val nTok = size(toks).cast("double")
+    val nStop = size(filter(toks, t => t.isInCollection(Stopwords))).cast("double")
+    val nUniq = size(array_distinct(toks)).cast("double")
+    val lenScore = least(lit(1.0), nTok / lit(100.0))
+    (nUniq / nTok) * (lit(1.0) - nStop / nTok) * lenScore
+  }
+
+  /** [[qualityScore]] replayed in DuckDB SQL over a `text` column —
+    * the same parenthesization as textQualityOracleSql's score term. */
+  def qualityScoreSqlExpr(text: String): String = {
+    val stop = Stopwords.map(s => s"'$s'").mkString(", ")
+    s"""(CAST(len(list_distinct(string_split($text, ' '))) AS DOUBLE)
+       |    / CAST(len(string_split($text, ' ')) AS DOUBLE))
+       |  * (1.0 - CAST(len(list_filter(string_split($text, ' '), t -> t IN ($stop))) AS DOUBLE)
+       |    / CAST(len(string_split($text, ' ')) AS DOUBLE))
+       |  * least(1.0, CAST(len(string_split($text, ' ')) AS DOUBLE) / 100.0)""".stripMargin
+  }
+
   def textQualityOn(docs: DataFrame): DataFrame = {
     val toks = TH.words(col("text"))
     val nTok = size(toks).cast("double")
@@ -64,8 +87,7 @@ object TextAnalysis {
     val nUniq = size(array_distinct(toks)).cast("double")
     val nPunct = size(regexp_extract_all(col("text"), lit("[^a-zA-Z0-9 ]"), lit(0))).cast("double")
     val nChars = length(col("text")).cast("double")
-    val lenScore = least(lit(1.0), nTok / lit(100.0))
-    val score = (nUniq / nTok) * (lit(1.0) - nStop / nTok) * lenScore
+    val score = qualityScore(col("text"))
     docs.select(
       col("doc_id"),
       length(col("text")).as("n_chars"),

@@ -481,4 +481,54 @@ class EtlSpec extends SparkSpecBase {
       repart.exceptAll(capped).count() == 0)
     capped.unpersist()
   }
+
+  test("quality top-frac: exact per-group ceil quota, score-desc/id-asc selection, threshold ties split by id") {
+    import spark.implicits._
+    // group g1: 10 rows — quota ceil(20% * 10) = 2; threshold tie at
+    // 0.8 must keep the SMALLEST id among the tied rows
+    val g1 = Seq((1L, 0.9), (2L, 0.8), (3L, 0.8), (4L, 0.8)) ++
+      (5L to 10L).map(i => (i, 0.1))
+    // group g2: 3 rows — quota ceil(20% * 3) = 1
+    val g2 = Seq((101L, 0.5), (102L, 0.7), (103L, 0.5))
+    val scored = (g1.map { case (i, s) => ("g1", i, s) } ++
+      g2.map { case (i, s) => ("g2", i, s) }).toDF("src", "id", "score")
+    val kept = Etl.sampleQualityTopFracOn(scored,
+        group = col("src"), score = col("score"), id = col("id"), pctNum = 20)
+      .collect().map(_.getAs[Long]("id")).toSet
+    assert(kept == Set(1L, 2L, 102L),
+      s"expected top-2 of g1 (0.9 then smallest-id 0.8) + top-1 of g2, got $kept")
+  }
+
+  test("quality top-frac: nested in the percentage; 100% keeps everything") {
+    import spark.implicits._
+    val scored = (1L to 37L).map(i => ("s" + (i % 3), i, (i * 7 % 11).toDouble))
+      .toDF("src", "id", "score")
+    def ids(pct: Int): Set[Long] =
+      Etl.sampleQualityTopFracOn(scored, col("src"), col("score"), col("id"), pct)
+        .collect().map(_.getAs[Long]("id")).toSet
+    val p20 = ids(20); val p50 = ids(50); val p100 = ids(100)
+    assert(p20.subsetOf(p50) && p50.subsetOf(p100),
+      "raising the kept fraction must only ADD rows")
+    assert(p100 == (1L to 37L).toSet)
+    // exact quotas per group: ceil(pct% * n_g)
+    val sizes = scored.groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val keptPerGroup = Etl.sampleQualityTopFracOn(
+        scored, col("src"), col("score"), col("id"), 50)
+      .groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    sizes.foreach { case (g, n) =>
+      assert(keptPerGroup(g) == (n * 50 + 99) / 100, s"group $g quota")
+    }
+  }
+
+  test("quality top-frac driver key: row count matches the summed per-source quotas") {
+    val out = Etl.sampleQualityTopFrac(spark, sfDir).cache()
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    val expected = docs.groupBy("source").count().collect()
+      .map(r => (r.getLong(1) * Etl.TopFracPct + 99) / 100).sum
+    assert(out.count() == expected)
+    assert(out.columns.toSeq == Seq("doc_id", "source", "quality_score"))
+    out.unpersist()
+  }
 }

@@ -132,4 +132,79 @@ class GraphSpec extends SparkSpecBase {
     val sizes = rows.sortBy(_.getAs[Int]("rank")).map(_.getAs[Long]("size"))
     assert(sizes.zip(sizes.tail).forall { case (a, b) => a >= b })
   }
+
+  test("kcore: cascading peel — tail falls off round by round, the triangle survives") {
+    // triangle {1,2,3} with tail 3-4-5: k=2 peeling removes 5 (deg 1),
+    // which drops 4 to deg 1 — a genuine multi-round cascade
+    val g = edgesDf((1L,2L),(1L,3L),(2L,3L),(3L,4L),(4L,5L))
+    val rows = Graph.kcoreOn(g, k = 2).collect()
+    val nodes = rows.map(_.getAs[Long]("p_partkey")).toSet
+    assert(nodes == Set(1L, 2L, 3L))
+    rows.foreach { r =>
+      assert(r.getAs[Long]("core_deg") == 2L)
+      assert(r.getAs[Long]("n_core_nodes") == 3L)
+      assert(r.getAs[Long]("n_core_edges") == 3L)
+    }
+  }
+
+  test("kcore: a path fully peels (empty core is schema-safe); k=1 keeps everything") {
+    val path = edgesDf((1L,2L),(2L,3L),(3L,4L))
+    assert(Graph.kcoreOn(path, k = 2).collect().isEmpty)
+    val all = Graph.kcoreOn(path, k = 1).collect()
+    assert(all.map(_.getAs[Long]("p_partkey")).toSet == Set(1L, 2L, 3L, 4L))
+  }
+
+  test("kcore driver key: every core member keeps >= k core neighbors; core is a subgraph of the supported graph") {
+    val rows = Graph.graphKcore(spark, sfDir).collect()
+    if (rows.nonEmpty) {
+      rows.foreach { r =>
+        assert(r.getAs[Long]("core_deg") >= Graph.KcoreK)
+        // handshake bound within the core
+        assert(r.getAs[Long]("n_core_edges") * 2 >=
+          r.getAs[Long]("n_core_nodes") * Graph.KcoreK)
+      }
+    }
+  }
+
+  test("link predict: common-neighbor counts for non-adjacent pairs only") {
+    // star 0-{1,2,3} plus edge 1-2: the only non-adjacent pairs with a
+    // common neighbor are (1,3) and (2,3), each through center 0
+    val g = edgesDf((0L,1L),(0L,2L),(0L,3L),(1L,2L))
+    val got = Graph.linkPredictOn(g).collect()
+      .map(r => (r.getAs[Long]("u"), r.getAs[Long]("v")) -> r.getAs[Long]("common_centers"))
+      .toMap
+    assert(got == Map((1L,3L) -> 1L, (2L,3L) -> 1L))
+  }
+
+  test("link predict: the hub cap suppresses wedges at high-degree centers") {
+    val g = edgesDf((0L,1L),(0L,2L),(0L,3L),(1L,2L))
+    // cap 2 excludes center 0 (deg 3); remaining centers only generate
+    // already-adjacent pairs — no predictions survive
+    assert(Graph.linkPredictOn(g, cap = 2).collect().isEmpty)
+  }
+
+  test("link predict matches brute force on a seeded random graph (sub-cap degrees)") {
+    val rnd = new scala.util.Random(7)
+    val edges = (1 to 60).map(_ => (rnd.nextInt(20).toLong, rnd.nextInt(20).toLong))
+      .filter { case (u, v) => u != v }
+      .map { case (u, v) => (math.min(u, v), math.max(u, v)) }
+      .distinct
+    val adj = edges.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    def nbrs(n: Long): Set[Long] =
+      edges.collect { case (u, v) if u == n => v
+                      case (u, v) if v == n => u }.toSet
+    val cap = 100 // no hub suppression: brute force is the full count
+    val expected = (for {
+      u <- 0L until 20L; v <- (u + 1) until 20L
+      if !adj.getOrElse(u, Set.empty).contains(v)
+      common = (nbrs(u) intersect nbrs(v)).size
+      if common > 0
+    } yield (u, v) -> common.toLong).toMap
+    val topAll = Graph.linkPredictOn(edgesDf(edges: _*), cap = cap,
+        topK = expected.size + 10)
+      .collect()
+      .map(r => (r.getAs[Long]("u"), r.getAs[Long]("v")) -> r.getAs[Long]("common_centers"))
+      .toMap
+    assert(topAll == expected)
+  }
 }

@@ -222,4 +222,69 @@ class MergeSpec extends SparkSpecBase {
       assert(!r.getAs[java.sql.Timestamp]("new_ts").before(r.getAs[java.sql.Timestamp]("old_ts")))
     }
   }
+
+  test("mergeInto: update/delete/insert clauses resolve; tombstone insert is a no-op") {
+    import spark.implicits._
+    val target = Seq(("k1", "a", 1L), ("k2", "b", 1L), ("k3", "c", 1L))
+      .toDF("key", "state", "ver")
+    val source = Seq(
+      ("k2", "b2", 2L),   // matched -> update
+      ("k3", "DEL", 2L),  // matched + delete cond -> delete
+      ("k4", "d", 2L),    // unmatched -> insert
+      ("k5", "DEL", 2L)   // unmatched tombstone -> NO-OP (default insertCond)
+    ).toDF("key", "state", "ver")
+    val out = Merge.mergeInto(target, source, Seq("key"),
+        deleteCond = col("state") === "DEL")
+      .collect().map(r => r.getString(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(out == Map(
+      "k1" -> ("a", 1L),    // untouched target survives
+      "k2" -> ("b2", 2L),   // source wins on match
+      "k4" -> ("d", 2L)))   // inserted
+  }
+
+  test("mergeInto: SQL-standard unconditional INSERT via insertCond override") {
+    import spark.implicits._
+    val target = Seq(("k1", "a")).toDF("key", "state")
+    val source = Seq(("k5", "DEL")).toDF("key", "state")
+    val out = Merge.mergeInto(target, source, Seq("key"),
+        deleteCond = col("state") === "DEL",
+        insertCondOpt = Some(lit(true)))
+      .collect().map(_.getString(0)).toSet
+    assert(out == Set("k1", "k5"), "lit(true) insertCond must insert tombstones too")
+  }
+
+  test("mergeInto applies deletes only to the INCOMING batch — not cdcApply over the full log") {
+    import spark.implicits._
+    // user u1's LAST pre-cutoff change is the delete op; no post-cutoff
+    // rows. MERGE keeps the target snapshot row (the delete clause
+    // never sees u1); a full-log changelog apply drops u1.
+    val log = Seq(
+      ("u1", 1L, "error", 1L), ("u2", 2L, "view", 1L), // pre-cutoff
+      ("u2", 3L, "click", 5L)                          // post-cutoff
+    ).toDF("key", "id", "state", "ts")
+    def snap(df: org.apache.spark.sql.DataFrame) =
+      Merge.keepLatest(df, Seq(col("key")), col("ts"), col("id"))
+    val merged = Merge.mergeInto(
+        snap(log.where(col("ts") < 3)), snap(log.where(col("ts") >= 3)),
+        Seq("key"), deleteCond = col("state") === "error")
+      .collect().map(_.getString(0)).toSet
+    val fullLog = Merge.applyChangelog(log, Seq(col("key")),
+        col("ts"), col("id"), col("state"), "error")
+      .collect().map(_.getString(0)).toSet
+    assert(merged == Set("u1", "u2"), "MERGE keeps the pre-cutoff error-state row")
+    assert(fullLog == Set("u2"), "changelog apply drops the deleted key")
+  }
+
+  test("mergeInto driver key: merged snapshot differs from cdcApply exactly on pre-cutoff-error users") {
+    val merged = graft.operators.Etl.etlMergeInto(spark, sfDir)
+      .select("user_id").collect().map(_.getLong(0)).toSet
+    val cdc = graft.operators.Etl.cdcApply(spark, sfDir)
+      .select("user_id").collect().map(_.getLong(0)).toSet
+    // every user cdcApply keeps, MERGE keeps too (deletes in the batch
+    // are a superset-restriction of deletes over the log only for the
+    // final state; inclusion holds because a post-cutoff non-error
+    // latest row implies the same surviving row both ways)
+    assert(cdc.subsetOf(merged))
+    assert(merged.nonEmpty)
+  }
 }

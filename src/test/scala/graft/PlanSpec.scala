@@ -551,4 +551,45 @@ class PlanSpec extends SparkSpecBase {
     assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
     assert(!p.contains("BroadcastNestedLoopJoin"), s"BNLJ in:\n$p")
   }
+
+  test("merge into: one full-outer join on the keys, no exchange beyond the two snapshot windows") {
+    val df = Etl.etlMergeInto(spark, sfDir)
+    val p = plan(df)
+    assert(p.contains("FullOuter"), s"merge must resolve via a full-outer join:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    // each snapshot window shuffles once on user_id; the join keys are
+    // the same column, so the join must REUSE that partitioning — a
+    // third exchange would re-shuffle both snapshots for nothing
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 2,
+      s"merge join should ride the window exchanges:\n$p")
+  }
+
+  test("quality top-frac: no corpus-wide per-group rank; windows are histogram- and tie-cell-scoped") {
+    val df = Etl.sampleQualityTopFrac(spark, sfDir)
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct"))
+    // exactly two windows: the running count over the (group, score)
+    // histogram and the within-tie-cell ranking — the naive design's
+    // corpus-wide rank window over (group) alone must not appear on
+    // the row-level side (the row-level window partitions by BOTH)
+    val windows = "Window ".r.findAllIn(p).size
+    assert(windows == 2, s"expected 2 windows (verdict + tie cell), got $windows:\n$p")
+    assert("row_number().*windowspecdefinition\\(__g.*, __s".r.findAllIn(p).nonEmpty,
+      s"the row-level rank must partition by (group, score):\n$p")
+  }
+
+  test("kcore: report is a TakeOrdered over checkpointed peel state, not a global sort") {
+    val df = graft.operators.Graph.graphKcore(spark, sfDir)
+    val p = plan(df)
+    assert(p.contains("TakeOrderedAndProject"), s"top-K fell into a global sort:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
+  }
+
+  test("link predict: capped wedge join is an equi-join; existing edges cut by anti-join; top-K a TakeOrdered") {
+    val df = graft.operators.Graph.graphLinkPredict(spark, sfDir)
+    val p = plan(df)
+    assert(p.contains("LeftAnti"), s"adjacency cut must be an anti-join:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-K fell into a global sort:\n$p")
+  }
 }
