@@ -130,7 +130,11 @@ object ScaleCheck {
       .write.mode("overwrite").parquet(s"$dir/part.parquet")
 
     } // end main-table synthesis
-    if (!skipNonEmbedding) {
+    // the graph corpus only serves the graph tier: a filtered run
+    // without graph keys skips it (a 1000× main-table run would
+    // otherwise also write 600M graph lineitems nobody reads)
+    val wantsGraph = args.length <= 1 || args(1).split(",").exists(graphOnly)
+    if (!skipNonEmbedding && wantsGraph) {
     // graph corpus: same lineitem shape but the part-catalog DOMAIN
     // scales with mult (a 100× corpus has a 100× catalog) — with the
     // fuzzy/bloom corpus's FIXED 20k-part domain, 100× more order
@@ -297,6 +301,8 @@ object ScaleCheck {
       // graph corpus
       run("etl_merge_into", operators.Etl.etlMergeInto(spark, dir)),
       run("sample_quality_topfrac", operators.Etl.sampleQualityTopFrac(spark, dir)),
+      run("agg_distinct_intersect", operators.Sketches.aggDistinctIntersect(spark, dir)),
+      run("dedup_cluster_keep_best", operators.Dedup.clusterKeepBest(spark, dir)),
       run("graph_kcore", operators.Graph.graphKcore(spark, s"$dir/graph")),
       run("graph_link_predict", operators.Graph.graphLinkPredict(spark, s"$dir/graph")),
       run("salted_join_events", {

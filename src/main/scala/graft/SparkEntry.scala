@@ -79,6 +79,7 @@ object SparkEntry {
     "agg_approx_ndv"       -> (graft.operators.Sketches.aggApproxNdv(_, _)),
     "agg_sketch_union"     -> (graft.operators.Sketches.aggSketchUnion(_, _)),
     "agg_cms_union"        -> (graft.operators.Sketches.aggCmsUnion(_, _)),
+    "agg_distinct_intersect" -> (graft.operators.Sketches.aggDistinctIntersect(_, _)),
     "agg_hist_union"       -> ((s, d) => graft.operators.Quantiles.aggHistUnion(s, d)),
     "agg_heavy_hitters"    -> (graft.operators.Sketches.aggHeavyHitters(_, _)),
     "q_exact_quantiles"    -> (graft.operators.Quantiles.qExactQuantiles(_, _)),
@@ -98,6 +99,7 @@ object SparkEntry {
     "dedup_span_cut"         -> ((s, d) => graft.operators.SubstringSpans.spanCut(s, d)),
     "dedup_semantic"         -> ((s, d) => Dedup.semanticDedup(s, d)),
     "dedup_source_sim"       -> (Dedup.dedupSourceSim(_, _)),
+    "dedup_cluster_keep_best" -> (Dedup.clusterKeepBest(_, _)),
     "corpus_prep"            -> (graft.operators.CorpusPipeline.corpusPrep(_, _)),
     // §2.4 similarity
     "knn_bruteforce" -> ((s, d) => Similarity.knnBruteforce(s, d)),
@@ -221,6 +223,8 @@ object SparkEntry {
     "agg_approx_ndv"       -> graft.operators.Sketches.aggApproxNdvOracleSql,
     "agg_sketch_union"     -> graft.operators.Sketches.aggSketchUnionOracleSql,
     "agg_cms_union"        -> graft.operators.Sketches.aggCmsUnionOracleSql,
+    // MinHash-Jaccard x HLL-union composite intersection estimator
+    "agg_distinct_intersect" -> graft.operators.Sketches.aggDistinctIntersectOracleSql,
     "agg_hist_union"       -> graft.operators.Quantiles.aggHistUnionOracleSql,
     // the CMS replays bit-exactly: poly_hash64 byte fold + per-row
     // xxhash64 lanes with Scala-computed constant-lane seeds
@@ -235,6 +239,8 @@ object SparkEntry {
     // (HUGEINT mod-2^64 + UBIGINT bitwise; bands join on raw slices)
     "dedup_minhash_lsh"      -> Dedup.minhashLshOracleSql,
     "dedup_source_sim"       -> Dedup.dedupSourceSimOracleSql,
+    // the cluster closure re-rooted with quality argmax survivors
+    "dedup_cluster_keep_best" -> Dedup.clusterKeepBestOracleSql,
     "dedup_exact_normalized" -> Dedup.exactNormalizedOracleSql,
     "dedup_ngram_jaccard"    -> Dedup.ngramJaccardOracleSql,
     "dedup_simhash"          -> Dedup.simhashOracleSql,

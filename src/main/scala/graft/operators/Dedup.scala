@@ -1001,6 +1001,74 @@ reach AS (
 SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
 FROM reach GROUP BY a"""
 
+  /** Quality-aware cluster representatives (key
+    * `dedup_cluster_keep_best`): one row per near-dup cluster carrying
+    * the member with the HIGHEST quality score — the curation-grade
+    * survivor rule. [[dropNearDuplicates]]' min-id cut is the
+    * arbitrary-but-deterministic default; real corpus prep keeps the
+    * best-written copy of a duplicated page, not the one that happened
+    * to be crawled first (the near-dup stage of the published LLM
+    * pipelines scores survivors, it doesn't coin-flip them).
+    *
+    * `scored` carries (doc_id, score). Selection = argmax per cluster
+    * by (score DESC, doc_id ASC) — deterministic under score ties.
+    * The argmax window partitions by cluster_id: partitions are
+    * near-dup FAMILIES (bounded by the dedup contract itself — a
+    * cluster spanning a meaningful fraction of the corpus means the
+    * threshold, not the engine, is wrong), and the windowed frame is
+    * the clustered-members join, churn-sized, not corpus-sized. */
+  def clusterKeepBestOn(labels: DataFrame, scored: DataFrame): DataFrame = {
+    val members = labels.join(scored, "doc_id")
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("score").desc, col("doc_id"))
+    members
+      .withColumn("__rk", row_number().over(w))
+      .withColumn("cluster_size", count(lit(1)).over(
+        Window.partitionBy(col("cluster_id"))))
+      .filter(col("__rk") === 1)
+      .select(col("cluster_id"), col("doc_id").as("best_doc_id"),
+        col("score").as("quality_score"), col("cluster_size"))
+  }
+
+  /** Driver query: representatives of the ngram-Jaccard clusters by
+    * the [[TextAnalysis.qualityScore]] composite. */
+  def clusterKeepBest(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val (pairs, triHandle) = ngramJaccardWithHandle(docs)
+    val labels = try pairClusters(pairs) finally triHandle.unpersist()
+    clusterKeepBestOn(labels,
+      docs.select(col("doc_id"),
+        TextAnalysis.qualityScore(col("text")).as("score")))
+  }
+
+  /** Oracle: the [[clustersOracleSql]] closure chain re-rooted with
+    * the quality projection and a per-cluster argmax. */
+  val clusterKeepBestOracleSql: String =
+    s"""WITH RECURSIVE pairs AS (
+$ngramJaccardOracleSql),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION SELECT doc_b AS a, doc_a AS b FROM pairs),
+reach AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+labels AS (
+  SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
+  FROM reach GROUP BY a),
+q AS (
+  SELECT doc_id,
+  ${graft.operators.TextAnalysis.qualityScoreSqlExpr("text")} AS score
+  FROM documents),
+r AS (
+  SELECT l.cluster_id, l.doc_id, q.score,
+    ROW_NUMBER() OVER (
+      PARTITION BY l.cluster_id ORDER BY q.score DESC, l.doc_id) AS rk,
+    COUNT(*) OVER (PARTITION BY l.cluster_id) AS cluster_size
+  FROM labels l JOIN q ON q.doc_id = l.doc_id)
+SELECT cluster_id, doc_id AS best_doc_id, score AS quality_score, cluster_size
+FROM r WHERE rk = 1"""
+
   // --- incremental dedup against a durable content-hash index ---
 
   /** Survivors of `newDocs` against an already-seen hash set: drop

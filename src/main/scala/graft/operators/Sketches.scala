@@ -50,7 +50,8 @@ object Sketches {
     * stay one source of truth. `keyExpr` is a SQL expression over the
     * `events` table; `keyName` its output column alias; the result
     * CTE `est` exposes `(keyName, ndv_approx)`. */
-  private def hllReplayCtes(keyExpr: String, keyName: String): String = {
+  private def hllReplayCtes(keyExpr: String, keyName: String,
+                            whereSql: String = "TRUE"): String = {
     import graft.functions.SqlReplay._
     val m = 1 << P
     val rhoCap = 64 - P + 1
@@ -67,7 +68,7 @@ object Sketches {
     val w = mulmod("h", u(1L << P))
     s"""h0 AS (
        |  SELECT $keyExpr AS $keyName, CAST('$init' AS UBIGINT) AS h,
-       |    CAST(user_id AS UBIGINT) AS l FROM events),
+       |    CAST(user_id AS UBIGINT) AS l FROM events WHERE $whereSql),
        |h1 AS (SELECT $keyName, h, ${mulmod("l", p2)} AS k1 FROM h0),
        |h2 AS (SELECT $keyName, h, ${rotl("k1", 31)} AS k1 FROM h1),
        |h3 AS (SELECT $keyName, h, ${mulmod("k1", p1)} AS k1 FROM h2),
@@ -118,6 +119,134 @@ object Sketches {
        |  round(abs(e.ndv_approx - CAST(x.ndv_exact AS DOUBLE))
        |        / CAST(x.ndv_exact AS DOUBLE) * 100.0, 4) AS err_pct
        |FROM exact x JOIN est e ON x.event_type = e.event_type""".stripMargin
+
+  /** Segments for [[aggDistinctIntersect]]. */
+  val InterTypeA = "click"
+  val InterTypeB = "purchase"
+
+  /** Key `agg_distinct_intersect`: sketch-estimated distinct-key
+    * INTERSECTION between two segments ("how many users both clicked
+    * and purchased") — the set-algebra query HLL alone cannot answer:
+    * register-max union is lossless, but HLL carries no intersection
+    * operator (inclusion–exclusion on two ±1.04/√m estimates has
+    * unbounded relative error when the overlap is small — the reason
+    * the theta/KMV sketch family exists). The standard composite
+    * estimator instead multiplies a MinHash Jaccard estimate by an
+    * HLL union estimate:
+    *
+    *   |A∩B| ≈ Ĵ(A,B) · |Â∪B|,  Ĵ = matching lanes / K
+    *
+    * BOTH inputs are the suite's existing mergeable artifacts — the
+    * K=128-lane MinHash signature (elementwise-min merge,
+    * `dedup_source_sim`'s per-source form) and the HLL register
+    * buffer (elementwise-max merge) — so per-day/per-shard summaries
+    * roll up into an intersection estimate without rescanning raw
+    * rows, completing the sketch tier's algebra: union (HLL/CMS/
+    * histogram/MinHash) AND intersection (MinHash×HLL).
+    *
+    * Scale shape: two one-pass aggregates over the filtered scan
+    * (signatures + union HLL, both fixed-size state), the exact
+    * measuring-stick columns from one user-keyed distinct, and a
+    * 1-row assembly of broadcast singletons. The exact columns are
+    * what a 100 TB run deletes; the estimates are what it keeps.
+    *
+    * Determinism: lane mins and registers are exact integers; the
+    * estimate is one double multiply of two replayable doubles. */
+  def aggDistinctIntersect(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .where(col("event_type").isin(InterTypeA, InterTypeB))
+    val sides = ev.groupBy(col("event_type")).agg(
+      call_function("minhash_sketch", col("user_id").cast("string")).as("sig"),
+      countDistinct(col("user_id")).as("ndv"))
+    val sa = sides.where(col("event_type") === InterTypeA)
+      .select(col("sig").as("sig_a"), col("ndv").as("n_a_exact"))
+    val sb = sides.where(col("event_type") === InterTypeB)
+      .select(col("sig").as("sig_b"), col("ndv").as("n_b_exact"))
+    val unionEst = ev.agg(
+      call_function("hll_ndv", xxhash64(col("user_id")), lit(P)).as("est_union"))
+    // exact intersection: one user-keyed two-flag aggregate
+    val interExact = ev.groupBy(col("user_id")).agg(
+        max(when(col("event_type") === InterTypeA, 1).otherwise(0)).as("ia"),
+        max(when(col("event_type") === InterTypeB, 1).otherwise(0)).as("ib"))
+      .agg(sum(col("ia") * col("ib")).as("inter_exact"))
+    val k = graft.functions.MinHashFamily.K
+    // all four frames are 1-row by construction — broadcast assembly
+    sa.crossJoin(broadcast(sb))
+      .crossJoin(broadcast(interExact))
+      .crossJoin(broadcast(unionEst))
+      .withColumn("matching_lanes",
+        expr("size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v))")
+          .cast("int"))
+      .select(
+        col("n_a_exact"), col("n_b_exact"), col("inter_exact"),
+        col("est_union"), col("matching_lanes"),
+        (col("matching_lanes").cast("double") / k).as("est_jaccard"),
+        ((col("matching_lanes").cast("double") / k) * col("est_union"))
+          .as("est_intersection"))
+  }
+
+  /** Oracle: the MinHash lane replay (the dedup_source_sim chain with
+    * the segment as the set key and `CAST(user_id AS VARCHAR)` as the
+    * element) joined with the shared HLL replay filtered to the two
+    * segments, plus the exact two-flag intersection. */
+  val aggDistinctIntersectOracleSql: String = {
+    import graft.functions.SqlReplay._
+    import graft.functions.MinHashFamily
+    val permRows = (0 until MinHashFamily.K).map { i =>
+      s"($i, CAST('${u(MinHashFamily.multipliers(i))}' AS HUGEINT), " +
+        s"CAST('${u(MinHashFamily.offsets(i))}' AS HUGEINT))"
+    }.mkString(",\n  ")
+    val two64 = Two64
+    val inTypes = s"('$InterTypeA', '$InterTypeB')"
+    s"""WITH ${hllReplayCtes("'u'", "hk", s"event_type IN $inTypes")},
+       |el AS (
+       |  SELECT DISTINCT event_type AS side, CAST(user_id AS VARCHAR) AS gram
+       |  FROM events WHERE event_type IN $inTypes
+       |), gh AS (
+       |  SELECT side, hex(encode(gram)) AS hx,
+       |    octet_length(encode(gram)) AS n FROM el
+       |), sph AS (
+       |  SELECT DISTINCT side, ${polyFold(hexBytes("hx", "n"))} AS p FROM gh
+       |), sm1 AS (SELECT side, p, xor(p, p >> 30) AS z FROM sph
+       |), sm2 AS (SELECT side, p, ${mulmod("z", MixC1)} AS z FROM sm1
+       |), sm3 AS (SELECT side, p, xor(z, z >> 27) AS z FROM sm2
+       |), sm4 AS (SELECT side, p, ${mulmod("z", MixC2)} AS z FROM sm3
+       |), smx AS (SELECT side, p, xor(z, z >> 31) AS x FROM sm4
+       |), sxs AS (
+       |  SELECT side, p, CAST(x % 4294967296 AS HUGEINT) AS xlo,
+       |                  CAST(x >> 32 AS HUGEINT) AS xhi
+       |  FROM smx
+       |), perms(i, a, b) AS (VALUES
+       |  $permRows
+       |), pv AS (
+       |  SELECT side, i,
+       |    min(CAST(((xlo * a) % $two64 + ((xhi * a) % 4294967296) * 4294967296 + b)
+       |        % $two64 AS UBIGINT)) AS mn
+       |  FROM sxs CROSS JOIN perms
+       |  GROUP BY side, i
+       |), lanes AS (
+       |  SELECT SUM(CASE WHEN x.mn = y.mn THEN 1 ELSE 0 END) AS matching_lanes
+       |  FROM pv x JOIN pv y ON x.i = y.i
+       |  WHERE x.side = '$InterTypeA' AND y.side = '$InterTypeB'
+       |), flags AS (
+       |  SELECT user_id,
+       |    MAX(CASE WHEN event_type = '$InterTypeA' THEN 1 ELSE 0 END) AS ia,
+       |    MAX(CASE WHEN event_type = '$InterTypeB' THEN 1 ELSE 0 END) AS ib
+       |  FROM events WHERE event_type IN $inTypes GROUP BY 1
+       |), exact AS (
+       |  SELECT CAST(SUM(ia) AS BIGINT) AS n_a_exact,
+       |    CAST(SUM(ib) AS BIGINT) AS n_b_exact,
+       |    CAST(SUM(ia * ib) AS BIGINT) AS inter_exact
+       |  FROM flags
+       |)
+       |SELECT x.n_a_exact, x.n_b_exact, x.inter_exact,
+       |  e.ndv_approx AS est_union,
+       |  CAST(l.matching_lanes AS INTEGER) AS matching_lanes,
+       |  CAST(l.matching_lanes AS DOUBLE) / ${MinHashFamily.K} AS est_jaccard,
+       |  (CAST(l.matching_lanes AS DOUBLE) / ${MinHashFamily.K}) * e.ndv_approx
+       |    AS est_intersection
+       |FROM exact x CROSS JOIN lanes l CROSS JOIN est e""".stripMargin
+  }
 
   /** Mergeable-summary roll-up (key `agg_sketch_union`): build ONE
     * HLL sketch per (event_type, day) — the pre-aggregation a 100 TB

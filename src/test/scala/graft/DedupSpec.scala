@@ -85,6 +85,46 @@ class DedupSpec extends SparkSpecBase {
     pairs.foreach(r => assert(r.getInt(2) <= Dedup.MaxHamming))
   }
 
+  test("cluster keep-best: per-cluster argmax by (score desc, id asc); unclustered docs absent") {
+    import spark.implicits._
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L))
+      .toDF("doc_id", "cluster_id")
+    // cluster 1: doc 2 wins on score; cluster 10: score tie -> doc 10
+    val scored = Seq((1L, 0.3), (2L, 0.9), (3L, 0.5),
+      (10L, 0.7), (11L, 0.7), (99L, 1.0)).toDF("doc_id", "score")
+    val got = graft.operators.Dedup.clusterKeepBestOn(labels, scored).collect()
+      .map(r => r.getAs[Long]("cluster_id") ->
+        (r.getAs[Long]("best_doc_id"), r.getAs[Double]("quality_score"),
+         r.getAs[Long]("cluster_size"))).toMap
+    assert(got == Map(1L -> (2L, 0.9, 3L), 10L -> (10L, 0.7, 2L)))
+  }
+
+  test("cluster keep-best driver key: representative maximizes quality within its own cluster") {
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    val scored = docs.select(col("doc_id"),
+      graft.operators.TextAnalysis.qualityScore(col("text")).as("score"))
+    val reps = graft.operators.Dedup.clusterKeepBest(spark, sfDir).collect()
+    assert(reps.nonEmpty)
+    val labels = {
+      val (pairs, h) = graft.operators.Dedup.ngramJaccardWithHandle(docs)
+      try graft.operators.Dedup.pairClusters(pairs).collect()
+        .map(r => r.getLong(0) -> r.getLong(1))
+      finally h.unpersist()
+    }
+    val scores = scored.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val byCluster = labels.groupBy(_._2)
+    reps.foreach { r =>
+      val cid = r.getAs[Long]("cluster_id")
+      val members = byCluster(cid).map(_._1)
+      assert(members.size.toLong == r.getAs[Long]("cluster_size"))
+      val best = r.getAs[Long]("best_doc_id")
+      assert(members.contains(best))
+      assert(members.forall(m => scores(m) < scores(best) ||
+        (scores(m) == scores(best) && m >= best)),
+        s"cluster $cid representative $best is not the quality argmax")
+    }
+  }
+
   test("pair clusters: connected components resolve to min-id survivors") {
     import spark.implicits._
     // components: {1,2,3,4} (chain), {10,11}, singleton pairs absent

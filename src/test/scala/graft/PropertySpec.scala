@@ -280,4 +280,84 @@ class PropertySpec extends SparkSpecBase {
       assert(got == expect, s"trial $trial: $got != $expect")
     }
   }
+
+  test("mergeInto: agrees with the naive per-key clause resolution on random snapshots") {
+    import spark.implicits._
+    (1 to 6).foreach { trial =>
+      // ~60% key overlap, ~25% of source rows tombstones
+      val tKeys = (1 to 15).map(_ => rnd.nextInt(20)).distinct
+      val sKeys = (1 to 15).map(_ => rnd.nextInt(20)).distinct
+      val t = tKeys.map(k => (k.toLong, s"t$k", rnd.nextInt(100).toLong))
+      val s = sKeys.map(k => (k.toLong,
+        if (rnd.nextInt(4) == 0) "DEL" else s"s$k", rnd.nextInt(100).toLong))
+      val expect = {
+        val tm = t.map(r => r._1 -> r).toMap
+        val sm = s.map(r => r._1 -> r).toMap
+        (tm.keySet ++ sm.keySet).flatMap { k =>
+          (tm.get(k), sm.get(k)) match {
+            case (_, Some(sr)) if sr._2 == "DEL" => None // matched-delete / tombstone no-op
+            case (_, Some(sr))                   => Some(sr)
+            case (Some(tr), None)                => Some(tr)
+            case (None, None)                    => None
+          }
+        }
+      }
+      val got = graft.operators.Merge.mergeInto(
+          t.toDF("key", "state", "ver"), s.toDF("key", "state", "ver"),
+          Seq("key"), deleteCond = col("state") === "DEL")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      assert(got == expect, s"trial $trial")
+    }
+  }
+
+  test("quality top-frac: agrees with the naive sort-and-take per group on random scores") {
+    import spark.implicits._
+    (1 to 5).foreach { trial =>
+      val pct = 10 + rnd.nextInt(80)
+      // coarse score grid forces threshold ties — the hard case
+      val rows = (1L to (20 + rnd.nextInt(60)).toLong).map(i =>
+        (s"g${rnd.nextInt(3)}", i, rnd.nextInt(5).toDouble / 4.0))
+      val expect = rows.groupBy(_._1).flatMap { case (_, g) =>
+        val quota = ((g.size * pct + 99) / 100).toInt
+        g.sortBy(r => (-r._3, r._2)).take(quota)
+      }.map(_._2).toSet
+      val got = graft.operators.Etl.sampleQualityTopFracOn(
+          rows.toDF("src", "id", "score"),
+          col("src"), col("score"), col("id"), pct)
+        .collect().map(_.getAs[Long]("id")).toSet
+      assert(got == expect, s"trial $trial pct=$pct")
+    }
+  }
+
+  test("kcore: agrees with brute-force peeling on random graphs") {
+    import spark.implicits._
+    (1 to 4).foreach { trial =>
+      val k = 2 + rnd.nextInt(2)
+      val edges = (1 to 40).map(_ => (rnd.nextInt(15).toLong, rnd.nextInt(15).toLong))
+        .filter { case (u, v) => u != v }
+        .map { case (u, v) => (math.min(u, v), math.max(u, v)) }
+        .distinct
+      // brute force: peel until stable
+      var adj = scala.collection.mutable.Map[Long, Set[Long]]()
+      edges.foreach { case (u, v) =>
+        adj(u) = adj.getOrElse(u, Set.empty) + v
+        adj(v) = adj.getOrElse(v, Set.empty) + u
+      }
+      var changed = true
+      while (changed) {
+        val doomed = adj.collect { case (n, s) if s.size < k => n }.toSet
+        changed = doomed.nonEmpty
+        doomed.foreach { n =>
+          adj.remove(n)
+          adj.keys.foreach(m => adj(m) = adj(m) - n)
+        }
+      }
+      val expect = adj.map { case (n, s) => n -> s.size.toLong }.toMap
+      val got = graft.operators.Graph.kcoreOn(edges.toDF("u", "v"), k = k,
+          topK = 100)
+        .collect().map(r => r.getAs[Long]("p_partkey") -> r.getAs[Long]("core_deg"))
+        .toMap
+      assert(got == expect, s"trial $trial k=$k")
+    }
+  }
 }

@@ -132,6 +132,29 @@ class ScaleOpsSpec extends SparkSpecBase {
       assert(v == direct(t), s"roll-up diverged from direct pass for $t") }
   }
 
+  test("distinct intersect: composite estimator consistent and within sketch error bounds") {
+    val r = Sketches.aggDistinctIntersect(spark, sfDir).head()
+    val (na, nb, inter) = (r.getAs[Long]("n_a_exact"),
+      r.getAs[Long]("n_b_exact"), r.getAs[Long]("inter_exact"))
+    val unionExact = na + nb - inter
+    val k = graft.functions.MinHashFamily.K
+    val lanes = r.getAs[Int]("matching_lanes")
+    assert(lanes >= 0 && lanes <= k)
+    // internal identities: the reported estimates are exactly the
+    // composite of the reported parts
+    assert(r.getAs[Double]("est_jaccard") == lanes.toDouble / k)
+    assert(r.getAs[Double]("est_intersection") ==
+      r.getAs[Double]("est_jaccard") * r.getAs[Double]("est_union"))
+    // HLL union: ~1.04/sqrt(256) = 6.5% stderr; allow 4 sigma
+    val unionErr = math.abs(r.getAs[Double]("est_union") - unionExact) / unionExact
+    assert(unionErr < 0.26, s"union estimate off by ${unionErr * 100}%")
+    // MinHash Jaccard: stderr sqrt(J(1-J)/K); allow 4 sigma + grain 1/K
+    val trueJ = inter.toDouble / unionExact
+    val jErr = math.abs(r.getAs[Double]("est_jaccard") - trueJ)
+    assert(jErr < 4.0 * math.sqrt(trueJ * (1 - trueJ) / k) + 1.0 / k,
+      s"jaccard estimate $jErr off true $trueJ")
+  }
+
   test("hll_ndv eval matches the companion estimator on hand-built registers") {
     // a tiny known register set: bucket 0 -> rho 3, bucket 1 -> rho 1
     val regs = new Array[Byte](256)
