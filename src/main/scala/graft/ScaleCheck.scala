@@ -44,7 +44,18 @@ object ScaleCheck {
       "graph_edge_jaccard", "graph_components", "graph_kcore",
       "graph_link_predict")
     val skipNonGraph = args.length > 1 && args(1).split(",").forall(graphOnly)
-    if (!skipNonEmbedding && !skipNonGraph) {
+    // ops that synthesize their own substrate inline (spark.range) —
+    // a run of only these writes no corpus at all
+    val selfSynth = Set("cluster_keep_best_core")
+    val allSelfSynth = args.length > 1 && args(1).split(",").forall(selfSynth)
+    // ops that read ONLY the events table — a filtered run of these
+    // skips the (10× larger) lineitem/documents/part writes, which
+    // otherwise dominate a 1000× measurement session
+    val eventsOnly = Set("agg_distinct_intersect", "agg_approx_ndv",
+      "agg_sketch_union")
+    val allEventsOnly = args.length > 1 &&
+      args(1).split(",").forall(k => eventsOnly(k) || selfSynth(k))
+    if (!skipNonEmbedding && !skipNonGraph && !allSelfSynth) {
     // same columns/value shapes as the driver's events table
     spark.range(n).select(
       col("id").as("event_id"),
@@ -56,6 +67,7 @@ object ScaleCheck {
       concat(lit("{\"k\": "), pmod(xxhash64(col("id"), lit(3)), lit(100L)), lit("}")).as("props"))
       .write.mode("overwrite").parquet(s"$dir/events.parquet")
 
+    if (!allEventsOnly) {
     // orders (as-of join right side): 100× sf0.1's 150k rows, custkey
     // domain matching the events user_id domain, day-granular dates
     spark.range(150000L * mult).select(
@@ -128,12 +140,13 @@ object ScaleCheck {
       (pmod(xxhash64(col("id"), lit(34)), lit(200000L)).cast("double") / 100.0)
         .as("p_retailprice"))
       .write.mode("overwrite").parquet(s"$dir/part.parquet")
+    } // end non-events main tables
 
     } // end main-table synthesis
     // the graph corpus only serves the graph tier: a filtered run
     // without graph keys skips it (a 1000× main-table run would
     // otherwise also write 600M graph lineitems nobody reads)
-    val wantsGraph = args.length <= 1 || args(1).split(",").exists(graphOnly)
+    val wantsGraph = (args.length <= 1 || args(1).split(",").exists(graphOnly)) && !allSelfSynth
     if (!skipNonEmbedding && wantsGraph) {
     // graph corpus: same lineitem shape but the part-catalog DOMAIN
     // scales with mult (a 100× corpus has a 100× catalog) — with the
@@ -157,7 +170,7 @@ object ScaleCheck {
       .write.mode("overwrite").parquet(s"$dir/graph/lineitem.parquet")
     } // end !skipNonEmbedding
 
-    if (!skipNonGraph) {
+    if (!skipNonGraph && !allSelfSynth) {
     // embeddings (semantic tier): 100× sf0.1's 2k vectors, 64-dim,
     // clustered around 32 seeded centers (the shape the IVF quantizer
     // exists for) — deterministic hash-noise, no rand()
@@ -302,7 +315,30 @@ object ScaleCheck {
       run("etl_merge_into", operators.Etl.etlMergeInto(spark, dir)),
       run("sample_quality_topfrac", operators.Etl.sampleQualityTopFrac(spark, dir)),
       run("agg_distinct_intersect", operators.Sketches.aggDistinctIntersect(spark, dir)),
-      run("dedup_cluster_keep_best", operators.Dedup.clusterKeepBest(spark, dir)),
+      // dedup_cluster_keep_best is deliberately NOT in this harness:
+      // its own work (members join + family-sized argmax) is
+      // churn-proportional, but its substrate — trigram-Jaccard pairs —
+      // degenerates on THIS corpus's 40-word synthetic vocabulary
+      // (every doc shares most trigrams, so document frequencies are
+      // corpus-sized and the AllPairs prefix filter keeps ~all pairs:
+      // a 100× attempt filled 70+ GB of shuffle by construction, not
+      // by operator flaw). Real shingle entropy bounds the candidates;
+      // the measured scale rows for the pair substrate are the
+      // minhash/substring tiers'. Recorded in BASELINE.md.
+      // The operator's OWN plan is measured substrate-free instead:
+      // synthetic (doc_id, cluster_id) labels in 5-member families +
+      // hash-derived scores — exactly the members-join + family-argmax
+      // the key adds on top of the (already-measured) pair machinery.
+      run("cluster_keep_best_core", {
+        val nDocs = 100000L * mult
+        val labels = spark.range(nDocs).select(
+          col("id").as("doc_id"), expr("id div 5").as("cluster_id"))
+        val scored = spark.range(nDocs).select(
+          col("id").as("doc_id"),
+          (pmod(xxhash64(col("id"), lit(40)), lit(1000L)).cast("double") / 1000.0)
+            .as("score"))
+        operators.Dedup.clusterKeepBestOn(labels, scored)
+      }),
       run("graph_kcore", operators.Graph.graphKcore(spark, s"$dir/graph")),
       run("graph_link_predict", operators.Graph.graphLinkPredict(spark, s"$dir/graph")),
       run("salted_join_events", {
