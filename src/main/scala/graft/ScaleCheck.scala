@@ -46,7 +46,7 @@ object ScaleCheck {
     val skipNonGraph = args.length > 1 && args(1).split(",").forall(graphOnly)
     // ops that synthesize their own substrate inline (spark.range) —
     // a run of only these writes no corpus at all
-    val selfSynth = Set("cluster_keep_best_core")
+    val selfSynth = Set("cluster_keep_best_core", "cluster_holdout_core")
     val allSelfSynth = args.length > 1 && args(1).split(",").forall(selfSynth)
     // ops that read ONLY the events table — a filtered run of these
     // skips the (10× larger) lineitem/documents/part writes, which
@@ -338,6 +338,20 @@ object ScaleCheck {
           (pmod(xxhash64(col("id"), lit(40)), lit(1000L)).cast("double") / 1000.0)
             .as("score"))
         operators.Dedup.clusterKeepBestOn(labels, scored)
+      }),
+      // same substrate story as cluster_keep_best_core: the holdout
+      // key's OWN increment over the pair machinery is one labels
+      // left-join + a scan-bound hash projection, measured here on
+      // synthetic labels (60% of docs in 5-member families)
+      run("cluster_holdout_core", {
+        val nDocs = 100000L * mult
+        val labels = spark.range(nDocs)
+          .where(pmod(col("id"), lit(5L)) < 3)
+          .select(col("id").as("doc_id"),
+            (col("id") - pmod(col("id"), lit(5L))).as("cluster_id"))
+        val docs = spark.range(nDocs).select(col("id").as("doc_id"),
+          concat(lit("src"), pmod(col("id"), lit(20L))).as("source"))
+        operators.Dedup.clusterHoldoutOn(docs, labels)
       }),
       run("graph_kcore", operators.Graph.graphKcore(spark, s"$dir/graph")),
       run("graph_link_predict", operators.Graph.graphLinkPredict(spark, s"$dir/graph")),

@@ -100,6 +100,7 @@ object SparkEntry {
     "dedup_semantic"         -> ((s, d) => Dedup.semanticDedup(s, d)),
     "dedup_source_sim"       -> (Dedup.dedupSourceSim(_, _)),
     "dedup_cluster_keep_best" -> (Dedup.clusterKeepBest(_, _)),
+    "sample_cluster_holdout"  -> (Dedup.sampleClusterHoldout(_, _)),
     "corpus_prep"            -> (graft.operators.CorpusPipeline.corpusPrep(_, _)),
     // §2.4 similarity
     "knn_bruteforce" -> ((s, d) => Similarity.knnBruteforce(s, d)),
@@ -241,6 +242,8 @@ object SparkEntry {
     "dedup_source_sim"       -> Dedup.dedupSourceSimOracleSql,
     // the cluster closure re-rooted with quality argmax survivors
     "dedup_cluster_keep_best" -> Dedup.clusterKeepBestOracleSql,
+    // the closure re-rooted with the family-keyed holdout draw
+    "sample_cluster_holdout"  -> Dedup.sampleClusterHoldoutOracleSql,
     "dedup_exact_normalized" -> Dedup.exactNormalizedOracleSql,
     "dedup_ngram_jaccard"    -> Dedup.ngramJaccardOracleSql,
     "dedup_simhash"          -> Dedup.simhashOracleSql,

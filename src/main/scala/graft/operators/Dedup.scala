@@ -1069,6 +1069,73 @@ r AS (
 SELECT cluster_id, doc_id AS best_doc_id, score AS quality_score, cluster_size
 FROM r WHERE rk = 1"""
 
+  /** Leakage-free holdout split (key `sample_cluster_holdout`): the
+    * train/val/test assignment keyed on the near-dup CLUSTER rather
+    * than the document. [[Etl.sampleHoldoutSplitOn]] hashes each
+    * doc_id independently, so two near-duplicate documents can land
+    * on opposite sides of the train/test fence — and a model then
+    * "generalizes" to a test doc it effectively trained on (the
+    * split-leakage failure the published dedup pipelines exist to
+    * prevent: near-dup test contamination survives plain per-doc
+    * splitting BY CONSTRUCTION). Here every member of a near-dup
+    * family inherits the family root's draw — `split_key =
+    * coalesce(cluster_id, doc_id)` — so no verified near-dup pair can
+    * ever straddle a fence (spec-asserted), singletons degrade to
+    * exactly the per-doc assignment, and the stability contract of
+    * the per-doc split carries over (corpus growth never migrates an
+    * existing CLUSTER across a fence; a new member joining a family
+    * adopts the family's existing side).
+    *
+    * Plan shape: the cluster labels are the already-audited
+    * [[pairClusters]] output (churn-sized — only docs in ≥1 pair);
+    * the split itself adds ONE left join on doc_id plus a scan-bound
+    * hash projection, nothing corpus-quadratic. At 100 TB the labels
+    * frame is the small side of the join (near-dup families are a
+    * fraction of the corpus) and broadcasts under AQE. */
+  def clusterHoldoutOn(docs: DataFrame, labels: DataFrame): DataFrame = {
+    val rooted = docs.select(col("doc_id"), col("source"))
+      .join(labels, Seq("doc_id"), "left")
+      .withColumn("split_key", coalesce(col("cluster_id"), col("doc_id")))
+    Etl.sampleHoldoutSplitOn(rooted, col("split_key"))
+      .select("doc_id", "source", "split_key", "split_bucket", "split")
+  }
+
+  /** Driver query: cluster-aware split over the ngram-Jaccard
+    * near-dup families. */
+  def sampleClusterHoldout(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val (pairs, triHandle) = ngramJaccardWithHandle(docs)
+    val labels = try pairClusters(pairs) finally triHandle.unpersist()
+    clusterHoldoutOn(docs, labels)
+  }
+
+  /** Oracle: the [[clustersOracleSql]] closure chain re-rooted with
+    * the per-doc split math of [[Etl.sampleHoldoutSplitOracleSql]]
+    * applied to the family key. */
+  val sampleClusterHoldoutOracleSql: String =
+    s"""WITH RECURSIVE pairs AS (
+$ngramJaccardOracleSql),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION SELECT doc_b AS a, doc_a AS b FROM pairs),
+reach AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+labels AS (
+  SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
+  FROM reach GROUP BY a),
+k AS (
+  SELECT d.doc_id, d.source, COALESCE(l.cluster_id, d.doc_id) AS split_key
+  FROM documents d LEFT JOIN labels l ON l.doc_id = d.doc_id)
+SELECT doc_id, source, split_key,
+  CAST(CAST(('0x' || substr(md5(CAST(split_key AS VARCHAR)), 1, 8)) AS UBIGINT) % 1000 AS BIGINT)
+    AS split_bucket,
+  CASE WHEN CAST(('0x' || substr(md5(CAST(split_key AS VARCHAR)), 1, 8)) AS UBIGINT) % 1000 < ${Etl.TrainPermille} THEN 'train'
+       WHEN CAST(('0x' || substr(md5(CAST(split_key AS VARCHAR)), 1, 8)) AS UBIGINT) % 1000 < ${Etl.ValPermille} THEN 'val'
+       ELSE 'test' END AS split
+FROM k"""
+
   // --- incremental dedup against a durable content-hash index ---
 
   /** Survivors of `newDocs` against an already-seen hash set: drop

@@ -125,6 +125,46 @@ class DedupSpec extends SparkSpecBase {
     }
   }
 
+  test("cluster holdout: members inherit the family root's draw; singletons equal the per-doc split") {
+    import spark.implicits._
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L))
+      .toDF("doc_id", "cluster_id")
+    val docs = Seq(1L, 2L, 3L, 10L, 11L, 50L, 51L)
+      .map(i => (i, s"src${i % 3}")).toDF("doc_id", "source")
+    val got = graft.operators.Dedup.clusterHoldoutOn(docs, labels).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("split_key"), r.getAs[String]("split"))).toMap
+    assert(got.size == 7)
+    // family members share the root key (and therefore the split)
+    assert(Seq(1L, 2L, 3L).map(got(_)._1).distinct == Seq(1L))
+    assert(Seq(10L, 11L).map(got(_)._1).distinct == Seq(10L))
+    assert(Seq(1L, 2L, 3L).map(got(_)._2).distinct.size == 1)
+    assert(Seq(10L, 11L).map(got(_)._2).distinct.size == 1)
+    // singletons key on their own id — exactly the per-doc assignment
+    val plain = graft.operators.Etl
+      .sampleHoldoutSplitOn(docs, col("doc_id")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    assert(got(50L)._1 == 50L && got(50L)._2 == plain(50L))
+    assert(got(51L)._1 == 51L && got(51L)._2 == plain(51L))
+  }
+
+  test("cluster holdout driver key: no verified near-dup pair straddles a split fence") {
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    val split = graft.operators.Dedup.sampleClusterHoldout(spark, sfDir)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("split_key"), r.getAs[String]("split"))).toMap
+    assert(split.size.toLong == docs.count())
+    val (pairs, h) = graft.operators.Dedup.ngramJaccardWithHandle(docs)
+    val pairRows = try pairs.collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+      finally h.unpersist()
+    assert(pairRows.nonEmpty, "fixture must exercise the leakage guard")
+    pairRows.foreach { case (a, b) =>
+      assert(split(a)._2 == split(b)._2,
+        s"near-dup pair ($a, $b) straddles the ${split(a)._2}/${split(b)._2} fence")
+    }
+  }
+
   test("pair clusters: connected components resolve to min-id survivors") {
     import spark.implicits._
     // components: {1,2,3,4} (chain), {10,11}, singleton pairs absent
