@@ -271,6 +271,22 @@ class PlanSpec extends SparkSpecBase {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("cluster holdout: split stage is join+projection only — no shuffle, labels broadcast") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val labels = Seq((1L, 1L), (2L, 1L), (7L, 7L)).toDF("doc_id", "cluster_id")
+    val docs = spark.range(1000).select(col("id").as("doc_id"),
+      concat(lit("src"), pmod(col("id"), lit(5L))).as("source"))
+    val fp = finalPlan(Dedup.clusterHoldoutOn(docs, labels))
+    // the leakage-free split must stay scan-bound on top of the
+    // (separately audited) cluster closure: one broadcast join, zero
+    // shuffle exchanges, no product
+    assert(!fp.contains("Exchange hashpartitioning"),
+      s"cluster holdout introduced a shuffle — must be scan-bound:\n$fp")
+    assert(fp.contains("BroadcastHashJoin"), s"labels side not broadcast:\n$fp")
+    assert(!fp.contains("CartesianProduct"))
+  }
+
   test("interval join: binned equi-join on bin, overlap as filter, no cartesian") {
     val df = graft.operators.RangeJoin.qIntervalJoin(spark, sfDir)
     val p = plan(df)
