@@ -106,6 +106,7 @@ object SparkEntry {
     "knn_bruteforce" -> ((s, d) => Similarity.knnBruteforce(s, d)),
     "knn_lsh"        -> ((s, d) => Similarity.knnLsh(s, d)),
     "knn_ivf"        -> ((s, d) => Similarity.knnIvf(s, d)),
+    "knn_graph"      -> ((s, d) => Similarity.knnGraph(s, d)),
     "knn_pq"         -> ((s, d) => graft.operators.Pq.knnPq(s, d)),
     "knn_ivf_pq"     -> ((s, d) => graft.operators.Pq.knnIvfPq(s, d)),
     "sample_kcenter" -> ((s, d) => Similarity.sampleKCenter(s, d)),
@@ -266,6 +267,7 @@ object SparkEntry {
     "knn_bruteforce" -> Similarity.knnBruteforceOracleSql,
     "knn_lsh"        -> Similarity.knnLshOracleSql,
     "knn_ivf"        -> Similarity.knnIvfOracleSql,
+    "knn_graph"      -> Similarity.knnGraphOracleSql,
     "knn_pq"         -> graft.operators.Pq.knnPqOracleSql,
     "knn_ivf_pq"     -> graft.operators.Pq.knnIvfPqOracleSql,
     "sample_kcenter" -> Similarity.sampleKCenterOracleSql,

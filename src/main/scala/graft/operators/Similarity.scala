@@ -49,28 +49,9 @@ object Similarity {
     knnBruteforceOn(Tables.embeddings(spark, dir), k)
 
   def knnBruteforceOn(vectors: DataFrame, k: Int = K): DataFrame = {
-    val spark = vectors.sparkSession
-    import spark.implicits._
-    // worst-first ordering: max under this = lowest cosine, then
-    // largest vec_id — the element a better candidate evicts.
-    val worstFirst: Ordering[(Long, Long, Double)] =
-      Ordering.by(t => (-t._3, t._2))
-    val pruned = scoredFrame(vectors).as[(Long, Long, Double)]
-      .mapPartitions { it =>
-        val heaps = scala.collection.mutable.Map
-          .empty[Long, scala.collection.mutable.PriorityQueue[(Long, Long, Double)]]
-        it.foreach { s =>
-          val h = heaps.getOrElseUpdate(s._1,
-            new scala.collection.mutable.PriorityQueue[(Long, Long, Double)]()(worstFirst))
-          if (h.size < k) h.enqueue(s)
-          else if (worstFirst.compare(s, h.head) < 0) { h.dequeue(); h.enqueue(s) }
-        }
-        heaps.valuesIterator.flatMap(_.iterator)
-      }
-      .toDF("query_id", "vec_id", "cosine")
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("vec_id"))
-    pruned
+    partitionTopK(scoredFrame(vectors), k)
       .withColumn("rank", row_number().over(w).cast("int"))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"), col("cosine"))
@@ -436,6 +417,167 @@ object Similarity {
        |  FROM idx i JOIN probes p ON i.cell = p.cell
        |  WHERE i.vec_id != p.query_id) t
        |WHERE rk <= $K""".stripMargin
+
+  /** Neighbors per node in the kNN GRAPH (key `knn_graph`). Smaller
+    * than the query-set K: the graph's purpose is downstream
+    * clustering/connectivity, where 5 edges per node is the usual
+    * operating point and output is k·n rows — corpus-sized, so k is a
+    * storage multiplier, not a report size. */
+  val GraphK = 5
+
+  /** kNN GRAPH construction (key `knn_graph`): the IVF-accelerated
+    * k-nearest-neighbor SELF-join — every corpus vector is a query,
+    * and the output is the k best cosine neighbors of each. This is
+    * the building block semantic-clustering pipelines start from
+    * (connect each doc to its nearest embeddings, then cluster the
+    * graph); [[knnIvfOn]] answers a bounded query SET instead.
+    *
+    * Scale shape — three deliberate differences from [[knnIvfOn]]:
+    *   - The IVF index frame is STAGED once (Scratch parquet): both
+    *     the probe derivation and the posting side of the candidate
+    *     join consume it, and without staging each would re-run the
+    *     full IVF build (count, seeds, Lloyd pass, two closure
+    *     assignment scans) — the subplan is corpus-sized, so the
+    *     double-derivation term would dominate at any scale.
+    *   - Probes are corpus-sized (every vector probes its
+    *     [[IvfNProbe]] nearest cells), so unlike the query-set path
+    *     they CANNOT be broadcast: candidate generation is a shuffle
+    *     equi-join on `cell`, co-locating each cell's postings with
+    *     the probes aimed at it. Candidate volume is n·nprobe·(n/C) =
+    *     O(n^1.5·nprobe) at the auto C=√(n/2) — the standard kNN-graph
+    *     bound, same class as the SemDeDup within-cell pair work.
+    *   - The exact ranking window would otherwise shuffle that whole
+    *     candidate stream by query_id; the [[knnBruteforceOn]]
+    *     bounded-heap cut runs first, inside the join's output
+    *     partitions, cutting each query's per-partition candidates to
+    *     k. A query's probes touch ≤ nprobe cells, so the window
+    *     reads ≤ nprobe·k rows per query (cellsize/k ≈ 400× shuffle
+    *     reduction at 2M vectors) and the cut is lossless — the true
+    *     top-k within probed cells survives any partition split.
+    *
+    * Deterministic end-to-end (seeded build, sequential-fold doubles,
+    * (cosine desc, vec_id asc) ties), hence hash-checkable against the
+    * full DuckDB replay [[knnGraphOracleSql]] despite being an
+    * "approximate" index — approximation lives only in the probe cut,
+    * which both engines replay identically. */
+  def knnGraph(spark: SparkSession, dir: String, k: Int = GraphK): DataFrame =
+    knnGraphOn(Tables.embeddings(spark, dir), k)
+
+  def knnGraphOn(vectors: DataFrame, k: Int = GraphK): DataFrame = {
+    val (indexed0, centroids) = ivfIndex(vectors)
+    val indexed = Scratch.stageReuse(
+      indexed0.select(col("vec_id"), col("e"), col("nrm"), col("cell")),
+      "knn_graph_idx")
+    val probes = assignTopCells(indexed, centroids, IvfNProbe)
+    val cand = indexed.join(probes, "cell")
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        V.cosineWithNorms(V.dot(col("e"), col("qe")), col("nrm"), col("qnrm"))
+          .as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    partitionTopK(cand, k)
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"), col("cosine"))
+  }
+
+  /** Lossless per-partition top-k cut over (query_id, vec_id, cosine)
+    * rows — the bounded-heap prune [[knnBruteforceOn]] introduced,
+    * shared with the kNN-graph path: the global top-k under
+    * (cosine desc, vec_id asc) is a subset of the union of
+    * per-partition top-ks, so the exact ranking window downstream sees
+    * k rows per (query, partition) instead of every candidate. */
+  private def partitionTopK(scored: DataFrame, k: Int): DataFrame = {
+    val spark = scored.sparkSession
+    import spark.implicits._
+    // worst-first ordering: max under this = lowest cosine, then
+    // largest vec_id — the element a better candidate evicts.
+    val worstFirst: Ordering[(Long, Long, Double)] =
+      Ordering.by(t => (-t._3, t._2))
+    scored.as[(Long, Long, Double)]
+      .mapPartitions { it =>
+        val heaps = scala.collection.mutable.Map
+          .empty[Long, scala.collection.mutable.PriorityQueue[(Long, Long, Double)]]
+        it.foreach { s =>
+          val h = heaps.getOrElseUpdate(s._1,
+            new scala.collection.mutable.PriorityQueue[(Long, Long, Double)]()(worstFirst))
+          if (h.size < k) h.enqueue(s)
+          else if (worstFirst.compare(s, h.head) < 0) { h.dequeue(); h.enqueue(s) }
+        }
+        heaps.valuesIterator.flatMap(_.iterator)
+      }
+      .toDF("query_id", "vec_id", "cosine")
+  }
+
+  /** Each vector's `nprobe` nearest cells, best-first by
+    * (sim desc, cell asc) — [[assignNearest]] generalized from argmax
+    * to a bounded top-selection, with the same closure-codebook shape:
+    * ONE narrow pass over the staged index, the C-row codebook in the
+    * task closure, an insertion-sorted nprobe-array per vector
+    * (ascending cell scan with strict-> displacement ties to the
+    * LOWEST cell, the window convention), n·nprobe rows out and
+    * nothing n·C-sized ever materialized. Output columns are the
+    * probe-side names the candidate join consumes. */
+  private def assignTopCells(v: DataFrame, centroids: DataFrame,
+                             nprobe: Int): DataFrame = {
+    val spark = v.sparkSession
+    import spark.implicits._
+    val cents: Array[(Long, Array[Double], Double)] = centroids
+      .select(col("cell").cast("long"), col("ce"), col("cn"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
+      .sortBy(_._1)
+    v.select(col("vec_id"), col("e"), col("nrm"))
+      .as[(Long, Array[Double], Double)]
+      .mapPartitions { it =>
+        it.flatMap { case (vid, e, nrm) =>
+          val bestCell = new Array[Long](nprobe)
+          val bestSim = new Array[Double](nprobe)
+          var filled = 0
+          var i = 0
+          while (i < cents.length) {
+            val ce = cents(i)._2
+            var dot = 0.0
+            var j = 0
+            while (j < e.length) { dot += e(j) * ce(j); j += 1 }
+            val sim = dot / (nrm * cents(i)._3)
+            if (filled < nprobe || sim > bestSim(filled - 1)) {
+              var pos = if (filled < nprobe) filled else nprobe - 1
+              while (pos > 0 && sim > bestSim(pos - 1)) {
+                bestSim(pos) = bestSim(pos - 1); bestCell(pos) = bestCell(pos - 1)
+                pos -= 1
+              }
+              bestSim(pos) = sim; bestCell(pos) = cents(i)._1
+              if (filled < nprobe) filled += 1
+            }
+            i += 1
+          }
+          (0 until filled).iterator.map(j => (vid, e, nrm, bestCell(j)))
+        }
+      }
+      .toDF("query_id", "qe", "qnrm", "cell")
+  }
+
+  /** Full DuckDB replay of the kNN graph: [[knnIvfOracleSql]]'s build
+    * and rerank with the query-set cut removed — every vector probes. */
+  val knnGraphOracleSql: String =
+    s"""${ivfOracleIdxCtes(ncellsAutoSql)}, probes AS (
+       |  SELECT query_id, qe, qnrm, cell FROM (
+       |    SELECT q.vec_id AS query_id, q.e AS qe, q.nrm AS qnrm, c.cell,
+       |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+       |        ${sqlDot("q.e", "c.ce")} / (q.nrm * c.cnr) DESC, c.cell) AS rk
+       |    FROM vn q CROSS JOIN cc c) t
+       |  WHERE rk <= $IvfNProbe
+       |)
+       |SELECT query_id, vec_id AS neighbor_id, CAST(rk AS INTEGER) AS rank, cosine FROM (
+       |  SELECT p.query_id, i.vec_id,
+       |    ${sqlDot("i.e", "p.qe")} / (i.nrm * p.qnrm) AS cosine,
+       |    ROW_NUMBER() OVER (PARTITION BY p.query_id ORDER BY
+       |      ${sqlDot("i.e", "p.qe")} / (i.nrm * p.qnrm) DESC, i.vec_id) AS rk
+       |  FROM idx i JOIN probes p ON i.cell = p.cell
+       |  WHERE i.vec_id != p.query_id) t
+       |WHERE rk <= $GraphK""".stripMargin
 
   /** Embedding-space cluster summary (key `embed_clusters`) — the
     * corpus-curation view of the IVF index: one row per cluster with

@@ -105,6 +105,25 @@ class PlanSpec extends SparkSpecBase {
       s"assignment regressed to the n*C join+max_by aggregate:\n$p")
   }
 
+  test("knn graph: staged index feeds both sides, probes via closure scan, no product") {
+    val p = plan(graft.operators.Similarity.knnGraph(spark, sfDir))
+    // the self-join's candidate generation must be an equi-join on the
+    // cell key — never a cartesian/BNLJ (probes are corpus-sized, so a
+    // broadcast-nested-loop here would be the n^2 trap the IVF cut
+    // exists to avoid at scale; on this tiny fixture AQE may still
+    // pick a broadcast HASH join, which keeps the equi-key)
+    assert(!p.contains("CartesianProduct"), s"knn graph went cartesian:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"knn graph candidate join lost its equi-key:\n$p")
+    // probe derivation is the closure-codebook scan, not a n*C window
+    assert(p.contains("MapPartitions"),
+      s"expected closure-codebook probe assignment:\n$p")
+    // both join sides read the ONE staged index parquet — the IVF
+    // build must not run twice
+    assert("knn_graph_idx".r.findAllIn(p).size >= 2,
+      s"staged index not consumed by both sides:\n$p")
+  }
+
   test("native expressions stay inside whole-stage codegen") {
     val p = finalPlan(graft.operators.TextAnalysis.textFingerprint(spark, sfDir))
     assert(p.contains("WholeStageCodegen") || p.contains("*("),

@@ -52,6 +52,52 @@ class SimilaritySpec extends SparkSpecBase {
     assert(recall >= 0.9, s"ivf recall on clustered data: $recall")
   }
 
+  test("knn graph: high recall vs the exact all-node neighbor sets on clustered data") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val dim = 16
+    val centers = Array.fill(5)(Array.fill(dim)(rnd.nextGaussian() * 5))
+    val rows = (0 until 200).map { i =>
+      val c = centers(i % 5)
+      (i.toLong, c.map(x => (x + rnd.nextGaussian() * 0.05).toFloat).toSeq, i % 5)
+    }
+    val df = rows.toDF("vec_id", "embedding", "label")
+    // exact kNN graph computed locally: every node, not just a query set
+    val vecs = rows.map { case (id, e, _) => id -> e.map(_.toDouble).toArray }.toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      def d(x: Array[Double], y: Array[Double]) =
+        x.indices.foldLeft(0.0)((acc, i) => acc + x(i) * y(i))
+      d(a, b) / (math.sqrt(d(a, a)) * math.sqrt(d(b, b)))
+    }
+    val exact = vecs.keys.flatMap { q =>
+      vecs.keys.filter(_ != q).toSeq
+        .sortBy(v => (-cos(vecs(q), vecs(v)), v))
+        .take(Similarity.GraphK).map(q -> _)
+    }.toSet
+    val graph = Similarity.knnGraphOn(df).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & graph).size.toDouble / exact.size
+    assert(recall >= 0.9, s"knn graph recall on clustered data: $recall")
+  }
+
+  test("knn graph on corpus: k neighbors per node, valid ranks, no self-edges, deterministic") {
+    val n = graft.sources.Tables.embeddings(spark, sfDir).count()
+    def runOnce() = Similarity.knnGraph(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._3))
+    val rows = runOnce()
+    val perNode = rows.groupBy(_._1)
+    assert(perNode.size == n, "every corpus vector is a node of the graph")
+    perNode.foreach { case (q, rs) =>
+      assert(rs.length == Similarity.GraphK)
+      assert(rs.map(_._3).sorted.sameElements(1 to Similarity.GraphK))
+      val cosines = rs.sortBy(_._3).map(_._4)
+      assert(cosines.zip(cosines.tail).forall { case (a, b) => a >= b })
+      rs.foreach(r => assert(r._2 != q, "no self-edges"))
+    }
+    assert(runOnce().sameElements(rows), "staged build + probe is deterministic")
+  }
+
   test("autoCells: C = max(1, ceil(sqrt(n/2))) — the n*C / n^2/C balance point") {
     assert(Similarity.autoCells(0) == 1)
     assert(Similarity.autoCells(1) == 1)
