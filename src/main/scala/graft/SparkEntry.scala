@@ -141,6 +141,7 @@ object SparkEntry {
     "stream_hop_windows"  -> (graft.streaming.Streams.hopWindowedAggBatch(_, _)),
     "stream_dedupe"       -> (graft.streaming.Streams.keepFirstBatch(_, _)),
     "stream_minhash_dedupe" -> (graft.streaming.Streams.minhashGuardBatch(_, _)),
+    "stream_scd2"         -> (graft.streaming.Streams.scd2Batch(_, _)),
     "stream_sessionize"   -> (graft.streaming.Streams.sessionizeBatch(_, _)),
     "stream_approx_ndv"   -> (graft.streaming.Streams.windowedApproxNdvBatch(_, _)),
     "stream_topk"         -> (graft.streaming.Streams.topkBatch(_, _)),
@@ -313,6 +314,9 @@ object SparkEntry {
     "stream_hop_windows"  -> graft.streaming.Streams.hopWindowedAggOracleSql,
     "stream_dedupe"       -> graft.streaming.Streams.keepFirstOracleSql,
     "stream_minhash_dedupe" -> graft.operators.Dedup.minhashGuardOracleSql,
+    // the sink's materialization over the complete feed == the batch
+    // CDC->SCD2 composition, so the two keys share one oracle
+    "stream_scd2"         -> Etl.cdcScd2OracleSql,
     // the stateful sessionizer must agree with the window-form
     // sessionizer row-for-row — one oracle checks both
     "stream_sessionize"   -> Analytics.qEventsSessionizeOracleSql,

@@ -832,6 +832,157 @@ object Streams {
     }
   }
 
+  // --- streaming SCD2 history lake (key `stream_scd2`) ---
+
+  /** Subdirectories of an [[scd2Sink]] lake: the deduped change LOG
+    * (the source of truth) and the materialized SCD2 validity-interval
+    * table derived from it — both partitioned by the key-hash bucket,
+    * so every row a key has ever produced lives in one prunable
+    * partition. */
+  val Scd2LogDir = "log"
+  val Scd2IntervalsDir = "scd2"
+
+  /** Streaming changelog → SCD2 history lake: the missing streaming
+    * form of the lakehouse "apply changes into SCD2" contract
+    * ([[graft.operators.Merge.scd2Changelog]], key `etl_cdc_scd2`).
+    *
+    * SCD2 intervals are NOT incrementally maintainable from the
+    * interval table alone: collapsing a same-state run is LOSSY (the
+    * run's interior observations are gone), so a late change landing
+    * inside an already-collapsed run could never re-split it. The sink
+    * therefore maintains two layers per micro-batch, both key-hash
+    * bucketed ([[CdcBuckets]] precedent — the bucket is a pure
+    * function of the key, so the batch knows exactly which partitions
+    * to touch without scanning the lake):
+    *
+    *  1. LOG — the change feed deduped by its primary key (replay of a
+    *     micro-batch is a no-op: same pk, same row). Only the buckets
+    *     the batch touches are read and rewritten.
+    *  2. SCD2 — the affected buckets' intervals re-derived from their
+    *     full (durable) log slice and dynamic-overwritten. A late or
+    *     out-of-order change re-splits its key's intervals exactly as
+    *     the batch operator over the complete feed would — the
+    *     stream==batch spec drives splits, deletes and post-delete
+    *     re-inserts across batch boundaries.
+    *
+    * Per-batch cost is the affected buckets' log size, not the lake
+    * size — at 100 TB, bucket count scales with the corpus and a
+    * batch touches min(batch keys, N) buckets. Effectively-once: the
+    * log merge is idempotent under at-least-once replay and the
+    * interval table is a pure function of the log. A crash between
+    * the two writes leaves the affected buckets' intervals stale;
+    * the checkpointed batch replays on restart and heals them, and
+    * [[rematerializeScd2]] is the standalone recovery sweep (derived
+    * state is always rebuildable from the log).
+    *
+    * The feed must carry `keyCol`, `stateCol`, `orderCol`, a unique
+    * `pkCol` (rows with equal pk are the SAME change), and `opCol`
+    * whose `deleteOp` value is the tombstone — defaults wire the
+    * driver's events-as-changefeed mapping (Etl.cdcScd2). */
+  def scd2Sink(changes: DataFrame, lakePath: String,
+               keyCol: String = "user_id", stateCol: String = "event_type",
+               orderCol: String = "ts", pkCol: String = "event_id",
+               opCol: String = "event_type",
+               deleteOp: String = graft.operators.Etl.CdcDeleteType,
+               nBuckets: Int = CdcBuckets) =
+    changes
+      // int, not long: the same read-back-type rule as cdcApplySink
+      .withColumn("bucket",
+        pmod(xxhash64(col(keyCol)), lit(nBuckets.toLong)).cast("int"))
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          scd2MicroBatch(batch, lakePath, keyCol, stateCol, orderCol,
+            pkCol, opCol, deleteOp)
+      }
+
+  /** One micro-batch of [[scd2Sink]]: log merge (pk-deduped, affected
+    * buckets only), then interval re-derivation for those buckets.
+    * Package-visible so the replay-idempotence spec can drive the
+    * same batch through twice without a streaming query. */
+  private[graft] def scd2MicroBatch(batch: DataFrame, lakePath: String,
+                                    keyCol: String, stateCol: String,
+                                    orderCol: String, pkCol: String,
+                                    opCol: String, deleteOp: String): Unit = {
+    val spark = batch.sparkSession
+    val logPath = s"$lakePath/$Scd2LogDir"
+    val parts = batch.select("bucket").distinct()
+    val existing =
+      try spark.read.parquet(logPath)
+        .join(broadcast(parts), Seq("bucket"), "left_semi")
+      catch { case _: org.apache.spark.sql.AnalysisException => batch.limit(0) }
+    // equal pk = the same change (the feed's contract), so which copy
+    // dropDuplicates keeps is immaterial — and a replayed batch leaves
+    // the log bit-identical
+    val mergedLog = existing.unionByName(batch).dropDuplicates(pkCol)
+    val runId = java.util.UUID.randomUUID().toString.take(8)
+    graft.operators.Sinks.stageAndReplace(mergedLog,
+      s"$lakePath/_scd2_log_tmp_$runId", logPath, Seq("bucket"))
+    materializeScd2(spark, lakePath, Some(parts),
+      keyCol, stateCol, orderCol, pkCol, opCol, deleteOp)
+  }
+
+  /** Re-derive the SCD2 interval table from the DURABLE log — the
+    * affected buckets during normal operation, every bucket when
+    * called through [[rematerializeScd2]] (crash-recovery sweep). */
+  private def materializeScd2(spark: SparkSession, lakePath: String,
+                              affected: Option[DataFrame],
+                              keyCol: String, stateCol: String,
+                              orderCol: String, pkCol: String,
+                              opCol: String, deleteOp: String): Unit = {
+    val base = spark.read.parquet(s"$lakePath/$Scd2LogDir")
+    val scoped = affected.fold(base)(p =>
+      base.join(broadcast(p), Seq("bucket"), "left_semi"))
+    val intervals = graft.operators.Merge.scd2Changelog(
+        scoped, keys = Seq(col(keyCol)), stateCol = col(stateCol),
+        orderCol = col(orderCol), tiebreak = col(pkCol),
+        opCol = col(opCol), deleteOp = deleteOp)
+      .select(col("bucket"), col(keyCol), col(stateCol).as("state"),
+        col("eff_start"), col("eff_end"), col("is_current"))
+    val runId = java.util.UUID.randomUUID().toString.take(8)
+    graft.operators.Sinks.stageAndReplace(intervals,
+      s"$lakePath/_scd2_iv_tmp_$runId", s"$lakePath/$Scd2IntervalsDir",
+      Seq("bucket"))
+    ()
+  }
+
+  /** Standalone crash-recovery sweep: rebuild EVERY bucket's intervals
+    * from the log (see the crash note on [[scd2Sink]]). */
+  def rematerializeScd2(spark: SparkSession, lakePath: String,
+                        keyCol: String = "user_id",
+                        stateCol: String = "event_type",
+                        orderCol: String = "ts", pkCol: String = "event_id",
+                        opCol: String = "event_type",
+                        deleteOp: String = graft.operators.Etl.CdcDeleteType): Unit =
+    materializeScd2(spark, lakePath, None,
+      keyCol, stateCol, orderCol, pkCol, opCol, deleteOp)
+
+  /** The interval view over an [[scd2Sink]] lake. */
+  def readScd2(spark: SparkSession, lakePath: String): DataFrame =
+    spark.read.parquet(s"$lakePath/$Scd2IntervalsDir").drop("bucket")
+
+  /** Batch entry (queries key `stream_scd2`): the sink's
+    * materialization transform over the complete feed — the bucket
+    * column rides the derivation exactly as in the lake (it is a
+    * function of the key, so the per-key windows are unchanged) and
+    * the result equals the batch composition `Etl.cdcScd2`, which is
+    * the stream==batch contract StreamingSpec drives through real
+    * out-of-order micro-batches. */
+  def scd2Batch(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("bucket",
+        pmod(xxhash64(col("user_id")), lit(CdcBuckets.toLong)).cast("int"))
+    graft.operators.Merge.scd2Changelog(ev,
+        keys = Seq(col("user_id")), stateCol = col("event_type"),
+        orderCol = col("ts"), tiebreak = col("event_id"),
+        opCol = col("event_type"),
+        deleteOp = graft.operators.Etl.CdcDeleteType)
+      .select(col("user_id"), col("event_type").as("state"),
+        col("eff_start"), col("eff_end"), col("is_current"))
+  }
+
   // --- stateful session assembly (flatMapGroupsWithState) ---
 
   case class Ev(user_id: Long, ts: Timestamp, event_id: Long)
