@@ -111,6 +111,7 @@ object SparkEntry {
     "knn_ivf_pq"     -> ((s, d) => graft.operators.Pq.knnIvfPq(s, d)),
     "sample_kcenter" -> ((s, d) => Similarity.sampleKCenter(s, d)),
     "vec_stats"      -> (Similarity.vecStats(_, _)),
+    "vec_covariance" -> (Similarity.vecCovariance(_, _)),
     "embed_clusters" -> (Similarity.embedClusters(_, _)),
     // §2.5 text analysis
     "text_tokens"      -> (TextAnalysis.textTokens(_, _)),
@@ -273,6 +274,7 @@ object SparkEntry {
     "knn_ivf_pq"     -> graft.operators.Pq.knnIvfPqOracleSql,
     "sample_kcenter" -> Similarity.sampleKCenterOracleSql,
     "vec_stats"      -> Similarity.vecStatsOracleSql,
+    "vec_covariance" -> Similarity.vecCovarianceOracleSql,
     // per-cluster population + decimal-accumulated mean centroid cosine
     "embed_clusters" -> Similarity.embedClustersOracleSql,
     // §2.5 text — langid's whole learn+predict path is deterministic

@@ -130,6 +130,136 @@ object Similarity {
       |SELECT stats.label, n_vecs, dim, avg_norm, min_norm, max_norm, centroid_norm
       |FROM stats JOIN cent ON stats.label = cent.label""".stripMargin
 
+  /** Embedding covariance matrix (key `vec_covariance`): population
+    * covariance of every dimension PAIR over the whole corpus — the
+    * d×d summary that embedding whitening, PCA/OPQ rotation training,
+    * and drift detection (compare this week's matrix to last week's)
+    * all start from. Output is the upper triangle (dim_i ≤ dim_j,
+    * 1-based), d(d+1)/2 rows — REPORT-sized (2080 rows at d=64) no
+    * matter how large the corpus.
+    *
+    * Scale shape: the pair products are declared as a generator chain
+    * (posexplode × suffix-slice posexplode, n·d²/2 terms) feeding ONE
+    * hash aggregate keyed by the d²/2 cells — partial aggregation
+    * collapses each partition to its d²/2 decimal cells map-side, so
+    * the shuffle carries #partitions × cells rows, not n·d²/2: the
+    * declarative twin of a Gram-matrix treeAggregate, staying inside
+    * codegen. The arithmetic is n·d²/2 multiply-adds — FLOP-bound, one
+    * corpus scan (plus the d-row per-dim sum scan).
+    *
+    * TWO-PASS CENTERED algorithm (means first, then
+    * cov = Σ(x−mx)(y−my)/n): the one-pass E[xy]−E[x]E[y] form
+    * catastrophically cancels (the two terms agree to ~4 digits on
+    * near-centered embeddings, and the cancellation amplified a
+    * sub-ulp engine difference to 3e-12 — measured before the
+    * rewrite), while the centered form's every double op — mean
+    * division, per-row subtraction, product — is replicated exactly
+    * cross-engine and the decimal-accumulated sums (scale 10) are
+    * double-exact per the |sum|·10^scale < 2^53 rule. The means ride
+    * back onto the pair scan as a broadcast d-row join.
+    *
+    * The product sums accumulate at scale 6, not the unit-stat 10:
+    * each of the n·d²/2 casts can diverge cross-engine only when the
+    * double's exact binary value and its shortest-decimal reading
+    * straddle a grid midpoint — a ~halfulp/gridstep window, so the
+    * expected divergences over N casts scale as N·10^(scale-16.5);
+    * at a million casts scale 10 hits ~once (measured: one cell off
+    * by one 1e-10 quantum) while scale 6 is ~1e-5. Both engines
+    * compute the identical rounded sum; the cov quantum (1e-6/n) is
+    * far below any consumer's sensitivity. Mergeability across
+    * corpus shards: weighted-sum the centered-product sums. */
+  def vecCovariance(spark: SparkSession, dir: String): DataFrame =
+    vecCovarianceOn(Tables.embeddings(spark, dir))
+
+  def vecCovarianceOn(vectors: DataFrame): DataFrame = {
+    val v = vectors.select(V.toDouble(col("embedding")).as("e"))
+    val el = v.select(posexplode(col("e")).as(Seq("p", "x")))
+      .select((col("p") + 1).as("dim"), col("x"))
+    val means = el.groupBy("dim").agg(
+      (sum(col("x").cast("decimal(30,10)")).cast("double") / count(lit(1)))
+        .as("mx"),
+      count(lit(1)).as("n"))
+    val pairs = v
+      .select(col("e"), posexplode(col("e")).as(Seq("pi", "xi")))
+      .select(col("pi"), col("xi"),
+        posexplode(slice(col("e"), col("pi") + 1, size(col("e")) - col("pi")))
+          .as(Seq("pj", "xj")))
+      .select((col("pi") + 1).as("dim_i"),
+        (col("pi") + 1 + col("pj")).as("dim_j"),
+        col("xi"), col("xj"))
+    pairs
+      .join(broadcast(means.select(col("dim").as("dim_i"), col("mx").as("mx_i"))),
+        "dim_i")
+      .join(broadcast(means.select(col("dim").as("dim_j"), col("mx").as("mx_j"))),
+        "dim_j")
+      .select(col("dim_i"), col("dim_j"),
+        ((col("xi") - col("mx_i")) * (col("xj") - col("mx_j"))).as("prod"))
+      .groupBy("dim_i", "dim_j")
+      .agg(sum(col("prod").cast("decimal(30,6)")).cast("double").as("sp"))
+      .join(broadcast(means.select(col("dim").as("dim_i"), col("n"))), "dim_i")
+      .select(col("dim_i"), col("dim_j"), (col("sp") / col("n")).as("cov"))
+  }
+
+  val vecCovarianceOracleSql: String =
+    """WITH v AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      |el AS (
+      |  SELECT vec_id, generate_subscripts(e, 1) AS dim, unnest(e) AS x FROM v),
+      |means AS (
+      |  SELECT dim,
+      |    CAST(SUM(CAST(x AS DECIMAL(30,10))) AS DOUBLE) / COUNT(*) AS mx,
+      |    COUNT(*) AS n
+      |  FROM el GROUP BY dim),
+      |pr AS (
+      |  SELECT a.dim AS dim_i, b.dim AS dim_j,
+      |    CAST(SUM(CAST((a.x - mi.mx) * (b.x - mj.mx) AS DECIMAL(30,6)))
+      |      AS DOUBLE) AS sp
+      |  FROM el a
+      |  JOIN el b ON a.vec_id = b.vec_id AND a.dim <= b.dim
+      |  JOIN means mi ON a.dim = mi.dim
+      |  JOIN means mj ON b.dim = mj.dim
+      |  GROUP BY 1, 2)
+      |SELECT CAST(p.dim_i AS INTEGER) AS dim_i, CAST(p.dim_j AS INTEGER) AS dim_j,
+      |  p.sp / n.n AS cov
+      |FROM pr p
+      |JOIN means n ON p.dim_i = n.dim""".stripMargin
+
+  /** Top-r principal components from a [[vecCovarianceOn]] result —
+    * the driver-side finisher (power iteration with deflation on the
+    * d×d matrix; the distributed work is the covariance scan, the
+    * eigen step is d²·iters FLOPs on 2080 doubles at d=64). Collect is
+    * bounded: d(d+1)/2 rows. Deterministic: fixed e1-leaning start
+    * vector, fixed iteration count, sign fixed so the largest-|.|
+    * coordinate is positive. Returns r rows of (eigenvalue,
+    * eigenvector), eigenvalue-descending — feed a matmul projection
+    * ([[V.dot]] per component) to whiten or reduce. */
+  def principalComponents(cov: DataFrame, r: Int, iters: Int = 100)
+      : Seq[(Double, Array[Double])] = {
+    val cells = cov.select(col("dim_i"), col("dim_j"), col("cov")).collect()
+      .map(x => (x.getInt(0) - 1, x.getInt(1) - 1, x.getDouble(2)))
+    val d = cells.iterator.map(_._2).max + 1
+    val m = Array.ofDim[Double](d, d)
+    cells.foreach { case (i, j, c) => m(i)(j) = c; m(j)(i) = c }
+    val comps = Seq.newBuilder[(Double, Array[Double])]
+    for (_ <- 0 until r) {
+      var vct = Array.tabulate(d)(i => if (i == 0) 1.0 else 1e-3)
+      var lambda = 0.0
+      for (_ <- 0 until iters) {
+        val w = Array.tabulate(d)(i =>
+          (0 until d).foldLeft(0.0)((acc, j) => acc + m(i)(j) * vct(j)))
+        val nrm = math.sqrt(w.map(x => x * x).sum)
+        if (nrm > 0) { vct = w.map(_ / nrm); lambda = nrm }
+      }
+      // sign convention: largest-magnitude coordinate positive
+      val k = vct.indices.maxBy(i => math.abs(vct(i)))
+      if (vct(k) < 0) vct = vct.map(-_)
+      comps += ((lambda, vct))
+      // deflate: m -= lambda * v v^T
+      for (i <- 0 until d; j <- 0 until d) m(i)(j) -= lambda * vct(i) * vct(j)
+    }
+    comps.result()
+  }
+
   /** IVF probe width: cells scanned per query. */
   val IvfNProbe = 4
 

@@ -98,6 +98,56 @@ class SimilaritySpec extends SparkSpecBase {
     assert(runOnce().sameElements(rows), "staged build + probe is deterministic")
   }
 
+  test("vec covariance: upper triangle matches a local brute-force computation") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(3)
+    val dim = 8
+    val data = Array.fill(100)(Array.fill(dim)(rnd.nextGaussian().toFloat))
+    val df = data.zipWithIndex
+      .map { case (e, i) => (i.toLong, e.toSeq, 0) }.toSeq
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.vecCovarianceOn(df).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(got.size == dim * (dim + 1) / 2, "exactly the upper triangle")
+    val n = data.length
+    val means = (0 until dim).map(j => data.map(_(j).toDouble).sum / n)
+    for (i <- 0 until dim; j <- i until dim) {
+      val expect = data.map(v =>
+        (v(i) - means(i)) * (v(j) - means(j))).sum / n
+      val g = got((i + 1, j + 1))
+      assert(math.abs(g - expect) < 1e-6,
+        s"cov($i,$j): got $g expected $expect")
+      if (i == j) assert(g > 0, s"variance must be positive at dim $i")
+    }
+  }
+
+  test("principal components: recover the stretched axis, eigenvalues descending") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    val dim = 8
+    // anisotropic cloud: variance 25 along axis,
+    // 0.01 elsewhere
+    val axis = {
+      val a = Array.fill(dim)(rnd.nextGaussian())
+      val n = math.sqrt(a.map(x => x * x).sum); a.map(_ / n)
+    }
+    val df = (0 until 300).map { i =>
+      val t = rnd.nextGaussian() * 5
+      val e = Array.tabulate(dim)(j =>
+        (axis(j) * t + rnd.nextGaussian() * 0.1).toFloat)
+      (i.toLong, e.toSeq, 0)
+    }.toDF("vec_id", "embedding", "label")
+    val comps = Similarity.principalComponents(
+      Similarity.vecCovarianceOn(df), r = 3)
+    assert(comps.map(_._1) == comps.map(_._1).sorted.reverse,
+      "eigenvalues must come out descending")
+    val top = comps.head._2
+    val align = math.abs(top.indices.map(j => top(j) * axis(j)).sum)
+    assert(align > 0.99, s"top component must align with the stretched axis: $align")
+    assert(comps.head._1 > 10 * comps(1)._1,
+      "spectrum must reflect the anisotropy")
+  }
+
   test("autoCells: C = max(1, ceil(sqrt(n/2))) — the n*C / n^2/C balance point") {
     assert(Similarity.autoCells(0) == 1)
     assert(Similarity.autoCells(1) == 1)
