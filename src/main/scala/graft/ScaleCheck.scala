@@ -35,7 +35,8 @@ object ScaleCheck {
     // the (much larger) event/order/lineitem/document tables — the
     // 1000x corpus writes ~600M lineitems nobody would read
     val embOnly = Set("embed_clusters", "dedup_semantic", "knn_ivf",
-      "knn_ivf_pq", "knn_pq", "sample_kcenter")
+      "knn_ivf_pq", "knn_pq", "sample_kcenter", "knn_graph",
+      "vec_covariance")
     val skipNonEmbedding = args.length > 1 && args(1).split(",").forall(embOnly)
     // a graph-only run (the tier's dedicated scaled-catalog corpus)
     // likewise skips the main tables: a 300× run would otherwise
@@ -52,7 +53,7 @@ object ScaleCheck {
     // skips the (10× larger) lineitem/documents/part writes, which
     // otherwise dominate a 1000× measurement session
     val eventsOnly = Set("agg_distinct_intersect", "agg_approx_ndv",
-      "agg_sketch_union")
+      "agg_sketch_union", "stream_scd2_apply")
     val allEventsOnly = args.length > 1 &&
       args(1).split(",").forall(k => eventsOnly(k) || selfSynth(k))
     if (!skipNonEmbedding && !skipNonGraph && !allSelfSynth) {
@@ -355,6 +356,12 @@ object ScaleCheck {
       }),
       run("graph_kcore", operators.Graph.graphKcore(spark, s"$dir/graph")),
       run("graph_link_predict", operators.Graph.graphLinkPredict(spark, s"$dir/graph")),
+      // round-13 additions (third batch): the kNN self-join graph and
+      // the covariance matrix over the clustered embedding corpus
+      run("knn_graph", operators.Similarity.knnGraphOn(
+        spark.read.parquet(s"$dir/embeddings.parquet"))),
+      run("vec_covariance", operators.Similarity.vecCovarianceOn(
+        spark.read.parquet(s"$dir/embeddings.parquet"))),
       run("salted_join_events", {
         val ev = sources.Tables.events(spark, dir)
         val dim = ev.groupBy("user_id").agg(count(lit(1)).as("u_rows"))
@@ -381,8 +388,33 @@ object ScaleCheck {
       s""""pipeline_run_ds":{"sec":$pipeSec,"rows":${summary.nNormalized},"l2_rows":${summary.nL2}}"""
     }
 
+    // the scd2 sink's distinct scale claim: the PER-MICRO-BATCH cost is
+    // bucket-pruned — a batch touching k keys reads/rewrites only the
+    // min(k, N) buckets those keys hash to, not the lake. Seed the lake
+    // with the full history (untimed), then time one small late batch
+    // (3 users → ≤3 of 32 buckets).
+    val scd2Apply = if (!only("stream_scd2_apply")) None else Some {
+      val lake = operators.Scratch.diskDir("graft_scale_scd2")
+      def bucketed(df: org.apache.spark.sql.DataFrame) = df.withColumn("bucket",
+        pmod(xxhash64(col("user_id")),
+          lit(streaming.Streams.CdcBuckets.toLong)).cast("int"))
+      val ev = sources.Tables.events(spark, dir)
+        .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      streaming.Streams.scd2MicroBatch(bucketed(ev), lake,
+        "user_id", "event_type", "ts", "event_id", "event_type",
+        operators.Etl.CdcDeleteType)
+      val late = bucketed(ev.filter(col("user_id").isin(1L, 2L, 3L)))
+      val nLate = late.count()
+      val tb0 = System.nanoTime()
+      streaming.Streams.scd2MicroBatch(late, lake,
+        "user_id", "event_type", "ts", "event_id", "event_type",
+        operators.Etl.CdcDeleteType)
+      val applySec = (System.nanoTime() - tb0) / 1e9
+      s""""stream_scd2_apply":{"sec":$applySec,"rows":$nLate}"""
+    }
+
     val qs = (results.collect { case (k, s, r) if r >= 0 => s""""$k":{"sec":$s,"rows":$r}""" }
-      ++ pipe).mkString(",")
+      ++ pipe ++ scd2Apply).mkString(",")
     println(s"""{"scale_mult":$mult,"n_events":$n,"ops":{$qs}}""")
     spark.stop()
   }
