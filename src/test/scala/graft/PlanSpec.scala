@@ -124,6 +124,18 @@ class PlanSpec extends SparkSpecBase {
       s"staged index not consumed by both sides:\n$p")
   }
 
+  test("vec covariance: map-side partial aggregation, means broadcast, no product") {
+    val p = plan(graft.operators.Similarity.vecCovariance(spark, sfDir))
+    // the n*d^2/2 generated pair terms must collapse to the d^2/2
+    // cells BEFORE any exchange (partial decimal sums), and the d-row
+    // means frames must ride in as broadcast joins
+    assert(p.contains("partial_sum"),
+      s"pair products shuffled raw instead of partial-aggregating:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"means not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("native expressions stay inside whole-stage codegen") {
     val p = finalPlan(graft.operators.TextAnalysis.textFingerprint(spark, sfDir))
     assert(p.contains("WholeStageCodegen") || p.contains("*("),
