@@ -362,6 +362,7 @@ object ScaleCheck {
         spark.read.parquet(s"$dir/embeddings.parquet"))),
       run("vec_covariance", operators.Similarity.vecCovarianceOn(
         spark.read.parquet(s"$dir/embeddings.parquet"))),
+      run("text_entropy", operators.TextAnalysis.textEntropy(spark, dir)),
       run("salted_join_events", {
         val ev = sources.Tables.events(spark, dir)
         val dim = ev.groupBy("user_id").agg(count(lit(1)).as("u_rows"))

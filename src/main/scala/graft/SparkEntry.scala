@@ -115,6 +115,7 @@ object SparkEntry {
     "embed_clusters" -> (Similarity.embedClusters(_, _)),
     // §2.5 text analysis
     "text_tokens"      -> (TextAnalysis.textTokens(_, _)),
+    "text_entropy"     -> (TextAnalysis.textEntropy(_, _)),
     "text_quality"     -> (TextAnalysis.textQuality(_, _)),
     "text_langid"      -> (TextAnalysis.textLangid(_, _)),
     "text_fingerprint" -> (TextAnalysis.textFingerprint(_, _)),
@@ -281,6 +282,10 @@ object SparkEntry {
     // (hash split, count profiles, integer-sum scoring) and replays in
     // SQL, so even the "learned" operator carries a hash oracle
     "text_tokens"  -> TextAnalysis.textTokensOracleSql,
+    // ln() is not correctly-rounded in either engine — the entropy
+    // oracle joins the SAME embedded ln literal table the executor
+    // reads (the HLL linear-counting precedent)
+    "text_entropy" -> TextAnalysis.textEntropyOracleSql,
     "text_langid"  -> TextAnalysis.textLangidOracleSql,
     // the native codegen fingerprints replay byte-exactly in DuckDB
     // HUGEINT mod-2^64 arithmetic — same technique as mm_feature_extract

@@ -50,6 +50,99 @@ object TextAnalysis {
        |  CAST(len(regexp_extract_all(text, '$TokenPattern')) AS INTEGER) AS n_bpe_tokens
        |FROM documents""".stripMargin
 
+  /** Token-entropy ln-lookup bound: ln(k) is precomputed for
+    * k ∈ [1, EntropyLnTableSize) and embedded in BOTH engines — the
+    * HLL linear-counting precedent (ln() is not correctly-rounded in
+    * either engine and disagrees by 1 ulp on some inputs, so a shared
+    * literal table is the only bit-stable form). Documents with more
+    * tokens than the table covers get a NULL entropy in both engines
+    * (the honest out-of-contract signal) — chunk longer docs first
+    * ([[graft.operators.TrainPrep]] text_chunk), exactly what a
+    * training pipeline does anyway. */
+  val EntropyLnTableSize = 2048
+
+  private lazy val entropyLnTable: Array[Double] =
+    Array.tabulate(EntropyLnTableSize)(k =>
+      if (k == 0) 0.0 else java.lang.Math.log(k.toDouble))
+
+  /** Per-document token ENTROPY (key `text_entropy`): the unigram
+    * Shannon entropy of each document's token distribution in nats,
+    * H = ln(T) − Σ c_w·ln(c_w) / T, plus the normalized form
+    * H / ln(n_distinct) ∈ [0,1] (1 = perfectly even usage, → 0 =
+    * one token dominates). This is the repetitiveness/diversity
+    * quality signal the length/punctuation ratios of `text_quality`
+    * and the n-gram repetition report (`text_repetition`) don't
+    * capture: boilerplate and keyword-stuffed spam score low-entropy
+    * even when their surface shape looks normal — a standard cut in
+    * C4/Gopher-style curation stacks.
+    *
+    * Plan shape: one token explode → (doc, word) count aggregate →
+    * doc-keyed aggregate; both aggregates partial-combine map-side
+    * and share the doc-keyed exchange domain. ln values come from a
+    * broadcast-in-plan literal array (`element_at`), so the whole
+    * scoring pass stays codegen'd — no UDF, no per-row Math.log.
+    * Decimal accumulation (scale 10) makes the Σ c·ln(c) term
+    * order-independent; every other op is replicated exactly in the
+    * oracle's lookup-join replay. */
+  def textEntropy(spark: SparkSession, dir: String): DataFrame =
+    textEntropyOn(Tables.documents(spark, dir))
+
+  def textEntropyOn(docs: DataFrame): DataFrame = {
+    val lnArr = array(entropyLnTable.map(lit): _*)
+    // try_element_at, not element_at: ANSI mode throws on an
+    // out-of-table index, but an over-long doc must read as a NULL
+    // entropy (matching the oracle's left-join miss), not a job abort
+    val counts = docs
+      .select(col("doc_id"), explode(TH.words(col("text"))).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+    val perDoc = counts.groupBy("doc_id").agg(
+      sum(col("c")).as("n_tokens"),
+      count(lit(1)).as("n_distinct"),
+      sum((col("c").cast("double") *
+          try_element_at(lnArr, (col("c") + 1).cast("int")))
+        .cast("decimal(30,10)")).cast("double").as("clnc"))
+    val entropy =
+      try_element_at(lnArr, (col("n_tokens") + 1).cast("int")) -
+        col("clnc") / col("n_tokens")
+    // 4dp presentation (the embed_clusters precedent): the final
+    // subtract/divide chain can land 1 ulp apart cross-engine
+    // (measured on one sf0.01 doc); everything upstream is bit-stable
+    perDoc.select(
+      col("doc_id"), col("n_tokens"), col("n_distinct"),
+      round(entropy, 4).as("entropy"),
+      round(when(col("n_distinct") > 1,
+          entropy / try_element_at(lnArr, (col("n_distinct") + 1).cast("int")))
+        .otherwise(lit(0.0)), 4).as("entropy_ratio"))
+  }
+
+  /** The shared ln table as a DuckDB VALUES relation — shortest-
+    * roundtrip double literals parse back to the identical bits. */
+  private def entropyLnValuesSql: String =
+    (1 until EntropyLnTableSize)
+      .map(k => s"($k,CAST(${entropyLnTable(k)} AS DOUBLE))")
+      .mkString(",")
+
+  val textEntropyOracleSql: String =
+    s"""WITH lnt(k, lnk) AS (VALUES ${entropyLnValuesSql}),
+       |tok AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+       |cnt AS (
+       |  SELECT doc_id, w, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+       |agg AS (
+       |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+       |    COUNT(*) AS n_distinct,
+       |    CAST(SUM(CAST(c * l.lnk AS DECIMAL(30,10))) AS DOUBLE) AS clnc
+       |  FROM cnt LEFT JOIN lnt l ON cnt.c = l.k
+       |  GROUP BY doc_id)
+       |SELECT a.doc_id, a.n_tokens, a.n_distinct,
+       |  round(lt.lnk - a.clnc / a.n_tokens, 4) AS entropy,
+       |  round(CASE WHEN a.n_distinct > 1
+       |    THEN (lt.lnk - a.clnc / a.n_tokens) / ld.lnk
+       |    ELSE 0.0 END, 4) AS entropy_ratio
+       |FROM agg a
+       |LEFT JOIN lnt lt ON a.n_tokens = lt.k
+       |LEFT JOIN lnt ld ON a.n_distinct = ld.k""".stripMargin
+
   /** Per-document quality score: length, punctuation ratio, stopword
     * ratio, distinct-token ratio, and a composite in [0,1]. All
     * ratios are divisions of integer counts — bit-identical across

@@ -179,4 +179,32 @@ class TextSpec extends SparkSpecBase {
     // distinct docs get distinct 64-bit fingerprints (no collisions at n=500)
     assert(a.map(_._2).distinct.length == a.length)
   }
+
+  test("entropy: uniform tokens ratio 1, repeated token 0, mixed matches local math") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      (1L, "a b c d"),            // uniform: H = ln(4), ratio 1
+      (2L, "x x x x x"),          // single token: H = 0, ratio 0 (n_distinct = 1)
+      (3L, "a a a b"))            // mixed: H = ln(4) - (3 ln 3)/4
+      .toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis.textEntropyOn(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    def r4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(1L) == ((4L, 4L, r4(math.log(4)), 1.0)))
+    assert(got(2L) == ((5L, 1L, 0.0, 0.0)))
+    val h3 = math.log(4) - 3 * math.log(3) / 4
+    assert(got(3L)._3 == r4(h3), s"mixed entropy ${got(3L)._3} != ${r4(h3)}")
+    assert(got(3L)._4 == r4(h3 / math.log(2)))
+  }
+
+  test("entropy: over-long docs degrade to NULL, never a wrong number or a crash") {
+    import spark.implicits._
+    val long = (1L, Seq.tabulate(graft.operators.TextAnalysis.EntropyLnTableSize + 5)(
+      i => s"w$i").mkString(" "))
+    val got = graft.operators.TextAnalysis.textEntropyOn(
+      Seq(long).toDF("doc_id", "text")).collect()(0)
+    assert(got.isNullAt(3), "entropy past the ln table must be NULL")
+  }
 }
