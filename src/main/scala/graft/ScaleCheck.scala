@@ -171,7 +171,7 @@ object ScaleCheck {
       .write.mode("overwrite").parquet(s"$dir/graph/lineitem.parquet")
     } // end !skipNonEmbedding
 
-    if (!skipNonGraph && !allSelfSynth) {
+    if (!skipNonGraph && !allSelfSynth && !allEventsOnly) {
     // embeddings (semantic tier): 100× sf0.1's 2k vectors, 64-dim,
     // clustered around 32 seeded centers (the shape the IVF quantizer
     // exists for) — deterministic hash-noise, no rand()
@@ -397,8 +397,7 @@ object ScaleCheck {
     val scd2Apply = if (!only("stream_scd2_apply")) None else Some {
       val lake = operators.Scratch.diskDir("graft_scale_scd2")
       def bucketed(df: org.apache.spark.sql.DataFrame) = df.withColumn("bucket",
-        pmod(xxhash64(col("user_id")),
-          lit(streaming.Streams.CdcBuckets.toLong)).cast("int"))
+        streaming.Streams.cdcBucket(col("user_id")))
       val ev = sources.Tables.events(spark, dir)
         .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
       streaming.Streams.scd2MicroBatch(bucketed(ev), lake,

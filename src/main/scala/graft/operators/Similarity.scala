@@ -329,8 +329,16 @@ object Similarity {
         .withColumn("cn", V.l2Norm(col("ce")))
     }
 
-    // --- index: one nearest-cell assignment per corpus vector
-    (assignNearest(v, centroids, "cell", "ce", "cn"), centroids)
+    // --- index: one nearest-cell assignment per corpus vector.
+    // The centroid frame is STAGED first (review finding r13): its
+    // lineage embeds the Lloyd refinement — itself a full-corpus
+    // assignment pass — and every consumer that collects or joins it
+    // (the index assignment here, knnIvfOn's probe window,
+    // knnGraphOn's top-cells scan) would otherwise re-run that pass.
+    // C rows of doubles: one tiny write, exact parquet round-trip,
+    // and the build happens exactly once per index.
+    val staged = Scratch.stageReuse(centroids, "ivf_centroids")
+    (assignNearest(v, staged, "cell", "ce", "cn"), staged)
   }
 
   /** `cells <= 0` (the default) auto-sizes the coarse quantizer from

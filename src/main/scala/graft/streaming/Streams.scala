@@ -475,10 +475,12 @@ object Streams {
                          bb: DataFrame, batch: DataFrame,
                          outPath: String, indexPath: String): Unit = {
     val affected = bb.select("ixb").distinct()
-    val existing =
-      try spark.read.parquet(indexPath)
-        .join(broadcast(affected), Seq("ixb"), "left_semi")
-      catch { case _: org.apache.spark.sql.AnalysisException => bb.limit(0) }
+    // try scoped to the read (see readLakeOpt): an incompatible claim
+    // index must fail at the join, not read as empty (which would
+    // re-admit every previously-claimed near-duplicate)
+    val existing = readLakeOpt(spark, indexPath)
+      .map(_.join(broadcast(affected), Seq("ixb"), "left_semi"))
+      .getOrElse(bb.limit(0))
     val collidedPrior = bb.join(existing, Seq("band", "bucket"), "left_semi")
       .select("doc_id")
     val intraBatch = bb.groupBy("band", "bucket")
@@ -515,18 +517,26 @@ object Streams {
     * dynamic-overwrite those partitions (durable staging — see
     * Sinks.stageAndReplace; per-batch unique path so concurrent
     * queries sharing a lake dir never clobber each other). */
+  /** The lake if it exists, None on a missing/empty path. The try
+    * scopes to the READ alone (review finding r13): an
+    * existing-but-incompatible lake (wrong schema, missing partition
+    * column) must fail loudly at the downstream join — swallowing it
+    * here would read as "empty lake" and dynamic-overwrite affected
+    * partitions with only the batch's rows, silently dropping prior
+    * history. */
+  private def readLakeOpt(spark: SparkSession, path: String): Option[DataFrame] =
+    try Some(spark.read.parquet(path))
+    catch { case _: org.apache.spark.sql.AnalysisException => None }
+
   private def mergeMicroBatch(batch: DataFrame, l2Path: String,
                               partitionCol: String,
                               keys: Seq[org.apache.spark.sql.Column],
                               tmpPrefix: String): Unit = {
     val spark = batch.sparkSession
     val parts = batch.select(partitionCol).distinct()
-    val existing =
-      try spark.read.parquet(l2Path)
-        .join(broadcast(parts), Seq(partitionCol), "left_semi")
-      catch { case _: org.apache.spark.sql.AnalysisException =>
-        batch.limit(0)
-      }
+    val existing = readLakeOpt(spark, l2Path)
+      .map(_.join(broadcast(parts), Seq(partitionCol), "left_semi"))
+      .getOrElse(batch.limit(0))
     val merged = graft.operators.Merge.keepLatest(
       existing.unionByName(batch),
       keys = keys, orderCol = col("ts"), tiebreak = col("event_id"))
@@ -553,6 +563,16 @@ object Streams {
     * in must be a pure function of the KEY, so each micro-batch can
     * read exactly the partitions its keys could occupy. */
   val CdcBuckets = 32
+
+  /** THE bucket expression every key-hash-bucketed lake in this file
+    * uses (CDC apply, GDPR erasure, SCD2 log + intervals) — one
+    * definition, because the write path and every read/prune path
+    * must compute identical buckets or a batch's "affected buckets"
+    * disagrees with where the lake stored the key (review finding
+    * r13: the formula had been hand-copied per site). int, not long:
+    * partition-directory values read back as ints. */
+  def cdcBucket(keyCol: Column, nBuckets: Int = CdcBuckets): Column =
+    pmod(xxhash64(keyCol), lit(nBuckets.toLong)).cast("int")
 
   /** Streaming CDC apply sink: [[upsertSink]] generalized to
     * tombstone-bearing change feeds. The lake is partitioned by
@@ -583,11 +603,7 @@ object Streams {
     // sidecar is a statement about data that exists, not intent.
     requireCdcConvention(changes.sparkSession, l2Path, opCol, deleteOp)
     changes
-      // int, not long: partition-directory values read back as ints,
-      // and a long here would make the lake's key type flip between
-      // the write path and every read-back join
-      .withColumn("bucket",
-        pmod(xxhash64(col("user_id")), lit(nBuckets.toLong)).cast("int"))
+      .withColumn("bucket", cdcBucket(col("user_id"), nBuckets))
       .writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
@@ -734,8 +750,7 @@ object Streams {
                     nBuckets: Int = CdcBuckets): Long = {
     recoverPendingErasure(spark, l2Path)
     val keys = keyDf.select(col("user_id")).distinct()
-      .withColumn("bucket",
-        pmod(xxhash64(col("user_id")), lit(nBuckets.toLong)).cast("int"))
+      .withColumn("bucket", cdcBucket(col("user_id"), nBuckets))
     // the deletion list is request-sized: broadcast both probes
     val affected = keys.select("bucket").distinct()
     val existing = spark.read.parquet(l2Path)
@@ -886,9 +901,7 @@ object Streams {
                deleteOp: String = graft.operators.Etl.CdcDeleteType,
                nBuckets: Int = CdcBuckets) =
     changes
-      // int, not long: the same read-back-type rule as cdcApplySink
-      .withColumn("bucket",
-        pmod(xxhash64(col(keyCol)), lit(nBuckets.toLong)).cast("int"))
+      .withColumn("bucket", cdcBucket(col(keyCol), nBuckets))
       .writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
@@ -908,10 +921,11 @@ object Streams {
     val spark = batch.sparkSession
     val logPath = s"$lakePath/$Scd2LogDir"
     val parts = batch.select("bucket").distinct()
-    val existing =
-      try spark.read.parquet(logPath)
-        .join(broadcast(parts), Seq("bucket"), "left_semi")
-      catch { case _: org.apache.spark.sql.AnalysisException => batch.limit(0) }
+    // try scoped to the read (see readLakeOpt): an incompatible log
+    // must fail at the join, not silently read as empty
+    val existing = readLakeOpt(spark, logPath)
+      .map(_.join(broadcast(parts), Seq("bucket"), "left_semi"))
+      .getOrElse(batch.limit(0))
     // equal pk = the same change (the feed's contract), so which copy
     // dropDuplicates keeps is immaterial — and a replayed batch leaves
     // the log bit-identical
@@ -972,8 +986,7 @@ object Streams {
   def scd2Batch(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
       .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
-      .withColumn("bucket",
-        pmod(xxhash64(col("user_id")), lit(CdcBuckets.toLong)).cast("int"))
+      .withColumn("bucket", cdcBucket(col("user_id")))
     graft.operators.Merge.scd2Changelog(ev,
         keys = Seq(col("user_id")), stateCol = col("event_type"),
         orderCol = col("ts"), tiebreak = col("event_id"),
