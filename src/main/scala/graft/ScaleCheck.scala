@@ -53,7 +53,7 @@ object ScaleCheck {
     // skips the (10× larger) lineitem/documents/part writes, which
     // otherwise dominate a 1000× measurement session
     val eventsOnly = Set("agg_distinct_intersect", "agg_approx_ndv",
-      "agg_sketch_union", "stream_scd2_apply")
+      "agg_sketch_union", "stream_scd2_apply", "etl_scd2_enrich")
     val allEventsOnly = args.length > 1 &&
       args(1).split(",").forall(k => eventsOnly(k) || selfSynth(k))
     if (!skipNonEmbedding && !skipNonGraph && !allSelfSynth) {
@@ -306,6 +306,7 @@ object ScaleCheck {
       // the row exists to show the executor's overhead bound, the
       // straggler-spread assert lives in MaintainSpec)
       run("etl_cdc_scd2", operators.Etl.cdcScd2(spark, dir)),
+      run("etl_scd2_enrich", operators.Etl.scd2Enrich(spark, dir)),
       run("stream_minhash_dedupe", streaming.Streams.minhashGuardBatch(spark, dir)),
       run("agg_cms_union", operators.Sketches.aggCmsUnion(spark, dir)),
       run("agg_hist_union", operators.Quantiles.aggHistUnion(spark, dir)),

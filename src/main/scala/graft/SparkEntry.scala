@@ -41,6 +41,7 @@ object SparkEntry {
     "etl_scd2"             -> (Etl.scd2History(_, _)),
     "etl_cdc_apply"        -> (Etl.cdcApply(_, _)),
     "etl_cdc_scd2"         -> (Etl.cdcScd2(_, _)),
+    "etl_scd2_enrich"      -> (Etl.scd2Enrich(_, _)),
     "etl_snapshot_diff"    -> (Etl.etlSnapshotDiff(_, _)),
     "etl_merge_into"       -> (Etl.etlMergeInto(_, _)),
     "sample_quality_topfrac" -> ((s, d) => Etl.sampleQualityTopFrac(s, d)),
@@ -188,6 +189,7 @@ object SparkEntry {
     // keep-latest generalized to tombstone-bearing change feeds
     "etl_cdc_apply"        -> Etl.cdcApplyOracleSql,
     "etl_cdc_scd2"         -> Etl.cdcScd2OracleSql,
+    "etl_scd2_enrich"      -> Etl.scd2EnrichOracleSql,
     "q1_pricing_summary"   -> Analytics.q1OracleSql,
     "q3_shipping_priority" -> Analytics.q3OracleSql,
     "q5_local_supplier"    -> Analytics.q5OracleSql,

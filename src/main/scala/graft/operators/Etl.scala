@@ -884,6 +884,80 @@ object Etl {
        |SELECT user_id, state, eff_start, eff_end, is_current
        |FROM iv WHERE state IS DISTINCT FROM '$CdcDeleteType'""".stripMargin
 
+  /** Point-in-time SCD2 ENRICHMENT (key `etl_scd2_enrich`): the
+    * other half of the SCD2 contract — [[cdcScd2]] BUILDS validity
+    * intervals, this READS them to answer "what state was the key in
+    * when this fact happened", the temporal dimension join every
+    * lakehouse star schema needs (Delta/Iceberg "join the dimension
+    * AS OF the fact's timestamp"). Driver shape: purchase events are
+    * the facts; the change feed is every NON-purchase event (the
+    * user's browsing state, with [[CdcDeleteType]] tombstones), so
+    * each purchase is stamped with what the user was doing when they
+    * bought. A purchase before the user's first observed state, or
+    * inside a deleted span (the tombstone closed the interval, no
+    * re-insert yet), reads NULL — the honest as-of answer, via the
+    * left join.
+    *
+    * Plan shape: the interval build is the one-shuffle [[cdcScd2]]
+    * window pass; the enrich is an EQUI-join on the key with the
+    * half-open containment (`eff_start <= ts < eff_end`, null-open
+    * current) as a join filter — per-key intervals are
+    * change-count-bounded, so the join is a plain hash join on
+    * user_id, no range binning needed. ≤1 interval covers any ts
+    * (intervals partition the key's timeline), so output is
+    * fact-sized. A key whose history is pathologically hot would use
+    * the binned [[RangeJoin.qIntervalJoin]] shape instead; serving
+    * the STREAMING lake is the same join against
+    * [[graft.streaming.Streams.readScd2]]. */
+  def scd2Enrich(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val hist = Merge.scd2Changelog(
+        ev.filter(col("event_type") =!= lit("purchase"))
+          .select(col("user_id"), col("event_type"), col("ts"), col("event_id")),
+        keys = Seq(col("user_id")),
+        stateCol = col("event_type"),
+        orderCol = col("ts"), tiebreak = col("event_id"),
+        opCol = col("event_type"), deleteOp = CdcDeleteType)
+      .select(col("user_id").as("h_user_id"), col("event_type").as("state"),
+        col("eff_start"), col("eff_end"))
+    ev.filter(col("event_type") === lit("purchase"))
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      .join(hist,
+        col("user_id") === col("h_user_id") &&
+          col("ts") >= col("eff_start") &&
+          (col("eff_end").isNull || col("ts") < col("eff_end")),
+        "left")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+        col("state").as("state_asof"))
+  }
+
+  // the cdcScd2 oracle chain re-rooted on the non-purchase feed,
+  // then the half-open containment left join
+  val scd2EnrichOracleSql: String =
+    s"""WITH ch AS (
+       |  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id,
+       |    LAG(event_type) OVER (
+       |      PARTITION BY user_id ORDER BY ts, event_id) AS prev,
+       |    ROW_NUMBER() OVER (
+       |      PARTITION BY user_id ORDER BY ts, event_id) AS rn
+       |  FROM events WHERE event_type <> 'purchase'),
+       |c AS (
+       |  SELECT user_id, event_type, ts, event_id FROM ch
+       |  WHERE rn = 1 OR prev IS DISTINCT FROM event_type),
+       |iv AS (
+       |  SELECT user_id, event_type AS state, ts AS eff_start,
+       |    LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS eff_end
+       |  FROM c),
+       |hist AS (
+       |  SELECT * FROM iv WHERE state IS DISTINCT FROM '$CdcDeleteType'),
+       |f AS (
+       |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value
+       |  FROM events WHERE event_type = 'purchase')
+       |SELECT f.event_id, f.user_id, f.ts, f.value, h.state AS state_asof
+       |FROM f LEFT JOIN hist h ON f.user_id = h.user_id
+       |  AND f.ts >= h.eff_start
+       |  AND (h.eff_end IS NULL OR f.ts < h.eff_end)""".stripMargin
+
   /** CDC changelog apply (key `etl_cdc_apply`): the event log read as
     * a change feed over the per-user profile row — each event is an
     * upsert of that user's latest state, except [[CdcDeleteType]]

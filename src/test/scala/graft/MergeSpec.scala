@@ -287,4 +287,32 @@ class MergeSpec extends SparkSpecBase {
     assert(cdc.subsetOf(merged))
     assert(merged.nonEmpty)
   }
+
+  test("scd2 enrich: as-of state covers, delete spans and pre-history read NULL") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    def ts(x: String) = java.sql.Timestamp.valueOf(x)
+    // user 5's browsing history: a@10, b@12, deleted@14, a@16
+    // purchases at 09 (pre-history), 11 (inside a-run), 13 (inside
+    // b-run), 15 (inside the deleted span), 17 (after re-insert)
+    val ev = Seq(
+      (1L, ts("2024-03-01 10:00:00"), 5L, "a", 0.0),
+      (2L, ts("2024-03-01 12:00:00"), 5L, "b", 0.0),
+      (3L, ts("2024-03-01 14:00:00"), 5L, "error", 0.0),
+      (4L, ts("2024-03-01 16:00:00"), 5L, "a", 0.0),
+      (10L, ts("2024-03-01 09:00:00"), 5L, "purchase", 1.0),
+      (11L, ts("2024-03-01 11:00:00"), 5L, "purchase", 2.0),
+      (12L, ts("2024-03-01 13:00:00"), 5L, "purchase", 3.0),
+      (13L, ts("2024-03-01 15:00:00"), 5L, "purchase", 4.0),
+      (14L, ts("2024-03-01 17:00:00"), 5L, "purchase", 5.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .withColumn("props", lit("{}"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_scd2_enrich").toString
+    ev.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = graft.operators.Etl.scd2Enrich(spark, dir).collect()
+      .map(r => r.getLong(0) -> Option(r.getString(4)).orNull).toMap
+    assert(got == Map(10L -> null, 11L -> "a", 12L -> "b",
+      13L -> null, 14L -> "a"),
+      s"as-of states wrong: $got")
+  }
 }

@@ -124,6 +124,16 @@ class PlanSpec extends SparkSpecBase {
       s"staged index not consumed by both sides:\n$p")
   }
 
+  test("scd2 enrich: temporal join is an equi-join on the key, containment as filter") {
+    val p = plan(graft.operators.Etl.scd2Enrich(spark, sfDir))
+    // the as-of join must keep its user_id equi-key (per-key intervals
+    // are change-count-bounded) — a lost key here degrades to a
+    // nested-loop over fact x all-intervals
+    assert(!p.contains("CartesianProduct"), s"scd2 enrich went cartesian:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"scd2 enrich lost its equi-key:\n$p")
+  }
+
   test("vec covariance: map-side partial aggregation, means broadcast, no product") {
     val p = plan(graft.operators.Similarity.vecCovariance(spark, sfDir))
     // the n*d^2/2 generated pair terms must collapse to the d^2/2
