@@ -680,7 +680,8 @@ object Dedup {
     * the persisted IVF index once the survivors are consumed. */
   def semanticDedupWithHandle(vectors: DataFrame, tau: Double = CosineTau,
                               cells: Int = 0): (DataFrame, DataFrame) = {
-    val (indexedRaw, _) = Similarity.ivfIndex(vectors, cells)
+    val (indexedRaw, _) =
+      Similarity.ivfIndex(vectors, cells, "ivf_centroids_dedup_semantic")
     val indexed = indexedRaw
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val slim = indexed.select(col("vec_id"), col("e"), col("nrm"), col("cell"))

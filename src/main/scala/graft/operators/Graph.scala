@@ -473,7 +473,8 @@ object Graph {
     * "what is ROBUSTLY connected"). Report = top-K core members by
     * within-core degree beside the 1-row core summary. */
   def graphKcore(spark: SparkSession, dir: String): DataFrame =
-    kcoreOn(staged(supportedEdges(spark, dir), "graft_kcore_edges"))
+    kcoreOn(staged(supportedEdges(spark, dir), "graft_kcore_edges"),
+      oracleRoundBudget = Some(KcorePeelRounds))
 
   /** Generic k-core over a distinct undirected (u, v) edge list.
     *
@@ -488,8 +489,16 @@ object Graph {
     * the convergence count — unbroken lineage would re-expand 3^rounds).
     * Convergence = edge count unchanged (no edge removed ⇒ no degree
     * changed ⇒ fixpoint); the count runs on the just-materialized
-    * blocks, not a recompute. */
-  def kcoreOn(edges: DataFrame, k: Int = KcoreK, topK: Int = TopK): DataFrame = {
+    * blocks, not a recompute.
+    *
+    * `oracleRoundBudget`: the unrolled-round budget of a fixed-depth
+    * SQL oracle (e.g. [[KcorePeelRounds]]). The engine always runs to
+    * the true fixpoint; if set and convergence takes MORE rounds than
+    * the oracle unrolls, the oracle is under-unrolled and a correctness
+    * mismatch would otherwise surface with an inscrutable cause — so
+    * we fail fast here with the real diagnosis instead. */
+  def kcoreOn(edges: DataFrame, k: Int = KcoreK, topK: Int = TopK,
+              oracleRoundBudget: Option[Int] = None): DataFrame = {
     def truncated(df: DataFrame): DataFrame =
       if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
         df.checkpoint(eager = true)
@@ -497,6 +506,7 @@ object Graph {
     var alive = truncated(edges.select(col("u"), col("v")))
     var n = alive.count()
     var converged = n == 0
+    var rounds = 0
     while (!converged) {
       val survivors = degrees(alive).where(col("deg") >= k).select(col("node"))
       val next = truncated(alive
@@ -505,6 +515,14 @@ object Graph {
       val n2 = next.count()
       converged = n2 == n
       alive = next; n = n2
+      rounds += 1
+    }
+    oracleRoundBudget.foreach { budget =>
+      require(rounds <= budget,
+        s"k-core peeling converged in $rounds rounds but the fixed-depth " +
+          s"oracle only unrolls $budget — raise KcorePeelRounds (the engine " +
+          "result is correct; the ORACLE is under-unrolled and would " +
+          "report a false mismatch)")
     }
     val coreDeg = degrees(alive)
     val totals = coreDeg.agg(count(lit(1)).as("n_core_nodes"))

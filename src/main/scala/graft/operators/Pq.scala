@@ -315,7 +315,8 @@ object Pq {
 
     // --- coarse index: the shared IVF build (auto-C by default — the
     //     same knob knn_ivf and the dedup tier run on)
-    val (indexed, centroids) = Similarity.ivfIndex(vectors, cells)
+    val (indexed, centroids) =
+      Similarity.ivfIndex(vectors, cells, "ivf_centroids_knn_ivf_pq")
     val spark = vectors.sparkSession
     import spark.implicits._
 
@@ -469,12 +470,57 @@ object Pq {
     * candidate sliver (Rerank·Q rows — a point-lookup join at scale). */
   case class IvfPqIndex(centroids: DataFrame, codebooks: DataFrame, codes: DataFrame)
 
+  /** The M·Kc codebook table collected into per-subspace
+    * (code, centroid) arrays sorted by code id — the closure form both
+    * the encode pass and the ADC tables consume. Bounded: M·Kc rows of
+    * subW doubles. */
+  private def centsByMFrom(codebooks: DataFrame)
+      : Array[Array[(Long, Array[Double])]] = {
+    val rows = codebooks.collect().map(r =>
+      (r.getInt(0), r.getLong(1), r.getSeq[Double](2).toArray))
+    Array.tabulate(M)(m =>
+      rows.filter(_._1 == m).sortBy(_._2).map(t => (t._2, t._3)))
+  }
+
+  /** THE encode pass: one narrow map over (vec_id, u, cell) producing
+    * the M code ids per vector against a FIXED codebook closure.
+    * Shared by [[buildIvfPq]] and [[appendToIvfPq]] so the append path
+    * is bit-identical to the build's encode by construction. */
+  private def encodeCodes(un: DataFrame,
+                          centsByM: Array[Array[(Long, Array[Double])]],
+                          subW: Int): DataFrame = {
+    val spark = un.sparkSession
+    import spark.implicits._
+    un.as[(Long, Array[Double], Long)]
+      .mapPartitions { it =>
+        it.map { case (vid, u, cell) =>
+          val cs = new Array[Long](M)
+          var m = 0
+          while (m < M) {
+            cs(m) = centsByM(m)(Pq.argminCode(u, m * subW, subW, centsByM(m)))._1
+            m += 1
+          }
+          (vid, cell, cs)
+        }
+      }.toDF("vec_id", "cell", "codes")
+  }
+
   /** Build the staged index: the SAME deterministic build the one-shot
     * [[knnIvfPqOn]] runs (shared `ivfIndex` + per-subspace codebooks),
     * with every corpus vector encoded once. Encode pays n·M·Kc
     * multiply-adds in one narrow pass — the build cost the one-shot
-    * key folds into every call and a serving deployment pays once. */
-  def buildIvfPq(vectors: DataFrame, dim: Int = 0, cells: Int = 0): IvfPqIndex = {
+    * key folds into every call and a serving deployment pays once.
+    *
+    * `trainOn` (null = `vectors`): the TRAINING corpus for centroids
+    * and codebooks, independent of the INDEXED corpus — the
+    * incremental-lifecycle contract. `buildIvfPq(a ∪ b, trainOn = a)`
+    * is bit-identical to `appendToIvfPq(buildIvfPq(a), b)`
+    * (spec-asserted): same ivfIndex(a) centroids, same a-trained
+    * codebooks, same assign+encode arithmetic for b — which is what
+    * makes the append path oracle-able against a full rebuild. */
+  def buildIvfPq(vectors: DataFrame, dim: Int = 0, cells: Int = 0,
+                 trainOn: DataFrame = null): IvfPqIndex = {
+    val train = Option(trainOn).getOrElse(vectors)
     val d =
       if (dim > 0) dim
       else vectors.select(size(col("embedding")).as("__d"))
@@ -485,7 +531,8 @@ object Pq {
       }
     require(d % M == 0, s"embedding dim $d must be divisible by M=$M")
     val subW = d / M
-    val (indexed, centroids) = Similarity.ivfIndex(vectors, cells)
+    val (indexed, centroids) =
+      Similarity.ivfIndex(train, cells, "ivf_centroids_build_ivf_pq")
     val spark = vectors.sparkSession
     import spark.implicits._
     val un = indexed.select(col("vec_id"),
@@ -518,26 +565,84 @@ object Pq {
       .agg(sort_array(collect_list(struct(col("pos"), col("mean")))).as("pm"))
       .select(col("m"), col("code"),
         transform(col("pm"), p => p.getField("mean")).as("cs"))
-    val centsByM: Array[Array[(Long, Array[Double])]] = {
-      val rows = codebooks.collect().map(r =>
-        (r.getInt(0), r.getLong(1), r.getSeq[Double](2).toArray))
-      Array.tabulate(M)(m =>
-        rows.filter(_._1 == m).sortBy(_._2).map(t => (t._2, t._3)))
-    }
+    val centsByM = centsByMFrom(codebooks)
+    // the INDEXED corpus: when training is decoupled, assign every
+    // corpus vector to the trained centroids (the append arithmetic)
+    val unAll =
+      if (trainOn == null) un
+      else {
+        val vAll = vectors
+          .select(col("vec_id"), V.toDouble(col("embedding")).as("e"))
+          .withColumn("nrm", V.l2Norm(col("e")))
+        Similarity.assignNearest(vAll, centroids, "cell", "ce", "cn")
+          .select(col("vec_id"),
+            transform(col("e"), x => x / col("nrm")).as("u"), col("cell"))
+      }
     // one narrow encode pass: vec_id -> (cell, M code ids in m order)
-    val codes = un.as[(Long, Array[Double], Long)]
-      .mapPartitions { it =>
-        it.map { case (vid, u, cell) =>
-          val cs = new Array[Long](M)
-          var m = 0
-          while (m < M) {
-            cs(m) = centsByM(m)(Pq.argminCode(u, m * subW, subW, centsByM(m)))._1
-            m += 1
-          }
-          (vid, cell, cs)
-        }
-      }.toDF("vec_id", "cell", "codes")
+    val codes = encodeCodes(unAll, centsByM, subW)
     IvfPqIndex(centroids, codebooks, codes)
+  }
+
+  /** Incremental index maintenance: assign + encode `newVectors`
+    * against the EXISTING centroids and codebooks — no Lloyd, no
+    * codebook training, no touch of the already-encoded corpus — and
+    * return the index with the new codes appended. The daily-corpus
+    * lifecycle ([[graft.operators.Dedup.dedupIncremental]] precedent):
+    * a per-ds ingest cannot re-run training over 100 TB, and does not
+    * need to — nearest-cell assignment against fixed centroids is
+    * deterministic, so `appendToIvfPq(buildIvfPq(a), b)` answers
+    * queries bit-identically to `buildIvfPq(a ∪ b, trainOn = a)`
+    * (spec-asserted), and appends compose:
+    * `append(append(i, b1), b2) == append(i, b1 ∪ b2)`.
+    *
+    * Cost: one narrow pass over the NEW vectors (|new|·C·d assignment
+    * multiply-adds + |new|·M·Kc encode) — independent of the indexed
+    * corpus size. Caller contract: new vec_ids are disjoint from the
+    * indexed ones (same contract as the underlying corpus), and
+    * centroid quality is the build corpus's — re-train when drift
+    * accumulates, the standard IVF reindex cadence. */
+  def appendToIvfPq(index: IvfPqIndex, newVectors: DataFrame,
+                    dim: Int = 0): IvfPqIndex =
+    index.copy(codes =
+      index.codes.unionByName(encodeAgainst(index, newVectors, dim)))
+
+  /** The append arithmetic alone: `newVectors` assigned + encoded
+    * against `index`'s artifacts, as a codes frame. */
+  private def encodeAgainst(index: IvfPqIndex, newVectors: DataFrame,
+                            dim: Int): DataFrame = {
+    val d =
+      if (dim > 0) dim
+      else index.codebooks.select(size(col("cs")).as("__w"))
+        .limit(1).collect().headOption match {
+        case Some(r) => r.getInt(0) * M
+        case None => throw new IllegalArgumentException(
+          "cannot append to an index with empty codebooks")
+      }
+    require(d % M == 0, s"embedding dim $d must be divisible by M=$M")
+    val subW = d / M
+    val vNew = newVectors
+      .select(col("vec_id"), V.toDouble(col("embedding")).as("e"))
+      .withColumn("nrm", V.l2Norm(col("e")))
+    val unNew = Similarity.assignNearest(vNew, index.centroids, "cell", "ce", "cn")
+      .select(col("vec_id"),
+        transform(col("e"), x => x / col("nrm")).as("u"), col("cell"))
+    encodeCodes(unNew, centsByMFrom(index.codebooks), subW)
+  }
+
+  /** Durable append against a [[writeIvfPqIndex]]-staged index: encode
+    * the new vectors against the staged artifacts and APPEND only
+    * their cell-clustered code files — centroids, codebooks, and every
+    * existing code file stay byte-identical (spec-asserted), which is
+    * what makes a daily append write O(|new|), not O(index). Returns
+    * the number of appended code rows. */
+  def appendIvfPqIndex(spark: SparkSession, path: String,
+                       newVectors: DataFrame, dim: Int = 0): Long = {
+    val index = readIvfPqIndex(spark, path)
+    val newCodes = encodeAgainst(index, newVectors, dim)
+    val staged = graft.operators.Scratch.stageReuse(newCodes, "ivf_pq_append_codes")
+    staged.repartition(col("cell")).sortWithinPartitions(col("cell"))
+      .write.mode("append").parquet(s"$path/codes")
+    staged.count()
   }
 
   /** Stage the index durably (three parquet frames under `path`). */

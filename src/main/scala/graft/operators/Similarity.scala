@@ -294,9 +294,20 @@ object Similarity {
     * vector. Returns (indexed [vec_id, e, nrm, cell, sim], centroids
     * [cell, ce, cn]) — `sim` is each vector's cosine to its own
     * centroid, which the cluster-summary/semantic-dedup operators
-    * consume. */
+    * consume.
+    *
+    * `stagePrefix` names the [[Scratch.reuseDir]] the centroid frame
+    * is staged into. Each IVF-backed OPERATOR passes its own prefix
+    * (advice finding r13): the reuse dir is overwritten on
+    * re-invocation, so a shared prefix would let constructing a
+    * second operator's frame invalidate an earlier, not-yet-consumed
+    * plan's centroid files mid-flight. With per-operator prefixes the
+    * single-live-plan invariant is scoped to re-invoking the SAME
+    * operator — exactly [[Scratch.reuseDir]]'s documented contract. */
   private[operators] def ivfIndex(vectors: DataFrame,
-                                  cells: Int = 0): (DataFrame, DataFrame) = {
+                                  cells: Int = 0,
+                                  stagePrefix: String = "ivf_centroids")
+      : (DataFrame, DataFrame) = {
     // cells <= 0 = auto-size from the corpus count (one COUNT(*) job —
     // a scan returning a single scalar, the same count the oracle's
     // ncells CTE takes; Catalyst prunes every column out of it)
@@ -337,7 +348,7 @@ object Similarity {
     // knnGraphOn's top-cells scan) would otherwise re-run that pass.
     // C rows of doubles: one tiny write, exact parquet round-trip,
     // and the build happens exactly once per index.
-    val staged = Scratch.stageReuse(centroids, "ivf_centroids")
+    val staged = Scratch.stageReuse(centroids, stagePrefix)
     (assignNearest(v, staged, "cell", "ce", "cn"), staged)
   }
 
@@ -347,7 +358,7 @@ object Similarity {
     * almost nothing (the measured 1000× build-dominated wall). Pass an
     * explicit positive C to pin it. */
   def knnIvfOn(vectors: DataFrame, k: Int = K, cells: Int = 0): DataFrame = {
-    val (indexed, centroids) = ivfIndex(vectors, cells)
+    val (indexed, centroids) = ivfIndex(vectors, cells, "ivf_centroids_knn_ivf")
 
     // --- search: per query, the nprobe nearest cells, then exact
     //     rerank over only those cells' postings. Query vectors come
@@ -394,7 +405,7 @@ object Similarity {
     * cell — the (sim desc, cell asc) window convention. The codebook
     * collect is bounded: C rows (√(n/2) auto-sized — ~22k rows × d
     * doubles even at a 10^9-vector corpus). */
-  private def assignNearest(v: DataFrame, centroids: DataFrame,
+  private[operators] def assignNearest(v: DataFrame, centroids: DataFrame,
                             cellCol: String, ceCol: String, cnCol: String): DataFrame = {
     val spark = v.sparkSession
     import spark.implicits._
@@ -602,7 +613,8 @@ object Similarity {
     knnGraphOn(Tables.embeddings(spark, dir), k)
 
   def knnGraphOn(vectors: DataFrame, k: Int = GraphK): DataFrame = {
-    val (indexed0, centroids) = ivfIndex(vectors)
+    val (indexed0, centroids) = ivfIndex(vectors,
+      stagePrefix = "ivf_centroids_knn_graph")
     val indexed = Scratch.stageReuse(
       indexed0.select(col("vec_id"), col("e"), col("nrm"), col("cell")),
       "knn_graph_idx")
@@ -740,7 +752,7 @@ object Similarity {
     * cell pair work) n²/16-quadratic; √(n/2) keeps assignment and
     * pair work balanced. Pass an explicit positive C to pin it. */
   def embedClustersOn(vectors: DataFrame, cells: Int = 0): DataFrame = {
-    val (indexed, _) = ivfIndex(vectors, cells)
+    val (indexed, _) = ivfIndex(vectors, cells, "ivf_centroids_embed_clusters")
     // sim involves the CENTROID, whose decimal-mean→double cast is the
     // one conversion the two engines may round 1 ulp apart (Spark
     // correctly rounds; DuckDB multiplies int128 by a rounded 10^-s) —

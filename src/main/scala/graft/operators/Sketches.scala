@@ -151,17 +151,31 @@ object Sketches {
     * what a 100 TB run deletes; the estimates are what it keeps.
     *
     * Determinism: lane mins and registers are exact integers; the
-    * estimate is one double multiply of two replayable doubles. */
+    * estimate is one double multiply of two replayable doubles.
+    *
+    * Empty segments: each side frame is pinned to EXACTLY one row (a
+    * left join from a 1-row anchor), so a segment with zero events
+    * reports `n_?_exact = 0` with NULL signature → NULL
+    * matching_lanes / est_jaccard / est_intersection — the same 1-row
+    * NULL report the oracle's ungrouped SUM produces, instead of the
+    * 0-row frame a bare crossJoin would collapse to. (Both segments
+    * empty remains a precondition: the HLL union estimate has no rows
+    * to group on either engine.) */
   def aggDistinctIntersect(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
       .where(col("event_type").isin(InterTypeA, InterTypeB))
     val sides = ev.groupBy(col("event_type")).agg(
       call_function("minhash_sketch", col("user_id").cast("string")).as("sig"),
       countDistinct(col("user_id")).as("ndv"))
-    val sa = sides.where(col("event_type") === InterTypeA)
-      .select(col("sig").as("sig_a"), col("ndv").as("n_a_exact"))
-    val sb = sides.where(col("event_type") === InterTypeB)
-      .select(col("sig").as("sig_b"), col("ndv").as("n_b_exact"))
+    val anchor = spark.range(1).select(lit(1).as("one"))
+    val sa = anchor.join(
+        sides.where(col("event_type") === InterTypeA), lit(true), "left")
+      .select(col("sig").as("sig_a"),
+        coalesce(col("ndv"), lit(0L)).as("n_a_exact"))
+    val sb = anchor.join(
+        sides.where(col("event_type") === InterTypeB), lit(true), "left")
+      .select(col("sig").as("sig_b"),
+        coalesce(col("ndv"), lit(0L)).as("n_b_exact"))
     val unionEst = ev.agg(
       call_function("hll_ndv", xxhash64(col("user_id")), lit(P)).as("est_union"))
     // exact intersection: one user-keyed two-flag aggregate

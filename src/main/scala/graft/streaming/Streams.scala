@@ -494,7 +494,12 @@ object Streams {
       .select(col("doc_id"), col("source"))
     // output BEFORE index append — see ordering note in the scaladoc
     kept.write.mode("append").parquet(outPath)
+    // anti-join against the already-read index slice: a recurring
+    // bucket would otherwise re-append its claim every batch, growing
+    // the index (and the per-batch semi-join read) without bound; as
+    // a bonus the append is now idempotent under batch replay
     bb.select("ixb", "band", "bucket").distinct()
+      .join(existing, Seq("ixb", "band", "bucket"), "left_anti")
       .write.mode("append").partitionBy("ixb").parquet(indexPath)
     ()
   }
@@ -732,18 +737,18 @@ object Streams {
     * overwrite of the surviving buckets, then removal of the bucket
     * directories the delete emptied), and a crash between them would
     * leave stale files that resurrect every supposedly-erased key in
-    * the emptied buckets. Before the first mutation the emptied-bucket
-    * list is persisted to `[[GdprPendingFile]]` inside the lake; the
-    * marker is removed only after the directory deletes complete.
-    * Every [[cdcDeleteKeys]] call first heals any pending marker
-    * (completing the interrupted deletes), [[recoverPendingErasure]]
-    * does the same standalone, and [[readCdcSnapshot]] refuses a lake
-    * with a pending marker rather than serve resurrected rows. The
-    * heal restores lake consistency; COMPLETION of an erasure whose
-    * success was never observed is guaranteed by re-running
-    * [[cdcDeleteKeys]] with the same key list (idempotent). Single
-    * writer assumed (the marker is transiently present during a
-    * healthy erasure run).
+    * the emptied buckets. Before the first mutation the FULL erasure
+    * plan — emptied buckets, affected buckets, and the key list — is
+    * persisted to `[[GdprPendingFile]]` inside the lake; the marker is
+    * removed only after every mutation completes. Every
+    * [[cdcDeleteKeys]] call first heals any pending marker,
+    * [[recoverPendingErasure]] does the same standalone, and
+    * [[readCdcSnapshot]] refuses a lake with a pending marker rather
+    * than serve resurrected rows. Because the plan is complete, the
+    * heal COMPLETES the erasure (re-runs the surviving-bucket rewrite
+    * from the persisted keys, then the directory deletes), not merely
+    * restores consistency. Single writer assumed (the marker is
+    * transiently present during a healthy erasure run).
     *
     * Returns the number of rows erased. */
   def cdcDeleteKeys(spark: SparkSession, l2Path: String, keyDf: DataFrame,
@@ -768,17 +773,28 @@ object Streams {
     val emptied = affectedArr.filterNot(keptBuckets)
     val fs = new org.apache.hadoop.fs.Path(l2Path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // persist the emptied-bucket list BEFORE any mutation: a crash
-    // after the rewrite but before the directory deletes would
-    // otherwise leave stale files silently resurrecting every erased
-    // key in those buckets (see the crash-recovery scaladoc)
-    if (emptied.nonEmpty) {
+    // persist the FULL erasure plan (emptied buckets, all affected
+    // buckets, the key list) BEFORE any mutation: with only the
+    // emptied-bucket list a crash before the surviving-bucket rewrite
+    // would leave erased keys in the non-emptied buckets and the heal
+    // could only restore consistency, not complete the erasure
+    // (advice finding r13). The key list is request-sized by the
+    // erasure contract, so persisting it is cheap.
+    if (affectedArr.nonEmpty) {
+      // keys rendered base64(UTF-8 of string form): newline-proof
+      val keyStrs = keys.select(col("user_id").cast("string"))
+        .collect().map(r => java.util.Base64.getEncoder
+          .encodeToString(r.getString(0).getBytes("UTF-8")))
+      val body = (Seq(GdprMarkerV2,
+        s"emptied:${emptied.sorted.mkString(",")}",
+        s"affected:${affectedArr.sorted.mkString(",")}") ++ keyStrs)
+        .mkString("\n")
       // temp-then-rename: a crash mid-write must never leave a
       // TRUNCATED marker — recovery would parse a prefix of a bucket
       // number and delete a healthy bucket (review finding r13)
       val tmp = new org.apache.hadoop.fs.Path(l2Path, s"$GdprPendingFile.tmp")
       val out = fs.create(tmp, true)
-      try out.write(emptied.sorted.mkString("\n").getBytes("UTF-8"))
+      try out.write(body.getBytes("UTF-8"))
       finally out.close()
       if (!fs.rename(tmp, pendingErasurePath(l2Path))) {
         fs.delete(pendingErasurePath(l2Path), false)
@@ -799,8 +815,8 @@ object Streams {
       fs.delete(new org.apache.hadoop.fs.Path(l2Path, s"bucket=$b"), true)
       ()
     }
-    // deletes complete — the erasure is durable, retire the marker
-    if (emptied.nonEmpty) fs.delete(pendingErasurePath(l2Path), false)
+    // erasure durable — retire the marker
+    if (affectedArr.nonEmpty) fs.delete(pendingErasurePath(l2Path), false)
     before - after
   }
 
@@ -809,41 +825,84 @@ object Streams {
     * mutation steps (or after a crash between them). */
   val GdprPendingFile = "_gdpr_pending_deletes"
 
+  /** First line of a complete-able pending-erasure marker: versioned
+    * so a legacy emptied-buckets-only marker (pre-r14) still heals to
+    * consistency, with an explicit must-re-run warning instead of a
+    * silently-cleared guard. */
+  val GdprMarkerV2 = "gdpr-erasure-v2"
+
   private def pendingErasurePath(l2Path: String): org.apache.hadoop.fs.Path =
     new org.apache.hadoop.fs.Path(l2Path, GdprPendingFile)
 
-  /** Restore CONSISTENCY after an interrupted [[cdcDeleteKeys]]: if
-    * the lake carries a pending-erasure marker, remove the bucket
-    * directories it lists (always safe — an emptied-listed bucket
-    * holds only rows of erased keys, whether or not the surviving-
-    * bucket rewrite ran) and retire the marker. Returns the number of
-    * bucket directories the marker listed, 0 when the lake is clean.
+  /** COMPLETE an interrupted [[cdcDeleteKeys]]: the marker persists
+    * the whole erasure plan (emptied buckets, affected buckets, key
+    * list), so the heal can finish every step itself — re-run the
+    * surviving-bucket rewrite (anti-join of the persisted keys over
+    * the non-emptied affected buckets; idempotent, so a crash after
+    * the original rewrite just rewrites identical content), remove
+    * the emptied bucket directories (always safe — an emptied-listed
+    * bucket holds only rows of erased keys), and only then retire the
+    * marker. A crash MID-HEAL leaves the marker in place and the next
+    * heal re-runs from the top. Returns the number of bucket
+    * directories the marker named as affected, 0 when the lake is
+    * clean.
     *
-    * Consistency, NOT completion: the marker is written before the
-    * rewrite, so a crash in between leaves non-emptied affected
-    * buckets still holding the erased keys — this heal cannot know
-    * or fix that. [[cdcDeleteKeys]] reports success only after every
-    * step, so an erasure whose success was never observed must be
-    * RE-RUN with the same key list (idempotent; the entry-point heal
-    * below makes the re-run safe). Called automatically at the start
-    * of every [[cdcDeleteKeys]] run; exposed for explicit
-    * crash-recovery sweeps. */
+    * Legacy (pre-v2) markers carry only the emptied-bucket list: for
+    * those the heal restores consistency, logs an explicit
+    * "erasure must be re-run" warning, and the caller re-runs
+    * [[cdcDeleteKeys]] with the original key list (idempotent).
+    * Called automatically at the start of every [[cdcDeleteKeys]]
+    * run; exposed for explicit crash-recovery sweeps. */
   def recoverPendingErasure(spark: SparkSession, l2Path: String): Int = {
     val p = pendingErasurePath(l2Path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) 0
     else {
       val in = fs.open(p)
-      val buckets =
+      val lines =
         try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
-          .map(_.trim).filter(_.nonEmpty).map(_.toInt).toList
+          .map(_.trim).filter(_.nonEmpty).toList
         finally in.close()
-      buckets.foreach { b =>
+      def parseBuckets(s: String): List[Int] =
+        s.split(",").iterator.map(_.trim).filter(_.nonEmpty).map(_.toInt).toList
+      val (emptied, affected, keyStrs) = lines match {
+        case GdprMarkerV2 :: e :: a :: ks
+            if e.startsWith("emptied:") && a.startsWith("affected:") =>
+          (parseBuckets(e.stripPrefix("emptied:")),
+            parseBuckets(a.stripPrefix("affected:")),
+            ks.map(k => new String(
+              java.util.Base64.getDecoder.decode(k), "UTF-8")))
+        case legacy => // pre-v2: bare emptied-bucket list, no key list
+          System.err.println(s"WARN: GDPR marker at $l2Path is pre-v2 " +
+            "(emptied buckets only): healing to CONSISTENCY, but the " +
+            "erasure may be incomplete in non-emptied buckets — RE-RUN " +
+            "cdcDeleteKeys with the original key list (idempotent).")
+          (legacy.map(_.toInt), legacy.map(_.toInt), Nil)
+      }
+      // 1. re-run the surviving-bucket rewrite from the persisted plan
+      val surviving = affected.filterNot(emptied.toSet)
+      if (surviving.nonEmpty && keyStrs.nonEmpty) {
+        import spark.implicits._
+        readLakeOpt(spark, l2Path).foreach { lake =>
+          val survivingDf = surviving.toDF("bucket")
+          val keysDf = keyStrs.toDF("_erase_key")
+          val slice = lake.join(broadcast(survivingDf), Seq("bucket"), "left_semi")
+          val kept = slice.join(broadcast(keysDf),
+            col("user_id").cast("string") === col("_erase_key"), "left_anti")
+          val runId = java.util.UUID.randomUUID().toString.take(8)
+          graft.operators.Sinks.stageAndReplace(
+            kept, s"$l2Path/../_gdpr_heal_tmp_$runId", l2Path, Seq("bucket"))
+          ()
+        }
+      }
+      // 2. drop the emptied bucket directories
+      emptied.foreach { b =>
         fs.delete(new org.apache.hadoop.fs.Path(l2Path, s"bucket=$b"), true)
         ()
       }
+      // 3. every step durable — retire the marker
       fs.delete(p, false)
-      buckets.size
+      affected.size
     }
   }
 

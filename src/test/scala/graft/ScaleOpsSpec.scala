@@ -155,6 +155,28 @@ class ScaleOpsSpec extends SparkSpecBase {
       s"jaccard estimate $jErr off true $trueJ")
   }
 
+  test("distinct intersect: an empty segment yields one NULL-estimate row, not zero rows") {
+    // advice finding r13: the bare crossJoin collapsed to 0 rows when a
+    // segment was empty while the oracle's ungrouped SUM emits 1 row —
+    // stage an events table holding NO purchase events and assert the
+    // 1-row NULL report
+    val tmp = java.nio.file.Files.createTempDirectory("graft_di_empty").toString
+    sources.Tables.events(spark, sfDir)
+      .where(org.apache.spark.sql.functions.col("event_type") =!=
+        Sketches.InterTypeB)
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val rows = Sketches.aggDistinctIntersect(spark, tmp).collect()
+    assert(rows.length == 1, s"expected exactly one report row, got ${rows.length}")
+    val r = rows(0)
+    assert(r.getAs[Long]("n_a_exact") > 0L)
+    assert(r.getAs[Long]("n_b_exact") == 0L)
+    assert(r.getAs[Long]("inter_exact") == 0L)
+    assert(!r.isNullAt(r.fieldIndex("est_union")), "union HLL still estimable")
+    assert(r.isNullAt(r.fieldIndex("matching_lanes")))
+    assert(r.isNullAt(r.fieldIndex("est_jaccard")))
+    assert(r.isNullAt(r.fieldIndex("est_intersection")))
+  }
+
   test("hll_ndv eval matches the companion estimator on hand-built registers") {
     // a tiny known register set: bucket 0 -> rho 3, bucket 1 -> rho 1
     val regs = new Array[Byte](256)

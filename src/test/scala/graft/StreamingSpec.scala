@@ -396,6 +396,58 @@ class StreamingSpec extends SparkSpecBase {
     assert(!fs.exists(marker), "cdcDeleteKeys must retire the healed marker")
   }
 
+  test("gdpr heal: a v2 marker completes an interrupted surviving-bucket rewrite") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val lake = java.nio.file.Files.createTempDirectory("graft_gdpr_lake4").toString
+    val l2 = s"$lake/l2"
+    def bucketOf(u: Long): Int =
+      spark.range(1).select(pmod(xxhash64(lit(u)), lit(Streams.CdcBuckets.toLong))
+        .cast("int")).collect()(0).getInt(0)
+    // survivor 8 plus an erase-target v sharing 8's bucket, and user 5
+    // alone in its own bucket — so the erasure of {5, v} EMPTIES 5's
+    // bucket but must REWRITE 8's
+    val b8 = bucketOf(8L)
+    val v = (9L to 400L).find(u => bucketOf(u) == b8 && u != 8L).get
+    val b5 = bucketOf(5L)
+    assume(b5 != b8, "user 5 must land apart from the shared bucket")
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val streamDf = mem.toDF.toDF("event_id", "ts", "user_id", "op", "value")
+    val q = Streams.cdcApplySink(streamDf, l2)
+      .option("checkpointLocation", s"$lake/ckpt").start()
+    try {
+      mem.addData(Seq(
+        (1L, ts("2024-03-01 10:00:00"), 5L, "U", 1.0),
+        (2L, ts("2024-03-01 10:00:00"), 8L, "U", 4.0),
+        (3L, ts("2024-03-01 10:00:00"), v, "U", 7.0)))
+      q.processAllAvailable()
+    } finally q.stop()
+    // SIMULATE a crash after the marker publish but BEFORE the
+    // surviving-bucket rewrite: write the full v2 plan by hand, touch
+    // nothing else — pre-v2 this window left v's rows in the lake with
+    // the guard silently cleared (advice finding r13)
+    val fs = new org.apache.hadoop.fs.Path(l2)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(l2, Streams.GdprPendingFile)
+    def b64(s: String) =
+      java.util.Base64.getEncoder.encodeToString(s.getBytes("UTF-8"))
+    val body = Seq(Streams.GdprMarkerV2,
+      s"emptied:$b5", s"affected:${Seq(b5, b8).sorted.mkString(",")}",
+      b64("5"), b64(v.toString)).mkString("\n")
+    val out = fs.create(marker, true)
+    try out.write(body.getBytes("UTF-8")) finally out.close()
+    // heal completes BOTH steps: v erased from the shared bucket,
+    // bucket b5 removed, marker retired
+    assert(Streams.recoverPendingErasure(spark, l2) == 2)
+    assert(!fs.exists(marker))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(l2, s"bucket=$b5")))
+    val rawUsers = spark.read.parquet(l2).select("user_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(rawUsers == Set(8L),
+      s"heal must complete the erasure of $v, lake holds $rawUsers")
+    assert(Streams.recoverPendingErasure(spark, l2) == 0, "heal is idempotent")
+  }
+
   test("minhash guard stream equals the batch twin; claims persist across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
@@ -442,6 +494,21 @@ class StreamingSpec extends SparkSpecBase {
       pmod(xxhash64(col("band"), col("bucket")),
         lit(Streams.GuardIndexBuckets.toLong)).cast("int")).count()
     assert(badIxb == 0L)
+    // boundedness (advice finding r13): claims already in the index
+    // are NOT re-appended — a recurring bucket must not grow the index
+    val idxRowsBefore = idx.count()
+    val mem2 = MemoryStream[(Long, String, String)]
+    val q2 = Streams.minhashGuardSink(
+      mem2.toDF.toDF("doc_id", "source", "text"), out, index).start()
+    try {
+      // doc 9 duplicates doc 1's text: every claim it would write is
+      // already claimed, so it is dropped AND appends zero index rows
+      mem2.addData(Seq((9L, "cc", "the quick brown fox jumps over the lazy dog")))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    assert(!spark.read.parquet(out).collect().map(_.getLong(0)).contains(9L))
+    assert(spark.read.parquet(index).count() == idxRowsBefore,
+      "recurring claims must not re-append to the index")
   }
 
   test("cdc snapshot read resolves the persisted convention and refuses a mismatch") {

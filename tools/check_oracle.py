@@ -8,6 +8,17 @@ sfDir parquet tables, loads the Spark result parquet from
 verifyOutDir/<name>, sorts columns by name, sorts rows, and compares
 cell-by-cell (exact for non-floats; exact-then-1e-9-relative report
 for floats so we can see how close a miss is).
+
+Known probabilistic-oracle margin (documented in BASELINE.md/SURVEY.md):
+two keys carry a tiny per-cell cross-engine divergence risk from
+double->decimal / presentation rounding landing exactly on a grid
+midpoint where Spark (shortest-repr parse) and DuckDB (exact binary)
+can round apart:
+  - text_entropy      (4dp presentation rounding, ~1e-11 per doc)
+  - vec_covariance    (scale-6 decimal casts, ~1e-5 per full suite)
+A one-off hash/cell FAIL on exactly these keys, at rel ~ 1e-4..1e-6 on
+a single cell, is this known flake — re-run before treating it as a
+regression. Any other key, or a repeatable miss, is a real bug.
 """
 import sys, json, glob, os, math
 import duckdb
@@ -91,6 +102,10 @@ def main():
         if bad:
             i, c, a, b, rel = bad
             print(f"FAIL {name}: row {i} col {c}: oracle={a!r} spark={b!r} rel={rel:.2e}")
+            if name in ("text_entropy", "vec_covariance"):
+                print(f"     note: {name} has a documented ~1e-5/suite probabilistic "
+                      "rounding margin (see module docstring) — re-run once before "
+                      "treating a single-cell miss as a regression.")
             n_fail += 1
         else:
             print(f"PASS {name} ({len(srows)} rows)")
