@@ -77,6 +77,7 @@ object GraftSession {
         ext.injectFunction(graft.functions.BloomFunctions.bloomAgg)
         ext.injectFunction(graft.functions.BloomFunctions.bloomMightContain)
         ext.injectFunction(graft.functions.HilbertFunctions.hilbertIndex)
+        ext.injectFunction(graft.functions.SortableBitsFunctions.sortableDoubleBits)
       }
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       // TypedImperativeAggregates (minhash_sketch, hll_ndv, bloom_agg)

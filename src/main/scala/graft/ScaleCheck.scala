@@ -36,7 +36,7 @@ object ScaleCheck {
     // 1000x corpus writes ~600M lineitems nobody would read
     val embOnly = Set("embed_clusters", "dedup_semantic", "knn_ivf",
       "knn_ivf_pq", "knn_pq", "sample_kcenter", "knn_graph",
-      "vec_covariance")
+      "vec_covariance", "ivf_pq_append", "knn_graph_capped")
     val skipNonEmbedding = args.length > 1 && args(1).split(",").forall(embOnly)
     // a graph-only run (the tier's dedicated scaled-catalog corpus)
     // likewise skips the main tables: a 300× run would otherwise
@@ -47,7 +47,8 @@ object ScaleCheck {
     val skipNonGraph = args.length > 1 && args(1).split(",").forall(graphOnly)
     // ops that synthesize their own substrate inline (spark.range) —
     // a run of only these writes no corpus at all
-    val selfSynth = Set("cluster_keep_best_core", "cluster_holdout_core")
+    val selfSynth = Set("cluster_keep_best_core", "cluster_holdout_core",
+      "dedup_embedding_lsh")
     val allSelfSynth = args.length > 1 && args(1).split(",").forall(selfSynth)
     // ops that read ONLY the events table — a filtered run of these
     // skips the (10× larger) lineitem/documents/part writes, which
@@ -361,6 +362,11 @@ object ScaleCheck {
       // the covariance matrix over the clustered embedding corpus
       run("knn_graph", operators.Similarity.knnGraphOn(
         spark.read.parquet(s"$dir/embeddings.parquet"))),
+      // the nprobe lever: candidate volume is linear in nprobe, so
+      // nprobe=1 is the latency-bounded build the capped BASELINE row
+      // records beside the exact default
+      run("knn_graph_capped", operators.Similarity.knnGraphOn(
+        spark.read.parquet(s"$dir/embeddings.parquet"), nprobe = 1)),
       run("vec_covariance", operators.Similarity.vecCovarianceOn(
         spark.read.parquet(s"$dir/embeddings.parquet"))),
       run("text_entropy", operators.TextAnalysis.textEntropy(spark, dir)),
@@ -369,6 +375,27 @@ object ScaleCheck {
         val dim = ev.groupBy("user_id").agg(count(lit(1)).as("u_rows"))
         operators.Skew.saltedJoin(
           ev.select("event_id", "user_id", "value"), dim, Seq("user_id"), 8)
+      }),
+      // the bucketed scale path of dedup_embedding_cosine (exact twin
+      // is O(n²) BY CONTRACT and skipped at scale). Substrate is
+      // self-synthesized ISOTROPIC vectors with planted near-identical
+      // dups: sign-bit bucket occupancy tracks the corpus's clustering
+      // at the bucket radius, and the harness's 32-cohort clustered
+      // embeddings corpus makes any radius-preserving pair cut
+      // cohort-quadratic by construction (the semantic-dedup/Lloyd
+      // path is the right tool there — its scaladoc says so); the
+      // machinery under measure here is the bucket pass + (tbl,bucket)
+      // equi-join + rerank at honest occupancy
+      run("dedup_embedding_lsh", {
+        val nVec = 2000L * mult
+        val srcCol = when(pmod(col("id"), lit(100L)) === 1L, col("id") - 1L)
+          .otherwise(col("id"))
+        val planted = spark.range(nVec).select(col("id").as("vec_id"),
+          transform(sequence(lit(0), lit(63)), i =>
+            (((pmod(xxhash64(srcCol, i, lit(77L)), lit(2001L)).cast("double") - 1000.0) / 1000.0)
+              + (pmod(xxhash64(col("id"), i, lit(78L)), lit(201L)).cast("double") - 100.0) / 1000000.0)
+              .cast("float")).as("embedding"))
+        operators.Dedup.embeddingCosineBucketedOn(planted, tau = 0.95)
       }),
       if (!only("dedup_semantic")) ("dedup_semantic", 0.0, -1L) else {
         // handle form: release the corpus-sized IVF index cache before
@@ -414,8 +441,36 @@ object ScaleCheck {
       s""""stream_scd2_apply":{"sec":$applySec,"rows":$nLate}"""
     }
 
+    // incremental ANN maintenance: the one-time build is the untimed
+    // big cost; the DAILY cost under measure is appendIvfPqIndex of a
+    // 1% batch against the staged artifacts — assignment+encode over
+    // the NEW vectors only (O(|new|·C·d)), independent of index size.
+    val ivfAppend = if (!only("ivf_pq_append")) None else Some {
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      val idxDir = operators.Scratch.diskDir("graft_scale_ivfpq")
+      val tb0 = System.nanoTime()
+      operators.Pq.writeIvfPqIndex(operators.Pq.buildIvfPq(emb), idxDir)
+      val buildSec = (System.nanoTime() - tb0) / 1e9
+      val maxId = emb.agg(max("vec_id")).collect()(0).getLong(0)
+      val nNew = math.max(1L, (maxId + 1) / 100)
+      val edim = 64
+      // same clustered hash-noise shape as the corpus, fresh ids
+      val newVecs = spark.range(nNew).select(
+        (col("id") + maxId + 1L).as("vec_id"),
+        transform(sequence(lit(0), lit(edim - 1)), i => {
+          val cl = pmod(col("id"), lit(32L))
+          val c = (pmod(xxhash64(cl, i, lit(20L)), lit(2001L)).cast("double") - 1000.0) / 500.0
+          val nz = (pmod(xxhash64(col("id") + maxId + 1L, i, lit(21L)), lit(2001L)).cast("double") - 1000.0) / 20000.0
+          (c + nz).cast("float")
+        }).as("embedding"))
+      val ta0 = System.nanoTime()
+      val appended = operators.Pq.appendIvfPqIndex(spark, idxDir, newVecs)
+      val appendSec = (System.nanoTime() - ta0) / 1e9
+      s""""ivf_pq_append":{"sec":$appendSec,"rows":$appended,"build_sec":$buildSec}"""
+    }
+
     val qs = (results.collect { case (k, s, r) if r >= 0 => s""""$k":{"sec":$s,"rows":$r}""" }
-      ++ pipe ++ scd2Apply).mkString(",")
+      ++ pipe ++ scd2Apply ++ ivfAppend).mkString(",")
     println(s"""{"scale_mult":$mult,"n_events":$n,"ops":{$qs}}""")
     spark.stop()
   }

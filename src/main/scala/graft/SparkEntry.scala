@@ -45,6 +45,7 @@ object SparkEntry {
     "etl_snapshot_diff"    -> (Etl.etlSnapshotDiff(_, _)),
     "etl_merge_into"       -> (Etl.etlMergeInto(_, _)),
     "sample_quality_topfrac" -> ((s, d) => Etl.sampleQualityTopFrac(s, d)),
+    "sample_topfrac_continuous" -> ((s, d) => Etl.sampleQualityTopFracContinuous(s, d)),
     // §2.2 analytics
     "q1_pricing_summary"   -> (Analytics.q1PricingSummary(_, _)),
     "q3_shipping_priority" -> (Analytics.q3ShippingPriority(_, _)),
@@ -186,6 +187,9 @@ object SparkEntry {
     "etl_merge_into"       -> Etl.etlMergeIntoOracleSql,
     // oracle = the per-group rank form the histogram verdict replaces
     "sample_quality_topfrac" -> Etl.sampleQualityTopFracOracleSql,
+    // the continuous-score refinement variant is output-identical by
+    // contract, so it shares the discrete key's oracle verbatim
+    "sample_topfrac_continuous" -> Etl.sampleQualityTopFracOracleSql,
     // keep-latest generalized to tombstone-bearing change feeds
     "etl_cdc_apply"        -> Etl.cdcApplyOracleSql,
     "etl_cdc_scd2"         -> Etl.cdcScd2OracleSql,

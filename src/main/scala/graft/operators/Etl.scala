@@ -769,6 +769,128 @@ object Etl {
     scored.join(keptIds, id === col("__id"), "left_semi")
   }
 
+  /** CONTINUOUS-SCORE regime of [[sampleQualityTopFracOn]] (r13
+    * verdict item 7): same exact contract — per group keep the
+    * `ceil(pct%·n_g)` rows first by (score DESC, id ASC) — for score
+    * domains where the (group, score) histogram is corpus-sized and
+    * the discrete form's verdict frame stops being "bounded". The
+    * documented composition with the exact-quantiles refinement
+    * (Quantiles.scala), executed:
+    *
+    *  1. scores map order-preservingly to LONG ticks
+    *     (`sortable_double_bits`, a bijection on non-NaN doubles —
+    *     tie cells in tick space ARE tie cells in score space), with
+    *     `+ 0.0` first so -0.0 and +0.0 share a cell;
+    *  2. ONE multi-probe histogram refinement (the
+    *     [[Quantiles.exactTickQuantiles]] recipe, generalized to one
+    *     probe per group with a group-membership gate) finds each
+    *     group's threshold tick — the quota-th largest — in
+    *     ceil(log_Bins(span)) shared scans whose shuffle is
+    *     groups×Bins counters, never corpus rows;
+    *  3. rows strictly above their group's threshold are kept
+    *     outright; the only row-level window ranks INSIDE the
+    *     threshold tie cell by id to apply the residual quota —
+    *     exactly the discrete form's tie handling.
+    *
+    * Driver-side state is coordination-sized: |groups| head rows +
+    * groups×Bins counters per round (the few-groups premise both
+    * variants share — sources/dumps/languages). Score span must fit
+    * the refinement's 2^62-tick guard (quality ratios, perplexities,
+    * bounded losses all do; rescale pathological domains).
+    * Spec-equated to the discrete form — identical output rows,
+    * including planted cross-threshold ties — on a corpus-sized-
+    * histogram fixture. */
+  def sampleQualityTopFracContinuousOn(scored: DataFrame, group: Column,
+                                       score: Column, id: Column,
+                                       pctNum: Int = TopFracPct): DataFrame = {
+    val spark = scored.sparkSession
+    import spark.implicits._
+    val base = scored.select(group.cast("string").as("__g"),
+      call_function("sortable_double_bits", score.cast("double") + lit(0.0)).as("__t"),
+      id.as("__id"))
+    val heads = base.groupBy(col("__g"))
+      .agg(count(lit(1)).as("n"), min(col("__t")).as("mn"), max(col("__t")).as("mx"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    if (heads.isEmpty) return scored.limit(0)
+    heads.foreach { case (g, _, mn, mx) =>
+      require(
+        try Math.subtractExact(mx, mn) <= (1L << 62)
+        catch { case _: ArithmeticException => false },
+        s"score tick span for group '$g' exceeds 2^62 — rescale the score domain")
+    }
+    case class GProbe(g: String, k: Long, lo: Long, hi: Long,
+                      below: Long, quota: Long)
+    var probes = heads.map { case (g, n, mn, mx) =>
+      val quota = (n * pctNum + 99) / 100
+      GProbe(g, n - quota + 1, mn, mx, 0L, quota) // ascending threshold rank
+    }.toSeq
+    val bins = Quantiles.Bins
+    var rounds = 0
+    while (probes.exists(p => p.lo < p.hi)) {
+      rounds += 1
+      require(rounds <= 12, s"topfrac refinement did not converge: $probes")
+      val live = probes.filter(p => p.lo < p.hi)
+      val cells: Column = array(live.map { p =>
+        val width = (p.hi - p.lo + bins) / bins
+        struct(lit(p.g).as("q"),
+          when(col("__g") === p.g && col("__t").between(p.lo, p.hi),
+            expr(s"(__t - ${p.lo}L) div ${width}L")).otherwise(lit(-1L)).as("b"))
+      }: _*)
+      val coarseLo = live.map(_.lo).min
+      val coarseHi = live.map(_.hi).max
+      val hist = base
+        .filter(col("__t").between(coarseLo, coarseHi))
+        .select(explode(cells).as("pb"))
+        .filter(col("pb.b") >= 0)
+        .groupBy(col("pb.q").as("q"), col("pb.b").as("b"))
+        .agg(count(lit(1)).as("c"))
+        .collect()
+        .groupBy(_.getString(0))
+      probes = probes.map { p =>
+        if (p.lo >= p.hi) p
+        else {
+          val width = (p.hi - p.lo + bins) / bins
+          val counts = hist.getOrElse(p.g, Array.empty[org.apache.spark.sql.Row])
+            .map(r => r.getLong(1) -> r.getLong(2)).toMap
+          var cum = p.below
+          var b = 0L
+          var found = -1L
+          while (found < 0 && b < bins) {
+            val c = counts.getOrElse(b, 0L)
+            if (cum + c >= p.k) found = b else { cum += c; b += 1 }
+          }
+          require(found >= 0,
+            s"rank ${p.k} not reachable in [${p.lo},${p.hi}] for group ${p.g}")
+          val lo2 = p.lo + found * width
+          val hi2 = math.min(p.hi, lo2 + width - 1)
+          if (width == 1) GProbe(p.g, p.k, lo2, lo2, cum, p.quota)
+          else GProbe(p.g, p.k, lo2, hi2, cum, p.quota)
+        }
+      }
+    }
+    // hint only at use sites where the hinted side is the BUILD side:
+    // a hinted thr as the LEFT of the left-outer resid join below
+    // would draw a HintErrorLogger warning (build-left unsupported)
+    val thr = probes.map(p => (p.g, p.lo, p.quota))
+      .toDF("__g", "__thr", "__quota")
+    val joined = base.join(broadcast(thr), "__g")
+    val nAbove = joined.where(col("__t") > col("__thr"))
+      .groupBy(col("__g")).agg(count(lit(1)).as("__na"))
+    val resid = broadcast(thr.join(nAbove, Seq("__g"), "left")
+      .select(col("__g"),
+        (col("__quota") - coalesce(col("__na"), lit(0L))).as("__resid")))
+    val keptAbove = joined.where(col("__t") > col("__thr")).select(col("__id"))
+    val wTie = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__g")).orderBy(col("__id"))
+    val keptTies = joined.where(col("__t") === col("__thr"))
+      .join(resid, "__g")
+      .withColumn("__rk", row_number().over(wTie))
+      .where(col("__rk") <= col("__resid"))
+      .select(col("__id"))
+    scored.join(keptAbove.unionAll(keptTies), id === col("__id"), "left_semi")
+  }
+
   /** Driver query (key `sample_quality_topfrac`): top [[TopFracPct]]%
     * of each source by the [[TextAnalysis.qualityScore]] composite. */
   def sampleQualityTopFrac(spark: SparkSession, dir: String): DataFrame = {
@@ -776,6 +898,20 @@ object Etl {
       col("doc_id"), col("source"),
       TextAnalysis.qualityScore(col("text")).as("quality_score"))
     sampleQualityTopFracOn(scored,
+      group = col("source"), score = col("quality_score"), id = col("doc_id"))
+  }
+
+  /** Driver query (key `sample_topfrac_continuous`): the SAME corpus,
+    * contract, and oracle as `sample_quality_topfrac`, executed by the
+    * continuous-score refinement variant — the two keys sharing one
+    * oracle SQL is the point (the variants are output-identical by
+    * contract, and the driver gate now checks that cross-engine, not
+    * just the spec's fixture). */
+  def sampleQualityTopFracContinuous(spark: SparkSession, dir: String): DataFrame = {
+    val scored = Tables.documents(spark, dir).select(
+      col("doc_id"), col("source"),
+      TextAnalysis.qualityScore(col("text")).as("quality_score"))
+    sampleQualityTopFracContinuousOn(scored,
       group = col("source"), score = col("quality_score"), id = col("doc_id"))
   }
 

@@ -66,57 +66,107 @@ object Multimodal {
       h
     }
 
-  /** Float-vector form of the stub decode — the `Array[Float]`
-    * embedding shape a real model head would emit. */
-  private[operators] def stubDecode(bytes: Array[Byte]): (Array[Float], Int, Int) = {
-    val feats = stubDecodeHashes(bytes).map(h => (h % 1000).toFloat / 1000f)
-    // fake spatial dims from the payload size
-    (feats, bytes.length % 640, bytes.length % 480)
+  /** One decoded payload: exactly `featureDim` feature lanes plus the
+    * spatial dims the demuxer reports. */
+  final case class MediaFeatures(features: Array[Double], width: Int, height: Int)
+
+  /** The PLUGGABLE decode contract (r13 verdict item 8): bytes in,
+    * fixed-width features + dims out. The Spark plumbing around it —
+    * binary projection, per-partition batching, fixed flat/vector
+    * output schema, preserved partitioning — is decoder-agnostic and
+    * contract-specced (MultimodalSpec), so a real image/audio/video
+    * decode + model forward drops in where the environment ships
+    * codecs, without touching the oracle plumbing.
+    *
+    * Implementations must be: Serializable (the instance ships in the
+    * task closure to every partition), deterministic per payload (the
+    * suite's replay/idempotence story rests on it), and exactly
+    * `featureDim` lanes per decode (enforced at extraction, fails
+    * loudly per row). `open()` is invoked once per PARTITION before
+    * its first decode — codec contexts and model sessions initialize
+    * there, never per row. */
+  trait MediaDecoder extends Serializable {
+    /** Feature lanes every decode emits — the fixed output width the
+      * downstream schema is derived from. */
+    def featureDim: Int
+    /** Per-partition initialization hook (codec/model handles). */
+    def open(): Unit = ()
+    def decode(bytes: Array[Byte]): MediaFeatures
+  }
+
+  /** The deterministic STUB decoder (this container ships no media
+    * codecs): strided polynomial lane hashes, (h mod 1000)/1000
+    * features as exact IEEE divisions (bit-replayable in DuckDB),
+    * fake spatial dims from the payload size. The driver key's
+    * decoder — its hashes are the oracle contract. */
+  object StubMediaDecoder extends MediaDecoder {
+    val featureDim: Int = FeatureDim
+    def decode(bytes: Array[Byte]): MediaFeatures = MediaFeatures(
+      stubDecodeHashes(bytes).map(h => (h % 1000).toDouble / 1000.0),
+      bytes.length % 640, bytes.length % 480)
   }
 
   /** Batched feature extraction over the binary column: one
     * mapPartitions pass (the per-partition batch shape a vectorized
-    * decoder needs — amortized model/codec init per partition, not per
+    * decoder needs — `decoder.open()` once per partition, decode per
     * row), emitting a fixed-schema feature frame. Partitioning of the
     * input is preserved; no shuffle.
     *
-    * Output schema is FLAT scalars (`feature_0..feature_{FeatureDim-1}`
-    * doubles) — a vector column stays internal (`featureExtractVec`)
+    * Output schema is FLAT scalars (`feature_0..feature_{dim-1}`
+    * doubles) — a vector column stays in [[featureExtractVecOn]]
     * because flat scalars are what cross-engine comparison and
-    * column-pruned downstream reads want. Each feature is
-    * (h mod 1000)/1000 as an exact IEEE division, so Spark and the
-    * DuckDB oracle produce identical doubles with no rounding step. */
-  def featureExtract(spark: SparkSession, dir: String): DataFrame = {
+    * column-pruned downstream reads want. */
+  def featureExtractOn(docs: DataFrame,
+                       decoder: MediaDecoder = StubMediaDecoder): DataFrame = {
+    val spark = docs.sparkSession
     import spark.implicits._
-    val src = Tables.documents(spark, dir)
+    val dim = decoder.featureDim
+    val src = docs
       .select(col("doc_id"), col("text").cast("binary").as("content"))
       .as[(Long, Array[Byte])]
     src.mapPartitions { batch =>
-      // per-partition init happens HERE (decoder/model handle in a
-      // real pipeline) — amortized across the whole batch
+      decoder.open()
       batch.map { case (id, bytes) =>
-        val f = stubDecodeHashes(bytes).map(h => (h % 1000).toDouble / 1000.0)
-        (id, bytes.length, bytes.length % 640, bytes.length % 480,
-          f(0), f(1), f(2), f(3), f(4), f(5), f(6), f(7))
+        val mf = decoder.decode(bytes)
+        require(mf.features.length == dim,
+          s"decoder emitted ${mf.features.length} lanes for doc $id, contract is $dim")
+        (id, bytes.length, mf.width, mf.height, mf.features.toSeq)
       }
-    }.toDF("doc_id" +: "n_bytes" +: "width" +: "height" +:
-      (0 until FeatureDim).map(i => s"feature_$i"): _*)
+    }.toDF("doc_id", "n_bytes", "width", "height", "__f")
+      .select(col("doc_id") +: col("n_bytes") +: col("width") +: col("height") +:
+        (0 until dim).map(i => col("__f")(i).as(s"feature_$i")): _*)
   }
+
+  /** Driver query (key `mm_feature_extract`): the stub-decoder
+    * extraction over `documents` — values identical to every round
+    * since the key landed (the trait refactor moved the plumbing, not
+    * the arithmetic). */
+  def featureExtract(spark: SparkSession, dir: String): DataFrame =
+    featureExtractOn(Tables.documents(spark, dir))
 
   /** Vector form of the extraction (`features array<float>`) — the
     * internal shape similarity/dedup stages consume directly. */
-  def featureExtractVec(spark: SparkSession, dir: String): DataFrame = {
+  def featureExtractVecOn(docs: DataFrame,
+                          decoder: MediaDecoder = StubMediaDecoder): DataFrame = {
+    val spark = docs.sparkSession
     import spark.implicits._
-    val src = Tables.documents(spark, dir)
+    val dim = decoder.featureDim
+    val src = docs
       .select(col("doc_id"), col("text").cast("binary").as("content"))
       .as[(Long, Array[Byte])]
     src.mapPartitions { batch =>
+      decoder.open()
       batch.map { case (id, bytes) =>
-        val (feats, w, h) = stubDecode(bytes)
-        (id, bytes.length, w, h, feats)
+        val mf = decoder.decode(bytes)
+        require(mf.features.length == dim,
+          s"decoder emitted ${mf.features.length} lanes for doc $id, contract is $dim")
+        (id, bytes.length, mf.width, mf.height, mf.features.map(_.toFloat))
       }
     }.toDF("doc_id", "n_bytes", "width", "height", "features")
   }
+
+  def featureExtractVec(spark: SparkSession, dir: String): DataFrame =
+    featureExtractVecOn(Tables.documents(spark, dir))
 
   /** Stub frame geometry for [[frameSample]]: the payload is treated
     * as a raw concatenation of fixed-size frames. A real container

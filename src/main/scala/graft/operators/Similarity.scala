@@ -612,13 +612,22 @@ object Similarity {
   def knnGraph(spark: SparkSession, dir: String, k: Int = GraphK): DataFrame =
     knnGraphOn(Tables.embeddings(spark, dir), k)
 
-  def knnGraphOn(vectors: DataFrame, k: Int = GraphK): DataFrame = {
+  /** `nprobe` is the candidate-volume lever (r13 verdict item 3): the
+    * O(n^1.5·nprobe) bound is linear in it, so a latency-bounded
+    * build drops from the default [[IvfNProbe]] toward 1 and trades
+    * recall on cell-boundary neighbors for a proportional cut in the
+    * candidate join — the measured 1000× rows (BASELINE.md) quantify
+    * the trade. The default is the exact driver-key contract; the
+    * override changes which cells are probed, nothing about the exact
+    * rerank inside them. */
+  def knnGraphOn(vectors: DataFrame, k: Int = GraphK,
+                 nprobe: Int = IvfNProbe): DataFrame = {
     val (indexed0, centroids) = ivfIndex(vectors,
       stagePrefix = "ivf_centroids_knn_graph")
     val indexed = Scratch.stageReuse(
       indexed0.select(col("vec_id"), col("e"), col("nrm"), col("cell")),
       "knn_graph_idx")
-    val probes = assignTopCells(indexed, centroids, IvfNProbe)
+    val probes = assignTopCells(indexed, centroids, nprobe)
     val cand = indexed.join(probes, "cell")
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
@@ -916,6 +925,28 @@ object Similarity {
       val d = V.dot(e, planeLit(ps(t * BitsPerTable + b)))
       shiftleft(acc, 1) + when(d >= 0, lit(1L)).otherwise(lit(0L))
     }
+  }
+
+  /** Sign-bucket ids for PAIR-space LSH ([[graft.operators.Dedup
+    * .embeddingCosineBucketedOn]]): `tables` independent bucket ids,
+    * each packing `bits` hyperplane sign bits, as one array column.
+    * The query-side LSH ([[knnLshOn]]) gets away with
+    * [[BitsPerTable]]=4 because its candidate volume is bounded by
+    * the broadcast query set; an all-PAIRS consumer joins bucket
+    * against bucket, so it needs enough bits that per-table occupancy
+    * (and hence Σ bucket² candidate pairs) stays sub-quadratic —
+    * hence the separate, wider-bit plane family (same fixed seed,
+    * deterministic across runs and executors). */
+  private[operators] def lshPairBuckets(e: Column, dim: Int,
+                                        tables: Int, bits: Int): Column = {
+    val rnd = new scala.util.Random(42)
+    val ps = Array.fill(tables * bits)(Array.fill(dim)(rnd.nextGaussian()))
+    array((0 until tables).map { t =>
+      (0 until bits).foldLeft(lit(0L)) { (acc, b) =>
+        val d = V.dot(e, planeLit(ps(t * bits + b)))
+        shiftleft(acc, 1) + when(d >= 0, lit(1L)).otherwise(lit(0L))
+      }
+    }: _*)
   }
 
   /** Approximate top-k via random-hyperplane LSH: the corpus is

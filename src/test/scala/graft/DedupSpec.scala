@@ -244,6 +244,50 @@ class DedupSpec extends SparkSpecBase {
     assert(keys.distinct.length == keys.length)
   }
 
+  test("embedding cosine bucketed: subset of exact with bit-identical cosines; " +
+      "equals exact on a planted-duplicate fixture") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(t => (t._1, t._2))
+    // 1) driver fixture at the default tau: precision 1 — every
+    //    bucketed pair appears in the exact set with the SAME cosine
+    //    bits (identical sequential-fold arithmetic, the rerank just
+    //    scores fewer pairs)
+    val corpus = graft.sources.Tables.embeddings(spark, sfDir)
+    val exact = canon(Dedup.embeddingCosineOn(corpus))
+    val bucketed = canon(Dedup.embeddingCosineBucketedOn(corpus))
+    val exactSet = exact.toSet
+    assert(bucketed.forall(exactSet.contains),
+      "bucketed emitted a pair (or cosine bits) outside the exact set")
+    // 2) planted-duplicate fixture at high tau: the qualifying pairs
+    //    are near-identical clones (theta -> 0, so every sign bit
+    //    agrees and recall is 1) on an isotropic background whose
+    //    random cosines sit far below tau — bucketed == exact EXACTLY
+    val nVec = 2000L
+    val src = when(pmod(col("id"), lit(100L)) === 1L, col("id") - 1L)
+      .otherwise(col("id"))
+    val planted = spark.range(nVec).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(63)), i =>
+        (((pmod(xxhash64(src, i, lit(77L)), lit(2001L)).cast("double") - 1000.0) / 1000.0)
+          + (pmod(xxhash64(col("id"), i, lit(78L)), lit(201L)).cast("double") - 100.0) / 1000000.0)
+          .cast("float")).as("embedding"))
+    val tau = 0.95
+    val pExact = canon(Dedup.embeddingCosineOn(planted, tau))
+    val pBucketed = canon(Dedup.embeddingCosineBucketedOn(planted, tau))
+    assert(pExact.length == 20, s"fixture must plant 20 dup pairs, got ${pExact.length}")
+    assert(pBucketed.sameElements(pExact),
+      "bucketed diverged from exact on the planted-duplicate fixture")
+    // 3) the size switch routes small corpora to the exact form and
+    //    big ones to the bucketed form
+    assert(canon(Dedup.embeddingCosineAuto(planted, tau)).sameElements(pExact))
+    assert(canon(Dedup.embeddingCosineAuto(planted, tau, exactMax = 100L))
+      .sameElements(pBucketed))
+    // 4) empty corpus: schema-stable empty result
+    assert(Dedup.embeddingCosineBucketedOn(planted.limit(0)).count() == 0L)
+  }
+
   test("semantic dedup: planted duplicate vector dropped, survivors pairwise-clean in-cell") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

@@ -522,6 +522,62 @@ class EtlSpec extends SparkSpecBase {
     }
   }
 
+  test("quality top-frac continuous: refinement variant equals the discrete form " +
+      "on a corpus-sized-histogram fixture, ties quota-exact") {
+    import spark.implicits._
+    // continuous scores: ~6000 near-distinct hash doubles across 3
+    // groups (histogram ≈ corpus — the regime the refinement exists
+    // for), PLUS a planted 16-way tie cell straddling one group's
+    // threshold so the residual-quota tie split is exercised exactly
+    val continuous = (1L to 6000L).map { i =>
+      val g = "s" + (i % 3)
+      val s = ((i * 2654435761L) % 1000003L).toDouble / 1000003.0
+      (g, i, s)
+    }
+    // group "tie": 100 rows, quota at 20% = 20; ids 1..15 distinct-high,
+    // ids 16..31 all EXACTLY 0.5 (threshold cell, residual 5 keeps the
+    // 5 smallest ids), the rest distinct-low
+    val tied = (1L to 100L).map { i =>
+      val s =
+        if (i <= 15) 0.9 + i.toDouble / 1000.0
+        else if (i <= 31) 0.5
+        else 0.4 - i.toDouble / 1000.0
+      ("tie", 10000L + i, s)
+    }
+    val scored = (continuous ++ tied).toDF("src", "id", "score")
+    def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.collect().map(_.getAs[Long]("id")).toSet
+    val discrete = ids(Etl.sampleQualityTopFracOn(
+      scored, col("src"), col("score"), col("id")))
+    val refined = ids(Etl.sampleQualityTopFracContinuousOn(
+      scored, col("src"), col("score"), col("id")))
+    assert(refined == discrete,
+      "continuous refinement diverged from the discrete verdict form")
+    // the planted tie: exactly ids 16..20 of the 0.5 cell survive
+    assert((10016L to 10031L).filter(refined.contains).toSeq ==
+      (10016L to 10020L), "residual tie quota must keep the 5 smallest ids")
+    // quota exactness per group
+    val sizes = scored.groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val keptPerGroup = Etl.sampleQualityTopFracContinuousOn(
+        scored, col("src"), col("score"), col("id"))
+      .groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    sizes.foreach { case (g, n) =>
+      assert(keptPerGroup(g) == (n * Etl.TopFracPct + 99) / 100,
+        s"group $g quota") }
+    // and on the driver corpus's discrete scores the two variants
+    // still agree (the contract is identical either regime)
+    val docs = graft.sources.Tables.documents(spark, sfDir).select(
+      col("doc_id"), col("source"),
+      graft.operators.TextAnalysis.qualityScore(col("text")).as("q"))
+    assert(
+      ids(Etl.sampleQualityTopFracContinuousOn(docs, col("source"), col("q"),
+        col("doc_id")).select(col("doc_id").as("id"))) ==
+      ids(Etl.sampleQualityTopFracOn(docs, col("source"), col("q"),
+        col("doc_id")).select(col("doc_id").as("id"))))
+  }
+
   test("quality top-frac driver key: row count matches the summed per-source quotas") {
     val out = Etl.sampleQualityTopFrac(spark, sfDir).cache()
     val docs = graft.sources.Tables.documents(spark, sfDir)

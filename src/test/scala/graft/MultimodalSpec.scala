@@ -3,7 +3,64 @@ package graft
 import org.apache.spark.sql.functions._
 import graft.operators.Multimodal
 
+/** A pluggable test decoder for the [[Multimodal.MediaDecoder]]
+  * contract spec: 3 lanes derived from payload length, open() calls
+  * counted (object state is visible across local-mode tasks). */
+object ProbeDecoder extends Multimodal.MediaDecoder {
+  val featureDim = 3
+  val opens = new java.util.concurrent.atomic.AtomicInteger(0)
+  val decodes = new java.util.concurrent.atomic.AtomicInteger(0)
+  override def open(): Unit = { opens.incrementAndGet(); () }
+  def decode(bytes: Array[Byte]): Multimodal.MediaFeatures = {
+    decodes.incrementAndGet()
+    Multimodal.MediaFeatures(
+      Array(bytes.length.toDouble, (bytes.length % 7).toDouble, 1.0),
+      bytes.length, bytes.length / 2)
+  }
+}
+
+/** A contract-violating decoder: emits 2 lanes but claims 3. */
+object RaggedDecoder extends Multimodal.MediaDecoder {
+  val featureDim = 3
+  def decode(bytes: Array[Byte]): Multimodal.MediaFeatures =
+    Multimodal.MediaFeatures(Array(1.0, 2.0), 0, 0)
+}
+
 class MultimodalSpec extends SparkSpecBase {
+
+  test("media decoder contract: schema tracks featureDim, open() once per partition, " +
+      "ragged decode fails loudly, partitioning preserved") {
+    import spark.implicits._
+    val docs = (1L to 40L).map(i => (i, "x" * i.toInt)).toDF("doc_id", "text")
+      .repartition(4)
+    ProbeDecoder.opens.set(0); ProbeDecoder.decodes.set(0)
+    val flat = Multimodal.featureExtractOn(docs, ProbeDecoder)
+    // schema adapts to the decoder's width
+    assert(flat.columns.toSeq ==
+      Seq("doc_id", "n_bytes", "width", "height", "feature_0", "feature_1", "feature_2"))
+    val rows = flat.collect()
+    assert(rows.length == 40)
+    // batch shape: open() once per PARTITION, decode once per row
+    assert(ProbeDecoder.opens.get == 4,
+      s"open() must run once per partition, ran ${ProbeDecoder.opens.get}")
+    assert(ProbeDecoder.decodes.get == 40)
+    rows.foreach { r =>
+      assert(r.getDouble(4) == r.getInt(1).toDouble)  // lane 0 = n_bytes
+      assert(r.getInt(2) == r.getInt(1))              // width from decoder
+    }
+    // no shuffle: the extraction preserves the input partitioning
+    assert(flat.rdd.getNumPartitions == 4)
+    // vector form honors the same contract
+    ProbeDecoder.opens.set(0)
+    val vec = Multimodal.featureExtractVecOn(docs, ProbeDecoder).collect()
+    assert(vec.length == 40 && vec.forall(_.getSeq[Float](4).length == 3))
+    assert(ProbeDecoder.opens.get == 4)
+    // a decoder that breaks its own width contract fails loudly
+    val e = intercept[org.apache.spark.SparkException] {
+      Multimodal.featureExtractOn(docs, RaggedDecoder).collect()
+    }
+    assert(e.getMessage != null)
+  }
 
   test("binary meta: lengths and md5 agree with the payload bytes") {
     val docs = sources.Tables.documents(spark, sfDir)

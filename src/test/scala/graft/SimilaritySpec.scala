@@ -312,6 +312,91 @@ class SimilaritySpec extends SparkSpecBase {
       .map(_.getInt(0)).toSeq == Seq(Pq.M))
   }
 
+  test("knn graph nprobe lever: default-equivalent at IvfNProbe, well-formed at 1") {
+    val corpus = graft.sources.Tables.embeddings(spark, sfDir)
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._3))
+    // the explicit default is the driver-key contract, bit-for-bit
+    val dflt = canon(Similarity.knnGraphOn(corpus))
+    assert(canon(Similarity.knnGraphOn(corpus, nprobe = Similarity.IvfNProbe))
+      .sameElements(dflt))
+    // nprobe=1 (the latency-bounded build): a well-formed graph —
+    // ranks contiguous from 1 per query, ≤ k rows per query, exact
+    // cosines inside the probed cell — and deterministic
+    val capped = canon(Similarity.knnGraphOn(corpus, nprobe = 1))
+    assert(canon(Similarity.knnGraphOn(corpus, nprobe = 1)).sameElements(capped))
+    capped.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.length <= Similarity.GraphK)
+      assert(rows.map(_._3).sorted.toSeq == (1 to rows.length))
+    }
+    // fewer probed cells can only SHRINK each query's candidate set:
+    // a capped edge to a neighbor in the query's OWN best cell must
+    // also appear in the default graph with the same cosine bits
+    val dfltSet = dflt.map(t => (t._1, t._2, t._4)).toSet
+    val cappedTop = capped.filter(_._3 == 1)
+    assert(cappedTop.count(t => dfltSet.contains((t._1, t._2, t._4))) >=
+      cappedTop.length * 9 / 10,
+      "capped rank-1 edges should overwhelmingly persist in the default graph")
+  }
+
+  test("ivfpq incremental append equals a full rebuild trained on the base corpus") {
+    import graft.operators.Pq
+    import org.apache.spark.sql.functions.{col, max}
+    val vectors = graft.sources.Tables.embeddings(spark, sfDir)
+    val maxId = vectors.agg(max("vec_id")).collect()(0).getLong(0)
+    val cut = maxId / 2; val cut2 = (maxId * 3) / 4
+    val a = vectors.filter(col("vec_id") <= cut)
+    val b1 = vectors.filter(col("vec_id") > cut && col("vec_id") <= cut2)
+    val b2 = vectors.filter(col("vec_id") > cut2)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq_append").toString
+    // day 0: build on the base corpus, stage durably
+    Pq.writeIvfPqIndex(Pq.buildIvfPq(a), dir)
+    val base = Pq.readIvfPqIndex(spark, dir)
+    val qids = (0L until Similarity.NQueries.toLong)
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._3))
+    // appends COMPOSE: append(append(i, b1), b2) == append(i, b1 ∪ b2)
+    val twoStep = Pq.appendToIvfPq(Pq.appendToIvfPq(base, b1), b2)
+    val rTwo = canon(Pq.queryIvfPq(twoStep, vectors, qids))
+    val oneStep = Pq.appendToIvfPq(base, vectors.filter(col("vec_id") > cut))
+    assert(canon(Pq.queryIvfPq(oneStep, vectors, qids)).sameElements(rTwo))
+    // an empty append is the identity
+    assert(canon(Pq.queryIvfPq(
+      Pq.appendToIvfPq(twoStep, vectors.limit(0)), vectors, qids))
+      .sameElements(rTwo))
+    // == a FULL REBUILD over a ∪ b trained on a, bit-identically (the
+    // incremental contract: fixed centroids/codebooks make the append
+    // path a pure re-expression of the build's assign+encode)
+    val full = Pq.buildIvfPq(vectors, trainOn = a)
+    assert(canon(Pq.queryIvfPq(full, vectors, qids)).sameElements(rTwo),
+      "appended index diverged from the a-trained full rebuild")
+    // durable lifecycle: appendIvfPqIndex touches ONLY the codes dir,
+    // appending new files — every pre-append file stays byte-identical
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def listing(sub: String): Map[String, (Long, Long)] =
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/$sub"))
+        .filter(_.isFile).map(st => st.getPath.getName ->
+          (st.getLen, st.getModificationTime)).toMap
+    val before = Seq("centroids", "codebooks", "codes").map(s => s -> listing(s)).toMap
+    val n1 = Pq.appendIvfPqIndex(spark, dir, b1)
+    val n2 = Pq.appendIvfPqIndex(spark, dir, b2)
+    assert(n1 == b1.count() && n2 == b2.count())
+    Seq("centroids", "codebooks").foreach { s =>
+      assert(listing(s) == before(s), s"append must not rewrite $s") }
+    val codesAfter = listing("codes")
+    before("codes").foreach { case (name, meta) =>
+      if (name != "_SUCCESS")
+        assert(codesAfter.get(name).contains(meta),
+          s"pre-append codes file $name was rewritten") }
+    val reloaded = Pq.readIvfPqIndex(spark, dir)
+    assert(reloaded.codes.count() == vectors.count())
+    assert(canon(Pq.queryIvfPq(reloaded, vectors, qids)).sameElements(rTwo),
+      "durably appended index diverged from the in-memory append")
+  }
+
   test("knn ivf pq: empty corpus yields an empty, schema-stable result") {
     import spark.implicits._
     val empty = Seq.empty[(Long, Seq[Float], Int)].toDF("vec_id", "embedding", "label")
