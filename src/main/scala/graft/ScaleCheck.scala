@@ -317,6 +317,15 @@ object ScaleCheck {
       // graph corpus
       run("etl_merge_into", operators.Etl.etlMergeInto(spark, dir)),
       run("sample_quality_topfrac", operators.Etl.sampleQualityTopFrac(spark, dir)),
+      // the continuous-score refinement variant over the same corpus:
+      // its driver cost is rounds × (groups×Bins counters), so the
+      // interesting scale signal is that it tracks the discrete form
+      run("sample_topfrac_continuous",
+        operators.Etl.sampleQualityTopFracContinuous(spark, dir)),
+      // CCNet-style boilerplate chunk cut: generator expansion +
+      // (chunk, doc) distinct + anti-join against the answer-sized
+      // boilerplate set + output-sized reassembly
+      run("dedup_boilerplate", operators.Dedup.boilerplateCut(spark, dir)),
       run("agg_distinct_intersect", operators.Sketches.aggDistinctIntersect(spark, dir)),
       // dedup_cluster_keep_best is deliberately NOT in this harness:
       // its own work (members join + family-sized argmax) is

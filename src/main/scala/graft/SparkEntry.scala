@@ -97,6 +97,7 @@ object SparkEntry {
     "dedup_incremental"      -> ((s, d) => Dedup.incrementalExact(s, d)),
     "dedup_clusters"         -> (Dedup.clustersQuery(_, _)),
     "dedup_decontaminate"    -> ((s, d) => Dedup.decontaminate(s, d)),
+    "dedup_boilerplate"      -> ((s, d) => Dedup.boilerplateCut(s, d)),
     "dedup_substring_spans"  -> ((s, d) => graft.operators.SubstringSpans.substringSpans(s, d)),
     "dedup_span_cut"         -> ((s, d) => graft.operators.SubstringSpans.spanCut(s, d)),
     "dedup_semantic"         -> ((s, d) => Dedup.semanticDedup(s, d)),
@@ -111,6 +112,7 @@ object SparkEntry {
     "knn_graph"      -> ((s, d) => Similarity.knnGraph(s, d)),
     "knn_pq"         -> ((s, d) => graft.operators.Pq.knnPq(s, d)),
     "knn_ivf_pq"     -> ((s, d) => graft.operators.Pq.knnIvfPq(s, d)),
+    "knn_ivf_pq_append" -> ((s, d) => graft.operators.Pq.knnIvfPqAppend(s, d)),
     "sample_kcenter" -> ((s, d) => Similarity.sampleKCenter(s, d)),
     "vec_stats"      -> (Similarity.vecStats(_, _)),
     "vec_covariance" -> (Similarity.vecCovariance(_, _)),
@@ -262,6 +264,7 @@ object SparkEntry {
     "dedup_incremental"      -> Dedup.incrementalExactOracleSql,
     "dedup_clusters"         -> Dedup.clustersOracleSql,
     "dedup_decontaminate"    -> Dedup.decontaminateOracleSql,
+    "dedup_boilerplate"      -> Dedup.boilerplateCutOracleSql,
     "dedup_substring_spans"  -> graft.operators.SubstringSpans.substringSpansOracleSql,
     // the cut composes the same duplicated-window replay + anti-join
     "dedup_span_cut"         -> graft.operators.SubstringSpans.spanCutOracleSql,
@@ -279,6 +282,9 @@ object SparkEntry {
     "knn_graph"      -> Similarity.knnGraphOracleSql,
     "knn_pq"         -> graft.operators.Pq.knnPqOracleSql,
     "knn_ivf_pq"     -> graft.operators.Pq.knnIvfPqOracleSql,
+    // the append lifecycle replayed with training decoupled: Lloyd +
+    // codebooks on the base half only, assign+encode over everything
+    "knn_ivf_pq_append" -> graft.operators.Pq.knnIvfPqAppendOracleSql,
     "sample_kcenter" -> Similarity.sampleKCenterOracleSql,
     "vec_stats"      -> Similarity.vecStatsOracleSql,
     "vec_covariance" -> Similarity.vecCovarianceOracleSql,

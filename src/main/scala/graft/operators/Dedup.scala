@@ -1336,4 +1336,111 @@ FROM k"""
     survivors
   }
 
+  /** Chunk granularity for [[boilerplateCutOn]]: fixed positional
+    * 8-word chunks — the corpus has no newline structure, so the
+    * segment unit is positional (the text_chunk/pack precedent); a
+    * corpus with real line breaks would split on those instead (same
+    * plan, different segmenter). */
+  val BoilerplateChunkWords = 8
+
+  /** A chunk present in at least this many DISTINCT documents is
+    * boilerplate (CCNet uses dozens-of-shards line counts; 3 is the
+    * fixture-scale knob — navboxes, footers, and license headers are
+    * typically in thousands of docs). */
+  val BoilerplateDocThreshold = 3
+
+  /** Cross-document BOILERPLATE removal (key `dedup_boilerplate`) —
+    * the CCNet/RefinedWeb line-level dedup pass that strips repeated
+    * headers/footers/navigation BEFORE document-level dedup and LM
+    * training, at fixed positional-chunk granularity: every doc is
+    * segmented into [[BoilerplateChunkWords]]-word chunks, a chunk
+    * occurring in ≥ `minDocs` DISTINCT docs is dropped from every doc,
+    * and the surviving chunks are reassembled in position order. Per
+    * doc: total chunks, dropped count, cleaned text.
+    *
+    * Scale shape: ONE generator expansion (corpus words / chunkWords
+    * rows — no per-row UDF, the chunking is `sequence`+`slice` inside
+    * codegen), a (chunk, doc_id) distinct + per-chunk count whose
+    * map-side partials collapse repeats, and a left-anti join against
+    * the ANSWER-SIZED boilerplate set. The anti-join and distinct
+    * shuffle chunk STRINGS (~50 B each) for oracle exactness; at
+    * 100 TB swap the join key to the 8-byte `poly_hash64` fingerprint
+    * (the mm_frame_dedup precedent — 2^-64 collision odds, shuffle
+    * width 6× narrower). Reassembly is one groupBy(doc_id) carrying
+    * only KEPT chunks (output-sized); `array_sort` over the
+    * (chunk_id, chunk) structs restores order without a window. */
+  def boilerplateCutOn(docs: DataFrame,
+                       chunkWords: Int = BoilerplateChunkWords,
+                       minDocs: Int = BoilerplateDocThreshold): DataFrame = {
+    val w = docs.select(col("doc_id"), split(col("text"), " ").as("ws"))
+    val nChunks =
+      ceil(size(col("ws")).cast("double") / chunkWords).cast("long")
+    val chunks = w
+      .withColumn("__n", nChunks)
+      .withColumn("chunk_id",
+        explode(when(col("__n") > 0, sequence(lit(0L), col("__n") - 1))
+          .otherwise(array().cast("array<long>"))))
+      .select(col("doc_id"), col("chunk_id"),
+        array_join(slice(col("ws"),
+          (col("chunk_id") * chunkWords + 1).cast("int"), lit(chunkWords)), " ")
+          .as("chunk"))
+    val boiler = chunks.select(col("chunk"), col("doc_id")).distinct()
+      .groupBy(col("chunk")).agg(count(lit(1)).as("__df"))
+      .filter(col("__df") >= minDocs)
+      .select(col("chunk"))
+    val kept = chunks.join(boiler, Seq("chunk"), "left_anti")
+    val perDoc = kept.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("__kept"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("chunk_id"), col("chunk")))),
+            s => s.getField("chunk")), " ").as("clean_text"))
+    w.select(col("doc_id"), nChunks.as("n_chunks"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chunks"),
+        (col("n_chunks") - coalesce(col("__kept"), lit(0L))).as("n_dropped"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
+  def boilerplateCut(spark: SparkSession, dir: String): DataFrame =
+    boilerplateCutOn(Tables.documents(spark, dir))
+
+  // the same segmentation/verdict/reassembly chain in DuckDB —
+  // unnest(generate_series) in the SELECT list (table functions
+  // reject correlated bounds in FROM), string_agg ORDER BY chunk_id
+  // as the reassembly
+  val boilerplateCutOracleSql: String =
+    s"""WITH w AS (
+       |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+       |), n AS (
+       |  SELECT doc_id, ws,
+       |    CAST(ceil(len(ws) / $BoilerplateChunkWords.0) AS BIGINT) AS n_chunks
+       |  FROM w
+       |), c AS (
+       |  SELECT doc_id, ws, n_chunks,
+       |    unnest(generate_series(0, n_chunks - 1)) AS chunk_id
+       |  FROM n WHERE n_chunks > 0
+       |), ch AS (
+       |  SELECT doc_id, chunk_id,
+       |    array_to_string(list_slice(ws,
+       |      chunk_id * $BoilerplateChunkWords + 1,
+       |      chunk_id * $BoilerplateChunkWords + $BoilerplateChunkWords),
+       |      ' ') AS chunk
+       |  FROM c
+       |), boiler AS (
+       |  SELECT chunk FROM (
+       |    SELECT chunk, COUNT(DISTINCT doc_id) AS df FROM ch GROUP BY 1) t
+       |  WHERE df >= $BoilerplateDocThreshold
+       |), kept AS (
+       |  SELECT * FROM ch WHERE chunk NOT IN (SELECT chunk FROM boiler)
+       |), agg AS (
+       |  SELECT doc_id, COUNT(*) AS n_kept,
+       |    string_agg(chunk, ' ' ORDER BY chunk_id) AS clean_text
+       |  FROM kept GROUP BY doc_id
+       |)
+       |SELECT n.doc_id, n.n_chunks,
+       |  n.n_chunks - COALESCE(a.n_kept, 0) AS n_dropped,
+       |  COALESCE(a.clean_text, '') AS clean_text
+       |FROM n LEFT JOIN agg a ON n.doc_id = a.doc_id""".stripMargin
+
 }

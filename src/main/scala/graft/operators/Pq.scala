@@ -291,6 +291,26 @@ object Pq {
   def knnIvfPq(spark: SparkSession, dir: String, k: Int = K): DataFrame =
     knnIvfPqOn(Tables.embeddings(spark, dir), k)
 
+  /** Driver query (key `knn_ivf_pq_append`): the incremental-
+    * maintenance lifecycle run END TO END through the cross-engine
+    * gate — day-0 build on the base half of the corpus
+    * (`vec_id <= max/2`), [[appendToIvfPq]] of the rest (assignment +
+    * encode against the frozen artifacts, no re-training), then the
+    * staged-index query path over the full corpus. The oracle replays
+    * [[buildIvfPq]]`(all, trainOn = base)` — bit-identical to the
+    * append by the SimilaritySpec equation — so a hash match checks
+    * the append arithmetic itself, not just its agreement with a
+    * rebuild inside one engine. The one `max(vec_id)` probe is a
+    * 1-row collect (bounded driver artifact). */
+  def knnIvfPqAppend(spark: SparkSession, dir: String): DataFrame = {
+    val vectors = Tables.embeddings(spark, dir)
+    val cut = vectors.agg(max(col("vec_id"))).collect()(0).getLong(0) / 2
+    val base = vectors.filter(col("vec_id") <= cut)
+    val rest = vectors.filter(col("vec_id") > cut)
+    queryIvfPq(appendToIvfPq(buildIvfPq(base), rest), vectors,
+      0L until Similarity.NQueries.toLong)
+  }
+
   /** `cells <= 0` (the default) auto-sizes the coarse quantizer
     * ([[Similarity.autoCells]], C=⌈√(n/2)⌉); an explicit positive C
     * pins it. The fixed 16-cell knob this replaces left ~corpus/16 of
@@ -774,13 +794,42 @@ object Pq {
     * index prefix (auto-sized C, the executor's knob) + the PQ build
     * CTEs (suffixed `p` to avoid colliding with the prefix's
     * seed/centroid names) + cell-pruned ADC + exact rerank. */
-  val knnIvfPqOracleSql: String = {
+  val knnIvfPqOracleSql: String = ivfPqOracleSqlFor(trained = false)
+
+  /** The replay with training decoupled from indexing (key
+    * `knn_ivf_pq_append`): Lloyd AND the PQ codebooks see only the
+    * day-0 base half, every vector is assigned + encoded against
+    * those frozen artifacts — the SQL twin of the append lifecycle
+    * `appendToIvfPq(buildIvfPq(base), rest)` via the spec-proven
+    * `buildIvfPq(all, trainOn = base)` equation. */
+  val knnIvfPqAppendOracleSql: String = ivfPqOracleSqlFor(trained = true)
+
+  /** One template, two training policies: `trained = true` swaps in
+    * the trained-half IVF prefix and restricts the PQ seed pick
+    * (`sdp`) and codebook-training assignment (`fap`) to the base
+    * slice (`unpt`/`svpt`); encoding (`codesp`), probes, ADC, and
+    * rerank always run over the FULL corpus. With `trained = false`
+    * this emits the classic composed replay byte-for-byte. */
+  private def ivfPqOracleSqlFor(trained: Boolean): String = {
     val dim = 64
     val sub = dim / M
-    import Similarity.{sqlDot, sqlNorm, IvfNProbe}
+    import Similarity.{sqlDot, IvfNProbe}
     def d2(a: String, b: String): String =
       s"((${sqlDot(a, a)} - (2.0 * ${sqlDot(a, b)})) + ${sqlDot(b, b)})"
-    s"""${Similarity.ivfIdxOraclePrefix}, probes AS (
+    val prefix =
+      if (trained) Similarity.ivfIdxOraclePrefixTrainedHalf
+      else Similarity.ivfIdxOraclePrefix
+    val trainCtes =
+      if (trained)
+        s"""unpt AS (
+           |  SELECT * FROM unp WHERE vec_id <= (SELECT cut FROM cutv)
+           |), svpt AS (
+           |  SELECT * FROM svp WHERE vec_id <= (SELECT cut FROM cutv)
+           |), """.stripMargin
+      else ""
+    val tun = if (trained) "unpt" else "unp"
+    val tsv = if (trained) "svpt" else "svp"
+    s"""$prefix, probes AS (
        |  SELECT query_id, cell FROM (
        |    SELECT q.vec_id AS query_id, c.cell,
        |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
@@ -794,9 +843,9 @@ object Pq {
        |), svp AS (
        |  SELECT vec_id, m, list_slice(u, m*$sub + 1, (m+1)*$sub) AS s, cell
        |  FROM unp CROSS JOIN msp
-       |), sdp AS (
+       |), ${trainCtes}sdp AS (
        |  SELECT vec_id FROM (
-       |    SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) AS rk FROM unp) t
+       |    SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) AS rk FROM $tun) t
        |  WHERE rk <= $Kc
        |), seedsp AS (
        |  SELECT s.vec_id AS code0, s.m, s.s AS cs FROM svp s JOIN sdp ON s.vec_id = sdp.vec_id
@@ -805,7 +854,7 @@ object Pq {
        |    SELECT x.vec_id, x.m, c.code0, x.s,
        |      ROW_NUMBER() OVER (PARTITION BY x.vec_id, x.m ORDER BY
        |        ${d2("x.s", "c.cs")}, c.code0) AS rk
-       |    FROM svp x JOIN seedsp c ON x.m = c.m) t
+       |    FROM $tsv x JOIN seedsp c ON x.m = c.m) t
        |  WHERE rk = 1
        |), elemsp AS (
        |  SELECT m, code, unnest(generate_series(1, len(s))) AS pos, s FROM fap

@@ -503,8 +503,13 @@ object Similarity {
     * COUNT(*)/2.0 is an exact double, sqrt and ceil are
     * correctly-rounded in both engines, so the derived C agrees
     * exactly with the executor's. */
-  private def ncellsAutoSql: String =
-    "SELECT GREATEST(1, CAST(ceil(sqrt(COUNT(*)/2.0)) AS BIGINT)) AS c FROM vn"
+  private def ncellsAutoSql: String = ncellsAutoSqlOn("vn")
+
+  /** Auto-C over an arbitrary TRAIN frame — the trained-prefix
+    * variant sizes C from the training slice, exactly as the executor
+    * sizes `ivfIndex(train)` from the train count. */
+  private def ncellsAutoSqlOn(frame: String): String =
+    s"SELECT GREATEST(1, CAST(ceil(sqrt(COUNT(*)/2.0)) AS BIGINT)) AS c FROM $frame"
 
   /** Shared oracle CTE prefix — the IVF build replayed in SQL, ending
     * at `idx` (each vector's nearest cell WITH its centroid cosine).
@@ -512,22 +517,49 @@ object Similarity {
     * count-derived auto form). Consumers append further CTEs with a
     * leading comma, or go straight to their final SELECT. */
   private[operators] def ivfOracleIdxCtes(ncellsSelect: String): String =
+    ivfIdxCtesBuilder(ncellsSelect, extraCtes = "", trainFrame = "vn")
+
+  /** The trained-on-base variant of [[ivfIdxOraclePrefix]] (key
+    * `knn_ivf_pq_append`): Lloyd trains ONLY on the day-0 base half
+    * (`vec_id <= max/2`, the `cutv`/`vt` CTEs) and `ncells` sizes C
+    * from the TRAIN count, while `idx` still assigns EVERY vector to
+    * the trained centroids — the SQL twin of
+    * `buildIvfPq(all, trainOn = base)`, which the spec equates
+    * bit-identically to `appendToIvfPq(buildIvfPq(base), rest)`. */
+  private[operators] def ivfIdxOraclePrefixTrainedHalf: String =
+    ivfIdxCtesBuilder(
+      ncellsAutoSqlOn("vt"),
+      extraCtes =
+        s"""cutv AS (
+           |  SELECT MAX(vec_id) // 2 AS cut FROM vn
+           |), vt AS (
+           |  SELECT * FROM vn WHERE vec_id <= (SELECT cut FROM cutv)
+           |), """.stripMargin,
+      trainFrame = "vt")
+
+  /** The one CTE-prefix template both variants share: `trainFrame` is
+    * the corpus slice Lloyd sees (seed pick + the one assignment round
+    * feeding the means); `idx` always assigns the FULL `vn`. With
+    * `trainFrame = "vn"` and no extra CTEs this is the classic prefix
+    * byte-for-byte. */
+  private def ivfIdxCtesBuilder(ncellsSelect: String, extraCtes: String,
+                                trainFrame: String): String =
     s"""WITH v AS (
        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
        |), vn AS (
        |  SELECT vec_id, e, ${sqlNorm("e")} AS nrm FROM v
-       |), ncells AS (
+       |), ${extraCtes}ncells AS (
        |  $ncellsSelect
        |), seeds AS (
        |  SELECT vec_id AS cell0, e AS ce, nrm AS cn FROM (
-       |    SELECT vec_id, e, nrm, ROW_NUMBER() OVER (ORDER BY vec_id) AS rk FROM vn) s
+       |    SELECT vec_id, e, nrm, ROW_NUMBER() OVER (ORDER BY vec_id) AS rk FROM $trainFrame) s
        |  WHERE rk <= (SELECT c FROM ncells)
        |), fa AS (
        |  SELECT vec_id, e, cell0 FROM (
        |    SELECT x.vec_id, x.e, s.cell0,
        |      ROW_NUMBER() OVER (PARTITION BY x.vec_id ORDER BY
        |        ${sqlDot("x.e", "s.ce")} / (x.nrm * s.cn) DESC, s.cell0) AS rk
-       |    FROM vn x CROSS JOIN seeds s) t
+       |    FROM $trainFrame x CROSS JOIN seeds s) t
        |  WHERE rk = 1
        |), elems AS (
        |  SELECT cell0 AS cell, unnest(generate_series(1, len(e))) AS pos, e FROM fa

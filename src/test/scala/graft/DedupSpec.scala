@@ -435,6 +435,47 @@ class DedupSpec extends SparkSpecBase {
     }
   }
 
+  test("boilerplate cut: shared chunks dropped everywhere, unique bodies kept verbatim, " +
+      "reassembly order-stable, all-boilerplate doc empties") {
+    import spark.implicits._
+    // 8-word header shared by 4 docs (>= threshold 3), 8-word footer
+    // shared by only 2 (below threshold, must survive), unique bodies
+    val header = "this page is part of the site archive"
+    val footer = "contact the site team for takedown requests now"
+    def body(i: Long) = (1 to 8).map(j => s"w${i}_$j").mkString(" ")
+    val docs = (
+      (1L to 4L).map(i => (i, s"$header ${body(i)}")) ++
+      Seq((5L, s"${body(5)} $footer"), (6L, s"${body(6)} $footer"),
+          (7L, header)) // doc 7 is ONLY the boilerplate header
+    ).toDF("doc_id", "text")
+    val out = Dedup.boilerplateCutOn(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out.size == 7)
+    (1L to 4L).foreach { i =>
+      assert(out(i) == ((2L, 1L, body(i))), s"doc $i must lose only the header")
+    }
+    // footer df=2 < 3: both docs keep everything, order preserved
+    assert(out(5L) == ((2L, 0L, s"${body(5)} $footer")))
+    assert(out(6L) == ((2L, 0L, s"${body(6)} $footer")))
+    // a doc that is pure boilerplate survives as a row with empty text
+    assert(out(7L) == ((1L, 1L, "")))
+    // determinism
+    val again = Dedup.boilerplateCutOn(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(again == out)
+    // driver corpus: every doc accounted for, chunk arithmetic consistent
+    val drv = Dedup.boilerplateCut(spark, sfDir).cache()
+    val docsN = sources.Tables.documents(spark, sfDir).count()
+    assert(drv.count() == docsN)
+    drv.collect().foreach { r =>
+      val (n, d) = (r.getLong(1), r.getLong(2))
+      assert(n >= 1 && d >= 0 && d <= n)
+      val kept = r.getString(3)
+      if (d == n) assert(kept.isEmpty)
+    }
+    drv.unpersist()
+  }
+
   test("source sim driver key: estimates bounded, exact jaccard consistent with counts") {
     val rows = Dedup.dedupSourceSim(spark, sfDir).collect()
     assert(rows.nonEmpty)
