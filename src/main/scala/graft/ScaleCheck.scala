@@ -475,7 +475,14 @@ object ScaleCheck {
       val ta0 = System.nanoTime()
       val appended = operators.Pq.appendIvfPqIndex(spark, idxDir, newVecs)
       val appendSec = (System.nanoTime() - ta0) / 1e9
-      s""""ivf_pq_append":{"sec":$appendSec,"rows":$appended,"build_sec":$buildSec}"""
+      // GDPR-sized erasure against the same staged index: one user's
+      // 50 vectors → ≤50 of the ~√(n/2) cell directories rewritten
+      val eraseIds = (0L until 50L).map(i => i * (maxId / 50L))
+      val td0 = System.nanoTime()
+      val deleted = operators.Pq.deleteFromIvfPqIndex(spark, idxDir, eraseIds)
+      val deleteSec = (System.nanoTime() - td0) / 1e9
+      s""""ivf_pq_append":{"sec":$appendSec,"rows":$appended,"build_sec":$buildSec},""" +
+        s""""ivf_pq_delete":{"sec":$deleteSec,"rows":$deleted}"""
     }
 
     val qs = (results.collect { case (k, s, r) if r >= 0 => s""""$k":{"sec":$s,"rows":$r}""" }

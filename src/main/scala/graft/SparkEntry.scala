@@ -146,6 +146,7 @@ object SparkEntry {
     "stream_windowed_agg" -> (graft.streaming.Streams.windowedAggBatch(_, _)),
     "stream_hop_windows"  -> (graft.streaming.Streams.hopWindowedAggBatch(_, _)),
     "stream_dedupe"       -> (graft.streaming.Streams.keepFirstBatch(_, _)),
+    "stream_ann_ingest"   -> (graft.streaming.Streams.annIngestBatch(_, _)),
     "stream_minhash_dedupe" -> (graft.streaming.Streams.minhashGuardBatch(_, _)),
     "stream_scd2"         -> (graft.streaming.Streams.scd2Batch(_, _)),
     "stream_sessionize"   -> (graft.streaming.Streams.sessionizeBatch(_, _)),
@@ -333,6 +334,9 @@ object SparkEntry {
     "stream_hop_windows"  -> graft.streaming.Streams.hopWindowedAggOracleSql,
     "stream_dedupe"       -> graft.streaming.Streams.keepFirstOracleSql,
     "stream_minhash_dedupe" -> graft.operators.Dedup.minhashGuardOracleSql,
+    // batch twin of the streaming ANN ingest sink — shares the
+    // trainOn-decoupled append replay (the stream_scd2 precedent)
+    "stream_ann_ingest"   -> graft.operators.Pq.knnIvfPqAppendOracleSql,
     // the sink's materialization over the complete feed == the batch
     // CDC->SCD2 composition, so the two keys share one oracle
     "stream_scd2"         -> Etl.cdcScd2OracleSql,

@@ -627,9 +627,11 @@ object Pq {
       index.codes.unionByName(encodeAgainst(index, newVectors, dim)))
 
   /** The append arithmetic alone: `newVectors` assigned + encoded
-    * against `index`'s artifacts, as a codes frame. */
-  private def encodeAgainst(index: IvfPqIndex, newVectors: DataFrame,
-                            dim: Int): DataFrame = {
+    * against `index`'s artifacts, as a codes frame. `private[graft]`:
+    * the streaming ingest sink (Streams.annIngestSink) reuses it
+    * verbatim per micro-batch. */
+  private[graft] def encodeAgainst(index: IvfPqIndex, newVectors: DataFrame,
+                                   dim: Int): DataFrame = {
     val d =
       if (dim > 0) dim
       else index.codebooks.select(size(col("cs")).as("__w"))
@@ -660,8 +662,8 @@ object Pq {
     val index = readIvfPqIndex(spark, path)
     val newCodes = encodeAgainst(index, newVectors, dim)
     val staged = graft.operators.Scratch.stageReuse(newCodes, "ivf_pq_append_codes")
-    staged.repartition(col("cell")).sortWithinPartitions(col("cell"))
-      .write.mode("append").parquet(s"$path/codes")
+    staged.repartition(col("cell"))
+      .write.mode("append").partitionBy("cell").parquet(s"$path/codes")
     staged.count()
   }
 
@@ -669,18 +671,73 @@ object Pq {
   def writeIvfPqIndex(index: IvfPqIndex, path: String): Unit = {
     index.centroids.write.mode("overwrite").parquet(s"$path/centroids")
     index.codebooks.write.mode("overwrite").parquet(s"$path/codebooks")
-    // cluster the codes BY CELL on disk: a probe reads nprobe/C of the
-    // files instead of scanning all codes (the layout_zorder tie-in —
-    // on a lake this is the partitioning/clustering key)
-    index.codes.repartition(col("cell")).sortWithinPartitions(col("cell"))
-      .write.mode("overwrite").parquet(s"$path/codes")
+    // codes live in cell=<id> PARTITION DIRECTORIES: a probe prunes
+    // whole directories (not just row groups) down to nprobe/C of the
+    // corpus, an append adds files only under its batch's cells, and
+    // an erasure ([[deleteFromIvfPqIndex]]) rewrites only the
+    // directories that contain an erased id — the layout is what
+    // makes the index's whole CRUD lifecycle O(touched cells)
+    index.codes.repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/codes")
   }
 
   def readIvfPqIndex(spark: SparkSession, path: String): IvfPqIndex =
     IvfPqIndex(
       spark.read.parquet(s"$path/centroids"),
       spark.read.parquet(s"$path/codebooks"),
-      spark.read.parquet(s"$path/codes"))
+      // re-pin the partition column's position and type: partitioned
+      // discovery appends `cell` last and may infer it narrow, while
+      // every consumer binds (vec_id, cell: long, codes) positionally
+      spark.read.parquet(s"$path/codes")
+        .select(col("vec_id"), col("cell").cast("long").as("cell"),
+          col("codes")))
+
+  /** Right-to-erasure on the SERVING index (the GDPR hard-delete
+    * counterpart of [[graft.streaming.Streams]]' CDC-lake erasure):
+    * drop the code rows of `vecIds`, rewriting ONLY the cell
+    * directories that contain an erased id — every other partition's
+    * files stay byte-identical (spec-asserted), so the erasure bill is
+    * O(affected cells), not O(index). A cell whose every vector is
+    * erased is deleted outright (dynamic overwrite writes nothing for
+    * an empty partition — the dedup-index precedent, Dedup.scala).
+    * The locate pass scans only the `vec_id` column (column-pruned);
+    * a deployment with erasure SLAs would keep an id→cell reverse
+    * index to skip it. Returns the number of deleted code rows.
+    * Centroids/codebooks are unaffected: they are trained AGGREGATES,
+    * not personal records — re-train on the next reindex cadence. */
+  def deleteFromIvfPqIndex(spark: SparkSession, path: String,
+                           vecIds: Seq[Long]): Long = {
+    if (vecIds.isEmpty) return 0L
+    val codesPath = s"$path/codes"
+    def codes = spark.read.parquet(codesPath)
+      .select(col("vec_id"), col("cell").cast("long").as("cell"), col("codes"))
+    val affected = codes.filter(col("vec_id").isInCollection(vecIds))
+      .select("cell").distinct().collect().map(_.getLong(0))
+    if (affected.isEmpty) return 0L
+    // survivors of the affected cells, staged OFF the index directory
+    // (a dynamic overwrite cannot read the path it rewrites)
+    val survivors = graft.operators.Scratch.stageReuse(
+      codes.filter(col("cell").isInCollection(affected.toSeq))
+        .filter(!col("vec_id").isInCollection(vecIds)),
+      "ivf_pq_delete_survivors")
+    val survivorCells = survivors.select("cell").distinct()
+      .collect().map(_.getLong(0)).toSet
+    val nBefore = codes.filter(col("cell").isInCollection(affected.toSeq)).count()
+    val nAfter = survivors.count()
+    survivors.repartition(col("cell"))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("cell").parquet(codesPath)
+    // an emptied cell has no survivor rows, so the dynamic overwrite
+    // left its stale directory behind — retire it explicitly
+    val fs = new org.apache.hadoop.fs.Path(codesPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    (affected.toSet -- survivorCells).foreach { cell =>
+      fs.delete(new org.apache.hadoop.fs.Path(codesPath, s"cell=$cell"), true)
+      ()
+    }
+    nBefore - nAfter
+  }
 
   /** Query a STAGED index: probe cells from the C-row centroid table,
     * per-query ADC distance tables from the M·Kc codebooks, one scan

@@ -508,6 +508,76 @@ object Streams {
   def minhashGuardBatch(spark: SparkSession, dir: String): DataFrame =
     graft.operators.Dedup.minhashGuard(spark, dir)
 
+  /** Streaming ANN INGEST — the serving half of the embedding
+    * pipeline's daily lifecycle run continuously: each micro-batch of
+    * `(vec_id, embedding)` rows is assigned + encoded against the
+    * day-0 staged IVFADC artifacts
+    * ([[graft.operators.Pq.writeIvfPqIndex]], which MUST pre-exist —
+    * a missing index fails loudly rather than training on one
+    * micro-batch) and appended into the index's cell directories.
+    * Queries against the growing index stay bit-identical to a batch
+    * rebuild trained on day 0 (`buildIvfPq(all, trainOn = day0)` —
+    * the [[graft.operators.Pq.appendToIvfPq]] equation, spec-asserted
+    * end-to-end through this sink).
+    *
+    * Effectively-once under at-least-once replay WITHOUT a side
+    * ledger: the index itself is the claim registry. A vector's cell
+    * is a pure function of its embedding and the frozen centroids, so
+    * a replayed row re-lands in the SAME cell — the per-batch
+    * existing-id check reads only the batch's own cell directories
+    * (partition-pruned, the CDC-bucket argument) and the anti-join
+    * makes the one write idempotent. Per-batch bill:
+    * O(|batch|·C·d) encode + the touched cells' code files — never
+    * O(index). Contract: vec_ids unique across the stream (the corpus
+    * key contract); near-dup admission is the upstream
+    * [[minhashGuardSink]]'s job, not the index's. */
+  def annIngestSink(vectors: DataFrame, indexPath: String) =
+    vectors.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) { annIngestMicroBatch(batch, indexPath); () }
+      }
+
+  /** The foreachBatch core (exposed for the replay spec): encode the
+    * batch against the staged artifacts, drop ids the index already
+    * holds (cell-pruned read), append the remainder. Returns the
+    * number of appended code rows (0 for a full replay). */
+  def annIngestMicroBatch(batch: DataFrame, indexPath: String): Long = {
+    val spark = batch.sparkSession
+    // scoped to the read: an absent/corrupt index must fail here, not
+    // be mistaken for an empty one (the readLakeOpt convention)
+    val index =
+      try graft.operators.Pq.readIvfPqIndex(spark, indexPath)
+      catch {
+        case e: Exception => throw new IllegalStateException(
+          s"annIngestSink needs a day-0 writeIvfPqIndex artifact at " +
+            s"$indexPath — build once, then stream appends", e)
+      }
+    // one encode pass, staged: the cells probe, the idempotence
+    // anti-join, the write, and the count all read the same parquet
+    val newCodes = graft.operators.Scratch.stageReuse(
+      graft.operators.Pq.encodeAgainst(index, batch, 0), "ann_ingest_codes")
+    val cells = newCodes.select("cell").distinct()
+    val existingIds = index.codes
+      .join(broadcast(cells), Seq("cell"), "left_semi")
+      .select("vec_id")
+    val fresh = graft.operators.Scratch.stageReuse(
+      newCodes.join(existingIds, Seq("vec_id"), "left_anti"),
+      "ann_ingest_fresh")
+    val n = fresh.count()
+    if (n > 0)
+      fresh.repartition(col("cell"))
+        .write.mode("append").partitionBy("cell")
+        .parquet(s"$indexPath/codes")
+    n
+  }
+
+  /** Batch twin of [[annIngestSink]] (key `stream_ann_ingest`): the
+    * same build-on-day-0 / append-the-rest lifecycle as ONE batch
+    * call — shares `knn_ivf_pq_append`'s trainOn-decoupled oracle. */
+  def annIngestBatch(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Pq.knnIvfPqAppend(spark, dir)
+
   /** Streaming L2 upsert sink: every micro-batch merges into the
     * partitioned lake with the SAME keep-latest semantics the batch
     * pipeline uses (Pipeline.runDs) — foreachBatch is the bridge that

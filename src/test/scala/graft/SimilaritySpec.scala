@@ -4,6 +4,25 @@ import graft.operators.Similarity
 
 class SimilaritySpec extends SparkSpecBase {
 
+  /** Recursive (size, mtime) listing keyed by ROOT-RELATIVE path —
+    * string-prefix relativization, because `URI.relativize` returns
+    * the absolute URI unchanged on a scheme mismatch and the cell
+    * prefix checks would then silently never match. */
+  private def relListing(fs: org.apache.hadoop.fs.FileSystem,
+                         root: org.apache.hadoop.fs.Path): Map[String, (Long, Long)] = {
+    val rootStr = fs.makeQualified(root).toString
+    val it = fs.listFiles(root, true)
+    val b = Map.newBuilder[String, (Long, Long)]
+    while (it.hasNext) {
+      val st = it.next()
+      val p = fs.makeQualified(st.getPath).toString
+      assert(p.startsWith(rootStr + "/"), s"$p not under $rootStr")
+      b += (p.substring(rootStr.length + 1) ->
+        ((st.getLen, st.getModificationTime)))
+    }
+    b.result()
+  }
+
   test("knn bruteforce: k neighbors per query, ranked by cosine desc") {
     val rows = Similarity.knnBruteforce(spark, sfDir).collect()
     val perQuery = rows.groupBy(_.getLong(0))
@@ -376,10 +395,11 @@ class SimilaritySpec extends SparkSpecBase {
     // appending new files — every pre-append file stays byte-identical
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // recursive: codes live in cell=<id> partition directories — keys
+    // are paths relative to the artifact root so per-cell file
+    // stability is asserted cell by cell
     def listing(sub: String): Map[String, (Long, Long)] =
-      fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/$sub"))
-        .filter(_.isFile).map(st => st.getPath.getName ->
-          (st.getLen, st.getModificationTime)).toMap
+      relListing(fs, new org.apache.hadoop.fs.Path(s"$dir/$sub"))
     val before = Seq("centroids", "codebooks", "codes").map(s => s -> listing(s)).toMap
     val n1 = Pq.appendIvfPqIndex(spark, dir, b1)
     val n2 = Pq.appendIvfPqIndex(spark, dir, b2)
@@ -395,6 +415,63 @@ class SimilaritySpec extends SparkSpecBase {
     assert(reloaded.codes.count() == vectors.count())
     assert(canon(Pq.queryIvfPq(reloaded, vectors, qids)).sameElements(rTwo),
       "durably appended index diverged from the in-memory append")
+  }
+
+  test("ivfpq erasure: only affected cell dirs rewritten, emptied cell retired, " +
+      "queries equal a rebuild over the survivors") {
+    import graft.operators.Pq
+    import org.apache.spark.sql.functions.col
+    val vectors = graft.sources.Tables.embeddings(spark, sfDir)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq_delete").toString
+    Pq.writeIvfPqIndex(Pq.buildIvfPq(vectors), dir)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def listing(): Map[String, (Long, Long)] =
+      relListing(fs, new org.apache.hadoop.fs.Path(s"$dir/codes"))
+    val codes0 = spark.read.parquet(s"$dir/codes")
+      .select(col("vec_id"), col("cell").cast("long").as("cell")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val byCell = codes0.groupBy(_._2)
+    // erase ONE full cell (forces the emptied-directory path) plus a
+    // couple of ids from another cell (partial rewrite path)
+    val fullCell = byCell.minBy { case (c, rows) => (rows.length, c) }._1
+    val otherCell = byCell.keys.filter(_ != fullCell).min
+    val partialIds = byCell(otherCell).map(_._1).sorted.take(2)
+    val erase = byCell(fullCell).map(_._1) ++ partialIds
+    val before = listing()
+    // erasing unknown ids first: a no-op that touches nothing
+    assert(Pq.deleteFromIvfPqIndex(spark, dir, Seq(-1L, -2L)) == 0L)
+    assert(listing() == before, "a no-op erasure must not touch files")
+    val n = Pq.deleteFromIvfPqIndex(spark, dir, erase.toSeq)
+    assert(n == erase.length, s"deleted $n of ${erase.length}")
+    val after = listing()
+    // the emptied cell's directory is gone entirely
+    assert(!after.keys.exists(_.startsWith(s"cell=$fullCell/")),
+      "emptied cell directory must be retired")
+    // every cell OTHER than the two affected ones is byte-identical
+    before.foreach { case (name, meta) =>
+      val untouched = !name.startsWith(s"cell=$fullCell/") &&
+        !name.startsWith(s"cell=$otherCell/") && name != "_SUCCESS"
+      if (untouched)
+        assert(after.get(name).contains(meta), s"unaffected file $name rewritten")
+    }
+    // erased ids are gone as candidates; queries match a fresh rebuild
+    // over the survivors with the same training corpus
+    val reloaded = Pq.readIvfPqIndex(spark, dir)
+    assert(reloaded.codes.count() == codes0.length - erase.length)
+    val eraseSet = erase.toSet
+    val survivors = vectors.filter(!col("vec_id").isin(eraseSet.toSeq: _*))
+    val rebuilt = Pq.buildIvfPq(survivors, trainOn = vectors)
+    val qids = (0L until Similarity.NQueries.toLong).filterNot(eraseSet)
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._3))
+    assert(canon(Pq.queryIvfPq(reloaded, vectors, qids))
+      .sameElements(canon(Pq.queryIvfPq(rebuilt, vectors, qids))),
+      "post-erasure index diverged from a rebuild over the survivors")
+    // double delete: idempotent, zero rows, files untouched
+    assert(Pq.deleteFromIvfPqIndex(spark, dir, erase.toSeq) == 0L)
+    assert(listing() == after)
   }
 
   test("knn ivf pq: empty corpus yields an empty, schema-stable result") {

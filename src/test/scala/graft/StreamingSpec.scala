@@ -1011,4 +1011,52 @@ class StreamingSpec extends SparkSpecBase {
     applyOnce()
     assert(snapshot() == first, "replayed batch must be a no-op")
   }
+
+  test("streaming ann ingest: grown index equals the day-0-trained rebuild, " +
+      "replay is a no-op, missing index fails loudly") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.{Pq, Similarity}
+    val vectors = sources.Tables.embeddings(spark, sfDir)
+    val maxId = vectors.agg(max("vec_id")).collect()(0).getLong(0)
+    val cut = maxId / 2; val cut2 = (maxId * 3) / 4
+    val base = vectors.filter(col("vec_id") <= cut)
+    def slice(lo: Long, hi: Long) = vectors
+      .filter(col("vec_id") > lo && col("vec_id") <= hi)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val b1 = slice(cut, cut2)
+    val b2 = slice(cut2, maxId)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ann_ingest").toString
+    // no day-0 artifact: refuse to ingest (never train on a micro-batch)
+    intercept[IllegalStateException] {
+      Streams.annIngestMicroBatch(
+        Seq((0L, Seq(0f))).toDF("vec_id", "embedding"), s"$dir/absent")
+    }
+    Pq.writeIvfPqIndex(Pq.buildIvfPq(base), dir)
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val q = Streams.annIngestSink(
+      mem.toDF.toDF("vec_id", "embedding"), dir).start()
+    try {
+      mem.addData(b1.toSeq); q.processAllAvailable()
+      mem.addData(b2.toSeq); q.processAllAvailable()
+    } finally q.stop()
+    val qids = 0L until Similarity.NQueries.toLong
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._3))
+    val want = canon(Pq.queryIvfPq(
+      Pq.buildIvfPq(vectors, trainOn = base), vectors, qids))
+    val got = canon(Pq.queryIvfPq(Pq.readIvfPqIndex(spark, dir), vectors, qids))
+    assert(got.sameElements(want),
+      "streamed index diverged from the day-0-trained batch rebuild")
+    assert(Pq.readIvfPqIndex(spark, dir).codes.count() == vectors.count())
+    // at-least-once replay of a whole micro-batch: the cell-pruned
+    // claim check appends nothing and answers stay identical
+    assert(Streams.annIngestMicroBatch(
+      b1.toSeq.toDF("vec_id", "embedding"), dir) == 0L)
+    assert(Pq.readIvfPqIndex(spark, dir).codes.count() == vectors.count())
+    assert(canon(Pq.queryIvfPq(Pq.readIvfPqIndex(spark, dir), vectors, qids))
+      .sameElements(want))
+  }
 }
