@@ -715,10 +715,12 @@ object Etl {
     * a per-domain CAP ignores how much good data a domain has).
     *
     * Exact contract: per group, keep the `ceil(pctNum% · n_g)` rows
-    * ranked first by (score DESC, id ASC) — integer quota math
-    * (`(n·pct + 99) div 100`), engine-portable; raising the
+    * ranked first by (score DESC NULLS LAST, id ASC) — integer quota
+    * math (`(n·pct + 99) div 100`), engine-portable; raising the
     * percentage only ADDS rows (nested, the sampling-family
-    * property).
+    * property). NULL scores count toward n_g and are drawn (id ASC)
+    * only once the group's non-null rows are exhausted — both this
+    * form and the continuous twin below.
     *
     * Scale shape — the naive form is a `row_number() OVER (PARTITION
     * BY group ORDER BY score)` window over the CORPUS: with few
@@ -762,7 +764,15 @@ object Etl {
       .select(col("__g"), col("__s"), col("__tie_quota"))
     val wTie = org.apache.spark.sql.expressions.Window
       .partitionBy(col("__g"), col("__s")).orderBy(col("__id"))
-    val keptIds = base.join(verdict, Seq("__g", "__s"))
+    // null-SAFE score match: a NULL score forms its own histogram cell
+    // (groupBy keeps it; `desc` sorts it last, exactly the contract's
+    // nulls-last rank), so the verdict row for that cell must find its
+    // way back to the rows — plain EqualTo would silently drop every
+    // null-score row even when the quota reaches into them
+    val keptIds = base.join(
+        verdict.select(col("__g").as("__vg"), col("__s").as("__vs"),
+          col("__tie_quota")),
+        col("__g") <=> col("__vg") && col("__s") <=> col("__vs"))
       .withColumn("__rk", row_number().over(wTie))
       .where(col("__rk") <= col("__tie_quota"))
       .select(col("__id"))
@@ -794,38 +804,58 @@ object Etl {
     *
     * Driver-side state is coordination-sized: |groups| head rows +
     * groups×Bins counters per round (the few-groups premise both
-    * variants share — sources/dumps/languages). Score span must fit
-    * the refinement's 2^62-tick guard (quality ratios, perplexities,
-    * bounded losses all do; rescale pathological domains).
-    * Spec-equated to the discrete form — identical output rows,
-    * including planted cross-threshold ties — on a corpus-sized-
-    * histogram fixture. */
+    * variants share — sources/dumps/languages). The span guard only
+    * rejects domains whose TICK span overflows the long bin
+    * arithmetic (needs ticks spanning nearly the full ±1.8e308 double
+    * range — any bounded, mixed-sign, or ratio-like score fits).
+    * NULL scores sort LAST under the contract's (score DESC, id ASC)
+    * — exactly the discrete twin — drawn only once a group's non-null
+    * side is exhausted. Spec-equated to the discrete form — identical
+    * output rows, including planted cross-threshold ties and
+    * null-score rows — on a corpus-sized-histogram fixture. */
   def sampleQualityTopFracContinuousOn(scored: DataFrame, group: Column,
                                        score: Column, id: Column,
                                        pctNum: Int = TopFracPct): DataFrame = {
     val spark = scored.sparkSession
     import spark.implicits._
-    val base = scored.select(group.cast("string").as("__g"),
-      call_function("sortable_double_bits", score.cast("double") + lit(0.0)).as("__t"),
-      id.as("__id"))
+    // ONE narrow staged projection (the knnGraphOn precedent): the
+    // caller's scoring pipeline would otherwise re-run for the heads
+    // pass, every refinement round, and the verdict branches below —
+    // ~10 executions of e.g. a full-text quality composite. A null
+    // score stays a null tick (the expression is null-intolerant).
+    val base = Scratch.stageReuse(
+      scored.select(group.cast("string").as("__g"),
+        call_function("sortable_double_bits", score.cast("double") + lit(0.0)).as("__t"),
+        id.as("__id")),
+      "topfrac_cont_base")
     val heads = base.groupBy(col("__g"))
-      .agg(count(lit(1)).as("n"), min(col("__t")).as("mn"), max(col("__t")).as("mx"))
+      .agg(count(lit(1)).as("n"), count(col("__t")).as("nn"),
+        min(col("__t")).as("mn"), max(col("__t")).as("mx"))
       .collect()
-      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) 0L else r.getLong(3),
+        if (r.isNullAt(4)) 0L else r.getLong(4)))
     if (heads.isEmpty) return scored.limit(0)
-    heads.foreach { case (g, _, mn, mx) =>
-      require(
-        try Math.subtractExact(mx, mn) <= (1L << 62)
-        catch { case _: ArithmeticException => false },
-        s"score tick span for group '$g' exceeds 2^62 — rescale the score domain")
+    val bins = Quantiles.Bins
+    heads.foreach { case (g, _, nn, mn, mx) =>
+      require(nn == 0L || (
+        try Math.subtractExact(mx, mn) <= Long.MaxValue - 2L * bins
+        catch { case _: ArithmeticException => false }),
+        s"score tick span for group '$g' overflows the refinement's " +
+          "long bin arithmetic — rescale the score domain")
     }
     case class GProbe(g: String, k: Long, lo: Long, hi: Long,
-                      below: Long, quota: Long)
-    var probes = heads.map { case (g, n, mn, mx) =>
+                      below: Long, quota: Long, nullKeep: Long)
+    var probes = heads.map { case (g, n, nn, mn, mx) =>
       val quota = (n * pctNum + 99) / 100
-      GProbe(g, n - quota + 1, mn, mx, 0L, quota) // ascending threshold rank
+      // nulls fill the quota only after every non-null row (the
+      // DESC-nulls-last contract); quotaNN == 0 ⟺ the group has no
+      // non-null scores — collapse its probe to an empty range
+      val nullKeep = math.max(0L, quota - nn)
+      val quotaNN = quota - nullKeep
+      if (quotaNN == 0L) GProbe(g, 0L, 0L, 0L, 0L, 0L, nullKeep)
+      else GProbe(g, nn - quotaNN + 1, mn, mx, 0L, quotaNN, nullKeep)
     }.toSeq
-    val bins = Quantiles.Bins
     var rounds = 0
     while (probes.exists(p => p.lo < p.hi)) {
       rounds += 1
@@ -864,8 +894,8 @@ object Etl {
             s"rank ${p.k} not reachable in [${p.lo},${p.hi}] for group ${p.g}")
           val lo2 = p.lo + found * width
           val hi2 = math.min(p.hi, lo2 + width - 1)
-          if (width == 1) GProbe(p.g, p.k, lo2, lo2, cum, p.quota)
-          else GProbe(p.g, p.k, lo2, hi2, cum, p.quota)
+          if (width == 1) GProbe(p.g, p.k, lo2, lo2, cum, p.quota, p.nullKeep)
+          else GProbe(p.g, p.k, lo2, hi2, cum, p.quota, p.nullKeep)
         }
       }
     }
@@ -888,7 +918,18 @@ object Etl {
       .withColumn("__rk", row_number().over(wTie))
       .where(col("__rk") <= col("__resid"))
       .select(col("__id"))
-    scored.join(keptAbove.unionAll(keptTies), id === col("__id"), "left_semi")
+    // null-score rows fill any residual quota a group's non-null side
+    // could not cover (all comparisons above drop null ticks), by the
+    // same id-ASC tie rule
+    val nullKeep = broadcast(probes.filter(_.nullKeep > 0L)
+      .map(p => (p.g, p.nullKeep)).toDF("__g", "__nullkeep"))
+    val keptNulls = base.where(col("__t").isNull)
+      .join(nullKeep, "__g")
+      .withColumn("__rk", row_number().over(wTie))
+      .where(col("__rk") <= col("__nullkeep"))
+      .select(col("__id"))
+    scored.join(keptAbove.unionAll(keptTies).unionAll(keptNulls),
+      id === col("__id"), "left_semi")
   }
 
   /** Driver query (key `sample_quality_topfrac`): top [[TopFracPct]]%

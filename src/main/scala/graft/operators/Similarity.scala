@@ -940,24 +940,32 @@ object Similarity {
   }
 
   /** Deterministic pseudo-random hyperplanes (fixed seed — the bucket
-    * assignment must be reproducible across runs and executors). */
-  private def planes(dim: Int): Array[Array[Double]] = {
+    * assignment must be reproducible across runs and executors);
+    * `count` = tables × bits of whichever LSH family asks. */
+  private def planesFor(dim: Int, count: Int): Array[Array[Double]] = {
     val rnd = new scala.util.Random(42)
-    Array.fill(LshTables * BitsPerTable)(Array.fill(dim)(rnd.nextGaussian()))
+    Array.fill(count)(Array.fill(dim)(rnd.nextGaussian()))
   }
+
+  private def planes(dim: Int): Array[Array[Double]] =
+    planesFor(dim, LshTables * BitsPerTable)
 
   private def planeLit(p: Array[Double]): Column =
     array(p.map(x => lit(x)): _*)
 
-  /** Bucket id for table `t`: sign bits of the dot products against
-    * that table's hyperplanes, packed into a long. */
-  private def bucketCol(e: Column, dim: Int, t: Int): Column = {
-    val ps = planes(dim)
-    (0 until BitsPerTable).foldLeft(lit(0L)) { (acc, b) =>
-      val d = V.dot(e, planeLit(ps(t * BitsPerTable + b)))
+  /** THE sign-bucket kernel every LSH family shares: sign bits of the
+    * dot products against table `t`'s `bits` consecutive planes,
+    * packed into one long. */
+  private def packSigns(e: Column, ps: Array[Array[Double]],
+                        t: Int, bits: Int): Column =
+    (0 until bits).foldLeft(lit(0L)) { (acc, b) =>
+      val d = V.dot(e, planeLit(ps(t * bits + b)))
       shiftleft(acc, 1) + when(d >= 0, lit(1L)).otherwise(lit(0L))
     }
-  }
+
+  /** Bucket id for table `t` of the query-side family. */
+  private def bucketCol(e: Column, dim: Int, t: Int): Column =
+    packSigns(e, planes(dim), t, BitsPerTable)
 
   /** Sign-bucket ids for PAIR-space LSH ([[graft.operators.Dedup
     * .embeddingCosineBucketedOn]]): `tables` independent bucket ids,
@@ -971,14 +979,8 @@ object Similarity {
     * deterministic across runs and executors). */
   private[operators] def lshPairBuckets(e: Column, dim: Int,
                                         tables: Int, bits: Int): Column = {
-    val rnd = new scala.util.Random(42)
-    val ps = Array.fill(tables * bits)(Array.fill(dim)(rnd.nextGaussian()))
-    array((0 until tables).map { t =>
-      (0 until bits).foldLeft(lit(0L)) { (acc, b) =>
-        val d = V.dot(e, planeLit(ps(t * bits + b)))
-        shiftleft(acc, 1) + when(d >= 0, lit(1L)).otherwise(lit(0L))
-      }
-    }: _*)
+    val ps = planesFor(dim, tables * bits)
+    array((0 until tables).map(t => packSigns(e, ps, t, bits)): _*)
   }
 
   /** Approximate top-k via random-hyperplane LSH: the corpus is

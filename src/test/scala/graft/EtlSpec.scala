@@ -544,7 +544,20 @@ class EtlSpec extends SparkSpecBase {
         else 0.4 - i.toDouble / 1000.0
       ("tie", 10000L + i, s)
     }
-    val scored = (continuous ++ tied).toDF("src", "id", "score")
+    // null-score rows: group "nulls" has 10 rows, only ONE scored —
+    // quota at the default 20% is 2, so it dips INTO the null side and
+    // the contract (DESC NULLS LAST, id ASC) must draw the smallest-id
+    // null. Group "allnull" is 5 rows of pure nulls (quota 1 → the
+    // smallest id survives, no refinement probe at all).
+    val nullScored: Seq[(String, Long, java.lang.Double)] =
+      (1L to 10L).map { i =>
+        val s: java.lang.Double =
+          if (i <= 1) java.lang.Double.valueOf(0.9) else null
+        ("nulls", 20000L + i, s)
+      } ++ (1L to 5L).map(i => ("allnull", 21000L + i, null: java.lang.Double))
+    val scored = (continuous.map(t => (t._1, t._2, java.lang.Double.valueOf(t._3)))
+      ++ tied.map(t => (t._1, t._2, java.lang.Double.valueOf(t._3)))
+      ++ nullScored).toDF("src", "id", "score")
     def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
       df.collect().map(_.getAs[Long]("id")).toSet
     val discrete = ids(Etl.sampleQualityTopFracOn(
@@ -556,6 +569,11 @@ class EtlSpec extends SparkSpecBase {
     // the planted tie: exactly ids 16..20 of the 0.5 cell survive
     assert((10016L to 10031L).filter(refined.contains).toSeq ==
       (10016L to 10020L), "residual tie quota must keep the 5 smallest ids")
+    // nulls-last: the scored row + the smallest-id null fill the quota
+    assert((20001L to 20010L).filter(refined.contains).toSeq ==
+      Seq(20001L, 20002L), "null fill must draw the smallest-id null")
+    assert((21001L to 21005L).filter(refined.contains).toSeq ==
+      Seq(21001L), "all-null group keeps its quota by id ASC")
     // quota exactness per group
     val sizes = scored.groupBy("src").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
