@@ -36,7 +36,7 @@ object ScaleCheck {
     // 1000x corpus writes ~600M lineitems nobody would read
     val embOnly = Set("embed_clusters", "dedup_semantic", "knn_ivf",
       "knn_ivf_pq", "knn_pq", "sample_kcenter", "knn_graph",
-      "vec_covariance", "ivf_pq_append", "knn_graph_capped")
+      "vec_covariance", "vec_quantize", "ivf_pq_append", "knn_graph_capped")
     val skipNonEmbedding = args.length > 1 && args(1).split(",").forall(embOnly)
     // a graph-only run (the tier's dedicated scaled-catalog corpus)
     // likewise skips the main tables: a 300× run would otherwise
@@ -377,6 +377,8 @@ object ScaleCheck {
       run("knn_graph_capped", operators.Similarity.knnGraphOn(
         spark.read.parquet(s"$dir/embeddings.parquet"), nprobe = 1)),
       run("vec_covariance", operators.Similarity.vecCovarianceOn(
+        spark.read.parquet(s"$dir/embeddings.parquet"))),
+      run("vec_quantize", operators.Quantize.vecQuantizeOn(
         spark.read.parquet(s"$dir/embeddings.parquet"))),
       run("text_entropy", operators.TextAnalysis.textEntropy(spark, dir)),
       run("salted_join_events", {

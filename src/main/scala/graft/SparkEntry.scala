@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Dedup, Etl, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Etl, Multimodal, Quantize, Similarity, TextAnalysis}
 import graft.queries.Analytics
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
@@ -113,9 +113,11 @@ object SparkEntry {
     "knn_pq"         -> ((s, d) => graft.operators.Pq.knnPq(s, d)),
     "knn_ivf_pq"     -> ((s, d) => graft.operators.Pq.knnIvfPq(s, d)),
     "knn_ivf_pq_append" -> ((s, d) => graft.operators.Pq.knnIvfPqAppend(s, d)),
+    "knn_ivf_pq_delete" -> ((s, d) => graft.operators.Pq.knnIvfPqDelete(s, d)),
     "sample_kcenter" -> ((s, d) => Similarity.sampleKCenter(s, d)),
     "vec_stats"      -> (Similarity.vecStats(_, _)),
     "vec_covariance" -> (Similarity.vecCovariance(_, _)),
+    "vec_quantize"   -> (Quantize.vecQuantize(_, _)),
     "embed_clusters" -> (Similarity.embedClusters(_, _)),
     // §2.5 text analysis
     "text_tokens"      -> (TextAnalysis.textTokens(_, _)),
@@ -286,9 +288,15 @@ object SparkEntry {
     // the append lifecycle replayed with training decoupled: Lloyd +
     // codebooks on the base half only, assign+encode over everything
     "knn_ivf_pq_append" -> graft.operators.Pq.knnIvfPqAppendOracleSql,
+    // the erasure lifecycle replayed as candidate exclusion: trained
+    // artifacts stand, only the erased ids' codes are gone
+    "knn_ivf_pq_delete" -> graft.operators.Pq.knnIvfPqDeleteOracleSql,
     "sample_kcenter" -> Similarity.sampleKCenterOracleSql,
     "vec_stats"      -> Similarity.vecStatsOracleSql,
     "vec_covariance" -> Similarity.vecCovarianceOracleSql,
+    // per-dimension affine int8 grid: exact integer code checksum +
+    // decimal-accumulated reconstruction error
+    "vec_quantize"   -> Quantize.vecQuantizeOracleSql,
     // per-cluster population + decimal-accumulated mean centroid cosine
     "embed_clusters" -> Similarity.embedClustersOracleSql,
     // §2.5 text — langid's whole learn+predict path is deterministic

@@ -311,6 +311,36 @@ object Pq {
       0L until Similarity.NQueries.toLong)
   }
 
+  /** Erased id slice of the `knn_ivf_pq_delete` driver key: bounded
+    * (50 ids — erasure requests are request-sized, the GDPR regime),
+    * disjoint from the query ids, and trivially SQL-expressible so the
+    * oracle can exclude exactly these candidates. At a corpus too
+    * small to contain the slice the delete is a no-op on BOTH sides —
+    * the key stays consistent at every sf. */
+  val DeleteLo = 100L
+  val DeleteHi = 149L
+
+  /** Driver query (key `knn_ivf_pq_delete`): the erasure half of the
+    * index CRUD lifecycle run END TO END through the cross-engine gate
+    * — build over the full corpus, stage durably, [[deleteFromIvfPqIndex]]
+    * of ids [[DeleteLo]]..[[DeleteHi]] (only their cell directories are
+    * rewritten), then the staged-index query path. The oracle replays
+    * the classic composed IVFADC search with exactly those ids removed
+    * from candidate enumeration — centroids, codebooks, probes, and
+    * every surviving code are unchanged by an erasure (they are
+    * trained aggregates, not per-record state), which is precisely the
+    * arithmetic claim the hash match checks. The heavyweight engine-
+    * internal equations (survivor-rebuild equality, untouched-cell
+    * byte-identity, idempotence) live in SimilaritySpec. */
+  def knnIvfPqDelete(spark: SparkSession, dir: String): DataFrame = {
+    val vectors = Tables.embeddings(spark, dir)
+    val path = graft.operators.Scratch.reuseDir("ivf_pq_delete_idx")
+    writeIvfPqIndex(buildIvfPq(vectors), path)
+    deleteFromIvfPqIndex(spark, path, DeleteLo to DeleteHi)
+    queryIvfPq(readIvfPqIndex(spark, path), vectors,
+      0L until NQueries.toLong)
+  }
+
   /** `cells <= 0` (the default) auto-sizes the coarse quantizer
     * ([[Similarity.autoCells]], C=⌈√(n/2)⌉); an explicit positive C
     * pins it. The fixed 16-cell knob this replaces left ~corpus/16 of
@@ -861,13 +891,25 @@ object Pq {
     * `buildIvfPq(all, trainOn = base)` equation. */
   val knnIvfPqAppendOracleSql: String = ivfPqOracleSqlFor(trained = true)
 
+  /** The replay of the erasure lifecycle (key `knn_ivf_pq_delete`):
+    * the classic full-corpus build with ids [[DeleteLo]]..[[DeleteHi]]
+    * excluded from candidate enumeration — the SQL twin of deleting
+    * their code rows from the staged index while centroids and
+    * codebooks (trained aggregates) stand. */
+  val knnIvfPqDeleteOracleSql: String = ivfPqOracleSqlFor(trained = false,
+    erasedPred = s"c.vec_id BETWEEN $DeleteLo AND $DeleteHi")
+
   /** One template, two training policies: `trained = true` swaps in
     * the trained-half IVF prefix and restricts the PQ seed pick
     * (`sdp`) and codebook-training assignment (`fap`) to the base
     * slice (`unpt`/`svpt`); encoding (`codesp`), probes, ADC, and
-    * rerank always run over the FULL corpus. With `trained = false`
-    * this emits the classic composed replay byte-for-byte. */
-  private def ivfPqOracleSqlFor(trained: Boolean): String = {
+    * rerank always run over the FULL corpus. `erasedPred` (a predicate
+    * over the candidate alias `c`) drops erased ids at candidate
+    * enumeration — everything trained or probed stays as built. With
+    * `trained = false` and no predicate this emits the classic
+    * composed replay byte-for-byte. */
+  private def ivfPqOracleSqlFor(trained: Boolean,
+                                erasedPred: String = null): String = {
     val dim = 64
     val sub = dim / M
     import Similarity.{sqlDot, IvfNProbe}
@@ -940,7 +982,8 @@ object Pq {
        |    FROM codesp c
        |    JOIN probes p ON p.cell = c.cell
        |    JOIN dtp d ON c.m = d.m AND c.code = d.code AND d.query_id = p.query_id
-       |    WHERE c.vec_id != d.query_id) t
+       |    WHERE c.vec_id != d.query_id${
+             if (erasedPred == null) "" else s" AND NOT ($erasedPred)"}) t
        |  GROUP BY t.query_id, t.vec_id
        |), cand AS (
        |  SELECT query_id, vec_id FROM (

@@ -1,0 +1,116 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.functions.{VectorOps => V}
+
+/** Scalar (per-dimension affine) int8 quantization of the embedding
+  * corpus (key `vec_quantize`) — the storage/serving compression knob
+  * of the similarity tier (SURVEY §2.4). Where PQ ([[Pq]]) compresses
+  * by replacing subvectors with codebook ids, scalar quantization
+  * keeps the geometry per dimension: each coordinate maps affinely
+  * onto the 256-level int8 grid of its OWN corpus range, an ~8×
+  * cut over float64 (4× over float32) that brute-force and IVF scans
+  * can consume directly with a per-dimension dequant in the kernel.
+  * The operator reports the quantizer itself plus its measured
+  * reconstruction error — the artifact a serving deployment persists
+  * next to the corpus, and the error bound a recall analysis starts
+  * from.
+  *
+  * Contract (engine-portable, every step deterministic):
+  *   - per dimension `pos` (1-based), `mn`/`mx` are the corpus min/max
+  *     of that coordinate (float widened to double);
+  *   - code `q = floor(((x - mn) * 255.0) / (mx - mn) + 0.5) - 128`
+  *     (affine round-to-nearest onto -128..127; the `floor(t + 0.5)`
+  *     form is portable where round() tie policies differ across
+  *     engines — the argument is non-negative here so half-up and
+  *     half-away agree, and both engines compute the SAME IEEE double
+  *     `t`); a degenerate dimension (`mx == mn`) codes to 0;
+  *   - dequant `deq = mn + ((q + 128) * (mx - mn)) / 255.0`, so
+  *     |x - deq| <= (mx - mn)/510 by construction (half a step);
+  *   - the report row per dimension: `n`, `mn`, `mx`, `sum_q` (an
+  *     exact integer checksum of every code in the dimension),
+  *     `mean_abs_err` (decimal-accumulated — the dsum rule), and
+  *     `max_err`.
+  *
+  * 100 TB: two narrow corpus scans (range pass, then quantize+error
+  * pass), each collapsing map-side to d partial cells per partition —
+  * the shuffle is d×partitions counters, never corpus rows (the
+  * vec_covariance precedent, Similarity.scala). The d-row range frame
+  * joins back as a broadcast; output is a d-row report. Nothing here
+  * is driver-resident but the report itself, so the operator's cost
+  * is scan-linear and its plan survives any corpus size the scans do.
+  * A deployment quantizing FOR storage would add the codes write
+  * (`write.parquet` of (vec_id, q-array)) — one more narrow map over
+  * the same broadcast ranges, same scan shape. */
+object Quantize {
+
+  /** Quantization levels minus one: codes span -128..127. */
+  val Steps = 255.0
+
+  /** Driver query (key `vec_quantize`): the per-dimension quantizer +
+    * reconstruction-error report over the embeddings corpus. */
+  def vecQuantize(spark: SparkSession, dir: String): DataFrame =
+    vecQuantizeOn(Tables.embeddings(spark, dir))
+
+  def vecQuantizeOn(vectors: DataFrame): DataFrame = {
+    val elems = vectors
+      .filter(col("embedding").isNotNull)
+      .select(posexplode(V.toDouble(col("embedding"))).as(Seq("p0", "x")))
+      .select((col("p0") + 1).cast("long").as("pos"), col("x"))
+    val ranges = elems.groupBy(col("pos"))
+      .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+    val span: Column = col("mx") - col("mn")
+    val q: Column = when(col("mx") === col("mn"), lit(0L))
+      .otherwise(
+        floor(((col("x") - col("mn")) * lit(Steps)) / span + lit(0.5)) - lit(128L))
+    val deq: Column = when(col("mx") === col("mn"), col("mn"))
+      .otherwise(
+        col("mn") + ((col("q") + lit(128L)).cast("double") * span) / lit(Steps))
+    elems.join(broadcast(ranges), "pos")
+      .withColumn("q", q)
+      .withColumn("deq", deq)
+      .withColumn("err", abs(col("x") - col("deq")))
+      .groupBy(col("pos"))
+      .agg(count(lit(1)).as("n"),
+        min(col("mn")).as("mn"),
+        min(col("mx")).as("mx"),
+        sum(col("q")).as("sum_q"),
+        (sum(col("err").cast("decimal(30,12)")).cast("double") / count(lit(1)))
+          .as("mean_abs_err"),
+        max(col("err")).as("max_err"))
+  }
+
+  /** DuckDB replay: the same affine grid, IEEE-double arithmetic in
+    * the same parenthesization, decimal-accumulated error mean. The
+    * 1-based `pos` comes from generate_series so both engines emit
+    * BIGINT; DuckDB's integer SUM widens to HUGEINT, hence the
+    * explicit BIGINT cast on the code checksum. */
+  val vecQuantizeOracleSql: String =
+    """WITH el AS (
+      |  SELECT p.pos, CAST(e.embedding[p.pos] AS DOUBLE) AS x
+      |  FROM embeddings e
+      |  CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS pos) p
+      |  WHERE e.embedding IS NOT NULL
+      |), rg AS (
+      |  SELECT pos, MIN(x) AS mn, MAX(x) AS mx FROM el GROUP BY pos
+      |), qz AS (
+      |  SELECT el.pos, el.x, rg.mn, rg.mx,
+      |    CASE WHEN rg.mx = rg.mn THEN 0
+      |         ELSE CAST(FLOOR(((el.x - rg.mn) * 255.0) / (rg.mx - rg.mn) + 0.5) AS BIGINT) - 128
+      |    END AS q
+      |  FROM el JOIN rg ON el.pos = rg.pos
+      |), dq AS (
+      |  SELECT pos, x, mn, mx, q,
+      |    CASE WHEN mx = mn THEN mn
+      |         ELSE mn + (CAST(q + 128 AS DOUBLE) * (mx - mn)) / 255.0
+      |    END AS deq
+      |  FROM qz
+      |)
+      |SELECT pos, COUNT(*) AS n, MIN(mn) AS mn, MIN(mx) AS mx,
+      |  CAST(SUM(q) AS BIGINT) AS sum_q,
+      |  CAST(SUM(CAST(ABS(x - deq) AS DECIMAL(30,12))) AS DOUBLE) / COUNT(*) AS mean_abs_err,
+      |  MAX(ABS(x - deq)) AS max_err
+      |FROM dq GROUP BY pos""".stripMargin
+}

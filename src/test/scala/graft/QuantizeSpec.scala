@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Quantize
+
+class QuantizeSpec extends SparkSpecBase {
+
+  test("scalar quantization: exact codes on a hand-computed grid, " +
+      "degenerate dimension codes to zero, error bounded by half a step") {
+    import spark.implicits._
+    // dim 1 spans [0,1]: 0.0 -> -128, 1.0 -> 127, 0.5 -> code 0 with
+    // the known 0.5/255 reconstruction error. dim 2 is constant.
+    val vectors = Seq(
+      (1L, Seq(0.0f, 7.0f), 0),
+      (2L, Seq(1.0f, 7.0f), 0),
+      (3L, Seq(0.5f, 7.0f), 0)
+    ).toDF("vec_id", "embedding", "label")
+    val rep = Quantize.vecQuantizeOn(vectors).orderBy("pos").collect()
+    assert(rep.length == 2)
+    val d1 = rep(0)
+    assert(d1.getLong(0) == 1L && d1.getLong(1) == 3L)
+    assert(d1.getDouble(2) == 0.0 && d1.getDouble(3) == 1.0)
+    // codes: -128 + 127 + 0
+    assert(d1.getLong(4) == -1L, "sum of codes on the [0,1] span")
+    // endpoints reconstruct exactly; the midpoint misses by 0.5/255
+    val expMean = (0.5 / 255.0) / 3.0
+    assert(math.abs(d1.getDouble(5) - expMean) < 1e-12, "mean abs err")
+    assert(math.abs(d1.getDouble(6) - 0.5 / 255.0) < 1e-15, "max err")
+    val d2 = rep(1)
+    assert(d2.getLong(4) == 0L, "constant dimension codes to 0")
+    assert(d2.getDouble(5) == 0.0 && d2.getDouble(6) == 0.0,
+      "constant dimension reconstructs exactly")
+  }
+
+  test("scalar quantization on the corpus: one report row per dimension, " +
+      "every error inside the affine half-step bound, deterministic") {
+    val vectors = graft.sources.Tables.embeddings(spark, sfDir)
+    val n = vectors.count()
+    val rep = Quantize.vecQuantizeOn(vectors).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getLong(4), r.getDouble(5), r.getDouble(6)))
+      .sortBy(_._1)
+    assert(rep.length == 64, "one row per embedding dimension")
+    assert(rep.forall(_._2 == n), "every dimension sees the whole corpus")
+    rep.foreach { case (pos, _, mn, mx, _, meanErr, maxErr) =>
+      val half = (mx - mn) / 510.0
+      assert(maxErr <= half + 1e-15, s"dim $pos max err $maxErr > $half")
+      assert(meanErr <= maxErr + 1e-15, s"dim $pos mean above max")
+      assert(mn < mx, s"dim $pos degenerate in the corpus fixture")
+    }
+    val again = Quantize.vecQuantizeOn(vectors).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getLong(4), r.getDouble(5), r.getDouble(6)))
+      .sortBy(_._1)
+    assert(rep.sameElements(again), "report must be bit-deterministic")
+  }
+}

@@ -474,6 +474,29 @@ class SimilaritySpec extends SparkSpecBase {
     assert(listing() == after)
   }
 
+  test("ivfpq delete driver key: erased slice absent from neighbors, " +
+      "result equals querying an index built without re-encoding survivors") {
+    import graft.operators.Pq
+    import org.apache.spark.sql.functions.col
+    val out = Pq.knnIvfPqDelete(spark, sfDir)
+    val rows = out.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    assert(rows.length == Similarity.NQueries * Similarity.K)
+    assert(rows.forall(t => t._2 < Pq.DeleteLo || t._2 > Pq.DeleteHi),
+      "an erased id surfaced as a neighbor")
+    // the lifecycle == a full-corpus-trained build over the survivors
+    // (the in-memory twin of what the staged erasure leaves on disk)
+    val vectors = graft.sources.Tables.embeddings(spark, sfDir)
+    val survivors = vectors.filter(
+      col("vec_id") < Pq.DeleteLo || col("vec_id") > Pq.DeleteHi)
+    val twin = Pq.queryIvfPq(Pq.buildIvfPq(survivors, trainOn = vectors),
+      vectors, 0L until Similarity.NQueries.toLong)
+    assert(rows.sortBy(t => (t._1, t._3)).sameElements(
+      twin.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+        .sortBy(t => (t._1, t._3))),
+      "driver delete key diverged from the survivor-rebuild twin")
+  }
+
   test("knn ivf pq: empty corpus yields an empty, schema-stable result") {
     import spark.implicits._
     val empty = Seq.empty[(Long, Seq[Float], Int)].toDF("vec_id", "embedding", "label")
