@@ -54,13 +54,48 @@ object Quantize {
   def vecQuantize(spark: SparkSession, dir: String): DataFrame =
     vecQuantizeOn(Tables.embeddings(spark, dir))
 
+  /** The codes write the report's quantizer implies: every vector as
+    * its int8 code array `(vec_id, codes)` — the storage form a
+    * serving corpus persists beside the d-row range artifact (returned
+    * by [[quantizerRanges]]; decode is `mn + ((q+128)·(mx-mn))/255`
+    * per dimension). One narrow map over the corpus against the
+    * broadcast ranges — same grid, same rounding, same degenerate-
+    * dimension rule as the report, spec-equated to it (per-dimension
+    * code sums match the report's `sum_q` exactly). Codes are INT in
+    * the frame (Spark has no int8 column type); parquet's integer
+    * packing stores the -128..127 domain in a byte-wide page anyway. */
+  def quantizeCodesOn(vectors: DataFrame): DataFrame = {
+    val ranges = quantizerRanges(vectors)
+    vectors
+      .filter(col("embedding").isNotNull)
+      .select(col("vec_id"), posexplode(V.toDouble(col("embedding"))).as(Seq("p0", "x")))
+      .select(col("vec_id"), (col("p0") + 1).cast("long").as("pos"), col("x"))
+      .join(broadcast(ranges), "pos")
+      .withColumn("q",
+        when(col("mx") === col("mn"), lit(0L))
+          .otherwise(floor(((col("x") - col("mn")) * lit(Steps)) /
+            (col("mx") - col("mn")) + lit(0.5)) - lit(128L)))
+      .groupBy(col("vec_id"))
+      .agg(sort_array(collect_list(struct(col("pos"), col("q")))).as("pq"))
+      .select(col("vec_id"),
+        transform(col("pq"), p => p.getField("q").cast("int")).as("codes"))
+  }
+
+  /** The d-row quantizer artifact: per-dimension corpus min/max. */
+  def quantizerRanges(vectors: DataFrame): DataFrame =
+    vectors
+      .filter(col("embedding").isNotNull)
+      .select(posexplode(V.toDouble(col("embedding"))).as(Seq("p0", "x")))
+      .select((col("p0") + 1).cast("long").as("pos"), col("x"))
+      .groupBy(col("pos"))
+      .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+
   def vecQuantizeOn(vectors: DataFrame): DataFrame = {
     val elems = vectors
       .filter(col("embedding").isNotNull)
       .select(posexplode(V.toDouble(col("embedding"))).as(Seq("p0", "x")))
       .select((col("p0") + 1).cast("long").as("pos"), col("x"))
-    val ranges = elems.groupBy(col("pos"))
-      .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+    val ranges = quantizerRanges(vectors)
     val span: Column = col("mx") - col("mn")
     val q: Column = when(col("mx") === col("mn"), lit(0L))
       .otherwise(

@@ -54,4 +54,36 @@ class QuantizeSpec extends SparkSpecBase {
       .sortBy(_._1)
     assert(rep.sameElements(again), "report must be bit-deterministic")
   }
+
+  test("quantized codes: full-width int8 arrays whose per-dimension sums " +
+      "equal the report's checksums, decode inside the half-step bound") {
+    val vectors = graft.sources.Tables.embeddings(spark, sfDir)
+    val codes = Quantize.quantizeCodesOn(vectors).collect()
+      .map(r => (r.getLong(0), r.getSeq[Int](1).toArray))
+    assert(codes.length == vectors.count())
+    assert(codes.forall(_._2.length == 64), "one code per dimension")
+    assert(codes.forall(_._2.forall(q => q >= -128 && q <= 127)), "int8 domain")
+    // per-dimension code sums == the report's exact sum_q checksums
+    val sums = new Array[Long](64)
+    codes.foreach { case (_, qs) =>
+      var i = 0; while (i < 64) { sums(i) += qs(i); i += 1 } }
+    val rep = Quantize.vecQuantizeOn(vectors).collect()
+      .map(r => (r.getLong(0).toInt, r.getLong(4), r.getDouble(2), r.getDouble(3)))
+      .sortBy(_._1)
+    rep.foreach { case (pos, sumQ, _, _) =>
+      assert(sums(pos - 1) == sumQ, s"dim $pos code sum vs report checksum") }
+    // decode round-trip: every coordinate within half a grid step
+    val byPos = rep.map { case (pos, _, mn, mx) => pos -> (mn, mx) }.toMap
+    val originals = vectors.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    codes.take(50).foreach { case (vid, qs) =>
+      val e = originals(vid)
+      qs.zipWithIndex.foreach { case (q, i) =>
+        val (mn, mx) = byPos(i + 1)
+        val deq = mn + ((q + 128L).toDouble * (mx - mn)) / 255.0
+        assert(math.abs(e(i).toDouble - deq) <= (mx - mn) / 510.0 + 1e-12,
+          s"vec $vid dim ${i + 1} decode outside the half-step bound")
+      }
+    }
+  }
 }
