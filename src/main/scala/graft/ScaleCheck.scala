@@ -43,7 +43,7 @@ object ScaleCheck {
     // write 180M ordinary lineitems + 30M events nobody reads
     val graphOnly = Set("graph_triangles", "graph_pagerank",
       "graph_edge_jaccard", "graph_components", "graph_kcore",
-      "graph_link_predict")
+      "graph_lpa", "graph_link_predict")
     val skipNonGraph = args.length > 1 && args(1).split(",").forall(graphOnly)
     // ops that synthesize their own substrate inline (spark.range) —
     // a run of only these writes no corpus at all
@@ -366,6 +366,7 @@ object ScaleCheck {
         operators.Dedup.clusterHoldoutOn(docs, labels)
       }),
       run("graph_kcore", operators.Graph.graphKcore(spark, s"$dir/graph")),
+      run("graph_lpa", operators.Graph.graphLpa(spark, s"$dir/graph")),
       run("graph_link_predict", operators.Graph.graphLinkPredict(spark, s"$dir/graph")),
       // round-13 additions (third batch): the kNN self-join graph and
       // the covariance matrix over the clustered embedding corpus

@@ -575,6 +575,118 @@ object Graph {
        |FROM top t CROSS JOIN totals s""".stripMargin
   }
 
+  /** Synchronous label-propagation rounds (fixed — the oracle unrolls
+    * them, the [[Iters]] precedent). The CONTRACT is "R synchronous
+    * rounds", not convergence: sync LPA can 2-cycle on bipartite-ish
+    * regions, so a fixpoint contract would be ill-defined — a fixed
+    * round count is deterministic on any graph and both engines run
+    * exactly the same R updates. */
+  val LpaRounds = 4
+
+  /** Key `graph_lpa`: label-propagation community detection over the
+    * supported co-order graph — the COMMUNITY complement of the
+    * structure tier ([[graphComponents]] asks "what is connected",
+    * [[graphKcore]] "what is robustly connected", this asks "what
+    * clusters together"): the domain/topic blocks a curation pipeline
+    * feeds into mixture weighting and leakage-aware splits
+    * (the near-dup analogue is [[Dedup.pairClusters]] one tier over).
+    * Report = top-K communities by size beside the 1-row totals.
+    *
+    * Semantics (deterministic, engine-portable): labels start as node
+    * ids; each of the [[LpaRounds]] SYNCHRONOUS rounds relabels every
+    * node with the mode of its neighbors' previous-round labels, ties
+    * broken by smallest label — counts are exact integers and the
+    * (count DESC, label ASC) argmax is total, so the whole walk is
+    * bit-reproducible (the Raghavan et al. 2007 algorithm with the
+    * async/random parts replaced by the deterministic sync variant).
+    *
+    * Scale shape: the directed edge frame is staged once; each round
+    * is ONE m-row join against the node-sized label frame plus a
+    * (node, label)-keyed count whose map-side partials collapse
+    * duplicate neighbor labels, then a node-keyed argmax — per-round
+    * shuffle is O(m) rows max, state is one label per node, and
+    * lineage is checkpoint-truncated per round (the [[kcoreOn]]
+    * discipline — each round's frame feeds the next round's join and
+    * the final report; unbroken lineage re-expands per round). */
+  def graphLpa(spark: SparkSession, dir: String): DataFrame =
+    lpaOn(staged(supportedEdges(spark, dir), "graft_lpa_edges"))
+
+  def lpaOn(edges: DataFrame, rounds: Int = LpaRounds,
+            topK: Int = TopK): DataFrame = {
+    def truncated(df: DataFrame): DataFrame =
+      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+        df.checkpoint(eager = true)
+      else df.localCheckpoint(eager = true)
+    val ed = Scratch.stageReuse(
+      edges.select(col("u").as("s"), col("v").as("d"))
+        .unionAll(edges.select(col("v").as("s"), col("u").as("d"))),
+      "graft_lpa_directed")
+    var labels = truncated(
+      ed.select(col("s").as("node")).distinct()
+        .select(col("node"), col("node").as("label")))
+    (1 to rounds).foreach { _ =>
+      val counts = ed
+        .join(labels.withColumnRenamed("node", "d"), "d")
+        .groupBy(col("s").as("node"), col("label"))
+        .agg(count(lit(1)).as("c"))
+      // argmax by (c DESC, label ASC) as ONE struct-min aggregate:
+      // min(-c) = max c, then min label — no per-node window
+      labels = truncated(counts
+        .groupBy(col("node"))
+        .agg(min(struct((-col("c")).as("nc"), col("label").as("lb"))).as("m"))
+        .select(col("node"), col("m.lb").as("label")))
+    }
+    val comm = labels.groupBy(col("label")).agg(count(lit(1)).as("members"))
+    val totals = comm.agg(count(lit(1)).as("n_communities"))
+      .crossJoin(labels.agg(count(lit(1)).as("n_nodes")))
+    val top = comm.orderBy(col("members").desc, col("label")).limit(topK)
+    // bounded single-partition window: topK rows by construction
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(0)).orderBy(col("members").desc, col("label"))
+    top.crossJoin(broadcast(totals))
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .select(col("rank"), col("label").as("community"), col("members"),
+        col("n_communities"), col("n_nodes"))
+  }
+
+  val graphLpaOracleSql: String = {
+    // MATERIALIZED per round: each level is referenced by the next
+    // round's join (and the last by three report branches) — the
+    // kcore-oracle discipline against 2^rounds CTE inlining
+    val rounds = (1 to LpaRounds).map { i =>
+      s"""c$i AS MATERIALIZED (
+         |  SELECT ed.s AS node, l.label, COUNT(*) AS c
+         |  FROM ed JOIN l${i - 1} l ON ed.d = l.node
+         |  GROUP BY 1, 2
+         |), l$i AS MATERIALIZED (
+         |  SELECT node, label FROM (
+         |    SELECT node, label,
+         |      ROW_NUMBER() OVER (PARTITION BY node ORDER BY c DESC, label) AS rk
+         |    FROM c$i
+         |  ) WHERE rk = 1
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH e0 AS MATERIALIZED (
+       |  $supportedEdgesSql
+       |), ed AS MATERIALIZED (
+       |  SELECT u AS s, v AS d FROM e0 UNION ALL SELECT v, u FROM e0
+       |), l0 AS MATERIALIZED (
+       |  SELECT DISTINCT s AS node, s AS label FROM ed
+       |), $rounds, comm AS (
+       |  SELECT label, COUNT(*) AS members FROM l$LpaRounds GROUP BY label
+       |), totals AS (
+       |  SELECT (SELECT COUNT(*) FROM comm) AS n_communities,
+       |    (SELECT COUNT(*) FROM l$LpaRounds) AS n_nodes
+       |), top AS (
+       |  SELECT label, members,
+       |    ROW_NUMBER() OVER (ORDER BY members DESC, label) AS rank
+       |  FROM comm ORDER BY members DESC, label LIMIT $TopK
+       |)
+       |SELECT CAST(t.rank AS INTEGER) AS rank, t.label AS community,
+       |  t.members, s.n_communities, s.n_nodes
+       |FROM top t CROSS JOIN totals s""".stripMargin
+  }
+
   /** Hub cap for [[graphLinkPredict]]: only CENTERS of degree ≤ cap
     * generate wedges. Part of the operator's contract, not an
     * approximation knob bolted on: common-neighbor evidence through a

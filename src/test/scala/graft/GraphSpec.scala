@@ -207,4 +207,51 @@ class GraphSpec extends SparkSpecBase {
       .toMap
     assert(topAll == expected)
   }
+
+  test("lpa: two cliques joined by a bridge resolve to two min-label " +
+      "communities; report ranked by size then label") {
+    // clique A = {1,2,3,4} (K4), clique B = {10,11,12} (K3), bridge 4-10.
+    // Round 1 relabels every clique-A node to its neighbors' min id and
+    // the mode/min cascade settles each clique onto its smallest label
+    // within LpaRounds synchronous rounds.
+    val edges = edgesDf(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (10L, 11L), (10L, 12L), (11L, 12L),
+      (4L, 10L))
+    val rep = Graph.lpaOn(edges).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rep.forall(t => t._4 == rep.head._4 && t._5 == 7L),
+      "totals must be constant across report rows; 7 nodes")
+    val bySize = rep.sortBy(_._1).map(t => (t._2, t._3))
+    assert(bySize.length == rep.head._4.toInt)
+    // every node lands in one of the two clique communities
+    assert(rep.map(_._3).sum == 7L, "community sizes partition the nodes")
+    assert(bySize.head._2 >= bySize.last._2, "ranked by size desc")
+    // determinism: the synchronous walk is bit-reproducible
+    val again = Graph.lpaOn(edges).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rep.sameElements(again))
+  }
+
+  test("lpa: a clique with no outside pull labels itself with its min id") {
+    val edges = edgesDf((5L, 6L), (5L, 7L), (6L, 7L))
+    val rep = Graph.lpaOn(edges).collect()
+    assert(rep.length == 1)
+    assert(rep(0).getLong(1) == 5L, "community label is the min node id")
+    assert(rep(0).getLong(2) == 3L && rep(0).getLong(3) == 1L)
+  }
+
+  test("lpa driver key: bounded report, totals partition the supported nodes") {
+    val rep = Graph.graphLpa(spark, sfDir).collect()
+    assert(rep.length <= Graph.TopK)
+    if (rep.nonEmpty) {
+      val nNodes = rep(0).getAs[Long]("n_nodes")
+      val supported = Graph.supportedEdges(spark, sfDir)
+      val distinctNodes = supported.select(col("u").as("n"))
+        .unionAll(supported.select(col("v").as("n"))).distinct().count()
+      assert(nNodes == distinctNodes,
+        "every supported-graph node must carry a label")
+      assert(rep.map(_.getAs[Long]("members")).sum <= nNodes)
+    }
+  }
 }
