@@ -57,7 +57,22 @@ object ScaleCheck {
       "agg_sketch_union", "stream_scd2_apply", "etl_scd2_enrich")
     val allEventsOnly = args.length > 1 &&
       args(1).split(",").forall(k => eventsOnly(k) || selfSynth(k))
+    // ops that read ONLY the documents table — a filtered run of these
+    // skips the events/orders/lineitem/part/embeddings writes (a 1000×
+    // doc-key measurement session otherwise pays 600M lineitems and
+    // 100M events nobody reads). Membership audited against the run
+    // list: every entry calls an operator whose only input is
+    // Tables.documents.
+    val docsOnly = Set("sample_quality_topfrac", "sample_topfrac_continuous",
+      "dedup_boilerplate", "text_entropy", "text_vocab", "text_chunk",
+      "text_lm_score", "dedup_substring_spans", "dedup_span_cut",
+      "bpe_train", "bpe_train_batched", "bpe_apply", "bpe_encode",
+      "text_encode", "pack_sequences", "pack_boundaries", "pack_token_ids",
+      "dedup_source_sim")
+    val allDocsOnly = args.length > 1 &&
+      args(1).split(",").forall(k => docsOnly(k) || selfSynth(k))
     if (!skipNonEmbedding && !skipNonGraph && !allSelfSynth) {
+    if (!allDocsOnly) {
     // same columns/value shapes as the driver's events table
     spark.range(n).select(
       col("id").as("event_id"),
@@ -68,8 +83,10 @@ object ScaleCheck {
       (pmod(xxhash64(col("id"), lit(2)), lit(100000L)).cast("double") / 1000.0).as("value"),
       concat(lit("{\"k\": "), pmod(xxhash64(col("id"), lit(3)), lit(100L)), lit("}")).as("props"))
       .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    } // end !allDocsOnly (events)
 
     if (!allEventsOnly) {
+    if (!allDocsOnly) {
     // orders (as-of join right side): 100× sf0.1's 150k rows, custkey
     // domain matching the events user_id domain, day-granular dates
     spark.range(150000L * mult).select(
@@ -100,6 +117,7 @@ object ScaleCheck {
       timestamp_micros(lit(1704067200000000L) +
         pmod(xxhash64(col("id"), lit(19)), lit(90L)) * 86400000000L).as("l_shipdate"))
       .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    } // end !allDocsOnly (orders + lineitem)
 
     // documents (contamination / packing): 100× sf0.1's 5k docs, ~50
     // words from a small vocabulary (real-corpus shape), 20 sources
@@ -121,6 +139,7 @@ object ScaleCheck {
       length(text).as("n_chars"))
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
 
+    if (!allDocsOnly) {
     // part (fuzzy repair): 100× sf0.1's 20k rows. The name vocabulary
     // is adjective×noun (64 forms) like the driver corpus — blocking
     // keys (length, end char) keep bounded selectivity while the row
@@ -142,6 +161,7 @@ object ScaleCheck {
       (pmod(xxhash64(col("id"), lit(34)), lit(200000L)).cast("double") / 100.0)
         .as("p_retailprice"))
       .write.mode("overwrite").parquet(s"$dir/part.parquet")
+    } // end !allDocsOnly (part)
     } // end non-events main tables
 
     } // end main-table synthesis
@@ -172,7 +192,7 @@ object ScaleCheck {
       .write.mode("overwrite").parquet(s"$dir/graph/lineitem.parquet")
     } // end !skipNonEmbedding
 
-    if (!skipNonGraph && !allSelfSynth && !allEventsOnly) {
+    if (!skipNonGraph && !allSelfSynth && !allEventsOnly && !allDocsOnly) {
     // embeddings (semantic tier): 100× sf0.1's 2k vectors, 64-dim,
     // clustered around 32 seeded centers (the shape the IVF quantizer
     // exists for) — deterministic hash-noise, no rand()
