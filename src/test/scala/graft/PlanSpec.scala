@@ -146,6 +146,40 @@ class PlanSpec extends SparkSpecBase {
     assert(!p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("vec quantize: pruned single-column scan, ranges broadcast, " +
+      "map-side partials, no product") {
+    val p = plan(graft.operators.Quantize.vecQuantize(spark, sfDir))
+    assert(p.contains("ReadSchema: struct<embedding:array<float>>"),
+      s"scan reads more than the embedding column:\n$p")
+    assert(p.contains("partial_sum") || p.contains("partial_count"),
+      s"per-element error terms shuffled raw instead of partial-aggregating:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"d-row ranges not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("lpa report: one bounded window, one bounded totals attach, no " +
+      "per-node rank window anywhere") {
+    // per-round lineage is checkpoint-truncated by design (the kcore
+    // discipline), so the report plan audits the REPORT: the only
+    // Window must be the 10-row rank, the only nested-loop join the
+    // 10-row × 1-row totals attach — a corpus-sized window or product
+    // here would mean the mode argmax regressed from the struct-min
+    // aggregate to a rank window
+    val p = plan(graft.operators.Graph.lpaOn(
+      { import spark.implicits._
+        Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("u", "v") }, rounds = 1))
+    assert(!p.contains("CartesianProduct"))
+    assert("Window \\[".r.findAllIn(p).length == 1,
+      s"expected exactly the bounded report window:\n$p")
+    // two bounded products by construction: the 1-row × 1-row totals
+    // build and the 10-row × 1-row report attach (the kcore shape)
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).length <= 2,
+      s"expected only the bounded totals build + attach:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-K must be a TakeOrdered, not a global sort:\n$p")
+  }
+
   test("native expressions stay inside whole-stage codegen") {
     val p = finalPlan(graft.operators.TextAnalysis.textFingerprint(spark, sfDir))
     assert(p.contains("WholeStageCodegen") || p.contains("*("),
