@@ -522,6 +522,55 @@ class EtlSpec extends SparkSpecBase {
     }
   }
 
+  test("quality top-frac: discrete and continuous forms agree on seeded-random " +
+      "fixtures mixing tie clusters, continuous scores, and null regimes; " +
+      "quotas exact; raising pct only adds rows") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(1405)
+    (1 to 6).foreach { trial =>
+      val nGroups = 2 + rnd.nextInt(4)
+      val rows = (0 until nGroups).flatMap { g =>
+        val n = 1 + rnd.nextInt(300)
+        // regime per group: tie-heavy discrete, continuous, or null-mixed
+        val regime = rnd.nextInt(3)
+        (0 until n).map { i =>
+          val s: java.lang.Double = regime match {
+            case 0 => java.lang.Double.valueOf((rnd.nextInt(7) * 10).toDouble)
+            case 1 => java.lang.Double.valueOf(rnd.nextDouble() * 2.0 - 1.0)
+            case _ =>
+              if (rnd.nextDouble() < 0.3) null
+              else java.lang.Double.valueOf(rnd.nextInt(5).toDouble / 3.0)
+          }
+          (s"g$g", (g * 100000L) + i, s)
+        }
+      }
+      val scored = rnd.shuffle(rows).toDF("src", "id", "score")
+      def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+        df.collect().map(_.getAs[Long]("id")).toSet
+      val d20 = ids(Etl.sampleQualityTopFracOn(
+        scored, col("src"), col("score"), col("id"), 20))
+      val c20 = ids(Etl.sampleQualityTopFracContinuousOn(
+        scored, col("src"), col("score"), col("id"), 20))
+      assert(c20 == d20, s"trial $trial: variants diverged at pct=20")
+      // quota exactness per group
+      val sizes = scored.groupBy("src").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val kept = scored.filter(col("id").isInCollection(c20.toSeq))
+        .groupBy("src").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      sizes.foreach { case (g, n) =>
+        assert(kept.getOrElse(g, 0L) == (n * 20 + 99) / 100,
+          s"trial $trial group $g quota") }
+      // nesting: a larger percentage only ADDS rows (both variants)
+      val c45 = ids(Etl.sampleQualityTopFracContinuousOn(
+        scored, col("src"), col("score"), col("id"), 45))
+      assert(c20.subsetOf(c45), s"trial $trial: pct=20 not nested in pct=45")
+      assert(c45 == ids(Etl.sampleQualityTopFracOn(
+        scored, col("src"), col("score"), col("id"), 45)),
+        s"trial $trial: variants diverged at pct=45")
+    }
+  }
+
   test("quality top-frac continuous: refinement variant equals the discrete form " +
       "on a corpus-sized-histogram fixture, ties quota-exact") {
     import spark.implicits._

@@ -241,6 +241,39 @@ class GraphSpec extends SparkSpecBase {
     assert(rep(0).getLong(2) == 3L && rep(0).getLong(3) == 1L)
   }
 
+  test("lpa matches a driver-side reference walk on seeded random graphs") {
+    val rnd = new scala.util.Random(2207)
+    (1 to 4).foreach { trial =>
+      val n = 12 + rnd.nextInt(20)
+      val pairs = (for {
+        u <- 0L until n.toLong; v <- (u + 1) until n.toLong
+        if rnd.nextDouble() < 0.15
+      } yield (u, v)).distinct
+      if (pairs.nonEmpty) {
+        // reference: the same synchronous walk in plain Scala
+        val nbrs = (pairs ++ pairs.map(_.swap)).groupBy(_._1)
+          .map { case (k, vs) => k -> vs.map(_._2) }
+        var label: Map[Long, Long] = nbrs.keys.map(k => k -> k).toMap
+        (1 to Graph.LpaRounds).foreach { _ =>
+          label = nbrs.map { case (node, ns) =>
+            val counts = ns.groupBy(label).map { case (l, xs) => l -> xs.size }
+            node -> counts.toSeq.minBy { case (l, c) => (-c, l) }._1
+          }
+        }
+        val refComms = label.values.groupBy(identity)
+          .map { case (l, xs) => l -> xs.size.toLong }
+        val expTop = refComms.toSeq.sortBy { case (l, m) => (-m, l) }
+          .take(Graph.TopK)
+        val got = Graph.lpaOn(edgesDf(pairs: _*)).collect()
+          .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        assert(got.map(t => (t._1, t._2)).toSeq == expTop,
+          s"trial $trial: engine communities diverged from the reference walk")
+        assert(got.forall(_._3 == refComms.size.toLong), s"trial $trial totals")
+        assert(got.forall(_._4 == label.size.toLong), s"trial $trial n_nodes")
+      }
+    }
+  }
+
   test("lpa driver key: bounded report, totals partition the supported nodes") {
     val rep = Graph.graphLpa(spark, sfDir).collect()
     assert(rep.length <= Graph.TopK)
