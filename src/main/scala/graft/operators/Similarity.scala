@@ -452,16 +452,20 @@ object Similarity {
     * rows-only key is hash-checkable because every source of
     * "approximation" is deterministic: the hyperplanes are fixed-seed
     * literals (embedded below as the SAME doubles the executor uses —
-    * shortest-roundtrip decimal strings parse back to the identical
-    * bit pattern), the bucket bit is a sign test on the sequential
+    * quoted strings cast to DOUBLE — the correctly-rounded strtod
+    * path; a BARE literal is decimal-routed and double-rounded 1 ulp
+    * off on some inputs), the bucket bit is a sign test on the sequential
     * dot fold, and the rerank is the brute-force oracle restricted to
     * bucket-sharing candidates. Dim is pinned to the driver corpus's
     * 64 (the operator probes it from data; an oracle string cannot). */
   val knnLshOracleSql: String = {
     val dim = 64
     val ps = planes(dim)
+    // QUOTED literals: DuckDB decimal-routes bare long literals and
+    // double-rounds 1 ulp off; the VARCHAR→DOUBLE cast is a correct
+    // strtod, so only the quoted form reproduces the engine's planes
     def planeLitSql(p: Array[Double]): String =
-      p.mkString("[", ",", "]::DOUBLE[]")
+      p.map(x => s"'$x'").mkString("[", ",", "]::DOUBLE[]")
     def bucketExpr(t: Int): String =
       (0 until BitsPerTable).foldLeft("0") { (acc, b) =>
         val d = sqlDot("e", s"(${planeLitSql(ps(t * BitsPerTable + b))})")

@@ -60,10 +60,13 @@ object Sketches {
     val p3 = u(1609587929392839161L);  val p4 = u(-8796714831421723037L)
     val init = u(42L + 2870177450012600261L /* P5 */ + 8L)
     val alphaMM = HllNdv.alphaMM(P)
+    // literals QUOTED: DuckDB decimal-routes bare 17-digit literals
+    // and double-rounds them 1 ulp off (measured: the linear-counting
+    // value for V=170 at sf0.1); VARCHAR→DOUBLE is correctly-rounded
     val powRows = HllNdv.powNeg(P).zipWithIndex
-      .map { case (t, r) => s"($r, CAST($t AS DOUBLE))" }.mkString(",\n  ")
+      .map { case (t, r) => s"($r, CAST('$t' AS DOUBLE))" }.mkString(",\n  ")
     val lnRows = HllNdv.linearCounting(P).zipWithIndex.drop(1)
-      .map { case (e, v) => s"($v, CAST($e AS DOUBLE))" }.mkString(",\n  ")
+      .map { case (e, v) => s"($v, CAST('$e' AS DOUBLE))" }.mkString(",\n  ")
     // w = h << P mod 2^64, as a multiply so it stays in UBIGINT
     val w = mulmod("h", u(1L << P))
     s"""h0 AS (
@@ -105,8 +108,8 @@ object Sketches {
        |  GROUP BY $keyName),
        |est AS (
        |  SELECT $keyName,
-       |    CASE WHEN (CAST($alphaMM AS DOUBLE) / z) <= ${2.5 * m} AND vz > 0
-       |         THEN lnv ELSE (CAST($alphaMM AS DOUBLE) / z) END AS ndv_approx
+       |    CASE WHEN (CAST('$alphaMM' AS DOUBLE) / z) <= ${2.5 * m} AND vz > 0
+       |         THEN lnv ELSE (CAST('$alphaMM' AS DOUBLE) / z) END AS ndv_approx
        |  FROM zsum LEFT JOIN lntab ON lntab.v = zsum.vz)""".stripMargin
   }
 

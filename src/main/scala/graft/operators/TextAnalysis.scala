@@ -115,11 +115,17 @@ object TextAnalysis {
         .otherwise(lit(0.0)), 4).as("entropy_ratio"))
   }
 
-  /** The shared ln table as a DuckDB VALUES relation — shortest-
-    * roundtrip double literals parse back to the identical bits. */
+  /** The shared ln table as a DuckDB VALUES relation. The literals
+    * are QUOTED STRINGS cast to DOUBLE: DuckDB routes bare decimal
+    * literals through DECIMAL and converts int128×10^-s with a
+    * double-rounding that lands 1 ulp off the correctly-rounded
+    * value on some 17-digit literals (measured on the HLL
+    * linear-counting table at sf0.1), while the VARCHAR→DOUBLE cast
+    * is a correctly-rounded strtod — only the quoted form actually
+    * parses back to the identical bits. */
   private def entropyLnValuesSql: String =
     (1 until EntropyLnTableSize)
-      .map(k => s"($k,CAST(${entropyLnTable(k)} AS DOUBLE))")
+      .map(k => s"($k,CAST('${entropyLnTable(k)}' AS DOUBLE))")
       .mkString(",")
 
   val textEntropyOracleSql: String =

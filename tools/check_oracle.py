@@ -10,15 +10,24 @@ cell-by-cell (exact for non-floats; exact-then-1e-9-relative report
 for floats so we can see how close a miss is).
 
 Known probabilistic-oracle margin (documented in BASELINE.md/SURVEY.md):
-two keys carry a tiny per-cell cross-engine divergence risk from
-double->decimal / presentation rounding landing exactly on a grid
-midpoint where Spark (shortest-repr parse) and DuckDB (exact binary)
-can round apart:
-  - text_entropy      (4dp presentation rounding, ~1e-11 per doc)
-  - vec_covariance    (scale-6 decimal casts, ~1e-5 per full suite)
-A one-off hash/cell FAIL on exactly these keys, at rel ~ 1e-4..1e-6 on
-a single cell, is this known flake — re-run before treating it as a
+  - vec_covariance (scale-6 decimal casts, ~1e-5 per full suite): a
+    tiny per-cell risk from a double->decimal cast landing exactly on
+    a grid midpoint where Spark (BigDecimal, correctly rounded) and
+    DuckDB (int128 x 10^-s, double-rounded) can round apart.
+A one-off hash/cell FAIL on exactly this key, at rel ~ 1e-4..1e-6 on a
+single cell, is this known flake — re-run before treating it as a
 regression. Any other key, or a repeatable miss, is a real bug.
+
+ROOT-CAUSED AND FIXED (round 14): every oracle that embeds a
+full-precision Scala double as a BARE SQL literal was 1-ulp-fragile —
+DuckDB routes bare decimal literals through DECIMAL and converts
+int128 x 10^-s with a double rounding (measured: the HLL
+linear-counting literal for V=170 diverged at sf0.1). All embedded
+double tables (HLL pow/ln tables, alphaMM, the entropy ln table, the
+LSH plane literals) are now QUOTED strings cast to DOUBLE — the
+correctly-rounded strtod path — and the affected keys pass at both
+sf0.01 and sf0.1. text_entropy's previously-documented ~1e-11/doc
+presentation risk was this mechanism; it is gone.
 """
 import sys, json, glob, os, math
 import duckdb
