@@ -747,6 +747,12 @@ object Etl {
     * in. */
   def sampleQualityTopFracOn(scored: DataFrame, group: Column, score: Column,
                              id: Column, pctNum: Int = TopFracPct): DataFrame = {
+    // pct 0 would keep nothing here but the continuous twin's probe
+    // collapse assumed quota==0 means "no non-null scores" — the two
+    // variants must stay output-identical, so both reject it (r14
+    // advice); pct 100 keeps everything, still a valid draw
+    require(pctNum >= 1 && pctNum <= 100,
+      s"top-frac pct must be in 1..100, got $pctNum")
     val base = scored.select(group.as("__g"), score.as("__s"), id.as("__id"))
     val hist = base.groupBy(col("__g"), col("__s")).agg(count(lit(1)).as("__cnt"))
     val totals = hist.groupBy(col("__g")).agg(sum(col("__cnt")).as("__n"))
@@ -816,6 +822,12 @@ object Etl {
   def sampleQualityTopFracContinuousOn(scored: DataFrame, group: Column,
                                        score: Column, id: Column,
                                        pctNum: Int = TopFracPct): DataFrame = {
+    // same domain guard as the discrete twin: with pctNum == 0 every
+    // group's quota is 0 and the quotaNN==0 probe collapse below —
+    // whose contract is "the group has NO non-null scores" — would
+    // instead keep every positive-tick row (r14 advice)
+    require(pctNum >= 1 && pctNum <= 100,
+      s"top-frac pct must be in 1..100, got $pctNum")
     val spark = scored.sparkSession
     import spark.implicits._
     // ONE narrow staged projection (the knnGraphOn precedent): the

@@ -518,7 +518,12 @@ object Graph {
       rounds += 1
     }
     oracleRoundBudget.foreach { budget =>
-      require(rounds <= budget,
+      // `rounds` counts the final no-change confirming iteration too:
+      // changing peels = rounds - 1, and the oracle only needs to
+      // unroll the CHANGING rounds (further levels are the identity) —
+      // comparing `rounds` itself aborted a graph converging in
+      // exactly `budget` peels (r14 advice off-by-one)
+      require(rounds - 1 <= budget,
         s"k-core peeling converged in $rounds rounds but the fixed-depth " +
           s"oracle only unrolls $budget — raise KcorePeelRounds (the engine " +
           "result is correct; the ORACLE is under-unrolled and would " +

@@ -706,7 +706,17 @@ object Pq {
     // corpus, an append adds files only under its batch's cells, and
     // an erasure ([[deleteFromIvfPqIndex]]) rewrites only the
     // directories that contain an erased id — the layout is what
-    // makes the index's whole CRUD lifecycle O(touched cells)
+    // makes the index's whole CRUD lifecycle O(touched cells).
+    // The session's global dynamic partitionOverwriteMode means the
+    // partitioned 'overwrite' below only replaces cells THIS corpus
+    // populates — restaging a path whose previous index had other
+    // cells would leave their stale directories to rejoin the
+    // candidate set on read (r14 advice), so a full index write
+    // truncates the codes tree explicitly first
+    val codesPath = new org.apache.hadoop.fs.Path(s"$path/codes")
+    val fs = codesPath.getFileSystem(
+      index.codes.sparkSession.sparkContext.hadoopConfiguration)
+    fs.delete(codesPath, true)
     index.codes.repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/codes")
   }

@@ -31,7 +31,10 @@ import graft.functions.{VectorOps => V}
   *     |x - deq| <= (mx - mn)/510 by construction (half a step);
   *   - the report row per dimension: `n`, `mn`, `mx`, `sum_q` (an
   *     exact integer checksum of every code in the dimension),
-  *     `mean_abs_err` (decimal-accumulated — the dsum rule), and
+  *     `mean_abs_err` (accumulated as exact integer 1e-12 units via
+  *     `floor(err·10¹² + 0.5)` — the same portable rounding as the
+  *     codes themselves, with no per-element double→decimal cast and
+  *     hence none of that cast's cross-engine midpoint flake), and
   *     `max_err`.
   *
   * 100 TB: two narrow corpus scans (range pass, then quantize+error
@@ -112,16 +115,17 @@ object Quantize {
         min(col("mn")).as("mn"),
         min(col("mx")).as("mx"),
         sum(col("q")).as("sum_q"),
-        (sum(col("err").cast("decimal(30,12)")).cast("double") / count(lit(1)))
-          .as("mean_abs_err"),
+        (sum(floor(col("err") * lit(1e12) + lit(0.5))).cast("double") /
+          (count(lit(1)).cast("double") * lit(1e12))).as("mean_abs_err"),
         max(col("err")).as("max_err"))
   }
 
   /** DuckDB replay: the same affine grid, IEEE-double arithmetic in
-    * the same parenthesization, decimal-accumulated error mean. The
+    * the same parenthesization, integer-unit-accumulated error mean
+    * (floor(err·10¹²+0.5) — both engines floor the same double). The
     * 1-based `pos` comes from generate_series so both engines emit
     * BIGINT; DuckDB's integer SUM widens to HUGEINT, hence the
-    * explicit BIGINT cast on the code checksum. */
+    * explicit BIGINT casts on the integer sums. */
   val vecQuantizeOracleSql: String =
     """WITH el AS (
       |  SELECT p.pos, CAST(e.embedding[p.pos] AS DOUBLE) AS x
@@ -145,7 +149,9 @@ object Quantize {
       |)
       |SELECT pos, COUNT(*) AS n, MIN(mn) AS mn, MIN(mx) AS mx,
       |  CAST(SUM(q) AS BIGINT) AS sum_q,
-      |  CAST(SUM(CAST(ABS(x - deq) AS DECIMAL(30,12))) AS DOUBLE) / COUNT(*) AS mean_abs_err,
+      |  CAST(CAST(SUM(CAST(FLOOR(ABS(x - deq) * 1000000000000.0 + 0.5) AS BIGINT))
+      |    AS BIGINT) AS DOUBLE) / (CAST(COUNT(*) AS DOUBLE) * 1000000000000.0)
+      |    AS mean_abs_err,
       |  MAX(ABS(x - deq)) AS max_err
       |FROM dq GROUP BY pos""".stripMargin
 }

@@ -158,16 +158,21 @@ object Similarity {
     * double-exact per the |sum|·10^scale < 2^53 rule. The means ride
     * back onto the pair scan as a broadcast d-row join.
     *
-    * The product sums accumulate at scale 6, not the unit-stat 10:
-    * each of the n·d²/2 casts can diverge cross-engine only when the
-    * double's exact binary value and its shortest-decimal reading
-    * straddle a grid midpoint — a ~halfulp/gridstep window, so the
-    * expected divergences over N casts scale as N·10^(scale-16.5);
-    * at a million casts scale 10 hits ~once (measured: one cell off
-    * by one 1e-10 quantum) while scale 6 is ~1e-5. Both engines
-    * compute the identical rounded sum; the cov quantum (1e-6/n) is
-    * far below any consumer's sensitivity. Mergeability across
-    * corpus shards: weighted-sum the centered-product sums. */
+    * The product sums accumulate as EXACT INTEGER 1e-6 units:
+    * `floor(prod·10⁶ + 0.5)` per element (the [[Quantize]] rounding
+    * convention — every step is the same IEEE double op in both
+    * engines, and floor/cast are exact), summed as BIGINT. The earlier
+    * double→decimal(30,6) per-element cast carried a ~1e-5/suite
+    * cross-engine flake: a product landing exactly on a decimal grid
+    * midpoint rounds apart (Spark BigDecimal correctly-rounded vs
+    * DuckDB int128×10⁻ˢ double-rounded). The floor form has no
+    * midpoint ambiguity — both engines floor the SAME double — so the
+    * last member of that bug class is gone (r14 verdict item 2). The
+    * cov quantum (1e-6/n) is unchanged and far below any consumer's
+    * sensitivity. Unit headroom: |prod|·10⁶ sums must fit a long —
+    * ~10⁹ rows of O(100)-magnitude products; beyond that, shard the
+    * corpus and weighted-sum the per-shard unit sums (the same merge
+    * rule the decimal form had). */
   def vecCovariance(spark: SparkSession, dir: String): DataFrame =
     vecCovarianceOn(Tables.embeddings(spark, dir))
 
@@ -195,9 +200,11 @@ object Similarity {
       .select(col("dim_i"), col("dim_j"),
         ((col("xi") - col("mx_i")) * (col("xj") - col("mx_j"))).as("prod"))
       .groupBy("dim_i", "dim_j")
-      .agg(sum(col("prod").cast("decimal(30,6)")).cast("double").as("sp"))
+      .agg(sum(floor(col("prod") * lit(1e6) + lit(0.5))).as("spu"))
       .join(broadcast(means.select(col("dim").as("dim_i"), col("n"))), "dim_i")
-      .select(col("dim_i"), col("dim_j"), (col("sp") / col("n")).as("cov"))
+      .select(col("dim_i"), col("dim_j"),
+        (col("spu").cast("double") / (col("n").cast("double") * lit(1e6)))
+          .as("cov"))
   }
 
   val vecCovarianceOracleSql: String =
@@ -212,15 +219,15 @@ object Similarity {
       |  FROM el GROUP BY dim),
       |pr AS (
       |  SELECT a.dim AS dim_i, b.dim AS dim_j,
-      |    CAST(SUM(CAST((a.x - mi.mx) * (b.x - mj.mx) AS DECIMAL(30,6)))
-      |      AS DOUBLE) AS sp
+      |    CAST(SUM(CAST(FLOOR(((a.x - mi.mx) * (b.x - mj.mx)) * 1000000.0 + 0.5)
+      |      AS BIGINT)) AS BIGINT) AS spu
       |  FROM el a
       |  JOIN el b ON a.vec_id = b.vec_id AND a.dim <= b.dim
       |  JOIN means mi ON a.dim = mi.dim
       |  JOIN means mj ON b.dim = mj.dim
       |  GROUP BY 1, 2)
       |SELECT CAST(p.dim_i AS INTEGER) AS dim_i, CAST(p.dim_j AS INTEGER) AS dim_j,
-      |  p.sp / n.n AS cov
+      |  CAST(p.spu AS DOUBLE) / (CAST(n.n AS DOUBLE) * 1000000.0) AS cov
       |FROM pr p
       |JOIN means n ON p.dim_i = n.dim""".stripMargin
 

@@ -942,6 +942,18 @@ object Streams {
             parseBuckets(a.stripPrefix("affected:")),
             ks.map(k => new String(
               java.util.Base64.getDecoder.decode(k), "UTF-8")))
+        case GdprMarkerV2 :: rest =>
+          // a v2 header with missing/misprefixed emptied:/affected:
+          // lines must NOT fall through to the legacy integer parse —
+          // that path would throw an inscrutable NumberFormatException
+          // on the prefix strings and crash every subsequent heal on
+          // this lake (r14 advice). Fail with the real diagnosis; the
+          // marker needs inspection, not a guess.
+          throw new IllegalStateException(
+            s"structurally malformed $GdprMarkerV2 marker at $l2Path: " +
+              s"expected 'emptied:<buckets>' then 'affected:<buckets>' " +
+              s"lines after the version header, got ${rest.take(2)} — " +
+              "inspect/repair the marker before re-running erasure")
         case legacy => // pre-v2: bare emptied-bucket list, no key list
           System.err.println(s"WARN: GDPR marker at $l2Path is pre-v2 " +
             "(emptied buckets only): healing to CONSISTENCY, but the " +

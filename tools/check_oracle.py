@@ -9,14 +9,17 @@ verifyOutDir/<name>, sorts columns by name, sorts rows, and compares
 cell-by-cell (exact for non-floats; exact-then-1e-9-relative report
 for floats so we can see how close a miss is).
 
-Known probabilistic-oracle margin (documented in BASELINE.md/SURVEY.md):
-  - vec_covariance (scale-6 decimal casts, ~1e-5 per full suite): a
-    tiny per-cell risk from a double->decimal cast landing exactly on
-    a grid midpoint where Spark (BigDecimal, correctly rounded) and
-    DuckDB (int128 x 10^-s, double-rounded) can round apart.
-A one-off hash/cell FAIL on exactly this key, at rel ~ 1e-4..1e-6 on a
-single cell, is this known flake — re-run before treating it as a
-regression. Any other key, or a repeatable miss, is a real bug.
+No known probabilistic margins remain: every key's oracle is expected
+to match bit-for-bit, and ANY miss is a real bug.
+
+ROOT-CAUSED AND FIXED (round 15): the last per-element double->decimal
+accumulation casts (vec_covariance's scale-6 product sums and
+vec_quantize's scale-12 error mean) carried a tiny per-cast midpoint
+risk — Spark (BigDecimal, correctly rounded) vs DuckDB
+(int128 x 10^-s, double-rounded) could round a grid-midpoint double
+apart. Both now accumulate exact BIGINT units via floor(x*10^s + 0.5)
+— both engines floor the SAME IEEE double, no midpoint ambiguity —
+so that bug class is closed.
 
 ROOT-CAUSED AND FIXED (round 14): every oracle that embeds a
 full-precision Scala double as a BARE SQL literal was 1-ulp-fragile —
@@ -111,10 +114,6 @@ def main():
         if bad:
             i, c, a, b, rel = bad
             print(f"FAIL {name}: row {i} col {c}: oracle={a!r} spark={b!r} rel={rel:.2e}")
-            if name in ("text_entropy", "vec_covariance"):
-                print(f"     note: {name} has a documented ~1e-5/suite probabilistic "
-                      "rounding margin (see module docstring) — re-run once before "
-                      "treating a single-cell miss as a regression.")
             n_fail += 1
         else:
             print(f"PASS {name} ({len(srows)} rows)")
