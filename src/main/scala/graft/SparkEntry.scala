@@ -115,6 +115,7 @@ object SparkEntry {
     "knn_ivf_pq"     -> ((s, d) => graft.operators.Pq.knnIvfPq(s, d)),
     "knn_ivf_pq_append" -> ((s, d) => graft.operators.Pq.knnIvfPqAppend(s, d)),
     "knn_ivf_pq_delete" -> ((s, d) => graft.operators.Pq.knnIvfPqDelete(s, d)),
+    "knn_sq8"        -> ((s, d) => Quantize.knnSq8(s, d)),
     "sample_kcenter" -> ((s, d) => Similarity.sampleKCenter(s, d)),
     "vec_stats"      -> (Similarity.vecStats(_, _)),
     "vec_covariance" -> (Similarity.vecCovariance(_, _)),
@@ -295,6 +296,9 @@ object SparkEntry {
     // the erasure lifecycle replayed as candidate exclusion: trained
     // artifacts stand, only the erased ids' codes are gone
     "knn_ivf_pq_delete" -> graft.operators.Pq.knnIvfPqDeleteOracleSql,
+    // the int8 serving scan replayed end-to-end: the vec_quantize
+    // grid re-derived, decode, approx-cosine cut, exact rerank
+    "knn_sq8"        -> Quantize.knnSq8OracleSql,
     "sample_kcenter" -> Similarity.sampleKCenterOracleSql,
     "vec_stats"      -> Similarity.vecStatsOracleSql,
     "vec_covariance" -> Similarity.vecCovarianceOracleSql,

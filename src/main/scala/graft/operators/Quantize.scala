@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
 import graft.functions.{VectorOps => V}
@@ -82,6 +83,142 @@ object Quantize {
       .agg(sort_array(collect_list(struct(col("pos"), col("q")))).as("pq"))
       .select(col("vec_id"),
         transform(col("pq"), p => p.getField("q").cast("int")).as("codes"))
+  }
+
+  /** Serving scan over the int8 codes (key `knn_sq8`) — the search
+    * path the [[quantizeCodesOn]] storage tier was missing (r14
+    * verdict item 1): top-k cosine neighbors answered from the
+    * COMPRESSED corpus. The scan reads codes (4 B/dim as stored ints;
+    * byte-packed on disk — ~8× under the float64-widened scan, 4×
+    * under float32), decodes each candidate IN the kernel against the
+    * d-row ranges artifact (embedded as literal arrays — pure
+    * codegen: element_at on a constant array + the affine dequant),
+    * scores the decoded vector against the broadcast EXACT query set,
+    * keeps per-partition lossless top-`rerank` heaps (the
+    * knn_bruteforce cut), and exact-reranks only the Rerank·Q
+    * candidate sliver against the float corpus.
+    *
+    * Where [[Pq]] compresses harder (M code ids per vector) but
+    * approximates by codebook cell, SQ8 keeps per-dimension geometry:
+    * |x − deq| ≤ span/510 per coordinate, so the approximate cosine
+    * ranking is near-exact and the rerank recovers the rest —
+    * recall vs brute-force is spec-asserted ([[knnSq8On]] ≥ 0.9; in
+    * practice ~1.0). Determinism end-to-end: the decode is the exact
+    * [[vecQuantizeOn]] arithmetic (oracle-proven replayable), dots
+    * and norms are the sequential folds every ANN oracle shares, and
+    * ties break on vec_id — hence the full-replay hash oracle
+    * [[knnSq8OracleSql]].
+    *
+    * 100 TB: ONE narrow scan of the codes column (the serving corpus
+    * a deployment actually persists), broadcast queries, heap cut
+    * before any shuffle, Rerank·Q point lookups on the float corpus —
+    * the same shape that makes knn_bruteforce scan-bound, at the
+    * compressed scan's byte cost. */
+  def knnSq8(spark: SparkSession, dir: String, k: Int = Similarity.K): DataFrame =
+    knnSq8On(Tables.embeddings(spark, dir), k)
+
+  def knnSq8On(vectors: DataFrame, k: Int = Similarity.K,
+               rerank: Int = Pq.Rerank): DataFrame = {
+    val rg = quantizerRanges(vectors)
+      .orderBy(col("pos")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    if (rg.isEmpty)
+      // empty corpus: empty result, schema-stable (knnLsh precedent)
+      return vectors.limit(0).select(
+        col("vec_id").as("query_id"), col("vec_id").as("neighbor_id"),
+        lit(0).as("rank"), lit(0.0).as("cosine"))
+    val mnA = array(rg.map(t => lit(t._2)): _*)
+    val mxA = array(rg.map(t => lit(t._3)): _*)
+    // the staged codes ARE the serving corpus: the scan below reads
+    // this parquet, not the float source (build-once/query-many)
+    val codes = Scratch.stageReuse(quantizeCodesOn(vectors), "sq8_codes")
+    // in-kernel dequant: the exact vecQuantizeOn arithmetic per
+    // element ((c+128)·span/255 off the dimension's mn), degenerate
+    // dimensions decode to mn
+    val de = transform(col("codes"), (c, i) => {
+      val mn = element_at(mnA, i + 1)
+      val mx = element_at(mxA, i + 1)
+      when(mx === mn, mn)
+        .otherwise(mn + ((c + lit(128)).cast("double") * (mx - mn)) / lit(Steps))
+    })
+    val decoded = codes.select(col("vec_id"), de.as("de"))
+      .withColumn("dn", V.l2Norm(col("de")))
+    val vn = vectors
+      .select(col("vec_id"), V.toDouble(col("embedding")).as("e"))
+      .withColumn("nrm", V.l2Norm(col("e")))
+    val queries = broadcast(vn.filter(col("vec_id") < Similarity.NQueries)
+      .select(col("vec_id").as("query_id"), col("e").as("qe"), col("nrm").as("qnrm")))
+    val scored = decoded.join(queries, col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        V.cosineWithNorms(V.dot(col("de"), col("qe")), col("dn"), col("qnrm"))
+          .as("cosine"))
+    val cw = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    val cand = broadcast(Similarity.partitionTopK(scored, rerank)
+      .withColumn("crk", row_number().over(cw))
+      .filter(col("crk") <= rerank)
+      .select(col("query_id"), col("vec_id")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    cand.join(vn, "vec_id").join(queries, "query_id")
+      .select(col("query_id"), col("vec_id"),
+        V.cosineWithNorms(V.dot(col("e"), col("qe")), col("nrm"), col("qnrm"))
+          .as("cosine"))
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"), col("cosine"))
+  }
+
+  /** Full DuckDB replay of the SQ8 search: the [[vecQuantizeOracleSql]]
+    * grid re-derived (ranges → codes → decode), approximate-cosine
+    * candidate ranking against the exact query vectors, top-Rerank
+    * cut, exact rerank — every double the same IEEE op both engines.
+    * Dim pinned to the driver corpus's 64 (the LSH oracle precedent).
+    * `(q+128)` in the decode collapses: the code is
+    * `floor(t+0.5)−128`, so the decoded step count is the floor value
+    * itself — the SQL uses it directly where the executor adds 128
+    * back to the stored int8 code (same integer, exact both ways). */
+  val knnSq8OracleSql: String = {
+    import Similarity.{sqlDot, sqlNorm, NQueries, K}
+    s"""WITH v AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+       |), vn AS (
+       |  SELECT vec_id, e, ${sqlNorm("e")} AS nrm FROM v
+       |), el AS (
+       |  SELECT e.vec_id, p.pos, CAST(e.embedding[p.pos] AS DOUBLE) AS x
+       |  FROM embeddings e
+       |  CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS pos) p
+       |  WHERE e.embedding IS NOT NULL
+       |), rg AS (
+       |  SELECT pos, MIN(x) AS mn, MAX(x) AS mx FROM el GROUP BY pos
+       |), dq AS (
+       |  SELECT el.vec_id, el.pos,
+       |    CASE WHEN rg.mx = rg.mn THEN rg.mn
+       |         ELSE rg.mn + (CAST(CAST(FLOOR(((el.x - rg.mn) * 255.0)
+       |           / (rg.mx - rg.mn) + 0.5) AS BIGINT) AS DOUBLE)
+       |           * (rg.mx - rg.mn)) / 255.0
+       |    END AS deq
+       |  FROM el JOIN rg ON el.pos = rg.pos
+       |), den AS (
+       |  SELECT vec_id, de, ${sqlNorm("de")} AS dn FROM (
+       |    SELECT vec_id, list(deq ORDER BY pos) AS de FROM dq GROUP BY vec_id) t
+       |), cand AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT q.vec_id AS query_id, c.vec_id,
+       |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+       |        ${sqlDot("c.de", "q.e")} / (c.dn * q.nrm) DESC, c.vec_id) AS crk
+       |    FROM den c JOIN vn q ON q.vec_id < $NQueries AND c.vec_id != q.vec_id) t
+       |  WHERE crk <= ${Pq.Rerank}
+       |)
+       |SELECT query_id, vec_id AS neighbor_id, CAST(rk AS INTEGER) AS rank, cosine FROM (
+       |  SELECT cd.query_id, cd.vec_id,
+       |    ${sqlDot("b.e", "a.e")} / (b.nrm * a.nrm) AS cosine,
+       |    ROW_NUMBER() OVER (PARTITION BY cd.query_id ORDER BY
+       |      ${sqlDot("b.e", "a.e")} / (b.nrm * a.nrm) DESC, cd.vec_id) AS rk
+       |  FROM cand cd
+       |  JOIN vn b ON cd.vec_id = b.vec_id
+       |  JOIN vn a ON cd.query_id = a.vec_id) t
+       |WHERE rk <= $K""".stripMargin
   }
 
   /** The d-row quantizer artifact: per-dimension corpus min/max. */

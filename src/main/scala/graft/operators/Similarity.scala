@@ -690,7 +690,7 @@ object Similarity {
     * (cosine desc, vec_id asc) is a subset of the union of
     * per-partition top-ks, so the exact ranking window downstream sees
     * k rows per (query, partition) instead of every candidate. */
-  private def partitionTopK(scored: DataFrame, k: Int): DataFrame = {
+  private[operators] def partitionTopK(scored: DataFrame, k: Int): DataFrame = {
     val spark = scored.sparkSession
     import spark.implicits._
     // worst-first ordering: max under this = lowest cosine, then

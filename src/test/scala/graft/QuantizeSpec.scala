@@ -86,4 +86,33 @@ class QuantizeSpec extends SparkSpecBase {
       }
     }
   }
+
+  test("knn_sq8 serving scan: well-formed per-query top-k, high recall " +
+      "vs exact brute-force, deterministic") {
+    val vectors = graft.sources.Tables.embeddings(spark, sfDir)
+    val sq8 = Quantize.knnSq8On(vectors).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    val byQ = sq8.groupBy(_._1)
+    assert(byQ.size == operators.Similarity.NQueries, "one group per query")
+    byQ.foreach { case (q, rows) =>
+      assert(rows.map(_._3).sorted.sameElements(1 to operators.Similarity.K),
+        s"query $q ranks must be 1..K")
+      assert(rows.sortBy(_._3).sliding(2).forall { case Array(a, b) =>
+        a._4 > b._4 || (a._4 == b._4 && a._2 < b._2) },
+        s"query $q rank order must follow (cosine desc, id asc)")
+      assert(rows.forall(_._2 != q), "a query is not its own neighbor")
+    }
+    // recall against the exact scan — SQ8 decode error is <= half a
+    // grid step per coordinate, so the approximate ranking feeding
+    // the Rerank cut is near-exact and recall should be ~1.0
+    val exact = operators.Similarity.knnBruteforceOn(vectors).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hits = sq8.count(r => exact.contains((r._1, r._2)))
+    val recall = hits.toDouble / exact.size
+    assert(recall >= 0.9, s"SQ8 recall $recall below 0.9")
+    val again = Quantize.knnSq8On(vectors).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    assert(sq8.sortBy(t => (t._1, t._3)).sameElements(again.sortBy(t => (t._1, t._3))),
+      "SQ8 answers must be bit-deterministic")
+  }
 }
