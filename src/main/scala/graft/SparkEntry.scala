@@ -116,6 +116,7 @@ object SparkEntry {
     "knn_ivf_pq_append" -> ((s, d) => graft.operators.Pq.knnIvfPqAppend(s, d)),
     "knn_ivf_pq_delete" -> ((s, d) => graft.operators.Pq.knnIvfPqDelete(s, d)),
     "knn_sq8"        -> ((s, d) => Quantize.knnSq8(s, d)),
+    "knn_recall_report" -> (Similarity.knnRecallReport(_, _)),
     "sample_kcenter" -> ((s, d) => Similarity.sampleKCenter(s, d)),
     "vec_stats"      -> (Similarity.vecStats(_, _)),
     "vec_covariance" -> (Similarity.vecCovariance(_, _)),
@@ -299,6 +300,9 @@ object SparkEntry {
     // the int8 serving scan replayed end-to-end: the vec_quantize
     // grid re-derived, decode, approx-cosine cut, exact rerank
     "knn_sq8"        -> Quantize.knnSq8OracleSql,
+    // the nprobe quality curve: one materialized IVF-build replay,
+    // per-nprobe ranked cuts, overlap vs the brute-force replay
+    "knn_recall_report" -> Similarity.knnRecallReportOracleSql,
     "sample_kcenter" -> Similarity.sampleKCenterOracleSql,
     "vec_stats"      -> Similarity.vecStatsOracleSql,
     "vec_covariance" -> Similarity.vecCovarianceOracleSql,

@@ -781,6 +781,130 @@ object Similarity {
        |  WHERE i.vec_id != p.query_id) t
        |WHERE rk <= $GraphK""".stripMargin
 
+  /** nprobe settings the recall report sweeps — powers of two up to
+    * 2×[[IvfNProbe]], bracketing the production default. */
+  val RecallNProbes: Seq[Int] = Seq(1, 2, 4, 8)
+
+  /** ANN recall report (key `knn_recall_report`): exact-vs-IVF top-k
+    * overlap at each nprobe in [[RecallNProbes]] — the QUALITY side of
+    * the nprobe lever whose COST side the 1000× knn_graph rows measure
+    * (BASELINE.md: nprobe=1 is 117.9 s vs 459 exact). Together they
+    * turn the 100 TB tuning decision — how many cells must a probe
+    * touch for acceptable recall — into data instead of a guess (r14
+    * verdict item 3).
+    *
+    * Shape: the IVF build runs ONCE (staged index + staged centroid
+    * frame, the knn_graph discipline); probes are ranked once up to
+    * max(nprobe) keeping the admitting cell's rank `prk`; the
+    * candidate frame (cell-join, exact cosine) is STAGED once and
+    * each nprobe variant is just a filter `prk <= np` + one bounded
+    * top-k window over it — four report-sized aggregates over one
+    * shared scan, not four index builds. The exact side is the staged
+    * [[knnBruteforceOn]] answer. Output: one row per nprobe with the
+    * hit count, the possible count (|queries|·k), and their ratio —
+    * small-integer division, exact in both engines.
+    *
+    * A vector belongs to exactly one cell and a query probes each
+    * cell at most once, so (query, vec) pairs are unique in the
+    * candidate frame by construction and IVF@np is exactly "vectors
+    * whose cell ranks ≤ np for that query" — bit-identical to
+    * [[knnIvfOn]] at np = [[IvfNProbe]]. */
+  def knnRecallReport(spark: SparkSession, dir: String): DataFrame =
+    knnRecallReportOn(Tables.embeddings(spark, dir))
+
+  def knnRecallReportOn(vectors: DataFrame, k: Int = K,
+                        nprobes: Seq[Int] = RecallNProbes): DataFrame = {
+    val exact = Scratch.stageReuse(
+      knnBruteforceOn(vectors, k).select(col("query_id"), col("neighbor_id")),
+      "recall_exact")
+    val (indexed0, centroids) = ivfIndex(vectors,
+      stagePrefix = "ivf_centroids_recall")
+    val indexed = Scratch.stageReuse(
+      indexed0.select(col("vec_id"), col("e"), col("nrm"), col("cell")),
+      "recall_idx")
+    val maxNp = nprobes.max
+    val queries = indexed.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("e").as("qe"), col("nrm").as("qnrm"))
+    val probeW = Window.partitionBy(col("query_id"))
+      .orderBy(col("cdist").desc, col("cell"))
+    val probes = broadcast(queries.join(broadcast(centroids))
+      .withColumn("cdist", V.cosineWithNorms(
+        V.dot(col("qe"), col("ce")), col("qnrm"), col("cn")))
+      .withColumn("prk", row_number().over(probeW))
+      .filter(col("prk") <= maxNp)
+      .select(col("query_id"), col("qe"), col("qnrm"), col("cell"), col("prk")))
+    val cand = Scratch.stageReuse(
+      indexed.join(probes, "cell")
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"), col("prk"),
+          V.cosineWithNorms(V.dot(col("e"), col("qe")), col("nrm"), col("qnrm"))
+            .as("cosine")),
+      "recall_cand")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    val hitsAll = nprobes.map { np =>
+      cand.filter(col("prk") <= np)
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select(col("query_id"), col("vec_id").as("neighbor_id"))
+        .join(exact, Seq("query_id", "neighbor_id"), "left_semi")
+        .agg(count(lit(1)).as("hits"))
+        .select(lit(np).as("nprobe"), col("hits"))
+    }.reduce(_ unionAll _)
+    hitsAll.crossJoin(broadcast(exact.agg(count(lit(1)).as("possible"))))
+      .select(col("nprobe"), col("hits"), col("possible"),
+        (col("hits").cast("double") / col("possible").cast("double"))
+          .as("recall"))
+  }
+
+  /** Full DuckDB replay: the shared IVF-build prefix, probes ranked
+    * to max(nprobe) with the admitting rank kept, ONE materialized
+    * candidate frame, one ranked cut per nprobe, overlap counts
+    * against the materialized brute-force answer. MATERIALIZED on the
+    * shared frames — each is referenced once per nprobe variant, and
+    * DuckDB would otherwise inline a full build replay per reference
+    * (the kcore-oracle discipline). */
+  val knnRecallReportOracleSql: String = {
+    val maxNp = RecallNProbes.max
+    val npUnion = RecallNProbes.map { np =>
+      s"""  SELECT $np AS nprobe, COUNT(*) AS hits
+         |  FROM (
+         |    SELECT query_id, vec_id FROM (
+         |      SELECT query_id, vec_id,
+         |        ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY
+         |          cosine DESC, vec_id) AS rk
+         |      FROM cand WHERE prk <= $np) r
+         |    WHERE rk <= $K) t
+         |  JOIN exact e ON t.query_id = e.query_id AND t.vec_id = e.neighbor_id""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""${ivfOracleIdxCtes(ncellsAutoSql)}, exact AS MATERIALIZED (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+       |        ${sqlDot("c.e", "q.e")} / (c.nrm * q.nrm) DESC, c.vec_id) AS rnk
+       |    FROM vn q, vn c
+       |    WHERE q.vec_id < $NQueries AND c.vec_id != q.vec_id) t
+       |  WHERE rnk <= $K
+       |), probes AS MATERIALIZED (
+       |  SELECT query_id, qe, qnrm, cell, prk FROM (
+       |    SELECT q.vec_id AS query_id, q.e AS qe, q.nrm AS qnrm, c.cell,
+       |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+       |        ${sqlDot("q.e", "c.ce")} / (q.nrm * c.cnr) DESC, c.cell) AS prk
+       |    FROM vn q CROSS JOIN cc c WHERE q.vec_id < $NQueries) t
+       |  WHERE prk <= $maxNp
+       |), cand AS MATERIALIZED (
+       |  SELECT p.query_id, i.vec_id, p.prk,
+       |    ${sqlDot("i.e", "p.qe")} / (i.nrm * p.qnrm) AS cosine
+       |  FROM idx i JOIN probes p ON i.cell = p.cell
+       |  WHERE i.vec_id != p.query_id
+       |), hits AS (
+       |$npUnion
+       |)
+       |SELECT h.nprobe, h.hits, p.possible,
+       |  CAST(h.hits AS DOUBLE) / CAST(p.possible AS DOUBLE) AS recall
+       |FROM hits h CROSS JOIN (SELECT COUNT(*) AS possible FROM exact) p""".stripMargin
+  }
+
   /** Embedding-space cluster summary (key `embed_clusters`) — the
     * corpus-curation view of the IVF index: one row per cluster with
     * its population, mean cosine-to-centroid (decimal-accumulated:

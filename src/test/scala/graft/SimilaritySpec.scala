@@ -568,4 +568,32 @@ class SimilaritySpec extends SparkSpecBase {
       .toDF("vec_id", "embedding")
     assert(Similarity.knnLshOn(allNull).count() == 0)
   }
+
+  test("knn_recall_report: monotone nprobe curve, exact ratio arithmetic, " +
+      "consistent with the standalone IVF key at the default probe width") {
+    val vecs = graft.sources.Tables.embeddings(spark, sfDir)
+    val rep = Similarity.knnRecallReportOn(vecs).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1)
+    assert(rep.map(_._1).toSeq == Similarity.RecallNProbes,
+      "one row per swept nprobe")
+    val possible = Similarity.NQueries.toLong * Similarity.K
+    assert(rep.forall(_._3 == possible), "possible = |queries| * k")
+    assert(rep.forall(t => t._2 >= 0 && t._2 <= possible), "hits in range")
+    // widening the probe set only ever ADDS candidates, and a true
+    // top-k member in the candidate set can only be outranked by
+    // other true top-k members — so the overlap is monotone in nprobe
+    assert(rep.sliding(2).forall { case Array(a, b) => a._2 <= b._2
+                                   case _ => true },
+      "recall must be monotone nondecreasing in nprobe")
+    assert(rep.forall(t => t._4 == t._2.toDouble / t._3.toDouble),
+      "recall is exactly hits/possible")
+    // the np = IvfNProbe row must agree with the standalone IVF key
+    val exact = Similarity.knnBruteforceOn(vecs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivfHits = Similarity.knnIvfOn(vecs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).count(exact.contains)
+    assert(rep.find(_._1 == Similarity.IvfNProbe).get._2 == ivfHits,
+      "report row at the default nprobe must equal knn_ivf's overlap")
+  }
 }
