@@ -78,6 +78,7 @@ object SparkEntry {
     "graph_components"     -> (graft.operators.Graph.graphComponents(_, _)),
     "graph_kcore"          -> (graft.operators.Graph.graphKcore(_, _)),
     "graph_lpa"            -> (graft.operators.Graph.graphLpa(_, _)),
+    "graph_modularity"     -> (graft.operators.Graph.graphModularity(_, _)),
     "graph_link_predict"   -> (graft.operators.Graph.graphLinkPredict(_, _)),
     "agg_approx_ndv"       -> (graft.operators.Sketches.aggApproxNdv(_, _)),
     "agg_sketch_union"     -> (graft.operators.Sketches.aggSketchUnion(_, _)),
@@ -239,6 +240,9 @@ object SparkEntry {
     // fixed synchronous rounds unrolled as materialized CTE levels —
     // mode argmax tie-broken (count DESC, label ASC) both engines
     "graph_lpa"            -> graft.operators.Graph.graphLpaOracleSql,
+    // the LPA partition graded: exact BIGINT modularity units over
+    // the shared unrolled-rounds replay, one presentation division
+    "graph_modularity"     -> graft.operators.Graph.graphModularityOracleSql,
     "graph_link_predict"   -> graft.operators.Graph.graphLinkPredictOracleSql,
     // the HLL estimator replays bit-exactly: ordered register fold of
     // exact 2^-rho terms; ln() lookup table embedded from Scala

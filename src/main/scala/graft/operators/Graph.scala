@@ -616,8 +616,15 @@ object Graph {
   def graphLpa(spark: SparkSession, dir: String): DataFrame =
     lpaOn(staged(supportedEdges(spark, dir), "graft_lpa_edges"))
 
-  def lpaOn(edges: DataFrame, rounds: Int = LpaRounds,
-            topK: Int = TopK): DataFrame = {
+  /** The label-propagation core shared by the report key and the
+    * modularity grader: [[LpaRounds]]-style synchronous rounds over a
+    * distinct undirected edge list, returning the final (node, label)
+    * frame (checkpoint-truncated — consumers branch off it freely).
+    * `stagePrefix` scopes the directed-edge staging dir per OPERATOR
+    * (the ivfIndex precedent): a shared prefix would let one
+    * operator's restage invalidate the other's not-yet-consumed plan. */
+  private[operators] def lpaLabels(edges: DataFrame, rounds: Int,
+                                   stagePrefix: String): DataFrame = {
     def truncated(df: DataFrame): DataFrame =
       if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
         df.checkpoint(eager = true)
@@ -625,7 +632,7 @@ object Graph {
     val ed = Scratch.stageReuse(
       edges.select(col("u").as("s"), col("v").as("d"))
         .unionAll(edges.select(col("v").as("s"), col("u").as("d"))),
-      "graft_lpa_directed")
+      stagePrefix)
     var labels = truncated(
       ed.select(col("s").as("node")).distinct()
         .select(col("node"), col("node").as("label")))
@@ -641,6 +648,12 @@ object Graph {
         .agg(min(struct((-col("c")).as("nc"), col("label").as("lb"))).as("m"))
         .select(col("node"), col("m.lb").as("label")))
     }
+    labels
+  }
+
+  def lpaOn(edges: DataFrame, rounds: Int = LpaRounds,
+            topK: Int = TopK): DataFrame = {
+    val labels = lpaLabels(edges, rounds, "graft_lpa_directed")
     val comm = labels.groupBy(col("label")).agg(count(lit(1)).as("members"))
     val totals = comm.agg(count(lit(1)).as("n_communities"))
       .crossJoin(labels.agg(count(lit(1)).as("n_nodes")))
@@ -654,10 +667,12 @@ object Graph {
         col("n_communities"), col("n_nodes"))
   }
 
-  val graphLpaOracleSql: String = {
-    // MATERIALIZED per round: each level is referenced by the next
-    // round's join (and the last by three report branches) — the
-    // kcore-oracle discipline against 2^rounds CTE inlining
+  /** The LPA walk as a CTE prefix ending at `l<rounds>` — shared by
+    * the community report and the modularity grader. MATERIALIZED per
+    * round: each level is referenced by the next round's join (and
+    * the last by multiple report branches) — the kcore-oracle
+    * discipline against 2^rounds CTE inlining. */
+  private def lpaOracleCtePrefix: String = {
     val rounds = (1 to LpaRounds).map { i =>
       s"""c$i AS MATERIALIZED (
          |  SELECT ed.s AS node, l.label, COUNT(*) AS c
@@ -677,7 +692,11 @@ object Graph {
        |  SELECT u AS s, v AS d FROM e0 UNION ALL SELECT v, u FROM e0
        |), l0 AS MATERIALIZED (
        |  SELECT DISTINCT s AS node, s AS label FROM ed
-       |), $rounds, comm AS (
+       |), $rounds""".stripMargin
+  }
+
+  val graphLpaOracleSql: String =
+    s"""$lpaOracleCtePrefix, comm AS (
        |  SELECT label, COUNT(*) AS members FROM l$LpaRounds GROUP BY label
        |), totals AS (
        |  SELECT (SELECT COUNT(*) FROM comm) AS n_communities,
@@ -690,7 +709,110 @@ object Graph {
        |SELECT CAST(t.rank AS INTEGER) AS rank, t.label AS community,
        |  t.members, s.n_communities, s.n_nodes
        |FROM top t CROSS JOIN totals s""".stripMargin
+
+  /** Key `graph_modularity`: Newman modularity of the [[graphLpa]]
+    * partition — the score that tells a curation pipeline whether the
+    * LPA communities are real structure or noise (Q ≈ 0: no better
+    * than random; Q ≳ 0.3: strong community structure), closing the
+    * loop the LPA key opened: it emits communities, this grades them
+    * (r14 verdict item 5).
+    *
+    * EXACT-INTEGER arithmetic (the graph_pagerank fixed-point
+    * discipline): Q = Σ_c [ m_c/m − (D_c/2m)² ] has the common
+    * denominator 4m², so `q_units` = Σ_c (4·m·m_c − D_c²) is an exact
+    * BIGINT both engines agree on bit-for-bit (m = edge count, m_c =
+    * intra-community edges, D_c = degree sum of community c), and
+    * `modularity` = q_units/(4m²) is ONE correctly-rounded division
+    * of exact integers. Headroom: 4m² fits a long to m ≈ 1.5e9 edges;
+    * beyond that the units (not the method) need a wider scale.
+    *
+    * Shape: the LPA walk runs once ([[lpaLabels]], its own staging
+    * prefix); grading is two m-row joins against the node-sized label
+    * frame (intra-edge count: both endpoints' labels; degree mass:
+    * degrees ⋈ labels), two label-keyed aggregates, and the house
+    * top-K + 1-row-totals report. Report = top-K communities by
+    * (members DESC, label ASC) with their members/intra_edges/
+    * deg_sum, totals attached. */
+  def graphModularity(spark: SparkSession, dir: String): DataFrame =
+    modularityOn(staged(supportedEdges(spark, dir), "graft_mod_edges"))
+
+  def modularityOn(edges: DataFrame, rounds: Int = LpaRounds,
+                   topK: Int = TopK): DataFrame = {
+    val labels = lpaLabels(edges, rounds, "graft_mod_directed")
+    val intra = edges
+      .join(labels.select(col("node").as("u"), col("label").as("lu")), "u")
+      .join(labels.select(col("node").as("v"), col("label").as("lv")), "v")
+      .where(col("lu") === col("lv"))
+      .groupBy(col("lu").as("label")).agg(count(lit(1)).as("intra_edges"))
+    val degMass = degrees(edges).join(labels, "node")
+      .groupBy(col("label"))
+      .agg(sum(col("deg")).as("deg_sum"), count(lit(1)).as("members"))
+    // a community every neighbor out-voted can have ZERO intra edges
+    // (each member's mode label lives elsewhere) — left join + 0
+    val m = edges.agg(count(lit(1)).as("n_edges"))
+    val comm = degMass.join(intra, Seq("label"), "left")
+      .select(col("label"), col("members"),
+        coalesce(col("intra_edges"), lit(0L)).as("intra_edges"), col("deg_sum"))
+      .crossJoin(broadcast(m))
+      .withColumn("contrib",
+        lit(4L) * col("n_edges") * col("intra_edges")
+          - col("deg_sum") * col("deg_sum"))
+    val totals = comm.agg(count(lit(1)).as("n_communities"),
+      sum(col("contrib")).as("q_units"))
+    val top = comm.orderBy(col("members").desc, col("label")).limit(topK)
+    // bounded single-partition window: topK rows by construction
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(0)).orderBy(col("members").desc, col("label"))
+    top.crossJoin(broadcast(totals))
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .select(col("rank"), col("label").as("community"), col("members"),
+        col("intra_edges"), col("deg_sum"), col("n_communities"),
+        col("n_edges"), col("q_units"),
+        (col("q_units").cast("double") /
+          (lit(4.0) * col("n_edges").cast("double") * col("n_edges").cast("double")))
+          .as("modularity"))
   }
+
+  /** Oracle: the shared LPA CTE prefix, then one aggregate pass over
+    * the unrolled final labels — exact BIGINT units, one double
+    * division at presentation. */
+  val graphModularityOracleSql: String =
+    s"""$lpaOracleCtePrefix, deg AS (
+       |  SELECT node, COUNT(*) AS deg FROM (
+       |    SELECT u AS node FROM e0 UNION ALL SELECT v FROM e0
+       |  ) GROUP BY 1
+       |), m AS (
+       |  SELECT COUNT(*) AS n_edges FROM e0
+       |), ds AS (
+       |  SELECT l.label, CAST(SUM(d.deg) AS BIGINT) AS deg_sum,
+       |    COUNT(*) AS members
+       |  FROM deg d JOIN l$LpaRounds l ON d.node = l.node GROUP BY 1
+       |), ie AS (
+       |  SELECT lu.label, COUNT(*) AS intra_edges
+       |  FROM e0 e
+       |  JOIN l$LpaRounds lu ON e.u = lu.node
+       |  JOIN l$LpaRounds lv ON e.v = lv.node
+       |  WHERE lu.label = lv.label GROUP BY 1
+       |), cc AS (
+       |  SELECT ds.label, ds.members, COALESCE(ie.intra_edges, 0) AS intra_edges,
+       |    ds.deg_sum, (SELECT n_edges FROM m) AS n_edges,
+       |    4 * (SELECT n_edges FROM m) * COALESCE(ie.intra_edges, 0)
+       |      - ds.deg_sum * ds.deg_sum AS contrib
+       |  FROM ds LEFT JOIN ie ON ds.label = ie.label
+       |), totals AS (
+       |  SELECT COUNT(*) AS n_communities, CAST(SUM(contrib) AS BIGINT) AS q_units
+       |  FROM cc
+       |), top AS (
+       |  SELECT label, members, intra_edges, deg_sum, n_edges,
+       |    ROW_NUMBER() OVER (ORDER BY members DESC, label) AS rank
+       |  FROM cc ORDER BY members DESC, label LIMIT $TopK
+       |)
+       |SELECT CAST(t.rank AS INTEGER) AS rank, t.label AS community, t.members,
+       |  t.intra_edges, t.deg_sum, s.n_communities, t.n_edges, s.q_units,
+       |  CAST(s.q_units AS DOUBLE)
+       |    / ((4.0 * CAST(t.n_edges AS DOUBLE)) * CAST(t.n_edges AS DOUBLE))
+       |    AS modularity
+       |FROM top t CROSS JOIN totals s""".stripMargin
 
   /** Hub cap for [[graphLinkPredict]]: only CENTERS of degree ≤ cap
     * generate wedges. Part of the operator's contract, not an

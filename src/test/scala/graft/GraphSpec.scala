@@ -287,4 +287,66 @@ class GraphSpec extends SparkSpecBase {
       assert(rep.map(_.getAs[Long]("members")).sum <= nNodes)
     }
   }
+
+  test("modularity: exact units match a hand-computed grade of the LPA " +
+      "partition; two separated cliques score the textbook Q") {
+    // two disjoint triangles: LPA settles each onto its min id; every
+    // edge is intra. m=6, per community m_c=3, D_c=6:
+    // q_units = 2*(4*6*3 - 36) = 72, Q = 72/144 = 0.5
+    val edges = edgesDf(
+      (1L, 2L), (1L, 3L), (2L, 3L),
+      (10L, 11L), (10L, 12L), (11L, 12L))
+    val rep = Graph.modularityOn(edges).collect()
+    assert(rep.length == 2)
+    rep.foreach { r =>
+      assert(r.getAs[Long]("n_communities") == 2L)
+      assert(r.getAs[Long]("n_edges") == 6L)
+      assert(r.getAs[Long]("intra_edges") == 3L)
+      assert(r.getAs[Long]("deg_sum") == 6L)
+      assert(r.getAs[Long]("q_units") == 72L)
+      assert(r.getAs[Double]("modularity") == 0.5)
+    }
+  }
+
+  test("modularity matches a driver-side reference grade on seeded " +
+      "random graphs, and the driver key is well-formed") {
+    val rnd = new scala.util.Random(1519)
+    (1 to 3).foreach { trial =>
+      val n = 12 + rnd.nextInt(16)
+      val pairs = (for {
+        u <- 0L until n.toLong; v <- (u + 1) until n.toLong
+        if rnd.nextDouble() < 0.2
+      } yield (u, v)).distinct
+      if (pairs.nonEmpty) {
+        // reference labels: the same synchronous walk in plain Scala
+        val nbrs = (pairs ++ pairs.map(_.swap)).groupBy(_._1)
+          .map { case (k, vs) => k -> vs.map(_._2) }
+        var label: Map[Long, Long] = nbrs.keys.map(k => k -> k).toMap
+        (1 to Graph.LpaRounds).foreach { _ =>
+          label = nbrs.map { case (node, ns) =>
+            val counts = ns.groupBy(label).map { case (l, xs) => l -> xs.size }
+            node -> counts.toSeq.minBy { case (l, c) => (-c, l) }._1
+          }
+        }
+        val m = pairs.size.toLong
+        val mc = pairs.groupBy(p => label(p._1))
+          .map { case (l, es) => l -> es.count(p => label(p._2) == l).toLong }
+        val dc = nbrs.toSeq.groupBy { case (node, _) => label(node) }
+          .map { case (l, ns) => l -> ns.map(_._2.size.toLong).sum }
+        val refUnits = dc.map { case (l, d) =>
+          4L * m * mc.getOrElse(l, 0L) - d * d }.sum
+        val rep = Graph.modularityOn(edgesDf(pairs: _*)).collect()
+        assert(rep.nonEmpty)
+        assert(rep.forall(_.getAs[Long]("q_units") == refUnits),
+          s"trial $trial: q_units diverged from the reference grade")
+        assert(rep.forall(_.getAs[Double]("modularity") ==
+          refUnits.toDouble / ((4.0 * m) * m)), s"trial $trial: Q division")
+      }
+    }
+    val key = Graph.graphModularity(spark, sfDir).collect()
+    assert(key.length <= Graph.TopK && key.nonEmpty)
+    val q = key(0).getAs[Double]("modularity")
+    assert(q >= -0.5 && q <= 1.0, s"modularity $q outside its range")
+    assert(key.forall(_.getAs[Double]("modularity") == q), "constant totals")
+  }
 }
