@@ -41,9 +41,59 @@ package graft
   * exposes. Same cost: two executions per key either way.
   */
 object Bench {
+
+  /** Environment fingerprint captured at run START — the mechanical
+    * answer to "is this run's uniform level shift the box or the
+    * code" (r14 verdict item 6: adjudicating a ~1.15× whole-suite
+    * shift cost a session of re-runs because the bench JSON recorded
+    * nothing about the machine). Reading rule (BASELINE.md): compare
+    * `env` between the two runs FIRST — differing cpu_mhz/governor, a
+    * high load_1m, or low mem_avail_kb at start explains a uniform
+    * shift without any plan diff. Best-effort: absent /proc or /sys
+    * entries (non-Linux, containers) record as empty/-1, never
+    * abort a bench. */
+  private def jstr(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
+  private def envFingerprint(): String = {
+    def slurp(p: String): Option[String] =
+      try Some(new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(p)), "UTF-8"))
+      catch { case _: Exception => None }
+    val cpuinfo = slurp("/proc/cpuinfo").getOrElse("")
+    def cpuField(key: String): String =
+      cpuinfo.linesIterator.find(_.startsWith(key))
+        .map(_.split(":", 2).last.trim).getOrElse("")
+    val nCores = cpuinfo.linesIterator.count(_.startsWith("processor"))
+    val load = slurp("/proc/loadavg").map(_.trim.split("\\s+"))
+      .filter(_.length >= 3).map(a => (a(0), a(1), a(2)))
+      .getOrElse(("-1", "-1", "-1"))
+    def memField(key: String): Long =
+      slurp("/proc/meminfo").flatMap(_.linesIterator
+        .find(_.startsWith(key + ":"))
+        .map(_.split("\\s+")(1).toLong)).getOrElse(-1L)
+    val governor = slurp(
+      "/sys/devices/system/cpu/cpu0/cpufreq/scaling_governor")
+      .map(_.trim).getOrElse("")
+    s"""{"cpu_model":${jstr(cpuField("model name"))},""" +
+      s""""cpu_mhz":${jstr(cpuField("cpu MHz"))},"n_cores":$nCores,""" +
+      s""""governor":${jstr(governor)},""" +
+      s""""load_1m":${jstr(load._1)},"load_5m":${jstr(load._2)},""" +
+      s""""load_15m":${jstr(load._3)},""" +
+      s""""mem_avail_kb":${memField("MemAvailable")},""" +
+      s""""mem_total_kb":${memField("MemTotal")}}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // captured BEFORE the session/warm-up so load/mem reflect the box
+    // the run STARTED on, not the bench's own footprint
+    val env = envFingerprint()
     val spark = GraftSession.builder(master = s"local[$cpus]",
       shufflePartitions = cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -102,18 +152,12 @@ object Bench {
       timings(name) = runs.min
       jitter(name) = math.round(runs.max / runs.min * 100.0) / 100.0
     }
-    def jstr(s: String): String =
-      "\"" + s.flatMap {
-        case '"' => "\\\""; case '\\' => "\\\\"
-        case c if c < ' ' => f"\\u${c.toInt}%04x"
-        case c => c.toString
-      } + "\""
     val qs = timings.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
     val js = jitter.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
     val es = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
     val total = timings.values.sum
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"jitter":$js,"errors":$es,"n_ok":${timings.size},"n_err":${errors.size},"sf":${jstr(sfDir)}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"jitter":$js,"errors":$es,"n_ok":${timings.size},"n_err":${errors.size},"sf":${jstr(sfDir)},"env":$env}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_LOCAL.json"), full + "\n")
     // Round-7 driver artifact came back `parsed: null`: the full line
     // (~4 KB with 76 queries) overflowed the driver's tail capture and
@@ -122,7 +166,7 @@ object Bench {
     // complete per-query/jitter/errors map lives in BENCH_LOCAL.json
     // (committed per round as the durable record).
     val compact =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":{},"n_ok":${timings.size},"n_err":${errors.size},"sf":${jstr(sfDir)},"detail":"BENCH_LOCAL.json"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":{},"n_ok":${timings.size},"n_err":${errors.size},"sf":${jstr(sfDir)},"env":$env,"detail":"BENCH_LOCAL.json"}"""
     println(compact)
     spark.stop()
     if (errors.nonEmpty) System.err.println(s"[bench] ${errors.size} queries failed: ${errors.keys.mkString(",")}")
