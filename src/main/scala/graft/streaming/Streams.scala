@@ -508,6 +508,26 @@ object Streams {
   def minhashGuardBatch(spark: SparkSession, dir: String): DataFrame =
     graft.operators.Dedup.minhashGuard(spark, dir)
 
+  /** Maintenance compaction for the [[minhashGuardSink]] claim index
+    * (r14 verdict item 7): the guard only ever APPENDS per
+    * micro-batch, so at stream lifetimes each of the
+    * [[GuardIndexBuckets]] partitions accretes one file per batch
+    * that touched it — exactly the small-files regime
+    * [[graft.operators.Sinks.compact]] exists for (directory listing
+    * and per-file scan setup dominate the per-batch semi-join read
+    * long before claim bytes do). Delegates to the shared planner
+    * with the `ixb` partition layout preserved. Admission verdicts
+    * are a pure function of the claim-row SET, which compaction
+    * preserves exactly — spec-asserted byte-identical verdicts on
+    * the same follow-up batch against compacted vs uncompacted
+    * copies. Run from the maintenance cadence with the sink stopped
+    * (compact swaps the directory out from under readers), the same
+    * operating rule as every layout_compaction target. */
+  def compactGuardIndex(spark: SparkSession, indexPath: String,
+                        targetRowsPerFile: Long = 4000000L): Unit =
+    graft.operators.Sinks.compact(spark, indexPath,
+      indexPath + "_compact_tmp", targetRowsPerFile, Seq("ixb"))
+
   /** Streaming ANN INGEST — the serving half of the embedding
     * pipeline's daily lifecycle run continuously: each micro-batch of
     * `(vec_id, embedding)` rows is assigned + encoded against the

@@ -511,6 +511,81 @@ class StreamingSpec extends SparkSpecBase {
       "recurring claims must not re-append to the index")
   }
 
+  test("guard claim-index compaction: fewer files, identical claim set, " +
+      "byte-identical admission verdicts on the same follow-up batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_mh_compact").toString
+    val out = s"$root/kept"; val index = s"$root/index"
+    // accrete small files: several single-doc micro-batches, each
+    // appending its claims into the touched ixb partitions
+    val mem = MemoryStream[(Long, String, String)]
+    val q = Streams.minhashGuardSink(
+      mem.toDF.toDF("doc_id", "source", "text"), out, index).start()
+    try {
+      Seq(
+        (1L, "web", "the quick brown fox jumps over the lazy dog"),
+        (2L, "web", "colorless green ideas sleep furiously at night"),
+        (3L, "wiki", "a completely different document about spark engines"),
+        (4L, "wiki", "yet another unique snippet of training prose"),
+        (5L, "cc", "distributed label propagation over co-order graphs")
+      ).foreach { d => mem.addData(Seq(d)); q.processAllAvailable() }
+    } finally q.stop()
+    def claimSet(p: String) = spark.read.parquet(p)
+      .collect().map(r => (r.getAs[Long]("band"), r.getAs[Long]("bucket"),
+        r.getAs[Int]("ixb"))).toSet
+    def dataFiles(p: String): Int = {
+      val fs = new org.apache.hadoop.fs.Path(p)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(p), true)
+      var n = 0
+      while (it.hasNext) {
+        if (it.next().getPath.getName.endsWith(".parquet")) n += 1
+      }
+      n
+    }
+    val claimsBefore = claimSet(index)
+    val filesBefore = dataFiles(index)
+    assert(filesBefore > Streams.GuardIndexBuckets / 2,
+      s"fixture must accrete small files, got $filesBefore")
+    // uncompacted twin: a filesystem copy of the index as appended
+    val twin = s"$root/index_twin"
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(conf)
+    org.apache.hadoop.fs.FileUtil.copy(fs, new org.apache.hadoop.fs.Path(index),
+      fs, new org.apache.hadoop.fs.Path(twin), false, conf)
+    Streams.compactGuardIndex(spark, index)
+    assert(claimSet(index) == claimsBefore,
+      "compaction must preserve the claim-row set exactly")
+    assert(dataFiles(index) < filesBefore,
+      s"compaction must shrink the file count (${dataFiles(index)} vs $filesBefore)")
+    // same follow-up batch against compacted and uncompacted indexes:
+    // a cross-batch dup, an intra-batch dup pair, and a fresh doc
+    val follow = Seq(
+      (10L, "cc", "the quick brown fox jumps over the lazy dog"),
+      (11L, "cc", "an entirely fresh document that collides with nothing"),
+      (12L, "cc", "an entirely fresh document that collides with nothing"),
+      (13L, "cc", "one more genuinely novel admission candidate"))
+    def runFollow(idx: String, keptOut: String): Set[(Long, String)] = {
+      val m = MemoryStream[(Long, String, String)]
+      val qq = Streams.minhashGuardSink(
+        m.toDF.toDF("doc_id", "source", "text"), keptOut, idx).start()
+      try { m.addData(follow); qq.processAllAvailable() } finally qq.stop()
+      spark.read.parquet(keptOut)
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    }
+    val keptCompacted = runFollow(index, s"$root/kept_c")
+    val keptTwin = runFollow(twin, s"$root/kept_t")
+    assert(keptCompacted == keptTwin,
+      "admission verdicts must be identical before/after compaction")
+    assert(keptCompacted.map(_._1).intersect(Set(10L)).isEmpty,
+      "cross-batch dup must still be dropped after compaction")
+    assert(keptCompacted.map(_._1).contains(13L), "fresh doc admitted")
+    // and the post-follow-up claim sets agree too (same appends)
+    assert(claimSet(index) == claimSet(twin),
+      "post-batch claim sets must match between compacted and twin")
+  }
+
   test("cdc snapshot read resolves the persisted convention and refuses a mismatch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
