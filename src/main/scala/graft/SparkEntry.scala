@@ -113,6 +113,7 @@ object SparkEntry {
     "knn_ivf"        -> ((s, d) => Similarity.knnIvf(s, d)),
     "knn_graph"      -> ((s, d) => Similarity.knnGraph(s, d)),
     "knn_pq"         -> ((s, d) => graft.operators.Pq.knnPq(s, d)),
+    "knn_opq"        -> ((s, d) => graft.operators.Opq.knnOpq(s, d)),
     "knn_ivf_pq"     -> ((s, d) => graft.operators.Pq.knnIvfPq(s, d)),
     "knn_ivf_pq_append" -> ((s, d) => graft.operators.Pq.knnIvfPqAppend(s, d)),
     "knn_ivf_pq_delete" -> ((s, d) => graft.operators.Pq.knnIvfPqDelete(s, d)),
@@ -294,6 +295,10 @@ object SparkEntry {
     "knn_ivf"        -> Similarity.knnIvfOracleSql,
     "knn_graph"      -> Similarity.knnGraphOracleSql,
     "knn_pq"         -> graft.operators.Pq.knnPqOracleSql,
+    // the PCA-rotated PQ replayed end to end: covariance units, the
+    // power-iteration basis as recursive CTEs, round-robin placement,
+    // the shared PQ tail at the rotated dim
+    "knn_opq"        -> graft.operators.Opq.knnOpqOracleSql,
     "knn_ivf_pq"     -> graft.operators.Pq.knnIvfPqOracleSql,
     // the append lifecycle replayed with training decoupled: Lloyd +
     // codebooks on the base half only, assign+encode over everything

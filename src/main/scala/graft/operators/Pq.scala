@@ -109,15 +109,26 @@ object Pq {
             col("vec_id").as("query_id"), col("vec_id").as("neighbor_id"),
             lit(0).as("rank"), lit(0.0).as("cosine"))
       }
-    require(d % M == 0, s"embedding dim $d must be divisible by M=$M")
-    val sub = d / M
-
     // float → double → unit-normalize (|q-x|² = 2-2cos thereafter)
     val vn = vectors
       .select(col("vec_id"), V.toDouble(col("embedding")).as("e"))
       .withColumn("nrm", V.l2Norm(col("e")))
     val un = vn.select(col("vec_id"),
       transform(col("e"), x => x / col("nrm")).as("u"))
+    pqAdcSearchOn(un, vn, d, k)
+  }
+
+  /** The PQ build + ADC search pipeline over a prepared UNIT frame
+    * `un` (vec_id, u: array<double>, any width `d` divisible by M) —
+    * exact rerank against the float corpus `vn` (vec_id, e, nrm).
+    * Shared verbatim by [[knnPqOn]] (u = the unit-normalized corpus)
+    * and [[Opq.knnOpqOn]] (u = the PCA-rotated unit corpus): the
+    * rotation changes the GEOMETRY the codebooks train in, nothing
+    * about the build/scan/rerank machinery. */
+  private[operators] def pqAdcSearchOn(un: DataFrame, vn: DataFrame,
+                                       d: Int, k: Int): DataFrame = {
+    require(d % M == 0, s"PQ input dim $d must be divisible by M=$M")
+    val sub = d / M
 
     // query-side subvectors (≤ NQueries rows after pushdown) — the
     // corpus-sized explode this once was is gone: the corpus-side
@@ -128,7 +139,7 @@ object Pq {
         slice(col("u"), col("m") * sub + 1, lit(sub)).as("s"))
     val sv = subvecs(un)
 
-    val spark = vectors.sparkSession
+    val spark = un.sparkSession
     import spark.implicits._
     val subW = sub
 
@@ -1013,29 +1024,25 @@ object Pq {
        |WHERE rk <= $K""".stripMargin
   }
 
-  /** Full DuckDB replay of the PQ search — build, encode, ADC, and
-    * rerank, step for step. Dim is pinned to the driver corpus's 64
-    * (an oracle string cannot probe data; the LSH oracle precedent). */
-  val knnPqOracleSql: String = {
-    val dim = 64
+  /** The PQ build/encode/ADC/cut replay as a CTE tail over an
+    * arbitrary unit frame `unFrame` (vec_id, u: DOUBLE[dim]) plus the
+    * final exact-rerank SELECT against `vn` — shared by the knn_pq
+    * oracle (unFrame = the unit-normalized corpus at dim 64) and the
+    * knn_opq oracle (unFrame = the replayed PCA-rotated corpus at
+    * dim = [[Opq.OpqComponents]]). */
+  private[operators] def pqAdcOracleTail(unFrame: String, dim: Int): String = {
     val sub = dim / M
-    import Similarity.{sqlDot, sqlNorm}
+    import Similarity.sqlDot
     def d2(a: String, b: String): String =
       s"((${sqlDot(a, a)} - (2.0 * ${sqlDot(a, b)})) + ${sqlDot(b, b)})"
-    s"""WITH v AS (
-       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
-       |), vn AS (
-       |  SELECT vec_id, e, ${sqlNorm("e")} AS nrm FROM v
-       |), un AS (
-       |  SELECT vec_id, list_transform(e, x -> x / nrm) AS u FROM vn
-       |), ms AS (
+    s"""ms AS (
        |  SELECT unnest(generate_series(0, ${M - 1})) AS m
        |), sv AS (
        |  SELECT vec_id, m, list_slice(u, m*$sub + 1, (m+1)*$sub) AS s
-       |  FROM un CROSS JOIN ms
+       |  FROM $unFrame CROSS JOIN ms
        |), sd AS (
        |  SELECT vec_id FROM (
-       |    SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) AS rk FROM un) t
+       |    SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) AS rk FROM $unFrame) t
        |  WHERE rk <= $Kc
        |), seeds AS (
        |  SELECT s.vec_id AS code0, s.m, s.s AS cs FROM sv s JOIN sd ON s.vec_id = sd.vec_id
@@ -1089,5 +1096,20 @@ object Pq {
        |  JOIN vn b ON cd.vec_id = b.vec_id
        |  JOIN vn a ON cd.query_id = a.vec_id) t
        |WHERE rk <= $K""".stripMargin
+  }
+
+  /** Full DuckDB replay of the PQ search — build, encode, ADC, and
+    * rerank, step for step: the shared tail over the unit-normalized
+    * corpus. Dim is pinned to the driver corpus's 64 (an oracle
+    * string cannot probe data; the LSH oracle precedent). */
+  val knnPqOracleSql: String = {
+    import Similarity.sqlNorm
+    s"""WITH v AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+       |), vn AS (
+       |  SELECT vec_id, e, ${sqlNorm("e")} AS nrm FROM v
+       |), un AS (
+       |  SELECT vec_id, list_transform(e, x -> x / nrm) AS u FROM vn
+       |), ${pqAdcOracleTail("un", 64)}""".stripMargin
   }
 }

@@ -235,34 +235,63 @@ object Similarity {
     * the driver-side finisher (power iteration with deflation on the
     * d×d matrix; the distributed work is the covariance scan, the
     * eigen step is d²·iters FLOPs on 2080 doubles at d=64). Collect is
-    * bounded: d(d+1)/2 rows. Deterministic: fixed e1-leaning start
-    * vector, fixed iteration count, sign fixed so the largest-|.|
-    * coordinate is positive. Returns r rows of (eigenvalue,
-    * eigenvector), eigenvalue-descending — feed a matmul projection
-    * ([[V.dot]] per component) to whiten or reduce. */
-  def principalComponents(cov: DataFrame, r: Int, iters: Int = 100)
+    * bounded: d(d+1)/2 rows.
+    *
+    * REPLAYABLE procedure (the knn_opq oracle unrolls it in SQL, so
+    * every double op is pinned): fixed e1-leaning start vector; `iters`
+    * UNNORMALIZED matvecs (each row the ascending-j sequential fold —
+    * normalizing per step would need an engine-unportable mid-recursion
+    * norm; growth is λ1^iters, so the default 24 iterations stays
+    * finite for any λ1 < 1e12 — covariances of bounded features are
+    * orders below that, and the finiteness require fails loudly
+    * otherwise); one final normalize; sign fixed by multiplying with
+    * ±1.0 so the FIRST largest-|.| coordinate is positive; eigenvalue
+    * = the Rayleigh quotient u·(Mu) (ascending folds); deflation
+    * m -= (λ·u_i)·u_j. Returns r rows of (eigenvalue, eigenvector),
+    * eigenvalue-descending — feed a matmul projection ([[V.dot]] per
+    * component) to whiten, reduce, or rotate ([[Opq]]). */
+  def principalComponents(cov: DataFrame, r: Int, iters: Int = 24)
       : Seq[(Double, Array[Double])] = {
     val cells = cov.select(col("dim_i"), col("dim_j"), col("cov")).collect()
       .map(x => (x.getInt(0) - 1, x.getInt(1) - 1, x.getDouble(2)))
     val d = cells.iterator.map(_._2).max + 1
     val m = Array.ofDim[Double](d, d)
     cells.foreach { case (i, j, c) => m(i)(j) = c; m(j)(i) = c }
+    def matvec(x: Array[Double]): Array[Double] = {
+      val w = new Array[Double](d)
+      var i = 0
+      while (i < d) {
+        var acc = 0.0
+        var j = 0
+        while (j < d) { acc += m(i)(j) * x(j); j += 1 }
+        w(i) = acc
+        i += 1
+      }
+      w
+    }
     val comps = Seq.newBuilder[(Double, Array[Double])]
     for (_ <- 0 until r) {
-      var vct = Array.tabulate(d)(i => if (i == 0) 1.0 else 1e-3)
-      var lambda = 0.0
-      for (_ <- 0 until iters) {
-        val w = Array.tabulate(d)(i =>
-          (0 until d).foldLeft(0.0)((acc, j) => acc + m(i)(j) * vct(j)))
-        val nrm = math.sqrt(w.map(x => x * x).sum)
-        if (nrm > 0) { vct = w.map(_ / nrm); lambda = nrm }
-      }
-      // sign convention: largest-magnitude coordinate positive
-      val k = vct.indices.maxBy(i => math.abs(vct(i)))
-      if (vct(k) < 0) vct = vct.map(-_)
-      comps += ((lambda, vct))
-      // deflate: m -= lambda * v v^T
-      for (i <- 0 until d; j <- 0 until d) m(i)(j) -= lambda * vct(i) * vct(j)
+      var v = Array.tabulate(d)(i => if (i == 0) 1.0 else 0.001)
+      for (_ <- 0 until iters) v = matvec(v)
+      var nrm2 = 0.0
+      locally { var i = 0; while (i < d) { nrm2 += v(i) * v(i); i += 1 } }
+      val nrm = math.sqrt(nrm2)
+      require(!nrm.isInfinite && !nrm.isNaN && nrm > 0,
+        s"power iteration over/underflowed (norm $nrm) — reduce iters " +
+          "(growth is lambda1^iters) or rescale the feature domain")
+      val u0 = v.map(_ / nrm)
+      // sign convention: FIRST largest-|.| coordinate positive
+      var kk = 0
+      locally { var i = 1; while (i < d) {
+          if (math.abs(u0(i)) > math.abs(u0(kk))) kk = i; i += 1 } }
+      val s = if (u0(kk) < 0) -1.0 else 1.0
+      val u = u0.map(_ * s)
+      val w2 = matvec(u)
+      var lam = 0.0
+      locally { var i = 0; while (i < d) { lam += u(i) * w2(i); i += 1 } }
+      comps += ((lam, u))
+      // deflate: m -= (lambda * u_i) * u_j
+      for (i <- 0 until d; j <- 0 until d) m(i)(j) -= (lam * u(i)) * u(j)
     }
     comps.result()
   }

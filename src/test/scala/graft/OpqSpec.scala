@@ -1,0 +1,123 @@
+package graft
+
+import graft.operators.{Opq, Pq, Similarity}
+
+class OpqSpec extends SparkSpecBase {
+
+  private def recallOf(pairs: Array[(Long, Long)], exact: Set[(Long, Long)]) =
+    pairs.count(exact.contains).toDouble / exact.size
+
+  test("opq beats plain pq on a correlated corpus — the rotation's whole point") {
+    import spark.implicits._
+    // clusters living in a low-dim latent space with decaying per-dim
+    // variance, mixed across ALL raw coordinates by a seeded random
+    // orthogonal rotation: the regime plain PQ's arbitrary coordinate
+    // blocks handle worst (every block sees a slice of every latent
+    // direction) and PCA recovery handles best
+    val d = 64; val nClusters = 12; val n = 600
+    val rnd = new scala.util.Random(99)
+    val q = Array.fill(d)(Array.fill(d)(rnd.nextGaussian()))
+    for (i <- 0 until d) {
+      for (j <- 0 until i) {
+        val dp = (0 until d).map(t => q(i)(t) * q(j)(t)).sum
+        for (t <- 0 until d) q(i)(t) -= dp * q(j)(t)
+      }
+      val nr = math.sqrt(q(i).map(x => x * x).sum)
+      for (t <- 0 until d) q(i)(t) /= nr
+    }
+    val centers = Array.fill(nClusters)(
+      Array.tabulate(d)(j => rnd.nextGaussian() * math.exp(-j / 10.0) * 3))
+    val rows = (0 until n).map { i =>
+      val c = centers(i % nClusters)
+      val latent = Array.tabulate(d)(j => c(j) + rnd.nextGaussian() * 0.3 * math.exp(-j / 16.0))
+      val x = Array.tabulate(d)(t => (0 until d).map(j => q(j)(t) * latent(j)).sum.toFloat)
+      (i.toLong, x.toSeq, 0)
+    }
+    val vecs = rows.toDF("vec_id", "embedding", "label")
+    val exact = Similarity.knnBruteforceOn(vecs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pqR = recallOf(Pq.knnPqOn(vecs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))), exact)
+    val opqR = recallOf(Opq.knnOpqOn(vecs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))), exact)
+    assert(opqR >= pqR,
+      s"rotated recall $opqR must be >= plain PQ's $pqR on correlated data")
+    assert(opqR >= 0.9, s"rotated recall $opqR below 0.9 on clustered data")
+  }
+
+  test("opq driver key: well-formed top-k, useful recall on the " +
+      "axis-aligned corpus, deterministic") {
+    val vecs = graft.sources.Tables.embeddings(spark, sfDir)
+    val opq = Opq.knnOpqOn(vecs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    val byQ = opq.groupBy(_._1)
+    assert(byQ.size == Similarity.NQueries)
+    byQ.foreach { case (qid, rs) =>
+      assert(rs.map(_._3).sorted.sameElements(1 to Similarity.K))
+      assert(rs.forall(_._2 != qid))
+    }
+    // the driver corpus is axis-ALIGNED (nothing to decorrelate), the
+    // regime where rotation cannot help — the bar here is "the r=32
+    // projection retains candidate quality", not "beats PQ": measured
+    // 0.64 vs PQ's 0.68; the correlated-corpus test above is where
+    // the operator earns its keep
+    val exact = Similarity.knnBruteforceOn(vecs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val r = recallOf(opq.map(t => (t._1, t._2)), exact)
+    assert(r >= 0.5, s"recall $r collapsed on the driver corpus")
+    val again = Opq.knnOpqOn(vecs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    assert(opq.sortBy(t => (t._1, t._3)).sameElements(again.sortBy(t => (t._1, t._3))),
+      "OPQ answers must be bit-deterministic")
+  }
+
+  test("principal components: unit norms and positive spectrum always; " +
+      "strict descending orthonormality where the spectrum separates") {
+    import spark.implicits._
+    // driver corpus: a near-ISOTROPIC spectrum (measured lambda range
+    // 0.015..0.028) — power iteration cannot strictly order
+    // near-degenerate eigenvalues in finitely many steps and no
+    // consumer needs it to (any basis of a degenerate eigenspace is
+    // equally good for rotation); assert the always-true invariants
+    val vecs = graft.sources.Tables.embeddings(spark, sfDir)
+    val flat = Similarity.principalComponents(
+      Similarity.vecCovarianceOn(vecs), Opq.OpqComponents, Opq.OpqIters)
+    assert(flat.length == Opq.OpqComponents)
+    assert(flat.forall(_._1 > 0), "covariance spectrum must be positive")
+    flat.map(_._2).foreach { u =>
+      val nrm = math.sqrt(u.map(x => x * x).sum)
+      assert(math.abs(nrm - 1.0) < 1e-9, s"component norm $nrm")
+    }
+    // separated spectrum: variance 25 along one axis, 4 along a
+    // second, noise elsewhere — here the procedure MUST converge to
+    // a descending, orthonormal basis in OpqIters steps
+    val rnd = new scala.util.Random(31)
+    val d = 16
+    val a1 = Array.fill(d)(rnd.nextGaussian())
+    val n1 = math.sqrt(a1.map(x => x * x).sum); val ax1 = a1.map(_ / n1)
+    val a2raw = Array.fill(d)(rnd.nextGaussian())
+    val dp12 = a2raw.zip(ax1).map { case (x, y) => x * y }.sum
+    val a2 = a2raw.zip(ax1).map { case (x, y) => x - dp12 * y }
+    val n2 = math.sqrt(a2.map(x => x * x).sum); val ax2 = a2.map(_ / n2)
+    val df = (0 until 400).map { i =>
+      val t1 = rnd.nextGaussian() * 5; val t2 = rnd.nextGaussian() * 2
+      (i.toLong, Array.tabulate(d)(j =>
+        (ax1(j) * t1 + ax2(j) * t2 + rnd.nextGaussian() * 0.05).toFloat).toSeq, 0)
+    }.toDF("vec_id", "embedding", "label")
+    val sep = Similarity.principalComponents(
+      Similarity.vecCovarianceOn(df), 3, Opq.OpqIters)
+    val lams = sep.map(_._1)
+    // strict order holds among the SEPARATED directions; the third
+    // component is already in the isotropic noise floor (any noise
+    // direction is as principal as any other)
+    assert(lams(0) > lams(1) && lams(1) > 10 * lams(2),
+      s"separated spectrum must come out descending into the noise floor: $lams")
+    val top = sep.head._2
+    val align = math.abs(top.indices.map(j => top(j) * ax1(j)).sum)
+    assert(align > 0.999, s"top component must align with the major axis: $align")
+    for (i <- sep.indices; j <- 0 until i) {
+      val dp = sep(i)._2.zip(sep(j)._2).map { case (a, b) => a * b }.sum
+      assert(math.abs(dp) < 0.01, s"components $i,$j not orthogonal: $dp")
+    }
+  }
+}
