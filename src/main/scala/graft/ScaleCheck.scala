@@ -36,14 +36,15 @@ object ScaleCheck {
     // 1000x corpus writes ~600M lineitems nobody would read
     val embOnly = Set("embed_clusters", "dedup_semantic", "knn_ivf",
       "knn_ivf_pq", "knn_pq", "sample_kcenter", "knn_graph",
-      "vec_covariance", "vec_quantize", "ivf_pq_append", "knn_graph_capped")
+      "vec_covariance", "vec_quantize", "ivf_pq_append", "knn_graph_capped",
+      "knn_sq8", "knn_recall_report", "knn_opq")
     val skipNonEmbedding = args.length > 1 && args(1).split(",").forall(embOnly)
     // a graph-only run (the tier's dedicated scaled-catalog corpus)
     // likewise skips the main tables: a 300× run would otherwise
     // write 180M ordinary lineitems + 30M events nobody reads
     val graphOnly = Set("graph_triangles", "graph_pagerank",
       "graph_edge_jaccard", "graph_components", "graph_kcore",
-      "graph_lpa", "graph_link_predict")
+      "graph_lpa", "graph_link_predict", "graph_modularity")
     val skipNonGraph = args.length > 1 && args(1).split(",").forall(graphOnly)
     // ops that synthesize their own substrate inline (spark.range) —
     // a run of only these writes no corpus at all
@@ -387,6 +388,8 @@ object ScaleCheck {
       }),
       run("graph_kcore", operators.Graph.graphKcore(spark, s"$dir/graph")),
       run("graph_lpa", operators.Graph.graphLpa(spark, s"$dir/graph")),
+      // the LPA grade: one more LPA walk + two m-row label joins
+      run("graph_modularity", operators.Graph.graphModularity(spark, s"$dir/graph")),
       run("graph_link_predict", operators.Graph.graphLinkPredict(spark, s"$dir/graph")),
       // round-13 additions (third batch): the kNN self-join graph and
       // the covariance matrix over the clustered embedding corpus
@@ -400,6 +403,17 @@ object ScaleCheck {
       run("vec_covariance", operators.Similarity.vecCovarianceOn(
         spark.read.parquet(s"$dir/embeddings.parquet"))),
       run("vec_quantize", operators.Quantize.vecQuantizeOn(
+        spark.read.parquet(s"$dir/embeddings.parquet"))),
+      // round-15 additions: the int8 serving scan (stage codes +
+      // decode-in-kernel scan + rerank), the nprobe recall curve
+      // (brute-force + one IVF build + 4 windowed cuts), and the
+      // PCA-rotated PQ (covariance + driver eigen + projection + the
+      // shared ADC pipeline at dim 32)
+      run("knn_sq8", operators.Quantize.knnSq8On(
+        spark.read.parquet(s"$dir/embeddings.parquet"))),
+      run("knn_recall_report", operators.Similarity.knnRecallReportOn(
+        spark.read.parquet(s"$dir/embeddings.parquet"))),
+      run("knn_opq", operators.Opq.knnOpqOn(
         spark.read.parquet(s"$dir/embeddings.parquet"))),
       run("text_entropy", operators.TextAnalysis.textEntropy(spark, dir)),
       run("salted_join_events", {
