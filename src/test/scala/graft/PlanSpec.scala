@@ -683,4 +683,61 @@ class PlanSpec extends SparkSpecBase {
     assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
     assert(p.contains("TakeOrderedAndProject"), s"top-K fell into a global sort:\n$p")
   }
+
+  test("knn_sq8: serving scan reads the staged codes, heap cut before " +
+      "the bounded windows, no cartesian") {
+    val p = plan(graft.operators.Quantize.knnSq8(spark, sfDir))
+    // the search scans the STAGED compressed corpus for candidates
+    assert(p.contains("sq8_codes"), s"scan does not read the staged codes:\n$p")
+    // the lossless per-partition top-Rerank heap cut
+    assert(p.contains("MapPartitions"), s"heap cut missing:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
+    // both windows are candidate-sliver-bounded (crk over heap
+    // survivors, final rank over Rerank·Q rows)
+    assert("Window ".r.findAllIn(p).size <= 2,
+      s"expected at most the two bounded windows:\n$p")
+  }
+
+  test("knn_recall_report: one staged candidate frame feeds every " +
+      "nprobe variant; one staged exact answer; no cartesian") {
+    val p = plan(graft.operators.Similarity.knnRecallReport(spark, sfDir))
+    assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
+    // each of the four nprobe variants re-reads the ONE staged
+    // candidate parquet — the IVF build and the cosine scoring must
+    // not re-run per variant
+    assert("recall_cand".r.findAllIn(p).size >= 4,
+      s"nprobe variants not reading the staged candidate frame:\n$p")
+    assert("recall_exact".r.findAllIn(p).size >= 4,
+      s"variants not joining the staged exact answer:\n$p")
+  }
+
+  test("knn_opq: rotation is codegen dots over literal basis rows; " +
+      "encode is the closure pass; bounded windows; no cartesian") {
+    val p = plan(graft.operators.Opq.knnOpq(spark, sfDir))
+    // the projection must be the native sequential-fold expression
+    // (constant basis arrays in the plan), never a UDF or a join
+    assert(p.contains("vec_dot"), s"rotation lost the native dot:\n$p")
+    assert(!p.toLowerCase.contains("batchevalpython"),
+      s"rotation fell out of the JVM:\n$p")
+    assert(p.contains("MapPartitions"), s"closure encode pass missing:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
+    assert("Window ".r.findAllIn(p).size <= 2,
+      s"expected at most the two bounded candidate windows:\n$p")
+  }
+
+  test("graph modularity: report shape is the lpa discipline — one " +
+      "bounded window, bounded totals attaches, TakeOrdered") {
+    val p = plan(graft.operators.Graph.modularityOn(
+      { import spark.implicits._
+        Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("u", "v") }, rounds = 1))
+    assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
+    assert("Window ".r.findAllIn(p).size == 1,
+      s"expected exactly the bounded report window:\n$p")
+    // bounded products by construction: the 1-row n_edges attach and
+    // the 1-row totals attach (the kcore/lpa shape)
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 3,
+      s"expected only the bounded totals attaches:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-K fell into a global sort:\n$p")
+  }
 }
