@@ -68,8 +68,21 @@ object Quantize {
     * code sums match the report's `sum_q` exactly). Codes are INT in
     * the frame (Spark has no int8 column type); parquet's integer
     * packing stores the -128..127 domain in a byte-wide page anyway. */
-  def quantizeCodesOn(vectors: DataFrame): DataFrame = {
-    val ranges = quantizerRanges(vectors)
+  def quantizeCodesOn(vectors: DataFrame): DataFrame =
+    quantizeCodesAgainst(vectors, quantizerRanges(vectors))
+
+  /** Encode against a FIXED ranges artifact — the incremental form
+    * ([[appendSq8Index]]): a daily batch encodes against the day-0
+    * grid exactly as PQ appends encode against frozen codebooks, so
+    * appends compose and the index stays self-consistent (decode uses
+    * the one persisted artifact). Values OUTSIDE the trained span
+    * SATURATE to the nearest end code (the standard scalar-quantizer
+    * rule — a frozen grid cannot represent them better, and the
+    * approximate ranking stays monotone at the boundary); for the
+    * same-corpus build the clamp is the identity, since every value
+    * is inside its own min/max by construction. Persistent drift past
+    * the grid means re-quantize — the PQ re-train cadence. */
+  def quantizeCodesAgainst(vectors: DataFrame, ranges: DataFrame): DataFrame =
     vectors
       .filter(col("embedding").isNotNull)
       .select(col("vec_id"), posexplode(V.toDouble(col("embedding"))).as(Seq("p0", "x")))
@@ -77,12 +90,60 @@ object Quantize {
       .join(broadcast(ranges), "pos")
       .withColumn("q",
         when(col("mx") === col("mn"), lit(0L))
-          .otherwise(floor(((col("x") - col("mn")) * lit(Steps)) /
-            (col("mx") - col("mn")) + lit(0.5)) - lit(128L)))
+          .otherwise(greatest(lit(-128L), least(lit(127L),
+            floor(((col("x") - col("mn")) * lit(Steps)) /
+              (col("mx") - col("mn")) + lit(0.5)) - lit(128L)))))
       .groupBy(col("vec_id"))
       .agg(sort_array(collect_list(struct(col("pos"), col("q")))).as("pq"))
       .select(col("vec_id"),
         transform(col("pq"), p => p.getField("q").cast("int")).as("codes"))
+
+  /** Stage the SQ8 index durably (two parquet frames under `path`):
+    * the d-row ranges artifact and the int8 codes — the serving form a
+    * deployment persists, completing the build-once/query-many split
+    * the PQ tier has ([[Pq.writeIvfPqIndex]] precedent). Codes are
+    * encoded against the STAGED ranges read back from parquet (exact
+    * double round-trip), so artifact and codes can never drift. */
+  def writeSq8Index(vectors: DataFrame, path: String): Unit = {
+    val spark = vectors.sparkSession
+    quantizerRanges(vectors).write.mode("overwrite").parquet(s"$path/ranges")
+    val staged = spark.read.parquet(s"$path/ranges")
+    quantizeCodesAgainst(vectors, staged)
+      .write.mode("overwrite").parquet(s"$path/codes")
+  }
+
+  /** Incremental SQ8 maintenance: encode `newVectors` against the
+    * index's FROZEN ranges (saturating at the grid ends — see
+    * [[quantizeCodesAgainst]]) and append only their code files — the
+    * existing artifact and every existing code file stay untouched,
+    * so the append bill is O(|new|), never O(index). Returns the
+    * number of appended code rows. */
+  def appendSq8Index(spark: SparkSession, path: String,
+                     newVectors: DataFrame): Long = {
+    val ranges = spark.read.parquet(s"$path/ranges")
+    val newCodes = Scratch.stageReuse(
+      quantizeCodesAgainst(newVectors, ranges), "sq8_append_codes")
+    newCodes.write.mode("append").parquet(s"$path/codes")
+    newCodes.count()
+  }
+
+  /** Query a STAGED SQ8 index: the [[knnSq8On]] scan over the
+    * persisted codes + ranges, nothing rebuilt — queries and the
+    * exact rerank read the float corpus only for the query vectors
+    * and the Rerank·Q candidate sliver. Answers bit-identically to
+    * the in-memory form (spec-asserted). */
+  def querySq8Index(spark: SparkSession, path: String, vectors: DataFrame,
+                    queryIds: Seq[Long], k: Int = Similarity.K,
+                    rerank: Int = Pq.Rerank): DataFrame = {
+    val rg = spark.read.parquet(s"$path/ranges")
+      .orderBy(col("pos")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    if (rg.isEmpty)
+      return vectors.limit(0).select(
+        col("vec_id").as("query_id"), col("vec_id").as("neighbor_id"),
+        lit(0).as("rank"), lit(0.0).as("cosine"))
+    sq8Scan(spark.read.parquet(s"$path/codes"), rg, vectors,
+      col("vec_id").isInCollection(queryIds), k, rerank)
   }
 
   /** Serving scan over the int8 codes (key `knn_sq8`) — the search
@@ -127,11 +188,23 @@ object Quantize {
       return vectors.limit(0).select(
         col("vec_id").as("query_id"), col("vec_id").as("neighbor_id"),
         lit(0).as("rank"), lit(0.0).as("cosine"))
-    val mnA = array(rg.map(t => lit(t._2)): _*)
-    val mxA = array(rg.map(t => lit(t._3)): _*)
     // the staged codes ARE the serving corpus: the scan below reads
     // this parquet, not the float source (build-once/query-many)
     val codes = Scratch.stageReuse(quantizeCodesOn(vectors), "sq8_codes")
+    sq8Scan(codes, rg, vectors, col("vec_id") < Similarity.NQueries, k, rerank)
+  }
+
+  /** The one SQ8 search scan, shared by the in-memory driver key and
+    * the staged-index query path: decode-in-kernel over `codes`
+    * against the collected `rg` ranges (literal arrays), approximate
+    * cosine vs the broadcast query rows selected by `queryPred` from
+    * the float corpus, lossless per-partition top-`rerank` heaps,
+    * exact rerank. */
+  private def sq8Scan(codes: DataFrame, rg: Array[(Long, Double, Double)],
+                      vectors: DataFrame, queryPred: Column,
+                      k: Int, rerank: Int): DataFrame = {
+    val mnA = array(rg.map(t => lit(t._2)): _*)
+    val mxA = array(rg.map(t => lit(t._3)): _*)
     // in-kernel dequant: the exact vecQuantizeOn arithmetic per
     // element ((c+128)·span/255 off the dimension's mn), degenerate
     // dimensions decode to mn
@@ -146,7 +219,7 @@ object Quantize {
     val vn = vectors
       .select(col("vec_id"), V.toDouble(col("embedding")).as("e"))
       .withColumn("nrm", V.l2Norm(col("e")))
-    val queries = broadcast(vn.filter(col("vec_id") < Similarity.NQueries)
+    val queries = broadcast(vn.filter(queryPred)
       .select(col("vec_id").as("query_id"), col("e").as("qe"), col("nrm").as("qnrm")))
     val scored = decoded.join(queries, col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),

@@ -115,4 +115,57 @@ class QuantizeSpec extends SparkSpecBase {
     assert(sq8.sortBy(t => (t._1, t._3)).sameElements(again.sortBy(t => (t._1, t._3))),
       "SQ8 answers must be bit-deterministic")
   }
+
+  test("sq8 serving split: staged index answers bit-identically to the " +
+      "in-memory form; append touches only new code files") {
+    val vectors = graft.sources.Tables.embeddings(spark, sfDir)
+    val path = java.nio.file.Files.createTempDirectory("graft_sq8_idx").toString
+    Quantize.writeSq8Index(vectors, path)
+    val inMem = Quantize.knnSq8On(vectors).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._3))
+    val staged = Quantize.querySq8Index(spark, path, vectors,
+      0L until operators.Similarity.NQueries.toLong).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._3))
+    assert(inMem.sameElements(staged),
+      "staged round-trip must answer bit-identically")
+    // append lifecycle on a half split: base index + appended rest
+    val cut = vectors.agg(org.apache.spark.sql.functions.max("vec_id"))
+      .collect()(0).getLong(0) / 2
+    val base = vectors.filter(col("vec_id") <= cut)
+    val rest = vectors.filter(col("vec_id") > cut)
+    val path2 = java.nio.file.Files.createTempDirectory("graft_sq8_app").toString
+    Quantize.writeSq8Index(base, path2)
+    val fs = new org.apache.hadoop.fs.Path(path2)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def listing(): Map[String, Long] = {
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(s"$path2/codes"), true)
+      val b = Map.newBuilder[String, Long]
+      while (it.hasNext) { val st = it.next()
+        if (st.getPath.getName.endsWith(".parquet"))
+          b += (st.getPath.getName -> st.getModificationTime) }
+      b.result()
+    }
+    val before = listing()
+    val appended = Quantize.appendSq8Index(spark, path2, rest)
+    assert(appended == rest.count(), "every new vector appends one code row")
+    val after = listing()
+    assert(before.forall { case (f, m) => after.get(f).contains(m) },
+      "pre-append code files must stay byte-untouched")
+    assert(after.size > before.size, "append must add new files only")
+    // appended codes == encoding the full corpus against the FROZEN
+    // base ranges (the trainOn-decoupling equation, SQ8 form)
+    val allAgainstBase = Quantize.quantizeCodesAgainst(vectors,
+        spark.read.parquet(s"$path2/ranges")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Int](1).toList)).toMap
+    val stored = spark.read.parquet(s"$path2/codes").collect()
+      .map(r => (r.getLong(0), r.getSeq[Int](1).toList)).toMap
+    assert(stored == allAgainstBase,
+      "append(build(base), rest) must equal encodeAgainst(all, ranges(base))")
+    // the grown index still answers well-formed top-k
+    val q2 = Quantize.querySq8Index(spark, path2, vectors,
+      0L until operators.Similarity.NQueries.toLong).collect()
+    assert(q2.groupBy(_.getLong(0)).forall(_._2.length == operators.Similarity.K))
+  }
 }
