@@ -89,6 +89,8 @@ object Opq {
     // encodes components m, m+M, m+2M, … — a fixed permutation, so
     // the oracle replays it as an index map, no data-dependent
     // control flow
+    require(r % Pq.M == 0,
+      s"rotated dim $r must be divisible by M=${Pq.M} (subspace width)")
     val subW = r / Pq.M
     val perm = Array.tabulate(r) { i =>
       val m = i / subW; val t = i % subW; t * Pq.M + m
