@@ -168,4 +168,57 @@ class QuantizeSpec extends SparkSpecBase {
       0L until operators.Similarity.NQueries.toLong).collect()
     assert(q2.groupBy(_.getLong(0)).forall(_._2.length == operators.Similarity.K))
   }
+
+  test("knn_sq8 matches a plain-Scala reference scan bit-for-bit on " +
+      "seeded random corpora") {
+    import spark.implicits._
+    val K = operators.Similarity.K
+    val NQ = operators.Similarity.NQueries
+    val rnd = new scala.util.Random(1521)
+    (1 to 3).foreach { trial =>
+      val n = 40 + rnd.nextInt(40)
+      val d = 4 + rnd.nextInt(6)
+      val rows = (0 until n).map(i =>
+        (i.toLong, Array.fill(d)((rnd.nextGaussian() * 3).toFloat).toSeq, 0))
+      val vecs = rows.toDF("vec_id", "embedding", "label")
+
+      // reference: the exact published contract in plain Scala —
+      // per-dim min/max, floor(t+0.5)-128 codes, affine decode,
+      // approx-cosine top-Rerank by (acos desc, id asc), exact rerank
+      val e = rows.map { case (id, emb, _) => id -> emb.map(_.toDouble).toArray }.toMap
+      val mn = Array.tabulate(d)(j => rows.map(_._2(j).toDouble).min)
+      val mx = Array.tabulate(d)(j => rows.map(_._2(j).toDouble).max)
+      def codesOf(x: Array[Double]): Array[Long] = Array.tabulate(d) { j =>
+        if (mx(j) == mn(j)) 0L
+        else math.floor(((x(j) - mn(j)) * 255.0) / (mx(j) - mn(j)) + 0.5).toLong - 128L
+      }
+      def decode(q: Array[Long]): Array[Double] = Array.tabulate(d) { j =>
+        if (mx(j) == mn(j)) mn(j)
+        else mn(j) + ((q(j) + 128L).toDouble * (mx(j) - mn(j))) / 255.0
+      }
+      def dot(a: Array[Double], b: Array[Double]): Double = {
+        var acc = 0.0; var j = 0
+        while (j < a.length) { acc += a(j) * b(j); j += 1 }; acc
+      }
+      def nrm(a: Array[Double]): Double = math.sqrt(dot(a, a))
+      val expected = (0L until NQ.toLong).flatMap { q =>
+        val qe = e(q); val qn = nrm(qe)
+        val cand = e.keys.filter(_ != q).toSeq
+          .map { id =>
+            val de = decode(codesOf(e(id)))
+            id -> dot(de, qe) / (nrm(de) * qn)
+          }
+          .sortBy { case (id, a) => (-a, id) }
+          .take(operators.Pq.Rerank).map(_._1)
+        cand.map { id => (q, id, dot(e(id), qe) / (nrm(e(id)) * qn)) }
+          .sortBy { case (_, id, c) => (-c, id) }
+          .take(K).zipWithIndex
+          .map { case ((qq, id, c), r) => (qq, id, r + 1, c) }
+      }.toSet
+      val got = Quantize.knnSq8On(vecs).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+      assert(got == expected,
+        s"trial $trial (n=$n d=$d): engine diverged from the reference scan")
+    }
+  }
 }
