@@ -37,7 +37,7 @@ object ScaleCheck {
     val embOnly = Set("embed_clusters", "dedup_semantic", "knn_ivf",
       "knn_ivf_pq", "knn_pq", "sample_kcenter", "knn_graph",
       "vec_covariance", "vec_quantize", "ivf_pq_append", "knn_graph_capped",
-      "knn_sq8", "knn_recall_report", "knn_opq", "sq8_query")
+      "knn_sq8", "knn_recall_report", "knn_opq", "sq8_query", "knn_ivf_sq8")
     val skipNonEmbedding = args.length > 1 && args(1).split(",").forall(embOnly)
     // a graph-only run (the tier's dedicated scaled-catalog corpus)
     // likewise skips the main tables: a 300× run would otherwise
@@ -414,6 +414,8 @@ object ScaleCheck {
       run("knn_recall_report", operators.Similarity.knnRecallReportOn(
         spark.read.parquet(s"$dir/embeddings.parquet"))),
       run("knn_opq", operators.Opq.knnOpqOn(
+        spark.read.parquet(s"$dir/embeddings.parquet"))),
+      run("knn_ivf_sq8", operators.Quantize.knnIvfSq8On(
         spark.read.parquet(s"$dir/embeddings.parquet"))),
       run("text_entropy", operators.TextAnalysis.textEntropy(spark, dir)),
       run("salted_join_events", {

@@ -118,6 +118,7 @@ object SparkEntry {
     "knn_ivf_pq_append" -> ((s, d) => graft.operators.Pq.knnIvfPqAppend(s, d)),
     "knn_ivf_pq_delete" -> ((s, d) => graft.operators.Pq.knnIvfPqDelete(s, d)),
     "knn_sq8"        -> ((s, d) => Quantize.knnSq8(s, d)),
+    "knn_ivf_sq8"    -> ((s, d) => Quantize.knnIvfSq8(s, d)),
     "knn_recall_report" -> (Similarity.knnRecallReport(_, _)),
     "sample_kcenter" -> ((s, d) => Similarity.sampleKCenter(s, d)),
     "vec_stats"      -> (Similarity.vecStats(_, _)),
@@ -309,6 +310,9 @@ object SparkEntry {
     // the int8 serving scan replayed end-to-end: the vec_quantize
     // grid re-derived, decode, approx-cosine cut, exact rerank
     "knn_sq8"        -> Quantize.knnSq8OracleSql,
+    // the composed IVF-pruned compressed scan: the shared IVF prefix
+    // + the SQ8 grid/decode CTEs, candidates restricted to probed cells
+    "knn_ivf_sq8"    -> Quantize.knnIvfSq8OracleSql,
     // the nprobe quality curve: one materialized IVF-build replay,
     // per-nprobe ranked cuts, overlap vs the brute-force replay
     "knn_recall_report" -> Similarity.knnRecallReportOracleSql,

@@ -294,6 +294,146 @@ object Quantize {
        |WHERE rk <= $K""".stripMargin
   }
 
+  /** IVF-pruned SQ8 search (key `knn_ivf_sq8`) — the composed layout
+    * (FAISS `IndexIVFScalarQuantizer`): the coarse quantizer routes
+    * each query to its nprobe nearest cells, and the decode-in-kernel
+    * scan pays dequant+cosine work ONLY for codes in probed cells —
+    * [[knnSq8On]]'s compressed scan with [[Pq.knnIvfPqOn]]'s pruning,
+    * completing the serving matrix {flat, IVF} × {float, SQ8, PQ}.
+    * Where IVFADC compresses harder (M code ids) and approximates by
+    * codebook cell, IVF-SQ8 keeps per-dimension geometry at 1 byte/dim
+    * — the middle rung deployments pick when PQ's recall is too lossy
+    * for the rerank budget and the float scan too expensive.
+    *
+    * 100 TB: on a deployment the codes live in cell=<id> partition
+    * directories (the [[Pq.writeIvfPqIndex]] layout — here the staged
+    * frame carries the cell column; the probe prunes to ~nprobe/C of
+    * the compressed corpus), queries broadcast, the heap cut bounds
+    * the ranking shuffle, and the exact rerank touches Rerank·Q float
+    * rows. Both building blocks replay bit-exactly, so the
+    * composition carries a full hash oracle (the knn_ivf_pq
+    * composition argument: pruning only restricts the candidate set). */
+  def knnIvfSq8(spark: SparkSession, dir: String, k: Int = Similarity.K): DataFrame =
+    knnIvfSq8On(Tables.embeddings(spark, dir), k)
+
+  def knnIvfSq8On(vectors: DataFrame, k: Int = Similarity.K,
+                  rerank: Int = Pq.Rerank,
+                  nprobe: Int = Similarity.IvfNProbe): DataFrame = {
+    val rg = quantizerRanges(vectors)
+      .orderBy(col("pos")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    if (rg.isEmpty)
+      return vectors.limit(0).select(
+        col("vec_id").as("query_id"), col("vec_id").as("neighbor_id"),
+        lit(0).as("rank"), lit(0.0).as("cosine"))
+    val (indexed, centroids) =
+      Similarity.ivfIndex(vectors, 0, "ivf_centroids_knn_ivf_sq8")
+    // the serving frame: cell-tagged int8 codes, staged once — a
+    // deployment writes these as cell partition directories so the
+    // probe prunes files; here the staged parquet carries the column
+    val codes = Scratch.stageReuse(
+      quantizeCodesOn(vectors)
+        .join(indexed.select(col("vec_id"), col("cell")), "vec_id"),
+      "ivf_sq8_codes")
+    val mnA = array(rg.map(t => lit(t._2)): _*)
+    val mxA = array(rg.map(t => lit(t._3)): _*)
+    val de = transform(col("codes"), (c, i) => {
+      val mn = element_at(mnA, i + 1)
+      val mx = element_at(mxA, i + 1)
+      when(mx === mn, mn)
+        .otherwise(mn + ((c + lit(128)).cast("double") * (mx - mn)) / lit(Steps))
+    })
+    val decoded = codes.select(col("vec_id"), col("cell"), de.as("de"))
+      .withColumn("dn", V.l2Norm(col("de")))
+    val vn = vectors
+      .select(col("vec_id"), V.toDouble(col("embedding")).as("e"))
+      .withColumn("nrm", V.l2Norm(col("e")))
+    val queries = vn.filter(col("vec_id") < Similarity.NQueries)
+      .select(col("vec_id").as("query_id"), col("e").as("qe"), col("nrm").as("qnrm"))
+    val probeW = Window.partitionBy(col("query_id"))
+      .orderBy(col("cdist").desc, col("cell"))
+    val probes = broadcast(queries.join(broadcast(centroids))
+      .withColumn("cdist", V.cosineWithNorms(
+        V.dot(col("qe"), col("ce")), col("qnrm"), col("cn")))
+      .withColumn("rk", row_number().over(probeW))
+      .filter(col("rk") <= nprobe)
+      .select(col("query_id"), col("qe"), col("qnrm"), col("cell")))
+    val scored = decoded.join(probes, "cell")
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        V.cosineWithNorms(V.dot(col("de"), col("qe")), col("dn"), col("qnrm"))
+          .as("cosine"))
+    val cw = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    val cand = broadcast(Similarity.partitionTopK(scored, rerank)
+      .withColumn("crk", row_number().over(cw))
+      .filter(col("crk") <= rerank)
+      .select(col("query_id"), col("vec_id")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    cand.join(vn, "vec_id")
+      .join(broadcast(queries), "query_id")
+      .select(col("query_id"), col("vec_id"),
+        V.cosineWithNorms(V.dot(col("e"), col("qe")), col("nrm"), col("qnrm"))
+          .as("cosine"))
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"), col("cosine"))
+  }
+
+  /** Full DuckDB replay of the composed IVF-SQ8 search: the shared
+    * IVF-build prefix (cells per vector), the [[knnSq8OracleSql]]
+    * grid/decode CTEs, probes, candidate enumeration restricted to
+    * probed cells, approximate-cosine cut, exact rerank. */
+  val knnIvfSq8OracleSql: String = {
+    import Similarity.{sqlDot, NQueries, K, IvfNProbe}
+    s"""${Similarity.ivfIdxOraclePrefix}, el AS (
+       |  SELECT e.vec_id, p.pos, CAST(e.embedding[p.pos] AS DOUBLE) AS x
+       |  FROM embeddings e
+       |  CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS pos) p
+       |  WHERE e.embedding IS NOT NULL
+       |), rg AS (
+       |  SELECT pos, MIN(x) AS mn, MAX(x) AS mx FROM el GROUP BY pos
+       |), dq AS (
+       |  SELECT el.vec_id, el.pos,
+       |    CASE WHEN rg.mx = rg.mn THEN rg.mn
+       |         ELSE rg.mn + (CAST(CAST(FLOOR(((el.x - rg.mn) * 255.0)
+       |           / (rg.mx - rg.mn) + 0.5) AS BIGINT) AS DOUBLE)
+       |           * (rg.mx - rg.mn)) / 255.0
+       |    END AS deq
+       |  FROM el JOIN rg ON el.pos = rg.pos
+       |), den AS (
+       |  SELECT vec_id, de, ${Similarity.sqlNorm("de")} AS dn FROM (
+       |    SELECT vec_id, list(deq ORDER BY pos) AS de FROM dq GROUP BY vec_id) t
+       |), probes AS (
+       |  SELECT query_id, qe, qnrm, cell FROM (
+       |    SELECT q.vec_id AS query_id, q.e AS qe, q.nrm AS qnrm, c.cell,
+       |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+       |        ${sqlDot("q.e", "c.ce")} / (q.nrm * c.cnr) DESC, c.cell) AS rk
+       |    FROM vn q CROSS JOIN cc c WHERE q.vec_id < $NQueries) t
+       |  WHERE rk <= $IvfNProbe
+       |), cand AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT p.query_id, d.vec_id,
+       |      ROW_NUMBER() OVER (PARTITION BY p.query_id ORDER BY
+       |        ${sqlDot("d.de", "p.qe")} / (d.dn * p.qnrm) DESC, d.vec_id) AS crk
+       |    FROM den d
+       |    JOIN idx i ON d.vec_id = i.vec_id
+       |    JOIN probes p ON i.cell = p.cell
+       |    WHERE d.vec_id != p.query_id) t
+       |  WHERE crk <= ${Pq.Rerank}
+       |)
+       |SELECT query_id, vec_id AS neighbor_id, CAST(rk AS INTEGER) AS rank, cosine FROM (
+       |  SELECT cd.query_id, cd.vec_id,
+       |    ${sqlDot("b.e", "a.e")} / (b.nrm * a.nrm) AS cosine,
+       |    ROW_NUMBER() OVER (PARTITION BY cd.query_id ORDER BY
+       |      ${sqlDot("b.e", "a.e")} / (b.nrm * a.nrm) DESC, cd.vec_id) AS rk
+       |  FROM cand cd
+       |  JOIN vn b ON cd.vec_id = b.vec_id
+       |  JOIN vn a ON cd.query_id = a.vec_id) t
+       |WHERE rk <= $K""".stripMargin
+  }
+
   /** The d-row quantizer artifact: per-dimension corpus min/max. */
   def quantizerRanges(vectors: DataFrame): DataFrame =
     vectors

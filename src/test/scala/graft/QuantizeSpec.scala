@@ -169,6 +169,34 @@ class QuantizeSpec extends SparkSpecBase {
     assert(q2.groupBy(_.getLong(0)).forall(_._2.length == operators.Similarity.K))
   }
 
+  test("knn_ivf_sq8: well-formed top-k, recall tracks the IVF tier on " +
+      "clustered data, deterministic") {
+    val vectors = graft.sources.Tables.embeddings(spark, sfDir)
+    val res = Quantize.knnIvfSq8On(vectors).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    val byQ = res.groupBy(_._1)
+    assert(byQ.size == operators.Similarity.NQueries)
+    byQ.foreach { case (q, rows) =>
+      assert(rows.map(_._3).sorted.sameElements(1 to operators.Similarity.K))
+      assert(rows.forall(_._2 != q))
+    }
+    // the composition can only lose candidates the IVF cut already
+    // loses (pruning identical) plus rank-boundary noise the Rerank
+    // margin absorbs — recall must track the float IVF tier
+    val exact = operators.Similarity.knnBruteforceOn(vectors).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivfRecall = operators.Similarity.knnIvfOn(vectors).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).count(exact.contains).toDouble / exact.size
+    val sq8Recall = res.map(t => (t._1, t._2)).count(exact.contains).toDouble / exact.size
+    assert(sq8Recall >= ivfRecall - 0.05,
+      s"compressed-scan recall $sq8Recall fell below the float IVF tier's $ivfRecall")
+    assert(sq8Recall >= 0.9, s"recall $sq8Recall below the clustered-data bar")
+    val again = Quantize.knnIvfSq8On(vectors).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    assert(res.sortBy(t => (t._1, t._3)).sameElements(again.sortBy(t => (t._1, t._3))),
+      "IVF-SQ8 answers must be bit-deterministic")
+  }
+
   test("knn_sq8 matches a plain-Scala reference scan bit-for-bit on " +
       "seeded random corpora") {
     import spark.implicits._
