@@ -698,6 +698,19 @@ class PlanSpec extends SparkSpecBase {
       s"expected at most the two bounded windows:\n$p")
   }
 
+  test("knn_ivf_sq8: probed-cell equi-join over the staged cell-tagged " +
+      "codes, heap cut, no cartesian") {
+    val p = plan(graft.operators.Quantize.knnIvfSq8(spark, sfDir))
+    assert(p.contains("ivf_sq8_codes"),
+      s"scan does not read the staged cell-tagged codes:\n$p")
+    // candidate generation must keep the cell equi-key (probes are
+    // bounded and broadcast; losing the key would BNLJ the corpus)
+    assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
+    assert(p.contains("MapPartitions"), s"heap cut missing:\n$p")
+    assert("Window ".r.findAllIn(p).size <= 3,
+      s"expected only the probe + bounded candidate windows:\n$p")
+  }
+
   test("knn_recall_report: one staged candidate frame feeds every " +
       "nprobe variant; one staged exact answer; no cartesian") {
     val p = plan(graft.operators.Similarity.knnRecallReport(spark, sfDir))
