@@ -197,6 +197,24 @@ class QuantizeSpec extends SparkSpecBase {
       "IVF-SQ8 answers must be bit-deterministic")
   }
 
+  test("sq8/ivf-sq8 empty contracts: empty corpus and empty query set " +
+      "yield empty, schema-stable results, not probe crashes") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Option[Array[Float]], Int)]
+      .toDF("vec_id", "embedding", "label")
+    assert(Quantize.knnSq8On(empty).count() == 0)
+    assert(Quantize.knnIvfSq8On(empty).count() == 0)
+    val allNull = Seq((1L, Option.empty[Array[Float]], 0))
+      .toDF("vec_id", "embedding", "label")
+    assert(Quantize.knnSq8On(allNull).count() == 0)
+    assert(Quantize.knnIvfSq8On(allNull).count() == 0)
+    // a staged index queried with NO query ids answers nothing
+    val vectors = graft.sources.Tables.embeddings(spark, sfDir)
+    val path = java.nio.file.Files.createTempDirectory("graft_sq8_empty").toString
+    Quantize.writeSq8Index(vectors, path)
+    assert(Quantize.querySq8Index(spark, path, vectors, Seq.empty).count() == 0)
+  }
+
   test("knn_sq8 matches a plain-Scala reference scan bit-for-bit on " +
       "seeded random corpora") {
     import spark.implicits._
