@@ -718,18 +718,30 @@ object Pq {
     // an erasure ([[deleteFromIvfPqIndex]]) rewrites only the
     // directories that contain an erased id — the layout is what
     // makes the index's whole CRUD lifecycle O(touched cells).
-    // The session's global dynamic partitionOverwriteMode means the
-    // partitioned 'overwrite' below only replaces cells THIS corpus
-    // populates — restaging a path whose previous index had other
-    // cells would leave their stale directories to rejoin the
-    // candidate set on read (r14 advice), so a full index write
-    // truncates the codes tree explicitly first
+    // The session's global dynamic partitionOverwriteMode means a
+    // partitioned 'overwrite' of the live directory would only replace
+    // cells THIS corpus populates — restaging a path whose previous
+    // index had other cells would leave their stale directories to
+    // rejoin the candidate set on read (r14 advice). And a bare
+    // delete-then-rewrite of the live tree leaves no recovery copy if
+    // the write job dies mid-flight (r15 advice). So: write the full
+    // new codes tree to a sibling tmp directory, then swap via
+    // delete + rename (the Sinks.compact pattern) — the index is
+    // codes-less only for the duration of a directory rename, and a
+    // crash inside that window is recoverable (codes_tmp holds the
+    // complete new tree; recovery = rename it to codes).
     val codesPath = new org.apache.hadoop.fs.Path(s"$path/codes")
+    val tmpPath = new org.apache.hadoop.fs.Path(s"$path/codes_tmp")
     val fs = codesPath.getFileSystem(
       index.codes.sparkSession.sparkContext.hadoopConfiguration)
-    fs.delete(codesPath, true)
+    fs.delete(tmpPath, true)
     index.codes.repartition(col("cell"))
-      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/codes")
+      .write.mode("overwrite").partitionBy("cell").parquet(tmpPath.toString)
+    fs.delete(codesPath, true)
+    if (!fs.rename(tmpPath, codesPath))
+      throw new IllegalStateException(
+        s"writeIvfPqIndex: rename $tmpPath -> $codesPath failed; " +
+          s"the new codes tree is intact at $tmpPath")
   }
 
   def readIvfPqIndex(spark: SparkSession, path: String): IvfPqIndex =

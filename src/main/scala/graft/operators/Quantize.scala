@@ -81,22 +81,54 @@ object Quantize {
     * approximate ranking stays monotone at the boundary); for the
     * same-corpus build the clamp is the identity, since every value
     * is inside its own min/max by construction. Persistent drift past
-    * the grid means re-quantize — the PQ re-train cadence. */
-  def quantizeCodesAgainst(vectors: DataFrame, ranges: DataFrame): DataFrame =
-    vectors
+    * the grid means re-quantize — the PQ re-train cadence.
+    *
+    * Dimension discipline (r15 advice): saturation covers out-of-RANGE
+    * values but a mis-dimensioned input is a pipeline bug, never data
+    * drift — a too-long vector's tail positions have no grid row
+    * (formerly silently DROPPED by the inner join, appending truncated
+    * codes), and a too-short vector decodes against a mismatched
+    * literal width downstream. Both now FAIL the job in-plan: the grid
+    * join is a left join whose unmatched positions raise, and callers
+    * that know the grid width (every staged-artifact path — the width
+    * is a d-row parquet count) pass `dim` so under-width vectors raise
+    * at the reassembly step. Same-corpus builds pass dim=None: their
+    * width matches by construction and the grid frame is a corpus
+    * aggregation whose extra count scan would double the build cost. */
+  def quantizeCodesAgainst(vectors: DataFrame, ranges: DataFrame,
+                           dim: Option[Long] = None): DataFrame = {
+    val assembled = vectors
       .filter(col("embedding").isNotNull)
       .select(col("vec_id"), posexplode(V.toDouble(col("embedding"))).as(Seq("p0", "x")))
       .select(col("vec_id"), (col("p0") + 1).cast("long").as("pos"), col("x"))
-      .join(broadcast(ranges), "pos")
+      .join(broadcast(ranges), Seq("pos"), "left")
       .withColumn("q",
-        when(col("mx") === col("mn"), lit(0L))
+        when(col("mn").isNull,
+          raise_error(concat(
+            lit("quantizeCodesAgainst: vector "), col("vec_id"),
+            lit(" has a coordinate at position "), col("pos"),
+            lit(" beyond the trained grid — re-train or fix the feed")))
+            .cast("long"))
+          .when(col("mx") === col("mn"), lit(0L))
           .otherwise(greatest(lit(-128L), least(lit(127L),
             floor(((col("x") - col("mn")) * lit(Steps)) /
               (col("mx") - col("mn")) + lit(0.5)) - lit(128L)))))
       .groupBy(col("vec_id"))
       .agg(sort_array(collect_list(struct(col("pos"), col("q")))).as("pq"))
-      .select(col("vec_id"),
-        transform(col("pq"), p => p.getField("q").cast("int")).as("codes"))
+    val widthChecked = dim match {
+      case Some(d) => assembled.withColumn("pq",
+        when(size(col("pq")) =!= lit(d),
+          raise_error(concat(
+            lit("quantizeCodesAgainst: vector "), col("vec_id"),
+            lit(" has "), size(col("pq")),
+            lit(s" coordinates but the trained grid has $d")))
+            .cast(assembled.schema("pq").dataType))
+          .otherwise(col("pq")))
+      case None => assembled
+    }
+    widthChecked.select(col("vec_id"),
+      transform(col("pq"), p => p.getField("q").cast("int")).as("codes"))
+  }
 
   /** Stage the SQ8 index durably (two parquet frames under `path`):
     * the d-row ranges artifact and the int8 codes — the serving form a
@@ -108,7 +140,7 @@ object Quantize {
     val spark = vectors.sparkSession
     quantizerRanges(vectors).write.mode("overwrite").parquet(s"$path/ranges")
     val staged = spark.read.parquet(s"$path/ranges")
-    quantizeCodesAgainst(vectors, staged)
+    quantizeCodesAgainst(vectors, staged, dim = Some(staged.count()))
       .write.mode("overwrite").parquet(s"$path/codes")
   }
 
@@ -116,13 +148,17 @@ object Quantize {
     * index's FROZEN ranges (saturating at the grid ends — see
     * [[quantizeCodesAgainst]]) and append only their code files — the
     * existing artifact and every existing code file stay untouched,
-    * so the append bill is O(|new|), never O(index). Returns the
+    * so the append bill is O(|new|), never O(index). A batch whose
+    * vectors don't match the artifact's width FAILS (r15 advice — a
+    * truncated or short code row would silently poison every later
+    * scan; the width count is a d-row parquet read). Returns the
     * number of appended code rows. */
   def appendSq8Index(spark: SparkSession, path: String,
                      newVectors: DataFrame): Long = {
     val ranges = spark.read.parquet(s"$path/ranges")
     val newCodes = Scratch.stageReuse(
-      quantizeCodesAgainst(newVectors, ranges), "sq8_append_codes")
+      quantizeCodesAgainst(newVectors, ranges, dim = Some(ranges.count())),
+      "sq8_append_codes")
     newCodes.write.mode("append").parquet(s"$path/codes")
     newCodes.count()
   }

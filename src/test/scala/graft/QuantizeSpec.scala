@@ -267,4 +267,49 @@ class QuantizeSpec extends SparkSpecBase {
         s"trial $trial (n=$n d=$d): engine diverged from the reference scan")
     }
   }
+
+  test("sq8 dimension guard: a mis-dimensioned append batch fails loudly " +
+      "and leaves the index untouched") {
+    import spark.implicits._
+    def causes(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(e => Option(e.getMessage).getOrElse("")).toSeq
+    val base = Seq(
+      (1L, Seq(0.0f, 1.0f, 2.0f)),
+      (2L, Seq(1.0f, 2.0f, 3.0f)),
+      (3L, Seq(0.5f, 1.5f, 2.5f))).toDF("vec_id", "embedding")
+    val path = java.nio.file.Files.createTempDirectory("graft_sq8_dim").toString
+    Quantize.writeSq8Index(base, path)
+    def codesNow() = spark.read.parquet(s"$path/codes").collect()
+      .map(r => (r.getLong(0), r.getSeq[Int](1).toList)).toSet
+    val before = codesNow()
+    // too LONG: position 4 has no grid row — formerly silently dropped
+    // by the inner join, appending a truncated code row
+    val tooLong = Seq((10L, Seq(0.1f, 0.2f, 0.3f, 0.4f))).toDF("vec_id", "embedding")
+    val eLong = intercept[Throwable] {
+      Quantize.appendSq8Index(spark, path, tooLong) }
+    assert(causes(eLong).exists(_.contains("beyond the trained grid")),
+      s"wanted the out-of-grid diagnosis, got: ${causes(eLong).mkString(" | ")}")
+    // too SHORT: every position matches a grid row, so only the width
+    // check can catch it — a 2-wide code row would decode against a
+    // mismatched 3-wide literal grid downstream
+    val tooShort = Seq((11L, Seq(0.1f, 0.2f))).toDF("vec_id", "embedding")
+    val eShort = intercept[Throwable] {
+      Quantize.appendSq8Index(spark, path, tooShort) }
+    assert(causes(eShort).exists(_.contains("the trained grid has 3")),
+      s"wanted the width diagnosis, got: ${causes(eShort).mkString(" | ")}")
+    assert(codesNow() == before,
+      "a failed append must not write any code rows")
+    // positive control: a well-dimensioned batch still appends (and
+    // saturates out-of-range values instead of failing)
+    val ok = Seq((12L, Seq(9.0f, -9.0f, 2.5f))).toDF("vec_id", "embedding")
+    assert(Quantize.appendSq8Index(spark, path, ok) == 1L)
+    val row = spark.read.parquet(s"$path/codes")
+      .filter(col("vec_id") === 12L).collect()(0).getSeq[Int](1).toList
+    // dim1 spans [0,1]: 9.0 saturates high; dim2 spans [1,2]: -9.0
+    // saturates low; dim3 spans [2,3]: 2.5 is the in-range midpoint
+    // (code floor(127.5 + 0.5) - 128 = 0)
+    assert(row == List(127, -128, 0),
+      "out-of-range coordinates must saturate to the grid ends")
+  }
 }

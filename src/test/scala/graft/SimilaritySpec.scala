@@ -596,4 +596,44 @@ class SimilaritySpec extends SparkSpecBase {
     assert(rep.find(_._1 == Similarity.IvfNProbe).get._2 == ivfHits,
       "report row at the default nprobe must equal knn_ivf's overlap")
   }
+
+  test("ivfpq restage: a full rewrite swaps the codes tree via tmp+rename — " +
+      "no tmp residue, no stale cells from the previous index") {
+    import graft.operators.Pq
+    import org.apache.spark.sql.functions.col
+    val vectors = graft.sources.Tables.embeddings(spark, sfDir)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq_restage").toString
+    // day 0: index the FULL corpus (populates many cells)
+    Pq.writeIvfPqIndex(Pq.buildIvfPq(vectors), dir)
+    // day N: restage the same path from a small slice — its index
+    // populates a strict subset of cells, so any stale directory from
+    // day 0 would survive a dynamic-mode overwrite and rejoin reads
+    val slice = vectors.filter(col("vec_id") < 40)
+    Pq.writeIvfPqIndex(Pq.buildIvfPq(slice), dir)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/codes_tmp")),
+      "a successful restage must not leave the tmp staging tree behind")
+    val reloaded = Pq.readIvfPqIndex(spark, dir)
+    assert(reloaded.codes.count() == slice.count(),
+      "the restaged codes tree must hold exactly the new corpus")
+    // every on-disk cell directory belongs to the NEW index
+    val newCells = reloaded.codes.select(col("cell")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    val cellDirs = fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/codes"))
+      .filter(_.isDirectory).map(_.getPath.getName)
+      .filter(_.startsWith("cell="))
+    assert(cellDirs.nonEmpty)
+    cellDirs.foreach { d =>
+      assert(newCells.contains(d.stripPrefix("cell=").toLong),
+        s"stale cell directory $d survived the restage") }
+    // and the restaged index answers exactly like its in-memory twin
+    val qids = (0L until Similarity.NQueries.toLong)
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._3))
+    assert(canon(Pq.queryIvfPq(reloaded, vectors, qids))
+      .sameElements(canon(Pq.queryIvfPq(Pq.buildIvfPq(slice), vectors, qids))),
+      "restaged index diverged from the in-memory build it staged")
+  }
 }
