@@ -120,6 +120,8 @@ object SparkEntry {
     "knn_sq8"        -> ((s, d) => Quantize.knnSq8(s, d)),
     "knn_ivf_sq8"    -> ((s, d) => Quantize.knnIvfSq8(s, d)),
     "knn_recall_report" -> (Similarity.knnRecallReport(_, _)),
+    "knn_radius"     -> ((s, d) => Similarity.knnRadius(s, d)),
+    "knn_filtered"   -> ((s, d) => Similarity.knnFiltered(s, d)),
     "sample_kcenter" -> ((s, d) => Similarity.sampleKCenter(s, d)),
     "vec_stats"      -> (Similarity.vecStats(_, _)),
     "vec_covariance" -> (Similarity.vecCovariance(_, _)),
@@ -316,6 +318,12 @@ object SparkEntry {
     // the nprobe quality curve: one materialized IVF-build replay,
     // per-nprobe ranked cuts, overlap vs the brute-force replay
     "knn_recall_report" -> Similarity.knnRecallReportOracleSql,
+    // range search: the IVF replay with the ranked tail swapped for
+    // the radius filter (strtod-embedded threshold)
+    "knn_radius"     -> Similarity.knnRadiusOracleSql,
+    // filtered top-k: the IVF replay with the label projection joined
+    // onto queries and candidates, window over the filtered stream
+    "knn_filtered"   -> Similarity.knnFilteredOracleSql,
     "sample_kcenter" -> Similarity.sampleKCenterOracleSql,
     "vec_stats"      -> Similarity.vecStatsOracleSql,
     "vec_covariance" -> Similarity.vecCovarianceOracleSql,

@@ -1199,4 +1199,167 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"), col("cosine"))
   }
+
+  /** Cosine radius for the range-search key (`knn_radius`): chosen
+    * from the driver corpus's similarity profile (p99 pair cosine
+    * ≈ 0.29, max ≈ 0.4) so the ball holds ~1–2% of the corpus per
+    * query — result size scales WITH the corpus, the semantics a
+    * radius query is for ("everything at least this similar", dedup
+    * candidate pulls, near-duplicate audits), unlike top-k's fixed k.
+    * 0.25 is exactly representable, so the boundary comparison is
+    * engine-identical bit for bit. */
+  val RadiusTau = 0.25
+
+  /** Key `knn_radius`: RANGE search over the embedding corpus — every
+    * corpus vector within cosine ≥ [[RadiusTau]] of each query, the
+    * FAISS `range_search` twin of [[knnIvfOn]]'s top-k. Same IVF
+    * probe discipline (the [[IvfNProbe]] nearest cells bound the scan
+    * to ~nprobe/C of the corpus); the tail differs where it should:
+    * NO per-query window, no heap — membership is a stateless filter
+    * on the candidate stream, so the operator is strictly cheaper
+    * than top-k at the same probe width and never materializes a
+    * ranking. Output is the neighbor SET (query_id, neighbor_id,
+    * cosine); consumers that want an ordering sort their slice.
+    *
+    * 100 TB: probes broadcast (NQueries·nprobe rows), candidates are
+    * an m-row partition-local filter off the cell-pruned posting join
+    * — the one shuffle is the posting join on `cell`, identical to
+    * the top-k path; everything after it is narrow. Approximate in
+    * exactly the IVF sense: a true neighbor outside the probed cells
+    * is missed — the recall lever is nprobe, measured by
+    * `knn_recall_report`. */
+  def knnRadius(spark: SparkSession, dir: String): DataFrame =
+    knnRadiusOn(Tables.embeddings(spark, dir))
+
+  def knnRadiusOn(vectors: DataFrame, tau: Double = RadiusTau): DataFrame = {
+    val (indexed, centroids) = ivfIndex(vectors, 0, "ivf_centroids_knn_radius")
+    val queries = indexed.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("e").as("qe"), col("nrm").as("qnrm"))
+    val probeW = Window.partitionBy(col("query_id"))
+      .orderBy(col("cdist").desc, col("cell"))
+    val probes = broadcast(queries.join(broadcast(centroids))
+      .withColumn("cdist", V.cosineWithNorms(
+        V.dot(col("qe"), col("ce")), col("qnrm"), col("cn")))
+      .withColumn("rk", row_number().over(probeW))
+      .filter(col("rk") <= IvfNProbe)
+      .select(col("query_id"), col("qe"), col("qnrm"), col("cell")))
+    indexed.join(probes, "cell")
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        V.cosineWithNorms(V.dot(col("e"), col("qe")), col("nrm"), col("qnrm"))
+          .as("cosine"))
+      .filter(col("cosine") >= tau)
+  }
+
+  /** Oracle: the shared IVF replay + the same probe CTE as
+    * `knn_ivf`, tail swapped from a ranked window to the radius
+    * filter. The threshold is embedded via the strtod discipline. */
+  val knnRadiusOracleSql: String =
+    s"""${ivfOracleIdxCtes(ncellsAutoSql)}, probes AS (
+       |  SELECT query_id, qe, qnrm, cell FROM (
+       |    SELECT q.vec_id AS query_id, q.e AS qe, q.nrm AS qnrm, c.cell,
+       |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+       |        ${sqlDot("q.e", "c.ce")} / (q.nrm * c.cnr) DESC, c.cell) AS rk
+       |    FROM vn q CROSS JOIN cc c WHERE q.vec_id < $NQueries) t
+       |  WHERE rk <= $IvfNProbe
+       |)
+       |SELECT p.query_id, i.vec_id AS neighbor_id,
+       |  ${sqlDot("i.e", "p.qe")} / (i.nrm * p.qnrm) AS cosine
+       |FROM idx i JOIN probes p ON i.cell = p.cell
+       |WHERE i.vec_id != p.query_id
+       |  AND ${sqlDot("i.e", "p.qe")} / (i.nrm * p.qnrm)
+       |      >= CAST('$RadiusTau' AS DOUBLE)""".stripMargin
+
+  /** Key `knn_filtered`: METADATA-FILTERED top-k — each query's k
+    * nearest neighbors AMONG corpus vectors sharing its `label` (the
+    * tenant/category/language scope every production vector store
+    * serves as "filtered search"). The predicate is evaluated DURING
+    * the probed scan, not on a post-hoc top-k: post-filtering an
+    * unfiltered top-k returns < k rows whenever the filter is
+    * selective (here ~1/10 of candidates match, so an unfiltered
+    * top-10 would typically keep ~1 survivor) — the classic filtered-
+    * ANN correctness trap. The label rides the posting list (the
+    * metadata-in-index layout), so the filter costs one comparison
+    * per candidate, no extra join at query time.
+    *
+    * 100 TB: the label join onto the postings is index-BUILD cost
+    * (vec_id-keyed co-shuffle of two projections of the same scan,
+    * once per index), not query cost; the query path is the
+    * [[knnIvfOn]] plan with one extra broadcast column (qlabel) and
+    * one candidate-stream predicate. Recall caveat shared with every
+    * IVF path: a matching neighbor outside the probed cells is
+    * missed; a deployment whose filters are HIGHLY selective raises
+    * nprobe for filtered queries (the candidate stream shrinks by
+    * the filter's selectivity, so wider probes stay cheap) — which
+    * is exactly what this key does: [[FilteredNProbe]] = 2×
+    * [[IvfNProbe]], because the filter (~1/10 selectivity here) must
+    * reach ~10× deeper into the global ranking to fill k same-label
+    * slots, and the widened probe scans FEWER post-filter candidates
+    * than the unfiltered key scans at its default width (measured:
+    * recall 0.62 → 0.82 at sf0.01 for ~0.2× the unfiltered
+    * candidate volume). */
+  val FilteredNProbe = 2 * IvfNProbe
+
+  def knnFiltered(spark: SparkSession, dir: String, k: Int = K): DataFrame =
+    knnFilteredOn(Tables.embeddings(spark, dir), k)
+
+  def knnFilteredOn(vectors: DataFrame, k: Int = K,
+                    nprobe: Int = FilteredNProbe): DataFrame = {
+    val (indexed, centroids) = ivfIndex(vectors, 0, "ivf_centroids_knn_filtered")
+    val labels = vectors.select(col("vec_id"), col("label"))
+    // postings carry the filter column — built once with the index
+    val postings = indexed.join(labels, "vec_id")
+    val queries = indexed.filter(col("vec_id") < NQueries)
+      .join(labels, "vec_id")
+      .select(col("vec_id").as("query_id"), col("e").as("qe"),
+        col("nrm").as("qnrm"), col("label").as("qlabel"))
+    val probeW = Window.partitionBy(col("query_id"))
+      .orderBy(col("cdist").desc, col("cell"))
+    val probes = broadcast(queries.join(broadcast(centroids))
+      .withColumn("cdist", V.cosineWithNorms(
+        V.dot(col("qe"), col("ce")), col("qnrm"), col("cn")))
+      .withColumn("rk", row_number().over(probeW))
+      .filter(col("rk") <= nprobe)
+      .select(col("query_id"), col("qe"), col("qnrm"), col("qlabel"), col("cell")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    postings.join(probes, "cell")
+      .filter(col("vec_id") =!= col("query_id") &&
+        col("label") === col("qlabel"))
+      .select(col("query_id"), col("vec_id"), col("label"),
+        V.cosineWithNorms(V.dot(col("e"), col("qe")), col("nrm"), col("qnrm"))
+          .as("cosine"))
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("label"), col("rank"), col("cosine"))
+  }
+
+  /** Oracle: the IVF replay with the label projection joined onto
+    * both the query set and the candidate stream — the ranked window
+    * runs over the FILTERED candidates, exactly as the executor
+    * filters during the scan. */
+  val knnFilteredOracleSql: String =
+    s"""${ivfOracleIdxCtes(ncellsAutoSql)}, lab AS (
+       |  SELECT vec_id, label FROM embeddings
+       |), probes AS (
+       |  SELECT query_id, qe, qnrm, qlabel, cell FROM (
+       |    SELECT q.vec_id AS query_id, q.e AS qe, q.nrm AS qnrm,
+       |      ql.label AS qlabel, c.cell,
+       |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+       |        ${sqlDot("q.e", "c.ce")} / (q.nrm * c.cnr) DESC, c.cell) AS rk
+       |    FROM vn q JOIN lab ql ON q.vec_id = ql.vec_id CROSS JOIN cc c
+       |    WHERE q.vec_id < $NQueries) t
+       |  WHERE rk <= $FilteredNProbe
+       |)
+       |SELECT query_id, vec_id AS neighbor_id, label,
+       |  CAST(rk AS INTEGER) AS rank, cosine FROM (
+       |  SELECT p.query_id, i.vec_id, l.label,
+       |    ${sqlDot("i.e", "p.qe")} / (i.nrm * p.qnrm) AS cosine,
+       |    ROW_NUMBER() OVER (PARTITION BY p.query_id ORDER BY
+       |      ${sqlDot("i.e", "p.qe")} / (i.nrm * p.qnrm) DESC, i.vec_id) AS rk
+       |  FROM idx i JOIN lab l ON i.vec_id = l.vec_id
+       |  JOIN probes p ON i.cell = p.cell
+       |  WHERE i.vec_id != p.query_id AND l.label = p.qlabel) t
+       |WHERE rk <= $K""".stripMargin
 }

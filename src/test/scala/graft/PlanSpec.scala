@@ -711,6 +711,32 @@ class PlanSpec extends SparkSpecBase {
       s"expected only the probe + bounded candidate windows:\n$p")
   }
 
+  test("knn_radius: stateless filter tail — only the probe window, " +
+      "closure assignment, no cartesian blow-up") {
+    val p = plan(graft.operators.Similarity.knnRadius(spark, sfDir))
+    // membership is a filter, never a ranking: the ONE window is the
+    // bounded query→probe-cells derivation
+    assert("Window \\[".r.findAllIn(p).size <= 1,
+      s"radius tail regressed to a ranked window:\n$p")
+    assert(p.contains("MapPartitions"),
+      s"expected closure-codebook mapPartitions assignment:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
+  }
+
+  test("knn_filtered: label predicate inside the probed scan, bounded " +
+      "windows, no cartesian") {
+    val p = plan(graft.operators.Similarity.knnFiltered(spark, sfDir))
+    // probe window + final candidate-sliver rank only
+    assert("Window \\[".r.findAllIn(p).size <= 2,
+      s"expected only the probe + rank windows:\n$p")
+    // the label filter must run on the candidate stream BEFORE the
+    // ranking window (filtered-then-ranked, not ranked-then-filtered)
+    assert(p.contains("(label"), s"label predicate missing from the scan:\n$p")
+    assert(p.contains("MapPartitions"),
+      s"expected closure-codebook mapPartitions assignment:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
+  }
+
   test("knn_recall_report: one staged candidate frame feeds every " +
       "nprobe variant; one staged exact answer; no cartesian") {
     val p = plan(graft.operators.Similarity.knnRecallReport(spark, sfDir))
