@@ -79,6 +79,7 @@ object SparkEntry {
     "graph_kcore"          -> (graft.operators.Graph.graphKcore(_, _)),
     "graph_lpa"            -> (graft.operators.Graph.graphLpa(_, _)),
     "graph_modularity"     -> (graft.operators.Graph.graphModularity(_, _)),
+    "graph_bfs"            -> (graft.operators.Graph.graphBfs(_, _)),
     "graph_link_predict"   -> (graft.operators.Graph.graphLinkPredict(_, _)),
     "agg_approx_ndv"       -> (graft.operators.Sketches.aggApproxNdv(_, _)),
     "agg_sketch_union"     -> (graft.operators.Sketches.aggSketchUnion(_, _)),
@@ -247,6 +248,9 @@ object SparkEntry {
     // the LPA partition graded: exact BIGINT modularity units over
     // the shared unrolled-rounds replay, one presentation division
     "graph_modularity"     -> graft.operators.Graph.graphModularityOracleSql,
+    // multi-source BFS: the min-fold walk unrolled as materialized
+    // levels, per-distance histogram + reach totals
+    "graph_bfs"            -> graft.operators.Graph.graphBfsOracleSql,
     "graph_link_predict"   -> graft.operators.Graph.graphLinkPredictOracleSql,
     // the HLL estimator replays bit-exactly: ordered register fold of
     // exact 2^-rho terms; ln() lookup table embedded from Scala

@@ -623,12 +623,17 @@ object Graph {
     * `stagePrefix` scopes the directed-edge staging dir per OPERATOR
     * (the ivfIndex precedent): a shared prefix would let one
     * operator's restage invalidate the other's not-yet-consumed plan. */
+  /** Checkpoint-truncate an iteration's state frame: every round of
+    * the iterative graph ops feeds the next round's join AND the
+    * final report — unbroken lineage re-expands the whole walk per
+    * consumer. Shared by [[lpaLabels]] and [[bfsDistances]]. */
+  private def truncated(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+      df.checkpoint(eager = true)
+    else df.localCheckpoint(eager = true)
+
   private[operators] def lpaLabels(edges: DataFrame, rounds: Int,
                                    stagePrefix: String): DataFrame = {
-    def truncated(df: DataFrame): DataFrame =
-      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
-        df.checkpoint(eager = true)
-      else df.localCheckpoint(eager = true)
     val ed = Scratch.stageReuse(
       edges.select(col("u").as("s"), col("v").as("d"))
         .unionAll(edges.select(col("v").as("s"), col("u").as("d"))),
@@ -936,5 +941,121 @@ object Graph {
        |  CAST(t.rank AS DOUBLE) / ${One.toDouble} AS pagerank,
        |  t.deg, s.n_nodes, s.n_arcs
        |FROM top t CROSS JOIN totals s""".stripMargin
+  }
+
+  /** BFS sources: the [[BfsSeeds]] highest-degree nodes (deg DESC,
+    * node ASC — total order, deterministic), the hubs distance-to-
+    * structure questions start from. */
+  val BfsSeeds = 5
+
+  /** Synchronous BFS rounds the oracle unrolls. The driver graph's
+    * reachable set converges at depth 8 from the hub seeds (measured
+    * dist histogram tail: 3 nodes at 7, 1 at 8); nodes still
+    * unreached after [[BfsRounds]] are the disconnected remainder the
+    * report counts in `n_unreached`. */
+  val BfsRounds = 8
+
+  /** Key `graph_bfs`: multi-source breadth-first hop distance over
+    * the supported co-order graph — the TRAVERSAL primitive the graph
+    * tier was missing ([[graphComponents]] asks "what is connected",
+    * this asks "HOW FAR is everything from the structural core"):
+    * distance-to-hub distributions locate periphery items, bound
+    * influence radii, and grade whether the graph is shallow
+    * (hub-and-spoke) or deep (chained).
+    *
+    * Semantics (exact, engine-portable): seeds are the [[BfsSeeds]]
+    * top-degree nodes at distance 0; each of [[BfsRounds]]
+    * SYNCHRONOUS rounds relaxes one hop; `dist(v)` = hops to the
+    * NEAREST seed (the min over sources — multi-source BFS). All
+    * arithmetic is exact integers; the report is the per-distance
+    * histogram (count, min/max node per level) with the reach totals
+    * attached.
+    *
+    * Scale shape: the engine iterates FRONTIER-ONLY — round i joins
+    * the m-row edge frame against only the nodes discovered at round
+    * i−1 and anti-joins the already-reached set, so per-round cost is
+    * O(edges touched by the frontier), never O(reached) re-aggregated
+    * (the textbook Pregel BFS); state is one (node, dist) row per
+    * reached node, lineage checkpoint-truncated per round ([[lpaLabels]]
+    * discipline). The oracle replays the equivalent min-fold form
+    * (each level = min(dist) over the previous level ∪ its one-hop
+    * expansion) — same layers, simpler SQL: a node's min dist IS its
+    * first-discovery round. */
+  def graphBfs(spark: SparkSession, dir: String): DataFrame =
+    bfsOn(staged(supportedEdges(spark, dir), "graft_bfs_edges"))
+
+  def bfsOn(edges: DataFrame, rounds: Int = BfsRounds,
+            nSeeds: Int = BfsSeeds): DataFrame = {
+    val ed = Scratch.stageReuse(
+      edges.select(col("u").as("s"), col("v").as("d"))
+        .unionAll(edges.select(col("v").as("s"), col("u").as("d"))),
+      "graft_bfs_directed")
+    // degree off the directed frame (COUNT per source == undirected
+    // degree), byte-matching the oracle's deg CTE
+    val deg = ed.groupBy(col("s").as("node")).agg(count(lit(1)).as("deg"))
+    // seed pick is a TakeOrdered (distributed heap), not a window
+    val seeds = deg.orderBy(col("deg").desc, col("node")).limit(nSeeds)
+      .select(col("node"))
+    var reached = truncated(seeds.select(col("node"), lit(0L).as("dist")))
+    var frontier = reached.select(col("node"))
+    (1 to rounds).foreach { i =>
+      val expand = ed.join(frontier.withColumnRenamed("node", "d"), "d")
+        .select(col("s").as("node")).distinct()
+      val fresh = truncated(
+        expand.join(reached.select(col("node")), Seq("node"), "left_anti")
+          .select(col("node"), lit(i.toLong).as("dist")))
+      reached = truncated(reached.unionAll(fresh))
+      frontier = fresh.select(col("node"))
+    }
+    val hist = reached.groupBy(col("dist"))
+      .agg(count(lit(1)).as("nodes"),
+        min(col("node")).as("min_node"), max(col("node")).as("max_node"))
+    val totals = deg.agg(count(lit(1)).as("n_nodes"))
+      .crossJoin(reached.agg(count(lit(1)).as("n_reached")))
+      .select(col("n_nodes"), col("n_reached"),
+        (col("n_nodes") - col("n_reached")).as("n_unreached"))
+    hist.crossJoin(broadcast(totals))
+      .select(col("dist"), col("nodes"), col("min_node"), col("max_node"),
+        col("n_nodes"), col("n_reached"), col("n_unreached"))
+  }
+
+  /** Oracle: the min-fold BFS unrolled as [[BfsRounds]] MATERIALIZED
+    * levels (each referenced by the next round's expansion — the
+    * lpa/kcore discipline against 2^rounds inlining). */
+  val graphBfsOracleSql: String = {
+    val levels = (1 to BfsRounds).map { i =>
+      s"""r$i AS MATERIALIZED (
+         |  SELECT node, MIN(dist) AS dist FROM (
+         |    SELECT node, dist FROM r${i - 1}
+         |    UNION ALL
+         |    SELECT ed.s AS node, r.dist + 1 AS dist
+         |    FROM ed JOIN r${i - 1} r ON ed.d = r.node
+         |  ) GROUP BY node
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH e0 AS MATERIALIZED (
+       |  $supportedEdgesSql
+       |), ed AS MATERIALIZED (
+       |  SELECT u AS s, v AS d FROM e0 UNION ALL SELECT v, u FROM e0
+       |), deg AS (
+       |  SELECT s AS node, COUNT(*) AS deg FROM ed GROUP BY s
+       |), seeds AS (
+       |  SELECT node FROM (
+       |    SELECT node, ROW_NUMBER() OVER (ORDER BY deg DESC, node) AS rk
+       |    FROM deg) t
+       |  WHERE rk <= $BfsSeeds
+       |), r0 AS (
+       |  SELECT node, CAST(0 AS BIGINT) AS dist FROM seeds
+       |), $levels, totals AS (
+       |  SELECT (SELECT COUNT(*) FROM deg) AS n_nodes,
+       |    (SELECT COUNT(*) FROM r$BfsRounds) AS n_reached
+       |)
+       |SELECT h.dist, h.nodes, h.min_node, h.max_node,
+       |  s.n_nodes, s.n_reached, s.n_nodes - s.n_reached AS n_unreached
+       |FROM (
+       |  SELECT dist, COUNT(*) AS nodes, MIN(node) AS min_node,
+       |    MAX(node) AS max_node
+       |  FROM r$BfsRounds GROUP BY dist) h
+       |CROSS JOIN totals s""".stripMargin
   }
 }

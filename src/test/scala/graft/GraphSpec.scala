@@ -349,4 +349,46 @@ class GraphSpec extends SparkSpecBase {
     assert(q >= -0.5 && q <= 1.0, s"modularity $q outside its range")
     assert(key.forall(_.getAs[Double]("modularity") == q), "constant totals")
   }
+
+  test("bfs: hand-computed layers on a path, disconnected remainder " +
+      "counted unreached, multi-source takes the min") {
+    // path 1-2-3-4-5 (node 2 wins the 1-seed pick: deg 2, lowest id)
+    // plus the disconnected pair 10-11
+    val edges = edgesDf((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L))
+    val one = Graph.bfsOn(edges, rounds = 8, nSeeds = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).sortBy(_._1)
+    // dist: 2→0; {1,3}→1; 4→2; 5→3; {10,11} unreached
+    assert(one.map(t => (t._1, t._2, t._3, t._4)).sameElements(Seq(
+      (0L, 1L, 2L, 2L), (1L, 2L, 1L, 3L), (2L, 1L, 4L, 4L), (3L, 1L, 5L, 5L))))
+    assert(one.forall(t => t._5 == 7L && t._6 == 5L && t._7 == 2L),
+      "totals must count 7 nodes, 5 reached, 2 unreached")
+    // multi-source: seeds {2, 3} (deg 2 each, lowest ids) — distances
+    // drop to the NEAREST seed
+    val two = Graph.bfsOn(edges, rounds = 8, nSeeds = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(two.sameElements(Seq((0L, 2L), (1L, 2L), (2L, 1L))),
+      s"expected layers {2,3}=0, {1,4}=1, {5}=2, got ${two.toSeq}")
+  }
+
+  test("bfs driver key: contiguous layers, seeds at zero, totals " +
+      "partition the supported nodes, deterministic") {
+    val rep = Graph.graphBfs(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).sortBy(_._1)
+    assert(rep.nonEmpty)
+    // BFS layers are contiguous 0..max (an empty frontier never revives)
+    assert(rep.map(_._1).sameElements(0L to rep.map(_._1).max),
+      "distance layers must be contiguous from 0")
+    assert(rep.head._2 == Graph.BfsSeeds.toLong, "layer 0 is the seed set")
+    assert(rep.forall(t => t._4 >= t._3), "min_node <= max_node per layer")
+    val (nNodes, nReached, nUnreached) = (rep.head._5, rep.head._6, rep.head._7)
+    assert(rep.map(_._2).sum == nReached, "histogram must partition the reached set")
+    assert(nReached + nUnreached == nNodes, "reach totals must partition the graph")
+    assert(rep.forall(t => t._5 == nNodes && t._6 == nReached && t._7 == nUnreached))
+    val again = Graph.graphBfs(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).sortBy(_._1)
+    assert(rep.sameElements(again), "bfs report must be deterministic")
+  }
 }

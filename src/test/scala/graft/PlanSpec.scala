@@ -711,6 +711,23 @@ class PlanSpec extends SparkSpecBase {
       s"expected only the probe + bounded candidate windows:\n$p")
   }
 
+  test("graph_bfs: report reads checkpointed walk state — one bounded " +
+      "totals attach, no cartesian, no window") {
+    // per-round lineage (frontier anti-joins, seed TakeOrdered) is
+    // checkpoint-truncated by design (the lpa/kcore discipline), so
+    // the report plan must be ONLY the histogram over the final state
+    val p = plan(graft.operators.Graph.graphBfs(spark, sfDir))
+    assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
+    // the unconditioned products are both 1-row-bounded: the
+    // n_nodes × n_reached pairing and the totals attach to the hist
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 2,
+      s"expected only the bounded totals attaches:\n$p")
+    assert("Window \\[".r.findAllIn(p).isEmpty,
+      s"histogram report must not rank anything:\n$p")
+    assert(!p.contains("l_orderkey"),
+      s"walk lineage leaked into the report plan (checkpoint broken):\n$p")
+  }
+
   test("knn_radius: stateless filter tail — only the probe window, " +
       "closure assignment, no cartesian blow-up") {
     val p = plan(graft.operators.Similarity.knnRadius(spark, sfDir))
