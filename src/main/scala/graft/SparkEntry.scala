@@ -115,6 +115,7 @@ object SparkEntry {
     "knn_graph"      -> ((s, d) => Similarity.knnGraph(s, d)),
     "knn_pq"         -> ((s, d) => graft.operators.Pq.knnPq(s, d)),
     "knn_opq"        -> ((s, d) => graft.operators.Opq.knnOpq(s, d)),
+    "knn_ivf_opq"    -> ((s, d) => graft.operators.Opq.knnIvfOpq(s, d)),
     "knn_ivf_pq"     -> ((s, d) => graft.operators.Pq.knnIvfPq(s, d)),
     "knn_ivf_pq_append" -> ((s, d) => graft.operators.Pq.knnIvfPqAppend(s, d)),
     "knn_ivf_pq_delete" -> ((s, d) => graft.operators.Pq.knnIvfPqDelete(s, d)),
@@ -306,6 +307,9 @@ object SparkEntry {
     // power-iteration basis as recursive CTEs, round-robin placement,
     // the shared PQ tail at the rotated dim
     "knn_opq"        -> graft.operators.Opq.knnOpqOracleSql,
+    // the rotation composed with the inverted file: OPQ prefix + the
+    // shared IVF body + the suffixed cell-pruned ADC tail
+    "knn_ivf_opq"    -> graft.operators.Opq.knnIvfOpqOracleSql,
     "knn_ivf_pq"     -> graft.operators.Pq.knnIvfPqOracleSql,
     // the append lifecycle replayed with training decoupled: Lloyd +
     // codebooks on the base half only, assign+encode over everything

@@ -123,7 +123,11 @@ object Opq {
     * string cast to DOUBLE (the r14 strtod discipline — here only
     * '0.001', the start-vector tail). Dim pinned to the driver
     * corpus's 64. */
-  val knnOpqOracleSql: String = {
+  /** The shared replay PREFIX: covariance units → per-component
+    * recursive-CTE power iterations → literal round-robin placement,
+    * ending at `rotu` (the rotated unit corpus). Both OPQ oracles
+    * (flat `knn_opq`, cell-pruned `knn_ivf_opq`) build on it. */
+  private val opqRotatedPrefix: String = {
     val d = 64
     val r = OpqComponents
     val iters = OpqIters
@@ -204,6 +208,73 @@ object Opq {
        |  $rotSelects
        |), rotu AS MATERIALIZED (
        |  SELECT vec_id, list(y ORDER BY k) AS u FROM rotk GROUP BY vec_id
-       |), ${Pq.pqAdcOracleTail("rotu", r)}""".stripMargin
+       |)""".stripMargin
+  }
+
+  val knnOpqOracleSql: String =
+    s"""$opqRotatedPrefix, ${Pq.pqAdcOracleTail("rotu", OpqComponents)}"""
+
+  /** Key `knn_ivf_opq`: the rotation composed with the INVERTED FILE
+    * — completing the serving matrix {flat, IVF} × {float, SQ8, PQ,
+    * OPQ} (every other column already has both rungs). The coarse
+    * quantizer routes in ORIGINAL space (the shared [[Similarity
+    * .ivfIndex]] — routing sees full-dimensional geometry, so the
+    * probe cut is exactly `knn_ivf_pq`'s and loses nothing to the
+    * projection), while candidate generation runs the rotated ADC
+    * scan ONLY over probed cells: the [[Pq.pqAdcSearchOn]] pass with
+    * the cell-pruned option, paying rotate+encode+ADC for ~nprobe/C
+    * of the corpus. Exact rerank on original floats, as every tier.
+    *
+    * 100 TB: the additions over knn_ivf_pq are the d-row-bounded
+    * basis (driver literal) and r·d multiply-adds per PROBED vector —
+    * the rotation's decorrelation buys better codes at the same M·Kc
+    * budget precisely where the compressed scan is the bottleneck.
+    * Oracle: the OPQ rotated prefix + the IVF body (v/vn shared,
+    * byte-identical CTE text) + the suffixed cell-pruned ADC tail. */
+  def knnIvfOpq(spark: SparkSession, dir: String, k: Int = Similarity.K): DataFrame =
+    knnIvfOpqOn(Tables.embeddings(spark, dir), k)
+
+  def knnIvfOpqOn(vectors: DataFrame, k: Int = Similarity.K,
+                  r: Int = OpqComponents, iters: Int = OpqIters): DataFrame = {
+    val empty = vectors.select(size(col("embedding")).as("__d"))
+      .filter(col("__d").isNotNull).limit(1).collect().isEmpty
+    if (empty)
+      return vectors.limit(0).select(
+        col("vec_id").as("query_id"), col("vec_id").as("neighbor_id"),
+        lit(0).as("rank"), lit(0.0).as("cosine"))
+    val (indexed, centroids) =
+      Similarity.ivfIndex(vectors, 0, "ivf_centroids_knn_ivf_opq")
+    val probes = Pq.collectProbes(indexed, centroids)
+    val vn = indexed.select(col("vec_id"), col("e"), col("nrm"))
+    val un = indexed.select(col("vec_id"),
+      transform(col("e"), x => x / col("nrm")).as("u"), col("cell"))
+    val basis = Similarity.principalComponents(
+      Similarity.vecCovarianceOn(vectors), r, iters)
+    require(r % Pq.M == 0,
+      s"rotated dim $r must be divisible by M=${Pq.M} (subspace width)")
+    val subW = r / Pq.M
+    // the same balanced round-robin placement as [[knnOpqOn]]
+    val perm = Array.tabulate(r) { i =>
+      val m = i / subW; val t = i % subW; t * Pq.M + m
+    }
+    val rot = un.select(col("vec_id"),
+      array(perm.map { pi =>
+        V.dot(col("u"), array(basis(pi)._2.map(lit): _*))
+      }: _*).as("u"), col("cell"))
+    Pq.pqAdcSearchOn(rot, vn, r, k, Some(probes))
+  }
+
+  val knnIvfOpqOracleSql: String = {
+    import Similarity.{sqlDot, IvfNProbe}
+    s"""$opqRotatedPrefix, ${Similarity.ivfIdxBodyAuto}, probes AS (
+       |  SELECT query_id, cell FROM (
+       |    SELECT q.vec_id AS query_id, c.cell,
+       |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+       |        ${sqlDot("q.e", "c.ce")} / (q.nrm * c.cnr) DESC, c.cell) AS rk
+       |    FROM vn q CROSS JOIN cc c WHERE q.vec_id < ${Similarity.NQueries}) t
+       |  WHERE rk <= $IvfNProbe
+       |), rotc AS MATERIALIZED (
+       |  SELECT r.vec_id, r.u, i.cell FROM rotu r JOIN idx i ON r.vec_id = i.vec_id
+       |), ${Pq.pqAdcOracleTail("rotc", OpqComponents, sfx = "o", cellPruned = true)}""".stripMargin
   }
 }

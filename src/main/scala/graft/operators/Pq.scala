@@ -125,10 +125,19 @@ object Pq {
     * and [[Opq.knnOpqOn]] (u = the PCA-rotated unit corpus): the
     * rotation changes the GEOMETRY the codebooks train in, nothing
     * about the build/scan/rerank machinery. */
+  /** `probes`, when given, makes the corpus pass CELL-PRUNED (the
+    * IVFADC cut): `un` must then carry a third `cell` column, vectors
+    * in unprobed cells skip encode AND ADC entirely, and each query
+    * scores only its own probed cells. The codebook build and every
+    * other step are byte-identical to the unpruned scan — pruning
+    * only restricts the candidate set (the knn_ivf_pq discipline). */
   private[operators] def pqAdcSearchOn(un: DataFrame, vn: DataFrame,
-                                       d: Int, k: Int): DataFrame = {
+                                       d: Int, k: Int,
+                                       probes: Option[(Map[Long, Set[Long]], Set[Long])] = None)
+      : DataFrame = {
     require(d % M == 0, s"PQ input dim $d must be divisible by M=$M")
     val sub = d / M
+    val unFlat = if (probes.isEmpty) un else un.select(col("vec_id"), col("u"))
 
     // query-side subvectors (≤ NQueries rows after pushdown) — the
     // corpus-sized explode this once was is gone: the corpus-side
@@ -137,7 +146,7 @@ object Pq {
       .select(col("vec_id"), explode(sequence(lit(0), lit(M - 1))).as("m"), col("u"))
       .select(col("vec_id"), col("m"),
         slice(col("u"), col("m") * sub + 1, lit(sub)).as("s"))
-    val sv = subvecs(un)
+    val sv = subvecs(unFlat)
 
     val spark = un.sparkSession
     import spark.implicits._
@@ -158,13 +167,13 @@ object Pq {
     //     hence order-independent, hence any partial-aggregation shape
     //     reproduces the oracle's bits.
     val seedsByM: Array[Array[(Long, Array[Double])]] = {
-      val rows = un.orderBy(col("vec_id")).limit(Kc).collect()
+      val rows = unFlat.orderBy(col("vec_id")).limit(Kc).collect()
         .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
         .sortBy(_._1) // argminCode requires ascending-code order
       Array.tabulate(M)(m => rows.map { case (vid, u) =>
         (vid, java.util.Arrays.copyOfRange(u, m * subW, (m + 1) * subW)) })
     }
-    val fa = un.as[(Long, Array[Double])].mapPartitions { it =>
+    val fa = unFlat.as[(Long, Array[Double])].mapPartitions { it =>
       it.flatMap { case (_, u) =>
         (0 until M).iterator.map { m =>
           val cm = seedsByM(m)
@@ -228,37 +237,56 @@ object Pq {
     //     subset of the union of per-partition top-Reranks)
     val worstFirst: Ordering[(Long, Long, Double)] =
       Ordering.by(t => (t._3, t._2))
-    val pruned = un.as[(Long, Array[Double])]
-      .mapPartitions { it =>
-        val heaps = scala.collection.mutable.Map
-          .empty[Long, scala.collection.mutable.PriorityQueue[(Long, Long, Double)]]
-        val codesBuf = new Array[Int](M)
-        it.foreach { case (vid, u) =>
-          var m = 0
-          while (m < M) {
-            codesBuf(m) = Pq.argminCode(u, m * subW, subW, centsByM(m))
-            m += 1
-          }
-          var qi = 0
-          while (qi < qIds.length) {
-            val q = qIds(qi)
-            if (q != vid) {
-              val dtm = dtByQ(q)
-              var acc = 0.0
-              var mm = 0
-              while (mm < M) { acc += dtm(mm)(codesBuf(mm)); mm += 1 }
-              val c = (q, vid, acc)
-              val h = heaps.getOrElseUpdate(q,
-                new scala.collection.mutable.PriorityQueue[(Long, Long, Double)]()(worstFirst))
-              if (h.size < Rerank) h.enqueue(c)
-              else if (worstFirst.compare(c, h.head) < 0) { h.dequeue(); h.enqueue(c) }
+    // a FUNCTION VALUE, not a nested def: a def here compiles to a
+    // method on the Pq module, and the mapPartitions lambda would
+    // capture the (non-serializable) module instance to call it
+    val scanPartition: (Iterator[(Long, Array[Double], Long)],
+                        (Long, Long) => Boolean) => Iterator[(Long, Long, Double)] =
+        (it, admit) => {
+      val heaps = scala.collection.mutable.Map
+        .empty[Long, scala.collection.mutable.PriorityQueue[(Long, Long, Double)]]
+      val codesBuf = new Array[Int](M)
+      it.foreach { case (vid, u, cell) =>
+        var encoded = false
+        var qi = 0
+        while (qi < qIds.length) {
+          val q = qIds(qi)
+          if (q != vid && admit(q, cell)) {
+            if (!encoded) {
+              var m = 0
+              while (m < M) {
+                codesBuf(m) = Pq.argminCode(u, m * subW, subW, centsByM(m))
+                m += 1
+              }
+              encoded = true
             }
-            qi += 1
+            val dtm = dtByQ(q)
+            var acc = 0.0
+            var mm = 0
+            while (mm < M) { acc += dtm(mm)(codesBuf(mm)); mm += 1 }
+            val c = (q, vid, acc)
+            val h = heaps.getOrElseUpdate(q,
+              new scala.collection.mutable.PriorityQueue[(Long, Long, Double)]()(worstFirst))
+            if (h.size < Rerank) h.enqueue(c)
+            else if (worstFirst.compare(c, h.head) < 0) { h.dequeue(); h.enqueue(c) }
           }
+          qi += 1
         }
-        heaps.valuesIterator.flatMap(_.iterator)
       }
-      .toDF("query_id", "vec_id", "adist")
+      heaps.valuesIterator.flatMap(_.iterator)
+    }
+    val pruned = (probes match {
+      case None =>
+        unFlat.as[(Long, Array[Double])]
+          .mapPartitions(it =>
+            scanPartition(it.map { case (vid, u) => (vid, u, 0L) },
+              (_, _) => true))
+      case Some((byQ, probedCells)) =>
+        un.as[(Long, Array[Double], Long)]
+          .mapPartitions(it =>
+            scanPartition(it.filter(t => probedCells.contains(t._3)),
+              (q, cell) => byQ(q).contains(cell)))
+    }).toDF("query_id", "vec_id", "adist")
     val cw = Window.partitionBy(col("query_id")).orderBy(col("adist"), col("vec_id"))
     val cand = broadcast(pruned.withColumn("crk", row_number().over(cw))
       .filter(col("crk") <= Rerank)
@@ -276,6 +304,29 @@ object Pq {
       .withColumn("rank", row_number().over(w).cast("int"))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"), col("cosine"))
+  }
+
+  /** Collect each query's probed cells off a built IVF index — the
+    * nprobe nearest cells by centroid cosine, as a driver map shipped
+    * in scan closures. Bounded: Q·C candidate rows, Q·nprobe
+    * survivors. Shared by [[knnIvfPqOn]] and [[Opq.knnIvfOpqOn]].
+    * Returns (probed cells per query, the union of probed cells). */
+  private[operators] def collectProbes(indexed: DataFrame, centroids: DataFrame,
+                                       nprobe: Int = Similarity.IvfNProbe)
+      : (Map[Long, Set[Long]], Set[Long]) = {
+    val probeW = Window.partitionBy(col("query_id"))
+      .orderBy(col("cdist").desc, col("cell"))
+    val rows = indexed.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("e").as("qe"), col("nrm").as("qnrm"))
+      .join(broadcast(centroids))
+      .withColumn("cdist", V.cosineWithNorms(
+        V.dot(col("qe"), col("ce")), col("qnrm"), col("cn")))
+      .withColumn("rk", row_number().over(probeW))
+      .filter(col("rk") <= nprobe)
+      .select(col("query_id"), col("cell"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    (rows.groupBy(_._1).map { case (q, cs) => q -> cs.map(_._2).toSet },
+      rows.map(_._2).toSet)
   }
 
   /** IVF-pruned PQ search (key `knn_ivf_pq`) — the composed IVFADC
@@ -384,20 +435,7 @@ object Pq {
     // --- probes: per query the nprobe nearest cells (bounded Q·C
     //     candidate rows, Q·nprobe survivors → a driver map shipped in
     //     the scan closure, the knnPq distance-table precedent)
-    val probeW = Window.partitionBy(col("query_id"))
-      .orderBy(col("cdist").desc, col("cell"))
-    val probeRows = indexed.filter(col("vec_id") < NQueries)
-      .select(col("vec_id").as("query_id"), col("e").as("qe"), col("nrm").as("qnrm"))
-      .join(broadcast(centroids))
-      .withColumn("cdist", graft.functions.VectorOps.cosineWithNorms(
-        graft.functions.VectorOps.dot(col("qe"), col("ce")), col("qnrm"), col("cn")))
-      .withColumn("rk", row_number().over(probeW))
-      .filter(col("rk") <= IvfNProbe)
-      .select(col("query_id"), col("cell"))
-      .collect().map(r => (r.getLong(0), r.getLong(1)))
-    val probesByQ: Map[Long, Set[Long]] =
-      probeRows.groupBy(_._1).map { case (q, cs) => q -> cs.map(_._2).toSet }
-    val probedCells: Set[Long] = probeRows.map(_._2).toSet
+    val (probesByQ, probedCells) = collectProbes(indexed, centroids)
     val qIds: Array[Long] = probesByQ.keys.toArray.sorted
 
     // --- PQ build over the unit-normalized corpus (identical recipe
@@ -1039,64 +1077,80 @@ object Pq {
   /** The PQ build/encode/ADC/cut replay as a CTE tail over an
     * arbitrary unit frame `unFrame` (vec_id, u: DOUBLE[dim]) plus the
     * final exact-rerank SELECT against `vn` — shared by the knn_pq
-    * oracle (unFrame = the unit-normalized corpus at dim 64) and the
+    * oracle (unFrame = the unit-normalized corpus at dim 64), the
     * knn_opq oracle (unFrame = the replayed PCA-rotated corpus at
-    * dim = [[Opq.OpqComponents]]). */
-  private[operators] def pqAdcOracleTail(unFrame: String, dim: Int): String = {
+    * dim = [[Opq.OpqComponents]]), and — suffixed and cell-pruned —
+    * the knn_ivf_opq oracle.
+    *
+    * `sfx` suffixes every CTE name (composing under a prefix that
+    * already defines `seeds`/`fa`/`elems`/`means`/`cents` — the IVF
+    * build does). `cellPruned` expects `unFrame` to carry a third
+    * `cell` column and a `probes(query_id, cell)` CTE upstream, and
+    * restricts candidate enumeration to each query's probed cells —
+    * the ONLY change pruning makes (the knn_ivf_pq discipline). */
+  private[operators] def pqAdcOracleTail(unFrame: String, dim: Int,
+                                         sfx: String = "",
+                                         cellPruned: Boolean = false): String = {
     val sub = dim / M
     import Similarity.sqlDot
     def d2(a: String, b: String): String =
       s"((${sqlDot(a, a)} - (2.0 * ${sqlDot(a, b)})) + ${sqlDot(b, b)})"
-    s"""ms AS (
+    val cellSel = if (cellPruned) ", cell" else ""
+    val pruneJoin =
+      if (cellPruned)
+        s"""
+           |    JOIN probes p ON p.cell = c.cell AND p.query_id = d.query_id""".stripMargin
+      else ""
+    s"""ms$sfx AS (
        |  SELECT unnest(generate_series(0, ${M - 1})) AS m
-       |), sv AS (
-       |  SELECT vec_id, m, list_slice(u, m*$sub + 1, (m+1)*$sub) AS s
-       |  FROM $unFrame CROSS JOIN ms
-       |), sd AS (
+       |), sv$sfx AS (
+       |  SELECT vec_id, m, list_slice(u, m*$sub + 1, (m+1)*$sub) AS s$cellSel
+       |  FROM $unFrame CROSS JOIN ms$sfx
+       |), sd$sfx AS (
        |  SELECT vec_id FROM (
        |    SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) AS rk FROM $unFrame) t
        |  WHERE rk <= $Kc
-       |), seeds AS (
-       |  SELECT s.vec_id AS code0, s.m, s.s AS cs FROM sv s JOIN sd ON s.vec_id = sd.vec_id
-       |), fa AS (
+       |), seeds$sfx AS (
+       |  SELECT s.vec_id AS code0, s.m, s.s AS cs FROM sv$sfx s JOIN sd$sfx ON s.vec_id = sd$sfx.vec_id
+       |), fa$sfx AS (
        |  SELECT vec_id, m, code0 AS code, s FROM (
        |    SELECT x.vec_id, x.m, c.code0, x.s,
        |      ROW_NUMBER() OVER (PARTITION BY x.vec_id, x.m ORDER BY
        |        ${d2("x.s", "c.cs")}, c.code0) AS rk
-       |    FROM sv x JOIN seeds c ON x.m = c.m) t
+       |    FROM sv$sfx x JOIN seeds$sfx c ON x.m = c.m) t
        |  WHERE rk = 1
-       |), elems AS (
-       |  SELECT m, code, unnest(generate_series(1, len(s))) AS pos, s FROM fa
-       |), means AS (
+       |), elems$sfx AS (
+       |  SELECT m, code, unnest(generate_series(1, len(s))) AS pos, s FROM fa$sfx
+       |), means$sfx AS (
        |  SELECT m, code, pos,
        |    CAST(SUM(CAST(s[pos] AS DECIMAL(30,10))) AS DOUBLE) / COUNT(s[pos]) AS mean
-       |  FROM elems GROUP BY m, code, pos
-       |), cents AS (
-       |  SELECT m, code, list(mean ORDER BY pos) AS cs FROM means GROUP BY m, code
-       |), codes AS (
-       |  SELECT vec_id, m, code FROM (
-       |    SELECT x.vec_id, x.m, c.code,
+       |  FROM elems$sfx GROUP BY m, code, pos
+       |), cents$sfx AS (
+       |  SELECT m, code, list(mean ORDER BY pos) AS cs FROM means$sfx GROUP BY m, code
+       |), codes$sfx AS (
+       |  SELECT vec_id, m, code$cellSel FROM (
+       |    SELECT x.vec_id, x.m, c.code$cellSel,
        |      ROW_NUMBER() OVER (PARTITION BY x.vec_id, x.m ORDER BY
        |        ${d2("x.s", "c.cs")}, c.code) AS rk
-       |    FROM sv x JOIN cents c ON x.m = c.m) t
+       |    FROM sv$sfx x JOIN cents$sfx c ON x.m = c.m) t
        |  WHERE rk = 1
-       |), dt AS (
+       |), dt$sfx AS (
        |  SELECT q.vec_id AS query_id, c.m, c.code, ${d2("q.s", "c.cs")} AS d2
-       |  FROM sv q JOIN cents c ON q.m = c.m
+       |  FROM sv$sfx q JOIN cents$sfx c ON q.m = c.m
        |  WHERE q.vec_id < $NQueries
-       |), adist AS (
+       |), adist$sfx AS (
        |  SELECT t.query_id, t.vec_id,
        |    list_reduce(list(t.d2 ORDER BY t.m), (x, y) -> x + y) AS adist
        |  FROM (
        |    SELECT d.query_id, c.vec_id, c.m, d.d2
-       |    FROM codes c JOIN dt d ON c.m = d.m AND c.code = d.code
+       |    FROM codes$sfx c JOIN dt$sfx d ON c.m = d.m AND c.code = d.code$pruneJoin
        |    WHERE c.vec_id != d.query_id) t
        |  GROUP BY t.query_id, t.vec_id
-       |), cand AS (
+       |), cand$sfx AS (
        |  SELECT query_id, vec_id FROM (
        |    SELECT query_id, vec_id,
        |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adist, vec_id) AS crk
-       |    FROM adist) t
+       |    FROM adist$sfx) t
        |  WHERE crk <= $Rerank
        |)
        |SELECT query_id, vec_id AS neighbor_id, CAST(rk AS INTEGER) AS rank, cosine FROM (
@@ -1104,7 +1158,7 @@ object Pq {
        |    ${sqlDot("b.e", "a.e")} / (b.nrm * a.nrm) AS cosine,
        |    ROW_NUMBER() OVER (PARTITION BY cd.query_id ORDER BY
        |      ${sqlDot("b.e", "a.e")} / (b.nrm * a.nrm) DESC, cd.vec_id) AS rk
-       |  FROM cand cd
+       |  FROM cand$sfx cd
        |  JOIN vn b ON cd.vec_id = b.vec_id
        |  JOIN vn a ON cd.query_id = a.vec_id) t
        |WHERE rk <= $K""".stripMargin

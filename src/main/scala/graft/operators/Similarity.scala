@@ -588,7 +588,18 @@ object Similarity {
        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
        |), vn AS (
        |  SELECT vec_id, e, ${sqlNorm("e")} AS nrm FROM v
-       |), ${extraCtes}ncells AS (
+       |), ${ivfIdxBody(ncellsSelect, extraCtes, trainFrame)}""".stripMargin
+
+  /** The builder's CTE list WITHOUT the `WITH v/vn` prelude — for
+    * composition under a prefix that already defines `v`/`vn` (the
+    * knn_ivf_opq oracle's recursive OPQ prefix does). Seeds/Lloyd/
+    * assignment text is byte-shared with the classic prefix. */
+  private[operators] def ivfIdxBodyAuto: String =
+    ivfIdxBody(ncellsAutoSql, extraCtes = "", trainFrame = "vn")
+
+  private def ivfIdxBody(ncellsSelect: String, extraCtes: String,
+                         trainFrame: String): String =
+    s"""${extraCtes}ncells AS (
        |  $ncellsSelect
        |), seeds AS (
        |  SELECT vec_id AS cell0, e AS ce, nrm AS cn FROM (

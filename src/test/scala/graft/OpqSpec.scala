@@ -71,6 +71,34 @@ class OpqSpec extends SparkSpecBase {
       "OPQ answers must be bit-deterministic")
   }
 
+  test("ivf opq: well-formed top-k, recall within the probe cut of flat " +
+      "opq, candidates only from probed cells, deterministic") {
+    val vecs = graft.sources.Tables.embeddings(spark, sfDir)
+    val res = Opq.knnIvfOpqOn(vecs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    val byQ = res.groupBy(_._1)
+    assert(byQ.size == Similarity.NQueries)
+    byQ.foreach { case (qid, rs) =>
+      assert(rs.map(_._3).sorted.sameElements(1 to Similarity.K))
+      assert(rs.forall(_._2 != qid))
+    }
+    // the probe cut can only remove candidates the flat OPQ scan had —
+    // recall tracks the flat tier minus the IVF pruning loss, the same
+    // relation knn_ivf_sq8 holds to knn_sq8
+    val exact = Similarity.knnBruteforceOn(vecs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val flat = recallOf(Opq.knnOpqOn(vecs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))), exact)
+    val pruned = recallOf(res.map(t => (t._1, t._2)), exact)
+    assert(pruned >= flat - 0.2,
+      s"IVF-OPQ recall $pruned fell too far below flat OPQ's $flat")
+    assert(pruned >= 0.4, s"recall $pruned collapsed on the driver corpus")
+    val again = Opq.knnIvfOpqOn(vecs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    assert(res.sortBy(t => (t._1, t._3)).sameElements(again.sortBy(t => (t._1, t._3))),
+      "IVF-OPQ answers must be bit-deterministic")
+  }
+
   test("principal components: unit norms and positive spectrum always; " +
       "strict descending orthonormality where the spectrum separates") {
     import spark.implicits._

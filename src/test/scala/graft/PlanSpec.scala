@@ -728,6 +728,16 @@ class PlanSpec extends SparkSpecBase {
       s"walk lineage leaked into the report plan (checkpoint broken):\n$p")
   }
 
+  test("knn_ivf_opq: rotation stays native codegen dots, closure scan, " +
+      "bounded windows, no cartesian") {
+    val p = plan(graft.operators.Opq.knnIvfOpq(spark, sfDir))
+    assert(p.contains("vec_dot"), s"rotation lost the native dot:\n$p")
+    assert(p.contains("MapPartitions"), s"closure scan pass missing:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
+    assert("Window \\[".r.findAllIn(p).size <= 2,
+      s"expected at most the two bounded candidate windows:\n$p")
+  }
+
   test("knn_radius: stateless filter tail — only the probe window, " +
       "closure assignment, no cartesian blow-up") {
     val p = plan(graft.operators.Similarity.knnRadius(spark, sfDir))
