@@ -37,14 +37,15 @@ object ScaleCheck {
     val embOnly = Set("embed_clusters", "dedup_semantic", "knn_ivf",
       "knn_ivf_pq", "knn_pq", "sample_kcenter", "knn_graph",
       "vec_covariance", "vec_quantize", "ivf_pq_append", "knn_graph_capped",
-      "knn_sq8", "knn_recall_report", "knn_opq", "sq8_query", "knn_ivf_sq8")
+      "knn_sq8", "knn_recall_report", "knn_opq", "sq8_query", "knn_ivf_sq8",
+      "knn_radius", "knn_filtered", "knn_ivf_opq")
     val skipNonEmbedding = args.length > 1 && args(1).split(",").forall(embOnly)
     // a graph-only run (the tier's dedicated scaled-catalog corpus)
     // likewise skips the main tables: a 300× run would otherwise
     // write 180M ordinary lineitems + 30M events nobody reads
     val graphOnly = Set("graph_triangles", "graph_pagerank",
       "graph_edge_jaccard", "graph_components", "graph_kcore",
-      "graph_lpa", "graph_link_predict", "graph_modularity")
+      "graph_lpa", "graph_link_predict", "graph_modularity", "graph_bfs")
     val skipNonGraph = args.length > 1 && args(1).split(",").forall(graphOnly)
     // ops that synthesize their own substrate inline (spark.range) —
     // a run of only these writes no corpus at all
@@ -417,6 +418,17 @@ object ScaleCheck {
         spark.read.parquet(s"$dir/embeddings.parquet"))),
       run("knn_ivf_sq8", operators.Quantize.knnIvfSq8On(
         spark.read.parquet(s"$dir/embeddings.parquet"))),
+      // round-16 additions: range search (stateless filter tail),
+      // filtered top-k (2× probes, label-in-postings), the rotated
+      // compressed scan composed with the inverted file, and the
+      // frontier-only multi-source BFS on the graph corpus
+      run("knn_radius", operators.Similarity.knnRadiusOn(
+        spark.read.parquet(s"$dir/embeddings.parquet"))),
+      run("knn_filtered", operators.Similarity.knnFilteredOn(
+        spark.read.parquet(s"$dir/embeddings.parquet"))),
+      run("knn_ivf_opq", operators.Opq.knnIvfOpqOn(
+        spark.read.parquet(s"$dir/embeddings.parquet"))),
+      run("graph_bfs", operators.Graph.graphBfs(spark, s"$dir/graph")),
       run("text_entropy", operators.TextAnalysis.textEntropy(spark, dir)),
       run("salted_join_events", {
         val ev = sources.Tables.events(spark, dir)

@@ -1346,6 +1346,132 @@ object Similarity {
         col("label"), col("rank"), col("cosine"))
   }
 
+  // --- float-tier serving split: build once, stage, query many ----------
+
+  /** Stage the FLOAT IVF index durably: `centroids` (C rows) plus the
+    * cell-PARTITIONED float postings (vec_id, e, nrm, cell) — the
+    * uncompressed tier's serving artifact, completing the
+    * build-once/query-many split across the whole serving matrix
+    * (PQ: [[Pq.writeIvfPqIndex]]; SQ8: [[Quantize.writeSq8Index]];
+    * this was the one column whose index was rebuilt per query run).
+    * Postings live in cell=<id> partition directories, so a probe
+    * prunes whole directories and the append/erasure lifecycle
+    * touches only its cells (the PQ layout, float payload). The codes
+    * tree swaps via tmp + delete/rename — a mid-write crash leaves a
+    * complete recovery copy (the r15-advice discipline). */
+  def writeIvfIndex(vectors: DataFrame, path: String): Unit = {
+    val (indexed, centroids) = ivfIndex(vectors, 0, "ivf_centroids_write_ivf")
+    centroids.write.mode("overwrite").parquet(s"$path/centroids")
+    val postPath = new org.apache.hadoop.fs.Path(s"$path/postings")
+    val tmpPath = new org.apache.hadoop.fs.Path(s"$path/postings_tmp")
+    val fs = postPath.getFileSystem(
+      vectors.sparkSession.sparkContext.hadoopConfiguration)
+    fs.delete(tmpPath, true)
+    indexed.select(col("vec_id"), col("e"), col("nrm"), col("cell"))
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(tmpPath.toString)
+    fs.delete(postPath, true)
+    if (!fs.rename(tmpPath, postPath))
+      throw new IllegalStateException(
+        s"writeIvfIndex: rename $tmpPath -> $postPath failed; " +
+          s"the new postings tree is intact at $tmpPath")
+  }
+
+  /** (postings, centroids) off a staged index — postings re-pin the
+    * partition column's position/type (the readIvfPqIndex discipline:
+    * partitioned discovery appends `cell` last and may infer it
+    * narrow, while consumers bind it positionally as long). */
+  def readIvfIndex(spark: SparkSession, path: String): (DataFrame, DataFrame) =
+    (spark.read.parquet(s"$path/postings")
+       .select(col("vec_id"), col("e"), col("nrm"),
+         col("cell").cast("long").as("cell")),
+     spark.read.parquet(s"$path/centroids"))
+
+  /** Query a STAGED float index: the [[knnIvfOn]] probe + rank tail
+    * over the persisted frames, nothing rebuilt — answers
+    * bit-identically to the one-shot key (spec-asserted; the float
+    * payload round-trips parquet exactly). */
+  def queryIvfIndex(spark: SparkSession, path: String, k: Int = K): DataFrame = {
+    val (indexed, centroids) = readIvfIndex(spark, path)
+    val queries = indexed.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("e").as("qe"), col("nrm").as("qnrm"))
+    val probeW = Window.partitionBy(col("query_id"))
+      .orderBy(col("cdist").desc, col("cell"))
+    val probes = broadcast(queries.join(broadcast(centroids))
+      .withColumn("cdist", V.cosineWithNorms(
+        V.dot(col("qe"), col("ce")), col("qnrm"), col("cn")))
+      .withColumn("rk", row_number().over(probeW))
+      .filter(col("rk") <= IvfNProbe)
+      .select(col("query_id"), col("qe"), col("qnrm"), col("cell")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    indexed.join(probes, "cell")
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        V.cosineWithNorms(V.dot(col("e"), col("qe")), col("nrm"), col("qnrm"))
+          .as("cosine"))
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"), col("cosine"))
+  }
+
+  /** Incremental float-tier maintenance: assign `newVectors` to the
+    * FROZEN staged centroids (the closure argmax — identical
+    * arithmetic to the build's assignment) and append only their
+    * cell-clustered posting files; centroids and every existing file
+    * stay byte-identical (spec-asserted), so the append bill is
+    * O(|new|), never O(index). Returns appended posting rows. */
+  def appendIvfIndex(spark: SparkSession, path: String,
+                     newVectors: DataFrame): Long = {
+    val centroids = spark.read.parquet(s"$path/centroids")
+    val v = newVectors
+      .select(col("vec_id"), V.toDouble(col("embedding")).as("e"))
+      .withColumn("nrm", V.l2Norm(col("e")))
+    val assigned = assignNearest(v, centroids, "cell", "ce", "cn")
+      .select(col("vec_id"), col("e"), col("nrm"), col("cell"))
+    val staged = Scratch.stageReuse(assigned, "ivf_float_append")
+    staged.repartition(col("cell"))
+      .write.mode("append").partitionBy("cell").parquet(s"$path/postings")
+    staged.count()
+  }
+
+  /** Right-to-erasure on the float serving index: drop the postings
+    * of `vecIds`, rewriting ONLY the cell directories that contain an
+    * erased id (the [[Pq.deleteFromIvfPqIndex]] recipe — emptied
+    * cells retired outright, every other file byte-identical).
+    * Returns the number of deleted posting rows. */
+  def deleteFromIvfIndex(spark: SparkSession, path: String,
+                         vecIds: Seq[Long]): Long = {
+    if (vecIds.isEmpty) return 0L
+    val postPath = s"$path/postings"
+    def postings = spark.read.parquet(postPath)
+      .select(col("vec_id"), col("e"), col("nrm"),
+        col("cell").cast("long").as("cell"))
+    val affected = postings.filter(col("vec_id").isInCollection(vecIds))
+      .select("cell").distinct().collect().map(_.getLong(0))
+    if (affected.isEmpty) return 0L
+    val survivors = Scratch.stageReuse(
+      postings.filter(col("cell").isInCollection(affected.toSeq))
+        .filter(!col("vec_id").isInCollection(vecIds)),
+      "ivf_float_delete_survivors")
+    val survivorCells = survivors.select("cell").distinct()
+      .collect().map(_.getLong(0)).toSet
+    val nBefore = postings
+      .filter(col("cell").isInCollection(affected.toSeq)).count()
+    val nAfter = survivors.count()
+    survivors.repartition(col("cell"))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("cell").parquet(postPath)
+    // dynamic overwrite writes nothing for an emptied cell — retire
+    // its directory explicitly (the PQ-erasure precedent)
+    val fs = new org.apache.hadoop.fs.Path(postPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    affected.filterNot(survivorCells).foreach { c =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$postPath/cell=$c"), true) }
+    nBefore - nAfter
+  }
+
   /** Oracle: the IVF replay with the label projection joined onto
     * both the query set and the candidate stream — the ranked window
     * runs over the FILTERED candidates, exactly as the executor

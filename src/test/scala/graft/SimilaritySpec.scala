@@ -597,6 +597,98 @@ class SimilaritySpec extends SparkSpecBase {
       "report row at the default nprobe must equal knn_ivf's overlap")
   }
 
+  test("float ivf serving split: staged index answers the one-shot key " +
+      "bit-identically; append is O(new); erasure rewrites only affected cells") {
+    import org.apache.spark.sql.functions.col
+    val vectors = graft.sources.Tables.embeddings(spark, sfDir)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_float").toString
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._3))
+    // --- build once, stage, reload: identical to the one-shot key
+    Similarity.writeIvfIndex(vectors, dir)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/postings_tmp")),
+      "a successful stage must not leave the tmp tree behind")
+    val served = canon(Similarity.queryIvfIndex(spark, dir))
+    assert(served.sameElements(canon(Similarity.knnIvfOn(vectors))),
+      "staged-index serving diverged from the one-shot key")
+    // --- append lifecycle on a half split against FROZEN centroids
+    val cut = vectors.agg(org.apache.spark.sql.functions.max("vec_id"))
+      .collect()(0).getLong(0) / 2
+    val base = vectors.filter(col("vec_id") <= cut)
+    val rest = vectors.filter(col("vec_id") > cut)
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_ivf_float_app").toString
+    Similarity.writeIvfIndex(base, dir2)
+    def listing(sub: String): Map[String, Long] = {
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(s"$dir2/$sub"), true)
+      val b = Map.newBuilder[String, Long]
+      while (it.hasNext) { val st = it.next()
+        if (st.getPath.getName.endsWith(".parquet"))
+          b += (st.getPath.toString -> st.getModificationTime) }
+      b.result()
+    }
+    val centsBefore = listing("centroids")
+    val postsBefore = listing("postings")
+    assert(Similarity.appendIvfIndex(spark, dir2, rest) == rest.count())
+    assert(listing("centroids") == centsBefore, "append must not retrain centroids")
+    val postsAfter = listing("postings")
+    assert(postsBefore.forall { case (f, m) => postsAfter.get(f).contains(m) },
+      "pre-append posting files must stay byte-untouched")
+    assert(postsAfter.size > postsBefore.size, "append must add new files only")
+    // appended postings == assigning EVERYTHING against the frozen
+    // base centroids (the SQ8/PQ trainOn-decoupling equation) — the
+    // reference is a plain-Scala argmax with the house fold order
+    val cents2 = spark.read.parquet(s"$dir2/centroids").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
+      .sortBy(_._1)
+    val expected = vectors.collect().map { r =>
+      val vid = r.getLong(0)
+      val e = r.getSeq[Float](1).toArray.map(_.toDouble)
+      val nrm = math.sqrt(e.map(x => x * x).sum)
+      var best = -1L; var bestSim = 0.0; var first = true
+      cents2.foreach { case (c, ce, cn) =>
+        var dot = 0.0; var j = 0
+        while (j < e.length) { dot += e(j) * ce(j); j += 1 }
+        val sim = dot / (nrm * cn)
+        if (first || sim > bestSim) { best = c; bestSim = sim; first = false }
+      }
+      (vid, best)
+    }.toSet
+    val stored = spark.read.parquet(s"$dir2/postings")
+      .select(col("vec_id"), col("cell").cast("long")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(stored == expected,
+      "append(build(base), rest) must equal assign-all-against-frozen-centroids")
+    // the grown index answers well-formed, deterministic top-k
+    val q2 = canon(Similarity.queryIvfIndex(spark, dir2))
+    assert(q2.groupBy(_._1).forall(_._2.length == Similarity.K))
+    assert(canon(Similarity.queryIvfIndex(spark, dir2)).sameElements(q2))
+    // --- erasure: one full cell + part of another, only their dirs touched
+    val byCell = stored.groupBy(_._2)
+    val fullCell = byCell.minBy { case (c, rows) => (rows.size, c) }._1
+    val otherCell = byCell.keys.filter(_ != fullCell).min
+    val partialIds = byCell(otherCell).map(_._1).toSeq.sorted.take(2)
+    val erase = byCell(fullCell).map(_._1).toSeq ++ partialIds
+    val before = listing("postings")
+    assert(Similarity.deleteFromIvfIndex(spark, dir2, erase) == erase.length)
+    val after = listing("postings")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(
+      s"$dir2/postings/cell=$fullCell")), "emptied cell dir must be retired")
+    before.foreach { case (f, m) =>
+      val cellOf = f.split("cell=")(1).split("/")(0).toLong
+      if (cellOf != fullCell && cellOf != otherCell)
+        assert(after.get(f).contains(m), s"untouched cell file $f rewritten") }
+    val remaining = spark.read.parquet(s"$dir2/postings")
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    assert(remaining == stored.map(_._1) -- erase,
+      "post-erasure postings must be exactly the survivors")
+    val q3 = canon(Similarity.queryIvfIndex(spark, dir2))
+    assert(q3.forall(t => !erase.contains(t._2)),
+      "erased ids must be gone from served neighbors")
+  }
+
   test("knn_radius: perfect precision, candidate-cut recall, cosines exact, " +
       "deterministic") {
     import org.apache.spark.sql.functions.col
