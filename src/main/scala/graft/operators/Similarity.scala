@@ -1359,6 +1359,12 @@ object Similarity {
     * touches only its cells (the PQ layout, float payload). The codes
     * tree swaps via tmp + delete/rename — a mid-write crash leaves a
     * complete recovery copy (the r15-advice discipline). */
+  /** Metadata columns of a vectors frame — everything that isn't the
+    * key or the payload rides the posting list (the metadata-in-index
+    * layout [[knnFilteredOn]] queries), made DURABLE here. */
+  private def metaCols(vectors: DataFrame): Seq[String] =
+    vectors.columns.toSeq.filterNot(c => c == "vec_id" || c == "embedding")
+
   def writeIvfIndex(vectors: DataFrame, path: String): Unit = {
     val (indexed, centroids) = ivfIndex(vectors, 0, "ivf_centroids_write_ivf")
     centroids.write.mode("overwrite").parquet(s"$path/centroids")
@@ -1367,7 +1373,12 @@ object Similarity {
     val fs = postPath.getFileSystem(
       vectors.sparkSession.sparkContext.hadoopConfiguration)
     fs.delete(tmpPath, true)
-    indexed.select(col("vec_id"), col("e"), col("nrm"), col("cell"))
+    val flat = indexed.select(col("vec_id"), col("e"), col("nrm"), col("cell"))
+    val withMeta =
+      if (metaCols(vectors).isEmpty) flat
+      else flat.join(
+        vectors.select((Seq("vec_id") ++ metaCols(vectors)).map(col): _*), "vec_id")
+    withMeta
       .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(tmpPath.toString)
     fs.delete(postPath, true)
@@ -1381,11 +1392,14 @@ object Similarity {
     * partition column's position/type (the readIvfPqIndex discipline:
     * partitioned discovery appends `cell` last and may infer it
     * narrow, while consumers bind it positionally as long). */
-  def readIvfIndex(spark: SparkSession, path: String): (DataFrame, DataFrame) =
-    (spark.read.parquet(s"$path/postings")
-       .select(col("vec_id"), col("e"), col("nrm"),
-         col("cell").cast("long").as("cell")),
+  def readIvfIndex(spark: SparkSession, path: String): (DataFrame, DataFrame) = {
+    val raw = spark.read.parquet(s"$path/postings")
+    val meta = raw.columns.toSeq
+      .filterNot(Set("vec_id", "e", "nrm", "cell")).map(col)
+    (raw.select((Seq(col("vec_id"), col("e"), col("nrm"),
+       col("cell").cast("long").as("cell")) ++ meta): _*),
      spark.read.parquet(s"$path/centroids"))
+  }
 
   /** Query a STAGED float index: the [[knnIvfOn]] probe + rank tail
     * over the persisted frames, nothing rebuilt — answers
@@ -1415,6 +1429,67 @@ object Similarity {
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"), col("cosine"))
   }
 
+  /** RADIUS query over the staged float index — [[knnRadiusOn]]'s
+    * probe + stateless-filter tail over the persisted frames, nothing
+    * rebuilt; answers bit-identically to the one-shot key (spec). */
+  def queryIvfIndexRadius(spark: SparkSession, path: String,
+                          tau: Double = RadiusTau): DataFrame = {
+    val (indexed, centroids) = readIvfIndex(spark, path)
+    val queries = indexed.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("e").as("qe"), col("nrm").as("qnrm"))
+    val probeW = Window.partitionBy(col("query_id"))
+      .orderBy(col("cdist").desc, col("cell"))
+    val probes = broadcast(queries.join(broadcast(centroids))
+      .withColumn("cdist", V.cosineWithNorms(
+        V.dot(col("qe"), col("ce")), col("qnrm"), col("cn")))
+      .withColumn("rk", row_number().over(probeW))
+      .filter(col("rk") <= IvfNProbe)
+      .select(col("query_id"), col("qe"), col("qnrm"), col("cell")))
+    indexed.join(probes, "cell")
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        V.cosineWithNorms(V.dot(col("e"), col("qe")), col("nrm"), col("qnrm"))
+          .as("cosine"))
+      .filter(col("cosine") >= tau)
+  }
+
+  /** FILTERED top-k over the staged float index: the metadata column
+    * persisted in the postings ([[writeIvfIndex]]) is the filter —
+    * [[knnFilteredOn]]'s scan-time predicate served durably; answers
+    * bit-identically to the one-shot key (spec). `filterCol` names
+    * the posting metadata column (default `label`). */
+  def queryIvfIndexFiltered(spark: SparkSession, path: String, k: Int = K,
+                            nprobe: Int = FilteredNProbe,
+                            filterCol: String = "label"): DataFrame = {
+    val (indexed, centroids) = readIvfIndex(spark, path)
+    require(indexed.columns.contains(filterCol),
+      s"staged postings carry no '$filterCol' column — " +
+        s"stage the index from a vectors frame that has it")
+    val queries = indexed.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("e").as("qe"),
+        col("nrm").as("qnrm"), col(filterCol).as("qlabel"))
+    val probeW = Window.partitionBy(col("query_id"))
+      .orderBy(col("cdist").desc, col("cell"))
+    val probes = broadcast(queries.join(broadcast(centroids))
+      .withColumn("cdist", V.cosineWithNorms(
+        V.dot(col("qe"), col("ce")), col("qnrm"), col("cn")))
+      .withColumn("rk", row_number().over(probeW))
+      .filter(col("rk") <= nprobe)
+      .select(col("query_id"), col("qe"), col("qnrm"), col("qlabel"), col("cell")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    indexed.join(probes, "cell")
+      .filter(col("vec_id") =!= col("query_id") &&
+        col(filterCol) === col("qlabel"))
+      .select(col("query_id"), col("vec_id"), col(filterCol).as("label"),
+        V.cosineWithNorms(V.dot(col("e"), col("qe")), col("nrm"), col("qnrm"))
+          .as("cosine"))
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("label"), col("rank"), col("cosine"))
+  }
+
   /** Incremental float-tier maintenance: assign `newVectors` to the
     * FROZEN staged centroids (the closure argmax — identical
     * arithmetic to the build's assignment) and append only their
@@ -1427,8 +1502,13 @@ object Similarity {
     val v = newVectors
       .select(col("vec_id"), V.toDouble(col("embedding")).as("e"))
       .withColumn("nrm", V.l2Norm(col("e")))
-    val assigned = assignNearest(v, centroids, "cell", "ce", "cn")
+    val flat = assignNearest(v, centroids, "cell", "ce", "cn")
       .select(col("vec_id"), col("e"), col("nrm"), col("cell"))
+    // metadata rides the appended postings exactly as in the build
+    val assigned =
+      if (metaCols(newVectors).isEmpty) flat
+      else flat.join(newVectors
+        .select((Seq("vec_id") ++ metaCols(newVectors)).map(col): _*), "vec_id")
     val staged = Scratch.stageReuse(assigned, "ivf_float_append")
     staged.repartition(col("cell"))
       .write.mode("append").partitionBy("cell").parquet(s"$path/postings")
@@ -1444,9 +1524,16 @@ object Similarity {
                          vecIds: Seq[Long]): Long = {
     if (vecIds.isEmpty) return 0L
     val postPath = s"$path/postings"
-    def postings = spark.read.parquet(postPath)
-      .select(col("vec_id"), col("e"), col("nrm"),
-        col("cell").cast("long").as("cell"))
+    // the survivor rewrite must carry EVERY posting column (metadata
+    // included) — a projection here would silently strip the filter
+    // columns from rewritten cells
+    def postings = {
+      val raw = spark.read.parquet(postPath)
+      val meta = raw.columns.toSeq
+        .filterNot(Set("vec_id", "e", "nrm", "cell")).map(col)
+      raw.select((Seq(col("vec_id"), col("e"), col("nrm"),
+        col("cell").cast("long").as("cell")) ++ meta): _*)
+    }
     val affected = postings.filter(col("vec_id").isInCollection(vecIds))
       .select("cell").distinct().collect().map(_.getLong(0))
     if (affected.isEmpty) return 0L

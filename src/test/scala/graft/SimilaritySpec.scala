@@ -614,6 +614,21 @@ class SimilaritySpec extends SparkSpecBase {
     val served = canon(Similarity.queryIvfIndex(spark, dir))
     assert(served.sameElements(canon(Similarity.knnIvfOn(vectors))),
       "staged-index serving diverged from the one-shot key")
+    // ALL THREE query types serve from the one staged artifact: the
+    // radius set and the metadata-filtered top-k answer bit-identically
+    // to their one-shot keys (label rides the persisted postings)
+    val servedRadius = Similarity.queryIvfIndexRadius(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted
+    val oneShotRadius = Similarity.knnRadiusOn(vectors).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted
+    assert(servedRadius.sameElements(oneShotRadius),
+      "staged radius query diverged from the one-shot key")
+    def canonF(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3), r.getDouble(4)))
+      .sortBy(t => (t._1, t._4))
+    assert(canonF(Similarity.queryIvfIndexFiltered(spark, dir))
+      .sameElements(canonF(Similarity.knnFilteredOn(vectors))),
+      "staged filtered query diverged from the one-shot key")
     // --- append lifecycle on a half split against FROZEN centroids
     val cut = vectors.agg(org.apache.spark.sql.functions.max("vec_id"))
       .collect()(0).getLong(0) / 2
