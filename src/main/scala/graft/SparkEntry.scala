@@ -71,6 +71,7 @@ object SparkEntry {
     "layout_compaction"    -> (graft.operators.Layout.qCompaction(_, _)),
     "layout_hilbert"       -> (graft.operators.Layout.qHilbertLayout(_, _)),
     "q_cube"               -> (Analytics.qCube(_, _)),
+    "q_grouping_sets"      -> (Analytics.qGroupingSets(_, _)),
     "dq_key_skew"          -> (graft.operators.Skew.dqKeySkew(_, _)),
     "graph_triangles"      -> (graft.operators.Graph.graphTriangles(_, _)),
     "graph_pagerank"       -> (graft.operators.Graph.graphPagerank(_, _)),
@@ -232,6 +233,9 @@ object SparkEntry {
     "layout_compaction"    -> graft.operators.Layout.qCompactionOracleSql,
     "layout_hilbert"       -> graft.operators.Layout.qHilbertLayoutOracleSql,
     "q_cube"               -> Analytics.qCubeOracleSql,
+    // the irregular grouping-set lattice: two specific breakdowns +
+    // the grand total in one pass (GROUPING bitmask both engines)
+    "q_grouping_sets"      -> Analytics.qGroupingSetsOracleSql,
     "dq_key_skew"          -> graft.operators.Skew.dqKeySkewOracleSql,
     "q_retention_cohorts"  -> Analytics.qRetentionCohortsOracleSql,
     "q_fuzzy_match"        -> graft.operators.Fuzzy.qFuzzyMatchOracleSql,

@@ -282,6 +282,35 @@ object Analytics {
       |FROM orders
       |GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin
 
+  // --- grouping sets: the IRREGULAR lattice rollup/cube can't
+  // express (key `q_grouping_sets`) — a hand-picked mix of grouping
+  // levels in ONE pass: the (returnflag, linestatus) detail grid, the
+  // per-linenumber margin from a DIFFERENT dimension, and the grand
+  // total. This is the report shape real dashboards ask for (two
+  // specific breakdowns + a total, not a full cube's 2^d sets); the
+  // plan is the same expand → two-phase hash aggregate as cube, but
+  // the expand factor is |sets| = 3, not 2^d — at 100 TB the shuffle
+  // carries |groups|·3 partials, never |rows|·3.
+  def qGroupingSets(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupingSets(
+        Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+            Seq(col("l_linenumber")),
+            Seq()),
+        col("l_returnflag"), col("l_linestatus"), col("l_linenumber"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        dsum(col("l_quantity")).as("sum_qty"),
+        grouping_id().cast("int").as("lvl"))
+
+  val qGroupingSetsOracleSql: String =
+    """SELECT l_returnflag, l_linestatus, l_linenumber,
+      |  COUNT(*) AS n_rows,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sum_qty,
+      |  CAST(GROUPING(l_returnflag, l_linestatus, l_linenumber) AS INTEGER) AS lvl
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linenumber), ())""".stripMargin
+
   // --- semi/anti: EXISTS and NOT EXISTS as left-semi / left-anti joins.
   // Both joins shuffle customer once against the distinct order keys;
   // at scale the semi/anti forms never materialize the match side.

@@ -75,6 +75,28 @@ class AnalyticsSpec extends SparkSpecBase {
     assert(byLvl(0).map(_.getLong(2)).sum == grand)
   }
 
+  test("grouping sets: exactly the three requested levels, each a " +
+      "partition of the table") {
+    val rows = Analytics.qGroupingSets(spark, sfDir).collect()
+    // cols (rf, ls, ln): set (rf,ls) → ln aggregated → lvl 0b001=1;
+    // set (ln) → lvl 0b110=6; grand total → 7 — and NOTHING else
+    // (the irregular lattice, not a rollup prefix chain or full cube)
+    val byLvl = rows.groupBy(_.getInt(5))
+    assert(byLvl.keySet == Set(1, 6, 7), s"unexpected levels ${byLvl.keySet}")
+    val n = sources.Tables.lineitem(spark, sfDir).count()
+    assert(byLvl(7).head.getLong(3) == n)
+    assert(byLvl(1).map(_.getLong(3)).sum == n,
+      "the (returnflag, linestatus) grid must partition the table")
+    assert(byLvl(6).map(_.getLong(3)).sum == n,
+      "the linenumber margin must partition the table")
+    // per-group decimal sums are exact; re-summing their DOUBLE casts
+    // driver-side reintroduces fp error — tolerance, not equality
+    val grandQty = byLvl(7).head.getDouble(4)
+    assert(math.abs(byLvl(1).map(_.getDouble(4)).sum - grandQty)
+      < 1e-9 * math.abs(grandQty),
+      "quantity mass must be conserved across the detail grid")
+  }
+
   test("semi/anti: buckets partition the customer table") {
     val rows = Analytics.qSemiAnti(spark, sfDir).collect()
     val total = rows.map(_.getLong(1)).sum
