@@ -721,8 +721,19 @@ object Pq {
       }
     require(d % M == 0, s"embedding dim $d must be divisible by M=$M")
     val subW = d / M
+    // dimension discipline (the r15-advice class, PQ form): a
+    // too-short vector silently prefix-dots its cell assignment
+    // before the encode loop AIOOBEs, a too-long one AIOOBEs in the
+    // assignment — both now fail in-plan with a diagnosis
     val vNew = newVectors
-      .select(col("vec_id"), V.toDouble(col("embedding")).as("e"))
+      .select(col("vec_id"),
+        when(size(col("embedding")) === lit(d), V.toDouble(col("embedding")))
+          .otherwise(raise_error(concat(
+            lit("appendIvfPq: vector "), col("vec_id"), lit(" has "),
+            size(col("embedding")),
+            lit(s" dims but the index encodes $d")))
+            .cast("array<double>"))
+          .as("e"))
       .withColumn("nrm", V.l2Norm(col("e")))
     val unNew = Similarity.assignNearest(vNew, index.centroids, "cell", "ce", "cn")
       .select(col("vec_id"),

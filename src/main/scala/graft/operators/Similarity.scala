@@ -1499,9 +1499,33 @@ object Similarity {
   def appendIvfIndex(spark: SparkSession, path: String,
                      newVectors: DataFrame): Long = {
     val centroids = spark.read.parquet(s"$path/centroids")
+    // dimension discipline (the r15-advice class, float form): a
+    // too-SHORT vector would silently prefix-dot its way into some
+    // cell and poison the postings before any query fails; a
+    // too-long one would AIOOBE deep in the assignment loop. Both
+    // now fail in-plan with a diagnosis. The width probe is a 1-row
+    // read of the C-row artifact.
+    val d = centroids.select(size(col("ce"))).limit(1).collect()(0).getInt(0)
     val v = newVectors
-      .select(col("vec_id"), V.toDouble(col("embedding")).as("e"))
+      .select(col("vec_id"),
+        when(size(col("embedding")) === lit(d), V.toDouble(col("embedding")))
+          .otherwise(raise_error(concat(
+            lit("appendIvfIndex: vector "), col("vec_id"), lit(" has "),
+            size(col("embedding")),
+            lit(s" dims but the staged index has $d")))
+            .cast("array<double>"))
+          .as("e"))
       .withColumn("nrm", V.l2Norm(col("e")))
+    // metadata discipline: an append batch whose metadata columns
+    // differ from the staged postings' would write a divergent-schema
+    // cell file (readers then see nulls or drop the filter column) —
+    // fail loudly instead
+    val stagedMeta = spark.read.parquet(s"$path/postings").columns.toSet
+      .diff(Set("vec_id", "e", "nrm", "cell"))
+    val batchMeta = metaCols(newVectors).toSet
+    require(batchMeta == stagedMeta,
+      s"appendIvfIndex: batch metadata columns $batchMeta do not match " +
+        s"the staged postings' $stagedMeta — stage and append the same shape")
     val flat = assignNearest(v, centroids, "cell", "ce", "cn")
       .select(col("vec_id"), col("e"), col("nrm"), col("cell"))
     // metadata rides the appended postings exactly as in the build

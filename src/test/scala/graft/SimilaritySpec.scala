@@ -704,6 +704,47 @@ class SimilaritySpec extends SparkSpecBase {
       "erased ids must be gone from served neighbors")
   }
 
+  test("index append dimension guards: mis-dimensioned or mis-shaped " +
+      "batches fail loudly in the float and PQ tiers") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    def causes(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(e => Option(e.getMessage).getOrElse("")).toSeq
+    // --- float tier: 3-dim staged index
+    val base = (0L until 20L).map(i =>
+      (i, Seq(i.toFloat, (i % 5).toFloat, (i % 3).toFloat))).toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_dim").toString
+    Similarity.writeIvfIndex(base, dir)
+    val tooLong = Seq((100L, Seq(1f, 2f, 3f, 4f))).toDF("vec_id", "embedding")
+    val eL = intercept[Throwable] { Similarity.appendIvfIndex(spark, dir, tooLong) }
+    assert(causes(eL).exists(_.contains("staged index has 3")),
+      s"wanted the width diagnosis, got: ${causes(eL).mkString(" | ")}")
+    val tooShort = Seq((101L, Seq(1f, 2f))).toDF("vec_id", "embedding")
+    val eS = intercept[Throwable] { Similarity.appendIvfIndex(spark, dir, tooShort) }
+    assert(causes(eS).exists(_.contains("staged index has 3")))
+    // metadata mismatch: the staged postings have NO metadata columns
+    val withMeta = Seq((102L, Seq(1f, 2f, 3f), 7)).toDF("vec_id", "embedding", "label")
+    val eM = intercept[Throwable] { Similarity.appendIvfIndex(spark, dir, withMeta) }
+    assert(causes(eM).exists(_.contains("metadata columns")),
+      s"wanted the metadata diagnosis, got: ${causes(eM).mkString(" | ")}")
+    // positive control: a well-shaped batch still appends
+    val ok = Seq((103L, Seq(9f, 9f, 9f))).toDF("vec_id", "embedding")
+    assert(Similarity.appendIvfIndex(spark, dir, ok) == 1L)
+    // --- PQ tier: 8-dim staged index (M=8, subW=1)
+    val base8 = (0L until 20L).map(i =>
+      (i, Seq.tabulate(8)(j => (i + j).toFloat))).toDF("vec_id", "embedding")
+    val dir8 = java.nio.file.Files.createTempDirectory("graft_ivfpq_dim").toString
+    graft.operators.Pq.writeIvfPqIndex(graft.operators.Pq.buildIvfPq(base8), dir8)
+    val tooLong8 = Seq((100L, Seq.tabulate(9)(_.toFloat))).toDF("vec_id", "embedding")
+    val eP = intercept[Throwable] {
+      graft.operators.Pq.appendIvfPqIndex(spark, dir8, tooLong8) }
+    assert(causes(eP).exists(_.contains("the index encodes 8")),
+      s"wanted the PQ width diagnosis, got: ${causes(eP).mkString(" | ")}")
+    // index untouched by the failed appends
+    assert(spark.read.parquet(s"$dir8/codes").count() == 20L)
+  }
+
   test("knn_radius: perfect precision, candidate-cut recall, cosines exact, " +
       "deterministic") {
     import org.apache.spark.sql.functions.col
