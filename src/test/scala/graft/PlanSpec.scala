@@ -728,6 +728,23 @@ class PlanSpec extends SparkSpecBase {
       s"walk lineage leaked into the report plan (checkpoint broken):\n$p")
   }
 
+  test("staged float index: the probe join DYNAMICALLY PRUNES the cell " +
+      "partition directories of the postings scan") {
+    val vectors = graft.sources.Tables.embeddings(spark, sfDir)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_dpp").toString
+    graft.operators.Similarity.writeIvfIndex(vectors, dir)
+    val df = graft.operators.Similarity.queryIvfIndex(spark, dir)
+    // AQE finalizes DPP subqueries at execution — read the final plan
+    val p = finalPlan(df)
+    // the postings side of the probe join must carry a runtime
+    // partition filter derived from the broadcast probe set: at a
+    // deployment this is what turns the cell=<id> directory layout
+    // into an IO cut (~nprobe·Q/C of the corpus read, not all of it)
+    assert(p.contains("dynamicpruning"),
+      s"postings scan lost dynamic partition pruning:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
+  }
+
   test("knn_ivf_opq: rotation stays native codegen dots, closure scan, " +
       "bounded windows, no cartesian") {
     val p = plan(graft.operators.Opq.knnIvfOpq(spark, sfDir))
