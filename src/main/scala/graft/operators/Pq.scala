@@ -778,7 +778,10 @@ object Pq {
     // delete + rename (the Sinks.compact pattern) — the index is
     // codes-less only for the duration of a directory rename, and a
     // crash inside that window is recoverable (codes_tmp holds the
-    // complete new tree; recovery = rename it to codes).
+    // complete new tree; recovery = rename it to codes). Residual
+    // (shared with Similarity.writeIvfIndex): centroids/codebooks and
+    // the codes swap are separate commits — restaging a LIVE index
+    // wants a manifest + atomic pointer flip on top of this.
     val codesPath = new org.apache.hadoop.fs.Path(s"$path/codes")
     val tmpPath = new org.apache.hadoop.fs.Path(s"$path/codes_tmp")
     val fs = codesPath.getFileSystem(

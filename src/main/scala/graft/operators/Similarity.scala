@@ -1358,7 +1358,15 @@ object Similarity {
     * prunes whole directories and the append/erasure lifecycle
     * touches only its cells (the PQ layout, float payload). The codes
     * tree swaps via tmp + delete/rename — a mid-write crash leaves a
-    * complete recovery copy (the r15-advice discipline). */
+    * complete recovery copy (the r15-advice discipline).
+    *
+    * Residual (shared with [[Pq.writeIvfPqIndex]]): the centroids
+    * overwrite and the postings swap are two separate commits, so a
+    * crash or a concurrent reader BETWEEN them can pair new centroids
+    * with old postings. A deployment restaging LIVE indexes adds a
+    * manifest (version dir + atomic pointer flip) on top; the
+    * per-frame recovery copies here bound the damage to "re-run the
+    * stage", never "index lost". */
   /** Metadata columns of a vectors frame — everything that isn't the
     * key or the payload rides the posting list (the metadata-in-index
     * layout [[knnFilteredOn]] queries), made DURABLE here. */
