@@ -386,14 +386,7 @@ object Quantize {
       .withColumn("nrm", V.l2Norm(col("e")))
     val queries = vn.filter(col("vec_id") < Similarity.NQueries)
       .select(col("vec_id").as("query_id"), col("e").as("qe"), col("nrm").as("qnrm"))
-    val probeW = Window.partitionBy(col("query_id"))
-      .orderBy(col("cdist").desc, col("cell"))
-    val probes = broadcast(queries.join(broadcast(centroids))
-      .withColumn("cdist", V.cosineWithNorms(
-        V.dot(col("qe"), col("ce")), col("qnrm"), col("cn")))
-      .withColumn("rk", row_number().over(probeW))
-      .filter(col("rk") <= nprobe)
-      .select(col("query_id"), col("qe"), col("qnrm"), col("cell")))
+    val probes = Similarity.probeCells(queries, centroids, nprobe)
     val scored = decoded.join(probes, "cell")
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),

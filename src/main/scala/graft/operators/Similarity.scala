@@ -393,23 +393,15 @@ object Similarity {
     * knob left ~n/16-vector cells at 2M vectors, so a probe pruned
     * almost nothing (the measured 1000× build-dominated wall). Pass an
     * explicit positive C to pin it. */
-  def knnIvfOn(vectors: DataFrame, k: Int = K, cells: Int = 0): DataFrame = {
+  def knnIvfOn(vectors: DataFrame, k: Int = K, cells: Int = 0,
+               nprobe: Int = IvfNProbe): DataFrame = {
     val (indexed, centroids) = ivfIndex(vectors, cells, "ivf_centroids_knn_ivf")
 
     // --- search: per query, the nprobe nearest cells, then exact
     //     rerank over only those cells' postings. Query vectors come
     //     off the indexed frame (it already carries e and nrm) — no
     //     second toDouble+norm pass over the corpus
-    val queries = indexed.filter(col("vec_id") < NQueries)
-      .select(col("vec_id").as("query_id"), col("e").as("qe"), col("nrm").as("qnrm"))
-    val probeW = Window.partitionBy(col("query_id"))
-      .orderBy(col("cdist").desc, col("cell"))
-    val probes = broadcast(queries.join(broadcast(centroids))
-      .withColumn("cdist", V.cosineWithNorms(
-        V.dot(col("qe"), col("ce")), col("qnrm"), col("cn")))
-      .withColumn("rk", row_number().over(probeW))
-      .filter(col("rk") <= IvfNProbe)
-      .select(col("query_id"), col("qe"), col("qnrm"), col("cell")))
+    val probes = probeFrame(indexed, centroids, nprobe)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("vec_id"))
     indexed.join(probes, "cell")
@@ -420,6 +412,40 @@ object Similarity {
       .withColumn("rank", row_number().over(w).cast("int"))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"), col("cosine"))
+  }
+
+  /** The probe frame every IVF query path shares: per query
+    * (vec_id < [[NQueries]] off `indexed`, which already carries
+    * e/nrm), the `nprobe` nearest cells by centroid cosine, broadcast
+    * (Q·nprobe rows). `extraCols` ride from the indexed frame aliased
+    * `q<name>` — the filtered path's label. ONE definition serves the
+    * one-shot keys AND the staged-index query paths, which are
+    * spec-equated bit-identical to the one-shot keys (r16 advice: six
+    * hand-copies of this block were one edit away from silently
+    * breaking that equivalence). */
+  private[operators] def probeFrame(indexed: DataFrame, centroids: DataFrame,
+                                    nprobe: Int = IvfNProbe,
+                                    extraCols: Seq[String] = Nil): DataFrame =
+    probeCells(
+      indexed.filter(col("vec_id") < NQueries)
+        .select((Seq(col("vec_id").as("query_id"), col("e").as("qe"),
+          col("nrm").as("qnrm")) ++ extraCols.map(c => col(c).as(s"q$c"))): _*),
+      centroids, nprobe)
+
+  /** [[probeFrame]]'s core over an explicit queries frame (query_id,
+    * qe, qnrm, extras…) — also consumed by [[Quantize.knnIvfSq8On]],
+    * whose query frame is built before its index. Output = the input
+    * queries columns plus each survivor's probed `cell`. */
+  private[operators] def probeCells(queries: DataFrame, centroids: DataFrame,
+                                    nprobe: Int): DataFrame = {
+    val probeW = Window.partitionBy(col("query_id"))
+      .orderBy(col("cdist").desc, col("cell"))
+    broadcast(queries.join(broadcast(centroids))
+      .withColumn("cdist", V.cosineWithNorms(
+        V.dot(col("qe"), col("ce")), col("qnrm"), col("cn")))
+      .withColumn("rk", row_number().over(probeW))
+      .filter(col("rk") <= nprobe)
+      .drop("ce", "cn", "cdist", "rk"))
   }
 
   /** Assign each vector to its nearest (max-cosine) centroid: ONE
@@ -1244,16 +1270,7 @@ object Similarity {
 
   def knnRadiusOn(vectors: DataFrame, tau: Double = RadiusTau): DataFrame = {
     val (indexed, centroids) = ivfIndex(vectors, 0, "ivf_centroids_knn_radius")
-    val queries = indexed.filter(col("vec_id") < NQueries)
-      .select(col("vec_id").as("query_id"), col("e").as("qe"), col("nrm").as("qnrm"))
-    val probeW = Window.partitionBy(col("query_id"))
-      .orderBy(col("cdist").desc, col("cell"))
-    val probes = broadcast(queries.join(broadcast(centroids))
-      .withColumn("cdist", V.cosineWithNorms(
-        V.dot(col("qe"), col("ce")), col("qnrm"), col("cn")))
-      .withColumn("rk", row_number().over(probeW))
-      .filter(col("rk") <= IvfNProbe)
-      .select(col("query_id"), col("qe"), col("qnrm"), col("cell")))
+    val probes = probeFrame(indexed, centroids)
     indexed.join(probes, "cell")
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
@@ -1320,18 +1337,7 @@ object Similarity {
     val labels = vectors.select(col("vec_id"), col("label"))
     // postings carry the filter column — built once with the index
     val postings = indexed.join(labels, "vec_id")
-    val queries = indexed.filter(col("vec_id") < NQueries)
-      .join(labels, "vec_id")
-      .select(col("vec_id").as("query_id"), col("e").as("qe"),
-        col("nrm").as("qnrm"), col("label").as("qlabel"))
-    val probeW = Window.partitionBy(col("query_id"))
-      .orderBy(col("cdist").desc, col("cell"))
-    val probes = broadcast(queries.join(broadcast(centroids))
-      .withColumn("cdist", V.cosineWithNorms(
-        V.dot(col("qe"), col("ce")), col("qnrm"), col("cn")))
-      .withColumn("rk", row_number().over(probeW))
-      .filter(col("rk") <= nprobe)
-      .select(col("query_id"), col("qe"), col("qnrm"), col("qlabel"), col("cell")))
+    val probes = probeFrame(postings, centroids, nprobe, Seq("label"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("vec_id"))
     postings.join(probes, "cell")
@@ -1415,16 +1421,7 @@ object Similarity {
     * payload round-trips parquet exactly). */
   def queryIvfIndex(spark: SparkSession, path: String, k: Int = K): DataFrame = {
     val (indexed, centroids) = readIvfIndex(spark, path)
-    val queries = indexed.filter(col("vec_id") < NQueries)
-      .select(col("vec_id").as("query_id"), col("e").as("qe"), col("nrm").as("qnrm"))
-    val probeW = Window.partitionBy(col("query_id"))
-      .orderBy(col("cdist").desc, col("cell"))
-    val probes = broadcast(queries.join(broadcast(centroids))
-      .withColumn("cdist", V.cosineWithNorms(
-        V.dot(col("qe"), col("ce")), col("qnrm"), col("cn")))
-      .withColumn("rk", row_number().over(probeW))
-      .filter(col("rk") <= IvfNProbe)
-      .select(col("query_id"), col("qe"), col("qnrm"), col("cell")))
+    val probes = probeFrame(indexed, centroids)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("vec_id"))
     indexed.join(probes, "cell")
@@ -1443,16 +1440,7 @@ object Similarity {
   def queryIvfIndexRadius(spark: SparkSession, path: String,
                           tau: Double = RadiusTau): DataFrame = {
     val (indexed, centroids) = readIvfIndex(spark, path)
-    val queries = indexed.filter(col("vec_id") < NQueries)
-      .select(col("vec_id").as("query_id"), col("e").as("qe"), col("nrm").as("qnrm"))
-    val probeW = Window.partitionBy(col("query_id"))
-      .orderBy(col("cdist").desc, col("cell"))
-    val probes = broadcast(queries.join(broadcast(centroids))
-      .withColumn("cdist", V.cosineWithNorms(
-        V.dot(col("qe"), col("ce")), col("qnrm"), col("cn")))
-      .withColumn("rk", row_number().over(probeW))
-      .filter(col("rk") <= IvfNProbe)
-      .select(col("query_id"), col("qe"), col("qnrm"), col("cell")))
+    val probes = probeFrame(indexed, centroids)
     indexed.join(probes, "cell")
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
@@ -1473,22 +1461,12 @@ object Similarity {
     require(indexed.columns.contains(filterCol),
       s"staged postings carry no '$filterCol' column — " +
         s"stage the index from a vectors frame that has it")
-    val queries = indexed.filter(col("vec_id") < NQueries)
-      .select(col("vec_id").as("query_id"), col("e").as("qe"),
-        col("nrm").as("qnrm"), col(filterCol).as("qlabel"))
-    val probeW = Window.partitionBy(col("query_id"))
-      .orderBy(col("cdist").desc, col("cell"))
-    val probes = broadcast(queries.join(broadcast(centroids))
-      .withColumn("cdist", V.cosineWithNorms(
-        V.dot(col("qe"), col("ce")), col("qnrm"), col("cn")))
-      .withColumn("rk", row_number().over(probeW))
-      .filter(col("rk") <= nprobe)
-      .select(col("query_id"), col("qe"), col("qnrm"), col("qlabel"), col("cell")))
+    val probes = probeFrame(indexed, centroids, nprobe, Seq(filterCol))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("vec_id"))
     indexed.join(probes, "cell")
       .filter(col("vec_id") =!= col("query_id") &&
-        col(filterCol) === col("qlabel"))
+        col(filterCol) === col(s"q$filterCol"))
       .select(col("query_id"), col("vec_id"), col(filterCol).as("label"),
         V.cosineWithNorms(V.dot(col("e"), col("qe")), col("nrm"), col("qnrm"))
           .as("cosine"))
@@ -1503,7 +1481,18 @@ object Similarity {
     * arithmetic to the build's assignment) and append only their
     * cell-clustered posting files; centroids and every existing file
     * stay byte-identical (spec-asserted), so the append bill is
-    * O(|new|), never O(index). Returns appended posting rows. */
+    * O(|new|), never O(index). Returns appended posting rows.
+    *
+    * Concurrent-reader residual (r16 advice): the append writes new
+    * files straight into the live postings tree, so a reader whose
+    * scan overlaps the job-commit window can see SOME of the batch's
+    * cells and not others — each file is complete (parquet commit is
+    * per-file rename), but the batch is not atomic as a set. A crash
+    * mid-append has the same shape: the partial batch's rows are
+    * valid postings, re-running the append would duplicate them — so
+    * recovery is delete-and-retry keyed on the batch's vec_ids, or
+    * stage appends through the [[IndexManifest]] versioned-restage
+    * path when the batch must land atomically. */
   def appendIvfIndex(spark: SparkSession, path: String,
                      newVectors: DataFrame): Long = {
     val centroids = spark.read.parquet(s"$path/centroids")
@@ -1512,8 +1501,15 @@ object Similarity {
     // cell and poison the postings before any query fails; a
     // too-long one would AIOOBE deep in the assignment loop. Both
     // now fail in-plan with a diagnosis. The width probe is a 1-row
-    // read of the C-row artifact.
-    val d = centroids.select(size(col("ce"))).limit(1).collect()(0).getInt(0)
+    // read of the C-row artifact — headOption so an empty artifact
+    // (a path that holds no staged index) fails with a diagnosis,
+    // not an opaque index-out-of-bounds (r16 advice).
+    val d = centroids.select(size(col("ce"))).limit(1).collect().headOption match {
+      case Some(r) => r.getInt(0)
+      case None => throw new IllegalStateException(
+        s"appendIvfIndex: no staged index at $path — the centroids " +
+          "artifact is empty; stage one with writeIvfIndex first")
+    }
     val v = newVectors
       .select(col("vec_id"),
         when(size(col("embedding")) === lit(d), V.toDouble(col("embedding")))
@@ -1551,7 +1547,18 @@ object Similarity {
     * of `vecIds`, rewriting ONLY the cell directories that contain an
     * erased id (the [[Pq.deleteFromIvfPqIndex]] recipe — emptied
     * cells retired outright, every other file byte-identical).
-    * Returns the number of deleted posting rows. */
+    * Returns the number of deleted posting rows.
+    *
+    * Crash residual (r16 advice): the survivor rewrite commits per
+    * cell directory (dynamic partition overwrite), so a crash
+    * mid-commit can leave SOME affected cells rewritten and others
+    * stale — unlike the writers' tmp+rename swap there is no single
+    * recovery copy. The state is still safe to repair: re-running the
+    * same delete is idempotent (stale cells still contain the erased
+    * ids and are rewritten; already-rewritten cells have no erased
+    * ids and are untouched — spec-asserted). A deployment that must
+    * never serve a half-erased index routes erasures through the
+    * [[IndexManifest]] versioned restage instead. */
   def deleteFromIvfIndex(spark: SparkSession, path: String,
                          vecIds: Seq[Long]): Long = {
     if (vecIds.isEmpty) return 0L
