@@ -120,7 +120,10 @@ object SparkEntry {
     "knn_ivf_pq"     -> ((s, d) => graft.operators.Pq.knnIvfPq(s, d)),
     "knn_ivf_pq_append" -> ((s, d) => graft.operators.Pq.knnIvfPqAppend(s, d)),
     "knn_ivf_pq_delete" -> ((s, d) => graft.operators.Pq.knnIvfPqDelete(s, d)),
+    "knn_ivf_pq_filtered" -> ((s, d) => graft.operators.Pq.knnIvfPqFiltered(s, d)),
     "knn_sq8"        -> ((s, d) => Quantize.knnSq8(s, d)),
+    "knn_sq8_radius" -> ((s, d) => Quantize.knnSq8Radius(s, d)),
+    "knn_sq8_delete" -> ((s, d) => Quantize.knnSq8Delete(s, d)),
     "knn_ivf_sq8"    -> ((s, d) => Quantize.knnIvfSq8(s, d)),
     "knn_recall_report" -> (Similarity.knnRecallReport(_, _)),
     "knn_radius"     -> ((s, d) => Similarity.knnRadius(s, d)),
@@ -321,9 +324,19 @@ object SparkEntry {
     // the erasure lifecycle replayed as candidate exclusion: trained
     // artifacts stand, only the erased ids' codes are gone
     "knn_ivf_pq_delete" -> graft.operators.Pq.knnIvfPqDeleteOracleSql,
+    // filtered search off the compressed staged tier: the composed
+    // IVFADC replay with the label joined on both sides, candidate
+    // enumeration same-label only, widened probe cut
+    "knn_ivf_pq_filtered" -> graft.operators.Pq.knnIvfPqFilteredOracleSql,
     // the int8 serving scan replayed end-to-end: the vec_quantize
     // grid re-derived, decode, approx-cosine cut, exact rerank
     "knn_sq8"        -> Quantize.knnSq8OracleSql,
+    // radius search off the compressed tier: approximate-cosine
+    // admission + exact verify, both thresholds strtod-embedded
+    "knn_sq8_radius" -> Quantize.knnSq8RadiusOracleSql,
+    // the SQ8 erasure lifecycle: candidates exclude the erased slice,
+    // the trained grid and every surviving code stand as built
+    "knn_sq8_delete" -> Quantize.knnSq8DeleteOracleSql,
     // the composed IVF-pruned compressed scan: the shared IVF prefix
     // + the SQ8 grid/decode CTEs, candidates restricted to probed cells
     "knn_ivf_sq8"    -> Quantize.knnIvfSq8OracleSql,

@@ -617,8 +617,17 @@ object Pq {
     * (spec-asserted): same ivfIndex(a) centroids, same a-trained
     * codebooks, same assign+encode arithmetic for b — which is what
     * makes the append path oracle-able against a full rebuild. */
+  /** `metaCols` (opt-in): metadata columns of `vectors` to ride the
+    * code postings — the metadata-in-index layout that lets
+    * [[queryIvfPqFiltered]] evaluate a predicate INSIDE the compressed
+    * scan ([[Similarity.writeIvfIndex]]'s metaCols recipe on the PQ
+    * tier). The join is vec_id-keyed build cost, never query cost;
+    * appends ride the same columns automatically ([[encodeAgainst]]
+    * derives the set from the index schema and fails loudly on a
+    * mismatched batch). */
   def buildIvfPq(vectors: DataFrame, dim: Int = 0, cells: Int = 0,
-                 trainOn: DataFrame = null): IvfPqIndex = {
+                 trainOn: DataFrame = null,
+                 metaCols: Seq[String] = Nil): IvfPqIndex = {
     val train = Option(trainOn).getOrElse(vectors)
     val d =
       if (dim > 0) dim
@@ -679,7 +688,11 @@ object Pq {
       }
     // one narrow encode pass: vec_id -> (cell, M code ids in m order)
     val codes = encodeCodes(unAll, centsByM, subW)
-    IvfPqIndex(centroids, codebooks, codes)
+    val withMeta =
+      if (metaCols.isEmpty) codes
+      else codes.join(
+        vectors.select((Seq("vec_id") ++ metaCols).map(col): _*), "vec_id")
+    IvfPqIndex(centroids, codebooks, withMeta)
   }
 
   /** Incremental index maintenance: assign + encode `newVectors`
@@ -738,7 +751,21 @@ object Pq {
     val unNew = Similarity.assignNearest(vNew, index.centroids, "cell", "ce", "cn")
       .select(col("vec_id"),
         transform(col("e"), x => x / col("nrm")).as("u"), col("cell"))
-    encodeCodes(unNew, centsByMFrom(index.codebooks), subW)
+    val encoded = encodeCodes(unNew, centsByMFrom(index.codebooks), subW)
+    // metadata discipline: the batch must ride exactly the columns the
+    // index's codes carry — a divergent-schema append would strip the
+    // filter column from (or null it in) every later filtered scan
+    val meta = index.codes.columns.toSeq
+      .filterNot(Set("vec_id", "cell", "codes"))
+    if (meta.isEmpty) encoded
+    else {
+      val missing = meta.filterNot(newVectors.columns.contains)
+      require(missing.isEmpty,
+        s"appendIvfPq: the index codes carry metadata columns $meta " +
+          s"but the batch lacks $missing — append the same shape")
+      encoded.join(
+        newVectors.select((Seq("vec_id") ++ meta).map(col): _*), "vec_id")
+    }
   }
 
   /** Durable append against a [[writeIvfPqIndex]]-staged index: encode
@@ -802,10 +829,18 @@ object Pq {
       spark.read.parquet(s"$path/codebooks"),
       // re-pin the partition column's position and type: partitioned
       // discovery appends `cell` last and may infer it narrow, while
-      // every consumer binds (vec_id, cell: long, codes) positionally
-      spark.read.parquet(s"$path/codes")
-        .select(col("vec_id"), col("cell").cast("long").as("cell"),
-          col("codes")))
+      // every consumer binds (vec_id, cell: long, codes) positionally;
+      // metadata columns (buildIvfPq's metaCols) keep riding after
+      pinnedCodes(spark.read.parquet(s"$path/codes")))
+
+  /** (vec_id, cell: long, codes, meta…) — the consumer-facing column
+    * order/type pin, metadata preserved. */
+  private def pinnedCodes(raw: DataFrame): DataFrame = {
+    val meta = raw.columns.toSeq
+      .filterNot(Set("vec_id", "cell", "codes")).map(col)
+    raw.select((Seq(col("vec_id"), col("cell").cast("long").as("cell"),
+      col("codes")) ++ meta): _*)
+  }
 
   /** Right-to-erasure on the SERVING index (the GDPR hard-delete
     * counterpart of [[graft.streaming.Streams]]' CDC-lake erasure):
@@ -824,8 +859,10 @@ object Pq {
                            vecIds: Seq[Long]): Long = {
     if (vecIds.isEmpty) return 0L
     val codesPath = s"$path/codes"
-    def codes = spark.read.parquet(codesPath)
-      .select(col("vec_id"), col("cell").cast("long").as("cell"), col("codes"))
+    // the survivor rewrite must carry EVERY codes column — metadata
+    // included — or the rewritten cells would silently lose the
+    // filtered tier's predicate column (the float-delete discipline)
+    def codes = pinnedCodes(spark.read.parquet(codesPath))
     val affected = codes.filter(col("vec_id").isInCollection(vecIds))
       .select("cell").distinct().collect().map(_.getLong(0))
     if (affected.isEmpty) return 0L
@@ -871,9 +908,7 @@ object Pq {
     val vn = vectors
       .select(col("vec_id"), V.toDouble(col("embedding")).as("e"))
       .withColumn("nrm", V.l2Norm(col("e")))
-    val qRows = vn.filter(col("vec_id").isInCollection(queryIds))
-      .select(col("vec_id"), col("e"), col("nrm")).collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
+    val qRows = queryRowsOf(vn, queryIds)
     if (qRows.isEmpty)
       return vectors.limit(0).select(
         col("vec_id").as("query_id"), col("vec_id").as("neighbor_id"),
@@ -881,45 +916,22 @@ object Pq {
     val dim = qRows(0)._2.length
     require(dim % M == 0, s"embedding dim $dim must be divisible by M=$M")
     val subW = dim / M
-    // probes: rank cells per query over the C-row centroid table
-    // (driver-side — the same (cdist desc, cell asc) convention)
-    val cents = index.centroids
-      .select(col("cell").cast("long"), col("ce"), col("cn")).collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
-      .sortBy(_._1)
-    val probesByQ: Map[Long, Set[Long]] = qRows.map { case (q, qe, qnrm) =>
-      val ranked = cents.map { case (cell, ce, cn) =>
-        var dot = 0.0; var j = 0
-        while (j < qe.length) { dot += qe(j) * ce(j); j += 1 }
-        (cell, dot / (qnrm * cn))
-      }.sortBy { case (cell, cd) => (-cd, cell) }
-      q -> ranked.take(nprobe).map(_._1).toSet
-    }.toMap
+    val probesByQ = probesAgainst(index.centroids, qRows, nprobe)
     val probedCells = probesByQ.values.flatten.toSet
     val qIds = probesByQ.keys.toArray.sorted
-    // per-query ADC tables from the codebooks (unit-normalized query
-    // subvectors against each codebook entry, the d2At arithmetic)
-    val codebooks = index.codebooks.collect().map(r =>
-      (r.getInt(0), r.getLong(1), r.getSeq[Double](2).toArray))
-    val centsByM: Array[Array[(Long, Array[Double])]] =
-      Array.tabulate(M)(m =>
-        codebooks.filter(_._1 == m).sortBy(_._2).map(t => (t._2, t._3)))
-    val codeRank: Array[Map[Long, Int]] =
-      Array.tabulate(M)(m => centsByM(m).iterator.map(_._1).zipWithIndex.toMap)
-    val dtByQ: Map[Long, Array[Array[Double]]] = qRows.map { case (q, qe, qnrm) =>
-      val u = qe.map(_ / qnrm)
-      q -> Array.tabulate(M) { m =>
-        centsByM(m).map { case (_, cs) => Pq.d2At(u, m * subW, subW, cs) }
-      }
-    }.toMap
+    val (dtByQ, codeRank) = adcTablesFor(index.codebooks, qRows, subW)
     // the ONE codes scan, cell-pruned, per-partition Rerank-heaps
     val worstFirst: Ordering[(Long, Long, Double)] =
       Ordering.by(t => (t._3, t._2))
     // column-form cell filter BEFORE the typed scan: it pushes down to
     // the staged codes parquet (cell-clustered files -> row-group
-    // min/max skipping), where a lambda filter would scan everything
+    // min/max skipping), where a lambda filter would scan everything.
+    // The explicit projection drops any metadata columns riding the
+    // codes (buildIvfPq's metaCols) — the unfiltered scan never reads
+    // them, and the typed binding below is positional.
     val pruned = index.codes
       .filter(col("cell").isInCollection(probedCells.toSeq))
+      .select(col("vec_id"), col("cell"), col("codes"))
       .as[(Long, Long, Array[Long])]
       .mapPartitions { it =>
         val heaps = scala.collection.mutable.Map
@@ -962,6 +974,182 @@ object Pq {
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"), col("cosine"))
   }
 
+  /** Driver-side query rows off the float corpus: (vec_id, e, nrm)
+    * for `queryIds` — Q point lookups, the bounded structure every
+    * staged query path ships in its scan closure. */
+  private def queryRowsOf(vn: DataFrame, queryIds: Seq[Long])
+      : Array[(Long, Array[Double], Double)] =
+    vn.filter(col("vec_id").isInCollection(queryIds))
+      .select(col("vec_id"), col("e"), col("nrm")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
+
+  /** Per-query probed cells off the C-row staged centroid table —
+    * driver-side, the same (cdist desc, cell asc) convention as
+    * [[Similarity.probeFrame]]; shared by [[queryIvfPq]] and
+    * [[queryIvfPqFiltered]] (r16-advice class: one definition, not
+    * copies, because the staged paths are spec-equated to the
+    * one-shot keys). */
+  private def probesAgainst(centroids: DataFrame,
+                            qRows: Array[(Long, Array[Double], Double)],
+                            nprobe: Int): Map[Long, Set[Long]] = {
+    val cents = centroids
+      .select(col("cell").cast("long"), col("ce"), col("cn")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
+      .sortBy(_._1)
+    qRows.map { case (q, qe, qnrm) =>
+      val ranked = cents.map { case (cell, ce, cn) =>
+        var dot = 0.0; var j = 0
+        while (j < qe.length) { dot += qe(j) * ce(j); j += 1 }
+        (cell, dot / (qnrm * cn))
+      }.sortBy { case (cell, cd) => (-cd, cell) }
+      q -> ranked.take(nprobe).map(_._1).toSet
+    }.toMap
+  }
+
+  /** Per-query ADC distance tables (unit-normalized query subvectors
+    * against each codebook entry, the d2At arithmetic) plus the
+    * ascending-code rank maps — bounded: M·Kc codebook rows,
+    * Q·M·Kc table doubles. */
+  private def adcTablesFor(codebooks: DataFrame,
+                           qRows: Array[(Long, Array[Double], Double)],
+                           subW: Int)
+      : (Map[Long, Array[Array[Double]]], Array[Map[Long, Int]]) = {
+    val rows = codebooks.collect().map(r =>
+      (r.getInt(0), r.getLong(1), r.getSeq[Double](2).toArray))
+    val centsByM: Array[Array[(Long, Array[Double])]] =
+      Array.tabulate(M)(m =>
+        rows.filter(_._1 == m).sortBy(_._2).map(t => (t._2, t._3)))
+    val codeRank: Array[Map[Long, Int]] =
+      Array.tabulate(M)(m => centsByM(m).iterator.map(_._1).zipWithIndex.toMap)
+    val dtByQ: Map[Long, Array[Array[Double]]] = qRows.map { case (q, qe, qnrm) =>
+      val u = qe.map(_ / qnrm)
+      q -> Array.tabulate(M) { m =>
+        centsByM(m).map { case (_, cs) => Pq.d2At(u, m * subW, subW, cs) }
+      }
+    }.toMap
+    (dtByQ, codeRank)
+  }
+
+  /** FILTERED top-k served off the STAGED compressed index (r16
+    * verdict item 1): [[queryIvfPq]]'s probe + ADC scan with the
+    * metadata predicate evaluated INSIDE the code scan — the filter
+    * column rides the code postings ([[buildIvfPq]]'s `metaCols`), so
+    * a filtered query touches the float corpus only for the Q query
+    * rows and the Rerank·Q candidate sliver, never per candidate. At
+    * 100 TB this is the whole point: the float postings are exactly
+    * what a filtered query cannot afford to scan, and a post-hoc
+    * filter on an unfiltered top-k under-fills k (the knn_filtered
+    * correctness trap).
+    *
+    * Probe width defaults to [[Similarity.FilteredNProbe]] — the
+    * selective filter must reach deeper into the global ranking to
+    * fill k same-label slots, and the widened probe still scans fewer
+    * post-filter codes than the unfiltered default width scans
+    * overall. The kernel compares the filter column AS LONG (integral
+    * metadata; a string-labeled deployment dictionary-encodes first).
+    * Output: (query_id, neighbor_id, label, rank, cosine) — exact
+    * cosines, the ADC order only shapes the candidate cut. */
+  def queryIvfPqFiltered(index: IvfPqIndex, vectors: DataFrame,
+                         queryIds: Seq[Long], k: Int = K,
+                         nprobe: Int = Similarity.FilteredNProbe,
+                         filterCol: String = "label"): DataFrame = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    require(index.codes.columns.contains(filterCol),
+      s"index codes carry no '$filterCol' column — " +
+        s"build the index with metaCols = Seq(\"$filterCol\")")
+    val vnl = vectors
+      .select(col("vec_id"), V.toDouble(col("embedding")).as("e"),
+        col(filterCol).as("label"))
+      .withColumn("nrm", V.l2Norm(col("e")))
+    val vn = vnl.select(col("vec_id"), col("e"), col("nrm"))
+    val qRows = queryRowsOf(vn, queryIds)
+    if (qRows.isEmpty)
+      return vectors.limit(0).select(
+        col("vec_id").as("query_id"), col("vec_id").as("neighbor_id"),
+        col(filterCol).as("label"), lit(0).as("rank"), lit(0.0).as("cosine"))
+    val dim = qRows(0)._2.length
+    require(dim % M == 0, s"embedding dim $dim must be divisible by M=$M")
+    val subW = dim / M
+    // query labels: Q point lookups on the corpus projection — the
+    // oracle's `lab` CTE joined onto the query side
+    val qLab: Map[Long, Long] = vnl
+      .filter(col("vec_id").isInCollection(queryIds))
+      .select(col("vec_id"), col("label").cast("long")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val probesByQ = probesAgainst(index.centroids, qRows, nprobe)
+    val probedCells = probesByQ.values.flatten.toSet
+    val qIds = probesByQ.keys.toArray.sorted
+    val (dtByQ, codeRank) = adcTablesFor(index.codebooks, qRows, subW)
+    val worstFirst: Ordering[(Long, Long, Double)] =
+      Ordering.by(t => (t._3, t._2))
+    // the one codes scan: cell filter pushed to the partition dirs,
+    // label comparison per candidate INSIDE the kernel — a rejected
+    // candidate costs one long compare, no ADC sum
+    val pruned = index.codes
+      .filter(col("cell").isInCollection(probedCells.toSeq))
+      .select(col("vec_id"), col("cell"), col("codes"),
+        col(filterCol).cast("long"))
+      .as[(Long, Long, Array[Long], Long)]
+      .mapPartitions { it =>
+        val heaps = scala.collection.mutable.Map
+          .empty[Long, scala.collection.mutable.PriorityQueue[(Long, Long, Double)]]
+        it.foreach { case (vid, cell, cs, lab) =>
+          var qi = 0
+          while (qi < qIds.length) {
+            val q = qIds(qi)
+            if (q != vid && qLab(q) == lab && probesByQ(q).contains(cell)) {
+              val dtm = dtByQ(q)
+              var acc = 0.0
+              var m = 0
+              while (m < M) { acc += dtm(m)(codeRank(m)(cs(m))); m += 1 }
+              val c = (q, vid, acc)
+              val h = heaps.getOrElseUpdate(q,
+                new scala.collection.mutable.PriorityQueue[(Long, Long, Double)]()(worstFirst))
+              if (h.size < Rerank) h.enqueue(c)
+              else if (worstFirst.compare(c, h.head) < 0) { h.dequeue(); h.enqueue(c) }
+            }
+            qi += 1
+          }
+        }
+        heaps.valuesIterator.flatMap(_.iterator)
+      }
+      .toDF("query_id", "vec_id", "adist")
+    val cw = Window.partitionBy(col("query_id")).orderBy(col("adist"), col("vec_id"))
+    val cand = broadcast(pruned.withColumn("crk", row_number().over(cw))
+      .filter(col("crk") <= Rerank)
+      .select(col("query_id"), col("vec_id")))
+    val qSide = broadcast(vn.filter(col("vec_id").isInCollection(queryIds))
+      .select(col("vec_id").as("query_id"), col("e").as("qe"), col("nrm").as("qnrm")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    // exact rerank over the Rerank·Q sliver; the output label joins
+    // from the corpus projection so its TYPE is the source column's
+    cand.join(vnl, "vec_id").join(qSide, "query_id")
+      .select(col("query_id"), col("vec_id"), col("label"),
+        V.cosineWithNorms(V.dot(col("e"), col("qe")), col("nrm"), col("qnrm"))
+          .as("cosine"))
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("label"), col("rank"), col("cosine"))
+  }
+
+  /** Driver query (key `knn_ivf_pq_filtered`): the filtered serving
+    * path run END TO END through the cross-engine gate — build with
+    * the label riding the code postings, stage durably, read back,
+    * and answer same-label top-k with the predicate inside the
+    * compressed scan. The oracle replays the composed IVFADC search
+    * with the `lab` CTE joined on both sides and the widened
+    * [[Similarity.FilteredNProbe]] probe cut. */
+  def knnIvfPqFiltered(spark: SparkSession, dir: String): DataFrame = {
+    val vectors = Tables.embeddings(spark, dir)
+    val path = graft.operators.Scratch.reuseDir("ivf_pq_filtered_idx")
+    writeIvfPqIndex(buildIvfPq(vectors, metaCols = Seq("label")), path)
+    queryIvfPqFiltered(readIvfPqIndex(spark, path), vectors,
+      0L until NQueries.toLong)
+  }
+
   /** Full DuckDB replay of the composed IVFADC search: the shared IVF
     * index prefix (auto-sized C, the executor's knob) + the PQ build
     * CTEs (suffixed `p` to avoid colliding with the prefix's
@@ -984,17 +1172,29 @@ object Pq {
   val knnIvfPqDeleteOracleSql: String = ivfPqOracleSqlFor(trained = false,
     erasedPred = s"c.vec_id BETWEEN $DeleteLo AND $DeleteHi")
 
+  /** The filtered replay (key `knn_ivf_pq_filtered`): the classic
+    * composed search with the `lab` CTE joined on both sides — the
+    * query side picks up `qlabel`, candidate enumeration keeps only
+    * same-label codes (the predicate the executor evaluates inside
+    * the compressed scan), and the probe cut widens to
+    * [[Similarity.FilteredNProbe]] (the knn_filtered discipline). */
+  val knnIvfPqFilteredOracleSql: String =
+    ivfPqOracleSqlFor(trained = false, filtered = true)
+
   /** One template, two training policies: `trained = true` swaps in
     * the trained-half IVF prefix and restricts the PQ seed pick
     * (`sdp`) and codebook-training assignment (`fap`) to the base
     * slice (`unpt`/`svpt`); encoding (`codesp`), probes, ADC, and
     * rerank always run over the FULL corpus. `erasedPred` (a predicate
     * over the candidate alias `c`) drops erased ids at candidate
-    * enumeration — everything trained or probed stays as built. With
-    * `trained = false` and no predicate this emits the classic
-    * composed replay byte-for-byte. */
+    * enumeration — everything trained or probed stays as built.
+    * `filtered = true` rides the label through probes and candidate
+    * enumeration and widens the probe cut. With `trained = false` and
+    * no predicate and no filter this emits the classic composed
+    * replay byte-for-byte. */
   private def ivfPqOracleSqlFor(trained: Boolean,
-                                erasedPred: String = null): String = {
+                                erasedPred: String = null,
+                                filtered: Boolean = false): String = {
     val dim = 64
     val sub = dim / M
     import Similarity.{sqlDot, IvfNProbe}
@@ -1013,14 +1213,31 @@ object Pq {
       else ""
     val tun = if (trained) "unpt" else "unp"
     val tsv = if (trained) "svpt" else "svp"
-    s"""$prefix, probes AS (
-       |  SELECT query_id, cell FROM (
-       |    SELECT q.vec_id AS query_id, c.cell,
-       |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
-       |        ${sqlDot("q.e", "c.ce")} / (q.nrm * c.cnr) DESC, c.cell) AS rk
-       |    FROM vn q CROSS JOIN cc c WHERE q.vec_id < $NQueries) t
-       |  WHERE rk <= $IvfNProbe
-       |), unp AS (
+    val nprobe = if (filtered) Similarity.FilteredNProbe else IvfNProbe
+    val labCte =
+      if (filtered) "lab AS (\n  SELECT vec_id, label FROM embeddings\n), "
+      else ""
+    val probesCte =
+      if (filtered)
+        s"""probes AS (
+           |  SELECT query_id, qlabel, cell FROM (
+           |    SELECT q.vec_id AS query_id, ql.label AS qlabel, c.cell,
+           |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+           |        ${sqlDot("q.e", "c.ce")} / (q.nrm * c.cnr) DESC, c.cell) AS rk
+           |    FROM vn q JOIN lab ql ON q.vec_id = ql.vec_id
+           |    CROSS JOIN cc c WHERE q.vec_id < $NQueries) t
+           |  WHERE rk <= $nprobe
+           |)""".stripMargin
+      else
+        s"""probes AS (
+           |  SELECT query_id, cell FROM (
+           |    SELECT q.vec_id AS query_id, c.cell,
+           |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+           |        ${sqlDot("q.e", "c.ce")} / (q.nrm * c.cnr) DESC, c.cell) AS rk
+           |    FROM vn q CROSS JOIN cc c WHERE q.vec_id < $NQueries) t
+           |  WHERE rk <= $nprobe
+           |)""".stripMargin
+    s"""$prefix, $labCte$probesCte, unp AS (
        |  SELECT vec_id, list_transform(e, x -> x / nrm) AS u, cell FROM idx
        |), msp AS (
        |  SELECT unnest(generate_series(0, ${M - 1})) AS m
@@ -1065,9 +1282,12 @@ object Pq {
        |  FROM (
        |    SELECT d.query_id, c.vec_id, c.m, d.d2
        |    FROM codesp c
-       |    JOIN probes p ON p.cell = c.cell
+       |    JOIN probes p ON p.cell = c.cell${
+             if (!filtered) ""
+             else "\n    JOIN lab l ON c.vec_id = l.vec_id"}
        |    JOIN dtp d ON c.m = d.m AND c.code = d.code AND d.query_id = p.query_id
        |    WHERE c.vec_id != d.query_id${
+             if (!filtered) "" else " AND l.label = p.qlabel"}${
              if (erasedPred == null) "" else s" AND NOT ($erasedPred)"}) t
        |  GROUP BY t.query_id, t.vec_id
        |), cand AS (
@@ -1077,14 +1297,18 @@ object Pq {
        |    FROM adist) t
        |  WHERE crk <= $Rerank
        |)
-       |SELECT query_id, vec_id AS neighbor_id, CAST(rk AS INTEGER) AS rank, cosine FROM (
-       |  SELECT cd.query_id, cd.vec_id,
+       |SELECT query_id, vec_id AS neighbor_id,${
+           if (filtered) " label," else ""} CAST(rk AS INTEGER) AS rank, cosine FROM (
+       |  SELECT cd.query_id, cd.vec_id,${
+           if (filtered) " lo.label," else ""}
        |    ${sqlDot("b.e", "a.e")} / (b.nrm * a.nrm) AS cosine,
        |    ROW_NUMBER() OVER (PARTITION BY cd.query_id ORDER BY
        |      ${sqlDot("b.e", "a.e")} / (b.nrm * a.nrm) DESC, cd.vec_id) AS rk
        |  FROM cand cd
        |  JOIN vn b ON cd.vec_id = b.vec_id
-       |  JOIN vn a ON cd.query_id = a.vec_id) t
+       |  JOIN vn a ON cd.query_id = a.vec_id${
+           if (!filtered) ""
+           else "\n  JOIN lab lo ON cd.vec_id = lo.vec_id"}) t
        |WHERE rk <= $K""".stripMargin
   }
 

@@ -130,18 +130,34 @@ object Quantize {
       transform(col("pq"), p => p.getField("q").cast("int")).as("codes"))
   }
 
+  /** Erasure-bucket count for the staged codes layout: codes live in
+    * `grp=<vec_id mod N>` partition directories so a delete rewrites
+    * only its ids' buckets (1/N of the index each), never the whole
+    * tree — SQ8 has no coarse cell to partition by, so the bucket
+    * stands in for the PQ tier's `cell=` directories. A deployment
+    * sizes N so a bucket rewrite fits its erasure SLA (thousands at
+    * 100 TB); the flat scan itself is unaffected — every query reads
+    * all buckets by design. */
+  val Sq8Buckets = 64L
+
+  private def withGrp(codes: DataFrame): DataFrame =
+    codes.withColumn("grp", pmod(col("vec_id"), lit(Sq8Buckets)))
+
   /** Stage the SQ8 index durably (two parquet frames under `path`):
     * the d-row ranges artifact and the int8 codes — the serving form a
     * deployment persists, completing the build-once/query-many split
     * the PQ tier has ([[Pq.writeIvfPqIndex]] precedent). Codes are
     * encoded against the STAGED ranges read back from parquet (exact
-    * double round-trip), so artifact and codes can never drift. */
+    * double round-trip), so artifact and codes can never drift. Codes
+    * land in [[Sq8Buckets]] `grp=` partition directories — the
+    * erasure-granularity layout [[deleteFromSq8Index]] rewrites. */
   def writeSq8Index(vectors: DataFrame, path: String): Unit = {
     val spark = vectors.sparkSession
     quantizerRanges(vectors).write.mode("overwrite").parquet(s"$path/ranges")
     val staged = spark.read.parquet(s"$path/ranges")
-    quantizeCodesAgainst(vectors, staged, dim = Some(staged.count()))
-      .write.mode("overwrite").parquet(s"$path/codes")
+    withGrp(quantizeCodesAgainst(vectors, staged, dim = Some(staged.count())))
+      .repartition(col("grp"))
+      .write.mode("overwrite").partitionBy("grp").parquet(s"$path/codes")
   }
 
   /** Incremental SQ8 maintenance: encode `newVectors` against the
@@ -157,10 +173,58 @@ object Quantize {
                      newVectors: DataFrame): Long = {
     val ranges = spark.read.parquet(s"$path/ranges")
     val newCodes = Scratch.stageReuse(
-      quantizeCodesAgainst(newVectors, ranges, dim = Some(ranges.count())),
+      withGrp(quantizeCodesAgainst(newVectors, ranges, dim = Some(ranges.count()))),
       "sq8_append_codes")
-    newCodes.write.mode("append").parquet(s"$path/codes")
+    newCodes.repartition(col("grp"))
+      .write.mode("append").partitionBy("grp").parquet(s"$path/codes")
     newCodes.count()
+  }
+
+  /** Right-to-erasure on the staged SQ8 index: drop the code rows of
+    * `vecIds`, rewriting ONLY the `grp=` bucket directories that
+    * contain an erased id — every other bucket's files stay
+    * byte-identical (spec-asserted), so the erasure bill is
+    * O(affected buckets · index/N), never O(index). An emptied bucket
+    * is retired outright (the [[Pq.deleteFromIvfPqIndex]] recipe —
+    * this function IS that recipe with the erasure bucket standing in
+    * for the coarse cell). The ranges artifact is unaffected: it is a
+    * trained AGGREGATE, not per-record state — re-quantize on the
+    * next reindex cadence. Crash residual shared with the PQ form:
+    * per-bucket commits, idempotent-retry repair. Returns the number
+    * of deleted code rows. */
+  def deleteFromSq8Index(spark: SparkSession, path: String,
+                         vecIds: Seq[Long]): Long = {
+    if (vecIds.isEmpty) return 0L
+    val codesPath = s"$path/codes"
+    def codes = {
+      val raw = spark.read.parquet(codesPath)
+      raw.select(col("vec_id"), col("codes"),
+        col("grp").cast("long").as("grp"))
+    }
+    val affected = codes.filter(col("vec_id").isInCollection(vecIds))
+      .select("grp").distinct().collect().map(_.getLong(0))
+    if (affected.isEmpty) return 0L
+    val survivors = Scratch.stageReuse(
+      codes.filter(col("grp").isInCollection(affected.toSeq))
+        .filter(!col("vec_id").isInCollection(vecIds)),
+      "sq8_delete_survivors")
+    val survivorGrps = survivors.select("grp").distinct()
+      .collect().map(_.getLong(0)).toSet
+    val nBefore = codes.filter(col("grp").isInCollection(affected.toSeq)).count()
+    val nAfter = survivors.count()
+    survivors.repartition(col("grp"))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("grp").parquet(codesPath)
+    // dynamic overwrite writes nothing for an emptied bucket — retire
+    // its stale directory explicitly
+    val fs = new org.apache.hadoop.fs.Path(codesPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    (affected.toSet -- survivorGrps).foreach { g =>
+      fs.delete(new org.apache.hadoop.fs.Path(codesPath, s"grp=$g"), true)
+      ()
+    }
+    nBefore - nAfter
   }
 
   /** Query a STAGED SQ8 index: the [[knnSq8On]] scan over the
@@ -180,6 +244,74 @@ object Quantize {
         lit(0).as("rank"), lit(0.0).as("cosine"))
     sq8Scan(spark.read.parquet(s"$path/codes"), rg, vectors,
       col("vec_id").isInCollection(queryIds), k, rerank)
+  }
+
+  /** RADIUS query over the staged SQ8 index (key `knn_sq8_radius`) —
+    * range search served off the COMPRESSED tier: the decode-in-kernel
+    * scan admits candidates whose APPROXIMATE cosine clears τ (a
+    * stateless filter — no window, no heap, the [[Similarity
+    * .knnRadiusOn]] tail at the compressed scan's byte cost), then the
+    * bounded candidate set is exact-verified against the float corpus,
+    * so every emitted row genuinely clears τ (precision 1.0 by
+    * construction; the approximate prefilter bounds recall by the
+    * decode error, |x−deq| ≤ span/510 per coordinate — near-exact).
+    * Deterministic end-to-end: decode is the oracle-replayable
+    * [[vecQuantizeOn]] arithmetic and both thresshold comparisons are
+    * the same IEEE compare both engines — hence a full hash oracle.
+    *
+    * 100 TB: one narrow scan of the compressed codes, broadcast
+    * queries, the τ-filter collapses the candidate stream before any
+    * shuffle; the float corpus is touched only for Q query rows and
+    * the |result|-sized verify sliver. */
+  def querySq8IndexRadius(spark: SparkSession, path: String,
+                          vectors: DataFrame, queryIds: Seq[Long],
+                          tau: Double = Similarity.RadiusTau): DataFrame = {
+    val rg = spark.read.parquet(s"$path/ranges")
+      .orderBy(col("pos")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    if (rg.isEmpty)
+      return vectors.limit(0).select(
+        col("vec_id").as("query_id"), col("vec_id").as("neighbor_id"),
+        lit(0.0).as("cosine"))
+    val decoded = dequantized(spark.read.parquet(s"$path/codes"), rg)
+    val vn = vectors
+      .select(col("vec_id"), V.toDouble(col("embedding")).as("e"))
+      .withColumn("nrm", V.l2Norm(col("e")))
+    val queries = broadcast(vn.filter(col("vec_id").isInCollection(queryIds))
+      .select(col("vec_id").as("query_id"), col("e").as("qe"), col("nrm").as("qnrm")))
+    val cand = decoded.join(queries, col("vec_id") =!= col("query_id"))
+      .filter(V.cosineWithNorms(V.dot(col("de"), col("qe")),
+        col("dn"), col("qnrm")) >= tau)
+      .select(col("query_id"), col("vec_id"))
+    cand.join(vn, "vec_id").join(queries, "query_id")
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        V.cosineWithNorms(V.dot(col("e"), col("qe")), col("nrm"), col("qnrm"))
+          .as("cosine"))
+      .filter(col("cosine") >= tau)
+  }
+
+  /** Driver query (key `knn_sq8_radius`): stage the SQ8 index, answer
+    * the radius query off the compressed codes. */
+  def knnSq8Radius(spark: SparkSession, dir: String): DataFrame = {
+    val vectors = Tables.embeddings(spark, dir)
+    val path = Scratch.reuseDir("sq8_radius_idx")
+    writeSq8Index(vectors, path)
+    querySq8IndexRadius(spark, path, vectors, 0L until Similarity.NQueries.toLong)
+  }
+
+  /** Driver query (key `knn_sq8_delete`): the erasure half of the SQ8
+    * CRUD lifecycle end to end — stage over the full corpus,
+    * [[deleteFromSq8Index]] of ids [[Pq.DeleteLo]]..[[Pq.DeleteHi]]
+    * (only their buckets rewritten), then the staged top-k query. The
+    * oracle replays the flat SQ8 search with exactly those ids
+    * excluded from candidate enumeration — the ranges grid (a trained
+    * aggregate) and every surviving code are unchanged by erasure. */
+  def knnSq8Delete(spark: SparkSession, dir: String): DataFrame = {
+    val vectors = Tables.embeddings(spark, dir)
+    val path = Scratch.reuseDir("sq8_delete_idx")
+    writeSq8Index(vectors, path)
+    deleteFromSq8Index(spark, path, Pq.DeleteLo to Pq.DeleteHi)
+    querySq8Index(spark, path, vectors, 0L until Similarity.NQueries.toLong)
   }
 
   /** Serving scan over the int8 codes (key `knn_sq8`) — the search
@@ -236,22 +368,33 @@ object Quantize {
     * cosine vs the broadcast query rows selected by `queryPred` from
     * the float corpus, lossless per-partition top-`rerank` heaps,
     * exact rerank. */
-  private def sq8Scan(codes: DataFrame, rg: Array[(Long, Double, Double)],
-                      vectors: DataFrame, queryPred: Column,
-                      k: Int, rerank: Int): DataFrame = {
+  /** In-kernel dequant of a codes frame against the collected d-row
+    * ranges (embedded as literal arrays — pure codegen): the exact
+    * [[vecQuantizeOn]] arithmetic per element ((c+128)·span/255 off
+    * the dimension's mn), degenerate dimensions decode to mn. Keeps
+    * every non-`codes` input column (the IVF variant's cell, the
+    * staged layout's grp) and appends `de`/`dn`. ONE definition for
+    * the flat scan, the IVF scan, and the radius scan — the staged
+    * paths are spec-equated to the one-shot keys (r16-advice class). */
+  private def dequantized(codes: DataFrame,
+                          rg: Array[(Long, Double, Double)]): DataFrame = {
     val mnA = array(rg.map(t => lit(t._2)): _*)
     val mxA = array(rg.map(t => lit(t._3)): _*)
-    // in-kernel dequant: the exact vecQuantizeOn arithmetic per
-    // element ((c+128)·span/255 off the dimension's mn), degenerate
-    // dimensions decode to mn
     val de = transform(col("codes"), (c, i) => {
       val mn = element_at(mnA, i + 1)
       val mx = element_at(mxA, i + 1)
       when(mx === mn, mn)
         .otherwise(mn + ((c + lit(128)).cast("double") * (mx - mn)) / lit(Steps))
     })
-    val decoded = codes.select(col("vec_id"), de.as("de"))
+    val keep = codes.columns.filterNot(_ == "codes").map(col)
+    codes.select((keep :+ de.as("de")): _*)
       .withColumn("dn", V.l2Norm(col("de")))
+  }
+
+  private def sq8Scan(codes: DataFrame, rg: Array[(Long, Double, Double)],
+                      vectors: DataFrame, queryPred: Column,
+                      k: Int, rerank: Int): DataFrame = {
+    val decoded = dequantized(codes, rg)
     val vn = vectors
       .select(col("vec_id"), V.toDouble(col("embedding")).as("e"))
       .withColumn("nrm", V.l2Norm(col("e")))
@@ -287,8 +430,11 @@ object Quantize {
     * `floor(t+0.5)−128`, so the decoded step count is the floor value
     * itself — the SQL uses it directly where the executor adds 128
     * back to the stored int8 code (same integer, exact both ways). */
-  val knnSq8OracleSql: String = {
-    import Similarity.{sqlDot, sqlNorm, NQueries, K}
+  /** The shared SQ8 replay prefix (v/vn + the grid re-derivation +
+    * decode): `den` is the decoded corpus with norms — the point every
+    * SQ8 oracle tail (top-k, erased top-k, radius) starts from. */
+  private def sq8DecodeCtes: String = {
+    import Similarity.sqlNorm
     s"""WITH v AS (
        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
        |), vn AS (
@@ -311,12 +457,22 @@ object Quantize {
        |), den AS (
        |  SELECT vec_id, de, ${sqlNorm("de")} AS dn FROM (
        |    SELECT vec_id, list(deq ORDER BY pos) AS de FROM dq GROUP BY vec_id) t
-       |), cand AS (
+       |)""".stripMargin
+  }
+
+  /** The flat-scan top-k replay; `erasedPred` (over the candidate
+    * alias `c`) drops erased ids at candidate enumeration — the
+    * knn_sq8_delete twin. With no predicate this is the classic
+    * knn_sq8 replay byte-for-byte. */
+  private def sq8OracleSqlFor(erasedPred: String = null): String = {
+    import Similarity.{sqlDot, NQueries, K}
+    s"""$sq8DecodeCtes, cand AS (
        |  SELECT query_id, vec_id FROM (
        |    SELECT q.vec_id AS query_id, c.vec_id,
        |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
        |        ${sqlDot("c.de", "q.e")} / (c.dn * q.nrm) DESC, c.vec_id) AS crk
-       |    FROM den c JOIN vn q ON q.vec_id < $NQueries AND c.vec_id != q.vec_id) t
+       |    FROM den c JOIN vn q ON q.vec_id < $NQueries AND c.vec_id != q.vec_id${
+             if (erasedPred == null) "" else s"\n    WHERE NOT ($erasedPred)"}) t
        |  WHERE crk <= ${Pq.Rerank}
        |)
        |SELECT query_id, vec_id AS neighbor_id, CAST(rk AS INTEGER) AS rank, cosine FROM (
@@ -328,6 +484,34 @@ object Quantize {
        |  JOIN vn b ON cd.vec_id = b.vec_id
        |  JOIN vn a ON cd.query_id = a.vec_id) t
        |WHERE rk <= $K""".stripMargin
+  }
+
+  val knnSq8OracleSql: String = sq8OracleSqlFor()
+
+  /** The erasure replay: candidates exclude [[Pq.DeleteLo]]..
+    * [[Pq.DeleteHi]]; grid, decode, and every surviving code as
+    * built. */
+  val knnSq8DeleteOracleSql: String =
+    sq8OracleSqlFor(s"c.vec_id BETWEEN ${Pq.DeleteLo} AND ${Pq.DeleteHi}")
+
+  /** The radius replay: the decode prefix, candidates admitted on the
+    * APPROXIMATE cosine clearing τ, the exact verify on the true
+    * cosine — both thresholds strtod-embedded. */
+  val knnSq8RadiusOracleSql: String = {
+    import Similarity.{sqlDot, NQueries, RadiusTau}
+    s"""$sq8DecodeCtes, cand AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id
+       |  FROM den c JOIN vn q ON q.vec_id < $NQueries AND c.vec_id != q.vec_id
+       |  WHERE ${sqlDot("c.de", "q.e")} / (c.dn * q.nrm)
+       |        >= CAST('$RadiusTau' AS DOUBLE)
+       |)
+       |SELECT query_id, neighbor_id, cosine FROM (
+       |  SELECT cd.query_id, cd.vec_id AS neighbor_id,
+       |    ${sqlDot("b.e", "a.e")} / (b.nrm * a.nrm) AS cosine
+       |  FROM cand cd
+       |  JOIN vn b ON cd.vec_id = b.vec_id
+       |  JOIN vn a ON cd.query_id = a.vec_id) t
+       |WHERE cosine >= CAST('$RadiusTau' AS DOUBLE)""".stripMargin
   }
 
   /** IVF-pruned SQ8 search (key `knn_ivf_sq8`) — the composed layout
@@ -371,16 +555,7 @@ object Quantize {
       quantizeCodesOn(vectors)
         .join(indexed.select(col("vec_id"), col("cell")), "vec_id"),
       "ivf_sq8_codes")
-    val mnA = array(rg.map(t => lit(t._2)): _*)
-    val mxA = array(rg.map(t => lit(t._3)): _*)
-    val de = transform(col("codes"), (c, i) => {
-      val mn = element_at(mnA, i + 1)
-      val mx = element_at(mxA, i + 1)
-      when(mx === mn, mn)
-        .otherwise(mn + ((c + lit(128)).cast("double") * (mx - mn)) / lit(Steps))
-    })
-    val decoded = codes.select(col("vec_id"), col("cell"), de.as("de"))
-      .withColumn("dn", V.l2Norm(col("de")))
+    val decoded = dequantized(codes, rg)
     val vn = vectors
       .select(col("vec_id"), V.toDouble(col("embedding")).as("e"))
       .withColumn("nrm", V.l2Norm(col("e")))

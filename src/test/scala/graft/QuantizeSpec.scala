@@ -312,4 +312,80 @@ class QuantizeSpec extends SparkSpecBase {
     assert(row == List(127, -128, 0),
       "out-of-range coordinates must saturate to the grid ends")
   }
+
+  test("sq8 erasure: rewrites only affected buckets, retires emptied ones, " +
+      "idempotent; erased ids vanish from staged answers") {
+    val vectors = graft.sources.Tables.embeddings(spark, sfDir)
+    val path = java.nio.file.Files.createTempDirectory("graft_sq8_del").toString
+    Quantize.writeSq8Index(vectors, path)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def listing(): Map[String, Long] = {
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(s"$path/codes"), true)
+      val b = Map.newBuilder[String, Long]
+      while (it.hasNext) { val st = it.next()
+        if (st.getPath.getName.endsWith(".parquet"))
+          b += (st.getPath.toString -> st.getModificationTime) }
+      b.result()
+    }
+    val before = listing()
+    // erase one full bucket (every id ≡ 5 mod 64) plus a slice of
+    // another — the first bucket dir must be retired, the second
+    // rewritten, every OTHER bucket byte-untouched
+    val ids = vectors.select("vec_id").collect().map(_.getLong(0))
+    val fullBucket = ids.filter(_ % Quantize.Sq8Buckets == 5L)
+    val partial = ids.filter(_ % Quantize.Sq8Buckets == 9L).take(3)
+    assert(fullBucket.nonEmpty && partial.nonEmpty)
+    val erase = (fullBucket ++ partial).toSeq
+    val n = Quantize.deleteFromSq8Index(spark, path, erase)
+    assert(n == erase.length, s"deleted $n of ${erase.length}")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$path/codes/grp=5")),
+      "an emptied bucket directory must be retired")
+    val after = listing()
+    val touched = Set("grp=5", "grp=9")
+    before.foreach { case (f, m) =>
+      if (!touched.exists(f.contains))
+        assert(after.get(f).contains(m), s"untouched bucket file changed: $f")
+    }
+    // erased ids are gone from the staged answers; survivors intact
+    val remaining = spark.read.parquet(s"$path/codes")
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(erase.forall(!remaining.contains(_)))
+    assert(remaining.size == ids.length - erase.length)
+    val res = Quantize.querySq8Index(spark, path, vectors,
+      0L until operators.Similarity.NQueries.toLong).collect()
+    assert(res.forall(r => !erase.contains(r.getLong(1))),
+      "an erased id survived in the staged answers")
+    // idempotence: nothing left to delete, nothing rewritten
+    val repeat = listing()
+    assert(Quantize.deleteFromSq8Index(spark, path, erase) == 0L)
+    assert(listing() == repeat, "a no-op delete must touch nothing")
+  }
+
+  test("sq8 radius off the staged index: exact-verified, deterministic, " +
+      "near-exact recall vs the float radius set") {
+    import org.apache.spark.sql.functions.col
+    val vectors = graft.sources.Tables.embeddings(spark, sfDir)
+    val path = java.nio.file.Files.createTempDirectory("graft_sq8_rad").toString
+    Quantize.writeSq8Index(vectors, path)
+    val qids = 0L until operators.Similarity.NQueries.toLong
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted
+    val res = canon(Quantize.querySq8IndexRadius(spark, path, vectors, qids))
+    val tau = operators.Similarity.RadiusTau
+    // precision 1.0 by construction: every emitted cosine clears τ
+    assert(res.forall(_._3 >= tau))
+    // the exact radius SET via the brute-force scorer: emitted pairs
+    // must be a subset, and recall near-exact (decode error is half a
+    // grid step per coordinate)
+    val exact = operators.Similarity.knnBruteforceOn(vectors, k = Int.MaxValue)
+      .filter(col("cosine") >= tau).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = res.map(t => (t._1, t._2)).toSet
+    assert(got.subsetOf(exact), "a sub-τ pair leaked through the exact verify")
+    assert(got.size.toDouble >= 0.9 * exact.size,
+      s"sq8-radius recall ${got.size.toDouble / exact.size} below 0.9")
+    assert(canon(Quantize.querySq8IndexRadius(spark, path, vectors, qids))
+      .sameElements(res), "radius answers must be bit-deterministic")
+  }
 }

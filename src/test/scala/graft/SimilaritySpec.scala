@@ -860,4 +860,140 @@ class SimilaritySpec extends SparkSpecBase {
       .sameElements(canon(Pq.queryIvfPq(Pq.buildIvfPq(slice), vectors, qids))),
       "restaged index diverged from the in-memory build it staged")
   }
+
+  test("ivfpq filtered tier: label rides the codes through stage/append/" +
+      "delete; the filtered scan answers same-label top-k") {
+    import graft.operators.Pq
+    import org.apache.spark.sql.functions.col
+    val vectors = graft.sources.Tables.embeddings(spark, sfDir)
+    val qids = (0L until Similarity.NQueries.toLong)
+    def canonF(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3), r.getDouble(4)))
+      .sortBy(t => (t._1, t._4))
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq_filt").toString
+    Pq.writeIvfPqIndex(Pq.buildIvfPq(vectors, metaCols = Seq("label")), dir)
+    val staged = Pq.readIvfPqIndex(spark, dir)
+    assert(staged.codes.columns.contains("label"),
+      "the staged codes must carry the riding metadata column")
+    val served = canonF(Pq.queryIvfPqFiltered(staged, vectors, qids))
+    // staged round-trip == in-memory build: the codes parquet
+    // round-trips longs + ints exactly
+    assert(served.sameElements(canonF(Pq.queryIvfPqFiltered(
+      Pq.buildIvfPq(vectors, metaCols = Seq("label")), vectors, qids))),
+      "staged filtered serving diverged from the in-memory build")
+    // every neighbor shares its query's label; ranks are 1..K dense
+    val qLab = vectors.filter(col("vec_id") < Similarity.NQueries)
+      .select(col("vec_id"), col("label")).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toMap
+    served.groupBy(_._1).foreach { case (q, rs) =>
+      assert(rs.forall(_._3 == qLab(q)), s"query $q got a cross-label neighbor")
+      assert(rs.map(_._4).sorted.sameElements(1 to rs.length))
+    }
+    // an UNFILTERED query of the same meta-carrying index is
+    // unaffected by the riding column (projection drops it)
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._3))
+    assert(canon(Pq.queryIvfPq(staged, vectors, qids))
+      .sameElements(canon(Pq.queryIvfPq(Pq.buildIvfPq(vectors), vectors, qids))),
+      "metadata riding the codes changed the unfiltered answers")
+    // append: the batch's labels ride automatically (the set derives
+    // from the index schema) — append(build(base)) == build(all,
+    // trainOn = base) on the FILTERED query path too
+    val cut = vectors.agg(org.apache.spark.sql.functions.max("vec_id"))
+      .collect()(0).getLong(0) / 2
+    val base = vectors.filter(col("vec_id") <= cut)
+    val rest = vectors.filter(col("vec_id") > cut)
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_ivfpq_filt_app").toString
+    Pq.writeIvfPqIndex(Pq.buildIvfPq(base, metaCols = Seq("label")), dir2)
+    assert(Pq.appendIvfPqIndex(spark, dir2, rest) == rest.count())
+    assert(canonF(Pq.queryIvfPqFiltered(Pq.readIvfPqIndex(spark, dir2), vectors, qids))
+      .sameElements(canonF(Pq.queryIvfPqFiltered(
+        Pq.buildIvfPq(vectors, trainOn = base, metaCols = Seq("label")),
+        vectors, qids))),
+      "append lost or diverged the riding metadata")
+    // a batch MISSING the index's metadata columns fails loudly
+    val bare = rest.select(col("vec_id"), col("embedding"))
+    val e = intercept[IllegalArgumentException] {
+      Pq.appendIvfPqIndex(spark, dir2, bare)
+    }
+    assert(e.getMessage.contains("metadata columns"), e.getMessage)
+    // erasure: the survivor rewrite carries the metadata column
+    val erase = (cut - 5) to cut
+    assert(Pq.deleteFromIvfPqIndex(spark, dir2, erase) > 0L)
+    val afterDelete = Pq.readIvfPqIndex(spark, dir2)
+    assert(afterDelete.codes.columns.contains("label"),
+      "delete's survivor rewrite stripped the metadata column")
+    val post = canonF(Pq.queryIvfPqFiltered(afterDelete, vectors, qids))
+    assert(post.forall(t => !erase.contains(t._2)),
+      "an erased id survived in the filtered answers")
+  }
+
+  test("index manifest: restage is atomic — readers see wholly old or " +
+      "wholly new; a failed publish leaves the old version serving") {
+    import graft.operators.IndexManifest
+    import org.apache.spark.sql.functions.col
+    val vectors = graft.sources.Tables.embeddings(spark, sfDir)
+    val root = java.nio.file.Files.createTempDirectory("graft_manifest").toString
+    assert(IndexManifest.current(spark, root).isEmpty)
+    intercept[IllegalStateException] { IndexManifest.currentOrFail(spark, root) }
+    // v1: the full float index via the manifest
+    val v1 = IndexManifest.publish(spark, root)(
+      dir => Similarity.writeIvfIndex(vectors, dir))
+    assert(IndexManifest.current(spark, root).contains(v1))
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._3))
+    val v1Answers = canon(Similarity.queryIvfIndex(spark, v1))
+    assert(v1Answers.sameElements(canon(Similarity.knnIvfOn(vectors))))
+    // a reader that resolved BEFORE a restage keeps serving the old
+    // version unchanged: v2 is a different corpus, v1 is immutable
+    val slice = vectors.filter(col("vec_id") < 200)
+    val v2 = IndexManifest.publish(spark, root)(
+      dir => Similarity.writeIvfIndex(slice, dir))
+    assert(v2 != v1)
+    assert(IndexManifest.current(spark, root).contains(v2))
+    assert(canon(Similarity.queryIvfIndex(spark, v1)).sameElements(v1Answers),
+      "a published version must be immutable under restage")
+    assert(canon(Similarity.queryIvfIndex(spark, v2))
+      .sameElements(canon(Similarity.knnIvfOn(slice))),
+      "post-flip readers must see the wholly-new version")
+    // crash mid-restage: the writer dies after a partial write —
+    // the pointer still names v2, which keeps serving
+    intercept[RuntimeException] {
+      IndexManifest.publish(spark, root) { dir =>
+        Similarity.writeIvfIndex(vectors, dir)
+        throw new RuntimeException("simulated crash before commit")
+      }
+    }
+    assert(IndexManifest.current(spark, root).contains(v2),
+      "a failed publish must leave the pointer on the old version")
+    assert(canon(Similarity.queryIvfIndex(spark,
+      IndexManifest.currentOrFail(spark, root)))
+      .sameElements(canon(Similarity.knnIvfOn(slice))))
+    // the next publish allocates past the orphaned partial dir and
+    // vacuum retires everything below the live version
+    val v3 = IndexManifest.publish(spark, root)(
+      dir => Similarity.writeIvfIndex(vectors, dir))
+    assert(IndexManifest.current(spark, root).contains(v3))
+    val gone = IndexManifest.vacuum(spark, root)
+    assert(gone.nonEmpty, "vacuum should retire the superseded versions")
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(v1)))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(v2)))
+    assert(canon(Similarity.queryIvfIndex(spark, v3)).sameElements(v1Answers),
+      "the live version must survive vacuum")
+    // PQ tier through the same manifest: the multi-frame index the
+    // two-commit residual was about
+    val pqRoot = java.nio.file.Files.createTempDirectory("graft_manifest_pq").toString
+    import graft.operators.Pq
+    val pv1 = IndexManifest.publish(spark, pqRoot)(
+      dir => Pq.writeIvfPqIndex(Pq.buildIvfPq(vectors), dir))
+    val qids = (0L until Similarity.NQueries.toLong)
+    assert(canon(Pq.queryIvfPq(Pq.readIvfPqIndex(spark,
+      IndexManifest.currentOrFail(spark, pqRoot)), vectors, qids))
+      .sameElements(canon(Pq.knnIvfPq(spark, sfDir))),
+      s"manifest-served PQ index diverged from the one-shot key ($pv1)")
+  }
 }
