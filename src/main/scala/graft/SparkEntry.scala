@@ -126,6 +126,7 @@ object SparkEntry {
     "knn_sq8_delete" -> ((s, d) => Quantize.knnSq8Delete(s, d)),
     "knn_ivf_sq8"    -> ((s, d) => Quantize.knnIvfSq8(s, d)),
     "knn_recall_report" -> (Similarity.knnRecallReport(_, _)),
+    "knn_index_stats" -> (Similarity.knnIndexStats(_, _)),
     "knn_radius"     -> ((s, d) => Similarity.knnRadius(s, d)),
     "knn_filtered"   -> ((s, d) => Similarity.knnFiltered(s, d)),
     "sample_kcenter" -> ((s, d) => Similarity.sampleKCenter(s, d)),
@@ -343,6 +344,9 @@ object SparkEntry {
     // the nprobe quality curve: one materialized IVF-build replay,
     // per-nprobe ranked cuts, overlap vs the brute-force replay
     "knn_recall_report" -> Similarity.knnRecallReportOracleSql,
+    // the retrain pre-flight: per-cell counts/skew/appended-fraction
+    // over the trained-on-base assignment (the append equation)
+    "knn_index_stats" -> Similarity.knnIndexStatsOracleSql,
     // range search: the IVF replay with the ranked tail swapped for
     // the radius filter (strtod-embedded threshold)
     "knn_radius"     -> Similarity.knnRadiusOracleSql,

@@ -1598,6 +1598,115 @@ object Similarity {
     nBefore - nAfter
   }
 
+  /** Auto-nprobe: close the recall-report loop (r16 verdict item 4 —
+    * the dq_key_skew → saltedJoinAuto precedent: a diagnostic nothing
+    * consumes is a dashboard, not a control). Measure the recall
+    * curve on THIS corpus ([[knnRecallReportOn]] — a ≤|RecallNProbes|-
+    * row report), pick the SMALLEST nprobe whose measured recall
+    * meets `targetRecall` (the widest swept width when none does —
+    * serve the best the index offers and let the caller read the
+    * returned width), and answer [[knnIvfOn]] at that width. Returns
+    * (chosen nprobe, answers).
+    *
+    * 100 TB: the calibration is one recall-report pass per REINDEX
+    * cadence (build-time, amortized over every query until retrain),
+    * not per query — a deployment persists the chosen width next to
+    * the index artifacts exactly like the centroids. */
+  def knnIvfAutoOn(vectors: DataFrame, targetRecall: Double = 0.9,
+                   k: Int = K): (Int, DataFrame) = {
+    val curve = knnRecallReportOn(vectors, k).collect()
+      .map(r => (r.getInt(0), r.getDouble(3))).sortBy(_._1)
+    val nprobe = curve.find(_._2 >= targetRecall).map(_._1)
+      .getOrElse(curve.last._1)
+    (nprobe, knnIvfOn(vectors, k, 0, nprobe))
+  }
+
+  /** Per-cell health report of a STAGED float index (r16 verdict
+    * item 5): appends assign against FROZEN centroids forever, so
+    * cells skew and recall decays as the corpus drifts — this is the
+    * retrain pre-flight (the dq_key_skew shape ON the index).
+    * One row per non-empty cell: posting count, appended count
+    * (vec_id ≥ `appendedFrom`, the caller's ingest watermark —
+    * deployments know the id their day-0 build ended at), appended
+    * fraction, and the skew factor n·C/total (1.0 = perfectly
+    * balanced; the max over cells bounds the worst probe's scan
+    * cost). All divisions are IEEE doubles of exact integers —
+    * hash-oracle-able. Metadata-sized: C rows out of one postings
+    * aggregate; the centroid count and total ride in as broadcast
+    * 1-row frames. */
+  def ivfIndexStats(spark: SparkSession, path: String,
+                    appendedFrom: Long): DataFrame = {
+    val (postings, centroids) = readIvfIndex(spark, path)
+    val perCell = postings.groupBy(col("cell"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("vec_id") >= appendedFrom, lit(1L)).otherwise(lit(0L)))
+          .as("n_appended"))
+    val tot = perCell.agg(sum(col("n")).as("tot"))
+    val nc = centroids.agg(count(lit(1)).as("c"))
+    perCell.crossJoin(broadcast(tot)).crossJoin(broadcast(nc))
+      .select(col("cell"), col("n"), col("n_appended"),
+        (col("n_appended").cast("double") / col("n").cast("double"))
+          .as("frac_appended"),
+        ((col("n") * col("c")).cast("double") / col("tot").cast("double"))
+          .as("skew"))
+  }
+
+  /** Driver query (key `knn_index_stats`): the append lifecycle's
+    * health read — stage the index on the day-0 half, append the
+    * rest against the frozen centroids, report per-cell stats with
+    * the append watermark at the split. The oracle replays the
+    * trained-on-base assignment (the spec-proven append equation)
+    * and aggregates the same report. */
+  def knnIndexStats(spark: SparkSession, dir: String): DataFrame = {
+    val vectors = Tables.embeddings(spark, dir)
+    val cut = vectors.agg(max(col("vec_id"))).collect()(0).getLong(0) / 2
+    val path = Scratch.reuseDir("ivf_stats_idx")
+    writeIvfIndex(vectors.filter(col("vec_id") <= cut), path)
+    appendIvfIndex(spark, path, vectors.filter(col("vec_id") > cut))
+    ivfIndexStats(spark, path, appendedFrom = cut + 1)
+  }
+
+  /** Oracle: the trained-on-base IVF prefix (Lloyd sees only
+    * vec_id ≤ max/2, every vector assigned against those centroids —
+    * bit-identical to build(base)+append(rest) by the spec equation),
+    * then one GROUP BY over the assignment with the exact-integer
+    * divisions. */
+  val knnIndexStatsOracleSql: String =
+    s"""$ivfIdxOraclePrefixTrainedHalf, percell AS (
+       |  SELECT cell, COUNT(*) AS n,
+       |    SUM(CASE WHEN vec_id > (SELECT cut FROM cutv) THEN 1 ELSE 0 END) AS n_appended
+       |  FROM idx GROUP BY cell
+       |), tot AS (
+       |  SELECT SUM(n) AS tot FROM percell
+       |), nc AS (
+       |  SELECT COUNT(*) AS c FROM cc
+       |)
+       |SELECT p.cell, p.n, CAST(p.n_appended AS BIGINT) AS n_appended,
+       |  CAST(p.n_appended AS DOUBLE) / CAST(p.n AS DOUBLE) AS frac_appended,
+       |  CAST(p.n * nc.c AS DOUBLE) / CAST(t.tot AS DOUBLE) AS skew
+       |FROM percell p CROSS JOIN tot t CROSS JOIN nc""".stripMargin
+
+  /** Retrain a drifted staged index IN PLACE: rebuild centroids and
+    * re-partition the postings from the index's own vectors (the
+    * float payload IS the corpus — metadata columns ride through),
+    * restaged via [[writeIvfIndex]]'s tmp+rename discipline. After a
+    * rebalance the index answers exactly as a fresh build over the
+    * same vectors (spec-asserted): `toDouble` is the identity on the
+    * already-widened payload, so the retrain sees bit-identical
+    * geometry. Cost is the build's — the point of [[ivfIndexStats]]
+    * is to pay it only when the skew report says so. The corpus frame
+    * stages to scratch first: the writer overwrites the very
+    * directories its input would otherwise lazily re-read. */
+  def rebalanceIvfIndex(spark: SparkSession, path: String): Unit = {
+    val (postings, _) = readIvfIndex(spark, path)
+    val meta = postings.columns.toSeq
+      .filterNot(Set("vec_id", "e", "nrm", "cell")).map(col)
+    val corpus = Scratch.stageReuse(
+      postings.select((Seq(col("vec_id"), col("e").as("embedding")) ++ meta): _*),
+      "ivf_rebalance_corpus")
+    writeIvfIndex(corpus, path)
+  }
+
   /** Oracle: the IVF replay with the label projection joined onto
     * both the query set and the candidate stream — the ranked window
     * runs over the FILTERED candidates, exactly as the executor

@@ -929,6 +929,79 @@ class SimilaritySpec extends SparkSpecBase {
       "an erased id survived in the filtered answers")
   }
 
+  test("auto-nprobe: picks the smallest swept width meeting the target, " +
+      "answers knnIvf at that width; unreachable target serves the widest") {
+    val vectors = graft.sources.Tables.embeddings(spark, sfDir)
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._3))
+    val curve = Similarity.knnRecallReportOn(vectors).collect()
+      .map(r => (r.getInt(0), r.getDouble(3))).sortBy(_._1)
+    val target = 0.9
+    val expected = curve.find(_._2 >= target).map(_._1)
+      .getOrElse(curve.last._1)
+    val (np, answers) = Similarity.knnIvfAutoOn(vectors, target)
+    assert(np == expected, s"picked $np, curve says $expected")
+    assert(canon(answers).sameElements(
+      canon(Similarity.knnIvfOn(vectors, nprobe = np))),
+      "auto answers must equal knnIvfOn at the chosen width")
+    // recall at the chosen width really meets the target
+    assert(curve.toMap.apply(np) >= target)
+    // unreachable target: serve the widest swept width, tell the caller
+    val (npMax, _) = Similarity.knnIvfAutoOn(vectors, targetRecall = 1.01)
+    assert(npMax == curve.last._1)
+  }
+
+  test("index stats + rebalance: the skew report reads the staged " +
+      "postings; a rebalanced index answers like a fresh build") {
+    import org.apache.spark.sql.functions.col
+    val vectors = graft.sources.Tables.embeddings(spark, sfDir)
+    val cut = vectors.agg(org.apache.spark.sql.functions.max("vec_id"))
+      .collect()(0).getLong(0) / 2
+    val base = vectors.filter(col("vec_id") <= cut)
+    val rest = vectors.filter(col("vec_id") > cut)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_stats").toString
+    Similarity.writeIvfIndex(base, dir)
+    Similarity.appendIvfIndex(spark, dir, rest)
+    val stats = Similarity.ivfIndexStats(spark, dir, appendedFrom = cut + 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    // totals reconcile with the corpus; fractions and skew well-formed
+    assert(stats.map(_._2).sum == vectors.count())
+    assert(stats.map(_._3).sum == rest.count())
+    stats.foreach { case (_, n, nApp, frac, skew) =>
+      assert(nApp <= n && frac >= 0.0 && frac <= 1.0 && skew > 0.0)
+      assert(math.abs(frac - nApp.toDouble / n) == 0.0)
+    }
+    // the skew factors average ~1 weighted by n: sum(n·skew)/total = C·Σn²/total²
+    val c = spark.read.parquet(s"$dir/centroids").count()
+    val total = stats.map(_._2).sum
+    stats.foreach { case (_, n, _, _, skew) =>
+      assert(math.abs(skew - n.toDouble * c / total) < 1e-12) }
+    // rebalance: retrain in place — answers equal a FRESH build over
+    // the same vectors (toDouble is the identity on the widened payload)
+    Similarity.rebalanceIvfIndex(spark, dir)
+    val freshDir = java.nio.file.Files.createTempDirectory("graft_ivf_fresh").toString
+    Similarity.writeIvfIndex(vectors, freshDir)
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._3))
+    assert(canon(Similarity.queryIvfIndex(spark, dir))
+      .sameElements(canon(Similarity.queryIvfIndex(spark, freshDir))),
+      "a rebalanced index must answer exactly like a fresh rebuild")
+    // post-rebalance the appended fraction is gone from the skew story:
+    // stats still reconcile (the report is watermark-relative, so the
+    // same watermark still counts the day-1 half as appended)
+    val post = Similarity.ivfIndexStats(spark, dir, appendedFrom = cut + 1)
+      .collect()
+    assert(post.map(_.getLong(1)).sum == vectors.count())
+    // all three query types keep serving off the rebalanced artifact
+    assert(Similarity.queryIvfIndexRadius(spark, dir).count() ==
+      Similarity.knnRadiusOn(vectors).count())
+    assert(Similarity.queryIvfIndexFiltered(spark, dir).count() ==
+      Similarity.knnFilteredOn(vectors).count())
+  }
+
   test("index manifest: restage is atomic — readers see wholly old or " +
       "wholly new; a failed publish leaves the old version serving") {
     import graft.operators.IndexManifest
