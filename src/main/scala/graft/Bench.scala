@@ -88,12 +88,52 @@ object Bench {
       s""""mem_total_kb":${memField("MemTotal")}}"""
   }
 
+  /** Reference seconds for [[calibrate]] on the recording box (idle,
+    * 2.1 GHz Xeon, median of 5 runs of the identical loop when the row was
+    * introduced — round 17). `era_ratio` = measured/this; see the
+    * BASELINE.md reading rule. */
+  val CalibRefSec = 0.93
+
+  /** Fixed CPU-bound calibration task (r16 verdict item 7): rounds
+    * 13–16 each burned adjudication time deciding whether a uniform
+    * per-key level shift was code or a degraded box era. This pins a
+    * code-independent yardstick INTO every bench line: a
+    * single-threaded xorshift64* fold of fixed iteration count — no
+    * allocation, no IO, no Spark — timed after one untimed JIT pass.
+    * Reading rule: divide per-key ratios by `era_ratio` before
+    * calling anything a regression; a run whose era_ratio itself is
+    * ≫1 was measured on a slowed box. Single-threaded on purpose:
+    * the box eras observed were uniform CPU slowdowns (steal /
+    * frequency / noisy neighbor), which a 1-core probe sees without
+    * adding a 32-core load spike to the run it is fingerprinting. */
+  private def calibrate(): Double = {
+    def pass(iters: Long): Long = {
+      var x = 0x9E3779B97F4A7C15L
+      var acc = 0L
+      var i = 0L
+      while (i < iters) {
+        x ^= x >>> 12; x ^= x << 25; x ^= x >>> 27
+        acc += x * 0x2545F4914F6CDD1DL
+        i += 1
+      }
+      acc
+    }
+    val warm = pass(50000000L) // untimed: JIT compiles the loop
+    val t0 = System.nanoTime()
+    val timed = pass(400000000L)
+    val sec = (System.nanoTime() - t0) / 1e9
+    if (warm == 42L && timed == 42L) System.err.print("") // defeat DCE
+    math.round(sec * 1000.0) / 1000.0
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     // captured BEFORE the session/warm-up so load/mem reflect the box
     // the run STARTED on, not the bench's own footprint
     val env = envFingerprint()
+    val calibSec = calibrate()
+    val eraRatio = math.round(calibSec / CalibRefSec * 1000.0) / 1000.0
     val spark = GraftSession.builder(master = s"local[$cpus]",
       shufflePartitions = cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -157,7 +197,7 @@ object Bench {
     val es = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
     val total = timings.values.sum
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"jitter":$js,"errors":$es,"n_ok":${timings.size},"n_err":${errors.size},"sf":${jstr(sfDir)},"env":$env}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"jitter":$js,"errors":$es,"n_ok":${timings.size},"n_err":${errors.size},"sf":${jstr(sfDir)},"calib_sec":$calibSec,"era_ratio":$eraRatio,"env":$env}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_LOCAL.json"), full + "\n")
     // Round-7 driver artifact came back `parsed: null`: the full line
     // (~4 KB with 76 queries) overflowed the driver's tail capture and
@@ -166,7 +206,7 @@ object Bench {
     // complete per-query/jitter/errors map lives in BENCH_LOCAL.json
     // (committed per round as the durable record).
     val compact =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":{},"n_ok":${timings.size},"n_err":${errors.size},"sf":${jstr(sfDir)},"env":$env,"detail":"BENCH_LOCAL.json"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":{},"n_ok":${timings.size},"n_err":${errors.size},"sf":${jstr(sfDir)},"calib_sec":$calibSec,"era_ratio":$eraRatio,"env":$env,"detail":"BENCH_LOCAL.json"}"""
     println(compact)
     spark.stop()
     if (errors.nonEmpty) System.err.println(s"[bench] ${errors.size} queries failed: ${errors.keys.mkString(",")}")

@@ -745,6 +745,60 @@ class PlanSpec extends SparkSpecBase {
     assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
   }
 
+  test("staged PQ index: the probe set STATICALLY PRUNES the cell " +
+      "partition directories of the codes scan — filtered tier too") {
+    import graft.operators.Pq
+    val vectors = graft.sources.Tables.embeddings(spark, sfDir)
+    val dir = java.nio.file.Files.createTempDirectory("graft_pq_prune").toString
+    Pq.writeIvfPqIndex(Pq.buildIvfPq(vectors, metaCols = Seq("label")), dir)
+    val staged = Pq.readIvfPqIndex(spark, dir)
+    val qids = 0L until graft.operators.Similarity.NQueries.toLong
+    // probes are collected BEFORE plan construction, so the cell cut
+    // is a static partition filter: the codes scan must list it in
+    // PartitionFilters (whole cell=<id> directories skipped — the IO
+    // cut the partitioned layout exists for), and prune to fewer
+    // files than the index holds
+    def assertPruned(df: DataFrame, what: String): Unit = {
+      val p = plan(df)
+      val codesScans = p.linesIterator
+        .filter(l => l.contains("FileScan") && l.contains(s"$dir/codes"))
+        .toSeq
+      assert(codesScans.nonEmpty, s"$what: no codes scan found in:\n$p")
+      codesScans.foreach { l =>
+        assert(l.contains("PartitionFilters: [cell"),
+          s"$what: codes scan lost the static cell partition filter:\n$l")
+      }
+      assert(!p.contains("CartesianProduct"), s"$what: cartesian in:\n$p")
+    }
+    assertPruned(Pq.queryIvfPq(staged, vectors, qids), "queryIvfPq")
+    assertPruned(Pq.queryIvfPqFiltered(staged, vectors, qids),
+      "queryIvfPqFiltered")
+  }
+
+  test("staged SQ8 index: the codes scan is column-pruned and the decode " +
+      "stays codegen — no shuffle before the candidate cut") {
+    import graft.operators.Quantize
+    val vectors = graft.sources.Tables.embeddings(spark, sfDir)
+    val dir = java.nio.file.Files.createTempDirectory("graft_sq8_plan").toString
+    Quantize.writeSq8Index(vectors, dir)
+    val qids = 0L until graft.operators.Similarity.NQueries.toLong
+    val p = plan(Quantize.querySq8Index(spark, dir, vectors, qids))
+    // the erasure-bucket partition column must not survive into the
+    // scan's read schema (it is layout, not data) and the flat scan
+    // reads only the key + codes
+    assert(p.contains("ReadSchema: struct<vec_id:bigint,codes:array<int>>"),
+      s"codes scan reads more than (vec_id, codes):\n$p")
+    // decode is the literal-array transform — pure codegen, no UDF
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"),
+      s"decode fell out of codegen:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
+    val pr = plan(Quantize.querySq8IndexRadius(spark, dir, vectors, qids))
+    assert(pr.contains("ReadSchema: struct<vec_id:bigint,codes:array<int>>"),
+      s"radius codes scan reads more than (vec_id, codes):\n$pr")
+    assert("Window \\[".r.findAllIn(pr).isEmpty,
+      s"the radius tail must not rank anything:\n$pr")
+  }
+
   test("knn_ivf_opq: rotation stays native codegen dots, closure scan, " +
       "bounded windows, no cartesian") {
     val p = plan(graft.operators.Opq.knnIvfOpq(spark, sfDir))
