@@ -38,7 +38,8 @@ object ScaleCheck {
       "knn_ivf_pq", "knn_pq", "sample_kcenter", "knn_graph",
       "vec_covariance", "vec_quantize", "ivf_pq_append", "knn_graph_capped",
       "knn_sq8", "knn_recall_report", "knn_opq", "sq8_query", "knn_ivf_sq8",
-      "knn_radius", "knn_filtered", "knn_ivf_opq")
+      "knn_radius", "knn_filtered", "knn_ivf_opq",
+      "ivf_pq_filtered_query", "sq8_radius_query", "ivf_stats")
     val skipNonEmbedding = args.length > 1 && args(1).split(",").forall(embOnly)
     // a graph-only run (the tier's dedicated scaled-catalog corpus)
     // likewise skips the main tables: a 300× run would otherwise
@@ -556,8 +557,72 @@ object ScaleCheck {
       s""""sq8_query":{"sec":$qSec,"rows":${acc.value},"build_sec":$buildSec}"""
     }
 
+    // round-17 serving rows: filtered queries off the COMPRESSED
+    // staged tier (build once untimed, time only the query path —
+    // the steady-state figure), radius + erasure on the staged SQ8
+    // index, and the index-health read + in-place retrain.
+    val pqFilteredServe = if (!only("ivf_pq_filtered_query")) None else Some {
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      val idxDir = operators.Scratch.diskDir("graft_scale_ivfpq_filt")
+      val tb0 = System.nanoTime()
+      operators.Pq.writeIvfPqIndex(
+        operators.Pq.buildIvfPq(emb, metaCols = Seq("label")), idxDir)
+      val buildSec = (System.nanoTime() - tb0) / 1e9
+      val staged = operators.Pq.readIvfPqIndex(spark, idxDir)
+      val acc = spark.sparkContext.longAccumulator("rows_pq_filtered")
+      val tq0 = System.nanoTime()
+      operators.Pq.queryIvfPqFiltered(staged, emb,
+        0L until operators.Similarity.NQueries.toLong)
+        .queryExecution.toRdd.foreachPartition(it => acc.add(it.size.toLong))
+      val qSec = (System.nanoTime() - tq0) / 1e9
+      s""""ivf_pq_filtered_query":{"sec":$qSec,"rows":${acc.value},"build_sec":$buildSec}"""
+    }
+    val sq8RadiusServe = if (!only("sq8_radius_query")) None else Some {
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      val idxDir = operators.Scratch.diskDir("graft_scale_sq8rad")
+      val tb0 = System.nanoTime()
+      operators.Quantize.writeSq8Index(emb, idxDir)
+      val buildSec = (System.nanoTime() - tb0) / 1e9
+      val acc = spark.sparkContext.longAccumulator("rows_sq8_radius")
+      val tq0 = System.nanoTime()
+      operators.Quantize.querySq8IndexRadius(spark, idxDir, emb,
+        0L until operators.Similarity.NQueries.toLong)
+        .queryExecution.toRdd.foreachPartition(it => acc.add(it.size.toLong))
+      val qSec = (System.nanoTime() - tq0) / 1e9
+      // GDPR-sized erasure on the bucketed codes: 50 spread ids touch
+      // ≤ min(50, Sq8Buckets) of the 64 bucket dirs
+      val maxId = emb.agg(max("vec_id")).collect()(0).getLong(0)
+      val eraseIds = (0L until 50L).map(i => i * (maxId / 50L))
+      val td0 = System.nanoTime()
+      val deleted = operators.Quantize.deleteFromSq8Index(spark, idxDir, eraseIds)
+      val deleteSec = (System.nanoTime() - td0) / 1e9
+      s""""sq8_radius_query":{"sec":$qSec,"rows":${acc.value},"build_sec":$buildSec},""" +
+        s""""sq8_delete":{"sec":$deleteSec,"rows":$deleted}"""
+    }
+    val ivfStats = if (!only("ivf_stats")) None else Some {
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      val idxDir = operators.Scratch.diskDir("graft_scale_ivf_stats")
+      val cut = emb.agg(max("vec_id")).collect()(0).getLong(0) / 2
+      val tb0 = System.nanoTime()
+      operators.Similarity.writeIvfIndex(
+        emb.filter(col("vec_id") <= cut), idxDir)
+      operators.Similarity.appendIvfIndex(spark, idxDir,
+        emb.filter(col("vec_id") > cut))
+      val buildSec = (System.nanoTime() - tb0) / 1e9
+      val acc = spark.sparkContext.longAccumulator("rows_ivf_stats")
+      val ts0 = System.nanoTime()
+      operators.Similarity.ivfIndexStats(spark, idxDir, cut + 1)
+        .queryExecution.toRdd.foreachPartition(it => acc.add(it.size.toLong))
+      val statsSec = (System.nanoTime() - ts0) / 1e9
+      val tr0 = System.nanoTime()
+      operators.Similarity.rebalanceIvfIndex(spark, idxDir)
+      val rebalSec = (System.nanoTime() - tr0) / 1e9
+      s""""ivf_stats":{"sec":$statsSec,"rows":${acc.value},"build_sec":$buildSec},""" +
+        s""""ivf_rebalance":{"sec":$rebalSec,"rows":${acc.value}}"""
+    }
     val qs = (results.collect { case (k, s, r) if r >= 0 => s""""$k":{"sec":$s,"rows":$r}""" }
-      ++ pipe ++ scd2Apply ++ ivfAppend ++ sq8Serve).mkString(",")
+      ++ pipe ++ scd2Apply ++ ivfAppend ++ sq8Serve
+      ++ pqFilteredServe ++ sq8RadiusServe ++ ivfStats).mkString(",")
     println(s"""{"scale_mult":$mult,"n_events":$n,"ops":{$qs}}""")
     spark.stop()
   }
