@@ -620,9 +620,42 @@ object ScaleCheck {
       s""""ivf_stats":{"sec":$statsSec,"rows":${acc.value},"build_sec":$buildSec},""" +
         s""""ivf_rebalance":{"sec":$rebalSec,"rows":${acc.value}}"""
     }
+    // the two matrix-completing serving rows: radius off the staged
+    // PQ codes, filtered off the staged SQ8 codes (build untimed,
+    // query timed — the steady-state figure)
+    val pqRadiusServe = if (!only("ivf_pq_radius_query")) None else Some {
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      val idxDir = operators.Scratch.diskDir("graft_scale_ivfpq_rad")
+      val tb0 = System.nanoTime()
+      operators.Pq.writeIvfPqIndex(operators.Pq.buildIvfPq(emb), idxDir)
+      val buildSec = (System.nanoTime() - tb0) / 1e9
+      val staged = operators.Pq.readIvfPqIndex(spark, idxDir)
+      val acc = spark.sparkContext.longAccumulator("rows_pq_radius")
+      val tq0 = System.nanoTime()
+      operators.Pq.queryIvfPqRadius(staged, emb,
+        0L until operators.Similarity.NQueries.toLong)
+        .queryExecution.toRdd.foreachPartition(it => acc.add(it.size.toLong))
+      val qSec = (System.nanoTime() - tq0) / 1e9
+      s""""ivf_pq_radius_query":{"sec":$qSec,"rows":${acc.value},"build_sec":$buildSec}"""
+    }
+    val sq8FilteredServe = if (!only("sq8_filtered_query")) None else Some {
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      val idxDir = operators.Scratch.diskDir("graft_scale_sq8filt")
+      val tb0 = System.nanoTime()
+      operators.Quantize.writeSq8Index(emb, idxDir, metaCols = Seq("label"))
+      val buildSec = (System.nanoTime() - tb0) / 1e9
+      val acc = spark.sparkContext.longAccumulator("rows_sq8_filtered")
+      val tq0 = System.nanoTime()
+      operators.Quantize.querySq8IndexFiltered(spark, idxDir, emb,
+        0L until operators.Similarity.NQueries.toLong)
+        .queryExecution.toRdd.foreachPartition(it => acc.add(it.size.toLong))
+      val qSec = (System.nanoTime() - tq0) / 1e9
+      s""""sq8_filtered_query":{"sec":$qSec,"rows":${acc.value},"build_sec":$buildSec}"""
+    }
     val qs = (results.collect { case (k, s, r) if r >= 0 => s""""$k":{"sec":$s,"rows":$r}""" }
       ++ pipe ++ scd2Apply ++ ivfAppend ++ sq8Serve
-      ++ pqFilteredServe ++ sq8RadiusServe ++ ivfStats).mkString(",")
+      ++ pqFilteredServe ++ sq8RadiusServe ++ ivfStats
+      ++ pqRadiusServe ++ sq8FilteredServe).mkString(",")
     println(s"""{"scale_mult":$mult,"n_events":$n,"ops":{$qs}}""")
     spark.stop()
   }

@@ -121,7 +121,9 @@ object SparkEntry {
     "knn_ivf_pq_append" -> ((s, d) => graft.operators.Pq.knnIvfPqAppend(s, d)),
     "knn_ivf_pq_delete" -> ((s, d) => graft.operators.Pq.knnIvfPqDelete(s, d)),
     "knn_ivf_pq_filtered" -> ((s, d) => graft.operators.Pq.knnIvfPqFiltered(s, d)),
+    "knn_ivf_pq_radius" -> ((s, d) => graft.operators.Pq.knnIvfPqRadius(s, d)),
     "knn_sq8"        -> ((s, d) => Quantize.knnSq8(s, d)),
+    "knn_sq8_filtered" -> ((s, d) => Quantize.knnSq8Filtered(s, d)),
     "knn_sq8_radius" -> ((s, d) => Quantize.knnSq8Radius(s, d)),
     "knn_sq8_delete" -> ((s, d) => Quantize.knnSq8Delete(s, d)),
     "knn_ivf_sq8"    -> ((s, d) => Quantize.knnIvfSq8(s, d)),
@@ -329,9 +331,16 @@ object SparkEntry {
     // IVFADC replay with the label joined on both sides, candidate
     // enumeration same-label only, widened probe cut
     "knn_ivf_pq_filtered" -> graft.operators.Pq.knnIvfPqFilteredOracleSql,
+    // radius search off the compressed staged tier: the composed
+    // IVFADC replay with the ranked cut swapped for the distance
+    // threshold, exact verify on the true cosine
+    "knn_ivf_pq_radius" -> graft.operators.Pq.knnIvfPqRadiusOracleSql,
     // the int8 serving scan replayed end-to-end: the vec_quantize
     // grid re-derived, decode, approx-cosine cut, exact rerank
     "knn_sq8"        -> Quantize.knnSq8OracleSql,
+    // filtered search off the SQ8 tier: the flat decode replay with
+    // the label joined on both sides, same-label candidate ranking
+    "knn_sq8_filtered" -> Quantize.knnSq8FilteredOracleSql,
     // radius search off the compressed tier: approximate-cosine
     // admission + exact verify, both thresholds strtod-embedded
     "knn_sq8_radius" -> Quantize.knnSq8RadiusOracleSql,

@@ -1150,6 +1150,90 @@ object Pq {
       0L until NQueries.toLong)
   }
 
+  /** RADIUS query off the STAGED compressed index (key
+    * `knn_ivf_pq_radius`) — range search at the ADC scan's byte cost,
+    * completing the radius row of the query-type × tier matrix
+    * (float [[Similarity.queryIvfIndexRadius]], SQ8
+    * [[Quantize.querySq8IndexRadius]], PQ here). The codes are
+    * encoded from the UNIT-normalized corpus, so on the sphere
+    * |q−x|² = 2−2cos and the cosine admission cos̃ ≥ τ is the ADC
+    * distance cut adist ≤ 2(1−τ) — a STATELESS filter inside the
+    * cell-pruned code scan (no heap, no window, the radius
+    * discipline), then the bounded admitted set is exact-verified
+    * against the float corpus so every emitted row genuinely clears τ
+    * (precision 1.0 by construction; recall bounded by the probe cut
+    * and the ADC quantization error — coarser than SQ8's, which is
+    * why the verify step is not optional on this tier).
+    *
+    * 100 TB: probes bound the scan to ~nprobe/C of the codes, the
+    * τ-filter collapses the candidate stream before any shuffle, and
+    * the float corpus is touched only for the Q query rows and the
+    * |admitted|-sized verify sliver. The admitted set is
+    * data-dependent, so unlike top-k's Rerank·Q sliver it is NOT
+    * broadcast — the verify join shuffles on vec_id. */
+  def queryIvfPqRadius(index: IvfPqIndex, vectors: DataFrame,
+                       queryIds: Seq[Long],
+                       tau: Double = Similarity.RadiusTau,
+                       nprobe: Int = Similarity.IvfNProbe): DataFrame = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val vn = vectors
+      .select(col("vec_id"), V.toDouble(col("embedding")).as("e"))
+      .withColumn("nrm", V.l2Norm(col("e")))
+    val qRows = queryRowsOf(vn, queryIds)
+    if (qRows.isEmpty)
+      return vectors.limit(0).select(
+        col("vec_id").as("query_id"), col("vec_id").as("neighbor_id"),
+        lit(0.0).as("cosine"))
+    val dim = qRows(0)._2.length
+    require(dim % M == 0, s"embedding dim $dim must be divisible by M=$M")
+    val subW = dim / M
+    val probesByQ = probesAgainst(index.centroids, qRows, nprobe)
+    val probedCells = probesByQ.values.flatten.toSet
+    val qIds = probesByQ.keys.toArray.sorted
+    val (dtByQ, codeRank) = adcTablesFor(index.codebooks, qRows, subW)
+    // 2(1−τ) in IEEE — exactly representable for the driver's τ=0.25;
+    // the oracle embeds the same computed double via strtod
+    val admitD2 = 2.0 * (1.0 - tau)
+    val cand = index.codes
+      .filter(col("cell").isInCollection(probedCells.toSeq))
+      .select(col("vec_id"), col("cell"), col("codes"))
+      .as[(Long, Long, Array[Long])]
+      .mapPartitions { it =>
+        it.flatMap { case (vid, cell, cs) =>
+          qIds.iterator
+            .filter(q => q != vid && probesByQ(q).contains(cell))
+            .map { q =>
+              val dtm = dtByQ(q)
+              var acc = 0.0
+              var m = 0
+              while (m < M) { acc += dtm(m)(codeRank(m)(cs(m))); m += 1 }
+              (q, vid, acc)
+            }
+            .filter(_._3 <= admitD2)
+        }
+      }
+      .toDF("query_id", "vec_id", "adist")
+      .select(col("query_id"), col("vec_id"))
+    val qSide = broadcast(vn.filter(col("vec_id").isInCollection(queryIds))
+      .select(col("vec_id").as("query_id"), col("e").as("qe"), col("nrm").as("qnrm")))
+    cand.join(vn, "vec_id").join(qSide, "query_id")
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        V.cosineWithNorms(V.dot(col("e"), col("qe")), col("nrm"), col("qnrm"))
+          .as("cosine"))
+      .filter(col("cosine") >= tau)
+  }
+
+  /** Driver query (key `knn_ivf_pq_radius`): build, stage durably,
+    * read back, answer the radius query off the compressed codes. */
+  def knnIvfPqRadius(spark: SparkSession, dir: String): DataFrame = {
+    val vectors = Tables.embeddings(spark, dir)
+    val path = graft.operators.Scratch.reuseDir("ivf_pq_radius_idx")
+    writeIvfPqIndex(buildIvfPq(vectors), path)
+    queryIvfPqRadius(readIvfPqIndex(spark, path), vectors,
+      0L until NQueries.toLong)
+  }
+
   /** Full DuckDB replay of the composed IVFADC search: the shared IVF
     * index prefix (auto-sized C, the executor's knob) + the PQ build
     * CTEs (suffixed `p` to avoid colliding with the prefix's
@@ -1181,6 +1265,14 @@ object Pq {
   val knnIvfPqFilteredOracleSql: String =
     ivfPqOracleSqlFor(trained = false, filtered = true)
 
+  /** The radius replay (key `knn_ivf_pq_radius`): the classic
+    * composed build + probes + ADC, candidate admission swapped from
+    * the ranked Rerank cut to the distance threshold adist ≤ 2(1−τ)
+    * (the unit-sphere image of the cosine admission), exact verify on
+    * the true cosine — both thresholds strtod-embedded. */
+  val knnIvfPqRadiusOracleSql: String =
+    ivfPqOracleSqlFor(trained = false, radius = true)
+
   /** One template, two training policies: `trained = true` swaps in
     * the trained-half IVF prefix and restricts the PQ seed pick
     * (`sdp`) and codebook-training assignment (`fap`) to the base
@@ -1189,12 +1281,15 @@ object Pq {
     * over the candidate alias `c`) drops erased ids at candidate
     * enumeration — everything trained or probed stays as built.
     * `filtered = true` rides the label through probes and candidate
-    * enumeration and widens the probe cut. With `trained = false` and
-    * no predicate and no filter this emits the classic composed
-    * replay byte-for-byte. */
+    * enumeration and widens the probe cut. `radius = true` swaps the
+    * ranked candidate cut for the distance-threshold admission and
+    * the final top-k window for the radius verify. With `trained =
+    * false` and no predicate and no flag this emits the classic
+    * composed replay byte-for-byte. */
   private def ivfPqOracleSqlFor(trained: Boolean,
                                 erasedPred: String = null,
-                                filtered: Boolean = false): String = {
+                                filtered: Boolean = false,
+                                radius: Boolean = false): String = {
     val dim = 64
     val sub = dim / M
     import Similarity.{sqlDot, IvfNProbe}
@@ -1290,13 +1385,30 @@ object Pq {
              if (!filtered) "" else " AND l.label = p.qlabel"}${
              if (erasedPred == null) "" else s" AND NOT ($erasedPred)"}) t
        |  GROUP BY t.query_id, t.vec_id
-       |), cand AS (
+       |), cand AS (${
+           if (radius)
+             s"""
+       |  SELECT query_id, vec_id FROM adist
+       |  WHERE adist <= CAST('${2.0 * (1.0 - Similarity.RadiusTau)}' AS DOUBLE)""".stripMargin
+           else
+             s"""
        |  SELECT query_id, vec_id FROM (
        |    SELECT query_id, vec_id,
        |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adist, vec_id) AS crk
        |    FROM adist) t
-       |  WHERE crk <= $Rerank
-       |)
+       |  WHERE crk <= $Rerank""".stripMargin}
+       |)${
+           if (radius)
+             s"""
+       |SELECT query_id, neighbor_id, cosine FROM (
+       |  SELECT cd.query_id, cd.vec_id AS neighbor_id,
+       |    ${sqlDot("b.e", "a.e")} / (b.nrm * a.nrm) AS cosine
+       |  FROM cand cd
+       |  JOIN vn b ON cd.vec_id = b.vec_id
+       |  JOIN vn a ON cd.query_id = a.vec_id) t
+       |WHERE cosine >= CAST('${Similarity.RadiusTau}' AS DOUBLE)""".stripMargin
+           else
+             s"""
        |SELECT query_id, vec_id AS neighbor_id,${
            if (filtered) " label," else ""} CAST(rk AS INTEGER) AS rank, cosine FROM (
        |  SELECT cd.query_id, cd.vec_id,${
@@ -1309,7 +1421,7 @@ object Pq {
        |  JOIN vn a ON cd.query_id = a.vec_id${
            if (!filtered) ""
            else "\n  JOIN lab lo ON cd.vec_id = lo.vec_id"}) t
-       |WHERE rk <= $K""".stripMargin
+       |WHERE rk <= $K""".stripMargin}""".stripMargin
   }
 
   /** The PQ build/encode/ADC/cut replay as a CTE tail over an

@@ -150,12 +150,23 @@ object Quantize {
     * encoded against the STAGED ranges read back from parquet (exact
     * double round-trip), so artifact and codes can never drift. Codes
     * land in [[Sq8Buckets]] `grp=` partition directories — the
-    * erasure-granularity layout [[deleteFromSq8Index]] rewrites. */
-  def writeSq8Index(vectors: DataFrame, path: String): Unit = {
+    * erasure-granularity layout [[deleteFromSq8Index]] rewrites.
+    * `metaCols` names vector columns to ride the code rows (the
+    * metadata-in-index layout [[querySq8IndexFiltered]] serves —
+    * [[Pq.buildIvfPq]]'s recipe on the SQ8 tier): filter columns live
+    * NEXT to the codes so a filtered query never joins the float
+    * corpus per candidate. */
+  def writeSq8Index(vectors: DataFrame, path: String,
+                    metaCols: Seq[String] = Seq.empty): Unit = {
     val spark = vectors.sparkSession
     quantizerRanges(vectors).write.mode("overwrite").parquet(s"$path/ranges")
     val staged = spark.read.parquet(s"$path/ranges")
-    withGrp(quantizeCodesAgainst(vectors, staged, dim = Some(staged.count())))
+    val codes = quantizeCodesAgainst(vectors, staged, dim = Some(staged.count()))
+    val withMeta =
+      if (metaCols.isEmpty) codes
+      else codes.join(
+        vectors.select((Seq("vec_id") ++ metaCols).map(col): _*), "vec_id")
+    withGrp(withMeta)
       .repartition(col("grp"))
       .write.mode("overwrite").partitionBy("grp").parquet(s"$path/codes")
   }
@@ -167,14 +178,26 @@ object Quantize {
     * so the append bill is O(|new|), never O(index). A batch whose
     * vectors don't match the artifact's width FAILS (r15 advice — a
     * truncated or short code row would silently poison every later
-    * scan; the width count is a d-row parquet read). Returns the
-    * number of appended code rows. */
+    * scan; the width count is a d-row parquet read). Metadata columns
+    * riding the staged codes ([[writeSq8Index]]'s `metaCols`) are
+    * derived from the index schema and REQUIRED of the batch — a
+    * batch missing one would leave null-labeled rows invisible to
+    * every filtered query (the [[Pq.appendIvfPqIndex]] discipline).
+    * Returns the number of appended code rows. */
   def appendSq8Index(spark: SparkSession, path: String,
                      newVectors: DataFrame): Long = {
     val ranges = spark.read.parquet(s"$path/ranges")
-    val newCodes = Scratch.stageReuse(
-      withGrp(quantizeCodesAgainst(newVectors, ranges, dim = Some(ranges.count()))),
-      "sq8_append_codes")
+    val riding = spark.read.parquet(s"$path/codes").columns.toSeq
+      .filterNot(Set("vec_id", "codes", "grp"))
+    riding.foreach(c => require(newVectors.columns.contains(c),
+      s"appendSq8Index: the staged codes ride metadata column '$c' " +
+        s"but the batch lacks it — appends must carry the index's riding set"))
+    val encoded = quantizeCodesAgainst(newVectors, ranges, dim = Some(ranges.count()))
+    val withMeta =
+      if (riding.isEmpty) encoded
+      else encoded.join(
+        newVectors.select((Seq("vec_id") ++ riding).map(col): _*), "vec_id")
+    val newCodes = Scratch.stageReuse(withGrp(withMeta), "sq8_append_codes")
     newCodes.repartition(col("grp"))
       .write.mode("append").partitionBy("grp").parquet(s"$path/codes")
     newCodes.count()
@@ -196,10 +219,15 @@ object Quantize {
                          vecIds: Seq[Long]): Long = {
     if (vecIds.isEmpty) return 0L
     val codesPath = s"$path/codes"
+    // the survivor rewrite must carry EVERY posting column — dropping
+    // a riding metadata column here would silently erase the filtered
+    // tier (the deleteFromIvfPqIndex discipline)
     def codes = {
       val raw = spark.read.parquet(codesPath)
-      raw.select(col("vec_id"), col("codes"),
-        col("grp").cast("long").as("grp"))
+      val meta = raw.columns.toSeq
+        .filterNot(Set("vec_id", "codes", "grp")).map(col)
+      raw.select((Seq(col("vec_id"), col("codes"),
+        col("grp").cast("long").as("grp")) ++ meta): _*)
     }
     val affected = codes.filter(col("vec_id").isInCollection(vecIds))
       .select("grp").distinct().collect().map(_.getLong(0))
@@ -312,6 +340,84 @@ object Quantize {
     writeSq8Index(vectors, path)
     deleteFromSq8Index(spark, path, Pq.DeleteLo to Pq.DeleteHi)
     querySq8Index(spark, path, vectors, 0L until Similarity.NQueries.toLong)
+  }
+
+  /** FILTERED top-k off the staged SQ8 index (key `knn_sq8_filtered`)
+    * — the metadata predicate evaluated INSIDE the decode scan: the
+    * filter column rides the code rows ([[writeSq8Index]]'s
+    * `metaCols`), so a rejected candidate costs one comparison before
+    * any decode arithmetic and the float corpus is touched only for
+    * the Q query rows and the Rerank·Q rerank sliver. Post-filtering
+    * an unfiltered top-k under-fills k whenever the filter is
+    * selective (the knn_filtered correctness trap) — here the
+    * candidate RANKING itself is same-label, so k slots always fill
+    * where the corpus has them. No probe-widening lever exists on the
+    * flat tier (the scan reads every bucket by design); selectivity
+    * only SHRINKS the ranked stream. Output: (query_id, neighbor_id,
+    * label, rank, cosine) — exact cosines, the approximate decode
+    * order only shapes the candidate cut; the output label joins from
+    * the corpus projection so its TYPE is the source column's. */
+  def querySq8IndexFiltered(spark: SparkSession, path: String,
+                            vectors: DataFrame, queryIds: Seq[Long],
+                            k: Int = Similarity.K,
+                            rerank: Int = Pq.Rerank,
+                            filterCol: String = "label"): DataFrame = {
+    val rg = spark.read.parquet(s"$path/ranges")
+      .orderBy(col("pos")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    if (rg.isEmpty)
+      return vectors.limit(0).select(
+        col("vec_id").as("query_id"), col("vec_id").as("neighbor_id"),
+        col(filterCol).as("label"), lit(0).as("rank"), lit(0.0).as("cosine"))
+    val raw = spark.read.parquet(s"$path/codes")
+    require(raw.columns.contains(filterCol),
+      s"staged SQ8 codes carry no '$filterCol' column — " +
+        s"stage the index with metaCols = Seq(\"$filterCol\")")
+    val decoded = dequantized(
+      raw.select(col("vec_id"), col("codes"), col(filterCol)), rg)
+    val vnl = vectors
+      .select(col("vec_id"), V.toDouble(col("embedding")).as("e"),
+        col(filterCol))
+      .withColumn("nrm", V.l2Norm(col("e")))
+    val queries = broadcast(vnl.filter(col("vec_id").isInCollection(queryIds))
+      .select(col("vec_id").as("query_id"), col("e").as("qe"),
+        col("nrm").as("qnrm"), col(filterCol).as("qlabel")))
+    val scored = decoded.join(queries, col("vec_id") =!= col("query_id"))
+      .filter(col(filterCol) === col("qlabel"))
+      .select(col("query_id"), col("vec_id"),
+        V.cosineWithNorms(V.dot(col("de"), col("qe")), col("dn"), col("qnrm"))
+          .as("cosine"))
+    val cw = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    val cand = broadcast(Similarity.partitionTopK(scored, rerank)
+      .withColumn("crk", row_number().over(cw))
+      .filter(col("crk") <= rerank)
+      .select(col("query_id"), col("vec_id")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    cand.join(vnl, "vec_id").join(queries, "query_id")
+      .select(col("query_id"), col("vec_id"), col(filterCol).as("label"),
+        V.cosineWithNorms(V.dot(col("e"), col("qe")), col("nrm"), col("qnrm"))
+          .as("cosine"))
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("label"), col("rank"), col("cosine"))
+  }
+
+  /** Driver query (key `knn_sq8_filtered`): stage the SQ8 index with
+    * the label riding the code rows, answer same-label top-k with the
+    * predicate inside the compressed scan — filtered search now
+    * serves off ALL THREE tiers (float [[Similarity
+    * .queryIvfIndexFiltered]], PQ [[Pq.queryIvfPqFiltered]], SQ8
+    * here), completing the query-type × tier serving matrix's
+    * filtered row. */
+  def knnSq8Filtered(spark: SparkSession, dir: String): DataFrame = {
+    val vectors = Tables.embeddings(spark, dir)
+    val path = Scratch.reuseDir("sq8_filtered_idx")
+    writeSq8Index(vectors, path, metaCols = Seq("label"))
+    querySq8IndexFiltered(spark, path, vectors,
+      0L until Similarity.NQueries.toLong)
   }
 
   /** Serving scan over the int8 codes (key `knn_sq8`) — the search
@@ -462,31 +568,53 @@ object Quantize {
 
   /** The flat-scan top-k replay; `erasedPred` (over the candidate
     * alias `c`) drops erased ids at candidate enumeration — the
-    * knn_sq8_delete twin. With no predicate this is the classic
-    * knn_sq8 replay byte-for-byte. */
-  private def sq8OracleSqlFor(erasedPred: String = null): String = {
+    * knn_sq8_delete twin. `filtered = true` rides the label through
+    * candidate enumeration (same-label ranking — the predicate the
+    * executor evaluates inside the decode scan) and onto the output.
+    * With neither this is the classic knn_sq8 replay byte-for-byte. */
+  private def sq8OracleSqlFor(erasedPred: String = null,
+                              filtered: Boolean = false): String = {
     import Similarity.{sqlDot, NQueries, K}
-    s"""$sq8DecodeCtes, cand AS (
+    val labCte =
+      if (filtered) ", lab AS (\n  SELECT vec_id, label FROM embeddings\n)"
+      else ""
+    val labJoins =
+      if (filtered)
+        s"""
+           |    JOIN lab cl ON c.vec_id = cl.vec_id
+           |    JOIN lab ql ON q.vec_id = ql.vec_id AND cl.label = ql.label""".stripMargin
+      else ""
+    s"""$sq8DecodeCtes$labCte, cand AS (
        |  SELECT query_id, vec_id FROM (
        |    SELECT q.vec_id AS query_id, c.vec_id,
        |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
        |        ${sqlDot("c.de", "q.e")} / (c.dn * q.nrm) DESC, c.vec_id) AS crk
-       |    FROM den c JOIN vn q ON q.vec_id < $NQueries AND c.vec_id != q.vec_id${
+       |    FROM den c JOIN vn q ON q.vec_id < $NQueries AND c.vec_id != q.vec_id$labJoins${
              if (erasedPred == null) "" else s"\n    WHERE NOT ($erasedPred)"}) t
        |  WHERE crk <= ${Pq.Rerank}
        |)
-       |SELECT query_id, vec_id AS neighbor_id, CAST(rk AS INTEGER) AS rank, cosine FROM (
-       |  SELECT cd.query_id, cd.vec_id,
+       |SELECT query_id, vec_id AS neighbor_id,${
+           if (filtered) " label," else ""} CAST(rk AS INTEGER) AS rank, cosine FROM (
+       |  SELECT cd.query_id, cd.vec_id,${
+           if (filtered) " lo.label," else ""}
        |    ${sqlDot("b.e", "a.e")} / (b.nrm * a.nrm) AS cosine,
        |    ROW_NUMBER() OVER (PARTITION BY cd.query_id ORDER BY
        |      ${sqlDot("b.e", "a.e")} / (b.nrm * a.nrm) DESC, cd.vec_id) AS rk
        |  FROM cand cd
        |  JOIN vn b ON cd.vec_id = b.vec_id
-       |  JOIN vn a ON cd.query_id = a.vec_id) t
+       |  JOIN vn a ON cd.query_id = a.vec_id${
+           if (!filtered) ""
+           else "\n  JOIN lab lo ON cd.vec_id = lo.vec_id"}) t
        |WHERE rk <= $K""".stripMargin
   }
 
   val knnSq8OracleSql: String = sq8OracleSqlFor()
+
+  /** The filtered replay (key `knn_sq8_filtered`): the flat SQ8
+    * search with the `lab` CTE joined on both sides of candidate
+    * enumeration — the same-label ranking the executor computes with
+    * the label riding the code rows. */
+  val knnSq8FilteredOracleSql: String = sq8OracleSqlFor(filtered = true)
 
   /** The erasure replay: candidates exclude [[Pq.DeleteLo]]..
     * [[Pq.DeleteHi]]; grid, decode, and every surviving code as

@@ -773,6 +773,13 @@ class PlanSpec extends SparkSpecBase {
     assertPruned(Pq.queryIvfPq(staged, vectors, qids), "queryIvfPq")
     assertPruned(Pq.queryIvfPqFiltered(staged, vectors, qids),
       "queryIvfPqFiltered")
+    // the radius tier prunes the same way and never ranks: admission
+    // is a stateless threshold filter, not a window
+    val radius = Pq.queryIvfPqRadius(staged, vectors, qids)
+    assertPruned(radius, "queryIvfPqRadius")
+    val pr = plan(radius)
+    assert("Window \\[".r.findAllIn(pr).isEmpty,
+      s"the radius tail must not rank anything:\n$pr")
   }
 
   test("staged SQ8 index: the codes scan is column-pruned and the decode " +
@@ -797,6 +804,16 @@ class PlanSpec extends SparkSpecBase {
       s"radius codes scan reads more than (vec_id, codes):\n$pr")
     assert("Window \\[".r.findAllIn(pr).isEmpty,
       s"the radius tail must not rank anything:\n$pr")
+    // the filtered tier reads exactly the key + codes + the one riding
+    // metadata column — the erasure-bucket layout column still pruned
+    val fdir = java.nio.file.Files.createTempDirectory("graft_sq8_fplan").toString
+    Quantize.writeSq8Index(vectors, fdir, metaCols = Seq("label"))
+    val pf = plan(Quantize.querySq8IndexFiltered(spark, fdir, vectors, qids))
+    assert(pf.contains("ReadSchema: struct<vec_id:bigint,codes:array<int>,label:int>"),
+      s"filtered codes scan reads more than (vec_id, codes, label):\n$pf")
+    assert(!pf.contains("BatchEvalPython") && !pf.contains("ScalaUDF"),
+      s"filtered decode fell out of codegen:\n$pf")
+    assert(!pf.contains("CartesianProduct"), s"cartesian in:\n$pf")
   }
 
   test("knn_ivf_opq: rotation stays native codegen dots, closure scan, " +

@@ -388,4 +388,65 @@ class QuantizeSpec extends SparkSpecBase {
     assert(canon(Quantize.querySq8IndexRadius(spark, path, vectors, qids))
       .sameElements(res), "radius answers must be bit-deterministic")
   }
+
+  test("sq8 filtered tier: label rides the codes through stage/append/" +
+      "delete; the filtered scan answers same-label top-k") {
+    val vectors = graft.sources.Tables.embeddings(spark, sfDir)
+    val qids = 0L until operators.Similarity.NQueries.toLong
+    def canonF(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3), r.getDouble(4)))
+      .sortBy(t => (t._1, t._4))
+    val dir = java.nio.file.Files.createTempDirectory("graft_sq8_filt").toString
+    Quantize.writeSq8Index(vectors, dir, metaCols = Seq("label"))
+    assert(spark.read.parquet(s"$dir/codes").columns.contains("label"),
+      "the staged codes must carry the riding metadata column")
+    val served = canonF(Quantize.querySq8IndexFiltered(spark, dir, vectors, qids))
+    // every neighbor shares its query's label; ranks are 1..K dense
+    val qLab = vectors.filter(col("vec_id") < operators.Similarity.NQueries)
+      .select(col("vec_id"), col("label")).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert(served.nonEmpty)
+    served.groupBy(_._1).foreach { case (q, rs) =>
+      assert(rs.forall(_._3 == qLab(q)), s"query $q got a cross-label neighbor")
+      assert(rs.map(_._4).sorted.sameElements(1 to rs.length))
+    }
+    // determinism: a second staged query answers bit-identically
+    assert(canonF(Quantize.querySq8IndexFiltered(spark, dir, vectors, qids))
+      .sameElements(served), "filtered answers must be bit-deterministic")
+    // the riding column leaves the UNFILTERED query of the same index
+    // unchanged (its scan projects it out)
+    val bare = java.nio.file.Files.createTempDirectory("graft_sq8_bare").toString
+    Quantize.writeSq8Index(vectors, bare)
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._3))
+    assert(canon(Quantize.querySq8Index(spark, dir, vectors, qids))
+      .sameElements(canon(Quantize.querySq8Index(spark, bare, vectors, qids))),
+      "metadata riding the codes changed the unfiltered answers")
+    // append: the riding set derives from the index schema — a batch
+    // carrying it appends cleanly, a batch missing it fails loudly
+    val cut = vectors.agg(max("vec_id")).collect()(0).getLong(0) / 2
+    val base = vectors.filter(col("vec_id") <= cut)
+    val rest = vectors.filter(col("vec_id") > cut)
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_sq8_filt_app").toString
+    Quantize.writeSq8Index(base, dir2, metaCols = Seq("label"))
+    val e = intercept[IllegalArgumentException] {
+      Quantize.appendSq8Index(spark, dir2, rest.select("vec_id", "embedding"))
+    }
+    assert(e.getMessage.contains("riding set"), e.getMessage)
+    assert(Quantize.appendSq8Index(spark, dir2, rest) == rest.count())
+    val appended = spark.read.parquet(s"$dir2/codes")
+    assert(appended.columns.contains("label") &&
+      appended.filter(col("label").isNull).count() == 0,
+      "append lost the riding metadata")
+    // erasure: the survivor rewrite carries the metadata column and
+    // the filtered answers exclude every erased id
+    val erase = (cut - 5) to cut
+    assert(Quantize.deleteFromSq8Index(spark, dir2, erase) > 0L)
+    assert(spark.read.parquet(s"$dir2/codes").columns.contains("label"),
+      "delete's survivor rewrite stripped the metadata column")
+    val post = canonF(Quantize.querySq8IndexFiltered(spark, dir2, vectors, qids))
+    assert(post.forall(t => !erase.contains(t._2)),
+      "an erased id survived in the filtered answers")
+  }
 }

@@ -929,6 +929,41 @@ class SimilaritySpec extends SparkSpecBase {
       "an erased id survived in the filtered answers")
   }
 
+  test("ivfpq radius off the staged compressed index: exact-verified, " +
+      "deterministic, staged == in-memory, subset of the true radius set") {
+    import graft.operators.Pq
+    import org.apache.spark.sql.functions.col
+    val vectors = graft.sources.Tables.embeddings(spark, sfDir)
+    val qids = 0L until Similarity.NQueries.toLong
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq_rad").toString
+    Pq.writeIvfPqIndex(Pq.buildIvfPq(vectors), dir)
+    val staged = Pq.readIvfPqIndex(spark, dir)
+    val res = canon(Pq.queryIvfPqRadius(staged, vectors, qids))
+    val tau = Similarity.RadiusTau
+    // precision 1.0 by construction: every emitted cosine clears τ on
+    // the TRUE vectors (the exact verify), never the ADC approximation
+    assert(res.nonEmpty)
+    assert(res.forall(_._3 >= tau))
+    assert(res.forall(t => t._1 != t._2), "self-pair leaked")
+    // emitted pairs are a subset of the exact radius set
+    val exact = Similarity.knnBruteforceOn(vectors, k = Int.MaxValue)
+      .filter(col("cosine") >= tau).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = res.map(t => (t._1, t._2)).toSet
+    assert(got.subsetOf(exact), "a sub-τ pair leaked through the exact verify")
+    // recall is bounded by the probe cut AND the ADC error (coarser
+    // than SQ8's per-dimension grid) — assert the useful floor
+    assert(got.size.toDouble >= 0.5 * exact.size,
+      s"ivfpq-radius recall ${got.size.toDouble / exact.size} below 0.5")
+    // staged round-trip == in-memory build, and bit-deterministic
+    assert(canon(Pq.queryIvfPqRadius(Pq.buildIvfPq(vectors), vectors, qids))
+      .sameElements(res), "staged radius serving diverged from in-memory")
+    assert(canon(Pq.queryIvfPqRadius(staged, vectors, qids))
+      .sameElements(res), "radius answers must be bit-deterministic")
+  }
+
   test("auto-nprobe: picks the smallest swept width meeting the target, " +
       "answers knnIvf at that width; unreachable target serves the widest") {
     val vectors = graft.sources.Tables.embeddings(spark, sfDir)
