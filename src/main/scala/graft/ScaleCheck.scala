@@ -39,7 +39,8 @@ object ScaleCheck {
       "vec_covariance", "vec_quantize", "ivf_pq_append", "knn_graph_capped",
       "knn_sq8", "knn_recall_report", "knn_opq", "sq8_query", "knn_ivf_sq8",
       "knn_radius", "knn_filtered", "knn_ivf_opq",
-      "ivf_pq_filtered_query", "sq8_radius_query", "ivf_stats")
+      "ivf_pq_filtered_query", "sq8_radius_query", "ivf_stats",
+      "ivf_pq_radius_query", "sq8_filtered_query", "ivf_opq_serve")
     val skipNonEmbedding = args.length > 1 && args(1).split(",").forall(embOnly)
     // a graph-only run (the tier's dedicated scaled-catalog corpus)
     // likewise skips the main tables: a 300× run would otherwise
@@ -652,10 +653,54 @@ object ScaleCheck {
       val qSec = (System.nanoTime() - tq0) / 1e9
       s""""sq8_filtered_query":{"sec":$qSec,"rows":${acc.value},"build_sec":$buildSec}"""
     }
+    // the ROTATED tier's full steady-state lifecycle off one staged
+    // artifact: stage once (build_sec recorded, untimed in the query
+    // figure), filtered query through the rotation seam, a 1%-batch
+    // append (assign original-space + rotate + encode — O(|new|)),
+    // a GDPR-sized erasure (the PQ cell-directory rewrite verbatim)
+    val opqServe = if (!only("ivf_opq_serve")) None else Some {
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      val idxDir = operators.Scratch.diskDir("graft_scale_ivfopq")
+      val tb0 = System.nanoTime()
+      operators.Opq.writeIvfOpqIndex(
+        operators.Opq.buildIvfOpq(emb, metaCols = Seq("label")), idxDir)
+      val buildSec = (System.nanoTime() - tb0) / 1e9
+      val staged = operators.Opq.readIvfOpqIndex(spark, idxDir)
+      val acc = spark.sparkContext.longAccumulator("rows_opq_filtered")
+      val tq0 = System.nanoTime()
+      operators.Opq.queryIvfOpqFiltered(staged, emb,
+        0L until operators.Similarity.NQueries.toLong)
+        .queryExecution.toRdd.foreachPartition(it => acc.add(it.size.toLong))
+      val qSec = (System.nanoTime() - tq0) / 1e9
+      val maxId = emb.agg(max("vec_id")).collect()(0).getLong(0)
+      val nNew = math.max(1L, (maxId + 1) / 100)
+      val edim = 64
+      // the ivf_pq_append batch shape, plus the riding label the
+      // staged codes carry (a label-less batch fails loudly)
+      val newVecs = spark.range(nNew).select(
+        (col("id") + maxId + 1L).as("vec_id"),
+        transform(sequence(lit(0), lit(edim - 1)), i => {
+          val cl = pmod(col("id"), lit(32L))
+          val c = (pmod(xxhash64(cl, i, lit(20L)), lit(2001L)).cast("double") - 1000.0) / 500.0
+          val nz = (pmod(xxhash64(col("id") + maxId + 1L, i, lit(21L)), lit(2001L)).cast("double") - 1000.0) / 20000.0
+          (c + nz).cast("float")
+        }).as("embedding"),
+        pmod(col("id"), lit(7L)).cast("int").as("label"))
+      val ta0 = System.nanoTime()
+      val appended = operators.Opq.appendIvfOpqIndex(spark, idxDir, newVecs)
+      val appendSec = (System.nanoTime() - ta0) / 1e9
+      val eraseIds = (0L until 50L).map(i => i * (maxId / 50L))
+      val td0 = System.nanoTime()
+      val deleted = operators.Opq.deleteFromIvfOpqIndex(spark, idxDir, eraseIds)
+      val deleteSec = (System.nanoTime() - td0) / 1e9
+      s""""ivf_opq_filtered_query":{"sec":$qSec,"rows":${acc.value},"build_sec":$buildSec},""" +
+        s""""ivf_opq_append":{"sec":$appendSec,"rows":$appended},""" +
+        s""""ivf_opq_delete":{"sec":$deleteSec,"rows":$deleted}"""
+    }
     val qs = (results.collect { case (k, s, r) if r >= 0 => s""""$k":{"sec":$s,"rows":$r}""" }
       ++ pipe ++ scd2Apply ++ ivfAppend ++ sq8Serve
       ++ pqFilteredServe ++ sq8RadiusServe ++ ivfStats
-      ++ pqRadiusServe ++ sq8FilteredServe).mkString(",")
+      ++ pqRadiusServe ++ sq8FilteredServe ++ opqServe).mkString(",")
     println(s"""{"scale_mult":$mult,"n_events":$n,"ops":{$qs}}""")
     spark.stop()
   }

@@ -117,6 +117,8 @@ object SparkEntry {
     "knn_pq"         -> ((s, d) => graft.operators.Pq.knnPq(s, d)),
     "knn_opq"        -> ((s, d) => graft.operators.Opq.knnOpq(s, d)),
     "knn_ivf_opq"    -> ((s, d) => graft.operators.Opq.knnIvfOpq(s, d)),
+    "knn_ivf_opq_filtered" -> ((s, d) => graft.operators.Opq.knnIvfOpqFiltered(s, d)),
+    "knn_ivf_opq_radius" -> ((s, d) => graft.operators.Opq.knnIvfOpqRadius(s, d)),
     "knn_ivf_pq"     -> ((s, d) => graft.operators.Pq.knnIvfPq(s, d)),
     "knn_ivf_pq_append" -> ((s, d) => graft.operators.Pq.knnIvfPqAppend(s, d)),
     "knn_ivf_pq_delete" -> ((s, d) => graft.operators.Pq.knnIvfPqDelete(s, d)),
@@ -320,6 +322,12 @@ object SparkEntry {
     // the rotation composed with the inverted file: OPQ prefix + the
     // shared IVF body + the suffixed cell-pruned ADC tail
     "knn_ivf_opq"    -> graft.operators.Opq.knnIvfOpqOracleSql,
+    // the rotated composition's filtered serving path: the OPQ prefix
+    // + IVF body + qlabel-carrying probes + the filtered ADC tail
+    "knn_ivf_opq_filtered" -> graft.operators.Opq.knnIvfOpqFilteredOracleSql,
+    // the rotated composition's radius path: ranked cut swapped for
+    // the adist threshold, exact verify on the true cosine
+    "knn_ivf_opq_radius" -> graft.operators.Opq.knnIvfOpqRadiusOracleSql,
     "knn_ivf_pq"     -> graft.operators.Pq.knnIvfPqOracleSql,
     // the append lifecycle replayed with training decoupled: Lloyd +
     // codebooks on the base half only, assign+encode over everything

@@ -277,4 +277,223 @@ object Opq {
        |  SELECT r.vec_id, r.u, i.cell FROM rotu r JOIN idx i ON r.vec_id = i.vec_id
        |), ${Pq.pqAdcOracleTail("rotc", OpqComponents, sfx = "o", cellPruned = true)}""".stripMargin
   }
+
+  // --------------------------------------------------------------------
+  // The DURABLE OPQ tier — completing the last column of the
+  // query-type × tier serving matrix (float/SQ8/PQ already serve all
+  // three query types off staged artifacts; OPQ served top-k only,
+  // and only in-memory). The index is the PQ tier's three frames PLUS
+  // the rotation: an r-row `basis` artifact (pos, b: d doubles —
+  // perm-placed, so row `pos` IS rotated coordinate `pos`). Every
+  // query/append kernel is the PQ tier's, reached through the
+  // rotation-aware seams ([[Pq.adcQueryRows]]/[[Pq.encodeAgainst]]):
+  // one definition per kernel, no copies (the r16-advice discipline).
+  // --------------------------------------------------------------------
+
+  /** A staged rotated-IVFADC index: the [[Pq.IvfPqIndex]] frames (the
+    * codebooks and codes live in ROTATED r-dim space; the centroids
+    * route in original space) plus the bounded r×d rotation basis that
+    * maps a query into code space. */
+  case class IvfOpqIndex(basis: DataFrame, pq: Pq.IvfPqIndex)
+
+  /** Build the staged rotated index: the SAME deterministic pipeline
+    * the one-shot [[knnIvfOpqOn]] runs — shared `ivfIndex` coarse
+    * quantizer (original space), PCA basis off the covariance report,
+    * balanced round-robin placement, per-subspace codebooks trained in
+    * rotated space ([[Pq.trainCodebooks]] — byte-identical recipe),
+    * one rotate+encode pass over the corpus.
+    *
+    * `trainOn` (null = `vectors`): the TRAINING corpus for centroids,
+    * basis, and codebooks, independent of the INDEXED corpus —
+    * `buildIvfOpq(a ∪ b, trainOn = a)` is bit-identical to
+    * `appendIvfOpqIndex` after `buildIvfOpq(a)` (spec-asserted), the
+    * same incremental-lifecycle equation as the PQ tier's.
+    * `metaCols`: metadata columns riding the code postings (the
+    * metadata-in-index recipe), enabling [[queryIvfOpqFiltered]]. */
+  def buildIvfOpq(vectors: DataFrame, cells: Int = 0,
+                  r: Int = OpqComponents, iters: Int = OpqIters,
+                  trainOn: DataFrame = null,
+                  metaCols: Seq[String] = Nil): IvfOpqIndex = {
+    val train = Option(trainOn).getOrElse(vectors)
+    require(r % Pq.M == 0,
+      s"rotated dim $r must be divisible by M=${Pq.M} (subspace width)")
+    val subW = r / Pq.M
+    val (indexed, centroids) =
+      Similarity.ivfIndex(train, cells, "ivf_centroids_build_ivf_opq")
+    val comps = Similarity.principalComponents(
+      Similarity.vecCovarianceOn(train), r, iters)
+    // the balanced round-robin placement ([[knnOpqOn]]): basisArr(i)
+    // is the component at rotated position i+1 — the artifact stores
+    // rows ALREADY permuted, so readers never re-derive the placement
+    val perm = Array.tabulate(r) { i =>
+      val m = i / subW; val t = i % subW; t * Pq.M + m
+    }
+    val basisArr: Array[Array[Double]] = perm.map(pi => comps(pi)._2)
+    def rotFrame(un: DataFrame): DataFrame = un.select(col("vec_id"),
+      array(basisArr.map(b =>
+        V.dot(col("u"), array(b.toSeq.map(lit): _*))): _*).as("u"),
+      col("cell"))
+    val unTrain = indexed.select(col("vec_id"),
+      transform(col("e"), x => x / col("nrm")).as("u"), col("cell"))
+    // the INDEXED corpus: when training is decoupled, assign every
+    // corpus vector to the trained centroids (the append arithmetic)
+    val unAll =
+      if (trainOn == null) unTrain
+      else {
+        val vAll = vectors
+          .select(col("vec_id"), V.toDouble(col("embedding")).as("e"))
+          .withColumn("nrm", V.l2Norm(col("e")))
+        Similarity.assignNearest(vAll, centroids, "cell", "ce", "cn")
+          .select(col("vec_id"),
+            transform(col("e"), x => x / col("nrm")).as("u"), col("cell"))
+      }
+    val codebooks = Pq.trainCodebooks(rotFrame(unTrain), subW)
+    val codes = Pq.encodeCodes(rotFrame(unAll), Pq.centsByMFrom(codebooks), subW)
+    val withMeta =
+      if (metaCols.isEmpty) codes
+      else codes.join(
+        vectors.select((Seq("vec_id") ++ metaCols).map(col): _*), "vec_id")
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val basisDf = basisArr.toSeq.zipWithIndex
+      .map { case (b, i) => (i + 1, b.toSeq) }.toDF("pos", "b")
+    IvfOpqIndex(basisDf, Pq.IvfPqIndex(centroids, codebooks, withMeta))
+  }
+
+  /** Stage the rotated index durably: the basis (one r-row file — a
+    * driver-bounded artifact) plus the PQ writer's centroids/codebooks
+    * overwrite and tmp+rename codes swap. Shares the PQ writer's
+    * multi-frame staging residual: route a LIVE restage through
+    * [[IndexManifest.publish]] for a single atomic flip. */
+  def writeIvfOpqIndex(index: IvfOpqIndex, path: String): Unit = {
+    index.basis.coalesce(1).write.mode("overwrite").parquet(s"$path/basis")
+    Pq.writeIvfPqIndex(index.pq, path)
+  }
+
+  def readIvfOpqIndex(spark: SparkSession, path: String): IvfOpqIndex =
+    IvfOpqIndex(spark.read.parquet(s"$path/basis"),
+      Pq.readIvfPqIndex(spark, path))
+
+  /** Durable append: assign (original space) + rotate (staged basis)
+    * + encode (staged codebooks) the new vectors — [[Pq.encodeAgainst]]
+    * through the rotation seam — and append only their cell-clustered
+    * code files. O(|new|), never O(index); metadata discipline and
+    * dimension discipline are the PQ path's own. */
+  def appendIvfOpqIndex(spark: SparkSession, path: String,
+                        newVectors: DataFrame): Long = {
+    val index = readIvfOpqIndex(spark, path)
+    val newCodes = Pq.encodeAgainst(index.pq, newVectors, 0, index.basis)
+    val staged = Scratch.stageReuse(newCodes, "ivf_opq_append_codes")
+    staged.repartition(col("cell"))
+      .write.mode("append").partitionBy("cell").parquet(s"$path/codes")
+    staged.count()
+  }
+
+  /** Right-to-erasure on the rotated index: the codes tree is the PQ
+    * layout byte-for-byte (rotation only changed what the codes MEAN,
+    * not where they live), so erasure IS [[Pq.deleteFromIvfPqIndex]] —
+    * affected cell directories rewritten, basis/centroids/codebooks
+    * (trained aggregates) stand. */
+  def deleteFromIvfOpqIndex(spark: SparkSession, path: String,
+                            vecIds: Seq[Long]): Long =
+    Pq.deleteFromIvfPqIndex(spark, path, vecIds)
+
+  /** Top-k off the staged rotated index — [[Pq.queryIvfPq]] with the
+    * basis threaded: probes rank in original space, ADC tables build
+    * from the rotated query, the code scan and exact rerank are the
+    * PQ kernels unchanged. */
+  def queryIvfOpq(index: IvfOpqIndex, vectors: DataFrame,
+                  queryIds: Seq[Long], k: Int = Similarity.K,
+                  nprobe: Int = Similarity.IvfNProbe): DataFrame =
+    Pq.queryIvfPq(index.pq, vectors, queryIds, k, nprobe,
+      basis = index.basis)
+
+  /** FILTERED top-k off the staged rotated index: the label rides the
+    * code postings, the predicate evaluates inside the rotated ADC
+    * scan, probe width defaults to the [[Similarity.FilteredNProbe]]
+    * widening — the PQ filtered kernel through the rotation seam. */
+  def queryIvfOpqFiltered(index: IvfOpqIndex, vectors: DataFrame,
+                          queryIds: Seq[Long], k: Int = Similarity.K,
+                          nprobe: Int = Similarity.FilteredNProbe,
+                          filterCol: String = "label"): DataFrame =
+    Pq.queryIvfPqFiltered(index.pq, vectors, queryIds, k, nprobe,
+      filterCol, basis = index.basis)
+
+  /** RADIUS search off the staged rotated index: admission is the ADC
+    * cut adist ≤ 2(1−τ) in ROTATED space (the projection shrinks
+    * norms, so rotated ADC distances sit below their original-space
+    * images — admission is RECALL-side only), then the bounded
+    * admitted set exact-verifies against the float corpus: precision
+    * 1.0 by construction, exactly the PQ radius contract. */
+  def queryIvfOpqRadius(index: IvfOpqIndex, vectors: DataFrame,
+                        queryIds: Seq[Long],
+                        tau: Double = Similarity.RadiusTau,
+                        nprobe: Int = Similarity.IvfNProbe): DataFrame =
+    Pq.queryIvfPqRadius(index.pq, vectors, queryIds, tau, nprobe,
+      basis = index.basis)
+
+  /** Driver query (key `knn_ivf_opq_filtered`): the rotated filtered
+    * serving path END TO END through the cross-engine gate — build
+    * with the label riding the code postings, stage durably (basis
+    * included), read back, answer same-label top-k with the predicate
+    * inside the rotated compressed scan. Oracle = the OPQ rotated
+    * prefix + the IVF body + the filtered ADC tail (lab joined on
+    * both sides, FilteredNProbe widening). */
+  def knnIvfOpqFiltered(spark: SparkSession, dir: String): DataFrame = {
+    val vectors = Tables.embeddings(spark, dir)
+    val path = Scratch.reuseDir("ivf_opq_filtered_idx")
+    writeIvfOpqIndex(buildIvfOpq(vectors, metaCols = Seq("label")), path)
+    queryIvfOpqFiltered(readIvfOpqIndex(spark, path), vectors,
+      0L until Similarity.NQueries.toLong)
+  }
+
+  /** Driver query (key `knn_ivf_opq_radius`): build, stage durably,
+    * read back, answer the radius query off the rotated codes. */
+  def knnIvfOpqRadius(spark: SparkSession, dir: String): DataFrame = {
+    val vectors = Tables.embeddings(spark, dir)
+    val path = Scratch.reuseDir("ivf_opq_radius_idx")
+    writeIvfOpqIndex(buildIvfOpq(vectors), path)
+    queryIvfOpqRadius(readIvfOpqIndex(spark, path), vectors,
+      0L until Similarity.NQueries.toLong)
+  }
+
+  /** The filtered replay: the shared rotated prefix + the IVF body +
+    * a probes CTE carrying `qlabel` at the widened cut + the filtered
+    * cell-pruned ADC tail — the knn_ivf_pq_filtered deltas on the
+    * rotated composition. */
+  val knnIvfOpqFilteredOracleSql: String = {
+    import Similarity.{sqlDot, FilteredNProbe}
+    s"""$opqRotatedPrefix, ${Similarity.ivfIdxBodyAuto}, lab AS (
+       |  SELECT vec_id, label FROM embeddings
+       |), probes AS (
+       |  SELECT query_id, qlabel, cell FROM (
+       |    SELECT q.vec_id AS query_id, ql.label AS qlabel, c.cell,
+       |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+       |        ${sqlDot("q.e", "c.ce")} / (q.nrm * c.cnr) DESC, c.cell) AS rk
+       |    FROM vn q JOIN lab ql ON q.vec_id = ql.vec_id
+       |    CROSS JOIN cc c WHERE q.vec_id < ${Similarity.NQueries}) t
+       |  WHERE rk <= $FilteredNProbe
+       |), rotc AS MATERIALIZED (
+       |  SELECT r.vec_id, r.u, i.cell FROM rotu r JOIN idx i ON r.vec_id = i.vec_id
+       |), ${Pq.pqAdcOracleTail("rotc", OpqComponents, sfx = "o",
+             cellPruned = true, filtered = true)}""".stripMargin
+  }
+
+  /** The radius replay: the rotated composition with the ranked cut
+    * swapped for the adist threshold and the exact radius verify —
+    * the knn_ivf_pq_radius deltas, rotated. */
+  val knnIvfOpqRadiusOracleSql: String = {
+    import Similarity.{sqlDot, IvfNProbe}
+    s"""$opqRotatedPrefix, ${Similarity.ivfIdxBodyAuto}, probes AS (
+       |  SELECT query_id, cell FROM (
+       |    SELECT q.vec_id AS query_id, c.cell,
+       |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+       |        ${sqlDot("q.e", "c.ce")} / (q.nrm * c.cnr) DESC, c.cell) AS rk
+       |    FROM vn q CROSS JOIN cc c WHERE q.vec_id < ${Similarity.NQueries}) t
+       |  WHERE rk <= $IvfNProbe
+       |), rotc AS MATERIALIZED (
+       |  SELECT r.vec_id, r.u, i.cell FROM rotu r JOIN idx i ON r.vec_id = i.vec_id
+       |), ${Pq.pqAdcOracleTail("rotc", OpqComponents, sfx = "o",
+             cellPruned = true, radius = true)}""".stripMargin
+  }
 }

@@ -573,7 +573,7 @@ object Pq {
     * (code, centroid) arrays sorted by code id — the closure form both
     * the encode pass and the ADC tables consume. Bounded: M·Kc rows of
     * subW doubles. */
-  private def centsByMFrom(codebooks: DataFrame)
+  private[operators] def centsByMFrom(codebooks: DataFrame)
       : Array[Array[(Long, Array[Double])]] = {
     val rows = codebooks.collect().map(r =>
       (r.getInt(0), r.getLong(1), r.getSeq[Double](2).toArray))
@@ -585,7 +585,7 @@ object Pq {
     * the M code ids per vector against a FIXED codebook closure.
     * Shared by [[buildIvfPq]] and [[appendToIvfPq]] so the append path
     * is bit-identical to the build's encode by construction. */
-  private def encodeCodes(un: DataFrame,
+  private[operators] def encodeCodes(un: DataFrame,
                           centsByM: Array[Array[(Long, Array[Double])]],
                           subW: Int): DataFrame = {
     val spark = un.sparkSession
@@ -602,6 +602,47 @@ object Pq {
           (vid, cell, cs)
         }
       }.toDF("vec_id", "cell", "codes")
+  }
+
+  /** Per-subspace codebook training over a prepared UNIT frame `un`
+    * (vec_id, u, …) — the Kc-lowest-vec_id seed pick, one assignment
+    * pass (JVM argmin, the d2At twin), and DECIMAL-accumulated Lloyd
+    * means: exactly the recipe the oracle replays (sd/fa/means/cents)
+    * and [[pqAdcSearchOn]] runs inline. Extracted so [[buildIvfPq]]
+    * (u = the unit corpus) and [[Opq.buildIvfOpq]] (u = the rotated
+    * unit corpus) train byte-identical codebooks from one definition.
+    * Returns (m, code, cs) — M·Kc bounded rows. */
+  private[operators] def trainCodebooks(un: DataFrame, subW: Int): DataFrame = {
+    val spark = un.sparkSession
+    import spark.implicits._
+    val seedsByM: Array[Array[(Long, Array[Double])]] = {
+      val rows = un.orderBy(col("vec_id")).limit(Kc)
+        .select(col("vec_id"), col("u")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+        .sortBy(_._1)
+      Array.tabulate(M)(m => rows.map { case (vid, u) =>
+        (vid, java.util.Arrays.copyOfRange(u, m * subW, (m + 1) * subW)) })
+    }
+    val fa = un.select(col("vec_id"), col("u")).as[(Long, Array[Double])]
+      .mapPartitions { it =>
+        it.flatMap { case (_, u) =>
+          (0 until M).iterator.map { m =>
+            val cm = seedsByM(m)
+            val best = Pq.argminCode(u, m * subW, subW, cm)
+            (m, cm(best)._1,
+              java.util.Arrays.copyOfRange(u, m * subW, (m + 1) * subW))
+          }
+        }
+      }.toDF("m", "code", "s")
+    fa
+      .select(col("m"), col("code"), posexplode(col("s")).as(Seq("pos", "v")))
+      .groupBy(col("m"), col("code"), col("pos"))
+      .agg((sum(col("v").cast("decimal(30,10)")).cast("double") / count(col("v")))
+        .as("mean"))
+      .groupBy(col("m"), col("code"))
+      .agg(sort_array(collect_list(struct(col("pos"), col("mean")))).as("pm"))
+      .select(col("m"), col("code"),
+        transform(col("pm"), p => p.getField("mean")).as("cs"))
   }
 
   /** Build the staged index: the SAME deterministic build the one-shot
@@ -642,37 +683,9 @@ object Pq {
     val (indexed, centroids) =
       Similarity.ivfIndex(train, cells, "ivf_centroids_build_ivf_pq")
     val spark = vectors.sparkSession
-    import spark.implicits._
     val un = indexed.select(col("vec_id"),
       transform(col("e"), x => x / col("nrm")).as("u"), col("cell"))
-    val seedsByM: Array[Array[(Long, Array[Double])]] = {
-      val rows = un.orderBy(col("vec_id")).limit(Kc)
-        .select(col("vec_id"), col("u")).collect()
-        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-        .sortBy(_._1)
-      Array.tabulate(M)(m => rows.map { case (vid, u) =>
-        (vid, java.util.Arrays.copyOfRange(u, m * subW, (m + 1) * subW)) })
-    }
-    val fa = un.select(col("vec_id"), col("u")).as[(Long, Array[Double])]
-      .mapPartitions { it =>
-        it.flatMap { case (_, u) =>
-          (0 until M).iterator.map { m =>
-            val cm = seedsByM(m)
-            val best = Pq.argminCode(u, m * subW, subW, cm)
-            (m, cm(best)._1,
-              java.util.Arrays.copyOfRange(u, m * subW, (m + 1) * subW))
-          }
-        }
-      }.toDF("m", "code", "s")
-    val codebooks = fa
-      .select(col("m"), col("code"), posexplode(col("s")).as(Seq("pos", "v")))
-      .groupBy(col("m"), col("code"), col("pos"))
-      .agg((sum(col("v").cast("decimal(30,10)")).cast("double") / count(col("v")))
-        .as("mean"))
-      .groupBy(col("m"), col("code"))
-      .agg(sort_array(collect_list(struct(col("pos"), col("mean")))).as("pm"))
-      .select(col("m"), col("code"),
-        transform(col("pm"), p => p.getField("mean")).as("cs"))
+    val codebooks = trainCodebooks(un, subW)
     val centsByM = centsByMFrom(codebooks)
     // the INDEXED corpus: when training is decoupled, assign every
     // corpus vector to the trained centroids (the append arithmetic)
@@ -723,17 +736,25 @@ object Pq {
     * the streaming ingest sink (Streams.annIngestSink) reuses it
     * verbatim per micro-batch. */
   private[graft] def encodeAgainst(index: IvfPqIndex, newVectors: DataFrame,
-                                   dim: Int): DataFrame = {
+                                   dim: Int, basis: DataFrame = null): DataFrame = {
+    // with a staged rotation the INPUT dim is the basis row width (the
+    // original space the batch arrives in), while the codebooks encode
+    // the rotated r — deriving d from the codebooks would reject every
+    // valid batch
+    val ba = if (basis == null) null else basisArrOf(basis)
     val d =
-      if (dim > 0) dim
+      if (ba != null) ba(0).length
+      else if (dim > 0) dim
       else index.codebooks.select(size(col("cs")).as("__w"))
         .limit(1).collect().headOption match {
         case Some(r) => r.getInt(0) * M
         case None => throw new IllegalArgumentException(
           "cannot append to an index with empty codebooks")
       }
-    require(d % M == 0, s"embedding dim $d must be divisible by M=$M")
-    val subW = d / M
+    val encDim = if (ba == null) d else ba.length
+    require(encDim % M == 0,
+      s"encoded dim $encDim must be divisible by M=$M")
+    val subW = encDim / M
     // dimension discipline (the r15-advice class, PQ form): a
     // too-short vector silently prefix-dots its cell assignment
     // before the encode loop AIOOBEs, a too-long one AIOOBEs in the
@@ -751,7 +772,15 @@ object Pq {
     val unNew = Similarity.assignNearest(vNew, index.centroids, "cell", "ce", "cn")
       .select(col("vec_id"),
         transform(col("e"), x => x / col("nrm")).as("u"), col("cell"))
-    val encoded = encodeCodes(unNew, centsByMFrom(index.codebooks), subW)
+    // rotated tier: the batch rotates through the SAME column-form
+    // basis dots the build used (bounded r×d literals), so appended
+    // codes are bit-identical to a rebuild's
+    val encIn =
+      if (ba == null) unNew
+      else unNew.select(col("vec_id"),
+        array(ba.map(b => V.dot(col("u"), array(b.map(lit): _*))): _*).as("u"),
+        col("cell"))
+    val encoded = encodeCodes(encIn, centsByMFrom(index.codebooks), subW)
     // metadata discipline: the batch must ride exactly the columns the
     // index's codes carry — a divergent-schema append would strip the
     // filter column from (or null it in) every later filtered scan
@@ -835,7 +864,7 @@ object Pq {
 
   /** (vec_id, cell: long, codes, meta…) — the consumer-facing column
     * order/type pin, metadata preserved. */
-  private def pinnedCodes(raw: DataFrame): DataFrame = {
+  private[operators] def pinnedCodes(raw: DataFrame): DataFrame = {
     val meta = raw.columns.toSeq
       .filterNot(Set("vec_id", "cell", "codes")).map(col)
     raw.select((Seq(col("vec_id"), col("cell").cast("long").as("cell"),
@@ -901,7 +930,8 @@ object Pq {
     * staged round-trip answers queries identically (spec-asserted). */
   def queryIvfPq(index: IvfPqIndex, vectors: DataFrame,
                  queryIds: Seq[Long], k: Int = K,
-                 nprobe: Int = Similarity.IvfNProbe): DataFrame = {
+                 nprobe: Int = Similarity.IvfNProbe,
+                 basis: DataFrame = null): DataFrame = {
     val spark = vectors.sparkSession
     import spark.implicits._
     // query vectors + norms (Q point lookups on the corpus)
@@ -913,13 +943,13 @@ object Pq {
       return vectors.limit(0).select(
         col("vec_id").as("query_id"), col("vec_id").as("neighbor_id"),
         lit(0).as("rank"), lit(0.0).as("cosine"))
-    val dim = qRows(0)._2.length
-    require(dim % M == 0, s"embedding dim $dim must be divisible by M=$M")
-    val subW = dim / M
+    // probes rank in ORIGINAL space; the ADC tables live in the
+    // index's code space (rotated when an OPQ basis is staged)
+    val (adcRows, subW) = adcQueryRows(qRows, basis)
     val probesByQ = probesAgainst(index.centroids, qRows, nprobe)
     val probedCells = probesByQ.values.flatten.toSet
     val qIds = probesByQ.keys.toArray.sorted
-    val (dtByQ, codeRank) = adcTablesFor(index.codebooks, qRows, subW)
+    val (dtByQ, codeRank) = adcTablesFor(index.codebooks, adcRows, subW)
     // the ONE codes scan, cell-pruned, per-partition Rerank-heaps
     val worstFirst: Ordering[(Long, Long, Double)] =
       Ordering.by(t => (t._3, t._2))
@@ -977,7 +1007,7 @@ object Pq {
   /** Driver-side query rows off the float corpus: (vec_id, e, nrm)
     * for `queryIds` — Q point lookups, the bounded structure every
     * staged query path ships in its scan closure. */
-  private def queryRowsOf(vn: DataFrame, queryIds: Seq[Long])
+  private[operators] def queryRowsOf(vn: DataFrame, queryIds: Seq[Long])
       : Array[(Long, Array[Double], Double)] =
     vn.filter(col("vec_id").isInCollection(queryIds))
       .select(col("vec_id"), col("e"), col("nrm")).collect()
@@ -989,7 +1019,7 @@ object Pq {
     * [[queryIvfPqFiltered]] (r16-advice class: one definition, not
     * copies, because the staged paths are spec-equated to the
     * one-shot keys). */
-  private def probesAgainst(centroids: DataFrame,
+  private[operators] def probesAgainst(centroids: DataFrame,
                             qRows: Array[(Long, Array[Double], Double)],
                             nprobe: Int): Map[Long, Set[Long]] = {
     val cents = centroids
@@ -1010,7 +1040,7 @@ object Pq {
     * against each codebook entry, the d2At arithmetic) plus the
     * ascending-code rank maps — bounded: M·Kc codebook rows,
     * Q·M·Kc table doubles. */
-  private def adcTablesFor(codebooks: DataFrame,
+  private[operators] def adcTablesFor(codebooks: DataFrame,
                            qRows: Array[(Long, Array[Double], Double)],
                            subW: Int)
       : (Map[Long, Array[Array[Double]]], Array[Map[Long, Int]]) = {
@@ -1029,6 +1059,56 @@ object Pq {
     }.toMap
     (dtByQ, codeRank)
   }
+
+  /** The staged rotation artifact ([[Opq]]'s `basis` frame: pos,
+    * b: d doubles per ROTATED position, perm already applied)
+    * collected pos-ascending into the bounded r×d closure every
+    * rotated query path ships. */
+  private[operators] def basisArrOf(basis: DataFrame): Array[Array[Double]] =
+    basis.select(col("pos"), col("b")).orderBy(col("pos")).collect()
+      .map(_.getSeq[Double](1).toArray)
+
+  /** JVM twin of the build's column rotation (`V.dot(u, lit-basis
+    * row)` over u = e/nrm): elementwise divide, then one ascending
+    * sequential multiply-add fold per rotated position — the exact
+    * bits of the native `vec_dot` fold (the d2At precedent), so a
+    * staged rotated query scores candidates identically to the
+    * in-memory build. */
+  private[operators] def rotateRow(qe: Array[Double], qnrm: Double,
+                                   basis: Array[Array[Double]]): Array[Double] = {
+    val u = new Array[Double](qe.length)
+    var j = 0
+    while (j < qe.length) { u(j) = qe(j) / qnrm; j += 1 }
+    basis.map { b =>
+      var acc = 0.0
+      var i = 0
+      while (i < u.length) { acc += u(i) * b(i); i += 1 }
+      acc
+    }
+  }
+
+  /** The per-tier ADC query derivation, rotation-aware: with no
+    * `basis` the query subvectors are the original-space qRows (dim
+    * must divide M); with a staged rotation the qRows rotate
+    * driver-side ([[rotateRow]]) and the subspace width comes from
+    * the BASIS row count (the rotated dim r), never the query dim —
+    * the codebooks live in rotated space. qnrm of a rotated row is
+    * 1.0: the rotation already consumed the normalization, and
+    * x/1.0 == x in IEEE so [[adcTablesFor]]'s divide is a no-op. */
+  private def adcQueryRows(qRows: Array[(Long, Array[Double], Double)],
+                           basis: DataFrame)
+      : (Array[(Long, Array[Double], Double)], Int) =
+    if (basis == null) {
+      val dim = qRows(0)._2.length
+      require(dim % M == 0, s"embedding dim $dim must be divisible by M=$M")
+      (qRows, dim / M)
+    } else {
+      val ba = basisArrOf(basis)
+      require(ba.length % M == 0,
+        s"rotated dim ${ba.length} must be divisible by M=$M")
+      (qRows.map { case (q, qe, qnrm) => (q, rotateRow(qe, qnrm, ba), 1.0) },
+        ba.length / M)
+    }
 
   /** FILTERED top-k served off the STAGED compressed index (r16
     * verdict item 1): [[queryIvfPq]]'s probe + ADC scan with the
@@ -1052,7 +1132,8 @@ object Pq {
   def queryIvfPqFiltered(index: IvfPqIndex, vectors: DataFrame,
                          queryIds: Seq[Long], k: Int = K,
                          nprobe: Int = Similarity.FilteredNProbe,
-                         filterCol: String = "label"): DataFrame = {
+                         filterCol: String = "label",
+                         basis: DataFrame = null): DataFrame = {
     val spark = vectors.sparkSession
     import spark.implicits._
     require(index.codes.columns.contains(filterCol),
@@ -1068,9 +1149,7 @@ object Pq {
       return vectors.limit(0).select(
         col("vec_id").as("query_id"), col("vec_id").as("neighbor_id"),
         col(filterCol).as("label"), lit(0).as("rank"), lit(0.0).as("cosine"))
-    val dim = qRows(0)._2.length
-    require(dim % M == 0, s"embedding dim $dim must be divisible by M=$M")
-    val subW = dim / M
+    val (adcRows, subW) = adcQueryRows(qRows, basis)
     // query labels: Q point lookups on the corpus projection — the
     // oracle's `lab` CTE joined onto the query side
     val qLab: Map[Long, Long] = vnl
@@ -1080,7 +1159,7 @@ object Pq {
     val probesByQ = probesAgainst(index.centroids, qRows, nprobe)
     val probedCells = probesByQ.values.flatten.toSet
     val qIds = probesByQ.keys.toArray.sorted
-    val (dtByQ, codeRank) = adcTablesFor(index.codebooks, qRows, subW)
+    val (dtByQ, codeRank) = adcTablesFor(index.codebooks, adcRows, subW)
     val worstFirst: Ordering[(Long, Long, Double)] =
       Ordering.by(t => (t._3, t._2))
     // the one codes scan: cell filter pushed to the partition dirs,
@@ -1174,7 +1253,8 @@ object Pq {
   def queryIvfPqRadius(index: IvfPqIndex, vectors: DataFrame,
                        queryIds: Seq[Long],
                        tau: Double = Similarity.RadiusTau,
-                       nprobe: Int = Similarity.IvfNProbe): DataFrame = {
+                       nprobe: Int = Similarity.IvfNProbe,
+                       basis: DataFrame = null): DataFrame = {
     val spark = vectors.sparkSession
     import spark.implicits._
     val vn = vectors
@@ -1185,13 +1265,11 @@ object Pq {
       return vectors.limit(0).select(
         col("vec_id").as("query_id"), col("vec_id").as("neighbor_id"),
         lit(0.0).as("cosine"))
-    val dim = qRows(0)._2.length
-    require(dim % M == 0, s"embedding dim $dim must be divisible by M=$M")
-    val subW = dim / M
+    val (adcRows, subW) = adcQueryRows(qRows, basis)
     val probesByQ = probesAgainst(index.centroids, qRows, nprobe)
     val probedCells = probesByQ.values.flatten.toSet
     val qIds = probesByQ.keys.toArray.sorted
-    val (dtByQ, codeRank) = adcTablesFor(index.codebooks, qRows, subW)
+    val (dtByQ, codeRank) = adcTablesFor(index.codebooks, adcRows, subW)
     // 2(1−τ) in IEEE — exactly representable for the driver's τ=0.25;
     // the oracle embeds the same computed double via strtod
     val admitD2 = 2.0 * (1.0 - tau)
@@ -1437,10 +1515,22 @@ object Pq {
     * build does). `cellPruned` expects `unFrame` to carry a third
     * `cell` column and a `probes(query_id, cell)` CTE upstream, and
     * restricts candidate enumeration to each query's probed cells —
-    * the ONLY change pruning makes (the knn_ivf_pq discipline). */
+    * the ONLY change pruning makes (the knn_ivf_pq discipline).
+    * `filtered` (requires `cellPruned`) mirrors
+    * [[ivfPqOracleSqlFor]]'s filtered deltas onto this tail: a `lab`
+    * CTE and a probes CTE carrying `qlabel` must exist upstream,
+    * candidate enumeration keeps same-label codes only, and the
+    * final select emits the label. `radius` swaps the ranked Rerank
+    * cut for the adist ≤ 2(1−τ) admission and the top-k window for
+    * the exact radius verify. Defaults emit the prior text
+    * byte-for-byte (hash-gate stability for every existing key). */
   private[operators] def pqAdcOracleTail(unFrame: String, dim: Int,
                                          sfx: String = "",
-                                         cellPruned: Boolean = false): String = {
+                                         cellPruned: Boolean = false,
+                                         filtered: Boolean = false,
+                                         radius: Boolean = false): String = {
+    require(!filtered || cellPruned,
+      "a filtered ADC tail rides qlabel on the probes CTE — cell pruning required")
     val sub = dim / M
     import Similarity.sqlDot
     def d2(a: String, b: String): String =
@@ -1493,25 +1583,49 @@ object Pq {
        |    list_reduce(list(t.d2 ORDER BY t.m), (x, y) -> x + y) AS adist
        |  FROM (
        |    SELECT d.query_id, c.vec_id, c.m, d.d2
-       |    FROM codes$sfx c JOIN dt$sfx d ON c.m = d.m AND c.code = d.code$pruneJoin
-       |    WHERE c.vec_id != d.query_id) t
+       |    FROM codes$sfx c JOIN dt$sfx d ON c.m = d.m AND c.code = d.code$pruneJoin${
+             if (!filtered) ""
+             else "\n    JOIN lab l ON c.vec_id = l.vec_id"}
+       |    WHERE c.vec_id != d.query_id${
+             if (!filtered) "" else " AND l.label = p.qlabel"}) t
        |  GROUP BY t.query_id, t.vec_id
-       |), cand$sfx AS (
+       |), cand$sfx AS (${
+           if (radius)
+             s"""
+       |  SELECT query_id, vec_id FROM adist$sfx
+       |  WHERE adist <= CAST('${2.0 * (1.0 - Similarity.RadiusTau)}' AS DOUBLE)""".stripMargin
+           else
+             s"""
        |  SELECT query_id, vec_id FROM (
        |    SELECT query_id, vec_id,
        |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adist, vec_id) AS crk
        |    FROM adist$sfx) t
-       |  WHERE crk <= $Rerank
-       |)
-       |SELECT query_id, vec_id AS neighbor_id, CAST(rk AS INTEGER) AS rank, cosine FROM (
-       |  SELECT cd.query_id, cd.vec_id,
+       |  WHERE crk <= $Rerank""".stripMargin}
+       |)${
+           if (radius)
+             s"""
+       |SELECT query_id, neighbor_id, cosine FROM (
+       |  SELECT cd.query_id, cd.vec_id AS neighbor_id,
+       |    ${sqlDot("b.e", "a.e")} / (b.nrm * a.nrm) AS cosine
+       |  FROM cand$sfx cd
+       |  JOIN vn b ON cd.vec_id = b.vec_id
+       |  JOIN vn a ON cd.query_id = a.vec_id) t
+       |WHERE cosine >= CAST('${Similarity.RadiusTau}' AS DOUBLE)""".stripMargin
+           else
+             s"""
+       |SELECT query_id, vec_id AS neighbor_id,${
+           if (filtered) " label," else ""} CAST(rk AS INTEGER) AS rank, cosine FROM (
+       |  SELECT cd.query_id, cd.vec_id,${
+           if (filtered) " lo.label," else ""}
        |    ${sqlDot("b.e", "a.e")} / (b.nrm * a.nrm) AS cosine,
        |    ROW_NUMBER() OVER (PARTITION BY cd.query_id ORDER BY
        |      ${sqlDot("b.e", "a.e")} / (b.nrm * a.nrm) DESC, cd.vec_id) AS rk
        |  FROM cand$sfx cd
        |  JOIN vn b ON cd.vec_id = b.vec_id
-       |  JOIN vn a ON cd.query_id = a.vec_id) t
-       |WHERE rk <= $K""".stripMargin
+       |  JOIN vn a ON cd.query_id = a.vec_id${
+           if (!filtered) ""
+           else "\n  JOIN lab lo ON cd.vec_id = lo.vec_id"}) t
+       |WHERE rk <= $K""".stripMargin}""".stripMargin
   }
 
   /** Full DuckDB replay of the PQ search — build, encode, ADC, and

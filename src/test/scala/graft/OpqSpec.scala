@@ -99,6 +99,108 @@ class OpqSpec extends SparkSpecBase {
       "IVF-OPQ answers must be bit-deterministic")
   }
 
+  private def canonK(df: org.apache.spark.sql.DataFrame) = df.collect()
+    .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    .sortBy(t => (t._1, t._3))
+
+  test("opq serving split: a staged rotated index answers the one-shot " +
+      "key bit-for-bit; radius serves off the same artifact") {
+    import org.apache.spark.sql.functions.col
+    val vectors = graft.sources.Tables.embeddings(spark, sfDir)
+    val qids = 0L until Similarity.NQueries.toLong
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfopq_idx").toString
+    Opq.writeIvfOpqIndex(Opq.buildIvfOpq(vectors), dir)
+    val staged = Opq.readIvfOpqIndex(spark, dir)
+    // the staged artifact really carries the rotation: r rows of d doubles
+    assert(staged.basis.count() == Opq.OpqComponents)
+    val served = canonK(Opq.queryIvfOpq(staged, vectors, qids))
+    assert(served.sameElements(canonK(Opq.knnIvfOpqOn(vectors))),
+      "staged rotated serving diverged from the one-shot key")
+    // query-many: a second round against the same staged frames
+    assert(canonK(Opq.queryIvfOpq(staged, vectors, qids)).sameElements(served))
+    // radius off the SAME staged artifact: precision 1.0 by
+    // construction (exact verify), admitted set ⊆ the exact radius set
+    val rad = Opq.queryIvfOpqRadius(staged, vectors, qids).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rad.forall(_._3 >= Similarity.RadiusTau),
+      "a radius answer below tau escaped the exact verify")
+    val vecs = vectors.select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var ab = 0.0; var aa = 0.0; var bb = 0.0; var i = 0
+      while (i < a.length) { ab += a(i)*b(i); aa += a(i)*a(i); bb += b(i)*b(i); i += 1 }
+      ab / (math.sqrt(aa) * math.sqrt(bb))
+    }
+    val byId = vecs.toMap
+    val exactRad = (for {
+      q <- qids; (vid, e) <- vecs
+      if vid != q && cos(byId(q), e) >= Similarity.RadiusTau
+    } yield (q, vid)).toSet
+    assert(rad.forall(t => exactRad.contains((t._1, t._2))),
+      "an admitted pair is outside the exact radius set")
+    assert(rad.nonEmpty, "the radius fixture admitted nothing — tau too tight")
+  }
+
+  test("opq filtered tier: label rides the staged rotated codes; " +
+      "same-label top-k; riding metadata leaves unfiltered answers alone") {
+    import org.apache.spark.sql.functions.col
+    val vectors = graft.sources.Tables.embeddings(spark, sfDir)
+    val qids = 0L until Similarity.NQueries.toLong
+    def canonF(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3), r.getDouble(4)))
+      .sortBy(t => (t._1, t._4))
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfopq_filt").toString
+    Opq.writeIvfOpqIndex(Opq.buildIvfOpq(vectors, metaCols = Seq("label")), dir)
+    val staged = Opq.readIvfOpqIndex(spark, dir)
+    assert(staged.pq.codes.columns.contains("label"),
+      "the staged codes must carry the riding metadata column")
+    val served = canonF(Opq.queryIvfOpqFiltered(staged, vectors, qids))
+    assert(served.sameElements(canonF(Opq.queryIvfOpqFiltered(
+      Opq.buildIvfOpq(vectors, metaCols = Seq("label")), vectors, qids))),
+      "staged filtered serving diverged from the in-memory build")
+    val qLab = vectors.filter(col("vec_id") < Similarity.NQueries)
+      .select(col("vec_id"), col("label")).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toMap
+    served.groupBy(_._1).foreach { case (q, rs) =>
+      assert(rs.forall(_._3 == qLab(q)), s"query $q got a cross-label neighbor")
+      assert(rs.map(_._4).sorted.sameElements(1 to rs.length))
+    }
+    // the riding column is projected away on the unfiltered path
+    assert(canonK(Opq.queryIvfOpq(staged, vectors, qids))
+      .sameElements(canonK(Opq.queryIvfOpq(Opq.buildIvfOpq(vectors), vectors, qids))),
+      "metadata riding the codes changed the unfiltered answers")
+  }
+
+  test("opq index CRUD: append == build(all, trainOn = base) bit-for-bit; " +
+      "erasure drops exactly the erased ids") {
+    import org.apache.spark.sql.functions.{col, max}
+    val vectors = graft.sources.Tables.embeddings(spark, sfDir)
+    val qids = 0L until Similarity.NQueries.toLong
+    val cut = vectors.agg(max("vec_id")).collect()(0).getLong(0) / 2
+    val base = vectors.filter(col("vec_id") <= cut)
+    val rest = vectors.filter(col("vec_id") > cut)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfopq_crud").toString
+    Opq.writeIvfOpqIndex(Opq.buildIvfOpq(base), dir)
+    val nApp = Opq.appendIvfOpqIndex(spark, dir, rest)
+    assert(nApp == rest.count(), "append must encode every batch row")
+    // the incremental-lifecycle equation, rotated: assignment, basis
+    // projection, and encode against frozen artifacts equal a rebuild
+    // that trained on the base slice
+    val twin = Opq.buildIvfOpq(vectors, trainOn = base)
+    val appended = canonK(Opq.queryIvfOpq(Opq.readIvfOpqIndex(spark, dir), vectors, qids))
+    assert(appended.sameElements(canonK(Opq.queryIvfOpq(twin, vectors, qids))),
+      "append diverged from the trained-on-base rebuild")
+    // erasure: ids vanish from answers, the rest of the lifecycle
+    // mechanics (untouched-cell byte-identity, idempotence) are the
+    // PQ erasure's own specs — the codes tree IS the PQ layout
+    val erased = (cut - 3 to cut).filter(_ >= Similarity.NQueries)
+    val nDel = Opq.deleteFromIvfOpqIndex(spark, dir, erased)
+    assert(nDel == erased.length, s"expected ${erased.length} erasures, got $nDel")
+    val after = canonK(Opq.queryIvfOpq(Opq.readIvfOpqIndex(spark, dir), vectors, qids))
+    assert(after.forall(t => !erased.contains(t._2)),
+      "an erased id survived in the staged answers")
+  }
+
   test("principal components: unit norms and positive spectrum always; " +
       "strict descending orthonormality where the spectrum separates") {
     import spark.implicits._

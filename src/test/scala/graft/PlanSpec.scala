@@ -782,6 +782,40 @@ class PlanSpec extends SparkSpecBase {
       s"the radius tail must not rank anything:\n$pr")
   }
 
+  test("staged OPQ index: the rotated tier prunes cell directories " +
+      "exactly like the PQ tier — all three query types") {
+    import graft.operators.Opq
+    val vectors = graft.sources.Tables.embeddings(spark, sfDir)
+    val dir = java.nio.file.Files.createTempDirectory("graft_opq_prune").toString
+    Opq.writeIvfOpqIndex(Opq.buildIvfOpq(vectors, metaCols = Seq("label")), dir)
+    val staged = Opq.readIvfOpqIndex(spark, dir)
+    val qids = 0L until graft.operators.Similarity.NQueries.toLong
+    // the rotation is driver-side (query) and build-time (corpus): the
+    // SERVING plan must look exactly like the PQ tier's — a statically
+    // cell-pruned codes scan; the basis never joins into the scan
+    def assertPruned(df: DataFrame, what: String): Unit = {
+      val p = plan(df)
+      val codesScans = p.linesIterator
+        .filter(l => l.contains("FileScan") && l.contains(s"$dir/codes"))
+        .toSeq
+      assert(codesScans.nonEmpty, s"$what: no codes scan found in:\n$p")
+      codesScans.foreach { l =>
+        assert(l.contains("PartitionFilters: [cell"),
+          s"$what: codes scan lost the static cell partition filter:\n$l")
+      }
+      assert(!p.contains(s"$dir/basis"),
+        s"$what: the basis artifact leaked into the serving plan:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$what: cartesian in:\n$p")
+    }
+    assertPruned(Opq.queryIvfOpq(staged, vectors, qids), "queryIvfOpq")
+    assertPruned(Opq.queryIvfOpqFiltered(staged, vectors, qids),
+      "queryIvfOpqFiltered")
+    val radius = Opq.queryIvfOpqRadius(staged, vectors, qids)
+    assertPruned(radius, "queryIvfOpqRadius")
+    assert("Window \\[".r.findAllIn(plan(radius)).isEmpty,
+      "the radius tail must not rank anything")
+  }
+
   test("staged SQ8 index: the codes scan is column-pruned and the decode " +
       "stays codegen — no shuffle before the candidate cut") {
     import graft.operators.Quantize
