@@ -318,6 +318,12 @@ object Opq {
     require(r % Pq.M == 0,
       s"rotated dim $r must be divisible by M=${Pq.M} (subspace width)")
     val subW = r / Pq.M
+    // empty-corpus contract (the buildIvfPq discipline): fail with a
+    // diagnosis here, not an empty-max deep in the eigen procedure
+    if (train.select(size(col("embedding")).as("__d"))
+        .filter(col("__d").isNotNull).limit(1).collect().isEmpty)
+      throw new IllegalArgumentException(
+        "cannot build a rotated (OPQ) index over an empty corpus")
     val (indexed, centroids) =
       Similarity.ivfIndex(train, cells, "ivf_centroids_build_ivf_opq")
     val comps = Similarity.principalComponents(

@@ -1064,9 +1064,17 @@ object Pq {
     * b: d doubles per ROTATED position, perm already applied)
     * collected pos-ascending into the bounded r×d closure every
     * rotated query path ships. */
-  private[operators] def basisArrOf(basis: DataFrame): Array[Array[Double]] =
-    basis.select(col("pos"), col("b")).orderBy(col("pos")).collect()
+  private[operators] def basisArrOf(basis: DataFrame): Array[Array[Double]] = {
+    val rows = basis.select(col("pos"), col("b")).orderBy(col("pos")).collect()
       .map(_.getSeq[Double](1).toArray)
+    // loud-failure discipline (the appendIvfIndex headOption class): an
+    // empty basis artifact would otherwise surface as an
+    // ArrayIndexOutOfBounds deep in the encode/ADC derivation
+    if (rows.isEmpty) throw new IllegalStateException(
+      "the staged rotation basis is empty — stage the index with " +
+        "Opq.writeIvfOpqIndex before querying or appending")
+    rows
+  }
 
   /** JVM twin of the build's column rotation (`V.dot(u, lit-basis
     * row)` over u = e/nrm): elementwise divide, then one ascending

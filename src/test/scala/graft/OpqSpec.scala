@@ -201,6 +201,29 @@ class OpqSpec extends SparkSpecBase {
       "an erased id survived in the staged answers")
   }
 
+  test("opq empty-input contracts: empty corpus and empty basis fail " +
+      "with a diagnosis, not a deep arithmetic error") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val empty = Seq.empty[(Long, Seq[Float], Int)]
+      .toDF("vec_id", "embedding", "label")
+    val eb = intercept[IllegalArgumentException] { Opq.buildIvfOpq(empty) }
+    assert(eb.getMessage.contains("empty corpus"))
+    // a path staged WITHOUT the basis artifact (or with an empty one)
+    // must say so, not AIOOBE inside the ADC derivation
+    val vectors = graft.sources.Tables.embeddings(spark, sfDir)
+    val dir = java.nio.file.Files.createTempDirectory("graft_opq_nobasis").toString
+    val built = Opq.buildIvfOpq(vectors)
+    Opq.writeIvfOpqIndex(built, dir)
+    built.basis.filter(col("pos") < 0).coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/basis")
+    val es = intercept[IllegalStateException] {
+      Opq.queryIvfOpq(Opq.readIvfOpqIndex(spark, dir), vectors,
+        0L until Similarity.NQueries.toLong).collect()
+    }
+    assert(es.getMessage.contains("rotation basis is empty"))
+  }
+
   test("principal components: unit norms and positive spectrum always; " +
       "strict descending orthonormality where the spectrum separates") {
     import spark.implicits._
