@@ -119,6 +119,8 @@ object SparkEntry {
     "knn_ivf_opq"    -> ((s, d) => graft.operators.Opq.knnIvfOpq(s, d)),
     "knn_ivf_opq_filtered" -> ((s, d) => graft.operators.Opq.knnIvfOpqFiltered(s, d)),
     "knn_ivf_opq_radius" -> ((s, d) => graft.operators.Opq.knnIvfOpqRadius(s, d)),
+    "knn_ivf_opq_append" -> ((s, d) => graft.operators.Opq.knnIvfOpqAppend(s, d)),
+    "knn_ivf_opq_delete" -> ((s, d) => graft.operators.Opq.knnIvfOpqDelete(s, d)),
     "knn_ivf_pq"     -> ((s, d) => graft.operators.Pq.knnIvfPq(s, d)),
     "knn_ivf_pq_append" -> ((s, d) => graft.operators.Pq.knnIvfPqAppend(s, d)),
     "knn_ivf_pq_delete" -> ((s, d) => graft.operators.Pq.knnIvfPqDelete(s, d)),
@@ -328,6 +330,12 @@ object SparkEntry {
     // the rotated composition's radius path: ranked cut swapped for
     // the adist threshold, exact verify on the true cosine
     "knn_ivf_opq_radius" -> graft.operators.Opq.knnIvfOpqRadiusOracleSql,
+    // the rotated append lifecycle: basis, Lloyd, and codebooks all
+    // trained on the day-0 half; assignment/encode/probes full-corpus
+    "knn_ivf_opq_append" -> graft.operators.Opq.knnIvfOpqAppendOracleSql,
+    // the rotated erasure lifecycle: candidate exclusion only — the
+    // trained aggregates (basis/centroids/codebooks) stand
+    "knn_ivf_opq_delete" -> graft.operators.Opq.knnIvfOpqDeleteOracleSql,
     "knn_ivf_pq"     -> graft.operators.Pq.knnIvfPqOracleSql,
     // the append lifecycle replayed with training decoupled: Lloyd +
     // codebooks on the base half only, assign+encode over everything

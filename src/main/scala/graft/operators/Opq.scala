@@ -127,7 +127,16 @@ object Opq {
     * recursive-CTE power iterations → literal round-robin placement,
     * ending at `rotu` (the rotated unit corpus). Both OPQ oracles
     * (flat `knn_opq`, cell-pruned `knn_ivf_opq`) build on it. */
-  private val opqRotatedPrefix: String = {
+  private val opqRotatedPrefix: String = opqRotatedPrefixFor(trained = false)
+
+  /** `trained = true` restricts the covariance (and so the basis) to
+    * the day-0 base slice `vec_id <= max/2` — a `cutv` CTE is added
+    * right after `vn` for every downstream trained variant to share
+    * (the IVF body's `vt`, the ADC tail's `svt`) — while `un`/`rotu`
+    * still rotate EVERY vector: the SQL twin of
+    * `buildIvfOpq(all, trainOn = base)`'s basis training. With
+    * `trained = false` this emits the classic prefix byte-for-byte. */
+  private def opqRotatedPrefixFor(trained: Boolean): String = {
     val d = 64
     val r = OpqComponents
     val iters = OpqIters
@@ -174,14 +183,20 @@ object Opq {
       val pos = ((c - 1) % Pq.M) * subW + (c - 1) / Pq.M + 1
       s"SELECT un.vec_id, $pos AS k, ${sqlDot("un.u", "rl.ul")} AS y FROM un CROSS JOIN pul$c rl"
     }.mkString("\n  UNION ALL\n  ")
+    val cutCte =
+      if (!trained) ""
+      else "cutv AS (\n  SELECT MAX(vec_id) // 2 AS cut FROM vn\n), "
+    val elcFrom =
+      if (!trained) "v"
+      else "v WHERE vec_id <= (SELECT cut FROM cutv)"
     s"""WITH RECURSIVE v AS (
        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
        |), vn AS (
        |  SELECT vec_id, e, ${sqlNorm("e")} AS nrm FROM v
-       |), un AS (
+       |), ${cutCte}un AS (
        |  SELECT vec_id, list_transform(e, x -> x / nrm) AS u FROM vn
        |), elc AS (
-       |  SELECT vec_id, generate_subscripts(e, 1) AS dim, unnest(e) AS x FROM v
+       |  SELECT vec_id, generate_subscripts(e, 1) AS dim, unnest(e) AS x FROM $elcFrom
        |), mnc AS (
        |  SELECT dim,
        |    CAST(SUM(CAST(x AS DECIMAL(30,10))) AS DOUBLE) / COUNT(*) AS mx,
@@ -461,6 +476,83 @@ object Opq {
     writeIvfOpqIndex(buildIvfOpq(vectors), path)
     queryIvfOpqRadius(readIvfOpqIndex(spark, path), vectors,
       0L until Similarity.NQueries.toLong)
+  }
+
+  /** Driver query (key `knn_ivf_opq_append`): the rotated tier's
+    * incremental-maintenance lifecycle END TO END through the
+    * cross-engine gate — day-0 build on the base half (centroids,
+    * basis, AND codebooks all trained on `vec_id <= max/2`), durable
+    * stage, [[appendIvfOpqIndex]] of the rest (assign original-space +
+    * rotate through the staged basis + encode against the frozen
+    * codebooks), then the staged query path over the full corpus. The
+    * oracle replays `buildIvfOpq(all, trainOn = base)` — bit-identical
+    * to the append by the OpqSpec CRUD equation — so a hash match
+    * checks the rotated append arithmetic itself cross-engine. */
+  def knnIvfOpqAppend(spark: SparkSession, dir: String): DataFrame = {
+    val vectors = Tables.embeddings(spark, dir)
+    val cut = vectors.agg(max(col("vec_id"))).collect()(0).getLong(0) / 2
+    val base = vectors.filter(col("vec_id") <= cut)
+    val rest = vectors.filter(col("vec_id") > cut)
+    val path = Scratch.reuseDir("ivf_opq_append_idx")
+    writeIvfOpqIndex(buildIvfOpq(base), path)
+    appendIvfOpqIndex(spark, path, rest)
+    queryIvfOpq(readIvfOpqIndex(spark, path), vectors,
+      0L until Similarity.NQueries.toLong)
+  }
+
+  /** Driver query (key `knn_ivf_opq_delete`): the rotated erasure
+    * lifecycle at the gate — full-corpus build, durable stage,
+    * [[deleteFromIvfOpqIndex]] of the [[Pq.DeleteLo]]..[[Pq.DeleteHi]]
+    * slice (only touched cell directories rewritten — the PQ erasure
+    * verbatim), staged query. Oracle = the classic rotated composition
+    * with exactly those ids excluded from candidate enumeration:
+    * basis, centroids, and codebooks are trained AGGREGATES an erasure
+    * never edits. */
+  def knnIvfOpqDelete(spark: SparkSession, dir: String): DataFrame = {
+    val vectors = Tables.embeddings(spark, dir)
+    val path = Scratch.reuseDir("ivf_opq_delete_idx")
+    writeIvfOpqIndex(buildIvfOpq(vectors), path)
+    deleteFromIvfOpqIndex(spark, path, Pq.DeleteLo to Pq.DeleteHi)
+    queryIvfOpq(readIvfOpqIndex(spark, path), vectors,
+      0L until Similarity.NQueries.toLong)
+  }
+
+  /** The append replay: the TRAINED rotated prefix (covariance/basis
+    * over the base slice, `cutv` shared downstream), the trained-half
+    * IVF body (Lloyd + C-sizing on `vt`, full assignment), probes over
+    * the base-trained centroids, and the ADC tail with trained seeds +
+    * Lloyd means — encoding, probes, ADC, and rerank all full-corpus. */
+  val knnIvfOpqAppendOracleSql: String = {
+    import Similarity.{sqlDot, IvfNProbe}
+    s"""${opqRotatedPrefixFor(trained = true)}, ${Similarity.ivfIdxBodyAutoTrainedHalf}, probes AS (
+       |  SELECT query_id, cell FROM (
+       |    SELECT q.vec_id AS query_id, c.cell,
+       |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+       |        ${sqlDot("q.e", "c.ce")} / (q.nrm * c.cnr) DESC, c.cell) AS rk
+       |    FROM vn q CROSS JOIN cc c WHERE q.vec_id < ${Similarity.NQueries}) t
+       |  WHERE rk <= $IvfNProbe
+       |), rotc AS MATERIALIZED (
+       |  SELECT r.vec_id, r.u, i.cell FROM rotu r JOIN idx i ON r.vec_id = i.vec_id
+       |), ${Pq.pqAdcOracleTail("rotc", OpqComponents, sfx = "o",
+             cellPruned = true, trained = true)}""".stripMargin
+  }
+
+  /** The erasure replay: the classic rotated composition with the
+    * erased slice dropped at candidate enumeration only. */
+  val knnIvfOpqDeleteOracleSql: String = {
+    import Similarity.{sqlDot, IvfNProbe}
+    s"""$opqRotatedPrefix, ${Similarity.ivfIdxBodyAuto}, probes AS (
+       |  SELECT query_id, cell FROM (
+       |    SELECT q.vec_id AS query_id, c.cell,
+       |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+       |        ${sqlDot("q.e", "c.ce")} / (q.nrm * c.cnr) DESC, c.cell) AS rk
+       |    FROM vn q CROSS JOIN cc c WHERE q.vec_id < ${Similarity.NQueries}) t
+       |  WHERE rk <= $IvfNProbe
+       |), rotc AS MATERIALIZED (
+       |  SELECT r.vec_id, r.u, i.cell FROM rotu r JOIN idx i ON r.vec_id = i.vec_id
+       |), ${Pq.pqAdcOracleTail("rotc", OpqComponents, sfx = "o",
+             cellPruned = true,
+             erasedPred = s"c.vec_id BETWEEN ${Pq.DeleteLo} AND ${Pq.DeleteHi}")}""".stripMargin
   }
 
   /** The filtered replay: the shared rotated prefix + the IVF body +

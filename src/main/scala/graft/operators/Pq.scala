@@ -1536,7 +1536,9 @@ object Pq {
                                          sfx: String = "",
                                          cellPruned: Boolean = false,
                                          filtered: Boolean = false,
-                                         radius: Boolean = false): String = {
+                                         radius: Boolean = false,
+                                         trained: Boolean = false,
+                                         erasedPred: String = null): String = {
     require(!filtered || cellPruned,
       "a filtered ADC tail rides qlabel on the probes CTE — cell pruning required")
     val sub = dim / M
@@ -1549,14 +1551,26 @@ object Pq {
         s"""
            |    JOIN probes p ON p.cell = c.cell AND p.query_id = d.query_id""".stripMargin
       else ""
+    // trained = true: seeds and Lloyd means see only the base slice
+    // (an upstream `cutv` CTE supplies the cut — the trained rotated
+    // prefix defines it); encoding, probes, ADC, rerank stay full
+    val trainCtes =
+      if (!trained) ""
+      else s"""unt$sfx AS (
+           |  SELECT * FROM $unFrame WHERE vec_id <= (SELECT cut FROM cutv)
+           |), svt$sfx AS (
+           |  SELECT * FROM sv$sfx WHERE vec_id <= (SELECT cut FROM cutv)
+           |), """.stripMargin
+    val tun = if (trained) s"unt$sfx" else unFrame
+    val tsv = if (trained) s"svt$sfx" else s"sv$sfx"
     s"""ms$sfx AS (
        |  SELECT unnest(generate_series(0, ${M - 1})) AS m
        |), sv$sfx AS (
        |  SELECT vec_id, m, list_slice(u, m*$sub + 1, (m+1)*$sub) AS s$cellSel
        |  FROM $unFrame CROSS JOIN ms$sfx
-       |), sd$sfx AS (
+       |), ${trainCtes}sd$sfx AS (
        |  SELECT vec_id FROM (
-       |    SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) AS rk FROM $unFrame) t
+       |    SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) AS rk FROM $tun) t
        |  WHERE rk <= $Kc
        |), seeds$sfx AS (
        |  SELECT s.vec_id AS code0, s.m, s.s AS cs FROM sv$sfx s JOIN sd$sfx ON s.vec_id = sd$sfx.vec_id
@@ -1565,7 +1579,7 @@ object Pq {
        |    SELECT x.vec_id, x.m, c.code0, x.s,
        |      ROW_NUMBER() OVER (PARTITION BY x.vec_id, x.m ORDER BY
        |        ${d2("x.s", "c.cs")}, c.code0) AS rk
-       |    FROM sv$sfx x JOIN seeds$sfx c ON x.m = c.m) t
+       |    FROM $tsv x JOIN seeds$sfx c ON x.m = c.m) t
        |  WHERE rk = 1
        |), elems$sfx AS (
        |  SELECT m, code, unnest(generate_series(1, len(s))) AS pos, s FROM fa$sfx
@@ -1595,7 +1609,8 @@ object Pq {
              if (!filtered) ""
              else "\n    JOIN lab l ON c.vec_id = l.vec_id"}
        |    WHERE c.vec_id != d.query_id${
-             if (!filtered) "" else " AND l.label = p.qlabel"}) t
+             if (!filtered) "" else " AND l.label = p.qlabel"}${
+             if (erasedPred == null) "" else s" AND NOT ($erasedPred)"}) t
        |  GROUP BY t.query_id, t.vec_id
        |), cand$sfx AS (${
            if (radius)

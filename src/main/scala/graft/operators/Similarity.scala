@@ -623,6 +623,21 @@ object Similarity {
   private[operators] def ivfIdxBodyAuto: String =
     ivfIdxBody(ncellsAutoSql, extraCtes = "", trainFrame = "vn")
 
+  /** The trained-on-base body WITHOUT the `WITH v/vn` prelude — for
+    * composition under a prefix that already defines `v`/`vn` AND a
+    * `cutv` cut CTE (the knn_ivf_opq_append oracle's trained rotated
+    * prefix does): Lloyd and C-sizing see only `vt`, `idx` assigns
+    * every vector — the [[ivfIdxOraclePrefixTrainedHalf]] semantics
+    * in body form. */
+  private[operators] def ivfIdxBodyAutoTrainedHalf: String =
+    ivfIdxBody(
+      ncellsAutoSqlOn("vt"),
+      extraCtes =
+        s"""vt AS (
+           |  SELECT * FROM vn WHERE vec_id <= (SELECT cut FROM cutv)
+           |), """.stripMargin,
+      trainFrame = "vt")
+
   private def ivfIdxBody(ncellsSelect: String, extraCtes: String,
                          trainFrame: String): String =
     s"""${extraCtes}ncells AS (
