@@ -113,6 +113,7 @@ object SparkEntry {
     "knn_bruteforce" -> ((s, d) => Similarity.knnBruteforce(s, d)),
     "knn_lsh"        -> ((s, d) => Similarity.knnLsh(s, d)),
     "knn_ivf"        -> ((s, d) => Similarity.knnIvf(s, d)),
+    "knn_ivf_delete" -> ((s, d) => Similarity.knnIvfDelete(s, d)),
     "knn_graph"      -> ((s, d) => Similarity.knnGraph(s, d)),
     "knn_pq"         -> ((s, d) => graft.operators.Pq.knnPq(s, d)),
     "knn_opq"        -> ((s, d) => graft.operators.Opq.knnOpq(s, d)),
@@ -130,6 +131,7 @@ object SparkEntry {
     "knn_sq8_filtered" -> ((s, d) => Quantize.knnSq8Filtered(s, d)),
     "knn_sq8_radius" -> ((s, d) => Quantize.knnSq8Radius(s, d)),
     "knn_sq8_delete" -> ((s, d) => Quantize.knnSq8Delete(s, d)),
+    "knn_sq8_append" -> ((s, d) => Quantize.knnSq8Append(s, d)),
     "knn_ivf_sq8"    -> ((s, d) => Quantize.knnIvfSq8(s, d)),
     "knn_recall_report" -> (Similarity.knnRecallReport(_, _)),
     "knn_index_stats" -> (Similarity.knnIndexStats(_, _)),
@@ -315,6 +317,9 @@ object SparkEntry {
     "knn_bruteforce" -> Similarity.knnBruteforceOracleSql,
     "knn_lsh"        -> Similarity.knnLshOracleSql,
     "knn_ivf"        -> Similarity.knnIvfOracleSql,
+    // the float tier's erasure lifecycle: candidate exclusion only —
+    // centroids and probes stand
+    "knn_ivf_delete" -> Similarity.knnIvfDeleteOracleSql,
     "knn_graph"      -> Similarity.knnGraphOracleSql,
     "knn_pq"         -> graft.operators.Pq.knnPqOracleSql,
     // the PCA-rotated PQ replayed end to end: covariance units, the
@@ -363,6 +368,9 @@ object SparkEntry {
     // the SQ8 erasure lifecycle: candidates exclude the erased slice,
     // the trained grid and every surviving code stand as built
     "knn_sq8_delete" -> Quantize.knnSq8DeleteOracleSql,
+    // the scalar tier's frozen-grid append: grid from the base slice,
+    // decode of everything against it with the executor's saturation
+    "knn_sq8_append" -> Quantize.knnSq8AppendOracleSql,
     // the composed IVF-pruned compressed scan: the shared IVF prefix
     // + the SQ8 grid/decode CTEs, candidates restricted to probed cells
     "knn_ivf_sq8"    -> Quantize.knnIvfSq8OracleSql,

@@ -539,24 +539,46 @@ object Quantize {
   /** The shared SQ8 replay prefix (v/vn + the grid re-derivation +
     * decode): `den` is the decoded corpus with norms — the point every
     * SQ8 oracle tail (top-k, erased top-k, radius) starts from. */
-  private def sq8DecodeCtes: String = {
+  private def sq8DecodeCtes: String = sq8DecodeCtesFor(trained = false)
+
+  /** `trained = true` derives the grid from the day-0 base slice only
+    * (`vec_id <= max/2`) and SATURATES the decoded step count to the
+    * grid ends — exactly [[quantizeCodesAgainst]]'s clamp on the int8
+    * code (the executor clamps `floor(t+0.5)−128` to [−128,127]; the
+    * replay clamps the unshifted `floor(t+0.5)` to [0,255] — the same
+    * integer). With `trained = false` this emits the classic prefix
+    * byte-for-byte (no clamp text: in-span values make it the
+    * identity, but the hash gate wants string stability). */
+  private def sq8DecodeCtesFor(trained: Boolean): String = {
     import Similarity.sqlNorm
+    val cutCte =
+      if (!trained) ""
+      else "cutv AS (\n  SELECT MAX(vec_id) // 2 AS cut FROM embeddings\n), "
+    val rgFrom =
+      if (!trained) "el"
+      else "el WHERE vec_id <= (SELECT cut FROM cutv)"
+    val stepExpr =
+      if (!trained)
+        s"""CAST(CAST(FLOOR(((el.x - rg.mn) * 255.0)
+           |           / (rg.mx - rg.mn) + 0.5) AS BIGINT) AS DOUBLE)""".stripMargin
+      else
+        s"""CAST(GREATEST(0, LEAST(255, CAST(FLOOR(((el.x - rg.mn) * 255.0)
+           |           / (rg.mx - rg.mn) + 0.5) AS BIGINT))) AS DOUBLE)""".stripMargin
     s"""WITH v AS (
        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
        |), vn AS (
        |  SELECT vec_id, e, ${sqlNorm("e")} AS nrm FROM v
-       |), el AS (
+       |), ${cutCte}el AS (
        |  SELECT e.vec_id, p.pos, CAST(e.embedding[p.pos] AS DOUBLE) AS x
        |  FROM embeddings e
        |  CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS pos) p
        |  WHERE e.embedding IS NOT NULL
        |), rg AS (
-       |  SELECT pos, MIN(x) AS mn, MAX(x) AS mx FROM el GROUP BY pos
+       |  SELECT pos, MIN(x) AS mn, MAX(x) AS mx FROM $rgFrom GROUP BY pos
        |), dq AS (
        |  SELECT el.vec_id, el.pos,
        |    CASE WHEN rg.mx = rg.mn THEN rg.mn
-       |         ELSE rg.mn + (CAST(CAST(FLOOR(((el.x - rg.mn) * 255.0)
-       |           / (rg.mx - rg.mn) + 0.5) AS BIGINT) AS DOUBLE)
+       |         ELSE rg.mn + ($stepExpr
        |           * (rg.mx - rg.mn)) / 255.0
        |    END AS deq
        |  FROM el JOIN rg ON el.pos = rg.pos
@@ -573,7 +595,8 @@ object Quantize {
     * executor evaluates inside the decode scan) and onto the output.
     * With neither this is the classic knn_sq8 replay byte-for-byte. */
   private def sq8OracleSqlFor(erasedPred: String = null,
-                              filtered: Boolean = false): String = {
+                              filtered: Boolean = false,
+                              trained: Boolean = false): String = {
     import Similarity.{sqlDot, NQueries, K}
     val labCte =
       if (filtered) ", lab AS (\n  SELECT vec_id, label FROM embeddings\n)"
@@ -584,7 +607,7 @@ object Quantize {
            |    JOIN lab cl ON c.vec_id = cl.vec_id
            |    JOIN lab ql ON q.vec_id = ql.vec_id AND cl.label = ql.label""".stripMargin
       else ""
-    s"""$sq8DecodeCtes$labCte, cand AS (
+    s"""${sq8DecodeCtesFor(trained)}$labCte, cand AS (
        |  SELECT query_id, vec_id FROM (
        |    SELECT q.vec_id AS query_id, c.vec_id,
        |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
@@ -609,6 +632,31 @@ object Quantize {
   }
 
   val knnSq8OracleSql: String = sq8OracleSqlFor()
+
+  /** Driver query (key `knn_sq8_append`): the scalar tier's
+    * incremental-maintenance lifecycle at the cross-engine gate —
+    * day-0 grid trained on the base half ([[writeSq8Index]]), the
+    * rest [[appendSq8Index]]-encoded against that FROZEN grid
+    * (saturating at the ends), staged top-k query over everything.
+    * The oracle re-derives the grid from the base slice and decodes
+    * every vector against it with the same saturation, so a hash
+    * match checks the frozen-grid append arithmetic itself —
+    * including the clamp, which only an appended out-of-span value
+    * exercises. */
+  def knnSq8Append(spark: SparkSession, dir: String): DataFrame = {
+    val vectors = Tables.embeddings(spark, dir)
+    val cut = vectors.agg(max(col("vec_id"))).collect()(0).getLong(0) / 2
+    val path = Scratch.reuseDir("sq8_append_idx")
+    writeSq8Index(vectors.filter(col("vec_id") <= cut), path)
+    appendSq8Index(spark, path, vectors.filter(col("vec_id") > cut))
+    querySq8Index(spark, path, vectors,
+      0L until Similarity.NQueries.toLong)
+  }
+
+  /** The append replay (key `knn_sq8_append`): grid from the base
+    * slice, decode of EVERY vector against it with the executor's
+    * end-saturation, classic candidate cut + exact rerank. */
+  val knnSq8AppendOracleSql: String = sq8OracleSqlFor(trained = true)
 
   /** The filtered replay (key `knn_sq8_filtered`): the flat SQ8
     * search with the `lab` CTE joined on both sides of candidate

@@ -673,7 +673,12 @@ object Similarity {
        |  WHERE rk = 1
        |)""".stripMargin
 
-  val knnIvfOracleSql: String =
+  val knnIvfOracleSql: String = knnIvfOracleSqlFor()
+
+  /** `erasedPred` (over the posting alias `i`) drops erased ids at
+    * candidate enumeration — the knn_ivf_delete twin. With no
+    * predicate this emits the classic replay byte-for-byte. */
+  private def knnIvfOracleSqlFor(erasedPred: String = null): String =
     s"""${ivfOracleIdxCtes(ncellsAutoSql)}, probes AS (
        |  SELECT query_id, qe, qnrm, cell FROM (
        |    SELECT q.vec_id AS query_id, q.e AS qe, q.nrm AS qnrm, c.cell,
@@ -688,8 +693,29 @@ object Similarity {
        |    ROW_NUMBER() OVER (PARTITION BY p.query_id ORDER BY
        |      ${sqlDot("i.e", "p.qe")} / (i.nrm * p.qnrm) DESC, i.vec_id) AS rk
        |  FROM idx i JOIN probes p ON i.cell = p.cell
-       |  WHERE i.vec_id != p.query_id) t
+       |  WHERE i.vec_id != p.query_id${
+           if (erasedPred == null) "" else s" AND NOT ($erasedPred)"}) t
        |WHERE rk <= $K""".stripMargin
+
+  /** Driver query (key `knn_ivf_delete`): the FLOAT tier's erasure
+    * lifecycle at the cross-engine gate — completing erasure-at-the-
+    * gate across all four tiers (PQ `knn_ivf_pq_delete`, SQ8
+    * `knn_sq8_delete`, OPQ `knn_ivf_opq_delete`, float here). Build +
+    * stage the postings, [[deleteFromIvfIndex]] of the bounded slice
+    * (only cell directories holding an erased id rewritten), staged
+    * top-k. Oracle = the classic IVF replay with exactly those ids
+    * excluded from candidate enumeration — centroids and probes stand
+    * (trained aggregates; the erased ids are query-disjoint). */
+  def knnIvfDelete(spark: SparkSession, dir: String): DataFrame = {
+    val vectors = Tables.embeddings(spark, dir)
+    val path = Scratch.reuseDir("ivf_float_delete_key_idx")
+    writeIvfIndex(vectors, path)
+    deleteFromIvfIndex(spark, path, Pq.DeleteLo to Pq.DeleteHi)
+    queryIvfIndex(spark, path)
+  }
+
+  val knnIvfDeleteOracleSql: String =
+    knnIvfOracleSqlFor(s"i.vec_id BETWEEN ${Pq.DeleteLo} AND ${Pq.DeleteHi}")
 
   /** Neighbors per node in the kNN GRAPH (key `knn_graph`). Smaller
     * than the query-set K: the graph's purpose is downstream
