@@ -137,6 +137,7 @@ object SparkEntry {
     "knn_index_stats" -> (Similarity.knnIndexStats(_, _)),
     "knn_radius"     -> ((s, d) => Similarity.knnRadius(s, d)),
     "knn_filtered"   -> ((s, d) => Similarity.knnFiltered(s, d)),
+    "knn_radius_filtered" -> ((s, d) => Similarity.knnRadiusFiltered(s, d)),
     "sample_kcenter" -> ((s, d) => Similarity.sampleKCenter(s, d)),
     "vec_stats"      -> (Similarity.vecStats(_, _)),
     "vec_covariance" -> (Similarity.vecCovariance(_, _)),
@@ -386,6 +387,9 @@ object SparkEntry {
     // filtered top-k: the IVF replay with the label projection joined
     // onto queries and candidates, window over the filtered stream
     "knn_filtered"   -> Similarity.knnFilteredOracleSql,
+    // filtered radius: the radius tail with the lab CTE on both
+    // sides at the widened probe cut
+    "knn_radius_filtered" -> Similarity.knnRadiusFilteredOracleSql,
     "sample_kcenter" -> Similarity.sampleKCenterOracleSql,
     "vec_stats"      -> Similarity.vecStatsOracleSql,
     "vec_covariance" -> Similarity.vecCovarianceOracleSql,

@@ -682,7 +682,6 @@ object Pq {
     val subW = d / M
     val (indexed, centroids) =
       Similarity.ivfIndex(train, cells, "ivf_centroids_build_ivf_pq")
-    val spark = vectors.sparkSession
     val un = indexed.select(col("vec_id"),
       transform(col("e"), x => x / col("nrm")).as("u"), col("cell"))
     val codebooks = trainCodebooks(un, subW)

@@ -1393,6 +1393,67 @@ object Similarity {
         col("label"), col("rank"), col("cosine"))
   }
 
+  /** Key `knn_radius_filtered`: RANGE search under a metadata
+    * predicate — every corpus vector sharing the query's `label`
+    * within cosine ≥ τ, composing the two query-type deltas that
+    * already exist separately: [[knnRadiusOn]]'s stateless admission
+    * (no window, no heap — strictly cheaper than top-k) and
+    * [[knnFilteredOn]]'s scan-time predicate at the
+    * [[FilteredNProbe]] widening. This is the dedup-audit query shape
+    * ("everything at least this similar FROM THE SAME SOURCE"): a
+    * post-hoc label filter on an unfiltered radius result would be
+    * CORRECT here (radius has no k slots to under-fill) but pays the
+    * full unfiltered candidate stream; the scan-time predicate drops
+    * a candidate for one comparison before the dot product.
+    *
+    * 100 TB: the [[knnFilteredOn]] cost shape exactly — the label
+    * join onto the postings is build cost, the query path is the
+    * radius plan plus one broadcast column and one predicate. */
+  def knnRadiusFiltered(spark: SparkSession, dir: String): DataFrame =
+    knnRadiusFilteredOn(Tables.embeddings(spark, dir))
+
+  def knnRadiusFilteredOn(vectors: DataFrame, tau: Double = RadiusTau,
+                          nprobe: Int = FilteredNProbe): DataFrame = {
+    val (indexed, centroids) =
+      ivfIndex(vectors, 0, "ivf_centroids_knn_radius_filtered")
+    val postings = indexed.join(vectors.select(col("vec_id"), col("label")), "vec_id")
+    val probes = probeFrame(postings, centroids, nprobe, Seq("label"))
+    postings.join(probes, "cell")
+      .filter(col("vec_id") =!= col("query_id") &&
+        col("label") === col("qlabel"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("label"),
+        V.cosineWithNorms(V.dot(col("e"), col("qe")), col("nrm"), col("qnrm"))
+          .as("cosine"))
+      .filter(col("cosine") >= tau)
+  }
+
+  /** Oracle: the radius replay with the `lab` CTE joined on both
+    * sides (the knn_filtered deltas) — qlabel rides the widened
+    * probes, candidate admission adds the same-label predicate, the
+    * output carries the label. */
+  val knnRadiusFilteredOracleSql: String =
+    s"""${ivfOracleIdxCtes(ncellsAutoSql)}, lab AS (
+       |  SELECT vec_id, label FROM embeddings
+       |), probes AS (
+       |  SELECT query_id, qe, qnrm, qlabel, cell FROM (
+       |    SELECT q.vec_id AS query_id, q.e AS qe, q.nrm AS qnrm,
+       |      ql.label AS qlabel, c.cell,
+       |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+       |        ${sqlDot("q.e", "c.ce")} / (q.nrm * c.cnr) DESC, c.cell) AS rk
+       |    FROM vn q JOIN lab ql ON q.vec_id = ql.vec_id
+       |    CROSS JOIN cc c WHERE q.vec_id < $NQueries) t
+       |  WHERE rk <= $FilteredNProbe
+       |)
+       |SELECT p.query_id, i.vec_id AS neighbor_id, l.label,
+       |  ${sqlDot("i.e", "p.qe")} / (i.nrm * p.qnrm) AS cosine
+       |FROM idx i
+       |JOIN probes p ON i.cell = p.cell
+       |JOIN lab l ON i.vec_id = l.vec_id
+       |WHERE i.vec_id != p.query_id
+       |  AND l.label = p.qlabel
+       |  AND ${sqlDot("i.e", "p.qe")} / (i.nrm * p.qnrm)
+       |      >= CAST('$RadiusTau' AS DOUBLE)""".stripMargin
+
   // --- float-tier serving split: build once, stage, query many ----------
 
   /** Stage the FLOAT IVF index durably: `centroids` (C rows) plus the
@@ -1515,6 +1576,30 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         col("label"), col("rank"), col("cosine"))
+  }
+
+  /** FILTERED RADIUS over the staged float index — the fourth query
+    * type served off the one staged artifact ([[knnRadiusFilteredOn]]
+    * durably: scan-time label predicate + stateless τ admission at
+    * the widened probe cut); answers bit-identically to the one-shot
+    * key (spec). */
+  def queryIvfIndexRadiusFiltered(spark: SparkSession, path: String,
+                                  tau: Double = RadiusTau,
+                                  nprobe: Int = FilteredNProbe,
+                                  filterCol: String = "label"): DataFrame = {
+    val (indexed, centroids) = readIvfIndex(spark, path)
+    require(indexed.columns.contains(filterCol),
+      s"staged postings carry no '$filterCol' column — " +
+        s"stage the index from a vectors frame that has it")
+    val probes = probeFrame(indexed, centroids, nprobe, Seq(filterCol))
+    indexed.join(probes, "cell")
+      .filter(col("vec_id") =!= col("query_id") &&
+        col(filterCol) === col(s"q$filterCol"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col(filterCol).as("label"),
+        V.cosineWithNorms(V.dot(col("e"), col("qe")), col("nrm"), col("qnrm"))
+          .as("cosine"))
+      .filter(col("cosine") >= tau)
   }
 
   /** Incremental float-tier maintenance: assign `newVectors` to the

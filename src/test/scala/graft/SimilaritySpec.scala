@@ -629,6 +629,40 @@ class SimilaritySpec extends SparkSpecBase {
     assert(canonF(Similarity.queryIvfIndexFiltered(spark, dir))
       .sameElements(canonF(Similarity.knnFilteredOn(vectors))),
       "staged filtered query diverged from the one-shot key")
+    // ...and the FOURTH type, filtered radius, off the same artifact
+    def canonFR(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._2))
+    val servedFR = canonFR(Similarity.queryIvfIndexRadiusFiltered(spark, dir))
+    assert(servedFR.sameElements(canonFR(Similarity.knnRadiusFilteredOn(vectors))),
+      "staged filtered-radius query diverged from the one-shot key")
+    // well-formed: every admitted pair shares the query's label and
+    // genuinely clears tau (exact driver-side recompute)
+    val labById = vectors.select(col("vec_id"), col("label")).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toMap
+    val vecById = vectors.select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray)).toMap
+    def cosOf(a: Long, b: Long): Double = {
+      val (x, y) = (vecById(a), vecById(b))
+      var ab = 0.0; var aa = 0.0; var bb = 0.0; var i = 0
+      while (i < x.length) { ab += x(i)*y(i); aa += x(i)*x(i); bb += y(i)*y(i); i += 1 }
+      ab / (math.sqrt(aa) * math.sqrt(bb))
+    }
+    servedFR.foreach { case (q, n, lab, _) =>
+      assert(lab == labById(q) && labById(n) == labById(q),
+        s"cross-label admission: query $q neighbor $n")
+      assert(cosOf(q, n) >= Similarity.RadiusTau,
+        s"below-tau admission: query $q neighbor $n")
+    }
+    // the widened filtered probe can only ADD candidates vs the
+    // unfiltered radius width: the same-label slice of knn_radius is
+    // a subset of the filtered-radius answer
+    val sameLabelRadius = oneShotRadius
+      .filter { case (q, n, _) => labById(n) == labById(q) }
+      .map { case (q, n, _) => (q, n) }.toSet
+    val frPairs = servedFR.map(t => (t._1, t._2)).toSet
+    assert(sameLabelRadius.subsetOf(frPairs),
+      "filtered radius lost a pair the narrower unfiltered probe admitted")
     // --- append lifecycle on a half split against FROZEN centroids
     val cut = vectors.agg(org.apache.spark.sql.functions.max("vec_id"))
       .collect()(0).getLong(0) / 2
