@@ -127,9 +127,11 @@ object SparkEntry {
     "knn_ivf_pq_delete" -> ((s, d) => graft.operators.Pq.knnIvfPqDelete(s, d)),
     "knn_ivf_pq_filtered" -> ((s, d) => graft.operators.Pq.knnIvfPqFiltered(s, d)),
     "knn_ivf_pq_radius" -> ((s, d) => graft.operators.Pq.knnIvfPqRadius(s, d)),
+    "knn_ivf_pq_radius_filtered" -> ((s, d) => graft.operators.Pq.knnIvfPqRadiusFiltered(s, d)),
     "knn_sq8"        -> ((s, d) => Quantize.knnSq8(s, d)),
     "knn_sq8_filtered" -> ((s, d) => Quantize.knnSq8Filtered(s, d)),
     "knn_sq8_radius" -> ((s, d) => Quantize.knnSq8Radius(s, d)),
+    "knn_sq8_radius_filtered" -> ((s, d) => Quantize.knnSq8RadiusFiltered(s, d)),
     "knn_sq8_delete" -> ((s, d) => Quantize.knnSq8Delete(s, d)),
     "knn_sq8_append" -> ((s, d) => Quantize.knnSq8Append(s, d)),
     "knn_ivf_sq8"    -> ((s, d) => Quantize.knnIvfSq8(s, d)),
@@ -357,6 +359,9 @@ object SparkEntry {
     // IVFADC replay with the ranked cut swapped for the distance
     // threshold, exact verify on the true cosine
     "knn_ivf_pq_radius" -> graft.operators.Pq.knnIvfPqRadiusOracleSql,
+    // filtered radius on the compressed tier: same-label admission
+    // inside the ADC scan, threshold cut, labeled radius verify
+    "knn_ivf_pq_radius_filtered" -> graft.operators.Pq.knnIvfPqRadiusFilteredOracleSql,
     // the int8 serving scan replayed end-to-end: the vec_quantize
     // grid re-derived, decode, approx-cosine cut, exact rerank
     "knn_sq8"        -> Quantize.knnSq8OracleSql,
@@ -366,6 +371,9 @@ object SparkEntry {
     // radius search off the compressed tier: approximate-cosine
     // admission + exact verify, both thresholds strtod-embedded
     "knn_sq8_radius" -> Quantize.knnSq8RadiusOracleSql,
+    // filtered radius on the scalar tier: lab joined on both sides
+    // of the decode admission, labeled radius verify
+    "knn_sq8_radius_filtered" -> Quantize.knnSq8RadiusFilteredOracleSql,
     // the SQ8 erasure lifecycle: candidates exclude the erased slice,
     // the trained grid and every surviving code stand as built
     "knn_sq8_delete" -> Quantize.knnSq8DeleteOracleSql,

@@ -453,6 +453,22 @@ object Opq {
     Pq.queryIvfPqRadius(index.pq, vectors, queryIds, tau, nprobe,
       basis = index.basis)
 
+  /** FILTERED RADIUS off the staged rotated index — the PQ
+    * filtered-radius kernel through the rotation seam: same-label
+    * admission inside the rotated ADC scan at the widened probe cut,
+    * exact verify on original floats. Spec-checked (scan-time ==
+    * post-filter identity at equal probe width — radius has no slot
+    * semantics, so the predicate placement changes COST only); the
+    * cross-engine gate for this shape lives on the PQ tier
+    * (`knn_ivf_pq_radius_filtered`), whose kernel this IS. */
+  def queryIvfOpqRadiusFiltered(index: IvfOpqIndex, vectors: DataFrame,
+                                queryIds: Seq[Long],
+                                tau: Double = Similarity.RadiusTau,
+                                nprobe: Int = Similarity.FilteredNProbe,
+                                filterCol: String = "label"): DataFrame =
+    Pq.queryIvfPqRadiusFiltered(index.pq, vectors, queryIds, tau, nprobe,
+      filterCol, basis = index.basis)
+
   /** Driver query (key `knn_ivf_opq_filtered`): the rotated filtered
     * serving path END TO END through the cross-engine gate — build
     * with the label riding the code postings, stage durably (basis

@@ -373,14 +373,18 @@ object Pq {
       0L until Similarity.NQueries.toLong)
   }
 
-  /** Erased id slice of the `knn_ivf_pq_delete` driver key: bounded
+  /** Erased id slice of the erasure-lifecycle driver keys: bounded
     * (50 ids — erasure requests are request-sized, the GDPR regime),
     * disjoint from the query ids, and trivially SQL-expressible so the
     * oracle can exclude exactly these candidates. At a corpus too
     * small to contain the slice the delete is a no-op on BOTH sides —
-    * the key stays consistent at every sf. */
-  val DeleteLo = 100L
-  val DeleteHi = 149L
+    * the key stays consistent at every sf. Defined on [[Similarity]]
+    * (aliased here for the existing call sites) so the float tier's
+    * oracle val never triggers THIS object's init mid-way through
+    * Similarity's own — the circular-init hazard documented at
+    * [[Similarity.DeleteLo]]. */
+  val DeleteLo = Similarity.DeleteLo
+  val DeleteHi = Similarity.DeleteHi
 
   /** Driver query (key `knn_ivf_pq_delete`): the erasure half of the
     * index CRUD lifecycle run END TO END through the cross-engine gate
@@ -1309,6 +1313,90 @@ object Pq {
       .filter(col("cosine") >= tau)
   }
 
+  /** FILTERED RADIUS off the staged compressed index (key
+    * `knn_ivf_pq_radius_filtered`): [[queryIvfPqRadius]]'s stateless
+    * adist ≤ 2(1−τ) admission with [[queryIvfPqFiltered]]'s label
+    * predicate INSIDE the code scan at the [[Similarity
+    * .FilteredNProbe]] widening — the dedup-audit query shape served
+    * off the compressed tier. A rejected candidate costs one long
+    * compare before any ADC sum; the bounded same-label admitted set
+    * exact-verifies against the float corpus (precision 1.0 — the
+    * radius contract). Output (query_id, neighbor_id, label, cosine);
+    * the label joins from the corpus projection so its type is the
+    * source column's. Accepts the rotation seam (`basis`) so the OPQ
+    * tier serves this type through the same definition. */
+  def queryIvfPqRadiusFiltered(index: IvfPqIndex, vectors: DataFrame,
+                               queryIds: Seq[Long],
+                               tau: Double = Similarity.RadiusTau,
+                               nprobe: Int = Similarity.FilteredNProbe,
+                               filterCol: String = "label",
+                               basis: DataFrame = null): DataFrame = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    require(index.codes.columns.contains(filterCol),
+      s"index codes carry no '$filterCol' column — " +
+        s"build the index with metaCols = Seq(\"$filterCol\")")
+    val vnl = vectors
+      .select(col("vec_id"), V.toDouble(col("embedding")).as("e"),
+        col(filterCol).as("label"))
+      .withColumn("nrm", V.l2Norm(col("e")))
+    val vn = vnl.select(col("vec_id"), col("e"), col("nrm"))
+    val qRows = queryRowsOf(vn, queryIds)
+    if (qRows.isEmpty)
+      return vectors.limit(0).select(
+        col("vec_id").as("query_id"), col("vec_id").as("neighbor_id"),
+        col(filterCol).as("label"), lit(0.0).as("cosine"))
+    val (adcRows, subW) = adcQueryRows(qRows, basis)
+    val qLab: Map[Long, Long] = vnl
+      .filter(col("vec_id").isInCollection(queryIds))
+      .select(col("vec_id"), col("label").cast("long")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val probesByQ = probesAgainst(index.centroids, qRows, nprobe)
+    val probedCells = probesByQ.values.flatten.toSet
+    val qIds = probesByQ.keys.toArray.sorted
+    val (dtByQ, codeRank) = adcTablesFor(index.codebooks, adcRows, subW)
+    val admitD2 = 2.0 * (1.0 - tau)
+    val cand = index.codes
+      .filter(col("cell").isInCollection(probedCells.toSeq))
+      .select(col("vec_id"), col("cell"), col("codes"),
+        col(filterCol).cast("long"))
+      .as[(Long, Long, Array[Long], Long)]
+      .mapPartitions { it =>
+        it.flatMap { case (vid, cell, cs, lab) =>
+          qIds.iterator
+            .filter(q => q != vid && qLab(q) == lab && probesByQ(q).contains(cell))
+            .map { q =>
+              val dtm = dtByQ(q)
+              var acc = 0.0
+              var m = 0
+              while (m < M) { acc += dtm(m)(codeRank(m)(cs(m))); m += 1 }
+              (q, vid, acc)
+            }
+            .filter(_._3 <= admitD2)
+        }
+      }
+      .toDF("query_id", "vec_id", "adist")
+      .select(col("query_id"), col("vec_id"))
+    val qSide = broadcast(vn.filter(col("vec_id").isInCollection(queryIds))
+      .select(col("vec_id").as("query_id"), col("e").as("qe"), col("nrm").as("qnrm")))
+    cand.join(vnl, "vec_id").join(qSide, "query_id")
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("label"),
+        V.cosineWithNorms(V.dot(col("e"), col("qe")), col("nrm"), col("qnrm"))
+          .as("cosine"))
+      .filter(col("cosine") >= tau)
+  }
+
+  /** Driver query (key `knn_ivf_pq_radius_filtered`): build with the
+    * label riding the codes, stage, read back, answer the same-label
+    * radius query inside the compressed scan. */
+  def knnIvfPqRadiusFiltered(spark: SparkSession, dir: String): DataFrame = {
+    val vectors = Tables.embeddings(spark, dir)
+    val path = graft.operators.Scratch.reuseDir("ivf_pq_radius_filt_idx")
+    writeIvfPqIndex(buildIvfPq(vectors, metaCols = Seq("label")), path)
+    queryIvfPqRadiusFiltered(readIvfPqIndex(spark, path), vectors,
+      0L until NQueries.toLong)
+  }
+
   /** Driver query (key `knn_ivf_pq_radius`): build, stage durably,
     * read back, answer the radius query off the compressed codes. */
   def knnIvfPqRadius(spark: SparkSession, dir: String): DataFrame = {
@@ -1357,6 +1445,13 @@ object Pq {
     * the true cosine — both thresholds strtod-embedded. */
   val knnIvfPqRadiusOracleSql: String =
     ivfPqOracleSqlFor(trained = false, radius = true)
+
+  /** The filtered-radius replay (key `knn_ivf_pq_radius_filtered`):
+    * the composed build + qlabel-carrying probes at the widened cut +
+    * same-label candidate enumeration + the distance-threshold
+    * admission + the exact radius verify carrying the label. */
+  val knnIvfPqRadiusFilteredOracleSql: String =
+    ivfPqOracleSqlFor(trained = false, filtered = true, radius = true)
 
   /** One template, two training policies: `trained = true` swaps in
     * the trained-half IVF prefix and restricts the PQ seed pick
@@ -1485,12 +1580,16 @@ object Pq {
        |)${
            if (radius)
              s"""
-       |SELECT query_id, neighbor_id, cosine FROM (
-       |  SELECT cd.query_id, cd.vec_id AS neighbor_id,
+       |SELECT query_id, neighbor_id,${
+           if (filtered) " label," else ""} cosine FROM (
+       |  SELECT cd.query_id, cd.vec_id AS neighbor_id,${
+           if (filtered) " lo.label," else ""}
        |    ${sqlDot("b.e", "a.e")} / (b.nrm * a.nrm) AS cosine
        |  FROM cand cd
        |  JOIN vn b ON cd.vec_id = b.vec_id
-       |  JOIN vn a ON cd.query_id = a.vec_id) t
+       |  JOIN vn a ON cd.query_id = a.vec_id${
+           if (!filtered) ""
+           else "\n  JOIN lab lo ON cd.vec_id = lo.vec_id"}) t
        |WHERE cosine >= CAST('${Similarity.RadiusTau}' AS DOUBLE)""".stripMargin
            else
              s"""

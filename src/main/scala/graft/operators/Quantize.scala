@@ -318,6 +318,64 @@ object Quantize {
       .filter(col("cosine") >= tau)
   }
 
+  /** FILTERED RADIUS off the staged SQ8 index (key
+    * `knn_sq8_radius_filtered`): [[querySq8IndexRadius]]'s
+    * approximate-cosine admission with [[querySq8IndexFiltered]]'s
+    * scan-time label predicate — the label rides the code rows, so a
+    * rejected candidate costs one comparison before any decode
+    * arithmetic, and the bounded same-label admitted set
+    * exact-verifies against the float corpus (precision 1.0, the
+    * radius contract). Output (query_id, neighbor_id, label, cosine);
+    * label typed from the corpus projection. */
+  def querySq8IndexRadiusFiltered(spark: SparkSession, path: String,
+                                  vectors: DataFrame, queryIds: Seq[Long],
+                                  tau: Double = Similarity.RadiusTau,
+                                  filterCol: String = "label"): DataFrame = {
+    val rg = spark.read.parquet(s"$path/ranges")
+      .orderBy(col("pos")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    val staged = spark.read.parquet(s"$path/codes")
+    require(staged.columns.contains(filterCol),
+      s"staged codes carry no '$filterCol' column — " +
+        s"stage the index with metaCols = Seq(\"$filterCol\")")
+    val vnl = vectors
+      .select(col("vec_id"), V.toDouble(col("embedding")).as("e"),
+        col(filterCol).as("label"))
+      .withColumn("nrm", V.l2Norm(col("e")))
+    val vn = vnl.select(col("vec_id"), col("e"), col("nrm"))
+    if (rg.isEmpty)
+      return vectors.limit(0).select(
+        col("vec_id").as("query_id"), col("vec_id").as("neighbor_id"),
+        col(filterCol).as("label"), lit(0.0).as("cosine"))
+    val decoded = dequantized(
+      staged.select(col("vec_id"), col("codes"), col(filterCol)), rg)
+    val queries = broadcast(vnl.filter(col("vec_id").isInCollection(queryIds))
+      .select(col("vec_id").as("query_id"), col("e").as("qe"),
+        col("nrm").as("qnrm"), col("label").as("qlabel")))
+    // label equality BEFORE the decode cosine in the conjunction: a
+    // cross-label candidate is dropped for one comparison
+    val cand = decoded.join(queries, col("vec_id") =!= col("query_id"))
+      .filter(col(filterCol) === col("qlabel") &&
+        V.cosineWithNorms(V.dot(col("de"), col("qe")),
+          col("dn"), col("qnrm")) >= tau)
+      .select(col("query_id"), col("vec_id"))
+    cand.join(vnl, "vec_id").join(queries, "query_id")
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("label"),
+        V.cosineWithNorms(V.dot(col("e"), col("qe")), col("nrm"), col("qnrm"))
+          .as("cosine"))
+      .filter(col("cosine") >= tau)
+  }
+
+  /** Driver query (key `knn_sq8_radius_filtered`): stage with the
+    * label riding the codes, answer the same-label radius query. */
+  def knnSq8RadiusFiltered(spark: SparkSession, dir: String): DataFrame = {
+    val vectors = Tables.embeddings(spark, dir)
+    val path = Scratch.reuseDir("sq8_radius_filt_idx")
+    writeSq8Index(vectors, path, metaCols = Seq("label"))
+    querySq8IndexRadiusFiltered(spark, path, vectors,
+      0L until Similarity.NQueries.toLong)
+  }
+
   /** Driver query (key `knn_sq8_radius`): stage the SQ8 index, answer
     * the radius query off the compressed codes. */
   def knnSq8Radius(spark: SparkSession, dir: String): DataFrame = {
@@ -687,6 +745,31 @@ object Quantize {
        |  FROM cand cd
        |  JOIN vn b ON cd.vec_id = b.vec_id
        |  JOIN vn a ON cd.query_id = a.vec_id) t
+       |WHERE cosine >= CAST('$RadiusTau' AS DOUBLE)""".stripMargin
+  }
+
+  /** The filtered-radius replay (key `knn_sq8_radius_filtered`): the
+    * radius replay with the `lab` CTE joined on both sides of
+    * candidate admission, label carried onto the verify output. */
+  val knnSq8RadiusFilteredOracleSql: String = {
+    import Similarity.{sqlDot, NQueries, RadiusTau}
+    s"""$sq8DecodeCtes, lab AS (
+       |  SELECT vec_id, label FROM embeddings
+       |), cand AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id
+       |  FROM den c JOIN vn q ON q.vec_id < $NQueries AND c.vec_id != q.vec_id
+       |  JOIN lab cl ON c.vec_id = cl.vec_id
+       |  JOIN lab ql ON q.vec_id = ql.vec_id AND cl.label = ql.label
+       |  WHERE ${sqlDot("c.de", "q.e")} / (c.dn * q.nrm)
+       |        >= CAST('$RadiusTau' AS DOUBLE)
+       |)
+       |SELECT query_id, neighbor_id, label, cosine FROM (
+       |  SELECT cd.query_id, cd.vec_id AS neighbor_id, lo.label,
+       |    ${sqlDot("b.e", "a.e")} / (b.nrm * a.nrm) AS cosine
+       |  FROM cand cd
+       |  JOIN vn b ON cd.vec_id = b.vec_id
+       |  JOIN vn a ON cd.query_id = a.vec_id
+       |  JOIN lab lo ON cd.vec_id = lo.vec_id) t
        |WHERE cosine >= CAST('$RadiusTau' AS DOUBLE)""".stripMargin
   }
 

@@ -697,6 +697,18 @@ object Similarity {
            if (erasedPred == null) "" else s" AND NOT ($erasedPred)"}) t
        |WHERE rk <= $K""".stripMargin
 
+  /** Erased id slice shared by every tier's erasure-lifecycle key
+    * (bounded, query-disjoint, SQL-expressible — see the original
+    * rationale at the PQ tier, which aliases these). Defined HERE so
+    * Similarity's oracle vals never reference a downstream object:
+    * a val in this object that touches `Pq`/`Quantize`/`Opq` starts
+    * THEIR initialization while this object is still mid-init, and
+    * their oracle vals then read this object's not-yet-assigned
+    * constants as 0 (the JVM's circular-object-init semantics — a
+    * measured failure: `rk <= 0` probes, τ = 0 radius cuts). */
+  val DeleteLo = 100L
+  val DeleteHi = 149L
+
   /** Driver query (key `knn_ivf_delete`): the FLOAT tier's erasure
     * lifecycle at the cross-engine gate — completing erasure-at-the-
     * gate across all four tiers (PQ `knn_ivf_pq_delete`, SQ8
@@ -710,12 +722,12 @@ object Similarity {
     val vectors = Tables.embeddings(spark, dir)
     val path = Scratch.reuseDir("ivf_float_delete_key_idx")
     writeIvfIndex(vectors, path)
-    deleteFromIvfIndex(spark, path, Pq.DeleteLo to Pq.DeleteHi)
+    deleteFromIvfIndex(spark, path, DeleteLo to DeleteHi)
     queryIvfIndex(spark, path)
   }
 
   val knnIvfDeleteOracleSql: String =
-    knnIvfOracleSqlFor(s"i.vec_id BETWEEN ${Pq.DeleteLo} AND ${Pq.DeleteHi}")
+    knnIvfOracleSqlFor(s"i.vec_id BETWEEN $DeleteLo AND $DeleteHi")
 
   /** Neighbors per node in the kNN GRAPH (key `knn_graph`). Smaller
     * than the query-set K: the graph's purpose is downstream
