@@ -40,7 +40,8 @@ object ScaleCheck {
       "knn_sq8", "knn_recall_report", "knn_opq", "sq8_query", "knn_ivf_sq8",
       "knn_radius", "knn_filtered", "knn_ivf_opq",
       "ivf_pq_filtered_query", "sq8_radius_query", "ivf_stats",
-      "ivf_pq_radius_query", "sq8_filtered_query", "ivf_opq_serve")
+      "ivf_pq_radius_query", "sq8_filtered_query", "ivf_opq_serve",
+      "ivf_sq8_query")
     val skipNonEmbedding = args.length > 1 && args(1).split(",").forall(embOnly)
     // a graph-only run (the tier's dedicated scaled-catalog corpus)
     // likewise skips the main tables: a 300× run would otherwise
@@ -697,10 +698,27 @@ object ScaleCheck {
         s""""ivf_opq_append":{"sec":$appendSec,"rows":$appended},""" +
         s""""ivf_opq_delete":{"sec":$deleteSec,"rows":$deleted}"""
     }
+    // the composed IVF-SQ8 tier's serving split: stage once (build
+    // untimed), time only the statically cell-pruned staged query
+    val ivfSq8Serve = if (!only("ivf_sq8_query")) None else Some {
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      val idxDir = operators.Scratch.diskDir("graft_scale_ivfsq8")
+      val tb0 = System.nanoTime()
+      operators.Quantize.writeIvfSq8Index(emb, idxDir)
+      val buildSec = (System.nanoTime() - tb0) / 1e9
+      val acc = spark.sparkContext.longAccumulator("rows_ivf_sq8_query")
+      val tq0 = System.nanoTime()
+      operators.Quantize.queryIvfSq8Index(spark, idxDir, emb,
+        0L until operators.Similarity.NQueries.toLong)
+        .queryExecution.toRdd.foreachPartition(it => acc.add(it.size.toLong))
+      val qSec = (System.nanoTime() - tq0) / 1e9
+      s""""ivf_sq8_query":{"sec":$qSec,"rows":${acc.value},"build_sec":$buildSec}"""
+    }
     val qs = (results.collect { case (k, s, r) if r >= 0 => s""""$k":{"sec":$s,"rows":$r}""" }
       ++ pipe ++ scd2Apply ++ ivfAppend ++ sq8Serve
       ++ pqFilteredServe ++ sq8RadiusServe ++ ivfStats
-      ++ pqRadiusServe ++ sq8FilteredServe ++ opqServe).mkString(",")
+      ++ pqRadiusServe ++ sq8FilteredServe ++ opqServe
+      ++ ivfSq8Serve).mkString(",")
     println(s"""{"scale_mult":$mult,"n_events":$n,"ops":{$qs}}""")
     spark.stop()
   }

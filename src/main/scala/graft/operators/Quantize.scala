@@ -844,6 +844,158 @@ object Quantize {
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"), col("cosine"))
   }
 
+  // --- composed IVF-SQ8 durable serving split -------------------------
+  // The last tier composition without one (float, PQ, OPQ, and flat
+  // SQ8 all stage durably): centroids + ranges + CELL-partitioned int8
+  // codes. The codes tree is byte-shaped like the PQ tier's
+  // (vec_id, codes, cell=<id> partition dirs), so erasure IS
+  // [[Pq.deleteFromIvfPqIndex]] and probes prune whole directories.
+
+  /** Stage the composed index durably. `trainOn` (null = `vectors`)
+    * decouples training (Lloyd centroids + the quantizer grid) from
+    * indexing — `writeIvfSq8Index(a ∪ b, trainOn = a)` equals
+    * `writeIvfSq8Index(a)` + [[appendIvfSq8Index]]`(b)` bit-for-bit
+    * (spec), the incremental-lifecycle equation every tier holds.
+    * Codes are encoded against the STAGED ranges read back from
+    * parquet (exact double round-trip — artifact and codes can never
+    * drift) and land via the tmp+rename swap (the
+    * [[Pq.writeIvfPqIndex]] recovery discipline). */
+  def writeIvfSq8Index(vectors: DataFrame, path: String,
+                       metaCols: Seq[String] = Seq.empty,
+                       trainOn: DataFrame = null): Unit = {
+    val spark = vectors.sparkSession
+    val train = Option(trainOn).getOrElse(vectors)
+    val (indexed, centroids) =
+      Similarity.ivfIndex(train, 0, "ivf_centroids_write_ivf_sq8")
+    centroids.write.mode("overwrite").parquet(s"$path/centroids")
+    quantizerRanges(train).write.mode("overwrite").parquet(s"$path/ranges")
+    val stagedRg = spark.read.parquet(s"$path/ranges")
+    // the INDEXED corpus: when training is decoupled, assign every
+    // corpus vector to the trained centroids (the append arithmetic)
+    val cellOf =
+      if (trainOn == null) indexed.select(col("vec_id"), col("cell"))
+      else {
+        val vAll = vectors
+          .select(col("vec_id"), V.toDouble(col("embedding")).as("e"))
+          .withColumn("nrm", V.l2Norm(col("e")))
+        Similarity.assignNearest(vAll, centroids, "cell", "ce", "cn")
+          .select(col("vec_id"), col("cell"))
+      }
+    val codes = quantizeCodesAgainst(vectors, stagedRg,
+      dim = Some(stagedRg.count())).join(cellOf, "vec_id")
+    val withMeta =
+      if (metaCols.isEmpty) codes
+      else codes.join(
+        vectors.select((Seq("vec_id") ++ metaCols).map(col): _*), "vec_id")
+    val codesPath = new org.apache.hadoop.fs.Path(s"$path/codes")
+    val tmpPath = new org.apache.hadoop.fs.Path(s"$path/codes_tmp")
+    val fs = codesPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(tmpPath, true)
+    withMeta.repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(tmpPath.toString)
+    fs.delete(codesPath, true)
+    if (!fs.rename(tmpPath, codesPath))
+      throw new IllegalStateException(
+        s"writeIvfSq8Index: rename $tmpPath -> $codesPath failed; " +
+          s"the new codes tree is intact at $tmpPath")
+  }
+
+  /** Query the staged composed index: probes off the C-row centroid
+    * artifact (the SAME [[Similarity.probeCells]] frame the one-shot
+    * key ranks with — staged answers are bit-identical, spec), a
+    * STATICALLY cell-pruned decode scan over the persisted codes
+    * (partition-directory pruning — the IO cut the layout exists
+    * for), heap cut, exact rerank against the float corpus. */
+  def queryIvfSq8Index(spark: SparkSession, path: String,
+                       vectors: DataFrame, queryIds: Seq[Long],
+                       k: Int = Similarity.K, rerank: Int = Pq.Rerank,
+                       nprobe: Int = Similarity.IvfNProbe): DataFrame = {
+    val rg = spark.read.parquet(s"$path/ranges")
+      .orderBy(col("pos")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    if (rg.isEmpty)
+      return vectors.limit(0).select(
+        col("vec_id").as("query_id"), col("vec_id").as("neighbor_id"),
+        lit(0).as("rank"), lit(0.0).as("cosine"))
+    val vn = vectors
+      .select(col("vec_id"), V.toDouble(col("embedding")).as("e"))
+      .withColumn("nrm", V.l2Norm(col("e")))
+    val queries = broadcast(vn.filter(col("vec_id").isInCollection(queryIds))
+      .select(col("vec_id").as("query_id"), col("e").as("qe"), col("nrm").as("qnrm")))
+    val centroids = spark.read.parquet(s"$path/centroids")
+    val probes = Similarity.probeCells(queries, centroids, nprobe)
+    // bounded driver collect (Q·nprobe rows) so the cell cut reaches
+    // the scan as a STATIC partition filter, not a runtime join
+    val probedCells = probes.select(col("cell").cast("long"))
+      .distinct().collect().map(_.getLong(0)).toSeq
+    val pruned = Pq.pinnedCodes(spark.read.parquet(s"$path/codes"))
+      .filter(col("cell").isInCollection(probedCells))
+      .select(col("vec_id"), col("cell"), col("codes"))
+    val decoded = dequantized(pruned, rg)
+    val scored = decoded.join(probes, "cell")
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        V.cosineWithNorms(V.dot(col("de"), col("qe")), col("dn"), col("qnrm"))
+          .as("cosine"))
+    val cw = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    val cand = broadcast(Similarity.partitionTopK(scored, rerank)
+      .withColumn("crk", row_number().over(cw))
+      .filter(col("crk") <= rerank)
+      .select(col("query_id"), col("vec_id")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    cand.join(vn, "vec_id").join(queries, "query_id")
+      .select(col("query_id"), col("vec_id"),
+        V.cosineWithNorms(V.dot(col("e"), col("qe")), col("nrm"), col("qnrm"))
+          .as("cosine"))
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"), col("cosine"))
+  }
+
+  /** Durable append on the composed index: assign (frozen centroids,
+    * float space) + quantize (frozen staged grid, end-saturating) the
+    * new vectors, append only their cell-clustered code files —
+    * O(|new|), never O(index). Riding metadata derives from the index
+    * schema and is required of the batch (the tier-wide discipline);
+    * a mis-dimensioned batch fails in-plan at the grid join / width
+    * check. Returns appended code rows. */
+  def appendIvfSq8Index(spark: SparkSession, path: String,
+                        newVectors: DataFrame): Long = {
+    val centroids = spark.read.parquet(s"$path/centroids")
+    val stagedRg = spark.read.parquet(s"$path/ranges")
+    val riding = spark.read.parquet(s"$path/codes").columns.toSeq
+      .filterNot(Set("vec_id", "codes", "cell"))
+    riding.foreach(c => require(newVectors.columns.contains(c),
+      s"appendIvfSq8Index: the staged codes ride metadata column '$c' " +
+        s"but the batch lacks it — appends must carry the index's riding set"))
+    val vNew = newVectors
+      .select(col("vec_id"), V.toDouble(col("embedding")).as("e"))
+      .withColumn("nrm", V.l2Norm(col("e")))
+    val assigned = Similarity.assignNearest(vNew, centroids, "cell", "ce", "cn")
+      .select(col("vec_id"), col("cell"))
+    val encoded = quantizeCodesAgainst(newVectors, stagedRg,
+      dim = Some(stagedRg.count())).join(assigned, "vec_id")
+    val withMeta =
+      if (riding.isEmpty) encoded
+      else encoded.join(
+        newVectors.select((Seq("vec_id") ++ riding).map(col): _*), "vec_id")
+    val staged = Scratch.stageReuse(withMeta, "ivf_sq8_append_codes")
+    staged.repartition(col("cell"))
+      .write.mode("append").partitionBy("cell").parquet(s"$path/codes")
+    staged.count()
+  }
+
+  /** Erasure on the composed index: the codes tree is the PQ layout
+    * byte-for-byte (vec_id, codes, cell=<id> dirs), so this IS
+    * [[Pq.deleteFromIvfPqIndex]] — only cell directories holding an
+    * erased id are rewritten; centroids and the grid (trained
+    * aggregates) stand. */
+  def deleteFromIvfSq8Index(spark: SparkSession, path: String,
+                            vecIds: Seq[Long]): Long =
+    Pq.deleteFromIvfPqIndex(spark, path, vecIds)
+
   /** Full DuckDB replay of the composed IVF-SQ8 search: the shared
     * IVF-build prefix (cells per vector), the [[knnSq8OracleSql]]
     * grid/decode CTEs, probes, candidate enumeration restricted to

@@ -782,6 +782,27 @@ class PlanSpec extends SparkSpecBase {
       s"the radius tail must not rank anything:\n$pr")
   }
 
+  test("staged IVF-SQ8 index: the composed scan statically prunes cell " +
+      "directories; decode stays codegen") {
+    import graft.operators.Quantize
+    val vectors = graft.sources.Tables.embeddings(spark, sfDir)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfsq8_plan").toString
+    Quantize.writeIvfSq8Index(vectors, dir)
+    val qids = 0L until graft.operators.Similarity.NQueries.toLong
+    val p = plan(Quantize.queryIvfSq8Index(spark, dir, vectors, qids))
+    val codesScans = p.linesIterator
+      .filter(l => l.contains("FileScan") && l.contains(s"$dir/codes"))
+      .toSeq
+    assert(codesScans.nonEmpty, s"no codes scan found in:\n$p")
+    codesScans.foreach { l =>
+      assert(l.contains("PartitionFilters: [cell"),
+        s"codes scan lost the static cell partition filter:\n$l")
+    }
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"),
+      s"decode fell out of codegen:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
+  }
+
   test("staged OPQ index: the rotated tier prunes cell directories " +
       "exactly like the PQ tier — all three query types") {
     import graft.operators.Opq

@@ -169,6 +169,49 @@ class QuantizeSpec extends SparkSpecBase {
     assert(q2.groupBy(_.getLong(0)).forall(_._2.length == operators.Similarity.K))
   }
 
+  test("ivf-sq8 serving split: staged composed index answers the one-shot " +
+      "key bit-identically; append == trained-on-base restage; erasure") {
+    import org.apache.spark.sql.functions.{col, max}
+    import graft.operators.{Quantize, Similarity}
+    val vectors = graft.sources.Tables.embeddings(spark, sfDir)
+    val qids = 0L until Similarity.NQueries.toLong
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._3))
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfsq8_idx").toString
+    Quantize.writeIvfSq8Index(vectors, dir)
+    val served = canon(Quantize.queryIvfSq8Index(spark, dir, vectors, qids))
+    assert(served.sameElements(canon(Quantize.knnIvfSq8On(vectors))),
+      "staged composed serving diverged from the one-shot key")
+    // query-many against the same staged frames
+    assert(canon(Quantize.queryIvfSq8Index(spark, dir, vectors, qids))
+      .sameElements(served))
+    // the incremental-lifecycle equation: stage(base) + append(rest)
+    // answers exactly like a restage of everything trained on base
+    val cut = vectors.agg(max("vec_id")).collect()(0).getLong(0) / 2
+    val base = vectors.filter(col("vec_id") <= cut)
+    val rest = vectors.filter(col("vec_id") > cut)
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_ivfsq8_app").toString
+    Quantize.writeIvfSq8Index(base, dir2)
+    val nApp = Quantize.appendIvfSq8Index(spark, dir2, rest)
+    assert(nApp == rest.count(), "append must encode every batch row")
+    val dir3 = java.nio.file.Files.createTempDirectory("graft_ivfsq8_tw").toString
+    Quantize.writeIvfSq8Index(vectors, dir3, trainOn = base)
+    assert(canon(Quantize.queryIvfSq8Index(spark, dir2, vectors, qids))
+      .sameElements(canon(Quantize.queryIvfSq8Index(spark, dir3, vectors, qids))),
+      "append diverged from the trained-on-base restage")
+    // erasure is the PQ cell-directory rewrite verbatim: erased ids
+    // vanish, a second identical delete finds nothing
+    val erased = (cut - 3 to cut).filter(_ >= Similarity.NQueries)
+    val nDel = Quantize.deleteFromIvfSq8Index(spark, dir2, erased)
+    assert(nDel == erased.length)
+    assert(Quantize.deleteFromIvfSq8Index(spark, dir2, erased) == 0L,
+      "erasure must be idempotent")
+    val after = canon(Quantize.queryIvfSq8Index(spark, dir2, vectors, qids))
+    assert(after.forall(t => !erased.contains(t._2)),
+      "an erased id survived in the staged answers")
+  }
+
   test("knn_ivf_sq8: well-formed top-k, recall tracks the IVF tier on " +
       "clustered data, deterministic") {
     val vectors = graft.sources.Tables.embeddings(spark, sfDir)
