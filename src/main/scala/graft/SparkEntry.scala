@@ -120,6 +120,7 @@ object SparkEntry {
     "knn_ivf_opq"    -> ((s, d) => graft.operators.Opq.knnIvfOpq(s, d)),
     "knn_ivf_opq_filtered" -> ((s, d) => graft.operators.Opq.knnIvfOpqFiltered(s, d)),
     "knn_ivf_opq_radius" -> ((s, d) => graft.operators.Opq.knnIvfOpqRadius(s, d)),
+    "knn_ivf_opq_radius_filtered" -> ((s, d) => graft.operators.Opq.knnIvfOpqRadiusFiltered(s, d)),
     "knn_ivf_opq_append" -> ((s, d) => graft.operators.Opq.knnIvfOpqAppend(s, d)),
     "knn_ivf_opq_delete" -> ((s, d) => graft.operators.Opq.knnIvfOpqDelete(s, d)),
     "knn_ivf_pq"     -> ((s, d) => graft.operators.Pq.knnIvfPq(s, d)),
@@ -338,6 +339,9 @@ object SparkEntry {
     // the rotated composition's radius path: ranked cut swapped for
     // the adist threshold, exact verify on the true cosine
     "knn_ivf_opq_radius" -> graft.operators.Opq.knnIvfOpqRadiusOracleSql,
+    // the LAST serving-matrix cell (tier × query type) at the gate:
+    // same-label radius admission inside the rotated compressed scan
+    "knn_ivf_opq_radius_filtered" -> graft.operators.Opq.knnIvfOpqRadiusFilteredOracleSql,
     // the rotated append lifecycle: basis, Lloyd, and codebooks all
     // trained on the day-0 half; assignment/encode/probes full-corpus
     "knn_ivf_opq_append" -> graft.operators.Opq.knnIvfOpqAppendOracleSql,

@@ -2,8 +2,9 @@ package graft.operators
 
 import java.nio.charset.StandardCharsets
 
-import org.apache.hadoop.fs.{CreateFlag, FileContext, Options, Path}
-import org.apache.spark.sql.SparkSession
+import org.apache.hadoop.fs.{CreateFlag, FileContext, FileUtil, Options, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 
 /** Atomic publish/resolve for multi-frame index artifacts — the
   * manifest layer the staged ANN indexes' own docstrings call for
@@ -113,21 +114,167 @@ object IndexManifest {
     s"$root/$dirName"
   }
 
-  /** Retire every version directory except the live one (and any
-    * version published AFTER the pointer was read — monotonic ids
-    * make "newer than live" checkable, so a vacuum racing a publish
-    * never deletes the version being published). Returns the deleted
-    * directories. In-flight readers of a retired version are the
-    * standard retention tradeoff — run vacuum on a delay exceeding
-    * the longest query, exactly like lake-format VACUUM. */
-  def vacuum(spark: SparkSession, root: String): Seq[String] = {
+  /** Retire superseded version directories behind a keep-N policy:
+    * the live version, the `keep - 1` most recent versions below it,
+    * and any version published AFTER the pointer was read (monotonic
+    * ids make "newer than live" checkable, so a vacuum racing a
+    * publish never deletes the version being published) all survive;
+    * everything older is deleted. Returns the deleted directories.
+    * In-flight readers of a retired version are the standard
+    * retention tradeoff — run vacuum on a delay exceeding the longest
+    * query (or keep ≥ 2 so the immediately superseded version
+    * outlives any reader that resolved just before the flip), exactly
+    * like lake-format VACUUM. */
+  def vacuum(spark: SparkSession, root: String, keep: Int = 1): Seq[String] = {
+    require(keep >= 1, s"vacuum keeps at least the live version (keep=$keep)")
     val ctx = fc(spark, root)
     val live = current(spark, root).getOrElse(return Nil)
     val liveV = versionOf(new Path(live).getName).getOrElse(return Nil)
-    listVersions(ctx, new Path(root)).filter(_ < liveV).sorted.map { v =>
-      val p = new Path(root, s"v=$v")
-      ctx.delete(p, true)
-      p.toString
+    listVersions(ctx, new Path(root)).filter(_ < liveV).sorted
+      .dropRight(keep - 1).map { v =>
+        val p = new Path(root, s"v=$v")
+        ctx.delete(p, true)
+        p.toString
+      }
+  }
+
+  /** [[publish]] with the LIVE version's directory handed to the
+    * writer — the delta-publish primitive: `edit(live, next)`
+    * materializes the next version FROM the current one (hardlink
+    * what didn't change, rewrite what did). Fails loudly when nothing
+    * is published yet. */
+  def publishFrom(spark: SparkSession, root: String)
+                 (edit: (String, String) => Unit): String = {
+    val live = currentOrFail(spark, root)
+    publish(spark, root)(next => edit(live, next))
+  }
+
+  /** Mirror `src`'s artifact tree into `dst`, skipping any entry whose
+    * src-relative path is in `skip` (a skipped directory's whole
+    * subtree is skipped). Files are HARDLINKED when the filesystem is
+    * local — one inode-metadata op per file, zero data copied, and
+    * safe because published versions are immutable by contract — and
+    * byte-copied otherwise (HDFS has no user hardlinks; object-store
+    * deployments swap in their server-side copy here, which is the
+    * same O(metadata) shape). At 100 TB the delta-publish bill is
+    * therefore O(touched-partition rewrite) data IO plus O(n_files)
+    * metadata ops — never a second materialization of the index. */
+  private[operators] def mirror(spark: SparkSession, src: String, dst: String,
+                                skip: Set[String] = Set.empty): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val srcRoot = new Path(src)
+    val fs = srcRoot.getFileSystem(conf)
+    val local = fs.getScheme == "file"
+    def localPath(p: Path): java.nio.file.Path =
+      java.nio.file.Paths.get(p.toUri.getPath)
+    def walk(rel: String): Unit = {
+      val here = if (rel.isEmpty) srcRoot else new Path(src, rel)
+      fs.listStatus(here).foreach { st =>
+        val childRel =
+          if (rel.isEmpty) st.getPath.getName
+          else s"$rel/${st.getPath.getName}"
+        if (!skip.contains(childRel)) {
+          val target = new Path(dst, childRel)
+          if (st.isDirectory) {
+            fs.mkdirs(target)
+            walk(childRel)
+          } else {
+            fs.mkdirs(target.getParent)
+            if (local)
+              java.nio.file.Files.createLink(
+                localPath(target), localPath(st.getPath))
+            else
+              FileUtil.copy(fs, st.getPath, fs, target, false, conf)
+            ()
+          }
+        }
+      }
     }
+    walk("")
+  }
+
+  /** Columns of `df` with `partCol` cast to long in place — the union
+    * pin between a partition-discovered tree (whose partition column
+    * may infer narrow) and a freshly computed delta frame. */
+  private def pinPart(df: DataFrame, partCol: String): DataFrame =
+    df.select(df.columns.toSeq.map(c =>
+      if (c == partCol) col(c).cast("long").as(c) else col(c)): _*)
+
+  /** ATOMIC batch append on a versioned index whose mutable state is
+    * one partition tree (`root/v=n/$tree/$partCol=…` — the float
+    * tier's postings, every compressed tier's codes): hardlink-mirror
+    * the live version except the batch's touched partition
+    * directories, write those partitions as old-rows ∪ batch into the
+    * fresh version, flip the pointer. A reader overlapping the append
+    * sees the wholly-old or wholly-new version — never some of the
+    * batch's cells and not others (the in-place fast paths'
+    * documented residual); a crash anywhere leaves the pointer on the
+    * old version, whose files the orphaned partial never touched.
+    * `batch` must carry exactly the tree's columns (tier wrappers
+    * enforce the metadata/dimension discipline before calling).
+    * Returns appended rows. Cost: O(touched-partition rewrite) data
+    * IO — the batch's own locality under the frozen assignment keeps
+    * that request-sized — plus the mirror's metadata ops. */
+  private[operators] def appendRowsAtomic(spark: SparkSession, root: String,
+                                          tree: String, partCol: String,
+                                          batch: DataFrame,
+                                          keep: Int = 2): Long = {
+    val live = currentOrFail(spark, root)
+    val treeCols = spark.read.parquet(s"$live/$tree").columns.toSet
+    require(batch.columns.toSet == treeCols,
+      s"appendRowsAtomic: batch columns ${batch.columns.toSet} do not " +
+        s"match the live $tree tree's $treeCols")
+    // materialize the batch once: encode/assign arithmetic should not
+    // re-run for the touched-partition probe AND the rewrite
+    val staged = pinPart(Scratch.stageReuse(batch, s"manifest_append_$tree"), partCol)
+    val touched = staged.select(partCol).distinct()
+      .collect().map(_.getLong(0)).toSet
+    if (touched.isEmpty) return 0L
+    val oldRows = pinPart(spark.read.parquet(s"$live/$tree"), partCol)
+      .filter(col(partCol).isInCollection(touched.toSeq))
+    publishFrom(spark, root) { (liveDir, next) =>
+      mirror(spark, liveDir, next,
+        skip = touched.map(v => s"$tree/$partCol=$v"))
+      oldRows.unionByName(staged).repartition(col(partCol))
+        .write.mode("append").partitionBy(partCol).parquet(s"$next/$tree")
+    }
+    vacuum(spark, root, keep)
+    staged.count()
+  }
+
+  /** ATOMIC right-to-erasure on a versioned index (layout as
+    * [[appendRowsAtomic]]): hardlink-mirror the live version except
+    * the partition directories holding an erased id, write their
+    * survivors into the fresh version (an emptied partition writes no
+    * rows — its directory simply never exists in the new version, no
+    * explicit retire step), flip the pointer. Readers never see a
+    * half-erased index and a crash leaves the old version serving —
+    * the consistency the in-place form's per-partition commits cannot
+    * give. Returns deleted rows. */
+  private[operators] def deleteVecIdsAtomic(spark: SparkSession, root: String,
+                                            tree: String, partCol: String,
+                                            vecIds: Seq[Long],
+                                            keep: Int = 2): Long = {
+    if (vecIds.isEmpty) return 0L
+    val live = currentOrFail(spark, root)
+    val rows = pinPart(spark.read.parquet(s"$live/$tree"), partCol)
+    val affected = rows.filter(col("vec_id").isInCollection(vecIds))
+      .select(partCol).distinct().collect().map(_.getLong(0)).toSet
+    if (affected.isEmpty) return 0L
+    val inAffected = rows.filter(col(partCol).isInCollection(affected.toSeq))
+    val survivors = inAffected.filter(!col("vec_id").isInCollection(vecIds))
+    val nBefore = inAffected.count()
+    publishFrom(spark, root) { (liveDir, next) =>
+      mirror(spark, liveDir, next,
+        skip = affected.map(v => s"$tree/$partCol=$v"))
+      survivors.repartition(col(partCol))
+        .write.mode("append").partitionBy(partCol).parquet(s"$next/$tree")
+    }
+    // count BEFORE vacuum: survivors reads the (immutable) superseded
+    // version, which keep=1 would have deleted; the filter is
+    // deterministic so the count matches what was written
+    val nAfter = survivors.count()
+    vacuum(spark, root, keep)
+    nBefore - nAfter
   }
 }

@@ -384,12 +384,43 @@ object Opq {
   /** Stage the rotated index durably: the basis (one r-row file — a
     * driver-bounded artifact) plus the PQ writer's centroids/codebooks
     * overwrite and tmp+rename codes swap. Shares the PQ writer's
-    * multi-frame staging residual: route a LIVE restage through
-    * [[IndexManifest.publish]] for a single atomic flip. */
+    * multi-frame staging residual — and the basis makes a torn
+    * restage SEMANTIC (a reader pairing a new rotation with old codes
+    * scores candidates in the wrong space), so a LIVE restage must go
+    * through [[stageIvfOpqIndexVersion]] (manifest publish + one
+    * atomic pointer flip — r17 advice); this raw form is for fresh
+    * directories only. */
   def writeIvfOpqIndex(index: IvfOpqIndex, path: String): Unit = {
     index.basis.coalesce(1).write.mode("overwrite").parquet(s"$path/basis")
     Pq.writeIvfPqIndex(index.pq, path)
   }
+
+  /** Stage a built rotated index as version 1 of a manifest-rooted
+    * index — the atomic-lifecycle entry point, and THE live-restage
+    * path (wholly-old or wholly-new basis+codes for every reader).
+    * Returns the published version directory. */
+  def stageIvfOpqIndexVersion(index: IvfOpqIndex, root: String): String =
+    IndexManifest.publish(index.pq.codes.sparkSession, root)(
+      dir => writeIvfOpqIndex(index, dir))
+
+  /** ATOMIC rotated append: [[appendIvfOpqIndex]]'s encode-through-
+    * the-rotation-seam arithmetic, landed through
+    * [[IndexManifest.appendRowsAtomic]] — basis/centroids/codebooks
+    * and untouched cells hardlink into the new version, the batch's
+    * cells rewrite, one pointer flip. */
+  def appendIvfOpqIndexAtomic(spark: SparkSession, root: String,
+                              newVectors: DataFrame, keep: Int = 2): Long = {
+    val live = IndexManifest.currentOrFail(spark, root)
+    val index = readIvfOpqIndex(spark, live)
+    IndexManifest.appendRowsAtomic(spark, root, "codes", "cell",
+      Pq.encodeAgainst(index.pq, newVectors, 0, index.basis), keep)
+  }
+
+  /** ATOMIC rotated erasure — the codes tree is the PQ layout
+    * byte-for-byte, so this IS [[Pq.deleteFromIvfPqIndexAtomic]]. */
+  def deleteFromIvfOpqIndexAtomic(spark: SparkSession, root: String,
+                                  vecIds: Seq[Long], keep: Int = 2): Long =
+    Pq.deleteFromIvfPqIndexAtomic(spark, root, vecIds, keep)
 
   def readIvfOpqIndex(spark: SparkSession, path: String): IvfOpqIndex =
     IvfOpqIndex(spark.read.parquet(s"$path/basis"),
@@ -481,6 +512,20 @@ object Opq {
     val path = Scratch.reuseDir("ivf_opq_filtered_idx")
     writeIvfOpqIndex(buildIvfOpq(vectors, metaCols = Seq("label")), path)
     queryIvfOpqFiltered(readIvfOpqIndex(spark, path), vectors,
+      0L until Similarity.NQueries.toLong)
+  }
+
+  /** Driver query (key `knn_ivf_opq_radius_filtered`): the LAST
+    * tier×query-type cell of the serving matrix at the cross-engine
+    * gate (r17 verdict item 5 — every other cell already has one) —
+    * build with the label riding the rotated codes, stage durably,
+    * answer the same-label radius query inside the rotated compressed
+    * scan at the widened probe cut, exact-verify on original floats. */
+  def knnIvfOpqRadiusFiltered(spark: SparkSession, dir: String): DataFrame = {
+    val vectors = Tables.embeddings(spark, dir)
+    val path = Scratch.reuseDir("ivf_opq_radius_filt_idx")
+    writeIvfOpqIndex(buildIvfOpq(vectors, metaCols = Seq("label")), path)
+    queryIvfOpqRadiusFiltered(readIvfOpqIndex(spark, path), vectors,
       0L until Similarity.NQueries.toLong)
   }
 
@@ -591,6 +636,30 @@ object Opq {
        |  SELECT r.vec_id, r.u, i.cell FROM rotu r JOIN idx i ON r.vec_id = i.vec_id
        |), ${Pq.pqAdcOracleTail("rotc", OpqComponents, sfx = "o",
              cellPruned = true, filtered = true)}""".stripMargin
+  }
+
+  /** The filtered-radius replay (key `knn_ivf_opq_radius_filtered`):
+    * the rotated composition with BOTH deltas — qlabel-carrying
+    * probes at the widened cut + same-label candidate enumeration
+    * (filtered), the adist-threshold admission + the label-carrying
+    * exact radius verify (radius) — the knn_ivf_pq_radius_filtered
+    * tail through the rotation seam. */
+  val knnIvfOpqRadiusFilteredOracleSql: String = {
+    import Similarity.{sqlDot, FilteredNProbe}
+    s"""$opqRotatedPrefix, ${Similarity.ivfIdxBodyAuto}, lab AS (
+       |  SELECT vec_id, label FROM embeddings
+       |), probes AS (
+       |  SELECT query_id, qlabel, cell FROM (
+       |    SELECT q.vec_id AS query_id, ql.label AS qlabel, c.cell,
+       |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+       |        ${sqlDot("q.e", "c.ce")} / (q.nrm * c.cnr) DESC, c.cell) AS rk
+       |    FROM vn q JOIN lab ql ON q.vec_id = ql.vec_id
+       |    CROSS JOIN cc c WHERE q.vec_id < ${Similarity.NQueries}) t
+       |  WHERE rk <= $FilteredNProbe
+       |), rotc AS MATERIALIZED (
+       |  SELECT r.vec_id, r.u, i.cell FROM rotu r JOIN idx i ON r.vec_id = i.vec_id
+       |), ${Pq.pqAdcOracleTail("rotc", OpqComponents, sfx = "o",
+             cellPruned = true, filtered = true, radius = true)}""".stripMargin
   }
 
   /** The radius replay: the rotated composition with the ranked cut

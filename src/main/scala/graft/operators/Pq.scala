@@ -816,6 +816,41 @@ object Pq {
     staged.count()
   }
 
+  /** ATOMIC durable append (r17 verdict item 1): the same encode
+    * arithmetic as [[appendIvfPqIndex]], landed through
+    * [[IndexManifest.appendRowsAtomic]] on a MANIFEST-rooted index
+    * ([[stageIvfPqIndexVersion]]) — untouched cell directories
+    * hardlink into a fresh version, the batch's cells rewrite as
+    * old ∪ new, one pointer flip. A concurrent reader sees the batch
+    * wholly or not at all; a crash leaves the old version serving.
+    * Answers are bit-identical to the in-place form's (spec). */
+  def appendIvfPqIndexAtomic(spark: SparkSession, root: String,
+                             newVectors: DataFrame, dim: Int = 0,
+                             keep: Int = 2): Long = {
+    val live = IndexManifest.currentOrFail(spark, root)
+    IndexManifest.appendRowsAtomic(spark, root, "codes", "cell",
+      encodeAgainst(readIvfPqIndex(spark, live), newVectors, dim), keep)
+  }
+
+  /** ATOMIC right-to-erasure: [[deleteFromIvfPqIndex]]'s survivor
+    * semantics through [[IndexManifest.deleteVecIdsAtomic]] — no
+    * reader ever sees a half-erased index, emptied cells simply don't
+    * exist in the new version, crash-safe by the pointer flip. Shared
+    * verbatim by the IVF-SQ8 and OPQ tiers (their codes trees are
+    * this layout byte-for-byte). */
+  def deleteFromIvfPqIndexAtomic(spark: SparkSession, root: String,
+                                 vecIds: Seq[Long], keep: Int = 2): Long =
+    IndexManifest.deleteVecIdsAtomic(spark, root, "codes", "cell",
+      vecIds, keep)
+
+  /** Stage a built PQ index as version 1 of a manifest-rooted index —
+    * entry point of the atomic lifecycle. Returns the published
+    * version directory; readers resolve
+    * [[IndexManifest.currentOrFail]] once per plan. */
+  def stageIvfPqIndexVersion(index: IvfPqIndex, root: String): String =
+    IndexManifest.publish(index.codes.sparkSession, root)(
+      dir => writeIvfPqIndex(index, dir))
+
   /** Stage the index durably (three parquet frames under `path`). */
   def writeIvfPqIndex(index: IvfPqIndex, path: String): Unit = {
     index.centroids.write.mode("overwrite").parquet(s"$path/centroids")
@@ -1628,8 +1663,12 @@ object Pq {
     * candidate enumeration keeps same-label codes only, and the
     * final select emits the label. `radius` swaps the ranked Rerank
     * cut for the adist ≤ 2(1−τ) admission and the top-k window for
-    * the exact radius verify. Defaults emit the prior text
-    * byte-for-byte (hash-gate stability for every existing key). */
+    * the exact radius verify; `filtered ∧ radius` composes — the
+    * radius verify then carries the label and its lab join, mirroring
+    * [[ivfPqOracleSqlFor]]'s filtered-radius tail (the
+    * knn_ivf_opq_radius_filtered key — r17 advice closed). Defaults
+    * emit the prior text byte-for-byte (hash-gate stability for every
+    * existing key). */
   private[operators] def pqAdcOracleTail(unFrame: String, dim: Int,
                                          sfx: String = "",
                                          cellPruned: Boolean = false,
@@ -1725,12 +1764,16 @@ object Pq {
        |)${
            if (radius)
              s"""
-       |SELECT query_id, neighbor_id, cosine FROM (
-       |  SELECT cd.query_id, cd.vec_id AS neighbor_id,
+       |SELECT query_id, neighbor_id,${
+           if (filtered) " label," else ""} cosine FROM (
+       |  SELECT cd.query_id, cd.vec_id AS neighbor_id,${
+           if (filtered) " lo.label," else ""}
        |    ${sqlDot("b.e", "a.e")} / (b.nrm * a.nrm) AS cosine
        |  FROM cand$sfx cd
        |  JOIN vn b ON cd.vec_id = b.vec_id
-       |  JOIN vn a ON cd.query_id = a.vec_id) t
+       |  JOIN vn a ON cd.query_id = a.vec_id${
+           if (!filtered) ""
+           else "\n  JOIN lab lo ON cd.vec_id = lo.vec_id"}) t
        |WHERE cosine >= CAST('${Similarity.RadiusTau}' AS DOUBLE)""".stripMargin
            else
              s"""

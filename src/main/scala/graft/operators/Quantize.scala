@@ -203,6 +203,38 @@ object Quantize {
     newCodes.count()
   }
 
+  /** ATOMIC SQ8 append (r17 verdict item 1): [[appendSq8Index]]'s
+    * encode arithmetic through [[IndexManifest.appendRowsAtomic]] on
+    * a manifest-rooted index — untouched `grp=` buckets hardlink into
+    * a fresh version, the batch's buckets rewrite as old ∪ new, one
+    * pointer flip. Concurrent readers see the batch wholly or not at
+    * all. */
+  def appendSq8IndexAtomic(spark: SparkSession, root: String,
+                           newVectors: DataFrame, keep: Int = 2): Long = {
+    val live = IndexManifest.currentOrFail(spark, root)
+    val ranges = spark.read.parquet(s"$live/ranges")
+    val riding = spark.read.parquet(s"$live/codes").columns.toSeq
+      .filterNot(Set("vec_id", "codes", "grp"))
+    riding.foreach(c => require(newVectors.columns.contains(c),
+      s"appendSq8IndexAtomic: the staged codes ride metadata column '$c' " +
+        s"but the batch lacks it — appends must carry the index's riding set"))
+    val encoded = quantizeCodesAgainst(newVectors, ranges, dim = Some(ranges.count()))
+    val withMeta =
+      if (riding.isEmpty) encoded
+      else encoded.join(
+        newVectors.select((Seq("vec_id") ++ riding).map(col): _*), "vec_id")
+    IndexManifest.appendRowsAtomic(spark, root, "codes", "grp",
+      withGrp(withMeta), keep)
+  }
+
+  /** ATOMIC SQ8 erasure: [[deleteFromSq8Index]]'s survivor semantics
+    * through the manifest — only buckets holding an erased id rewrite
+    * into the new version, no reader ever sees a half-erased index. */
+  def deleteFromSq8IndexAtomic(spark: SparkSession, root: String,
+                               vecIds: Seq[Long], keep: Int = 2): Long =
+    IndexManifest.deleteVecIdsAtomic(spark, root, "codes", "grp",
+      vecIds, keep)
+
   /** Right-to-erasure on the staged SQ8 index: drop the code rows of
     * `vecIds`, rewriting ONLY the `grp=` bucket directories that
     * contain an erased id — every other bucket's files stay
@@ -859,7 +891,9 @@ object Quantize {
     * Codes are encoded against the STAGED ranges read back from
     * parquet (exact double round-trip — artifact and codes can never
     * drift) and land via the tmp+rename swap (the
-    * [[Pq.writeIvfPqIndex]] recovery discipline). */
+    * [[Pq.writeIvfPqIndex]] recovery discipline). Restaging a LIVE
+    * index goes through [[stageIvfSq8IndexVersion]] instead —
+    * centroids, grid, and codes flip together (r17 advice). */
   def writeIvfSq8Index(vectors: DataFrame, path: String,
                        metaCols: Seq[String] = Seq.empty,
                        trainOn: DataFrame = null): Unit = {
@@ -963,6 +997,19 @@ object Quantize {
     * check. Returns appended code rows. */
   def appendIvfSq8Index(spark: SparkSession, path: String,
                         newVectors: DataFrame): Long = {
+    val staged = Scratch.stageReuse(
+      ivfSq8AppendBatch(spark, path, newVectors), "ivf_sq8_append_codes")
+    staged.repartition(col("cell"))
+      .write.mode("append").partitionBy("cell").parquet(s"$path/codes")
+    staged.count()
+  }
+
+  /** The composed append's arithmetic alone — assign (frozen
+    * centroids) + quantize (frozen staged grid) with riding metadata,
+    * as an unmaterialized code frame. Shared by the in-place fast
+    * path and the manifest-atomic form. */
+  private def ivfSq8AppendBatch(spark: SparkSession, path: String,
+                                newVectors: DataFrame): DataFrame = {
     val centroids = spark.read.parquet(s"$path/centroids")
     val stagedRg = spark.read.parquet(s"$path/ranges")
     val riding = spark.read.parquet(s"$path/codes").columns.toSeq
@@ -977,15 +1024,44 @@ object Quantize {
       .select(col("vec_id"), col("cell"))
     val encoded = quantizeCodesAgainst(newVectors, stagedRg,
       dim = Some(stagedRg.count())).join(assigned, "vec_id")
-    val withMeta =
-      if (riding.isEmpty) encoded
-      else encoded.join(
-        newVectors.select((Seq("vec_id") ++ riding).map(col): _*), "vec_id")
-    val staged = Scratch.stageReuse(withMeta, "ivf_sq8_append_codes")
-    staged.repartition(col("cell"))
-      .write.mode("append").partitionBy("cell").parquet(s"$path/codes")
-    staged.count()
+    if (riding.isEmpty) encoded
+    else encoded.join(
+      newVectors.select((Seq("vec_id") ++ riding).map(col): _*), "vec_id")
   }
+
+  /** Stage a flat SQ8 index as version 1 of a manifest-rooted index —
+    * the atomic-lifecycle entry point (and the live-restage path: the
+    * ranges artifact and codes flip together). */
+  def stageSq8IndexVersion(vectors: DataFrame, root: String,
+                           metaCols: Seq[String] = Seq.empty): String =
+    IndexManifest.publish(vectors.sparkSession, root)(
+      dir => writeSq8Index(vectors, dir, metaCols))
+
+  /** Stage a composed IVF-SQ8 index as version 1 of a manifest-rooted
+    * index — the atomic-lifecycle entry point (and the live-restage
+    * path: centroids, grid, and codes flip together — the multi-frame
+    * residual the in-place writer documents). */
+  def stageIvfSq8IndexVersion(vectors: DataFrame, root: String,
+                              metaCols: Seq[String] = Seq.empty,
+                              trainOn: DataFrame = null): String =
+    IndexManifest.publish(vectors.sparkSession, root)(
+      dir => writeIvfSq8Index(vectors, dir, metaCols, trainOn))
+
+  /** ATOMIC composed append: the batch through
+    * [[IndexManifest.appendRowsAtomic]] on a manifest-rooted index —
+    * the PQ tier's atomic contract on the IVF-SQ8 layout. */
+  def appendIvfSq8IndexAtomic(spark: SparkSession, root: String,
+                              newVectors: DataFrame, keep: Int = 2): Long = {
+    val live = IndexManifest.currentOrFail(spark, root)
+    IndexManifest.appendRowsAtomic(spark, root, "codes", "cell",
+      ivfSq8AppendBatch(spark, live, newVectors), keep)
+  }
+
+  /** ATOMIC composed erasure — the codes tree is the PQ layout
+    * byte-for-byte, so this IS [[Pq.deleteFromIvfPqIndexAtomic]]. */
+  def deleteFromIvfSq8IndexAtomic(spark: SparkSession, root: String,
+                                  vecIds: Seq[Long], keep: Int = 2): Long =
+    Pq.deleteFromIvfPqIndexAtomic(spark, root, vecIds, keep)
 
   /** Erasure on the composed index: the codes tree is the PQ layout
     * byte-for-byte (vec_id, codes, cell=<id> dirs), so this IS

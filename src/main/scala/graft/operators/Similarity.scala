@@ -720,10 +720,15 @@ object Similarity {
     * (trained aggregates; the erased ids are query-disjoint). */
   def knnIvfDelete(spark: SparkSession, dir: String): DataFrame = {
     val vectors = Tables.embeddings(spark, dir)
-    val path = Scratch.reuseDir("ivf_float_delete_key_idx")
-    writeIvfIndex(vectors, path)
-    deleteFromIvfIndex(spark, path, DeleteLo to DeleteHi)
-    queryIvfIndex(spark, path)
+    // r17 verdict item 1: this gate key runs the ATOMIC erasure path —
+    // versioned stage, manifest-published survivor rewrite (wholly-old
+    // or wholly-new for any concurrent reader), pointer resolved once
+    // for the staged query — so the atomic lifecycle itself stays
+    // hash-checked cross-engine every round.
+    val root = Scratch.reuseDir("ivf_float_delete_key_root")
+    stageIvfIndexVersion(vectors, root)
+    deleteFromIvfIndexAtomic(spark, root, DeleteLo to DeleteHi)
+    queryIvfIndex(spark, IndexManifest.currentOrFail(spark, root))
   }
 
   val knnIvfDeleteOracleSql: String =
@@ -1628,11 +1633,26 @@ object Similarity {
     * per-file rename), but the batch is not atomic as a set. A crash
     * mid-append has the same shape: the partial batch's rows are
     * valid postings, re-running the append would duplicate them — so
-    * recovery is delete-and-retry keyed on the batch's vec_ids, or
-    * stage appends through the [[IndexManifest]] versioned-restage
-    * path when the batch must land atomically. */
+    * recovery is delete-and-retry keyed on the batch's vec_ids. When
+    * the batch must land atomically for concurrent readers, use
+    * [[appendIvfIndexAtomic]] (same arithmetic, manifest-versioned
+    * publish — r17 verdict item 1). */
   def appendIvfIndex(spark: SparkSession, path: String,
                      newVectors: DataFrame): Long = {
+    val staged = Scratch.stageReuse(
+      ivfAppendBatch(spark, path, newVectors), "ivf_float_append")
+    staged.repartition(col("cell"))
+      .write.mode("append").partitionBy("cell").parquet(s"$path/postings")
+    staged.count()
+  }
+
+  /** The float append's arithmetic alone — the batch assigned against
+    * `path`'s frozen centroids with its metadata riding, as an
+    * (unmaterialized) posting frame. Shared by the in-place fast path
+    * ([[appendIvfIndex]]) and the manifest-atomic form
+    * ([[appendIvfIndexAtomic]]). */
+  private def ivfAppendBatch(spark: SparkSession, path: String,
+                             newVectors: DataFrame): DataFrame = {
     val centroids = spark.read.parquet(s"$path/centroids")
     // dimension discipline (the r15-advice class, float form): a
     // too-SHORT vector would silently prefix-dot its way into some
@@ -1671,15 +1691,45 @@ object Similarity {
     val flat = assignNearest(v, centroids, "cell", "ce", "cn")
       .select(col("vec_id"), col("e"), col("nrm"), col("cell"))
     // metadata rides the appended postings exactly as in the build
-    val assigned =
-      if (metaCols(newVectors).isEmpty) flat
-      else flat.join(newVectors
-        .select((Seq("vec_id") ++ metaCols(newVectors)).map(col): _*), "vec_id")
-    val staged = Scratch.stageReuse(assigned, "ivf_float_append")
-    staged.repartition(col("cell"))
-      .write.mode("append").partitionBy("cell").parquet(s"$path/postings")
-    staged.count()
+    if (metaCols(newVectors).isEmpty) flat
+    else flat.join(newVectors
+      .select((Seq("vec_id") ++ metaCols(newVectors)).map(col): _*), "vec_id")
   }
+
+  /** ATOMIC float-tier append (r17 verdict item 1): the same batch
+    * arithmetic as [[appendIvfIndex]], landed through
+    * [[IndexManifest.appendRowsAtomic]] against a VERSIONED index
+    * root ([[stageIvfIndexVersion]]) — a concurrent reader sees the
+    * wholly-old or wholly-new version, never some of the batch's
+    * cells; a crash leaves the old version serving. Superseded
+    * versions retire behind `keep`. Answers are bit-identical to the
+    * in-place form's (spec). */
+  def appendIvfIndexAtomic(spark: SparkSession, root: String,
+                           newVectors: DataFrame, keep: Int = 2): Long = {
+    val live = IndexManifest.currentOrFail(spark, root)
+    IndexManifest.appendRowsAtomic(spark, root, "postings", "cell",
+      ivfAppendBatch(spark, live, newVectors), keep)
+  }
+
+  /** ATOMIC float-tier erasure: [[deleteFromIvfIndex]]'s semantics
+    * through [[IndexManifest.deleteVecIdsAtomic]] — only partition
+    * directories holding an erased id are rewritten into the new
+    * version (emptied cells simply don't exist in it), everything
+    * else hardlinks, one pointer flip. No reader ever sees a
+    * half-erased index; a crash leaves the old version serving. */
+  def deleteFromIvfIndexAtomic(spark: SparkSession, root: String,
+                               vecIds: Seq[Long], keep: Int = 2): Long =
+    IndexManifest.deleteVecIdsAtomic(spark, root, "postings", "cell",
+      vecIds, keep)
+
+  /** Stage a float index as version 1 of a manifest-rooted index —
+    * the entry point of the atomic lifecycle ([[appendIvfIndexAtomic]]
+    * / [[deleteFromIvfIndexAtomic]] / [[rebalanceIvfIndexVersioned]]
+    * maintain it; readers resolve [[IndexManifest.currentOrFail]]
+    * once per plan). Returns the published version directory. */
+  def stageIvfIndexVersion(vectors: DataFrame, root: String): String =
+    IndexManifest.publish(vectors.sparkSession, root)(
+      dir => writeIvfIndex(vectors, dir))
 
   /** Right-to-erasure on the float serving index: drop the postings
     * of `vecIds`, rewriting ONLY the cell directories that contain an
@@ -1695,8 +1745,9 @@ object Similarity {
     * same delete is idempotent (stale cells still contain the erased
     * ids and are rewritten; already-rewritten cells have no erased
     * ids and are untouched — spec-asserted). A deployment that must
-    * never serve a half-erased index routes erasures through the
-    * [[IndexManifest]] versioned restage instead. */
+    * never serve a half-erased index uses [[deleteFromIvfIndexAtomic]]
+    * (same survivor arithmetic, manifest-versioned publish — r17
+    * verdict item 1; the gate key `knn_ivf_delete` runs that path). */
   def deleteFromIvfIndex(spark: SparkSession, path: String,
                          vecIds: Seq[Long]): Long = {
     if (vecIds.isEmpty) return 0L
@@ -1843,6 +1894,30 @@ object Similarity {
       postings.select((Seq(col("vec_id"), col("e").as("embedding")) ++ meta): _*),
       "ivf_rebalance_corpus")
     writeIvfIndex(corpus, path)
+  }
+
+  /** [[rebalanceIvfIndex]] on a MANIFEST-rooted index (r17 verdict
+    * item 6 — retention wired into a lifecycle): retrain from the
+    * live version's own postings, publish the rebuilt index as a new
+    * version (readers overlapping the retrain keep serving the old
+    * one — no tmp+rename window at all), then retire superseded
+    * versions behind `keep`. A rebuild touches every cell by
+    * definition, so nothing mirrors — this is the full-restage
+    * complement of the delta paths. Returns the published version
+    * directory. */
+  def rebalanceIvfIndexVersioned(spark: SparkSession, root: String,
+                                 keep: Int = 2): String = {
+    val live = IndexManifest.currentOrFail(spark, root)
+    val postings = spark.read.parquet(s"$live/postings")
+    val meta = postings.columns.toSeq
+      .filterNot(Set("vec_id", "e", "nrm", "cell")).map(col)
+    val corpus = Scratch.stageReuse(
+      postings.select((Seq(col("vec_id"), col("e").as("embedding")) ++ meta): _*),
+      "ivf_rebalance_corpus")
+    val published = IndexManifest.publish(spark, root)(
+      dir => writeIvfIndex(corpus, dir))
+    IndexManifest.vacuum(spark, root, keep)
+    published
   }
 
   /** Oracle: the IVF replay with the label projection joined onto
