@@ -94,6 +94,12 @@ object Bench {
     * BASELINE.md reading rule. */
   val CalibRefSec = 0.93
 
+  /** Reference wall seconds for [[calibrateParallel]] on the same
+    * recording box (idle, 32 cores, median of 8 samples spread over
+    * ~10 min — round 18; observed spread ±2.4%). `era_ratio_par` =
+    * measured/this. */
+  val CalibParRefSec = 1.10
+
   /** Fixed CPU-bound calibration task (r16 verdict item 7): rounds
     * 13–16 each burned adjudication time deciding whether a uniform
     * per-key level shift was code or a degraded box era. This pins a
@@ -106,25 +112,68 @@ object Bench {
     * the box eras observed were uniform CPU slowdowns (steal /
     * frequency / noisy neighbor), which a 1-core probe sees without
     * adding a 32-core load spike to the run it is fingerprinting. */
-  private def calibrate(): Double = {
-    def pass(iters: Long): Long = {
-      var x = 0x9E3779B97F4A7C15L
-      var acc = 0L
-      var i = 0L
-      while (i < iters) {
-        x ^= x >>> 12; x ^= x << 25; x ^= x >>> 27
-        acc += x * 0x2545F4914F6CDD1DL
-        i += 1
-      }
-      acc
+  private def fold(iters: Long, seed: Long): Long = {
+    var x = 0x9E3779B97F4A7C15L ^ seed
+    var acc = 0L
+    var i = 0L
+    while (i < iters) {
+      x ^= x >>> 12; x ^= x << 25; x ^= x >>> 27
+      acc += x * 0x2545F4914F6CDD1DL
+      i += 1
     }
-    val warm = pass(50000000L) // untimed: JIT compiles the loop
+    acc
+  }
+
+  private def calibrate(): Double = {
+    val warm = fold(50000000L, 0L) // untimed: JIT compiles the loop
     val t0 = System.nanoTime()
-    val timed = pass(400000000L)
+    val timed = fold(400000000L, 0L)
     val sec = (System.nanoTime() - t0) / 1e9
     if (warm == 42L && timed == 42L) System.err.print("") // defeat DCE
     math.round(sec * 1000.0) / 1000.0
   }
+
+  /** MULTI-CORE companion of [[calibrate]] (r17 verdict item 3): the
+    * round-17 suite ran a uniform 1.15× of its same-code basis while
+    * the 1-thread era probe read 0.983 — the box was contended at the
+    * MULTI-core level (`load_1m` 4.23 at run start), which a 1-core
+    * probe cannot see. This runs the identical fold on one thread per
+    * core simultaneously (~1 s wall, the same length as the serial
+    * probe) and reports the wall seconds for ALL threads to finish —
+    * on an idle box ≈ the serial figure; under contention it
+    * stretches by exactly the throughput loss Spark's 32 task threads
+    * experience. Reading rule (BASELINE.md): for throughput-bound
+    * rows divide per-key ratios by `era_ratio_par`, not `era_ratio`;
+    * when the two ratios disagree the gap IS the multi-core
+    * contention the run was measured under. */
+  private def calibrateParallel(nThreads: Int): Double = {
+    val n = math.max(1, nThreads)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(n)
+    def runAll(iters: Long): Long = {
+      val tasks = (0 until n).map { i =>
+        new java.util.concurrent.Callable[Long] {
+          def call(): Long = fold(iters, i.toLong)
+        }
+      }
+      var acc = 0L
+      pool.invokeAll(scala.jdk.CollectionConverters
+        .SeqHasAsJava(tasks).asJava).forEach(f => acc ^= f.get())
+      acc
+    }
+    val warm = runAll(10000000L) // untimed: threads + JIT spin-up
+    val t0 = System.nanoTime()
+    val timed = runAll(400000000L)
+    val sec = (System.nanoTime() - t0) / 1e9
+    pool.shutdown()
+    if (warm == 42L && timed == 42L) System.err.print("") // defeat DCE
+    math.round(sec * 1000.0) / 1000.0
+  }
+
+  private def load1m(): String =
+    try new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("/proc/loadavg")), "UTF-8")
+      .trim.split("\\s+")(0)
+    catch { case _: Exception => "-1" }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -134,6 +183,10 @@ object Bench {
     val env = envFingerprint()
     val calibSec = calibrate()
     val eraRatio = math.round(calibSec / CalibRefSec * 1000.0) / 1000.0
+    val nCores = Runtime.getRuntime.availableProcessors()
+    val calibParSec = calibrateParallel(nCores)
+    val eraRatioPar =
+      math.round(calibParSec / CalibParRefSec * 1000.0) / 1000.0
     val spark = GraftSession.builder(master = s"local[$cpus]",
       shufflePartitions = cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -196,17 +249,35 @@ object Bench {
     val js = jitter.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
     val es = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
     val total = timings.values.sum
+    // end-of-run load sample: the round-17 contention era was visible
+    // in load_1m at START; a window that OPENS mid-run is only visible
+    // in a closing sample
+    // `cpus` = the session's local[N]/shuffle width — env.n_cores is
+    // the BOX; without this a local[8] history line reads ~3× slow
+    // against a local[32] one with no visible cause
+    val calibs =
+      s""""cpus":$cpus,"calib_sec":$calibSec,"era_ratio":$eraRatio,"calib_par_sec":$calibParSec,"era_ratio_par":$eraRatioPar,"load_1m_end":${jstr(load1m())}"""
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"jitter":$js,"errors":$es,"n_ok":${timings.size},"n_err":${errors.size},"sf":${jstr(sfDir)},"calib_sec":$calibSec,"era_ratio":$eraRatio,"env":$env}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"jitter":$js,"errors":$es,"n_ok":${timings.size},"n_err":${errors.size},"sf":${jstr(sfDir)},$calibs,"env":$env}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_LOCAL.json"), full + "\n")
-    // Round-7 driver artifact came back `parsed: null`: the full line
-    // (~4 KB with 76 queries) overflowed the driver's tail capture and
-    // lost its head. stdout therefore carries only a COMPACT line —
-    // short enough to survive any tail window — printed last; the
-    // complete per-query/jitter/errors map lives in BENCH_LOCAL.json
-    // (committed per round as the durable record).
+    // Per-round per-key history (r17 verdict item 2): BENCH_LOCAL.json
+    // is overwritten by every run, and the driver's BENCH_rN.json
+    // snapshot carries only the compact line — round 16's per-key
+    // detail was unrecoverable from the round artifacts alone. The
+    // history file is APPEND-ONLY (timestamped full lines, committed
+    // with the repo), so per-key diffs between any two driver rounds
+    // read straight out of one file. The full map stays OFF stdout on
+    // purpose: a ~12 KB line overflows the driver's tail capture (the
+    // round-7 `parsed: null` failure) and would zero the round's bench
+    // artifact.
+    val ts = java.time.Instant.now().toString
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_HISTORY.jsonl"),
+      "{" + s""""ts":${jstr(ts)},""" + full.drop(1) + "\n",
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.APPEND)
     val compact =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":{},"n_ok":${timings.size},"n_err":${errors.size},"sf":${jstr(sfDir)},"calib_sec":$calibSec,"era_ratio":$eraRatio,"env":$env,"detail":"BENCH_LOCAL.json"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":{},"n_ok":${timings.size},"n_err":${errors.size},"sf":${jstr(sfDir)},$calibs,"env":$env,"detail":"BENCH_LOCAL.json","history":"BENCH_HISTORY.jsonl"}"""
     println(compact)
     spark.stop()
     if (errors.nonEmpty) System.err.println(s"[bench] ${errors.size} queries failed: ${errors.keys.mkString(",")}")
