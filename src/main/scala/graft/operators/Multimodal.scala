@@ -106,6 +106,171 @@ object Multimodal {
       bytes.length % 640, bytes.length % 480)
   }
 
+  /** A REAL decoder behind the trait (r17 verdict item 7): 24-bit
+    * uncompressed BMP — the one raster format a bare JVM parses with
+    * no codec library, so the [[MediaDecoder]] contract is proven on
+    * genuine media bytes, not just the stub's hashes. Emits the
+    * standard image-preprocessing summary lanes (channel means, luma
+    * mean/variance/extremes, bright-pixel fraction) a downstream
+    * filter/dedup stage consumes; a production deployment swaps the
+    * parse for libjpeg/ffmpeg behind the SAME trait. Ragged input —
+    * wrong magic, truncated pixel array, unsupported bpp/compression —
+    * fails LOUDLY per row (the extraction surfaces it with the doc
+    * id), never silently zero-fills: silent decode failures poison
+    * training corpora downstream. Integer BMP fields are little-endian
+    * ([BMP file format], public spec); rows are 4-byte padded and
+    * stored bottom-up. */
+  object BmpMediaDecoder extends MediaDecoder {
+    val featureDim: Int = FeatureDim
+
+    private def u16(b: Array[Byte], i: Int): Int =
+      (b(i) & 0xFF) | ((b(i + 1) & 0xFF) << 8)
+    private def i32(b: Array[Byte], i: Int): Int =
+      (b(i) & 0xFF) | ((b(i + 1) & 0xFF) << 8) |
+        ((b(i + 2) & 0xFF) << 16) | ((b(i + 3) & 0xFF) << 24)
+
+    def decode(bytes: Array[Byte]): MediaFeatures = {
+      require(bytes.length >= 54,
+        s"BMP decode: ${bytes.length} bytes is shorter than the 54-byte header")
+      require(bytes(0) == 'B' && bytes(1) == 'M',
+        "BMP decode: payload lacks the BM magic")
+      val pixelOff = i32(bytes, 10)
+      val w = i32(bytes, 18)
+      val hRaw = i32(bytes, 22)
+      val h = math.abs(hRaw)
+      val bpp = u16(bytes, 28)
+      val compression = i32(bytes, 30)
+      require(w > 0 && h > 0, s"BMP decode: degenerate dims ${w}x$hRaw")
+      require(bpp == 24 && compression == 0,
+        s"BMP decode: only 24-bit uncompressed supported, got bpp=$bpp compression=$compression")
+      val rowBytes = (w * 3 + 3) & ~3
+      require(pixelOff >= 54 && pixelOff.toLong + rowBytes.toLong * h <= bytes.length,
+        s"BMP decode: pixel array truncated (need ${rowBytes.toLong * h} " +
+          s"bytes at offset $pixelOff, have ${bytes.length})")
+      var sb, sg, sr, sl = 0L // exact integer channel/luma sums
+      var minL = Long.MaxValue
+      var maxL = Long.MinValue
+      var bright = 0L
+      var sumL2 = 0.0 // luma² in fixed pixel order — deterministic
+      var y = 0
+      while (y < h) {
+        var x = 0
+        val row = pixelOff + y * rowBytes
+        while (x < w) {
+          val p = row + x * 3
+          val b = bytes(p) & 0xFF
+          val g = bytes(p + 1) & 0xFF
+          val r = bytes(p + 2) & 0xFF
+          sb += b; sg += g; sr += r
+          val l = 299L * r + 587L * g + 114L * b // BT.601 luma ×1000
+          sl += l
+          sumL2 += l.toDouble * l.toDouble
+          if (l < minL) minL = l
+          if (l > maxL) maxL = l
+          if (2L * l > 255000L) bright += 1
+          x += 1
+        }
+        y += 1
+      }
+      val n = w.toLong * h
+      val meanL = sl.toDouble / n
+      MediaFeatures(Array(
+        sb.toDouble / (n * 255.0), sg.toDouble / (n * 255.0),
+        sr.toDouble / (n * 255.0), meanL / 255000.0,
+        (sumL2 / n - meanL * meanL) / (255000.0 * 255000.0),
+        minL.toDouble / 255000.0, maxL.toDouble / 255000.0,
+        bright.toDouble / n), w, h)
+    }
+  }
+
+  /** The audio twin (r17 verdict item 7): 16-bit PCM WAV — RIFF chunk
+    * walk, `fmt `/`data` extraction, interleaved int16 LE samples —
+    * again parseable by a bare JVM. Lanes are the standard audio
+    * pre-filter summary (RMS/mean/extremes in full-scale units,
+    * zero-crossing fraction, duration, channel count, clipped
+    * fraction); `width`/`height` report frames and channels. Same
+    * loud-failure contract as the BMP form. */
+  object WavMediaDecoder extends MediaDecoder {
+    val featureDim: Int = FeatureDim
+
+    private def u16(b: Array[Byte], i: Int): Int =
+      (b(i) & 0xFF) | ((b(i + 1) & 0xFF) << 8)
+    private def i32(b: Array[Byte], i: Int): Int =
+      (b(i) & 0xFF) | ((b(i + 1) & 0xFF) << 8) |
+        ((b(i + 2) & 0xFF) << 16) | ((b(i + 3) & 0xFF) << 24)
+    private def tag(b: Array[Byte], i: Int): String =
+      new String(b, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+    def decode(bytes: Array[Byte]): MediaFeatures = {
+      require(bytes.length >= 44,
+        s"WAV decode: ${bytes.length} bytes is shorter than the minimal header")
+      require(tag(bytes, 0) == "RIFF" && tag(bytes, 8) == "WAVE",
+        "WAV decode: payload lacks the RIFF/WAVE magic")
+      var off = 12
+      var channels = -1
+      var sampleRate = -1
+      var dataOff = -1
+      var dataLen = -1
+      while (off + 8 <= bytes.length && (channels < 0 || dataOff < 0)) {
+        val id = tag(bytes, off)
+        val size = i32(bytes, off + 4)
+        require(size >= 0 && off + 8 + size <= bytes.length,
+          s"WAV decode: chunk '$id' overruns the payload")
+        if (id == "fmt ") {
+          require(size >= 16, s"WAV decode: fmt chunk too short ($size)")
+          val fmt = u16(bytes, off + 8)
+          channels = u16(bytes, off + 10)
+          sampleRate = i32(bytes, off + 12)
+          val bps = u16(bytes, off + 22)
+          require(fmt == 1 && bps == 16,
+            s"WAV decode: only 16-bit PCM supported, got format=$fmt bits=$bps")
+          require(channels > 0 && sampleRate > 0,
+            s"WAV decode: degenerate fmt (channels=$channels rate=$sampleRate)")
+        } else if (id == "data") {
+          dataOff = off + 8
+          dataLen = size
+        }
+        off += 8 + size + (size & 1) // chunks pad to even length
+      }
+      require(channels > 0, "WAV decode: no fmt chunk")
+      require(dataOff >= 0, "WAV decode: no data chunk")
+      val nSamples = dataLen / 2
+      require(nSamples > 0 && nSamples % channels == 0,
+        s"WAV decode: ragged data chunk ($dataLen bytes, $channels channels)")
+      var sum = 0L
+      var minS = Int.MaxValue
+      var maxS = Int.MinValue
+      var clipped = 0L
+      var crossings = 0L
+      var sumSq = 0.0
+      var prevSign = 0
+      var i = 0
+      while (i < nSamples) {
+        val s = (u16(bytes, dataOff + 2 * i).toShort).toInt
+        sum += s
+        sumSq += s.toDouble * s.toDouble
+        if (s < minS) minS = s
+        if (s > maxS) maxS = s
+        if (s == 32767 || s == -32768) clipped += 1
+        val sign = Integer.signum(s)
+        if (sign != 0) {
+          if (prevSign != 0 && sign != prevSign) crossings += 1
+          prevSign = sign
+        }
+        i += 1
+      }
+      val nFrames = nSamples / channels
+      MediaFeatures(Array(
+        math.sqrt(sumSq / nSamples) / 32768.0,
+        sum.toDouble / nSamples / 32768.0,
+        minS.toDouble / 32768.0, maxS.toDouble / 32768.0,
+        crossings.toDouble / nSamples,
+        nFrames.toDouble / sampleRate,
+        channels.toDouble,
+        clipped.toDouble / nSamples), nFrames, channels)
+    }
+  }
+
   /** Batched feature extraction over the binary column: one
     * mapPartitions pass (the per-partition batch shape a vectorized
     * decoder needs — `decoder.open()` once per partition, decode per

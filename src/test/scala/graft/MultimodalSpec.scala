@@ -210,4 +210,146 @@ class MultimodalSpec extends SparkSpecBase {
       .mmFrameDedupOn(docs, maxPosting = 3).collect()
     assert(rows.isEmpty, "hot frame must be cut before pair generation")
   }
+
+  // --- real pure-JVM decoders behind the trait (r17 verdict item 7) ---
+
+  /** Deterministic 24-bit BMP: bottom-up rows, 4-byte row padding,
+    * pixel (x, y) gets B=(x*7+y)%256, G=(x+3*y)%256, R=(5*x+2*y)%256. */
+  private def bmpFixture(w: Int, h: Int): Array[Byte] = {
+    val rowBytes = (w * 3 + 3) & ~3
+    val pixelOff = 54
+    val out = new Array[Byte](pixelOff + rowBytes * h)
+    def put16(i: Int, v: Int): Unit = { out(i) = v.toByte; out(i + 1) = (v >> 8).toByte }
+    def put32(i: Int, v: Int): Unit = {
+      out(i) = v.toByte; out(i + 1) = (v >> 8).toByte
+      out(i + 2) = (v >> 16).toByte; out(i + 3) = (v >> 24).toByte
+    }
+    out(0) = 'B'; out(1) = 'M'
+    put32(2, out.length); put32(10, pixelOff)
+    put32(14, 40); put32(18, w); put32(22, h)
+    put16(26, 1); put16(28, 24); put32(30, 0)
+    for (y <- 0 until h; x <- 0 until w) {
+      val p = pixelOff + y * rowBytes + x * 3
+      out(p) = ((x * 7 + y) % 256).toByte
+      out(p + 1) = ((x + 3 * y) % 256).toByte
+      out(p + 2) = ((5 * x + 2 * y) % 256).toByte
+    }
+    out
+  }
+
+  /** Deterministic 16-bit PCM WAV: `channels` interleaved channels of
+    * a fixed integer ramp s(i) = ((i * 2467) % 20001) - 10000. */
+  private def wavFixture(nFrames: Int, channels: Int, rate: Int): Array[Byte] = {
+    val nSamples = nFrames * channels
+    val dataLen = nSamples * 2
+    val out = new Array[Byte](44 + dataLen)
+    def tag(i: Int, s: String): Unit = s.getBytes("US-ASCII").copyToArray(out, i)
+    def put16(i: Int, v: Int): Unit = { out(i) = v.toByte; out(i + 1) = (v >> 8).toByte }
+    def put32(i: Int, v: Int): Unit = {
+      out(i) = v.toByte; out(i + 1) = (v >> 8).toByte
+      out(i + 2) = (v >> 16).toByte; out(i + 3) = (v >> 24).toByte
+    }
+    tag(0, "RIFF"); put32(4, 36 + dataLen); tag(8, "WAVE")
+    tag(12, "fmt "); put32(16, 16); put16(20, 1); put16(22, channels)
+    put32(24, rate); put32(28, rate * channels * 2); put16(32, channels * 2)
+    put16(34, 16)
+    tag(36, "data"); put32(40, dataLen)
+    for (i <- 0 until nSamples)
+      put16(44 + 2 * i, ((i * 2467) % 20001) - 10000)
+    out
+  }
+
+  test("BMP decoder: real header/pixel parse through featureExtract — " +
+      "lanes match an independent reference; ragged payloads fail loudly") {
+    import spark.implicits._
+    val (w, h) = (13, 9) // odd width exercises the 4-byte row padding
+    val bmp = bmpFixture(w, h)
+    val docs = Seq((1L, bmp), (2L, bmpFixture(4, 4))).toDF("doc_id", "text")
+      .repartition(2)
+    val rows = Multimodal.featureExtractOn(docs, Multimodal.BmpMediaDecoder)
+      .orderBy("doc_id").collect()
+    assert(rows.length == 2)
+    val r = rows.head
+    assert(r.getInt(1) == bmp.length)
+    assert(r.getInt(2) == w && r.getInt(3) == h, "dims must come from the header")
+    // independent reference: recompute the channel/luma lanes straight
+    // from the generator formula, not from the decoder's code
+    var sb, sg, sr, sl, bright = 0L
+    var minL = Long.MaxValue; var maxL = Long.MinValue; var sumL2 = 0.0
+    for (y <- 0 until h; x <- 0 until w) {
+      val b = (x * 7 + y) % 256; val g = (x + 3 * y) % 256; val r0 = (5 * x + 2 * y) % 256
+      sb += b; sg += g; sr += r0
+      val l = 299L * r0 + 587L * g + 114L * b
+      sl += l; sumL2 += l.toDouble * l.toDouble
+      minL = math.min(minL, l); maxL = math.max(maxL, l)
+      if (2 * l > 255000L) bright += 1
+    }
+    val n = w.toLong * h
+    val meanL = sl.toDouble / n
+    assert(r.getDouble(4) == sb.toDouble / (n * 255.0))
+    assert(r.getDouble(5) == sg.toDouble / (n * 255.0))
+    assert(r.getDouble(6) == sr.toDouble / (n * 255.0))
+    assert(r.getDouble(7) == meanL / 255000.0)
+    assert(r.getDouble(9) == minL.toDouble / 255000.0)
+    assert(r.getDouble(10) == maxL.toDouble / 255000.0)
+    assert(r.getDouble(11) == bright.toDouble / n)
+    assert(math.abs(r.getDouble(8) -
+      (sumL2 / n - meanL * meanL) / (255000.0 * 255000.0)) < 1e-15)
+    // ragged: a truncated pixel array fails LOUDLY with a diagnosis
+    val truncated = bmp.take(bmp.length - 8)
+    val e = intercept[org.apache.spark.SparkException] {
+      Multimodal.featureExtractOn(
+        Seq((9L, truncated)).toDF("doc_id", "text"),
+        Multimodal.BmpMediaDecoder).collect()
+    }
+    assert(e.getMessage.contains("BMP decode") ||
+      (e.getCause != null && e.getCause.getMessage.contains("BMP decode")))
+    // wrong magic (the stub corpus's text bytes) also refuses to decode
+    val e2 = intercept[org.apache.spark.SparkException] {
+      Multimodal.featureExtractOn(
+        Seq((9L, Array.fill[Byte](100)('x'))).toDF("doc_id", "text"),
+        Multimodal.BmpMediaDecoder).collect()
+    }
+    assert(e2.getMessage.contains("BM magic") ||
+      (e2.getCause != null && e2.getCause.getMessage.contains("BM magic")))
+  }
+
+  test("WAV decoder: RIFF chunk walk through featureExtract — lanes match " +
+      "an independent reference; format violations fail loudly") {
+    import spark.implicits._
+    val (frames, channels, rate) = (480, 2, 8000)
+    val wav = wavFixture(frames, channels, rate)
+    val rows = Multimodal.featureExtractOn(
+      Seq((1L, wav)).toDF("doc_id", "text"), Multimodal.WavMediaDecoder)
+      .collect()
+    val r = rows.head
+    assert(r.getInt(2) == frames && r.getInt(3) == channels)
+    // independent reference from the generator formula
+    val samples = (0 until frames * channels).map(i => ((i * 2467) % 20001) - 10000)
+    val nS = samples.length
+    assert(r.getDouble(5) == samples.map(_.toLong).sum.toDouble / nS / 32768.0)
+    assert(r.getDouble(6) == samples.min.toDouble / 32768.0)
+    assert(r.getDouble(7) == samples.max.toDouble / 32768.0)
+    assert(r.getDouble(10) == channels.toDouble)
+    assert(r.getDouble(9) == frames.toDouble / rate)
+    assert(math.abs(r.getDouble(4) -
+      math.sqrt(samples.map(s => s.toDouble * s.toDouble).sum / nS) / 32768.0) < 1e-15)
+    // zero-crossing fraction: count sign alternations in the stream
+    val signs = samples.map(Integer.signum).filter(_ != 0)
+    val crossings = signs.zip(signs.tail).count { case (a, b) => a != b }
+    assert(r.getDouble(8) == crossings.toDouble / nS)
+    // loud failures: truncated data chunk; non-PCM format tag
+    val truncated = wav.take(wav.length - 10)
+    intercept[org.apache.spark.SparkException] {
+      Multimodal.featureExtractOn(
+        Seq((9L, truncated)).toDF("doc_id", "text"),
+        Multimodal.WavMediaDecoder).collect()
+    }
+    val nonPcm = wav.clone(); nonPcm(20) = 3 // IEEE-float format tag
+    intercept[org.apache.spark.SparkException] {
+      Multimodal.featureExtractOn(
+        Seq((9L, nonPcm)).toDF("doc_id", "text"),
+        Multimodal.WavMediaDecoder).collect()
+    }
+  }
 }
