@@ -11,6 +11,20 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// OracleInitSpec runs in its OWN forked JVM (r17 advice): in the shared
+// test JVM an alphabetically earlier suite (OpqSpec) initializes
+// Opq -> Pq -> Similarity in the benign downstream-first order, making
+// that spec's "force Similarity's init FIRST" a no-op — isolated, the
+// hazardous init order is genuinely exercised every run.
+Test / testGrouping := {
+  val tests = (Test / definedTests).value
+  val opts = (Test / forkOptions).value
+  val (isolated, rest) = tests.partition(_.name == "graft.OracleInitSpec")
+  Seq(
+    Tests.Group("oracle-init-own-jvm", isolated, Tests.SubProcess(opts)),
+    Tests.Group("main", rest, Tests.SubProcess(opts)),
+  )
+}
 // Forward the forked process's stdout verbatim (no [info] prefix) so
 // Bench/Verify's single JSON output line stays machine-parseable.
 run / outputStrategy := Some(StdoutOutput)

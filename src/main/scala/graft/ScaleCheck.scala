@@ -41,7 +41,7 @@ object ScaleCheck {
       "knn_radius", "knn_filtered", "knn_ivf_opq",
       "ivf_pq_filtered_query", "sq8_radius_query", "ivf_stats",
       "ivf_pq_radius_query", "sq8_filtered_query", "ivf_opq_serve",
-      "ivf_sq8_query")
+      "ivf_sq8_query", "ivf_atomic_rww")
     val skipNonEmbedding = args.length > 1 && args(1).split(",").forall(embOnly)
     // a graph-only run (the tier's dedicated scaled-catalog corpus)
     // likewise skips the main tables: a 300× run would otherwise
@@ -714,11 +714,87 @@ object ScaleCheck {
       val qSec = (System.nanoTime() - tq0) / 1e9
       s""""ivf_sq8_query":{"sec":$qSec,"rows":${acc.value},"build_sec":$buildSec}"""
     }
+    // reader-while-writer on the ATOMIC lifecycle (r18): a reader
+    // thread re-resolves the manifest pointer and queries the staged
+    // float index in a loop WHILE the main thread lands an atomic
+    // append and then an atomic erasure. Every read must fingerprint
+    // to one of the three legal states (day-0 / appended / erased) —
+    // a mixed-version read (some of the batch's cells visible, or a
+    // half-erased tree) is a hard failure, not a statistic. keep=3
+    // holds all three versions for the run so a reader that resolved
+    // just before a flip still scans live files (the documented
+    // retention rule: vacuum delay must exceed the longest query).
+    val atomicRww = if (!only("ivf_atomic_rww")) None else Some {
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      val root = operators.Scratch.diskDir("graft_scale_atomic_rww")
+      val maxId = emb.agg(max("vec_id")).collect()(0).getLong(0)
+      val cut = maxId / 2
+      val tb0 = System.nanoTime()
+      operators.Similarity.stageIvfIndexVersion(
+        emb.filter(col("vec_id") <= cut), root)
+      val buildSec = (System.nanoTime() - tb0) / 1e9
+      def fpOf(rows: Array[org.apache.spark.sql.Row]): Int =
+        rows.map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+          java.lang.Double.doubleToLongBits(r.getDouble(3))))
+          .sortBy(t => (t._1, t._3)).toSeq.hashCode()
+      def readOnce(): (Int, Double) = {
+        val t0 = System.nanoTime()
+        val dirV = operators.IndexManifest.currentOrFail(spark, root)
+        val f = fpOf(operators.Similarity.queryIvfIndex(spark, dirV).collect())
+        (f, (System.nanoTime() - t0) / 1e9)
+      }
+      val fpA = readOnce()._1
+      val phase = new java.util.concurrent.atomic.AtomicInteger(0) // 0 quiet, 1 writes landing
+      val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val readings = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Int, Double)]()
+      val reader = new Thread(() => {
+        while (!stop.get()) {
+          val ph = phase.get()
+          val (f, sec) = readOnce()
+          readings.add((ph, f, sec))
+        }
+      }, "graft-atomic-reader")
+      // a few quiet-phase readings for the latency baseline
+      (0 until 3).foreach(_ => { val (f, s) = readOnce(); readings.add((0, f, s)) })
+      reader.start()
+      phase.set(1)
+      val ta0 = System.nanoTime()
+      val appended = operators.Similarity.appendIvfIndexAtomic(spark, root,
+        emb.filter(col("vec_id") > cut), keep = 3)
+      val appendSec = (System.nanoTime() - ta0) / 1e9
+      val fpB = fpOf(operators.Similarity.queryIvfIndex(spark,
+        operators.IndexManifest.currentOrFail(spark, root)).collect())
+      val eraseIds = (0L until 50L).map(i => i * (maxId / 50L))
+      val td0 = System.nanoTime()
+      val deleted = operators.Similarity.deleteFromIvfIndexAtomic(spark, root,
+        eraseIds, keep = 3)
+      val deleteSec = (System.nanoTime() - td0) / 1e9
+      val fpC = fpOf(operators.Similarity.queryIvfIndex(spark,
+        operators.IndexManifest.currentOrFail(spark, root)).collect())
+      phase.set(0)
+      stop.set(true)
+      reader.join()
+      val all = scala.jdk.CollectionConverters.IterableHasAsScala(readings)
+        .asScala.toSeq
+      val legal = Set(fpA, fpB, fpC)
+      val mixed = all.filterNot(r => legal.contains(r._2))
+      if (mixed.nonEmpty) throw new IllegalStateException(
+        s"ivf_atomic_rww: ${mixed.size}/${all.size} reads saw a MIXED index " +
+          s"version — the atomic lifecycle's one invariant is broken")
+      def med(xs: Seq[Double]): Double =
+        if (xs.isEmpty) -1.0 else xs.sorted.apply(xs.size / 2)
+      val quietMs = med(all.filter(_._1 == 0).map(_._3)) * 1000.0
+      val duringMs = med(all.filter(_._1 == 1).map(_._3)) * 1000.0
+      s""""ivf_atomic_rww":{"sec":${appendSec + deleteSec},"rows":${appended + deleted},""" +
+        s""""build_sec":$buildSec,"append_sec":$appendSec,"delete_sec":$deleteSec,""" +
+        s""""n_reads":${all.size},"n_mixed":0,""" +
+        s""""read_ms_quiet":$quietMs,"read_ms_during_writes":$duringMs}"""
+    }
     val qs = (results.collect { case (k, s, r) if r >= 0 => s""""$k":{"sec":$s,"rows":$r}""" }
       ++ pipe ++ scd2Apply ++ ivfAppend ++ sq8Serve
       ++ pqFilteredServe ++ sq8RadiusServe ++ ivfStats
       ++ pqRadiusServe ++ sq8FilteredServe ++ opqServe
-      ++ ivfSq8Serve).mkString(",")
+      ++ ivfSq8Serve ++ atomicRww).mkString(",")
     println(s"""{"scale_mult":$mult,"n_events":$n,"ops":{$qs}}""")
     spark.stop()
   }
