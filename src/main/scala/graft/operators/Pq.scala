@@ -356,20 +356,29 @@ object Pq {
   /** Driver query (key `knn_ivf_pq_append`): the incremental-
     * maintenance lifecycle run END TO END through the cross-engine
     * gate — day-0 build on the base half of the corpus
-    * (`vec_id <= max/2`), [[appendToIvfPq]] of the rest (assignment +
-    * encode against the frozen artifacts, no re-training), then the
-    * staged-index query path over the full corpus. The oracle replays
-    * [[buildIvfPq]]`(all, trainOn = base)` — bit-identical to the
-    * append by the SimilaritySpec equation — so a hash match checks
-    * the append arithmetic itself, not just its agreement with a
-    * rebuild inside one engine. The one `max(vec_id)` probe is a
+    * (`vec_id <= max/2`), staged as a manifest version, then (since
+    * r18) [[appendIvfPqIndexAtomic]] of the rest — the batch encoded
+    * against the frozen staged artifacts lands as a hardlink-mirrored
+    * new version with one pointer flip — and the staged-index query
+    * path over the full corpus off the live version. With
+    * `knn_ivf_delete` running the atomic ERASURE, both delta types of
+    * the atomic lifecycle are now oracle-gated every round. The
+    * oracle replays [[buildIvfPq]]`(all, trainOn = base)` —
+    * bit-identical to the append by the SimilaritySpec equation (and
+    * to the atomic form by ManifestAtomicSpec) — so a hash match
+    * checks the append arithmetic itself, not just its agreement with
+    * a rebuild inside one engine. The one `max(vec_id)` probe is a
     * 1-row collect (bounded driver artifact). */
   def knnIvfPqAppend(spark: SparkSession, dir: String): DataFrame = {
     val vectors = Tables.embeddings(spark, dir)
     val cut = vectors.agg(max(col("vec_id"))).collect()(0).getLong(0) / 2
     val base = vectors.filter(col("vec_id") <= cut)
     val rest = vectors.filter(col("vec_id") > cut)
-    queryIvfPq(appendToIvfPq(buildIvfPq(base), rest), vectors,
+    val root = graft.operators.Scratch.reuseDir("ivf_pq_append_key_root")
+    stageIvfPqIndexVersion(buildIvfPq(base), root)
+    appendIvfPqIndexAtomic(spark, root, rest)
+    queryIvfPq(readIvfPqIndex(spark,
+      IndexManifest.currentOrFail(spark, root)), vectors,
       0L until Similarity.NQueries.toLong)
   }
 
