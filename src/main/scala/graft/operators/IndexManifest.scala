@@ -215,7 +215,7 @@ object IndexManifest {
     * Returns appended rows. Cost: O(touched-partition rewrite) data
     * IO — the batch's own locality under the frozen assignment keeps
     * that request-sized — plus the mirror's metadata ops. */
-  private[operators] def appendRowsAtomic(spark: SparkSession, root: String,
+  private[graft] def appendRowsAtomic(spark: SparkSession, root: String,
                                           tree: String, partCol: String,
                                           batch: DataFrame,
                                           keep: Int = 2): Long = {
@@ -251,7 +251,7 @@ object IndexManifest {
     * half-erased index and a crash leaves the old version serving —
     * the consistency the in-place form's per-partition commits cannot
     * give. Returns deleted rows. */
-  private[operators] def deleteVecIdsAtomic(spark: SparkSession, root: String,
+  private[graft] def deleteVecIdsAtomic(spark: SparkSession, root: String,
                                             tree: String, partCol: String,
                                             vecIds: Seq[Long],
                                             keep: Int = 2): Long = {

@@ -592,9 +592,61 @@ object Streams {
     n
   }
 
+  /** ATOMIC form of [[annIngestSink]] (r18 — the streaming twin of
+    * [[graft.operators.Pq.appendIvfPqIndexAtomic]]): the index lives
+    * under an [[graft.operators.IndexManifest]] root and each
+    * EFFECTIVE micro-batch lands as a hardlink-mirrored new version +
+    * one pointer flip, so concurrent queries never see part of a
+    * micro-batch (the in-place sink's residual: its per-cell appends
+    * are visible piecemeal during the batch's job commit). The
+    * idempotence claim registry is the LIVE version's codes — a
+    * replayed batch anti-joins to zero rows and publishes NOTHING, so
+    * at-least-once replay neither duplicates codes nor churns
+    * versions; a crash mid-publish leaves the pointer on the old
+    * version and the full replay re-lands the batch wholly. Superseded
+    * versions retire behind `keep` (keep ≥ 2 keeps the immediately
+    * superseded version alive past any in-flight reader — the
+    * retention rule). Per-batch bill: the in-place sink's encode +
+    * anti-join + touched-cell rewrite, plus the mirror's metadata ops. */
+  def annIngestSinkAtomic(vectors: DataFrame, root: String, keep: Int = 2) =
+    vectors.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) { annIngestMicroBatchAtomic(batch, root, keep); () }
+      }
+
+  /** The atomic foreachBatch core (exposed for the replay spec).
+    * Returns appended code rows (0 for a full replay — no version
+    * published). */
+  def annIngestMicroBatchAtomic(batch: DataFrame, root: String,
+                                keep: Int = 2): Long = {
+    val spark = batch.sparkSession
+    import graft.operators.{IndexManifest, Pq, Scratch}
+    val live =
+      try IndexManifest.currentOrFail(spark, root)
+      catch {
+        case e: IllegalStateException => throw new IllegalStateException(
+          s"annIngestSinkAtomic needs a day-0 manifest version at $root " +
+            s"(Pq.stageIvfPqIndexVersion) — build once, then stream appends", e)
+      }
+    val index = Pq.readIvfPqIndex(spark, live)
+    val newCodes = Scratch.stageReuse(
+      Pq.encodeAgainst(index, batch, 0), "ann_ingest_atomic_codes")
+    val cells = newCodes.select("cell").distinct()
+    val existingIds = index.codes
+      .join(broadcast(cells), Seq("cell"), "left_semi")
+      .select("vec_id")
+    val fresh = newCodes.join(existingIds, Seq("vec_id"), "left_anti")
+    if (fresh.isEmpty) 0L
+    else IndexManifest.appendRowsAtomic(spark, root, "codes", "cell", fresh, keep)
+  }
+
   /** Batch twin of [[annIngestSink]] (key `stream_ann_ingest`): the
     * same build-on-day-0 / append-the-rest lifecycle as ONE batch
-    * call — shares `knn_ivf_pq_append`'s trainOn-decoupled oracle. */
+    * call — shares `knn_ivf_pq_append`'s trainOn-decoupled oracle,
+    * and since r18 that key runs the ATOMIC append path, so the
+    * streamed lifecycle's arithmetic is gated through the same
+    * manifest machinery [[annIngestSinkAtomic]] uses. */
   def annIngestBatch(spark: SparkSession, dir: String): DataFrame =
     graft.operators.Pq.knnIvfPqAppend(spark, dir)
 

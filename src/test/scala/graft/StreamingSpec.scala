@@ -1134,4 +1134,59 @@ class StreamingSpec extends SparkSpecBase {
     assert(canon(Pq.queryIvfPq(Pq.readIvfPqIndex(spark, dir), vectors, qids))
       .sameElements(want))
   }
+
+  test("atomic ann ingest: per-batch version publish equals the in-place " +
+      "sink's answers; replay publishes nothing; missing day-0 fails loudly") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.{IndexManifest, Pq, Similarity}
+    val vectors = sources.Tables.embeddings(spark, sfDir)
+    val maxId = vectors.agg(max("vec_id")).collect()(0).getLong(0)
+    val cut = maxId / 2; val cut2 = (maxId * 3) / 4
+    val base = vectors.filter(col("vec_id") <= cut)
+    def slice(lo: Long, hi: Long) = vectors
+      .filter(col("vec_id") > lo && col("vec_id") <= hi)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val b1 = slice(cut, cut2)
+    val b2 = slice(cut2, maxId)
+    val root = java.nio.file.Files.createTempDirectory("graft_ann_atomic").toString
+    intercept[IllegalStateException] {
+      Streams.annIngestMicroBatchAtomic(
+        Seq((0L, Seq(0f))).toDF("vec_id", "embedding"), s"$root/absent")
+    }
+    val v1 = Pq.stageIvfPqIndexVersion(Pq.buildIvfPq(base), root)
+    def versionNames = new java.io.File(root).listFiles().toSeq
+      .filter(f => f.isDirectory && f.getName.startsWith("v=")).map(_.getName).sorted
+    val mem = MemoryStream[(Long, Seq[Float])]
+    // keep=3: every version a reader of this test resolves stays live
+    val q = Streams.annIngestSinkAtomic(
+      mem.toDF.toDF("vec_id", "embedding"), root, keep = 3).start()
+    try {
+      mem.addData(b1.toSeq); q.processAllAvailable()
+      mem.addData(b2.toSeq); q.processAllAvailable()
+    } finally q.stop()
+    // two effective batches → two published versions past day-0
+    assert(versionNames == Seq("v=1", "v=2", "v=3"), s"got $versionNames")
+    val qids = 0L until Similarity.NQueries.toLong
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._3))
+    val want = canon(Pq.queryIvfPq(
+      Pq.buildIvfPq(vectors, trainOn = base), vectors, qids))
+    val liveDir = IndexManifest.currentOrFail(spark, root)
+    assert(canon(Pq.queryIvfPq(Pq.readIvfPqIndex(spark, liveDir), vectors, qids))
+      .sameElements(want),
+      "atomically streamed index diverged from the day-0-trained rebuild")
+    // the day-0 version is untouched by the stream (immutability)
+    assert(Pq.readIvfPqIndex(spark, v1).codes.count() == base.count())
+    // at-least-once replay: no rows appended AND no version churn
+    assert(Streams.annIngestMicroBatchAtomic(
+      b1.toSeq.toDF("vec_id", "embedding"), root, keep = 3) == 0L)
+    assert(versionNames == Seq("v=1", "v=2", "v=3"),
+      "a fully replayed batch must not publish a version")
+    assert(canon(Pq.queryIvfPq(Pq.readIvfPqIndex(spark,
+      IndexManifest.currentOrFail(spark, root)), vectors, qids))
+      .sameElements(want))
+  }
 }
