@@ -256,7 +256,7 @@ object Bench {
     // the BOX; without this a local[8] history line reads ~3× slow
     // against a local[32] one with no visible cause
     val calibs =
-      s""""cpus":$cpus,"calib_sec":$calibSec,"era_ratio":$eraRatio,"calib_par_sec":$calibParSec,"era_ratio_par":$eraRatioPar,"load_1m_end":${jstr(load1m())}"""
+      s""""cpus":${cpus.toIntOption.getOrElse(-1)},"calib_sec":$calibSec,"era_ratio":$eraRatio,"calib_par_sec":$calibParSec,"era_ratio_par":$eraRatioPar,"load_1m_end":${jstr(load1m())}"""
     val full =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"jitter":$js,"errors":$es,"n_ok":${timings.size},"n_err":${errors.size},"sf":${jstr(sfDir)},$calibs,"env":$env}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_LOCAL.json"), full + "\n")

@@ -41,7 +41,7 @@ object ScaleCheck {
       "knn_radius", "knn_filtered", "knn_ivf_opq",
       "ivf_pq_filtered_query", "sq8_radius_query", "ivf_stats",
       "ivf_pq_radius_query", "sq8_filtered_query", "ivf_opq_serve",
-      "ivf_sq8_query", "ivf_atomic_rww")
+      "ivf_sq8_query", "ivf_atomic_rww", "ivf_atomic_cost")
     val skipNonEmbedding = args.length > 1 && args(1).split(",").forall(embOnly)
     // a graph-only run (the tier's dedicated scaled-catalog corpus)
     // likewise skips the main tables: a 300× run would otherwise
@@ -790,11 +790,48 @@ object ScaleCheck {
         s""""n_reads":${all.size},"n_mixed":0,""" +
         s""""read_ms_quiet":$quietMs,"read_ms_during_writes":$duringMs}"""
     }
+    // the PRICE of atomicity (r18): the same 1% batch appended to the
+    // same day-0 float index through the in-place fast path vs the
+    // manifest-atomic path — the delta is the hardlink mirror
+    // (metadata ops over the untouched cells) plus the touched-cell
+    // old∪new rewrite replacing a bare file append. Same for a
+    // 50-id erasure. This is the number a deployment weighs against
+    // the in-place paths' documented consistency residuals.
+    val atomicCost = if (!only("ivf_atomic_cost")) None else Some {
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      val maxId = emb.agg(max("vec_id")).collect()(0).getLong(0)
+      val cut = maxId / 2
+      val base = emb.filter(col("vec_id") <= cut)
+      val rest = emb.filter(col("vec_id") > cut)
+      val eraseIds = (0L until 50L).map(i => i * (cut / 50L))
+      // in-place
+      val plainDir = operators.Scratch.diskDir("graft_scale_atomic_cost_plain")
+      operators.Similarity.writeIvfIndex(base, plainDir)
+      val tp0 = System.nanoTime()
+      val nIp = operators.Similarity.appendIvfIndex(spark, plainDir, rest)
+      val ipAppendSec = (System.nanoTime() - tp0) / 1e9
+      val tp1 = System.nanoTime()
+      operators.Similarity.deleteFromIvfIndex(spark, plainDir, eraseIds)
+      val ipDeleteSec = (System.nanoTime() - tp1) / 1e9
+      // atomic
+      val root = operators.Scratch.diskDir("graft_scale_atomic_cost_root")
+      operators.Similarity.stageIvfIndexVersion(base, root)
+      val ta0 = System.nanoTime()
+      val nAt = operators.Similarity.appendIvfIndexAtomic(spark, root, rest)
+      val atAppendSec = (System.nanoTime() - ta0) / 1e9
+      val ta1 = System.nanoTime()
+      operators.Similarity.deleteFromIvfIndexAtomic(spark, root, eraseIds)
+      val atDeleteSec = (System.nanoTime() - ta1) / 1e9
+      require(nIp == nAt, s"cost row appended different counts: $nIp vs $nAt")
+      s""""ivf_atomic_cost":{"sec":${atAppendSec + atDeleteSec},"rows":$nAt,""" +
+        s""""inplace_append_sec":$ipAppendSec,"atomic_append_sec":$atAppendSec,""" +
+        s""""inplace_delete_sec":$ipDeleteSec,"atomic_delete_sec":$atDeleteSec}"""
+    }
     val qs = (results.collect { case (k, s, r) if r >= 0 => s""""$k":{"sec":$s,"rows":$r}""" }
       ++ pipe ++ scd2Apply ++ ivfAppend ++ sq8Serve
       ++ pqFilteredServe ++ sq8RadiusServe ++ ivfStats
       ++ pqRadiusServe ++ sq8FilteredServe ++ opqServe
-      ++ ivfSq8Serve ++ atomicRww).mkString(",")
+      ++ ivfSq8Serve ++ atomicRww ++ atomicCost).mkString(",")
     println(s"""{"scale_mult":$mult,"n_events":$n,"ops":{$qs}}""")
     spark.stop()
   }
