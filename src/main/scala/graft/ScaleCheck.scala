@@ -73,7 +73,7 @@ object ScaleCheck {
       "text_lm_score", "dedup_substring_spans", "dedup_span_cut",
       "bpe_train", "bpe_train_batched", "bpe_apply", "bpe_encode",
       "text_encode", "pack_sequences", "pack_boundaries", "pack_token_ids",
-      "dedup_source_sim")
+      "dedup_source_sim", "sample_mixture")
     val allDocsOnly = args.length > 1 &&
       args(1).split(",").forall(k => docsOnly(k) || selfSynth(k))
     if (!skipNonEmbedding && !skipNonGraph && !allSelfSynth) {
@@ -342,6 +342,7 @@ object ScaleCheck {
       // graph corpus
       run("etl_merge_into", operators.Etl.etlMergeInto(spark, dir)),
       run("sample_quality_topfrac", operators.Etl.sampleQualityTopFrac(spark, dir)),
+      run("sample_mixture", operators.TrainPrep.sampleMixture(spark, dir)),
       // the continuous-score refinement variant over the same corpus:
       // its driver cost is rounds × (groups×Bins counters), so the
       // interesting scale signal is that it tracks the discrete form

@@ -160,6 +160,7 @@ object SparkEntry {
     "pack_sequences"   -> ((s, d) => graft.operators.TrainPrep.packSequences(s, d)),
     "pack_boundaries"  -> ((s, d) => graft.operators.TrainPrep.packBoundaries(s, d)),
     "text_chunk"       -> ((s, d) => graft.operators.TrainPrep.chunkDocuments(s, d)),
+    "sample_mixture"   -> ((s, d) => graft.operators.TrainPrep.sampleMixture(s, d)),
     "text_encode"      -> ((s, d) => graft.operators.TrainPrep.textEncode(s, d)),
     "pack_token_ids"   -> ((s, d) => graft.operators.TrainPrep.packTokenIds(s, d)),
     "bpe_train"        -> ((s, d) => graft.operators.Bpe.train(s, d)),
@@ -434,6 +435,9 @@ object SparkEntry {
     // packSequences index, integer-exact
     "pack_boundaries" -> graft.operators.TrainPrep.packBoundariesOracleSql,
     "text_chunk"      -> graft.operators.TrainPrep.chunkDocumentsOracleSql,
+    // temperature mixture sampling: exact-unit sqrt weights, XXH64
+    // admission coordinate replayed via the factored single-long chain
+    "sample_mixture"  -> graft.operators.TrainPrep.sampleMixtureOracleSql,
     "text_encode"     -> graft.operators.TrainPrep.textEncodeOracleSql,
     "pack_token_ids"  -> graft.operators.TrainPrep.packTokenIdsOracleSql,
     // BPE training: per-round recursive-fold replay (exact integer

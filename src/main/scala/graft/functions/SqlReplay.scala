@@ -60,4 +60,32 @@ private[graft] object SqlReplay {
   /** splitmix64 finisher constants (WordNgrams.mix), unsigned. */
   val MixC1: java.math.BigInteger = u(-4658895280553007687L) // 0xBF58476D1CE4E5B9
   val MixC2: java.math.BigInteger = u(-7723592293110705685L) // 0x94D049BB133111EB
+
+  /** CTE chain replaying Spark's `xxhash64(longCol)` (seed 42) — the
+    * XXH64 single-long path (one merge round + avalanche), the exact
+    * structure the langid oracle's train/holdout split uses, factored
+    * for reuse (the langid text itself stays byte-frozen for
+    * hash-gate stability). Emits CTEs `${p}0..${p}A`; `${p}A` exposes
+    * `keyCols` plus the hash as UBIGINT column `h`. `src` must expose
+    * `keyCols` and `longCol`. XXH64 primes are public constants of
+    * the xxHash spec. */
+  def xxh64LongCtes(p: String, src: String, keyCols: String,
+                    longCol: String): String = {
+    val p1 = u(-7046029288634856825L); val p2 = u(-4417276706812531889L)
+    val p3 = u(1609587929392839161L);  val p4 = u(-8796714831421723037L)
+    val init = u(42L + 2870177450012600261L /* P5 */ + 8L)
+    s"""${p}0 AS (SELECT $keyCols, CAST('$init' AS UBIGINT) AS h,
+       |        CAST($longCol AS UBIGINT) AS l FROM $src),
+       |${p}1 AS (SELECT $keyCols, h, ${mulmod("l", p2)} AS k1 FROM ${p}0),
+       |${p}2 AS (SELECT $keyCols, h, ${rotl("k1", 31)} AS k1 FROM ${p}1),
+       |${p}3 AS (SELECT $keyCols, h, ${mulmod("k1", p1)} AS k1 FROM ${p}2),
+       |${p}4 AS (SELECT $keyCols, xor(h, k1) AS h FROM ${p}3),
+       |${p}5 AS (SELECT $keyCols, CAST((CAST(${mulmod(rotl("h", 27), p1)} AS HUGEINT)
+       |        + $p4) % $Two64 AS UBIGINT) AS h FROM ${p}4),
+       |${p}6 AS (SELECT $keyCols, xor(h, h >> 33) AS h FROM ${p}5),
+       |${p}7 AS (SELECT $keyCols, ${mulmod("h", p2)} AS h FROM ${p}6),
+       |${p}8 AS (SELECT $keyCols, xor(h, h >> 29) AS h FROM ${p}7),
+       |${p}9 AS (SELECT $keyCols, ${mulmod("h", p3)} AS h FROM ${p}8),
+       |${p}A AS (SELECT $keyCols, xor(h, h >> 32) AS h FROM ${p}9)""".stripMargin
+  }
 }

@@ -446,4 +446,93 @@ object TrainPrep {
        |    chunk_idx * $ChunkStride + $ChunkWords), ' ') AS chunk_text,
        |  CAST(least(n - chunk_idx * $ChunkStride, $ChunkWords) AS INTEGER) AS n_words
        |FROM k""".stripMargin
+
+  /** Fixed-point scale for the mixture weights' exact-BIGINT units —
+    * `floor(sqrt(count)·10^6 + 0.5)`: both engines floor the SAME
+    * correctly-rounded IEEE sqrt (the vec_quantize portability
+    * discipline), and the integer unit sums are order-free where a
+    * floating Σ sqrt would depend on Spark's partial-agg order. */
+  val MixtureUnitScale = 1000000.0
+
+  /** Admission grid: hash admission compares
+    * `(xxhash64(doc_id) mod 2^20) / 2^20` — an exact dyadic rational
+    * in both engines — against the per-source target rate. */
+  val MixtureGridBits = 20
+
+  /** Temperature-based mixture sampling — the data-mix step of every
+    * multi-source pretraining pipeline (Raffel et al. 2020 §3.4.2's
+    * examples-proportional mixing with temperature; Arivazhagan et
+    * al. 2019's temperature sampling for multilingual training): big
+    * sources are DOWN-sampled and small sources kept whole so the mix
+    * is flatter than raw proportions. Temperature is pinned at T = 2
+    * (weights ∝ √count — the common operating point) deliberately:
+    * √ is the one power both engines round identically (IEEE requires
+    * sqrt correctly rounded; an arbitrary `pow(c, 1/T)` is libm- and
+    * engine-dependent, which would break the hash oracle and — the
+    * same coin — bit-reproducibility of the corpus itself across
+    * engine versions).
+    *
+    * Per source s: weight w_s = units_s / Σ units_s with
+    * units_s = floor(√c_s·10^6 + 0.5) (exact BIGINT — the Σ is an
+    * integer sum, order-free); target size N = total DIV 2; admit
+    * rate r_s = min(1, w_s·N/c_s) as a quotient of exact-int-valued
+    * doubles; a doc is kept iff its xxhash64 admission coordinate
+    * < r_s — deterministic per doc, no RNG state, so reruns/engines/
+    * partitionings agree (the [[Etl.sampleDeterministic]] rationale).
+    *
+    * 100 TB: one count aggregate over the corpus (S-row result), the
+    * S-row rate table broadcast onto a single filtered scan — no
+    * shuffle of the corpus itself, admission is a per-row hash
+    * compare inside whole-stage codegen. */
+  def sampleMixtureOn(docs: DataFrame): DataFrame = {
+    val grid = 1L << MixtureGridBits
+    val perSource = docs.groupBy(col("source")).agg(count(lit(1)).as("cnt"))
+    val units = perSource.withColumn("w_units",
+      floor(sqrt(col("cnt").cast("double")) * lit(MixtureUnitScale) + lit(0.5))
+        .cast("long"))
+    val tot = units.agg(sum(col("cnt")).as("total"), sum(col("w_units")).as("denom"))
+    val stats = units.crossJoin(broadcast(tot))
+      .withColumn("n_target", expr("total div 2"))
+      .select(col("source"),
+        (col("w_units").cast("double") / col("denom").cast("double")).as("weight"),
+        least(lit(1.0),
+          (col("w_units").cast("double") * col("n_target").cast("double")) /
+            (col("denom").cast("double") * col("cnt").cast("double"))).as("rate"))
+    docs.join(broadcast(stats), "source")
+      .filter((pmod(xxhash64(col("doc_id")), lit(grid)).cast("double") /
+        lit(grid.toDouble)) < col("rate"))
+      .select(col("doc_id"), col("source"), col("weight"), col("rate"))
+  }
+
+  /** Driver query (key `sample_mixture`). */
+  def sampleMixture(spark: SparkSession, dir: String): DataFrame =
+    sampleMixtureOn(Tables.documents(spark, dir))
+
+  /** Oracle: per-source counts → exact-unit √ weights → rates, the
+    * factored XXH64-of-one-long replay for the admission coordinate,
+    * one filtered join. */
+  val sampleMixtureOracleSql: String = {
+    import graft.functions.SqlReplay._
+    val grid = 1L << MixtureGridBits
+    s"""WITH d AS (
+       |  SELECT doc_id, source FROM documents
+       |), per AS (
+       |  SELECT source, COUNT(*) AS cnt FROM d GROUP BY 1
+       |), un AS (
+       |  SELECT source, cnt,
+       |    CAST(FLOOR(SQRT(CAST(cnt AS DOUBLE)) * $MixtureUnitScale + 0.5) AS BIGINT) AS w_units
+       |  FROM per
+       |), tot AS (
+       |  SELECT SUM(cnt) AS total, SUM(w_units) AS denom FROM un
+       |), st AS (
+       |  SELECT source,
+       |    CAST(w_units AS DOUBLE) / CAST(denom AS DOUBLE) AS weight,
+       |    LEAST(1.0, (CAST(w_units AS DOUBLE) * CAST(total // 2 AS DOUBLE))
+       |      / (CAST(denom AS DOUBLE) * CAST(cnt AS DOUBLE))) AS rate
+       |  FROM un CROSS JOIN tot
+       |), ${xxh64LongCtes("mx", "d", "doc_id, source", "doc_id")}
+       |SELECT x.doc_id, x.source, st.weight, st.rate
+       |FROM mxA x JOIN st ON x.source = st.source
+       |WHERE (x.h % $grid) / $grid.0 < st.rate""".stripMargin
+  }
 }

@@ -207,4 +207,50 @@ class TrainPrepSpec extends SparkSpecBase {
       TrainPrep.chunkDocumentsOn(docs, sizeWords = 0, stride = 0)
     }
   }
+
+  test("sampleMixture: sqrt-temperature flattening, whole-kept small sources, " +
+      "deterministic admission, weights sum to 1") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // skewed synthetic mix: one dominant source, one mid, one tiny
+    val docs = ((1L to 800L).map(i => (i, "big")) ++
+      (801L to 980L).map(i => (i, "mid")) ++
+      (981L to 1000L).map(i => (i, "tiny")))
+      .toDF("doc_id", "source")
+    val out = TrainPrep.sampleMixtureOn(docs).cache()
+    val stats = out.groupBy("source")
+      .agg(count(lit(1)).as("kept"), first("weight").as("w"), first("rate").as("r"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    // weights ∝ sqrt(count): flatter than raw proportions — big's
+    // weight share is below its count share, tiny's above
+    assert(stats("big")._2 < 800.0 / 1000.0 && stats("tiny")._2 > 20.0 / 1000.0)
+    // weight ordering still tracks size, and the weights sum to 1
+    assert(stats("big")._2 > stats("mid")._2 && stats("mid")._2 > stats("tiny")._2)
+    assert(math.abs(stats.values.map(_._2).sum - 1.0) < 1e-12)
+    // N = total/2 and sqrt-flattening ⇒ the dominant source is
+    // down-sampled (rate < 1) while the tiny source keeps everything
+    assert(stats("big")._3 < 1.0)
+    assert(stats("tiny")._3 == 1.0 && stats("tiny")._1 == 20L,
+      "a small source under temperature sampling must be kept whole")
+    // admitted counts are binomially near rate·count (5σ tolerance)
+    Seq("big" -> 800L, "mid" -> 180L).foreach { case (s, n) =>
+      val (kept, _, r) = stats(s)
+      val sigma = math.sqrt(n * r * (1 - r))
+      assert(math.abs(kept - n * r) <= 5 * sigma + 1,
+        s"$s kept $kept vs expected ${n * r} ± ${5 * sigma}")
+    }
+    // deterministic: same frame repartitioned arbitrarily → same set
+    val again = TrainPrep.sampleMixtureOn(docs.repartition(7))
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(again.sameElements(out.select("doc_id").collect().map(_.getLong(0)).sorted))
+    // every admitted doc really clears its source's admission compare
+    val grid = (1L << TrainPrep.MixtureGridBits).toDouble
+    val viol = out.filter(
+      (pmod(xxhash64(col("doc_id")), lit(1L << TrainPrep.MixtureGridBits))
+        .cast("double") / lit(grid)) >= col("rate")).count()
+    assert(viol == 0L, "an admitted doc must clear its admission compare")
+    out.unpersist()
+    ()
+  }
 }
