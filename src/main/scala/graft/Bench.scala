@@ -276,8 +276,29 @@ object Bench {
       "{" + s""""ts":${jstr(ts)},""" + full.drop(1) + "\n",
       java.nio.file.StandardOpenOption.CREATE,
       java.nio.file.StandardOpenOption.APPEND)
-    val compact =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":{},"n_ok":${timings.size},"n_err":${errors.size},"sf":${jstr(sfDir)},$calibs,"env":$env,"detail":"BENCH_LOCAL.json","history":"BENCH_HISTORY.jsonl"}"""
+    // Per-key seconds INSIDE the driver snapshot (r18 verdict item 6):
+    // the driver parses the stdout JSON line out of a ~2000-char tail
+    // capture, so the NAMED queries map (key names alone are ~2.4 KB
+    // at 161 keys) can never ride along — that is the round-7
+    // `parsed: null` failure. The keys are, however, already fixed by
+    // the artifact set: `qsec[i]` is the seconds of the i-th key of
+    // the ASCENDING-sorted successful key list (the exact key set
+    // CORRECTNESS_rN.json / BENCH_LOCAL.json / BENCH_HISTORY.jsonl
+    // carry), which makes BENCH_rN.json self-contained at ~5 bytes
+    // per key. `qsec_order` states the decode rule in-line. The size
+    // guard NEVER lets the line outgrow the tail: first the array
+    // drops to 1-decimal precision, then (never expected) it is
+    // replaced by a pointer to the history file — a lost per-key
+    // array is recoverable, a `parsed: null` round artifact is not.
+    def qsecArr(dec: Int): String = timings.values
+      .map(v => BigDecimal(v).setScale(dec, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble.toString).mkString("[", ",", "]")
+    def compactWith(qsec: String): String =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":{},"qsec":$qsec,"qsec_order":"keys-asc","n_ok":${timings.size},"n_err":${errors.size},"sf":${jstr(sfDir)},$calibs,"env":$env,"detail":"BENCH_LOCAL.json","history":"BENCH_HISTORY.jsonl"}"""
+    val tailBudget = 1800 // driver tail ≈ 2000 chars minus sbt's epilogue
+    val compact = Seq(compactWith(qsecArr(2)), compactWith(qsecArr(1)))
+      .find(_.length <= tailBudget)
+      .getOrElse(compactWith("\"overflow: see BENCH_HISTORY.jsonl\""))
     println(compact)
     spark.stop()
     if (errors.nonEmpty) System.err.println(s"[bench] ${errors.size} queries failed: ${errors.keys.mkString(",")}")

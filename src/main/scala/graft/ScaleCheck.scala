@@ -41,7 +41,8 @@ object ScaleCheck {
       "knn_radius", "knn_filtered", "knn_ivf_opq",
       "ivf_pq_filtered_query", "sq8_radius_query", "ivf_stats",
       "ivf_pq_radius_query", "sq8_filtered_query", "ivf_opq_serve",
-      "ivf_sq8_query", "ivf_atomic_rww", "ivf_atomic_cost")
+      "ivf_sq8_query", "ivf_atomic_rww", "ivf_atomic_cost",
+      "ann_ingest_churn")
     val skipNonEmbedding = args.length > 1 && args(1).split(",").forall(embOnly)
     // a graph-only run (the tier's dedicated scaled-catalog corpus)
     // likewise skips the main tables: a 300× run would otherwise
@@ -748,11 +749,19 @@ object ScaleCheck {
       val phase = new java.util.concurrent.atomic.AtomicInteger(0) // 0 quiet, 1 writes landing
       val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
       val readings = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Int, Double)]()
+      // reader failures are FINDINGS, not silent thread death (r18
+      // advice): a version directory vanishing mid-scan is exactly the
+      // consistency break this op exists to catch, so an exception in
+      // readOnce must fail the op — not truncate the readings and let
+      // n_mixed=0 report success
+      val readerErrors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
       val reader = new Thread(() => {
         while (!stop.get()) {
           val ph = phase.get()
-          val (f, sec) = readOnce()
-          readings.add((ph, f, sec))
+          try {
+            val (f, sec) = readOnce()
+            readings.add((ph, f, sec))
+          } catch { case e: Throwable => readerErrors.add(e); stop.set(true) }
         }
       }, "graft-atomic-reader")
       // a few quiet-phase readings for the latency baseline
@@ -777,6 +786,12 @@ object ScaleCheck {
       reader.join()
       val all = scala.jdk.CollectionConverters.IterableHasAsScala(readings)
         .asScala.toSeq
+      if (!readerErrors.isEmpty) {
+        val first = readerErrors.peek()
+        throw new IllegalStateException(
+          s"ivf_atomic_rww: ${readerErrors.size} concurrent read(s) FAILED " +
+            s"during the atomic lifecycle — first: ${first.getMessage}", first)
+      }
       val legal = Set(fpA, fpB, fpC)
       val mixed = all.filterNot(r => legal.contains(r._2))
       if (mixed.nonEmpty) throw new IllegalStateException(
@@ -828,11 +843,63 @@ object ScaleCheck {
         s""""inplace_append_sec":$ipAppendSec,"atomic_append_sec":$atAppendSec,""" +
         s""""inplace_delete_sec":$ipDeleteSec,"atomic_delete_sec":$atDeleteSec}"""
     }
+    // version-churn bound of the coalesced atomic streaming ingest
+    // (r18 verdict item 5): the SAME high-rate small-batch stream —
+    // the last 20% of the corpus in 20 micro-batches — ingested
+    // per-batch-publish vs coalesced (publish every ~5 batches of
+    // rows). Reported: total versions CREATED over the stream's life
+    // (the churn — each one costs an O(n_files) hardlink tree) and
+    // files on disk at end (bounded by keep-N either way). The
+    // coalesced path must create ~B/5 versions for B batches at the
+    // same final answer set (equality is StreamingSpec's job; this
+    // row is the growth measurement).
+    val ingestChurn = if (!only("ann_ingest_churn")) None else Some {
+      import graft.operators.{IndexManifest, Pq}
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      val maxId = emb.agg(max("vec_id")).collect()(0).getLong(0)
+      val cut = (maxId / 10L) * 8L
+      val nBatches = 20
+      val step = math.max(1L, (maxId - cut) / nBatches)
+      def batchDf(i: Int) = emb
+        .filter(col("vec_id") > cut + i * step &&
+          col("vec_id") <= (if (i == nBatches - 1) maxId else cut + (i + 1) * step))
+        .select(col("vec_id"), col("embedding"))
+      def filesUnder(root: String): Long = {
+        val p = new org.apache.hadoop.fs.Path(root)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val it = fs.listFiles(p, true)
+        var c = 0L
+        while (it.hasNext) { it.next(); c += 1 }
+        c
+      }
+      def drive(publishEveryRows: Long, tag: String): (Double, Long, Long) = {
+        val root = operators.Scratch.diskDir(s"graft_scale_churn_$tag")
+        Pq.stageIvfPqIndexVersion(
+          Pq.buildIvfPq(emb.filter(col("vec_id") <= cut)), root)
+        val t0 = System.nanoTime()
+        (0 until nBatches).foreach { i =>
+          graft.streaming.Streams.annIngestMicroBatchAtomic(
+            batchDf(i), root, keep = 2, publishEveryRows = publishEveryRows)
+        }
+        graft.streaming.Streams.annIngestFlushPending(spark, root, keep = 2)
+        val sec = (System.nanoTime() - t0) / 1e9
+        val lastV = IndexManifest.currentOrFail(spark, root)
+          .split('/').last.stripPrefix("v=").toLong
+        (sec, lastV, filesUnder(root))
+      }
+      val batchRows = (maxId - cut) / nBatches
+      val (secPer, vPer, filesPer) = drive(0L, "perbatch")
+      val (secCo, vCo, filesCo) = drive(batchRows * 5, "coalesced")
+      s""""ann_ingest_churn":{"sec":$secCo,"rows":${maxId - cut},""" +
+        s""""batches":$nBatches,"versions_per_batch_path":$vPer,""" +
+        s""""versions_coalesced":$vCo,"files_end_per_batch":$filesPer,""" +
+        s""""files_end_coalesced":$filesCo,"sec_per_batch_path":$secPer}"""
+    }
     val qs = (results.collect { case (k, s, r) if r >= 0 => s""""$k":{"sec":$s,"rows":$r}""" }
       ++ pipe ++ scd2Apply ++ ivfAppend ++ sq8Serve
       ++ pqFilteredServe ++ sq8RadiusServe ++ ivfStats
       ++ pqRadiusServe ++ sq8FilteredServe ++ opqServe
-      ++ ivfSq8Serve ++ atomicRww ++ atomicCost).mkString(",")
+      ++ ivfSq8Serve ++ atomicRww ++ atomicCost ++ ingestChurn).mkString(",")
     println(s"""{"scale_mult":$mult,"n_events":$n,"ops":{$qs}}""")
     spark.stop()
   }

@@ -138,6 +138,7 @@ object SparkEntry {
     "knn_ivf_sq8"    -> ((s, d) => Quantize.knnIvfSq8(s, d)),
     "knn_recall_report" -> (Similarity.knnRecallReport(_, _)),
     "knn_index_stats" -> (Similarity.knnIndexStats(_, _)),
+    "knn_pq_index_stats" -> (graft.operators.Pq.knnPqIndexStats(_, _)),
     "knn_radius"     -> ((s, d) => Similarity.knnRadius(s, d)),
     "knn_filtered"   -> ((s, d) => Similarity.knnFiltered(s, d)),
     "knn_radius_filtered" -> ((s, d) => Similarity.knnRadiusFiltered(s, d)),
@@ -394,6 +395,11 @@ object SparkEntry {
     // the retrain pre-flight: per-cell counts/skew/appended-fraction
     // over the trained-on-base assignment (the append equation)
     "knn_index_stats" -> Similarity.knnIndexStatsOracleSql,
+    // the PQ tier's health read shares the float oracle VERBATIM: its
+    // codes tree assigns against the same deterministic coarse
+    // quantizer trained on the same half (the trainOn-decoupling
+    // equation), and stats read no code bytes
+    "knn_pq_index_stats" -> Similarity.knnIndexStatsOracleSql,
     // range search: the IVF replay with the ranked tail swapped for
     // the radius filter (strtod-embedded threshold)
     "knn_radius"     -> Similarity.knnRadiusOracleSql,

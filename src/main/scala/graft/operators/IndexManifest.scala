@@ -23,11 +23,12 @@ import org.apache.spark.sql.functions.col
   *
   *   root/v=1/{centroids,postings,…}   — complete, immutable versions
   *   root/v=2/…
-  *   root/CURRENT                      — one file naming the live one
+  *   root/CURRENT                      — live version + flip history
   *
-  * [[publish]] materializes the WHOLE new version into a fresh `v=n`
-  * directory (readers cannot see it — nothing references it), then
-  * flips `CURRENT` with a single atomic rename
+  * [[publish]] CLAIMS the next version directory with create-exclusive
+  * semantics (r18 verdict item 3 — see [[claimVersion]]), materializes
+  * the WHOLE new version into it (readers cannot see it — nothing
+  * references it), then flips `CURRENT` with a single atomic rename
   * ([[Options.Rename.OVERWRITE]] — POSIX rename on the local FS, the
   * atomic primitive on HDFS; object stores swap in their own CAS
   * pointer here). Every reader resolves the pointer ONCE via
@@ -35,16 +36,56 @@ import org.apache.spark.sql.functions.col
   * its plan, so a query overlapping a restage sees wholly old or
   * wholly new, never a mix. A crash anywhere before the flip leaves
   * `CURRENT` naming the old version — the old index keeps serving and
-  * the orphaned partial `v=n` is garbage for [[vacuum]].
+  * the orphaned partial `v=n` is a stale claim for
+  * [[releaseStaleClaims]].
+  *
+  * MULTI-WRITER DISCIPLINE (r18 verdict item 3): version ids form a
+  * CHAIN — a publisher building from live version `n` claims exactly
+  * `v=n+1`, and the claim is a create-exclusive filesystem op, so two
+  * concurrent publishers from the same base serialize: one wins the
+  * claim, the other observes [[ConcurrentPublishException]] and must
+  * re-resolve a FRESH live version before retrying (the delta paths
+  * [[appendRowsAtomic]]/[[deleteVecIdsAtomic]] do this with bounded
+  * backoff — the retry recomputes its old∪new merge against the NEW
+  * live version, so the first writer's rows are never lost). A
+  * publisher can therefore never flip the pointer past another
+  * writer's un-flipped version: the failure mode is a loud exception,
+  * never a silently dropped delta. A claim whose owner crashed before
+  * the flip blocks the chain the same way — publishes fail loudly
+  * until an operator (or a restart hook that knows no publisher is
+  * alive) calls [[releaseStaleClaims]].
+  *
+  * POINTER HISTORY (r18 advice): `CURRENT` holds the live version on
+  * its first line and the previously-live versions below it (newest
+  * first, capped at [[HistoryCap]]), rewritten atomically at each
+  * flip. [[vacuum]]'s keep-N therefore counts only versions that were
+  * ONCE LIVE — a crash-orphaned partial that later sits below the
+  * live version (possible only via the no-pointer first-publish
+  * retry, which claims past the orphan) is deleted outright instead
+  * of displacing a genuinely readable version from the retention
+  * window.
   *
   * 100 TB: the manifest adds ONE tiny file read per query plan and
-  * one rename per restage, independent of index size; the cost of
-  * atomicity is the double-materialization of a restaged version,
+  * one create+rename per restage, independent of index size; the cost
+  * of atomicity is the double-materialization of a restaged version,
   * which a restage (unlike the in-place append/delete fast paths)
   * already pays by definition. */
 object IndexManifest {
 
   private val Pointer = "CURRENT"
+
+  /** Pointer-history lines retained across flips — far above any
+    * sane vacuum `keep`, so a once-live version still inside a keep
+    * window is always attested by the history. */
+  val HistoryCap = 64
+
+  /** Thrown when a publish loses the create-exclusive claim on its
+    * target version directory: another publisher holds it (in-flight)
+    * or crashed holding it (stale — recover with
+    * [[releaseStaleClaims]]). The claimed delta was NOT published;
+    * retry from a freshly resolved live version. */
+  final class ConcurrentPublishException(msg: String)
+    extends IllegalStateException(msg)
 
   private def fc(spark: SparkSession, root: String): FileContext = {
     val uri = new Path(root).toUri
@@ -68,45 +109,119 @@ object IndexManifest {
     b.result()
   }
 
+  /** The pointer file's lines: live version name first, previously
+    * live versions after it (newest first). Nil when unpublished. */
+  private def pointerLines(ctx: FileContext, root: String): Seq[String] = {
+    val ptr = new Path(root, Pointer)
+    if (!ctx.util.exists(ptr)) return Nil
+    val in = ctx.open(ptr)
+    val text =
+      try new String(org.apache.commons.io.IOUtils.toByteArray(in),
+        StandardCharsets.UTF_8)
+      finally in.close()
+    text.linesIterator.map(_.trim).filter(_.nonEmpty).toSeq
+  }
+
   /** The live version directory under `root`, or None when nothing
     * has been published. Resolve ONCE per query plan and read every
     * frame from the returned directory — that is what makes a
     * concurrent restage invisible. */
-  def current(spark: SparkSession, root: String): Option[String] = {
-    val ctx = fc(spark, root)
-    val ptr = new Path(root, Pointer)
-    if (!ctx.util.exists(ptr)) return None
-    val in = ctx.open(ptr)
-    val name =
-      try new String(org.apache.commons.io.IOUtils.toByteArray(in),
-        StandardCharsets.UTF_8).trim
-      finally in.close()
-    if (name.isEmpty) None else Some(s"$root/$name")
-  }
+  def current(spark: SparkSession, root: String): Option[String] =
+    pointerLines(fc(spark, root), root).headOption.map(n => s"$root/$n")
 
   /** [[current]] that fails loudly when no version is published. */
   def currentOrFail(spark: SparkSession, root: String): String =
     current(spark, root).getOrElse(throw new IllegalStateException(
       s"IndexManifest: no published index at $root — publish one first"))
 
-  /** Publish a new index version: allocate the next `v=n` directory,
-    * run `write` to materialize the COMPLETE version into it (any of
-    * the tier writers — they see an empty private directory, so their
-    * own tmp+rename discipline is belt-and-braces here), then flip the
-    * pointer atomically. Returns the published directory. A failure
+  /** Create-exclusive claim of a version directory — the CAS that
+    * serializes concurrent publishers. Local FS: `Files
+    * .createDirectory`, the atomic mkdir(2) (Hadoop's FileContext
+    * mkdir is idempotent on the local FS and cannot claim). Other
+    * filesystems: exclusive create of a `_CLAIM` file inside the
+    * directory (`FileSystem.create(overwrite = false)` — atomic at
+    * the HDFS namenode; object-store deployments swap in a
+    * conditional put). Returns false when the claim is already
+    * held. */
+  private def claimVersion(spark: SparkSession, root: String,
+                           dirName: String): Boolean = {
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.getScheme == "file") {
+      val local = java.nio.file.Paths.get(
+        new Path(root, dirName).toUri.getPath)
+      java.nio.file.Files.createDirectories(local.getParent)
+      try { java.nio.file.Files.createDirectory(local); true }
+      catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    } else {
+      val claim = new Path(root, s"$dirName/_CLAIM")
+      try { fs.create(claim, false).close(); true }
+      catch { case _: org.apache.hadoop.fs.FileAlreadyExistsException => false }
+    }
+  }
+
+  /** Publish a new index version: claim the next `v=n` directory
+    * (create-exclusive — see the multi-writer discipline above), run
+    * `write` to materialize the COMPLETE version into it (any of the
+    * tier writers — they see an empty private directory, so their own
+    * tmp+rename discipline is belt-and-braces here), then flip the
+    * pointer atomically, appending the superseded version to the
+    * pointer history. Returns the published directory.
+    *
+    * Single-attempt: a lost claim throws [[ConcurrentPublishException]]
+    * immediately (full-restage callers are single-writer by cadence);
+    * the delta paths wrap this in bounded-backoff retries. A failure
     * inside `write` propagates untouched: the pointer still names the
-    * old version and the partial directory is unreferenced. */
-  def publish(spark: SparkSession, root: String)(write: String => Unit): String = {
+    * old version and the claimed partial is a stale claim for
+    * [[releaseStaleClaims]]. */
+  def publish(spark: SparkSession, root: String)(write: String => Unit): String =
+    publishAt(spark, root,
+      pointerLines(fc(spark, root), root).headOption)(write)
+
+  /** [[publish]] pinned to an explicit base: the claim target is
+    * `base + 1` and the publish aborts (loudly) if the pointer no
+    * longer names `base` — so a caller whose version CONTENT was
+    * derived from `base` (the delta paths' old∪new merge) can never
+    * flip a version that silently drops a concurrent writer's rows.
+    * The claim itself enforces this when the pointer already moved
+    * or another writer holds the target; the explicit head checks
+    * close the resolve→claim and claim→flip windows. */
+  private def publishAt(spark: SparkSession, root: String,
+                        base: Option[String])
+                       (write: String => Unit): String = {
     val ctx = fc(spark, root)
     val rootPath = new Path(root)
-    ctx.mkdir(rootPath, null, true)
-    val next = (listVersions(ctx, rootPath) :+ 0L).max + 1
+    val baseV = base.flatMap(versionOf)
+    // chained id when live exists; max+1 when unpublished, so a retry
+    // of a crashed FIRST publish claims past its own orphan (which the
+    // history-aware vacuum then deletes as never-live)
+    val next = baseV.getOrElse((listVersions(ctx, rootPath) :+ 0L).max) + 1
     val dirName = s"v=$next"
+    val headNow = pointerLines(ctx, root).headOption
+    if (headNow != base)
+      throw new ConcurrentPublishException(
+        s"IndexManifest: pointer at $root moved from $base to $headNow " +
+          s"since this publish resolved its base — retry from a fresh current")
+    if (!claimVersion(spark, root, dirName))
+      throw new ConcurrentPublishException(
+        s"IndexManifest: version $dirName at $root is already claimed — " +
+          "another publisher is in flight (retry from a fresh current) or " +
+          "crashed holding the claim (recover with releaseStaleClaims)")
     write(s"$root/$dirName")
+    // pre-flip guard: the chain rule makes a pointer advance while we
+    // hold the claim impossible, EXCEPT on the unpublished path where
+    // two first-publishers hold different claims — the loser must
+    // throw, not shadow the winner's flip
+    val history = pointerLines(ctx, root)
+    if (history.headOption != base)
+      throw new ConcurrentPublishException(
+        s"IndexManifest: pointer at $root moved while publishing $dirName " +
+          "(concurrent first publish) — this version was NOT published")
     val tmp = new Path(rootPath, s"$Pointer.tmp")
     val out = ctx.create(tmp,
       java.util.EnumSet.of(CreateFlag.CREATE, CreateFlag.OVERWRITE))
-    try out.write(dirName.getBytes(StandardCharsets.UTF_8))
+    try out.write((dirName +: history).take(HistoryCap)
+      .mkString("\n").getBytes(StandardCharsets.UTF_8))
     finally out.close()
     // THE commit: one rename. Readers resolve either the old pointer
     // bytes or the new — never a torn mix, never a missing pointer.
@@ -115,27 +230,55 @@ object IndexManifest {
   }
 
   /** Retire superseded version directories behind a keep-N policy:
-    * the live version, the `keep - 1` most recent versions below it,
-    * and any version published AFTER the pointer was read (monotonic
-    * ids make "newer than live" checkable, so a vacuum racing a
-    * publish never deletes the version being published) all survive;
-    * everything older is deleted. Returns the deleted directories.
-    * In-flight readers of a retired version are the standard
-    * retention tradeoff — run vacuum on a delay exceeding the longest
-    * query (or keep ≥ 2 so the immediately superseded version
-    * outlives any reader that resolved just before the flip), exactly
-    * like lake-format VACUUM. */
+    * the live version, the `keep - 1` most recently live versions
+    * below it, and anything at or above the live id (a concurrent
+    * publisher's claim — monotonic ids make "newer than live"
+    * checkable, so a vacuum racing a publish never deletes the
+    * version being published) all survive. Everything else below the
+    * live version is deleted — both once-live versions past the keep
+    * window AND crash-orphaned partials that were never pointed to
+    * (absent from the pointer history; r18 advice: counting those in
+    * keep-N silently evicted a readable version from the retention
+    * window while retaining an unreadable orphan). Returns the
+    * deleted directories. In-flight readers of a retired version are
+    * the standard retention tradeoff — run vacuum on a delay
+    * exceeding the longest query (or keep ≥ 2 so the immediately
+    * superseded version outlives any reader that resolved just before
+    * the flip), exactly like lake-format VACUUM. */
   def vacuum(spark: SparkSession, root: String, keep: Int = 1): Seq[String] = {
     require(keep >= 1, s"vacuum keeps at least the live version (keep=$keep)")
     val ctx = fc(spark, root)
-    val live = current(spark, root).getOrElse(return Nil)
-    val liveV = versionOf(new Path(live).getName).getOrElse(return Nil)
+    val history = pointerLines(ctx, root)
+    val liveV = history.headOption.flatMap(versionOf).getOrElse(return Nil)
+    // once-live versions below live, newest first (history order)
+    val onceLiveBelow = history.drop(1).flatMap(versionOf).filter(_ < liveV)
+    val retained = onceLiveBelow.take(keep - 1).toSet
     listVersions(ctx, new Path(root)).filter(_ < liveV).sorted
-      .dropRight(keep - 1).map { v =>
+      .filterNot(retained).map { v =>
         val p = new Path(root, s"v=$v")
         ctx.delete(p, true)
         p.toString
       }
+  }
+
+  /** Recovery for a crashed publish: delete version directories ABOVE
+    * the live version — claims whose owner died between the claim and
+    * the pointer flip, which block the version chain (every later
+    * publish throws [[ConcurrentPublishException]]). MUST only run
+    * when no publisher is in flight (a restart hook, or an operator
+    * who has fenced the writers): an in-flight publisher's claim is
+    * indistinguishable from a stale one by design — distinguishing
+    * them is exactly the liveness question a filesystem cannot
+    * answer. Returns the released directories. */
+  def releaseStaleClaims(spark: SparkSession, root: String): Seq[String] = {
+    val ctx = fc(spark, root)
+    val liveV = pointerLines(ctx, root).headOption.flatMap(versionOf)
+      .getOrElse(0L)
+    listVersions(ctx, new Path(root)).filter(_ > liveV).sorted.map { v =>
+      val p = new Path(root, s"v=$v")
+      ctx.delete(p, true)
+      p.toString
+    }
   }
 
   /** [[publish]] with the LIVE version's directory handed to the
@@ -145,8 +288,42 @@ object IndexManifest {
     * is published yet. */
   def publishFrom(spark: SparkSession, root: String)
                  (edit: (String, String) => Unit): String = {
-    val live = currentOrFail(spark, root)
-    publish(spark, root)(next => edit(live, next))
+    val ctx = fc(spark, root)
+    val liveName = pointerLines(ctx, root).headOption
+      .getOrElse(throw new IllegalStateException(
+        s"IndexManifest: no published index at $root — publish one first"))
+    // the claim is pinned to the SAME resolved live the edit reads
+    // from: a pointer that advances between this resolve and the claim
+    // aborts the publish instead of merging against a stale base
+    publishAt(spark, root, Some(liveName))(
+      next => edit(s"$root/$liveName", next))
+  }
+
+  /** Bounded-backoff retry for the delta paths: run `body`, and on
+    * [[ConcurrentPublishException]] sleep and rerun it — the body
+    * re-resolves the live version each attempt, so the retry merges
+    * against the version the winning writer just published (both
+    * deltas land; nothing is silently dropped). Exhausted attempts
+    * rethrow the last collision — the stale-claim case, where waiting
+    * longer cannot help and [[releaseStaleClaims]] is the recovery. */
+  private def withPublishRetry[A](what: String)(body: => A): A = {
+    val maxAttempts = 8
+    var attempt = 0
+    var delayMs = 250L
+    while (true) {
+      attempt += 1
+      try return body
+      catch {
+        case e: ConcurrentPublishException =>
+          if (attempt >= maxAttempts) throw new ConcurrentPublishException(
+            s"$what: ${e.getMessage} (gave up after $maxAttempts attempts " +
+              s"over ~${(delayMs * 2 - 250) / 1000}s — if no publisher is " +
+              "alive, releaseStaleClaims unblocks the chain)")
+          Thread.sleep(delayMs)
+          delayMs = math.min(delayMs * 2, 16000L)
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** Mirror `src`'s artifact tree into `dst`, skipping any entry whose
@@ -156,9 +333,18 @@ object IndexManifest {
     * safe because published versions are immutable by contract — and
     * byte-copied otherwise (HDFS has no user hardlinks; object-store
     * deployments swap in their server-side copy here, which is the
-    * same O(metadata) shape). At 100 TB the delta-publish bill is
-    * therefore O(touched-partition rewrite) data IO plus O(n_files)
-    * metadata ops — never a second materialization of the index. */
+    * same O(metadata) shape).
+    *
+    * ONE recursive listing + a bounded thread pool over the link/copy
+    * ops (r18 verdict item 2): the previous per-directory walk issued
+    * one listStatus per directory and one createLink per file ON THE
+    * CALLING THREAD, which made the fixed per-publish bill the ~2×
+    * small-batch overhead the round-18 bench measured and the latency
+    * floor at 10⁵–10⁶ files. Link/copy ops are pure independent
+    * metadata — they parallelize embarrassingly. At 100 TB the
+    * delta-publish bill is O(touched-partition rewrite) data IO plus
+    * O(n_files / pool) wall-clock metadata ops — never a second
+    * materialization of the index. */
   private[operators] def mirror(spark: SparkSession, src: String, dst: String,
                                 skip: Set[String] = Set.empty): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
@@ -167,30 +353,60 @@ object IndexManifest {
     val local = fs.getScheme == "file"
     def localPath(p: Path): java.nio.file.Path =
       java.nio.file.Paths.get(p.toUri.getPath)
+    // `_CLAIM` is the non-local claim marker of the SOURCE version —
+    // the destination already holds its own from claimVersion
+    def skipped(rel: String): Boolean =
+      rel == "_CLAIM" ||
+        skip.exists(s => rel == s || rel.startsWith(s + "/"))
+    // one recursive listing (files only — parquet trees hold no
+    // meaningful empty directories; file parents are recreated below)
+    // skip-PRUNED walk: a skipped directory is never even listed (an
+    // append skipping every touched cell lists only the handful of
+    // untouched artifact dirs — Hadoop's recursive listFiles cannot
+    // prune and costs ~2s flat on a local version tree, measured
+    // r19). Directory mkdirs happen during the serial walk (cheap,
+    // one per dir); the per-file link/copy ops are deferred to the
+    // bounded pool below.
+    val files = Seq.newBuilder[(Path, String)]
     def walk(rel: String): Unit = {
       val here = if (rel.isEmpty) srcRoot else new Path(src, rel)
       fs.listStatus(here).foreach { st =>
         val childRel =
           if (rel.isEmpty) st.getPath.getName
           else s"$rel/${st.getPath.getName}"
-        if (!skip.contains(childRel)) {
-          val target = new Path(dst, childRel)
+        if (!skipped(childRel)) {
           if (st.isDirectory) {
-            fs.mkdirs(target)
+            fs.mkdirs(new Path(dst, childRel))
             walk(childRel)
-          } else {
-            fs.mkdirs(target.getParent)
-            if (local)
-              java.nio.file.Files.createLink(
-                localPath(target), localPath(st.getPath))
-            else
-              FileUtil.copy(fs, st.getPath, fs, target, false, conf)
-            ()
-          }
+          } else files += ((st.getPath, childRel))
         }
       }
     }
     walk("")
+    val entries = files.result()
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(16, Runtime.getRuntime.availableProcessors()))
+    try {
+      val tasks = entries.map { case (srcFile, rel) =>
+        new java.util.concurrent.Callable[Unit] {
+          def call(): Unit = {
+            val target = new Path(dst, rel)
+            if (local)
+              java.nio.file.Files.createLink(
+                localPath(target), localPath(srcFile))
+            else
+              FileUtil.copy(fs, srcFile, fs, target, false, conf)
+            ()
+          }
+        }
+      }
+      pool.invokeAll(scala.jdk.CollectionConverters
+        .SeqHasAsJava(tasks).asJava).forEach { f =>
+        try f.get()
+        catch { case e: java.util.concurrent.ExecutionException =>
+          throw e.getCause }
+      }
+    } finally pool.shutdown()
   }
 
   /** Columns of `df` with `partCol` cast to long in place — the union
@@ -214,32 +430,55 @@ object IndexManifest {
     * enforce the metadata/dimension discipline before calling).
     * Returns appended rows. Cost: O(touched-partition rewrite) data
     * IO — the batch's own locality under the frozen assignment keeps
-    * that request-sized — plus the mirror's metadata ops. */
+    * that request-sized — plus the mirror's metadata ops.
+    *
+    * Concurrent-writer safe: a lost version claim retries against the
+    * freshly published live version (re-reading ITS rows for the
+    * old∪new merge, so the winner's delta carries forward); exhausted
+    * retries fail loudly — rows are never silently dropped. */
   private[graft] def appendRowsAtomic(spark: SparkSession, root: String,
                                           tree: String, partCol: String,
                                           batch: DataFrame,
                                           keep: Int = 2): Long = {
-    val live = currentOrFail(spark, root)
-    val treeCols = spark.read.parquet(s"$live/$tree").columns.toSet
-    require(batch.columns.toSet == treeCols,
-      s"appendRowsAtomic: batch columns ${batch.columns.toSet} do not " +
-        s"match the live $tree tree's $treeCols")
     // materialize the batch once: encode/assign arithmetic should not
-    // re-run for the touched-partition probe AND the rewrite
-    val staged = pinPart(Scratch.stageReuse(batch, s"manifest_append_$tree"), partCol)
+    // re-run for the touched-partition probe AND the rewrite — nor
+    // across claim-collision retries. PER-CALL staging (not the
+    // per-prefix reuseDir): two concurrent appenders on one tree are
+    // now a supported mode, and a shared staging dir would let them
+    // overwrite each other's batch — the silent-row-loss this layer
+    // exists to prevent. Released eagerly below (streaming sinks
+    // publish one batch per trigger for the life of the JVM).
+    val stageDir = Scratch.dir(s"manifest_append_$tree")
+    pinPart(batch, partCol).write.mode("overwrite").parquet(stageDir)
+    val staged = spark.read.schema(pinPart(batch, partCol).schema)
+      .parquet(stageDir)
     val touched = staged.select(partCol).distinct()
       .collect().map(_.getLong(0)).toSet
-    if (touched.isEmpty) return 0L
-    val oldRows = pinPart(spark.read.parquet(s"$live/$tree"), partCol)
-      .filter(col(partCol).isInCollection(touched.toSeq))
-    publishFrom(spark, root) { (liveDir, next) =>
-      mirror(spark, liveDir, next,
-        skip = touched.map(v => s"$tree/$partCol=$v"))
-      oldRows.unionByName(staged).repartition(col(partCol))
-        .write.mode("append").partitionBy(partCol).parquet(s"$next/$tree")
+    if (touched.isEmpty) { Scratch.release(stageDir); return 0L }
+    withPublishRetry(s"appendRowsAtomic($root/$tree)") {
+      // EVERYTHING derived from the live version is derived from the
+      // liveDir the publish claim is pinned to (publishFrom resolves
+      // once): an old∪new merge read from any other resolution could
+      // silently drop a concurrent writer's rows in the touched
+      // partitions
+      publishFrom(spark, root) { (liveDir, next) =>
+        val treeCols = spark.read.parquet(s"$liveDir/$tree").columns.toSet
+        require(staged.columns.toSet == treeCols,
+          s"appendRowsAtomic: batch columns ${staged.columns.toSet} do not " +
+            s"match the live $tree tree's $treeCols")
+        val oldRows = pinPart(spark.read.parquet(s"$liveDir/$tree"), partCol)
+          .filter(col(partCol).isInCollection(touched.toSeq))
+        mirror(spark, liveDir, next,
+          skip = touched.map(v => s"$tree/$partCol=$v"))
+        oldRows.unionByName(staged).repartition(col(partCol))
+          .write.mode("append").partitionBy(partCol).parquet(s"$next/$tree")
+      }
+      ()
     }
     vacuum(spark, root, keep)
-    staged.count()
+    val n = staged.count()
+    Scratch.release(stageDir)
+    n
   }
 
   /** ATOMIC right-to-erasure on a versioned index (layout as
@@ -250,31 +489,51 @@ object IndexManifest {
     * explicit retire step), flip the pointer. Readers never see a
     * half-erased index and a crash leaves the old version serving —
     * the consistency the in-place form's per-partition commits cannot
-    * give. Returns deleted rows. */
+    * give. Concurrent-writer safe as [[appendRowsAtomic]] (a lost
+    * claim recomputes survivors against the fresh live version).
+    * Returns deleted rows. */
   private[graft] def deleteVecIdsAtomic(spark: SparkSession, root: String,
                                             tree: String, partCol: String,
                                             vecIds: Seq[Long],
                                             keep: Int = 2): Long = {
     if (vecIds.isEmpty) return 0L
-    val live = currentOrFail(spark, root)
-    val rows = pinPart(spark.read.parquet(s"$live/$tree"), partCol)
-    val affected = rows.filter(col("vec_id").isInCollection(vecIds))
+    // locate pass (the one full vec_id scan) against the CURRENT live
+    // version: drives the nothing-to-erase early exit, and is reused
+    // by the closure whenever the claim lands on the same version it
+    // was computed from — the uncontended case, which therefore scans
+    // exactly as often as the in-place form. Only a claim that lands
+    // on a DIFFERENT version (a concurrent publish won the race)
+    // recomputes, so the survivor set can never be skewed by a stale
+    // locate.
+    val live0 = currentOrFail(spark, root)
+    val affected0 = pinPart(spark.read.parquet(s"$live0/$tree"), partCol)
+      .filter(col("vec_id").isInCollection(vecIds))
       .select(partCol).distinct().collect().map(_.getLong(0)).toSet
-    if (affected.isEmpty) return 0L
-    val inAffected = rows.filter(col(partCol).isInCollection(affected.toSeq))
-    val survivors = inAffected.filter(!col("vec_id").isInCollection(vecIds))
-    val nBefore = inAffected.count()
-    publishFrom(spark, root) { (liveDir, next) =>
-      mirror(spark, liveDir, next,
-        skip = affected.map(v => s"$tree/$partCol=$v"))
-      survivors.repartition(col(partCol))
-        .write.mode("append").partitionBy(partCol).parquet(s"$next/$tree")
+    if (affected0.isEmpty) return 0L
+    val deleted = withPublishRetry(s"deleteVecIdsAtomic($root/$tree)") {
+      var nDeleted = 0L
+      publishFrom(spark, root) { (liveDir, next) =>
+        val rows = pinPart(spark.read.parquet(s"$liveDir/$tree"), partCol)
+        val affected =
+          if (liveDir == live0) affected0
+          else rows.filter(col("vec_id").isInCollection(vecIds))
+            .select(partCol).distinct().collect().map(_.getLong(0)).toSet
+        val inAffected = rows.filter(col(partCol).isInCollection(affected.toSeq))
+        val survivors = inAffected.filter(!col("vec_id").isInCollection(vecIds))
+        val nBefore = inAffected.count()
+        mirror(spark, liveDir, next,
+          skip = affected.map(v => s"$tree/$partCol=$v"))
+        if (affected.nonEmpty)
+          survivors.repartition(col(partCol))
+            .write.mode("append").partitionBy(partCol).parquet(s"$next/$tree")
+        // count BEFORE vacuum: survivors reads the (immutable)
+        // superseded version, which keep=1 would have deleted; the
+        // filter is deterministic so the count matches what was written
+        nDeleted = nBefore - survivors.count()
+      }
+      nDeleted
     }
-    // count BEFORE vacuum: survivors reads the (immutable) superseded
-    // version, which keep=1 would have deleted; the filter is
-    // deterministic so the count matches what was written
-    val nAfter = survivors.count()
     vacuum(spark, root, keep)
-    nBefore - nAfter
+    deleted
   }
 }

@@ -143,10 +143,18 @@ object Multimodal {
       require(w > 0 && h > 0, s"BMP decode: degenerate dims ${w}x$hRaw")
       require(bpp == 24 && compression == 0,
         s"BMP decode: only 24-bit uncompressed supported, got bpp=$bpp compression=$compression")
-      val rowBytes = (w * 3 + 3) & ~3
-      require(pixelOff >= 54 && pixelOff.toLong + rowBytes.toLong * h <= bytes.length,
-        s"BMP decode: pixel array truncated (need ${rowBytes.toLong * h} " +
+      // row stride in LONG: a hostile header width near 2^30 overflows
+      // Int (w*3+3 wraps negative), which would pass the truncation
+      // require below and then AIOOBE in the pixel loop instead of the
+      // promised diagnosis (r18 advice)
+      val rowBytesL = (w.toLong * 3 + 3) & ~3L
+      require(rowBytesL > 0 &&
+          pixelOff >= 54 && pixelOff.toLong + rowBytesL * h <= bytes.length,
+        s"BMP decode: pixel array truncated (need ${rowBytesL * h} " +
           s"bytes at offset $pixelOff, have ${bytes.length})")
+      // the require bounds rowBytes·h ≤ bytes.length ≤ Int.Max, so the
+      // loop's Int arithmetic below cannot overflow
+      val rowBytes = rowBytesL.toInt
       var sb, sg, sr, sl = 0L // exact integer channel/luma sums
       var minL = Long.MaxValue
       var maxL = Long.MinValue

@@ -426,6 +426,37 @@ object Opq {
     IvfOpqIndex(spark.read.parquet(s"$path/basis"),
       Pq.readIvfPqIndex(spark, path))
 
+  /** Per-cell health report of a staged rotated index — the codes
+    * tree is the PQ layout, the coarse assignment is the SAME
+    * original-space quantizer, so the report IS the shared aggregate
+    * ([[Similarity.cellStatsOf]]; r18 verdict item 4). */
+  def ivfOpqIndexStats(spark: SparkSession, path: String,
+                       appendedFrom: Long): DataFrame = {
+    val index = readIvfOpqIndex(spark, path)
+    Similarity.cellStatsOf(index.pq.codes, index.pq.centroids, appendedFrom)
+  }
+
+  /** Retrain a drifted MANIFEST-rooted rotated index: re-run
+    * [[buildIvfOpq]] — fresh centroids, fresh PCA basis, fresh
+    * codebooks — over `corpus` (the declared float source; rotated
+    * codes are lossy), publish as a new version, retire behind
+    * `keep`. Same fence as every retrain: drain streaming appenders
+    * first (the assignment AND the rotation move). Post-rebalance
+    * answers equal a fresh [[buildIvfOpq]] over the corpus
+    * bit-for-bit (deterministic pipeline; spec-asserted). */
+  def rebalanceIvfOpqIndexVersioned(spark: SparkSession, root: String,
+                                    corpus: DataFrame,
+                                    keep: Int = 2): String = {
+    val live = IndexManifest.currentOrFail(spark, root)
+    val meta = spark.read.parquet(s"$live/codes").columns.toSeq
+      .filterNot(Set("vec_id", "cell", "codes"))
+    val rebuilt = buildIvfOpq(corpus, metaCols = meta)
+    val published = IndexManifest.publish(spark, root)(
+      dir => writeIvfOpqIndex(rebuilt, dir))
+    IndexManifest.vacuum(spark, root, keep)
+    published
+  }
+
   /** Durable append: assign (original space) + rotate (staged basis)
     * + encode (staged codebooks) the new vectors — [[Pq.encodeAgainst]]
     * through the rotation seam — and append only their cell-clustered

@@ -860,6 +860,71 @@ object Pq {
     IndexManifest.publish(index.codes.sparkSession, root)(
       dir => writeIvfPqIndex(index, dir))
 
+  /** Per-cell health report of a staged IVFADC index (r18 verdict
+    * item 4 — the compressed-tier twin of
+    * [[Similarity.ivfIndexStats]]): appends encode against FROZEN
+    * centroids and codebooks forever, so cells skew and ADC error
+    * drifts exactly as the float tier's postings do — and the codes
+    * tree aggregates the same way (one GROUP BY over `(cell,
+    * vec_id ≥ watermark)`; codes bytes never read). Feed the skew
+    * column to the retrain trigger ([[rebalanceIvfPqIndexVersioned]]),
+    * the same stats→rebalance loop as the float tier. */
+  def ivfPqIndexStats(spark: SparkSession, path: String,
+                      appendedFrom: Long): DataFrame = {
+    val index = readIvfPqIndex(spark, path)
+    Similarity.cellStatsOf(index.codes, index.centroids, appendedFrom)
+  }
+
+  /** Driver query (key `knn_pq_index_stats`): the PQ append
+    * lifecycle's health read — stage the IVFADC index on the day-0
+    * half, append the rest against the frozen artifacts, report
+    * per-cell stats with the watermark at the split. The coarse
+    * assignment is the SAME deterministic quantizer as the float
+    * tier's (the trainOn-decoupling equation), so the report shares
+    * `knn_index_stats`' oracle verbatim — the compressed tier's
+    * health row is hash-checked against the identical IVF replay. */
+  def knnPqIndexStats(spark: SparkSession, dir: String): DataFrame = {
+    val vectors = Tables.embeddings(spark, dir)
+    val cut = vectors.agg(org.apache.spark.sql.functions.max(
+      col("vec_id"))).collect()(0).getLong(0) / 2
+    val path = graft.operators.Scratch.reuseDir("ivf_pq_stats_idx")
+    writeIvfPqIndex(buildIvfPq(vectors.filter(col("vec_id") <= cut)), path)
+    appendIvfPqIndex(spark, path, vectors.filter(col("vec_id") > cut))
+    ivfPqIndexStats(spark, path, appendedFrom = cut + 1)
+  }
+
+  /** Retrain a drifted MANIFEST-rooted IVFADC index (r18 verdict
+    * item 4): re-run [[buildIvfPq]] — fresh Lloyd centroids AND fresh
+    * codebooks — over `corpus`, the declared float-vector source (PQ
+    * codes are LOSSY: unlike the float tier, the index cannot retrain
+    * from its own payload, so the deployment names the corpus the
+    * index serves — the same frame its appends came from), publish the
+    * rebuilt index as a new version (readers overlapping the retrain
+    * keep serving the old one), retire superseded versions behind
+    * `keep`. Post-rebalance the index answers bit-identically to a
+    * fresh [[buildIvfPq]] over the corpus (spec-asserted — Lloyd and
+    * codebook training are deterministic). Metadata columns are
+    * re-derived from the live codes tree so the retrained index keeps
+    * serving its filtered queries.
+    *
+    * FENCE (shared with every retrain): stop and drain streaming
+    * appenders first — a retrain moves the cell assignment function,
+    * which breaks both the replay-idempotence claim check and any
+    * in-flight encode against the old artifacts. Returns the published
+    * version directory. */
+  def rebalanceIvfPqIndexVersioned(spark: SparkSession, root: String,
+                                   corpus: DataFrame, dim: Int = 0,
+                                   keep: Int = 2): String = {
+    val live = IndexManifest.currentOrFail(spark, root)
+    val meta = spark.read.parquet(s"$live/codes").columns.toSeq
+      .filterNot(Set("vec_id", "cell", "codes"))
+    val rebuilt = buildIvfPq(corpus, dim, metaCols = meta)
+    val published = IndexManifest.publish(spark, root)(
+      dir => writeIvfPqIndex(rebuilt, dir))
+    IndexManifest.vacuum(spark, root, keep)
+    published
+  }
+
   /** Stage the index durably (three parquet frames under `path`). */
   def writeIvfPqIndex(index: IvfPqIndex, path: String): Unit = {
     index.centroids.write.mode("overwrite").parquet(s"$path/centroids")

@@ -1063,6 +1063,36 @@ object Quantize {
                                   vecIds: Seq[Long], keep: Int = 2): Long =
     Pq.deleteFromIvfPqIndexAtomic(spark, root, vecIds, keep)
 
+  /** Per-cell health report of a staged composed index — the same
+    * shared aggregate as every tier ([[Similarity.cellStatsOf]]; r18
+    * verdict item 4): the SQ8 grid never skews (it is per-dimension),
+    * but the coarse cells under appends do, identically to the float
+    * postings. */
+  def ivfSq8IndexStats(spark: SparkSession, path: String,
+                       appendedFrom: Long): DataFrame =
+    Similarity.cellStatsOf(
+      Pq.pinnedCodes(spark.read.parquet(s"$path/codes")),
+      spark.read.parquet(s"$path/centroids"), appendedFrom)
+
+  /** Retrain a drifted MANIFEST-rooted composed index: re-run
+    * [[writeIvfSq8Index]] — fresh centroids AND a fresh ranges grid —
+    * over `corpus` (the declared float source; int8 codes are lossy),
+    * published as a new version behind `keep`. Same fence as every
+    * retrain: drain streaming appenders first. Post-rebalance answers
+    * equal a fresh build over the corpus bit-for-bit (deterministic
+    * pipeline; spec-asserted). */
+  def rebalanceIvfSq8IndexVersioned(spark: SparkSession, root: String,
+                                    corpus: DataFrame,
+                                    keep: Int = 2): String = {
+    val live = IndexManifest.currentOrFail(spark, root)
+    val meta = spark.read.parquet(s"$live/codes").columns.toSeq
+      .filterNot(Set("vec_id", "cell", "codes"))
+    val published = IndexManifest.publish(spark, root)(
+      dir => writeIvfSq8Index(corpus, dir, meta))
+    IndexManifest.vacuum(spark, root, keep)
+    published
+  }
+
   /** Erasure on the composed index: the codes tree is the PQ layout
     * byte-for-byte (vec_id, codes, cell=<id> dirs), so this IS
     * [[Pq.deleteFromIvfPqIndex]] — only cell directories holding an

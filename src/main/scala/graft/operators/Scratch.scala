@@ -91,6 +91,15 @@ private[graft] object Scratch {
     df.sparkSession.read.schema(df.schema).parquet(path)
   }
 
+  /** Eagerly delete a scratch directory from [[dir]]/[[diskDir]] whose
+    * consumer is DONE with it (all scans materialized) — long-lived
+    * processes that stage per-call (the manifest delta publisher under
+    * a streaming sink: one staging per micro-batch for a JVM that
+    * lives for weeks) cannot defer to the exit hook. Best-effort; the
+    * exit hook remains the backstop. */
+  def release(path: String): Unit =
+    deleteRecursively(java.nio.file.Paths.get(path))
+
   /** A fresh DISK-backed scratch directory (java.io.tmpdir), with the
     * same shutdown-hook cleanup as [[dir]]. For multi-GB scratch — the
     * ScaleCheck corpora run to ~15 GB — which would ENOSPC a

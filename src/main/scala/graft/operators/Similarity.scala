@@ -1826,7 +1826,21 @@ object Similarity {
   def ivfIndexStats(spark: SparkSession, path: String,
                     appendedFrom: Long): DataFrame = {
     val (postings, centroids) = readIvfIndex(spark, path)
-    val perCell = postings.groupBy(col("cell"))
+    cellStatsOf(postings, centroids, appendedFrom)
+  }
+
+  /** The per-cell health aggregate of [[ivfIndexStats]], factored over
+    * ANY `(vec_id, cell, …)` assignment tree (r18 verdict item 4: the
+    * compressed tiers' codes trees skew under appends exactly like the
+    * float postings — the health loop must read all of them).
+    * `assigned` needs only `vec_id` and `cell` (column-pruned);
+    * `centroids` only its row count. Every division is an IEEE double
+    * of exact integers — hash-oracle-able, and because every tier
+    * assigns against the SAME deterministic coarse quantizer, one
+    * oracle covers them all. */
+  private[operators] def cellStatsOf(assigned: DataFrame, centroids: DataFrame,
+                                     appendedFrom: Long): DataFrame = {
+    val perCell = assigned.groupBy(col("cell").cast("long").as("cell"))
       .agg(count(lit(1)).as("n"),
         sum(when(col("vec_id") >= appendedFrom, lit(1L)).otherwise(lit(0L)))
           .as("n_appended"))

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
@@ -464,17 +464,20 @@ object TrainPrep {
     * examples-proportional mixing with temperature; Arivazhagan et
     * al. 2019's temperature sampling for multilingual training): big
     * sources are DOWN-sampled and small sources kept whole so the mix
-    * is flatter than raw proportions. Temperature is pinned at T = 2
-    * (weights ∝ √count — the common operating point) deliberately:
-    * √ is the one power both engines round identically (IEEE requires
-    * sqrt correctly rounded; an arbitrary `pow(c, 1/T)` is libm- and
-    * engine-dependent, which would break the hash oracle and — the
-    * same coin — bit-reproducibility of the corpus itself across
-    * engine versions).
+    * is flatter than raw proportions. Temperature ranges over the
+    * BIT-PORTABLE powers T ∈ {1, 2, 4} (r18 verdict item 7 — real
+    * data-mix sweeps tune T): c¹ is exact, and √ / √√ are
+    * compositions of the one power both engines round identically
+    * (IEEE requires sqrt correctly rounded — two correctly-rounded
+    * ops composed identically on the same doubles). An arbitrary
+    * `pow(c, 1/T)` is libm- and engine-dependent, which would break
+    * the hash oracle and — the same coin — bit-reproducibility of
+    * the corpus itself across engine versions; the gate key runs the
+    * common T = 2 operating point.
     *
     * Per source s: weight w_s = units_s / Σ units_s with
-    * units_s = floor(√c_s·10^6 + 0.5) (exact BIGINT — the Σ is an
-    * integer sum, order-free); target size N = total DIV 2; admit
+    * units_s = floor(c_s^(1/T)·10^6 + 0.5) (exact BIGINT — the Σ is
+    * an integer sum, order-free); target size N = total DIV 2; admit
     * rate r_s = min(1, w_s·N/c_s) as a quotient of exact-int-valued
     * doubles; a doc is kept iff its xxhash64 admission coordinate
     * < r_s — deterministic per doc, no RNG state, so reruns/engines/
@@ -484,11 +487,12 @@ object TrainPrep {
     * S-row rate table broadcast onto a single filtered scan — no
     * shuffle of the corpus itself, admission is a per-row hash
     * compare inside whole-stage codegen. */
-  def sampleMixtureOn(docs: DataFrame): DataFrame = {
+  def sampleMixtureOn(docs: DataFrame, temperature: Int = 2): DataFrame = {
     val grid = 1L << MixtureGridBits
     val perSource = docs.groupBy(col("source")).agg(count(lit(1)).as("cnt"))
     val units = perSource.withColumn("w_units",
-      floor(sqrt(col("cnt").cast("double")) * lit(MixtureUnitScale) + lit(0.5))
+      floor(tempPower(col("cnt").cast("double"), temperature)
+        * lit(MixtureUnitScale) + lit(0.5))
         .cast("long"))
     val tot = units.agg(sum(col("cnt")).as("total"), sum(col("w_units")).as("denom"))
     val stats = units.crossJoin(broadcast(tot))
@@ -504,23 +508,47 @@ object TrainPrep {
       .select(col("doc_id"), col("source"), col("weight"), col("rate"))
   }
 
-  /** Driver query (key `sample_mixture`). */
+  /** c^(1/T) over the bit-portable grid: T=1 exact, T=2 one
+    * correctly-rounded IEEE sqrt, T=4 the same op composed twice —
+    * identical doubles in Spark and the DuckDB oracle. */
+  private def tempPower(c: Column, temperature: Int): Column =
+    temperature match {
+      case 1 => c
+      case 2 => sqrt(c)
+      case 4 => sqrt(sqrt(c))
+      case t => throw new IllegalArgumentException(
+        s"sampleMixture temperature must be in {1, 2, 4} (bit-portable " +
+          s"powers: identity / sqrt / sqrt∘sqrt), got $t — an arbitrary " +
+          "pow(c, 1/T) is libm-dependent and breaks cross-engine " +
+          "bit-reproducibility of the sampled corpus")
+    }
+
+  /** Driver query (key `sample_mixture` — pinned at T = 2). */
   def sampleMixture(spark: SparkSession, dir: String): DataFrame =
     sampleMixtureOn(Tables.documents(spark, dir))
 
-  /** Oracle: per-source counts → exact-unit √ weights → rates, the
-    * factored XXH64-of-one-long replay for the admission coordinate,
-    * one filtered join. */
-  val sampleMixtureOracleSql: String = {
+  /** Oracle: per-source counts → exact-unit c^(1/T) weights → rates,
+    * the factored XXH64-of-one-long replay for the admission
+    * coordinate, one filtered join. Parameterized over the
+    * bit-portable temperature grid exactly as the operator; the gate
+    * key ships T = 2. */
+  def sampleMixtureOracleSqlFor(temperature: Int): String = {
     import graft.functions.SqlReplay._
     val grid = 1L << MixtureGridBits
+    val pw = temperature match {
+      case 1 => "CAST(cnt AS DOUBLE)"
+      case 2 => "SQRT(CAST(cnt AS DOUBLE))"
+      case 4 => "SQRT(SQRT(CAST(cnt AS DOUBLE)))"
+      case t => throw new IllegalArgumentException(
+        s"oracle temperature must be in {1, 2, 4}, got $t")
+    }
     s"""WITH d AS (
        |  SELECT doc_id, source FROM documents
        |), per AS (
        |  SELECT source, COUNT(*) AS cnt FROM d GROUP BY 1
        |), un AS (
        |  SELECT source, cnt,
-       |    CAST(FLOOR(SQRT(CAST(cnt AS DOUBLE)) * $MixtureUnitScale + 0.5) AS BIGINT) AS w_units
+       |    CAST(FLOOR($pw * $MixtureUnitScale + 0.5) AS BIGINT) AS w_units
        |  FROM per
        |), tot AS (
        |  SELECT SUM(cnt) AS total, SUM(w_units) AS denom FROM un
@@ -535,4 +563,7 @@ object TrainPrep {
        |FROM mxA x JOIN st ON x.source = st.source
        |WHERE (x.h % $grid) / $grid.0 < st.rate""".stripMargin
   }
+
+  /** The gate key's oracle (T = 2 — byte-stable vs round 18). */
+  val sampleMixtureOracleSql: String = sampleMixtureOracleSqlFor(2)
 }

@@ -608,18 +608,55 @@ object Streams {
     * superseded version alive past any in-flight reader — the
     * retention rule). Per-batch bill: the in-place sink's encode +
     * anti-join + touched-cell rewrite, plus the mirror's metadata ops. */
-  def annIngestSinkAtomic(vectors: DataFrame, root: String, keep: Int = 2) =
+  def annIngestSinkAtomic(vectors: DataFrame, root: String, keep: Int = 2,
+                          publishEveryRows: Long = 0L) =
     vectors.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) { annIngestMicroBatchAtomic(batch, root, keep); () }
+        if (!batch.isEmpty) {
+          annIngestMicroBatchAtomic(batch, root, keep, publishEveryRows); ()
+        }
       }
+
+  /** The durable pending-delta tree of the coalesced atomic sink —
+    * underscore-prefixed so no table reader under `root` ever lists
+    * it; NOT part of any published version. */
+  private[graft] def annPendingPath(root: String): String =
+    s"$root/_pending_codes"
 
   /** The atomic foreachBatch core (exposed for the replay spec).
     * Returns appended code rows (0 for a full replay — no version
-    * published). */
+    * published, nothing re-staged).
+    *
+    * VERSION-CHURN COALESCING (r18 verdict item 5): one manifest
+    * version per micro-batch means production batch rates grow the
+    * version chain — and each version's O(n_files) hardlink tree —
+    * unboundedly fast even behind keep-N. With `publishEveryRows > 0`
+    * an effective batch lands in a durable PENDING delta tree under
+    * the root instead ([[annPendingPath]], partitioned by cell like
+    * the codes tree), and a version publishes only when the
+    * accumulated pending rows reach the knob
+    * ([[annIngestFlushPending]] — also callable directly to drain on
+    * shutdown or a freshness deadline). The trade is read staleness
+    * (queries serve the last PUBLISHED version; pending rows are
+    * invisible until the flush) for a version/inode churn bound of
+    * one version per `publishEveryRows` ingested rows.
+    *
+    * Crash/replay safety is unchanged: pending is durable and written
+    * AFTER the idempotence anti-join (which claims against live codes
+    * ∪ pending, both cell-pruned), so an at-least-once replay appends
+    * nothing; a crash between a flush's pointer flip and the pending
+    * clear self-heals (the next flush's anti-join drops the
+    * already-published rows). Contract (shared with the in-place
+    * sink): a REBALANCE/RETRAIN of the index must be fenced against
+    * stream replay — stop the sink, drain the checkpoint, flush
+    * pending, rebalance, restart. A replayed row re-finds its prior
+    * copy because its cell is a pure function of the FROZEN
+    * centroids; retraining breaks that function, and the cell-pruned
+    * claim check would re-admit the row as a duplicate. */
   def annIngestMicroBatchAtomic(batch: DataFrame, root: String,
-                                keep: Int = 2): Long = {
+                                keep: Int = 2,
+                                publishEveryRows: Long = 0L): Long = {
     val spark = batch.sparkSession
     import graft.operators.{IndexManifest, Pq, Scratch}
     val live =
@@ -633,12 +670,63 @@ object Streams {
     val newCodes = Scratch.stageReuse(
       Pq.encodeAgainst(index, batch, 0), "ann_ingest_atomic_codes")
     val cells = newCodes.select("cell").distinct()
-    val existingIds = index.codes
+    val liveIds = index.codes
       .join(broadcast(cells), Seq("cell"), "left_semi")
       .select("vec_id")
-    val fresh = newCodes.join(existingIds, Seq("vec_id"), "left_anti")
-    if (fresh.isEmpty) 0L
-    else IndexManifest.appendRowsAtomic(spark, root, "codes", "cell", fresh, keep)
+    // the claim registry is live ∪ pending: a replayed batch whose
+    // rows already wait in pending must not re-append them
+    val pendingIds = readLakeOpt(spark, annPendingPath(root))
+      .map(_.join(broadcast(cells), Seq("cell"), "left_semi").select("vec_id"))
+      .getOrElse(liveIds.limit(0))
+    val fresh = newCodes.join(liveIds.unionByName(pendingIds),
+      Seq("vec_id"), "left_anti")
+    if (publishEveryRows <= 0L) {
+      if (fresh.isEmpty) 0L
+      else IndexManifest.appendRowsAtomic(spark, root, "codes", "cell", fresh, keep)
+    } else {
+      val appended =
+        if (fresh.isEmpty) 0L
+        else {
+          val staged = Scratch.stageReuse(fresh, "ann_ingest_pending_batch")
+          staged.repartition(col("cell"))
+            .write.mode("append").partitionBy("cell")
+            .parquet(annPendingPath(root))
+          staged.count()
+        }
+      val pendingRows = readLakeOpt(spark, annPendingPath(root))
+        .map(_.count()).getOrElse(0L)
+      if (pendingRows >= publishEveryRows) annIngestFlushPending(spark, root, keep)
+      appended
+    }
+  }
+
+  /** Publish the coalesced sink's pending delta as ONE manifest
+    * version and clear the pending tree. Returns published rows (0
+    * when pending is empty or every pending row is already live — the
+    * crash-between-flip-and-clear replay, which this drains without
+    * publishing a duplicate version). Call on sink shutdown or a
+    * freshness deadline; [[annIngestMicroBatchAtomic]] calls it
+    * whenever pending reaches `publishEveryRows`. */
+  def annIngestFlushPending(spark: SparkSession, root: String,
+                            keep: Int = 2): Long = {
+    import graft.operators.{IndexManifest, Pq}
+    val pendingDf = readLakeOpt(spark, annPendingPath(root))
+      .getOrElse(return 0L)
+    val liveCodes = Pq.readIvfPqIndex(spark,
+      IndexManifest.currentOrFail(spark, root)).codes
+    val cells = pendingDf.select("cell").distinct()
+    val dupIds = liveCodes
+      .join(broadcast(cells), Seq("cell"), "left_semi")
+      .select("vec_id")
+    val fresh = pendingDf.join(dupIds, Seq("vec_id"), "left_anti")
+    val n =
+      if (fresh.isEmpty) 0L
+      else IndexManifest.appendRowsAtomic(spark, root, "codes", "cell", fresh, keep)
+    // clear AFTER the publish: a crash before this line leaves pending
+    // intact (durable, replay-safe); one after it has already published
+    val p = new org.apache.hadoop.fs.Path(annPendingPath(root))
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    n
   }
 
   /** Batch twin of [[annIngestSink]] (key `stream_ann_ingest`): the

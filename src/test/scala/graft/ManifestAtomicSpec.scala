@@ -11,7 +11,20 @@ import graft.operators.{IndexManifest, Opq, Pq, Quantize, Similarity}
   * sees wholly-old or wholly-new, a crash mid-op leaves the old
   * version serving, and superseded versions retire behind keep-N.
   * Every tier's atomic form must answer bit-identically to its
-  * in-place fast path (whose answers the driver gate hash-checks). */
+  * in-place fast path (whose answers the driver gate hash-checks).
+  *
+  * r18 verdict item 3 adds the multi-writer discipline: concurrent
+  * publishers serialize on a create-exclusive version claim — both
+  * deltas land (the loser retries against the winner's version) or
+  * the loser fails loudly; rows are never silently dropped. The
+  * pointer-history vacuum (r18 advice) retires only once-live
+  * versions, so a crash-orphaned partial can never displace a
+  * readable version from the keep window.
+  *
+  * Fixture sharing (r18 verdict item 8): the float tier stages ONE
+  * in-place twin and ONE versioned root, evolved across the cases in
+  * suite order (append → erase → crash/recovery) instead of a fresh
+  * staging per case — the QuantizeSpec staging pattern. */
 class ManifestAtomicSpec extends SparkSpecBase {
 
   private def vectors = graft.sources.Tables.embeddings(spark, sfDir)
@@ -40,23 +53,27 @@ class ManifestAtomicSpec extends SparkSpecBase {
     finally stream.close()
   }
 
+  // ---- shared float-tier lifecycle fixtures (staged once) ----
+  private lazy val cut =
+    vectors.agg(max(col("vec_id"))).collect()(0).getLong(0) / 2
+  private lazy val base = vectors.filter(col("vec_id") <= cut)
+  private lazy val rest = vectors.filter(col("vec_id") > cut)
+  private lazy val plainDir = {
+    val d = tmp("graft_atomic_plain"); Similarity.writeIvfIndex(base, d); d
+  }
+  private lazy val rootDir = tmp("graft_atomic_root")
+  private lazy val v1 = Similarity.stageIvfIndexVersion(base, rootDir)
+
   test("float tier: atomic append equals the in-place append; old version " +
       "immutable; untouched cells hardlink, not copy") {
-    val cut = vectors.agg(max(col("vec_id"))).collect()(0).getLong(0) / 2
-    val base = vectors.filter(col("vec_id") <= cut)
-    val rest = vectors.filter(col("vec_id") > cut)
     // in-place twin: the lifecycle the driver gate already hash-checks
-    val plain = tmp("graft_atomic_plain")
-    Similarity.writeIvfIndex(base, plain)
-    Similarity.appendIvfIndex(spark, plain, rest)
-    val expect = canon(Similarity.queryIvfIndex(spark, plain))
+    Similarity.appendIvfIndex(spark, plainDir, rest)
+    val expect = canon(Similarity.queryIvfIndex(spark, plainDir))
     // atomic path
-    val root = tmp("graft_atomic_root")
-    val v1 = Similarity.stageIvfIndexVersion(base, root)
     val v1Answers = canon(Similarity.queryIvfIndex(spark, v1))
-    val n = Similarity.appendIvfIndexAtomic(spark, root, rest)
+    val n = Similarity.appendIvfIndexAtomic(spark, rootDir, rest)
     assert(n == rest.count())
-    val v2 = IndexManifest.currentOrFail(spark, root)
+    val v2 = IndexManifest.currentOrFail(spark, rootDir)
     assert(v2 != v1)
     assert(canon(Similarity.queryIvfIndex(spark, v2)).sameElements(expect),
       "atomic append must answer exactly like the in-place append")
@@ -83,61 +100,135 @@ class ManifestAtomicSpec extends SparkSpecBase {
         "a touched cell must be rewritten, not linked")
   }
 
+  test("two interleaved atomic appenders serialize on the version claim: " +
+      "both deltas land in the final chain — never silent row loss") {
+    val root = tmp("graft_atomic_conc")
+    Similarity.stageIvfIndexVersion(base, root)
+    val restA = rest.filter(pmod(col("vec_id"), lit(2L)) === 0L)
+    val restB = rest.filter(pmod(col("vec_id"), lit(2L)) === 1L)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    def submit(f: => Long) = pool.submit(
+      new java.util.concurrent.Callable[Long] { def call(): Long = f })
+    // keep=3: each writer's vacuum must not retire the version the
+    // other writer may still be staging its encode against (the
+    // documented rule: keep ≥ concurrent writers + 1)
+    val fa = submit(Similarity.appendIvfIndexAtomic(spark, root, restA, keep = 3))
+    val fb = submit(Similarity.appendIvfIndexAtomic(spark, root, restB, keep = 3))
+    val (na, nb) =
+      try (fa.get(), fb.get()) finally pool.shutdown()
+    assert(na == restA.count() && nb == restB.count())
+    val live = IndexManifest.currentOrFail(spark, root)
+    assert(live.endsWith("v=3"),
+      s"two appends must CHAIN to v=3 (claims serialized), got $live")
+    // the final version holds base ∪ restA ∪ restB exactly: the loser
+    // remerged against the winner's version, dropping nothing
+    val ids = spark.read.parquet(s"$live/postings")
+      .select("vec_id").collect().map(_.getLong(0)).sorted
+    val want = vectors.select("vec_id").collect().map(_.getLong(0)).sorted
+    assert(ids.sameElements(want),
+      "both writers' deltas must be visible in the final version")
+  }
+
   test("float tier: atomic erase equals the in-place erase; crash mid-op " +
-      "leaves the old version serving; keep-N retires the rest") {
+      "leaves the old version serving AND blocks the chain loudly until " +
+      "releaseStaleClaims; vacuum then retires the rest") {
     val erased = Similarity.DeleteLo to Similarity.DeleteHi
-    val plain = tmp("graft_atomic_del_plain")
-    Similarity.writeIvfIndex(vectors, plain)
-    val nPlain = Similarity.deleteFromIvfIndex(spark, plain, erased)
-    val expect = canon(Similarity.queryIvfIndex(spark, plain))
-    val root = tmp("graft_atomic_del_root")
-    val v1 = Similarity.stageIvfIndexVersion(vectors, root)
-    val n = Similarity.deleteFromIvfIndexAtomic(spark, root, erased)
+    // continue the shared fixtures: both now hold base ∪ rest
+    val nPlain = Similarity.deleteFromIvfIndex(spark, plainDir, erased)
+    val expect = canon(Similarity.queryIvfIndex(spark, plainDir))
+    val n = Similarity.deleteFromIvfIndexAtomic(spark, rootDir, erased, keep = 3)
     assert(n == nPlain, s"atomic erase removed $n rows, in-place $nPlain")
-    val v2 = IndexManifest.currentOrFail(spark, root)
-    assert(canon(Similarity.queryIvfIndex(spark, v2)).sameElements(expect),
+    val v3 = IndexManifest.currentOrFail(spark, rootDir)
+    assert(v3.endsWith("v=3"))
+    assert(canon(Similarity.queryIvfIndex(spark, v3)).sameElements(expect),
       "atomic erase must answer exactly like the in-place erase")
-    // no erased id survives in the new version; every id survives in v1
-    assert(spark.read.parquet(s"$v2/postings")
+    // no erased id survives in the new version; every id survives in
+    // the (immutable) pre-erase version v2
+    assert(spark.read.parquet(s"$v3/postings")
       .filter(col("vec_id").between(Similarity.DeleteLo, Similarity.DeleteHi))
       .count() == 0)
-    assert(spark.read.parquet(s"$v1/postings")
+    assert(spark.read.parquet(s"$rootDir/v=2/postings")
       .filter(col("vec_id").between(Similarity.DeleteLo, Similarity.DeleteHi))
       .count() == n)
-    // crash INSIDE a delta publish — after the mirror, before the
-    // commit: the pointer must still name v2 and v2 must keep serving
-    val preCrash = versionDirs(root)
+    // crash INSIDE a delta publish — after the claim + partial write,
+    // before the flip: the pointer must still name v3, which keeps
+    // serving, and the claim orphan must BLOCK later publishes loudly
+    // (the multi-writer chain: a version id is never reused while its
+    // claim stands, so rows can never land in a shadowed version)
+    val preCrash = versionDirs(rootDir)
     intercept[RuntimeException] {
-      IndexManifest.publishFrom(spark, root) { (live, next) =>
+      IndexManifest.publishFrom(spark, rootDir) { (live, next) =>
         // partial materialization, then death before the pointer flip
         spark.read.parquet(s"$live/centroids")
           .write.parquet(s"$next/centroids")
         throw new RuntimeException("simulated crash before the flip")
       }
     }
-    assert(IndexManifest.currentOrFail(spark, root) == v2,
+    assert(IndexManifest.currentOrFail(spark, rootDir) == v3,
       "a crashed delta publish must leave the pointer on the old version")
     assert(canon(Similarity.queryIvfIndex(spark,
-      IndexManifest.currentOrFail(spark, root))).sameElements(expect))
-    assert(versionDirs(root).size == preCrash.size + 1,
-      "the orphaned partial version is garbage for vacuum, not a serving path")
-    // keep-N: the orphan sits ABOVE the live version (in-flight shape),
-    // so vacuum never touches it; below the live version keep=1 retires v1
-    val gone = IndexManifest.vacuum(spark, root, keep = 1)
-    assert(gone == Seq(v1.stripPrefix("file:")) || gone == Seq(v1),
-      s"vacuum(keep=1) should retire exactly the superseded v1, got $gone")
-    assert(!new java.io.File(v1).exists())
-    assert(canon(Similarity.queryIvfIndex(spark, v2)).sameElements(expect),
+      IndexManifest.currentOrFail(spark, rootDir))).sameElements(expect))
+    assert(versionDirs(rootDir).size == preCrash.size + 1,
+      "the orphaned claim is on disk, not a serving path")
+    intercept[IndexManifest.ConcurrentPublishException] {
+      IndexManifest.publish(spark, rootDir)(_ =>
+        fail("a blocked chain must throw BEFORE materializing anything"))
+    }
+    // recovery: release the stale claim (documented operator/restart
+    // action — no publisher is alive here), then the lifecycle resumes
+    val released = IndexManifest.releaseStaleClaims(spark, rootDir)
+    assert(released.map(_.split('/').last) == Seq("v=4"),
+      s"releaseStaleClaims must remove exactly the crashed claim, got $released")
+    // keep-N retirement: below the live version only ONCE-LIVE
+    // versions exist here; keep=1 retires them all
+    val gone = IndexManifest.vacuum(spark, rootDir, keep = 1)
+    assert(gone.map(_.split('/').last).sorted == Seq("v=1", "v=2"),
+      s"vacuum(keep=1) should retire the superseded v1+v2, got $gone")
+    assert(canon(Similarity.queryIvfIndex(spark, v3)).sameElements(expect),
       "the live version must survive vacuum")
+    // the chain continues where it was blocked: the released id is
+    // reclaimed by the next publish
+    val survivorId = spark.read.parquet(s"$v3/postings")
+      .agg(min("vec_id")).collect()(0).getLong(0)
+    val n2 = Similarity.deleteFromIvfIndexAtomic(spark, rootDir,
+      Seq(survivorId), keep = 1)
+    assert(n2 == 1L)
+    assert(IndexManifest.currentOrFail(spark, rootDir).endsWith("v=4"))
+    assert(versionDirs(rootDir) == Seq("v=4"))
+  }
+
+  test("vacuum counts only once-live versions: a crashed first publish's " +
+      "never-referenced orphan is deleted outright, not retained in the " +
+      "keep window in place of a readable version") {
+    val root = tmp("graft_atomic_orphan")
+    intercept[RuntimeException] {
+      IndexManifest.publish(spark, root) { dir =>
+        base.limit(10).write.parquet(s"$dir/centroids")
+        throw new RuntimeException("simulated crash during the first publish")
+      }
+    }
+    assert(IndexManifest.current(spark, root).isEmpty)
+    assert(versionDirs(root) == Seq("v=1")) // a partial nothing references
+    // the retried first publish claims PAST the orphan
+    val v2 = Similarity.stageIvfIndexVersion(base, root)
+    assert(v2.endsWith("v=2"))
+    // keep=2 must NOT count the unreadable never-live v1 as the one
+    // retained below-live version (the r18-advice failure: doing so
+    // evicted the genuinely superseded readable version instead)
+    val gone = IndexManifest.vacuum(spark, root, keep = 2)
+    assert(gone.map(_.split('/').last) == Seq("v=1"),
+      s"the never-live orphan must be vacuumed outright, got $gone")
+    // whereas a once-live version IS retained under the same policy
+    Similarity.appendIvfIndexAtomic(spark, root, rest, keep = 2)
+    assert(versionDirs(root) == Seq("v=2", "v=3"))
+    assert(IndexManifest.currentOrFail(spark, root).endsWith("v=3"))
   }
 
   test("retention: the default keep=2 bounds the version chain through " +
       "append/erase/rebalance lifecycles") {
-    val cut = vectors.agg(max(col("vec_id"))).collect()(0).getLong(0) / 2
     val root = tmp("graft_atomic_keep_root")
-    Similarity.stageIvfIndexVersion(vectors.filter(col("vec_id") <= cut), root)
-    Similarity.appendIvfIndexAtomic(spark, root,
-      vectors.filter(col("vec_id") > cut))                    // v2, retires nothing
+    Similarity.stageIvfIndexVersion(base, root)
+    Similarity.appendIvfIndexAtomic(spark, root, rest) // v2, retires nothing
     assert(versionDirs(root) == Seq("v=1", "v=2"))
     Similarity.deleteFromIvfIndexAtomic(spark, root, Seq(5L)) // v3, retires v1
     assert(versionDirs(root) == Seq("v=2", "v=3"))
@@ -154,9 +245,6 @@ class ManifestAtomicSpec extends SparkSpecBase {
 
   test("PQ tier: atomic append and erase answer bit-identically to the " +
       "in-place forms") {
-    val cut = vectors.agg(max(col("vec_id"))).collect()(0).getLong(0) / 2
-    val base = vectors.filter(col("vec_id") <= cut)
-    val rest = vectors.filter(col("vec_id") > cut)
     val qids = 0L until Similarity.NQueries.toLong
     // append
     val plain = tmp("graft_atomic_pq_plain")
@@ -180,11 +268,57 @@ class ManifestAtomicSpec extends SparkSpecBase {
         Pq.readIvfPqIndex(spark, plain), vectors, qids))))
   }
 
+  test("compressed-tier health loop: per-tier stats off the codes trees " +
+      "equal each other (shared coarse quantizer) and sum consistently; " +
+      "versioned PQ retrain answers bit-identically to a fresh rebuild") {
+    def statsCanon(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        java.lang.Double.doubleToLongBits(r.getDouble(3)),
+        java.lang.Double.doubleToLongBits(r.getDouble(4))))
+      .sortBy(_._1)
+    // PQ on the manifest lifecycle: stats read the LIVE version's tree
+    val pqRoot = tmp("graft_health_pq_root")
+    Pq.stageIvfPqIndexVersion(Pq.buildIvfPq(base), pqRoot)
+    Pq.appendIvfPqIndexAtomic(spark, pqRoot, rest)
+    val pqStats = statsCanon(Pq.ivfPqIndexStats(spark,
+      IndexManifest.currentOrFail(spark, pqRoot), appendedFrom = cut + 1))
+    // internal consistency: Σn = corpus, Σn_appended = appended batch
+    assert(pqStats.map(_._2).sum == vectors.count())
+    assert(pqStats.map(_._3).sum == rest.count())
+    // OPQ and IVF-SQ8 report the SAME rows: all three compressed tiers
+    // assign against the identical deterministic coarse quantizer, so
+    // one health report (and one driver oracle) covers them all
+    val opqPath = tmp("graft_health_opq")
+    Opq.writeIvfOpqIndex(Opq.buildIvfOpq(base), opqPath)
+    Opq.appendIvfOpqIndex(spark, opqPath, rest)
+    assert(statsCanon(Opq.ivfOpqIndexStats(spark, opqPath, cut + 1))
+      .sameElements(pqStats),
+      "OPQ stats must equal the PQ tier's (shared coarse assignment)")
+    val sq8Path = tmp("graft_health_ivfsq8")
+    Quantize.writeIvfSq8Index(base, sq8Path)
+    Quantize.appendIvfSq8Index(spark, sq8Path, rest)
+    assert(statsCanon(Quantize.ivfSq8IndexStats(spark, sq8Path, cut + 1))
+      .sameElements(pqStats),
+      "IVF-SQ8 stats must equal the PQ tier's (shared coarse assignment)")
+    // the retrain the stats gate: versioned rebalance over the declared
+    // float corpus == a fresh buildIvfPq over it, bit for bit
+    val qids = 0L until Similarity.NQueries.toLong
+    val published = Pq.rebalanceIvfPqIndexVersioned(spark, pqRoot, vectors)
+    assert(published.endsWith("v=3"))
+    assert(versionDirs(pqRoot) == Seq("v=2", "v=3"),
+      "retrain publishes a version and retires behind keep")
+    assert(canon(Pq.queryIvfPq(Pq.readIvfPqIndex(spark, published), vectors, qids))
+      .sameElements(canon(Pq.queryIvfPq(Pq.buildIvfPq(vectors), vectors, qids))),
+      "post-retrain answers must equal a fresh rebuild bit-for-bit")
+    // and the retrained index's stats read flat: no appended rows
+    // above the new watermark, skew re-balanced by fresh Lloyd
+    val after = Pq.ivfPqIndexStats(spark, published,
+      appendedFrom = vectors.count() + 1)
+    assert(after.collect().forall(_.getLong(2) == 0L))
+  }
+
   test("SQ8 flat tier (grp buckets) and OPQ rotated tier: atomic forms " +
       "equal the in-place forms") {
-    val cut = vectors.agg(max(col("vec_id"))).collect()(0).getLong(0) / 2
-    val base = vectors.filter(col("vec_id") <= cut)
-    val rest = vectors.filter(col("vec_id") > cut)
     val qids = 0L until Similarity.NQueries.toLong
     val erased = Pq.DeleteLo to Pq.DeleteHi
     // SQ8: the erasure bucket tree (grp=vec_id mod N) through the

@@ -1113,8 +1113,15 @@ class SimilaritySpec extends SparkSpecBase {
     assert(canon(Similarity.queryIvfIndex(spark,
       IndexManifest.currentOrFail(spark, root)))
       .sameElements(canon(Similarity.knnIvfOn(slice))))
-    // the next publish allocates past the orphaned partial dir and
-    // vacuum retires everything below the live version
+    // the orphaned claim BLOCKS the version chain loudly (r18 verdict
+    // item 3: a version id is never reused while its claim stands —
+    // the multi-writer serialization rule); releasing it resumes the
+    // lifecycle, and vacuum retires everything once-live below live
+    intercept[IndexManifest.ConcurrentPublishException] {
+      IndexManifest.publish(spark, root)(_ =>
+        fail("a blocked chain must throw before materializing"))
+    }
+    assert(IndexManifest.releaseStaleClaims(spark, root).nonEmpty)
     val v3 = IndexManifest.publish(spark, root)(
       dir => Similarity.writeIvfIndex(vectors, dir))
     assert(IndexManifest.current(spark, root).contains(v3))

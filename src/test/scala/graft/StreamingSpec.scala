@@ -1189,4 +1189,74 @@ class StreamingSpec extends SparkSpecBase {
       IndexManifest.currentOrFail(spark, root)), vectors, qids))
       .sameElements(want))
   }
+
+  test("atomic ann ingest with publish coalescing: intermediate batches " +
+      "land in the durable pending delta, one version per K rows, replay " +
+      "is a no-op, a crashed flush self-heals, the drained index equals " +
+      "the day-0-trained rebuild") {
+    import spark.implicits._
+    import graft.operators.{IndexManifest, Pq, Similarity}
+    val vectors = sources.Tables.embeddings(spark, sfDir)
+    val maxId = vectors.agg(max("vec_id")).collect()(0).getLong(0)
+    val cut = maxId / 2
+    val base = vectors.filter(col("vec_id") <= cut)
+    def slice(lo: Long, hi: Long) = vectors
+      .filter(col("vec_id") > lo && col("vec_id") <= hi)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val step = (maxId - cut) / 4
+    val batches = (0 until 4).map(i => slice(cut + i * step,
+      if (i == 3) maxId else cut + (i + 1) * step))
+    val root = java.nio.file.Files.createTempDirectory("graft_ann_coal").toString
+    Pq.stageIvfPqIndexVersion(Pq.buildIvfPq(base), root)
+    def versionNames = new java.io.File(root).listFiles().toSeq
+      .filter(f => f.isDirectory && f.getName.startsWith("v=")).map(_.getName).sorted
+    def pendingRows = scala.util.Try(
+      spark.read.parquet(Streams.annPendingPath(root)).count()).getOrElse(0L)
+    def ingest(b: Seq[(Long, Seq[Float])]) = Streams.annIngestMicroBatchAtomic(
+      b.toDF("vec_id", "embedding"), root, keep = 3,
+      publishEveryRows = batches(0).length + batches(1).length)
+    // batch 1: pending only — no version published, readers still on day-0
+    assert(ingest(batches(0).toSeq) == batches(0).length)
+    assert(versionNames == Seq("v=1"), "an under-threshold batch must not publish")
+    assert(pendingRows == batches(0).length)
+    assert(IndexManifest.currentOrFail(spark, root).endsWith("v=1"))
+    // at-least-once replay against PENDING rows: appends nothing
+    assert(ingest(batches(0).toSeq) == 0L)
+    assert(pendingRows == batches(0).length, "a replayed pending batch must not duplicate")
+    // batch 2 crosses the threshold: ONE version for the two batches
+    assert(ingest(batches(1).toSeq) == batches(1).length)
+    assert(versionNames == Seq("v=1", "v=2"),
+      "the threshold flush must publish exactly one coalesced version")
+    assert(pendingRows == 0L, "a flush must clear the pending tree")
+    // crashed-flush self-heal: pending rows that are ALREADY live
+    // (flip landed, clear did not) drain without publishing a version
+    val liveCodes = Pq.readIvfPqIndex(spark,
+      IndexManifest.currentOrFail(spark, root)).codes
+    liveCodes.filter(col("vec_id") > cut).limit(5)
+      .write.mode("append").partitionBy("cell")
+      .parquet(Streams.annPendingPath(root))
+    assert(Streams.annIngestFlushPending(spark, root, keep = 3) == 0L)
+    assert(versionNames == Seq("v=1", "v=2"),
+      "re-flushing already-published rows must not publish a duplicate version")
+    assert(pendingRows == 0L)
+    // batches 3+4 under threshold again, then an explicit drain
+    assert(ingest(batches(2).toSeq) == batches(2).length)
+    assert(ingest(batches(3).toSeq) == batches(3).length)
+    // 3 versions total for 4 ingested batches (vs 5 uncoalesced)
+    Streams.annIngestFlushPending(spark, root, keep = 3)
+    assert(versionNames == Seq("v=1", "v=2", "v=3"), s"got $versionNames")
+    assert(pendingRows == 0L)
+    val qids = 0L until Similarity.NQueries.toLong
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._3))
+    val want = canon(Pq.queryIvfPq(
+      Pq.buildIvfPq(vectors, trainOn = base), vectors, qids))
+    val live = IndexManifest.currentOrFail(spark, root)
+    assert(Pq.readIvfPqIndex(spark, live).codes.count() == vectors.count())
+    assert(canon(Pq.queryIvfPq(Pq.readIvfPqIndex(spark, live), vectors, qids))
+      .sameElements(want),
+      "the drained coalesced index diverged from the day-0-trained rebuild")
+  }
 }

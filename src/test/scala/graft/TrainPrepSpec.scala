@@ -253,4 +253,48 @@ class TrainPrepSpec extends SparkSpecBase {
     out.unpersist()
     ()
   }
+
+  test("sampleMixture temperature sweep: T ∈ {1, 2, 4} flattens the mix " +
+      "monotonically; T=1 reproduces raw proportions; other T rejected") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val docs = ((1L to 800L).map(i => (i, "big")) ++
+      (801L to 980L).map(i => (i, "mid")) ++
+      (981L to 1000L).map(i => (i, "tiny")))
+      .toDF("doc_id", "source")
+    def weightsAt(t: Int): Map[String, Double] =
+      TrainPrep.sampleMixtureOn(docs, temperature = t)
+        .groupBy("source").agg(first("weight").as("w"))
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val byT = Seq(1, 2, 4).map(t => t -> weightsAt(t)).toMap
+    // T=1 is examples-proportional: weights equal raw count shares
+    // exactly (integer-unit arithmetic — no rounding residue at these
+    // counts: units are count·10^6)
+    assert(math.abs(byT(1)("big") - 0.8) < 1e-12 &&
+      math.abs(byT(1)("tiny") - 0.02) < 1e-12)
+    // flattening is MONOTONE in T: the dominant source's weight
+    // falls, the tiny source's rises, at every step of the sweep
+    assert(byT(1)("big") > byT(2)("big") && byT(2)("big") > byT(4)("big"),
+      s"big-source weight must fall with T, got ${Seq(1, 2, 4).map(byT(_)("big"))}")
+    assert(byT(1)("tiny") < byT(2)("tiny") && byT(2)("tiny") < byT(4)("tiny"),
+      s"tiny-source weight must rise with T, got ${Seq(1, 2, 4).map(byT(_)("tiny"))}")
+    // weight ordering still tracks size at every T, and sums to 1
+    Seq(1, 2, 4).foreach { t =>
+      val w = byT(t)
+      assert(w("big") > w("mid") && w("mid") > w("tiny"))
+      assert(math.abs(w.values.sum - 1.0) < 1e-12)
+    }
+    // the oracle replays the same grid: its temperature builder
+    // rejects the same off-grid values the operator does
+    intercept[IllegalArgumentException] {
+      TrainPrep.sampleMixtureOn(docs, temperature = 3)
+    }
+    intercept[IllegalArgumentException] {
+      TrainPrep.sampleMixtureOracleSqlFor(3)
+    }
+    // the gate key's oracle is byte-stable: parameterizing did not
+    // move the committed T=2 SQL the driver hashes against
+    assert(TrainPrep.sampleMixtureOracleSql ==
+      TrainPrep.sampleMixtureOracleSqlFor(2))
+  }
 }
