@@ -462,11 +462,14 @@ object IndexManifest {
       // silently drop a concurrent writer's rows in the touched
       // partitions
       publishFrom(spark, root) { (liveDir, next) =>
-        val treeCols = spark.read.parquet(s"$liveDir/$tree").columns.toSet
-        require(staged.columns.toSet == treeCols,
+        // ONE read of the live tree: partition-discovery listing is
+        // 1–2 s on a 10³-cell tree, so the schema guard shares the
+        // old∪new merge's relation instead of listing twice
+        val liveTree = spark.read.parquet(s"$liveDir/$tree")
+        require(staged.columns.toSet == liveTree.columns.toSet,
           s"appendRowsAtomic: batch columns ${staged.columns.toSet} do not " +
-            s"match the live $tree tree's $treeCols")
-        val oldRows = pinPart(spark.read.parquet(s"$liveDir/$tree"), partCol)
+            s"match the live $tree tree's ${liveTree.columns.toSet}")
+        val oldRows = pinPart(liveTree, partCol)
           .filter(col(partCol).isInCollection(touched.toSeq))
         mirror(spark, liveDir, next,
           skip = touched.map(v => s"$tree/$partCol=$v"))
@@ -506,14 +509,21 @@ object IndexManifest {
     // recomputes, so the survivor set can never be skewed by a stale
     // locate.
     val live0 = currentOrFail(spark, root)
-    val affected0 = pinPart(spark.read.parquet(s"$live0/$tree"), partCol)
-      .filter(col("vec_id").isInCollection(vecIds))
+    val rows0 = pinPart(spark.read.parquet(s"$live0/$tree"), partCol)
+    val affected0 = rows0.filter(col("vec_id").isInCollection(vecIds))
       .select(partCol).distinct().collect().map(_.getLong(0)).toSet
     if (affected0.isEmpty) return 0L
     val deleted = withPublishRetry(s"deleteVecIdsAtomic($root/$tree)") {
       var nDeleted = 0L
       publishFrom(spark, root) { (liveDir, next) =>
-        val rows = pinPart(spark.read.parquet(s"$liveDir/$tree"), partCol)
+        // uncontended case: the claim landed on the version the locate
+        // pass read — reuse its relation and affected set (a fresh
+        // partition-discovery listing is 1–2 s on a 10³-cell tree); a
+        // claim on a DIFFERENT version (concurrent publish won)
+        // re-reads and re-locates so survivors can never be stale
+        val rows =
+          if (liveDir == live0) rows0
+          else pinPart(spark.read.parquet(s"$liveDir/$tree"), partCol)
         val affected =
           if (liveDir == live0) affected0
           else rows.filter(col("vec_id").isInCollection(vecIds))
