@@ -312,6 +312,24 @@ class MultimodalSpec extends SparkSpecBase {
     }
     assert(e2.getMessage.contains("BM magic") ||
       (e2.getCause != null && e2.getCause.getMessage.contains("BM magic")))
+    // hostile header width near 2^30 (r18 advice): Int row-stride
+    // arithmetic would wrap negative, slip past the truncation require
+    // and die as a raw ArrayIndexOutOfBounds — the Long stride must
+    // surface the promised diagnosis instead
+    val hostile = bmp.clone()
+    def put32(b: Array[Byte], i: Int, v: Int): Unit = {
+      b(i) = v.toByte; b(i + 1) = (v >> 8).toByte
+      b(i + 2) = (v >> 16).toByte; b(i + 3) = (v >> 24).toByte
+    }
+    put32(hostile, 18, (1 << 30) - 1) // width: rowBytes wraps in Int
+    val e3 = intercept[org.apache.spark.SparkException] {
+      Multimodal.featureExtractOn(
+        Seq((9L, hostile)).toDF("doc_id", "text"),
+        Multimodal.BmpMediaDecoder).collect()
+    }
+    assert(e3.getMessage.contains("BMP decode") ||
+      (e3.getCause != null && e3.getCause.getMessage.contains("BMP decode")),
+      s"hostile width must fail with the decode diagnosis, got ${e3.getMessage}")
   }
 
   test("WAV decoder: RIFF chunk walk through featureExtract — lanes match " +
