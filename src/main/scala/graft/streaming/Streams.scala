@@ -680,19 +680,20 @@ object Streams {
       .getOrElse(liveIds.limit(0))
     val fresh = newCodes.join(liveIds.unionByName(pendingIds),
       Seq("vec_id"), "left_anti")
-    if (publishEveryRows <= 0L) {
-      if (fresh.isEmpty) 0L
-      else IndexManifest.appendRowsAtomic(spark, root, "codes", "cell", fresh, keep)
-    } else {
-      val appended =
-        if (fresh.isEmpty) 0L
-        else {
-          val staged = Scratch.stageReuse(fresh, "ann_ingest_pending_batch")
-          staged.repartition(col("cell"))
-            .write.mode("append").partitionBy("cell")
-            .parquet(annPendingPath(root))
-          staged.count()
-        }
+    // no isEmpty pre-check: it would EXECUTE the anti-join (whose
+    // semi-join build side scans the live cells) once for the probe
+    // and again for the staging — both branches below stage first and
+    // read emptiness off the materialized count (a replayed batch
+    // stages an empty frame, appends nothing, publishes nothing)
+    if (publishEveryRows <= 0L)
+      IndexManifest.appendRowsAtomic(spark, root, "codes", "cell", fresh, keep)
+    else {
+      val staged = Scratch.stageReuse(fresh, "ann_ingest_pending_batch")
+      val appended = staged.count()
+      if (appended > 0L)
+        staged.repartition(col("cell"))
+          .write.mode("append").partitionBy("cell")
+          .parquet(annPendingPath(root))
       val pendingRows = readLakeOpt(spark, annPendingPath(root))
         .map(_.count()).getOrElse(0L)
       if (pendingRows >= publishEveryRows) annIngestFlushPending(spark, root, keep)
@@ -718,10 +719,11 @@ object Streams {
     val dupIds = liveCodes
       .join(broadcast(cells), Seq("cell"), "left_semi")
       .select("vec_id")
-    val fresh = pendingDf.join(dupIds, Seq("vec_id"), "left_anti")
-    val n =
-      if (fresh.isEmpty) 0L
-      else IndexManifest.appendRowsAtomic(spark, root, "codes", "cell", fresh, keep)
+    // appendRowsAtomic stages `fresh` and publishes nothing when it is
+    // empty (the crash-between-flip-and-clear replay) — an isEmpty
+    // pre-check here would execute the dedup anti-join twice
+    val n = IndexManifest.appendRowsAtomic(spark, root, "codes", "cell",
+      pendingDf.join(dupIds, Seq("vec_id"), "left_anti"), keep)
     // clear AFTER the publish: a crash before this line leaves pending
     // intact (durable, replay-safe); one after it has already published
     val p = new org.apache.hadoop.fs.Path(annPendingPath(root))
