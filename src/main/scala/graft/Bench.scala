@@ -276,6 +276,23 @@ object Bench {
       "{" + s""""ts":${jstr(ts)},""" + full.drop(1) + "\n",
       java.nio.file.StandardOpenOption.CREATE,
       java.nio.file.StandardOpenOption.APPEND)
+    // KEY-LIST FINGERPRINT (r19 verdict item 5 — "positional qsec
+    // shears silently on a key rename/removal"): a keyed {key: sec}
+    // map was measured at ~3.7 KB for 162 keys — it can NEVER ride the
+    // ~1800-char driver tail, 2dp rounding or not, so the map itself
+    // stays in BENCH_LOCAL.json / BENCH_HISTORY.jsonl. What the
+    // compact line CAN carry is a CRC32 of the comma-joined ascending
+    // successful-key list: two rounds whose qsec arrays are
+    // positionally comparable have EQUAL crcs, and any key
+    // rename/add/removal flips the crc — a per-key diff tool checks
+    // one integer before trusting positions, so the shear is loud,
+    // never silent.
+    val qsecKeysCrc = {
+      val c = new java.util.zip.CRC32()
+      c.update(timings.keys.mkString(",")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      c.getValue
+    }
     // Per-key seconds INSIDE the driver snapshot (r18 verdict item 6):
     // the driver parses the stdout JSON line out of a ~2000-char tail
     // capture, so the NAMED queries map (key names alone are ~2.4 KB
@@ -294,7 +311,7 @@ object Bench {
       .map(v => BigDecimal(v).setScale(dec, BigDecimal.RoundingMode.HALF_UP)
         .toDouble.toString).mkString("[", ",", "]")
     def compactWith(qsec: String): String =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":{},"qsec":$qsec,"qsec_order":"keys-asc","n_ok":${timings.size},"n_err":${errors.size},"sf":${jstr(sfDir)},$calibs,"env":$env,"detail":"BENCH_LOCAL.json","history":"BENCH_HISTORY.jsonl"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":{},"qsec":$qsec,"qsec_order":"keys-asc","qsec_keys_crc32":$qsecKeysCrc,"n_ok":${timings.size},"n_err":${errors.size},"sf":${jstr(sfDir)},$calibs,"env":$env,"detail":"BENCH_LOCAL.json","history":"BENCH_HISTORY.jsonl"}"""
     val tailBudget = 1800 // driver tail ≈ 2000 chars minus sbt's epilogue
     val compact = Seq(compactWith(qsecArr(2)), compactWith(qsecArr(1)))
       .find(_.length <= tailBudget)

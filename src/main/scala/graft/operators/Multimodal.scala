@@ -146,11 +146,19 @@ object Multimodal {
       // row stride in LONG: a hostile header width near 2^30 overflows
       // Int (w*3+3 wraps negative), which would pass the truncation
       // require below and then AIOOBE in the pixel loop instead of the
-      // promised diagnosis (r18 advice)
+      // promised diagnosis (r18 advice). rowBytesL·h can ALSO overflow
+      // Long when BOTH dims are hostile (~2^31 each ≈ 1.4e19 > Long
+      // .Max, r19 advice) — multiplyExact turns that wrap into the
+      // same truncation diagnosis instead of a raw AIOOBE. The right
+      // side stays small (two Int-ranged values), so the comparison
+      // itself cannot overflow.
       val rowBytesL = (w.toLong * 3 + 3) & ~3L
+      val pixLen =
+        try Math.multiplyExact(rowBytesL, h.toLong)
+        catch { case _: ArithmeticException => Long.MaxValue }
       require(rowBytesL > 0 &&
-          pixelOff >= 54 && pixelOff.toLong + rowBytesL * h <= bytes.length,
-        s"BMP decode: pixel array truncated (need ${rowBytesL * h} " +
+          pixelOff >= 54 && pixLen <= bytes.length.toLong - pixelOff,
+        s"BMP decode: pixel array truncated (need $pixLen " +
           s"bytes at offset $pixelOff, have ${bytes.length})")
       // the require bounds rowBytes·h ≤ bytes.length ≤ Int.Max, so the
       // loop's Int arithmetic below cannot overflow

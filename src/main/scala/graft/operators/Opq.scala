@@ -451,10 +451,11 @@ object Opq {
     val meta = spark.read.parquet(s"$live/codes").columns.toSeq
       .filterNot(Set("vec_id", "cell", "codes"))
     val rebuilt = buildIvfOpq(corpus, metaCols = meta)
-    val published = IndexManifest.publish(spark, root)(
+    // publishRetrain = the ENFORCED fence (r19 verdict item 1): refuses
+    // while un-flushed streaming-pending rows exist, and advances the
+    // retrain epoch the ingest sink's claim check is keyed by
+    IndexManifest.publishRetrain(spark, root, keep)(
       dir => writeIvfOpqIndex(rebuilt, dir))
-    IndexManifest.vacuum(spark, root, keep)
-    published
   }
 
   /** Durable append: assign (original space) + rotate (staged basis)

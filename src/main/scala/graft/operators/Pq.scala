@@ -919,10 +919,11 @@ object Pq {
     val meta = spark.read.parquet(s"$live/codes").columns.toSeq
       .filterNot(Set("vec_id", "cell", "codes"))
     val rebuilt = buildIvfPq(corpus, dim, metaCols = meta)
-    val published = IndexManifest.publish(spark, root)(
+    // publishRetrain = the ENFORCED fence (r19 verdict item 1): refuses
+    // while un-flushed streaming-pending rows exist, and advances the
+    // retrain epoch the ingest sink's claim check is keyed by
+    IndexManifest.publishRetrain(spark, root, keep)(
       dir => writeIvfPqIndex(rebuilt, dir))
-    IndexManifest.vacuum(spark, root, keep)
-    published
   }
 
   /** Stage the index durably (three parquet frames under `path`). */

@@ -1087,10 +1087,11 @@ object Quantize {
     val live = IndexManifest.currentOrFail(spark, root)
     val meta = spark.read.parquet(s"$live/codes").columns.toSeq
       .filterNot(Set("vec_id", "cell", "codes"))
-    val published = IndexManifest.publish(spark, root)(
+    // publishRetrain = the ENFORCED fence (r19 verdict item 1): refuses
+    // while un-flushed streaming-pending rows exist, and advances the
+    // retrain epoch the ingest sink's claim check is keyed by
+    IndexManifest.publishRetrain(spark, root, keep)(
       dir => writeIvfSq8Index(corpus, dir, meta))
-    IndexManifest.vacuum(spark, root, keep)
-    published
   }
 
   /** Erasure on the composed index: the codes tree is the PQ layout

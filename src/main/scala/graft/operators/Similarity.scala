@@ -1928,10 +1928,11 @@ object Similarity {
     val corpus = Scratch.stageReuse(
       postings.select((Seq(col("vec_id"), col("e").as("embedding")) ++ meta): _*),
       "ivf_rebalance_corpus")
-    val published = IndexManifest.publish(spark, root)(
+    // publishRetrain = the ENFORCED fence (r19 verdict item 1): refuses
+    // while un-flushed streaming-pending rows exist, and advances the
+    // retrain epoch the ingest sink's claim check is keyed by
+    IndexManifest.publishRetrain(spark, root, keep)(
       dir => writeIvfIndex(corpus, dir))
-    IndexManifest.vacuum(spark, root, keep)
-    published
   }
 
   /** Oracle: the IVF replay with the label projection joined onto

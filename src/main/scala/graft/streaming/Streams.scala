@@ -620,9 +620,45 @@ object Streams {
 
   /** The durable pending-delta tree of the coalesced atomic sink —
     * underscore-prefixed so no table reader under `root` ever lists
-    * it; NOT part of any published version. */
+    * it; NOT part of any published version. The name is owned by
+    * [[graft.operators.IndexManifest.PendingCodesDir]] so the retrain
+    * fence ([[graft.operators.IndexManifest.publishRetrain]]) and this
+    * sink can never drift apart. */
   private[graft] def annPendingPath(root: String): String =
-    s"$root/_pending_codes"
+    s"$root/${graft.operators.IndexManifest.PendingCodesDir}"
+
+  /** The sink's durable RECONCILED-EPOCH marker (r19 verdict item 1):
+    * the retrain epoch of the last live version this sink's claim
+    * registry was verified against. Absent (first contact, or a crash
+    * before the post-landing update) and mismatching (a retrain
+    * published since) both read as "cannot trust cell pruning" — the
+    * fail-safe direction. A torn read parses to None and degrades the
+    * same way, so a plain overwrite write suffices. */
+  private[graft] def annIngestMarkerPath(root: String): String =
+    s"$root/_ingest_epoch"
+
+  private def annIngestMarkerEpoch(spark: SparkSession,
+                                   root: String): Option[Long] = {
+    val p = new org.apache.hadoop.fs.Path(annIngestMarkerPath(root))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return None
+    val in = fs.open(p)
+    val text =
+      try new String(org.apache.commons.io.IOUtils.toByteArray(in),
+        java.nio.charset.StandardCharsets.UTF_8)
+      finally in.close()
+    text.trim.toLongOption
+  }
+
+  private def annIngestWriteMarker(spark: SparkSession, root: String,
+                                   epoch: Long): Unit = {
+    val p = new org.apache.hadoop.fs.Path(annIngestMarkerPath(root))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(epoch.toString
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
 
   /** The atomic foreachBatch core (exposed for the replay spec).
     * Returns appended code rows (0 for a full replay — no version
@@ -659,6 +695,16 @@ object Streams {
                                 publishEveryRows: Long = 0L): Long = {
     val spark = batch.sparkSession
     import graft.operators.{IndexManifest, Pq, Scratch}
+    // config-downgrade drain (r19 advice): rows a PRIOR coalesced run
+    // (publishEveryRows > 0) parked in the pending tree would, on the
+    // per-batch path, stay durable yet permanently invisible — the
+    // claim registry union kept them from re-appending but nothing
+    // ever published them. Flush them as one version BEFORE resolving
+    // the live version this batch claims against (flushing after the
+    // resolve would leave the batch's claim check reading the
+    // pre-flush codes tree and re-admitting just-flushed rows on a
+    // replay). No-op (one cheap existence probe) when nothing pends.
+    if (publishEveryRows <= 0L) annIngestFlushPending(spark, root, keep)
     val live =
       try IndexManifest.currentOrFail(spark, root)
       catch {
@@ -667,15 +713,48 @@ object Streams {
             s"(Pq.stageIvfPqIndexVersion) — build once, then stream appends", e)
       }
     val index = Pq.readIvfPqIndex(spark, live)
+    // THE REPLAY↔RETRAIN FENCE, detection half (r19 verdict item 1 —
+    // previously a doc-comment contract): the cell-pruned claim check
+    // below is sound only while the cell assignment function is the
+    // one this sink last reconciled against — a retrain moves it, and
+    // a replayed row would then probe its NEW cell while its prior
+    // copy (if the retrain corpus represented the vector even one ulp
+    // differently) sits in another, landing a silent duplicate. The
+    // live version's retrain epoch (IndexManifest.publish bumps it on
+    // every full restage) against the sink's durable reconciled-epoch
+    // marker decides: equal → cell-pruned fast path; moved/absent →
+    // the claim registry is the FULL live vec_id set, assignment-
+    // independent by construction. The full-tree scan is a
+    // vec_id-column-only read paid once per retrain (the marker
+    // advances after this batch lands), not per batch.
+    val liveEpoch = IndexManifest.epochOf(spark, live)
+    val epochMoved = !annIngestMarkerEpoch(spark, root).contains(liveEpoch)
     val newCodes = Scratch.stageReuse(
       Pq.encodeAgainst(index, batch, 0), "ann_ingest_atomic_codes")
     val cells = newCodes.select("cell").distinct()
-    val liveIds = index.codes
-      .join(broadcast(cells), Seq("cell"), "left_semi")
-      .select("vec_id")
+    val liveIds =
+      if (epochMoved) index.codes.select("vec_id")
+      else index.codes
+        .join(broadcast(cells), Seq("cell"), "left_semi")
+        .select("vec_id")
     // the claim registry is live ∪ pending: a replayed batch whose
-    // rows already wait in pending must not re-append them
-    val pendingIds = readLakeOpt(spark, annPendingPath(root))
+    // rows already wait in pending must not re-append them. Pending
+    // rows are BY CONSTRUCTION encoded under the live epoch (the
+    // stamp check here + the publishRetrain fence), so their claim
+    // stays cell-pruned even when the live epoch moved.
+    val pendingDf = readLakeOpt(spark, annPendingPath(root))
+    pendingDf.foreach { _ =>
+      val pendingEpoch = IndexManifest.epochOf(spark, annPendingPath(root))
+      require(pendingEpoch == liveEpoch,
+        s"annIngestMicroBatchAtomic: pending rows at ${annPendingPath(root)} " +
+          s"were encoded under retrain epoch $pendingEpoch but the live " +
+          s"index is at epoch $liveEpoch — a retrain bypassed the " +
+          "publishRetrain fence while rows pended. Their cells/codes are " +
+          "stale; re-ingest them from source after clearing the pending " +
+          "tree (if every pending vec_id is already live — the crash-" +
+          "between-flush-and-clear case — clearing alone is safe).")
+    }
+    val pendingIds = pendingDf
       .map(_.join(broadcast(cells), Seq("cell"), "left_semi").select("vec_id"))
       .getOrElse(liveIds.limit(0))
     val fresh = newCodes.join(liveIds.unionByName(pendingIds),
@@ -685,20 +764,37 @@ object Streams {
     // and again for the staging — both branches below stage first and
     // read emptiness off the materialized count (a replayed batch
     // stages an empty frame, appends nothing, publishes nothing)
-    if (publishEveryRows <= 0L)
-      IndexManifest.appendRowsAtomic(spark, root, "codes", "cell", fresh, keep)
-    else {
-      val staged = Scratch.stageReuse(fresh, "ann_ingest_pending_batch")
-      val appended = staged.count()
-      if (appended > 0L)
-        staged.repartition(col("cell"))
-          .write.mode("append").partitionBy("cell")
-          .parquet(annPendingPath(root))
-      val pendingRows = readLakeOpt(spark, annPendingPath(root))
-        .map(_.count()).getOrElse(0L)
-      if (pendingRows >= publishEveryRows) annIngestFlushPending(spark, root, keep)
-      appended
-    }
+    val appended =
+      if (publishEveryRows <= 0L)
+        IndexManifest.appendRowsAtomic(spark, root, "codes", "cell", fresh, keep)
+      else {
+        val staged = Scratch.stageReuse(fresh, "ann_ingest_pending_batch")
+        val n = staged.count()
+        if (n > 0L) {
+          // stamp the epoch BEFORE the rows land: a crash between the
+          // two leaves a stamped-but-row-less tree (reads as "no
+          // pending"), while the reverse order would leave rows whose
+          // absent stamp reads as epoch 0 and false-trips the fence
+          // guards above. Idempotent: the guard above proved any
+          // existing stamp already equals liveEpoch. (`_`-files are
+          // invisible to the tree's parquet readers.)
+          val pendingP = new org.apache.hadoop.fs.Path(annPendingPath(root))
+          pendingP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            .mkdirs(pendingP)
+          IndexManifest.writeEpoch(spark, annPendingPath(root), liveEpoch)
+          staged.repartition(col("cell"))
+            .write.mode("append").partitionBy("cell")
+            .parquet(annPendingPath(root))
+        }
+        val pendingRows = readLakeOpt(spark, annPendingPath(root))
+          .map(_.count()).getOrElse(0L)
+        if (pendingRows >= publishEveryRows) annIngestFlushPending(spark, root, keep)
+        n
+      }
+    // marker advance AFTER the landing: a crash in between re-runs the
+    // full-tree claim on the next batch — slower, never duplicating
+    if (epochMoved) annIngestWriteMarker(spark, root, liveEpoch)
+    appended
   }
 
   /** Publish the coalesced sink's pending delta as ONE manifest
@@ -711,10 +807,30 @@ object Streams {
   def annIngestFlushPending(spark: SparkSession, root: String,
                             keep: Int = 2): Long = {
     import graft.operators.{IndexManifest, Pq}
-    val pendingDf = readLakeOpt(spark, annPendingPath(root))
-      .getOrElse(return 0L)
-    val liveCodes = Pq.readIvfPqIndex(spark,
-      IndexManifest.currentOrFail(spark, root)).codes
+    val pendingDf = readLakeOpt(spark, annPendingPath(root)).getOrElse {
+      // a stamped-but-row-less tree (crash between the epoch stamp and
+      // the first row write) holds no publishable rows but WOULD block
+      // publishRetrain's pending fence forever — clear it on drain
+      val p = new org.apache.hadoop.fs.Path(annPendingPath(root))
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+      return 0L
+    }
+    val live = IndexManifest.currentOrFail(spark, root)
+    // fence check (r19 verdict item 1): pending rows carry the epoch
+    // they were encoded under — publishing them into an index whose
+    // assignment function has since moved would land them at stale
+    // cells with stale codebooks (recall loss now, duplicates on the
+    // next replay). publishRetrain refuses while pending exists, so
+    // this fires only when a retrain bypassed the fence.
+    val pendingEpoch = IndexManifest.epochOf(spark, annPendingPath(root))
+    val liveEpoch = IndexManifest.epochOf(spark, live)
+    require(pendingEpoch == liveEpoch,
+      s"annIngestFlushPending: pending rows at ${annPendingPath(root)} were " +
+        s"encoded under retrain epoch $pendingEpoch but the live index is " +
+        s"at epoch $liveEpoch — re-ingest them from source instead of " +
+        "flushing (see annIngestMicroBatchAtomic's fence scaladoc).")
+    val liveCodes = Pq.readIvfPqIndex(spark, live).codes
     val cells = pendingDf.select("cell").distinct()
     val dupIds = liveCodes
       .join(broadcast(cells), Seq("cell"), "left_semi")

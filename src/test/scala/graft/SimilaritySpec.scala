@@ -1125,7 +1125,10 @@ class SimilaritySpec extends SparkSpecBase {
     val v3 = IndexManifest.publish(spark, root)(
       dir => Similarity.writeIvfIndex(vectors, dir))
     assert(IndexManifest.current(spark, root).contains(v3))
-    val gone = IndexManifest.vacuum(spark, root)
+    // keep=1 explicitly: this lifecycle has no overlapping reader and
+    // the assertion below wants FULL retirement (default is the
+    // reader-safe keep=2, r19 verdict item 8)
+    val gone = IndexManifest.vacuum(spark, root, keep = 1)
     assert(gone.nonEmpty, "vacuum should retire the superseded versions")
     val fs = new org.apache.hadoop.fs.Path(root)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)

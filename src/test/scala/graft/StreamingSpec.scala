@@ -1233,6 +1233,11 @@ class StreamingSpec extends SparkSpecBase {
     // (flip landed, clear did not) drain without publishing a version
     val liveCodes = Pq.readIvfPqIndex(spark,
       IndexManifest.currentOrFail(spark, root)).codes
+    // the real sink stamps the pending tree's encode epoch BEFORE any
+    // row lands, so a crashed flush's leftovers always carry it —
+    // simulate faithfully (the r20 fence guards read it)
+    IndexManifest.writeEpoch(spark, Streams.annPendingPath(root),
+      IndexManifest.epochOf(spark, IndexManifest.currentOrFail(spark, root)))
     liveCodes.filter(col("vec_id") > cut).limit(5)
       .write.mode("append").partitionBy("cell")
       .parquet(Streams.annPendingPath(root))
@@ -1258,5 +1263,93 @@ class StreamingSpec extends SparkSpecBase {
     assert(canon(Pq.queryIvfPq(Pq.readIvfPqIndex(spark, live), vectors, qids))
       .sameElements(want),
       "the drained coalesced index diverged from the day-0-trained rebuild")
+  }
+
+  test("replay↔retrain fence: a replay straddling a retrain lands zero " +
+      "duplicates; retrain refuses while rows pend; a stale-epoch flush " +
+      "fails loudly instead of landing stale-assignment rows") {
+    import spark.implicits._
+    import graft.operators.{IndexManifest, Pq}
+    val vectors = sources.Tables.embeddings(spark, sfDir)
+    val maxId = vectors.agg(max("vec_id")).collect()(0).getLong(0)
+    val cut = maxId / 2; val cut2 = (maxId * 3) / 4
+    val base = vectors.filter(col("vec_id") <= cut)
+    def slice(lo: Long, hi: Long) = vectors
+      .filter(col("vec_id") > lo && col("vec_id") <= hi)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val b1 = slice(cut, cut2)
+    val b2 = slice(cut2, maxId)
+    val root = java.nio.file.Files.createTempDirectory("graft_ann_fence").toString
+    Pq.stageIvfPqIndexVersion(Pq.buildIvfPq(base), root)
+    assert(IndexManifest.epochOf(spark,
+      IndexManifest.currentOrFail(spark, root)) == 1L,
+      "a full publish must stamp retrain epoch 1")
+    def ingest(b: Seq[(Long, Seq[Float])], every: Long = 0L) =
+      Streams.annIngestMicroBatchAtomic(
+        b.toDF("vec_id", "embedding"), root, keep = 4,
+        publishEveryRows = every)
+    assert(ingest(b1.toSeq) == b1.length)
+    // delta publishes carry the epoch forward unchanged
+    assert(IndexManifest.epochOf(spark,
+      IndexManifest.currentOrFail(spark, root)) == 1L,
+      "an append must not advance the retrain epoch")
+    // RETRAIN: fresh centroids + codebooks over everything now served
+    // — the assignment function moves, the epoch must advance
+    val corpus = vectors.filter(col("vec_id") <= cut2)
+      .select(col("vec_id"), col("embedding"))
+    Pq.rebalanceIvfPqIndexVersioned(spark, root, corpus, keep = 4)
+    assert(IndexManifest.epochOf(spark,
+      IndexManifest.currentOrFail(spark, root)) == 2L,
+      "a retrain must advance the retrain epoch")
+    // the straddling replay: b1 landed under epoch 1, replays under
+    // epoch 2 — the enforced fence must detect the moved epoch and
+    // claim against the FULL live vec_id set, appending nothing
+    assert(ingest(b1.toSeq) == 0L,
+      "a replay straddling a retrain must re-find every prior copy")
+    val afterReplay = Pq.readIvfPqIndex(spark,
+      IndexManifest.currentOrFail(spark, root)).codes
+    assert(afterReplay.count() == base.count() + b1.length,
+      "a straddling replay must not change the row count")
+    assert(afterReplay.select("vec_id").distinct().count() == afterReplay.count(),
+      "a straddling replay must land ZERO duplicate vec_ids")
+    // the marker advanced: the next batch rides the cell-pruned path
+    // and still appends correctly
+    assert(ingest(b2.toSeq) == b2.length)
+    assert(Pq.readIvfPqIndex(spark,
+      IndexManifest.currentOrFail(spark, root)).codes.count() == vectors.count())
+    // PENDING fence: park rows in the durable pending tree, then try
+    // to retrain — publishRetrain must refuse before claiming anything
+    val extra = b2.take(5).map { case (id, e) => (id + maxId + 1, e) }
+    assert(ingest(extra.toSeq, every = 1000000L) == extra.length)
+    val versionsBefore = new java.io.File(root).listFiles().toSeq
+      .filter(f => f.isDirectory && f.getName.startsWith("v=")).map(_.getName).sorted
+    val fenceHit = intercept[IllegalStateException] {
+      Pq.rebalanceIvfPqIndexVersioned(spark, root,
+        vectors.select(col("vec_id"), col("embedding")), keep = 4)
+    }
+    assert(fenceHit.getMessage.contains("retrain fence"))
+    assert(new java.io.File(root).listFiles().toSeq
+      .filter(f => f.isDirectory && f.getName.startsWith("v=")).map(_.getName).sorted
+      == versionsBefore, "a fenced retrain must not claim a version")
+    // BYPASSED fence (raw publish, no pending check): the stale-epoch
+    // pending tree must make both the flush and the next micro-batch
+    // fail loudly — stale-assignment rows can never be published
+    IndexManifest.publish(spark, root)(dir =>
+      Pq.writeIvfPqIndex(Pq.buildIvfPq(
+        vectors.select(col("vec_id"), col("embedding"))), dir))
+    val staleFlush = intercept[IllegalArgumentException] {
+      Streams.annIngestFlushPending(spark, root, keep = 4)
+    }
+    assert(staleFlush.getMessage.contains("retrain epoch"))
+    val staleIngest = intercept[IllegalArgumentException] {
+      ingest(extra.toSeq, every = 1000000L)
+    }
+    assert(staleIngest.getMessage.contains("retrain epoch"))
+    // operator recovery: clear the stale pending tree, lifecycle resumes
+    val pp = new org.apache.hadoop.fs.Path(Streams.annPendingPath(root))
+    pp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(pp, true)
+    assert(Streams.annIngestFlushPending(spark, root, keep = 4) == 0L)
+    assert(ingest(extra.toSeq) == extra.length)
   }
 }
