@@ -42,7 +42,10 @@ object ScaleCheck {
       "ivf_pq_filtered_query", "sq8_radius_query", "ivf_stats",
       "ivf_pq_radius_query", "sq8_filtered_query", "ivf_opq_serve",
       "ivf_sq8_query", "ivf_atomic_rww", "ivf_atomic_cost",
-      "ann_ingest_churn")
+      "ann_ingest_churn", "ivf_refs_cost", "ann_ingest_replay_retrain",
+      // self-synthesizes its chain edges, reads no corpus table — in
+      // this set so a combined filtered run skips the big tables
+      "pair_clusters_chain")
     val skipNonEmbedding = args.length > 1 && args(1).split(",").forall(embOnly)
     // a graph-only run (the tier's dedicated scaled-catalog corpus)
     // likewise skips the main tables: a 300× run would otherwise
@@ -54,7 +57,7 @@ object ScaleCheck {
     // ops that synthesize their own substrate inline (spark.range) —
     // a run of only these writes no corpus at all
     val selfSynth = Set("cluster_keep_best_core", "cluster_holdout_core",
-      "dedup_embedding_lsh")
+      "dedup_embedding_lsh", "pair_clusters_chain")
     val allSelfSynth = args.length > 1 && args(1).split(",").forall(selfSynth)
     // ops that read ONLY the events table — a filtered run of these
     // skips the (10× larger) lineitem/documents/part writes, which
@@ -391,6 +394,25 @@ object ScaleCheck {
         val docs = spark.range(nDocs).select(col("id").as("doc_id"),
           concat(lit("src"), pmod(col("id"), lit(20L))).as("source"))
         operators.Dedup.clusterHoldoutOn(docs, labels)
+      }),
+      // the pointer-jumping pair→cluster resolution itself (r19
+      // verdict item 4) on its WORST-CASE geometry: pure path graphs.
+      // nDocs/256 chains of diameter 255 — the shape that defeats
+      // plain label propagation (255 rounds) and that pointer jumping
+      // must close in O(log diameter): distance-to-root doubles per
+      // round, so 256-long chains converge within 9 rounds and the
+      // maxIters=12 cap below IS the log-bound assertion (pairClusters
+      // THROWS on non-convergence — a linear-round regression fails
+      // this row loudly instead of timing out). Substrate-free
+      // (self-synthesized edges): the candidate-generation tiers that
+      // feed real pairs have their own scale rows.
+      run("pair_clusters_chain", {
+        val nDocs = 100000L * mult
+        val chain = 256L
+        val pairs = spark.range(nDocs)
+          .where(pmod(col("id"), lit(chain)) =!= (chain - 1))
+          .select(col("id").as("doc_a"), (col("id") + 1L).as("doc_b"))
+        operators.Dedup.pairClusters(pairs, maxIters = 12)
       }),
       run("graph_kcore", operators.Graph.graphKcore(spark, s"$dir/graph")),
       run("graph_lpa", operators.Graph.graphLpa(spark, s"$dir/graph")),
@@ -895,11 +917,119 @@ object ScaleCheck {
         s""""versions_coalesced":$vCo,"files_end_per_batch":$filesPer,""" +
         s""""files_end_coalesced":$filesCo,"sec_per_batch_path":$secPer}"""
     }
+    // REFS vs LINK publish cost (r19 verdict item 2's DONE gate): the
+    // SAME fixed 1% batch appended to (and 50 ids erased from) a
+    // day-0 index holding the other 99% — the untouched mass whose
+    // size must NOT appear in the refs-mode publish bill. Link mode
+    // pays one metadata op per untouched file (a full data copy on
+    // stores without hardlinks); refs mode pays one manifest write.
+    // Read the row as: refs_*_sec ≈ flat across 100×/1000× while
+    // link_*_sec grows with the untouched file count.
+    val refsCost = if (!only("ivf_refs_cost")) None else Some {
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      val maxId = emb.agg(max("vec_id")).collect()(0).getLong(0)
+      val cut = (maxId / 100L) * 99L
+      val base = emb.filter(col("vec_id") <= cut)
+      val batch = emb.filter(col("vec_id") > cut)
+      val eraseIds = (0L until 50L).map(i => i * (cut / 50L))
+      def drive(mode: String): (Double, Double, Long) = {
+        spark.conf.set("spark.graft.manifest.mode", mode)
+        try {
+          val root = operators.Scratch.diskDir(s"graft_scale_refs_cost_$mode")
+          operators.Similarity.stageIvfIndexVersion(base, root)
+          val t0 = System.nanoTime()
+          val n = operators.Similarity.appendIvfIndexAtomic(spark, root, batch)
+          val aSec = (System.nanoTime() - t0) / 1e9
+          val t1 = System.nanoTime()
+          operators.Similarity.deleteFromIvfIndexAtomic(spark, root, eraseIds)
+          val dSec = (System.nanoTime() - t1) / 1e9
+          (aSec, dSec, n)
+        } finally spark.conf.unset("spark.graft.manifest.mode")
+      }
+      // link first: any first-run JIT/codegen warm-up biases AGAINST
+      // refs, the mode under test (conservative ordering)
+      val (la, ld, _) = drive("link")
+      val (ra, rd, nRows) = drive("refs")
+      // The IVF corpus shape above cannot separate the layouts: ~32
+      // cells and a hash-spread batch mean every publish touches every
+      // partition, so both modes rewrite the whole tree. The regime
+      // the refs layout exists for is MANY partitions + a cell-local
+      // batch — per-publish metadata O(touched) vs O(all files). This
+      // synthetic tree measures exactly that, at STEADY STATE (the
+      // 2nd delta, so refs inherits via manifest parse instead of
+      // walking the full-publish tree):
+      val pParts = math.min(4096L, 64L * mult)
+      def drivePartHeavy(mode: String): Double = {
+        spark.conf.set("spark.graft.manifest.mode", mode)
+        try {
+          val root = operators.Scratch.diskDir(s"graft_scale_refs_parts_$mode")
+          val rows = spark.range(pParts * 50)
+            .select(col("id").as("vec_id"), pmod(col("id"), lit(pParts)).as("cell"),
+              md5(col("id").cast("string")).as("payload"))
+          operators.IndexManifest.publish(spark, root) { dir =>
+            rows.repartition(col("cell"))
+              .write.partitionBy("cell").parquet(s"$dir/codes")
+          }
+          def batch(tag: Long) = spark.range(200)
+            .select((col("id") + pParts * 50 + tag * 1000).as("vec_id"),
+              pmod(col("id"), lit(4L)).as("cell"),
+              md5(col("id").cast("string")).as("payload"))
+          // warm delta (untimed): first refs delta pays the one-time
+          // full-publish tree walk; link pays JIT
+          operators.IndexManifest.appendRowsAtomic(spark, root, "codes", "cell",
+            batch(0), keep = 2)
+          val t0 = System.nanoTime()
+          operators.IndexManifest.appendRowsAtomic(spark, root, "codes", "cell",
+            batch(1), keep = 2)
+          (System.nanoTime() - t0) / 1e9
+        } finally spark.conf.unset("spark.graft.manifest.mode")
+      }
+      val phLink = drivePartHeavy("link")
+      val phRefs = drivePartHeavy("refs")
+      s""""ivf_refs_cost":{"sec":${ra + rd},"rows":$nRows,""" +
+        s""""refs_append_sec":$ra,"link_append_sec":$la,""" +
+        s""""refs_delete_sec":$rd,"link_delete_sec":$ld,""" +
+        s""""parts":$pParts,"partheavy_refs_sec":$phRefs,""" +
+        s""""partheavy_link_sec":$phLink}"""
+    }
+    // replay-after-retrain fence (r19 verdict item 1's DONE gate): a
+    // batch lands, the index RETRAINS (fresh centroids+codebooks — the
+    // assignment function moves), then the SAME batch replays. The
+    // epoch fence must detect the moved epoch, claim against the full
+    // live vec_id set, and land ZERO duplicates with zero appended
+    // rows. `sec` is the replay's bill — the once-per-retrain price of
+    // the assignment-independent claim.
+    val replayRetrain = if (!only("ann_ingest_replay_retrain")) None else Some {
+      import graft.operators.{IndexManifest, Pq}
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      val maxId = emb.agg(max("vec_id")).collect()(0).getLong(0)
+      val cut = (maxId / 10L) * 9L
+      val root = operators.Scratch.diskDir("graft_scale_replay_retrain")
+      Pq.stageIvfPqIndexVersion(
+        Pq.buildIvfPq(emb.filter(col("vec_id") <= cut)), root)
+      val batch = emb.filter(col("vec_id") > cut)
+        .select(col("vec_id"), col("embedding"))
+      val n1 = graft.streaming.Streams.annIngestMicroBatchAtomic(batch, root)
+      Pq.rebalanceIvfPqIndexVersioned(spark, root,
+        emb.select(col("vec_id"), col("embedding")))
+      val t0 = System.nanoTime()
+      val nReplay = graft.streaming.Streams.annIngestMicroBatchAtomic(batch, root)
+      val sec = (System.nanoTime() - t0) / 1e9
+      val codes = Pq.readIvfPqIndex(spark,
+        IndexManifest.currentOrFail(spark, root)).codes
+      val total = codes.count()
+      val dups = total - codes.select("vec_id").distinct().count()
+      require(nReplay == 0L && dups == 0L,
+        s"replay-after-retrain landed $nReplay rows / $dups duplicate ids")
+      s""""ann_ingest_replay_retrain":{"sec":$sec,"rows":$n1,""" +
+        s""""replay_appended":$nReplay,"dup_vec_ids":$dups,"index_rows":$total}"""
+    }
     val qs = (results.collect { case (k, s, r) if r >= 0 => s""""$k":{"sec":$s,"rows":$r}""" }
       ++ pipe ++ scd2Apply ++ ivfAppend ++ sq8Serve
       ++ pqFilteredServe ++ sq8RadiusServe ++ ivfStats
       ++ pqRadiusServe ++ sq8FilteredServe ++ opqServe
-      ++ ivfSq8Serve ++ atomicRww ++ atomicCost ++ ingestChurn).mkString(",")
+      ++ ivfSq8Serve ++ atomicRww ++ atomicCost ++ ingestChurn
+      ++ refsCost ++ replayRetrain).mkString(",")
     println(s"""{"scale_mult":$mult,"n_events":$n,"ops":{$qs}}""")
     spark.stop()
   }

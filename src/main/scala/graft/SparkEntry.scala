@@ -172,6 +172,8 @@ object SparkEntry {
     "mm_feature_extract" -> (Multimodal.featureExtract(_, _)),
     "mm_frame_sample"    -> (Multimodal.frameSample(_, _)),
     "mm_frame_dedup"     -> (Multimodal.mmFrameDedup(_, _)),
+    "mm_bmp_features"    -> (Multimodal.mmBmpFeatures(_, _)),
+    "mm_wav_features"    -> (Multimodal.mmWavFeatures(_, _)),
     // §2.7 streaming (batch twins of the shared transforms; the
     // streaming forms run in StreamingSpec via MemoryStream)
     "stream_windowed_agg" -> (graft.streaming.Streams.windowedAggBatch(_, _)),
@@ -458,6 +460,8 @@ object SparkEntry {
     // through the shared Karp-Rabin byte-fold fragments
     "mm_frame_sample"    -> Multimodal.frameSampleOracleSql,
     "mm_frame_dedup"     -> Multimodal.mmFrameDedupOracleSql,
+    "mm_bmp_features"    -> Multimodal.mmBmpFeaturesOracleSql,
+    "mm_wav_features"    -> Multimodal.mmWavFeaturesOracleSql,
     // §2.7 streaming batch twins
     "stream_windowed_agg" -> graft.streaming.Streams.windowedAggOracleSql,
     "stream_hop_windows"  -> graft.streaming.Streams.hopWindowedAggOracleSql,

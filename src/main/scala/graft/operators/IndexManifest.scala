@@ -365,13 +365,48 @@ object IndexManifest {
     val liveV = history.headOption.flatMap(versionOf).getOrElse(return Nil)
     // once-live versions below live, newest first (history order)
     val onceLiveBelow = history.drop(1).flatMap(versionOf).filter(_ < liveV)
-    val retained = onceLiveBelow.take(keep - 1).toSet
-    listVersions(ctx, new Path(root)).filter(_ < liveV).sorted
-      .filterNot(retained).map { v =>
-        val p = new Path(root, s"v=$v")
-        ctx.delete(p, true)
-        p.toString
+    val retainedBelow = onceLiveBelow.take(keep - 1).toSet
+    val all = listVersions(ctx, new Path(root))
+    val dropped = all.filter(_ < liveV).sorted.filterNot(retainedBelow)
+    if (dropped.isEmpty) return Nil
+    // REACHABILITY (refs mode): a retained version — live, the kept
+    // history, or an in-flight claim above live — may resolve files
+    // that physically live in a dropped version's directory (the last
+    // full publish) or in the shared store. Only retained REFS entries
+    // matter: retained IN-DIR files are inside retained directories by
+    // definition, and a dropped (older) version can never reference a
+    // newer retained directory. So the referenced set is a union of
+    // small manifest reads — never a tree walk — keeping per-publish
+    // vacuum O(manifest lines), not O(index files). Link-mode chains
+    // have no manifests: the set is empty and every dropped directory
+    // deletes wholesale, exactly the self-contained-version rule.
+    val referenced = all.filterNot(dropped.contains)
+      .flatMap(v => refsOf(spark, s"$root/v=$v").map(_._2)).toSet
+    val storePrefix = s"$root/$StoreDir/"
+    val gone = Seq.newBuilder[String]
+    // store files only the dropped versions reference (partitions later
+    // rewritten/erased): dead — deduped so shared entries delete once
+    dropped.flatMap(v => refsOf(spark, s"$root/v=$v").map(_._2)).distinct
+      .foreach { abs =>
+        if (abs.startsWith(storePrefix) && !referenced(abs)) {
+          val p = new Path(abs)
+          if (ctx.util.exists(p)) { ctx.delete(p, false); gone += abs }
+        }
       }
+    dropped.foreach { v =>
+      val dirS = s"$root/v=$v"
+      // a dropped directory retires WHOLESALE once nothing retained
+      // resolves into it. A partially-referenced one (a superseded
+      // full publish whose untouched partitions the live chain still
+      // serves) stays intact until the next retrain drops the last
+      // reference — its dead rewritten-partition files are bounded by
+      // one tree, the documented trade for never walking it here.
+      if (!referenced.exists(_.startsWith(dirS + "/"))) {
+        ctx.delete(new Path(dirS), true)
+        gone += dirS
+      }
+    }
+    gone.result()
   }
 
   /** Recovery for a crashed publish: delete version directories ABOVE
@@ -387,11 +422,66 @@ object IndexManifest {
     val ctx = fc(spark, root)
     val liveV = pointerLines(ctx, root).headOption.flatMap(versionOf)
       .getOrElse(0L)
-    listVersions(ctx, new Path(root)).filter(_ > liveV).sorted.map { v =>
-      val p = new Path(root, s"v=$v")
-      ctx.delete(p, true)
-      p.toString
+    val all = listVersions(ctx, new Path(root))
+    val stale = all.filter(_ > liveV).sorted
+    if (stale.isEmpty) return Nil
+    // refs mode: a stale claim's manifest lists the fresh store files
+    // its crashed publish landed — deleting only the directory would
+    // orphan them invisibly. Reclaim store entries no surviving
+    // version references (a claim's INHERITED store entries are in
+    // the live chain's manifests and survive).
+    val survivingRefs = all.filterNot(stale.contains)
+      .flatMap(v => refsOf(spark, s"$root/v=$v").map(_._2)).toSet
+    val storePrefix = s"$root/$StoreDir/"
+    stale.flatMap { v =>
+      val dirS = s"$root/v=$v"
+      val freshStore = refsOf(spark, dirS).map(_._2).distinct.filter(abs =>
+        abs.startsWith(storePrefix) && !survivingRefs(abs))
+      freshStore.foreach { abs =>
+        val p = new Path(abs)
+        if (ctx.util.exists(p)) ctx.delete(p, false)
+      }
+      ctx.delete(new Path(dirS), true)
+      dirS +: freshStore
     }
+  }
+
+  /** Deep store reclamation for the crash window refs mode cannot
+    * cover incrementally: a publisher that died AFTER landing fresh
+    * store files but BEFORE writing its version manifest leaves them
+    * referenced by nothing and listed nowhere. Walks the store once,
+    * deletes every file no version (live, historical, or claimed)
+    * references, and returns the deleted paths. O(store files) — an
+    * operator cadence (post-incident, weekly), not a per-publish
+    * step; [[vacuum]] handles the steady-state garbage without ever
+    * walking the store. */
+  def sweepStore(spark: SparkSession, root: String): Seq[String] = {
+    val ctx = fc(spark, root)
+    val store = new Path(root, StoreDir)
+    if (!ctx.util.exists(store)) return Nil
+    val referenced = listVersions(ctx, new Path(root))
+      .flatMap(v => refsOf(spark, s"$root/v=$v").map(_._2)).toSet
+    val gone = Seq.newBuilder[String]
+    def walk(dir: Path): Unit = {
+      val it = ctx.listStatus(dir)
+      while (it.hasNext) {
+        val st = it.next()
+        if (st.isDirectory) walk(st.getPath)
+        else if (!isControlName(st.getPath.getName)) {
+          // compare in the same string space refs are written in:
+          // root-anchored composition, not the FS's qualified URI
+          val abs = s"$root/$StoreDir" +
+            st.getPath.toUri.getPath.stripPrefix(
+              new Path(s"$root/$StoreDir").toUri.getPath)
+          if (!referenced(abs)) {
+            ctx.delete(st.getPath, false)
+            gone += abs
+          }
+        }
+      }
+    }
+    walk(store)
+    gone.result()
   }
 
   /** [[publish]] with the LIVE version's directory handed to the
@@ -806,7 +896,7 @@ object IndexManifest {
     // version (a concurrent publish won the race) re-reads and
     // re-validates.
     val live0 = currentOrFail(spark, root)
-    val tree0 = spark.read.parquet(s"$live0/$tree")
+    val tree0 = readFrame(spark, live0, tree)
     def requireSameColumns(liveCols: Set[String]): Unit =
       require(staged.columns.toSet == liveCols,
         s"appendRowsAtomic: batch columns ${staged.columns.toSet} do not " +
@@ -821,14 +911,12 @@ object IndexManifest {
       publishFrom(spark, root) { (liveDir, next) =>
         val liveTree =
           if (liveDir == live0) tree0
-          else spark.read.parquet(s"$liveDir/$tree")
+          else readFrame(spark, liveDir, tree)
         requireSameColumns(liveTree.columns.toSet)
         val oldRows = pinPart(liveTree, partCol)
           .filter(col(partCol).isInCollection(touched.toSeq))
-        mirror(spark, liveDir, next,
-          skip = touched.map(v => s"$tree/$partCol=$v"))
-        oldRows.unionByName(staged).repartition(col(partCol))
-          .write.mode("append").partitionBy(partCol).parquet(s"$next/$tree")
+        materializeDelta(spark, root, liveDir, next, tree, partCol,
+          oldRows.unionByName(staged), touched)
       }
       ()
     }
@@ -863,7 +951,7 @@ object IndexManifest {
     // recomputes, so the survivor set can never be skewed by a stale
     // locate.
     val live0 = currentOrFail(spark, root)
-    val rows0 = pinPart(spark.read.parquet(s"$live0/$tree"), partCol)
+    val rows0 = pinPart(readFrame(spark, live0, tree), partCol)
     val affected0 = rows0.filter(col("vec_id").isInCollection(vecIds))
       .select(partCol).distinct().collect().map(_.getLong(0)).toSet
     if (affected0.isEmpty) return 0L
@@ -877,7 +965,7 @@ object IndexManifest {
         // re-reads and re-locates so survivors can never be stale
         val rows =
           if (liveDir == live0) rows0
-          else pinPart(spark.read.parquet(s"$liveDir/$tree"), partCol)
+          else pinPart(readFrame(spark, liveDir, tree), partCol)
         val affected =
           if (liveDir == live0) affected0
           else rows.filter(col("vec_id").isInCollection(vecIds))
@@ -885,11 +973,8 @@ object IndexManifest {
         val inAffected = rows.filter(col(partCol).isInCollection(affected.toSeq))
         val survivors = inAffected.filter(!col("vec_id").isInCollection(vecIds))
         val nBefore = inAffected.count()
-        mirror(spark, liveDir, next,
-          skip = affected.map(v => s"$tree/$partCol=$v"))
-        if (affected.nonEmpty)
-          survivors.repartition(col(partCol))
-            .write.mode("append").partitionBy(partCol).parquet(s"$next/$tree")
+        materializeDelta(spark, root, liveDir, next, tree, partCol,
+          survivors, affected)
         // count BEFORE vacuum: survivors reads the (immutable)
         // superseded version, which keep=1 would have deleted; the
         // filter is deterministic so the count matches what was written

@@ -298,12 +298,19 @@ object Multimodal {
     * because flat scalars are what cross-engine comparison and
     * column-pruned downstream reads want. */
   def featureExtractOn(docs: DataFrame,
-                       decoder: MediaDecoder = StubMediaDecoder): DataFrame = {
+                       decoder: MediaDecoder = StubMediaDecoder): DataFrame =
+    featureExtractBinOn(docs.select(col("doc_id"),
+      col("text").cast("binary").as("content")), decoder)
+
+  /** [[featureExtractOn]] over an explicit `(doc_id, content: binary)`
+    * frame — the entry the real-media keys use after constructing
+    * genuine container bytes in-plan. */
+  def featureExtractBinOn(docs: DataFrame, decoder: MediaDecoder): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val dim = decoder.featureDim
     val src = docs
-      .select(col("doc_id"), col("text").cast("binary").as("content"))
+      .select(col("doc_id"), col("content"))
       .as[(Long, Array[Byte])]
     src.mapPartitions { batch =>
       decoder.open()
@@ -543,5 +550,194 @@ object Multimodal {
        |  CAST(n % 480 AS INTEGER) AS height,
        |$featExprs
        |FROM by""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
+  // REAL-decoder driver keys (r19 verdict item 3): the corpus carries
+  // no media bytes and the testdata dirs are read-only, so each key
+  // SYNTHESIZES a genuine container per document IN-PLAN from a spec
+  // both engines share — dims/channels from doc_id, a byte-correct
+  // little-endian header, payload bytes = the doc's own UTF-8 bytes
+  // cycled — then the Spark side runs the REAL pure-JVM decoder
+  // ([[BmpMediaDecoder]] / [[WavMediaDecoder]]) over the constructed
+  // blob while the DuckDB oracle replays the header arithmetic and
+  // the summary lanes over the same byte stream. A decoder bug
+  // (stride, padding, chunk walk, sign handling) shows up as a hash
+  // miss, which is exactly the cross-engine gate the stub keys could
+  // not give the real parsers. All lane arithmetic is exact-integer
+  // until a final shared double step (sums of bounded ints stay under
+  // 2^53, so Scala's running-double accumulation equals DuckDB's
+  // integer sum bit-for-bit).
+  // ------------------------------------------------------------------
+
+  /** Little-endian hex of the low 4 (or 2) bytes of an int expression
+    * — Spark SQL dialect (`div`); the oracle builders inline the
+    * DuckDB `//` twin. */
+  private def sparkLe4(v: String): String =
+    s"concat(lpad(hex(($v) % 256), 2, '0'), lpad(hex(($v) div 256 % 256), 2, '0'), " +
+      s"lpad(hex(($v) div 65536 % 256), 2, '0'), lpad(hex(($v) div 16777216 % 256), 2, '0'))"
+  private def sparkLe2(v: String): String =
+    s"concat(lpad(hex(($v) % 256), 2, '0'), lpad(hex(($v) div 256 % 256), 2, '0'))"
+
+  /** Per-doc BMP synthesis + REAL decode (key `mm_bmp_features`):
+    * w = 4 + doc_id%3 (strides 12/16/20 — all three 4-byte padding
+    * cases), h = 2 + doc_id%2, pixel array = UTF-8 bytes cycled. */
+  def mmBmpFeatures(spark: SparkSession, dir: String): DataFrame = {
+    val staged = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text").cast("binary").as("bin"))
+      .filter(length(col("bin")) > 0)
+      .withColumn("w", expr("cast(4 + doc_id % 3 as int)"))
+      .withColumn("h", expr("cast(2 + doc_id % 2 as int)"))
+      .withColumn("n", length(col("bin")))
+      .withColumn("hx", hex(col("bin")))
+      .withColumn("row_bytes", expr("((w * 3 + 3) div 4) * 4"))
+      .withColumn("data_len", expr("row_bytes * h"))
+      .withColumn("reps", expr("cast((data_len + n - 1) div n as int)"))
+    val blob = "unhex(concat('424D', " +
+      sparkLe4("54 + data_len") + ", '00000000', '36000000', '28000000', " +
+      sparkLe4("w") + ", " + sparkLe4("h") + ", '0100', '1800', '00000000', " +
+      sparkLe4("data_len") + ", '00000000', '00000000', '00000000', '00000000', " +
+      "substring(repeat(hx, reps), 1, data_len * 2)))"
+    featureExtractBinOn(
+      staged.select(col("doc_id"), expr(blob).as("content")),
+      BmpMediaDecoder)
+  }
+
+  /** DuckDB replay of [[mmBmpFeatures]]: recompute dims from doc_id,
+    * index the cycled byte stream at the decoder's exact pixel
+    * positions (y·rowBytes + x·3 inside the data region), aggregate
+    * the BT.601 luma lanes in exact integers, and apply the decoder's
+    * final double steps verbatim. */
+  val mmBmpFeaturesOracleSql: String = {
+    import graft.functions.SqlReplay.hexBytes
+    val l = "(299*rr + 587*gg + 114*bb)"
+    s"""WITH b AS (
+       |  SELECT doc_id, hex(encode(text)) AS hx,
+       |    octet_length(encode(text)) AS n FROM documents
+       |  WHERE octet_length(encode(text)) > 0
+       |), p AS (
+       |  SELECT doc_id, n, CAST(4 + doc_id % 3 AS INTEGER) AS w,
+       |    CAST(2 + doc_id % 2 AS INTEGER) AS h,
+       |    ${hexBytes("hx", "n")} AS bytes
+       |  FROM b
+       |), q AS (
+       |  SELECT *, ((w * 3 + 3) // 4) * 4 AS row_bytes FROM p
+       |), px AS (
+       |  SELECT doc_id, n, w, h, row_bytes, bytes,
+       |    CAST(unnest(generate_series(0, w * h - 1)) AS BIGINT) AS k
+       |  FROM q
+       |), ch AS (
+       |  SELECT doc_id, w, h, row_bytes,
+       |    CAST(bytes[(((k // w) * row_bytes + (k % w) * 3) % n) + 1] AS BIGINT) AS bb,
+       |    CAST(bytes[(((k // w) * row_bytes + (k % w) * 3 + 1) % n) + 1] AS BIGINT) AS gg,
+       |    CAST(bytes[(((k // w) * row_bytes + (k % w) * 3 + 2) % n) + 1] AS BIGINT) AS rr
+       |  FROM px
+       |), ag AS (
+       |  SELECT doc_id, any_value(w) AS w, any_value(h) AS h,
+       |    any_value(row_bytes) AS row_bytes,
+       |    COUNT(*) AS np, SUM(bb) AS sb, SUM(gg) AS sg, SUM(rr) AS sr,
+       |    SUM($l) AS sl,
+       |    SUM(CAST($l AS HUGEINT) * $l) AS sl2,
+       |    MIN($l) AS minl, MAX($l) AS maxl,
+       |    SUM(CASE WHEN 2 * $l > 255000 THEN 1 ELSE 0 END) AS bright
+       |  FROM ch GROUP BY doc_id
+       |)
+       |SELECT doc_id,
+       |  CAST(54 + row_bytes * h AS INTEGER) AS n_bytes,
+       |  CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+       |  CAST(sb AS DOUBLE) / (np * 255.0) AS feature_0,
+       |  CAST(sg AS DOUBLE) / (np * 255.0) AS feature_1,
+       |  CAST(sr AS DOUBLE) / (np * 255.0) AS feature_2,
+       |  (CAST(sl AS DOUBLE) / np) / 255000.0 AS feature_3,
+       |  (CAST(sl2 AS DOUBLE) / np - (CAST(sl AS DOUBLE) / np) * (CAST(sl AS DOUBLE) / np))
+       |    / (255000.0 * 255000.0) AS feature_4,
+       |  CAST(minl AS DOUBLE) / 255000.0 AS feature_5,
+       |  CAST(maxl AS DOUBLE) / 255000.0 AS feature_6,
+       |  CAST(bright AS DOUBLE) / np AS feature_7
+       |FROM ag""".stripMargin
+  }
+
+  /** Per-doc 16-bit PCM WAV synthesis + REAL decode (key
+    * `mm_wav_features`): channels = 1 + doc_id%2, 4 + doc_id%5 frames
+    * at 8 kHz, interleaved int16 LE samples = UTF-8 bytes cycled
+    * (both sign cases exercised — high text bytes yield negative
+    * samples). */
+  def mmWavFeatures(spark: SparkSession, dir: String): DataFrame = {
+    val staged = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text").cast("binary").as("bin"))
+      .filter(length(col("bin")) > 0)
+      .withColumn("c", expr("cast(1 + doc_id % 2 as int)"))
+      .withColumn("nf", expr("cast(4 + doc_id % 5 as int)"))
+      .withColumn("data_len", expr("nf * c * 2"))
+      .withColumn("n", length(col("bin")))
+      .withColumn("hx", hex(col("bin")))
+      .withColumn("reps", expr("cast((data_len + n - 1) div n as int)"))
+    val blob = "unhex(concat('52494646', " +
+      sparkLe4("36 + data_len") + ", '57415645', '666D7420', '10000000', " +
+      "'0100', " + sparkLe2("c") + ", '401F0000', " +
+      sparkLe4("16000 * c") + ", " + sparkLe2("2 * c") + ", '1000', " +
+      "'64617461', " + sparkLe4("data_len") + ", " +
+      "substring(repeat(hx, reps), 1, data_len * 2)))"
+    featureExtractBinOn(
+      staged.select(col("doc_id"), expr(blob).as("content")),
+      WavMediaDecoder)
+  }
+
+  /** DuckDB replay of [[mmWavFeatures]]: reassemble each int16 LE
+    * sample from the cycled byte stream, then the decoder's lanes —
+    * exact-integer sums, the sequential zero-skipping sign-crossing
+    * count as an ordered list fold, and the final double steps
+    * verbatim. */
+  val mmWavFeaturesOracleSql: String = {
+    import graft.functions.SqlReplay.hexBytes
+    s"""WITH b AS (
+       |  SELECT doc_id, hex(encode(text)) AS hx,
+       |    octet_length(encode(text)) AS n FROM documents
+       |  WHERE octet_length(encode(text)) > 0
+       |), p AS (
+       |  SELECT doc_id, n, CAST(1 + doc_id % 2 AS INTEGER) AS c,
+       |    CAST(4 + doc_id % 5 AS INTEGER) AS nf,
+       |    ${hexBytes("hx", "n")} AS bytes
+       |  FROM b
+       |), sm AS (
+       |  SELECT doc_id, n, c, nf, bytes,
+       |    CAST(unnest(generate_series(0, nf * c - 1)) AS BIGINT) AS i
+       |  FROM p
+       |), sv AS (
+       |  SELECT doc_id, c, nf, i,
+       |    CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS s
+       |  FROM (
+       |    SELECT doc_id, c, nf, i,
+       |      CAST(bytes[((2 * i) % n) + 1] AS BIGINT)
+       |        + 256 * CAST(bytes[((2 * i + 1) % n) + 1] AS BIGINT) AS u
+       |    FROM sm)
+       |), ag AS (
+       |  SELECT doc_id, any_value(c) AS c, any_value(nf) AS nf,
+       |    COUNT(*) AS ns, SUM(s) AS ssum, SUM(s * s) AS ssq,
+       |    MIN(s) AS mins, MAX(s) AS maxs,
+       |    SUM(CASE WHEN s = 32767 OR s = -32768 THEN 1 ELSE 0 END) AS clip,
+       |    list(CASE WHEN s > 0 THEN 1 ELSE -1 END ORDER BY i)
+       |      FILTER (WHERE s != 0) AS signs
+       |  FROM sv GROUP BY doc_id
+       |), cr AS (
+       |  SELECT doc_id, c, nf, ns, ssum, ssq, mins, maxs, clip,
+       |    CASE WHEN len(signs) > 1 THEN CAST(list_sum(
+       |      list_transform(generate_series(2, CAST(len(signs) AS BIGINT)),
+       |        j -> CASE WHEN signs[j] != signs[j - 1] THEN 1 ELSE 0 END))
+       |      AS BIGINT) ELSE 0 END AS crossings
+       |  FROM ag
+       |)
+       |SELECT doc_id,
+       |  CAST(44 + nf * c * 2 AS INTEGER) AS n_bytes,
+       |  CAST(nf AS INTEGER) AS width, CAST(c AS INTEGER) AS height,
+       |  sqrt(CAST(ssq AS DOUBLE) / ns) / 32768.0 AS feature_0,
+       |  (CAST(ssum AS DOUBLE) / ns) / 32768.0 AS feature_1,
+       |  CAST(mins AS DOUBLE) / 32768.0 AS feature_2,
+       |  CAST(maxs AS DOUBLE) / 32768.0 AS feature_3,
+       |  CAST(crossings AS DOUBLE) / ns AS feature_4,
+       |  CAST(nf AS DOUBLE) / 8000 AS feature_5,
+       |  CAST(c AS DOUBLE) AS feature_6,
+       |  CAST(clip AS DOUBLE) / ns AS feature_7
+       |FROM cr""".stripMargin
   }
 }

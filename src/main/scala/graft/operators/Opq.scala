@@ -423,7 +423,7 @@ object Opq {
     Pq.deleteFromIvfPqIndexAtomic(spark, root, vecIds, keep)
 
   def readIvfOpqIndex(spark: SparkSession, path: String): IvfOpqIndex =
-    IvfOpqIndex(spark.read.parquet(s"$path/basis"),
+    IvfOpqIndex(IndexManifest.readFrame(spark, path, "basis"),
       Pq.readIvfPqIndex(spark, path))
 
   /** Per-cell health report of a staged rotated index — the codes
@@ -448,7 +448,7 @@ object Opq {
                                     corpus: DataFrame,
                                     keep: Int = 2): String = {
     val live = IndexManifest.currentOrFail(spark, root)
-    val meta = spark.read.parquet(s"$live/codes").columns.toSeq
+    val meta = IndexManifest.readFrame(spark, live, "codes").columns.toSeq
       .filterNot(Set("vec_id", "cell", "codes"))
     val rebuilt = buildIvfOpq(corpus, metaCols = meta)
     // publishRetrain = the ENFORCED fence (r19 verdict item 1): refuses

@@ -916,7 +916,7 @@ object Pq {
                                    corpus: DataFrame, dim: Int = 0,
                                    keep: Int = 2): String = {
     val live = IndexManifest.currentOrFail(spark, root)
-    val meta = spark.read.parquet(s"$live/codes").columns.toSeq
+    val meta = IndexManifest.readFrame(spark, live, "codes").columns.toSeq
       .filterNot(Set("vec_id", "cell", "codes"))
     val rebuilt = buildIvfPq(corpus, dim, metaCols = meta)
     // publishRetrain = the ENFORCED fence (r19 verdict item 1): refuses
@@ -967,13 +967,13 @@ object Pq {
 
   def readIvfPqIndex(spark: SparkSession, path: String): IvfPqIndex =
     IvfPqIndex(
-      spark.read.parquet(s"$path/centroids"),
-      spark.read.parquet(s"$path/codebooks"),
+      IndexManifest.readFrame(spark, path, "centroids"),
+      IndexManifest.readFrame(spark, path, "codebooks"),
       // re-pin the partition column's position and type: partitioned
       // discovery appends `cell` last and may infer it narrow, while
       // every consumer binds (vec_id, cell: long, codes) positionally;
       // metadata columns (buildIvfPq's metaCols) keep riding after
-      pinnedCodes(spark.read.parquet(s"$path/codes")))
+      pinnedCodes(IndexManifest.readFrame(spark, path, "codes")))
 
   /** (vec_id, cell: long, codes, meta…) — the consumer-facing column
     * order/type pin, metadata preserved. */

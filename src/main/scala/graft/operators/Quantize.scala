@@ -160,7 +160,7 @@ object Quantize {
                     metaCols: Seq[String] = Seq.empty): Unit = {
     val spark = vectors.sparkSession
     quantizerRanges(vectors).write.mode("overwrite").parquet(s"$path/ranges")
-    val staged = spark.read.parquet(s"$path/ranges")
+    val staged = IndexManifest.readFrame(spark, path, "ranges")
     val codes = quantizeCodesAgainst(vectors, staged, dim = Some(staged.count()))
     val withMeta =
       if (metaCols.isEmpty) codes
@@ -186,8 +186,8 @@ object Quantize {
     * Returns the number of appended code rows. */
   def appendSq8Index(spark: SparkSession, path: String,
                      newVectors: DataFrame): Long = {
-    val ranges = spark.read.parquet(s"$path/ranges")
-    val riding = spark.read.parquet(s"$path/codes").columns.toSeq
+    val ranges = IndexManifest.readFrame(spark, path, "ranges")
+    val riding = IndexManifest.readFrame(spark, path, "codes").columns.toSeq
       .filterNot(Set("vec_id", "codes", "grp"))
     riding.foreach(c => require(newVectors.columns.contains(c),
       s"appendSq8Index: the staged codes ride metadata column '$c' " +
@@ -212,8 +212,8 @@ object Quantize {
   def appendSq8IndexAtomic(spark: SparkSession, root: String,
                            newVectors: DataFrame, keep: Int = 2): Long = {
     val live = IndexManifest.currentOrFail(spark, root)
-    val ranges = spark.read.parquet(s"$live/ranges")
-    val riding = spark.read.parquet(s"$live/codes").columns.toSeq
+    val ranges = IndexManifest.readFrame(spark, live, "ranges")
+    val riding = IndexManifest.readFrame(spark, live, "codes").columns.toSeq
       .filterNot(Set("vec_id", "codes", "grp"))
     riding.foreach(c => require(newVectors.columns.contains(c),
       s"appendSq8IndexAtomic: the staged codes ride metadata column '$c' " +
@@ -295,14 +295,14 @@ object Quantize {
   def querySq8Index(spark: SparkSession, path: String, vectors: DataFrame,
                     queryIds: Seq[Long], k: Int = Similarity.K,
                     rerank: Int = Pq.Rerank): DataFrame = {
-    val rg = spark.read.parquet(s"$path/ranges")
+    val rg = IndexManifest.readFrame(spark, path, "ranges")
       .orderBy(col("pos")).collect()
       .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
     if (rg.isEmpty)
       return vectors.limit(0).select(
         col("vec_id").as("query_id"), col("vec_id").as("neighbor_id"),
         lit(0).as("rank"), lit(0.0).as("cosine"))
-    sq8Scan(spark.read.parquet(s"$path/codes"), rg, vectors,
+    sq8Scan(IndexManifest.readFrame(spark, path, "codes"), rg, vectors,
       col("vec_id").isInCollection(queryIds), k, rerank)
   }
 
@@ -326,14 +326,14 @@ object Quantize {
   def querySq8IndexRadius(spark: SparkSession, path: String,
                           vectors: DataFrame, queryIds: Seq[Long],
                           tau: Double = Similarity.RadiusTau): DataFrame = {
-    val rg = spark.read.parquet(s"$path/ranges")
+    val rg = IndexManifest.readFrame(spark, path, "ranges")
       .orderBy(col("pos")).collect()
       .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
     if (rg.isEmpty)
       return vectors.limit(0).select(
         col("vec_id").as("query_id"), col("vec_id").as("neighbor_id"),
         lit(0.0).as("cosine"))
-    val decoded = dequantized(spark.read.parquet(s"$path/codes"), rg)
+    val decoded = dequantized(IndexManifest.readFrame(spark, path, "codes"), rg)
     val vn = vectors
       .select(col("vec_id"), V.toDouble(col("embedding")).as("e"))
       .withColumn("nrm", V.l2Norm(col("e")))
@@ -363,10 +363,10 @@ object Quantize {
                                   vectors: DataFrame, queryIds: Seq[Long],
                                   tau: Double = Similarity.RadiusTau,
                                   filterCol: String = "label"): DataFrame = {
-    val rg = spark.read.parquet(s"$path/ranges")
+    val rg = IndexManifest.readFrame(spark, path, "ranges")
       .orderBy(col("pos")).collect()
       .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
-    val staged = spark.read.parquet(s"$path/codes")
+    val staged = IndexManifest.readFrame(spark, path, "codes")
     require(staged.columns.contains(filterCol),
       s"staged codes carry no '$filterCol' column — " +
         s"stage the index with metaCols = Seq(\"$filterCol\")")
@@ -452,14 +452,14 @@ object Quantize {
                             k: Int = Similarity.K,
                             rerank: Int = Pq.Rerank,
                             filterCol: String = "label"): DataFrame = {
-    val rg = spark.read.parquet(s"$path/ranges")
+    val rg = IndexManifest.readFrame(spark, path, "ranges")
       .orderBy(col("pos")).collect()
       .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
     if (rg.isEmpty)
       return vectors.limit(0).select(
         col("vec_id").as("query_id"), col("vec_id").as("neighbor_id"),
         col(filterCol).as("label"), lit(0).as("rank"), lit(0.0).as("cosine"))
-    val raw = spark.read.parquet(s"$path/codes")
+    val raw = IndexManifest.readFrame(spark, path, "codes")
     require(raw.columns.contains(filterCol),
       s"staged SQ8 codes carry no '$filterCol' column — " +
         s"stage the index with metaCols = Seq(\"$filterCol\")")
@@ -903,7 +903,7 @@ object Quantize {
       Similarity.ivfIndex(train, 0, "ivf_centroids_write_ivf_sq8")
     centroids.write.mode("overwrite").parquet(s"$path/centroids")
     quantizerRanges(train).write.mode("overwrite").parquet(s"$path/ranges")
-    val stagedRg = spark.read.parquet(s"$path/ranges")
+    val stagedRg = IndexManifest.readFrame(spark, path, "ranges")
     // the INDEXED corpus: when training is decoupled, assign every
     // corpus vector to the trained centroids (the append arithmetic)
     val cellOf =
@@ -944,7 +944,7 @@ object Quantize {
                        vectors: DataFrame, queryIds: Seq[Long],
                        k: Int = Similarity.K, rerank: Int = Pq.Rerank,
                        nprobe: Int = Similarity.IvfNProbe): DataFrame = {
-    val rg = spark.read.parquet(s"$path/ranges")
+    val rg = IndexManifest.readFrame(spark, path, "ranges")
       .orderBy(col("pos")).collect()
       .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
     if (rg.isEmpty)
@@ -956,13 +956,13 @@ object Quantize {
       .withColumn("nrm", V.l2Norm(col("e")))
     val queries = broadcast(vn.filter(col("vec_id").isInCollection(queryIds))
       .select(col("vec_id").as("query_id"), col("e").as("qe"), col("nrm").as("qnrm")))
-    val centroids = spark.read.parquet(s"$path/centroids")
+    val centroids = IndexManifest.readFrame(spark, path, "centroids")
     val probes = Similarity.probeCells(queries, centroids, nprobe)
     // bounded driver collect (Q·nprobe rows) so the cell cut reaches
     // the scan as a STATIC partition filter, not a runtime join
     val probedCells = probes.select(col("cell").cast("long"))
       .distinct().collect().map(_.getLong(0)).toSeq
-    val pruned = Pq.pinnedCodes(spark.read.parquet(s"$path/codes"))
+    val pruned = Pq.pinnedCodes(IndexManifest.readFrame(spark, path, "codes"))
       .filter(col("cell").isInCollection(probedCells))
       .select(col("vec_id"), col("cell"), col("codes"))
     val decoded = dequantized(pruned, rg)
@@ -1010,9 +1010,9 @@ object Quantize {
     * path and the manifest-atomic form. */
   private def ivfSq8AppendBatch(spark: SparkSession, path: String,
                                 newVectors: DataFrame): DataFrame = {
-    val centroids = spark.read.parquet(s"$path/centroids")
-    val stagedRg = spark.read.parquet(s"$path/ranges")
-    val riding = spark.read.parquet(s"$path/codes").columns.toSeq
+    val centroids = IndexManifest.readFrame(spark, path, "centroids")
+    val stagedRg = IndexManifest.readFrame(spark, path, "ranges")
+    val riding = IndexManifest.readFrame(spark, path, "codes").columns.toSeq
       .filterNot(Set("vec_id", "codes", "cell"))
     riding.foreach(c => require(newVectors.columns.contains(c),
       s"appendIvfSq8Index: the staged codes ride metadata column '$c' " +
@@ -1071,8 +1071,8 @@ object Quantize {
   def ivfSq8IndexStats(spark: SparkSession, path: String,
                        appendedFrom: Long): DataFrame =
     Similarity.cellStatsOf(
-      Pq.pinnedCodes(spark.read.parquet(s"$path/codes")),
-      spark.read.parquet(s"$path/centroids"), appendedFrom)
+      Pq.pinnedCodes(IndexManifest.readFrame(spark, path, "codes")),
+      IndexManifest.readFrame(spark, path, "centroids"), appendedFrom)
 
   /** Retrain a drifted MANIFEST-rooted composed index: re-run
     * [[writeIvfSq8Index]] — fresh centroids AND a fresh ranges grid —
@@ -1085,7 +1085,7 @@ object Quantize {
                                     corpus: DataFrame,
                                     keep: Int = 2): String = {
     val live = IndexManifest.currentOrFail(spark, root)
-    val meta = spark.read.parquet(s"$live/codes").columns.toSeq
+    val meta = IndexManifest.readFrame(spark, live, "codes").columns.toSeq
       .filterNot(Set("vec_id", "cell", "codes"))
     // publishRetrain = the ENFORCED fence (r19 verdict item 1): refuses
     // while un-flushed streaming-pending rows exist, and advances the

@@ -1526,12 +1526,12 @@ object Similarity {
     * partitioned discovery appends `cell` last and may infer it
     * narrow, while consumers bind it positionally as long). */
   def readIvfIndex(spark: SparkSession, path: String): (DataFrame, DataFrame) = {
-    val raw = spark.read.parquet(s"$path/postings")
+    val raw = IndexManifest.readFrame(spark, path, "postings")
     val meta = raw.columns.toSeq
       .filterNot(Set("vec_id", "e", "nrm", "cell")).map(col)
     (raw.select((Seq(col("vec_id"), col("e"), col("nrm"),
        col("cell").cast("long").as("cell")) ++ meta): _*),
-     spark.read.parquet(s"$path/centroids"))
+     IndexManifest.readFrame(spark, path, "centroids"))
   }
 
   /** Query a STAGED float index: the [[knnIvfOn]] probe + rank tail
@@ -1653,7 +1653,7 @@ object Similarity {
     * ([[appendIvfIndexAtomic]]). */
   private def ivfAppendBatch(spark: SparkSession, path: String,
                              newVectors: DataFrame): DataFrame = {
-    val centroids = spark.read.parquet(s"$path/centroids")
+    val centroids = IndexManifest.readFrame(spark, path, "centroids")
     // dimension discipline (the r15-advice class, float form): a
     // too-SHORT vector would silently prefix-dot its way into some
     // cell and poison the postings before any query fails; a
@@ -1682,7 +1682,7 @@ object Similarity {
     // differ from the staged postings' would write a divergent-schema
     // cell file (readers then see nulls or drop the filter column) —
     // fail loudly instead
-    val stagedMeta = spark.read.parquet(s"$path/postings").columns.toSet
+    val stagedMeta = IndexManifest.readFrame(spark, path, "postings").columns.toSet
       .diff(Set("vec_id", "e", "nrm", "cell"))
     val batchMeta = metaCols(newVectors).toSet
     require(batchMeta == stagedMeta,
@@ -1922,7 +1922,7 @@ object Similarity {
   def rebalanceIvfIndexVersioned(spark: SparkSession, root: String,
                                  keep: Int = 2): String = {
     val live = IndexManifest.currentOrFail(spark, root)
-    val postings = spark.read.parquet(s"$live/postings")
+    val postings = IndexManifest.readFrame(spark, live, "postings")
     val meta = postings.columns.toSeq
       .filterNot(Set("vec_id", "e", "nrm", "cell")).map(col)
     val corpus = Scratch.stageReuse(

@@ -127,4 +127,66 @@ class IngestSpec extends SparkSpecBase {
     assert(e.getSuppressed.exists(_.getMessage == "boom 1"))
     assert(slept == 1) // no sleep after the final attempt
   }
+
+  test("HTTP source end-to-end (r19 verdict soft gap 1): a REAL localhost " +
+      "HTTP fetch rides withRetry through envelopesFetched — two 500s then " +
+      "success, the landed envelopes parse, and the retry left no trace") {
+    import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+    val hits = new java.util.concurrent.atomic.AtomicInteger(0)
+    val body = "{\"city\":\"jakarta\",\"temp\":31.5}\n" +
+      "{\"city\":\"bandung\",\"temp\":24.0}"
+    // JDK-built-in server on an ephemeral loopback port: genuine HTTP
+    // transport (status codes, streams, timeouts) with zero egress and
+    // zero dependencies — the reference's open-meteo GET stand-in
+    val server = HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/v1/observations", new HttpHandler {
+      def handle(x: HttpExchange): Unit = {
+        val n = hits.incrementAndGet()
+        val (code, bytes) =
+          if (n <= 2) (500, "upstream flake".getBytes("UTF-8"))
+          else (200, body.getBytes("UTF-8"))
+        x.sendResponseHeaders(code, bytes.length)
+        x.getResponseBody.write(bytes)
+        x.close()
+      }
+    })
+    server.start()
+    try {
+      val port = server.getAddress.getPort
+      val url = java.net.URI.create(
+        s"http://127.0.0.1:$port/v1/observations?ds=2024-01-15").toURL
+      def httpGetLines(attempt: Int): Seq[String] = {
+        val conn = url.openConnection().asInstanceOf[java.net.HttpURLConnection]
+        conn.setConnectTimeout(2000)
+        conn.setReadTimeout(2000)
+        try {
+          val code = conn.getResponseCode
+          if (code != 200)
+            throw new java.io.IOException(s"HTTP $code on attempt $attempt")
+          new String(conn.getInputStream.readAllBytes(), "UTF-8")
+            .linesIterator.filter(_.nonEmpty).toSeq
+        } finally conn.disconnect()
+      }
+      val sleeps = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val env = Ingest.envelopesFetched(spark, httpGetLines,
+        source = "open_http", ds = "2024-01-15",
+        retries = 2, backoffMs = 250L, sleep = sleeps += _)
+      val raw = java.nio.file.Files.createTempDirectory("graft_http_raw").toString
+      Ingest.landRaw(env, raw)
+      assert(hits.get() == 3, "two 500s then the success — exactly 3 requests")
+      assert(sleeps.toSeq == Seq(250L, 250L),
+        "one fixed-backoff sleep between each failed attempt")
+      val parsed = Ingest.parseRaw(spark, raw, "2024-01-15",
+          StructType.fromDDL("city STRING, temp DOUBLE"))
+        .orderBy("ingest_id")
+        .select("ingest_id", "city", "temp", "_corrupt")
+        .collect()
+      assert(parsed.length == 2)
+      assert(parsed(0).getLong(0) == 0L && parsed(0).getString(1) == "jakarta"
+        && parsed(0).getDouble(2) == 31.5 && parsed(0).isNullAt(3))
+      assert(parsed(1).getLong(0) == 1L && parsed(1).getString(1) == "bandung"
+        && parsed(1).getDouble(2) == 24.0 && parsed(1).isNullAt(3))
+    } finally server.stop(0)
+  }
 }

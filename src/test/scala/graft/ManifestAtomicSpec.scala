@@ -24,8 +24,25 @@ import graft.operators.{IndexManifest, Opq, Pq, Quantize, Similarity}
   * Fixture sharing (r18 verdict item 8): the float tier stages ONE
   * in-place twin and ONE versioned root, evolved across the cases in
   * suite order (append → erase → crash/recovery) instead of a fresh
-  * staging per case — the QuantizeSpec staging pattern. */
-class ManifestAtomicSpec extends SparkSpecBase {
+  * staging per case — the QuantizeSpec staging pattern.
+  *
+  * This suite pins `spark.graft.manifest.mode = link` (r20): it IS
+  * the hardlink-tier spec — self-contained version directories,
+  * inode-identity assertions, wholesale vacuum. The default REFS
+  * layout (file-reference manifests, store-landed deltas) has its own
+  * suite, [[ManifestRefsSpec]], and is what every other suite and the
+  * driver gate exercise. */
+class ManifestAtomicSpec extends SparkSpecBase
+    with org.scalatest.BeforeAndAfterAll {
+
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    spark.conf.set("spark.graft.manifest.mode", "link")
+  }
+  override def afterAll(): Unit = {
+    spark.conf.unset("spark.graft.manifest.mode")
+    super.afterAll()
+  }
 
   private def vectors = graft.sources.Tables.embeddings(spark, sfDir)
 

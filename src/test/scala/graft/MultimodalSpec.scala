@@ -330,6 +330,53 @@ class MultimodalSpec extends SparkSpecBase {
     assert(e3.getMessage.contains("BMP decode") ||
       (e3.getCause != null && e3.getCause.getMessage.contains("BMP decode")),
       s"hostile width must fail with the decode diagnosis, got ${e3.getMessage}")
+    // BOTH dims hostile (r19 advice): rowBytesL·h overflows even Long
+    // (~1.4e19), wraps negative, and would slip past the truncation
+    // require — multiplyExact must turn the wrap into the same
+    // diagnosis, never a raw ArrayIndexOutOfBounds
+    val hostile2 = bmp.clone()
+    put32(hostile2, 18, (1 << 30) - 1) // width
+    put32(hostile2, 22, (1 << 30) - 1) // height: product wraps Long
+    val e4 = intercept[org.apache.spark.SparkException] {
+      Multimodal.featureExtractOn(
+        Seq((9L, hostile2)).toDF("doc_id", "text"),
+        Multimodal.BmpMediaDecoder).collect()
+    }
+    assert(e4.getMessage.contains("BMP decode") ||
+      (e4.getCause != null && e4.getCause.getMessage.contains("BMP decode")),
+      s"both-dims-hostile must fail with the decode diagnosis, got ${e4.getMessage}")
+  }
+
+  test("real-media driver keys: the in-plan BMP/WAV synthesis round-trips " +
+      "the REAL parsers — decoder-reported dims equal the shared spec, " +
+      "lanes are sane, every doc decodes") {
+    val docs = sources.Tables.documents(spark, sfDir)
+    val nDocs = docs.filter(length(col("text")) > 0).count()
+    val bmp = graft.operators.Multimodal.mmBmpFeatures(spark, sfDir).collect()
+    assert(bmp.length == nDocs.toInt, "every document must decode as a BMP")
+    bmp.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      // dims come OUT of the real header parse — equality with the
+      // doc_id formula proves the synthesized header was byte-correct
+      assert(r.getAs[Int]("width") == 4 + (id % 3).toInt)
+      assert(r.getAs[Int]("height") == 2 + (id % 2).toInt)
+      val rowBytes = ((r.getAs[Int]("width") * 3 + 3) / 4) * 4
+      assert(r.getAs[Int]("n_bytes") == 54 + rowBytes * r.getAs[Int]("height"))
+      (0 until 8).foreach { i =>
+        val f = r.getAs[Double](s"feature_$i")
+        assert(!f.isNaN && f >= -1.0 && f <= 1.0, s"lane $i out of range: $f")
+      }
+    }
+    val wav = graft.operators.Multimodal.mmWavFeatures(spark, sfDir).collect()
+    assert(wav.length == nDocs.toInt, "every document must decode as a WAV")
+    wav.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(r.getAs[Int]("width") == 4 + (id % 5).toInt)  // frames
+      assert(r.getAs[Int]("height") == 1 + (id % 2).toInt) // channels
+      assert(r.getAs[Double]("feature_6") == (1 + (id % 2)).toDouble)
+      assert(r.getAs[Int]("n_bytes") ==
+        44 + r.getAs[Int]("width") * r.getAs[Int]("height") * 2)
+    }
   }
 
   test("WAV decoder: RIFF chunk walk through featureExtract — lanes match " +

@@ -22,6 +22,9 @@ class ObjectStoreSpec extends SparkSpecBase {
     // register the scheme once on the shared session's Hadoop conf
     spark.sparkContext.hadoopConfiguration
       .set("fs.stub.impl", classOf[StubFileSystem].getName)
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.AbstractFileSystem.stub.impl",
+        classOf[StubAbstractFileSystem].getName)
     val d = java.nio.file.Files.createTempDirectory("graft_stub_fs").toString
     s"stub://$d"
   }
@@ -76,5 +79,55 @@ class ObjectStoreSpec extends SparkSpecBase {
     assert(Pipeline.runDs(spark, sfDir, lake, "2024-01-15").nL2 == r.nL2)
     val ledger = Pipeline.readRunLedger(spark, lake).collect()
     assert(ledger.length == 3 && ledger.forall(_.getString(3) != "rejected"))
+  }
+
+  test("refs-mode atomic index lifecycle through the stub scheme: delta " +
+      "publishes move ZERO unchanged bytes on a non-file filesystem — the " +
+      "object-store property the link mirror cannot give") {
+    import graft.operators.{IndexManifest, Similarity}
+    val vectors = sources.Tables.embeddings(spark, sfDir)
+    val maxId = vectors.agg(max(col("vec_id"))).collect()(0).getLong(0)
+    val base = vectors.filter(col("vec_id") <= maxId / 2)
+    val rest = vectors.filter(col("vec_id") > maxId / 2)
+    val root = s"$stubRoot/refs_idx"
+    val plain = java.nio.file.Files.createTempDirectory("graft_stub_plain").toString
+    Similarity.writeIvfIndex(base, plain)
+    Similarity.appendIvfIndex(spark, plain, rest)
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._3))
+    val v1 = Similarity.stageIvfIndexVersion(base, root)
+    // the non-local claim branch (_CLAIM exclusive create) ran:
+    assert(v1.startsWith("stub://"), s"version must resolve through the scheme, got $v1")
+    val n = Similarity.appendIvfIndexAtomic(spark, root, rest)
+    assert(n == rest.count())
+    val v2 = IndexManifest.currentOrFail(spark, root)
+    assert(canon(Similarity.queryIvfIndex(spark, v2))
+      .sameElements(canon(Similarity.queryIvfIndex(spark, plain))),
+      "stub-scheme refs append must answer exactly like the in-place twin")
+    // THE object-store property: the delta version holds no parquet at
+    // all (pure manifest) — with the link layout on this scheme every
+    // unchanged partition would have BYTE-COPIED (FileUtil.copy)
+    val v2local = v2.stripPrefix("stub://")
+    val stream = java.nio.file.Files.walk(java.nio.file.Paths.get(v2local))
+    val parquets = try {
+      val b = Seq.newBuilder[String]
+      stream.filter(p => p.toString.endsWith(".parquet")).forEach(p => b += p.toString)
+      b.result()
+    } finally stream.close()
+    assert(parquets.isEmpty,
+      s"a stub-scheme refs delta must move zero unchanged bytes, found $parquets")
+    // erasure + vacuum keep the chain serving through the scheme
+    val erased = rest.select("vec_id").limit(5).collect().map(_.getLong(0)).toSeq
+    Similarity.deleteFromIvfIndex(spark, plain, erased)
+    assert(Similarity.deleteFromIvfIndexAtomic(spark, root, erased) == erased.size.toLong)
+    assert(canon(Similarity.queryIvfIndex(spark,
+        IndexManifest.currentOrFail(spark, root)))
+      .sameElements(canon(Similarity.queryIvfIndex(spark, plain))))
+    IndexManifest.vacuum(spark, root, keep = 1)
+    assert(canon(Similarity.queryIvfIndex(spark,
+        IndexManifest.currentOrFail(spark, root)))
+      .sameElements(canon(Similarity.queryIvfIndex(spark, plain))),
+      "vacuum through the scheme must never break the live chain")
   }
 }

@@ -132,4 +132,46 @@ class PipelineSpec extends SparkSpecBase {
       when(col("event_id") === 1L, lit(3.5)).otherwise(col("value")))
     assert(Pipeline.dqGate(oneGood, "2024-01-15") == 2L)
   }
+
+  test("runBackfill: ledger-aware sweep executes the work-list; an injected " +
+      "mid-run failure is isolated; the rerun resumes at exactly the failed " +
+      "day and a third sweep finds no work") {
+    // 3-day mini source: a full-corpus sweep would run ~30 runDs calls
+    val src = java.nio.file.Files.createTempDirectory("graft_backfill_src").toString
+    val days = Seq("2024-01-15", "2024-01-16", "2024-01-17")
+    graft.sources.Tables.events(spark, sfDir)
+      .filter(to_date(col("ts")).cast("string").isin(days: _*))
+      .write.parquet(s"$src/events.parquet")
+    val lake = java.nio.file.Files.createTempDirectory("graft_backfill_lake").toString
+    // sweep 1: the middle day throws a transient (non-DQ) failure
+    var calls = Vector.empty[String]
+    def flaky(s: org.apache.spark.sql.SparkSession, sd: String, lk: String,
+              ds: String): Pipeline.DsRunSummary = {
+      calls :+= ds
+      if (ds == days(1)) throw new RuntimeException("injected transient failure")
+      Pipeline.runDs(s, sd, lk, ds)
+    }
+    val s1 = Pipeline.runBackfill(spark, src, lake, runOne = flaky)
+    assert(calls == days.toVector, "sweep 1 must attempt every day in order")
+    assert(s1.map(b => (b.ds, b.status)) ==
+      Seq((days(0), "ok"), (days(1), "failed"), (days(2), "ok")),
+      s"one day's failure must not abort the sweep, got $s1")
+    assert(spark.read.parquet(s"$lake/l2")
+      .select(col("event_date").cast("string")).distinct()
+      .collect().map(_.getString(0)).sorted.toSeq == Seq(days(0), days(2)))
+    // sweep 2: resumes at EXACTLY the failed day — completed days
+    // short-circuit on their ledger rows, nothing recomputes
+    calls = Vector.empty
+    val s2 = Pipeline.runBackfill(spark, src, lake,
+      runOne = (s, sd, lk, ds) => { calls :+= ds; Pipeline.runDs(s, sd, lk, ds) })
+    assert(calls == Vector(days(1)),
+      s"the rerun must retry only the failed day, attempted $calls")
+    assert(s2.map(b => (b.ds, b.status)) == Seq((days(1), "ok")))
+    assert(spark.read.parquet(s"$lake/l2")
+      .select(col("event_date").cast("string")).distinct()
+      .count() == 3)
+    // sweep 3: ledger says complete — zero work, zero runs
+    val s3 = Pipeline.runBackfill(spark, src, lake)
+    assert(s3.isEmpty, s"a complete lake must yield an empty sweep, got $s3")
+  }
 }

@@ -12,3 +12,12 @@ class StubFileSystem extends org.apache.hadoop.fs.RawLocalFileSystem {
   override def getScheme: String = "stub"
   override def getUri: java.net.URI = java.net.URI.create("stub:///")
 }
+
+/** The `AbstractFileSystem` twin (the FileContext API resolves
+  * schemes through `fs.AbstractFileSystem.<scheme>.impl`, separately
+  * from the FileSystem registry) — IndexManifest's pointer/claim ops
+  * run on FileContext, so the stub scheme needs both bindings. */
+class StubAbstractFileSystem(uri: java.net.URI,
+                             conf: org.apache.hadoop.conf.Configuration)
+  extends org.apache.hadoop.fs.DelegateToFileSystem(
+    uri, new StubFileSystem, conf, "stub", false)
