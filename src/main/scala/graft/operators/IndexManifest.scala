@@ -65,11 +65,43 @@ import org.apache.spark.sql.functions.col
   * of displacing a genuinely readable version from the retention
   * window.
   *
+  * LAYOUTS (r19 verdict item 2): a DELTA publish (append/erase)
+  * materializes its new version in one of two ways, selected by
+  * `spark.graft.manifest.mode` (see [[layoutMode]]):
+  *
+  *  - `refs` (DEFAULT): the version is a FILE-REFERENCE MANIFEST —
+  *    touched partitions land as fresh files in the shared
+  *    [[StoreDir]], everything else is inherited by reference in
+  *    [[RefsFile]]. Publish cost is O(touched bytes) + one manifest
+  *    write on EVERY filesystem; readers resolve through
+  *    [[readFrame]]. The lake-format shape (Iceberg/Delta's
+  *    version-as-file-list), reduced to one flat manifest because an
+  *    index version is immutable once published. At extreme file
+  *    counts (≳10⁶ files ≈ a 100 MB manifest) the flat form's
+  *    string-processing bill grows linearly — still ~100× cheaper
+  *    than per-file metadata ops, and the known upgrade path is
+  *    Iceberg-style hierarchical manifests behind the same API.
+  *  - `link`: the version is physically self-contained — unchanged
+  *    files hardlink ([[mirror]]); O(n_files) inode ops per publish
+  *    on a local FS, a full data copy anywhere without hardlinks.
+  *    For deployments that want rsync-able version dirs.
+  *
+  * RETRAIN EPOCHS (r19 verdict item 1): see [[EpochFile]] /
+  * [[publishRetrain]] — full publishes advance an epoch counter that
+  * delta publishes carry forward, giving epoch-fenced readers (the
+  * streaming ANN ingest's idempotence claim) a cheap "did the
+  * assignment function move" test, and the retrain publish refuses
+  * while un-flushed streaming pending rows exist.
+  *
   * 100 TB: the manifest adds ONE tiny file read per query plan and
-  * one create+rename per restage, independent of index size; the cost
-  * of atomicity is the double-materialization of a restaged version,
-  * which a restage (unlike the in-place append/delete fast paths)
-  * already pays by definition. */
+  * one create+rename per restage, independent of index size; in refs
+  * mode a delta publish moves O(touched bytes) regardless of the
+  * untouched mass (ScaleCheck `ivf_refs_cost`: 3.5× over hardlinks at
+  * 4096 partitions on local FS — the gap is the whole data volume on
+  * an object store); the cost of atomicity is the
+  * double-materialization of a restaged version, which a restage
+  * (unlike the in-place append/delete fast paths) already pays by
+  * definition. */
 object IndexManifest {
 
   private val Pointer = "CURRENT"
@@ -486,9 +518,10 @@ object IndexManifest {
 
   /** [[publish]] with the LIVE version's directory handed to the
     * writer — the delta-publish primitive: `edit(live, next)`
-    * materializes the next version FROM the current one (hardlink
-    * what didn't change, rewrite what did). Fails loudly when nothing
-    * is published yet. */
+    * materializes the next version FROM the current one (reference or
+    * hardlink what didn't change per [[layoutMode]], rewrite what
+    * did — [[materializeDelta]] is the standard editor). Fails loudly
+    * when nothing is published yet. */
   def publishFrom(spark: SparkSession, root: String)
                  (edit: (String, String) => Unit): String = {
     val ctx = fc(spark, root)
@@ -848,10 +881,11 @@ object IndexManifest {
 
   /** ATOMIC batch append on a versioned index whose mutable state is
     * one partition tree (`root/v=n/$tree/$partCol=…` — the float
-    * tier's postings, every compressed tier's codes): hardlink-mirror
-    * the live version except the batch's touched partition
-    * directories, write those partitions as old-rows ∪ batch into the
-    * fresh version, flip the pointer. A reader overlapping the append
+    * tier's postings, every compressed tier's codes): inherit the
+    * live version except the batch's touched partition directories
+    * ([[materializeDelta]] — by reference or hardlink per
+    * [[layoutMode]]), write those partitions as old-rows ∪ batch into
+    * the fresh version, flip the pointer. A reader overlapping the append
     * sees the wholly-old or wholly-new version — never some of the
     * batch's cells and not others (the in-place fast paths'
     * documented residual); a crash anywhere leaves the pointer on the
@@ -927,8 +961,8 @@ object IndexManifest {
   }
 
   /** ATOMIC right-to-erasure on a versioned index (layout as
-    * [[appendRowsAtomic]]): hardlink-mirror the live version except
-    * the partition directories holding an erased id, write their
+    * [[appendRowsAtomic]]): inherit the live version except the
+    * partition directories holding an erased id, write their
     * survivors into the fresh version (an emptied partition writes no
     * rows — its directory simply never exists in the new version, no
     * explicit retire step), flip the pointer. Readers never see a

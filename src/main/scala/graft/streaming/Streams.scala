@@ -595,7 +595,7 @@ object Streams {
   /** ATOMIC form of [[annIngestSink]] (r18 — the streaming twin of
     * [[graft.operators.Pq.appendIvfPqIndexAtomic]]): the index lives
     * under an [[graft.operators.IndexManifest]] root and each
-    * EFFECTIVE micro-batch lands as a hardlink-mirrored new version +
+    * EFFECTIVE micro-batch lands as a delta-published new version +
     * one pointer flip, so concurrent queries never see part of a
     * micro-batch (the in-place sink's residual: its per-cell appends
     * are visible piecemeal during the batch's job commit). The
