@@ -171,6 +171,18 @@ object IndexManifest {
       FileContext.getFileContext(uri, spark.sparkContext.hadoopConfiguration)
   }
 
+  /** ONE canonical string space for cross-surface path comparison —
+    * refs-manifest lines (written with whatever root string their
+    * publisher used) against caller-composed prefixes and listed
+    * paths. Fully qualifying both sides means "/a/b", "file:/a/b" and
+    * a trailing-slashed root all compare equal, so a sweep called
+    * with a differently-normalized root can never mistake every live
+    * store file for unreferenced garbage. Manifest lines themselves
+    * stay written exactly as composed (the read path's basePath
+    * grouping depends on their raw prefix structure). */
+  private def qual(ctx: FileContext, s: String): String =
+    ctx.makeQualified(new Path(s)).toString
+
   private def versionOf(name: String): Option[Long] =
     if (name.startsWith("v=")) name.drop(2).toLongOption else None
 
@@ -213,16 +225,37 @@ object IndexManifest {
   /** The retrain epoch of a version directory (see [[EpochFile]]);
     * 0 when the marker is absent. `dir` may be any directory a
     * version resolve returned — the read is one tiny-file open. */
-  def epochOf(spark: SparkSession, dir: String): Long = {
-    val ctx = fc(spark, dir)
-    val p = new Path(dir, EpochFile)
-    if (!ctx.util.exists(p)) return 0L
+  def epochOf(spark: SparkSession, dir: String): Long =
+    readLongFileOpt(spark, s"$dir/$EpochFile").getOrElse(0L)
+
+  /** Tiny-file long read — ONE protocol for every epoch-like marker
+    * (the version [[EpochFile]]s here and the streaming sink's
+    * reconciled-epoch marker), so the fence's two halves can never
+    * drift on parse/fail-safe semantics: an absent, torn, or foreign
+    * file reads as None and every caller degrades fail-safe. */
+  private[graft] def readLongFileOpt(spark: SparkSession,
+                                     path: String): Option[Long] = {
+    val ctx = fc(spark, path)
+    val p = new Path(path)
+    if (!ctx.util.exists(p)) return None
     val in = ctx.open(p)
     val text =
       try new String(org.apache.commons.io.IOUtils.toByteArray(in),
         StandardCharsets.UTF_8)
       finally in.close()
-    text.trim.toLongOption.getOrElse(0L)
+    text.trim.toLongOption
+  }
+
+  /** Tiny-file long write (plain overwrite — see [[readLongFileOpt]]
+    * for why a torn read is already fail-safe). */
+  private[graft] def writeLongFile(spark: SparkSession, path: String,
+                                   value: Long): Unit = {
+    val ctx = fc(spark, path)
+    val out = ctx.create(new Path(path),
+      java.util.EnumSet.of(CreateFlag.CREATE, CreateFlag.OVERWRITE),
+      Options.CreateOpts.createParent())
+    try out.write(value.toString.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
   }
 
   /** Stamp a directory with a retrain epoch — used by the streaming
@@ -413,14 +446,16 @@ object IndexManifest {
     // have no manifests: the set is empty and every dropped directory
     // deletes wholesale, exactly the self-contained-version rule.
     val referenced = all.filterNot(dropped.contains)
-      .flatMap(v => refsOf(spark, s"$root/v=$v").map(_._2)).toSet
-    val storePrefix = s"$root/$StoreDir/"
+      .flatMap(v => refsOf(spark, s"$root/v=$v").map(_._2))
+      .map(qual(ctx, _)).toSet
+    val storePrefix = qual(ctx, s"$root/$StoreDir") + "/"
     val gone = Seq.newBuilder[String]
     // store files only the dropped versions reference (partitions later
     // rewritten/erased): dead — deduped so shared entries delete once
     dropped.flatMap(v => refsOf(spark, s"$root/v=$v").map(_._2)).distinct
       .foreach { abs =>
-        if (abs.startsWith(storePrefix) && !referenced(abs)) {
+        val q = qual(ctx, abs)
+        if (q.startsWith(storePrefix) && !referenced(q)) {
           val p = new Path(abs)
           if (ctx.util.exists(p)) { ctx.delete(p, false); gone += abs }
         }
@@ -433,7 +468,7 @@ object IndexManifest {
       // serves) stays intact until the next retrain drops the last
       // reference — its dead rewritten-partition files are bounded by
       // one tree, the documented trade for never walking it here.
-      if (!referenced.exists(_.startsWith(dirS + "/"))) {
+      if (!referenced.exists(_.startsWith(qual(ctx, dirS) + "/"))) {
         ctx.delete(new Path(dirS), true)
         gone += dirS
       }
@@ -449,9 +484,22 @@ object IndexManifest {
     * who has fenced the writers): an in-flight publisher's claim is
     * indistinguishable from a stale one by design — distinguishing
     * them is exactly the liveness question a filesystem cannot
-    * answer. Returns the released directories. */
+    * answer. Returns the released directories. Also reclaims crashed
+    * publishes' orphaned tmp-pointer files (`CURRENT.tmp.<uuid>` — a
+    * publisher that died between writing its tmp pointer and the
+    * rename leaves one behind forever; under this operator's
+    * no-publisher-alive precondition they are unreachable garbage). */
   def releaseStaleClaims(spark: SparkSession, root: String): Seq[String] = {
     val ctx = fc(spark, root)
+    if (ctx.util.exists(new Path(root))) {
+      val it = ctx.listStatus(new Path(root))
+      while (it.hasNext) {
+        val st = it.next()
+        if (!st.isDirectory &&
+            st.getPath.getName.startsWith(s"$Pointer.tmp."))
+          ctx.delete(st.getPath, false)
+      }
+    }
     val liveV = pointerLines(ctx, root).headOption.flatMap(versionOf)
       .getOrElse(0L)
     val all = listVersions(ctx, new Path(root))
@@ -463,12 +511,15 @@ object IndexManifest {
     // version references (a claim's INHERITED store entries are in
     // the live chain's manifests and survive).
     val survivingRefs = all.filterNot(stale.contains)
-      .flatMap(v => refsOf(spark, s"$root/v=$v").map(_._2)).toSet
-    val storePrefix = s"$root/$StoreDir/"
+      .flatMap(v => refsOf(spark, s"$root/v=$v").map(_._2))
+      .map(qual(ctx, _)).toSet
+    val storePrefix = qual(ctx, s"$root/$StoreDir") + "/"
     stale.flatMap { v =>
       val dirS = s"$root/v=$v"
-      val freshStore = refsOf(spark, dirS).map(_._2).distinct.filter(abs =>
-        abs.startsWith(storePrefix) && !survivingRefs(abs))
+      val freshStore = refsOf(spark, dirS).map(_._2).distinct.filter { abs =>
+        val q = qual(ctx, abs)
+        q.startsWith(storePrefix) && !survivingRefs(q)
+      }
       freshStore.foreach { abs =>
         val p = new Path(abs)
         if (ctx.util.exists(p)) ctx.delete(p, false)
@@ -492,7 +543,8 @@ object IndexManifest {
     val store = new Path(root, StoreDir)
     if (!ctx.util.exists(store)) return Nil
     val referenced = listVersions(ctx, new Path(root))
-      .flatMap(v => refsOf(spark, s"$root/v=$v").map(_._2)).toSet
+      .flatMap(v => refsOf(spark, s"$root/v=$v").map(_._2))
+      .map(qual(ctx, _)).toSet
     val gone = Seq.newBuilder[String]
     def walk(dir: Path): Unit = {
       val it = ctx.listStatus(dir)
@@ -500,14 +552,16 @@ object IndexManifest {
         val st = it.next()
         if (st.isDirectory) walk(st.getPath)
         else if (!isControlName(st.getPath.getName)) {
-          // compare in the same string space refs are written in:
-          // root-anchored composition, not the FS's qualified URI
-          val abs = s"$root/$StoreDir" +
-            st.getPath.toUri.getPath.stripPrefix(
-              new Path(s"$root/$StoreDir").toUri.getPath)
-          if (!referenced(abs)) {
+          // compare in the [[qual]] canonical space: listed paths come
+          // back FS-qualified, manifest lines carry their publisher's
+          // root string — a differently-normalized `root` argument
+          // (trailing slash, explicit file: scheme) must not make
+          // every live file read as unreferenced
+          if (!referenced(qual(ctx, st.getPath.toString))) {
             ctx.delete(st.getPath, false)
-            gone += abs
+            gone += s"$root/$StoreDir" +
+              st.getPath.toUri.getPath.stripPrefix(
+                new Path(s"$root/$StoreDir").toUri.getPath)
           }
         }
       }
@@ -521,13 +575,38 @@ object IndexManifest {
     * materializes the next version FROM the current one (reference or
     * hardlink what didn't change per [[layoutMode]], rewrite what
     * did — [[materializeDelta]] is the standard editor). Fails loudly
-    * when nothing is published yet. */
-  def publishFrom(spark: SparkSession, root: String)
+    * when nothing is published yet.
+    *
+    * `requiredBaseEpoch` (r20 — closes the fence's check-then-act
+    * window): a caller whose delta CONTENT was derived under a
+    * specific retrain epoch (an encode against live centroids /
+    * codebooks / grids) passes that epoch here, and the publish fails
+    * loudly when the resolved live version's epoch differs — a
+    * retrain published mid-flight, so the derived rows sit at stale
+    * cells with stale codes and must be re-derived (streaming sinks:
+    * fail the batch and let the replay re-encode). AIRTIGHT, not
+    * best-effort: the epoch is a property of the immutable resolved
+    * version, and [[publishAt]]'s claim + head checks abort if the
+    * pointer no longer names that exact version — so a delta can only
+    * ever land on the version whose epoch was verified. The check
+    * runs BEFORE any claim, so a fence trip never poisons the version
+    * chain. */
+  def publishFrom(spark: SparkSession, root: String,
+                  requiredBaseEpoch: Option[Long] = None)
                  (edit: (String, String) => Unit): String = {
     val ctx = fc(spark, root)
     val liveName = pointerLines(ctx, root).headOption
       .getOrElse(throw new IllegalStateException(
         s"IndexManifest: no published index at $root — publish one first"))
+    requiredBaseEpoch.foreach { e =>
+      val actual = epochOf(spark, s"$root/$liveName")
+      if (actual != e) throw new IllegalStateException(
+        s"IndexManifest: live version $liveName at $root is at retrain " +
+          s"epoch $actual but this delta was derived at epoch $e — a " +
+          "retrain published mid-flight and the delta's encoded rows are " +
+          "stale; re-derive against the fresh live version (streaming " +
+          "sinks: the batch replay re-encodes)")
+    }
     // the claim is pinned to the SAME resolved live the edit reads
     // from: a pointer that advances between this resolve and the claim
     // aborts the publish instead of merging against a stale base
@@ -738,13 +817,16 @@ object IndexManifest {
     val conf = spark.sparkContext.hadoopConfiguration
     val srcRoot = new Path(src)
     val fs = srcRoot.getFileSystem(conf)
-    val local = fs.getScheme == "file"
-    def localPath(p: Path): java.nio.file.Path =
-      java.nio.file.Paths.get(p.toUri.getPath)
     // `_CLAIM` is the non-local claim marker of the SOURCE version —
-    // the destination already holds its own from claimVersion
+    // the destination already holds its own from claimVersion.
+    // `_REFS` describes the SOURCE's file set and must never ride into
+    // another version: a link-mode delta on a refs-mode base would
+    // otherwise serve the stale manifest beside its own rewritten
+    // partitions — every touched partition's superseded rows twice,
+    // and erased rows resurrected ([[materializeDelta]] materializes
+    // the base's refs physically instead).
     def skipped(rel: String): Boolean =
-      rel == "_CLAIM" ||
+      rel == "_CLAIM" || rel == RefsFile ||
         skip.exists(s => rel == s || rel.startsWith(s + "/"))
     // one recursive listing (files only — parquet trees hold no
     // meaningful empty directories; file parents are recreated below)
@@ -771,7 +853,31 @@ object IndexManifest {
       }
     }
     walk("")
-    val entries = files.result()
+    linkOrCopyAll(spark, dst, files.result(), mkParents = false)
+  }
+
+  /** Bounded-pool hardlink/copy of `(srcFile, dstRel)` entries into
+    * `dst` — the parallel metadata tail shared by [[mirror]] and the
+    * link-mode refs materialization. Hardlinks on the local FS (one
+    * inode op, zero data moved — safe because published files are
+    * immutable), byte-copies elsewhere. `mkParents` creates target
+    * parent directories first (mirror pre-creates them during its
+    * walk; refs entries arrive with no walk). */
+  private def linkOrCopyAll(spark: SparkSession, dst: String,
+                            entries: Seq[(Path, String)],
+                            mkParents: Boolean): Unit = {
+    if (entries.isEmpty) return
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new Path(dst).getFileSystem(conf)
+    val local = fs.getScheme == "file"
+    def localPath(p: Path): java.nio.file.Path =
+      java.nio.file.Paths.get(p.toUri.getPath)
+    if (mkParents)
+      entries.map { case (_, rel) => new Path(dst, rel).getParent }
+        .distinct.foreach { parent =>
+          if (local) java.nio.file.Files.createDirectories(localPath(parent))
+          else fs.mkdirs(parent)
+        }
     val pool = java.util.concurrent.Executors.newFixedThreadPool(
       math.min(16, Runtime.getRuntime.availableProcessors()))
     try {
@@ -862,6 +968,20 @@ object IndexManifest {
     if (layoutMode(spark) == "link") {
       mirror(spark, liveDir, next,
         skip = touched.map(v => s"$tree/$partCol=$v"))
+      // a refs-mode live version is not physically self-contained: its
+      // inherited files exist only as manifest lines, which mirror
+      // deliberately does NOT carry (a copied manifest would list the
+      // touched partitions' superseded files beside the rewrite below —
+      // duplicate rows, and erased rows resurrected). Materialize them
+      // as real links/copies instead, so a link-mode delta on a refs
+      // base yields the same self-contained directory a link-on-link
+      // delta does — the mode stays a per-session choice mid-chain.
+      linkOrCopyAll(spark, next,
+        refsOf(spark, liveDir)
+          .filterNot { case (rel, _) =>
+            inTouchedPartition(rel, tree, partCol, touched) }
+          .map { case (rel, abs) => (new Path(abs), rel) },
+        mkParents = true)
       merged.repartition(col(partCol))
         .write.mode("append").partitionBy(partCol).parquet(s"$next/$tree")
     } else {
@@ -899,11 +1019,22 @@ object IndexManifest {
     * Concurrent-writer safe: a lost version claim retries against the
     * freshly published live version (re-reading ITS rows for the
     * old∪new merge, so the winner's delta carries forward); exhausted
-    * retries fail loudly — rows are never silently dropped. */
+    * retries fail loudly — rows are never silently dropped.
+    *
+    * `requireEpoch`: the retrain epoch the batch's rows were ENCODED
+    * under (tier wrappers and the streaming sink read it off the live
+    * version they encode against) — the publish then refuses, loudly
+    * and before claiming anything, if a retrain republished the index
+    * mid-flight ([[publishFrom]]'s `requiredBaseEpoch`). Without it a
+    * batch encoded against the old assignment function could land on
+    * the retrained tree: rows at stale cells with stale codes, silent
+    * recall loss. Deletes need no epoch (vec_id erasure is
+    * assignment-independent). */
   private[graft] def appendRowsAtomic(spark: SparkSession, root: String,
                                           tree: String, partCol: String,
                                           batch: DataFrame,
-                                          keep: Int = 2): Long = {
+                                          keep: Int = 2,
+                                          requireEpoch: Option[Long] = None): Long = {
     // materialize the batch once: encode/assign arithmetic should not
     // re-run for the touched-partition probe AND the rewrite — nor
     // across claim-collision retries. PER-CALL staging (not the
@@ -942,7 +1073,7 @@ object IndexManifest {
       // once): an old∪new merge read from any other resolution could
       // silently drop a concurrent writer's rows in the touched
       // partitions
-      publishFrom(spark, root) { (liveDir, next) =>
+      publishFrom(spark, root, requireEpoch) { (liveDir, next) =>
         val liveTree =
           if (liveDir == live0) tree0
           else readFrame(spark, liveDir, tree)

@@ -413,7 +413,8 @@ object Opq {
     val live = IndexManifest.currentOrFail(spark, root)
     val index = readIvfOpqIndex(spark, live)
     IndexManifest.appendRowsAtomic(spark, root, "codes", "cell",
-      Pq.encodeAgainst(index.pq, newVectors, 0, index.basis), keep)
+      Pq.encodeAgainst(index.pq, newVectors, 0, index.basis), keep,
+      requireEpoch = Some(IndexManifest.epochOf(spark, live)))
   }
 
   /** ATOMIC rotated erasure — the codes tree is the PQ layout

@@ -837,8 +837,12 @@ object Pq {
                              newVectors: DataFrame, dim: Int = 0,
                              keep: Int = 2): Long = {
     val live = IndexManifest.currentOrFail(spark, root)
+    // epoch-pinned (r20): the encode below derives cells/codes from
+    // THIS version's centroids+codebooks — a retrain publishing
+    // mid-flight fails the append loudly instead of landing stale rows
     IndexManifest.appendRowsAtomic(spark, root, "codes", "cell",
-      encodeAgainst(readIvfPqIndex(spark, live), newVectors, dim), keep)
+      encodeAgainst(readIvfPqIndex(spark, live), newVectors, dim), keep,
+      requireEpoch = Some(IndexManifest.epochOf(spark, live)))
   }
 
   /** ATOMIC right-to-erasure: [[deleteFromIvfPqIndex]]'s survivor

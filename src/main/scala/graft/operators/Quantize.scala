@@ -223,8 +223,11 @@ object Quantize {
       if (riding.isEmpty) encoded
       else encoded.join(
         newVectors.select((Seq("vec_id") ++ riding).map(col): _*), "vec_id")
+    // epoch-pinned like every tier append (r20): the grid the encode
+    // used is this version's — a mid-flight retrain fails loudly
     IndexManifest.appendRowsAtomic(spark, root, "codes", "grp",
-      withGrp(withMeta), keep)
+      withGrp(withMeta), keep,
+      requireEpoch = Some(IndexManifest.epochOf(spark, live)))
   }
 
   /** ATOMIC SQ8 erasure: [[deleteFromSq8Index]]'s survivor semantics
@@ -1054,7 +1057,8 @@ object Quantize {
                               newVectors: DataFrame, keep: Int = 2): Long = {
     val live = IndexManifest.currentOrFail(spark, root)
     IndexManifest.appendRowsAtomic(spark, root, "codes", "cell",
-      ivfSq8AppendBatch(spark, live, newVectors), keep)
+      ivfSq8AppendBatch(spark, live, newVectors), keep,
+      requireEpoch = Some(IndexManifest.epochOf(spark, live)))
   }
 
   /** ATOMIC composed erasure — the codes tree is the PQ layout

@@ -1707,8 +1707,12 @@ object Similarity {
   def appendIvfIndexAtomic(spark: SparkSession, root: String,
                            newVectors: DataFrame, keep: Int = 2): Long = {
     val live = IndexManifest.currentOrFail(spark, root)
+    // epoch-pinned (r20): cell assignment derives from this version's
+    // centroids — a retrain publishing mid-flight fails loudly instead
+    // of landing the batch at stale cells on the retrained tree
     IndexManifest.appendRowsAtomic(spark, root, "postings", "cell",
-      ivfAppendBatch(spark, live, newVectors), keep)
+      ivfAppendBatch(spark, live, newVectors), keep,
+      requireEpoch = Some(IndexManifest.epochOf(spark, live)))
   }
 
   /** ATOMIC float-tier erasure: [[deleteFromIvfIndex]]'s semantics

@@ -637,28 +637,18 @@ object Streams {
   private[graft] def annIngestMarkerPath(root: String): String =
     s"$root/_ingest_epoch"
 
+  // one shared tiny-file protocol with the version _EPOCH markers
+  // (IndexManifest.readLongFileOpt/writeLongFile) — the fence's two
+  // halves can never drift on parse or fail-safe semantics
   private def annIngestMarkerEpoch(spark: SparkSession,
-                                   root: String): Option[Long] = {
-    val p = new org.apache.hadoop.fs.Path(annIngestMarkerPath(root))
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) return None
-    val in = fs.open(p)
-    val text =
-      try new String(org.apache.commons.io.IOUtils.toByteArray(in),
-        java.nio.charset.StandardCharsets.UTF_8)
-      finally in.close()
-    text.trim.toLongOption
-  }
+                                   root: String): Option[Long] =
+    graft.operators.IndexManifest.readLongFileOpt(
+      spark, annIngestMarkerPath(root))
 
   private def annIngestWriteMarker(spark: SparkSession, root: String,
-                                   epoch: Long): Unit = {
-    val p = new org.apache.hadoop.fs.Path(annIngestMarkerPath(root))
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = fs.create(p, true)
-    try out.write(epoch.toString
-      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-  }
+                                   epoch: Long): Unit =
+    graft.operators.IndexManifest.writeLongFile(
+      spark, annIngestMarkerPath(root), epoch)
 
   /** The atomic foreachBatch core (exposed for the replay spec).
     * Returns appended code rows (0 for a full replay — no version
@@ -703,8 +693,17 @@ object Streams {
     // the live version this batch claims against (flushing after the
     // resolve would leave the batch's claim check reading the
     // pre-flush codes tree and re-admitting just-flushed rows on a
-    // replay). No-op (one cheap existence probe) when nothing pends.
-    if (publishEveryRows <= 0L) annIngestFlushPending(spark, root, keep)
+    // replay). The steady-state guard really is ONE existence probe —
+    // calling the flush unconditionally would pay a parquet
+    // schema-inference attempt + AnalysisException per micro-batch
+    // (readLakeOpt's probe), ~100 ms of listing RPCs on an object
+    // store for a tree that almost never exists on this path.
+    if (publishEveryRows <= 0L) {
+      val pendingP = new org.apache.hadoop.fs.Path(annPendingPath(root))
+      if (pendingP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            .exists(pendingP))
+        annIngestFlushPending(spark, root, keep)
+    }
     val live =
       try IndexManifest.currentOrFail(spark, root)
       catch {
@@ -766,7 +765,14 @@ object Streams {
     // stages an empty frame, appends nothing, publishes nothing)
     val appended =
       if (publishEveryRows <= 0L)
-        IndexManifest.appendRowsAtomic(spark, root, "codes", "cell", fresh, keep)
+        // requireEpoch closes the fence's last window (r20): a retrain
+        // that publishes between this batch's encode (against `live`'s
+        // centroids/codebooks) and the pointer flip would otherwise
+        // land these rows on the retrained tree at stale cells — the
+        // epoch-pinned publish fails loudly instead and the stream's
+        // replay re-encodes against the fresh version
+        IndexManifest.appendRowsAtomic(spark, root, "codes", "cell", fresh,
+          keep, requireEpoch = Some(liveEpoch))
       else {
         val staged = Scratch.stageReuse(fresh, "ann_ingest_pending_batch")
         val n = staged.count()
@@ -837,9 +843,13 @@ object Streams {
       .select("vec_id")
     // appendRowsAtomic stages `fresh` and publishes nothing when it is
     // empty (the crash-between-flip-and-clear replay) — an isEmpty
-    // pre-check here would execute the dedup anti-join twice
+    // pre-check here would execute the dedup anti-join twice. The
+    // epoch pin holds the fence through the publish itself: a retrain
+    // landing after the check above would otherwise still receive
+    // these stale-encoded rows.
     val n = IndexManifest.appendRowsAtomic(spark, root, "codes", "cell",
-      pendingDf.join(dupIds, Seq("vec_id"), "left_anti"), keep)
+      pendingDf.join(dupIds, Seq("vec_id"), "left_anti"), keep,
+      requireEpoch = Some(liveEpoch))
     // clear AFTER the publish: a crash before this line leaves pending
     // intact (durable, replay-safe); one after it has already published
     val p = new org.apache.hadoop.fs.Path(annPendingPath(root))

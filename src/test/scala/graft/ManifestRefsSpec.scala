@@ -192,4 +192,76 @@ class ManifestRefsSpec extends SparkSpecBase {
       .sameElements(canon(Similarity.queryIvfIndex(spark, plain))),
       "a refs publish over a link base must answer identically")
   }
+
+  test("link-mode delta on a REFS base: the base's manifest materializes " +
+      "physically and never rides along — appended partitions serve once " +
+      "(no stale-refs double-serving) and erased rows stay erased") {
+    val root = tmp("graft_refs_linkonrefs")
+    val plain = tmp("graft_refs_linkonrefs_plain")
+    val maxId = vectors.agg(max(col("vec_id"))).collect()(0).getLong(0)
+    val third = maxId / 3
+    val b0 = vectors.filter(col("vec_id") <= third)
+    val b1 = vectors.filter(col("vec_id") > third && col("vec_id") <= 2 * third)
+    val b2 = vectors.filter(col("vec_id") > 2 * third)
+    Similarity.writeIvfIndex(b0, plain)
+    Similarity.stageIvfIndexVersion(b0, root)
+    // refs base: v2 is a pure manifest whose inherited files exist
+    // only as _REFS lines
+    Similarity.appendIvfIndexAtomic(spark, root, b1)
+    Similarity.appendIvfIndex(spark, plain, b1)
+    spark.conf.set("spark.graft.manifest.mode", "link")
+    try {
+      // the bug this pins: a mirror that copied the refs base's _REFS
+      // verbatim would serve the touched partitions' superseded files
+      // BESIDE the link rewrite — every pre-existing row in the
+      // batch's cells twice (the canon compare below catches any
+      // duplicate), and erased rows resurrected (the erase leg)
+      Similarity.appendIvfIndexAtomic(spark, root, b2)
+      Similarity.appendIvfIndex(spark, plain, b2)
+      val live = IndexManifest.currentOrFail(spark, root)
+      assert(!new java.io.File(s"$live/${IndexManifest.RefsFile}").exists(),
+        "a link version must be self-contained — no manifest may ride along")
+      assert(parquetsUnder(live).nonEmpty,
+        "the refs base's inherited files must have materialized physically")
+      assert(canon(Similarity.queryIvfIndex(spark, live))
+        .sameElements(canon(Similarity.queryIvfIndex(spark, plain))),
+        "link-on-refs append must serve each row exactly once")
+      // erase rows that live ONLY via the refs base's store files
+      val erased = b1.select("vec_id").limit(5)
+        .collect().map(_.getLong(0)).toSeq
+      Similarity.deleteFromIvfIndexAtomic(spark, root, erased)
+      Similarity.deleteFromIvfIndex(spark, plain, erased)
+      assert(canon(Similarity.queryIvfIndex(spark,
+          IndexManifest.currentOrFail(spark, root)))
+        .sameElements(canon(Similarity.queryIvfIndex(spark, plain))),
+        "link-on-refs erase must not resurrect rows through a stale manifest")
+    } finally spark.conf.unset("spark.graft.manifest.mode")
+  }
+
+  test("epoch-pinned delta publish: a retrain landing between a delta's " +
+      "encode and its publish trips the fence loudly (before any claim) " +
+      "and the chain stays publishable") {
+    val root = tmp("graft_refs_epochpin")
+    val maxId = vectors.agg(max(col("vec_id"))).collect()(0).getLong(0)
+    val b0 = vectors.filter(col("vec_id") <= maxId / 2)
+    val b1 = vectors.filter(col("vec_id") > maxId / 2)
+    Similarity.stageIvfIndexVersion(b0, root)
+    val epochAtEncode =
+      IndexManifest.epochOf(spark, IndexManifest.currentOrFail(spark, root))
+    // a retrain publishes mid-flight: full publishes bump the epoch
+    IndexManifest.publish(spark, root)(
+      dir => Similarity.writeIvfIndex(b0, dir))
+    val e = intercept[IllegalStateException] {
+      IndexManifest.publishFrom(spark, root,
+        requiredBaseEpoch = Some(epochAtEncode)) { (_, _) =>
+        fail("the edit must never run once the epoch fence trips")
+      }
+    }
+    assert(e.getMessage.contains("retrain epoch"),
+      s"the fence must name the epoch mismatch, got: ${e.getMessage}")
+    // the fence fired BEFORE claiming: no stale claim poisons the
+    // chain — a delta re-derived at the fresh epoch lands normally
+    // (the tier wrapper reads the live epoch itself)
+    assert(Similarity.appendIvfIndexAtomic(spark, root, b1) == b1.count())
+  }
 }

@@ -330,13 +330,18 @@ class MultimodalSpec extends SparkSpecBase {
     assert(e3.getMessage.contains("BMP decode") ||
       (e3.getCause != null && e3.getCause.getMessage.contains("BMP decode")),
       s"hostile width must fail with the decode diagnosis, got ${e3.getMessage}")
-    // BOTH dims hostile (r19 advice): rowBytesL·h overflows even Long
-    // (~1.4e19), wraps negative, and would slip past the truncation
-    // require — multiplyExact must turn the wrap into the same
-    // diagnosis, never a raw ArrayIndexOutOfBounds
+    // BOTH dims hostile (r19 advice): rowBytesL·h overflows even Long,
+    // wraps negative, and would slip past the truncation require —
+    // multiplyExact must turn the wrap into the same diagnosis, never
+    // a raw ArrayIndexOutOfBounds. Dims must be Int.MaxValue: at
+    // 2^30-1 each the product is only ~3.5e18 < Long.Max and the
+    // overflow branch never fires (the ordinary truncation compare
+    // catches it — which the single-hostile-width case above already
+    // covers); 6442450944 · 2147483647 ≈ 1.38e19 > Long.Max is the
+    // actual wrap this test exists to pin.
     val hostile2 = bmp.clone()
-    put32(hostile2, 18, (1 << 30) - 1) // width
-    put32(hostile2, 22, (1 << 30) - 1) // height: product wraps Long
+    put32(hostile2, 18, Int.MaxValue) // width: rowBytesL ≈ 6.44e9
+    put32(hostile2, 22, Int.MaxValue) // height: product wraps Long
     val e4 = intercept[org.apache.spark.SparkException] {
       Multimodal.featureExtractOn(
         Seq((9L, hostile2)).toDF("doc_id", "text"),
