@@ -834,6 +834,53 @@ object Dedup {
     pairs.select(col("doc_a"), col("doc_b"))
       .write.mode("overwrite").parquet(staged)
     val p = pairs.sparkSession.read.parquet(staged)
+    // SMALL-GRAPH FAST PATH (r20 optimization, guide §1.2 "the
+    // distributed algorithm"): the verified pair graph is usually
+    // orders of magnitude smaller than the corpus that produced it,
+    // and below the threshold the driver loop's cost is pure
+    // scheduling — each pointer-jumping round is 5+ scheduled jobs
+    // (join, aggregate, checkpoint, convergence count) whose fixed
+    // overhead dwarfs the row work (the r6 profile: seconds of loop
+    // on a few hundred edges). Under the threshold we collect the
+    // staged pairs ONCE (the same bounded-collect contract as a
+    // broadcast join side: the threshold bounds driver memory exactly
+    // the way autoBroadcastJoinThreshold does) and run union-find
+    // with path compression — the same connected-components-by-min-id
+    // the loop converges to, exactly (union by smaller root id keeps
+    // every root the component MINIMUM, so find() returns the
+    // min-label the propagation fixpoint assigns). Above the
+    // threshold — the genuinely corpus-scale pair graph — the
+    // distributed O(log diameter) loop below is unchanged.
+    val localMax = pairs.sparkSession.conf
+      .getOption("spark.graft.clusters.localEdgeThreshold")
+      .map(_.toLong).getOrElse(1000000L)
+    val nPairs = p.count()
+    if (nPairs <= localMax) {
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      val rows = p.select(col("doc_a"), col("doc_b"))
+        .as[(Long, Long)].collect()
+      val parent = new java.util.HashMap[Long, Long]()
+      def find(x0: Long): Long = {
+        var x = x0
+        var r = parent.getOrDefault(x, x)
+        while (r != x) { x = r; r = parent.getOrDefault(x, x) }
+        // path compression: point every node on the walk at the root
+        var y = x0
+        while (y != r) { val nxt = parent.getOrDefault(y, y); parent.put(y, r); y = nxt }
+        r
+      }
+      rows.foreach { case (a, b) =>
+        val ra = find(a); val rb = find(b)
+        if (ra < rb) parent.put(rb, ra)
+        else if (rb < ra) parent.put(ra, rb)
+      }
+      val nodes = new java.util.TreeSet[java.lang.Long]()
+      rows.foreach { case (a, b) => nodes.add(a); nodes.add(b); () }
+      val out = new scala.collection.mutable.ArrayBuffer[(Long, Long)](nodes.size)
+      nodes.forEach(nd => out += ((nd.longValue, find(nd.longValue))))
+      return out.toSeq.toDF("doc_id", "cluster_id")
+    }
     val edges = p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .distinct()

@@ -61,15 +61,33 @@ object Graph {
     * far inside Long. */
   val One: Long = 1000000000000L
 
-  /** Distinct undirected co-order edges (u < v), one row per pair. */
-  def coOrderEdges(spark: SparkSession, dir: String): DataFrame = {
+  /** Co-order part pairs (u < v), one row per qualifying lineitem
+    * PAIR — the exact multiset the classic self-join
+    * (a ⋈ b ON a.ok = b.ok AND a.pk < b.pk) produces, generated in
+    * ONE pass (r20 optimization, guide §2.3/§2.4): group the order's
+    * parts into a sorted array and emit every in-order pair with
+    * strictly increasing values. The self-join form scanned lineitem
+    * twice and shuffled BOTH sides on l_orderkey; this scans once and
+    * shuffles once, with the same bounded per-order fanout (order
+    * size is domain-bounded, so the pair array is a small constant
+    * per group — never corpus-sized). Multiplicity is preserved: for
+    * part values x < y appearing cx and cy times in one order, the
+    * sorted-array index pairs with distinct values number exactly
+    * cx·cy, the join's count. */
+  private def coOrderPairs(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-    val a = li.as("a"); val b = li.as("b")
-    a.join(b, col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-      .select(col("a.pk").as("u"), col("b.pk").as("v"))
-      .distinct()
+    li.groupBy(col("ok")).agg(sort_array(collect_list(col("pk"))).as("ps"))
+      .select(explode(flatten(transform(col("ps"), (x, i) =>
+        transform(slice(col("ps"), i + lit(2), size(col("ps"))), y =>
+          struct(x.as("u"), y.as("v")))))).as("e"))
+      .filter(col("e.u") < col("e.v"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
   }
+
+  /** Distinct undirected co-order edges (u < v), one row per pair. */
+  def coOrderEdges(spark: SparkSession, dir: String): DataFrame =
+    coOrderPairs(spark, dir).distinct()
 
   /** Stage `df` to scratch parquet and return a scan over it — the
     * pairClusters precedent: multi-branch consumers re-read a small
@@ -109,8 +127,12 @@ object Graph {
     * out-neighbor of s and d; at (s, w) the third corner d is not an
     * out-neighbor of w, and at (d, w) s is not an out-neighbor of
     * either — no dedup pass needed. */
-  def triangleCorners(edges: DataFrame): DataFrame = {
-    val deg = degrees(edges)
+  def triangleCorners(edges: DataFrame, degOpt: Option[DataFrame] = None): DataFrame = {
+    // callers that already computed degrees(edges) pass it in (r20
+    // optimization): the orientation join re-reads the SAME aggregate
+    // the report side needs, so deriving it twice paid one extra
+    // edge scan + aggregation per key
+    val deg = degOpt.getOrElse(degrees(edges))
     // orient u→v when (deg(u), u) < (deg(v), v): out-degree O(√m) —
     // adjacency arrays are √m-bounded no matter how hot the hub
     val du = deg.select(col("node").as("u"), col("deg").as("du"))
@@ -124,8 +146,19 @@ object Graph {
           .as("e"))
       .select(col("e.s").as("s"), col("e.d").as("d"))
     // staged: the adjacency build and both join probes below re-read
-    // one materialization instead of recomputing the orientation
-    val or2 = staged(oriented, "graft_graph_oriented")
+    // one materialization instead of recomputing the orientation.
+    // Repartitioned to the session's shuffle width BEFORE the write
+    // (r20 optimization, guide §2.2/§6.1): AQE coalesces the tiny
+    // orientation shuffle to a handful of output files, and the
+    // downstream scan — which carries the CORNER ENUMERATION, the
+    // heaviest compute of the triangle keys — then runs at file-count
+    // parallelism (3 tasks on a 32-core session in the r20 profile,
+    // 2.3 s of a 6.4 s key). The explicit partition count pins the
+    // exchange against AQE coalescing; it is the session's own
+    // shuffle-partition knob, so it scales with the deployment rather
+    // than hard-coding the local core count.
+    val shufP = edges.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val or2 = staged(oriented.repartition(shufP, col("s")), "graft_graph_oriented")
     val adj = or2.groupBy(col("s").as("node"))
       .agg(sort_array(collect_list(col("d"))).as("nbrs"))
     // left joins: a sink node (no out-edges) has no adjacency row —
@@ -143,7 +176,7 @@ object Graph {
     * u ≠ v, each pair present once in either orientation. */
   def trianglesOn(edges: DataFrame): DataFrame = {
     val deg = degrees(edges)
-    val triCached = staged(triangleCorners(edges), "graft_graph_tris")
+    val triCached = staged(triangleCorners(edges, Some(deg)), "graft_graph_tris")
     // per-node participation: each triangle touches its 3 corners
     val perNode = triCached.select(explode(array(col("x"), col("y"), col("z"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("triangles"))
@@ -228,7 +261,13 @@ object Graph {
 
   def edgeJaccardOn(edges: DataFrame, topK: Int = TopK): DataFrame = {
     val deg = degrees(edges)
-    val corners = staged(triangleCorners(edges), "graft_ej_corners")
+    // NOT staged (r20 optimization): unlike [[trianglesOn]] — where the
+    // corner frame feeds two report branches — the corners here have
+    // exactly ONE consumer (the triEdges aggregate), so materializing
+    // them bought nothing and paid a full corner-list parquet write
+    // (the single biggest job of this key's profile). The corner pass
+    // streams straight into the explode+groupBy.
+    val corners = triangleCorners(edges, Some(deg))
     // the 3 edges of each triangle, normalized u < v
     val triEdges = corners.select(
         explode(array(
@@ -317,7 +356,13 @@ object Graph {
     val arcs = edges.select(col("u").as("src"), col("v").as("dst"))
       .unionAll(edges.select(col("v").as("src"), col("u").as("dst")))
     // deg is re-read by every iteration — stage it once so each
-    // reference is a node-count parquet scan, not the edge agg
+    // reference is a node-count parquet scan, not the edge agg.
+    // (r20 note: an attempted rewrite that pre-joined dst-degree onto
+    // a STAGED arc frame measured strictly slower — the staging write
+    // of the m-row arc list cost more than the five deg joins it
+    // removed, because the per-iteration deg broadcast is an
+    // identical exchange every round and ReuseExchange builds it
+    // once. Left as-is deliberately.)
     val deg = staged(degrees(edges), "graft_pr_deg")
     // N is a 1-row bounded collect (the BPE-winner precedent): it
     // sizes the teleport constant folded into every iteration's plan
@@ -331,6 +376,12 @@ object Graph {
     // pairClusters, whose 3-way self-reference grows 3^iters).
     var ranks = deg.select(col("node"), lit(One / n).as("rank"), col("deg"))
     for (_ <- 1 to iters) {
+      // broadcast on purpose (r20 note): a merge/shuffle-hash hint
+      // here measured ~1.3× SLOWER — AQE coalesces the node-sized
+      // rank shuffle to ~1 partition and the m-row side with it,
+      // serializing every iteration; the broadcast plan keeps the
+      // m-row scan at file parallelism and the rank broadcast is the
+      // node-sized state a PageRank round genuinely ships.
       val contribs = arcs.join(ranks, col("src") === col("node"))
         .select(col("dst"), expr("rank div deg").as("contrib"))
       ranks = contribs.groupBy(col("dst").as("node"))
@@ -370,13 +421,11 @@ object Graph {
     * edges). Support counting is one (u,v)-keyed aggregate over the
     * same bounded per-order fanout as [[coOrderEdges]]. */
   def graphComponents(spark: SparkSession, dir: String): DataFrame = {
-    val li = Tables.lineitem(spark, dir)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-    val a = li.as("a"); val b = li.as("b")
-    val supported = a.join(b, col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-      .groupBy(col("a.pk").as("u"), col("b.pk").as("v"))
-      .agg(count(lit(1)).as("support"))
-      .where(col("support") >= MinSupport)
+    // staged ONCE (r20 optimization): the clustering input and the
+    // n_edges total below both read this materialization — the
+    // previous form re-ran the whole pair-generation aggregate a
+    // second time just to count supported edges
+    val supported = staged(supportedEdges(spark, dir), "graft_comp_edges")
     val labels = Dedup.pairClusters(
       supported.select(col("u").as("doc_a"), col("v").as("doc_b")))
     val comps = labels.groupBy(col("cluster_id"))
@@ -436,16 +485,12 @@ object Graph {
     * [[graphComponents]]' substrate, shared by the k-core and
     * link-prediction keys. One (u,v)-keyed aggregate over the bounded
     * per-order fanout of [[coOrderEdges]]. */
-  def supportedEdges(spark: SparkSession, dir: String): DataFrame = {
-    val li = Tables.lineitem(spark, dir)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-    val a = li.as("a"); val b = li.as("b")
-    a.join(b, col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-      .groupBy(col("a.pk").as("u"), col("b.pk").as("v"))
+  def supportedEdges(spark: SparkSession, dir: String): DataFrame =
+    coOrderPairs(spark, dir)
+      .groupBy(col("u"), col("v"))
       .agg(count(lit(1)).as("support"))
       .where(col("support") >= MinSupport)
       .select(col("u"), col("v"))
-  }
 
   private val supportedEdgesSql: String =
     s"""SELECT a.l_partkey AS u, b.l_partkey AS v

@@ -187,18 +187,50 @@ class DedupSpec extends SparkSpecBase {
     // graph's labels creep down ~one hop per round, so a 50-node chain
     // blows the default 10-iteration cap; the pointer-jumping term
     // doubles distance-to-root per round and converges in O(log n)
-    val chain = (1L until 50L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
-    val clusters = Dedup.pairClusters(chain).collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(clusters.size == 50)
-    assert(clusters.values.forall(_ == 1L),
-      "every chain node must resolve to the component-min survivor")
-    // the abort contract is still live: a cap too small to cover the
-    // O(log diameter) rounds throws rather than returning partial labels
-    val longChain = (1L until 400L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
-    intercept[IllegalStateException] {
-      Dedup.pairClusters(longChain, maxIters = 3)
-    }
+    // force the DISTRIBUTED loop (this test pins the pointer-jumping
+    // convergence bound): the r20 small-graph fast path would
+    // otherwise resolve a 50-edge graph on the driver
+    spark.conf.set("spark.graft.clusters.localEdgeThreshold", "0")
+    try {
+      val chain = (1L until 50L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+      val clusters = Dedup.pairClusters(chain).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(clusters.size == 50)
+      assert(clusters.values.forall(_ == 1L),
+        "every chain node must resolve to the component-min survivor")
+      // the abort contract is still live: a cap too small to cover the
+      // O(log diameter) rounds throws rather than returning partial labels
+      val longChain = (1L until 400L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+      intercept[IllegalStateException] {
+        Dedup.pairClusters(longChain, maxIters = 3)
+      }
+    } finally spark.conf.unset("spark.graft.clusters.localEdgeThreshold")
+  }
+
+  test("pair clusters: the small-graph fast path matches the distributed loop") {
+    import spark.implicits._
+    // r20 optimization gate: under the edge threshold the clusters are
+    // resolved by driver union-find; the result must be IDENTICAL to
+    // the pointer-jumping loop on every shape that stresses the
+    // min-label contract — a chain (deep diameter), a star, duplicate
+    // pairs, and disjoint components
+    val pairs = ((1L until 60L).map(i => (i, i + 1)) ++        // chain 1..60
+      Seq((100L, 101L), (100L, 102L), (100L, 103L)) ++         // star at 100
+      Seq((200L, 201L), (200L, 201L)) ++                       // duplicate pair
+      Seq((300L, 310L))).toDF("doc_a", "doc_b")
+    val fast = Dedup.pairClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).sorted
+    spark.conf.set("spark.graft.clusters.localEdgeThreshold", "0")
+    val loop =
+      try Dedup.pairClusters(pairs).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).sorted
+      finally spark.conf.unset("spark.graft.clusters.localEdgeThreshold")
+    assert(fast.sameElements(loop),
+      "fast-path labels must equal the distributed loop's labels")
+    val m = fast.toMap
+    assert((1L to 60L).forall(m(_) == 1L), "chain resolves to min id")
+    assert(Seq(100L, 101L, 102L, 103L).forall(m(_) == 100L), "star resolves")
+    assert(m(300L) == 300L && m(310L) == 300L, "disjoint component intact")
   }
 
   test("pair clusters: reliable checkpoints engage when a checkpoint dir is set") {
@@ -211,9 +243,14 @@ class DedupSpec extends SparkSpecBase {
     // run the reliable path, which only makes them stricter.
     val ckpt = java.nio.file.Files.createTempDirectory("graft_reliable_ckpt")
     spark.sparkContext.setCheckpointDir(ckpt.toString)
+    // force the loop path: this test pins the LOOP's checkpoint
+    // routing, which the r20 small-graph fast path never reaches
+    spark.conf.set("spark.graft.clusters.localEdgeThreshold", "0")
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
-    val clusters = Dedup.pairClusters(pairs).collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val clusters =
+      try Dedup.pairClusters(pairs).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      finally spark.conf.unset("spark.graft.clusters.localEdgeThreshold")
     assert(clusters == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
     // the loop actually wrote checkpoint data under the reliable dir
     def anyFiles(p: java.io.File): Boolean =
