@@ -548,8 +548,57 @@ object Graph {
       if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
         df.checkpoint(eager = true)
       else df.localCheckpoint(eager = true)
+    val nEdges = edges.count()
+    // SMALL-GRAPH FAST PATH (r20 optimization — the
+    // [[Dedup.pairClusters]] pattern): below the bounded-collect
+    // threshold every peeling round is pure scheduling overhead
+    // (degree aggregate + two semi-joins + checkpoint + convergence
+    // count per round). The synchronized peel runs on the driver with
+    // IDENTICAL round semantics — every sub-k node removed at once —
+    // so the round count feeding the oracle-budget guard is the same
+    // number the distributed loop reports, and the fixpoint is the
+    // same subgraph.
+    if (nEdges <= localGraphEdgeMax(edges)) {
+      val rows = collectEdgeList(edges)
+      var alive = rows
+      var rounds = 0
+      var converged = alive.isEmpty
+      while (!converged) {
+        val deg = new java.util.HashMap[Long, Long]()
+        alive.foreach { case (u, v) =>
+          deg.merge(u, 1L, _ + _); deg.merge(v, 1L, _ + _); ()
+        }
+        val next = alive.filter { case (u, v) => deg.get(u) >= k && deg.get(v) >= k }
+        converged = next.length == alive.length
+        alive = next
+        rounds += 1
+      }
+      oracleRoundBudget.foreach { budget =>
+        require(rounds - 1 <= budget,
+          s"k-core peeling converged in $rounds rounds but the fixed-depth " +
+            s"oracle only unrolls $budget — raise KcorePeelRounds (the engine " +
+            "result is correct; the ORACLE is under-unrolled and would " +
+            "report a false mismatch)")
+      }
+      val coreDeg = new java.util.HashMap[Long, Long]()
+      alive.foreach { case (u, v) =>
+        coreDeg.merge(u, 1L, _ + _); coreDeg.merge(v, 1L, _ + _); ()
+      }
+      val nCoreNodes = coreDeg.size.toLong
+      val nCoreEdges = alive.length.toLong
+      val top = {
+        val buf = new scala.collection.mutable.ArrayBuffer[(Long, Long)](coreDeg.size)
+        coreDeg.forEach((node, d) => buf += ((node, d)))
+        buf.sortBy { case (node, d) => (-d, node) }.take(topK)
+      }
+      val spark = edges.sparkSession
+      import spark.implicits._
+      return top.zipWithIndex.map { case ((node, d), i) =>
+        (i + 1, node, d, nCoreNodes, nCoreEdges)
+      }.toSeq.toDF("rank", "p_partkey", "core_deg", "n_core_nodes", "n_core_edges")
+    }
     var alive = truncated(edges.select(col("u"), col("v")))
-    var n = alive.count()
+    var n = nEdges
     var converged = n == 0
     var rounds = 0
     while (!converged) {
@@ -677,8 +726,78 @@ object Graph {
       df.checkpoint(eager = true)
     else df.localCheckpoint(eager = true)
 
+  /** Edge-count threshold under which the iterative graph loops
+    * (k-core peel, LPA rounds, BFS frontier walk) run on the driver —
+    * the [[Dedup.pairClusters]] fast-path contract: below it the
+    * collect is broadcast-sized (two longs per edge) and each
+    * distributed round's 3–6 scheduled jobs are pure fixed overhead;
+    * above it the unchanged distributed loops carry the corpus-scale
+    * graphs. Tunable per deployment. */
+  private def localGraphEdgeMax(df: DataFrame): Long =
+    df.sparkSession.conf.getOption("spark.graft.graph.localEdgeThreshold")
+      .map(_.toLong).getOrElse(1000000L)
+
+  /** Bounded collect of a (u, v) edge list — callers gate on
+    * [[localGraphEdgeMax]] first. */
+  private def collectEdgeList(edges: DataFrame): Array[(Long, Long)] = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    edges.select(col("u").cast("long"), col("v").cast("long"))
+      .as[(Long, Long)].collect()
+  }
+
+  /** Deterministic synchronous-LPA rounds on a collected edge list —
+    * bit-identical semantics to the distributed [[lpaLabels]] loop:
+    * labels start as node ids, each round relabels every node with
+    * the (count DESC, label ASC) argmax of its neighbors'
+    * previous-round labels (each neighbor contributes once — the edge
+    * list is distinct pairs). */
+  private def lpaRoundsLocal(rows: Array[(Long, Long)], rounds: Int)
+      : java.util.HashMap[Long, Long] = {
+    val adj = new java.util.HashMap[Long, scala.collection.mutable.ArrayBuffer[Long]]()
+    def add(a: Long, b: Long): Unit = {
+      adj.computeIfAbsent(a, _ => new scala.collection.mutable.ArrayBuffer[Long]) += b
+      ()
+    }
+    rows.foreach { case (u, v) => add(u, v); add(v, u) }
+    var labels = new java.util.HashMap[Long, Long]()
+    adj.forEach((node, _) => { labels.put(node, node); () })
+    (1 to rounds).foreach { _ =>
+      val next = new java.util.HashMap[Long, Long](labels.size)
+      val prev = labels
+      adj.forEach { (node, nbrs) =>
+        val counts = new java.util.HashMap[Long, Long]()
+        nbrs.foreach(d => counts.merge(prev.get(d), 1L, _ + _))
+        var bestLabel = Long.MaxValue
+        var bestC = 0L
+        counts.forEach { (lb, c) =>
+          if (c > bestC || (c == bestC && lb < bestLabel)) { bestC = c; bestLabel = lb }
+        }
+        next.put(node, bestLabel)
+        ()
+      }
+      labels = next
+    }
+    labels
+  }
+
   private[operators] def lpaLabels(edges: DataFrame, rounds: Int,
                                    stagePrefix: String): DataFrame = {
+    // SMALL-GRAPH FAST PATH (r20 optimization — see
+    // [[localGraphEdgeMax]]): under the threshold the R synchronous
+    // rounds run on the driver over the collected distinct edge list,
+    // skipping the directed-frame staging write and the per-round
+    // join + two aggregates + checkpoint jobs. Same argmax, same
+    // ties, same labels — DedupSpec-style equivalence pinned in
+    // GraphSpec, and the LPA-consuming driver keys stay oracle-gated.
+    if (edges.count() <= localGraphEdgeMax(edges)) {
+      val labels = lpaRoundsLocal(collectEdgeList(edges), rounds)
+      val out = new scala.collection.mutable.ArrayBuffer[(Long, Long)](labels.size)
+      labels.forEach((node, lb) => { out += ((node, lb)); () })
+      val spark = edges.sparkSession
+      import spark.implicits._
+      return out.toSeq.toDF("node", "label")
+    }
     val ed = Scratch.stageReuse(
       edges.select(col("u").as("s"), col("v").as("d"))
         .unionAll(edges.select(col("v").as("s"), col("u").as("d"))),
@@ -1031,6 +1150,61 @@ object Graph {
 
   def bfsOn(edges: DataFrame, rounds: Int = BfsRounds,
             nSeeds: Int = BfsSeeds): DataFrame = {
+    // SMALL-GRAPH FAST PATH (r20 optimization — see
+    // [[localGraphEdgeMax]]): under the threshold the whole walk —
+    // seed pick, `rounds` synchronous frontier expansions, histogram,
+    // totals — runs on the driver over the collected edge list. The
+    // distributed path paid the directed-frame staging write plus,
+    // per round, an expand join + distinct + anti-join + two eager
+    // checkpoints; all of it fixed scheduling overhead at this size.
+    // Same layers (a node's dist = its first-discovery round), same
+    // exact-integer report.
+    if (edges.count() <= localGraphEdgeMax(edges)) {
+      val rows = collectEdgeList(edges)
+      val adj = new java.util.HashMap[Long, scala.collection.mutable.ArrayBuffer[Long]]()
+      def add(a: Long, b: Long): Unit = {
+        adj.computeIfAbsent(a, _ => new scala.collection.mutable.ArrayBuffer[Long]) += b
+        ()
+      }
+      rows.foreach { case (u, v) => add(u, v); add(v, u) }
+      val degBuf = new scala.collection.mutable.ArrayBuffer[(Long, Int)](adj.size)
+      adj.forEach((node, nbrs) => { degBuf += ((node, nbrs.length)); () })
+      val seeds = degBuf.sortBy { case (node, d) => (-d, node) }
+        .take(nSeeds).map(_._1)
+      val dist = new java.util.HashMap[Long, Long]()
+      seeds.foreach(s => dist.put(s, 0L))
+      var frontier: Seq[Long] = seeds.toSeq
+      (1 to rounds).foreach { i =>
+        val fresh = new scala.collection.mutable.ArrayBuffer[Long]()
+        frontier.foreach { f =>
+          val nbrs = adj.get(f)
+          if (nbrs != null) nbrs.foreach { s =>
+            if (!dist.containsKey(s)) { dist.put(s, i.toLong); fresh += s }
+          }
+        }
+        frontier = fresh.toSeq
+      }
+      // per-distance histogram + totals, all exact integers
+      val hist = new java.util.HashMap[Long, (Long, Long, Long)]()
+      dist.forEach { (node, d) =>
+        val cur = hist.get(d)
+        hist.put(d, if (cur == null) (1L, node, node)
+          else (cur._1 + 1, math.min(cur._2, node), math.max(cur._3, node)))
+        ()
+      }
+      val nNodes = adj.size.toLong
+      val nReached = dist.size.toLong
+      val out = new scala.collection.mutable
+        .ArrayBuffer[(Long, Long, Long, Long, Long, Long, Long)](hist.size)
+      hist.forEach { (d, t) =>
+        out += ((d, t._1, t._2, t._3, nNodes, nReached, nNodes - nReached))
+        ()
+      }
+      val spark = edges.sparkSession
+      import spark.implicits._
+      return out.sortBy(_._1).toSeq.toDF("dist", "nodes", "min_node",
+        "max_node", "n_nodes", "n_reached", "n_unreached")
+    }
     val ed = Scratch.stageReuse(
       edges.select(col("u").as("s"), col("v").as("d"))
         .unionAll(edges.select(col("v").as("s"), col("u").as("d"))),

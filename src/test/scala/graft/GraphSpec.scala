@@ -391,4 +391,41 @@ class GraphSpec extends SparkSpecBase {
         r.getLong(4), r.getLong(5), r.getLong(6))).sortBy(_._1)
     assert(rep.sameElements(again), "bfs report must be deterministic")
   }
+
+  test("graph small-graph fast paths match the distributed loops " +
+      "(kcore, lpa, modularity, bfs) on seeded random graphs") {
+    // the r20 fast paths run every iterative walk on the driver under
+    // spark.graft.graph.localEdgeThreshold; this pins them row-identical
+    // to the distributed loops (the DedupSpec pairClusters pattern)
+    val rnd = new scala.util.Random(4412)
+    def snap(df: DataFrame): Seq[Seq[Any]] =
+      df.collect().map(_.toSeq.map {
+        case l: java.lang.Long => l.longValue(): Any
+        case i: java.lang.Integer => i.longValue(): Any
+        case x => x
+      }.toSeq).toSeq.sortBy(_.mkString("|"))
+    (1 to 3).foreach { trial =>
+      val n = 14 + rnd.nextInt(18)
+      val pairs = (for {
+        u <- 0L until n.toLong; v <- (u + 1) until n.toLong
+        if rnd.nextDouble() < 0.18
+      } yield (u, v)).distinct
+      if (pairs.nonEmpty) {
+        val g = edgesDf(pairs: _*)
+        val fast = Seq(Graph.kcoreOn(g, k = 2), Graph.lpaOn(g),
+          Graph.modularityOn(g), Graph.bfsOn(g, rounds = 6, nSeeds = 2))
+          .map(snap)
+        spark.conf.set("spark.graft.graph.localEdgeThreshold", "0")
+        val loop =
+          try Seq(Graph.kcoreOn(g, k = 2), Graph.lpaOn(g),
+            Graph.modularityOn(g), Graph.bfsOn(g, rounds = 6, nSeeds = 2))
+            .map(snap)
+          finally spark.conf.unset("spark.graft.graph.localEdgeThreshold")
+        Seq("kcore", "lpa", "modularity", "bfs").zip(fast.zip(loop)).foreach {
+          case (name, (f, l)) =>
+            assert(f == l, s"trial $trial: $name fast path != distributed loop")
+        }
+      }
+    }
+  }
 }
