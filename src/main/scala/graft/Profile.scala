@@ -30,7 +30,19 @@ object Profile {
     val listener = new org.apache.spark.scheduler.SparkListener {
       override def onJobStart(e: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
         val desc = Option(e.properties)
-          .flatMap(p => Option(p.getProperty("spark.job.description"))).getOrElse("")
+          .flatMap(p => Option(p.getProperty("spark.job.description")))
+          .filter(_.nonEmpty)
+          .orElse {
+            // no explicit description: attribute by the deepest graft
+            // frame in the result stage's callsite (long form), falling
+            // back to the stage's short name ("count at Opq.scala:332")
+            e.stageInfos.lastOption.map { si =>
+              val g = si.details.linesIterator
+                .filter(l => l.contains("graft.") && !l.contains("graft.Profile"))
+                .take(2).mkString(" <- ").trim
+              if (g.nonEmpty) g else si.name
+            }
+          }.getOrElse("")
         jobs.synchronized {
           jobs(e.jobId) = Job(e.jobId, desc, e.time,
             nStages = e.stageInfos.size,

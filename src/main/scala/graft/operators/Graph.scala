@@ -352,6 +352,48 @@ object Graph {
   /** Generic form over any distinct undirected (u, v) edge list (see
     * [[trianglesOn]] for the contract). */
   def pagerankOn(edges: DataFrame, iters: Int = Iters, topK: Int = TopK): DataFrame = {
+    // SMALL-GRAPH FAST PATH (r20 optimization — see
+    // [[localGraphEdgeMax]]): the rank walk is EXACT-INTEGER
+    // arithmetic (teleport + 85·Σ(rank div deg) div 100 in fixed-point
+    // units), so the driver loop below is bit-identical to the
+    // distributed iterations — integer sums are order-independent and
+    // every op (Long division, multiply, add) is the same op the SQL
+    // `div` plan runs. Each distributed iteration paid a broadcast
+    // build + m-row join + aggregate; under the threshold that is
+    // pure scheduling overhead. GraphSpec pins fast path == loop.
+    if (edges.count() <= localGraphEdgeMax(edges)) {
+      val rows = collectEdgeList(edges)
+      val deg = new java.util.HashMap[Long, Long]()
+      rows.foreach { case (u, v) =>
+        deg.merge(u, 1L, _ + _); deg.merge(v, 1L, _ + _); ()
+      }
+      val n = deg.size.toLong
+      val teleport = 15L * One / (100L * n)
+      var ranks = new java.util.HashMap[Long, Long](deg.size)
+      deg.forEach((node, _) => { ranks.put(node, One / n); () })
+      (1 to iters).foreach { _ =>
+        val sums = new java.util.HashMap[Long, Long](deg.size)
+        val prev = ranks
+        rows.foreach { case (u, v) =>
+          sums.merge(v, prev.get(u) / deg.get(u), _ + _)
+          sums.merge(u, prev.get(v) / deg.get(v), _ + _)
+          ()
+        }
+        val next = new java.util.HashMap[Long, Long](deg.size)
+        sums.forEach { (node, s) => next.put(node, teleport + 85L * s / 100L); () }
+        ranks = next
+      }
+      val nArcs = 2L * rows.length
+      val buf = new scala.collection.mutable.ArrayBuffer[(Long, Long, Long)](deg.size)
+      ranks.forEach((node, r) => { buf += ((node, r, deg.get(node))); () })
+      val top = buf.sortBy { case (node, r, _) => (-r, node) }.take(topK)
+      val spark = edges.sparkSession
+      import spark.implicits._
+      return top.zipWithIndex.map { case ((node, r, d), i) =>
+        (i + 1, node, r, r.toDouble / One.toDouble, d, n, nArcs)
+      }.toSeq.toDF("rank", "p_partkey", "rank_units", "pagerank",
+        "deg", "n_nodes", "n_arcs")
+    }
     // symmetric directed view: every undirected edge both ways
     val arcs = edges.select(col("u").as("src"), col("v").as("dst"))
       .unionAll(edges.select(col("v").as("src"), col("u").as("dst")))

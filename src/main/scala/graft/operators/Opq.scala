@@ -368,8 +368,11 @@ object Opq {
           .select(col("vec_id"),
             transform(col("e"), x => x / col("nrm")).as("u"), col("cell"))
       }
-    val codebooks = Pq.trainCodebooks(rotFrame(unTrain), subW)
-    val codes = Pq.encodeCodes(rotFrame(unAll), Pq.centsByMFrom(codebooks), subW)
+    // collect the trained codebooks ONCE and hand both the encode
+    // closure and the index frame the same bounded value
+    // ([[Pq.codebooksFrame]] — staging no longer re-runs training)
+    val centsByM = Pq.centsByMFrom(Pq.trainCodebooks(rotFrame(unTrain), subW))
+    val codes = Pq.encodeCodes(rotFrame(unAll), centsByM, subW)
     val withMeta =
       if (metaCols.isEmpty) codes
       else codes.join(
@@ -378,7 +381,8 @@ object Opq {
     import spark.implicits._
     val basisDf = basisArr.toSeq.zipWithIndex
       .map { case (b, i) => (i + 1, b.toSeq) }.toDF("pos", "b")
-    IvfOpqIndex(basisDf, Pq.IvfPqIndex(centroids, codebooks, withMeta))
+    IvfOpqIndex(basisDf,
+      Pq.IvfPqIndex(centroids, Pq.codebooksFrame(spark, centsByM), withMeta))
   }
 
   /** Stage the rotated index durably: the basis (one r-row file — a

@@ -594,6 +594,22 @@ object Pq {
       rows.filter(_._1 == m).sortBy(_._2).map(t => (t._2, t._3)))
   }
 
+  /** The collected codebook closure re-framed as the bounded (m, code,
+    * cs) local relation the index carries (r20, guide §1.2): the build
+    * paths collect the trained codebooks ONCE ([[centsByMFrom]]) and
+    * hand every downstream consumer — the encode closure, the staged
+    * write, the ADC tables — this value-identical M·Kc-row frame, so
+    * staging an index no longer re-executes the training aggregate's
+    * full-corpus lineage a second time. */
+  private[operators] def codebooksFrame(spark: SparkSession,
+      centsByM: Array[Array[(Long, Array[Double])]]): DataFrame = {
+    import spark.implicits._
+    (for {
+      m <- 0 until M
+      (code, cs) <- centsByM(m)
+    } yield (m, code, cs.toSeq)).toDF("m", "code", "cs")
+  }
+
   /** THE encode pass: one narrow map over (vec_id, u, cell) producing
     * the M code ids per vector against a FIXED codebook closure.
     * Shared by [[buildIvfPq]] and [[appendToIvfPq]] so the append path
@@ -717,7 +733,10 @@ object Pq {
       if (metaCols.isEmpty) codes
       else codes.join(
         vectors.select((Seq("vec_id") ++ metaCols).map(col): _*), "vec_id")
-    IvfPqIndex(centroids, codebooks, withMeta)
+    // the index carries the COLLECTED codebooks re-framed locally —
+    // value-identical, and staging the index no longer re-runs the
+    // training aggregate (see [[codebooksFrame]])
+    IvfPqIndex(centroids, codebooksFrame(vectors.sparkSession, centsByM), withMeta)
   }
 
   /** Incremental index maintenance: assign + encode `newVectors`

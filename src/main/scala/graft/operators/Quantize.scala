@@ -97,37 +97,58 @@ object Quantize {
     * aggregation whose extra count scan would double the build cost. */
   def quantizeCodesAgainst(vectors: DataFrame, ranges: DataFrame,
                            dim: Option[Long] = None): DataFrame = {
-    val assembled = vectors
-      .filter(col("embedding").isNotNull)
-      .select(col("vec_id"), posexplode(V.toDouble(col("embedding"))).as(Seq("p0", "x")))
-      .select(col("vec_id"), (col("p0") + 1).cast("long").as("pos"), col("x"))
-      .join(broadcast(ranges), Seq("pos"), "left")
-      .withColumn("q",
-        when(col("mn").isNull,
-          raise_error(concat(
-            lit("quantizeCodesAgainst: vector "), col("vec_id"),
-            lit(" has a coordinate at position "), col("pos"),
-            lit(" beyond the trained grid — re-train or fix the feed")))
-            .cast("long"))
-          .when(col("mx") === col("mn"), lit(0L))
-          .otherwise(greatest(lit(-128L), least(lit(127L),
-            floor(((col("x") - col("mn")) * lit(Steps)) /
-              (col("mx") - col("mn")) + lit(0.5)) - lit(128L)))))
-      .groupBy(col("vec_id"))
-      .agg(sort_array(collect_list(struct(col("pos"), col("q")))).as("pq"))
-    val widthChecked = dim match {
-      case Some(d) => assembled.withColumn("pq",
-        when(size(col("pq")) =!= lit(d),
-          raise_error(concat(
-            lit("quantizeCodesAgainst: vector "), col("vec_id"),
-            lit(" has "), size(col("pq")),
-            lit(s" coordinates but the trained grid has $d")))
-            .cast(assembled.schema("pq").dataType))
-          .otherwise(col("pq")))
-      case None => assembled
-    }
-    widthChecked.select(col("vec_id"),
-      transform(col("pq"), p => p.getField("q").cast("int")).as("codes"))
+    // r20 (guide §2.3/§2.4, the [[Pq.encodeCodes]] shape): the grid is
+    // a BOUNDED d-row artifact, so collect it once and encode in ONE
+    // narrow corpus pass — the previous form posexploded every vector
+    // (n·d rows), broadcast-joined the grid, and re-assembled each
+    // code array through a groupBy shuffle, i.e. the whole corpus
+    // crossed an exchange just to apply a d-row table. Same saturating
+    // arithmetic (identical IEEE ops per coordinate), same loud
+    // diagnoses: a coordinate past the grid and a width mismatch throw
+    // the same messages the raise_error columns carried, and an empty
+    // embedding array still yields no code row (posexplode semantics).
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val rg: Array[(Double, Double)] = ranges
+      .select(col("pos").cast("long"), col("mn"), col("mx")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+      .sortBy(_._1).map(t => (t._2, t._3))
+    val d = rg.length
+    vectors.filter(col("embedding").isNotNull)
+      .select(col("vec_id"), V.toDouble(col("embedding")).as("e"))
+      .as[(Long, Array[Double])]
+      .mapPartitions { it =>
+        it.flatMap { case (vid, e) =>
+          if (e.isEmpty) None
+          else {
+            if (e.length > d)
+              throw new IllegalArgumentException(
+                s"quantizeCodesAgainst: vector $vid has a coordinate at " +
+                  s"position ${d + 1} beyond the trained grid — re-train " +
+                  "or fix the feed")
+            dim.foreach { w =>
+              if (e.length != w)
+                throw new IllegalArgumentException(
+                  s"quantizeCodesAgainst: vector $vid has ${e.length} " +
+                    s"coordinates but the trained grid has $w")
+            }
+            val out = new Array[Int](e.length)
+            var j = 0
+            while (j < e.length) {
+              val mn = rg(j)._1
+              val mx = rg(j)._2
+              out(j) =
+                if (mx == mn) 0
+                else {
+                  val fl = math.floor(((e(j) - mn) * Steps) / (mx - mn) + 0.5) - 128.0
+                  math.max(-128L, math.min(127L, fl.toLong)).toInt
+                }
+              j += 1
+            }
+            Some((vid, out))
+          }
+        }
+      }.toDF("vec_id", "codes")
   }
 
   /** Erasure-bucket count for the staged codes layout: codes live in

@@ -332,14 +332,11 @@ object Similarity {
     * centroid, which the cluster-summary/semantic-dedup operators
     * consume.
     *
-    * `stagePrefix` names the [[Scratch.reuseDir]] the centroid frame
-    * is staged into. Each IVF-backed OPERATOR passes its own prefix
-    * (advice finding r13): the reuse dir is overwritten on
-    * re-invocation, so a shared prefix would let constructing a
-    * second operator's frame invalidate an earlier, not-yet-consumed
-    * plan's centroid files mid-flight. With per-operator prefixes the
-    * single-live-plan invariant is scoped to re-invoking the SAME
-    * operator — exactly [[Scratch.reuseDir]]'s documented contract. */
+    * `stagePrefix` is retained for call-site attribution only (r20):
+    * the centroid frame is no longer scratch-staged — it is collected
+    * into a bounded local relation (see the build note below), which
+    * removes the r13 shared-prefix invalidation hazard outright (no
+    * files to invalidate). */
   private[operators] def ivfIndex(vectors: DataFrame,
                                   cells: Int = 0,
                                   stagePrefix: String = "ivf_centroids")
@@ -377,14 +374,25 @@ object Similarity {
     }
 
     // --- index: one nearest-cell assignment per corpus vector.
-    // The centroid frame is STAGED first (review finding r13): its
-    // lineage embeds the Lloyd refinement — itself a full-corpus
+    // The centroid frame is MATERIALIZED first (review finding r13):
+    // its lineage embeds the Lloyd refinement — itself a full-corpus
     // assignment pass — and every consumer that collects or joins it
     // (the index assignment here, knnIvfOn's probe window,
     // knnGraphOn's top-cells scan) would otherwise re-run that pass.
-    // C rows of doubles: one tiny write, exact parquet round-trip,
-    // and the build happens exactly once per index.
-    val staged = Scratch.stageReuse(centroids, stagePrefix)
+    // r20: materialize by COLLECT into a local relation instead of a
+    // scratch-parquet round-trip (guide §1.2/§2.4 — the stage write,
+    // its partition-discovery re-read, and one scheduled job per
+    // consumer were pure fixed overhead on every IVF-backed key).
+    // Bounded by the assignNearest contract already in force: C =
+    // ⌈√(n/2)⌉ rows × d doubles (~22k rows even at a 10^9 corpus),
+    // and the doubles are bit-exact either way (collect and parquet
+    // both round-trip IEEE754). Sorted by cell for determinism.
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val staged = centroids.select(col("cell").cast("long"), col("ce"), col("cn"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
+      .sortBy(_._1).toSeq.toDF("cell", "ce", "cn")
     (assignNearest(v, staged, "cell", "ce", "cn"), staged)
   }
 

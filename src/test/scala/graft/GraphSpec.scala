@@ -412,19 +412,19 @@ class GraphSpec extends SparkSpecBase {
       } yield (u, v)).distinct
       if (pairs.nonEmpty) {
         val g = edgesDf(pairs: _*)
-        val fast = Seq(Graph.kcoreOn(g, k = 2), Graph.lpaOn(g),
-          Graph.modularityOn(g), Graph.bfsOn(g, rounds = 6, nSeeds = 2))
-          .map(snap)
+        def all() = Seq(Graph.kcoreOn(g, k = 2), Graph.lpaOn(g),
+          Graph.modularityOn(g), Graph.bfsOn(g, rounds = 6, nSeeds = 2),
+          Graph.pagerankOn(g)).map(snap)
+        val fast = all()
         spark.conf.set("spark.graft.graph.localEdgeThreshold", "0")
         val loop =
-          try Seq(Graph.kcoreOn(g, k = 2), Graph.lpaOn(g),
-            Graph.modularityOn(g), Graph.bfsOn(g, rounds = 6, nSeeds = 2))
-            .map(snap)
+          try all()
           finally spark.conf.unset("spark.graft.graph.localEdgeThreshold")
-        Seq("kcore", "lpa", "modularity", "bfs").zip(fast.zip(loop)).foreach {
-          case (name, (f, l)) =>
-            assert(f == l, s"trial $trial: $name fast path != distributed loop")
-        }
+        Seq("kcore", "lpa", "modularity", "bfs", "pagerank")
+          .zip(fast.zip(loop)).foreach {
+            case (name, (f, l)) =>
+              assert(f == l, s"trial $trial: $name fast path != distributed loop")
+          }
       }
     }
   }
