@@ -166,9 +166,17 @@ class PlanSpec extends SparkSpecBase {
     // 10-row × 1-row totals attach — a corpus-sized window or product
     // here would mean the mode argmax regressed from the struct-min
     // aggregate to a rank window
-    val p = plan(graft.operators.Graph.lpaOn(
-      { import spark.implicits._
-        Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("u", "v") }, rounds = 1))
+    // pin the DISTRIBUTED path: the r20 driver fast path serves
+    // sub-threshold graphs from a collected walk, which collapses this
+    // plan to a LocalTableScan — the distributed shape this test
+    // audits is the 100 TB path, reachable only with the gate off
+    // (the DedupSpec loop-contract discipline)
+    spark.conf.set("spark.graft.graph.localEdgeThreshold", "0")
+    val p =
+      try plan(graft.operators.Graph.lpaOn(
+        { import spark.implicits._
+          Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("u", "v") }, rounds = 1))
+      finally spark.conf.unset("spark.graft.graph.localEdgeThreshold")
     assert(!p.contains("CartesianProduct"))
     assert("Window \\[".r.findAllIn(p).length == 1,
       s"expected exactly the bounded report window:\n$p")
@@ -178,6 +186,20 @@ class PlanSpec extends SparkSpecBase {
       s"expected only the bounded totals build + attach:\n$p")
     assert(p.contains("TakeOrderedAndProject"),
       s"top-K must be a TakeOrdered, not a global sort:\n$p")
+  }
+
+  test("lpa report: driver fast path serves the sub-threshold graph as " +
+      "a bounded local relation — no exchange below the report") {
+    // the twin of the distributed pin above: under the (default) gate
+    // the walk runs on the driver and the report input is a
+    // LocalTableScan — the full LPA walk must NOT appear in the plan
+    val p = plan(graft.operators.Graph.lpaOn(
+      { import spark.implicits._
+        Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("u", "v") }, rounds = 1))
+    assert(p.contains("LocalTableScan"),
+      s"sub-threshold graph did not take the driver fast path:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"driver-path report should join nothing corpus-sized:\n$p")
   }
 
   test("native expressions stay inside whole-stage codegen") {
@@ -569,14 +591,28 @@ class PlanSpec extends SparkSpecBase {
   }
 
   test("graph pagerank: every iteration joins hash-keyed; no cartesian, no global window") {
-    val df = graft.operators.Graph.graphPagerank(spark, sfDir)
-    val p = plan(df)
+    // threshold 0 forces the DISTRIBUTED iteration loop this test
+    // audits (the r20 driver fast path otherwise serves the test-scale
+    // graph as a LocalTableScan — see the twin below)
+    spark.conf.set("spark.graft.graph.localEdgeThreshold", "0")
+    val p =
+      try plan(graft.operators.Graph.graphPagerank(spark, sfDir))
+      finally spark.conf.unset("spark.graft.graph.localEdgeThreshold")
     assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
     // only the TopK-row report window may single-partition (lit(0))
     val specs = "windowspecdefinition\\(([^,)]*)".r.findAllMatchIn(p).map(_.group(1)).toList
     specs.foreach(first => assert(first.startsWith("0"),
       s"unexpected non-report window on '$first':\n$p"))
     assert(p.contains("TakeOrderedAndProject"), s"top-K fell into a global sort:\n$p")
+  }
+
+  test("graph pagerank: driver fast path serves the sub-threshold graph " +
+      "as a bounded local relation") {
+    val p = plan(graft.operators.Graph.graphPagerank(spark, sfDir))
+    assert(p.contains("LocalTableScan"),
+      s"sub-threshold graph did not take the driver fast path:\n$p")
+    assert(!p.contains("Exchange"),
+      s"driver-path report must not shuffle:\n$p")
   }
 
 
@@ -670,10 +706,24 @@ class PlanSpec extends SparkSpecBase {
   }
 
   test("kcore: report is a TakeOrdered over checkpointed peel state, not a global sort") {
-    val df = graft.operators.Graph.graphKcore(spark, sfDir)
-    val p = plan(df)
+    // threshold 0 forces the DISTRIBUTED peel loop this test audits
+    // (the r20 driver fast path otherwise serves the test-scale graph
+    // as a LocalTableScan — see the twin below)
+    spark.conf.set("spark.graft.graph.localEdgeThreshold", "0")
+    val p =
+      try plan(graft.operators.Graph.graphKcore(spark, sfDir))
+      finally spark.conf.unset("spark.graft.graph.localEdgeThreshold")
     assert(p.contains("TakeOrderedAndProject"), s"top-K fell into a global sort:\n$p")
     assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
+  }
+
+  test("kcore: driver fast path serves the sub-threshold graph as a " +
+      "bounded local relation") {
+    val p = plan(graft.operators.Graph.graphKcore(spark, sfDir))
+    assert(p.contains("LocalTableScan"),
+      s"sub-threshold graph did not take the driver fast path:\n$p")
+    assert(!p.contains("Exchange"),
+      s"driver-path report must not shuffle:\n$p")
   }
 
   test("link predict: capped wedge join is an equi-join; existing edges cut by anti-join; top-K a TakeOrdered") {
