@@ -831,7 +831,15 @@ object Dedup {
     // subtree (and its caches) through each loop step, which measured
     // 2–8× slower with high variance under cache pressure (r5)
     val staged = Scratch.dir("graft_cluster_pairs")
+    // observed row count (r21, VERDICT item 5): the staging write
+    // already evaluates every pair row, so a CollectMetrics node on it
+    // yields the exact count for FREE — the r20 gate ran a separate
+    // count() job over the staged frame (one extra pass per call, the
+    // likely cause of dedup_clusters' ~15% drift), then collect()ed a
+    // second time under the threshold
+    val obs = org.apache.spark.sql.Observation()
     pairs.select(col("doc_a"), col("doc_b"))
+      .observe(obs, count(lit(1)).as("n"))
       .write.mode("overwrite").parquet(staged)
     val p = pairs.sparkSession.read.parquet(staged)
     // SMALL-GRAPH FAST PATH (r20 optimization, guide §1.2 "the
@@ -854,7 +862,7 @@ object Dedup {
     val localMax = pairs.sparkSession.conf
       .getOption("spark.graft.clusters.localEdgeThreshold")
       .map(_.toLong).getOrElse(1000000L)
-    val nPairs = p.count()
+    val nPairs = obs.get("n").asInstanceOf[Long]
     if (nPairs <= localMax) {
       val spark = pairs.sparkSession
       import spark.implicits._

@@ -361,8 +361,11 @@ object Graph {
     // `div` plan runs. Each distributed iteration paid a broadcast
     // build + m-row join + aggregate; under the threshold that is
     // pure scheduling overhead. GraphSpec pins fast path == loop.
-    if (edges.count() <= localGraphEdgeMax(edges)) {
-      val rows = collectEdgeList(edges)
+    // gate = ONE bounded probe that doubles as the collect (r21,
+    // VERDICT item 5 — see [[probeLocalEdges]]): no count() pre-pass
+    val probedPr = probeLocalEdges(edges)
+    if (probedPr.isDefined) {
+      val rows = probedPr.get
       val deg = new java.util.HashMap[Long, Long]()
       rows.foreach { case (u, v) =>
         deg.merge(u, 1L, _ + _); deg.merge(v, 1L, _ + _); ()
@@ -590,7 +593,6 @@ object Graph {
       if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
         df.checkpoint(eager = true)
       else df.localCheckpoint(eager = true)
-    val nEdges = edges.count()
     // SMALL-GRAPH FAST PATH (r20 optimization — the
     // [[Dedup.pairClusters]] pattern): below the bounded-collect
     // threshold every peeling round is pure scheduling overhead
@@ -599,9 +601,11 @@ object Graph {
     // IDENTICAL round semantics — every sub-k node removed at once —
     // so the round count feeding the oracle-budget guard is the same
     // number the distributed loop reports, and the fixpoint is the
-    // same subgraph.
-    if (nEdges <= localGraphEdgeMax(edges)) {
-      val rows = collectEdgeList(edges)
+    // same subgraph. Gate = ONE bounded probe that doubles as the
+    // collect (r21, VERDICT item 5 — see [[probeLocalEdges]]).
+    val probedKc = probeLocalEdges(edges)
+    if (probedKc.isDefined) {
+      val rows = probedKc.get
       var alive = rows
       var rounds = 0
       var converged = alive.isEmpty
@@ -640,8 +644,10 @@ object Graph {
       }.toSeq.toDF("rank", "p_partkey", "core_deg", "n_core_nodes", "n_core_edges")
     }
     var alive = truncated(edges.select(col("u"), col("v")))
-    var n = nEdges
-    var converged = n == 0
+    // the probe overflowed, so the edge list is non-empty — no upfront
+    // count needed; n = -1 never equals a real round count
+    var n = -1L
+    var converged = false
     var rounds = 0
     while (!converged) {
       val survivors = degrees(alive).where(col("deg") >= k).select(col("node"))
@@ -779,13 +785,27 @@ object Graph {
     df.sparkSession.conf.getOption("spark.graft.graph.localEdgeThreshold")
       .map(_.toLong).getOrElse(1000000L)
 
-  /** Bounded collect of a (u, v) edge list — callers gate on
-    * [[localGraphEdgeMax]] first. */
-  private def collectEdgeList(edges: DataFrame): Array[(Long, Long)] = {
+  /** Bounded fast-path probe (r21, VERDICT item 5): ONE incremental
+    * collect-limit job both DECIDES the path and, under the threshold,
+    * already IS the edge list. The r20 gates ran a full `count()` job
+    * over the edge frame and then `collect()`ed it again — an extra
+    * full pass per key (and for unstaged callers the whole edge
+    * lineage evaluated twice). `head(threshold+1)` is Spark's
+    * incremental executeTake (1 partition, then geometric ramp), so an
+    * over-threshold graph pays one bounded scan, never a full pass,
+    * and an under-threshold graph pays exactly the collect it needs.
+    * Returns Some(edges) when the list fits, None when the probe
+    * overflows (callers run the unchanged distributed loops). The
+    * collect budget is additionally clamped at 100M rows — a threshold
+    * above that could not be driver-collected anyway. */
+  private def probeLocalEdges(edges: DataFrame): Option[Array[(Long, Long)]] = {
+    val localMax = localGraphEdgeMax(edges)
+    val lim = (math.min(math.max(localMax, 0L), 100000000L) + 1L).toInt
     val spark = edges.sparkSession
     import spark.implicits._
-    edges.select(col("u").cast("long"), col("v").cast("long"))
-      .as[(Long, Long)].collect()
+    val probe = edges.select(col("u").cast("long"), col("v").cast("long"))
+      .as[(Long, Long)].head(lim)
+    if (probe.length < lim) Some(probe) else None
   }
 
   /** Deterministic synchronous-LPA rounds on a collected edge list —
@@ -832,8 +852,9 @@ object Graph {
     // join + two aggregates + checkpoint jobs. Same argmax, same
     // ties, same labels — DedupSpec-style equivalence pinned in
     // GraphSpec, and the LPA-consuming driver keys stay oracle-gated.
-    if (edges.count() <= localGraphEdgeMax(edges)) {
-      val labels = lpaRoundsLocal(collectEdgeList(edges), rounds)
+    val probedLpa = probeLocalEdges(edges)
+    if (probedLpa.isDefined) {
+      val labels = lpaRoundsLocal(probedLpa.get, rounds)
       val out = new scala.collection.mutable.ArrayBuffer[(Long, Long)](labels.size)
       labels.forEach((node, lb) => { out += ((node, lb)); () })
       val spark = edges.sparkSession
@@ -1201,8 +1222,9 @@ object Graph {
     // checkpoints; all of it fixed scheduling overhead at this size.
     // Same layers (a node's dist = its first-discovery round), same
     // exact-integer report.
-    if (edges.count() <= localGraphEdgeMax(edges)) {
-      val rows = collectEdgeList(edges)
+    val probedBfs = probeLocalEdges(edges)
+    if (probedBfs.isDefined) {
+      val rows = probedBfs.get
       val adj = new java.util.HashMap[Long, scala.collection.mutable.ArrayBuffer[Long]]()
       def add(a: Long, b: Long): Unit = {
         adj.computeIfAbsent(a, _ => new scala.collection.mutable.ArrayBuffer[Long]) += b
