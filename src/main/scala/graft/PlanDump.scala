@@ -16,6 +16,13 @@ object PlanDump {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
     val spark = GraftSession.builder().getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // optional session confs ("k=v,k=v") — e.g. pin the graph/cluster
+    // fast-path thresholds to 0 so the DISTRIBUTED plan shapes of the
+    // driver-fast-path keys stay dumpable (r21, VERDICT item 7)
+    sys.env.get("SPARK_GRAFT_PLAN_CONFS").foreach(_.split(",").foreach { kv =>
+      val Array(k, v) = kv.split("=", 2)
+      spark.conf.set(k.trim, v.trim)
+    })
     val names = if (args.length > 2) args.drop(2).toSeq
                 else SparkEntry.queries.keys.toSeq.sorted
     names.foreach { name =>
