@@ -99,6 +99,19 @@ object Graph {
   private def staged(df: DataFrame, prefix: String): DataFrame =
     Scratch.stageReuse(df, prefix)
 
+  /** [[staged]] plus the EXACT row count of the materialization, read
+    * from a CollectMetrics observation on the write the staging
+    * already pays for (r21 — the pairClusters pattern): the walk keys'
+    * fast-path gates then decide with ZERO extra jobs, where even the
+    * bounded probe costs an incremental take per key. */
+  private def stagedCounted(df: DataFrame, prefix: String): (DataFrame, Long) = {
+    val obs = org.apache.spark.sql.Observation()
+    val path = Scratch.reuseDir(prefix)
+    df.observe(obs, count(lit(1)).as("n")).write.mode("overwrite").parquet(path)
+    val scan = df.sparkSession.read.schema(df.schema).parquet(path)
+    (scan, obs.get("n").asInstanceOf[Long])
+  }
+
   private def degrees(edges: DataFrame): DataFrame =
     edges.select(col("u").as("node"))
       .unionAll(edges.select(col("v").as("node")))
@@ -127,7 +140,8 @@ object Graph {
     * out-neighbor of s and d; at (s, w) the third corner d is not an
     * out-neighbor of w, and at (d, w) s is not an out-neighbor of
     * either — no dedup pass needed. */
-  def triangleCorners(edges: DataFrame, degOpt: Option[DataFrame] = None): DataFrame = {
+  def triangleCorners(edges: DataFrame, degOpt: Option[DataFrame] = None,
+                      stagePrefix: String = "graft_graph"): DataFrame = {
     // callers that already computed degrees(edges) pass it in (r20
     // optimization): the orientation join re-reads the SAME aggregate
     // the report side needs, so deriving it twice paid one extra
@@ -158,9 +172,15 @@ object Graph {
     // shuffle-partition knob, so it scales with the deployment rather
     // than hard-coding the local core count.
     val shufP = edges.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-    val or2 = staged(oriented.repartition(shufP, col("s")), "graft_graph_oriented")
-    val adj = or2.groupBy(col("s").as("node"))
-      .agg(sort_array(collect_list(col("d"))).as("nbrs"))
+    val or2 = staged(oriented.repartition(shufP, col("s")), s"${stagePrefix}_oriented")
+    // adjacency STAGED (r21, VERDICT item 2): both probe joins below
+    // consume it, and without a materialization each broadcast side
+    // re-ran the whole collect_list aggregate over the oriented scan
+    // (two ObjectHashAggregate+Exchange subtrees in the r20
+    // graph_edge_jaccard plan). One node-sized write, two cheap scans.
+    val adj = staged(or2.groupBy(col("s").as("node"))
+      .agg(sort_array(collect_list(col("d"))).as("nbrs")),
+      s"${stagePrefix}_adj")
     // left joins: a sink node (no out-edges) has no adjacency row —
     // its edges close no triangle, so an empty array is correct
     val empty = array().cast("array<bigint>")
@@ -175,7 +195,10 @@ object Graph {
   /** Generic form over any distinct undirected (u, v) edge list with
     * u ≠ v, each pair present once in either orientation. */
   def trianglesOn(edges: DataFrame): DataFrame = {
-    val deg = degrees(edges)
+    // deg STAGED (r21): three consumers (both orientation joins inside
+    // triangleCorners and the totals agg) each re-ran the two-scan
+    // union + aggregate; one node-sized write serves all three
+    val deg = staged(degrees(edges), "graft_tri_deg")
     val triCached = staged(triangleCorners(edges, Some(deg)), "graft_graph_tris")
     // per-node participation: each triangle touches its 3 corners
     val perNode = triCached.select(explode(array(col("x"), col("y"), col("z"))).as("node"))
@@ -260,14 +283,19 @@ object Graph {
     edgeJaccardOn(staged(coOrderEdges(spark, dir), "graft_ej_edges"))
 
   def edgeJaccardOn(edges: DataFrame, topK: Int = TopK): DataFrame = {
-    val deg = degrees(edges)
+    // deg STAGED (r21, VERDICT item 2): FOUR consumers (both
+    // orientation joins inside triangleCorners, du and dv below) each
+    // re-ran the two-scan union + aggregate — the r20 plan carried two
+    // whole broadcast deg subtrees in the report alone. One node-sized
+    // write serves all four as cheap parquet scans.
+    val deg = staged(degrees(edges), "graft_ej_deg")
     // NOT staged (r20 optimization): unlike [[trianglesOn]] — where the
     // corner frame feeds two report branches — the corners here have
     // exactly ONE consumer (the triEdges aggregate), so materializing
     // them bought nothing and paid a full corner-list parquet write
     // (the single biggest job of this key's profile). The corner pass
     // streams straight into the explode+groupBy.
-    val corners = triangleCorners(edges, Some(deg))
+    val corners = triangleCorners(edges, Some(deg), "graft_ej")
     // the 3 edges of each triangle, normalized u < v
     val triEdges = corners.select(
         explode(array(
@@ -346,12 +374,15 @@ object Graph {
     * over the co-order graph, top-K nodes by final rank. Exact
     * integer arithmetic throughout (see object doc); damping 0.85 as
     * the rational 85/100, teleport mass (15/100)·One div N. */
-  def graphPagerank(spark: SparkSession, dir: String): DataFrame =
-    pagerankOn(staged(coOrderEdges(spark, dir), "graft_pr_edges"))
+  def graphPagerank(spark: SparkSession, dir: String): DataFrame = {
+    val (e, n) = stagedCounted(coOrderEdges(spark, dir), "graft_pr_edges")
+    pagerankOn(e, knownEdges = Some(n))
+  }
 
   /** Generic form over any distinct undirected (u, v) edge list (see
     * [[trianglesOn]] for the contract). */
-  def pagerankOn(edges: DataFrame, iters: Int = Iters, topK: Int = TopK): DataFrame = {
+  def pagerankOn(edges: DataFrame, iters: Int = Iters, topK: Int = TopK,
+                 knownEdges: Option[Long] = None): DataFrame = {
     // SMALL-GRAPH FAST PATH (r20 optimization — see
     // [[localGraphEdgeMax]]): the rank walk is EXACT-INTEGER
     // arithmetic (teleport + 85·Σ(rank div deg) div 100 in fixed-point
@@ -363,7 +394,7 @@ object Graph {
     // pure scheduling overhead. GraphSpec pins fast path == loop.
     // gate = ONE bounded probe that doubles as the collect (r21,
     // VERDICT item 5 — see [[probeLocalEdges]]): no count() pre-pass
-    val probedPr = probeLocalEdges(edges)
+    val probedPr = probeLocalEdges(edges, knownEdges)
     if (probedPr.isDefined) {
       val rows = probedPr.get
       val deg = new java.util.HashMap[Long, Long]()
@@ -562,9 +593,10 @@ object Graph {
     * itself: [[graphComponents]] asks "what is connected", this asks
     * "what is ROBUSTLY connected"). Report = top-K core members by
     * within-core degree beside the 1-row core summary. */
-  def graphKcore(spark: SparkSession, dir: String): DataFrame =
-    kcoreOn(staged(supportedEdges(spark, dir), "graft_kcore_edges"),
-      oracleRoundBudget = Some(KcorePeelRounds))
+  def graphKcore(spark: SparkSession, dir: String): DataFrame = {
+    val (e, n) = stagedCounted(supportedEdges(spark, dir), "graft_kcore_edges")
+    kcoreOn(e, oracleRoundBudget = Some(KcorePeelRounds), knownEdges = Some(n))
+  }
 
   /** Generic k-core over a distinct undirected (u, v) edge list.
     *
@@ -588,7 +620,8 @@ object Graph {
     * mismatch would otherwise surface with an inscrutable cause — so
     * we fail fast here with the real diagnosis instead. */
   def kcoreOn(edges: DataFrame, k: Int = KcoreK, topK: Int = TopK,
-              oracleRoundBudget: Option[Int] = None): DataFrame = {
+              oracleRoundBudget: Option[Int] = None,
+              knownEdges: Option[Long] = None): DataFrame = {
     def truncated(df: DataFrame): DataFrame =
       if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
         df.checkpoint(eager = true)
@@ -603,7 +636,7 @@ object Graph {
     // number the distributed loop reports, and the fixpoint is the
     // same subgraph. Gate = ONE bounded probe that doubles as the
     // collect (r21, VERDICT item 5 — see [[probeLocalEdges]]).
-    val probedKc = probeLocalEdges(edges)
+    val probedKc = probeLocalEdges(edges, knownEdges)
     if (probedKc.isDefined) {
       val rows = probedKc.get
       var alive = rows
@@ -755,8 +788,10 @@ object Graph {
     * lineage is checkpoint-truncated per round (the [[kcoreOn]]
     * discipline — each round's frame feeds the next round's join and
     * the final report; unbroken lineage re-expands per round). */
-  def graphLpa(spark: SparkSession, dir: String): DataFrame =
-    lpaOn(staged(supportedEdges(spark, dir), "graft_lpa_edges"))
+  def graphLpa(spark: SparkSession, dir: String): DataFrame = {
+    val (e, n) = stagedCounted(supportedEdges(spark, dir), "graft_lpa_edges")
+    lpaOn(e, knownEdges = Some(n))
+  }
 
   /** The label-propagation core shared by the report key and the
     * modularity grader: [[LpaRounds]]-style synchronous rounds over a
@@ -798,14 +833,24 @@ object Graph {
     * overflows (callers run the unchanged distributed loops). The
     * collect budget is additionally clamped at 100M rows — a threshold
     * above that could not be driver-collected anyway. */
-  private def probeLocalEdges(edges: DataFrame): Option[Array[(Long, Long)]] = {
+  private def probeLocalEdges(edges: DataFrame,
+                              known: Option[Long] = None): Option[Array[(Long, Long)]] = {
     val localMax = localGraphEdgeMax(edges)
-    val lim = (math.min(math.max(localMax, 0L), 100000000L) + 1L).toInt
     val spark = edges.sparkSession
     import spark.implicits._
-    val probe = edges.select(col("u").cast("long"), col("v").cast("long"))
-      .as[(Long, Long)].head(lim)
-    if (probe.length < lim) Some(probe) else None
+    val typed = edges.select(col("u").cast("long"), col("v").cast("long"))
+      .as[(Long, Long)]
+    known match {
+      // count already observed on the staging write ([[stagedCounted]]):
+      // over the threshold the gate is FREE; under it, one parallel
+      // collect (the incremental take below is a SERIAL partition ramp)
+      case Some(n) =>
+        if (n <= localMax && n <= 100000000L) Some(typed.collect()) else None
+      case None =>
+        val lim = (math.min(math.max(localMax, 0L), 100000000L) + 1L).toInt
+        val probe = typed.head(lim)
+        if (probe.length < lim) Some(probe) else None
+    }
   }
 
   /** Deterministic synchronous-LPA rounds on a collected edge list —
@@ -844,7 +889,8 @@ object Graph {
   }
 
   private[operators] def lpaLabels(edges: DataFrame, rounds: Int,
-                                   stagePrefix: String): DataFrame = {
+                                   stagePrefix: String,
+                                   knownEdges: Option[Long] = None): DataFrame = {
     // SMALL-GRAPH FAST PATH (r20 optimization — see
     // [[localGraphEdgeMax]]): under the threshold the R synchronous
     // rounds run on the driver over the collected distinct edge list,
@@ -852,7 +898,7 @@ object Graph {
     // join + two aggregates + checkpoint jobs. Same argmax, same
     // ties, same labels — DedupSpec-style equivalence pinned in
     // GraphSpec, and the LPA-consuming driver keys stay oracle-gated.
-    val probedLpa = probeLocalEdges(edges)
+    val probedLpa = probeLocalEdges(edges, knownEdges)
     if (probedLpa.isDefined) {
       val labels = lpaRoundsLocal(probedLpa.get, rounds)
       val out = new scala.collection.mutable.ArrayBuffer[(Long, Long)](labels.size)
@@ -884,8 +930,8 @@ object Graph {
   }
 
   def lpaOn(edges: DataFrame, rounds: Int = LpaRounds,
-            topK: Int = TopK): DataFrame = {
-    val labels = lpaLabels(edges, rounds, "graft_lpa_directed")
+            topK: Int = TopK, knownEdges: Option[Long] = None): DataFrame = {
+    val labels = lpaLabels(edges, rounds, "graft_lpa_directed", knownEdges)
     val comm = labels.groupBy(col("label")).agg(count(lit(1)).as("members"))
     val totals = comm.agg(count(lit(1)).as("n_communities"))
       .crossJoin(labels.agg(count(lit(1)).as("n_nodes")))
@@ -965,12 +1011,14 @@ object Graph {
     * top-K + 1-row-totals report. Report = top-K communities by
     * (members DESC, label ASC) with their members/intra_edges/
     * deg_sum, totals attached. */
-  def graphModularity(spark: SparkSession, dir: String): DataFrame =
-    modularityOn(staged(supportedEdges(spark, dir), "graft_mod_edges"))
+  def graphModularity(spark: SparkSession, dir: String): DataFrame = {
+    val (e, n) = stagedCounted(supportedEdges(spark, dir), "graft_mod_edges")
+    modularityOn(e, knownEdges = Some(n))
+  }
 
   def modularityOn(edges: DataFrame, rounds: Int = LpaRounds,
-                   topK: Int = TopK): DataFrame = {
-    val labels = lpaLabels(edges, rounds, "graft_mod_directed")
+                   topK: Int = TopK, knownEdges: Option[Long] = None): DataFrame = {
+    val labels = lpaLabels(edges, rounds, "graft_mod_directed", knownEdges)
     val intra = edges
       .join(labels.select(col("node").as("u"), col("label").as("lu")), "u")
       .join(labels.select(col("node").as("v"), col("label").as("lv")), "v")
@@ -1075,7 +1123,9 @@ object Graph {
     * one anti-join dropping already-adjacent pairs, TakeOrdered top-K. */
   def linkPredictOn(edges: DataFrame, cap: Int = LinkHubCap,
                     topK: Int = TopK): DataFrame = {
-    val deg = degrees(edges)
+    // deg STAGED (r21): three consumers (the hub-cap filter join, du,
+    // dv) each re-ran the two-scan union + aggregate
+    val deg = staged(degrees(edges), "graft_lp_deg")
     val arcs = edges.select(col("u").as("center"), col("v").as("nbr"))
       .unionAll(edges.select(col("v").as("center"), col("u").as("nbr")))
     val capped = arcs.join(
@@ -1208,11 +1258,14 @@ object Graph {
     * (each level = min(dist) over the previous level ∪ its one-hop
     * expansion) — same layers, simpler SQL: a node's min dist IS its
     * first-discovery round. */
-  def graphBfs(spark: SparkSession, dir: String): DataFrame =
-    bfsOn(staged(supportedEdges(spark, dir), "graft_bfs_edges"))
+  def graphBfs(spark: SparkSession, dir: String): DataFrame = {
+    val (e, n) = stagedCounted(supportedEdges(spark, dir), "graft_bfs_edges")
+    bfsOn(e, knownEdges = Some(n))
+  }
 
   def bfsOn(edges: DataFrame, rounds: Int = BfsRounds,
-            nSeeds: Int = BfsSeeds): DataFrame = {
+            nSeeds: Int = BfsSeeds,
+            knownEdges: Option[Long] = None): DataFrame = {
     // SMALL-GRAPH FAST PATH (r20 optimization — see
     // [[localGraphEdgeMax]]): under the threshold the whole walk —
     // seed pick, `rounds` synchronous frontier expansions, histogram,
@@ -1222,7 +1275,7 @@ object Graph {
     // checkpoints; all of it fixed scheduling overhead at this size.
     // Same layers (a node's dist = its first-discovery round), same
     // exact-integer report.
-    val probedBfs = probeLocalEdges(edges)
+    val probedBfs = probeLocalEdges(edges, knownEdges)
     if (probedBfs.isDefined) {
       val rows = probedBfs.get
       val adj = new java.util.HashMap[Long, scala.collection.mutable.ArrayBuffer[Long]]()
@@ -1274,8 +1327,12 @@ object Graph {
         .unionAll(edges.select(col("v").as("s"), col("u").as("d"))),
       "graft_bfs_directed")
     // degree off the directed frame (COUNT per source == undirected
-    // degree), byte-matching the oracle's deg CTE
-    val deg = ed.groupBy(col("s").as("node")).agg(count(lit(1)).as("deg"))
+    // degree), byte-matching the oracle's deg CTE. STAGED (r21): the
+    // seed TakeOrdered and the totals count both consume it; unstaged,
+    // each re-ran the full directed-frame aggregate.
+    val deg = Scratch.stageReuse(
+      ed.groupBy(col("s").as("node")).agg(count(lit(1)).as("deg")),
+      "graft_bfs_deg")
     // seed pick is a TakeOrdered (distributed heap), not a window
     val seeds = deg.orderBy(col("deg").desc, col("node")).limit(nSeeds)
       .select(col("node"))
