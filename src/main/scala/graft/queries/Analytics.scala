@@ -476,11 +476,19 @@ object Analytics {
     // the purchase after the greedy view lives on the VIEW row;
     // duplicate (user, us) view rows carry identical np — distinct
     // keeps the join 1:1
+    // the view side renames user_id up front: both join inputs derive
+    // from the SAME withNext frame, so `clicks("user_id") ===
+    // viewNext("user_id")` built a self-referential equality that
+    // Spark re-mapped through dataset-id metadata while logging
+    // "Constructing trivially true equals predicate" on every run —
+    // an explicit rename keys the join unambiguously (r21, VERDICT
+    // item 9); same equi-join, same rows
     val viewNext = withNext.filter(col("event_type") === FunnelSteps(1))
-      .select(col("user_id"), col("us").as("tv"), col("np")).distinct()
+      .select(col("user_id").as("v_user_id"), col("us").as("tv"), col("np"))
+      .distinct()
     val chains = clicks.join(viewNext,
-      clicks("user_id") === viewNext("user_id") && col("nv") === col("tv"),
-      "left").select(clicks("user_id"), col("tc"), col("nv"), col("np"))
+      col("user_id") === col("v_user_id") && col("nv") === col("tv"),
+      "left").select(col("user_id"), col("tc"), col("nv"), col("np"))
     val agg = chains.agg(
       count_distinct(col("user_id")).as("n1"),
       count_distinct(when(col("nv").isNotNull && col("nv") - col("tc") <= wUs,
