@@ -66,10 +66,18 @@ object CorpusPipeline {
       .filter(col("quality_score") >= qualityMin)
       .select(col("doc_id"))
     val kept = trainDocs.join(quality, Seq("doc_id"), "left_semi")
-    // exact dedup: keep the min doc_id per content hash
-    val exact = Merge.keepFirst(kept,
+    // exact dedup: keep the min doc_id per content hash. STAGED (r21,
+    // guide §6 / VERDICT item 8): every downstream stage roots at this
+    // frame, and the final packed plan re-evaluates the chain several
+    // times (the near-dup anti-join, the eval-hash cut, both
+    // contamination gram branches, both sides of the packing join) —
+    // unstaged, each re-ran the quality scoring scan and the
+    // content-hash window (the r20 plan carried 164 Exchanges). One
+    // survivor-corpus write truncates all of it.
+    val exact = Scratch.stageReuse(Merge.keepFirst(kept,
       keys = Seq(Dedup.contentHash(col("text"))),
-      orderCol = col("doc_id"), tiebreak = col("doc_id"))
+      orderCol = col("doc_id"), tiebreak = col("doc_id")),
+      "graft_corpus_exact")
     // near-dup survivor drop over verified Jaccard pairs; the trigram
     // cache is released once pairClusters has durably checkpointed the
     // pairs (otherwise every prepare() call would pin one cached frame
@@ -88,7 +96,13 @@ object CorpusPipeline {
       Dedup.contentHash(col("text")) === col("__eval_hash"), "left_anti")
     val clean = Dedup.decontaminateOn(
       noExactEval.unionByName(evalDocs), evalSource, contamTau)
-    val sampled = Etl.sampleWeightedOn(clean, weights, defaultWeight)
+    // STAGED (r21): the packing join below reads `sampled` on BOTH
+    // sides (layout window + payload), and the decontamination chain
+    // above it is the priciest stretch of the pipeline — unstaged, the
+    // whole clean-corpus derivation ran twice
+    val sampled = Scratch.stageReuse(
+      Etl.sampleWeightedOn(clean, weights, defaultWeight),
+      "graft_corpus_sampled")
     val packed = TrainPrep.packSequencesOn(sampled)
       .join(sampled, Seq("doc_id"))
       .select(col("doc_id"), col("text"), col("lang"), col("source"),
