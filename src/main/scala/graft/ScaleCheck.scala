@@ -52,7 +52,9 @@ object ScaleCheck {
     // write 180M ordinary lineitems + 30M events nobody reads
     val graphOnly = Set("graph_triangles", "graph_pagerank",
       "graph_edge_jaccard", "graph_components", "graph_kcore",
-      "graph_lpa", "graph_link_predict", "graph_modularity", "graph_bfs")
+      "graph_lpa", "graph_link_predict", "graph_modularity", "graph_bfs",
+      "graph_kcore_dist", "graph_lpa_dist", "graph_bfs_dist",
+      "graph_components_dist", "graph_pagerank_dist")
     val skipNonGraph = args.length > 1 && args(1).split(",").forall(graphOnly)
     // ops that synthesize their own substrate inline (spark.range) —
     // a run of only these writes no corpus at all
@@ -456,6 +458,38 @@ object ScaleCheck {
       run("knn_ivf_opq", operators.Opq.knnIvfOpqOn(
         spark.read.parquet(s"$dir/embeddings.parquet"))),
       run("graph_bfs", operators.Graph.graphBfs(spark, s"$dir/graph")),
+      // r21 (VERDICT item 7): FORCED-DISTRIBUTED twins of the
+      // driver-fast-path walk keys. Below the edge threshold the
+      // default keys serve the whole walk from a driver loop, so the
+      // distributed iteration code — the path a 100 TB graph actually
+      // runs — would otherwise go unmeasured at every scale this
+      // harness can afford. Threshold 0 forces the loops; results are
+      // pinned identical to the fast path by GraphSpec/DedupSpec.
+      run("graph_kcore_dist", {
+        spark.conf.set("spark.graft.graph.localEdgeThreshold", "0")
+        try operators.Graph.graphKcore(spark, s"$dir/graph")
+        finally spark.conf.unset("spark.graft.graph.localEdgeThreshold")
+      }),
+      run("graph_lpa_dist", {
+        spark.conf.set("spark.graft.graph.localEdgeThreshold", "0")
+        try operators.Graph.graphLpa(spark, s"$dir/graph")
+        finally spark.conf.unset("spark.graft.graph.localEdgeThreshold")
+      }),
+      run("graph_bfs_dist", {
+        spark.conf.set("spark.graft.graph.localEdgeThreshold", "0")
+        try operators.Graph.graphBfs(spark, s"$dir/graph")
+        finally spark.conf.unset("spark.graft.graph.localEdgeThreshold")
+      }),
+      run("graph_pagerank_dist", {
+        spark.conf.set("spark.graft.graph.localEdgeThreshold", "0")
+        try operators.Graph.graphPagerank(spark, s"$dir/graph")
+        finally spark.conf.unset("spark.graft.graph.localEdgeThreshold")
+      }),
+      run("graph_components_dist", {
+        spark.conf.set("spark.graft.clusters.localEdgeThreshold", "0")
+        try operators.Graph.graphComponents(spark, s"$dir/graph")
+        finally spark.conf.unset("spark.graft.clusters.localEdgeThreshold")
+      }),
       run("text_entropy", operators.TextAnalysis.textEntropy(spark, dir)),
       run("salted_join_events", {
         val ev = sources.Tables.events(spark, dir)
