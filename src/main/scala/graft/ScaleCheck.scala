@@ -482,8 +482,12 @@ object ScaleCheck {
       }),
       run("graph_pagerank_dist", {
         spark.conf.set("spark.graft.graph.localEdgeThreshold", "0")
+        spark.conf.set("spark.graft.graph.localNodeThreshold", "0")
         try operators.Graph.graphPagerank(spark, s"$dir/graph")
-        finally spark.conf.unset("spark.graft.graph.localEdgeThreshold")
+        finally {
+          spark.conf.unset("spark.graft.graph.localEdgeThreshold")
+          spark.conf.unset("spark.graft.graph.localNodeThreshold")
+        }
       }),
       run("graph_components_dist", {
         spark.conf.set("spark.graft.clusters.localEdgeThreshold", "0")

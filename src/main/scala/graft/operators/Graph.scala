@@ -444,6 +444,80 @@ object Graph {
     // sizes the teleport constant folded into every iteration's plan
     val n = deg.count()
     val teleport = 15L * One / (100L * n)
+    // NODE-BOUNDED HYBRID TIER (r21, guide §8 "decide with small
+    // rows, move big rows once"): the rank vector is node-sized and
+    // the distributed loop below ALREADY ships it whole into every
+    // iteration (the ranks side broadcasts under AQE) — so whenever
+    // it fits a broadcast it also fits the driver, and an iteration
+    // can be ONE mapPartitions pass over the staged edges producing
+    // per-partition partial contribution arrays, tree-merged. Exact
+    // Long sums are order-independent, so this is bit-identical to
+    // the join+aggregate iteration — GraphSpec pins all three tiers
+    // row-identical. What it removes per iteration: the contribution
+    // shuffle, the rank-broadcast build and the deg join (4+ serial
+    // AQE stages → 1 job). Driver/executor state: 8·n-byte rank and
+    // degree arrays — the same order as the broadcast the loop plan
+    // pays anyway; above the threshold (vector no longer
+    // broadcastable) the unchanged loop runs. Threshold tunable per
+    // deployment (spark.graft.graph.localNodeThreshold; 500k default
+    // keeps the per-partition partial arrays at ≤4 MB).
+    val localNodeMax = edges.sparkSession.conf
+      .getOption("spark.graft.graph.localNodeThreshold")
+      .map(_.toLong).getOrElse(500000L)
+    if (n > 0 && n <= localNodeMax) {
+      val spark = edges.sparkSession
+      import spark.implicits._
+      val degArr = deg.select(col("node").cast("long"), col("deg").cast("long"))
+        .as[(Long, Long)].collect()
+      val nInt = degArr.length
+      val nodeIdx = new java.util.HashMap[Long, Integer](nInt * 2)
+      val degByIdx = new Array[Long](nInt)
+      var i = 0
+      while (i < nInt) {
+        nodeIdx.put(degArr(i)._1, Integer.valueOf(i)); degByIdx(i) = degArr(i)._2
+        i += 1
+      }
+      val sc = spark.sparkContext
+      val idxBc = sc.broadcast(nodeIdx)
+      val degBc = sc.broadcast(degByIdx)
+      val edgeIdx = edges
+        .select(col("u").cast("long"), col("v").cast("long")).as[(Long, Long)]
+        .rdd.mapPartitions { it =>
+          val ix = idxBc.value
+          it.map { case (u, v) => (ix.get(u).intValue, ix.get(v).intValue) }
+        }
+      var rankByIdx = Array.fill(nInt)(One / n)
+      val arrayAdd: (Array[Long], Array[Long]) => Array[Long] = (a, b) => {
+        var j = 0
+        while (j < a.length) { a(j) += b(j); j += 1 }
+        a
+      }
+      (1 to iters).foreach { _ =>
+        val rankBc = sc.broadcast(rankByIdx)
+        val summed = edgeIdx.mapPartitions { it =>
+          val prev = rankBc.value
+          val dg = degBc.value
+          val sums = new Array[Long](prev.length)
+          it.foreach { case (ui, vi) =>
+            sums(vi) += prev(ui) / dg(ui)
+            sums(ui) += prev(vi) / dg(vi)
+          }
+          Iterator.single(sums)
+        }.treeReduce(arrayAdd, depth = 2)
+        rankBc.destroy()
+        rankByIdx = summed.map(s => teleport + 85L * s / 100L)
+      }
+      idxBc.destroy(); degBc.destroy()
+      val buf = new scala.collection.mutable.ArrayBuffer[(Long, Long, Long)](nInt)
+      var j = 0
+      while (j < nInt) { buf += ((degArr(j)._1, rankByIdx(j), degByIdx(j))); j += 1 }
+      val top = buf.sortBy { case (node, r, _) => (-r, node) }.take(topK)
+      val nArcs = degByIdx.sum
+      return top.zipWithIndex.map { case ((node, r, d), k) =>
+        (k + 1, node, r, r.toDouble / One.toDouble, d, n, nArcs)
+      }.toSeq.toDF("rank", "p_partkey", "rank_units", "pagerank",
+        "deg", "n_nodes", "n_arcs")
+    }
     // state: (node, rank, deg) — 3 longs per node, 24 B × nodes.
     // Keeping deg on the rank row makes each iteration a single
     // arcs⋈ranks join. The Iters-deep plan is linear (each frame

@@ -416,14 +416,26 @@ class GraphSpec extends SparkSpecBase {
           Graph.modularityOn(g), Graph.bfsOn(g, rounds = 6, nSeeds = 2),
           Graph.pagerankOn(g)).map(snap)
         val fast = all()
+        // edge threshold 0: walks go distributed; pagerank lands on
+        // the r21 node-bounded hybrid tier (nodes << localNodeThreshold)
         spark.conf.set("spark.graft.graph.localEdgeThreshold", "0")
-        val loop =
+        val hybrid =
           try all()
           finally spark.conf.unset("spark.graft.graph.localEdgeThreshold")
+        // both thresholds 0: pagerank runs the full SMJ iteration loop
+        spark.conf.set("spark.graft.graph.localEdgeThreshold", "0")
+        spark.conf.set("spark.graft.graph.localNodeThreshold", "0")
+        val loop =
+          try all()
+          finally {
+            spark.conf.unset("spark.graft.graph.localEdgeThreshold")
+            spark.conf.unset("spark.graft.graph.localNodeThreshold")
+          }
         Seq("kcore", "lpa", "modularity", "bfs", "pagerank")
-          .zip(fast.zip(loop)).foreach {
-            case (name, (f, l)) =>
-              assert(f == l, s"trial $trial: $name fast path != distributed loop")
+          .zip(fast.zip(hybrid.zip(loop))).foreach {
+            case (name, (f, (h, l))) =>
+              assert(f == h, s"trial $trial: $name fast path != hybrid/loop tier")
+              assert(h == l, s"trial $trial: $name hybrid tier != distributed loop")
           }
       }
     }

@@ -591,13 +591,18 @@ class PlanSpec extends SparkSpecBase {
   }
 
   test("graph pagerank: every iteration joins hash-keyed; no cartesian, no global window") {
-    // threshold 0 forces the DISTRIBUTED iteration loop this test
-    // audits (the r20 driver fast path otherwise serves the test-scale
-    // graph as a LocalTableScan — see the twin below)
+    // thresholds 0 force the DISTRIBUTED iteration loop this test
+    // audits (the r20 edge fast path and the r21 node-bounded hybrid
+    // otherwise serve the test-scale graph as a LocalTableScan — see
+    // the twin below)
     spark.conf.set("spark.graft.graph.localEdgeThreshold", "0")
+    spark.conf.set("spark.graft.graph.localNodeThreshold", "0")
     val p =
       try plan(graft.operators.Graph.graphPagerank(spark, sfDir))
-      finally spark.conf.unset("spark.graft.graph.localEdgeThreshold")
+      finally {
+        spark.conf.unset("spark.graft.graph.localEdgeThreshold")
+        spark.conf.unset("spark.graft.graph.localNodeThreshold")
+      }
     assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
     // only the TopK-row report window may single-partition (lit(0))
     val specs = "windowspecdefinition\\(([^,)]*)".r.findAllMatchIn(p).map(_.group(1)).toList
