@@ -114,17 +114,43 @@ object Dedup {
     * Jaccard is 0 < tau. `tri` is persisted by the callers, so the
     * posting/size branches here reuse the one materialization. */
   private def verifyJaccard(cand: DataFrame, tri: DataFrame, tau: Double): DataFrame = {
-    val posting = tri.select(col("doc_id"), explode(col("tg")).as("t"))
     val sizes = tri.select(col("doc_id"), size(col("tg")).as("s"))
     val compat = cand
       .join(sizes.select(col("doc_id").as("doc_a"), col("s").as("sa")), "doc_a")
       .join(sizes.select(col("doc_id").as("doc_b"), col("s").as("sb")), "doc_b")
       .filter(col("sa") >= lit(tau) * col("sb") && col("sb") >= lit(tau) * col("sa"))
+    verifyJaccardSized(compat, tri, tau)
+  }
+
+  /** [[verifyJaccard]] for candidates that ALREADY carry both set
+    * sizes (columns sa, sb) with the length filter applied — the
+    * prefix-filter generator reads both sizes in its join condition,
+    * so re-attaching them here cost two joins per verify (r21,
+    * guide §2.4: operations keyed the same way share work).
+    *
+    * Intersections come from `array_intersect` over the two docs'
+    * cached trigram-SET arrays (r21, guide §2.3): the previous
+    * posting-count form exploded every candidate pair into
+    * |tg(doc_a)| posting rows, pushed them through a (doc_b, t)
+    * equi-join and re-aggregated per pair — ~16 M intermediate rows
+    * for 310 k candidates at sf0.1 (the verify was the key's single
+    * heaviest job). Shipping each matched doc's array once per pair
+    * moves the same bytes with no explode, no second exchange and no
+    * re-aggregation; the arrays are distinct-element by construction
+    * (hashed_word_ngrams contract), so `size(array_intersect)` is
+    * exactly the posting match count. Zero-intersection pairs now
+    * reach the tau filter with jaccard 0 instead of dropping out of
+    * an inner join — identical output for any tau > 0 (both callers
+    * verify at JaccardTau). */
+  private def verifyJaccardSized(compat: DataFrame, tri: DataFrame,
+                                 tau: Double): DataFrame = {
+    val ta = tri.select(col("doc_id").as("doc_a"), col("tg").as("tg_a"))
+    val tb = tri.select(col("doc_id").as("doc_b"), col("tg").as("tg_b"))
     compat
-      .join(posting.select(col("doc_id").as("doc_a"), col("t")), "doc_a")
-      .join(posting.select(col("doc_id").as("doc_b"), col("t")), Seq("doc_b", "t"))
-      .groupBy(col("doc_a"), col("doc_b"), col("sa"), col("sb"))
-      .agg(count(lit(1)).as("inter"))
+      .join(ta, "doc_a")
+      .join(tb, "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("sa"), col("sb"),
+        size(array_intersect(col("tg_a"), col("tg_b"))).as("inter"))
       .select(col("doc_a"), col("doc_b"),
         (col("inter").cast("double") /
           (col("sa") + col("sb") - col("inter")).cast("double")).as("jaccard"))
@@ -204,9 +230,14 @@ object Dedup {
           // set sizes alone cap Jaccard under tau never ride distinct()
           col("x.s") >= lit(tau) * col("y.s") &&
           col("y.s") >= lit(tau) * col("x.s"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      // both sizes ride the pair (r21): the length filter above is
+      // exactly verifyJaccard's compat cut, and each doc's size is
+      // functionally determined by its id — distinct() dedups the
+      // same pair set, and the verify tier skips its two size joins
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("x.s").as("sa"), col("y.s").as("sb"))
       .distinct()
-    verifyJaccard(cand, tri, tau)
+    verifyJaccardSized(cand, tri, tau)
   }
 
   val ngramJaccardOracleSql: String =
