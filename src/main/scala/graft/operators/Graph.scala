@@ -199,13 +199,25 @@ object Graph {
     // triangleCorners and the totals agg) each re-ran the two-scan
     // union + aggregate; one node-sized write serves all three
     val deg = staged(degrees(edges), "graft_tri_deg")
-    val triCached = staged(triangleCorners(edges, Some(deg)), "graft_graph_tris")
-    // per-node participation: each triangle touches its 3 corners
-    val perNode = triCached.select(explode(array(col("x"), col("y"), col("z"))).as("node"))
-      .groupBy("node").agg(count(lit(1)).as("triangles"))
+    // corners UNSTAGED (r21): the corner list was materialized only
+    // because TWO branches read it (per-node counts + the global
+    // count) — but the global count derives exactly from the per-node
+    // counts (every triangle contributes its 3 corners, so
+    // Σ triangles div 3 == corner rows div 3 == the triangle count).
+    // The corner pass now streams ONCE into the explode+groupBy (the
+    // edgeJaccardOn treatment) and only the NODE-sized per-node frame
+    // is staged for its two report consumers — the triangle-list
+    // parquet write, this key's heaviest job, is gone.
+    val perNode = staged(
+      triangleCorners(edges, Some(deg))
+        .select(explode(array(col("x"), col("y"), col("z"))).as("node"))
+        .groupBy("node").agg(count(lit(1)).as("triangles")),
+      "graft_tri_pernode")
     // 1-row global summary (bounded): total triangles, wedge count
     // Σ deg·(deg−1)/2 (exact ints), edges, nodes
-    val totals = triCached.agg(count(lit(1)).as("total_triangles"))
+    val totals = perNode
+      .agg(expr("coalesce(sum(triangles), CAST(0 AS BIGINT)) div 3")
+        .as("total_triangles"))
       .crossJoin(deg.agg(
         count(lit(1)).as("n_nodes"),
         // integer `div`: the sums are even by handshake, and staying
