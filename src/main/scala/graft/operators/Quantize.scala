@@ -109,10 +109,23 @@ object Quantize {
     // embedding array still yields no code row (posexplode semantics).
     val spark = vectors.sparkSession
     import spark.implicits._
-    val rg: Array[(Double, Double)] = ranges
+    val rgRows = ranges
       .select(col("pos").cast("long"), col("mn"), col("mx")).collect()
       .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
-      .sortBy(_._1).map(t => (t._2, t._3))
+      .sortBy(_._1)
+    // loud-failure contract (r21, ADVICE): the grid is indexed
+    // POSITIONALLY below, so a ranges frame with non-contiguous pos
+    // values would silently mis-map coordinates where the old
+    // pos-keyed join raised the beyond-grid error — require pos to
+    // cover 1..d exactly. (Non-finite coordinates: NaN codes 0 and
+    // -Inf saturates to -128 through the floor+clamp below — the
+    // corpus contract is finite embeddings, pinned by the oracle.)
+    rgRows.iterator.zipWithIndex.foreach { case ((p, _, _), i) =>
+      require(p == i + 1L,
+        s"quantizeCodesAgainst: ranges frame is not a contiguous 1..d " +
+          s"grid (position ${i + 1} carries pos=$p) — corrupted artifact")
+    }
+    val rg: Array[(Double, Double)] = rgRows.map(t => (t._2, t._3))
     val d = rg.length
     vectors.filter(col("embedding").isNotNull)
       .select(col("vec_id"), V.toDouble(col("embedding")).as("e"))
